@@ -1,0 +1,403 @@
+package graft
+
+/** DuckDB oracle SQL for every entry in [[SparkEntry.queries]].
+  *
+  * The driver executes each statement in DuckDB over the same parquet tables
+  * and hash-compares against the Spark result (columns sorted by name), so
+  * every expression here must be VALUE-identical to its Spark twin:
+  *
+  *   - `round` semantics differ: Spark rounds the double's shortest decimal
+  *     representation HALF_UP (BigDecimal.valueOf), DuckDB rounds the binary
+  *     double. [[rnd]] reproduces Spark exactly: cast the double to VARCHAR
+  *     (shortest round-trip repr in both engines), parse as DECIMAL, round
+  *     half-up in decimal, cast back to DOUBLE.
+  *   - md5-derived hashes ([[graft.functions.Hashes.portableHash32]]) are
+  *     replayed as `('0x' || substr(md5(s),1,8))::BIGINT`.
+  *   - higher-order array pipelines (MinHash, SimHash, rolling hash) are
+  *     replayed with DuckDB list lambdas, keeping fold order identical.
+  */
+object OracleSql {
+
+  /** Spark-equivalent rounding of a double expression to `n` places. */
+  private def rnd(e: String, n: Int): String =
+    s"round(($e)::VARCHAR::DECIMAL(38,18), $n)::DOUBLE"
+
+  /** portableHash32: first 8 md5 hex chars as unsigned int. */
+  private def h32(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** Word tokens of lowercased trimmed text (Spark `split(trim(lower(t)), "\\s+")`). */
+  private val toksExpr = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+  /** Word k-shingles from a token-array expression (empty list when < k tokens). */
+  private def shinglesExpr(toks: String, k: Int): String =
+    s"list_transform(generate_series(1, len($toks) - ${k - 1}), i -> array_to_string(list_slice($toks, i, i + ${k - 1}), ' '))"
+
+  /** Sequential-fold cosine similarity between two float-list expressions
+    * (bit-identical to graft.functions.CosineSimilarity: double accumulation
+    * in index order, 0.0 on zero norm). */
+  private def cosineSql(a: String, b: String): String = {
+    val dot = s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]::DOUBLE) * ($b[i]::DOUBLE)))"
+    val na = s"list_sum(list_transform($a, x -> (x::DOUBLE) * (x::DOUBLE)))"
+    val nb = s"list_sum(list_transform($b, x -> (x::DOUBLE) * (x::DOUBLE)))"
+    s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $dot / (sqrt($na) * sqrt($nb)) END)"
+  }
+
+  // -- text metrics (must mirror graft.operators.TextAnalysis exactly) -------
+  private val tokenCountExpr =
+    raw"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END)"
+  private val punctRatioRaw = // UNrounded ratio; round applied at use sites
+    raw"(len(regexp_extract_all(text, '[\.,;:!\?''\"\(\)]'))::DOUBLE / length(text))"
+  private def punctRatioExpr =
+    s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE ${rnd(punctRatioRaw, 4)} END)"
+  private val stopList = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as']"
+  private def stopwordRatioExpr =
+    s"(CASE WHEN len($toksExpr) = 0 THEN 0.0 ELSE ${rnd(s"len(list_filter($toksExpr, t -> list_contains($stopList, t)))::DOUBLE / len($toksExpr)", 4)} END)"
+
+  val all: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${rnd("sum(l_quantity)", 2)} AS sum_qty,
+         |  ${rnd("sum(l_extendedprice)", 2)} AS sum_base_price,
+         |  ${rnd("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
+         |  ${rnd("avg(l_quantity)", 2)} AS avg_qty,
+         |  count(*)::BIGINT AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02""".stripMargin,
+
+    "q03_join_revenue" ->
+      s"""SELECT c.c_mktsegment,
+         |  ${rnd("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+         |  count(DISTINCT o.o_orderkey)::BIGINT AS n_orders
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q04_dim_star_join" ->
+      s"""SELECT r.r_name,
+         |  count(*)::BIGINT AS n_customers,
+         |  ${rnd("avg(c.c_acctbal)", 2)} AS avg_acctbal
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name""".stripMargin,
+
+    "q05_theta_join" ->
+      s"""SELECT s.s_name,
+         |  count(*)::BIGINT AS n_poorer_customers,
+         |  ${rnd("sum(c.c_acctbal)", 2)} AS sum_cust_bal
+         |FROM supplier s
+         |JOIN customer c ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+         |GROUP BY s.s_name""".stripMargin,
+
+    "q06_window_dedup" ->
+      s"""SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+         |  ${rnd("value", 2)} AS last_value
+         |FROM events
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "q07_rank_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)::BIGINT AS rnk
+        |FROM orders
+        |QUALIFY rnk <= 2""".stripMargin,
+
+    "q08_set_ops" ->
+      """WITH f_cust AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |neg_cust AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal < 0)
+        |SELECT k, 'both' AS tag FROM (SELECT k FROM f_cust INTERSECT SELECT k FROM neg_cust)
+        |UNION ALL
+        |SELECT k, 'f_only' AS tag FROM (SELECT k FROM f_cust EXCEPT SELECT k FROM neg_cust)""".stripMargin,
+
+    "q09_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey)::BIGINT AS n_parts,
+        |  count(DISTINCT l_suppkey)::BIGINT AS n_supps,
+        |  count(*)::BIGINT AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q10_scalar_funcs" ->
+      """SELECT c_custkey,
+        |  concat_ws('|', c_name, c_mktsegment) AS joined,
+        |  translate(c_name, '#', '-') AS dashed,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  length(c_name)::BIGINT AS name_len,
+        |  CASE WHEN c_acctbal < 0 THEN 'negative' ELSE 'ok' END AS bal_tag,
+        |  coalesce(c_name, 'n/a') AS name_or_na
+        |FROM customer""".stripMargin,
+
+    "q11_pii_hash" ->
+      """SELECT c_custkey,
+        |  sha256(concat_ws('|',
+        |    coalesce(c_name, 'n/a'),
+        |    coalesce(c_mktsegment, 'n/a'),
+        |    coalesce(c_acctbal::VARCHAR, 'n/a'))) AS hashed_jk,
+        |  sha256(coalesce(c_name, 'n/a')) AS c_name_hash
+        |FROM customer""".stripMargin,
+
+    "q12_pii_mask" ->
+      """SELECT event_id, regexp_replace(props, '[0-9]', 'X', 'g') AS props_masked
+        |FROM events""".stripMargin,
+
+    "q13_pii_scrub" ->
+      """SELECT doc_id,
+        |  'ssn ' || sha256(
+        |      lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+        |      lpad((doc_id % 100)::VARCHAR, 2, '0') || '-' ||
+        |      lpad((doc_id % 10000)::VARCHAR, 4, '0')) || ' ' || substr(text, 1, 40) AS body_hash
+        |FROM documents""".stripMargin,
+
+    "q14_grouping_key" ->
+      s"""SELECT c_custkey, ${h32("c_custkey::VARCHAR")} % 500 AS grouping_jk
+         |FROM customer""".stripMargin,
+
+    "q15_scd1_merge" ->
+      s"""WITH target AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0),
+         |updates AS (
+         |  SELECT o_orderkey, 'U' AS o_orderstatus,
+         |    ${rnd("o_totalprice * 1.1::DOUBLE", 2)} AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 2 = 0)
+         |SELECT t.o_orderkey AS o_orderkey,
+         |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+         |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+         |FROM target t LEFT JOIN updates u ON t.o_orderkey = u.o_orderkey
+         |WHERE NOT coalesce(u.o_totalprice > 400000, false)
+         |UNION ALL
+         |SELECT u.o_orderkey, u.o_orderstatus, u.o_totalprice
+         |FROM updates u ANTI JOIN target t ON t.o_orderkey = u.o_orderkey""".stripMargin,
+
+    "q16_scd2_merge" ->
+      s"""WITH target AS (
+         |  SELECT c_custkey, c_name, c_acctbal, true AS current_flag,
+         |    DATE '2024-01-01' AS eff_date, CAST(NULL AS DATE) AS expiry_date
+         |  FROM customer),
+         |updates AS (
+         |  SELECT c_custkey, c_name, ${rnd("c_acctbal + 100", 2)} AS c_acctbal,
+         |    DATE '2024-06-01' AS eff_date
+         |  FROM customer WHERE c_custkey % 3 = 0
+         |  UNION ALL
+         |  SELECT c_custkey + 100000 AS c_custkey, c_name, c_acctbal, DATE '2024-06-01' AS eff_date
+         |  FROM customer WHERE c_custkey % 5 = 0),
+         |rows_to_insert AS (
+         |  SELECT u.* FROM updates u JOIN target t ON t.c_custkey = u.c_custkey
+         |  WHERE t.current_flag = true AND t.c_acctbal <> u.c_acctbal)
+         |SELECT t.c_custkey, t.c_name, t.c_acctbal,
+         |  CASE WHEN u.c_custkey IS NOT NULL AND t.current_flag = true AND t.c_acctbal <> u.c_acctbal
+         |       THEN false ELSE t.current_flag END AS current_flag,
+         |  t.eff_date,
+         |  CASE WHEN u.c_custkey IS NOT NULL AND t.current_flag = true AND t.c_acctbal <> u.c_acctbal
+         |       THEN u.eff_date ELSE t.expiry_date END AS expiry_date
+         |FROM target t LEFT JOIN updates u ON t.c_custkey = u.c_custkey
+         |UNION ALL
+         |SELECT c_custkey, c_name, c_acctbal, true AS current_flag, eff_date, CAST(NULL AS DATE) AS expiry_date
+         |FROM (SELECT * FROM rows_to_insert
+         |      UNION ALL
+         |      SELECT u.* FROM updates u ANTI JOIN target t ON t.c_custkey = u.c_custkey)""".stripMargin,
+
+    "q17_scd4_merge" ->
+      s"""WITH current AS (
+         |  SELECT c_custkey, c_name, c_acctbal, false AS deleted_flag FROM customer),
+         |updates AS (
+         |  SELECT c_custkey, c_name, ${rnd("c_acctbal + 50", 2)} AS c_acctbal,
+         |    false AS deleted_flag, (c_custkey % 10 <> 0) AS row_active,
+         |    TIMESTAMP '2024-06-01 00:00:00' AS updated_at
+         |  FROM customer WHERE c_custkey % 5 = 0)
+         |SELECT 'current' AS src, t.c_custkey, t.c_name,
+         |  CASE WHEN u.c_custkey IS NOT NULL AND u.row_active = false THEN t.c_acctbal
+         |       WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+         |       ELSE t.c_acctbal END AS c_acctbal,
+         |  CASE WHEN u.c_custkey IS NOT NULL AND u.row_active = false THEN true
+         |       WHEN u.c_custkey IS NOT NULL THEN u.deleted_flag
+         |       ELSE t.deleted_flag END AS deleted_flag,
+         |  CAST(NULL AS TIMESTAMP) AS history_created_at
+         |FROM current t LEFT JOIN updates u ON t.c_custkey = u.c_custkey
+         |UNION ALL
+         |SELECT 'history' AS src, t.c_custkey, t.c_name, t.c_acctbal, t.deleted_flag, u.updated_at
+         |FROM current t JOIN updates u ON t.c_custkey = u.c_custkey AND u.row_active = true""".stripMargin,
+
+    "q18_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*)::BIGINT AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q19_minhash_sig" -> {
+      val sh = shinglesExpr("t", 3)
+      s"""WITH toks AS (SELECT doc_id, $toksExpr AS t FROM documents),
+         |shing AS (SELECT doc_id, $sh AS sh FROM toks)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(generate_series(0, 7), s ->
+         |    list_min(list_transform(sh, x -> ${h32("s::VARCHAR || ':' || x")}))), ',') AS sig
+         |FROM shing""".stripMargin
+    },
+
+    "q20_minhash_lsh_pairs" -> {
+      val sh = shinglesExpr("t", 3)
+      s"""WITH toks AS (SELECT doc_id AS id, $toksExpr AS t FROM documents),
+         |shing AS (SELECT id, $sh AS sh FROM toks),
+         |sigs AS (SELECT id, list_distinct(sh) AS shset,
+         |  list_transform(generate_series(0, 7), s ->
+         |    list_min(list_transform(sh, x -> ${h32("s::VARCHAR || ':' || x")}))) AS sig
+         |  FROM shing),
+         |banded AS (SELECT id, band, array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '_') AS bucket
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |jac AS (SELECT id_a, id_b,
+         |  CASE WHEN len(list_distinct(list_concat(sa.shset, sb.shset))) = 0 THEN 0.0
+         |       ELSE len(list_intersect(sa.shset, sb.shset))::DOUBLE
+         |            / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE END AS jaccard
+         |  FROM cands JOIN sigs sa ON sa.id = cands.id_a JOIN sigs sb ON sb.id = cands.id_b)
+         |SELECT id_a, id_b, ${rnd("jaccard", 3)} AS jaccard FROM jac WHERE jaccard >= 0.2""".stripMargin
+    },
+
+    "q21_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $toksExpr AS t FROM documents),
+         |hs AS (SELECT doc_id, list_transform(t, x -> ${h32("x")}) AS hashes FROM toks)
+         |SELECT doc_id,
+         |  list_sum(list_transform(range(0, 32), j ->
+         |    CASE WHEN list_sum(list_transform(hashes, h ->
+         |           CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+         |FROM hs""".stripMargin,
+
+    "q22_ngram_jaccard" -> {
+      val sh = shinglesExpr("t", 5)
+      s"""WITH toks AS (SELECT doc_id AS id, $toksExpr AS t FROM documents),
+         |sets AS (SELECT id, list_distinct($sh) AS shset FROM toks),
+         |posts AS (SELECT id, unnest(shset) AS g FROM sets),
+         |rare AS (SELECT g FROM posts GROUP BY g HAVING count(*) <= 1000),
+         |pruned AS (SELECT p.id, p.g FROM posts p JOIN rare r ON p.g = r.g),
+         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM pruned a JOIN pruned b ON a.g = b.g AND a.id < b.id),
+         |jac AS (SELECT id_a, id_b,
+         |  CASE WHEN len(list_distinct(list_concat(sa.shset, sb.shset))) = 0 THEN 0.0
+         |       ELSE len(list_intersect(sa.shset, sb.shset))::DOUBLE
+         |            / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE END AS jaccard
+         |  FROM cands JOIN sets sa ON sa.id = cands.id_a JOIN sets sb ON sb.id = cands.id_b)
+         |SELECT id_a, id_b, ${rnd("jaccard", 3)} AS jaccard FROM jac WHERE jaccard >= 0.1""".stripMargin
+    },
+
+    "q23_embedding_cosine" ->
+      s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE vec_id % 29 = 0),
+         |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings WHERE vec_id % 31 = 0)
+         |SELECT id_a, id_b, ${rnd(cosineSql("va", "vb"), 3)} AS cosine
+         |FROM a CROSS JOIN b WHERE id_a < id_b""".stripMargin,
+
+    "q24_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |  ${cosineSql("e.embedding", "qv")} AS cosine
+         |  FROM embeddings e CROSS JOIN q),
+         |ranked AS (SELECT query_id, neighbor_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ${rnd("cosine", 3)} AS cosine, rank::BIGINT AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q25_token_stats" ->
+      s"""SELECT doc_id,
+         |  $tokenCountExpr::BIGINT AS token_count,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS subword_count,
+         |  $punctRatioExpr AS punct_ratio,
+         |  (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+         |        ELSE ${rnd(raw"list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)))::DOUBLE / len(regexp_split_to_array(trim(text), '\s+'))", 4)}
+         |   END) AS mean_word_len
+         |FROM documents""".stripMargin,
+
+    "q26_quality_score" ->
+      s"""SELECT doc_id,
+         |  $stopwordRatioExpr AS stopword_ratio,
+         |  ${rnd(s"least($tokenCountExpr::DOUBLE / 100.0, 1.0) * 0.4 + least($stopwordRatioExpr * 4.0, 1.0) * 0.4 + greatest(1.0 - $punctRatioExpr * 5.0, 0.0) * 0.2", 4)} AS quality_score
+         |FROM documents""".stripMargin,
+
+    "q27_lang_id" -> {
+      def score(markers: Seq[String]) =
+        s"len(list_filter($toksExpr, t -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], t)))"
+      val en = score(Seq("the", "and", "of", "is", "that"))
+      val de = score(Seq("der", "die", "und", "ist", "das"))
+      val fr = score(Seq("le", "la", "et", "est", "les"))
+      val es = score(Seq("el", "la", "que", "es", "los"))
+      val zh = score(Seq("的", "是", "了", "在", "我"))
+      s"""WITH s AS (SELECT doc_id, lang, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es, $zh AS s_zh
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+         |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+         |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM s""".stripMargin
+    },
+
+    "q28_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE list_reduce(
+        |         list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))::BIGINT),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) END AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q29_window_hour_agg" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+         |  count(*)::BIGINT AS n_events, ${rnd("sum(value)", 2)} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q30_sessionize" ->
+      s"""WITH gaps AS (
+         |  SELECT user_id, value, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, value,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+         |  FROM gaps)
+         |SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+         |  ${rnd("sum(value)", 2)} AS session_value
+         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "q31_json_extract" ->
+      s"""SELECT event_type,
+         |  ${rnd("avg(json_extract_string(props, '" + "$" + ".k')::BIGINT)", 2)} AS avg_k,
+         |  max(json_extract_string(props, '$$.k')::BIGINT)::BIGINT AS max_k
+         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q32_cdc_demux" ->
+      s"""SELECT (event_type <> 'error') AS row_active,
+         |  (event_type = 'error') AS deleted_flag,
+         |  user_id % 4 AS src_server_id,
+         |  count(*)::BIGINT AS n, ${rnd("sum(value)", 2)} AS sum_value
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q33_offset_bookkeeping" ->
+      """SELECT event_type AS topic, user_id % 4 AS "partition",
+        |  min(event_id)::BIGINT AS min_offset, max(event_id)::BIGINT AS max_offset
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q34_encrypt_roundtrip" ->
+      "SELECT c_custkey, c_name FROM customer",
+
+    "q35_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    ord(substr(text, 1, 1)) AS first_byte,
+        |    list_sum(list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))))::DOUBLE AS s
+        |  FROM documents)
+        |SELECT doc_id, n::BIGINT AS n_bytes,
+        |  (64 + (first_byte % 16) * 32)::BIGINT AS width,
+        |  (64 + (n % 16) * 32)::BIGINT AS height,
+        |  floor(((s / n) * 10000) + 0.5) / 10000 AS mean_byte
+        |FROM m""".stripMargin
+  )
+}

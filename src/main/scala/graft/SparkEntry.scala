@@ -1,13 +1,443 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashes, Pii, VectorFunctions}
+import graft.merge.{MergeInto, Scd}
+import graft.merge.MergeInto._
+import graft.operators.{CdcDemux, Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract: every operator from SURVEY.md §2 (plus the
+  * training-data-pipeline operators) exposed as a named query over the
+  * driver's parquet testdata, each with an equivalent DuckDB oracle SQL.
+  *
+  * Conventions keeping the Spark result and the DuckDB oracle hash-identical:
+  *   - every aggregate / computed column is aliased the SAME on both sides;
+  *   - doubles are rounded (money 2dp, ratios/similarities 3-4dp);
+  *   - counts are cast to BIGINT on both sides;
+  *   - md5-based portable hashing (not murmur3) so signatures reproduce.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ==========================================================================
+  // Query implementations
+  // ==========================================================================
+
+  /** TPC-H Q1-shaped pricing summary: filter -> 2-col hash agg.
+    * Scale: filter + partial agg push into the scan; one shuffle on the tiny
+    * (flag,status) key space. */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1999-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        count(lit(1)).cast("long").as("count_order"))
+
+  /** Projection + predicate pushdown: PushedFilters + 3-column ReadSchema. */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+
+  /** 3-way join: lineitem shuffles once on orderkey; customer side joins on
+    * custkey; revenue per market segment. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+    val l = T(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        countDistinct(col("o_orderkey")).cast("long").as("n_orders"))
+  }
+
+  /** Small-dim star join: region/nation are broadcast (no shuffle of
+    * customer). */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val r = T(s, dir, "region")
+    val n = T(s, dir, "nation")
+    val c = T(s, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+  }
+
+  /** Theta join (equi part on nationkey drives the shuffle, the `>` stays a
+    * join filter — the reference's buildInnerJoinCondition shape). */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val sup = T(s, dir, "supplier")
+    val c = T(s, dir, "customer")
+    sup.join(c, sup("s_nationkey") === c("c_nationkey") && sup("s_acctbal") > c("c_acctbal"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).cast("long").as("n_poorer_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_cust_bal"))
+  }
+
+  /** Windowed dedup — keep the LATEST event per user (the SCD dedup pattern,
+    * with the reference's ascending-order bug fixed; SURVEY §2.14). */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    T(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), round(col("value"), 2).as("last_value"))
+  }
+
+  /** Rank-filter top-N (the reference's rerun-selection pattern,
+    * M/configbuilder/Start.scala:204-205). */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    T(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+  }
+
+  /** Set ops: union / intersect / except over key sets. */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val c = T(s, dir, "customer")
+    val fCust = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k")).distinct()
+    val negCust = c.filter(col("c_acctbal") < 0).select(col("c_custkey").as("k")).distinct()
+    val both = fCust.intersect(negCust).withColumn("tag", lit("both"))
+    val fOnly = fCust.except(negCust).withColumn("tag", lit("f_only"))
+    both.unionByName(fOnly)
+  }
+
+  /** Distinct aggregates per group. */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).cast("long").as("n_parts"),
+        countDistinct(col("l_suppkey")).cast("long").as("n_supps"),
+        count(lit(1)).cast("long").as("n_rows"))
+
+  /** Scalar string/null functions (SURVEY §2.9): concat_ws, translate, upper,
+    * coalesce, when/otherwise, casts. */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("joined"),
+        translate(col("c_name"), "#", "-").as("dashed"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        length(col("c_name")).cast("long").as("name_len"),
+        when(col("c_acctbal") < 0, lit("negative")).otherwise(lit("ok")).as("bal_tag"),
+        coalesce(col("c_name"), lit("n/a")).as("name_or_na"))
+
+  /** PII hashRow + hashColumns (ref hashIt / hashItComplete). */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    val rowHashed = Pii.hashRow(c, Seq("c_name", "c_mktsegment", "c_acctbal"))
+    Pii.hashColumns(rowHashed, Seq("c_name"))
+      .select("c_custkey", "hashed_jk", "c_name_hash")
+  }
+
+  /** PII maskIt: digit masking over free text (events.props). */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Pii.mask(T(s, dir, "events").select("event_id", "props"),
+        "props", "[0-9]", "X", inPlace = false)
+      .select("event_id", "props_masked")
+
+  /** Free-text PII scrub (ref hashItPartial): SSNs injected deterministically,
+    * each match replaced by its own SHA-256. */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("ssn "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" "), substring(col("text"), 1, 40)).as("body"))
+    Pii.scrubColumns(docs, Seq("body"), Seq(Pii.SsnPattern))
+      .select("doc_id", "body_hash")
+  }
+
+  /** Merge-bucket grouping key (ref hashNumericalIt), portable-hash variant. */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(col("c_custkey"),
+        Hashes.groupingKey(Seq(col("c_custkey")), 500).as("grouping_jk"))
+
+  /** SCD1 MERGE (the engine's core operator) as a pure computation:
+    * delete / updateAll / insertAll clause matrix, first-clause-wins. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val target = o.filter(col("o_orderkey") % 4 =!= 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val updates = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        round(col("o_totalprice") * 1.1, 2).as("o_totalprice"))
+    Scd.scd1Apply(target, updates, Seq("o_orderkey"),
+      matched = Seq(
+        WhenMatched(Some("updates.o_totalprice > 400000"), Delete),
+        WhenMatched(None, UpdateAll)),
+      notMatched = Seq(WhenNotMatched(None, InsertAll)))
+  }
+
+  /** SCD2 MERGE via the staged-union trick: expired version + new current
+    * version from one merge. */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val target = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      lit(true).as("current_flag"),
+      to_date(lit("2024-01-01")).as("eff_date"),
+      lit(null).cast("date").as("expiry_date"))
+    val changed = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") + 100, 2).as("c_acctbal"),
+        to_date(lit("2024-06-01")).as("eff_date"))
+    val fresh = c.filter(col("c_custkey") % 5 === 0)
+      .select((col("c_custkey") + 100000).as("c_custkey"), col("c_name"),
+        col("c_acctbal"), to_date(lit("2024-06-01")).as("eff_date"))
+    val updates = changed.unionByName(fresh)
+    Scd.scd2Apply(target, updates, Seq("c_custkey"),
+      matchCondition = "target.current_flag = true AND target.c_acctbal <> updates.c_acctbal",
+      updateMap = Map(
+        "current_flag" -> "false",
+        "expiry_date" -> "updates.eff_date"),
+      insertMap = Map(
+        "c_custkey" -> "updates.c_custkey",
+        "c_name" -> "updates.c_name",
+        "c_acctbal" -> "updates.c_acctbal",
+        "current_flag" -> "true",
+        "eff_date" -> "updates.eff_date",
+        "expiry_date" -> "cast(null as date)"))
+  }
+
+  /** SCD4: current table + history snapshot from one update batch, tagged and
+    * unioned for inspection. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val current = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      lit(false).as("deleted_flag"))
+    val updates = c.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") + 50, 2).as("c_acctbal"),
+        lit(false).as("deleted_flag"),
+        (col("c_custkey") % 10 =!= 0).as("row_active"),
+        to_timestamp(lit("2024-06-01 00:00:00")).as("updated_at"))
+    val (newCurrent, history) = Scd.scd4Apply(current, updates, Seq("c_custkey"))
+    newCurrent
+      .withColumn("src", lit("current"))
+      .withColumn("history_created_at", lit(null).cast("timestamp"))
+      .unionByName(history.withColumn("src", lit("history")))
+      .select("src", "c_custkey", "c_name", "c_acctbal", "deleted_flag", "history_created_at")
+  }
+
+  /** Exact dedup: md5 fingerprint group-by. */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(T(s, dir, "documents"), "text", "doc_id")
+      .select(col("fp"), col("keep_id"), col("dup_count").cast("long").as("dup_count"))
+
+  /** MinHash signatures (portable md5 hash families; engine-reproducible). */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      concat_ws(",", Dedup.minHashSignature(col("text"), 8, 3)).as("sig"))
+
+  /** MinHash+LSH verified near-dup pairs (band/bucket join + exact Jaccard). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Dedup.verifiedNearDups(T(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.2, bands = 4, rowsPerBand = 2)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
+
+  /** SimHash signature per document. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+
+  /** n-gram Jaccard all-pairs over an inverted-index join (docs sharing a
+    * 5-shingle, exact Jaccard >= 0.1). */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
+        shingleK = 5, threshold = 0.1)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
+
+  /** Embedding pairwise cosine (fixed deterministic pair set; codegen'd
+    * native CosineSimilarity expression). */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = T(s, dir, "embeddings")
+    val a = e.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 3).as("cosine"))
+  }
+
+  /** Brute-force ANN top-k per query vector. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = T(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.bruteForceTopK(e, queries, 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 3).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Token / character statistics per document. */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("token_count"),
+      TextAnalysis.subwordCount(col("text")).cast("long").as("subword_count"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.meanWordLen(col("text")).as("mean_word_len"))
+
+  /** Quality score + stopword ratio per document. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+
+  /** Language-ID heuristic (marker-word argmax). */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  /** Rolling-hash document fingerprint. */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  /** Tumbling-window aggregation over the event stream (batch shape of the
+    * Structured Streaming windowed agg). */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+
+  /** Sessionization: 30-minute-gap sessions via lag + running sum windows. */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = T(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+  }
+
+  /** JSON extraction from the props payload. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("k")), 2).as("avg_k"),
+        max(col("k")).cast("long").as("max_k"))
+
+  /** CDC demux: Debezium-envelope rows built from events, demuxed into
+    * upserts/deletes with row_active/deleted_flag (ref
+    * M/processor/BaseProcessor.scala:40-49). */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val op = when(col("event_type") === "signup", lit("c"))
+      .when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+    val payload = struct(col("event_id"), col("user_id"), col("value"))
+    val envelope = ev.select(struct(
+      op.as("op"), payload.as("before"), payload.as("after"),
+      struct(lit("db0").as("db"), (col("user_id") % 4).as("server_id")).as("source")
+    ).as("value"))
+    CdcDemux.demux(envelope)
+      .groupBy(col("row_active"), col("deleted_flag"), col("src_server_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Offset bookkeeping agg (ref M/commons/Task.scala:99-100): min/max offset
+    * per (topic, partition). */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type").as("topic"), (col("user_id") % 4).as("partition"))
+      .agg(min(col("event_id")).cast("long").as("min_offset"),
+        max(col("event_id")).cast("long").as("max_offset"))
+
+  /** AES encrypt/decrypt round-trip (ref encryptIt/decryptIt): decrypt ∘
+    * encrypt = identity, NULL-sentinel restored. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val codec = graft.functions.AesCodec("graft-salt", "graft-secret")
+    val c = T(s, dir, "customer").select("c_custkey", "c_name")
+    val enc = graft.functions.Crypto.encryptColumns(c, Seq("c_name"), codec)
+    graft.functions.Crypto.decryptColumns(enc, Seq("c_name"), codec)
+  }
+
+  /** Multimodal metadata extraction: binary image column -> per-partition
+    * batched decode (stub codec; real Spark plumbing). */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val docs = Multimodal.withFakeImageColumn(T(s, dir, "documents"), "text")
+    Multimodal.decodeImages(s, docs).toDF()
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("mean_byte"))
+  }
+
+  // ==========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_pushdown" -> (q02 _),
+    "q03_join_revenue" -> (q03 _),
+    "q04_dim_star_join" -> (q04 _),
+    "q05_theta_join" -> (q05 _),
+    "q06_window_dedup" -> (q06 _),
+    "q07_rank_topn" -> (q07 _),
+    "q08_set_ops" -> (q08 _),
+    "q09_distinct_agg" -> (q09 _),
+    "q10_scalar_funcs" -> (q10 _),
+    "q11_pii_hash" -> (q11 _),
+    "q12_pii_mask" -> (q12 _),
+    "q13_pii_scrub" -> (q13 _),
+    "q14_grouping_key" -> (q14 _),
+    "q15_scd1_merge" -> (q15 _),
+    "q16_scd2_merge" -> (q16 _),
+    "q17_scd4_merge" -> (q17 _),
+    "q18_dedup_exact" -> (q18 _),
+    "q19_minhash_sig" -> (q19 _),
+    "q20_minhash_lsh_pairs" -> (q20 _),
+    "q21_simhash" -> (q21 _),
+    "q22_ngram_jaccard" -> (q22 _),
+    "q23_embedding_cosine" -> (q23 _),
+    "q24_ann_topk" -> (q24 _),
+    "q25_token_stats" -> (q25 _),
+    "q26_quality_score" -> (q26 _),
+    "q27_lang_id" -> (q27 _),
+    "q28_fingerprint" -> (q28 _),
+    "q29_window_hour_agg" -> (q29 _),
+    "q30_sessionize" -> (q30 _),
+    "q31_json_extract" -> (q31 _),
+    "q32_cdc_demux" -> (q32 _),
+    "q33_offset_bookkeeping" -> (q33 _),
+    "q34_encrypt_roundtrip" -> (q34 _),
+    "q35_multimodal_meta" -> (q35 _)
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

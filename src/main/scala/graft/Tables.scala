@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{functions, types, DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file per scale factor; at cluster scale these
+  * would be directories of many files — `spark.read.parquet` handles both, and
+  * every query below relies on Catalyst pushing filters/projections into the
+  * scan (verified via `.explain` in the specs).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    // rejects; read it as a long (legacy conf) and truncate to micros — the
+    // same truncation DuckDB applies, so the oracle agrees.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == types.LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", functions.expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
+
+  /** Register all tables as temp views (for spark.sql-based entry points). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash helpers used across dedup / PII / merge-bucketing.
+  *
+  * `portableHash32` is deliberately md5-based (not Spark's murmur3 `hash()`)
+  * so that every derived operator — MinHash signatures, SimHash bits, merge
+  * bucket keys — is reproducible in any engine with an md5 function. That is
+  * what lets the DuckDB oracle check these operators bit-for-bit. At scale the
+  * cost difference vs murmur3 is irrelevant next to the shuffle the hash
+  * feeds; both are codegen'd builtins.
+  */
+object Hashes {
+
+  /** Deterministic 32-bit-range non-negative hash of a string: the first 8 hex
+    * chars of md5 parsed as an unsigned int (0 .. 2^32-1, fits in LongType).
+    */
+  def portableHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash families for MinHash (seed is mixed into
+    * the md5 preimage, not xor'd after, so families are truly independent).
+    */
+  def seededHash(c: Column, seed: Int): Column =
+    portableHash32(concat(lit(s"$seed:"), c))
+
+  /** Reference `hashNumericalIt` (reference M/utility/Utility.scala:61-64):
+    * bucket key `abs(hash(concat(cols))) % buckets` appended to merge join keys
+    * to prune the merge join. We keep the semantics but use the portable hash
+    * so the oracle can verify it; bucket count stays configurable (ref: 500).
+    */
+  def groupingKey(cols: Seq[Column], buckets: Int = 500): Column =
+    pmod(portableHash32(concat_ws("|", cols.map(_.cast("string")): _*)), lit(buckets.toLong))
+}

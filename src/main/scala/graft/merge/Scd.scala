@@ -1,0 +1,190 @@
+package graft.merge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import MergeInto._
+
+/** SCD Type 1 / 2 / 4 maintenance, the reference's flagship capability
+  * (reference M/utility/Utility.scala:394-707 batch,
+  * :731-1045 streaming twins). Each SCD is exposed twice:
+  *
+  *   - `scdNApply`: PURE DataFrame -> DataFrame semantics (target contents +
+  *     update batch -> post-merge contents). This is the unit the DuckDB
+  *     oracle can check and the form used by `SparkEntry.queries`.
+  *   - `writeScdN`: table-backed variant over [[ParquetTable]] with dedup,
+  *     partition-pruned COW rewrite and commit metrics.
+  *
+  * Scale: each SCD application is one shuffled equi-join on the merge keys
+  * (broadcast when the batch is small) + codegen'd CASE projection; the
+  * table-backed path rewrites only touched partitions.
+  */
+object Scd {
+
+  /** Windowed dedup: keep ONE row per join key, ranked by `orderCols`.
+    * The reference orders ASCENDING on updated_at — keeping the OLDEST update
+    * (ref M/utility/Utility.scala:406-413, a likely bug, see SURVEY §2.14).
+    * Default here keeps the NEWEST; `strictParity=true` restores reference
+    * behavior. */
+  def dedupByKey(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                 strictParity: Boolean = false): DataFrame = {
+    if (orderCols.isEmpty) return df.dropDuplicates(keys)
+    val ord = orderCols.map(c => if (strictParity) col(c).asc else col(c).desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------------------
+  // SCD TYPE 1 — upsert in place (ref M/utility/Utility.scala:394-479)
+  // -------------------------------------------------------------------------
+
+  /** Default clause set: updateAll on match, insertAll otherwise; callers pass
+    * the reference's ordered clause list for the full matrix (conditional
+    * update / delete / conditional insert). */
+  def scd1Apply(target: DataFrame, updates: DataFrame, keySpecs: Seq[String],
+                matched: Seq[WhenMatched] = Seq(WhenMatched(None, UpdateAll)),
+                notMatched: Seq[WhenNotMatched] = Seq(WhenNotMatched(None, InsertAll)),
+                extraCondition: Option[String] = None): DataFrame =
+    MergeInto(target, updates, buildJoinCondition(keySpecs, extraCondition),
+      matched, notMatched)
+
+  def writeScd1(table: ParquetTable, updates: DataFrame, keySpecs: Seq[String],
+                matched: Seq[WhenMatched] = Seq(WhenMatched(None, UpdateAll)),
+                notMatched: Seq[WhenNotMatched] = Seq(WhenNotMatched(None, InsertAll)),
+                dedupOrderCols: Seq[String] = Nil,
+                extraCondition: Option[String] = None,
+                txn: Option[(String, Long)] = None): Unit = {
+    val keys = extractJoinKeys(keySpecs)
+    val deduped = if (dedupOrderCols.nonEmpty) dedupByKey(updates, keys, dedupOrderCols)
+                  else updates
+    if (!table.exists) {
+      table.create(deduped)
+    } else {
+      table.merge(deduped, buildJoinCondition(keySpecs, extraCondition),
+        matched, notMatched, txn,
+        metrics = Map("numSourceRows" -> deduped.count().toString))
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // SCD TYPE 2 — row-versioned history (ref M/utility/Utility.scala:493-608)
+  // -------------------------------------------------------------------------
+
+  /** SCD2 via the staged-union trick the reference uses
+    * (ref M/utility/Utility.scala:541-587): each changed update row appears
+    * TWICE in the merge source — once keyed (expires the old current row via
+    * `updateMap`) and once with NULL merge keys (falls through to the insert
+    * clause, creating the new current version). One merge does both.
+    *
+    * @param keySpecs        join key specs ("k" or "tk = uk")
+    * @param matchCondition  which matched rows count as changed, e.g.
+    *                        "target.current_flag = true AND target.v <> updates.v"
+    * @param updateMap       SET map expiring the old row
+    *                        (e.g. "current_flag" -> "false", "expiry_at" -> "updates.eff_date")
+    * @param insertMap       VALUES map creating the new current row
+    */
+  def scd2Apply(target: DataFrame, updates: DataFrame, keySpecs: Seq[String],
+                matchCondition: String,
+                updateMap: Map[String, String],
+                insertMap: Map[String, String],
+                extraCondition: Option[String] = None): DataFrame = {
+    val uKeys = extractJoinKeys(keySpecs)
+    val tKeys = extractTargetKeys(keySpecs)
+
+    // Rows needing a NEW version: updates that match a current row AND differ
+    // (ref M/utility/Utility.scala:534-538).
+    val t = target.alias("target")
+    val u = updates.alias("updates")
+    val joinCond = expr(buildJoinCondition(keySpecs, extraCondition))
+    val rowsToInsert = u.join(t, joinCond, "inner")
+      .where(expr(matchCondition))
+      .select(updates.columns.map(c => col(s"updates.$c")): _*)
+
+    // Staged source: inserts carry NULL mergekeys, updates carry real keys.
+    val mergeKeyCols = uKeys.indices.map(i => s"__mergekey_$i")
+    val stagedInserts = mergeKeyCols.zip(uKeys).foldLeft(rowsToInsert) {
+      case (d, (mk, k)) => d.withColumn(mk, lit(null).cast(updates.schema(k).dataType))
+    }
+    val stagedUpdates = mergeKeyCols.zip(uKeys).foldLeft(updates) {
+      case (d, (mk, k)) => d.withColumn(mk, col(k))
+    }
+    val staged = stagedInserts.unionByName(stagedUpdates)
+
+    val mergeCond = tKeys.zip(mergeKeyCols)
+      .map { case (tk, mk) => s"target.$tk = updates.$mk" }
+      .++(extraCondition.toSeq).mkString(" AND ")
+
+    MergeInto(target, staged, mergeCond,
+      matched = Seq(WhenMatched(Some(matchCondition), UpdateExpr(updateMap))),
+      notMatched = Seq(WhenNotMatched(None, InsertExpr(insertMap))))
+  }
+
+  def writeScd2(table: ParquetTable, updates: DataFrame, keySpecs: Seq[String],
+                matchCondition: String,
+                updateMap: Map[String, String],
+                insertMap: Map[String, String],
+                dedupOrderCols: Seq[String] = Nil,
+                extraCondition: Option[String] = None,
+                txn: Option[(String, Long)] = None): Unit = {
+    val keys = extractJoinKeys(keySpecs)
+    val deduped = if (dedupOrderCols.nonEmpty) dedupByKey(updates, keys, dedupOrderCols)
+                  else updates
+    if (!table.exists) { table.create(deduped); return }
+    if (txn.exists { case (a, v) => table.seenTxn(a, v) }) return
+    val merged = scd2Apply(table.read, deduped, keySpecs, matchCondition,
+      updateMap, insertMap, extraCondition)
+    table.overwrite(merged, Map("numSourceRows" -> deduped.count().toString))
+  }
+
+  // -------------------------------------------------------------------------
+  // SCD TYPE 4 — current table + history table (ref M/utility/Utility.scala:621-707)
+  // -------------------------------------------------------------------------
+
+  /** Returns (newCurrent, historyAppendRows).
+    *
+    * Matched current rows are snapshotted into history (stamped
+    * `history_created_at` from the update's `updatedAtCol`,
+    * ref M/utility/Utility.scala:645-676), then the current table takes an
+    * SCD1 merge where `row_active = false` updates soft-delete
+    * (`deleted_flag = true`) instead of updating. */
+  def scd4Apply(current: DataFrame, updates: DataFrame, keySpecs: Seq[String],
+                updatedAtCol: String = "updated_at",
+                extraCondition: Option[String] = None): (DataFrame, DataFrame) = {
+    val joinCond = expr(buildJoinCondition(keySpecs, extraCondition))
+    val t = current.alias("target")
+    val u = updates.alias("updates")
+
+    val historyRows = t.join(u, joinCond && col(s"updates.row_active") === lit(true), "inner")
+      .select(current.columns.map(c => col(s"target.$c")) :+
+        col(s"updates.$updatedAtCol").cast("timestamp").as("history_created_at"): _*)
+
+    val newCurrent = scd1Apply(current, updates, keySpecs,
+      matched = Seq(
+        WhenMatched(Some("updates.row_active = false"),
+          UpdateExpr(Map("deleted_flag" -> "true"))),
+        WhenMatched(None, UpdateAll)),
+      notMatched = Seq(WhenNotMatched(Some("updates.row_active = true"), InsertAll)),
+      extraCondition = extraCondition)
+
+    (newCurrent, historyRows)
+  }
+
+  def writeScd4(current: ParquetTable, history: ParquetTable, updates: DataFrame,
+                keySpecs: Seq[String], updatedAtCol: String = "updated_at",
+                dedupOrderCols: Seq[String] = Nil,
+                extraCondition: Option[String] = None,
+                txn: Option[(String, Long)] = None): Unit = {
+    val keys = extractJoinKeys(keySpecs)
+    val deduped = if (dedupOrderCols.nonEmpty) dedupByKey(updates, keys, dedupOrderCols)
+                  else updates
+    if (!current.exists) { current.create(deduped); return }
+    if (txn.exists { case (a, v) => current.seenTxn(a, v) }) return
+    val (newCurrent, histRows) = scd4Apply(current.read, deduped, keySpecs,
+      updatedAtCol, extraCondition)
+    val hist = histRows.localCheckpoint()
+    val cur = newCurrent.localCheckpoint()
+    history.append(hist)
+    current.overwrite(cur)
+  }
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashes
+
+/** Document deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard and embedding-cosine near-dup. All set operations
+  * are expressed as shuffled group-bys / joins on compact keys (never
+  * pairwise over the full corpus), so every method scales to the
+  * 100 TB / 10^10-document regime:
+  *
+  *   - exact: one shuffle on a 128-bit fingerprint;
+  *   - MinHash LSH: pair candidates only meet inside an LSH band bucket —
+  *     the classic band/bucket join bounds the candidate set;
+  *   - SimHash: 64-bit signature grouped by rotated prefix bands;
+  *   - verification joins are bounded by candidate pairs, not n^2.
+  *
+  * Hashing uses [[Hashes.portableHash32]] (md5-derived) so signatures are
+  * engine-reproducible and DuckDB-oracle-checkable.
+  */
+object Dedup {
+
+  /** Normalized word tokens: lowercase, split on whitespace. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Word k-shingles of a text column as an array of strings. Docs shorter
+    * than k tokens get an empty array (guarded: Spark's `sequence(1, 0)`
+    * counts DOWN, so the naive form would call `slice(_, 0, _)` and throw). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), n - lit(k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  // -------------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------------
+
+  /** Exact dedup: md5 fingerprint group-by, keeping the smallest id per group.
+    * One shuffle on the fingerprint; at scale, partial aggregation makes the
+    * map side emit one row per (partition, fp). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fp", md5(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Survivors of exact dedup (the deduplicated corpus). */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------------
+
+  /** MinHash signature: for each of `numHashes` seeded hash families, the min
+    * hash over the doc's shingle set. Computed entirely with codegen'd
+    * higher-order functions (transform + array_min) — no UDF, no shuffle. */
+  def minHashSignature(text: Column, numHashes: Int, shingleK: Int = 3): Column = {
+    val sh = shingles(text, shingleK)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => Hashes.seededHash(s, seed)))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: signatures split into `bands` bands of
+    * `rowsPerBand`; docs sharing any full band land in the same bucket.
+    * Returns distinct candidate (id_a, id_b) pairs with id_a < id_b.
+    *
+    * Scale: the only shuffles are (a) explode->groupBy on (band, bucket) and
+    * (b) the self-join WITHIN buckets; skewed mega-buckets (e.g. empty docs)
+    * should be length-filtered upstream. */
+  def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        bands: Int = 4, rowsPerBand: Int = 4,
+                        shingleK: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      minHashSignature(col(textCol), numHashes, shingleK).as("sig"))
+
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+    ).as(Seq("band", "bucket")))
+
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two docs' shingle sets (verification
+    * step after LSH candidate generation). */
+  def verifiedNearDups(df: DataFrame, textCol: String, idCol: String,
+                       threshold: Double, bands: Int = 4, rowsPerBand: Int = 4,
+                       shingleK: Int = 3): DataFrame = {
+    val cands = minHashCandidates(df, textCol, idCol, bands, rowsPerBand, shingleK)
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+    cands
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------------------
+  // n-gram Jaccard (exact all-pairs within a candidate join)
+  // -------------------------------------------------------------------------
+
+  /** Exact n-gram Jaccard between all pairs that share at least one shingle
+    * (inverted-index join: explode shingles -> self-join on shingle). Bounded
+    * by shingle-posting-list sizes, not n^2; hot shingles should be
+    * stop-listed at scale (see `maxPostings`). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleK: Int = 3, threshold: Double = 0.5,
+                        maxPostings: Int = 1000): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+    val postings = sets.select(col("id"), explode(col("sh")).as("g"))
+    // stop-list shingles with huge posting lists (they explode the join and
+    // add no discriminative signal)
+    val rare = postings.groupBy("g").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxPostings)
+    val pruned = postings.join(rare, "g")
+    val candPairs = pruned.alias("a").join(pruned.alias("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candPairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------------
+
+  /** 32-bit SimHash over word tokens: bit j of the signature is set when the
+    * sum over tokens of (+1 / -1 by the token hash's bit j) is positive.
+    * Pure higher-order-function pipeline (no UDF): token hashes -> per-bit
+    * vote -> bits -> integer. */
+  def simHash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => Hashes.portableHash32(t))
+    // shiftright/shiftleft builtins only take an Int literal shift, so use
+    // the SQL functions via call_function (shift amount is a lambda var)
+    val bitVotes = transform(sequence(lit(0), lit(31)), j =>
+      aggregate(hashes, lit(0),
+        (acc, h) => acc +
+          when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
+    aggregate(
+      zip_with(bitVotes, sequence(lit(0), lit(31)),
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Near-dup pairs by SimHash: Hamming distance <= maxHamming, candidates
+    * generated by banding the 32-bit signature into 4 bytes (any equal byte
+    * -> candidate; catches all pairs with Hamming <= 3 by pigeonhole). */
+  def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"), posexplode(
+      array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bucket")))
+    val cands = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.sig").as("sig_a"),
+        col("b.id").as("id_b"), col("b.sig").as("sig_b"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // -------------------------------------------------------------------------
+  // Embedding near-dup
+  // -------------------------------------------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine similarity >= threshold.
+    * Exact variant: block by an LSH-ish coarse key first at scale — here the
+    * blocking key is the sign-pattern of the first `signBits` dimensions
+    * (random-hyperplane LSH with axis-aligned planes: cos-similar vectors
+    * agree on most signs). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, signBits: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      concat_ws("", (0 until signBits).map(i =>
+        when(element_at(col(vecCol), i + 1) >= 0, "1").otherwise("0")): _*).as("block"))
+    keyed.alias("a").join(keyed.alias("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .withColumn("cos", VectorFunctions.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media are opaque `binary` columns with typed metadata alongside — the
+  * layout a 100 TB multimodal corpus uses (parquet binary + pushed-down
+  * metadata predicates, so a filter on width/duration never decodes bytes).
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * container): [[FakeCodec]] derives deterministic "decoded" features from
+  * the bytes. Everything around it — schema, batched per-partition
+  * execution, partitioning — is real: swap `FakeCodec.decodeImage` for a
+  * JNI/library call and nothing else changes.
+  */
+object Multimodal {
+
+  final case class ImageMeta(doc_id: Long, n_bytes: Int, width: Int,
+                             height: Int, channels: Int, mean_byte: Double)
+
+  /** STUB codec — deterministic fake decode in place of a real image library.
+    * Derives plausible dimensions from the payload deterministically. */
+  object FakeCodec extends Serializable {
+    def decodeImage(id: Long, bytes: Array[Byte]): ImageMeta = {
+      val n = bytes.length
+      val first = if (n > 0) bytes(0) & 0xff else 0
+      val width = 64 + (first % 16) * 32
+      val height = 64 + ((n % 16)) * 32
+      val mean = if (n == 0) 0.0 else {
+        var s = 0L; var i = 0
+        while (i < n) { s += (bytes(i) & 0xff); i += 1 }
+        math.round(s.toDouble / n * 10000).toDouble / 10000
+      }
+      ImageMeta(id, n, width, height, 3, mean)
+    }
+  }
+
+  /** Attach a binary "image" column (here synthesized from text — stands in
+    * for real media bytes read from parquet/object storage). */
+  def withFakeImageColumn(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("image", encode(col(textCol), "UTF-8"))
+
+  /** Decode / feature-extract: batched per-partition map over the binary
+    * column (the Scala analogue of `mapInPandas` — one iterator pass per
+    * partition, no per-row task overhead, decode parallelism = partitions). */
+  def decodeImages(spark: SparkSession, df: DataFrame,
+                   idCol: String = "doc_id", binCol: String = "image"): Dataset[ImageMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => FakeCodec.decodeImage(id, bytes) })
+  }
+
+  /** Frame-sampling plumbing for "video": slice the payload into fixed-size
+    * frames and keep every `stride`-th — shows the explode-with-metadata shape
+    * a video pipeline needs (frame_idx carried alongside the bytes). */
+  def sampleFrames(df: DataFrame, binCol: String = "image",
+                   frameBytes: Int = 32, stride: Int = 4): DataFrame = {
+    val nFrames = floor(length(col(binCol)) / frameBytes).cast("int")
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))))
+      .withColumn("frame", col(binCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+      .drop(binCol)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting. All are
+  * codegen'd builtin-function pipelines over the text column — no UDFs — so
+  * they run inside the parquet scan's whole-stage-codegen loop and cost one
+  * pass over the corpus.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for empty/blank docs). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word chunks, digit runs and single punctuation
+    * each count as one token (a cheap deterministic proxy for a real BPE
+    * vocabulary — the regex families mirror common pretokenizers). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation chars to total chars, 4dp. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      round(size(regexp_extract_all(text, lit("[\\.,;:!\\?'\"\\(\\)]"), lit(0)))
+        .cast("double") / length(text), 4))
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as")
+
+  /** Fraction of tokens that are (English) stopwords, 4dp. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val stops = filter(toks, t => t.isin(stopwords: _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(round(size(stops).cast("double") / size(toks), 4))
+  }
+
+  /** Mean word length, 4dp (0 for empty docs). */
+  def meanWordLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks), 4))
+  }
+
+  /** Composite quality score in [0,1], 4dp: rewards stopword presence and
+    * moderate length; penalizes punctuation soup. Deterministic arithmetic so
+    * the oracle can recompute it. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    round((lenScore * 0.4 + stopScore * 0.4 + punctPenalty * 0.2), 4)
+  }
+
+  /** Language-ID heuristic: score each language by counts of its marker words
+    * (classic stopword-profile n-gram heuristic collapsed to word unigrams),
+    * pick the argmax, fall back to "und" when nothing matches. Marker lists
+    * are deliberately tiny — the operator's value is the scalable shape
+    * (per-doc scoring in one codegen pass), not the lexicon. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "that"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "que", "es", "los"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = split(trim(lower(text)), "\\s+")
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in fixed order) achieving the max score wins
+    scores.reverse.foldLeft(lit("und")) { case (els, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Polynomial rolling-hash fingerprint over the doc's characters:
+    * h = (h * 31 + code) mod 1e9+7. Stays below 2^35 at every step so the
+    * identical arithmetic is expressible in any engine with 64-bit ints
+    * (the DuckDB oracle replays it with list_reduce). */
+  def fingerprint(text: Column): Column = {
+    val codes = transform(split(text, ""), ch => ascii(ch).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
+  }
+
+  /** One-pass document profile used by `SparkEntry`. */
+  def profile(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("token_count", tokenCount(col(textCol)))
+      .withColumn("subword_count", subwordCount(col(textCol)))
+      .withColumn("punct_ratio", punctRatio(col(textCol)))
+      .withColumn("stopword_ratio", stopwordRatio(col(textCol)))
+      .withColumn("mean_word_len", meanWordLen(col(textCol)))
+      .withColumn("quality_score", qualityScore(col(textCol)))
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}
