@@ -33,6 +33,17 @@ object OracleSql {
   private def shinglesExpr(toks: String, k: Int): String =
     s"list_transform(generate_series(1, len($toks) - ${k - 1}), i -> array_to_string(list_slice($toks, i, i + ${k - 1}), ' '))"
 
+  /** MinHash signature list from a shingle-hash-list expression `hs`,
+    * replaying [[graft.operators.Dedup.minHashSignature]]'s affine mix family
+    * with the SAME constants; empty shingle sets yield the MixP sentinel. */
+  private def minhashSigExpr(hs: String, n: Int): String = {
+    val p = graft.functions.Hashes.MixP
+    val mins = graft.functions.Hashes.mixConstants(n).map { case (a, b) =>
+      s"coalesce(list_min(list_transform($hs, h -> ($a * h + $b) % $p)), $p)"
+    }
+    mins.mkString("[", ", ", "]")
+  }
+
   /** Sequential-fold cosine similarity between two float-list expressions
     * (bit-identical to graft.functions.CosineSimilarity: double accumulation
     * in index order, 0.0 on zero norm). */
@@ -230,21 +241,21 @@ object OracleSql {
     "q19_minhash_sig" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT doc_id, $toksExpr AS t FROM documents),
-         |shing AS (SELECT doc_id, $sh AS sh FROM toks)
+         |shing AS (SELECT doc_id, $sh AS sh FROM toks),
+         |hashed AS (SELECT doc_id, list_transform(sh, x -> ${h32("x")}) AS hs FROM shing)
          |SELECT doc_id,
-         |  array_to_string(list_transform(generate_series(0, 7), s ->
-         |    list_min(list_transform(sh, x -> ${h32("s::VARCHAR || ':' || x")}))), ',') AS sig
-         |FROM shing""".stripMargin
+         |  array_to_string(${minhashSigExpr("hs", 8)}, ',') AS sig
+         |FROM hashed""".stripMargin
     },
 
     "q20_minhash_lsh_pairs" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT doc_id AS id, $toksExpr AS t FROM documents),
          |shing AS (SELECT id, $sh AS sh FROM toks),
+         |hashed AS (SELECT id, sh, list_transform(sh, x -> ${h32("x")}) AS hs FROM shing),
          |sigs AS (SELECT id, list_distinct(sh) AS shset,
-         |  list_transform(generate_series(0, 7), s ->
-         |    list_min(list_transform(sh, x -> ${h32("s::VARCHAR || ':' || x")}))) AS sig
-         |  FROM shing),
+         |  ${minhashSigExpr("hs", 8)} AS sig
+         |  FROM hashed),
          |banded AS (SELECT id, band, array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '_') AS bucket
          |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
          |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b

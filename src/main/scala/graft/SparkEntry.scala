@@ -24,6 +24,12 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Widened variant for CPU-bound scalar stages: small single-file tables
+    * arrive as one partition, which would serialize hashing/UDF work onto one
+    * core (no-op at real scale — see Tables.widen). */
+  private def TW(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.widen(Tables.load(s, dir, name))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
@@ -154,14 +160,14 @@ object SparkEntry {
 
   /** PII maskIt: digit masking over free text (events.props). */
   private def q12(s: SparkSession, dir: String): DataFrame =
-    Pii.mask(T(s, dir, "events").select("event_id", "props"),
+    Pii.mask(TW(s, dir, "events").select("event_id", "props"),
         "props", "[0-9]", "X", inPlace = false)
       .select("event_id", "props_masked")
 
   /** Free-text PII scrub (ref hashItPartial): SSNs injected deterministically,
     * each match replaced by its own SHA-256. */
   private def q13(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
+    val docs = TW(s, dir, "documents")
       .select(col("doc_id"),
         concat(lit("ssn "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
           lit("-"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
@@ -250,7 +256,7 @@ object SparkEntry {
 
   /** MinHash signatures (portable md5 hash families; engine-reproducible). */
   private def q19(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(col("doc_id"),
+    TW(s, dir, "documents").select(col("doc_id"),
       concat_ws(",", Dedup.minHashSignature(col("text"), 8, 3)).as("sig"))
 
   /** MinHash+LSH verified near-dup pairs (band/bucket join + exact Jaccard). */
@@ -261,7 +267,7 @@ object SparkEntry {
 
   /** SimHash signature per document. */
   private def q21(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+    TW(s, dir, "documents").select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
 
   /** n-gram Jaccard all-pairs over an inverted-index join (docs sharing a
     * 5-shingle, exact Jaccard >= 0.1). */
@@ -290,14 +296,14 @@ object SparkEntry {
     val e = T(s, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    Similarity.bruteForceTopK(e, queries, 5)
+    Similarity.bruteForceTopK(Tables.widen(e), queries, 5)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 3).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
   /** Token / character statistics per document. */
   private def q25(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(
+    TW(s, dir, "documents").select(
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("token_count"),
       TextAnalysis.subwordCount(col("text")).cast("long").as("subword_count"),
@@ -306,19 +312,19 @@ object SparkEntry {
 
   /** Quality score + stopword ratio per document. */
   private def q26(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(
+    TW(s, dir, "documents").select(
       col("doc_id"),
       TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
       TextAnalysis.qualityScore(col("text")).as("quality_score"))
 
   /** Language-ID heuristic (marker-word argmax). */
   private def q27(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(col("doc_id"), col("lang"),
+    TW(s, dir, "documents").select(col("doc_id"), col("lang"),
       TextAnalysis.langId(col("text")).as("lang_pred"))
 
   /** Rolling-hash document fingerprint. */
   private def q28(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(col("doc_id"),
+    TW(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fingerprint"))
 
   /** Tumbling-window aggregation over the event stream (batch shape of the
@@ -384,7 +390,7 @@ object SparkEntry {
     * encrypt = identity, NULL-sentinel restored. */
   private def q34(s: SparkSession, dir: String): DataFrame = {
     val codec = graft.functions.AesCodec("graft-salt", "graft-secret")
-    val c = T(s, dir, "customer").select("c_custkey", "c_name")
+    val c = TW(s, dir, "customer").select("c_custkey", "c_name")
     val enc = graft.functions.Crypto.encryptColumns(c, Seq("c_name"), codec)
     graft.functions.Crypto.decryptColumns(enc, Seq("c_name"), codec)
   }
@@ -392,7 +398,7 @@ object SparkEntry {
   /** Multimodal metadata extraction: binary image column -> per-partition
     * batched decode (stub codec; real Spark plumbing). */
   private def q35(s: SparkSession, dir: String): DataFrame = {
-    val docs = Multimodal.withFakeImageColumn(T(s, dir, "documents"), "text")
+    val docs = Multimodal.withFakeImageColumn(TW(s, dir, "documents"), "text")
     Multimodal.decodeImages(s, docs).toDF()
       .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
         col("width").cast("long").as("width"), col("height").cast("long").as("height"),

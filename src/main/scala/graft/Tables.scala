@@ -30,4 +30,14 @@ object Tables {
   /** Register all tables as temp views (for spark.sql-based entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Spread a narrow input across the cluster before CPU-bound per-row work.
+    * A small parquet table arrives as 1-2 partitions (one file < split size);
+    * any expensive scalar stage (hashing, shingling, UDF decode) would then
+    * run on one core. At real scale inputs already have >= defaultParallelism
+    * partitions and this is a no-op — no extra shuffle on the 100 TB path. */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

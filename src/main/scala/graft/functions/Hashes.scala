@@ -33,4 +33,19 @@ object Hashes {
     */
   def groupingKey(cols: Seq[Column], buckets: Int = 500): Column =
     pmod(portableHash32(concat_ws("|", cols.map(_.cast("string")): _*)), lit(buckets.toLong))
+
+  /** Affine MinHash mixing family over a base 32-bit hash:
+    * `mix_i(h) = (a_i * h + b_i) mod P`. All intermediates stay below 2^62,
+    * so the identical arithmetic runs overflow-free in any 64-bit engine
+    * (DuckDB raises on BIGINT overflow rather than wrapping). One md5 per
+    * shingle + n multiplies replaces n md5 passes. */
+  val MixP: Long = 2147483647L // 2^31 - 1 (prime)
+
+  /** Deterministic per-family (a, b) constants; a odd, both < 2^30. */
+  def mixConstants(n: Int): Seq[(Long, Long)] =
+    (0 until n).map { i =>
+      val a = ((i * 2654435761L + 1013904223L) % 1073741789L) | 1L
+      val b = (i * 1540483477L + 37L) % 1073741789L
+      (a, b)
+    }
 }

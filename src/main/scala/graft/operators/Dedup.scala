@@ -61,14 +61,23 @@ object Dedup {
   // MinHash + LSH
   // -------------------------------------------------------------------------
 
-  /** MinHash signature: for each of `numHashes` seeded hash families, the min
-    * hash over the doc's shingle set. Computed entirely with codegen'd
-    * higher-order functions (transform + array_min) — no UDF, no shuffle. */
+  /** MinHash signature as ONE fold over the shingle hashes.
+    *
+    * Naive form — `array(n × array_min(transform(shingles, seededHash)))` —
+    * inlines the whole shingle+md5 pipeline n times (HOFs are interpreted,
+    * CollapseProject duplicates the subtree), costing n md5 passes per doc.
+    * Here each shingle is md5'd ONCE, and an `aggregate` folds the hash list
+    * into the n-vector of elementwise minima of the affine mix family
+    * ([[Hashes.mixConstants]]) — n multiplies per shingle instead of n md5s.
+    * Docs with no shingles yield the all-MixP sentinel signature. */
   def minHashSignature(text: Column, numHashes: Int, shingleK: Int = 3): Column = {
-    val sh = shingles(text, shingleK)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => Hashes.seededHash(s, seed)))
-    }: _*)
+    val hs = transform(shingles(text, shingleK), s => Hashes.portableHash32(s))
+    val init = array_repeat(lit(Hashes.MixP), numHashes)
+    val mixes = Hashes.mixConstants(numHashes)
+    aggregate(hs, init, (acc, h) =>
+      zip_with(acc,
+        array(mixes.map { case (a, b) => (lit(a) * h + lit(b)) % lit(Hashes.MixP) }: _*),
+        (x, y) => least(x, y)))
   }
 
   /** LSH candidate pairs: signatures split into `bands` bands of
@@ -82,8 +91,14 @@ object Dedup {
                         bands: Int = 4, rowsPerBand: Int = 4,
                         shingleK: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
+    // Materialize signatures ONCE: the HOF pipeline (transform/array_min) is
+    // interpreted, not codegen'd, and Catalyst's CollapseProject would inline
+    // it `bands` times into the banding projection and again into each side
+    // of the self-join. At cluster scale this is "persist the signature
+    // table before the LSH join" — storage is O(docs × numHashes) longs.
+    val sig = graft.Tables.widen(df).select(col(idCol).as("id"),
       minHashSignature(col(textCol), numHashes, shingleK).as("sig"))
+      .localCheckpoint()
 
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
@@ -106,8 +121,10 @@ object Dedup {
                        threshold: Double, bands: Int = 4, rowsPerBand: Int = 4,
                        shingleK: Int = 3): DataFrame = {
     val cands = minHashCandidates(df, textCol, idCol, bands, rowsPerBand, shingleK)
-    val sets = df.select(col(idCol).as("id"),
+    // shingle sets are joined twice (id_a and id_b side) — compute once
+    val sets = graft.Tables.widen(df).select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+      .localCheckpoint()
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -129,8 +146,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, threshold: Double = 0.5,
                         maxPostings: Int = 1000): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
+    // computed once: postings (×2 join sides) and verification sets (×2)
+    // would otherwise each re-run the interpreted shingling pipeline
+    val sets = graft.Tables.widen(df).select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+      .localCheckpoint()
     val postings = sets.select(col("id"), explode(col("sh")).as("g"))
     // stop-list shingles with huge posting lists (they explode the join and
     // add no discriminative signal)
@@ -160,13 +180,15 @@ object Dedup {
     * Pure higher-order-function pipeline (no UDF): token hashes -> per-bit
     * vote -> bits -> integer. */
   def simHash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => Hashes.portableHash32(t))
+    // ONE md5 per token, then a single fold accumulating all 32 bit-votes at
+    // once (the per-bit formulation would inline the token-hashing pipeline
+    // 32 times — see minHashSignature for the same pattern).
     // shiftright/shiftleft builtins only take an Int literal shift, so use
-    // the SQL functions via call_function (shift amount is a lambda var)
-    val bitVotes = transform(sequence(lit(0), lit(31)), j =>
-      aggregate(hashes, lit(0),
-        (acc, h) => acc +
-          when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
+    // the SQL functions via call_function (shift amount is a lambda var).
+    val hashes = transform(tokens(text), t => Hashes.portableHash32(t))
+    val bitVotes = aggregate(hashes, array_repeat(lit(0), 32), (acc, h) =>
+      zip_with(acc, sequence(lit(0), lit(31)), (v, j) =>
+        v + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
     aggregate(
       zip_with(bitVotes, sequence(lit(0), lit(31)),
         (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
@@ -178,7 +200,8 @@ object Dedup {
     * -> candidate; catches all pairs with Hamming <= 3 by pigeonhole). */
   def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val sigs = graft.Tables.widen(df).select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+      .localCheckpoint()
     val banded = sigs.select(col("id"), col("sig"), posexplode(
       array((0 until 4).map(b =>
         shiftright(col("sig"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bucket")))
