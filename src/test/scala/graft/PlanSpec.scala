@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the "would this survive 100x scale" checks:
+  * filters/projections must reach the parquet scan, small dims must
+  * broadcast, the merge join must not degenerate to a cartesian product. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection push into the parquet scan") {
+    val p = plan(SparkEntry.queries("q02_filter_pushdown")(spark, sf))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("GreaterThan(l_quantity") || p.contains("IsNotNull"), p)
+    // ReadSchema must be pruned to the 4 referenced columns, not all 11
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_shipdate") && !read.contains("l_tax"),
+      s"scan reads unneeded columns: $read")
+  }
+
+  test("star-join dims broadcast; no shuffle of the fact side for dims") {
+    val p = plan(SparkEntry.queries("q04_dim_star_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dim join degenerated to SMJ:\n$p")
+  }
+
+  test("merge join is a real equi-join, never a cartesian product") {
+    val p = plan(SparkEntry.queries("q15_scd1_merge")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("theta join keeps the equi part as the join key") {
+    val p = plan(SparkEntry.queries("q05_theta_join")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.merge
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import MergeInto._
+
+class ParquetTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("create/read/overwrite snapshots with commit log") {
+    val t = new ParquetTable(spark, tmpDir("pt"))
+    assert(!t.exists)
+    t.create(Seq((1, "a")).toDF("k", "v"))
+    assert(t.exists && t.latestVersion == 0)
+    t.overwrite(Seq((2, "b")).toDF("k", "v"), Map("rows" -> "1"))
+    assert(t.latestVersion == 1)
+    assert(rowsOf(t.read) == Set(Seq(2, "b")))
+    assert(t.lastMetrics == Map("rows" -> "1"))
+  }
+
+  test("append unions schemas (mergeSchema equivalent)") {
+    val t = new ParquetTable(spark, tmpDir("pt_schema"))
+    t.create(Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((2, 9.5)).toDF("k", "extra"))
+    val cols = t.read.columns.toSet
+    assert(cols == Set("k", "v", "extra"))
+    assert(t.read.filter(col("k") === 1).select("extra").collect().head.isNullAt(0))
+  }
+
+  test("partitioned merge rewrites only touched partitions and drops emptied ones") {
+    val t = new ParquetTable(spark, tmpDir("pt_part"), partitionKeys = Seq("p"))
+    t.create(Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3")).toDF("k", "v", "p"))
+    // update p1, delete the only row of p3 -> p3 directory must disappear
+    t.merge(Seq((1, "a2", "p1"), (3, "c", "p3")).toDF("k", "v", "p"),
+      "target.k = updates.k",
+      matched = Seq(
+        WhenMatched(Some("updates.k = 3"), Delete),
+        WhenMatched(None, UpdateAll)),
+      notMatched = Seq(WhenNotMatched(None, InsertAll)))
+    val rows = t.read.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set((1, "a2"), (2, "b")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, "data", "p=p3")))
+  }
+
+  test("txn idempotency via seenTxn") {
+    val t = new ParquetTable(spark, tmpDir("pt_txn"))
+    t.create(Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((2, "b")).toDF("k", "v"), txn = Some(("app", 7L)))
+    t.append(Seq((2, "b")).toDF("k", "v"), txn = Some(("app", 7L))) // replay
+    assert(t.read.count() == 2)
+    assert(t.seenTxn("app", 7L) && !t.seenTxn("app", 8L))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CdcMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def envelope = {
+    val rows = Seq(
+      ("c", 1L, "alice", "db0", 1L),
+      ("u", 2L, "bob", "db0", 2L),
+      ("d", 3L, "carol", "db1", 1L))
+    rows.toDF("op", "id", "name", "db", "server_id")
+      .select(struct(
+        col("op"),
+        struct(col("id"), col("name")).as("before"),
+        struct(col("id"), col("name")).as("after"),
+        struct(col("db"), col("server_id")).as("source")).as("value"))
+  }
+
+  test("demux splits upserts from deletes with row_active/deleted_flag") {
+    val out = CdcDemux.demux(envelope)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3), r.getString(4))).toSet
+    assert(rows == Set(
+      (1L, true, false, "db0"),
+      (2L, true, false, "db0"),
+      (3L, false, true, "db1")))
+  }
+
+  test("joinShards enriches on the (db, server_id) composite key") {
+    val shards = Seq(("db0", 1L, "shard-a"), ("db0", 2L, "shard-b"), ("db1", 1L, "shard-c"))
+      .toDF("db", "server_id", "shard_name")
+    val out = CdcDemux.joinShards(CdcDemux.demux(envelope), shards)
+    val m = out.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("shard_name")).toMap
+    assert(m == Map(1L -> "shard-a", 2L -> "shard-b", 3L -> "shard-c"))
+  }
+
+  test("envelopeSchema builds the Debezium struct for any payload") {
+    val payload = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("name", "string")
+    val sch = CdcDemux.envelopeSchema(payload)
+    val value = sch("value").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(value.fieldNames.toSeq == Seq("op", "before", "after", "source"))
+  }
+
+  test("decodeImages computes deterministic metadata per binary payload") {
+    val df = Multimodal.withFakeImageColumn(
+      Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text"), "text")
+    val out = Multimodal.decodeImages(spark, df).collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).n_bytes == 11)
+    assert(out(1L).width == 64 + ('h' % 16) * 32)
+    assert(out(2L).n_bytes == 0 && out(2L).mean_byte == 0.0)
+  }
+
+  test("sampleFrames slices payload into strided fixed-size frames") {
+    val df = Multimodal.withFakeImageColumn(
+      Seq((1L, "a" * 100)).toDF("doc_id", "text"), "text")
+    val frames = Multimodal.sampleFrames(df, frameBytes = 32, stride = 2)
+    val idx = frames.select("frame_idx").as[Int].collect().toSeq
+    assert(idx == Seq(0, 2)) // 3 frames (0,1,2), stride 2 keeps 0 and 2
+    val lens = frames.select(length(col("frame"))).as[Int].collect()
+    assert(lens.forall(_ <= 32))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (3L, "completely different words entirely here now today"),
+    (4L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (5L, "short")                                          // < k tokens
+  ).toDF("doc_id", "text")
+
+  test("shingles: k-grams in order; short docs get an empty array") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].collect().head
+    assert(sh.head == "the quick brown" && sh.last == "the lazy dog" && sh.size == 7)
+    val short = docs.filter($"doc_id" === 5)
+      .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].collect().head
+    assert(short.isEmpty)
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(1L) == 2)  // docs 1 and 4 share a fingerprint, keep_id = 1
+    assert(out(2L) == 1 && out(3L) == 1 && out(5L) == 1)
+    assert(Dedup.exactSurvivors(docs, "text", "doc_id").count() == 4)
+  }
+
+  test("minhash signature is deterministic and identical for identical docs") {
+    val sigs = docs.select($"doc_id", Dedup.minHashSignature(col("text"), 8, 3).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).size == 8)
+    // short doc -> sentinel signature (all MixP), not null
+    assert(sigs(5L).forall(_ == graft.functions.Hashes.MixP))
+  }
+
+  test("LSH + verification finds the exact and near duplicates") {
+    val pairs = Dedup.verifiedNearDups(docs, "text", "doc_id",
+        threshold = 0.2, bands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always survives
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram Jaccard pairs with inverted-index join") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleK = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(((1L, 4L))) == 1.0)
+    assert(pairs.contains((1L, 2L)) && pairs(((1L, 2L))) > 0.5)
+  }
+
+  test("simhash: identical docs agree, hamming distance separates far docs") {
+    val sigs = docs.select($"doc_id", Dedup.simHash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+    val nd = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 4L)))
+  }
+
+  test("embedding near-dups by sign-block LSH") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 0.5f)),
+      (2L, Array(1.0f, 2.0f, 3.0f, 0.51f)),   // same direction
+      (3L, Array(-1.0f, -2.0f, -3.0f, -0.5f)) // opposite block
+    ).toDF("id", "vec")
+    graft.functions.VectorFunctions.register(spark)
+    val pairs = Dedup.embeddingNearDups(vecs, "id", "vec", threshold = 0.99, signBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

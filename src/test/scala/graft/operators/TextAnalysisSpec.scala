@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).collect().head.get(0)
+
+  test("tokenCount handles empty, blank and multi-space text") {
+    assert(one("", TextAnalysis.tokenCount(col("text"))) == 0)
+    assert(one("   ", TextAnalysis.tokenCount(col("text"))) == 0)
+    assert(one("a  b   c", TextAnalysis.tokenCount(col("text"))) == 3)
+  }
+
+  test("subwordCount splits words, digits and punctuation") {
+    // "ab, cd! 7x" -> ab , cd ! 7 x
+    assert(one("ab, cd! 7x", TextAnalysis.subwordCount(col("text"))) == 6)
+  }
+
+  test("punct and stopword ratios") {
+    assert(one("a.b,c", TextAnalysis.punctRatio(col("text"))) == 0.4)
+    assert(one("the cat and the dog", TextAnalysis.stopwordRatio(col("text"))) == 0.6)
+  }
+
+  test("meanWordLen") {
+    assert(one("ab cdef", TextAnalysis.meanWordLen(col("text"))) == 3.0)
+  }
+
+  test("qualityScore is bounded in [0,1]") {
+    val scores = Seq("", "the a of to in is", "!!!???...", "x y z w")
+      .toDF("text").select(TextAnalysis.qualityScore(col("text"))).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("langId picks marker-word argmax with fixed tie order, und fallback") {
+    assert(one("the cat is on the mat", TextAnalysis.langId(col("text"))) == "en")
+    assert(one("der hund ist das tier und", TextAnalysis.langId(col("text"))) == "de")
+    assert(one("zzz qqq", TextAnalysis.langId(col("text"))) == "und")
+    // 'la' appears in both fr and es marker lists -> fr wins (fixed order)
+    assert(one("la la la", TextAnalysis.langId(col("text"))) == "fr")
+  }
+
+  test("fingerprint equals the rolling-hash recurrence") {
+    val expected = "abc".foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    assert(one("abc", TextAnalysis.fingerprint(col("text"))) == expected)
+  }
+}
