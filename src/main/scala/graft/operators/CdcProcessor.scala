@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashes, Pii}
+
+/** The processor stage of a CDC pipeline — the reference's BaseProcessor
+  * composition (reference M/processor/BaseProcessor.scala:28-116): demuxed
+  * CDC rows are enriched with their shard, stripped of omitted columns,
+  * governed (hash / scrub / mask per the pii_column_details config), stamped
+  * with the full-row change hash `hashed_jk` and the merge bucket
+  * `grouping_jk`, and epoch columns are cast to timestamps.
+  *
+  * Every step is a narrow per-row projection (no shuffle); the single
+  * potential shuffle — the shard join — broadcasts the tiny mapping table.
+  */
+object CdcProcessor {
+
+  /** Governance actions for matched PII columns. */
+  sealed trait PiiAction
+  case object HashComplete extends PiiAction   // sha2 into <col>_hash (original kept, as in the reference)
+  case object ScrubPartial extends PiiAction   // free-text scrub into <col>_hash
+  final case class Mask(pattern: String, replacement: String) extends PiiAction
+
+  final case class PiiRule(columnName: String, commonFlag: Boolean, action: PiiAction)
+
+  /** Resolve + apply PII rules against the actual schema (ref identifyColumns
+    * + the anonymize/encrypt folds at M/processor/BaseProcessor.scala:61-81). */
+  def applyPiiRules(df: DataFrame, rules: Seq[PiiRule]): DataFrame =
+    rules.foldLeft(df) { (d, rule) =>
+      val cols = Pii.identifyColumns(d.columns.toSeq, Seq((rule.columnName, rule.commonFlag)))
+      rule.action match {
+        case HashComplete => Pii.hashColumns(d, cols)
+        case ScrubPartial => Pii.scrubColumns(d, cols)
+        case Mask(p, r) => cols.foldLeft(d)((dd, c) => Pii.mask(dd, c, p, r))
+      }
+    }
+
+  /** Full processor: demux -> shard enrich -> omit -> govern -> change hash
+    * -> merge bucket -> epoch cast. All config-driven, like the reference's
+    * metadata-driven processor builders. */
+  def process(envelope: DataFrame,
+              shardMappings: Option[DataFrame] = None,
+              omittedCols: Seq[String] = Nil,
+              piiRules: Seq[PiiRule] = Nil,
+              joinKeys: Seq[String] = Nil,
+              groupingBuckets: Int = 500,
+              epochMillisCols: Seq[String] = Nil): DataFrame = {
+    val demuxed = CdcDemux.demux(envelope)
+    val sharded = shardMappings.map(CdcDemux.joinShards(demuxed, _)).getOrElse(demuxed)
+    // fold-left drop, ref dropIt M/utility/Utility.scala:142-149
+    val stripped = omittedCols.foldLeft(sharded)((d, c) => d.drop(c))
+    val governed = applyPiiRules(stripped, piiRules)
+    val dataCols = governed.columns.filterNot(
+      Seq("row_active", "deleted_flag", "src_db", "src_server_id").contains)
+    val withChangeHash = Pii.hashRow(governed, dataCols.toSeq)
+    val withBucket =
+      if (joinKeys.nonEmpty)
+        withChangeHash.withColumn("grouping_jk",
+          Hashes.groupingKey(joinKeys.map(col), groupingBuckets))
+      else withChangeHash
+    epochMillisCols.foldLeft(withBucket)((d, c) => Pii.epochMillisToTimestamp(d, c))
+  }
+
+  /** Join-keys-first column reorder (ref M/processor/BaseProcessor.scala:
+    * 346-350: merge keys leading the projection). */
+  def keysFirst(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val rest = df.columns.filterNot(keys.contains)
+    df.select((keys ++ rest).map(col): _*)
+  }
+}

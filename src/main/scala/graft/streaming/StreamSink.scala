@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.merge.{MergeInto, ParquetTable, Scd}
+
+/** Declarative stream-writer configuration, mirroring the reference's
+  * WriteStreamConfig (reference M/writter/config/WriteStreamConfig.scala:
+  * 6-65): checkpoint location, output mode, format, partition columns,
+  * trigger, txn identity for idempotent writes, free-form extra options.
+  *
+  * `txnAppId` replaces Delta's txnVersion/txnAppId pair: our commit path
+  * records (appId, batchId) in the ParquetTable log and skips replays.
+  */
+final case class WriteStreamConfig(
+    checkpointLocation: String,
+    outputMode: String = "update",
+    format: String = "parquet",
+    partitionBy: Seq[String] = Nil,
+    triggerMode: String = "AvailableNow",   // ProcessingTime | Once | AvailableNow
+    triggerDuration: String = "2 minutes",
+    txnAppId: Option[String] = None,
+    extraOptions: Map[String, String] = Map.empty) {
+
+  def trigger: Trigger = triggerMode match {
+    case "ProcessingTime" => Trigger.ProcessingTime(triggerDuration)
+    case "Once" => Trigger.Once()
+    case _ => Trigger.AvailableNow()
+  }
+
+  def applyOptions[T](w: DataStreamWriter[T]): DataStreamWriter[T] = {
+    val base = w.outputMode(outputMode)
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .options(extraOptions)
+    if (partitionBy.nonEmpty) base.partitionBy(partitionBy: _*) else base
+  }
+}
+
+/** foreachBatch SCD sinks — the streaming twins of the batch SCD writers
+  * (reference M/writter/DeltaWritter.scala:21-169 wrapping
+  * M/utility/Utility.scala:731-1045). Each micro-batch merges into the
+  * target ParquetTable; exactly-once comes from the checkpoint (batch replay
+  * after crash) + the (appId, batchId) txn record (replayed batches are
+  * skipped by the commit log).
+  */
+object StreamSink {
+
+  def scd1Batch(table: ParquetTable, keySpecs: Seq[String],
+                matched: Seq[MergeInto.WhenMatched] = Seq(MergeInto.WhenMatched(None, MergeInto.UpdateAll)),
+                notMatched: Seq[MergeInto.WhenNotMatched] = Seq(MergeInto.WhenNotMatched(None, MergeInto.InsertAll)),
+                dedupOrderCols: Seq[String] = Nil,
+                appId: String = "graft-scd1"): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      Scd.writeScd1(table, batch, keySpecs, matched, notMatched, dedupOrderCols,
+        txn = Some((appId, batchId)))
+
+  def scd2Batch(table: ParquetTable, keySpecs: Seq[String],
+                matchCondition: String,
+                updateMap: Map[String, String], insertMap: Map[String, String],
+                dedupOrderCols: Seq[String] = Nil,
+                appId: String = "graft-scd2"): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      Scd.writeScd2(table, batch, keySpecs, matchCondition, updateMap, insertMap,
+        dedupOrderCols, txn = Some((appId, batchId)))
+
+  def scd4Batch(current: ParquetTable, history: ParquetTable, keySpecs: Seq[String],
+                updatedAtCol: String = "updated_at",
+                dedupOrderCols: Seq[String] = Nil,
+                appId: String = "graft-scd4"): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      Scd.writeScd4(current, history, batch, keySpecs, updatedAtCol, dedupOrderCols,
+        txn = Some((appId, batchId)))
+
+  /** Start a foreachBatch stream with the declarative config (ref
+    * ProcessOutputStream.processOutputStreamBatch,
+    * M/writter/ProcessOutputStream.scala:50-76). */
+  def startForeachBatch(df: DataFrame, cfg: WriteStreamConfig,
+                        fn: (DataFrame, Long) => Unit): StreamingQuery =
+    cfg.applyOptions(
+      df.writeStream.foreachBatch((b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        fn(b.toDF(), id))
+    ).start()
+
+  /** Plain append stream to a parquet path (ref StreamDeltaWritterAppendSCD*,
+    * M/writter/DeltaWritter.scala:324-443: history-load append with fixed
+    * trigger + per-table checkpoint). */
+  def startAppend(df: DataFrame, cfg: WriteStreamConfig, path: String): StreamingQuery =
+    cfg.applyOptions(df.writeStream.format(cfg.format)).start(path)
+}

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.CdcProcessor
+
+/** Metadata row -> 3-node pipeline -> merged target: the reference's
+  * end-to-end flow (control table drives reader/processor/writer). */
+class IngestionJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def envelope(rows: Seq[(String, Long, String, Long)]) =
+    rows.toDF("op", "id", "name", "updated_at")
+      .select(struct(
+        col("op"),
+        struct(col("id"), col("name"), col("updated_at")).as("before"),
+        struct(col("id"), col("name"), col("updated_at")).as("after"),
+        struct(lit("db0").as("db"), lit(1L).as("server_id")).as("source")).as("value"))
+
+  private def cfgRow(defId: String, table: String) = Seq((
+    defId, table, "scd1", "id", "", "updated_at", "",
+    """{"format":"parquet"}""",
+    """[{"condtionType":"match","condition":"updates.row_active = false",
+       |  "updateInsertMap":{"deleted_flag":"true"}},
+       |{"condtionType":"match"},
+       |{"condtionType":"notmatch"}]""".stripMargin
+  )).toDF("pipeline_def_id", "table_name", "scd_type", "join_key",
+    "partition_id_col", "updated_at_col", "extra_join_cond", "op_config", "merge_cond")
+    .collect().head
+
+  test("control row drives an end-to-end CDC ingestion with soft delete") {
+    val root = tmpDir("ingest")
+    val journal = new Journal(spark, tmpDir("ingest_journal"))
+    val cfg = TableConfig.fromRow(cfgRow("pd1", "people"))
+
+    // batch 1: two inserts
+    val b1 = envelope(Seq(("c", 1L, "alice", 1L), ("c", 2L, "bob", 1L)))
+    val r1 = IngestionJob.run(spark, Seq(cfg), _ => () => b1, root, journal = Some(journal))
+    assert(r1.values.forall(identity))
+
+    // batch 2: update alice, delete bob (op=d -> row_active=false -> soft delete)
+    val b2 = envelope(Seq(("u", 1L, "alicia", 2L), ("d", 2L, "bob", 2L)))
+    val r2 = IngestionJob.run(spark, Seq(cfg), _ => () => b2, root, journal = Some(journal))
+    assert(r2.values.forall(identity))
+
+    val out = spark.read.parquet(s"$root/people/snap/v00001")
+    val m = out.collect().map(r =>
+      r.getAs[Long]("id") -> (r.getAs[String]("name"), r.getAs[Boolean]("deleted_flag"))).toMap
+    assert(m(1L) == (("alicia", false)))
+    assert(m(2L)._2 == true) // soft-deleted, row retained
+    // journal captured facts + terminal status
+    assert(journal.facts.read.count() == 2)
+    assert(journal.failedPipelines.isEmpty)
+  }
+
+  test("processor stamps hashed_jk and grouping_jk and applies PII rules") {
+    val env = envelope(Seq(("c", 1L, "ssn 123-45-6789 here", 1L)))
+    val out = CdcProcessor.process(env,
+      omittedCols = Seq("updated_at"),
+      piiRules = Seq(CdcProcessor.PiiRule("name", commonFlag = true,
+        CdcProcessor.ScrubPartial)),
+      joinKeys = Seq("id"))
+    assert(out.columns.contains("hashed_jk") && out.columns.contains("grouping_jk"))
+    assert(!out.columns.contains("updated_at"))
+    val scrubbed = out.select("name_hash").as[String].collect().head
+    assert(!scrubbed.contains("123-45-6789"))
+    val bucket = out.select("grouping_jk").as[Long].collect().head
+    assert(bucket >= 0 && bucket < 500)
+  }
+
+  test("keysFirst reorders merge keys to the front") {
+    val df = Seq((1, "x", 2)).toDF("a", "b", "k")
+    assert(CdcProcessor.keysFirst(df, Seq("k")).columns.toSeq == Seq("k", "a", "b"))
+  }
+}
