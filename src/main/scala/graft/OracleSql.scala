@@ -399,6 +399,87 @@ object OracleSql {
     "q34_encrypt_roundtrip" ->
       "SELECT c_custkey, c_name FROM customer",
 
+    "q36_cdc_pipeline" ->
+      s"""WITH masked AS (
+         |  SELECT event_id, user_id, value,
+         |    regexp_replace(props, '[0-9]', 'X', 'g') AS props,
+         |    (event_type <> 'error') AS row_active,
+         |    (event_type = 'error') AS deleted_flag
+         |  FROM events)
+         |SELECT event_id, row_active, deleted_flag, props,
+         |  sha256(concat_ws('|',
+         |    coalesce(event_id::VARCHAR, 'n/a'), coalesce(user_id::VARCHAR, 'n/a'),
+         |    coalesce(value::VARCHAR, 'n/a'), coalesce(props, 'n/a'))) AS hashed_jk,
+         |  ${h32("event_id::VARCHAR")} % 500 AS grouping_jk
+         |FROM masked""".stripMargin,
+
+    "q37_dedup_survivors" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin,
+
+    "q38_simhash_neardups" ->
+      s"""WITH toks AS (SELECT doc_id AS id, $toksExpr AS t FROM documents),
+         |hs AS (SELECT id, list_transform(t, x -> ${h32("x")}) AS hashes FROM toks),
+         |sigs AS (SELECT id,
+         |  list_sum(list_transform(range(0, 32), j ->
+         |    CASE WHEN list_sum(list_transform(hashes, h ->
+         |           CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sig
+         |  FROM hs),
+         |banded AS (SELECT id, sig, band, (sig >> (band * 8)) & 255 AS bucket
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |cands AS (SELECT DISTINCT a.id AS id_a, a.sig AS sig_a, b.id AS id_b, b.sig AS sig_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+         |SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+         |FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin,
+
+    "q39_embedding_neardups" -> {
+      val block = (0 until 8).map(i =>
+        s"CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH keyed AS (SELECT vec_id AS id, embedding AS v, $block AS block FROM embeddings),
+         |pairs AS (SELECT a.id AS id_a, a.v AS va, b.id AS id_b, b.v AS vb
+         |  FROM keyed a JOIN keyed b ON a.block = b.block AND a.id < b.id),
+         |scored AS (SELECT id_a, id_b, ${cosineSql("va", "vb")} AS cos FROM pairs)
+         |SELECT id_a, id_b, ${rnd("cos", 3)} AS cos FROM scored WHERE cos >= 0.9""".stripMargin
+    },
+
+    "q40_ivf_topk" ->
+      s"""WITH centroids AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 32),
+         |assigned AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS r
+         |    FROM embeddings e CROSS JOIN centroids c) WHERE r = 1),
+         |probes AS (
+         |  SELECT query_id, qv, centroid_id FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("q.embedding", "c.cv")} DESC, c.centroid_id ASC) AS r
+         |    FROM embeddings q CROSS JOIN centroids c WHERE q.vec_id < 4) WHERE r <= 8),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${cosineSql("a.embedding", "p.qv")} AS cosine
+         |  FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ${rnd("cosine", 3)} AS cosine, rank::BIGINT AS rank
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q41_salted_join" ->
+      s"""SELECT o.o_orderstatus, count(*)::BIGINT AS n_rows,
+         |  ${rnd("sum(l.l_quantity)", 2)} AS sum_qty
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o.o_orderstatus""".stripMargin,
+
+    "q42_stream_window" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  count(*)::BIGINT AS n_events, ${rnd("sum(value)", 2)} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

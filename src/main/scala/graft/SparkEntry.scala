@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Hashes, Pii, VectorFunctions}
 import graft.merge.{MergeInto, Scd}
 import graft.merge.MergeInto._
-import graft.operators.{CdcDemux, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CdcDemux, CdcProcessor, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract: every operator from SURVEY.md §2 (plus the
   * training-data-pipeline operators) exposed as a named query over the
@@ -405,6 +405,76 @@ object SparkEntry {
         col("mean_byte"))
   }
 
+  /** Full CDC processor pipeline (ref BaseProcessor composition): envelope ->
+    * demux -> PII mask -> full-row change hash -> merge bucket key. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val ev = TW(s, dir, "events")
+    val op = when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+    val payload = struct(col("event_id"), col("user_id"), col("value"), col("props"))
+    val envelope = ev.select(struct(
+      op.as("op"), payload.as("before"), payload.as("after"),
+      struct(lit("db0").as("db"), (col("user_id") % 4).as("server_id")).as("source")
+    ).as("value"))
+    CdcProcessor.process(envelope,
+        piiRules = Seq(CdcProcessor.PiiRule("props", commonFlag = true,
+          CdcProcessor.Mask("[0-9]", "X"))),
+        joinKeys = Seq("event_id"))
+      .select(col("event_id"), col("row_active"), col("deleted_flag"),
+        col("props"), col("hashed_jk"), col("grouping_jk"))
+  }
+
+  /** Exact-dedup survivors (the deduplicated corpus itself). */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSurvivors(T(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** SimHash near-dup pairs via byte-band candidate generation. */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDups(TW(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+
+  /** Embedding near-dup pairs via sign-pattern (random-hyperplane-style)
+    * blocking + exact cosine verification. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Dedup.embeddingNearDups(TW(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.9, signBits = 8)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
+  }
+
+  /** IVF ANN: probe the nearest centroid buckets only — the scale path where
+    * brute force would scan the full corpus per query. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = T(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfTopK(Tables.widen(e), queries, k = 3, nCentroids = 32, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 3).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Salted skew-join: identical result to the plain equi-join (the oracle
+    * IS the plain join), with hot keys spread over 8 sub-partitions. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val l = T(s, dir, "lineitem")
+    val dim = T(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    graft.operators.SkewJoin.saltedJoin(l, dim, Seq("l_orderkey"), saltFactor = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  /** Event-time tumbling window agg (streaming shape run on the batch frame —
+    * the watermark is a no-op on static data, logic identical either way). */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventTimeOps.windowedAgg(
+        T(s, dir, "events"), "ts", "event_type", "value")
+      .select(col("window_start"), col("event_type"),
+        col("n_events").cast("long").as("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -442,7 +512,14 @@ object SparkEntry {
     "q32_cdc_demux" -> (q32 _),
     "q33_offset_bookkeeping" -> (q33 _),
     "q34_encrypt_roundtrip" -> (q34 _),
-    "q35_multimodal_meta" -> (q35 _)
+    "q35_multimodal_meta" -> (q35 _),
+    "q36_cdc_pipeline" -> (q36 _),
+    "q37_dedup_survivors" -> (q37 _),
+    "q38_simhash_neardups" -> (q38 _),
+    "q39_embedding_neardups" -> (q39 _),
+    "q40_ivf_topk" -> (q40 _),
+    "q41_salted_join" -> (q41 _),
+    "q42_stream_window" -> (q42 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators (beyond the reference, which has no
+  * watermarks or stateful ops — SURVEY §2.12): watermarked tumbling/sliding
+  * window aggregation and a mapGroupsWithState sessionizer. These are the
+  * streaming twins of the batch q29/q30 shapes, so the same business logic
+  * runs in either mode.
+  *
+  * Scale: windowed aggregation state is partitioned by (window, keys) and
+  * bounded by the watermark horizon; the sessionizer keeps one small state
+  * row per active key with a processing-time timeout.
+  */
+object EventTimeOps {
+
+  /** Watermarked tumbling-window count/sum over an event stream. Works on
+    * both static and streaming frames (watermark is a no-op on static). */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  valueCol: String, windowLength: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_events"), col("sum_value"))
+
+  // -- mapGroupsWithState sessionizer -----------------------------------
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(sessionId: Long, lastTs: Long, n: Long, sum: Double)
+  final case class SessionUpdate(user_id: Long, sessionId: Long, n_events: Long,
+                                 session_value: Double, closed: Boolean)
+
+  /** Gap-based sessionization with explicit state: events more than `gapMs`
+    * apart start a new session (the streaming analogue of the batch lag +
+    * running-sum sessionizer, q30). Emits the CURRENT session per key per
+    * trigger.
+    *
+    * `idleTimeout=true` arms a processing-time timeout that closes idle
+    * sessions — use it only with a real periodic trigger: re-arming a
+    * timeout every batch under the default as-fast-as-possible trigger makes
+    * the engine schedule timeout-check batches in a busy loop. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+                 idleTimeout: Boolean = false)
+                (implicit spark: SparkSession): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](timeoutConf) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, s.sessionId, s.n, s.sum, closed = true)
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              s = if (s.n == 0L || t - s.lastTs <= gapMs)
+                s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1, sum = s.sum + e.value)
+              else // gap exceeded: roll to a new session
+                SessionState(s.sessionId + 1, t, 1L, e.value)
+            }
+            state.update(s)
+            if (idleTimeout) state.setTimeoutDuration(gapMs)
+            SessionUpdate(userId, s.sessionId, s.n, s.sum, closed = false)
+          }
+      }
+  }
+
+  /** Convenience: run the sessionizer over a memory/file stream and collect
+    * into an in-memory sink table (update mode — state emits per trigger;
+    * drive with processAllAvailable in tests). */
+  def sessionizeToMemory(events: Dataset[Event], queryName: String,
+                         gapMs: Long = 30L * 60 * 1000)
+                        (implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    sessionize(events, gapMs)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}

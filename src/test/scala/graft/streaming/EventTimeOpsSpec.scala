@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import EventTimeOps.{Event, SessionUpdate}
+
+class EventTimeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("windowedAgg groups by tumbling window on static data") {
+    val events = Seq(
+      (1L, ts(5), "click", 1.0), (2L, ts(25), "click", 2.0),
+      (3L, Timestamp.valueOf("2024-01-01 11:10:00"), "click", 5.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = EventTimeOps.windowedAgg(events, "ts", "event_type", "value")
+    val m = out.collect().map(r => r.getTimestamp(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(m(Timestamp.valueOf("2024-01-01 10:00:00")) == ((2L, 3.0)))
+    assert(m(Timestamp.valueOf("2024-01-01 11:00:00")) == ((1L, 5.0)))
+  }
+
+  test("windowedAgg runs as a real watermarked stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventTimeOps.windowedAgg(stream, "ts", "event_type", "value")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("win_agg").start()
+    mem.addData((ts(5), "click", 1.0), (ts(40), "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_agg").collect()
+    assert(rows.map(_.getLong(2)).sum == 2)
+    q.stop()
+  }
+
+  test("mapGroupsWithState sessionizer rolls sessions across the gap") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventTimeOps.sessionizeToMemory(mem.toDS(), "sessions", gapMs = 10 * 60 * 1000)
+    // user 1: two events 5 min apart (same session)
+    mem.addData(Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0))
+    q.processAllAvailable()
+    val s1 = spark.table("sessions").as[SessionUpdate].collect().last
+    assert(s1.sessionId == 0L && s1.n_events == 2 && s1.session_value == 3.0)
+
+    // 25 min later -> beyond the 10-min gap -> new session (same query,
+    // state carried across micro-batches)
+    mem.addData(Event(1L, ts(30), 7.0))
+    q.processAllAvailable()
+    val s2 = spark.table("sessions").as[SessionUpdate]
+      .collect().filter(_.user_id == 1L).last
+    q.stop()
+    assert(s2.sessionId == 1L && s2.n_events == 1 && s2.session_value == 7.0)
+  }
+}
