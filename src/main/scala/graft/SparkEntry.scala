@@ -457,7 +457,7 @@ object SparkEntry {
   /** Salted skew-join: identical result to the plain equi-join (the oracle
     * IS the plain join), with hot keys spread over 8 sub-partitions. */
   private def q41(s: SparkSession, dir: String): DataFrame = {
-    val l = T(s, dir, "lineitem")
+    val l = TW(s, dir, "lineitem") // per-row hash over all columns is CPU-bound
     val dim = T(s, dir, "orders")
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
     graft.operators.SkewJoin.saltedJoin(l, dim, Seq("l_orderkey"), saltFactor = 8)
