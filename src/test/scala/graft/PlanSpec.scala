@@ -44,6 +44,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial"), p)
   }
 
+  test("ANN scan broadcasts the query side (corpus never shuffles for the join)") {
+    val p = plan(SparkEntry.queries("q24_ann_topk")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("salted join stays an equi-join on (key, salt)") {
+    val p = plan(SparkEntry.queries("q41_salted_join")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
