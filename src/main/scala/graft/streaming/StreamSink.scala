@@ -83,6 +83,29 @@ object StreamSink {
         fn(b.toDF(), id))
     ).start()
 
+  /** Per-batch error containment (ref M/commons/Task.scala:90-191 +
+    * streamingStoreStatusAndExit): on batch failure, journal the offending
+    * batch rows into pipeline_error_logs and the failure into
+    * pipeline_status, then rethrow so the query stops rather than silently
+    * dropping a batch. */
+  def withJournal(fn: (DataFrame, Long) => Unit,
+                  journal: graft.pipeline.Journal,
+                  pipelineDefId: String,
+                  taskName: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      try {
+        fn(batch, batchId)
+        journal.logStatus(pipelineDefId, taskName, "Finished", s"batch $batchId")
+      } catch {
+        case e: Throwable =>
+          try {
+            journal.logErrorRows(pipelineDefId, batch, e.toString)
+            journal.logStatus(pipelineDefId, taskName, "Error",
+              s"batch $batchId: ${e.getMessage}")
+          } catch { case _: Throwable => () } // journaling must not mask the failure
+          throw e
+      }
+
   /** Plain append stream to a parquet path (ref StreamDeltaWritterAppendSCD*,
     * M/writter/DeltaWritter.scala:324-443: history-load append with fixed
     * trigger + per-table checkpoint). */

@@ -97,6 +97,22 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((0, 5L, 9L), (1, 2L, 2L)))
   }
 
+  test("withJournal contains batch failures: error rows + status journaled, then rethrow") {
+    val journal = new graft.pipeline.Journal(spark, tmpDir("sj"))
+    val failing = StreamSink.withJournal(
+      (_, _) => throw new RuntimeException("merge exploded"),
+      journal, "pd9", "writer")
+    val batch = Seq((1, "x")).toDF("k", "v")
+    val thrown = intercept[RuntimeException](failing(batch, 42L))
+    assert(thrown.getMessage == "merge exploded")
+    assert(journal.failedPipelines == Seq("pd9"))
+    assert(journal.errors.read.count() == 1)
+    // success path journals Finished
+    val ok = StreamSink.withJournal((_, _) => (), journal, "pd9", "writer")
+    ok(batch, 43L)
+    assert(journal.latestStatus.filter(col("status") === "Finished").count() == 1)
+  }
+
   test("streaming append sink writes through the declarative config") {
     val inDir = tmpDir("app_in")
     val outDir = tmpDir("app_out")
