@@ -480,6 +480,26 @@ object OracleSql {
          |  count(*)::BIGINT AS n_events, ${rnd("sum(value)", 2)} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q43_deterministic_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY lang
+         |  ORDER BY ${h32("doc_id::VARCHAR")}, doc_id) <= 5
+         |UNION ALL
+         |SELECT doc_id, '__sampled__' AS lang FROM documents
+         |WHERE ${h32("doc_id::VARCHAR")} % 10000 < 1000""".stripMargin,
+
+    "q44_sequence_packing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $tokenCountExpr::BIGINT AS n_tokens FROM documents),
+         |pre AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM toks)
+         |SELECT doc_id, source, n_tokens,
+         |  (before // 2048)::BIGINT AS pack_id, (before % 2048)::BIGINT AS pack_offset
+         |FROM pre""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

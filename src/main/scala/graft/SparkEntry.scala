@@ -475,6 +475,25 @@ object SparkEntry {
         col("n_events").cast("long").as("n_events"),
         round(col("sum_value"), 2).as("sum_value"))
 
+  /** Deterministic + stratified sampling (reproducible unlike rand()). */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.Sampling.stratifiedSample(docs, "lang", "doc_id", 5)
+      .select(col("doc_id"), col("lang"))
+      .unionByName(
+        graft.operators.Sampling.deterministicSample(docs, "doc_id", 0.1)
+          .select(col("doc_id"), lit("__sampled__").as("lang")))
+  }
+
+  /** Sequence packing: documents -> fixed-token-budget training packs. */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.packByTokenBudget(
+        T(s, dir, "documents"), "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 2048)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("pack_id").cast("long").as("pack_id"),
+        col("pack_offset").cast("long").as("pack_offset"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -519,7 +538,9 @@ object SparkEntry {
     "q39_embedding_neardups" -> (q39 _),
     "q40_ivf_topk" -> (q40 _),
     "q41_salted_join" -> (q41 _),
-    "q42_stream_window" -> (q42 _)
+    "q42_stream_window" -> (q42 _),
+    "q43_deterministic_sample" -> (q43 _),
+    "q44_sequence_packing" -> (q44 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashes
+
+/** Deterministic sampling and sequence packing for training-data curation.
+  *
+  * Training pipelines need REPRODUCIBLE samples (rand() re-rolls per task
+  * retry and per run): both operators key off the portable hash of a stable
+  * id, so the same corpus always yields the same sample, on any cluster
+  * size, and an external system (or the DuckDB oracle) can recompute
+  * membership exactly.
+  */
+object Sampling {
+
+  /** Keep ~`fraction` of rows, chosen by id-hash — reproducible, unlike
+    * df.sample(). One codegen'd filter, no shuffle, fully pushdown-friendly. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    val bucket = pmod(Hashes.portableHash32(col(idCol).cast("string")), lit(10000L))
+    df.filter(bucket < lit(math.round(fraction * 10000).toDouble))
+  }
+
+  /** Exactly `perStratum` rows per stratum, selected in id-hash order (a
+    * deterministic stand-in for uniform-without-replacement). One shuffle on
+    * the stratum key; rank is a window over each stratum only. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       perStratum: Int): DataFrame = {
+    val h = Hashes.portableHash32(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perStratum)
+      .drop("__rk")
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget training packs.
+    *
+    * Within each `groupCol` partition, documents ordered by `orderCol`
+    * accumulate tokens; `pack_id = floor(exclusive_prefix_sum / budget)` —
+    * the streaming-friendly deterministic approximation of greedy packing
+    * (a doc larger than the budget gets its own pack(s) boundary-aligned).
+    * One shuffle on the group key; the prefix sum is a window running total. */
+  def packByTokenBudget(df: DataFrame, groupCol: String, orderCol: String,
+                        tokenCountCol: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__tokens", tokenCountCol.cast("long"))
+      .withColumn("__before", coalesce(sum(col("__tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("__before") / budget))
+      .withColumn("pack_offset", col("__before") % budget)
+      .drop("__before")
+      .withColumnRenamed("__tokens", "n_tokens")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (1L to 200L).map(i => (i, s"lang${i % 3}", "word " * (i % 50).toInt))
+    .toDF("doc_id", "lang", "text")
+
+  test("deterministicSample is reproducible and roughly proportional") {
+    val s1 = Sampling.deterministicSample(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)                       // same sample every run
+    assert(s1.size > 20 && s1.size < 60)   // ~40 expected
+    // monotone: a larger fraction contains the smaller sample
+    val s3 = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+    assert(Sampling.deterministicSample(docs, "doc_id", 0.0).count() == 0)
+    assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() == 200)
+  }
+
+  test("stratifiedSample returns exactly n per stratum, deterministically") {
+    val out = Sampling.stratifiedSample(docs, "lang", "doc_id", 7)
+    val counts = out.groupBy("lang").count().select("count").as[Long].collect()
+    assert(counts.toSeq == Seq(7L, 7L, 7L))
+    val again = Sampling.stratifiedSample(docs, "lang", "doc_id", 7)
+    assert(rowsOf(out) == rowsOf(again))
+  }
+
+  test("packByTokenBudget assigns contiguous packs under the budget") {
+    val df = Seq(
+      (1L, "s", "a " * 100), (2L, "s", "b " * 100), (3L, "s", "c " * 100),
+      (4L, "t", "d " * 10)
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.packByTokenBudget(df, "source", "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget = 150)
+      .select("doc_id", "pack_id", "pack_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((0L, 0L)))     // starts pack 0
+    assert(out(2L) == ((0L, 100L)))   // 100 tokens before it -> still pack 0
+    assert(out(3L) == ((1L, 50L)))    // 200 before -> pack 1, offset 50
+    assert(out(4L) == ((0L, 0L)))     // separate group restarts
+  }
+}
