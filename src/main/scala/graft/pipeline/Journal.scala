@@ -21,10 +21,15 @@ import graft.merge.ParquetTable
 final class Journal(spark: SparkSession, root: String) {
   import spark.implicits._
 
-  val status = new ParquetTable(spark, s"$root/pipeline_status")
+  // status/errors are date-partitioned so every append only ADDS files —
+  // an unpartitioned ParquetTable append rewrites the full snapshot, which
+  // turns a busy journal into O(n^2) I/O over the table's lifetime
+  val status = new ParquetTable(spark, s"$root/pipeline_status",
+    partitionKeys = Seq("lastUpdateDate"))
   val facts = new ParquetTable(spark, s"$root/pipeline_fact",
     partitionKeys = Seq("lastUpdateDate", "pipelineDefId"))
-  val errors = new ParquetTable(spark, s"$root/pipeline_error_logs")
+  val errors = new ParquetTable(spark, s"$root/pipeline_error_logs",
+    partitionKeys = Seq("lastUpdateDate"))
 
   private def now = new Timestamp(System.currentTimeMillis())
 
@@ -32,6 +37,7 @@ final class Journal(spark: SparkSession, root: String) {
                 detail: String = ""): Unit = {
     val row = Seq((pipelineDefId, taskName, state, detail, now))
       .toDF("pipelineDefId", "taskName", "status", "detail", "lastUpdate")
+      .withColumn("lastUpdateDate", to_date(col("lastUpdate")))
     status.append(row)
   }
 
@@ -52,6 +58,7 @@ final class Journal(spark: SparkSession, root: String) {
       lit(reason).as("reason"),
       concat_ws("|", bad.columns.map(c => col(c).cast("string")): _*).as("row"),
       lit(now).as("lastUpdate"))
+      .withColumn("lastUpdateDate", to_date(col("lastUpdate")))
     errors.append(joined)
   }
 
