@@ -500,6 +500,15 @@ object OracleSql {
          |  (before // 2048)::BIGINT AS pack_id, (before % 2048)::BIGINT AS pack_offset
          |FROM pre""".stripMargin,
 
+    "q45_asof_join" ->
+      s"""WITH purchases AS (
+         |  SELECT user_id, ts, ${rnd("max(value)", 2)} AS purchase_value
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+         |SELECT e.event_id, e.user_id, p.purchase_value
+         |FROM events e
+         |ASOF LEFT JOIN purchases p
+         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

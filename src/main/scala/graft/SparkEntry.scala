@@ -494,6 +494,21 @@ object SparkEntry {
         col("pack_id").cast("long").as("pack_id"),
         col("pack_offset").cast("long").as("pack_offset"))
 
+  /** As-of join: each event enriched with the most recent prior-or-equal
+    * purchase value of the same user (DuckDB's native ASOF JOIN is the
+    * oracle for our union+window composition). */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("purchase_value"))
+    graft.operators.AsOfJoin.asOf(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"), col("purchase_value"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -540,7 +555,8 @@ object SparkEntry {
     "q41_salted_join" -> (q41 _),
     "q42_stream_window" -> (q42 _),
     "q43_deterministic_sample" -> (q43 _),
-    "q44_sequence_packing" -> (q44 _)
+    "q44_sequence_packing" -> (q44 _),
+    "q45_asof_join" -> (q45 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
