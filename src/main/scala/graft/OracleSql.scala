@@ -509,6 +509,18 @@ object OracleSql {
          |ASOF LEFT JOIN purchases p
          |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
 
+    "q46_corpus_minhash" -> {
+      val p = graft.functions.Hashes.MixP
+      val mins = graft.functions.Hashes.mixConstants(8).map { case (a, b) =>
+        s"coalesce(min(($a * h + $b) % $p), $p)::VARCHAR"
+      }
+      val sh = shinglesExpr("t", 3)
+      s"""WITH toks AS (SELECT source, $toksExpr AS t FROM documents),
+         |hashed AS (SELECT source, unnest(list_transform($sh, x -> ${h32("x")})) AS h FROM toks)
+         |SELECT source, concat_ws(',', ${mins.mkString(", ")}) AS sig
+         |FROM hashed GROUP BY source""".stripMargin
+    },
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

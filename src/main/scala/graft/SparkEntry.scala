@@ -509,6 +509,20 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("purchase_value"))
   }
 
+  /** Corpus-level MinHash via the custom DeclarativeAggregate: one signature
+    * per source over the union of member documents' shingle sets (partial
+    * aggregation collapses to one signature per map task before the
+    * shuffle). */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashAgg.register(s)
+    val docs = TW(s, dir, "documents")
+    val hashes = docs.select(col("source"),
+      explode(transform(Dedup.shingles(col("text"), 3),
+        sh => Hashes.portableHash32(sh))).as("h"))
+    hashes.groupBy(col("source"))
+      .agg(concat_ws(",", graft.functions.MinHashAgg.minhashAgg(col("h"), 8)).as("sig"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -556,7 +570,8 @@ object SparkEntry {
     "q42_stream_window" -> (q42 _),
     "q43_deterministic_sample" -> (q43 _),
     "q44_sequence_packing" -> (q44 _),
-    "q45_asof_join" -> (q45 _)
+    "q45_asof_join" -> (q45 _),
+    "q46_corpus_minhash" -> (q46 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
