@@ -521,6 +521,16 @@ object OracleSql {
          |FROM hashed GROUP BY source""".stripMargin
     },
 
+    "q47_range_join" ->
+      s"""WITH iv AS (
+         |  SELECT event_id AS interval_id, user_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT iv.interval_id, count(*)::BIGINT AS n_events,
+         |  ${rnd("sum(ev.value)", 2)} AS sum_value
+         |FROM iv JOIN events ev
+         |  ON ev.user_id = iv.user_id AND ev.ts >= iv.s AND ev.ts <= iv.e
+         |GROUP BY iv.interval_id""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

@@ -523,6 +523,23 @@ object SparkEntry {
       .agg(concat_ws(",", graft.functions.MinHashAgg.minhashAgg(col("h"), 8)).as("sig"))
   }
 
+  /** Range join: events landing in each purchase's follow-on hour, joined
+    * equi on (user, time-chunk) — never a per-key cross join. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val intervals = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("interval_id"), col("user_id"),
+        col("ts").as("window_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("window_end"))
+    graft.operators.RangeJoin.pointInInterval(
+        ev.select(col("user_id"), col("ts"), col("value")), intervals,
+        keys = Seq("user_id"), pointTs = "ts",
+        startTs = "window_start", endTs = "window_end")
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -571,7 +588,8 @@ object SparkEntry {
     "q43_deterministic_sample" -> (q43 _),
     "q44_sequence_packing" -> (q44 _),
     "q45_asof_join" -> (q45 _),
-    "q46_corpus_minhash" -> (q46 _)
+    "q46_corpus_minhash" -> (q46 _),
+    "q47_range_join" -> (q47 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
