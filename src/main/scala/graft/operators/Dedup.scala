@@ -229,6 +229,7 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, signBits: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions
+    VectorFunctions.register(df.sparkSession)
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       concat_ws("", (0 until signBits).map(i =>
         when(element_at(col(vecCol), i + 1) >= 0, "1").otherwise("0")): _*).as("block"))

@@ -28,6 +28,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
                      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")))
     val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .crossJoin(q)
@@ -44,6 +45,7 @@ object Similarity {
     * scale you'd write the corpus back partitioned/bucketed by it. */
   def ivfAssign(corpus: DataFrame, nCentroids: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val centroids = broadcast(
       corpus.orderBy(col(idCol)).limit(nCentroids)
         .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec")))
@@ -62,6 +64,7 @@ object Similarity {
               nCentroids: Int, nProbe: Int,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val assigned = ivfAssign(corpus, nCentroids, corpusId, corpusVec)
     val centroids = broadcast(
       corpus.orderBy(col(corpusId)).limit(nCentroids)

@@ -53,6 +53,44 @@ class IngestionJobSpec extends SparkSpec {
     assert(journal.failedPipelines.isEmpty)
   }
 
+  test("scd2 control row: change expires the current row via config-driven merge") {
+    val root = tmpDir("ingest2")
+    val row = Seq((
+      "pd2", "accounts", "scd2", "id", "", "", "",
+      """{"format":"parquet"}""",
+      """{"matchCondition":"target.current_flag = true AND target.name <> updates.name",
+        |"updateMap":{"current_flag":"false"},
+        |"insertMap":{"id":"updates.id","name":"updates.name","current_flag":"true"}}""".stripMargin
+    )).toDF("pipeline_def_id", "table_name", "scd_type", "join_key",
+      "partition_id_col", "updated_at_col", "extra_join_cond", "op_config", "merge_cond")
+      .collect().head
+    val cfg = TableConfig.fromRow(row)
+    assert(cfg.scd2Spec.isDefined)
+
+    // seed: direct frame (writer creates table on first batch)
+    val seed = Seq((1L, "alice", true), (2L, "bob", true))
+      .toDF("id", "name", "current_flag")
+      .select(struct(lit("c").as("op"),
+        struct(col("id"), col("name"), col("current_flag")).as("before"),
+        struct(col("id"), col("name"), col("current_flag")).as("after"),
+        struct(lit("d").as("db"), lit(1L).as("server_id")).as("source")).as("value"))
+    assert(IngestionJob.run(spark, Seq(cfg), _ => () => seed, root).values.forall(identity))
+
+    val update = Seq((1L, "alicia", true)).toDF("id", "name", "current_flag")
+      .select(struct(lit("u").as("op"),
+        struct(col("id"), col("name"), col("current_flag")).as("before"),
+        struct(col("id"), col("name"), col("current_flag")).as("after"),
+        struct(lit("d").as("db"), lit(1L).as("server_id")).as("source")).as("value"))
+    assert(IngestionJob.run(spark, Seq(cfg), _ => () => update, root).values.forall(identity))
+
+    val out = spark.read.parquet(s"$root/accounts/snap/v00001")
+      .select("id", "name", "current_flag")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(out.contains((1L, "alice", false)))  // expired version
+    assert(out.contains((1L, "alicia", true)))  // new current
+    assert(out.contains((2L, "bob", true)))     // untouched
+  }
+
   test("processor stamps hashed_jk and grouping_jk and applies PII rules") {
     val env = envelope(Seq(("c", 1L, "ssn 123-45-6789 here", 1L)))
     val out = CdcProcessor.process(env,
