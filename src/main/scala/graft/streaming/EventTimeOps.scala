@@ -77,6 +77,34 @@ object EventTimeOps {
       }
   }
 
+  /** Append-mode sessionizer: emits a session ONLY when it closes (the next
+    * event arrives beyond the gap), keeping the open session in state —
+    * `flatMapGroupsWithState`, the shape downstream append-only sinks need
+    * (each closed session is final, no updates to retract). */
+  def sessionizeFlat(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000)
+                    (implicit spark: SparkSession): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+          val closed = Seq.newBuilder[SessionUpdate]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            s = if (s.n == 0L || t - s.lastTs <= gapMs)
+              s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1, sum = s.sum + e.value)
+            else {
+              closed += SessionUpdate(userId, s.sessionId, s.n, s.sum, closed = true)
+              SessionState(s.sessionId + 1, t, 1L, e.value)
+            }
+          }
+          state.update(s)
+          closed.result().iterator
+      }
+  }
+
   /** Convenience: run the sessionizer over a memory/file stream and collect
     * into an in-memory sink table (update mode — state emits per trigger;
     * drive with processAllAvailable in tests). */

@@ -38,6 +38,24 @@ class EventTimeOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("flatMapGroupsWithState emits only CLOSED sessions (append mode)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventTimeOps.sessionizeFlat(mem.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("closed_sessions").start()
+    mem.addData(Event(7L, ts(0), 1.0), Event(7L, ts(5), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("closed_sessions").count() == 0) // still open
+    mem.addData(Event(7L, ts(30), 9.0)) // beyond gap -> closes session 0
+    q.processAllAvailable()
+    val rows = spark.table("closed_sessions").as[SessionUpdate].collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head == SessionUpdate(7L, 0L, 2L, 3.0, closed = true))
+  }
+
   test("mapGroupsWithState sessionizer rolls sessions across the gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
