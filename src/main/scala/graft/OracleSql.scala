@@ -531,6 +531,20 @@ object OracleSql {
          |  ON ev.user_id = iv.user_id AND ev.ts >= iv.s AND ev.ts <= iv.e
          |GROUP BY iv.interval_id""".stripMargin,
 
+    "q48_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,
+         |  ${rnd("sum(l_quantity)", 2)} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q49_semi_anti_join" ->
+      """SELECT c_custkey, 'has_big_order' AS tag FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |UNION ALL
+        |SELECT c_custkey, 'no_big_order' AS tag FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

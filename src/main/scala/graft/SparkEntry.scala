@@ -540,6 +540,24 @@ object SparkEntry {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** ROLLUP aggregation (hierarchical subtotals + grand total). */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS shapes). */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    val withBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_big_order").as("tag"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_big_order").as("tag"))
+    withBig.unionByName(without)
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -589,7 +607,9 @@ object SparkEntry {
     "q44_sequence_packing" -> (q44 _),
     "q45_asof_join" -> (q45 _),
     "q46_corpus_minhash" -> (q46 _),
-    "q47_range_join" -> (q47 _)
+    "q47_range_join" -> (q47 _),
+    "q48_rollup" -> (q48 _),
+    "q49_semi_anti_join" -> (q49 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
