@@ -97,6 +97,52 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((0, 5L, 9L), (1, 2L, 2L)))
   }
 
+  test("streaming SCD4: history snapshots accumulate across micro-batches") {
+    val inDir = tmpDir("scd4_in")
+    val ckpt = tmpDir("scd4_ckpt")
+    val current = new ParquetTable(spark, tmpDir("scd4_cur"))
+    val history = new ParquetTable(spark, tmpDir("scd4_hist"))
+
+    def env4(op: String, id: Long, name: String): String =
+      s"""{"value":{"op":"$op","before":{"id":$id,"name":"$name"},"after":{"id":$id,"name":"$name"},"source":{"db":"db0","server_id":1}}}"""
+    val payload4 = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+
+    def runOnce(): Unit = {
+      val stream = Sources.cdcFileStream(spark, inDir, payload4)
+      val q = StreamSink.startForeachBatch(stream,
+        WriteStreamConfig(checkpointLocation = ckpt),
+        (batch, batchId) => {
+          val demuxed = CdcDemux.demux(batch)
+            .select(col("id"), col("name"), lit(false).as("deleted_flag"),
+              col("row_active"), current_timestamp().as("updated_at"))
+          StreamSink.scd4Batch(current, history, Seq("id"))(demuxed, batchId)
+        })
+      q.awaitTermination()
+    }
+
+    writeEnvelopes(inDir, "b1.json", Seq(env4("c", 1, "v1")))
+    runOnce()
+    assert(current.read.select("name").as[String].collect().toSeq == Seq("v1"))
+    assert(!history.exists) // first batch only created current, no history yet
+
+    writeEnvelopes(inDir, "b2.json", Seq(env4("u", 1, "v2")))
+    runOnce()
+    writeEnvelopes(inDir, "b3.json", Seq(env4("u", 1, "v3")))
+    runOnce()
+    // delete in its own batch: one update row per target key per merge
+    // (the MergeInto caller contract; the reference dedups on updated_at)
+    writeEnvelopes(inDir, "b4.json", Seq(env4("d", 1, "v3")))
+    runOnce()
+    // current holds the final state; op=d soft-deleted it
+    val cur = current.read.select("name", "deleted_flag")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(cur.length == 1 && cur.head._2 == true)
+    // history snapshotted the pre-image of each ACTIVE update (v1 before b2,
+    // v2 before b3); the soft delete (row_active=false) adds no snapshot
+    assert(history.read.select("name").as[String].collect().toSet == Set("v1", "v2"))
+  }
+
   test("withJournal contains batch failures: error rows + status journaled, then rethrow") {
     val journal = new graft.pipeline.Journal(spark, tmpDir("sj"))
     val failing = StreamSink.withJournal(
