@@ -30,28 +30,52 @@ import org.apache.spark.sql.functions._
   * commit point. Readers resolve the latest snapshot from the log, so a
   * failed half-written snapshot directory is never visible.
   */
+object ParquetTable {
+  // One JVM-wide monitor per table root: multiple pipelines (IngestionJob
+  // fan-out, shared Journal tables) commit from different driver threads;
+  // without this, two writers read the same latestVersion and race the
+  // commit file / _temporary staging dirs. Cross-process writers would need
+  // a real lock service — out of scope for a single-driver engine.
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[merge] def monitorFor(root: String): Object =
+    monitors.computeIfAbsent(root, _ => new Object)
+}
+
 final class ParquetTable(val spark: SparkSession, val root: String,
                          val partitionKeys: Seq[String] = Nil) {
   private val dataDir = s"$root/data"
   private val snapDir = s"$root/snap"
   private val logDir = s"$root/_graft_log"
+  private val monitor = ParquetTable.monitorFor(root)
+  /** Commit files are immutable once written — cache parsed entries so a
+    * long-running stream's per-batch seenTxn doesn't re-read the whole log. */
+  private val entryCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
 
   def exists: Boolean = Files.exists(Paths.get(logDir)) && latestVersion >= 0
 
   def latestVersion: Long = {
     val p = Paths.get(logDir)
     if (!Files.exists(p)) return -1L
-    Files.list(p).iterator().asScala
+    val stream = Files.list(p)
+    try stream.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong)
       .foldLeft(-1L)(math.max)
+    finally stream.close()
   }
 
   private def commitEntry(version: Long): Option[Map[String, String]] = {
+    val cached = entryCache.get(version)
+    if (cached != null) return Some(cached)
     val f = Paths.get(logDir, f"$version%05d.json")
     if (!Files.exists(f)) None
-    else Some(parseFlatJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
+    else {
+      val e = parseFlatJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      entryCache.put(version, e)
+      Some(e)
+    }
   }
 
   /** Idempotency check for exactly-once foreachBatch commits. */
@@ -68,19 +92,21 @@ final class ParquetTable(val spark: SparkSession, val root: String,
   }
 
   /** Create with initial contents (ref create-if-absent probe `checkTable`,
-    * M/utility/Utility.scala:361-371). */
-  def create(df: DataFrame, metrics: Map[String, String] = Map.empty): Unit = {
+    * M/utility/Utility.scala:361-371). The creating batch's txn is recorded
+    * so a checkpoint replay of batch 0 is skipped like any other batch. */
+  def create(df: DataFrame, metrics: Map[String, String] = Map.empty,
+             txn: Option[(String, Long)] = None): Unit = monitor.synchronized {
     if (partitionKeys.nonEmpty)
       df.write.mode(SaveMode.Overwrite).partitionBy(partitionKeys: _*).parquet(dataDir)
     else
       df.write.mode(SaveMode.Overwrite).parquet(f"$snapDir/v${0}%05d")
-    writeCommit(0L, "CREATE", metrics, None)
+    writeCommit(0L, "CREATE", metrics, txn)
   }
 
   /** Append rows (bookkeeping tables, SCD4 history). Schema union on write
     * replaces Delta's `mergeSchema`. */
   def append(df: DataFrame, metrics: Map[String, String] = Map.empty,
-             txn: Option[(String, Long)] = None): Unit = {
+             txn: Option[(String, Long)] = None): Unit = monitor.synchronized {
     if (txn.exists { case (a, v) => seenTxn(a, v) }) return
     if (!exists) { create(df, metrics); return }
     if (partitionKeys.nonEmpty) {
@@ -95,12 +121,18 @@ final class ParquetTable(val spark: SparkSession, val root: String,
     }
   }
 
-  /** MERGE the update batch in. Returns (rowsBefore, rowsAfter) for facts. */
+  /** MERGE the update batch in.
+    *
+    * CONTRACT (standard for hive-partitioned tables): partition-key values
+    * are immutable under updates. The manual DPP below scans only the
+    * partitions named by the update batch's CURRENT values — an update that
+    * moved a row's partition key would leave the stale row in its old
+    * partition unscanned (choose stable columns as partition keys). */
   def merge(updates: DataFrame, condition: String,
             matched: Seq[MergeInto.WhenMatched],
             notMatched: Seq[MergeInto.WhenNotMatched],
             txn: Option[(String, Long)] = None,
-            metrics: Map[String, String] = Map.empty): Unit = {
+            metrics: Map[String, String] = Map.empty): Unit = monitor.synchronized {
     if (txn.exists { case (a, v) => seenTxn(a, v) }) return
     require(exists, s"merge target $root does not exist")
 
@@ -134,8 +166,12 @@ final class ParquetTable(val spark: SparkSession, val root: String,
       val remaining = merged.select(partitionKeys.map(col): _*).distinct().collect()
         .map(_.toSeq).toSet
       touched.map(_.toSeq).filterNot(remaining.contains).foreach { vals =>
+        // Spark writes Hive-ESCAPED partition dir names (':' -> '%3A' etc.);
+        // raw toString would miss those dirs and resurrect deleted rows
         val rel = partitionKeys.zip(vals).map { case (k, v) =>
-          s"$k=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString}"
+          if (v == null) s"$k=__HIVE_DEFAULT_PARTITION__"
+          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(k, v.toString)
         }.mkString("/")
         deleteRecursively(Paths.get(dataDir, rel))
       }
@@ -148,14 +184,19 @@ final class ParquetTable(val spark: SparkSession, val root: String,
     }
   }
 
-  /** Replace full contents (new snapshot / full overwrite). */
-  def overwrite(df: DataFrame, metrics: Map[String, String] = Map.empty): Unit = {
+  /** Replace full contents (new snapshot / full overwrite). For PARTITIONED
+    * tables the incoming plan may still lazily read this table's dataDir
+    * (e.g. scd2Apply over table.read) — materialize it first, or Spark
+    * refuses to overwrite a path being read. */
+  def overwrite(df: DataFrame, metrics: Map[String, String] = Map.empty,
+                txn: Option[(String, Long)] = None): Unit = monitor.synchronized {
+    if (txn.exists { case (a, v) => seenTxn(a, v) }) return
     val next = math.max(latestVersion + 1, 0L)
     if (partitionKeys.nonEmpty)
       df.write.mode(SaveMode.Overwrite).partitionBy(partitionKeys: _*).parquet(dataDir)
     else
       df.write.mode(SaveMode.Overwrite).parquet(f"$snapDir/v$next%05d")
-    writeCommit(next, "OVERWRITE", metrics, None)
+    writeCommit(next, "OVERWRITE", metrics, txn)
   }
 
   /** Schema union (Delta `mergeSchema` equivalent): pad each side with the

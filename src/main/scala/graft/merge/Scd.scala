@@ -59,7 +59,7 @@ object Scd {
     val deduped = if (dedupOrderCols.nonEmpty) dedupByKey(updates, keys, dedupOrderCols)
                   else updates
     if (!table.exists) {
-      table.create(deduped)
+      table.create(deduped, txn = txn) // record txn so a replayed batch 0 is skipped
     } else {
       table.merge(deduped, buildJoinCondition(keySpecs, extraCondition),
         matched, notMatched, txn,
@@ -130,11 +130,23 @@ object Scd {
     val keys = extractJoinKeys(keySpecs)
     val deduped = if (dedupOrderCols.nonEmpty) dedupByKey(updates, keys, dedupOrderCols)
                   else updates
-    if (!table.exists) { table.create(deduped); return }
+    if (!table.exists) {
+      // Bootstrap must already be SCD2-SHAPED (current_flag/expiry columns
+      // the later matchCondition references): evaluate the insertMap over the
+      // batch — exactly the rows the not-matched clause would have produced.
+      val seeded = deduped.alias("updates").select(insertMap.toSeq.map {
+        case (k, v) => expr(v).as(k.split('.').last)
+      }: _*)
+      table.create(seeded, txn = txn)
+      return
+    }
     if (txn.exists { case (a, v) => table.seenTxn(a, v) }) return
+    // scd2Apply's plan lazily READS table.read; materialize before the
+    // overwrite re-targets the same directory (partitioned tables write
+    // dataDir in place).
     val merged = scd2Apply(table.read, deduped, keySpecs, matchCondition,
-      updateMap, insertMap, extraCondition)
-    table.overwrite(merged, Map("numSourceRows" -> deduped.count().toString))
+      updateMap, insertMap, extraCondition).localCheckpoint()
+    table.overwrite(merged, Map("numSourceRows" -> deduped.count().toString), txn = txn)
   }
 
   // -------------------------------------------------------------------------
@@ -178,7 +190,7 @@ object Scd {
     val keys = extractJoinKeys(keySpecs)
     val deduped = if (dedupOrderCols.nonEmpty) dedupByKey(updates, keys, dedupOrderCols)
                   else updates
-    if (!current.exists) { current.create(deduped); return }
+    if (!current.exists) { current.create(deduped, txn = txn); return }
     if (txn.exists { case (a, v) => current.seenTxn(a, v) }) return
     val (newCurrent, histRows) = scd4Apply(current.read, deduped, keySpecs,
       updatedAtCol, extraCondition)

@@ -29,31 +29,36 @@ object AsOfJoin {
            rightCols: Seq[String]): DataFrame = {
     val side = "__graft_side"
     val ts = "__graft_ts"
+    val payload = "__graft_payload"
     val leftCols = left.columns.toSeq
 
+    // The whole right payload travels as ONE struct: a right row whose
+    // payload COLUMN is genuinely NULL still has a non-null struct, so
+    // last(_, ignoreNulls) attributes it correctly instead of skipping to an
+    // older row ("no prior row" and "prior row with NULL value" differ).
     val l = left
       .withColumn(ts, col(leftTs))
       .withColumn(side, lit(1))
-    val r0 = right.select((keys.map(col) :+ col(rightTs).as(ts)) ++
-      rightCols.map(c => col(c).as(s"__r_$c")): _*)
+      .withColumn(payload,
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
+    val r0 = right.select((keys.map(col) :+ col(rightTs).as(ts)) :+
+      struct(rightCols.map(col): _*).as(payload): _*)
       .withColumn(side, lit(0))
 
-    // align schemas: left gets null right-payloads, right gets null left-cols
-    val lAligned = rightCols.foldLeft(l)((d, c) =>
-      d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
     val rAligned = leftCols.filterNot(c => keys.contains(c)).foldLeft(r0)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    val unioned = l.unionByName(rAligned.select(l.columns.map(col): _*))
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+    val filled = unioned.withColumn(payload,
+      last(col(payload), ignoreNulls = true).over(w))
 
     filled.filter(col(side) === 1)
       .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"__r_$c").as(c)): _*)
+        rightCols.map(c => col(s"$payload.$c").as(c)): _*)
   }
 }

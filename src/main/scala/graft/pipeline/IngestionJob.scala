@@ -77,11 +77,14 @@ object IngestionJob {
           journal: Option[Journal] = None,
           parallelism: Int = 4): Map[String, Boolean] = {
     val pipelines = controlRows.map(cfg =>
-      buildPipeline(spark, cfg, source(cfg), targetRoot, shardMappings, journal))
-    val results = PipelineRunner.runAll(pipelines, parallelism)
+      cfg -> buildPipeline(spark, cfg, source(cfg), targetRoot, shardMappings, journal))
+    val results = PipelineRunner.runAll(pipelines.map(_._2), parallelism)
     journal.foreach { j =>
-      results.foreach { case (name, ok) =>
-        j.logStatus(name.split("_").head, name, if (ok) "Finished" else "Error")
+      pipelines.foreach { case (cfg, p) =>
+        // journal the REAL pipelineDefId (splitting the composite pipeline
+        // name would truncate ids containing underscores)
+        j.logStatus(cfg.pipelineDefId, p.name,
+          if (results.getOrElse(p.name, false)) "Finished" else "Error")
       }
     }
     results

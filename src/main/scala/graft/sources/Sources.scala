@@ -58,10 +58,17 @@ object Sources {
       val rows = page.select(explode(col("data")).as("explodedData"))
         .select(col("explodedData.id").as("id"), col("explodedData.attributes.*"))
       acc = acc.map(_.unionByName(rows, allowMissingColumns = true)).orElse(Some(rows))
-      url =
-        if (page.columns.contains("links"))
-          Option(page.select(col("links.next")).collect().head.getString(0))
+      url = {
+        // last pages commonly return {"links": {}} or drop "next" entirely —
+        // treat any shape without a string links.next as end-of-pagination
+        val hasNext = page.schema.fields.find(_.name == "links").map(_.dataType) match {
+          case Some(st: org.apache.spark.sql.types.StructType) => st.fieldNames.contains("next")
+          case _ => false
+        }
+        if (hasNext)
+          Option(page.select(col("links.next").cast("string")).collect().head.getString(0))
         else None
+      }
       pages += 1
     }
     acc.getOrElse(spark.emptyDataFrame)

@@ -42,6 +42,11 @@ object EventTimeOps {
     * running-sum sessionizer, q30). Emits the CURRENT session per key per
     * trigger.
     *
+    * API limit: mapGroupsWithState returns ONE value per key per batch, so
+    * when a batch itself spans a gap, only the newest session is emitted —
+    * a session that both opened and closed inside one batch is not reported.
+    * Use [[sessionizeFlat]] when every closed session must be emitted.
+    *
     * `idleTimeout=true` arms a processing-time timeout that closes idle
     * sessions — use it only with a real periodic trigger: re-arming a
     * timeout every batch under the default as-fast-as-possible trigger makes

@@ -1,0 +1,65 @@
+package graft.merge
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Regressions from the round-1 review of the write paths. */
+class ScdRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeScd2 works on a PARTITIONED table across batches (read-then-overwrite)") {
+    val table = new ParquetTable(spark, tmpDir("scd2part"), partitionKeys = Seq("region"))
+    val insertMap = Map(
+      "k" -> "updates.k", "v" -> "updates.v", "region" -> "updates.region",
+      "current_flag" -> "true", "eff" -> "updates.eff",
+      "expiry" -> "cast(null as string)")
+    def write(batch: org.apache.spark.sql.DataFrame, txnV: Long): Unit =
+      Scd.writeScd2(table, batch, Seq("k"),
+        matchCondition = "target.current_flag = true AND target.v <> updates.v",
+        updateMap = Map("current_flag" -> "false", "expiry" -> "updates.eff"),
+        insertMap = insertMap, txn = Some(("app2", txnV)))
+
+    // batch 0 bootstraps the table SCD2-shaped through the insertMap
+    write(Seq((1, "a", "eu", "d1"), (2, "b", "us", "d1")).toDF("k", "v", "region", "eff"), 0L)
+    assert(table.read.columns.toSet ==
+      Set("k", "v", "region", "current_flag", "eff", "expiry"))
+    // batch 1 merges in place on the partitioned table (regression: this
+    // previously failed with 'cannot overwrite a path being read from')
+    write(Seq((1, "a2", "eu", "d2")).toDF("k", "v", "region", "eff"), 1L)
+    val rows = table.read.select("k", "v", "current_flag")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(rows == Set((1, "a", false), (1, "a2", true), (2, "b", true)))
+    // replaying batch 1 (checkpoint recovery) is a no-op
+    val v = table.latestVersion
+    write(Seq((1, "a2", "eu", "d2")).toDF("k", "v", "region", "eff"), 1L)
+    assert(table.latestVersion == v)
+    // replaying batch 0 (the CREATE) is also a no-op now
+    write(Seq((9, "z", "eu", "d1")).toDF("k", "v", "region", "eff"), 0L)
+    assert(table.read.filter($"k" === 9).count() == 0)
+  }
+
+  test("emptied-partition cleanup handles Hive-escaped partition values") {
+    val t = new ParquetTable(spark, tmpDir("esc"), partitionKeys = Seq("p"))
+    // ':' is Hive-escaped to %3A in directory names
+    t.create(Seq((1, "10:30"), (2, "11:45")).toDF("k", "p"))
+    t.merge(Seq((1, "10:30")).toDF("k", "p"), "target.k = updates.k",
+      matched = Seq(MergeInto.WhenMatched(None, MergeInto.Delete)),
+      notMatched = Nil)
+    assert(t.read.select("p").as[String].collect().toSeq == Seq("11:45"))
+    // the escaped directory of the emptied partition must be gone
+    val dirs = new java.io.File(s"${t.root}/data").list().filter(_.startsWith("p="))
+    assert(dirs.toSeq == Seq("p=11%3A45"))
+  }
+
+  test("concurrent appends to one table keep every commit (journal race)") {
+    val t = new ParquetTable(spark, tmpDir("conc"))
+    t.create(Seq((0, "seed")).toDF("k", "v"))
+    val threads = (1 to 4).map { i =>
+      new Thread(() => t.append(Seq((i, s"row$i")).toDF("k", "v")))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(t.read.count() == 5)       // no lost appends
+    assert(t.latestVersion == 4L)     // one commit per append
+  }
+}

@@ -28,6 +28,15 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(5L) == None)         // C has no quotes at all
   }
 
+  test("a genuinely NULL right payload is attributed, not skipped") {
+    val left = Seq((1L, "k", ts(45))).toDF("id", "k", "ts")
+    val right = Seq(
+      ("k", ts(10), Some(5.0)), ("k", ts(30), None)
+    ).toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("v")).collect().head
+    assert(out.isNullAt(3)) // the 11:00 row's NULL wins, not the 10:00 value
+  }
+
   test("asOf carries multiple right payload columns") {
     val left = Seq((1L, "k", ts(10))).toDF("id", "k", "ts")
     val right = Seq(("k", ts(9), 7.0, "v9")).toDF("k", "ts", "x", "tag")

@@ -40,6 +40,14 @@ class SourcesSpec extends SparkSpec {
       Set("a@x.com", "b@x.com", "c@x.com"))
   }
 
+  test("http source terminates cleanly when the last page has no links.next") {
+    val pages = Map(
+      "p1" -> """{"data":[{"id":1,"attributes":{"v":1}}],"links":{"next":"p2"}}""",
+      "p2" -> """{"data":[{"id":2,"attributes":{"v":2}}],"links":{}}""")
+    val df = Sources.httpJson(spark, "p1", pages(_))
+    assert(df.count() == 2)
+  }
+
   test("http source stops at maxPages") {
     var calls = 0
     val fetch = (_: String) => {
