@@ -147,12 +147,23 @@ object MergeInto {
     (parts ++ extra.toSeq).mkString(" AND ")
   }
 
+  private val SpecOps = Seq("<=", ">=", "!=", "<", ">", "=")
+
+  private def splitSpec(k: String): (String, String) =
+    SpecOps.find(op => k.contains(op)) match {
+      case Some(op) =>
+        val parts = k.split(java.util.regex.Pattern.quote(op))
+        (parts.head.trim, parts.last.trim)
+      case None => (k.trim, k.trim)
+    }
+
   /** `extractJoinKeys` (ref M/utility/Utility.scala:325-337): `"a"` or
-    * `"a = b"` specs -> update-side column names. */
+    * `"a OP b"` specs -> update-side column names (operator-aware: naive
+    * splitting on '=' mis-parsed `!=`/`<`/`>` specs). */
   def extractJoinKeys(keys: Seq[String]): Seq[String] =
-    keys.map(k => k.split("=").last.trim)
+    keys.map(k => splitSpec(k)._2)
 
   /** Target-side key names from the same specs. */
   def extractTargetKeys(keys: Seq[String]): Seq[String] =
-    keys.map(k => k.split("=").head.trim)
+    keys.map(k => splitSpec(k)._1)
 }

@@ -108,7 +108,7 @@ final class ParquetTable(val spark: SparkSession, val root: String,
   def append(df: DataFrame, metrics: Map[String, String] = Map.empty,
              txn: Option[(String, Long)] = None): Unit = monitor.synchronized {
     if (txn.exists { case (a, v) => seenTxn(a, v) }) return
-    if (!exists) { create(df, metrics); return }
+    if (!exists) { create(df, metrics, txn); return } // keep the batch's idempotency record
     if (partitionKeys.nonEmpty) {
       val aligned = alignSchema(df)
       aligned.write.mode(SaveMode.Append).partitionBy(partitionKeys: _*).parquet(dataDir)
@@ -150,16 +150,12 @@ final class ParquetTable(val spark: SparkSession, val root: String,
       val targetTouched = read.filter(pruner)
       val merged = MergeInto(targetTouched, updates, condition, matched, notMatched)
         .localCheckpoint() // materialize BEFORE overwriting the dirs we read from
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        merged.write.mode(SaveMode.Overwrite).partitionBy(partitionKeys: _*).parquet(dataDir)
-      } finally {
-        prev match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
-      }
+      // per-WRITER dynamic overwrite: mutating the session conf would leak
+      // into other tables' concurrent writers (their full overwrites would
+      // silently keep partitions they meant to drop)
+      merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionKeys: _*).parquet(dataDir)
       // Dynamic overwrite replaces exactly the partitions present in `merged`;
       // a touched partition whose rows were ALL deleted is absent from
       // `merged` and must be dropped explicitly.

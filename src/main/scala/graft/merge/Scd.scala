@@ -59,8 +59,15 @@ object Scd {
     val deduped = if (dedupOrderCols.nonEmpty) dedupByKey(updates, keys, dedupOrderCols)
                   else updates
     if (!table.exists) {
-      table.create(deduped, txn = txn) // record txn so a replayed batch 0 is skipped
+      // Bootstrap applies the INSERT clause logic, not the raw batch: a
+      // first batch containing delete tombstones (e.g. row_active=false
+      // rows excluded by a conditional insert) must not become live rows.
+      // Joining on `false` makes every update row take the not-matched path.
+      val seeded = MergeInto(deduped.filter(lit(false)), deduped, "false",
+        Nil, notMatched)
+      table.create(seeded, txn = txn) // txn recorded so a replayed batch 0 is skipped
     } else {
+      if (txn.exists { case (a, v) => table.seenTxn(a, v) }) return // before paying count()
       table.merge(deduped, buildJoinCondition(keySpecs, extraCondition),
         matched, notMatched, txn,
         metrics = Map("numSourceRows" -> deduped.count().toString))
@@ -190,13 +197,22 @@ object Scd {
     val keys = extractJoinKeys(keySpecs)
     val deduped = if (dedupOrderCols.nonEmpty) dedupByKey(updates, keys, dedupOrderCols)
                   else updates
-    if (!current.exists) { current.create(deduped, txn = txn); return }
+    if (!current.exists) {
+      // Only ACTIVE rows seed the table (a delete tombstone in the first
+      // batch must not appear as a live current row).
+      val seeded = MergeInto(deduped.filter(lit(false)), deduped, "false",
+        Nil, Seq(WhenNotMatched(Some("updates.row_active = true"), InsertAll)))
+      current.create(seeded, txn = txn)
+      return
+    }
     if (txn.exists { case (a, v) => current.seenTxn(a, v) }) return
     val (newCurrent, histRows) = scd4Apply(current.read, deduped, keySpecs,
       updatedAtCol, extraCondition)
     val hist = histRows.localCheckpoint()
     val cur = newCurrent.localCheckpoint()
-    history.append(hist)
-    current.overwrite(cur)
+    // the txn record rides on BOTH tables so a replayed batch neither
+    // re-appends history nor re-overwrites current
+    history.append(hist, txn = txn)
+    current.overwrite(cur, txn = txn)
   }
 }

@@ -41,7 +41,9 @@ object IngestionJob {
     p.addAfter(s"${cfg.tableName}_processor", new Task {
       val name = s"${cfg.tableName}_writer"
       def run(s: SparkSession, in: Map[String, DataFrame]): Map[String, DataFrame] = {
-        val batch = in("processedDf")
+        // materialize the processed batch ONCE: counting and merging would
+        // otherwise each re-run the full source->processor plan
+        val batch = in("processedDf").localCheckpoint()
         val table = new ParquetTable(s, s"$targetRoot/${cfg.tableName}", cfg.partitionKeys)
         val n = batch.count()
         cfg.scdType match {
@@ -59,8 +61,11 @@ object IngestionJob {
               dedupOrderCols = cfg.dedupKeys, extraCondition = cfg.extraJoinCond)
         }
         journal.foreach { j =>
+          // outputRows comes from the commit metrics, NOT a full target scan
+          // (at scale that scan would dwarf the merge itself)
+          val written = table.lastMetrics.get("numSourceRows").map(_.toLong).getOrElse(n)
           j.logFact(cfg.pipelineDefId, java.util.UUID.randomUUID().toString, n,
-            table.read.count(), table.lastMetrics)
+            written, table.lastMetrics)
         }
         Map("written" -> table.read)
       }

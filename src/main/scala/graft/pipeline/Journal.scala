@@ -63,9 +63,20 @@ final class Journal(spark: SparkSession, root: String) {
   }
 
   /** Latest status per (pipeline, task) — the rerun-selection shape
-    * (ref rank-window at M/configbuilder/Start.scala:204-205). */
+    * (ref rank-window at M/configbuilder/Start.scala:204-205). A fresh
+    * journal (no status rows yet) yields an empty frame, not an error. */
   def latestStatus: DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    if (!status.exists)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pipelineDefId", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("taskName", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("detail", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lastUpdate", org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("lastUpdateDate", org.apache.spark.sql.types.DateType))))
     val w = Window.partitionBy(col("pipelineDefId"), col("taskName"))
       .orderBy(col("lastUpdate").desc)
     status.read.withColumn("rn", row_number().over(w))
@@ -75,6 +86,7 @@ final class Journal(spark: SparkSession, root: String) {
   /** pipelineDefIds whose latest run has any errored task (rerun logic,
     * ref M/configbuilder/Start.scala:198-218). */
   def failedPipelines: Seq[String] =
-    latestStatus.filter(col("status") === "Error")
+    if (!status.exists) Nil
+    else latestStatus.filter(col("status") === "Error")
       .select("pipelineDefId").distinct().as[String].collect().toSeq
 }

@@ -63,8 +63,19 @@ object EventTimeOps {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
-            SessionUpdate(userId, s.sessionId, s.n, s.sum, closed = true)
+            if (s.n == 0L) {
+              // tombstone expired: free the state (the counter is lost, but
+              // two consecutive idle periods passed — document as the bound)
+              state.remove()
+              SessionUpdate(userId, s.sessionId, 0L, 0.0, closed = true)
+            } else {
+              // close the session but KEEP a tombstone carrying the counter,
+              // so the user's next session doesn't restart at id 0 and
+              // collide with long-closed sessions downstream
+              state.update(SessionState(s.sessionId + 1, Long.MinValue, 0L, 0.0))
+              state.setTimeoutDuration(gapMs * 8)
+              SessionUpdate(userId, s.sessionId, s.n, s.sum, closed = true)
+            }
           } else {
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
             var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))

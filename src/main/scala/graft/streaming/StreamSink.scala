@@ -51,27 +51,36 @@ object StreamSink {
                 matched: Seq[MergeInto.WhenMatched] = Seq(MergeInto.WhenMatched(None, MergeInto.UpdateAll)),
                 notMatched: Seq[MergeInto.WhenNotMatched] = Seq(MergeInto.WhenNotMatched(None, MergeInto.InsertAll)),
                 dedupOrderCols: Seq[String] = Nil,
-                appId: String = "graft-scd1"): (DataFrame, Long) => Unit =
+                appId: String = null): (DataFrame, Long) => Unit = {
+    // default appId is scoped to the table root: a fixed constant would make
+    // two queries (or a wiped checkpoint) collide on (appId, batchId) and
+    // silently skip real batches as replays
+    val id = Option(appId).getOrElse(s"graft-scd1:${table.root}")
     (batch, batchId) =>
       Scd.writeScd1(table, batch, keySpecs, matched, notMatched, dedupOrderCols,
-        txn = Some((appId, batchId)))
+        txn = Some((id, batchId)))
+  }
 
   def scd2Batch(table: ParquetTable, keySpecs: Seq[String],
                 matchCondition: String,
                 updateMap: Map[String, String], insertMap: Map[String, String],
                 dedupOrderCols: Seq[String] = Nil,
-                appId: String = "graft-scd2"): (DataFrame, Long) => Unit =
+                appId: String = null): (DataFrame, Long) => Unit = {
+    val id = Option(appId).getOrElse(s"graft-scd2:${table.root}")
     (batch, batchId) =>
       Scd.writeScd2(table, batch, keySpecs, matchCondition, updateMap, insertMap,
-        dedupOrderCols, txn = Some((appId, batchId)))
+        dedupOrderCols, txn = Some((id, batchId)))
+  }
 
   def scd4Batch(current: ParquetTable, history: ParquetTable, keySpecs: Seq[String],
                 updatedAtCol: String = "updated_at",
                 dedupOrderCols: Seq[String] = Nil,
-                appId: String = "graft-scd4"): (DataFrame, Long) => Unit =
+                appId: String = null): (DataFrame, Long) => Unit = {
+    val id = Option(appId).getOrElse(s"graft-scd4:${current.root}")
     (batch, batchId) =>
       Scd.writeScd4(current, history, batch, keySpecs, updatedAtCol, dedupOrderCols,
-        txn = Some((appId, batchId)))
+        txn = Some((id, batchId)))
+  }
 
   /** Start a foreachBatch stream with the declarative config (ref
     * ProcessOutputStream.processOutputStreamBatch,
@@ -110,5 +119,7 @@ object StreamSink {
     * M/writter/DeltaWritter.scala:324-443: history-load append with fixed
     * trigger + per-table checkpoint). */
   def startAppend(df: DataFrame, cfg: WriteStreamConfig, path: String): StreamingQuery =
-    cfg.applyOptions(df.writeStream.format(cfg.format)).start(path)
+    // append is forced: file sinks reject the config default ("update")
+    cfg.applyOptions(df.writeStream.format(cfg.format))
+      .outputMode("append").start(path)
 }

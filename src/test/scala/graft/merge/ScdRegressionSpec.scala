@@ -51,6 +51,43 @@ class ScdRegressionSpec extends SparkSpec {
     assert(dirs.toSeq == Seq("p=11%3A45"))
   }
 
+  test("writeScd4 records the txn on BOTH tables: replay appends no duplicate history") {
+    val cur = new ParquetTable(spark, tmpDir("s4cur"))
+    val hist = new ParquetTable(spark, tmpDir("s4hist"))
+    val ts0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def batch(v: String) = Seq((1, v, false, true, ts0))
+      .toDF("k", "v", "deleted_flag", "row_active", "updated_at")
+    Scd.writeScd4(cur, hist, batch("v1"), Seq("k"), txn = Some(("a", 0L)))
+    Scd.writeScd4(cur, hist, batch("v2"), Seq("k"), txn = Some(("a", 1L)))
+    assert(hist.read.count() == 1)
+    Scd.writeScd4(cur, hist, batch("v2"), Seq("k"), txn = Some(("a", 1L))) // replay
+    assert(hist.read.count() == 1) // no duplicate snapshot
+    assert(cur.read.select("v").as[String].collect().toSeq == Seq("v2"))
+  }
+
+  test("writeScd1/4 bootstrap applies insert-clause logic (tombstones excluded)") {
+    val cur = new ParquetTable(spark, tmpDir("s4boot"))
+    val hist = new ParquetTable(spark, tmpDir("s4bootH"))
+    val ts0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val first = Seq(
+      (1, "live", false, true, ts0),
+      (2, "ghost", false, false, ts0) // delete tombstone in the FIRST batch
+    ).toDF("k", "v", "deleted_flag", "row_active", "updated_at")
+    Scd.writeScd4(cur, hist, first, Seq("k"))
+    assert(cur.read.select("k").as[Int].collect().toSeq == Seq(1)) // ghost not live
+
+    val t1 = new ParquetTable(spark, tmpDir("s1boot"))
+    Scd.writeScd1(t1, first, Seq("k"),
+      notMatched = Seq(MergeInto.WhenNotMatched(Some("updates.row_active = true"),
+        MergeInto.InsertAll)))
+    assert(t1.read.select("k").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("operator key specs parse correctly for both sides") {
+    assert(MergeInto.extractJoinKeys(Seq("a != b", "x < y", "k")) == Seq("b", "y", "k"))
+    assert(MergeInto.extractTargetKeys(Seq("a != b", "x < y", "k")) == Seq("a", "x", "k"))
+  }
+
   test("concurrent appends to one table keep every commit (journal race)") {
     val t = new ParquetTable(spark, tmpDir("conc"))
     t.create(Seq((0, "seed")).toDF("k", "v"))

@@ -97,6 +97,12 @@ class PipelineSpec extends SparkSpec {
     assert(cfg2.exists(_._2 == Map("currentFlag" -> "false", "expryDate" -> "updates.effDate")))
   }
 
+  test("fresh journal yields empty latestStatus/failedPipelines, not an error") {
+    val j = new Journal(spark, tmpDir("journal_fresh"))
+    assert(j.failedPipelines.isEmpty)
+    assert(j.latestStatus.count() == 0)
+  }
+
   test("Journal records status/facts/errors and finds failed pipelines") {
     val j = new Journal(spark, tmpDir("journal"))
     j.logStatus("pd1", "reader", "Finished")
