@@ -545,6 +545,12 @@ object OracleSql {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
 
+    "q50_incremental_dedup" ->
+      """SELECT doc_id, lang FROM documents b
+        |WHERE doc_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |    WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text))""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

@@ -558,6 +558,16 @@ object SparkEntry {
     withBig.unionByName(without)
   }
 
+  /** Incremental dedup: treat high doc_ids as the "new batch" and dedupe
+    * against the already-ingested remainder. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    Dedup.incrementalNew(batch, corpus, "text")
+      .select(col("doc_id"), col("lang"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -609,7 +619,8 @@ object SparkEntry {
     "q46_corpus_minhash" -> (q46 _),
     "q47_range_join" -> (q47 _),
     "q48_rollup" -> (q48 _),
-    "q49_semi_anti_join" -> (q49 _)
+    "q49_semi_anti_join" -> (q49 _),
+    "q50_incremental_dedup" -> (q50 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -51,6 +51,17 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup: rows of `batch` whose text fingerprint is NOT
+    * already in `corpus` — the continuous-ingestion shape (dedupe each new
+    * crawl increment against everything already ingested). One shuffle on
+    * the 128-bit fingerprint; at scale the corpus side is the pre-computed
+    * fingerprint table, not a re-scan. */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame, textCol: String): DataFrame = {
+    val b = batch.withColumn("__fp", md5(col(textCol)))
+    val seen = corpus.select(md5(col(textCol)).as("__fp")).distinct()
+    b.join(seen, Seq("__fp"), "left_anti").drop("__fp")
+  }
+
   /** Survivors of exact dedup (the deduplicated corpus). */
   def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
