@@ -91,6 +91,29 @@ final class ParquetTable(val spark: SparkSession, val root: String,
     else spark.read.parquet(f"$snapDir/v${latestVersion}%05d")
   }
 
+  /** Distinct partition-key tuples present in a batch (the manual-DPP driver
+    * list, ref M/utility/Utility.scala:339-348). Bounded: one row per touched
+    * partition, not per batch row. */
+  private def touchedPartitions(batch: DataFrame): Array[org.apache.spark.sql.Row] =
+    batch.select(partitionKeys.map(col): _*).distinct().collect()
+
+  private def prunerFor(touched: Array[org.apache.spark.sql.Row]): org.apache.spark.sql.Column =
+    touched.foldLeft(lit(false)) { (acc, row) =>
+      val one = partitionKeys.zipWithIndex.map { case (k, i) =>
+        if (row.isNullAt(i)) col(k).isNull else col(k) === lit(row.get(i))
+      }.reduce(_ && _)
+      acc || one
+    }
+
+  /** The table restricted to the partitions `batch` touches — the same manual
+    * DPP `merge` applies, exposed so callers that stage multi-step merge
+    * sources (SCD2's rows-to-insert probe, SCD4's history snapshot join) can
+    * bound their target READS as well as the rewrite. Falls back to a full
+    * read for unpartitioned tables. */
+  def readPruned(batch: DataFrame): DataFrame =
+    if (partitionKeys.isEmpty) read
+    else read.filter(prunerFor(touchedPartitions(batch)))
+
   /** Create with initial contents (ref create-if-absent probe `checkTable`,
     * M/utility/Utility.scala:361-371). The creating batch's txn is recorded
     * so a checkpoint replay of batch 0 is skipped like any other batch. */
@@ -140,14 +163,8 @@ final class ParquetTable(val spark: SparkSession, val root: String,
       // Manual DPP (ref M/utility/Utility.scala:339-348): the distinct
       // partition-key values of the update batch bound BOTH the target read
       // and the rewrite — only touched partitions are scanned and replaced.
-      val touched = updates.select(partitionKeys.map(col): _*).distinct().collect()
-      val pruner = touched.foldLeft(lit(false)) { (acc, row) =>
-        val one = partitionKeys.zipWithIndex.map { case (k, i) =>
-          if (row.isNullAt(i)) col(k).isNull else col(k) === lit(row.get(i))
-        }.reduce(_ && _)
-        acc || one
-      }
-      val targetTouched = read.filter(pruner)
+      val touched = touchedPartitions(updates)
+      val targetTouched = read.filter(prunerFor(touched))
       val merged = MergeInto(targetTouched, updates, condition, matched, notMatched)
         .localCheckpoint() // materialize BEFORE overwriting the dirs we read from
       // per-WRITER dynamic overwrite: mutating the session conf would leak

@@ -91,11 +91,13 @@ object Scd {
     *                        (e.g. "current_flag" -> "false", "expiry_at" -> "updates.eff_date")
     * @param insertMap       VALUES map creating the new current row
     */
-  def scd2Apply(target: DataFrame, updates: DataFrame, keySpecs: Seq[String],
-                matchCondition: String,
-                updateMap: Map[String, String],
-                insertMap: Map[String, String],
-                extraCondition: Option[String] = None): DataFrame = {
+  /** The staged merge source + condition implementing the union trick —
+    * shared by the pure `scd2Apply` and the table-backed `writeScd2` so the
+    * write path can route the SAME source through the partition-pruned
+    * `ParquetTable.merge` instead of a full-table rewrite. */
+  private def scd2Source(target: DataFrame, updates: DataFrame, keySpecs: Seq[String],
+                         matchCondition: String,
+                         extraCondition: Option[String]): (DataFrame, String) = {
     val uKeys = extractJoinKeys(keySpecs)
     val tKeys = extractTargetKeys(keySpecs)
 
@@ -121,7 +123,16 @@ object Scd {
     val mergeCond = tKeys.zip(mergeKeyCols)
       .map { case (tk, mk) => s"target.$tk = updates.$mk" }
       .++(extraCondition.toSeq).mkString(" AND ")
+    (staged, mergeCond)
+  }
 
+  def scd2Apply(target: DataFrame, updates: DataFrame, keySpecs: Seq[String],
+                matchCondition: String,
+                updateMap: Map[String, String],
+                insertMap: Map[String, String],
+                extraCondition: Option[String] = None): DataFrame = {
+    val (staged, mergeCond) = scd2Source(target, updates, keySpecs,
+      matchCondition, extraCondition)
     MergeInto(target, staged, mergeCond,
       matched = Seq(WhenMatched(Some(matchCondition), UpdateExpr(updateMap))),
       notMatched = Seq(WhenNotMatched(None, InsertExpr(insertMap))))
@@ -148,12 +159,18 @@ object Scd {
       return
     }
     if (txn.exists { case (a, v) => table.seenTxn(a, v) }) return
-    // scd2Apply's plan lazily READS table.read; materialize before the
-    // overwrite re-targets the same directory (partitioned tables write
-    // dataDir in place).
-    val merged = scd2Apply(table.read, deduped, keySpecs, matchCondition,
-      updateMap, insertMap, extraCondition).localCheckpoint()
-    table.overwrite(merged, Map("numSourceRows" -> deduped.count().toString), txn = txn)
+    // Partition-bounded SCD2 (ref splices manual DPP into its SCD2 merge,
+    // M/utility/Utility.scala:524-527,548-551): the rows-to-insert probe joins
+    // against only the partitions the batch touches, and the staged source —
+    // whose insert rows carry real partition values — rides through
+    // ParquetTable.merge's touched-partition COW. A CDC micro-batch neither
+    // reads nor rewrites untouched partitions.
+    val (staged, mergeCond) = scd2Source(table.readPruned(deduped), deduped,
+      keySpecs, matchCondition, extraCondition)
+    table.merge(staged, mergeCond,
+      matched = Seq(WhenMatched(Some(matchCondition), UpdateExpr(updateMap))),
+      notMatched = Seq(WhenNotMatched(None, InsertExpr(insertMap))),
+      txn = txn, metrics = Map("numSourceRows" -> deduped.count().toString))
   }
 
   // -------------------------------------------------------------------------
@@ -167,25 +184,36 @@ object Scd {
     * ref M/utility/Utility.scala:645-676), then the current table takes an
     * SCD1 merge where `row_active = false` updates soft-delete
     * (`deleted_flag = true`) instead of updating. */
+  /** SCD4's current-table clause matrix: `row_active = false` soft-deletes,
+    * everything else upserts. Shared by the pure and table-backed paths. */
+  private val scd4Matched = Seq(
+    WhenMatched(Some("updates.row_active = false"),
+      UpdateExpr(Map("deleted_flag" -> "true"))),
+    WhenMatched(None, UpdateAll))
+  private val scd4NotMatched =
+    Seq(WhenNotMatched(Some("updates.row_active = true"), InsertAll))
+
+  /** Matched current rows snapshotted for the history table, stamped with the
+    * update's timestamp (ref M/utility/Utility.scala:645-676). */
+  private def scd4HistoryRows(current: DataFrame, updates: DataFrame,
+                              keySpecs: Seq[String], updatedAtCol: String,
+                              extraCondition: Option[String]): DataFrame = {
+    val joinCond = expr(buildJoinCondition(keySpecs, extraCondition))
+    current.alias("target")
+      .join(updates.alias("updates"),
+        joinCond && col("updates.row_active") === lit(true), "inner")
+      .select(current.columns.map(c => col(s"target.$c")) :+
+        col(s"updates.$updatedAtCol").cast("timestamp").as("history_created_at"): _*)
+  }
+
   def scd4Apply(current: DataFrame, updates: DataFrame, keySpecs: Seq[String],
                 updatedAtCol: String = "updated_at",
                 extraCondition: Option[String] = None): (DataFrame, DataFrame) = {
-    val joinCond = expr(buildJoinCondition(keySpecs, extraCondition))
-    val t = current.alias("target")
-    val u = updates.alias("updates")
-
-    val historyRows = t.join(u, joinCond && col(s"updates.row_active") === lit(true), "inner")
-      .select(current.columns.map(c => col(s"target.$c")) :+
-        col(s"updates.$updatedAtCol").cast("timestamp").as("history_created_at"): _*)
-
+    val historyRows = scd4HistoryRows(current, updates, keySpecs, updatedAtCol,
+      extraCondition)
     val newCurrent = scd1Apply(current, updates, keySpecs,
-      matched = Seq(
-        WhenMatched(Some("updates.row_active = false"),
-          UpdateExpr(Map("deleted_flag" -> "true"))),
-        WhenMatched(None, UpdateAll)),
-      notMatched = Seq(WhenNotMatched(Some("updates.row_active = true"), InsertAll)),
+      matched = scd4Matched, notMatched = scd4NotMatched,
       extraCondition = extraCondition)
-
     (newCurrent, historyRows)
   }
 
@@ -206,13 +234,18 @@ object Scd {
       return
     }
     if (txn.exists { case (a, v) => current.seenTxn(a, v) }) return
-    val (newCurrent, histRows) = scd4Apply(current.read, deduped, keySpecs,
-      updatedAtCol, extraCondition)
-    val hist = histRows.localCheckpoint()
-    val cur = newCurrent.localCheckpoint()
-    // the txn record rides on BOTH tables so a replayed batch neither
-    // re-appends history nor re-overwrites current
-    history.append(hist, txn = txn)
-    current.overwrite(cur, txn = txn)
+    // Partition-bounded SCD4: the history snapshot join reads only the
+    // partitions the batch touches, and the current table takes the same
+    // clause matrix through ParquetTable.merge's touched-partition COW
+    // instead of a full-table overwrite. History is appended FIRST — it
+    // materializes while current's data files are still the ones its plan
+    // reads; the txn record rides on BOTH tables so a replayed batch neither
+    // re-appends history nor re-merges current.
+    val histRows = scd4HistoryRows(current.readPruned(deduped), deduped,
+      keySpecs, updatedAtCol, extraCondition)
+    history.append(histRows, txn = txn)
+    current.merge(deduped, buildJoinCondition(keySpecs, extraCondition),
+      matched = scd4Matched, notMatched = scd4NotMatched,
+      txn = txn, metrics = Map("numSourceRows" -> deduped.count().toString))
   }
 }

@@ -38,6 +38,64 @@ class ScdRegressionSpec extends SparkSpec {
     assert(table.read.filter($"k" === 9).count() == 0)
   }
 
+  /** (partition-dir -> file-name -> bytes) snapshot of a partitioned table. */
+  private def partitionFiles(root: String): Map[String, Map[String, Seq[Byte]]] = {
+    val data = new java.io.File(s"$root/data")
+    data.listFiles().filter(_.isDirectory).map { d =>
+      d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq
+      }.toMap
+    }.toMap
+  }
+
+  test("writeScd2 merges touched partitions only; untouched files byte-identical") {
+    val table = new ParquetTable(spark, tmpDir("scd2prune"), partitionKeys = Seq("region"))
+    val insertMap = Map(
+      "k" -> "updates.k", "v" -> "updates.v", "region" -> "updates.region",
+      "current_flag" -> "true", "eff" -> "updates.eff",
+      "expiry" -> "cast(null as string)")
+    def write(batch: org.apache.spark.sql.DataFrame): Unit =
+      Scd.writeScd2(table, batch, Seq("k"),
+        matchCondition = "target.current_flag = true AND target.v <> updates.v",
+        updateMap = Map("current_flag" -> "false", "expiry" -> "updates.eff"),
+        insertMap = insertMap)
+
+    write(Seq((1, "a", "eu", "d1"), (2, "b", "us", "d1"), (3, "c", "ap", "d1"))
+      .toDF("k", "v", "region", "eff"))
+    val before = partitionFiles(table.root)
+    assert(before.keySet == Set("region=eu", "region=us", "region=ap"))
+
+    // batch touches ONLY region=eu
+    write(Seq((1, "a2", "eu", "d2")).toDF("k", "v", "region", "eff"))
+    val after = partitionFiles(table.root)
+    // untouched partitions: identical file names AND identical bytes
+    assert(after("region=us") == before("region=us"))
+    assert(after("region=ap") == before("region=ap"))
+    // touched partition was rewritten (old + expired + new version)
+    val eu = table.read.filter($"region" === "eu")
+      .select("k", "v", "current_flag").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(eu == Set((1, "a", false), (1, "a2", true)))
+    assert(table.lastMetrics.get("numSourceRows").contains("1"))
+  }
+
+  test("writeScd4 merges current's touched partitions only") {
+    val cur = new ParquetTable(spark, tmpDir("s4prune"), partitionKeys = Seq("region"))
+    val hist = new ParquetTable(spark, tmpDir("s4pruneH"))
+    val ts0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def batch(rows: Seq[(Int, String, String)]) = rows
+      .map { case (k, v, r) => (k, v, r, false, true, ts0) }
+      .toDF("k", "v", "region", "deleted_flag", "row_active", "updated_at")
+    Scd.writeScd4(cur, hist, batch(Seq((1, "a", "eu"), (2, "b", "us"))), Seq("k"))
+    val before = partitionFiles(cur.root)
+
+    Scd.writeScd4(cur, hist, batch(Seq((1, "a2", "eu"))), Seq("k"))
+    val after = partitionFiles(cur.root)
+    assert(after("region=us") == before("region=us")) // untouched, byte-identical
+    assert(cur.read.filter($"k" === 1).select("v").as[String].collect().toSeq == Seq("a2"))
+    assert(hist.read.count() == 1) // old eu row snapshotted
+  }
+
   test("emptied-partition cleanup handles Hive-escaped partition values") {
     val t = new ParquetTable(spark, tmpDir("esc"), partitionKeys = Seq("p"))
     // ':' is Hive-escaped to %3A in directory names
