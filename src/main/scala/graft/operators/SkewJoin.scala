@@ -19,16 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Inner equi-join of `big` (skewed) with `small` on `keys`. */
+  /** Inner equi-join of `big` (skewed) with `small` on `keys`.
+    *
+    * The salt must VARY within a hot key to split it across reducers, so it
+    * hashes the key plus the first couple of non-key columns. `xxhash64`
+    * over native column values stays inside whole-stage codegen (no per-row
+    * stringification of the full row) and is deterministic across runs. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int = 8): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
     val saltCol = "__graft_salt"
-    // deterministic salt: portable hash of the whole row spread over factor
-    val allCols = big.columns.map(col)
+    val spread = big.columns.filterNot(keys.contains).take(2)
     val salted = big.withColumn(saltCol,
-      pmod(graft.functions.Hashes.portableHash32(concat_ws("",
-        allCols.map(_.cast("string")): _*)), lit(saltFactor.toLong)))
+      pmod(xxhash64((keys ++ spread).map(col): _*), lit(saltFactor.toLong)))
     val replicated = small.withColumn(saltCol,
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     salted.join(replicated, keys :+ saltCol).drop(saltCol)

@@ -49,6 +49,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("ANN top-k is a partial aggregate, not a window over the scored set") {
+    val p = plan(SparkEntry.queries("q24_ann_topk")(spark, sf))
+    assert(!p.contains("Window"), s"top-k degenerated to a window shuffle:\n$p")
+    assert(p.contains("partial_topk_agg"), s"no map-side partial top-k:\n$p")
+  }
+
+  test("IVF assignment is a projection: no join/window over corpus x centroids") {
+    val assigned = graft.operators.Similarity.ivfAssign(
+      Tables.load(spark, sf, "embeddings"), nCentroids = 8)
+    val p = plan(assigned)
+    assert(!p.contains("Window"), s"centroid argmin shuffled through a window:\n$p")
+    assert(!p.contains("Join"), s"centroid argmin joined instead of projecting:\n$p")
+    val q40 = plan(SparkEntry.queries("q40_ivf_topk")(spark, sf))
+    assert(!q40.contains("Window") && !q40.contains("CartesianProduct"), q40)
+    assert(q40.contains("partial_topk_agg"), q40)
+  }
+
   test("salted join stays an equi-join on (key, salt)") {
     val p = plan(SparkEntry.queries("q41_salted_join")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
