@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Hashes, Pii}
+import graft.functions.{AesCodec, Crypto, Hashes, Pii}
 
 /** The processor stage of a CDC pipeline — the reference's BaseProcessor
   * composition (reference M/processor/BaseProcessor.scala:28-116): demuxed
@@ -22,6 +22,9 @@ object CdcProcessor {
   case object HashComplete extends PiiAction   // sha2 into <col>_hash (original kept, as in the reference)
   case object ScrubPartial extends PiiAction   // free-text scrub into <col>_hash
   final case class Mask(pattern: String, replacement: String) extends PiiAction
+  /** AES-encrypt the column in place (ref encryptIt fold,
+    * M/processor/BaseProcessor.scala:79-81). */
+  final case class Encrypt(codec: AesCodec) extends PiiAction
 
   final case class PiiRule(columnName: String, commonFlag: Boolean, action: PiiAction)
 
@@ -34,8 +37,33 @@ object CdcProcessor {
         case HashComplete => Pii.hashColumns(d, cols)
         case ScrubPartial => Pii.scrubColumns(d, cols)
         case Mask(p, r) => cols.foldLeft(d)((dd, c) => Pii.mask(dd, c, p, r))
+        case Encrypt(codec) => Crypto.encryptColumns(d, cols, codec)
       }
     }
+
+  /** Build PII rules from a `pii_column_details`-shaped config frame
+    * (pii_column_name, common_flag, anonymization_flag in
+    * {complete, partial}, encryption_flag) — the reference's three
+    * config-driven governance folds (M/processor/BaseProcessor.scala:70-81).
+    * Bounded driver-side collect: this is a config table, rows = number of
+    * governed columns. Encryption rules are emitted LAST, matching the
+    * reference's hash -> scrub -> encrypt order. */
+  def rulesFromPiiDetails(piiDf: DataFrame, codec: AesCodec): Seq[PiiRule] = {
+    val rows = piiDf.select("pii_column_name", "common_flag",
+      "anonymization_flag", "encryption_flag").collect()
+    val anonymize = rows.toSeq.flatMap { r =>
+      Option(r.getString(2)).map(_.toLowerCase) match {
+        case Some("complete") => Some(PiiRule(r.getString(0), r.getBoolean(1), HashComplete))
+        case Some("partial")  => Some(PiiRule(r.getString(0), r.getBoolean(1), ScrubPartial))
+        case _ => None
+      }
+    }
+    val encrypt = rows.toSeq.collect {
+      case r if !r.isNullAt(3) && r.getBoolean(3) =>
+        PiiRule(r.getString(0), r.getBoolean(1), Encrypt(codec))
+    }
+    anonymize ++ encrypt
+  }
 
   /** Full processor: demux -> shard enrich -> omit -> govern -> change hash
     * -> merge bucket -> epoch cast. All config-driven, like the reference's

@@ -19,7 +19,8 @@ object IngestionJob {
                     source: () => DataFrame,
                     targetRoot: String,
                     shardMappings: Option[DataFrame] = None,
-                    journal: Option[Journal] = None): Pipeline = {
+                    journal: Option[Journal] = None,
+                    piiRules: Seq[CdcProcessor.PiiRule] = Nil): Pipeline = {
     val p = new Pipeline(s"${cfg.pipelineDefId}_${cfg.tableName}", spark)
 
     p.addTask(new Task {
@@ -35,6 +36,7 @@ object IngestionJob {
           in("rawdf"),
           shardMappings = shardMappings,
           omittedCols = cfg.omittedCols,
+          piiRules = piiRules,
           joinKeys = graft.merge.MergeInto.extractJoinKeys(cfg.joinKeys)))
     })
 
@@ -80,9 +82,11 @@ object IngestionJob {
           targetRoot: String,
           shardMappings: Option[DataFrame] = None,
           journal: Option[Journal] = None,
-          parallelism: Int = 4): Map[String, Boolean] = {
+          parallelism: Int = 4,
+          piiRules: Seq[CdcProcessor.PiiRule] = Nil): Map[String, Boolean] = {
     val pipelines = controlRows.map(cfg =>
-      cfg -> buildPipeline(spark, cfg, source(cfg), targetRoot, shardMappings, journal))
+      cfg -> buildPipeline(spark, cfg, source(cfg), targetRoot, shardMappings, journal,
+        piiRules))
     val results = PipelineRunner.runAll(pipelines.map(_._2), parallelism)
     journal.foreach { j =>
       pipelines.foreach { case (cfg, p) =>

@@ -106,6 +106,38 @@ class IngestionJobSpec extends SparkSpec {
     assert(bucket >= 0 && bucket < 500)
   }
 
+  test("pii_column_details encryption_flag drives e2e encryption in the merged target") {
+    import graft.functions.AesCodec
+    val root = tmpDir("ingest_enc")
+    val cfg = TableConfig.fromRow(cfgRow("pd_enc", "people"))
+    val codec = AesCodec("salty", "sekrit")
+
+    // the reference's pii config table shape (M/processor/BaseProcessor.scala:70-81)
+    val piiDf = Seq(("name", true, null.asInstanceOf[String], true))
+      .toDF("pii_column_name", "common_flag", "anonymization_flag", "encryption_flag")
+    val rules = CdcProcessor.rulesFromPiiDetails(piiDf, codec)
+    assert(rules == Seq(CdcProcessor.PiiRule("name", true, CdcProcessor.Encrypt(codec))))
+
+    val b1 = envelope(Seq(("c", 1L, "alice", 1L)))
+    val r = IngestionJob.run(spark, Seq(cfg), _ => () => b1, root, piiRules = rules)
+    assert(r.values.forall(identity))
+
+    val stored = spark.read.parquet(s"$root/people/snap/v00000")
+      .select("name").as[String].collect().head
+    assert(stored != "alice")                  // encrypted at rest
+    assert(codec.decrypt(stored) == "alice")   // round-trips with the codec
+
+    // anonymization_flag rows map to hash/scrub rules alongside encryption
+    val mixed = CdcProcessor.rulesFromPiiDetails(
+      Seq(("a", true, "complete", false), ("b", false, "partial", true))
+        .toDF("pii_column_name", "common_flag", "anonymization_flag", "encryption_flag"),
+      codec)
+    assert(mixed == Seq(
+      CdcProcessor.PiiRule("a", true, CdcProcessor.HashComplete),
+      CdcProcessor.PiiRule("b", false, CdcProcessor.ScrubPartial),
+      CdcProcessor.PiiRule("b", false, CdcProcessor.Encrypt(codec))))
+  }
+
   test("keysFirst reorders merge keys to the front") {
     val df = Seq((1, "x", 2)).toDF("a", "b", "k")
     assert(CdcProcessor.keysFirst(df, Seq("k")).columns.toSeq == Seq("k", "a", "b"))
