@@ -54,6 +54,13 @@ final class ParquetTable(val spark: SparkSession, val root: String,
 
   def exists: Boolean = Files.exists(Paths.get(logDir)) && latestVersion >= 0
 
+  /** Serialize a multi-step read-decide-write section (e.g. the SCD writers'
+    * exists-check + create/merge) against other writers of this table —
+    * without this, two concurrent bootstraps both observe `!exists` and the
+    * second CREATE clobbers the first. The commit methods take the same
+    * (reentrant) monitor, so nesting is safe. */
+  def withLock[T](f: => T): T = monitor.synchronized(f)
+
   def latestVersion: Long = {
     val p = Paths.get(logDir)
     if (!Files.exists(p)) return -1L

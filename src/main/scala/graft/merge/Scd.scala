@@ -54,7 +54,7 @@ object Scd {
                 notMatched: Seq[WhenNotMatched] = Seq(WhenNotMatched(None, InsertAll)),
                 dedupOrderCols: Seq[String] = Nil,
                 extraCondition: Option[String] = None,
-                txn: Option[(String, Long)] = None): Unit = {
+                txn: Option[(String, Long)] = None): Unit = table.withLock {
     val keys = extractJoinKeys(keySpecs)
     val deduped = if (dedupOrderCols.nonEmpty) dedupByKey(updates, keys, dedupOrderCols)
                   else updates
@@ -144,7 +144,7 @@ object Scd {
                 insertMap: Map[String, String],
                 dedupOrderCols: Seq[String] = Nil,
                 extraCondition: Option[String] = None,
-                txn: Option[(String, Long)] = None): Unit = {
+                txn: Option[(String, Long)] = None): Unit = table.withLock {
     val keys = extractJoinKeys(keySpecs)
     val deduped = if (dedupOrderCols.nonEmpty) dedupByKey(updates, keys, dedupOrderCols)
                   else updates
@@ -221,7 +221,7 @@ object Scd {
                 keySpecs: Seq[String], updatedAtCol: String = "updated_at",
                 dedupOrderCols: Seq[String] = Nil,
                 extraCondition: Option[String] = None,
-                txn: Option[(String, Long)] = None): Unit = {
+                txn: Option[(String, Long)] = None): Unit = current.withLock {
     val keys = extractJoinKeys(keySpecs)
     val deduped = if (dedupOrderCols.nonEmpty) dedupByKey(updates, keys, dedupOrderCols)
                   else updates

@@ -23,6 +23,15 @@ object CdcDemux {
         StructField("db", StringType),
         StructField("server_id", LongType)))))))))
 
+  /** True when the frame carries the Debezium envelope (a `value` struct
+    * with an `op` field) — plain-table sources (JDBC bulk scans, history
+    * loads) skip the demux. */
+  def isEnvelope(df: DataFrame): Boolean =
+    df.schema.fields.find(_.name == "value").exists(_.dataType match {
+      case s: StructType => s.fieldNames.contains("op")
+      case _ => false
+    })
+
   /** Demux a raw envelope frame into flattened rows with `row_active` /
     * `deleted_flag` (ref M/processor/BaseProcessor.scala:40-49): upserts
     * (op c/u) expand `after`, deletes (op d) expand `before` with

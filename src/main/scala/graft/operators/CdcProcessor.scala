@@ -75,7 +75,16 @@ object CdcProcessor {
               joinKeys: Seq[String] = Nil,
               groupingBuckets: Int = 500,
               epochMillisCols: Seq[String] = Nil): DataFrame = {
-    val demuxed = CdcDemux.demux(envelope)
+    // plain-table sources (sharded-JDBC bulk scan) arrive without the CDC
+    // envelope: every row is an upsert
+    val demuxed =
+      if (CdcDemux.isEnvelope(envelope)) CdcDemux.demux(envelope)
+      else {
+        val d0 = if (envelope.columns.contains("row_active")) envelope
+                 else envelope.withColumn("row_active", lit(true))
+        if (d0.columns.contains("deleted_flag")) d0
+        else d0.withColumn("deleted_flag", lit(false))
+      }
     val sharded = shardMappings.map(CdcDemux.joinShards(demuxed, _)).getOrElse(demuxed)
     // fold-left drop, ref dropIt M/utility/Utility.scala:142-149
     val stripped = omittedCols.foldLeft(sharded)((d, c) => d.drop(c))
