@@ -551,6 +551,31 @@ object OracleSql {
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |    WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text))""".stripMargin,
 
+    "q51_embedding_lsh" -> {
+      // the SAME seed-deterministic hyperplanes the Spark side projects onto,
+      // embedded as double literals (float -> double is exact)
+      val planes = graft.operators.Dedup.randomHyperplanes(numBands = 2,
+        bitsPerBand = 8, dim = 64)
+      val rows = planes.zipWithIndex.flatMap { case (band, b) =>
+        band.zipWithIndex.map { case (h, i) =>
+          s"($b, $i, [${h.map(_.toDouble.toString).mkString(", ")}])"
+        }
+      }.mkString(",\n")
+      s"""WITH planes(band, bit, h) AS (VALUES
+         |$rows),
+         |keyed AS (
+         |  SELECT e.vec_id AS id, e.embedding AS v, p.band,
+         |    SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |          i -> (e.embedding[i]::DOUBLE) * p.h[i])) >= 0
+         |        THEN (1::BIGINT << p.bit) ELSE 0 END) AS key
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY 1, 2, 3),
+         |cands AS (SELECT DISTINCT a.id AS id_a, a.v AS va, b.id AS id_b, b.v AS vb
+         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |scored AS (SELECT id_a, id_b, ${cosineSql("va", "vb")} AS cos FROM cands)
+         |SELECT id_a, id_b, ${rnd("cos", 3)} AS cos FROM scored WHERE cos >= 0.30""".stripMargin
+    },
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

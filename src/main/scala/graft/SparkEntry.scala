@@ -442,6 +442,17 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
   }
 
+  /** Multi-band random-hyperplane LSH near-dups — q39's scale path: tunable
+    * bucket granularity (2^bitsPerBand per band) + recall bands instead of a
+    * fixed 256-bucket sign pattern. Hyperplanes are seed-deterministic and
+    * embedded verbatim in the DuckDB oracle. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Dedup.embeddingNearDupsLsh(TW(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.30, bitsPerBand = 8, numBands = 2)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
+  }
+
   /** IVF ANN: probe the nearest centroid buckets only — the scale path where
     * brute force would scan the full corpus per query. */
   private def q40(s: SparkSession, dir: String): DataFrame = {
@@ -620,7 +631,8 @@ object SparkEntry {
     "q47_range_join" -> (q47 _),
     "q48_rollup" -> (q48 _),
     "q49_semi_anti_join" -> (q49 _),
-    "q50_incremental_dedup" -> (q50 _)
+    "q50_incremental_dedup" -> (q50 _),
+    "q51_embedding_lsh" -> (q51 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

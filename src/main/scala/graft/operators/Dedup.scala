@@ -250,4 +250,60 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
+
+  /** Deterministic Gaussian hyperplanes: `numBands` bands of `bitsPerBand`
+    * planes over `dim` dimensions. Fixed seed -> reproducible across runs
+    * and embeddable verbatim into an external oracle. */
+  def randomHyperplanes(numBands: Int, bitsPerBand: Int, dim: Int,
+                        seed: Long = 42L): Seq[Seq[Array[Float]]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(numBands)(Seq.fill(bitsPerBand)(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+  }
+
+  /** (id, v, band, key) LSH block keys: per band, the packed sign bits of the
+    * vector's projections onto that band's hyperplanes. One narrow projection
+    * per row (numBands * bitsPerBand codegen'd dot products) — no shuffle. */
+  def lshBlockKeys(df: DataFrame, idCol: String, vecCol: String,
+                   planes: Seq[Seq[Array[Float]]]): DataFrame = {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(df.sparkSession)
+    val bandKeys = planes.zipWithIndex.map { case (band, b) =>
+      val key = band.zipWithIndex.map { case (h, i) =>
+        when(VectorFunctions.dot(col(vecCol), typedLit(h.toSeq)) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Multi-band random-hyperplane near-dups — [[embeddingNearDups]]'s scale
+    * path. The fixed-signBits variant caps at 2^signBits buckets of the
+    * FIRST dims' signs (a skewed corpus collapses into one quadratic
+    * bucket); here bucket granularity is tunable (2^bitsPerBand per band,
+    * bits cut expected bucket size exponentially) and `numBands`
+    * independent bands restore the recall that finer buckets cost —
+    * standard random-hyperplane LSH for cosine. Candidates sharing several
+    * bands are deduped before the exact-cosine verify. */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                           threshold: Double = 0.95,
+                           bitsPerBand: Int = 16, numBands: Int = 4,
+                           seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions
+    // Materialize keys ONCE (same reasoning as the MinHash signature table:
+    // Catalyst would inline the projection into both sides of the self-join).
+    val keyed = lshBlockKeys(df, idCol, vecCol,
+      randomHyperplanes(numBands, bitsPerBand, dim, seed)).localCheckpoint()
+    keyed.alias("a").join(keyed.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 }

@@ -79,4 +79,35 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("multi-band LSH bounds buckets on a corpus the sign-pattern collapses") {
+    // Skewed corpus: every vector's FIRST 8 dims are positive, so the fixed
+    // axis-aligned blocking puts all 200 rows in ONE quadratic bucket; the
+    // random-hyperplane bands must spread them.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 200).map { i =>
+      (i.toLong, (Array.fill(8)(math.abs(rnd.nextGaussian()).toFloat + 0.01f) ++
+        Array.fill(56)(rnd.nextGaussian().toFloat)).toSeq)
+    }
+    // plant an exact near-dup pair (ids 900/901): identical vectors share
+    // every band key, so LSH recall must find them
+    val dup = base.head._2
+    val vecs = (base ++ Seq((900L, dup), (901L, dup))).toDF("id", "vec")
+
+    val signBlocks = vecs.select(concat_ws("", (0 until 8).map(i =>
+        when(element_at(col("vec"), i + 1) >= 0, "1").otherwise("0")): _*).as("b"))
+      .groupBy("b").count().collect()
+    assert(signBlocks.length == 1 && signBlocks.head.getLong(1) == 202) // collapsed
+
+    val keyed = Dedup.lshBlockKeys(vecs, "id", "vec",
+      Dedup.randomHyperplanes(numBands = 2, bitsPerBand = 8, dim = 64))
+    val maxBucket = keyed.groupBy("band", "key").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 40, s"max LSH bucket $maxBucket of 202 rows") // spread
+
+    val found = Dedup.embeddingNearDupsLsh(vecs, "id", "vec", dim = 64,
+        threshold = 0.999, bitsPerBand = 8, numBands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((900L, 901L)))
+  }
 }
