@@ -38,8 +38,12 @@ object Bench {
     }
     // Min of N timed runs per query: the minimum is robust against external
     // load spikes on a shared box (observed 3-5x swings run-to-run).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Optional args = bench only the named queries (iteration aid).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces full evaluation of EVERY output column (count()

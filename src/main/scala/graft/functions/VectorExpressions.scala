@@ -1,7 +1,8 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -88,6 +89,186 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
+/** Base for expressions that scan a BROADCAST centroid matrix per input row.
+  *
+  * The matrix rides in the expression as a `Broadcast` handle — one copy per
+  * executor, zero plan literals — so the plan stays O(1) size regardless of
+  * nCentroids x dim, and the scan participates in whole-stage codegen (the
+  * earlier `transform`-HOF formulation evaluated the cosine interpreted per
+  * centroid per row). Centroid norms are computed once per task from the
+  * broadcast value, never per row.
+  */
+abstract class CentroidExpression extends UnaryExpression with ExpectsInputTypes {
+  def centroids: Broadcast[Array[Array[Float]]]
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+
+  @transient protected lazy val cents: Array[Array[Float]] = centroids.value
+  @transient protected lazy val centNorms: Array[Double] = cents.map { cv =>
+    var s = 0.0; var i = 0
+    while (i < cv.length) { s += cv(i).toDouble * cv(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  protected def qNorm(q: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < q.length) { s += q(i).toDouble * q(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** cosine(q, cents(c)) with the same double-op order as [[CosineSimilarity]]
+    * (dot accumulated ascending, first-arg norm times second-arg norm), so
+    * scores are bit-identical to the crossJoin formulation the oracle mirrors. */
+  protected def cosineTo(q: Array[Float], nq: Double, c: Int): Double = {
+    val cv = cents(c)
+    var dot = 0.0; var i = 0
+    val m = math.min(q.length, cv.length)
+    while (i < m) { dot += q(i).toDouble * cv(i).toDouble; i += 1 }
+    if (nq == 0.0 || centNorms(c) == 0.0) 0.0 else dot / (nq * centNorms(c))
+  }
+
+  /** Instance fields in the generated class holding the unpacked broadcast
+    * matrix and its norms; initialized once in `init()`, reused every row. */
+  protected def centroidVars(ctx: CodegenContext): (String, String) = {
+    val bcRef = ctx.addReferenceObj("centroidsBc", centroids,
+      classOf[Broadcast[Array[Array[Float]]]].getName)
+    val cv = ctx.addMutableState("float[][]", "graftCents",
+      v => s"$v = (float[][]) $bcRef.value();")
+    val nv = ctx.addMutableState("double[]", "graftCentNorms", v =>
+      s"""
+         |$v = new double[$cv.length];
+         |for (int c = 0; c < $cv.length; c++) {
+         |  double s = 0.0; float[] x = $cv[c];
+         |  for (int i = 0; i < x.length; i++) s += (double) x[i] * (double) x[i];
+         |  $v[c] = Math.sqrt(s);
+         |}
+       """.stripMargin)
+    (cv, nv)
+  }
+}
+
+/** Index of the nearest centroid by cosine similarity (first/lowest index
+  * wins ties — callers order centroids by id, so index-asc == id-asc). */
+case class NearestCentroid(child: Expression, centroids: Broadcast[Array[Array[Float]]])
+    extends CentroidExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData].toFloatArray()
+    val nq = qNorm(q)
+    var best = 0; var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cos = cosineTo(q, nq, c)
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (cv, nv) = centroidVars(ctx)
+    val fn = ctx.freshName("graftNearestCentroid")
+    val f = ctx.addNewFunction(fn,
+      s"""
+         |private int $fn(org.apache.spark.sql.catalyst.util.ArrayData arr) {
+         |  float[] q = arr.toFloatArray();
+         |  double nq = 0.0;
+         |  for (int i = 0; i < q.length; i++) nq += (double) q[i] * (double) q[i];
+         |  nq = Math.sqrt(nq);
+         |  int best = 0; double bestCos = Double.NEGATIVE_INFINITY;
+         |  for (int c = 0; c < $cv.length; c++) {
+         |    float[] x = $cv[c];
+         |    double dot = 0.0;
+         |    int m = Math.min(q.length, x.length);
+         |    for (int i = 0; i < m; i++) dot += (double) q[i] * (double) x[i];
+         |    double cos = (nq == 0.0 || $nv[c] == 0.0) ? 0.0 : dot / (nq * $nv[c]);
+         |    if (cos > bestCos) { bestCos = cos; best = c; }
+         |  }
+         |  return best;
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $f($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Indices of the `nProbe` nearest centroids, cosine DESC then index ASC —
+  * bounded insertion into two length-nProbe scratch arrays, no per-row sort
+  * of the full centroid set. */
+case class TopCentroids(child: Expression, centroids: Broadcast[Array[Array[Float]]],
+                        nProbe: Int) extends CentroidExpression {
+  require(nProbe > 0, "nProbe must be positive")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_centroids"
+
+  override def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData].toFloatArray()
+    val nq = qNorm(q)
+    val kk = math.min(nProbe, cents.length)
+    val neg = new Array[Double](kk); val idx = new Array[Int](kk)
+    var filled = 0; var c = 0
+    while (c < cents.length) {
+      val nc = -cosineTo(q, nq, c)
+      var pos = filled
+      while (pos > 0 && neg(pos - 1) > nc) pos -= 1
+      if (pos < kk) {
+        var j = math.min(filled, kk - 1)
+        while (j > pos) { neg(j) = neg(j - 1); idx(j) = idx(j - 1); j -= 1 }
+        neg(pos) = nc; idx(pos) = c
+        if (filled < kk) filled += 1
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(idx, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (cv, nv) = centroidVars(ctx)
+    val fn = ctx.freshName("graftTopCentroids")
+    val f = ctx.addNewFunction(fn,
+      s"""
+         |private org.apache.spark.sql.catalyst.util.ArrayData $fn(
+         |    org.apache.spark.sql.catalyst.util.ArrayData arr) {
+         |  float[] q = arr.toFloatArray();
+         |  double nq = 0.0;
+         |  for (int i = 0; i < q.length; i++) nq += (double) q[i] * (double) q[i];
+         |  nq = Math.sqrt(nq);
+         |  int kk = Math.min($nProbe, $cv.length);
+         |  double[] neg = new double[kk]; int[] idx = new int[kk];
+         |  int filled = 0;
+         |  for (int c = 0; c < $cv.length; c++) {
+         |    float[] x = $cv[c];
+         |    double dot = 0.0;
+         |    int m = Math.min(q.length, x.length);
+         |    for (int i = 0; i < m; i++) dot += (double) q[i] * (double) x[i];
+         |    double cos = (nq == 0.0 || $nv[c] == 0.0) ? 0.0 : dot / (nq * $nv[c]);
+         |    double nc = -cos;
+         |    int pos = filled;
+         |    while (pos > 0 && neg[pos - 1] > nc) pos--;
+         |    if (pos < kk) {
+         |      for (int j = Math.min(filled, kk - 1); j > pos; j--) {
+         |        neg[j] = neg[j - 1]; idx[j] = idx[j - 1];
+         |      }
+         |      neg[pos] = nc; idx[pos] = c;
+         |      if (filled < kk) filled++;
+         |    }
+         |  }
+         |  return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |    java.util.Arrays.copyOf(idx, filled));
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $f($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   @volatile private var registered = false
 
@@ -103,4 +284,25 @@ object VectorFunctions {
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Column wrapping [[NearestCentroid]]. Column->Expression converters are
+    * private[sql] in Spark 4, so the broadcast-carrying expression goes
+    * through the registry under a per-broadcast name (re-registering the same
+    * broadcast is idempotent; distinct centroid sets never collide). */
+  def nearestCentroid(spark: SparkSession, vec: Column,
+                      bc: Broadcast[Array[Array[Float]]]): Column = {
+    val name = s"graft_nearest_centroid_${bc.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => NearestCentroid(exprs(0), bc), "built-in")
+    call_function(name, vec)
+  }
+
+  /** Column wrapping [[TopCentroids]] — same registry route. */
+  def topCentroids(spark: SparkSession, vec: Column,
+                   bc: Broadcast[Array[Array[Float]]], nProbe: Int): Column = {
+    val name = s"graft_top_centroids_${bc.id}_$nProbe"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => TopCentroids(exprs(0), bc, nProbe), "built-in")
+    call_function(name, vec)
+  }
 }

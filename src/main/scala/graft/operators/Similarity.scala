@@ -19,30 +19,37 @@ import graft.functions.{TopKAgg, VectorFunctions}
   * Centroid selection here is deterministic (first `nCentroids` corpus
   * vectors) so results are reproducible; on a real cluster you'd train
   * k-means centroids offline and broadcast them identically. Assignment is a
-  * single argmin PROJECTION over a literal centroid array — zero joins, zero
-  * shuffles over the corpus x centroid product.
+  * single argmin PROJECTION — a codegen'd [[graft.functions.NearestCentroid]]
+  * scan over a BROADCAST centroid matrix — zero joins, zero shuffles, zero
+  * plan literals over the corpus x centroid product.
   */
 object Similarity {
 
-  /** Literal `array<struct<cid,cv>>` of the deterministic centroids (first
-    * `nCentroids` corpus vectors by id), collected once on the driver — a
-    * bounded control-plane collect (nCentroids rows), the same contract as
-    * the DPP partition lists. */
-  private def centroidArray(corpus: DataFrame, nCentroids: Int,
-                            idCol: String, vecCol: String): Column = {
+  /** Deterministic centroids (first `nCentroids` corpus vectors by id),
+    * collected once on the driver — a bounded control-plane collect
+    * (nCentroids rows), the same contract as the DPP partition lists. The
+    * vector matrix ships as a Spark BROADCAST (held by the codegen'd
+    * [[graft.functions.NearestCentroid]]/[[graft.functions.TopCentroids]]
+    * expressions), so the plan carries no nCentroids x dim literals; only the
+    * small id array (index -> centroid id) is a plan literal. */
+  private final case class CentroidSet(
+      ids: Column, bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]])
+
+  private def centroidSet(corpus: DataFrame, nCentroids: Int,
+                          idCol: String, vecCol: String): CentroidSet = {
     val rows = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol), col(vecCol)).collect()
-    array(rows.map { r =>
-      struct(lit(r.get(0)).as("cid"), typedLit(r.getSeq[Float](1)).as("cv"))
-    }: _*)
+    val matrix = rows.map(_.getSeq[Float](1).toArray)
+    val bc = corpus.sparkSession.sparkContext.broadcast(matrix)
+    CentroidSet(array(rows.map(r => lit(r.get(0))): _*), bc)
   }
 
-  /** `struct(-cosine, cid)` scored view of the centroid array: ascending
-    * natural (lexicographic) struct order == cosine DESC, centroid id ASC. */
-  private def scoredCentroids(cents: Column, vec: Column): Column =
-    transform(cents, c => struct(
-      negate(VectorFunctions.cosine(vec, c("cv"))).as("negcos"),
-      c("cid").as("cid")))
+  /** Centroid-id column for the nearest centroid of `vec` — a zero-shuffle,
+    * whole-stage-codegen projection (centroids ordered by id, so the
+    * expression's index-asc tie-break == centroid-id asc). */
+  private def nearestCentroidId(cs: CentroidSet, vec: Column,
+                                spark: org.apache.spark.sql.SparkSession): Column =
+    element_at(cs.ids, VectorFunctions.nearestCentroid(spark, vec, cs.bc) + 1)
 
   /** (query_id, struct(-cosine, neighbor_id)) rows -> the final
     * (query_id, neighbor_id, cosine, rank) top-k via the bounded aggregate. */
@@ -75,30 +82,33 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, nCentroids: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val cents = centroidArray(corpus, nCentroids, idCol, vecCol)
+    val cs = centroidSet(corpus, nCentroids, idCol, vecCol)
     corpus.withColumn("centroid_id",
-      array_min(scoredCentroids(cents, col(vecCol))).getField("cid"))
+      nearestCentroidId(cs, col(vecCol), corpus.sparkSession))
   }
 
   /** IVF top-k: probe the `nProbe` nearest centroid buckets per query, then
     * brute-force inside the probed buckets only. Probe selection is a
-    * sort+slice over the same literal centroid array (no query x centroid
-    * join); the probed scan ends in the bounded top-k aggregate. */
+    * bounded-insertion scan over the same broadcast centroid matrix (no
+    * query x centroid join); the probed scan ends in the bounded top-k
+    * aggregate. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int, nProbe: Int,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
-    VectorFunctions.register(corpus.sparkSession)
-    TopKAgg.register(corpus.sparkSession)
-    val cents = centroidArray(corpus, nCentroids, corpusId, corpusVec)
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    TopKAgg.register(spark)
+    val cs = centroidSet(corpus, nCentroids, corpusId, corpusVec)
     val assigned = corpus.withColumn("centroid_id",
-      array_min(scoredCentroids(cents, col(corpusVec))).getField("cid"))
+      nearestCentroidId(cs, col(corpusVec), spark))
 
     val probes = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
-      .withColumn("centroid_id", explode(transform(
-        slice(array_sort(scoredCentroids(cents, col("qv"))), 1, nProbe),
-        p => p("cid"))))
+      .withColumn("cidx",
+        explode(VectorFunctions.topCentroids(spark, col("qv"), cs.bc, nProbe)))
+      .withColumn("centroid_id", element_at(cs.ids, col("cidx") + 1))
+      .drop("cidx")
 
     val scored = broadcast(probes).join(assigned, "centroid_id")
       .select(col("query_id"), struct(

@@ -42,4 +42,36 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.count() == 6)
     assert(assigned.select("centroid_id").distinct().count() <= 2)
   }
+
+  test("centroid expressions survive with codegen fallback disabled") {
+    // Proves NearestCentroid/TopCentroids generate COMPILABLE Java — with
+    // fallback off, a codegen bug fails the query instead of silently
+    // dropping the hot path to interpreted eval.
+    graft.functions.VectorFunctions.register(spark)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val queries = corpus.filter($"vec_id" < 2L)
+        .select($"vec_id".as("query_id"), $"embedding")
+      assert(Similarity.ivfAssign(corpus, nCentroids = 3).count() == 6)
+      assert(Similarity.ivfTopK(corpus, queries, 2, nCentroids = 3, nProbe = 2).count() > 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("ivfTopK nProbe bounds the scanned buckets (fewer probes, subset results)") {
+    graft.functions.VectorFunctions.register(spark)
+    val queries = corpus.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // 3 centroids (= vecs 0,1,2), nProbe=1: only vectors assigned to query
+    // 0's nearest centroid (c0) are candidates. Bucket c0 = {0, 4, 5}: vec1
+    // goes to c1 (cos 1.0), vec2/3 to c2, vec4 ties 0 everywhere (first
+    // centroid wins), vec5's c0 cosine 0.1104 edges out c1's 0.1097. The
+    // nearer vec1 being EXCLUDED is exactly the IVF probe approximation.
+    val out = Similarity.ivfTopK(corpus, queries, 5, nCentroids = 3, nProbe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out == Set(0L, 4L, 5L), s"probed bucket mismatch: $out")
+  }
 }
