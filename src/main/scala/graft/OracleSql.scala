@@ -54,6 +54,32 @@ object OracleSql {
     s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $dot / (sqrt($na) * sqrt($nb)) END)"
   }
 
+  /** Multi-band random-hyperplane LSH near-dup oracle: the SAME
+    * seed-deterministic hyperplanes the Spark side projects onto, embedded
+    * as double literals (float -> double is exact). Shared by q39/q51 —
+    * each gates a different (bands, bits, threshold) operating point. */
+  private def lshNearDupSql(numBands: Int, bitsPerBand: Int, threshold: String): String = {
+    val planes = graft.operators.Dedup.randomHyperplanes(numBands, bitsPerBand, dim = 64)
+    val rows = planes.zipWithIndex.flatMap { case (band, b) =>
+      band.zipWithIndex.map { case (h, i) =>
+        s"($b, $i, [${h.map(_.toDouble.toString).mkString(", ")}])"
+      }
+    }.mkString(",\n")
+    s"""WITH planes(band, bit, h) AS (VALUES
+       |$rows),
+       |keyed AS (
+       |  SELECT e.vec_id AS id, e.embedding AS v, p.band,
+       |    SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+       |          i -> (e.embedding[i]::DOUBLE) * p.h[i])) >= 0
+       |        THEN (1::BIGINT << p.bit) ELSE 0 END) AS key
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY 1, 2, 3),
+       |cands AS (SELECT DISTINCT a.id AS id_a, a.v AS va, b.id AS id_b, b.v AS vb
+       |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       |scored AS (SELECT id_a, id_b, ${cosineSql("va", "vb")} AS cos FROM cands)
+       |SELECT id_a, id_b, ${rnd("cos", 3)} AS cos FROM scored WHERE cos >= $threshold""".stripMargin
+  }
+
   // -- text metrics (must mirror graft.operators.TextAnalysis exactly) -------
   private val tokenCountExpr =
     raw"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END)"
@@ -433,15 +459,10 @@ object OracleSql {
          |SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
          |FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin,
 
-    "q39_embedding_neardups" -> {
-      val block = (0 until 8).map(i =>
-        s"CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"""WITH keyed AS (SELECT vec_id AS id, embedding AS v, $block AS block FROM embeddings),
-         |pairs AS (SELECT a.id AS id_a, a.v AS va, b.id AS id_b, b.v AS vb
-         |  FROM keyed a JOIN keyed b ON a.block = b.block AND a.id < b.id),
-         |scored AS (SELECT id_a, id_b, ${cosineSql("va", "vb")} AS cos FROM pairs)
-         |SELECT id_a, id_b, ${rnd("cos", 3)} AS cos FROM scored WHERE cos >= 0.9""".stripMargin
-    },
+    // q39 gates the PUBLIC embeddingNearDups entry (LSH path since r4) at a
+    // high-recall operating point: 8 coarse 6-bit bands, threshold 0.40.
+    "q39_embedding_neardups" ->
+      lshNearDupSql(numBands = 8, bitsPerBand = 6, threshold = "0.40"),
 
     "q40_ivf_topk" ->
       s"""WITH centroids AS (
@@ -551,30 +572,7 @@ object OracleSql {
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |    WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text))""".stripMargin,
 
-    "q51_embedding_lsh" -> {
-      // the SAME seed-deterministic hyperplanes the Spark side projects onto,
-      // embedded as double literals (float -> double is exact)
-      val planes = graft.operators.Dedup.randomHyperplanes(numBands = 2,
-        bitsPerBand = 8, dim = 64)
-      val rows = planes.zipWithIndex.flatMap { case (band, b) =>
-        band.zipWithIndex.map { case (h, i) =>
-          s"($b, $i, [${h.map(_.toDouble.toString).mkString(", ")}])"
-        }
-      }.mkString(",\n")
-      s"""WITH planes(band, bit, h) AS (VALUES
-         |$rows),
-         |keyed AS (
-         |  SELECT e.vec_id AS id, e.embedding AS v, p.band,
-         |    SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
-         |          i -> (e.embedding[i]::DOUBLE) * p.h[i])) >= 0
-         |        THEN (1::BIGINT << p.bit) ELSE 0 END) AS key
-         |  FROM embeddings e CROSS JOIN planes p
-         |  GROUP BY 1, 2, 3),
-         |cands AS (SELECT DISTINCT a.id AS id_a, a.v AS va, b.id AS id_b, b.v AS vb
-         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-         |scored AS (SELECT id_a, id_b, ${cosineSql("va", "vb")} AS cos FROM cands)
-         |SELECT id_a, id_b, ${rnd("cos", 3)} AS cos FROM scored WHERE cos >= 0.30""".stripMargin
-    },
+    "q51_embedding_lsh" -> lshNearDupSql(numBands = 2, bitsPerBand = 8, threshold = "0.30"),
 
     "q35_multimodal_meta" ->
       """WITH m AS (

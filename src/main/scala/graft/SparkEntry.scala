@@ -433,12 +433,13 @@ object SparkEntry {
     Dedup.simHashNearDups(TW(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
 
-  /** Embedding near-dup pairs via sign-pattern (random-hyperplane-style)
-    * blocking + exact cosine verification. */
+  /** Embedding near-dup pairs through the PUBLIC [[Dedup.embeddingNearDups]]
+    * entry (the multi-band LSH path) at a high-recall operating point: 8
+    * coarse 6-bit bands, cosine >= 0.40. */
   private def q39(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     Dedup.embeddingNearDups(TW(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.9, signBits = 8)
+        dim = 64, threshold = 0.40, bitsPerBand = 6, numBands = 8)
       .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
   }
 

@@ -233,12 +233,24 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** Near-duplicate pairs by embedding cosine similarity >= threshold.
-    * Exact variant: block by an LSH-ish coarse key first at scale — here the
-    * blocking key is the sign-pattern of the first `signBits` dimensions
-    * (random-hyperplane LSH with axis-aligned planes: cos-similar vectors
-    * agree on most signs). */
-  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, signBits: Int = 8): DataFrame = {
+    * Public entry — delegates to the multi-band random-hyperplane LSH path
+    * ([[embeddingNearDupsLsh]]): tunable bucket granularity + independent
+    * recall bands. The old fixed-sign blocker survives only as the internal
+    * [[embeddingNearDupsFixedSign]] special case. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        threshold: Double = 0.95,
+                        bitsPerBand: Int = 16, numBands: Int = 4,
+                        seed: Long = 42L): DataFrame =
+    embeddingNearDupsLsh(df, idCol, vecCol, dim, threshold, bitsPerBand, numBands, seed)
+
+  /** Fixed-sign blocking variant: the key is the sign-pattern of the FIRST
+    * `signBits` dimensions (axis-aligned hyperplanes). Capped at 2^signBits
+    * buckets — a corpus skewed toward one orthant collapses into a single
+    * quadratic bucket, so this is NOT the scale path; kept as an internal
+    * special case (zero extra state, no hyperplane table) for tiny inputs. */
+  private[graft] def embeddingNearDupsFixedSign(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, signBits: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions
     VectorFunctions.register(df.sparkSession)
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -279,11 +291,9 @@ object Dedup {
       .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Multi-band random-hyperplane near-dups — [[embeddingNearDups]]'s scale
-    * path. The fixed-signBits variant caps at 2^signBits buckets of the
-    * FIRST dims' signs (a skewed corpus collapses into one quadratic
-    * bucket); here bucket granularity is tunable (2^bitsPerBand per band,
-    * bits cut expected bucket size exponentially) and `numBands`
+  /** Multi-band random-hyperplane near-dups — the implementation behind
+    * [[embeddingNearDups]]. Bucket granularity is tunable (2^bitsPerBand per
+    * band, bits cut expected bucket size exponentially) and `numBands`
     * independent bands restore the recall that finer buckets cost —
     * standard random-hyperplane LSH for cosine. Candidates sharing several
     * bands are deduped before the exact-cosine verify. */

@@ -68,16 +68,30 @@ class DedupSpec extends SparkSpec {
     assert(nd.contains((1L, 4L)))
   }
 
-  test("embedding near-dups by sign-block LSH") {
+  test("embedding near-dups by fixed-sign blocking (internal special case)") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f, 0.5f)),
       (2L, Array(1.0f, 2.0f, 3.0f, 0.51f)),   // same direction
       (3L, Array(-1.0f, -2.0f, -3.0f, -0.5f)) // opposite block
     ).toDF("id", "vec")
     graft.functions.VectorFunctions.register(spark)
-    val pairs = Dedup.embeddingNearDups(vecs, "id", "vec", threshold = 0.99, signBits = 4)
+    val pairs = Dedup.embeddingNearDupsFixedSign(vecs, "id", "vec", threshold = 0.99, signBits = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
+  }
+
+  test("public embeddingNearDups rides the multi-band LSH path") {
+    // identical planted pair must collide in every band and survive verify
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 50).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+    val vecs = (base ++ Seq((900L, base.head._2), (901L, base.head._2))).toDF("id", "vec")
+    val viaPublic = Dedup.embeddingNearDups(vecs, "id", "vec", dim = 64,
+        threshold = 0.999, bitsPerBand = 8, numBands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = Dedup.embeddingNearDupsLsh(vecs, "id", "vec", dim = 64,
+        threshold = 0.999, bitsPerBand = 8, numBands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPublic == viaLsh && viaPublic.contains((900L, 901L)))
   }
 
   test("multi-band LSH bounds buckets on a corpus the sign-pattern collapses") {
