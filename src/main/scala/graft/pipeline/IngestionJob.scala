@@ -42,37 +42,44 @@ object IngestionJob {
 
     p.addAfter(s"${cfg.tableName}_processor", new Task {
       val name = s"${cfg.tableName}_writer"
-      def run(s: SparkSession, in: Map[String, DataFrame]): Map[String, DataFrame] = {
-        // materialize the processed batch ONCE: counting and merging would
-        // otherwise each re-run the full source->processor plan
-        val batch = in("processedDf").localCheckpoint()
-        val table = new ParquetTable(s, s"$targetRoot/${cfg.tableName}", cfg.partitionKeys)
-        val n = batch.count()
-        cfg.scdType match {
-          case "scd2" =>
-            val (mc, um, im) = cfg.scd2Spec.getOrElse(
-              throw new IllegalArgumentException(s"scd2 row ${cfg.pipelineDefId} lacks merge spec"))
-            Scd.writeScd2(table, batch, cfg.joinKeys, mc, um, im,
-              dedupOrderCols = cfg.dedupKeys, extraCondition = cfg.extraJoinCond)
-          case "scd4" =>
-            val hist = new ParquetTable(s, s"$targetRoot/${cfg.tableName}_history")
-            Scd.writeScd4(table, hist, batch, cfg.joinKeys, cfg.updatedAtCol,
-              dedupOrderCols = cfg.dedupKeys, extraCondition = cfg.extraJoinCond)
-          case _ =>
-            Scd.writeScd1(table, batch, cfg.joinKeys, cfg.matched, cfg.notMatched,
-              dedupOrderCols = cfg.dedupKeys, extraCondition = cfg.extraJoinCond)
-        }
-        journal.foreach { j =>
-          // outputRows comes from the commit metrics, NOT a full target scan
-          // (at scale that scan would dwarf the merge itself)
-          val written = table.lastMetrics.get("numSourceRows").map(_.toLong).getOrElse(n)
-          j.logFact(cfg.pipelineDefId, java.util.UUID.randomUUID().toString, n,
-            written, table.lastMetrics)
-        }
-        Map("written" -> table.read)
-      }
+      def run(s: SparkSession, in: Map[String, DataFrame]): Map[String, DataFrame] =
+        Map("written" -> writeBatch(s, cfg, targetRoot, in("processedDf"), journal))
     })
     p
+  }
+
+  /** Writer body shared by [[buildPipeline]] and the fluent
+    * [[PipelineBuilder]] facade: materialize the processed batch ONCE
+    * (counting and merging would otherwise each re-run the full
+    * source->processor plan), merge by SCD type, journal the fact. */
+  private[pipeline] def writeBatch(s: SparkSession, cfg: TableConfig,
+                                   targetRoot: String, processed: DataFrame,
+                                   journal: Option[Journal]): DataFrame = {
+    val batch = processed.localCheckpoint()
+    val table = new ParquetTable(s, s"$targetRoot/${cfg.tableName}", cfg.partitionKeys)
+    val n = batch.count()
+    cfg.scdType match {
+      case "scd2" =>
+        val (mc, um, im) = cfg.scd2Spec.getOrElse(
+          throw new IllegalArgumentException(s"scd2 row ${cfg.pipelineDefId} lacks merge spec"))
+        Scd.writeScd2(table, batch, cfg.joinKeys, mc, um, im,
+          dedupOrderCols = cfg.dedupKeys, extraCondition = cfg.extraJoinCond)
+      case "scd4" =>
+        val hist = new ParquetTable(s, s"$targetRoot/${cfg.tableName}_history")
+        Scd.writeScd4(table, hist, batch, cfg.joinKeys, cfg.updatedAtCol,
+          dedupOrderCols = cfg.dedupKeys, extraCondition = cfg.extraJoinCond)
+      case _ =>
+        Scd.writeScd1(table, batch, cfg.joinKeys, cfg.matched, cfg.notMatched,
+          dedupOrderCols = cfg.dedupKeys, extraCondition = cfg.extraJoinCond)
+    }
+    journal.foreach { j =>
+      // outputRows comes from the commit metrics, NOT a full target scan
+      // (at scale that scan would dwarf the merge itself)
+      val written = table.lastMetrics.get("numSourceRows").map(_.toLong).getOrElse(n)
+      j.logFact(cfg.pipelineDefId, java.util.UUID.randomUUID().toString, n,
+        written, table.lastMetrics)
+    }
+    table.read
   }
 
   /** Run pipelines for all control rows concurrently; journal statuses.

@@ -41,13 +41,23 @@ object Sources {
           header: Boolean = false): DataFrame =
     spark.read.option("header", header.toString).schema(ddlSchema).csv(path)
 
+  /** CSV-append page sink for [[httpJson]], mirroring the reference's
+    * append-per-page spill (ref M/reader/HttpReader.scala:57,60): each
+    * fetched page lands on disk before the next fetch, so a very long
+    * pagination never has to survive whole in driver/executor memory. */
+  def csvPageSink(path: String): DataFrame => Unit =
+    df => df.write.mode("append").option("header", "false").csv(path)
+
   /** Paginated JSON API -> DataFrame (ref M/reader/HttpReader.scala:8-64):
     * fetch page, parse with spark.read.json, explode `data[]`, project the
     * nested attributes, follow `links.next` until exhausted. The transport is
     * pluggable (`fetch`) so tests inject pages and production plugs any HTTP
-    * client; pagination stays driver-side exactly like the reference. */
+    * client; pagination stays driver-side exactly like the reference.
+    * `pageSink` (e.g. [[csvPageSink]]) is invoked once per fetched page, in
+    * page order, before the next page is fetched. */
   def httpJson(spark: SparkSession, firstUrl: String, fetch: String => String,
-               maxPages: Int = 100): DataFrame = {
+               maxPages: Int = 100,
+               pageSink: DataFrame => Unit = _ => ()): DataFrame = {
     import spark.implicits._
     var url = Option(firstUrl)
     var pages = 0
@@ -57,6 +67,7 @@ object Sources {
       val page = spark.read.json(Seq(body).toDS)
       val rows = page.select(explode(col("data")).as("explodedData"))
         .select(col("explodedData.id").as("id"), col("explodedData.attributes.*"))
+      pageSink(rows)
       acc = acc.map(_.unionByName(rows, allowMissingColumns = true)).orElse(Some(rows))
       url = {
         // last pages commonly return {"links": {}} or drop "next" entirely —

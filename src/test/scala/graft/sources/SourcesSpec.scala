@@ -48,6 +48,30 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("http source appends each page to CSV as it paginates") {
+    val pages = Map(
+      "p1" -> """{"data":[{"id":1,"attributes":{"v":"a"}}],"links":{"next":"p2"}}""",
+      "p2" -> """{"data":[{"id":2,"attributes":{"v":"b"}},{"id":3,"attributes":{"v":"c"}}],"links":{"next":"p3"}}""",
+      "p3" -> """{"data":[{"id":4,"attributes":{"v":"d"}}],"links":{}}""")
+    val dir = tmpDir("httpcsv")
+    var appends = 0
+    val counted: org.apache.spark.sql.DataFrame => Unit = { df =>
+      appends += 1
+      val before = appends // rows on disk BEFORE this append completes
+      Sources.csvPageSink(dir)(df)
+      // one append per page, each visible on disk before the next fetch
+      val onDisk = spark.read.schema("id long, v string").csv(dir).count()
+      assert(onDisk == Seq("p1", "p2", "p3").take(before).map(pages(_)).map(
+        p => "\"id\"".r.findAllIn(p).length).sum, s"page $before not spilled")
+    }
+    val df = Sources.httpJson(spark, "p1", pages(_), pageSink = counted)
+    assert(appends == 3)
+    assert(df.count() == 4)
+    val spilled = spark.read.schema("id long, v string").csv(dir)
+    assert(spilled.count() == 4)
+    assert(spilled.select("v").as[String].collect().toSet == Set("a", "b", "c", "d"))
+  }
+
   test("http source stops at maxPages") {
     var calls = 0
     val fetch = (_: String) => {
