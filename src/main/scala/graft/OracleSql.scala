@@ -574,6 +574,36 @@ object OracleSql {
 
     "q51_embedding_lsh" -> lshNearDupSql(numBands = 2, bitsPerBand = 8, threshold = "0.30"),
 
+    // relational recomputation of q52's two writeScd2 calls: seed =
+    // bootstrap insertMap over batch 1; batch 2 expires changed current
+    // rows, inserts their new versions, and inserts unseen keys
+    "q52_scd2_table_write" ->
+      """WITH seed AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal, true AS current_flag
+        |  FROM customer WHERE c_custkey % 10 <> 0),
+        |upd AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal + 100 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |kept AS (
+        |  SELECT s.c_custkey, s.c_name, s.c_mktsegment, s.c_acctbal,
+        |    CASE WHEN u.c_custkey IS NOT NULL AND s.current_flag
+        |              AND s.c_acctbal <> u.c_acctbal
+        |         THEN false ELSE s.current_flag END AS current_flag
+        |  FROM seed s LEFT JOIN upd u ON s.c_custkey = u.c_custkey),
+        |newvers AS (
+        |  SELECT u.c_custkey, u.c_name, u.c_mktsegment, u.c_acctbal,
+        |    true AS current_flag
+        |  FROM upd u JOIN seed s ON s.c_custkey = u.c_custkey
+        |  WHERE s.current_flag AND s.c_acctbal <> u.c_acctbal),
+        |fresh AS (
+        |  SELECT u.c_custkey, u.c_name, u.c_mktsegment, u.c_acctbal,
+        |    true AS current_flag
+        |  FROM upd u
+        |  WHERE NOT EXISTS (SELECT 1 FROM seed s WHERE s.c_custkey = u.c_custkey))
+        |SELECT * FROM kept
+        |UNION ALL SELECT * FROM newvers
+        |UNION ALL SELECT * FROM fresh""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

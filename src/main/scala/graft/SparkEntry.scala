@@ -454,6 +454,34 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
   }
 
+  /** Table-backed SCD2 WRITE path gate (q16 checks the pure scd2Apply
+    * semantics; this drives the production writeScd2 end-to-end): seed a
+    * c_mktsegment-PARTITIONED COW table through the bootstrap, merge a
+    * changed batch through the partition-pruned staged-union path, read the
+    * post-merge table back. The oracle recomputes the same post-merge state
+    * relationally in DuckDB. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import graft.merge.{ParquetTable, Scd}
+    val c = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    val seed = c.filter(col("c_custkey") % 10 =!= 0)
+    val upd = c.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+    val root = java.nio.file.Files.createTempDirectory("graft_q52").toString
+    val table = new ParquetTable(s, s"$root/cust_scd2", Seq("c_mktsegment"))
+    val matchCond = "target.current_flag = true AND target.c_acctbal <> updates.c_acctbal"
+    val insertMap = Map(
+      "c_custkey" -> "updates.c_custkey", "c_name" -> "updates.c_name",
+      "c_mktsegment" -> "updates.c_mktsegment", "c_acctbal" -> "updates.c_acctbal",
+      "current_flag" -> "true")
+    Scd.writeScd2(table, seed, Seq("c_custkey"), matchCond,
+      Map("current_flag" -> "false"), insertMap)
+    Scd.writeScd2(table, upd, Seq("c_custkey"), matchCond,
+      Map("current_flag" -> "false"), insertMap)
+    table.read.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      col("c_acctbal"), col("current_flag"))
+  }
+
   /** IVF ANN: probe the nearest centroid buckets only — the scale path where
     * brute force would scan the full corpus per query. */
   private def q40(s: SparkSession, dir: String): DataFrame = {
@@ -633,7 +661,8 @@ object SparkEntry {
     "q48_rollup" -> (q48 _),
     "q49_semi_anti_join" -> (q49 _),
     "q50_incremental_dedup" -> (q50 _),
-    "q51_embedding_lsh" -> (q51 _)
+    "q51_embedding_lsh" -> (q51 _),
+    "q52_scd2_table_write" -> (q52 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
