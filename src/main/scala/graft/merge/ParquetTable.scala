@@ -85,12 +85,35 @@ final class ParquetTable(val spark: SparkSession, val root: String,
     }
   }
 
-  /** Idempotency check for exactly-once foreachBatch commits. */
-  def seenTxn(appId: String, version: Long): Boolean =
-    (0L to latestVersion).exists { v =>
-      commitEntry(v).exists(e =>
-        e.get("txnAppId").contains(appId) && e.get("txnVersion").contains(version.toString))
+  /** appId -> highest committed txnVersion. Folded forward incrementally
+    * (only log versions past `txnScannedThrough` are ever parsed), and
+    * updated directly on each commit — so a long-running stream's per-batch
+    * [[seenTxn]] probe is O(1), not O(commits). All access is under
+    * `monitor`. */
+  private val txnHighWater = scala.collection.mutable.HashMap[String, Long]()
+  private var txnScannedThrough: Long = -1L
+
+  private def foldTxnThrough(latest: Long): Unit = {
+    var v = txnScannedThrough + 1
+    while (v <= latest) {
+      commitEntry(v).foreach { e =>
+        for (a <- e.get("txnAppId"); tv <- e.get("txnVersion"))
+          txnHighWater(a) = math.max(txnHighWater.getOrElse(a, Long.MinValue), tv.toLong)
+      }
+      v += 1
     }
+    txnScannedThrough = math.max(txnScannedThrough, latest)
+  }
+
+  /** Idempotency check for exactly-once foreachBatch commits: has this app
+    * already committed `version` (or anything newer)? Txn versions are
+    * monotonically increasing per appId — the Delta idempotent-writer
+    * contract the reference relies on — so `version <= high-water` means
+    * "already applied, skip the replay". */
+  def seenTxn(appId: String, version: Long): Boolean = monitor.synchronized {
+    foldTxnThrough(latestVersion)
+    txnHighWater.get(appId).exists(version <= _)
+  }
 
   def read: DataFrame = {
     require(exists, s"table $root does not exist")
@@ -255,6 +278,12 @@ final class ParquetTable(val spark: SparkSession, val root: String,
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(logDir, f"$version%05d.json"),
       StandardCopyOption.ATOMIC_MOVE)
+    // keep the O(1) seenTxn map current without re-reading the file we just
+    // wrote; earlier unscanned commits (if any) stay pending for foldTxnThrough
+    txn.foreach { case (a, v) =>
+      txnHighWater(a) = math.max(txnHighWater.getOrElse(a, Long.MinValue), v)
+    }
+    if (txnScannedThrough == version - 1) txnScannedThrough = version
   }
 
   /** Last commit's metrics — the `operationMetrics` equivalent the reference

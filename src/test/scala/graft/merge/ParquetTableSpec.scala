@@ -50,4 +50,25 @@ class ParquetTableSpec extends SparkSpec {
     assert(t.read.count() == 2)
     assert(t.seenTxn("app", 7L) && !t.seenTxn("app", 8L))
   }
+
+  test("seenTxn is O(1) after the initial fold: old commits never re-read") {
+    val t = new ParquetTable(spark, tmpDir("pt_txn_fold"))
+    t.create(Seq((1, "a")).toDF("k", "v"))
+    (1L to 5L).foreach(i =>
+      t.append(Seq((i.toInt, "x")).toDF("k", "v"), txn = Some(("app", i))))
+    assert(t.seenTxn("app", 5L) && !t.seenTxn("app", 6L))
+    // high-water covers a replay of ANY earlier batch (monotonic txn contract)
+    assert(t.seenTxn("app", 2L))
+
+    // a fresh instance folds the existing log exactly once...
+    val t2 = new ParquetTable(spark, t.root)
+    assert(t2.seenTxn("app", 3L))
+    // ...after which old commit files are never consulted again: remove all
+    // but the latest and the map must still answer every probe
+    val log = new java.io.File(t.root, "_graft_log")
+    log.listFiles.filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName).dropRight(1).foreach(f => assert(f.delete()))
+    assert(t2.seenTxn("app", 5L) && !t2.seenTxn("app", 6L))
+    assert(t2.seenTxn("app", 1L))
+  }
 }
