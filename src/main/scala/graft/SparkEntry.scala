@@ -557,8 +557,7 @@ object SparkEntry {
     graft.functions.MinHashAgg.register(s)
     val docs = TW(s, dir, "documents")
     val hashes = docs.select(col("source"),
-      explode(transform(Dedup.shingles(col("text"), 3),
-        sh => Hashes.portableHash32(sh))).as("h"))
+      explode(graft.functions.TextHashFunctions.shingleHashes(col("text"), 3)).as("h"))
     hashes.groupBy(col("source"))
       .agg(concat_ws(",", graft.functions.MinHashAgg.minhashAgg(col("h"), 8)).as("sig"))
   }

@@ -1,0 +1,211 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the text-hashing pipelines (shingles, MinHash,
+  * SimHash).
+  *
+  * The higher-order-function formulations ([[graft.operators.Dedup]]'s
+  * original `transform`/`aggregate`/`zip_with` pipelines) evaluate their
+  * lambda bodies through the Catalyst interpreter per array element — at
+  * 10^10 documents x 10^2 shingles that per-element interpreter overhead
+  * dominates the scan. These expressions compute the identical values in
+  * tight JVM code over `UTF8String`, using the exact same primitives the
+  * builtin expressions codegen to (`UTF8String.toLowerCase/trim/split/
+  * concatWs`, md5 of the UTF-8 bytes), so every DuckDB oracle that mirrored
+  * the HOF formulation stays bit-for-bit valid (TextHashParitySpec proves
+  * it against the original pipelines).
+  *
+  * Codegen: the row-level loop stays inside whole-stage codegen via an
+  * `addReferenceObj` call into [[TextHashExpression.compute]] — no
+  * interpreted-projection fallback, no per-element Catalyst eval, no
+  * UDF-style converter boxing (the method takes `UTF8String`, returns
+  * `ArrayData`/`Long` directly).
+  */
+abstract class TextHashExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  /** The whole per-row computation; shared verbatim by eval and codegen. */
+  def compute(s: UTF8String): Any
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftTextHash", this,
+      classOf[TextHashExpression].getName)
+    val javaT = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ($javaT) $ref.compute($a);")
+  }
+}
+
+object TextHashExpression {
+  private val splitPattern = UTF8String.fromString("\\s+")
+  private val space = UTF8String.fromString(" ")
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** `split(trim(lower(text)), "\\s+")` with the builtins' own UTF8String
+    * primitives (same lowercase tables, same space-only trim, same regex
+    * split) — parity is by construction, not by reimplementation. */
+  def tokensOf(s: UTF8String): Array[UTF8String] =
+    s.toLowerCase.trim.split(splitPattern, -1)
+
+  /** Word k-shingles joined with " "; fewer than k tokens -> empty. */
+  def shinglesOf(toks: Array[UTF8String], k: Int): Array[UTF8String] = {
+    val n = toks.length
+    if (n < k) return Array.empty
+    val out = new Array[UTF8String](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      out(i) = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      i += 1
+    }
+    out
+  }
+
+  /** [[Hashes.portableHash32]]: first 4 md5 bytes of the UTF-8 encoding as
+    * an unsigned 32-bit value (== conv(substring(md5(s),1,8),16,10)). */
+  def hash32(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+/** `array<string>` of word k-shingles (the HOF `Dedup.shingles` semantics). */
+case class Shingles(child: Expression, k: Int) extends TextHashExpression {
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def compute(s: UTF8String): Any = {
+    val sh = TextHashExpression.shinglesOf(TextHashExpression.tokensOf(s), k)
+    new GenericArrayData(sh.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<long>` portableHash32 per k-shingle (ordered, duplicates kept). */
+case class ShingleHashes(child: Expression, k: Int) extends TextHashExpression {
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def compute(s: UTF8String): Any = {
+    val sh = TextHashExpression.shinglesOf(TextHashExpression.tokensOf(s), k)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = TextHashExpression.hash32(sh(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature: elementwise minima of the [[Hashes.mixConstants]]
+  * affine family over the shingle hashes; all-MixP sentinel when the doc has
+  * no shingles (the HOF `Dedup.minHashSignature` semantics). */
+case class MinHashSig(child: Expression, numHashes: Int, k: Int)
+    extends TextHashExpression {
+  require(numHashes > 0 && k > 0, "numHashes and k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  @transient private lazy val mixA = Hashes.mixConstants(numHashes).map(_._1).toArray
+  @transient private lazy val mixB = Hashes.mixConstants(numHashes).map(_._2).toArray
+
+  override def compute(s: UTF8String): Any = {
+    val sh = TextHashExpression.shinglesOf(TextHashExpression.tokensOf(s), k)
+    val sig = Array.fill(numHashes)(Hashes.MixP)
+    var i = 0
+    while (i < sh.length) {
+      val h = TextHashExpression.hash32(sh(i))
+      var j = 0
+      while (j < numHashes) {
+        val m = (mixA(j) * h + mixB(j)) % Hashes.MixP
+        if (m < sig(j)) sig(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash over word tokens: bit j set when the sum over tokens of
+  * (+1 if the token hash's bit j is set else -1) is positive (the HOF
+  * `Dedup.simHash` semantics). */
+case class SimHashSig(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def compute(s: UTF8String): Any = {
+    val toks = TextHashExpression.tokensOf(s)
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      val h = TextHashExpression.hash32(toks(i))
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashFunctions {
+  private def intOf(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("graft_shingles",
+      es => Shingles(es(0), intOf(es(1))), "built-in")
+    r.createOrReplaceTempFunction("graft_shingle_hashes",
+      es => ShingleHashes(es(0), intOf(es(1))), "built-in")
+    r.createOrReplaceTempFunction("graft_minhash_sig",
+      es => MinHashSig(es(0), intOf(es(1)), intOf(es(2))), "built-in")
+    r.createOrReplaceTempFunction("graft_simhash",
+      es => SimHashSig(es(0)), "built-in")
+  }
+
+  /** Column builders self-register against the active session (these are
+    * always constructed on the driver while a session is active). */
+  private def ensure(): Unit = register(SparkSession.active)
+
+  def shingles(text: Column, k: Int): Column =
+    { ensure(); call_function("graft_shingles", text, lit(k)) }
+  def shingleHashes(text: Column, k: Int): Column =
+    { ensure(); call_function("graft_shingle_hashes", text, lit(k)) }
+  def minHashSig(text: Column, numHashes: Int, k: Int): Column =
+    { ensure(); call_function("graft_minhash_sig", text, lit(numHashes), lit(k)) }
+  def simHash(text: Column): Column =
+    { ensure(); call_function("graft_simhash", text) }
+}

@@ -27,17 +27,14 @@ object Dedup {
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
-  /** Word k-shingles of a text column as an array of strings. Docs shorter
-    * than k tokens get an empty array (guarded: Spark's `sequence(1, 0)`
-    * counts DOWN, so the naive form would call `slice(_, 0, _)` and throw). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    when(n < k, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), n - lit(k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-  }
+  /** Word k-shingles of a text column as an array of strings; docs shorter
+    * than k tokens get an empty array. Computed by the native codegen-path
+    * [[graft.functions.Shingles]] expression — the original
+    * `transform(sequence(...), i => concat_ws(" ", slice(...)))` HOF
+    * formulation evaluated interpreted per position (TextHashParitySpec
+    * pins the two bit-for-bit equal). */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.TextHashFunctions.shingles(text, k)
 
   // -------------------------------------------------------------------------
   // Exact dedup
@@ -72,24 +69,15 @@ object Dedup {
   // MinHash + LSH
   // -------------------------------------------------------------------------
 
-  /** MinHash signature as ONE fold over the shingle hashes.
-    *
-    * Naive form — `array(n × array_min(transform(shingles, seededHash)))` —
-    * inlines the whole shingle+md5 pipeline n times (HOFs are interpreted,
-    * CollapseProject duplicates the subtree), costing n md5 passes per doc.
-    * Here each shingle is md5'd ONCE, and an `aggregate` folds the hash list
-    * into the n-vector of elementwise minima of the affine mix family
+  /** MinHash signature: each shingle is md5'd ONCE, then folded into the
+    * n-vector of elementwise minima of the affine mix family
     * ([[Hashes.mixConstants]]) — n multiplies per shingle instead of n md5s.
-    * Docs with no shingles yield the all-MixP sentinel signature. */
-  def minHashSignature(text: Column, numHashes: Int, shingleK: Int = 3): Column = {
-    val hs = transform(shingles(text, shingleK), s => Hashes.portableHash32(s))
-    val init = array_repeat(lit(Hashes.MixP), numHashes)
-    val mixes = Hashes.mixConstants(numHashes)
-    aggregate(hs, init, (acc, h) =>
-      zip_with(acc,
-        array(mixes.map { case (a, b) => (lit(a) * h + lit(b)) % lit(Hashes.MixP) }: _*),
-        (x, y) => least(x, y)))
-  }
+    * Docs with no shingles yield the all-MixP sentinel signature. Computed
+    * by the native [[graft.functions.MinHashSig]] expression; the original
+    * `aggregate`/`zip_with` HOF fold ran interpreted per shingle per hash
+    * (TextHashParitySpec pins the two bit-for-bit equal). */
+  def minHashSignature(text: Column, numHashes: Int, shingleK: Int = 3): Column =
+    graft.functions.TextHashFunctions.minHashSig(text, numHashes, shingleK)
 
   /** LSH candidate pairs: signatures split into `bands` bands of
     * `rowsPerBand`; docs sharing any full band land in the same bucket.
@@ -188,23 +176,12 @@ object Dedup {
 
   /** 32-bit SimHash over word tokens: bit j of the signature is set when the
     * sum over tokens of (+1 / -1 by the token hash's bit j) is positive.
-    * Pure higher-order-function pipeline (no UDF): token hashes -> per-bit
-    * vote -> bits -> integer. */
-  def simHash(text: Column): Column = {
-    // ONE md5 per token, then a single fold accumulating all 32 bit-votes at
-    // once (the per-bit formulation would inline the token-hashing pipeline
-    // 32 times — see minHashSignature for the same pattern).
-    // shiftright/shiftleft builtins only take an Int literal shift, so use
-    // the SQL functions via call_function (shift amount is a lambda var).
-    val hashes = transform(tokens(text), t => Hashes.portableHash32(t))
-    val bitVotes = aggregate(hashes, array_repeat(lit(0), 32), (acc, h) =>
-      zip_with(acc, sequence(lit(0), lit(31)), (v, j) =>
-        v + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
-    aggregate(
-      zip_with(bitVotes, sequence(lit(0), lit(31)),
-        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+    * ONE md5 per token, all 32 bit-votes accumulated in a single pass by the
+    * native [[graft.functions.SimHashSig]] expression; the original
+    * double-`aggregate` HOF pipeline ran interpreted per token per bit
+    * (TextHashParitySpec pins the two bit-for-bit equal). */
+  def simHash(text: Column): Column =
+    graft.functions.TextHashFunctions.simHash(text)
 
   /** Near-dup pairs by SimHash: Hamming distance <= maxHamming, candidates
     * generated by banding the 32-bit signature into 4 bytes (any equal byte
