@@ -82,6 +82,18 @@ object TextHashExpression {
     val d = md.digest(s.getBytes)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
+
+  /** First 8 md5 digest bytes as a signed big-endian long (64-bit internal
+    * key space; see [[ShingleHashes64]]). */
+  def hash64(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
 }
 
 /** `array<string>` of word k-shingles (the HOF `Dedup.shingles` semantics). */
@@ -110,6 +122,29 @@ case class ShingleHashes(child: Expression, k: Int) extends TextHashExpression {
     val out = new Array[Long](sh.length)
     var i = 0
     while (i < sh.length) { out(i) = TextHashExpression.hash32(sh(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<long>` 64-bit hash per k-shingle: the FIRST 8 md5 digest bytes
+  * (big-endian, signed). INTERNAL join/verify keys only — never
+  * oracle-mirrored: 32-bit keys expect ~1 collision per 10^5 distinct
+  * shingles, 64-bit pushes that to ~1e-8 per 10^6, and the operators using
+  * these keys either reject collision-induced candidates by exact
+  * verification or tolerate them as an extra candidate pair. */
+case class ShingleHashes64(child: Expression, k: Int) extends TextHashExpression {
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes64"
+
+  override def compute(s: UTF8String): Any = {
+    val sh = TextHashExpression.shinglesOf(TextHashExpression.tokensOf(s), k)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = TextHashExpression.hash64(sh(i)); i += 1 }
     new GenericArrayData(out)
   }
 
@@ -190,6 +225,8 @@ object TextHashFunctions {
       es => Shingles(es(0), intOf(es(1))), "built-in")
     r.createOrReplaceTempFunction("graft_shingle_hashes",
       es => ShingleHashes(es(0), intOf(es(1))), "built-in")
+    r.createOrReplaceTempFunction("graft_shingle_hashes64",
+      es => ShingleHashes64(es(0), intOf(es(1))), "built-in")
     r.createOrReplaceTempFunction("graft_minhash_sig",
       es => MinHashSig(es(0), intOf(es(1)), intOf(es(2))), "built-in")
     r.createOrReplaceTempFunction("graft_simhash",
@@ -204,6 +241,8 @@ object TextHashFunctions {
     { ensure(); call_function("graft_shingles", text, lit(k)) }
   def shingleHashes(text: Column, k: Int): Column =
     { ensure(); call_function("graft_shingle_hashes", text, lit(k)) }
+  def shingleHashes64(text: Column, k: Int): Column =
+    { ensure(); call_function("graft_shingle_hashes64", text, lit(k)) }
   def minHashSig(text: Column, numHashes: Int, k: Int): Column =
     { ensure(); call_function("graft_minhash_sig", text, lit(numHashes), lit(k)) }
   def simHash(text: Column): Column =

@@ -120,9 +120,14 @@ object Dedup {
                        threshold: Double, bands: Int = 4, rowsPerBand: Int = 4,
                        shingleK: Int = 3): DataFrame = {
     val cands = minHashCandidates(df, textCol, idCol, bands, rowsPerBand, shingleK)
-    // shingle sets are joined twice (id_a and id_b side) — compute once
+    // shingle sets are joined twice (id_a and id_b side) — compute once.
+    // Verification runs over 64-BIT HASHED shingle sets: Jaccard over the
+    // hashed sets equals Jaccard over the strings (within-pair collision
+    // odds ~1e-15), and long-array intersect/union beats string-array by the
+    // width of the strings.
     val sets = graft.Tables.widen(df).select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+      array_distinct(graft.functions.TextHashFunctions.shingleHashes64(
+        col(textCol), shingleK)).as("sh"))
       .localCheckpoint()
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -146,9 +151,14 @@ object Dedup {
                         shingleK: Int = 3, threshold: Double = 0.5,
                         maxPostings: Int = 1000): DataFrame = {
     // computed once: postings (×2 join sides) and verification sets (×2)
-    // would otherwise each re-run the interpreted shingling pipeline
+    // would otherwise each re-run the shingling pipeline. Shingles enter the
+    // index as 64-BIT HASHES: the posting shuffle and self-join move 8-byte
+    // longs instead of multi-word strings, df_counts/Jaccard are unchanged
+    // within ~1e-8 collision odds, and a colliding shingle merely merges two
+    // posting lists — extra candidates the exact verify rejects.
     val sets = graft.Tables.widen(df).select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+      array_distinct(graft.functions.TextHashFunctions.shingleHashes64(
+        col(textCol), shingleK)).as("sh"))
       .localCheckpoint()
     val postings = sets.select(col("id"), explode(col("sh")).as("g"))
     // stop-list shingles with huge posting lists (they explode the join and
