@@ -54,6 +54,23 @@ object OracleSql {
     s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $dot / (sqrt($na) * sqrt($nb)) END)"
   }
 
+  /** SimHash signature + byte-band candidate CTE chain (mirrors
+    * [[graft.operators.Dedup.simHash]]/`simHashNearDups`), shared by the
+    * q38 pair gate and q53's component clustering over those pairs. */
+  private def simhashCtes: String =
+    s"""toks AS (SELECT doc_id AS id, $toksExpr AS t FROM documents),
+       |hs AS (SELECT id, list_transform(t, x -> ${h32("x")}) AS hashes FROM toks),
+       |sigs AS (SELECT id,
+       |  list_sum(list_transform(range(0, 32), j ->
+       |    CASE WHEN list_sum(list_transform(hashes, h ->
+       |           CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sig
+       |  FROM hs),
+       |banded AS (SELECT id, sig, band, (sig >> (band * 8)) & 255 AS bucket
+       |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+       |cands AS (SELECT DISTINCT a.id AS id_a, a.sig AS sig_a, b.id AS id_b, b.sig AS sig_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)""".stripMargin
+
   /** Multi-band random-hyperplane LSH near-dup oracle: the SAME
     * seed-deterministic hyperplanes the Spark side projects onto, embedded
     * as double literals (float -> double is exact). Shared by q39/q51 —
@@ -444,20 +461,23 @@ object OracleSql {
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin,
 
     "q38_simhash_neardups" ->
-      s"""WITH toks AS (SELECT doc_id AS id, $toksExpr AS t FROM documents),
-         |hs AS (SELECT id, list_transform(t, x -> ${h32("x")}) AS hashes FROM toks),
-         |sigs AS (SELECT id,
-         |  list_sum(list_transform(range(0, 32), j ->
-         |    CASE WHEN list_sum(list_transform(hashes, h ->
-         |           CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sig
-         |  FROM hs),
-         |banded AS (SELECT id, sig, band, (sig >> (band * 8)) & 255 AS bucket
-         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
-         |cands AS (SELECT DISTINCT a.id AS id_a, a.sig AS sig_a, b.id AS id_b, b.sig AS sig_b
-         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+      s"""WITH $simhashCtes
          |SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
          |FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin,
+
+    // connected components over the hamming<=3 pair list: transitive
+    // closure by recursive CTE, component id = min reachable node
+    "q53_dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashCtes,
+         |pairs AS (SELECT id_a, id_b FROM cands
+         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d)
+         |SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n""".stripMargin,
 
     // q39 gates the PUBLIC embeddingNearDups entry (LSH path since r4) at a
     // high-recall operating point: 8 coarse 6-bit bands, threshold 0.40.

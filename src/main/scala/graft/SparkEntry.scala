@@ -562,6 +562,17 @@ object SparkEntry {
       .agg(concat_ws(",", graft.functions.MinHashAgg.minhashAgg(col("h"), 8)).as("sig"))
   }
 
+  /** Dedup clustering: SimHash near-dup pairs -> connected components via
+    * iterative min-label propagation (the pairs->clusters step of a
+    * production dedup pipeline; component id = min doc_id reachable). */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simHashNearDups(TW(s, dir, "documents"), "text", "doc_id",
+      maxHamming = 3)
+    Dedup.connectedComponents(pairs)
+      .select(col("node").cast("long").as("doc_id"),
+        col("component").cast("long").as("component_id"))
+  }
+
   /** Range join: events landing in each purchase's follow-on hour, joined
     * equi on (user, time-chunk) — never a per-key cross join. */
   private def q47(s: SparkSession, dir: String): DataFrame = {
@@ -661,7 +672,8 @@ object SparkEntry {
     "q49_semi_anti_join" -> (q49 _),
     "q50_incremental_dedup" -> (q50 _),
     "q51_embedding_lsh" -> (q51 _),
-    "q52_scd2_table_write" -> (q52 _)
+    "q52_scd2_table_write" -> (q52 _),
+    "q53_dedup_clusters" -> (q53 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -216,6 +216,61 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Near-dup clustering
+  // -------------------------------------------------------------------------
+
+  /** Connected components over an undirected near-dup pair list — the step
+    * that turns pairwise matches into DEDUP CLUSTERS (keep min-id per
+    * component, drop the rest). Iterative min-label propagation with
+    * POINTER JUMPING: each round every node adopts the minimum label among
+    * itself and its neighbors (one shuffled join + groupBy), then shortcuts
+    * `label := label(label)` (one more join) — the jump halves chain depth
+    * every round, so fixpoint lands in O(log diameter) rounds instead of
+    * O(diameter) (20-round cap = components of diameter ~2^20 — beyond any
+    * real dedup cluster). Labels are localCheckpoint'ed per round to cut
+    * the exponentially growing lineage; the convergence probe reads a
+    * `changed` flag carried on the checkpointed frame, costing no extra
+    * join. The standard Spark formulation when a GraphX dependency isn't
+    * warranted.
+    *
+    * Returns (node, component) where component = min node id reachable. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("nlabel")).as("nmin"))
+      val stepped = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("mid"))
+      // pointer jump: label := label(label). Every label value is itself a
+      // node (labels start as identity and only ever take node-id minima),
+      // so the lookup side is `stepped` re-keyed by node.
+      val next = stepped
+        .join(stepped.select(col("node").as("mid"), col("mid").as("jumped")),
+          Seq("mid"), "left")
+        .select(col("node"),
+          least(col("mid"), coalesce(col("jumped"), col("mid"))).as("label"),
+          col("old"))
+        .withColumn("changed", col("label") =!= col("old"))
+        .drop("old")
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  // -------------------------------------------------------------------------
   // Embedding near-dup
   // -------------------------------------------------------------------------
 

@@ -68,6 +68,24 @@ class DedupSpec extends SparkSpec {
     assert(nd.contains((1L, 4L)))
   }
 
+  test("connected components: chains, cycles and isolated pairs collapse to min id") {
+    // 1-2, 2-3, 3-4 (chain); 10-11, 11-12, 12-10 (cycle); 20-21 (pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components converge on a long path within maxIter") {
+    // a 16-node path needs ~diameter rounds of min-label propagation
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 16 && comp.values.forall(_ == 0L))
+  }
+
   test("embedding near-dups by fixed-sign blocking (internal special case)") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f, 0.5f)),
