@@ -594,6 +594,13 @@ object OracleSql {
 
     "q51_embedding_lsh" -> lshNearDupSql(numBands = 2, bitsPerBand = 8, threshold = "0.30"),
 
+    "q54_group_sample" ->
+      s"""SELECT source, doc_id, rn::BIGINT AS sample_rank FROM (
+         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY ${h32("doc_id::VARCHAR")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 10""".stripMargin,
+
     // relational recomputation of q52's two writeScd2 calls: seed =
     // bootstrap insertMap over batch 1; batch 2 expires changed current
     // rows, inserts their new versions, and inserts unseen keys

@@ -562,6 +562,16 @@ object SparkEntry {
       .agg(concat_ws(",", graft.functions.MinHashAgg.minhashAgg(col("h"), 8)).as("sig"))
   }
 
+  /** Deterministic k-per-source sample via the bounded TopKAgg — the
+    * shuffle-k-not-the-corpus alternative to the window-based stratified
+    * sample (map-side partial aggregation bounds each partition's
+    * contribution at k rows per stratum). */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.samplePerGroup(
+        TW(s, dir, "documents"), "source", "doc_id", k = 10)
+      .select(col("source"), col("doc_id"),
+        col("sample_rank").cast("long").as("sample_rank"))
+
   /** Dedup clustering: SimHash near-dup pairs -> connected components via
     * iterative min-label propagation (the pairs->clusters step of a
     * production dedup pipeline; component id = min doc_id reachable). */
@@ -673,7 +683,8 @@ object SparkEntry {
     "q50_incremental_dedup" -> (q50 _),
     "q51_embedding_lsh" -> (q51 _),
     "q52_scd2_table_write" -> (q52 _),
-    "q53_dedup_clusters" -> (q53 _)
+    "q53_dedup_clusters" -> (q53 _),
+    "q54_group_sample" -> (q54 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -36,6 +36,27 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** [[stratifiedSample]]'s scale path: the same deterministic k-per-stratum
+    * sample computed by the bounded [[graft.functions.TopKAgg]] instead of a
+    * window. The window formulation SHUFFLES EVERY ROW to sort each stratum;
+    * here map-side partial aggregation reduces each input partition to at
+    * most k candidates per stratum before the (tiny) merge — at 10^10 rows
+    * and k=1000 that's the difference between shuffling the corpus and
+    * shuffling k x partitions rows. Returns (strata, id, sample_rank),
+    * hash-ordered like the window variant. */
+  def samplePerGroup(df: DataFrame, strataCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val keyed = struct(
+      Hashes.portableHash32(col(idCol).cast("string")).as("h"),
+      col(idCol).as("id"))
+    df.groupBy(col(strataCol))
+      .agg(graft.functions.TopKAgg.topK(keyed, k).as("arr"))
+      .select(col(strataCol), posexplode(col("arr")))
+      .select(col(strataCol), col("col.id").as(idCol),
+        (col("pos") + 1).as("sample_rank"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training packs.
     *
     * Within each `groupCol` partition, documents ordered by `orderCol`

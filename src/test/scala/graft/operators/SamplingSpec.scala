@@ -32,6 +32,19 @@ class SamplingSpec extends SparkSpec {
     assert(rowsOf(out) == rowsOf(again))
   }
 
+  test("samplePerGroup == stratifiedSample (aggregate path matches window path)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaAgg = Sampling.samplePerGroup(docs, "lang", "doc_id", 7)
+      .select("lang", "doc_id")
+    val viaWindow = Sampling.stratifiedSample(docs, "lang", "doc_id", 7)
+      .select("lang", "doc_id")
+    assert(rowsOf(viaAgg) == rowsOf(viaWindow))
+    // the point of the aggregate path: partial (map-side) top-k, no Window
+    val p = viaAgg.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_topk_agg"), p)
+  }
+
   test("packByTokenBudget assigns contiguous packs under the budget") {
     val df = Seq(
       (1L, "s", "a " * 100), (2L, "s", "b " * 100), (3L, "s", "c " * 100),
