@@ -594,6 +594,22 @@ object OracleSql {
 
     "q51_embedding_lsh" -> lshNearDupSql(numBands = 2, bitsPerBand = 8, threshold = "0.30"),
 
+    // smoothed TF-IDF; scores rounded BEFORE ranking so the top-N cut is
+    // deterministic across engines (ties broken by term ASC)
+    "q55_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM toks GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |scored AS (SELECT doc_id, tf.term,
+         |    ${rnd("tf * (ln((n.n + 1) / (dfc + 1)) + 1)", 4)} AS score
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+         |ranked AS (SELECT doc_id, term, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+         |  FROM scored)
+         |SELECT doc_id, term, score, rn::BIGINT AS rank
+         |FROM ranked WHERE rn <= 5""".stripMargin,
+
     "q54_group_sample" ->
       s"""SELECT source, doc_id, rn::BIGINT AS sample_rank FROM (
          |  SELECT source, doc_id, row_number() OVER (PARTITION BY source

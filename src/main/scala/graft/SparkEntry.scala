@@ -572,6 +572,14 @@ object SparkEntry {
       .select(col("source"), col("doc_id"),
         col("sample_rank").cast("long").as("sample_rank"))
 
+  /** Smoothed TF-IDF top terms per document (two aggregations over the
+    * exploded token table + bounded TopKAgg — no window over (doc, term)). */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.tfIdfTopTerms(
+        TW(s, dir, "documents"), "text", "doc_id", topN = 5)
+      .select(col("doc_id"), col("term"), col("score"),
+        col("rank").cast("long").as("rank"))
+
   /** Dedup clustering: SimHash near-dup pairs -> connected components via
     * iterative min-label propagation (the pairs->clusters step of a
     * production dedup pipeline; component id = min doc_id reachable). */
@@ -684,7 +692,8 @@ object SparkEntry {
     "q51_embedding_lsh" -> (q51 _),
     "q52_scd2_table_write" -> (q52 _),
     "q53_dedup_clusters" -> (q53 _),
-    "q54_group_sample" -> (q54 _)
+    "q54_group_sample" -> (q54 _),
+    "q55_tfidf" -> (q55 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -11,6 +11,32 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Smoothed TF-IDF top terms per document: for every (doc, term),
+    * `tf * (ln((N+1)/(df+1)) + 1)` rounded to 4dp, keeping the `topN`
+    * highest-scoring terms (score DESC, term ASC — rounding first makes the
+    * cut deterministic across engines). Term/document frequencies are two
+    * shuffled aggregations over the exploded token table; the per-doc top-N
+    * rides the bounded [[graft.functions.TopKAgg]] with map-side partial
+    * aggregation, so no window ever sorts the full (doc, term) set. */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    topN: Int = 5): DataFrame = {
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("dfc"))
+    val n = df.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (log((col("n") + 1) / (col("dfc") + 1)) + 1), 4))
+    scored.groupBy("doc_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("score")).as("ns"), col("term").as("term")), topN).as("arr"))
+      .select(col("doc_id"), posexplode(col("arr")))
+      .select(col("doc_id"), col("col.term").as("term"),
+        negate(col("col.ns")).as("score"), (col("pos") + 1).as("rank"))
+  }
+
   /** Whitespace token count (0 for empty/blank docs). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))

@@ -47,4 +47,29 @@ class TextAnalysisSpec extends SparkSpec {
     val expected = "abc".foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
     assert(one("abc", TextAnalysis.fingerprint(col("text"))) == expected)
   }
+
+  test("tfIdfTopTerms: rare terms outrank common ones, topN bounds, no Window") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common common durian")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "text", "doc_id", topN = 2)
+    val byDoc = out.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(r => (r.getString(1), r.getDouble(2)))).toMap
+    // doc 1: apple (tf=2, df=1 -> idf ln(2)+1) far above the ubiquitous "common"
+    assert(byDoc(1L).head._1 == "apple")
+    // doc 3: common's tf=2 at idf=ln(4/4)+1=1 -> 2.0 edges durian's 1*ln(2)+1
+    assert(byDoc(3L).map(_._1).toSeq == Seq("common", "durian"))
+    assert(byDoc.values.forall(_.length <= 2))
+    assert(byDoc(3L).head._2 == 2.0)
+    // hand-check doc3/durian: tf=1, idf = ln(4/2)+1
+    val expected = BigDecimal(math.log(2.0) + 1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byDoc(3L)(1)._2 == expected)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_topk_agg"), p)
+  }
 }
