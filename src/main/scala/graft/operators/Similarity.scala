@@ -75,6 +75,64 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Lloyd k-means for the IVF coarse quantizer — the "train centroids
+    * offline, broadcast them" step the IVF scaladoc promises. Init = first
+    * `k` corpus vectors by id (reproducible); each round assigns via the
+    * codegen'd [[graft.functions.NearestCentroid]] over the BROADCAST
+    * matrix (zero-shuffle projection), then recomputes means with one
+    * explode + groupBy — map-side partial aggregation collapses each
+    * partition to k x dim partial sums before the (tiny) shuffle. Empty
+    * clusters keep their previous centroid. Returns the k x dim matrix to
+    * feed an external index build; means use parallel double summation, so
+    * exact bit-parity across different partitionings is NOT guaranteed
+    * (inherent to distributed fp reduction — the ivf* entry points keep
+    * their deterministic first-k quantizer for the oracle-gated paths). */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    var cents = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = corpus.select(
+        VectorFunctions.nearestCentroid(spark, col(vecCol), bc).as("cid"),
+        col(vecCol).as("v"))
+      val means = assigned.select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Within-cluster sum of squared distances for a centroid matrix — the
+    * k-means objective, exposed so callers (and specs) can check training
+    * actually improved the quantizer. DIAGNOSTIC path: the k x dim literal
+    * centroid array and the interpreted distance fold are fine for a
+    * one-off metric job, unlike the hot assignment path. */
+  def clusteringSse(corpus: DataFrame, cents: Array[Array[Float]],
+                    vecCol: String = "embedding"): Double = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    val bc = spark.sparkContext.broadcast(cents)
+    val idArr = array(cents.indices.map(i => typedLit(cents(i).toSeq)): _*)
+    corpus.select(
+        element_at(idArr,
+          VectorFunctions.nearestCentroid(spark, col(vecCol), bc) + 1).as("c"),
+        col(vecCol).as("v"))
+      .select(aggregate(zip_with(col("v"), col("c"),
+        (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, d) => acc + d).as("d2"))
+      .agg(sum(col("d2"))).head().getDouble(0)
+  }
+
   /** IVF assignment: nearest (deterministic) centroid per corpus vector.
     * Returns the corpus augmented with a `centroid_id` bucket column — at
     * scale you'd write the corpus back partitioned/bucketed by it. A pure

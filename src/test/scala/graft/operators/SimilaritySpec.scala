@@ -61,6 +61,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trainCentroids: Lloyd rounds never worsen the k-means objective") {
+    val rnd = new scala.util.Random(5)
+    // 3 well-separated gaussian blobs in 8d
+    val blobs = for (b <- 0 until 3; i <- 0 until 40) yield {
+      val center = Array.tabulate(8)(d => if (d == b) 10.0f else 0.0f)
+      ((b * 100 + i).toLong, center.map(c => c + rnd.nextGaussian().toFloat * 0.2f).toSeq)
+    }
+    val df = blobs.toDF("vec_id", "embedding")
+    val init = df.orderBy($"vec_id").limit(3)
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val trained = Similarity.trainCentroids(df, k = 3, iters = 4)
+    val sseInit = Similarity.clusteringSse(df, init)
+    val sseTrained = Similarity.clusteringSse(df, trained)
+    // init picks 3 vectors from the SAME blob; training must spread them
+    // (cosine assignment from a degenerate all-parallel init can leave one
+    // mixed cluster, so require a big improvement, not global optimality)
+    assert(sseTrained < sseInit * 0.5, s"init $sseInit -> trained $sseTrained")
+    val axes = trained.map(_.zipWithIndex.maxBy(_._1)._2).distinct
+    assert(axes.length >= 2, s"centroids collapsed onto one axis: ${axes.toSeq}")
+  }
+
   test("ivfTopK nProbe bounds the scanned buckets (fewer probes, subset results)") {
     graft.functions.VectorFunctions.register(spark)
     val queries = corpus.filter($"vec_id" === 0L)
