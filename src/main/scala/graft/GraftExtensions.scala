@@ -5,15 +5,17 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions._
 
 /** Spark-native extension point: injects the engine's Catalyst expressions
-  * into every session built with
+  * and aggregates into every session built with
   * `--conf spark.sql.extensions=graft.GraftExtensions` (or
-  * `.withExtensions(new GraftExtensions)`), making `graft_cosine` /
-  * `graft_dot` first-class SQL functions cluster-wide — no per-session
-  * registration call needed. Runtime registration for an existing session
-  * remains available via [[graft.functions.VectorFunctions.register]].
+  * `.withExtensions(new GraftExtensions)`), making them first-class SQL
+  * functions cluster-wide — no per-session registration call needed.
+  * Runtime registration for an existing session remains available via the
+  * `register(spark)` companions. (The broadcast-carrying
+  * NearestCentroid/TopCentroids expressions are excluded: their centroid
+  * matrix is per-call state, not SQL-expressible.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -23,8 +25,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft", name),
       exprs => build(exprs))
 
+  private def intOf(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("graft_cosine", es => CosineSimilarity(es(0), es(1))))
     ext.injectFunction(fn("graft_dot", es => DotProduct(es(0), es(1))))
+    ext.injectFunction(fn("graft_shingles", es => Shingles(es(0), intOf(es(1)))))
+    ext.injectFunction(fn("graft_shingle_hashes", es => ShingleHashes(es(0), intOf(es(1)))))
+    ext.injectFunction(fn("graft_shingle_hashes64", es => ShingleHashes64(es(0), intOf(es(1)))))
+    ext.injectFunction(fn("graft_minhash_sig",
+      es => MinHashSig(es(0), intOf(es(1)), intOf(es(2)))))
+    ext.injectFunction(fn("graft_simhash", es => SimHashSig(es(0))))
+    ext.injectFunction(fn("graft_topk_agg",
+      es => TopKAgg(es(0), intOf(es(1))).toAggregateExpression()))
+    ext.injectFunction(fn("graft_minhash_agg",
+      es => MinHashAgg(es(0), intOf(es(1))).toAggregateExpression()))
   }
 }

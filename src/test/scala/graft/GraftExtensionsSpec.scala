@@ -8,11 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * by the verify drive (spark-shell with the conf set). */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("extensions inject graft_cosine/graft_dot into the function registry") {
+  test("extensions inject the full graft function surface into the registry") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     val fns = ExtensionsProbe.registeredFunctions(ext)
-    assert(fns.contains("graft_cosine"))
-    assert(fns.contains("graft_dot"))
+    Seq("graft_cosine", "graft_dot", "graft_shingles", "graft_shingle_hashes",
+      "graft_shingle_hashes64", "graft_minhash_sig", "graft_simhash",
+      "graft_topk_agg", "graft_minhash_agg")
+      .foreach(f => assert(fns.contains(f), s"missing $f"))
   }
 }
