@@ -82,6 +82,41 @@ object StreamSink {
         txn = Some((id, batchId)))
   }
 
+  /** Continuous exact-dedup ingestion: each micro-batch keeps only rows
+    * whose `textCol` fingerprint is new — first against the rows ALREADY IN
+    * the target (left_anti on the md5 fingerprint, via
+    * [[graft.operators.Dedup.incrementalNew]]), then within the batch
+    * itself (first row per fingerprint by `idCol`) — and appends the
+    * survivors. Replays are no-ops through the (appId, batchId) txn record.
+    * Scale: the anti-join shuffles on the 128-bit fingerprint; at 100 TB
+    * the target side should be a pre-computed fingerprint column (it is
+    * here: the fingerprint is persisted with each row), so each batch joins
+    * against fingerprints, never re-hashes the corpus. */
+  def dedupAppendBatch(table: ParquetTable, textCol: String, idCol: String,
+                       appId: String = null): (DataFrame, Long) => Unit = {
+    val id = Option(appId).getOrElse(s"graft-dedup-append:${table.root}")
+    (batch, batchId) => table.withLock {
+      if (!table.seenTxn(id, batchId)) {
+        import org.apache.spark.sql.functions._
+        val fresh =
+          if (!table.exists) batch.withColumn("__fp", md5(col(textCol)))
+          else {
+            val seen = table.read.select(col("__fp")).distinct()
+            batch.withColumn("__fp", md5(col(textCol)))
+              .join(seen, Seq("__fp"), "left_anti")
+          }
+        // ONE row per new fingerprint, deterministically (min id)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp")).orderBy(col(idCol))
+        val deduped = fresh.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          // materialize BEFORE appending into the directory the anti-join reads
+          .localCheckpoint()
+        table.append(deduped, txn = Some((id, batchId)))
+      }
+    }
+  }
+
   /** Start a foreachBatch stream with the declarative config (ref
     * ProcessOutputStream.processOutputStreamBatch,
     * M/writter/ProcessOutputStream.scala:50-76). */

@@ -159,6 +159,46 @@ class StreamingSpec extends SparkSpec {
     assert(journal.latestStatus.filter(col("status") === "Finished").count() == 1)
   }
 
+  test("continuous dedup ingestion: cross-batch and in-batch dups dropped, replay is a no-op") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val inDir = tmpDir("dedup_in")
+    val ckpt = tmpDir("dedup_ckpt")
+    val table = new ParquetTable(spark, tmpDir("dedup_table"))
+
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).json(inDir)
+      val q = StreamSink.startForeachBatch(stream,
+        WriteStreamConfig(checkpointLocation = ckpt),
+        StreamSink.dedupAppendBatch(table, "text", "doc_id"))
+      q.awaitTermination()
+    }
+
+    // batch 1: an in-batch duplicate pair (2 and 3) -> min doc_id survives
+    writeEnvelopes(inDir, "b1.json",
+      Seq(doc(1, "alpha"), doc(3, "beta"), doc(2, "beta")))
+    drain()
+    val after1 = table.read.select("doc_id").as[Long].collect().toSet
+    assert(after1 == Set(1L, 2L))
+
+    // batch 2: one cross-batch dup ("alpha"), one genuinely new doc
+    writeEnvelopes(inDir, "b2.json", Seq(doc(9, "alpha"), doc(10, "gamma")))
+    drain()
+    val after2 = table.read.select("doc_id").as[Long].collect().toSet
+    assert(after2 == Set(1L, 2L, 10L))
+
+    // replay: wipe the checkpoint so both files re-deliver -> txn record
+    // makes both batches no-ops
+    val deleted = java.nio.file.Files.walk(Paths.get(ckpt)).iterator()
+    scala.jdk.CollectionConverters.IteratorHasAsScala(deleted).asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    drain()
+    assert(table.read.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 10L))
+    assert(table.read.count() == 3)
+  }
+
   test("streaming append sink writes through the declarative config") {
     val inDir = tmpDir("app_in")
     val outDir = tmpDir("app_out")
