@@ -54,6 +54,36 @@ object OracleSql {
     s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $dot / (sqrt($na) * sqrt($nb)) END)"
   }
 
+  /** IVF top-k oracle: deterministic first-nCentroids quantizer, nearest
+    * assignment / probe selection by (cosine DESC, centroid_id ASC), probed
+    * buckets brute-forced — shared by q40 (in-memory path) and q56
+    * (persisted-index path), which differ only in operating point. */
+  private def ivfOracle(nCentroids: Int, maxQueryId: Int, nProbe: Int, k: Int): String =
+    s"""WITH centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS r
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, qv, centroid_id FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("q.embedding", "c.cv")} DESC, c.centroid_id ASC) AS r
+       |    FROM embeddings q CROSS JOIN centroids c WHERE q.vec_id < $maxQueryId) WHERE r <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cosineSql("a.embedding", "p.qv")} AS cosine
+       |  FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, ${rnd("cosine", 3)} AS cosine, rank::BIGINT AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
   /** SimHash signature + byte-band candidate CTE chain (mirrors
     * [[graft.operators.Dedup.simHash]]/`simHashNearDups`), shared by the
     * q38 pair gate and q53's component clustering over those pairs. */
@@ -484,31 +514,11 @@ object OracleSql {
     "q39_embedding_neardups" ->
       lshNearDupSql(numBands = 8, bitsPerBand = 6, threshold = "0.40"),
 
-    "q40_ivf_topk" ->
-      s"""WITH centroids AS (
-         |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 32),
-         |assigned AS (
-         |  SELECT vec_id, embedding, centroid_id FROM (
-         |    SELECT e.vec_id, e.embedding, c.centroid_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS r
-         |    FROM embeddings e CROSS JOIN centroids c) WHERE r = 1),
-         |probes AS (
-         |  SELECT query_id, qv, centroid_id FROM (
-         |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cosineSql("q.embedding", "c.cv")} DESC, c.centroid_id ASC) AS r
-         |    FROM embeddings q CROSS JOIN centroids c WHERE q.vec_id < 4) WHERE r <= 8),
-         |scored AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    ${cosineSql("a.embedding", "p.qv")} AS cosine
-         |  FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, ${rnd("cosine", 3)} AS cosine, rank::BIGINT AS rank
-         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q40_ivf_topk" -> ivfOracle(nCentroids = 32, maxQueryId = 4, nProbe = 8, k = 3),
+
+    // same IVF semantics through the PERSISTED index (write bucketed
+    // corpus + centroid table, probe via directory-pruned reads)
+    "q56_ivf_index" -> ivfOracle(nCentroids = 32, maxQueryId = 6, nProbe = 8, k = 3),
 
     "q41_salted_join" ->
       s"""SELECT o.o_orderstatus, count(*)::BIGINT AS n_rows,

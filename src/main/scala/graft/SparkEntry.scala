@@ -494,6 +494,21 @@ object SparkEntry {
         round(col("cosine"), 3).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Persisted IVF index: corpus written hive-partitioned by centroid_id,
+    * probes read ONLY the probed bucket directories off disk (manual DPP),
+    * then brute-force inside them — the durable-index variant of q40. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = T(s, dir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_q56").toString
+    Similarity.writeIvfIndex(Tables.widen(e), nCentroids = 32, idxDir)
+    val queries = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfTopKFromIndex(s, idxDir, queries, k = 3, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 3).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   /** Salted skew-join: identical result to the plain equi-join (the oracle
     * IS the plain join), with hot keys spread over 8 sub-partitions. */
   private def q41(s: SparkSession, dir: String): DataFrame = {
@@ -693,7 +708,8 @@ object SparkEntry {
     "q52_scd2_table_write" -> (q52 _),
     "q53_dedup_clusters" -> (q53 _),
     "q54_group_sample" -> (q54 _),
-    "q55_tfidf" -> (q55 _)
+    "q55_tfidf" -> (q55 _),
+    "q56_ivf_index" -> (q56 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -145,6 +145,71 @@ object Similarity {
       nearestCentroidId(cs, col(vecCol), corpus.sparkSession))
   }
 
+  /** Materialize the IVF index: the corpus written to `path/corpus`
+    * HIVE-PARTITIONED BY centroid_id (each bucket is its own directory) and
+    * the centroid table to `path/centroids`. At query time the probe filter
+    * becomes a PartitionFilter on the scan — a probe reads nProbe/nCentroids
+    * of the data OFF DISK, not just of the in-memory scan. */
+  def writeIvfIndex(corpus: DataFrame, nCentroids: Int, path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    val rows = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol), col(vecCol)).collect()
+    val cs = CentroidSet(array(rows.map(r => lit(r.get(0))): _*),
+      spark.sparkContext.broadcast(rows.map(_.getSeq[Float](1).toArray)))
+    // repartition ON the bucket key before the partitioned write: without
+    // it every task writes a sliver of every bucket (tasks x buckets small
+    // files — the classic partitionBy fan-out); with it each bucket's rows
+    // are contiguous and the file count is bounded by the shuffle width
+    corpus.withColumn("centroid_id", nearestCentroidId(cs, col(vecCol), spark))
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/corpus")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        corpus.select(idCol, vecCol).schema)
+      .withColumnRenamed(idCol, "centroid_id").withColumnRenamed(vecCol, "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k over a persisted IVF index: probe selection runs on the (tiny)
+    * centroid table, then the corpus scan carries `centroid_id IN (probed)`
+    * — Spark turns it into PartitionFilters, so only the probed bucket
+    * DIRECTORIES are read. The scored scan ends in the bounded TopKAgg. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nProbe: Int,
+                       corpusId: String = "vec_id", corpusVec: String = "embedding",
+                       queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    VectorFunctions.register(spark)
+    TopKAgg.register(spark)
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("centroid_id")).collect()
+    val cs = CentroidSet(array(centRows.map(r => lit(r.get(0))): _*),
+      spark.sparkContext.broadcast(centRows.map(_.getSeq[Float](1).toArray)))
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("cidx",
+        explode(VectorFunctions.topCentroids(spark, col("qv"), cs.bc, nProbe)))
+      .withColumn("centroid_id", element_at(cs.ids, col("cidx") + 1))
+      .drop("cidx")
+    // the probe set is bounded (queries x nProbe) — collect it and list the
+    // probed bucket DIRECTORIES explicitly (manual DPP, same contract as
+    // ParquetTable's touched-partition pruning: immune to partition-column
+    // type-inference defeating an isin pushdown)
+    val probedIds = probes.select("centroid_id").distinct().collect().map(_.get(0))
+    val base = s"$path/corpus"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(base), spark.sparkContext.hadoopConfiguration)
+    val dirs = probedIds.map(v => s"$base/centroid_id=$v")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    require(dirs.nonEmpty, s"no probed IVF buckets exist under $base")
+    val bucket = spark.read.option("basePath", base).parquet(dirs: _*)
+    val scored = broadcast(probes).join(bucket, "centroid_id")
+      .select(col("query_id"), struct(
+        negate(VectorFunctions.cosine(col(corpusVec), col("qv"))).as("negcos"),
+        col(corpusId).as("nid")).as("s"))
+    topKMerge(scored, k)
+  }
+
   /** IVF top-k: probe the `nProbe` nearest centroid buckets per query, then
     * brute-force inside the probed buckets only. Probe selection is a
     * bounded-insertion scan over the same broadcast centroid matrix (no

@@ -61,6 +61,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: full-probe matches brute force; probes read only their buckets") {
+    val dir = tmpDir("ivf_index")
+    Similarity.writeIvfIndex(corpus, nCentroids = 3, dir)
+    // bucket directories exist on disk (hive partition layout)
+    val buckets = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).toSet
+    assert(buckets.nonEmpty && buckets.forall(_.matches("centroid_id=\\d+")))
+
+    val queries = corpus.filter($"vec_id" < 2L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = Similarity.bruteForceTopK(corpus, queries, 2)
+      .select("query_id", "neighbor_id", "rank")
+    val idx = Similarity.ivfTopKFromIndex(spark, dir, queries, 2, nProbe = 3)
+      .select("query_id", "neighbor_id", "rank")
+    assert(rowsOf(bf) == rowsOf(idx))
+
+    // nProbe=1 for query 0 -> only bucket c0 = {0, 4, 5} is even READ
+    val one = Similarity.ivfTopKFromIndex(spark,
+        dir, queries.filter($"query_id" === 0L), 5, nProbe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(one == Set(0L, 4L, 5L), s"probed bucket mismatch: $one")
+    // and the scan's file listing is bounded to the probed directory
+    val plan = Similarity.ivfTopKFromIndex(spark,
+      dir, queries.filter($"query_id" === 0L), 5, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("centroid_id=1") && !plan.contains("centroid_id=2"),
+      s"unprobed buckets in scan:\n$plan")
+  }
+
   test("trainCentroids: Lloyd rounds never worsen the k-means objective") {
     val rnd = new scala.util.Random(5)
     // 3 well-separated gaussian blobs in 8d
