@@ -604,6 +604,13 @@ object OracleSql {
 
     "q51_embedding_lsh" -> lshNearDupSql(numBands = 2, bitsPerBand = 8, threshold = "0.30"),
 
+    "q57_mixture_sample" ->
+      s"""SELECT doc_id, source, lang FROM documents
+         |WHERE ${h32("doc_id::VARCHAR")} % 10000 <
+         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+         |              WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000
+         |              ELSE 0 END""".stripMargin,
+
     // smoothed TF-IDF; scores rounded BEFORE ranking so the top-N cut is
     // deterministic across engines (ties broken by term ASC)
     "q55_tfidf" ->

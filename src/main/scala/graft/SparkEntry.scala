@@ -587,6 +587,15 @@ object SparkEntry {
       .select(col("source"), col("doc_id"),
         col("sample_rank").cast("long").as("sample_rank"))
 
+  /** Source-weighted mixture sample: deterministic per-source keep ratios
+    * (the dataset-mixing step of a training pipeline) as one codegen'd
+    * hash filter. */
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureSample(
+        T(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+      .select(col("doc_id"), col("source"), col("lang"))
+
   /** Smoothed TF-IDF top terms per document (two aggregations over the
     * exploded token table + bounded TopKAgg — no window over (doc, term)). */
   private def q55(s: SparkSession, dir: String): DataFrame =
@@ -709,7 +718,8 @@ object SparkEntry {
     "q53_dedup_clusters" -> (q53 _),
     "q54_group_sample" -> (q54 _),
     "q55_tfidf" -> (q55 _),
-    "q56_ivf_index" -> (q56 _)
+    "q56_ivf_index" -> (q56 _),
+    "q57_mixture_sample" -> (q57 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -57,6 +57,21 @@ object Sampling {
         (col("pos") + 1).as("sample_rank"))
   }
 
+  /** Source-weighted mixture sampling — the "mix datasets at given ratios"
+    * step of a training pipeline: keep ~`weights(source)` of each source's
+    * rows, chosen by id-hash so membership is reproducible and externally
+    * recomputable. Sources absent from `weights` are dropped. One codegen'd
+    * filter, no shuffle, pushdown-friendly. */
+  def mixtureSample(df: DataFrame, srcCol: String, idCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 1), "weights in [0,1]")
+    val bucket = pmod(Hashes.portableHash32(col(idCol).cast("string")), lit(10000L))
+    val threshold = weights.foldLeft(lit(0.0)) { case (other, (s, w)) =>
+      when(col(srcCol) === s, lit(math.round(w * 10000).toDouble)).otherwise(other)
+    }
+    df.filter(bucket < threshold)
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training packs.
     *
     * Within each `groupCol` partition, documents ordered by `orderCol`

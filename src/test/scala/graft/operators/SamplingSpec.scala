@@ -45,6 +45,21 @@ class SamplingSpec extends SparkSpec {
     assert(p.contains("partial_topk_agg"), p)
   }
 
+  test("mixtureSample keeps per-source fractions, drops unlisted sources, reproducible") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val weights = Map("src0" -> 1.0, "src1" -> 0.5, "src5" -> 0.0)
+    val out = Sampling.mixtureSample(docs, "source", "doc_id", weights)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 25)                   // weight 1.0 keeps all
+    assert(bySrc.getOrElse("src5", 0L) == 0L)     // weight 0.0 drops all
+    assert(!bySrc.contains("src9"))               // unlisted source dropped
+    val k1 = bySrc.getOrElse("src1", 0L)
+    assert(k1 > 0 && k1 < 25, s"src1 kept $k1 of 25")  // fractional keep
+    assert(rowsOf(out) == rowsOf(
+      Sampling.mixtureSample(docs, "source", "doc_id", weights)))
+  }
+
   test("packByTokenBudget assigns contiguous packs under the budget") {
     val df = Seq(
       (1L, "s", "a " * 100), (2L, "s", "b " * 100), (3L, "s", "c " * 100),
