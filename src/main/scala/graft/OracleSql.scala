@@ -604,6 +604,19 @@ object OracleSql {
 
     "q51_embedding_lsh" -> lshNearDupSql(numBands = 2, bitsPerBand = 8, threshold = "0.30"),
 
+    // frame slicing recomputed over VARCHAR: the corpus is pure ASCII at
+    // every SF (verified octet_length(encode(text)) == length(text)), so
+    // character substring == the Spark side's byte substring, and md5 of a
+    // VARCHAR hashes the same UTF-8 bytes as md5 of the sliced binary
+    "q58_frame_sampling" ->
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, text,
+        |    unnest(range(0, greatest((n // 32) - 1, 0) + 1, 4)) AS frame_idx
+        |  FROM m)
+        |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+        |  md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_md5
+        |FROM f""".stripMargin,
+
     "q57_mixture_sample" ->
       s"""SELECT doc_id, source, lang FROM documents
          |WHERE ${h32("doc_id::VARCHAR")} % 10000 <

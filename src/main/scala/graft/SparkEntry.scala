@@ -587,6 +587,18 @@ object SparkEntry {
       .select(col("source"), col("doc_id"),
         col("sample_rank").cast("long").as("sample_rank"))
 
+  /** Video-style frame sampling over the opaque binary column: every 4th
+    * 32-byte frame, with frame_idx carried alongside (md5 of the frame bytes
+    * stands in for the frame payload in the gate — the oracle can only
+    * compare scalars). */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.withFakeImageColumn(
+      TW(s, dir, "documents"), "text")
+    graft.operators.Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
+  }
+
   /** Source-weighted mixture sample: deterministic per-source keep ratios
     * (the dataset-mixing step of a training pipeline) as one codegen'd
     * hash filter. */
@@ -719,7 +731,8 @@ object SparkEntry {
     "q54_group_sample" -> (q54 _),
     "q55_tfidf" -> (q55 _),
     "q56_ivf_index" -> (q56 _),
-    "q57_mixture_sample" -> (q57 _)
+    "q57_mixture_sample" -> (q57 _),
+    "q58_frame_sampling" -> (q58 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
