@@ -604,6 +604,45 @@ object OracleSql {
 
     "q51_embedding_lsh" -> lshNearDupSql(numBands = 2, bitsPerBand = 8, threshold = "0.30"),
 
+    // relational recomputation of q59's two writeScd4 calls. Clause order:
+    // matched + row_active=false sets ONLY deleted_flag (other columns keep
+    // their OLD values); matched + active takes all update columns; unseen
+    // active keys insert; history snapshots the OLD current row for ACTIVE
+    // updates only, stamped cast(updated_at AS timestamp) (seconds)
+    "q59_scd4_table_write" ->
+      """WITH seed AS (
+        |  SELECT c_custkey, c_name, c_acctbal, true AS row_active,
+        |    false AS deleted_flag, 1700000000 + c_custkey AS updated_at
+        |  FROM customer WHERE c_custkey % 10 <> 0),
+        |upd AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+        |    (c_custkey % 5 <> 0) AS row_active, false AS deleted_flag,
+        |    1700100000 + c_custkey AS updated_at
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |cur AS (
+        |  SELECT s.c_custkey,
+        |    CASE WHEN u.c_custkey IS NOT NULL AND u.row_active THEN u.c_name ELSE s.c_name END AS c_name,
+        |    CASE WHEN u.c_custkey IS NOT NULL AND u.row_active THEN u.c_acctbal ELSE s.c_acctbal END AS c_acctbal,
+        |    CASE WHEN u.c_custkey IS NOT NULL AND u.row_active THEN u.row_active ELSE s.row_active END AS row_active,
+        |    CASE WHEN u.c_custkey IS NOT NULL AND NOT u.row_active THEN true
+        |         WHEN u.c_custkey IS NOT NULL AND u.row_active THEN u.deleted_flag
+        |         ELSE s.deleted_flag END AS deleted_flag,
+        |    CASE WHEN u.c_custkey IS NOT NULL AND u.row_active THEN u.updated_at ELSE s.updated_at END AS updated_at
+        |  FROM seed s LEFT JOIN upd u ON s.c_custkey = u.c_custkey
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_name, u.c_acctbal, u.row_active, u.deleted_flag, u.updated_at
+        |  FROM upd u WHERE u.row_active
+        |    AND NOT EXISTS (SELECT 1 FROM seed s WHERE s.c_custkey = u.c_custkey)),
+        |hist AS (
+        |  SELECT s.c_custkey, s.c_name, s.c_acctbal, s.row_active, s.deleted_flag,
+        |    s.updated_at, epoch_ms(u.updated_at * 1000) AS history_created_at
+        |  FROM seed s JOIN upd u ON s.c_custkey = u.c_custkey WHERE u.row_active)
+        |SELECT 'current' AS tbl, c_custkey, c_name, c_acctbal, row_active,
+        |  deleted_flag, updated_at, NULL::TIMESTAMP AS history_created_at FROM cur
+        |UNION ALL
+        |SELECT 'history', c_custkey, c_name, c_acctbal, row_active,
+        |  deleted_flag, updated_at, history_created_at FROM hist""".stripMargin,
+
     // frame slicing recomputed over VARCHAR: the corpus is pure ASCII at
     // every SF (verified octet_length(encode(text)) == length(text)), so
     // character substring == the Spark side's byte substring, and md5 of a

@@ -482,6 +482,37 @@ object SparkEntry {
       col("c_acctbal"), col("current_flag"))
   }
 
+  /** Table-backed SCD4 WRITE path gate (q17 checks the pure scd4Apply): seed
+    * current through writeScd4's bootstrap, merge a mixed batch (updates +
+    * soft deletes + fresh inserts) through the pruned COW path — history
+    * appended first, txn on both tables — then read CURRENT and HISTORY
+    * back as one tagged frame. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    import graft.merge.{ParquetTable, Scd}
+    val base = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val seed = base.filter(col("c_custkey") % 10 =!= 0)
+      .withColumn("row_active", lit(true))
+      .withColumn("deleted_flag", lit(false))
+      .withColumn("updated_at", lit(1700000000L) + col("c_custkey"))
+    val upd = base.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+      .withColumn("row_active", col("c_custkey") % 5 =!= 0)
+      .withColumn("deleted_flag", lit(false))
+      .withColumn("updated_at", lit(1700100000L) + col("c_custkey"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q59").toString
+    val current = new ParquetTable(s, s"$root/cust", Nil)
+    val history = new ParquetTable(s, s"$root/cust_history", Nil)
+    Scd.writeScd4(current, history, seed, Seq("c_custkey"))
+    Scd.writeScd4(current, history, upd, Seq("c_custkey"))
+    val cols = Seq("c_custkey", "c_name", "c_acctbal", "row_active",
+      "deleted_flag", "updated_at").map(col)
+    current.read.select(lit("current").as("tbl") +: cols :+
+        lit(null).cast("timestamp").as("history_created_at"): _*)
+      .unionByName(history.read.select(lit("history").as("tbl") +: cols :+
+        col("history_created_at"): _*))
+  }
+
   /** IVF ANN: probe the nearest centroid buckets only — the scale path where
     * brute force would scan the full corpus per query. */
   private def q40(s: SparkSession, dir: String): DataFrame = {
@@ -732,7 +763,8 @@ object SparkEntry {
     "q55_tfidf" -> (q55 _),
     "q56_ivf_index" -> (q56 _),
     "q57_mixture_sample" -> (q57 _),
-    "q58_frame_sampling" -> (q58 _)
+    "q58_frame_sampling" -> (q58 _),
+    "q59_scd4_table_write" -> (q59 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
