@@ -39,7 +39,13 @@ object Bench {
     // Min of N timed runs per query: the minimum is robust against external
     // load spikes on a shared box (observed 3-5x swings run-to-run).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    // Optional args = bench only the named queries (iteration aid).
+    // Optional args = bench only the named queries (iteration aid). A typo
+    // must fail loudly — silently benching a partial set reports a
+    // misleading total.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — known: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap

@@ -30,6 +30,27 @@ object SparkEntry {
   private def TW(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.widen(Tables.load(s, dir, name))
 
+  /** Scratch dir for write-path gate queries (q52/q56/q59), deleted on JVM
+    * exit so repeated bench/verify runs don't accumulate table copies in
+    * /tmp. One hook, one dir list. */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  sys.addShutdownHook {
+    scratchDirs.forEach { p =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(p))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      } catch { case _: Exception => () } // best-effort; /tmp is ephemeral
+    }
+  }
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
@@ -467,7 +488,7 @@ object SparkEntry {
     val seed = c.filter(col("c_custkey") % 10 =!= 0)
     val upd = c.filter(col("c_custkey") % 3 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 100)
-    val root = java.nio.file.Files.createTempDirectory("graft_q52").toString
+    val root = scratchDir("graft_q52")
     val table = new ParquetTable(s, s"$root/cust_scd2", Seq("c_mktsegment"))
     val matchCond = "target.current_flag = true AND target.c_acctbal <> updates.c_acctbal"
     val insertMap = Map(
@@ -500,7 +521,7 @@ object SparkEntry {
       .withColumn("row_active", col("c_custkey") % 5 =!= 0)
       .withColumn("deleted_flag", lit(false))
       .withColumn("updated_at", lit(1700100000L) + col("c_custkey"))
-    val root = java.nio.file.Files.createTempDirectory("graft_q59").toString
+    val root = scratchDir("graft_q59")
     val current = new ParquetTable(s, s"$root/cust", Nil)
     val history = new ParquetTable(s, s"$root/cust_history", Nil)
     Scd.writeScd4(current, history, seed, Seq("c_custkey"))
@@ -531,7 +552,7 @@ object SparkEntry {
   private def q56(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val e = T(s, dir, "embeddings")
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_q56").toString
+    val idxDir = scratchDir("graft_q56")
     Similarity.writeIvfIndex(Tables.widen(e), nCentroids = 32, idxDir)
     val queries = e.filter(col("vec_id") < 6)
       .select(col("vec_id").as("query_id"), col("embedding"))

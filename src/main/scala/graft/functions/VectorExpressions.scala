@@ -305,4 +305,20 @@ object VectorFunctions {
       name, exprs => TopCentroids(exprs(0), bc, nProbe), "built-in")
     call_function(name, vec)
   }
+
+  /** Release a centroid broadcast once every action that uses it has run:
+    * destroys the broadcast and drops its per-broadcast registry entries, so
+    * iterative callers (Lloyd training) and long-lived sessions don't
+    * accumulate executor memory or registry names. Callers that RETURN a lazy
+    * plan holding the broadcast must not call this before the caller's
+    * action. */
+  def releaseCentroidBroadcast(spark: SparkSession,
+                               bc: Broadcast[Array[Array[Float]]]): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.listFunction()
+      .filter(f => f.funcName == s"graft_nearest_centroid_${bc.id}" ||
+        f.funcName.startsWith(s"graft_top_centroids_${bc.id}_"))
+      .foreach(reg.dropFunction)
+    bc.destroy()
+  }
 }

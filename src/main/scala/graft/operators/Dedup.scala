@@ -267,6 +267,10 @@ object Dedup {
       labels = next.drop("changed")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds - labels would " +
+          "be partially merged. Raise maxIter (rounds needed ~ log2(diameter)).")
     labels.select(col("node"), col("label").as("component"))
   }
 

@@ -103,6 +103,9 @@ object Similarity {
       val means = assigned.select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
         .collect()
+      // this iteration's broadcast is done after the collect — release it so
+      // `iters` rounds don't stack matrices in executor memory
+      VectorFunctions.releaseCentroidBroadcast(spark, bc)
       val next = cents.map(_.clone())
       means.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
@@ -124,13 +127,15 @@ object Similarity {
     VectorFunctions.register(spark)
     val bc = spark.sparkContext.broadcast(cents)
     val idArr = array(cents.indices.map(i => typedLit(cents(i).toSeq)): _*)
-    corpus.select(
+    val result = corpus.select(
         element_at(idArr,
           VectorFunctions.nearestCentroid(spark, col(vecCol), bc) + 1).as("c"),
         col(vecCol).as("v"))
       .select(aggregate(zip_with(col("v"), col("c"),
         (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, d) => acc + d).as("d2"))
       .agg(sum(col("d2"))).head().getDouble(0)
+    VectorFunctions.releaseCentroidBroadcast(spark, bc)
+    result
   }
 
   /** IVF assignment: nearest (deterministic) centroid per corpus vector.
@@ -169,6 +174,8 @@ object Similarity {
         corpus.select(idCol, vecCol).schema)
       .withColumnRenamed(idCol, "centroid_id").withColumnRenamed(vecCol, "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // both writes are done; the assignment broadcast has no further user
+    VectorFunctions.releaseCentroidBroadcast(spark, cs.bc)
   }
 
   /** Top-k over a persisted IVF index: probe selection runs on the (tiny)
