@@ -716,6 +716,125 @@ object OracleSql {
         |UNION ALL SELECT * FROM newvers
         |UNION ALL SELECT * FROM fresh""".stripMargin,
 
+    // deterministic portable HLL (graft.operators.Sketches.hllDistinct):
+    // 60-bit md5 hash, low 8 bits -> register, rho = leading-zero rank of
+    // the top 52 bits; harmonic total in SCALED INTEGER arithmetic
+    // (sum 2^(53-rho) as BIGINT) so only the final division is fp. The
+    // numerator constant is interpolated from the Scala side verbatim.
+    "q60_hll_distinct" -> {
+      val m = 256
+      val maxRho = graft.operators.Sketches.hllMaxRho(m) // 53
+      val c = graft.operators.Sketches.hllScaleC(m)
+      s"""WITH h AS (SELECT l_returnflag,
+         |    ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM lineitem),
+         |r AS (SELECT l_returnflag, h & ${m - 1} AS reg, h >> 8 AS rest FROM h),
+         |regs AS (SELECT l_returnflag, reg,
+         |    max(CASE WHEN rest = 0 THEN $maxRho
+         |             ELSE $maxRho - length(bin(rest)) END) AS rho
+         |  FROM r GROUP BY 1, 2),
+         |s AS (SELECT l_returnflag, count(*) AS np,
+         |    sum(1::BIGINT << ($maxRho - rho))::BIGINT AS scaled
+         |  FROM regs GROUP BY 1),
+         |e AS (SELECT l_returnflag, np,
+         |    (scaled + ($m - np) * (1::BIGINT << $maxRho))::DOUBLE AS total FROM s),
+         |est AS (SELECT l_returnflag,
+         |    CASE WHEN ($c)::DOUBLE / total <= ${2.5 * m} AND np < $m
+         |         THEN ($m.0)::DOUBLE * ln(($m.0)::DOUBLE / ($m - np))
+         |         ELSE ($c)::DOUBLE / total END AS est
+         |  FROM e),
+         |ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_distinct
+         |  FROM lineitem GROUP BY 1)
+         |SELECT est.l_returnflag, exact_distinct, ${rnd("est", 2)} AS hll_distinct
+         |FROM est JOIN ex USING (l_returnflag)""".stripMargin
+    },
+
+    "q61_top_ngrams" -> {
+      val sh = shinglesExpr("t", 3)
+      s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),
+         |grams AS (SELECT unnest($sh) AS gram FROM toks),
+         |counts AS (SELECT gram, count(*)::BIGINT AS n_occ FROM grams GROUP BY 1),
+         |ranked AS (SELECT gram, n_occ,
+         |    row_number() OVER (ORDER BY n_occ DESC, gram ASC) AS rank FROM counts)
+         |SELECT gram, n_occ, rank::BIGINT AS rank FROM ranked WHERE rank <= 20""".stripMargin
+    },
+
+    // contamination over shingle STRINGS; the Spark side joins 64-bit
+    // hashed postings (same counts modulo md5-collision odds, same pattern
+    // as q22's hashed inverted index)
+    "q62_contamination" -> {
+      val sh = shinglesExpr("t", 8)
+      s"""WITH sets AS (SELECT doc_id, list_distinct($sh) AS g8
+         |  FROM (SELECT doc_id, $toksExpr AS t FROM documents)),
+         |bench AS (SELECT doc_id AS bid, unnest(g8) AS g FROM sets WHERE doc_id % 10 = 0),
+         |train AS (SELECT doc_id AS tid, unnest(g8) AS g FROM sets WHERE doc_id % 10 <> 0),
+         |bn AS (SELECT doc_id AS bid, len(g8) AS n_bench FROM sets WHERE doc_id % 10 = 0),
+         |rare AS (SELECT g FROM train GROUP BY g HAVING count(*) <= 1000),
+         |shared AS (SELECT tid, bid, count(*) AS n_shared
+         |  FROM train JOIN rare USING (g) JOIN bench USING (g) GROUP BY 1, 2),
+         |scored AS (SELECT tid, bid, n_shared,
+         |    ${rnd("n_shared::DOUBLE / n_bench", 4)} AS containment
+         |  FROM shared JOIN bn USING (bid))
+         |SELECT tid AS train_id, bid AS bench_id, n_shared::BIGINT AS n_shared,
+         |  containment
+         |FROM scored WHERE containment >= 0.5""".stripMargin
+    },
+
+    "q63_repetition_filter" -> {
+      val sh = shinglesExpr("t", 3)
+      val dupFrac =
+        rnd("CASE WHEN coalesce(n_tri, 0) = 0 THEN 0.0 ELSE dup_tri::DOUBLE / n_tri END", 4)
+      s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS w FROM documents),
+         |wcount AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         |words AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_c FROM wcount GROUP BY 1),
+         |tarr AS (SELECT doc_id, $toksExpr AS t FROM documents),
+         |tris AS (SELECT doc_id, unnest($sh) AS g FROM tarr),
+         |tcount AS (SELECT doc_id, g, count(*) AS c FROM tris GROUP BY 1, 2),
+         |tri AS (SELECT doc_id, sum(c) AS n_tri,
+         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM tcount GROUP BY 1),
+         |m AS (SELECT w.doc_id, w.n_words::BIGINT AS n_words,
+         |    ${rnd("top_c::DOUBLE / n_words", 4)} AS top_word_frac,
+         |    $dupFrac AS dup_trigram_frac
+         |  FROM words w LEFT JOIN tri USING (doc_id))
+         |SELECT doc_id, n_words, top_word_frac, dup_trigram_frac,
+         |  (top_word_frac > 0.1 OR dup_trigram_frac > 0.4) AS repetitive
+         |FROM m""".stripMargin
+    },
+
+    // quantile_disc selection semantics (value at ordered rank ceil(p*n)):
+    // integer rank selection is engine-portable where interpolated
+    // percentile_cont would hit fp-average drift
+    "q64_group_quantiles" ->
+      s"""WITH r AS (SELECT event_type, value AS v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events)
+         |SELECT event_type, max(n)::BIGINT AS n,
+         |  ${rnd("max(CASE WHEN rn = ceil(0.5 * n::DOUBLE) THEN v END)", 2)} AS p50,
+         |  ${rnd("max(CASE WHEN rn = ceil(0.9 * n::DOUBLE) THEN v END)", 2)} AS p90,
+         |  ${rnd("max(CASE WHEN rn = ceil(0.99 * n::DOUBLE) THEN v END)", 2)} AS p99
+         |FROM r GROUP BY event_type""".stripMargin,
+
+    // the bloom prefilter must be result-invisible: the oracle IS the plain
+    // semi join
+    "q65_bloom_semi_join" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,
+         |  ${rnd("sum(l_quantity)", 2)} AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+         |  WHERE o_orderstatus = 'F' AND o_totalprice > 200000)
+         |GROUP BY 1, 2""".stripMargin,
+
+    // aligned 64-char windows at stride 32; corpus is pure ASCII (q58 note)
+    // so char substring == byte substring
+    "q66_window_dedup_pairs" ->
+      """WITH wins AS (SELECT DISTINCT doc_id, md5(substring(text, p + 1, 64)) AS h
+        |  FROM documents, unnest(range(0, length(text) - 64 + 1, 32)) AS u(p)
+        |  WHERE length(text) >= 64)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+        |FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

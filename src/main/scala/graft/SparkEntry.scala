@@ -724,6 +724,65 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Deterministic HLL distinct estimate vs the exact count, per returnflag
+    * (register state bounded at m=256 rows per group vs the exact distinct's
+    * full-value shuffle). */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllDistinct(
+      T(s, dir, "lineitem"), "l_orderkey", Seq("l_returnflag"), m = 256)
+
+  /** Corpus-wide heavy hitters: top-20 word trigrams through the bounded
+    * TopKAgg (no global sort of the gram vocabulary). */
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.topNgrams(TW(s, dir, "documents"), "text",
+      n = 3, topK = 20)
+
+  /** Benchmark-contamination scan: docs with doc_id % 10 == 0 act as the
+    * held-out benchmark; any training doc containing >= 50% of a benchmark
+    * doc's 8-grams is flagged. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.ngramContainment(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", shingleK = 8, threshold = 0.5)
+  }
+
+  /** Gopher/MassiveText-style within-document repetition filter metrics. */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(TW(s, dir, "documents"), "doc_id", "text")
+
+  /** Exact discrete quantiles of event value per event type (one sort per
+    * group serves all three quantiles). */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.operators.Stats.groupQuantiles(
+      T(s, dir, "events"), "event_type", "value", Seq(0.5, 0.9, 0.99))
+    q.select(col("event_type"), col("n"),
+      round(col("p50"), 2).as("p50"), round(col("p90"), 2).as("p90"),
+      round(col("p99"), 2).as("p99"))
+  }
+
+  /** Bloom-prefiltered semi join: lineitems of high-value 'F' orders. The
+    * oracle is the PLAIN semi join — the bloom prefilter must change
+    * nothing but the amount of data reaching the shuffle. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val bigF = T(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000)
+      .select(col("o_orderkey"))
+    graft.operators.BloomJoin.bloomSemiJoin(
+        T(s, dir, "lineitem"), bigF, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  /** Aligned-window exact-substring dedup candidates (64-char windows,
+    * stride 32). */
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedWindowPairs(T(s, dir, "documents"), "doc_id", "text",
+      window = 64, stride = 32)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -785,7 +844,14 @@ object SparkEntry {
     "q56_ivf_index" -> (q56 _),
     "q57_mixture_sample" -> (q57 _),
     "q58_frame_sampling" -> (q58 _),
-    "q59_scd4_table_write" -> (q59 _)
+    "q59_scd4_table_write" -> (q59 _),
+    "q60_hll_distinct" -> (q60 _),
+    "q61_top_ngrams" -> (q61 _),
+    "q62_contamination" -> (q62 _),
+    "q63_repetition_filter" -> (q63 _),
+    "q64_group_quantiles" -> (q64 _),
+    "q65_bloom_semi_join" -> (q65 _),
+    "q66_window_dedup_pairs" -> (q66 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

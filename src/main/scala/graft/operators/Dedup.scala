@@ -180,6 +180,74 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark-contamination check: for every (train doc, benchmark doc)
+    * pair sharing word `shingleK`-grams, the CONTAINMENT of the benchmark
+    * doc's gram set in the train doc — `|train ∩ bench| / |bench|` — the
+    * standard n-gram decontamination test run before training (a train doc
+    * containing most of a benchmark doc's n-grams leaks that benchmark).
+    * Containment, not Jaccard: a short benchmark fully quoted inside a long
+    * train doc has low Jaccard but containment ~1.
+    *
+    * Shape mirrors [[ngramJaccardPairs]]: grams enter the join as 64-bit
+    * hashes, candidates come from the inverted index (train side pruned by
+    * `maxPostings`), and the per-pair count is bounded by the benchmark
+    * doc's gram count. The benchmark corpus is typically tiny next to the
+    * training corpus — the posting join shuffles train grams once; nothing
+    * is quadratic in the train side. */
+  def ngramContainment(train: DataFrame, bench: DataFrame,
+                       textCol: String, idCol: String,
+                       shingleK: Int = 8, threshold: Double = 0.5,
+                       maxPostings: Int = 1000): DataFrame = {
+    def sets(df: DataFrame, out: String) =
+      graft.Tables.widen(df).select(col(idCol).as(out),
+        array_distinct(graft.functions.TextHashFunctions.shingleHashes64(
+          col(textCol), shingleK)).as("sh"))
+    val trainPosts = sets(train, "tid").select(col("tid"), explode(col("sh")).as("g"))
+    val benchSets = sets(bench, "bid").localCheckpoint()
+    val benchPosts = benchSets.select(col("bid"), explode(col("sh")).as("g"))
+    val benchN = benchSets.select(col("bid"), size(col("sh")).as("n_bench"))
+    val rare = trainPosts.groupBy("g").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxPostings)
+    val shared = trainPosts.join(rare, "g").join(benchPosts, "g")
+      .groupBy(col("tid"), col("bid"))
+      .agg(count(lit(1)).as("n_shared")) // posting sets are distinct per doc
+    shared.join(benchN, "bid")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_bench"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("tid").as("train_id"), col("bid").as("bench_id"),
+        col("n_shared").cast("long").as("n_shared"), col("containment"))
+  }
+
+  /** Exact-substring near-dup candidates by ALIGNED character windows:
+    * every doc is cut into `window`-char substrings at stride `stride`; two
+    * docs sharing any window hash are reported with their shared-window
+    * count. The practical sliding-window approximation of suffix-array
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): a full suffix array is a multi-pass external
+    * sort, while this is one projection + one equi-join on an 8-byte hash,
+    * at the cost of only catching duplicated spans that cover an aligned
+    * window (span length >= window + stride - 1 guarantees a hit).
+    *
+    * Windows enter the join as md5 hashes: the shuffle moves 16-byte keys,
+    * not 64-char strings; a hash collision would need a second-preimage of
+    * md5 inside the corpus to produce a false pair. Docs shorter than
+    * `window` chars emit nothing. */
+  def sharedWindowPairs(df: DataFrame, idCol: String, textCol: String,
+                        window: Int = 64, stride: Int = 32): DataFrame = {
+    val wins = graft.Tables.widen(df)
+      .filter(length(col(textCol)) >= window)
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0), length(col("t")) - window, lit(stride))).as("p"))
+      .select(col("id"), md5(expr(s"substring(t, p + 1, $window)")).as("h"))
+      .distinct()
+    wins.alias("a").join(wins.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
   // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------

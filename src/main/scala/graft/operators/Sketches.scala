@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-shaped corpus statistics for training-data curation at scale:
+  * approximate distinct counts and corpus-wide heavy hitters, both built so
+  * the shuffled state is BOUNDED (registers / top-k buffers), never the value
+  * set itself.
+  *
+  * The HLL here is deliberately a *portable deterministic* HyperLogLog over
+  * the md5-derived hash (same rationale as [[graft.functions.Hashes]]): every
+  * step — register index, leading-zero rank, the register max, the harmonic
+  * total, the small-range correction — is integer-exact or a single IEEE
+  * operation, so an external engine replays it bit-for-bit and the estimate
+  * is reproducible across engines and runs. Spark's own `approx_count_distinct`
+  * (HLL++) and `hll_sketch_agg` (DataSketches) trade that reproducibility for
+  * speed; at 100 TB you'd reach for them when cross-engine determinism is not
+  * a requirement — the SHAPE (bounded register state, map-side partial merge)
+  * is identical.
+  */
+object Sketches {
+
+  /** Register-index bit count for m registers (m a power of two). */
+  def hllRegBits(m: Int): Int = Integer.numberOfTrailingZeros(m)
+
+  /** Max leading-zero rank: the non-register bits of the 60-bit hash + 1. */
+  def hllMaxRho(m: Int): Int = (60 - hllRegBits(m)) + 1
+
+  /** `alpha_m * m^2 * 2^maxRho` — the numerator of the scaled-integer
+    * harmonic estimate. Public so the external oracle can interpolate the
+    * IDENTICAL double instead of re-deriving it. */
+  def hllScaleC(m: Int): Double =
+    0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, hllMaxRho(m))
+
+  /** Deterministic HyperLogLog distinct estimate per group.
+    *
+    * Hash = first 15 md5 hex chars (60 bits, non-negative); low `log2(m)`
+    * bits pick the register, the remaining bits' leading-zero rank (rho) is
+    * the register value. The per-group state after the first aggregation is
+    * at most `m` rows — map-side partial `max` means each input partition
+    * shuffles at most `m` rows per group no matter how many values it holds;
+    * the classic exact `countDistinct` instead shuffles every distinct value.
+    * The harmonic mean runs in SCALED INTEGER arithmetic (sum of
+    * `2^(maxRho - rho)` as BIGINT) so it is order-independent and exact —
+    * only the final division and the `ln` of the small-range correction are
+    * floating point, each a single well-defined IEEE operation.
+    *
+    * Output: groupCols..., `exact_distinct` (for error inspection — drop it
+    * at scale), `hll_distinct` (rounded 2dp).
+    */
+  def hllDistinct(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  m: Int = 256): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    require(groupCols.nonEmpty, "grouping columns required")
+    val regBits = hllRegBits(m)
+    val maxRho = hllMaxRho(m) // rest has 60-regBits bits; rho = lz + 1
+    val scaleC = hllScaleC(m)
+
+    val gcols = groupCols.map(col)
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val hashed = df.select(gcols :+ h.as("h"): _*)
+      .withColumn("reg", col("h").bitwiseAND(lit((m - 1).toLong)))
+      .withColumn("rest", shiftright(col("h"), regBits))
+      .withColumn("rho", when(col("rest") === 0, lit(maxRho))
+        .otherwise(lit(maxRho) - length(bin(col("rest")))))
+    val regs = hashed.groupBy(gcols :+ col("reg"): _*).agg(max(col("rho")).as("rho"))
+    val grouped = regs.groupBy(gcols: _*).agg(
+      count(lit(1)).as("np"),
+      sum(call_function("shiftleft", lit(1L),
+        lit(maxRho) - col("rho"))).as("scaled"))
+    val total = (col("scaled") + (lit(m.toLong) - col("np")) *
+      call_function("shiftleft", lit(1L), lit(maxRho))).cast("double")
+    val eRaw = lit(scaleC) / total
+    val zeros = lit(m.toLong) - col("np")
+    val est = when(eRaw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(eRaw)
+    val exact = df.groupBy(gcols: _*)
+      .agg(countDistinct(col(valueCol)).cast("long").as("exact_distinct"))
+    grouped.select(gcols :+ round(est, 2).as("hll_distinct"): _*)
+      .join(exact, groupCols)
+      .select(gcols ++ Seq(col("exact_distinct"), col("hll_distinct")): _*)
+  }
+
+  /** Corpus-wide top-`topK` word n-grams by occurrence count (the heavy-
+    * hitter profile of a training corpus: boilerplate detection, template
+    * mining, tokenizer-vocab sanity checks).
+    *
+    * Shape: one shuffled count per distinct gram (map-side partial), then the
+    * global top-k rides the bounded [[graft.functions.TopKAgg]] — the final
+    * single-reducer merge sees at most k rows per upstream partition instead
+    * of sorting the full gram vocabulary. Ties break on the gram string so
+    * the cut is deterministic. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, topK: Int): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.TextHashFunctions.register(spark)
+    graft.functions.TopKAgg.register(spark)
+    val grams = df.select(explode(
+      graft.functions.TextHashFunctions.shingles(col(textCol), n)).as("gram"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).cast("long").as("n_occ"))
+    counts
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("n_occ")).as("negn"), col("gram").as("gram")), topK).as("arr"))
+      .select(posexplode(col("arr")))
+      .select(col("col.gram").as("gram"), negate(col("col.negn")).as("n_occ"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+}

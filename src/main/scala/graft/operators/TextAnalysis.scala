@@ -120,6 +120,50 @@ object TextAnalysis {
     aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
   }
 
+  /** Within-document repetition metrics (the Gopher/MassiveText repetition
+    * filter family, adapted to word granularity since the corpus has no line
+    * structure): for each doc
+    *   - `top_word_frac`   — occurrences of the single most frequent word /
+    *     total words (MassiveText's "fraction of chars in most common word"
+    *     sibling);
+    *   - `dup_word_frac`   — 1 - distinct words / total words;
+    *   - `dup_trigram_frac`— fraction of trigram OCCURRENCES whose trigram
+    *     appears more than once in the doc (MassiveText's duplicate-n-gram
+    *     fraction);
+    *   - `repetitive`      — the filter verdict at the given thresholds.
+    *
+    * Shape: two exploded counts (words, trigrams) keyed by doc, aggregated
+    * back to one row per doc — map-side partial counting, the per-doc key
+    * keeps both shuffles on the same natural key, and nothing is ever
+    * collected. Docs shorter than 3 tokens have no trigrams: their
+    * `dup_trigram_frac` is 0. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+                        topWordMax: Double = 0.1,
+                        dupTrigramMax: Double = 0.4): DataFrame = {
+    graft.functions.TextHashFunctions.register(df.sparkSession)
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val words = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_words"),
+        max(col("c")).as("top_c"))
+    val tris = df.select(col(idCol).as("doc_id"), explode(
+        graft.functions.TextHashFunctions.shingles(col(textCol), 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tri"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_tri"))
+    val out = words.join(tris, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        round(col("top_c").cast("double") / col("n_words"), 4).as("top_word_frac"),
+        round(when(coalesce(col("n_tri"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("dup_tri").cast("double") / col("n_tri")), 4)
+          .as("dup_trigram_frac"))
+    out.withColumn("repetitive",
+      col("top_word_frac") > topWordMax || col("dup_trigram_frac") > dupTrigramMax)
+  }
+
   /** One-pass document profile used by `SparkEntry`. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))

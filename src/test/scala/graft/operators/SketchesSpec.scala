@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hllDistinct estimates within HLL error bounds and is deterministic") {
+    // three groups with very different cardinalities: 10 (small-range
+    // correction territory), 500, 5000 (raw harmonic estimate)
+    val rows = (1 to 10).map(i => ("tiny", s"v$i")) ++
+      (1 to 500).map(i => ("mid", s"v$i")) ++
+      (1 to 5000).map(i => ("big", s"v$i"))
+    val df = rows.toDF("grp", "v")
+    val out = Sketches.hllDistinct(df, "v", Seq("grp")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("tiny")._1 == 10L)
+    assert(out("mid")._1 == 500L)
+    assert(out("big")._1 == 5000L)
+    // m=256 -> standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    out.foreach { case (g, (exact, est)) =>
+      assert(math.abs(est - exact) / exact < 0.20, s"$g: est $est vs exact $exact")
+    }
+    // linear-counting regime should be very tight for tiny cardinalities
+    assert(math.abs(out("tiny")._2 - 10.0) / 10.0 < 0.05)
+    // deterministic: identical on re-run
+    val again = Sketches.hllDistinct(df, "v", Seq("grp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    out.foreach { case (g, (_, est)) => assert(again(g) == est) }
+  }
+
+  test("hllDistinct register state is bounded at m rows per group") {
+    val df = (1 to 5000).map(i => ("g", s"v$i")).toDF("grp", "v")
+    // the intermediate register relation can never exceed m rows per group —
+    // probe it through the public API by checking the estimate survives m
+    // much smaller than the cardinality
+    val est = Sketches.hllDistinct(df, "v", Seq("grp"), m = 64)
+      .collect()(0).getDouble(2)
+    assert(math.abs(est - 5000) / 5000.0 < 0.5) // m=64 -> ~13% stderr, 3+ sigma
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(df, "v", Seq("grp"), m = 100) // not a power of two
+    }
+  }
+
+  test("topNgrams matches the sort-based ranking and stays off the Window path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sketches.topNgrams(docs, "text", n = 3, topK = 15)
+    // reference: full count + global sort
+    val grams = docs.select(explode(
+      graft.functions.TextHashFunctions.shingles(col("text"), 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).cast("long").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("gram").asc).limit(15)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = out.orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == grams.toSeq)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("partial_topk_agg"), p)
+  }
+}

@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupQuantiles selects the value at ordered rank ceil(p*n)") {
+    // group a: 1..100 -> p50 = v[50] = 50, p90 = v[90] = 90, p99 = v[99] = 99
+    // group b: ten copies of 7 and one 9 (duplicates; n=11)
+    val rows = (1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(_ => ("b", 7.0)) :+ (("b", 9.0))
+    val out = Stats.groupQuantiles(rows.toDF("k", "v"), "k", "v", Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("a") == ((100L, 50.0, 90.0, 99.0)))
+    // b: n=11; ceil(.5*11)=6 -> 7.0; ceil(.9*11)=10 -> 7.0; ceil(.99*11)=11 -> 9.0
+    assert(out("b") == ((11L, 7.0, 7.0, 9.0)))
+  }
+
+  test("groupQuantiles is deterministic under duplicate values") {
+    val rows = (1 to 1000).map(i => ("g", (i % 10).toDouble))
+    val a = Stats.groupQuantiles(rows.toDF("k", "v"), "k", "v", Seq(0.5)).collect()(0)
+    val b = Stats.groupQuantiles(rows.toDF("k", "v").repartition(7), "k", "v",
+      Seq(0.5)).collect()(0)
+    assert(a.getDouble(2) == b.getDouble(2)) // rank-k value is partition-invariant
+  }
+}

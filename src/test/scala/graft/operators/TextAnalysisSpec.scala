@@ -72,4 +72,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(p.contains("partial_topk_agg"), p)
   }
+
+  test("repetitionMetrics flags repeated words/trigrams and handles short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam ham eggs"), // 80% one word
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")),           // all distinct
+      (3L, "go go go go go go " * 4),                           // repeated trigram
+      (4L, "two words")                                         // no trigrams
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(m(1L)._1 == 10L && m(1L)._2 == 0.8 && m(1L)._4)       // top_word_frac
+    assert(m(2L)._2 < 0.1 && m(2L)._3 == 0.0 && !m(2L)._4)       // clean doc
+    assert(m(3L)._3 == 1.0 && m(3L)._4)                          // every trigram dup'd
+    assert(m(4L)._1 == 2L && m(4L)._3 == 0.0)                    // short doc: no trigrams
+  }
 }
