@@ -835,6 +835,45 @@ object OracleSql {
         |FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
 
+    // mean-pool: avg is sum/count of doubles on both sides; per-cell inputs
+    // are ~corpus/|labels| values, fp association drift ~1e-14 vs the 5e-5
+    // rounding granularity (same argument as every rnd(sum(double)) gate)
+    "q67_mean_pool" ->
+      s"""SELECT label, (i - 1)::BIGINT AS pos,
+         |  ${rnd("avg(embedding[i]::DOUBLE)", 4)} AS mean_val
+         |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+         |GROUP BY label, i""".stripMargin,
+
+    "q68_pivot" -> {
+      def cell(t: String) =
+        s"${rnd(s"sum(CASE WHEN event_type = '$t' THEN value END)", 2)} AS $t"
+      s"""SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
+         |  ${cell("click")}, ${cell("view")}, ${cell("purchase")},
+         |  ${cell("signup")}, ${cell("error")}
+         |FROM events GROUP BY 1""".stripMargin
+    },
+
+    "q69_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, count(*)::BIGINT AS n_cust
+        |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+        |s AS (SELECT s_nationkey, count(*)::BIGINT AS n_supp
+        |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |  coalesce(n_cust, 0)::BIGINT AS n_cust,
+        |  coalesce(n_supp, 0)::BIGINT AS n_supp
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""".stripMargin,
+
+    // running sum in DECIMAL: exact and order-independent, so the two
+    // engines' different window-frame evaluation strategies can't drift;
+    // the final DECIMAL->DOUBLE conversion is nearest-even in both
+    "q70_window_running" ->
+      s"""SELECT event_id, user_id,
+         |  ${rnd("value - lag(value) OVER w", 2)} AS delta,
+         |  (sum(value::DECIMAL(18,2)) OVER w)::DOUBLE AS running
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

@@ -783,6 +783,52 @@ object SparkEntry {
     Dedup.sharedWindowPairs(T(s, dir, "documents"), "doc_id", "text",
       window = 64, stride = 32)
 
+  /** Mean-pooled class centroids over the labeled embeddings (the pooling
+    * step of chunk->document or doc->class embedding aggregation). */
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    Similarity.meanPool(T(s, dir, "embeddings"), "label", "embedding")
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        round(col("mean_val"), 4).as("mean_val"))
+
+  /** PIVOT: daily event-type value matrix (explicit pivot value list keeps
+    * the output schema static — no driver-side distinct scan). */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("value"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(round(sum(col("value")), 2))
+
+  /** FULL OUTER join: high-balance customer vs supplier presence per nation
+    * (each side missing some nations -> coalesced zero counts). */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).cast("long").as("n_cust"))
+    val sup = T(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).cast("long").as("n_supp"))
+    c.join(sup, c("c_nationkey") === sup("s_nationkey"), "full_outer")
+      .select(
+        coalesce(c("c_nationkey"), sup("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** lag + cumulative-sum window per user: per-event value delta and the
+    * running total (running sum in DECIMAL so the cumulative fold is exact
+    * and order-independent — a double running sum would drift differently
+    * under each engine's frame evaluation). */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T(s, dir, "events")
+      .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 2))
+      .withColumn("running",
+        sum(col("value").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select(col("event_id"), col("user_id"), col("delta"), col("running"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -851,7 +897,11 @@ object SparkEntry {
     "q63_repetition_filter" -> (q63 _),
     "q64_group_quantiles" -> (q64 _),
     "q65_bloom_semi_join" -> (q65 _),
-    "q66_window_dedup_pairs" -> (q66 _)
+    "q66_window_dedup_pairs" -> (q66 _),
+    "q67_mean_pool" -> (q67 _),
+    "q68_pivot" -> (q68 _),
+    "q69_full_outer" -> (q69 _),
+    "q70_window_running" -> (q70 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

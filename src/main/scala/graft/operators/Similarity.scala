@@ -75,6 +75,19 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Mean-pooled embedding per group (class centroids, source centroids,
+    * chunk->document pooling): one posexplode + one (group, pos) hash
+    * aggregate. The explode keeps every element inside whole-stage codegen
+    * and the aggregation partial — each map task emits at most
+    * groups x dim partial sums before the (tiny) shuffle, vs an interpreted
+    * `aggregate` HOF folding arrays per row. Returns the exploded
+    * (group, pos, mean_val) form; callers needing the array re-assemble
+    * with sort_array(collect_list(struct(pos, mean_val))). */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("col")).as("mean_val"))
+
   /** Lloyd k-means for the IVF coarse quantizer — the "train centroids
     * offline, broadcast them" step the IVF scaladoc promises. Init = first
     * `k` corpus vectors by id (reproducible); each round assigns via the

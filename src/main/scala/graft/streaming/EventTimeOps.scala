@@ -30,6 +30,30 @@ object EventTimeOps {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked stream-stream interval join: each left event matched to
+    * right events of the same key with `rightTs` in [leftTs, leftTs +
+    * within]. Both sides carry watermarks and the join condition bounds the
+    * time range in BOTH directions, so the state store holds only the
+    * watermark horizon of each side — the requirement for a stream-stream
+    * join to run unbounded (Spark refuses ap append-mode stream-stream join
+    * without it). Works identically on static frames (watermarks no-op),
+    * which is how the oracle-gated batch twin (q47 range join) pins the
+    * semantics.
+    *
+    * Returns the aliased join ("l", "r"); callers project qualified columns
+    * (`col("l.user_id")`). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   within: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
+  }
+
   // -- mapGroupsWithState sessionizer -----------------------------------
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)

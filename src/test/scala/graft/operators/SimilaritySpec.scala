@@ -90,6 +90,17 @@ class SimilaritySpec extends SparkSpec {
       s"unprobed buckets in scan:\n$plan")
   }
 
+  test("meanPool averages element-wise per group") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)),
+      ("b", Array(10.0f, 20.0f))
+    ).toDF("grp", "v")
+    val m = Similarity.meanPool(df, "grp", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(m(("a", 0)) == 2.0 && m(("a", 1)) == 3.0)
+    assert(m(("b", 0)) == 10.0 && m(("b", 1)) == 20.0)
+  }
+
   test("trainCentroids: Lloyd rounds never worsen the k-means objective") {
     val rnd = new scala.util.Random(5)
     // 3 well-separated gaussian blobs in 8d

@@ -38,6 +38,44 @@ class EventTimeOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("intervalJoin matches same-key events inside the window, both streams live") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val out = EventTimeOps.intervalJoin(
+        purchases.toDF().toDF("user_id", "pts", "amount"),
+        clicks.toDF().toDF("user_id", "cts", "page"),
+        key = "user_id", leftTs = "pts", rightTs = "cts", within = "1 hour")
+      .select(col("l.user_id"), col("amount"), col("page"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ij_out").start()
+    purchases.addData((1L, ts(0), 10.0), (2L, ts(0), 20.0))
+    clicks.addData(
+      (1L, ts(30), "a"),                                      // inside window
+      (1L, Timestamp.valueOf("2024-01-01 12:30:00"), "b"),    // past window
+      (2L, Timestamp.valueOf("2024-01-01 09:30:00"), "c"),    // before purchase
+      (3L, ts(10), "d"))                                      // key never purchases
+    q.processAllAvailable()
+    // a second trigger can still match earlier left rows within watermark
+    clicks.addData((2L, ts(45), "e"))
+    q.processAllAvailable()
+    val rows = spark.table("ij_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 10.0, "a"), (2L, 20.0, "e")))
+    q.stop()
+  }
+
+  test("intervalJoin on static frames equals the explicit range condition") {
+    val l = Seq((1L, ts(0), 10.0), (2L, ts(5), 20.0)).toDF("user_id", "pts", "amount")
+    val r = Seq((1L, ts(30), "a"), (1L, ts(59), "b"), (2L, ts(4), "c"))
+      .toDF("user_id", "cts", "page")
+    val out = EventTimeOps.intervalJoin(l, r, "user_id", "pts", "cts",
+      within = "30 minutes")
+    val got = out.select(col("l.user_id"), col("page")).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(got == Set((1L, "a"))) // b beyond 30min, c before the purchase
+  }
+
   test("flatMapGroupsWithState emits only CLOSED sessions (append mode)") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
