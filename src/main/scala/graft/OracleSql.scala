@@ -874,6 +874,19 @@ object OracleSql {
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    // the bucketing must be result-invisible: the oracle is the plain join
+    "q71_bucketed_join" ->
+      s"""SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+         |  ${rnd("sum(l_extendedprice)", 2)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1""".stripMargin,
+
+    "q72_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+         |  count(*)::BIGINT AS n_rows, ${rnd("sum(l_quantity)", 2)} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

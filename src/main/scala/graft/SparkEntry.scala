@@ -829,6 +829,41 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("delta"), col("running"))
   }
 
+  /** Bucketed co-located join: both sides written bucketed (and
+    * bucket-sorted) on the join key, so the sort-merge join needs NO
+    * Exchange and no per-query Sort — the write pays the shuffle once,
+    * every subsequent join on the key is shuffle-free. THE layout tool for
+    * a 100 TB fact table that is joined on the same key daily. The merge
+    * hint keeps the demonstration on the SMJ path (the small test dim would
+    * otherwise broadcast, which hides the bucketing); external table paths
+    * point into the scratch dir. BucketedJoinSpec pins the plan shape
+    * (SortMergeJoin, zero Exchange). */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("graft_q71")
+    s.sql("DROP TABLE IF EXISTS graft_q71_li")
+    s.sql("DROP TABLE IF EXISTS graft_q71_ord")
+    T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$root/li").mode("overwrite").saveAsTable("graft_q71_li")
+    T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$root/ord").mode("overwrite").saveAsTable("graft_q71_ord")
+    val li = s.table("graft_q71_li")
+    val ord = s.table("graft_q71_ord")
+    li.hint("merge").join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+  }
+
+  /** CUBE grouping sets with grouping_id (q48 covers ROLLUP). */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).cast("long").as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -901,7 +936,9 @@ object SparkEntry {
     "q67_mean_pool" -> (q67 _),
     "q68_pivot" -> (q68 _),
     "q69_full_outer" -> (q69 _),
-    "q70_window_running" -> (q70 _)
+    "q70_window_running" -> (q70 _),
+    "q71_bucketed_join" -> (q71 _),
+    "q72_cube" -> (q72 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -55,6 +55,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_topk_agg"), s"no map-side partial top-k:\n$p")
   }
 
+  test("bucketed join: sort-merge with ZERO exchanges (co-located layout)") {
+    val out = SparkEntry.queries("q71_bucketed_join")(spark, sf)
+    // the aggregation after the join still shuffles on its tiny group key;
+    // assert no Exchange BELOW the join — i.e. the join inputs are consumed
+    // in bucket layout
+    val p = plan(out)
+    assert(p.contains("SortMergeJoin"), p)
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val below = p.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles its inputs:\n$p")
+    // and the bucket-sorted files feed the SMJ without a per-query sort
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("IVF assignment is a projection: no join/window over corpus x centroids") {
     val assigned = graft.operators.Similarity.ivfAssign(
       Tables.load(spark, sf, "embeddings"), nCentroids = 8)

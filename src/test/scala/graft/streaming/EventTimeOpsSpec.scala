@@ -65,6 +65,24 @@ class EventTimeOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups replays inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = mem.toDF().toDF("event_id", "ts", "payload")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ddww_out").start()
+    mem.addData((1L, ts(0), "a"), (2L, ts(1), "b"))
+    q.processAllAvailable()
+    // replay of event 1 in a later batch, still inside the watermark window
+    mem.addData((1L, ts(5), "a-dup"), (3L, ts(6), "c"))
+    q.processAllAvailable()
+    val ids = spark.table("ddww_out").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // the replayed 1 was dropped
+    q.stop()
+  }
+
   test("intervalJoin on static frames equals the explicit range condition") {
     val l = Seq((1L, ts(0), 10.0), (2L, ts(5), 20.0)).toDF("user_id", "pts", "amount")
     val r = Seq((1L, ts(30), "a"), (1L, ts(59), "b"), (2L, ts(4), "c"))
