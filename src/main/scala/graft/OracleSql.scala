@@ -887,6 +887,38 @@ object OracleSql {
          |  count(*)::BIGINT AS n_rows, ${rnd("sum(l_quantity)", 2)} AS sum_qty
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
+    "q73_unpivot" -> {
+      val a = s"""SELECT l_returnflag, ${rnd("sum(l_quantity)", 2)} AS sum_qty,
+                 |  ${rnd("sum(l_extendedprice)", 2)} AS sum_price,
+                 |  count(*)::DOUBLE AS n_rows FROM lineitem GROUP BY 1""".stripMargin
+      s"""WITH a AS ($a)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+         |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+         |UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a""".stripMargin
+    },
+
+    // hourly spine per user's own [first, last] bucket; forward fill via
+    // last_value IGNORE NULLS over the bucket order. Buckets rendered as
+    // strings (q29 precedent: sidesteps ns-vs-us timestamp repr)
+    "q74_resample_fill" ->
+      s"""WITH b AS (SELECT user_id AS k, date_trunc('hour', ts) AS bucket,
+         |    ts, value AS v, event_id FROM events),
+         |lastobs AS (SELECT k, bucket, v FROM (
+         |    SELECT k, bucket, v, row_number() OVER (PARTITION BY k, bucket
+         |      ORDER BY ts DESC, event_id DESC) AS rn FROM b) WHERE rn = 1),
+         |spans AS (SELECT k, min(bucket)::TIMESTAMP AS b0,
+         |    max(bucket)::TIMESTAMP AS b1 FROM b GROUP BY 1),
+         |spine AS (SELECT k, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+         |  FROM spans),
+         |j AS (SELECT s.k, s.bucket, l.v FROM spine s
+         |  LEFT JOIN lastobs l ON s.k = l.k AND s.bucket = l.bucket),
+         |f AS (SELECT k, bucket,
+         |    last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
+         |    v IS NOT NULL AS is_observed FROM j)
+         |SELECT k AS user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+         |  ${rnd("filled_v", 2)} AS filled_v, is_observed FROM f""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

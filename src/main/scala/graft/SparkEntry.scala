@@ -864,6 +864,28 @@ object SparkEntry {
         count(lit(1)).cast("long").as("n_rows"),
         round(sum(col("l_quantity")), 2).as("sum_qty"))
 
+  /** UNPIVOT/melt: per-returnflag metrics to (key, metric, value) long
+    * form — the inverse of q68's pivot. */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val agg = T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+    agg.unpivot(Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+      "metric", "value")
+  }
+
+  /** Hourly resample + forward fill over the event stream (regularizing
+    * irregular per-user series onto a fixed grid). */
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.resampleFill(
+        T(s, dir, "events"), "user_id", "ts", "value", tieCol = "event_id")
+      .select(col("user_id"),
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        round(col("filled_v"), 2).as("filled_v"), col("is_observed"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -938,7 +960,9 @@ object SparkEntry {
     "q69_full_outer" -> (q69 _),
     "q70_window_running" -> (q70 _),
     "q71_bucketed_join" -> (q71 _),
-    "q72_cube" -> (q72 _)
+    "q72_cube" -> (q72 _),
+    "q73_unpivot" -> (q73 _),
+    "q74_resample_fill" -> (q74 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
