@@ -919,6 +919,28 @@ object OracleSql {
          |SELECT k AS user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour,
          |  ${rnd("filled_v", 2)} AS filled_v, is_observed FROM f""".stripMargin,
 
+    // exact histogram deciles: cumulative counts over sorted DISTINCT
+    // scores, bucket = floor(first_rank * 10 / n) in integer arithmetic
+    "q75_curriculum_bins" -> {
+      val qExpr = rnd(s"least($tokenCountExpr::DOUBLE / 100.0, 1.0) * 0.4 + least($stopwordRatioExpr * 4.0, 1.0) * 0.4 + greatest(1.0 - $punctRatioExpr * 5.0, 0.0) * 0.2", 4)
+      s"""WITH scored AS (SELECT doc_id, $qExpr AS q FROM documents),
+         |counts AS (SELECT q, count(*) AS cnt FROM scored GROUP BY 1),
+         |cum AS (SELECT q, cnt,
+         |    sum(cnt) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER () AS n FROM counts),
+         |b AS (SELECT q, least(9, ((cum - cnt) * 10) // n)::BIGINT AS bucket FROM cum),
+         |j AS (SELECT s.doc_id, s.q, b.bucket FROM scored s JOIN b USING (q))
+         |SELECT bucket, count(*)::BIGINT AS n_docs,
+         |  ${rnd("min(q)", 4)} AS min_q, ${rnd("max(q)", 4)} AS max_q
+         |FROM j GROUP BY 1""".stripMargin
+    },
+
+    "q76_sql_surface" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${rnd(cosineSql("a.embedding", "b.embedding"), 3)} AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

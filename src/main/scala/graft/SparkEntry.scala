@@ -886,6 +886,30 @@ object SparkEntry {
         date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         round(col("filled_v"), 2).as("filled_v"), col("is_observed"))
 
+  /** Curriculum binning: equal-frequency quality deciles via the exact
+    * histogram algorithm (no global row_number — see
+    * [[graft.operators.Stats.histogramBuckets]]), summarized per decile. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val scored = T(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+    graft.operators.Stats.histogramBuckets(scored, "q", nBuckets = 10)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        round(min(col("q")), 4).as("min_q"), round(max(col("q")), 4).as("max_q"))
+  }
+
+  /** SQL facade: the graft function surface driven through `spark.sql`
+    * (the SparkSessionExtensions / registry injection path) rather than the
+    * Column API — same registry, same codegen'd expressions. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    T(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .createOrReplaceTempView("graft_q76_emb")
+    s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |  round(graft_cosine(a.embedding, b.embedding), 3) AS cosine
+            |FROM graft_q76_emb a JOIN graft_q76_emb b ON a.vec_id < b.vec_id""".stripMargin)
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -962,7 +986,9 @@ object SparkEntry {
     "q71_bucketed_join" -> (q71 _),
     "q72_cube" -> (q72 _),
     "q73_unpivot" -> (q73 _),
-    "q74_resample_fill" -> (q74 _)
+    "q74_resample_fill" -> (q74 _),
+    "q75_curriculum_bins" -> (q75 _),
+    "q76_sql_surface" -> (q76 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

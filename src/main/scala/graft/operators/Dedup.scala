@@ -202,7 +202,12 @@ object Dedup {
       graft.Tables.widen(df).select(col(idCol).as(out),
         array_distinct(graft.functions.TextHashFunctions.shingleHashes64(
           col(textCol), shingleK)).as("sh"))
-    val trainPosts = sets(train, "tid").select(col("tid"), explode(col("sh")).as("g"))
+    // the train posting table feeds BOTH the stoplist count and the join —
+    // checkpoint the per-doc gram sets so the corpus is shingled ONCE (the
+    // explode itself is cheap; re-hashing the whole training corpus twice
+    // would dominate at scale). Same pattern as ngramJaccardPairs.
+    val trainSets = sets(train, "tid").localCheckpoint()
+    val trainPosts = trainSets.select(col("tid"), explode(col("sh")).as("g"))
     val benchSets = sets(bench, "bid").localCheckpoint()
     val benchPosts = benchSets.select(col("bid"), explode(col("sh")).as("g"))
     val benchN = benchSets.select(col("bid"), size(col("sh")).as("n_bench"))

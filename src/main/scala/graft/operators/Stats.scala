@@ -35,4 +35,30 @@ object Stats {
       }
     ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Equal-frequency bucketing (curriculum/quality binning) WITHOUT a global
+    * row_number: a global rank window collapses the corpus onto one
+    * partition, which dies at scale. Instead the exact histogram algorithm:
+    * count per distinct value (a shuffle bounded by the value space — rounded
+    * scores, not rows), cumulative counts over the SORTED DISTINCT VALUES
+    * (a window over that small frame only), then each value's bucket =
+    * floor(rank_of_first_occurrence * nBuckets / n) in pure integer
+    * arithmetic, joined back broadcast. Ties share a value, so they land in
+    * the same bucket by construction — deterministic across engines with no
+    * tie-break column needed. Bucket ids are 0..nBuckets-1; a value run
+    * longer than a bucket simply occupies it. */
+  def histogramBuckets(df: DataFrame, valueCol: String,
+                       nBuckets: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(valueCol),
+        least(lit(nBuckets - 1),
+          expr(s"((cum - cnt) * $nBuckets) div n")).cast("long").as("bucket"))
+    df.join(broadcast(cum), Seq(valueCol))
+  }
 }

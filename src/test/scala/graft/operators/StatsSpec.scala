@@ -18,6 +18,30 @@ class StatsSpec extends SparkSpec {
     assert(out("b") == ((11L, 7.0, 7.0, 9.0)))
   }
 
+  test("histogramBuckets: equal-frequency bins, ties stay together, no global window over rows") {
+    val rows = (1 to 100).map(i => (i.toLong, (i % 20).toDouble)) // 20 distinct values x5
+    val out = Stats.histogramBuckets(rows.toDF("id", "v"), "v", nBuckets = 10)
+    val byBucket = out.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBucket.keys.toSet == (0L to 9L).toSet)
+    assert(byBucket.values.forall(_ == 10L)) // 100 rows / 10 buckets
+    // every (value -> bucket) mapping is functional: ties share a bucket
+    val vb = out.select("v", "bucket").distinct().collect()
+    assert(vb.length == 20)
+    // bucket is monotone in the value
+    val sorted = vb.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    assert(sorted.map(_._2).toSeq == sorted.map(_._2).sorted.toSeq)
+  }
+
+  test("histogramBuckets: a dominant value occupies its bucket without splitting") {
+    val rows = (1 to 80).map(i => (i.toLong, 1.0)) ++ (81 to 100).map(i => (i.toLong, 2.0))
+    val out = Stats.histogramBuckets(rows.toDF("id", "v"), "v", nBuckets = 10)
+      .select("v", "bucket").distinct().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(out(1.0) == 0L) // first occurrence rank 0
+    assert(out(2.0) == 8L) // starts at rank 80 -> bucket 8
+  }
+
   test("groupQuantiles is deterministic under duplicate values") {
     val rows = (1 to 1000).map(i => ("g", (i % 10).toDouble))
     val a = Stats.groupQuantiles(rows.toDF("k", "v"), "k", "v", Seq(0.5)).collect()(0)
