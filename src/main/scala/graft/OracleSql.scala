@@ -941,6 +941,37 @@ object OracleSql {
          |  ${rnd(cosineSql("a.embedding", "b.embedding"), 3)} AS cosine
          |FROM e a JOIN e b ON a.vec_id < b.vec_id""".stripMargin,
 
+    // chunking keeps original case: split(trim(text)), no lower()
+    "q77_chunking" ->
+      raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, unnest(generate_series(0, greatest(len(t) - 1, 0), 24)) AS start, t
+        |  FROM t)
+        |SELECT doc_id, (start // 24)::BIGINT AS chunk_idx,
+        |  len(list_slice(t, start + 1, start + 32))::BIGINT AS n_tokens,
+        |  md5(array_to_string(list_slice(t, start + 1, start + 32), ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+
+    "q78_vocab_oov" ->
+      s"""WITH toks AS (SELECT source, unnest($toksExpr) AS token FROM documents),
+         |counts AS (SELECT token, count(*)::BIGINT AS n_occ FROM toks GROUP BY 1),
+         |vocab AS (SELECT token FROM (SELECT token,
+         |    row_number() OVER (ORDER BY n_occ DESC, token ASC) AS rank FROM counts)
+         |  WHERE rank <= 20),
+         |j AS (SELECT t.source, v.token IS NOT NULL AS in_vocab
+         |  FROM toks t LEFT JOIN vocab v USING (token))
+         |SELECT source, count(*)::BIGINT AS n_tokens,
+         |  ${rnd("sum(CASE WHEN in_vocab THEN 0 ELSE 1 END)::DOUBLE / count(*)", 4)} AS oov_rate
+         |FROM j GROUP BY 1""".stripMargin,
+
+    "q79_unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS token FROM documents),
+         |freqs AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM toks)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  ${rnd("avg(ln(cnt / n.n))", 4)} AS avg_logprob
+         |FROM toks JOIN freqs USING (token) CROSS JOIN n
+         |GROUP BY doc_id""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

@@ -910,6 +910,24 @@ object SparkEntry {
             |FROM graft_q76_emb a JOIN graft_q76_emb b ON a.vec_id < b.vec_id""".stripMargin)
   }
 
+  /** Fixed-token chunking with overlap (32-token chunks, 8 overlap). */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.chunkByTokens(T(s, dir, "documents"),
+      "doc_id", "text", chunkSize = 32, overlap = 8)
+
+  /** Vocabulary coverage: top-20 corpus vocab (the synthetic corpus has 31
+    * distinct tokens — a small cap keeps the OOV signal non-degenerate),
+    * then per-source OOV rate. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+    val vocab = graft.operators.Corpus.buildVocab(docs, "text", vocabSize = 20)
+    graft.operators.Corpus.oovRate(docs, "source", "text", vocab)
+  }
+
+  /** Unigram log-prob quality proxy per document. */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.unigramLogProb(TW(s, dir, "documents"), "doc_id", "text")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -988,7 +1006,10 @@ object SparkEntry {
     "q73_unpivot" -> (q73 _),
     "q74_resample_fill" -> (q74 _),
     "q75_curriculum_bins" -> (q75 _),
-    "q76_sql_surface" -> (q76 _)
+    "q76_sql_surface" -> (q76 _),
+    "q77_chunking" -> (q77 _),
+    "q78_vocab_oov" -> (q78 _),
+    "q79_unigram_logprob" -> (q79 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text preparation: chunking documents into fixed-token
+  * training windows, vocabulary construction with OOV accounting, and a
+  * unigram language-model quality proxy. Together with [[TextAnalysis]] and
+  * [[Dedup]] these are the last mile between a raw document table and
+  * model-ready sequences. */
+object Corpus {
+
+  /** Split each document into overlapping fixed-token chunks (the
+    * pretraining/RAG windowing step): chunk i covers tokens
+    * [i*(size-overlap), i*(size-overlap)+size). The tail chunk may be
+    * short; a document shorter than one chunk yields exactly one chunk.
+    *
+    * One projection: tokenization, the start grid (`sequence` bounded by
+    * the doc's own token count), and the slice all stay inside the row —
+    * no shuffle at all, so chunking parallelizes embarrassingly and
+    * composes with a downstream repartition on chunk hash when chunks
+    * must be redistributed. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol).as("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(step)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / step).cast("long").as("chunk_idx"),
+        slice(col("t"), col("start") + 1, lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+  }
+
+  /** Top-`vocabSize` corpus vocabulary (by occurrence count, ties broken on
+    * the token string) through the bounded [[graft.functions.TopKAgg]] —
+    * the same shuffle-k-not-the-vocabulary shape as
+    * [[Sketches.topNgrams]]. Returns (token, n_occ, rank). */
+  def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val toks = df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+    toks.groupBy("token").agg(count(lit(1)).cast("long").as("n_occ"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("n_occ")).as("negn"), col("token").as("token")),
+        vocabSize).as("arr"))
+      .select(posexplode(col("arr")))
+      .select(col("col.token").as("token"), negate(col("col.negn")).as("n_occ"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Out-of-vocabulary rate per group against a vocabulary frame (from
+    * [[buildVocab]] or external): the tokenizer-coverage check run before
+    * committing to a vocab. The vocab side is dimension-sized — broadcast —
+    * so the corpus explodes once and never shuffles for the join; the only
+    * shuffle is the per-group aggregation. */
+  def oovRate(df: DataFrame, groupCol: String, textCol: String,
+              vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(groupCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+    toks.join(broadcast(vocab.select(col("token"), lit(true).as("in_vocab"))),
+        Seq("token"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 4).as("oov_rate"))
+  }
+
+  /** Unigram log-probability quality proxy: each document scored by the
+    * mean `ln(count(token)/N)` of its tokens under the corpus unigram
+    * distribution — the classic cheap stand-in for LM-perplexity quality
+    * filtering. Two aggregations (corpus counts, per-doc mean) plus one
+    * join from the exploded corpus to the frequency table on the token —
+    * the frequency table is vocabulary-sized, the corpus never moves twice. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+    val freqs = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val n = toks.agg(count(lit(1)).cast("double").as("n"))
+    toks.join(freqs, "token").crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(log(col("cnt") / col("n"))), 4).as("avg_logprob"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkByTokens: overlapping windows, short docs get one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, chunk=4, ov=1
+      (2L, "a b")                                     // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkByTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: starts 0,3,6,9 -> token counts 4,4,4,1
+    assert(out == Set((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 1L),
+      (2L, 0L, 2L)))
+    // adjacent chunks share `overlap` tokens: verify via reconstructing
+    val chunks = Corpus.chunkByTokens(docs, "doc_id", "text", 4, 1)
+    assert(chunks.select("chunk_md5").distinct().count() == 5) // all distinct here
+  }
+
+  test("buildVocab ranks by count then token; oovRate counts misses") {
+    val docs = Seq(
+      ("s1", "x x x y y z"),
+      ("s2", "x q q q")
+    ).toDF("source", "text")
+    val vocab = Corpus.buildVocab(docs, "text", vocabSize = 2)
+    val v = vocab.orderBy("rank").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq == Seq(("x", 4L), ("q", 3L))) // counts 4,3 beat y=2,z=1
+    val oov = Corpus.oovRate(docs, "source", "text", vocab).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(oov("s1") == ((6L, 0.5)))  // y y z OOV of 6
+    assert(oov("s2") == ((4L, 0.0)))  // x q q q all in vocab
+  }
+
+  test("unigramLogProb: uniform docs score ln(freq/N) exactly") {
+    val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    // N=3; a:2, b:1
+    val m = Corpus.unigramLogProb(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(1L) == r4(math.log(2.0 / 3.0)))
+    assert(m(2L) == r4(math.log(1.0 / 3.0)))
+  }
+}
