@@ -842,12 +842,12 @@ object SparkEntry {
     val root = scratchDir("graft_q71")
     s.sql("DROP TABLE IF EXISTS graft_q71_li")
     s.sql("DROP TABLE IF EXISTS graft_q71_ord")
-    T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$root/li").mode("overwrite").saveAsTable("graft_q71_li")
-    T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$root/ord").mode("overwrite").saveAsTable("graft_q71_ord")
+    graft.sources.Bucketing.writeBucketed(
+      T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      "graft_q71_li", Seq("l_orderkey"), numBuckets = 8, path = Some(s"$root/li"))
+    graft.sources.Bucketing.writeBucketed(
+      T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+      "graft_q71_ord", Seq("o_orderkey"), numBuckets = 8, path = Some(s"$root/ord"))
     val li = s.table("graft_q71_li")
     val ord = s.table("graft_q71_ord")
     li.hint("merge").join(ord, li("l_orderkey") === ord("o_orderkey"))

@@ -13,15 +13,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted catalog table (overwrite). */
+  /** Write `df` as a bucketed+sorted catalog table (overwrite). Pass `path`
+    * to place the files outside the warehouse dir (external table). */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    numBuckets: Int): Unit =
-    df.write
+                    numBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    path.foreach(p => w.option("path", p))
+    w.saveAsTable(table)
+  }
 
   /** Join two co-bucketed tables on their bucket keys — shuffle-free when
     * bucket specs match (verify with .explain: no Exchange above the scans). */
