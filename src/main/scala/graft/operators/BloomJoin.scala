@@ -55,7 +55,10 @@ object BloomJoin {
                     largeKey: String, smallKey: String,
                     expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val spark = large.sparkSession
+    // null keys never equi-match; dropping them also keeps the bloom build
+    // total (stat.bloomFilter puts every row) from tripping on nulls
     val bf = small.select(col(smallKey).cast("long").as("k"))
+      .filter(col("k").isNotNull)
       .stat.bloomFilter("k", expectedItems, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)

@@ -59,7 +59,9 @@ object Sketches {
 
     val gcols = groupCols.map(col)
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10).cast("long")
-    val hashed = df.select(gcols :+ h.as("h"): _*)
+    // nulls are excluded (countDistinct semantics); left in, a single null
+    // value would null-poison the register sum and the whole estimate
+    val hashed = df.filter(col(valueCol).isNotNull).select(gcols :+ h.as("h"): _*)
       .withColumn("reg", col("h").bitwiseAND(lit((m - 1).toLong)))
       .withColumn("rest", shiftright(col("h"), regBits))
       .withColumn("rho", when(col("rest") === 0, lit(maxRho))

@@ -24,7 +24,10 @@ object Stats {
                      ps: Seq[Double]): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("v"))
     val wc = Window.partitionBy(col(keyCol))
+    // null values are excluded: engines disagree on null sort position
+    // (Spark nulls-first vs others nulls-last), which would shift every rank
     val ranked = df.select(col(keyCol), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wc))
     val aggs = max(col("n")).cast("long").as("n") +:

@@ -30,6 +30,14 @@ class SketchesSpec extends SparkSpec {
     out.foreach { case (g, (_, est)) => assert(again(g) == est) }
   }
 
+  test("hllDistinct ignores nulls (countDistinct semantics), no null-poisoning") {
+    val df = ((1 to 100).map(i => ("g", s"v$i")) :+ (("g", null: String)))
+      .toDF("grp", "v")
+    val r = Sketches.hllDistinct(df, "v", Seq("grp")).collect()(0)
+    assert(r.getLong(1) == 100L) // exact ignores the null
+    assert(!r.isNullAt(2) && math.abs(r.getDouble(2) - 100) / 100.0 < 0.25)
+  }
+
   test("hllDistinct register state is bounded at m rows per group") {
     val df = (1 to 5000).map(i => ("g", s"v$i")).toDF("grp", "v")
     // the intermediate register relation can never exceed m rows per group —
