@@ -972,6 +972,19 @@ object OracleSql {
          |FROM toks JOIN freqs USING (token) CROSS JOIN n
          |GROUP BY doc_id""".stripMargin,
 
+    "q80_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 6),
+         |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |    ${cosineSql("e.embedding", "qv")} AS cosine
+         |  FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlabel),
+         |ranked AS (SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, ${rnd("cosine", 3)} AS cosine,
+         |  rank::BIGINT AS rank
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

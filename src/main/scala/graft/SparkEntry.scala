@@ -928,6 +928,18 @@ object SparkEntry {
   private def q79(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.unigramLogProb(TW(s, dir, "documents"), "doc_id", "text")
 
+  /** Hard-negative mining: top-3 most-similar different-label neighbors per
+    * query vector. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    Similarity.hardNegatives(Tables.widen(e),
+        e.filter(col("vec_id") < 6).select(col("vec_id").as("query_id"),
+          col("embedding"), col("label")),
+        k = 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 3).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1009,7 +1021,8 @@ object SparkEntry {
     "q76_sql_surface" -> (q76 _),
     "q77_chunking" -> (q77 _),
     "q78_vocab_oov" -> (q78 _),
-    "q79_unigram_logprob" -> (q79 _)
+    "q79_unigram_logprob" -> (q79 _),
+    "q80_hard_negatives" -> (q80 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

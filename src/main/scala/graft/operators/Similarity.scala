@@ -75,6 +75,32 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the k
+    * most cosine-similar corpus vectors with a DIFFERENT label (similar but
+    * known-wrong = the informative negatives). Same bounded shape as
+    * [[bruteForceTopK]] — broadcast query side, codegen'd cosine, label
+    * mismatch filtered before scoring so excluded pairs never enter the
+    * top-k buffer, map-side partial [[graft.functions.TopKAgg]]. Swap the
+    * scan for the IVF-probed bucket read at corpus scale. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    labelCol: String = "label",
+                    corpusId: String = "vec_id", corpusVec: String = "embedding",
+                    queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    TopKAgg.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qv"), col(labelCol).as("qlabel")))
+    val scored = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"),
+        col(labelCol).as("clabel"))
+      .crossJoin(q)
+      .filter(col("clabel") =!= col("qlabel"))
+      .select(col("query_id"), struct(
+        negate(VectorFunctions.cosine(col("cv"), col("qv"))).as("negcos"),
+        col("neighbor_id").as("nid")).as("s"))
+    topKMerge(scored, k)
+  }
+
   /** Mean-pooled embedding per group (class centroids, source centroids,
     * chunk->document pooling): one posexplode + one (group, pos) hash
     * aggregate. The explode keeps every element inside whole-stage codegen

@@ -90,6 +90,25 @@ class SimilaritySpec extends SparkSpec {
       s"unprobed buckets in scan:\n$plan")
   }
 
+  test("hardNegatives never returns a same-label neighbor and stays bounded") {
+    val labeled = corpus.withColumn("label",
+      (col("vec_id") % 2).cast("int")) // alternating labels
+    val queries = labeled.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    val out = Similarity.hardNegatives(labeled, queries, k = 2)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 4) // <= k per query
+    // join back: every neighbor's label differs from its query's
+    val lbl = labeled.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(lbl(r.getLong(1)) != lbl(r.getLong(0)),
+        s"same-label neighbor: $r")
+    }
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("partial_topk_agg"), p)
+  }
+
   test("meanPool averages element-wise per group") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)),
