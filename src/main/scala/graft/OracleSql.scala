@@ -985,6 +985,14 @@ object OracleSql {
          |  rank::BIGINT AS rank
          |FROM ranked WHERE rank <= 3""".stripMargin,
 
+    // z-score: avg/stddev_samp aggregate merges differ across engines only
+    // in fp association (~1e-13 relative) — absorbed by the 4dp rounding
+    "q81_zscore" ->
+      s"""SELECT event_id, event_type,
+         |  ${rnd("(value - avg(value) OVER w) / stddev_samp(value) OVER w", 4)} AS z
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type)""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

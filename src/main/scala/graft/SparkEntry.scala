@@ -940,6 +940,16 @@ object SparkEntry {
         round(col("cosine"), 3).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Per-group z-score normalization (feature prep): one pass, two window
+    * aggregates over the group — no join, no second scan. */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    T(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - avg(col("value")).over(w))
+          / stddev_samp(col("value")).over(w), 4).as("z"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1022,7 +1032,8 @@ object SparkEntry {
     "q77_chunking" -> (q77 _),
     "q78_vocab_oov" -> (q78 _),
     "q79_unigram_logprob" -> (q79 _),
-    "q80_hard_negatives" -> (q80 _)
+    "q80_hard_negatives" -> (q80 _),
+    "q81_zscore" -> (q81 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -38,7 +38,12 @@ object TimeSeries {
           .orderBy(col("ts").desc, col("tie").desc)))
       .filter(col("rn") === 1)
       .select(col("k"), col("bucket"), col("v"))
-    val spine = bucketed.groupBy(col("k"))
+      .localCheckpoint()
+    // spine bounds come from lastObs (one row per occupied (key, bucket) —
+    // same min/max as the raw events) so the event table is scanned ONCE;
+    // the checkpoint keeps the dedup from re-running for the spine and the
+    // join sides
+    val spine = lastObs.groupBy(col("k"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
       .select(col("k"),
         explode(sequence(col("b0"), col("b1"), expr(s"INTERVAL $step"))).as("bucket"))
