@@ -993,6 +993,20 @@ object OracleSql {
          |FROM events
          |WINDOW w AS (PARTITION BY event_type)""".stripMargin,
 
+    // Spark from_json -> null struct on malformed input == DuckDB
+    // json_valid false. Corruption is LEADING garbage ('x' || props):
+    // Spark's Jackson parser tolerates trailing characters after a valid
+    // document, so trailing corruption would count as valid on the Spark
+    // side only.
+    "q82_corrupt_json" ->
+      """WITH c AS (SELECT event_type,
+        |    CASE WHEN event_id % 97 = 0 THEN 'x' || props ELSE props END AS payload
+        |  FROM events)
+        |SELECT event_type,
+        |  sum(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)::BIGINT AS n_corrupt,
+        |  sum(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END)::BIGINT AS n_valid
+        |FROM c GROUP BY event_type""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

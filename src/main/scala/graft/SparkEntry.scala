@@ -950,6 +950,30 @@ object SparkEntry {
           / stddev_samp(col("value")).over(w), 4).as("z"))
   }
 
+  /** Corrupt-record accounting (the PERMISSIVE-parse twin of the
+    * reference's pipeline_error_logs containment): deterministically
+    * corrupt ~1% of the JSON payloads, parse, and count valid vs corrupt
+    * per event type — bad rows are quarantined by COUNTING, never by
+    * failing the batch. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val corrupted = T(s, dir, "events")
+      .withColumn("payload",
+        when(col("event_id") % 97 === 0, concat(lit("x"), col("props")))
+          .otherwise(col("props")))
+    // PERMISSIVE mode yields a row (not a null struct) for malformed input;
+    // the corrupt-record column is the detection channel
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("columnNameOfCorruptRecord", "_corrupt")
+    corrupted
+      .withColumn("parsed",
+        from_json(col("payload"), lit("k STRING, _corrupt STRING"), opts))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("parsed._corrupt").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_corrupt"),
+        sum(when(col("parsed._corrupt").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_valid"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1033,7 +1057,8 @@ object SparkEntry {
     "q78_vocab_oov" -> (q78 _),
     "q79_unigram_logprob" -> (q79 _),
     "q80_hard_negatives" -> (q80 _),
-    "q81_zscore" -> (q81 _)
+    "q81_zscore" -> (q81 _),
+    "q82_corrupt_json" -> (q82 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
