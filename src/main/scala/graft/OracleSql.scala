@@ -826,13 +826,15 @@ object OracleSql {
          |GROUP BY 1, 2""".stripMargin,
 
     // aligned 64-char windows at stride 32; corpus is pure ASCII (q58 note)
-    // so char substring == byte substring
+    // so char substring == byte substring; windows in >1000 docs stop-listed
     "q66_window_dedup_pairs" ->
       """WITH wins AS (SELECT DISTINCT doc_id, md5(substring(text, p + 1, 64)) AS h
         |  FROM documents, unnest(range(0, length(text) - 64 + 1, 32)) AS u(p)
-        |  WHERE length(text) >= 64)
+        |  WHERE length(text) >= 64),
+        |rare AS (SELECT h FROM wins GROUP BY h HAVING count(*) <= 1000),
+        |pruned AS (SELECT w.doc_id, w.h FROM wins w JOIN rare USING (h))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
-        |FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+        |FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
 
     // mean-pool: avg is sum/count of doubles on both sides; per-cell inputs

@@ -237,9 +237,14 @@ object Dedup {
     * Windows enter the join as md5 hashes: the shuffle moves 16-byte keys,
     * not 64-char strings; a hash collision would need a second-preimage of
     * md5 inside the corpus to produce a false pair. Docs shorter than
-    * `window` chars emit nothing. */
+    * `window` chars emit nothing. Windows shared by more than `maxPostings`
+    * docs are stop-listed before the self-join — a ubiquitous boilerplate
+    * window would otherwise create a quadratic bucket (the same guard as
+    * [[ngramJaccardPairs]]); dropping it IS the dedup-pipeline behavior
+    * (boilerplate is not a duplication signal). */
   def sharedWindowPairs(df: DataFrame, idCol: String, textCol: String,
-                        window: Int = 64, stride: Int = 32): DataFrame = {
+                        window: Int = 64, stride: Int = 32,
+                        maxPostings: Int = 1000): DataFrame = {
     val wins = graft.Tables.widen(df)
       .filter(length(col(textCol)) >= window)
       .select(col(idCol).as("id"), col(textCol).as("t"))
@@ -247,7 +252,11 @@ object Dedup {
         explode(sequence(lit(0), length(col("t")) - window, lit(stride))).as("p"))
       .select(col("id"), md5(expr(s"substring(t, p + 1, $window)")).as("h"))
       .distinct()
-    wins.alias("a").join(wins.alias("b"),
+      .localCheckpoint() // windows feed the stoplist count AND both join sides
+    val rare = wins.groupBy("h").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxPostings)
+    val pruned = wins.join(rare.select("h"), "h")
+    pruned.alias("a").join(pruned.alias("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).cast("long").as("n_shared"))

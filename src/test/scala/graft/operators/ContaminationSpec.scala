@@ -57,6 +57,19 @@ class ContaminationSpec extends SparkSpec {
     assert(pairs(0)._3 == 1L)
   }
 
+  test("sharedWindowPairs stop-lists ubiquitous boilerplate windows") {
+    // 30 docs all starting with the same 64-char boilerplate, pairwise
+    // otherwise distinct: with maxPostings below 30 the boilerplate window
+    // is dropped and no pairs remain; with a high cap, all pairs surface
+    val boiler = "b" * 64
+    val docs = (1L to 30L).map(i => (i, boiler + s" unique$i " * 10))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedWindowPairs(docs, "doc_id", "text",
+      maxPostings = 10).count() == 0)
+    assert(Dedup.sharedWindowPairs(docs, "doc_id", "text",
+      maxPostings = 1000).count() == 30L * 29 / 2)
+  }
+
   test("sharedWindowPairs needs alignment: same span at misaligned offsets is missed") {
     val span = (1 to 30).map(i => s"unique$i").mkString(" ") // ~250 chars, no repeats
     val a = Seq((1L, span), (2L, "q " + span)).toDF("doc_id", "text") // offset 2
