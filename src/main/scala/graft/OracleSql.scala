@@ -509,6 +509,31 @@ object OracleSql {
          |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d)
          |SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n""".stripMargin,
 
+    // q53's component chain extended with survivorship: canonical doc =
+    // highest (pre-rounded) quality, ties by doc_id
+    "q83_cluster_survivors" -> {
+      val qExpr = rnd(s"least($tokenCountExpr::DOUBLE / 100.0, 1.0) * 0.4 + least($stopwordRatioExpr * 4.0, 1.0) * 0.4 + greatest(1.0 - $punctRatioExpr * 5.0, 0.0) * 0.2", 4)
+      s"""WITH RECURSIVE $simhashCtes,
+         |pairs AS (SELECT id_a, id_b FROM cands
+         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d),
+         |comp AS (SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n),
+         |scored AS (SELECT doc_id, $qExpr AS q FROM documents),
+         |ranked AS (SELECT c.component_id, c.doc_id, s.q,
+         |    row_number() OVER (PARTITION BY c.component_id
+         |      ORDER BY s.q DESC, c.doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY c.component_id) AS n_members
+         |  FROM comp c JOIN scored s USING (doc_id))
+         |SELECT component_id, doc_id AS canonical_doc, q AS quality,
+         |  n_members::BIGINT AS n_members
+         |FROM ranked WHERE rn = 1""".stripMargin
+    },
+
     // q39 gates the PUBLIC embeddingNearDups entry (LSH path since r4) at a
     // high-recall operating point: 8 coarse 6-bit bands, threshold 0.40.
     "q39_embedding_neardups" ->

@@ -974,6 +974,19 @@ object SparkEntry {
           .cast("long").as("n_valid"))
   }
 
+  /** Cluster survivorship: the q53 components reduced to one canonical
+    * (highest-quality) doc per near-dup cluster. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
+    val comps = Dedup.connectedComponents(pairs)
+    val scored = docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+    Dedup.clusterRepresentatives(comps, scored, "doc_id", "q")
+      .select(col("component_id").cast("long").as("component_id"),
+        col("canonical_doc").cast("long").as("canonical_doc"),
+        col("score").as("quality"), col("n_members"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1058,7 +1071,8 @@ object SparkEntry {
     "q79_unigram_logprob" -> (q79 _),
     "q80_hard_negatives" -> (q80 _),
     "q81_zscore" -> (q81 _),
-    "q82_corrupt_json" -> (q82 _)
+    "q82_corrupt_json" -> (q82 _),
+    "q83_cluster_survivors" -> (q83 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -356,6 +356,26 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Survivorship over near-dup CLUSTERS: one canonical document per
+    * connected component — the highest-scoring member, ties broken by id
+    * (scores must be pre-rounded so the cut is deterministic). The window
+    * partitions by component, so cost is bounded by cluster sizes, never
+    * the corpus. Returns (component_id, canonical_doc, score, n_members). */
+  def clusterRepresentatives(components: DataFrame, scores: DataFrame,
+                             idCol: String, scoreCol: String): DataFrame = {
+    val joined = components
+      .join(scores.select(col(idCol).as("node"), col(scoreCol).as("score")), "node")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("score").desc, col("node").asc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+      .filter(col("rn") === 1)
+      .select(col("component").as("component_id"), col("node").as("canonical_doc"),
+        col("score"), col("n_members").cast("long").as("n_members"))
+  }
+
   // -------------------------------------------------------------------------
   // Embedding near-dup
   // -------------------------------------------------------------------------
