@@ -1034,6 +1034,12 @@ object OracleSql {
         |  sum(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END)::BIGINT AS n_valid
         |FROM c GROUP BY event_type""".stripMargin,
 
+    "q84_shard_manifest" ->
+      s"""SELECT ${h32("doc_id::VARCHAR")} % 16 AS shard,
+         |  count(*)::BIGINT AS n_rows,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents GROUP BY 1""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

@@ -987,6 +987,11 @@ object SparkEntry {
         col("score").as("quality"), col("n_members"))
   }
 
+  /** Export shard manifest: deterministic 16-way shard assignment with
+    * per-shard counts and id ranges. */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shardManifest(T(s, dir, "documents"), "doc_id", 16)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1072,7 +1077,8 @@ object SparkEntry {
     "q80_hard_negatives" -> (q80 _),
     "q81_zscore" -> (q81 _),
     "q82_corrupt_json" -> (q82 _),
-    "q83_cluster_survivors" -> (q83 _)
+    "q83_cluster_survivors" -> (q83 _),
+    "q84_shard_manifest" -> (q84 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

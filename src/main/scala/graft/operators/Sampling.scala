@@ -24,6 +24,25 @@ object Sampling {
     df.filter(bucket < lit(math.round(fraction * 10000).toDouble))
   }
 
+  /** Deterministic shard assignment for dataset export: shard =
+    * portable-hash(id) mod nShards — reproducible across runs and engines,
+    * uniform in expectation, and a pure projection (repartition ON the
+    * shard column before the partitioned write to get one file set per
+    * shard, as in [[graft.operators.Similarity.writeIvfIndex]]). */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards > 0")
+    df.withColumn("shard",
+      pmod(Hashes.portableHash32(col(idCol).cast("string")), lit(nShards.toLong)))
+  }
+
+  /** Per-shard export manifest: row count and id range per shard (what a
+    * training loader checks before consuming the shards). */
+  def shardManifest(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    shardAssign(df, idCol, nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+
   /** Exactly `perStratum` rows per stratum, selected in id-hash order (a
     * deterministic stand-in for uniform-without-replacement). One shuffle on
     * the stratum key; rank is a window over each stratum only. */
