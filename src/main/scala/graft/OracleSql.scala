@@ -752,7 +752,7 @@ object OracleSql {
       val c = graft.operators.Sketches.hllScaleC(m)
       s"""WITH h AS (SELECT l_returnflag,
          |    ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
-         |  FROM lineitem),
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL),
          |r AS (SELECT l_returnflag, h & ${m - 1} AS reg, h >> 8 AS rest FROM h),
          |regs AS (SELECT l_returnflag, reg,
          |    max(CASE WHEN rest = 0 THEN $maxRho
@@ -770,8 +770,9 @@ object OracleSql {
          |  FROM e),
          |ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_distinct
          |  FROM lineitem GROUP BY 1)
-         |SELECT est.l_returnflag, exact_distinct, ${rnd("est", 2)} AS hll_distinct
-         |FROM est JOIN ex USING (l_returnflag)""".stripMargin
+         |SELECT ex.l_returnflag, exact_distinct,
+         |  coalesce(${rnd("est", 2)}, 0.0) AS hll_distinct
+         |FROM ex LEFT JOIN est USING (l_returnflag)""".stripMargin
     },
 
     "q61_top_ngrams" -> {
@@ -833,7 +834,7 @@ object OracleSql {
       s"""WITH r AS (SELECT event_type, value AS v,
          |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
          |    count(*) OVER (PARTITION BY event_type) AS n
-         |  FROM events)
+         |  FROM events WHERE value IS NOT NULL)
          |SELECT event_type, max(n)::BIGINT AS n,
          |  ${rnd("max(CASE WHEN rn = ceil(0.5 * n::DOUBLE) THEN v END)", 2)} AS p50,
          |  ${rnd("max(CASE WHEN rn = ceil(0.9 * n::DOUBLE) THEN v END)", 2)} AS p90,
@@ -968,10 +969,12 @@ object OracleSql {
          |  ${rnd(cosineSql("a.embedding", "b.embedding"), 3)} AS cosine
          |FROM e a JOIN e b ON a.vec_id < b.vec_id""".stripMargin,
 
-    // chunking keeps original case: split(trim(text)), no lower()
+    // chunking keeps original case: split(trim(text)), no lower(); the
+    // grid stops at len - chunkSize + step - 1 = len - 9 (no tail chunk
+    // fully contained in its predecessor)
     "q77_chunking" ->
       raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-        |c AS (SELECT doc_id, unnest(generate_series(0, greatest(len(t) - 1, 0), 24)) AS start, t
+        |c AS (SELECT doc_id, unnest(generate_series(0, greatest(len(t) - 9, 0), 24)) AS start, t
         |  FROM t)
         |SELECT doc_id, (start // 24)::BIGINT AS chunk_idx,
         |  len(list_slice(t, start + 1, start + 32))::BIGINT AS n_tokens,
@@ -1020,19 +1023,25 @@ object OracleSql {
          |FROM events
          |WINDOW w AS (PARTITION BY event_type)""".stripMargin,
 
-    // Spark from_json -> null struct on malformed input == DuckDB
-    // json_valid false. Corruption is LEADING garbage ('x' || props):
-    // Spark's Jackson parser tolerates trailing characters after a valid
-    // document, so trailing corruption would count as valid on the Spark
-    // side only.
+    // value-identical mirror of Spark's from_json(struct) classification:
+    // corrupt = non-null payload that is not a parseable JSON OBJECT
+    // (from_json with a struct schema also rejects valid scalars/arrays,
+    // and passes NULL input through as a null struct = valid). Corruption
+    // is LEADING garbage ('x' || props): Spark's Jackson parser tolerates
+    // trailing characters after a valid document.
     "q82_corrupt_json" ->
       """WITH c AS (SELECT event_type,
         |    CASE WHEN event_id % 97 = 0 THEN 'x' || props ELSE props END AS payload
-        |  FROM events)
+        |  FROM events),
+        |t AS (SELECT event_type,
+        |    (payload IS NOT NULL
+        |     AND coalesce(json_type(TRY_CAST(payload AS JSON)), '') <> 'OBJECT')
+        |      AS corrupt
+        |  FROM c)
         |SELECT event_type,
-        |  sum(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)::BIGINT AS n_corrupt,
-        |  sum(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END)::BIGINT AS n_valid
-        |FROM c GROUP BY event_type""".stripMargin,
+        |  sum(CASE WHEN corrupt THEN 1 ELSE 0 END)::BIGINT AS n_corrupt,
+        |  sum(CASE WHEN corrupt THEN 0 ELSE 1 END)::BIGINT AS n_valid
+        |FROM t GROUP BY event_type""".stripMargin,
 
     "q84_shard_manifest" ->
       s"""SELECT ${h32("doc_id::VARCHAR")} % 16 AS shard,

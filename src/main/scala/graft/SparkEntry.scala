@@ -890,7 +890,7 @@ object SparkEntry {
     * histogram algorithm (no global row_number — see
     * [[graft.operators.Stats.histogramBuckets]]), summarized per decile. */
   private def q75(s: SparkSession, dir: String): DataFrame = {
-    val scored = T(s, dir, "documents")
+    val scored = TW(s, dir, "documents") // regex-heavy scoring: widen first
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
     graft.operators.Stats.histogramBuckets(scored, "q", nBuckets = 10)
       .groupBy(col("bucket"))

@@ -39,11 +39,23 @@ abstract class TextHashExpression extends UnaryExpression with ExpectsInputTypes
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
     val ref = ctx.addReferenceObj("graftTextHash", this,
       classOf[TextHashExpression].getName)
-    val javaT = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
-      .javaType(dataType)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ($javaT) $ref.compute($a);")
+    val javaT = CodeGenerator.javaType(dataType)
+    // compute() returns Object; a primitive-typed expression (LongType ->
+    // `long`) cannot cast Object -> long directly in generated Java — it
+    // must go through the boxed type and unbox. A direct `(long) obj` cast
+    // fails janino compilation and silently drops the whole stage out of
+    // codegen (observed as CodeGenerator "Cannot cast Object to long"
+    // fallback warnings on every graft_simhash query).
+    if (CodeGenerator.isPrimitiveType(dataType)) {
+      val boxed = CodeGenerator.boxedType(dataType)
+      nullSafeCodeGen(ctx, ev,
+        a => s"${ev.value} = (($boxed) $ref.compute($a)).${javaT}Value();")
+    } else {
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ($javaT) $ref.compute($a);")
+    }
   }
 }
 

@@ -64,7 +64,9 @@ object BloomJoin {
     bf.writeTo(bos)
     val prefiltered = large.filter(
       mightContain(spark, bos.toByteArray, col(largeKey).cast("long")))
-    prefiltered.join(small.select(col(smallKey).as(largeKey)).distinct(),
+    // no distinct on the build side: semi-join semantics already ignore
+    // duplicate keys, a distinct would just add a shuffle
+    prefiltered.join(small.select(col(smallKey).as(largeKey)),
       Seq(largeKey), "left_semi")
   }
 }

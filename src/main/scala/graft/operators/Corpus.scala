@@ -25,9 +25,13 @@ object Corpus {
     require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
     val step = chunkSize - overlap
     val toks = split(trim(col(textCol)), "\\s+")
+    // last useful start: a chunk at s is fully contained in its predecessor
+    // when s-step+chunkSize already reaches the end, so the grid stops at
+    // n - chunkSize + step - 1 (clamped) — no duplicated tail windows
     df.select(col(idCol).as("doc_id"), toks.as("t"))
       .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(step)))
+        explode(sequence(lit(0),
+          greatest(size(col("t")) - chunkSize + step - 1, lit(0)), lit(step)))
           .as("start"))
       .select(col("doc_id"),
         (col("start") / step).cast("long").as("chunk_idx"),

@@ -79,9 +79,13 @@ object Sketches {
       lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(eRaw)
     val exact = df.groupBy(gcols: _*)
       .agg(countDistinct(col(valueCol)).cast("long").as("exact_distinct"))
-    grouped.select(gcols :+ round(est, 2).as("hll_distinct"): _*)
-      .join(exact, groupCols)
-      .select(gcols ++ Seq(col("exact_distinct"), col("hll_distinct")): _*)
+    // exact drives (left join): a group whose values are ALL null has no
+    // register rows, but must still appear with estimate 0 (countDistinct
+    // semantics), not vanish
+    exact
+      .join(grouped.select(gcols :+ round(est, 2).as("h"): _*), groupCols, "left")
+      .select(gcols ++ Seq(col("exact_distinct"),
+        coalesce(col("h"), lit(0.0)).as("hll_distinct")): _*)
   }
 
   /** Corpus-wide top-`topK` word n-grams by occurrence count (the heavy-

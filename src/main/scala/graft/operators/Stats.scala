@@ -52,7 +52,11 @@ object Stats {
     * longer than a bucket simply occupies it. */
   def histogramBuckets(df: DataFrame, valueCol: String,
                        nBuckets: Int = 10): DataFrame = {
-    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+    // null values are excluded from the output AND the offsets: a null
+    // count group would inflate n and shift every non-null bucket while
+    // the final equi-join dropped the null rows anyway
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
     val cum = counts
       .withColumn("cum", sum(col("cnt")).over(
         Window.orderBy(col(valueCol))

@@ -28,7 +28,16 @@ object TimeSeries {
   def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
                    valueCol: String, tieCol: String,
                    step: String = "1 hour"): DataFrame = {
-    val unit = step.split("\\s+").last // "1 hour" -> date_trunc field "hour"
+    // the grid stride must EQUAL the bucket truncation granularity, or
+    // observations land in buckets the spine never visits (silently
+    // forward-filling stale values over real data) — so only "1 <unit>"
+    // steps with a valid date_trunc unit are accepted
+    val parts = step.trim.split("\\s+")
+    val validUnits = Set("minute", "hour", "day", "week", "month", "quarter", "year")
+    require(parts.length == 2 && parts(0) == "1" && validUnits(parts(1)),
+      s"""step must be "1 <unit>" with unit in ${validUnits.mkString("/")}, got "$step" — """ +
+        "the spine stride must match the bucket truncation granularity")
+    val unit = parts(1)
     val bucketed = df.select(col(keyCol).as("k"),
       date_trunc(unit, col(tsCol)).as("bucket"),
       col(tsCol).as("ts"), col(valueCol).as("v"), col(tieCol).as("tie"))

@@ -13,12 +13,21 @@ class CorpusSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = Corpus.chunkByTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // doc 1: starts 0,3,6,9 -> token counts 4,4,4,1
-    assert(out == Set((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 1L),
-      (2L, 0L, 2L)))
-    // adjacent chunks share `overlap` tokens: verify via reconstructing
+    // doc 1: starts 0,3,6 -> token counts 4,4,4 covering tokens 1-10 with
+    // no tail chunk contained in its predecessor (start 9 would re-emit
+    // only token 10, already covered by the start-6 chunk)
+    assert(out == Set((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (2L, 0L, 2L)))
     val chunks = Corpus.chunkByTokens(docs, "doc_id", "text", 4, 1)
-    assert(chunks.select("chunk_md5").distinct().count() == 5) // all distinct here
+    assert(chunks.select("chunk_md5").distinct().count() == 4) // all distinct here
+  }
+
+  test("chunkByTokens never emits a chunk contained in its predecessor") {
+    // 73 tokens, size 32, overlap 8 (q77's settings): starts 0,24,48 — the
+    // old start-72 single-token chunk was inside the start-48 window
+    val docs = Seq((1L, (1 to 73).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Corpus.chunkByTokens(docs, "doc_id", "text", 32, 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 32L), (1L, 32L), (2L, 25L)))
   }
 
   test("buildVocab ranks by count then token; oovRate counts misses") {
