@@ -1049,6 +1049,159 @@ object OracleSql {
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM documents GROUP BY 1""".stripMargin,
 
+    // q66's aligned-window candidates + true Levenshtein verify; DuckDB's
+    // levenshtein is the same unit-cost edit distance Spark's banded
+    // implementation computes for kept (<= threshold) pairs
+    "q85_edit_distance" ->
+      """WITH wins AS (SELECT DISTINCT doc_id, md5(substring(text, p + 1, 64)) AS h
+        |  FROM documents, unnest(range(0, length(text) - 64 + 1, 32)) AS u(p)
+        |  WHERE length(text) >= 64),
+        |rare AS (SELECT h FROM wins GROUP BY h HAVING count(*) <= 1000),
+        |pruned AS (SELECT w.doc_id, w.h FROM wins w JOIN rare USING (h)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, levenshtein(da.text, db.text)::BIGINT AS dist
+        |FROM pairs p
+        |JOIN documents da ON da.doc_id = p.id_a
+        |JOIN documents db ON db.doc_id = p.id_b
+        |WHERE levenshtein(da.text, db.text) <= 5""".stripMargin,
+
+    // parse_url(HOST) == the 'source.example.com' the url was built from;
+    // survival rank replays portableHash32-then-id order
+    "q86_domain_caps" ->
+      s"""WITH d AS (SELECT doc_id, source || '.example.com' AS host,
+         |    ${h32("doc_id::VARCHAR")} AS h FROM documents),
+         |r AS (SELECT host,
+         |    row_number() OVER (PARTITION BY host ORDER BY h, doc_id) AS rk
+         |  FROM d)
+         |SELECT host, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN rk > 10 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+         |FROM r GROUP BY host""".stripMargin,
+
+    // Okapi BM25 with the exact Spark operand order (left-assoc * and /);
+    // per-doc term-score sum is <= |query| doubles, drift ~1e-16 vs the
+    // 5e-5 rounding granularity (same argument as every rnd(sum) gate)
+    "q87_bm25" -> {
+      val terms = "'spark', 'query', 'window'"
+      s"""WITH lens AS (SELECT doc_id, len($toksExpr) AS dl FROM documents),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+         |qt AS (SELECT doc_id, unnest($toksExpr) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt
+         |  WHERE term IN ($terms) GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+         |scored AS (SELECT t.doc_id,
+         |    sum(ln(1.0 + (s.n - d.dfc + 0.5) / (d.dfc + 0.5))
+         |      * t.tf * (1.2 + 1.0)
+         |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS raw
+         |  FROM tf t JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+         |  CROSS JOIN stats s GROUP BY 1),
+         |r AS (SELECT doc_id, ${rnd("raw", 4)} AS score FROM scored)
+         |SELECT doc_id, score,
+         |  row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
+         |FROM r QUALIFY rank <= 10""".stripMargin
+    },
+
+    // a non-rollup, non-cube lattice: both single-column sets but no ()
+    // subtotal pair ordering a ROLLUP could express
+    "q88_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  count(*)::BIGINT AS n_orders, ${rnd("sum(o_totalprice)", 2)} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |  (o_orderstatus), (o_orderpriority))""".stripMargin,
+
+    // one shared WINDOW clause == Spark's single Window operator; the filter
+    // applies AFTER the windows on both sides
+    "q89_rank_windows" ->
+      s"""SELECT * FROM (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    rank() OVER w::BIGINT AS rnk,
+         |    dense_rank() OVER w::BIGINT AS drnk,
+         |    ntile(4) OVER w::BIGINT AS quartile,
+         |    ${rnd("percent_rank() OVER w", 4)} AS pct_rank,
+         |    ${rnd("cume_dist() OVER w", 4)} AS cume,
+         |    ${rnd("lag(o_totalprice, 1) OVER w", 2)} AS prev_price,
+         |    ${rnd("lead(o_totalprice, 1) OVER w", 2)} AS next_price
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_orderstatus
+         |    ORDER BY o_totalprice DESC, o_orderkey))
+         |WHERE o_orderkey % 20 = 0""".stripMargin,
+
+    "q90_skew_profile" ->
+      s"""WITH c AS (SELECT o_custkey::VARCHAR AS k, count(*) AS cnt
+         |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+         |t AS (SELECT count(*)::DOUBLE AS n_keys, sum(cnt)::DOUBLE AS n_rows FROM c),
+         |r AS (SELECT k, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, k ASC) AS rank FROM c)
+         |SELECT rank::BIGINT AS rank, k AS key, cnt::BIGINT AS cnt,
+         |  ${rnd("cnt / n_rows", 4)} AS share,
+         |  ${rnd("cnt * n_keys / n_rows", 2)} AS x_avg
+         |FROM r CROSS JOIN t WHERE rank <= 10""".stripMargin,
+
+    // list lambdas replay the Spark HOFs with identical fold order
+    // (list_sum == index-order accumulation, the cosineSql precedent)
+    "q91_array_hof" -> {
+      val dbl = "list_transform(embedding, x -> x::DOUBLE)"
+      val l2 = s"sqrt(list_sum(list_transform($dbl, x -> x * x)))"
+      s"""WITH v AS (SELECT vec_id, $dbl AS d, $l2 AS l2 FROM embeddings)
+         |SELECT vec_id,
+         |  len(list_filter(d, x -> x > 0))::BIGINT AS n_pos,
+         |  ${rnd("list_sum(list_transform(d, x -> abs(x)))", 3)} AS l1,
+         |  ${rnd("l2", 3)} AS l2,
+         |  ${rnd("d[1] / l2", 4)} AS h1,
+         |  ${rnd("d[2] / l2", 4)} AS h2,
+         |  ${rnd("d[3] / l2", 4)} AS h3
+         |FROM v""".stripMargin
+    },
+
+    // the q26 quality expression, the q27 lang argmax and the q63
+    // repetition CTEs composed into one keep/drop funnel per source
+    "q92_filter_funnel" -> {
+      def score(markers: Seq[String]) =
+        s"len(list_filter($toksExpr, t -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], t)))"
+      val qExpr = rnd(s"least($tokenCountExpr::DOUBLE / 100.0, 1.0) * 0.4 + least($stopwordRatioExpr * 4.0, 1.0) * 0.4 + greatest(1.0 - $punctRatioExpr * 5.0, 0.0) * 0.2", 4)
+      val sh = shinglesExpr("t", 3)
+      val dupFrac =
+        rnd("CASE WHEN coalesce(n_tri, 0) = 0 THEN 0.0 ELSE dup_tri::DOUBLE / n_tri END", 4)
+      s"""WITH s AS (SELECT doc_id, source, $qExpr AS q,
+         |    ${score(Seq("the", "and", "of", "is", "that"))} AS s_en,
+         |    ${score(Seq("der", "die", "und", "ist", "das"))} AS s_de,
+         |    ${score(Seq("le", "la", "et", "est", "les"))} AS s_fr,
+         |    ${score(Seq("el", "la", "que", "es", "los"))} AS s_es,
+         |    ${score(Seq("的", "是", "了", "在", "我"))} AS s_zh
+         |  FROM documents),
+         |flags AS (SELECT doc_id, source, q,
+         |    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+         |         WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+         |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+         |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+         |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+         |         ELSE 'zh' END AS lang_pred
+         |  FROM s),
+         |wtoks AS (SELECT doc_id, unnest($toksExpr) AS w FROM documents),
+         |wcount AS (SELECT doc_id, w, count(*) AS c FROM wtoks GROUP BY 1, 2),
+         |words AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_c FROM wcount GROUP BY 1),
+         |tarr AS (SELECT doc_id, $toksExpr AS t FROM documents),
+         |tris AS (SELECT doc_id, unnest($sh) AS g FROM tarr),
+         |tcount AS (SELECT doc_id, g, count(*) AS c FROM tris GROUP BY 1, 2),
+         |tri AS (SELECT doc_id, sum(c) AS n_tri,
+         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM tcount GROUP BY 1),
+         |rep AS (SELECT w.doc_id,
+         |    (${rnd("top_c::DOUBLE / n_words", 4)} > 0.1
+         |      OR $dupFrac > 0.4) AS repetitive
+         |  FROM words w LEFT JOIN tri USING (doc_id))
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+         |  sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+         |  sum(CASE WHEN NOT repetitive THEN 1 ELSE 0 END)::BIGINT AS n_clean,
+         |  sum(CASE WHEN q >= 0.5 AND lang_pred = 'en' AND NOT repetitive
+         |    THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         |FROM flags JOIN rep USING (doc_id)
+         |GROUP BY source""".stripMargin
+    },
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

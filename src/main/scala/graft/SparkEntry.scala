@@ -992,6 +992,108 @@ object SparkEntry {
   private def q84(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.shardManifest(T(s, dir, "documents"), "doc_id", 16)
 
+  /** Edit-distance-verified near-dups: q66's aligned-window candidates
+    * re-checked with banded Levenshtein (threshold 5) — fuzzy dedup's
+    * block-then-verify shape with a true-distance verifier. */
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceNearDups(T(s, dir, "documents"), "doc_id", "text",
+      maxDist = 5)
+
+  /** Per-domain document caps over parse_url(HOST) — the web-corpus
+    * "no host dominates" rule with deterministic hash-order survival. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+          col("doc_id")))
+    graft.operators.Corpus.domainCapReport(docs, "url", "doc_id", cap = 10)
+  }
+
+  /** BM25 top-k retrieval over the corpus for a bag-of-words query. */
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopDocs(TW(s, dir, "documents"), "doc_id", "text",
+      queryTerms = Seq("spark", "query", "window"), k = 10)
+
+  /** GROUPING SETS via the Dataset API (the general form of q48's ROLLUP /
+    * q72's CUBE): an explicit lattice of (status, priority), (status), ()
+    * computed in one pass — Spark expands to a single Expand + aggregate,
+    * not one scan per set. */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  /** The full rank-window surface in one pass: rank / dense_rank / ntile /
+    * percent_rank / cume_dist / lag / lead share ONE window definition, so
+    * Catalyst evaluates them in a single Window operator over a single
+    * (partition, order) shuffle-sort — adding a function to an existing
+    * frame is free; adding a differently-keyed one is another sort. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"))
+      .filter(col("o_orderkey") % 20 === 0)
+  }
+
+  /** Join-key skew profile on orders.o_custkey: heavy-hitter keys with
+    * share and x-mean multiple — the pre-join salting diagnostic. */
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.keySkewProfile(T(s, dir, "orders"), "o_custkey",
+      topK = 10)
+
+  /** Array higher-order-function surface parity (transform / filter /
+    * aggregate / slice as USERS write them — the codegen'd expression twins
+    * of these drive the hot paths, q23/q24): per-vector positive-component
+    * count, L1/L2 norms, and the L2-normalized head of the vector. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val dbl = transform(e, x => x.cast("double"))
+    val l2 = sqrt(aggregate(dbl, lit(0.0), (a, x) => a + x * x))
+    T(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(filter(dbl, x => x > 0)).cast("long").as("n_pos"),
+      round(aggregate(dbl, lit(0.0), (a, x) => a + abs(x)), 3).as("l1"),
+      round(l2, 3).as("l2"),
+      // unit-normalized head components as doubles (a stringified array
+      // would hit Spark-vs-DuckDB sci-notation formatting of tiny values)
+      round(element_at(dbl, 1) / l2, 4).as("h1"),
+      round(element_at(dbl, 2) / l2, 4).as("h2"),
+      round(element_at(dbl, 3) / l2, 4).as("h3"))
+  }
+
+  /** Composed quality-filter funnel (the C4/Gopher keep-drop pipeline):
+    * per source, how many docs survive the quality-score, lang-id and
+    * repetition filters individually and jointly. One flags projection +
+    * one join against the repetition metrics + one aggregation. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+    val flags = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+    val rep = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .select(col("doc_id"), col("repetitive"))
+    flags.join(rep, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("q") >= 0.5, 1L).otherwise(0L)).cast("long").as("n_quality"),
+        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).cast("long").as("n_en"),
+        sum(when(!col("repetitive"), 1L).otherwise(0L)).cast("long").as("n_clean"),
+        sum(when(col("q") >= 0.5 && col("lang_pred") === "en" && !col("repetitive"),
+          1L).otherwise(0L)).cast("long").as("n_kept"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1078,7 +1180,15 @@ object SparkEntry {
     "q81_zscore" -> (q81 _),
     "q82_corrupt_json" -> (q82 _),
     "q83_cluster_survivors" -> (q83 _),
-    "q84_shard_manifest" -> (q84 _)
+    "q84_shard_manifest" -> (q84 _),
+    "q85_edit_distance" -> (q85 _),
+    "q86_domain_caps" -> (q86 _),
+    "q87_bm25" -> (q87 _),
+    "q88_grouping_sets" -> (q88 _),
+    "q89_rank_windows" -> (q89 _),
+    "q90_skew_profile" -> (q90 _),
+    "q91_array_hof" -> (q91 _),
+    "q92_filter_funnel" -> (q92 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

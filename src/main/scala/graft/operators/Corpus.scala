@@ -74,6 +74,34 @@ object Corpus {
           / count(lit(1)), 4).as("oov_rate"))
   }
 
+  /** Per-domain document caps — the web-corpus "no single host dominates"
+    * rule (C4/RefinedWeb keep at most N pages per registered domain). The
+    * host comes out of the URL with Spark's native `parse_url` (codegen'd,
+    * no UDF); within each host, documents are ranked in portable-id-hash
+    * order (deterministic across runs and engines — NOT first-seen order,
+    * which is partition-layout-dependent) and everything past `cap` is
+    * dropped. Returns the per-host accounting (total / kept / dropped).
+    *
+    * The rank is a window over one host's rows only, so partitions are
+    * bounded by the biggest host; a pathological mega-host would ride the
+    * bounded [[graft.functions.TopKAgg]] path instead (see
+    * [[Sampling.samplePerGroup]] — same semantics, shuffles k rows per host
+    * instead of the host's whole page set). */
+  def domainCapReport(df: DataFrame, urlCol: String, idCol: String,
+                      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0, "cap > 0")
+    val hosted = df.select(col(idCol).as("id"),
+      expr(s"parse_url($urlCol, 'HOST')").as("host"))
+    val h = graft.functions.Hashes.portableHash32(col("id").cast("string"))
+    val w = Window.partitionBy(col("host")).orderBy(h, col("id"))
+    hosted.withColumn("rk", row_number().over(w))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(col("rk") > cap, 1L).otherwise(0L)).cast("long").as("n_dropped"))
+  }
+
   /** Unigram log-probability quality proxy: each document scored by the
     * mean `ln(count(token)/N)` of its tokens under the corpus unigram
     * distribution — the classic cheap stand-in for LM-perplexity quality

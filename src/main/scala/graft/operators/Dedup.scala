@@ -262,6 +262,33 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 
+  /** Edit-distance-verified near-dups: [[sharedWindowPairs]] candidates
+    * re-checked with true Levenshtein distance over the full text, keeping
+    * pairs within `maxDist`. The classic fuzzy-dedup shape — cheap blocking
+    * bounds the candidate set, the O(len^2) DP verify only ever touches
+    * candidates, never the corpus cross product. The verify uses Spark's
+    * thresholded `levenshtein(l, r, threshold)` (banded DP, O(maxDist*len)
+    * per pair instead of O(len^2)), so a blown threshold exits early rather
+    * than computing a distance the filter would discard. One extra join per
+    * side to re-attach the text (candidates carry only ids across the
+    * shuffle — pair rows never carry two document bodies further than the
+    * verify projection). */
+  def editDistanceNearDups(df: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int, window: Int = 64, stride: Int = 32,
+                           maxPostings: Int = 1000): DataFrame = {
+    val cands = sharedWindowPairs(df, idCol, textCol, window, stride, maxPostings)
+      .select(col("id_a"), col("id_b"))
+    val texts = graft.Tables.widen(df)
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+    cands
+      .join(texts.select(col("id").as("id_a"), col("t").as("ta")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("t").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------

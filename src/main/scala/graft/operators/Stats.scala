@@ -39,6 +39,35 @@ object Stats {
     ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Join-key skew profile: the diagnostic run BEFORE committing to a big
+    * join's partitioning (the input that decides whether [[SkewJoin]]'s
+    * salting or AQE skew splitting is needed). One count-per-key shuffle
+    * (map-side combined), then the global stats (n_keys, n_rows, max)
+    * reduce to a single row and the top-`topK` heavy hitters ride the
+    * bounded [[graft.functions.TopKAgg]] — no global sort of the key-count
+    * table, which is itself as big as the key space. Each heavy key is
+    * reported with its row count, share of all rows, and `x_avg` = how many
+    * times the mean key's size it is (the salting-factor input). */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK > 0")
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).cast("double").as("n_keys"),
+      sum(col("cnt")).cast("double").as("n_rows"))
+    counts
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("cnt")).as("nc"), col(keyCol).cast("string").as("k")),
+        topK).as("arr"))
+      .select(posexplode(col("arr")))
+      .crossJoin(broadcast(totals))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.k").as("key"),
+        negate(col("col.nc")).cast("long").as("cnt"),
+        round(negate(col("col.nc")) / col("n_rows"), 4).as("share"),
+        round(negate(col("col.nc")) * col("n_keys") / col("n_rows"), 2).as("x_avg"))
+  }
+
   /** Equal-frequency bucketing (curriculum/quality binning) WITHOUT a global
     * row_number: a global rank window collapses the corpus onto one
     * partition, which dies at scale. Instead the exact histogram algorithm:

@@ -37,6 +37,59 @@ object TextAnalysis {
         negate(col("col.ns")).as("score"), (col("pos") + 1).as("rank"))
   }
 
+  /** BM25 retrieval scoring: rank the corpus against a bag-of-words query
+    * (Robertson/Sparck-Jones Okapi BM25, the lexical-retrieval baseline a
+    * curation pipeline uses for targeted corpus search and contamination
+    * triage). Per (doc, term): tf from one exploded aggregation; df and
+    * avgdl from two corpus-level aggregates (both dimension-sized →
+    * broadcast); score(D,Q) = sum over query terms of
+    * `idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*len/avgdl))` with the
+    * standard smoothed `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`.
+    *
+    * The query-term list is a literal filter pushed into the exploded token
+    * stream, so only matching (doc, term) rows ever aggregate — the corpus
+    * is scanned once and the scored set is bounded by |matching docs|, and
+    * the final top-`k` rides the bounded [[graft.functions.TopKAgg]] (no
+    * global sort; map-side partial keeps k rows per partition). Returns
+    * (doc_id, score, rank) for the top-k, ties broken on doc_id. */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
+    graft.functions.TopKAgg.register(df.sparkSession)
+    // doc length is a projection (size of the token array), NOT an exploded
+    // count — the only rows that ever reach a shuffle are the query-term
+    // matches; the corpus-wide (doc, term) explosion stays inside one
+    // codegen stage and dies at the isin filter
+    val docs = df.select(col(idCol).as("doc_id"),
+      split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val qtoks = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = qtoks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .localCheckpoint() // tf feeds both the df-counts and the scoring: one corpus pass
+    // tf is one row per (doc, term), so df(t) is a plain count over tf
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("dfc") + 0.5) / (col("dfc") + 0.5)))
+      .withColumn("tscore",
+        col("idf") * col("tf") * (lit(k1) + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tscore")), 4).as("score"))
+    scored
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("score")).as("ns"), col("doc_id").as("doc_id")), k).as("arr"))
+      .select(posexplode(col("arr")))
+      .select(col("col.doc_id").as("doc_id"), negate(col("col.ns")).as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Whitespace token count (0 for empty/blank docs). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))

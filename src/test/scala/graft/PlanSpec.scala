@@ -87,6 +87,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("grouping sets expand once: one scan, one Expand, no union of scans") {
+    val p = plan(SparkEntry.queries("q88_grouping_sets")(spark, sf))
+    assert(p.contains("Expand"), p)
+    // one pass over orders — the lattice must not re-scan per grouping set
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"multiple scans:\n$p")
+    assert(!p.contains("Union"), p)
+  }
+
+  test("skew profile and BM25 top-k ride the bounded partial aggregate") {
+    val skew = plan(SparkEntry.queries("q90_skew_profile")(spark, sf))
+    assert(skew.contains("partial_topk_agg"), skew)
+    assert(!skew.contains("Window"), s"heavy-hitter rank became a global sort:\n$skew")
+    val bm25 = plan(SparkEntry.queries("q87_bm25")(spark, sf))
+    assert(bm25.contains("partial_topk_agg"), bm25)
+    assert(!bm25.contains("Window"), bm25)
+  }
+
+  test("rank-window suite evaluates in a single Window operator") {
+    val p = plan(SparkEntry.queries("q89_rank_windows")(spark, sf))
+    assert("Window \\[".r.findAllIn(p).length == 1,
+      s"shared-frame window functions split into extra Window operators:\n$p")
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -44,6 +44,23 @@ class CorpusSpec extends SparkSpec {
     assert(oov("s2") == ((4L, 0.0)))  // x q q q all in vocab
   }
 
+  test("domainCapReport caps per host deterministically") {
+    val docs = (1L to 5L).map(i => (i, "https://big.example.com/p/" + i)) ++
+      Seq((6L, "https://mid.example.com/p/6"), (7L, "https://mid.example.com/p/7"),
+        (8L, "https://one.example.com/p/8"))
+    val out = Corpus.domainCapReport(docs.toDF("doc_id", "url"), "url", "doc_id",
+        cap = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("big.example.com") == ((5L, 3L, 2L))) // capped
+    assert(out("mid.example.com") == ((2L, 2L, 0L))) // under cap
+    assert(out("one.example.com") == ((1L, 1L, 0L)))
+    // partition-layout invariant (hash order, not first-seen order)
+    val again = Corpus.domainCapReport(docs.toDF("doc_id", "url").repartition(7),
+        "url", "doc_id", cap = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
+
   test("unigramLogProb: uniform docs score ln(freq/N) exactly") {
     val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
     // N=3; a:2, b:1

@@ -142,4 +142,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found.contains((900L, 901L)))
   }
+
+  test("editDistanceNearDups verifies window candidates with true distance") {
+    import spark.implicits._
+    val base = "abcdefghij" * 13 // 130 chars: aligned windows at 0/32/64
+    val oneEdit = base.dropRight(1) + "X" // distance 1, shares the 0/32 windows
+    val farEdit = base.take(64) + ("zyxwv" * 13).take(66) // shares window 0 only
+    val unrelated = "0123456789" * 13
+    val docs = Seq((1L, base), (2L, oneEdit), (3L, farEdit), (4L, unrelated))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistanceNearDups(docs, "doc_id", "text", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 1L) // verified distance, not just candidacy
+    assert(!out.contains((1L, 3L))) // candidate pair over the threshold: dropped
+    assert(!out.contains((1L, 4L))) // never a candidate: no shared window
+  }
 }

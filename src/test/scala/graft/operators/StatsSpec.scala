@@ -42,6 +42,29 @@ class StatsSpec extends SparkSpec {
     assert(out(2.0) == 8L) // starts at rank 80 -> bucket 8
   }
 
+  test("keySkewProfile ranks heavy keys with share and x-mean multiple") {
+    // one hot key with 80 rows + 20 singleton keys: n_rows=100, n_keys=21
+    val rows = (1 to 80).map(_ => "hot") ++ (1 to 20).map(i => s"k$i")
+    val out = Stats.keySkewProfile(rows.toDF("k"), "k", topK = 3).collect()
+    assert(out.length == 3)
+    val top = out.find(_.getLong(0) == 1L).get
+    assert(top.getString(1) == "hot")
+    assert(top.getLong(2) == 80L)
+    assert(top.getDouble(3) == 0.8) // share of all rows
+    assert(top.getDouble(4) == 16.8) // 80 / (100/21 rows-per-mean-key)
+    // ties (all cnt=1) break on the key string ascending
+    assert(out.find(_.getLong(0) == 2L).get.getString(1) == "k1")
+    assert(out.find(_.getLong(0) == 3L).get.getString(1) == "k10")
+  }
+
+  test("keySkewProfile excludes null keys and is partition-invariant") {
+    val rows = Seq(Some("a"), Some("a"), None, Some("b")).toDF("k")
+    val a = Stats.keySkewProfile(rows, "k", topK = 2).collect()
+    val b = Stats.keySkewProfile(rows.repartition(5), "k", topK = 2).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.map(_.getString(1)).toSet == Set("a", "b")) // null key dropped
+  }
+
   test("groupQuantiles is deterministic under duplicate values") {
     val rows = (1 to 1000).map(i => ("g", (i % 10).toDouble))
     val a = Stats.groupQuantiles(rows.toDF("k", "v"), "k", "v", Seq(0.5)).collect()(0)

@@ -73,6 +73,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p.contains("partial_topk_agg"), p)
   }
 
+  test("bm25TopDocs scores Okapi BM25 and ranks score-desc, id-asc") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark spark fast"), (2L, "spark slow"),
+      (3L, "other words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
+        queryTerms = Seq("spark"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // independent reimplementation: N=3, df=2, avgdl=8/3
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Double, dl: Double) =
+      r4(idf * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (8.0 / 3))))
+    assert(out.toSeq == Seq((1L, s(2, 3), 1L), (2L, s(1, 2), 2L)))
+    // d3 never matches the query -> absent, not zero-scored
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("repetitionMetrics flags repeated words/trigrams and handles short docs") {
     import spark.implicits._
     val docs = Seq(
