@@ -1202,6 +1202,137 @@ object OracleSql {
          |GROUP BY source""".stripMargin
     },
 
+    // the CMS counter grid replayed with the same md5 family; % == pmod
+    // because the 32-bit hash is non-negative
+    "q93_countmin" -> {
+      val probes = (1 to 10).map(i => s"'$i'").mkString(", ")
+      val b = s"${h32("j::VARCHAR || ':' || k")} % 256"
+      s"""WITH keyed AS (SELECT o_custkey::VARCHAR AS k FROM orders
+         |  WHERE o_custkey IS NOT NULL),
+         |js AS (SELECT unnest([0, 1, 2]) AS j),
+         |sk AS (SELECT j, $b AS b, count(*) AS c
+         |  FROM keyed CROSS JOIN js GROUP BY 1, 2),
+         |pb AS (SELECT k AS key, j, $b AS b
+         |  FROM (SELECT unnest([$probes]) AS k) CROSS JOIN js),
+         |est AS (SELECT key, min(c)::BIGINT AS cms_est FROM pb
+         |  JOIN sk USING (j, b) GROUP BY 1),
+         |exact AS (SELECT k AS key, count(*)::BIGINT AS exact_n FROM keyed
+         |  WHERE k IN ($probes) GROUP BY 1)
+         |SELECT key, coalesce(exact_n, 0)::BIGINT AS exact_n, cms_est,
+         |  (cms_est - coalesce(exact_n, 0))::BIGINT AS overcount
+         |FROM est LEFT JOIN exact USING (key)""".stripMargin
+    },
+
+    // stage times chain through per-user window minimums; comparisons run
+    // on epoch_us to replay Spark's nanos->micros truncation
+    "q94_conversion_funnel" ->
+      s"""WITH w0 AS (SELECT user_id, event_type, ts,
+         |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+         |      OVER (PARTITION BY user_id) AS t0
+         |  FROM events),
+         |w1 AS (SELECT *, min(CASE WHEN event_type = 'click'
+         |      AND epoch_us(ts) >= t0 THEN epoch_us(ts) END)
+         |      OVER (PARTITION BY user_id) AS t1 FROM w0),
+         |w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+         |      AND epoch_us(ts) >= t1 THEN epoch_us(ts) END)
+         |      OVER (PARTITION BY user_id) AS t2 FROM w1),
+         |pu AS (SELECT DISTINCT user_id, t0 IS NOT NULL AS r0,
+         |    t1 IS NOT NULL AS r1, t2 IS NOT NULL AS r2 FROM w2),
+         |tot AS (SELECT sum(CASE WHEN r0 THEN 1 ELSE 0 END) AS n0,
+         |    sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS n1,
+         |    sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS n2 FROM pu)
+         |SELECT 1::BIGINT AS stage_idx, 'view' AS stage, n0::BIGINT AS n_users,
+         |  CASE WHEN n0 = 0 THEN 0.0 ELSE 1.0 END AS step_rate FROM tot
+         |UNION ALL
+         |SELECT 2::BIGINT, 'click', n1::BIGINT,
+         |  CASE WHEN n0 = 0 THEN 0.0 ELSE ${rnd("n1::DOUBLE / n0", 4)} END FROM tot
+         |UNION ALL
+         |SELECT 3::BIGINT, 'purchase', n2::BIGINT,
+         |  CASE WHEN n1 = 0 THEN 0.0 ELSE ${rnd("n2::DOUBLE / n1", 4)} END
+         |FROM tot""".stripMargin,
+
+    // gaps-and-islands twin of the native session_window: Spark merges an
+    // event landing EXACTLY gap after the previous one (EventOpsSpec pins
+    // this), so a new session starts only at diff > gap — same strict >
+    // as q30's custom sessionizer
+    "q95_session_window" ->
+      s"""WITH g AS (SELECT user_id, value, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  count(*)::BIGINT AS n_events,
+         |  (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us,
+         |  ${rnd("sum(value)", 2)} AS session_value
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // the q92 funnel x the q53/q83 near-dup clustering: per-source corpus
+    // retention after quality AND dedup
+    "q96_curation_pipeline" -> {
+      def score(markers: Seq[String]) =
+        s"len(list_filter($toksExpr, t -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], t)))"
+      val qExpr = rnd(s"least($tokenCountExpr::DOUBLE / 100.0, 1.0) * 0.4 + least($stopwordRatioExpr * 4.0, 1.0) * 0.4 + greatest(1.0 - $punctRatioExpr * 5.0, 0.0) * 0.2", 4)
+      val sh = shinglesExpr("t", 3)
+      val dupFrac =
+        rnd("CASE WHEN coalesce(n_tri, 0) = 0 THEN 0.0 ELSE dup_tri::DOUBLE / n_tri END", 4)
+      s"""WITH RECURSIVE $simhashCtes,
+         |pairs AS (SELECT id_a, id_b FROM cands
+         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d),
+         |comp AS (SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n),
+         |scored AS (SELECT doc_id, $qExpr AS q FROM documents),
+         |ranked AS (SELECT c.component_id, c.doc_id,
+         |    row_number() OVER (PARTITION BY c.component_id
+         |      ORDER BY sc.q DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN scored sc USING (doc_id)),
+         |dup_dropped AS (SELECT doc_id FROM ranked WHERE rn > 1),
+         |lang AS (SELECT doc_id, source,
+         |    ${score(Seq("the", "and", "of", "is", "that"))} AS s_en,
+         |    ${score(Seq("der", "die", "und", "ist", "das"))} AS s_de,
+         |    ${score(Seq("le", "la", "et", "est", "les"))} AS s_fr,
+         |    ${score(Seq("el", "la", "que", "es", "los"))} AS s_es,
+         |    ${score(Seq("的", "是", "了", "在", "我"))} AS s_zh
+         |  FROM documents),
+         |flags AS (SELECT l.doc_id, l.source, sc.q,
+         |    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+         |         WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+         |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+         |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+         |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+         |         ELSE 'zh' END AS lang_pred
+         |  FROM lang l JOIN scored sc USING (doc_id)),
+         |wtoks AS (SELECT doc_id, unnest($toksExpr) AS w FROM documents),
+         |wcount AS (SELECT doc_id, w, count(*) AS c FROM wtoks GROUP BY 1, 2),
+         |words AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_c FROM wcount GROUP BY 1),
+         |tarr AS (SELECT doc_id, $toksExpr AS t FROM documents),
+         |tris AS (SELECT doc_id, unnest($sh) AS g FROM tarr),
+         |tcount AS (SELECT doc_id, g, count(*) AS c FROM tris GROUP BY 1, 2),
+         |tri AS (SELECT doc_id, sum(c) AS n_tri,
+         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM tcount GROUP BY 1),
+         |repet AS (SELECT w.doc_id,
+         |    (${rnd("top_c::DOUBLE / n_words", 4)} > 0.1
+         |      OR $dupFrac > 0.4) AS repetitive
+         |  FROM words w LEFT JOIN tri USING (doc_id)),
+         |fun AS (SELECT f.doc_id, f.source,
+         |    (f.q >= 0.5 AND f.lang_pred = 'en' AND NOT r.repetitive) AS pass_funnel
+         |  FROM flags f JOIN repet r USING (doc_id))
+         |SELECT f.source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN pass_funnel THEN 1 ELSE 0 END)::BIGINT AS n_funnel,
+         |  sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_dropped,
+         |  sum(CASE WHEN pass_funnel AND dd.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_final
+         |FROM fun f LEFT JOIN dup_dropped dd USING (doc_id)
+         |GROUP BY f.source""".stripMargin
+    },
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

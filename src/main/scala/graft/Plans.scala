@@ -59,7 +59,14 @@ object Plans {
       |  ~1M-row resampled grid (~1.5 s), q60 computes exact countDistinct
       |  alongside the HLL for the error column (~1.0 s), q62/q75 shingle or
       |  score the corpus (~0.7-1.0 s). Per-query steady state is the
-      |  signal; the total tracks surface area.
+      |  signal; the total tracks surface area. The late-round-5 additions
+      |  (q85-q96, 96 gates total) add ~10 s more: q96_curation_pipeline
+      |  (~5.8 s) is BY CONSTRUCTION the q53 component fixpoint (~4 s,
+      |  scheduling-bound per round on tiny frames) plus the q92 funnel
+      |  (~1.2 s); q85/q87/q92 each pay one corpus text pass (~1-1.4 s).
+      |  The q53-family per-round cost is fixed scheduling overhead on
+      |  few-KB label frames - at real scale it is dwarfed by the data,
+      |  and rounds grow only as log2(cluster diameter).
       |- **The r4 bench's three most expensive queries are expensive by
       |  construction, not by plan defect.** q53_dedup_clusters (~3.4 s)
       |  regenerates the SimHash pair list (~0.7 s, q38's whole cost) and

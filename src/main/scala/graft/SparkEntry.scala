@@ -1094,6 +1094,59 @@ object SparkEntry {
           1L).otherwise(0L)).cast("long").as("n_kept"))
   }
 
+  /** Count-Min sketch estimates vs exact for ten probe customers — toy
+    * width so the one-sided overcount is visible and checked. */
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.cmsEstimate(T(s, dir, "orders"), "o_custkey",
+      width = 256, depth = 3, probeKeys = (1 to 10).map(_.toString))
+
+  /** Ordered conversion funnel view -> click -> purchase over the event log. */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.conversionFunnel(T(s, dir, "events"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
+  /** Native session_window sessions (10-minute gap) — the streaming-capable
+    * twin of q30's lag/running-sum sessionizer. */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.sessionWindowAgg(T(s, dir, "events"),
+      "user_id", "ts", "value", "10 minutes")
+
+  /** End-to-end curation pipeline — the flagship composition: the q92
+    * quality/lang/repetition funnel x the q53/q83 near-dup clustering, with
+    * per-source retention accounting. A doc survives when it passes all
+    * three filters AND is either unclustered or its cluster's canonical. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+    val flags = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+    val rep = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .select(col("doc_id"), col("repetitive"))
+    val funnel = flags.join(rep, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        (col("q") >= 0.5 && col("lang_pred") === "en" && !col("repetitive"))
+          .as("pass_funnel"))
+    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
+    val comps = Dedup.connectedComponents(pairs)
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    val canon = Dedup.clusterRepresentatives(comps, scored, "doc_id", "q")
+      .select(col("component_id"), col("canonical_doc"))
+    val dupDropped = comps // (node, component) from connectedComponents
+      .join(canon, col("component") === col("component_id"))
+      .filter(col("node") =!= col("canonical_doc"))
+      .select(col("node").as("doc_id"), lit(true).as("dup_dropped"))
+    funnel.join(dupDropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("pass_funnel"), 1L).otherwise(0L)).cast("long")
+          .as("n_funnel"),
+        sum(when(col("dup_dropped"), 1L).otherwise(0L)).cast("long")
+          .as("n_dup_dropped"),
+        sum(when(col("pass_funnel") && col("dup_dropped").isNull, 1L)
+          .otherwise(0L)).cast("long").as("n_final"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1188,7 +1241,11 @@ object SparkEntry {
     "q89_rank_windows" -> (q89 _),
     "q90_skew_profile" -> (q90 _),
     "q91_array_hof" -> (q91 _),
-    "q92_filter_funnel" -> (q92 _)
+    "q92_filter_funnel" -> (q92 _),
+    "q93_countmin" -> (q93 _),
+    "q94_conversion_funnel" -> (q94 _),
+    "q95_session_window" -> (q95 _),
+    "q96_curation_pipeline" -> (q96 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

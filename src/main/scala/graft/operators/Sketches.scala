@@ -88,6 +88,48 @@ object Sketches {
         coalesce(col("h"), lit(0.0)).as("hll_distinct")): _*)
   }
 
+  /** Count-Min sketch frequency estimates for a set of probe keys, with the
+    * exact counts alongside (the sketch-error report a pipeline runs before
+    * trusting CMS numbers at a given width).
+    *
+    * The sketch is `depth` independent md5-derived hash rows of `width`
+    * counters — the shuffled state is the depth x width counter grid
+    * (map-side partial counts), NEVER the key space, so the same code
+    * sketches 10^10 keys into the same few-KB state; the estimate for a key
+    * is the MIN of its `depth` counters (one-sided error: always >= exact,
+    * overshoot ~ N/width per row, min over rows damps it — pick width for
+    * the N you expect; the toy width here makes the overcount VISIBLE so
+    * the gate actually checks the estimate algebra, not a lucky identity).
+    * Probe keys enter as a literal frame; the sketch side is bounded so the
+    * probe join broadcasts it. Every counter index is integer-exact md5
+    * arithmetic, so an external engine replays the sketch bit-for-bit. */
+  def cmsEstimate(df: DataFrame, keyCol: String, width: Int, depth: Int,
+                  probeKeys: Seq[String]): DataFrame = {
+    require(width > 0 && depth > 0 && probeKeys.nonEmpty, "width/depth/probes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def bucket(k: Column, j: Column): Column =
+      pmod(graft.functions.Hashes.portableHash32(
+        concat(j.cast("string"), lit(":"), k)), lit(width.toLong))
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"))
+    val sketch = keyed
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("j"), bucket(col("k"), col("j")).as("b"))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val probes = probeKeys.toDF("key")
+      .select(col("key"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("key"), col("j"), bucket(col("key"), col("j")).as("b"))
+    val est = probes.join(broadcast(sketch), Seq("j", "b"))
+      .groupBy("key").agg(min(col("c")).cast("long").as("cms_est"))
+    val exact = keyed.filter(col("k").isin(probeKeys: _*))
+      .groupBy(col("k").as("key")).agg(count(lit(1)).cast("long").as("exact_n"))
+    est.join(exact, Seq("key"), "left")
+      .select(col("key"), coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+        col("cms_est"),
+        (col("cms_est") - coalesce(col("exact_n"), lit(0L))).as("overcount"))
+  }
+
   /** Corpus-wide top-`topK` word n-grams by occurrence count (the heavy-
     * hitter profile of a training corpus: boilerplate detection, template
     * mining, tokenizer-vocab sanity checks).

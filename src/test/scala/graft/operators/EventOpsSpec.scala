@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+  test("conversionFunnel: later stages only count AFTER the earlier stage") {
+    val events = Seq(
+      // u1 converts in order: view@1, click@2, purchase@3
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // u2 clicks BEFORE its first view: click must not count
+      (2L, "click", ts(1)), (2L, "view", ts(2)),
+      // u3 views only
+      (3L, "view", ts(5)),
+      // u4 purchases with no view at all: no stage counts
+      (4L, "purchase", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventOps.conversionFunnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")).collect()
+      .map(r => r.getString(1) -> (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out("view") == ((1L, 3L, 1.0)))      // u1, u2, u3
+    assert(out("click") == ((2L, 1L, 0.3333)))  // only u1 (u2's click too early)
+    assert(out("purchase") == ((3L, 1L, 1.0)))  // u1 completes
+  }
+
+  test("conversionFunnel: same-timestamp stage events satisfy the order (>=)") {
+    val events = Seq((1L, "view", ts(1)), (1L, "click", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val out = EventOps.conversionFunnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click")).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("click") == 1L)
+  }
+
+  test("sessionWindowAgg splits at gap >= 10 minutes and keeps < gap together") {
+    val events = Seq(
+      // u1: 10:00, 10:09 (9 min apart -> one session), 10:30 (new session)
+      (1L, ts(0), 1.0, 1L), (1L, ts(9), 2.0, 2L), (1L, ts(30), 4.0, 3L),
+      // u2: single event
+      (2L, ts(5), 8.0, 4L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = EventOps.sessionWindowAgg(events, "user_id", "ts", "value",
+        "10 minutes").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out((1L, "2026-01-01 10:00:00")) == ((2L, 9L * 60 * 1000000L, 3.0)))
+    assert(out((1L, "2026-01-01 10:30:00")) == ((1L, 0L, 4.0)))
+    assert(out((2L, "2026-01-01 10:05:00")) == ((1L, 0L, 8.0)))
+    // exactly-at-gap boundary: Spark MERGES an event landing exactly gap
+    // after the previous one (the oracle's strict > mirrors this)
+    val boundary = Seq((1L, ts(0), 1.0, 1L), (1L, ts(10), 2.0, 2L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val b = EventOps.sessionWindowAgg(boundary, "user_id", "ts", "value",
+      "10 minutes").collect()
+    assert(b.length == 1 && b.head.getLong(2) == 2L, b.mkString(";"))
+  }
+}

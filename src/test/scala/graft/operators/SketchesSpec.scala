@@ -51,6 +51,26 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("cmsEstimate: one-sided error, exact when the grid is collision-free") {
+    import spark.implicits._
+    val rows = (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"k$i")).toDF("k")
+    // wide grid, 31 distinct keys: collisions are overwhelmingly unlikely,
+    // so the estimate IS the exact count
+    val wide = Sketches.cmsEstimate(rows, "k", width = 65536, depth = 3,
+        probeKeys = Seq("hot", "k1", "k2")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(wide("hot") == ((50L, 50L, 0L)))
+    assert(wide("k1") == ((1L, 1L, 0L)))
+    // a 2-wide grid forces collisions: the estimate NEVER undercounts
+    val narrow = Sketches.cmsEstimate(rows, "k", width = 2, depth = 2,
+      probeKeys = Seq("hot", "k1"))
+    assert(narrow.collect().forall(r => r.getLong(3) >= 0L))
+    // absent probe key still reports (collisions may inflate it; exact = 0)
+    val absent = Sketches.cmsEstimate(rows, "k", width = 2, depth = 2,
+      probeKeys = Seq("nope")).collect()
+    assert(absent.length == 1 && absent.head.getLong(1) == 0L)
+  }
+
   test("topNgrams matches the sort-based ranking and stays off the Window path") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = Sketches.topNgrams(docs, "text", n = 3, topK = 15)
