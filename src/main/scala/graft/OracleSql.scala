@@ -1333,6 +1333,45 @@ object OracleSql {
          |GROUP BY f.source""".stripMargin
     },
 
+    // classification by direct column comparison == the Spark side's md5
+    // fingerprint equality (fingerprints are injective per engine short of
+    // an md5 collision inside the table)
+    "q97_snapshot_diff" ->
+      """WITH newc AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 101 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 103 = 0),
+        |j AS (SELECT
+        |    CASE WHEN o.c_custkey IS NULL THEN 'added'
+        |         WHEN n.c_custkey IS NULL THEN 'removed'
+        |         WHEN o.c_name IS DISTINCT FROM n.c_name
+        |           OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+        |           OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |           OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+        |         THEN 'changed' ELSE 'unchanged' END AS change_type
+        |  FROM customer o FULL OUTER JOIN newc n USING (c_custkey))
+        |SELECT change_type, count(*)::BIGINT AS n_keys
+        |FROM j GROUP BY change_type""".stripMargin,
+
+    // min/max stringified with each engine's shortest-repr double / ISO
+    // timestamp cast (identical for these value shapes)
+    "q98_column_profile" -> {
+      def profile(c: String) =
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        .map(profile).mkString("\nUNION ALL\n")
+    },
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

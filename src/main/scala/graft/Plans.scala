@@ -60,13 +60,20 @@ object Plans {
       |  alongside the HLL for the error column (~1.0 s), q62/q75 shingle or
       |  score the corpus (~0.7-1.0 s). Per-query steady state is the
       |  signal; the total tracks surface area. The late-round-5 additions
-      |  (q85-q96, 96 gates total) add ~10 s more: q96_curation_pipeline
+      |  (q85-q98, 98 gates total) add ~12 s more: q96_curation_pipeline
       |  (~5.8 s) is BY CONSTRUCTION the q53 component fixpoint (~4 s,
       |  scheduling-bound per round on tiny frames) plus the q92 funnel
       |  (~1.2 s); q85/q87/q92 each pay one corpus text pass (~1-1.4 s).
       |  The q53-family per-round cost is fixed scheduling overhead on
       |  few-KB label frames - at real scale it is dwarfed by the data,
       |  and rounds grow only as log2(cluster diameter).
+      |- **q98_column_profile: 4.4 s -> 1.6 s by refusing the
+      |  multi-countDistinct Expand.** Spark's exact plan for N distinct
+      |  aggregates Expands every row N+1 times and shuffles the expansion
+      |  with ALL profiled columns as grouping keys; the rewrite dedups a
+      |  narrow exploded (col_name, value) pair stream whose map-side
+      |  partial collapses each partition to its local distincts, then
+      |  counts per column - same exact answer, a fraction of the shuffle.
       |- **The r4 bench's three most expensive queries are expensive by
       |  construction, not by plan defect.** q53_dedup_clusters (~3.4 s)
       |  regenerates the SimHash pair list (~0.7 s, q38's whole cost) and

@@ -1147,6 +1147,26 @@ object SparkEntry {
           .otherwise(0L)).cast("long").as("n_final"))
   }
 
+  /** Snapshot diff: customer vs a deterministically perturbed next version
+    * (drops, acctbal updates, key-shifted additions) — the post-merge
+    * validation report, counted per change type. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+    val compareCols = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val next = cust.filter(col("c_custkey") % 97 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 101 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+      .unionByName(cust.filter(col("c_custkey") % 103 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L))
+    graft.merge.SnapshotDiff.diffSummary(cust, next, Seq("c_custkey"), compareCols)
+  }
+
+  /** Catalog column profile of lineitem (one pass, all columns). */
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.columnProfile(T(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1245,7 +1265,9 @@ object SparkEntry {
     "q93_countmin" -> (q93 _),
     "q94_conversion_funnel" -> (q94 _),
     "q95_session_window" -> (q95 _),
-    "q96_curation_pipeline" -> (q96 _)
+    "q96_curation_pipeline" -> (q96 _),
+    "q97_snapshot_diff" -> (q97 _),
+    "q98_column_profile" -> (q98 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

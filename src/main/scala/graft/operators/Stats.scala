@@ -39,6 +39,49 @@ object Stats {
     ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-column table profile — the "ANALYZE TABLE" statistics a metadata
+    * catalog records per snapshot: row count, null count, exact distinct
+    * count, min/max (stringified so one output schema covers every column
+    * type).
+    *
+    * Two narrow passes instead of Spark's multi-`countDistinct` plan: that
+    * plan Expands every row |cols|+1 times and shuffles the expansion with
+    * ALL profiled columns as grouping keys — wide rows, rows x cols of
+    * them. Here (1) counts/nulls/min/max run in one ordinary aggregation
+    * (single result row, no distinct), and (2) distinct counts dedup an
+    * exploded (col_name, value-string) pair stream whose map-side partial
+    * collapses each partition to its LOCAL distinct values — the shuffle
+    * carries ~sum of per-partition distincts in 2-column rows, a large
+    * factor less than the Expand for every repetitive column. The
+    * stringified pair stream is type-injective for primitive columns. At
+    * 100 TB swap stage (2) for [[Sketches.hllDistinct]]'s bounded
+    * registers — stage (1) is already sketch-cheap. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.v").as("v"))
+      .filter(col("v").isNotNull) // countDistinct semantics: nulls excluded
+    val nd = pairs.distinct()
+      .groupBy(col("c")).agg(count(lit(1)).cast("long").as("__ndist"))
+    val structs = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").cast("long").as("n_rows"),
+        col(s"__nn_$c").cast("long").as("n_nulls"),
+        col(s"__mn_$c").as("min_val"), col(s"__mx_$c").as("max_val"))
+    }
+    row.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
+      .join(broadcast(nd.withColumnRenamed("c", "col_name")), Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("__ndist"), lit(0L)).as("n_distinct"),
+        col("min_val"), col("max_val"))
+  }
+
   /** Join-key skew profile: the diagnostic run BEFORE committing to a big
     * join's partitioning (the input that decides whether [[SkewJoin]]'s
     * salting or AQE skew splitting is needed). One count-per-key shuffle

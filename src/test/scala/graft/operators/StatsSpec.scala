@@ -42,6 +42,18 @@ class StatsSpec extends SparkSpec {
     assert(out(2.0) == 8L) // starts at rank 80 -> bucket 8
   }
 
+  test("columnProfile: one row per column with nulls/distinct/min/max") {
+    val rows = Seq((1L, Some(2.5), "x"), (2L, None, "y"), (3L, Some(2.5), "y"))
+      .toDF("id", "v", "s")
+    val out = Stats.columnProfile(rows, Seq("id", "v", "s")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(out("id") == ((3L, 0L, 3L, "1", "3")))
+    assert(out("v") == ((3L, 1L, 1L, "2.5", "2.5"))) // nulls excluded from distinct
+    assert(out("s") == ((3L, 0L, 2L, "x", "y")))
+  }
+
   test("keySkewProfile ranks heavy keys with share and x-mean multiple") {
     // one hot key with 80 rows + 20 singleton keys: n_rows=100, n_keys=21
     val rows = (1 to 80).map(_ => "hot") ++ (1 to 20).map(i => s"k$i")
