@@ -51,9 +51,12 @@ object SparkEntry {
     p.toString
   }
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The end-to-end
+    * curation pipeline exercises the widest operator slice in one plan
+    * (text metrics, SimHash banding, component fixpoint, survivorship,
+    * per-source accounting). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
+    queries("q96_curation_pipeline")(spark, "/root/testdata/sf0.001")
 
   // ==========================================================================
   // Query implementations
