@@ -138,6 +138,47 @@ object OracleSql {
   private def stopwordRatioExpr =
     s"(CASE WHEN len($toksExpr) = 0 THEN 0.0 ELSE ${rnd(s"len(list_filter($toksExpr, t -> list_contains($stopList, t)))::DOUBLE / len($toksExpr)", 4)} END)"
 
+  /** Quality/lang-id/repetition funnel CTE chain (mirrors
+    * `TextAnalysis.{qualityScore, langId, repetitionMetrics}`), shared by
+    * the q92 funnel gate and q96's curation pipeline so a threshold or
+    * marker-list change cannot drift between them. Exposes `flags`
+    * (doc_id, source, q, lang_pred) and `frepet` (doc_id, repetitive). */
+  private def funnelCtes: String = {
+    def score(markers: Seq[String]) =
+      s"len(list_filter($toksExpr, t -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], t)))"
+    val qExpr = rnd(s"least($tokenCountExpr::DOUBLE / 100.0, 1.0) * 0.4 + least($stopwordRatioExpr * 4.0, 1.0) * 0.4 + greatest(1.0 - $punctRatioExpr * 5.0, 0.0) * 0.2", 4)
+    val sh = shinglesExpr("t", 3)
+    val dupFrac =
+      rnd("CASE WHEN coalesce(n_tri, 0) = 0 THEN 0.0 ELSE dup_tri::DOUBLE / n_tri END", 4)
+    s"""fsrc AS (SELECT doc_id, source, $qExpr AS q,
+       |    ${score(Seq("the", "and", "of", "is", "that"))} AS s_en,
+       |    ${score(Seq("der", "die", "und", "ist", "das"))} AS s_de,
+       |    ${score(Seq("le", "la", "et", "est", "les"))} AS s_fr,
+       |    ${score(Seq("el", "la", "que", "es", "los"))} AS s_es,
+       |    ${score(Seq("的", "是", "了", "在", "我"))} AS s_zh
+       |  FROM documents),
+       |flags AS (SELECT doc_id, source, q,
+       |    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+       |         WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+       |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+       |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+       |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+       |         ELSE 'zh' END AS lang_pred
+       |  FROM fsrc),
+       |fwtoks AS (SELECT doc_id, unnest($toksExpr) AS w FROM documents),
+       |fwcount AS (SELECT doc_id, w, count(*) AS c FROM fwtoks GROUP BY 1, 2),
+       |fwords AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_c FROM fwcount GROUP BY 1),
+       |ftarr AS (SELECT doc_id, $toksExpr AS t FROM documents),
+       |ftris AS (SELECT doc_id, unnest($sh) AS g FROM ftarr),
+       |ftcount AS (SELECT doc_id, g, count(*) AS c FROM ftris GROUP BY 1, 2),
+       |ftri AS (SELECT doc_id, sum(c) AS n_tri,
+       |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM ftcount GROUP BY 1),
+       |frepet AS (SELECT w.doc_id,
+       |    (${rnd("top_c::DOUBLE / n_words", 4)} > 0.1
+       |      OR $dupFrac > 0.4) AS repetitive
+       |  FROM fwords w LEFT JOIN ftri USING (doc_id))""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
@@ -1158,49 +1199,16 @@ object OracleSql {
 
     // the q26 quality expression, the q27 lang argmax and the q63
     // repetition CTEs composed into one keep/drop funnel per source
-    "q92_filter_funnel" -> {
-      def score(markers: Seq[String]) =
-        s"len(list_filter($toksExpr, t -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], t)))"
-      val qExpr = rnd(s"least($tokenCountExpr::DOUBLE / 100.0, 1.0) * 0.4 + least($stopwordRatioExpr * 4.0, 1.0) * 0.4 + greatest(1.0 - $punctRatioExpr * 5.0, 0.0) * 0.2", 4)
-      val sh = shinglesExpr("t", 3)
-      val dupFrac =
-        rnd("CASE WHEN coalesce(n_tri, 0) = 0 THEN 0.0 ELSE dup_tri::DOUBLE / n_tri END", 4)
-      s"""WITH s AS (SELECT doc_id, source, $qExpr AS q,
-         |    ${score(Seq("the", "and", "of", "is", "that"))} AS s_en,
-         |    ${score(Seq("der", "die", "und", "ist", "das"))} AS s_de,
-         |    ${score(Seq("le", "la", "et", "est", "les"))} AS s_fr,
-         |    ${score(Seq("el", "la", "que", "es", "los"))} AS s_es,
-         |    ${score(Seq("的", "是", "了", "在", "我"))} AS s_zh
-         |  FROM documents),
-         |flags AS (SELECT doc_id, source, q,
-         |    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
-         |         WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
-         |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
-         |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
-         |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
-         |         ELSE 'zh' END AS lang_pred
-         |  FROM s),
-         |wtoks AS (SELECT doc_id, unnest($toksExpr) AS w FROM documents),
-         |wcount AS (SELECT doc_id, w, count(*) AS c FROM wtoks GROUP BY 1, 2),
-         |words AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_c FROM wcount GROUP BY 1),
-         |tarr AS (SELECT doc_id, $toksExpr AS t FROM documents),
-         |tris AS (SELECT doc_id, unnest($sh) AS g FROM tarr),
-         |tcount AS (SELECT doc_id, g, count(*) AS c FROM tris GROUP BY 1, 2),
-         |tri AS (SELECT doc_id, sum(c) AS n_tri,
-         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM tcount GROUP BY 1),
-         |rep AS (SELECT w.doc_id,
-         |    (${rnd("top_c::DOUBLE / n_words", 4)} > 0.1
-         |      OR $dupFrac > 0.4) AS repetitive
-         |  FROM words w LEFT JOIN tri USING (doc_id))
+    "q92_filter_funnel" ->
+      s"""WITH $funnelCtes
          |SELECT source, count(*)::BIGINT AS n_docs,
          |  sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_quality,
          |  sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
          |  sum(CASE WHEN NOT repetitive THEN 1 ELSE 0 END)::BIGINT AS n_clean,
          |  sum(CASE WHEN q >= 0.5 AND lang_pred = 'en' AND NOT repetitive
          |    THEN 1 ELSE 0 END)::BIGINT AS n_kept
-         |FROM flags JOIN rep USING (doc_id)
-         |GROUP BY source""".stripMargin
-    },
+         |FROM flags JOIN frepet USING (doc_id)
+         |GROUP BY source""".stripMargin,
 
     // the CMS counter grid replayed with the same md5 family; % == pmod
     // because the 32-bit hash is non-negative
@@ -1214,8 +1222,8 @@ object OracleSql {
          |  FROM keyed CROSS JOIN js GROUP BY 1, 2),
          |pb AS (SELECT k AS key, j, $b AS b
          |  FROM (SELECT unnest([$probes]) AS k) CROSS JOIN js),
-         |est AS (SELECT key, min(c)::BIGINT AS cms_est FROM pb
-         |  JOIN sk USING (j, b) GROUP BY 1),
+         |est AS (SELECT key, min(coalesce(c, 0))::BIGINT AS cms_est FROM pb
+         |  LEFT JOIN sk USING (j, b) GROUP BY 1),
          |exact AS (SELECT k AS key, count(*)::BIGINT AS exact_n FROM keyed
          |  WHERE k IN ($probes) GROUP BY 1)
          |SELECT key, coalesce(exact_n, 0)::BIGINT AS exact_n, cms_est,
@@ -1238,9 +1246,9 @@ object OracleSql {
          |      OVER (PARTITION BY user_id) AS t2 FROM w1),
          |pu AS (SELECT DISTINCT user_id, t0 IS NOT NULL AS r0,
          |    t1 IS NOT NULL AS r1, t2 IS NOT NULL AS r2 FROM w2),
-         |tot AS (SELECT sum(CASE WHEN r0 THEN 1 ELSE 0 END) AS n0,
-         |    sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS n1,
-         |    sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS n2 FROM pu)
+         |tot AS (SELECT coalesce(sum(CASE WHEN r0 THEN 1 ELSE 0 END), 0) AS n0,
+         |    coalesce(sum(CASE WHEN r1 THEN 1 ELSE 0 END), 0) AS n1,
+         |    coalesce(sum(CASE WHEN r2 THEN 1 ELSE 0 END), 0) AS n2 FROM pu)
          |SELECT 1::BIGINT AS stage_idx, 'view' AS stage, n0::BIGINT AS n_users,
          |  CASE WHEN n0 = 0 THEN 0.0 ELSE 1.0 END AS step_rate FROM tot
          |UNION ALL
@@ -1272,13 +1280,7 @@ object OracleSql {
 
     // the q92 funnel x the q53/q83 near-dup clustering: per-source corpus
     // retention after quality AND dedup
-    "q96_curation_pipeline" -> {
-      def score(markers: Seq[String]) =
-        s"len(list_filter($toksExpr, t -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], t)))"
-      val qExpr = rnd(s"least($tokenCountExpr::DOUBLE / 100.0, 1.0) * 0.4 + least($stopwordRatioExpr * 4.0, 1.0) * 0.4 + greatest(1.0 - $punctRatioExpr * 5.0, 0.0) * 0.2", 4)
-      val sh = shinglesExpr("t", 3)
-      val dupFrac =
-        rnd("CASE WHEN coalesce(n_tri, 0) = 0 THEN 0.0 ELSE dup_tri::DOUBLE / n_tri END", 4)
+    "q96_curation_pipeline" ->
       s"""WITH RECURSIVE $simhashCtes,
          |pairs AS (SELECT id_a, id_b FROM cands
          |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
@@ -1289,49 +1291,21 @@ object OracleSql {
          |  UNION
          |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d),
          |comp AS (SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n),
-         |scored AS (SELECT doc_id, $qExpr AS q FROM documents),
+         |$funnelCtes,
          |ranked AS (SELECT c.component_id, c.doc_id,
          |    row_number() OVER (PARTITION BY c.component_id
-         |      ORDER BY sc.q DESC, c.doc_id ASC) AS rn
-         |  FROM comp c JOIN scored sc USING (doc_id)),
+         |      ORDER BY fl.q DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN flags fl USING (doc_id)),
          |dup_dropped AS (SELECT doc_id FROM ranked WHERE rn > 1),
-         |lang AS (SELECT doc_id, source,
-         |    ${score(Seq("the", "and", "of", "is", "that"))} AS s_en,
-         |    ${score(Seq("der", "die", "und", "ist", "das"))} AS s_de,
-         |    ${score(Seq("le", "la", "et", "est", "les"))} AS s_fr,
-         |    ${score(Seq("el", "la", "que", "es", "los"))} AS s_es,
-         |    ${score(Seq("的", "是", "了", "在", "我"))} AS s_zh
-         |  FROM documents),
-         |flags AS (SELECT l.doc_id, l.source, sc.q,
-         |    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
-         |         WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
-         |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
-         |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
-         |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
-         |         ELSE 'zh' END AS lang_pred
-         |  FROM lang l JOIN scored sc USING (doc_id)),
-         |wtoks AS (SELECT doc_id, unnest($toksExpr) AS w FROM documents),
-         |wcount AS (SELECT doc_id, w, count(*) AS c FROM wtoks GROUP BY 1, 2),
-         |words AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_c FROM wcount GROUP BY 1),
-         |tarr AS (SELECT doc_id, $toksExpr AS t FROM documents),
-         |tris AS (SELECT doc_id, unnest($sh) AS g FROM tarr),
-         |tcount AS (SELECT doc_id, g, count(*) AS c FROM tris GROUP BY 1, 2),
-         |tri AS (SELECT doc_id, sum(c) AS n_tri,
-         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri FROM tcount GROUP BY 1),
-         |repet AS (SELECT w.doc_id,
-         |    (${rnd("top_c::DOUBLE / n_words", 4)} > 0.1
-         |      OR $dupFrac > 0.4) AS repetitive
-         |  FROM words w LEFT JOIN tri USING (doc_id)),
          |fun AS (SELECT f.doc_id, f.source,
          |    (f.q >= 0.5 AND f.lang_pred = 'en' AND NOT r.repetitive) AS pass_funnel
-         |  FROM flags f JOIN repet r USING (doc_id))
+         |  FROM flags f JOIN frepet r USING (doc_id))
          |SELECT f.source, count(*)::BIGINT AS n_docs,
          |  sum(CASE WHEN pass_funnel THEN 1 ELSE 0 END)::BIGINT AS n_funnel,
          |  sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_dropped,
          |  sum(CASE WHEN pass_funnel AND dd.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_final
          |FROM fun f LEFT JOIN dup_dropped dd USING (doc_id)
-         |GROUP BY f.source""".stripMargin
-    },
+         |GROUP BY f.source""".stripMargin,
 
     // classification by direct column comparison == the Spark side's md5
     // fingerprint equality (fingerprints are injective per engine short of

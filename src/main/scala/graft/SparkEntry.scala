@@ -1018,9 +1018,10 @@ object SparkEntry {
       queryTerms = Seq("spark", "query", "window"), k = 10)
 
   /** GROUPING SETS via the Dataset API (the general form of q48's ROLLUP /
-    * q72's CUBE): an explicit lattice of (status, priority), (status), ()
-    * computed in one pass — Spark expands to a single Expand + aggregate,
-    * not one scan per set. */
+    * q72's CUBE): an explicit lattice of (status, priority), (status),
+    * (priority) — both single-column subtotals but NO grand total, a shape
+    * neither ROLLUP nor CUBE can express — computed in one pass: Spark
+    * expands to a single Expand + aggregate, not one scan per set. */
   private def q88(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders")
       .groupingSets(
@@ -1131,8 +1132,9 @@ object SparkEntry {
           .as("pass_funnel"))
     val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
     val comps = Dedup.connectedComponents(pairs)
-    val scored = docs.select(col("doc_id"),
-      TextAnalysis.qualityScore(col("text")).as("q"))
+    // survivorship reuses the quality already computed in `flags` — one
+    // text-metric pass over the corpus, not two
+    val scored = flags.select(col("doc_id"), col("q"))
     val canon = Dedup.clusterRepresentatives(comps, scored, "doc_id", "q")
       .select(col("component_id"), col("canonical_doc"))
     val dupDropped = comps // (node, component) from connectedComponents

@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
-  /** Null-safe row fingerprint over the compare columns: md5 of the
-    * sentinel-coalesced column values joined on the 0x01 unit separator
-    * (nulls become 0x02). The join then moves a key plus one 32-char hash
-    * per side, never the row bodies — at 100 TB the diff shuffles O(keys),
-    * not O(table width x keys) — and the separator/sentinel pair keeps
-    * `("a","b")` distinct from `("ab", null)` shapes. */
+  /** Null-safe row fingerprint over the compare columns: each column is
+    * hashed SEPARATELY (null -> a 32-char non-hex sentinel that no md5
+    * digest can equal) and the fixed-width tokens are concatenated into the
+    * row hash. Fixed-width tokens make the encoding injection-proof: no
+    * separator byte a VALUE could contain can shift column boundaries
+    * (`("ab", "c")` vs `("a", "bc")` still differ), and null never collides
+    * with any literal string. The join then moves a key plus one 32-char
+    * hash per side, never the row bodies — at 100 TB the diff shuffles
+    * O(keys), not O(table width x keys). */
+  private val nullToken = "n" * 32 // not hex => outside md5's output range
   private def fingerprint(cols: Seq[String]) =
-    md5(concat_ws("\u0001",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+    md5(concat(
+      cols.map(c => coalesce(md5(col(c).cast("string")), lit(nullToken))): _*))
 
   /** Per-key change classification between `oldDf` and `newDf`.
     *

@@ -38,10 +38,14 @@ object EventOps {
     val perUser = staged
       .select(col(userCol) +: stages.indices.map(i => col(s"__t$i")): _*)
       .distinct()
+    // coalesce to 0: an EMPTY event log must yield n_users = 0 rows per
+    // stage, not null-poisoned aggregates
     val totals = perUser.agg(
-      sum(when(col("__t0").isNotNull, 1L).otherwise(0L)).as("__n0"),
+      coalesce(sum(when(col("__t0").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as("__n0"),
       stages.indices.tail.map(i =>
-        sum(when(col(s"__t$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i")): _*)
+        coalesce(sum(when(col(s"__t$i").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__n$i")): _*)
     val stageRows = stages.zipWithIndex.map { case (stage, i) =>
       val n = col(s"__n$i").cast("long")
       val prev = if (i == 0) n else col(s"__n${i - 1}").cast("long")

@@ -120,8 +120,11 @@ object Sketches {
     val probes = probeKeys.toDF("key")
       .select(col("key"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
       .select(col("key"), col("j"), bucket(col("key"), col("j")).as("b"))
-    val est = probes.join(broadcast(sketch), Seq("j", "b"))
-      .groupBy("key").agg(min(col("c")).cast("long").as("cms_est"))
+    // left join + coalesce: a probe key whose buckets are all empty is the
+    // BEST case (estimate 0) and must not vanish from the report
+    val est = probes.join(broadcast(sketch), Seq("j", "b"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("c"), lit(0L))).cast("long").as("cms_est"))
     val exact = keyed.filter(col("k").isin(probeKeys: _*))
       .groupBy(col("k").as("key")).agg(count(lit(1)).cast("long").as("exact_n"))
     est.join(exact, Seq("key"), "left")

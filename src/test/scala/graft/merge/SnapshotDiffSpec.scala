@@ -28,6 +28,21 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(cls(old) == "unchanged")
   }
 
+  test("fingerprint is injection-proof: separator bytes in values can't shift boundaries") {
+    // per-column hashing: ("ab","c") vs ("a","bc") and control-char payloads
+    // must classify as changed
+    val a = Seq((1L, "ab", "c"), (2L, "xy", "z")).toDF("k", "x", "y")
+    val b = Seq((1L, "a", "bc"), (2L, "x", "yz")).toDF("k", "x", "y")
+    val out = SnapshotDiff.diff(a, b, Seq("k"), Seq("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "changed", 2L -> "changed"))
+    // a value equal to the literal null sentinel is not null
+    val withSentinel = Seq((1L, "n" * 32, "c")).toDF("k", "x", "y")
+    val withNull = Seq((1L, null.asInstanceOf[String], "c")).toDF("k", "x", "y")
+    assert(SnapshotDiff.diff(withSentinel, withNull, Seq("k"), Seq("x", "y"))
+      .collect()(0).getString(1) == "changed")
+  }
+
   test("diffSummary counts keys per change type") {
     val old = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "v")
     val next = (1L to 110L).filter(_ % 10 != 0)
