@@ -1346,6 +1346,37 @@ object OracleSql {
         .map(profile).mkString("\nUNION ALL\n")
     },
 
+    // in-word adjacent char pairs, counted corpus-wide (BPE merge round 1)
+    "q99_bpe_pairs" ->
+      s"""WITH words AS (SELECT unnest($toksExpr) AS w FROM documents),
+         |fw AS (SELECT w FROM words WHERE length(w) >= 2),
+         |pairs AS (SELECT unnest(list_transform(
+         |    generate_series(1, length(w) - 1), i -> substr(w, i, 2))) AS pair
+         |  FROM fw),
+         |counts AS (SELECT pair, count(*) AS n_occ FROM pairs GROUP BY 1)
+         |SELECT pair, n_occ::BIGINT AS n_occ,
+         |  row_number() OVER (ORDER BY n_occ DESC, pair ASC)::BIGINT AS rank
+         |FROM counts QUALIFY rank <= 20""".stripMargin,
+
+    // integer-quantized temperature weights: every threshold is exact
+    // BIGINT arithmetic, so both engines agree bit-for-bit (pow(n, 0.5) of
+    // an integer is the correctly-rounded sqrt in both)
+    "q100_temperature_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |cw AS (SELECT source, n,
+         |    floor(pow(n::DOUBLE, 0.5) * 1000)::BIGINT AS w FROM c),
+         |tot AS (SELECT sum(w) AS tw FROM cw),
+         |tgt AS (SELECT greatest(1, count(*) * 2 // 5) AS t FROM documents),
+         |rates AS (SELECT source, n,
+         |    least(10000, (tgt.t * w * 10000) // (tot.tw * n))::BIGINT AS permille
+         |  FROM cw CROSS JOIN tot CROSS JOIN tgt)
+         |SELECT d.source, max(r.n)::BIGINT AS n_docs,
+         |  max(r.permille)::BIGINT AS permille,
+         |  sum(CASE WHEN ${h32("d.doc_id::VARCHAR")} % 10000 < r.permille
+         |    THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         |FROM documents d JOIN rates r USING (source)
+         |GROUP BY d.source""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

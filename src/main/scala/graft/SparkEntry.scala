@@ -1172,6 +1172,21 @@ object SparkEntry {
     graft.operators.Stats.columnProfile(T(s, dir, "lineitem"),
       Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
 
+  /** BPE training primitive: corpus-wide top adjacent character pairs. */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.bpePairCounts(TW(s, dir, "documents"), "text",
+      topK = 20)
+
+  /** Temperature-weighted source rebalance at alpha=0.5 targeting ~40% of
+    * the corpus — the multilingual mixing step with integer-exact
+    * thresholds. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val target = math.max(1L, docs.count() * 2 / 5)
+    graft.operators.Sampling.temperatureMix(docs, "source", "doc_id",
+      alpha = 0.5, targetRows = target)
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1272,7 +1287,9 @@ object SparkEntry {
     "q95_session_window" -> (q95 _),
     "q96_curation_pipeline" -> (q96 _),
     "q97_snapshot_diff" -> (q97 _),
-    "q98_column_profile" -> (q98 _)
+    "q98_column_profile" -> (q98 _),
+    "q99_bpe_pairs" -> (q99 _),
+    "q100_temperature_mix" -> (q100 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -74,6 +74,31 @@ object Corpus {
           / count(lit(1)), 4).as("oov_rate"))
   }
 
+  /** Adjacent-symbol pair counts at the character level — the inner loop of
+    * BPE tokenizer training (each merge round promotes the most frequent
+    * adjacent pair to a new symbol). One projection explodes words then
+    * their in-word character pairs (no cross-word pairs, matching standard
+    * pretokenized BPE); the corpus-wide count is a single map-side-combined
+    * shuffle bounded by the symbol-pair space, and the top-`topK` rides the
+    * bounded [[graft.functions.TopKAgg]] exactly like
+    * [[Sketches.topNgrams]]. Returns (pair, n_occ, rank). */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val words = df.select(
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+    val pairs = words.select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).cast("long").as("n_occ"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("n_occ")).as("negn"), col("pair").as("pair")),
+        topK).as("arr"))
+      .select(posexplode(col("arr")))
+      .select(col("col.pair").as("pair"), negate(col("col.negn")).as("n_occ"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Per-domain document caps — the web-corpus "no single host dominates"
     * rule (C4/RefinedWeb keep at most N pages per registered domain). The
     * host comes out of the URL with Spark's native `parse_url` (codegen'd,

@@ -91,6 +91,47 @@ object Sampling {
     df.filter(bucket < threshold)
   }
 
+  /** Temperature-weighted mixture resampling — the multilingual-pretraining
+    * rebalance (XLM-R style): source s is sampled with probability
+    * proportional to `n_s^alpha`, so alpha=1 keeps natural proportions,
+    * alpha=0 samples sources uniformly, and alpha=0.5 (the gated operating
+    * point) up-weights small sources by the square root. Targets a total of
+    * ~`targetRows` kept rows.
+    *
+    * Determinism across engines is ENGINEERED, not assumed: the weight is
+    * quantized to an integer (`floor(n_s^alpha * 1000)`), so the weight
+    * total and every per-source keep threshold are exact BIGINT arithmetic
+    * — no order-dependent double summation can flip a threshold by one ulp
+    * (contrast with summing raw `pow` values, where the fold order changes
+    * the last bit). Membership is then the usual id-hash permille filter.
+    * The source-stats frame is dimension-sized: one tiny aggregation, a
+    * broadcast join back, one codegen'd filter over the corpus — the
+    * corpus itself never shuffles. Returns per-source accounting
+    * (n_docs, permille, n_kept). */
+  def temperatureMix(df: DataFrame, srcCol: String, idCol: String,
+                     alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha in [0,1]")
+    require(targetRows > 0, "targetRows > 0")
+    val counts = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        floor(pow(col("n").cast("double"), lit(alpha)) * 1000.0).cast("long"))
+    val tot = counts.agg(sum(col("w")).as("wtot"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("permille",
+        least(lit(10000L),
+          expr(s"($targetRows * w * 10000) div (wtot * n)")).cast("long"))
+      .select(col(srcCol), col("n"), col("permille"))
+    val bucket = pmod(Hashes.portableHash32(col(idCol).cast("string")), lit(10000L))
+    df.select(col(srcCol), col(idCol))
+      .join(broadcast(rates), Seq(srcCol))
+      .groupBy(col(srcCol))
+      .agg(max(col("n")).cast("long").as("n_docs"),
+        max(col("permille")).as("permille"),
+        sum(when(bucket < col("permille"), 1L).otherwise(0L)).cast("long")
+          .as("n_kept"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training packs.
     *
     * Within each `groupCol` partition, documents ordered by `orderCol`

@@ -44,6 +44,16 @@ class CorpusSpec extends SparkSpec {
     assert(oov("s2") == ((4L, 0.0)))  // x q q q all in vocab
   }
 
+  test("bpePairCounts counts in-word adjacent char pairs, ranked") {
+    val docs = Seq((1L, "aba ab"), (2L, "x aba")).toDF("doc_id", "text")
+    // words: aba, ab, aba ('x' too short). pairs: ab,ba | ab | ab,ba
+    // -> ab: 3, ba: 2
+    val out = Corpus.bpePairCounts(docs, "text", topK = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("ab", 3L, 1L), ("ba", 2L, 2L)))
+  }
+
   test("domainCapReport caps per host deterministically") {
     val docs = (1L to 5L).map(i => (i, "https://big.example.com/p/" + i)) ++
       Seq((6L, "https://mid.example.com/p/6"), (7L, "https://mid.example.com/p/7"),

@@ -6,6 +6,34 @@ import graft.SparkSpec
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("temperatureMix upweights small sources at alpha=0.5 and is deterministic") {
+    // 900 rows of 'big', 100 of 'small': natural share 90/10; at alpha=0.5
+    // weights are 30k/10k -> target shares 75/25 of targetRows=400
+    val rows = ((1 to 900).map(i => ("big", i.toLong)) ++
+      (1 to 100).map(i => ("small", 10000L + i))).toDF("src", "id")
+    val out = Sampling.temperatureMix(rows, "src", "id", alpha = 0.5,
+        targetRows = 400).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (bigN, bigPm, bigKept) = out("big")
+    val (smallN, smallPm, smallKept) = out("small")
+    assert(bigN == 900L && smallN == 100L)
+    // integer arithmetic: big permille = 400*30000*10000/(40000*900) = 3333
+    assert(bigPm == 3333L)
+    // small: 400*10000*10000/(40000*100) = 10000 (capped keep-all)
+    assert(smallPm == 10000L)
+    assert(smallKept == 100L) // small source keeps everything
+    // kept fraction of big ~ permille/10000 (hash-uniform within ~5%)
+    assert(math.abs(bigKept / 900.0 - 0.3333) < 0.05)
+    // partition-layout invariance
+    val again = Sampling.temperatureMix(rows.repartition(7), "src", "id",
+        alpha = 0.5, targetRows = 400).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again("big") == bigKept && again("small") == smallKept)
+  }
+
+  import spark.implicits._
+
   private def docs = (1L to 200L).map(i => (i, s"lang${i % 3}", "word " * (i % 50).toInt))
     .toDF("doc_id", "lang", "text")
 
