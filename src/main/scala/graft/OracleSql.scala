@@ -1377,6 +1377,32 @@ object OracleSql {
          |FROM documents d JOIN rates r USING (source)
          |GROUP BY d.source""".stripMargin,
 
+    // Morton interleave is unrolled integer arithmetic on both sides; the
+    // 16-way cut replays histogramBuckets' cumulative-count formula (q75)
+    "q101_zorder" -> {
+      val interleave = (0 until 6).map(i =>
+        s"(((qa >> $i) & 1) * ${1L << (2 * i)} + ((qb >> $i) & 1) * ${1L << (2 * i + 1)})")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs
+         |  FROM lineitem),
+         |q AS (SELECT (l_partkey * 64) // (maxp + 1) AS qa,
+         |    (l_suppkey * 64) // (maxs + 1) AS qb
+         |  FROM lineitem CROSS JOIN s),
+         |z AS (SELECT qa, qb, ($interleave) AS zv FROM q),
+         |counts AS (SELECT zv, count(*) AS cnt FROM z GROUP BY 1),
+         |cum AS (SELECT zv, cnt,
+         |    sum(cnt) OVER (ORDER BY zv ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER () AS n FROM counts),
+         |b AS (SELECT zv, least(15, ((cum - cnt) * 16) // n)::BIGINT AS bucket
+         |  FROM cum),
+         |j AS (SELECT z.qa, z.qb, b.bucket FROM z JOIN b USING (zv))
+         |SELECT bucket, count(*)::BIGINT AS n_rows,
+         |  min(qa)::BIGINT AS min_a, max(qa)::BIGINT AS max_a,
+         |  min(qb)::BIGINT AS min_b, max(qb)::BIGINT AS max_b
+         |FROM j GROUP BY 1""".stripMargin
+    },
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

@@ -1187,6 +1187,28 @@ object SparkEntry {
       alpha = 0.5, targetRows = target)
   }
 
+  /** Z-order layout clustering: lineitem keys quantized to a 64x64 grid,
+    * Morton-interleaved, cut into 16 equal-frequency file buckets; the
+    * per-bucket min/max spans of BOTH dimensions are the file-statistics a
+    * scan would prune on. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+    val stats = li.agg(max(col("l_partkey")).as("maxp"),
+      max(col("l_suppkey")).as("maxs"))
+    val quant = li.crossJoin(broadcast(stats))
+      .select(expr("(l_partkey * 64) div (maxp + 1)").as("qa"),
+        expr("(l_suppkey * 64) div (maxs + 1)").as("qb"))
+    val z = quant.withColumn("z",
+      graft.sources.Bucketing.zOrderValue(col("qa"), col("qb"), 6))
+    graft.operators.Stats.histogramBuckets(z, "z", nBuckets = 16)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("qa")).cast("long").as("min_a"),
+        max(col("qa")).cast("long").as("max_a"),
+        min(col("qb")).cast("long").as("min_b"),
+        max(col("qb")).cast("long").as("max_b"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1289,7 +1311,8 @@ object SparkEntry {
     "q97_snapshot_diff" -> (q97 _),
     "q98_column_profile" -> (q98 _),
     "q99_bpe_pairs" -> (q99 _),
-    "q100_temperature_mix" -> (q100 _)
+    "q100_temperature_mix" -> (q100 _),
+    "q101_zorder" -> (q101 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -112,6 +112,30 @@ class EventTimeOpsSpec extends SparkSpec {
     assert(rows.head == SessionUpdate(7L, 0L, 2L, 3.0, closed = true))
   }
 
+  test("sessionWindowAgg runs as a real watermarked stream with state-merged sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 hour")
+    val q = graft.operators.EventOps.sessionWindowAgg(
+        stream, "user_id", "ts", "value", "10 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sw_stream").start()
+    // two events 5 min apart arrive in DIFFERENT micro-batches: the
+    // state store must MERGE them into one session
+    mem.addData((7L, ts(0), 1.0))
+    q.processAllAvailable()
+    mem.addData((7L, ts(5), 2.0))
+    q.processAllAvailable()
+    mem.addData((7L, ts(30), 4.0)) // past the gap -> second session
+    q.processAllAvailable()
+    val rows = spark.table("sw_stream").collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(4))).toMap
+    q.stop()
+    assert(rows("2024-01-01 10:00:00") == ((2L, 3.0))) // merged across batches
+    assert(rows("2024-01-01 10:30:00") == ((1L, 4.0)))
+  }
+
   test("mapGroupsWithState sessionizer rolls sessions across the gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
