@@ -1403,6 +1403,37 @@ object OracleSql {
          |FROM j GROUP BY 1""".stripMargin
     },
 
+    // three unrolled power iterations with the identical operand order;
+    // per-node inflow sums are tiny (degree-bounded), drift << the 5e-7
+    // rounding granularity
+    "q102_pagerank" -> {
+      def iter(prev: String, out: String) =
+        s"""c$out AS (SELECT e.dst AS node, sum(r.pr / d.degree) AS inflow
+           |  FROM edges e JOIN $prev r ON r.node = e.src
+           |  JOIN deg d ON d.node = e.src GROUP BY 1),
+           |$out AS (SELECT deg.node,
+           |    (1.0 - 0.85) / nn.n + 0.85 * coalesce(c$out.inflow, 0.0) AS pr
+           |  FROM deg CROSS JOIN nn LEFT JOIN c$out USING (node))""".stripMargin
+      s"""WITH wins AS (SELECT DISTINCT doc_id, md5(substring(text, p + 1, 64)) AS h
+         |  FROM documents, unnest(range(0, length(text) - 64 + 1, 32)) AS u(p)
+         |  WHERE length(text) >= 64),
+         |rare AS (SELECT h FROM wins GROUP BY h HAVING count(*) <= 1000),
+         |pruned AS (SELECT w.doc_id, w.h FROM wins w JOIN rare USING (h)),
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+         |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT d.node, d.degree::BIGINT AS degree, ${rnd("r3.pr", 6)} AS rank
+         |FROM deg d JOIN r3 ON r3.node = d.node""".stripMargin
+    },
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

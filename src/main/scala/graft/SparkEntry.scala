@@ -1209,6 +1209,14 @@ object SparkEntry {
         max(col("qb")).cast("long").as("max_b"))
   }
 
+  /** PageRank centrality (3 power iterations, d=0.85) over the q66
+    * shared-window near-dup graph — pick-the-central-member scoring for
+    * dup clusters. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.sharedWindowPairs(T(s, dir, "documents"), "doc_id", "text")
+    graft.operators.Graph.pageRank(pairs, iterations = 3)
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1312,7 +1320,8 @@ object SparkEntry {
     "q98_column_profile" -> (q98 _),
     "q99_bpe_pairs" -> (q99 _),
     "q100_temperature_mix" -> (q100 _),
-    "q101_zorder" -> (q101 _)
+    "q101_zorder" -> (q101 _),
+    "q102_pagerank" -> (q102 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

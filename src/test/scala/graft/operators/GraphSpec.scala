@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: star center dominates, mass conserved, symmetry respected") {
+    // star: 1 is connected to 2,3,4,5
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val out = Graph.pageRank(star, iterations = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 4L) // degree
+    // center collects every leaf's full rank each round
+    assert(Seq(2L, 3L, 4L, 5L).forall(l => out(1L)._2 > out(l)._2 * 2))
+    // leaves are symmetric
+    assert(Seq(3L, 4L, 5L).forall(l => out(l)._2 == out(2L)._2))
+    // no dangling nodes -> total mass stays 1
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("pageRank iterations converge toward the stationary ranking") {
+    // path 1-2-3: middle node is most central
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Graph.pageRank(path, iterations = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) > out(1L) && out(1L) == out(3L))
+  }
+
+  test("degrees counts undirected neighbors") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val d = Graph.degrees(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+}
