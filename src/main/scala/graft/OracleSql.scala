@@ -1434,6 +1434,16 @@ object OracleSql {
          |FROM deg d JOIN r3 ON r3.node = d.node""".stripMargin
     },
 
+    // numeric RANGE frame on epoch micros == Spark's rangeBetween on
+    // unix_micros; tied timestamps are frame-symmetric by definition
+    "q103_range_frame" ->
+      s"""SELECT event_id, event_type,
+         |  count(*) OVER w::BIGINT AS trailing_n,
+         |  ${rnd("sum(value) OVER w", 2)} AS trailing_sum
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

@@ -1217,6 +1217,21 @@ object SparkEntry {
     graft.operators.Graph.pageRank(pairs, iterations = 3)
   }
 
+  /** RANGE-frame sliding window: per event, the trailing 1-hour event count
+    * and value sum within its type — a VALUE-range frame (all rows whose
+    * event time falls in the interval), not a row-count frame, so tied
+    * timestamps contribute symmetrically and the result is
+    * order-of-equals independent. One shuffle+sort per partition key. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    T(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).cast("long").as("trailing_n"),
+        round(sum(col("value")).over(w), 2).as("trailing_sum"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1321,7 +1336,8 @@ object SparkEntry {
     "q99_bpe_pairs" -> (q99 _),
     "q100_temperature_mix" -> (q100 _),
     "q101_zorder" -> (q101 _),
-    "q102_pagerank" -> (q102 _)
+    "q102_pagerank" -> (q102 _),
+    "q103_range_frame" -> (q103 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
