@@ -96,14 +96,17 @@ object Stats {
     graft.functions.TopKAgg.register(df.sparkSession)
     val counts = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-    val totals = counts.agg(count(lit(1)).cast("double").as("n_keys"),
-      sum(col("cnt")).cast("double").as("n_rows"))
-    counts
-      .agg(graft.functions.TopKAgg.topK(
+    // heavy hitters AND the global stats come out of ONE aggregation over
+    // the key-count table — a separate totals subtree would re-scan the
+    // input and re-run the count-per-key shuffle (plans are trees, not DAGs)
+    val profile = counts.agg(
+      graft.functions.TopKAgg.topK(
         struct(negate(col("cnt")).as("nc"), col(keyCol).cast("string").as("k")),
-        topK).as("arr"))
-      .select(posexplode(col("arr")))
-      .crossJoin(broadcast(totals))
+        topK).as("arr"),
+      count(lit(1)).cast("double").as("n_keys"),
+      sum(col("cnt")).cast("double").as("n_rows"))
+    profile
+      .select(col("n_keys"), col("n_rows"), posexplode(col("arr")))
       .select((col("pos") + 1).cast("long").as("rank"),
         col("col.k").as("key"),
         negate(col("col.nc")).cast("long").as("cnt"),
