@@ -66,7 +66,12 @@ object Plans {
       |  (~1.2 s); q85/q87/q92 each pay one corpus text pass (~1-1.4 s).
       |  The q53-family per-round cost is fixed scheduling overhead on
       |  few-KB label frames - at real scale it is dwarfed by the data,
-      |  and rounds grow only as log2(cluster diameter).
+      |  and rounds grow only as log2(cluster diameter). Full 103-query
+      |  sweeps on 2026-08-13 measured 60.6 s twice under load-avg 2-3
+      |  (~50 s quiet-box by the 84-query baseline's observed load
+      |  factor); a double-pointer-jump variant of the fixpoint was
+      |  measured and REVERTED - round counts are already diameter-bound
+      |  tiny, so it moved nothing outside noise.
       |- **q98_column_profile: 4.4 s -> 1.6 s by refusing the
       |  multi-countDistinct Expand.** Spark's exact plan for N distinct
       |  aggregates Expands every row N+1 times and shuffles the expansion
