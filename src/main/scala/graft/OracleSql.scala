@@ -1444,6 +1444,28 @@ object OracleSql {
          |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
          |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    // schema-evolution union: missing columns are explicit NULLs
+    "q104_schema_union" ->
+      """SELECT c_custkey, c_name, c_acctbal, 'v1' AS batch,
+        |  NULL::VARCHAR AS c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, NULL::DOUBLE, 'v2', c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin,
+
+    // Spark dayofweek is 1=Sunday; DuckDB dayofweek/dow is 0=Sunday
+    "q105_date_funcs" ->
+      """WITH d AS (SELECT DISTINCT l_shipdate::DATE AS d FROM lineitem)
+        |SELECT d::VARCHAR AS ship_date,
+        |  date_trunc('month', d)::DATE::VARCHAR AS month_start,
+        |  last_day(d)::VARCHAR AS month_end,
+        |  (d + INTERVAL 30 DAY)::DATE::VARCHAR AS plus_30,
+        |  date_diff('day', DATE '1994-01-01', d)::BIGINT
+        |    AS days_since_epoch_start,
+        |  (dayofweek(d) + 1)::BIGINT AS dow,
+        |  quarter(d)::BIGINT AS qtr
+        |FROM d""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

@@ -1232,6 +1232,37 @@ object SparkEntry {
         round(sum(col("value")).over(w), 2).as("trailing_sum"))
   }
 
+  /** Schema-evolution union: two snapshot versions with DIFFERENT column
+    * sets merged via unionByName(allowMissingColumns) — absent columns
+    * null-fill, nothing reorders silently. The ingestion surface behind
+    * every "the upstream added a column" migration. */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val v1 = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("batch", lit("v1"))
+    val v2 = c.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .withColumn("batch", lit("v2"))
+    v1.unionByName(v2, allowMissingColumns = true)
+  }
+
+  /** Date/time scalar surface over the distinct ship dates: truncation,
+    * month end, offsets, day arithmetic, calendar fields. Dates stringify
+    * (ISO) so the gate pins the VALUES, not engine date encodings. */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(to_date(col("l_shipdate")).as("d")).distinct()
+      .select(
+        col("d").cast("string").as("ship_date"),
+        trunc(col("d"), "month").cast("string").as("month_start"),
+        last_day(col("d")).cast("string").as("month_end"),
+        date_add(col("d"), 30).cast("string").as("plus_30"),
+        datediff(col("d"), lit("1994-01-01").cast("date")).cast("long")
+          .as("days_since_epoch_start"),
+        dayofweek(col("d")).cast("long").as("dow"),
+        quarter(col("d")).cast("long").as("qtr"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1337,7 +1368,9 @@ object SparkEntry {
     "q100_temperature_mix" -> (q100 _),
     "q101_zorder" -> (q101 _),
     "q102_pagerank" -> (q102 _),
-    "q103_range_frame" -> (q103 _)
+    "q103_range_frame" -> (q103 _),
+    "q104_schema_union" -> (q104 _),
+    "q105_date_funcs" -> (q105 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
