@@ -116,8 +116,12 @@ object Corpus {
                       cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cap > 0, "cap > 0")
+    // try_parse_url, NOT parse_url: the strict variant THROWS on the first
+    // malformed URL (one bad crawl row would fail the whole job). The null
+    // it returns instead is then labeled, so broken rows surface as a
+    // visible, countable, still-capped group rather than vanishing
     val hosted = df.select(col(idCol).as("id"),
-      expr(s"parse_url($urlCol, 'HOST')").as("host"))
+      coalesce(expr(s"try_parse_url($urlCol, 'HOST')"), lit("(invalid)")).as("host"))
     val h = graft.functions.Hashes.portableHash32(col("id").cast("string"))
     val w = Window.partitionBy(col("host")).orderBy(h, col("id"))
     hosted.withColumn("rk", row_number().over(w))

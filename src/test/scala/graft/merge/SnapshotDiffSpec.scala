@@ -43,6 +43,16 @@ class SnapshotDiffSpec extends SparkSpec {
       .collect()(0).getString(1) == "changed")
   }
 
+  test("diff supports composite keys") {
+    val old = Seq((1L, "us", 10.0), (1L, "eu", 20.0)).toDF("k", "region", "v")
+    val next = Seq((1L, "us", 10.0), (1L, "eu", 25.0), (2L, "us", 5.0))
+      .toDF("k", "region", "v")
+    val out = SnapshotDiff.diff(old, next, Seq("k", "region"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(out == Map((1L, "us") -> "unchanged", (1L, "eu") -> "changed",
+      (2L, "us") -> "added"))
+  }
+
   test("diffSummary counts keys per change type") {
     val old = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "v")
     val next = (1L to 110L).filter(_ % 10 != 0)

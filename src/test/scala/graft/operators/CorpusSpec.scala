@@ -71,6 +71,15 @@ class CorpusSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("domainCapReport labels malformed URLs instead of a silent null group") {
+    val docs = Seq((1L, "https://ok.example.com/x"), (2L, "not a url"),
+      (3L, "also-garbage")).toDF("doc_id", "url")
+    val out = Corpus.domainCapReport(docs, "url", "doc_id", cap = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("ok.example.com") == 1L)
+    assert(out("(invalid)") == 2L) // visible, countable, still capped
+  }
+
   test("unigramLogProb: uniform docs score ln(freq/N) exactly") {
     val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
     // N=3; a:2, b:1

@@ -6,6 +6,24 @@ import graft.SparkSpec
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("temperatureMix alpha edges: 1.0 keeps natural shares, 0.0 equalizes") {
+    val rows = ((1 to 900).map(i => ("big", i.toLong)) ++
+      (1 to 100).map(i => ("small", 10000L + i))).toDF("src", "id")
+    // alpha=1: weights proportional to n -> every source keeps the SAME
+    // fraction (target/total = 40%)
+    val nat = Sampling.temperatureMix(rows, "src", "id", alpha = 1.0,
+        targetRows = 400).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(nat("big") == nat("small") && nat("big") == 4000L)
+    // alpha=0: every source weights 1 -> equal ABSOLUTE targets (200 each),
+    // so the small source keeps all and the big keeps 200/900
+    val uni = Sampling.temperatureMix(rows, "src", "id", alpha = 0.0,
+        targetRows = 400).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(uni("small") == 10000L) // capped keep-all
+    assert(uni("big") == 2222L)    // 400*1000*10000/(2000*900)
+  }
+
   test("temperatureMix upweights small sources at alpha=0.5 and is deterministic") {
     // 900 rows of 'big', 100 of 'small': natural share 90/10; at alpha=0.5
     // weights are 30k/10k -> target shares 75/25 of targetRows=400
