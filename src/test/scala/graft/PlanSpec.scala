@@ -110,6 +110,35 @@ class PlanSpec extends SparkSpec {
       s"shared-frame window functions split into extra Window operators:\n$p")
   }
 
+  test("skew profile is a single scan (totals fused into the top-k aggregation)") {
+    val p = plan(SparkEntry.queries("q90_skew_profile")(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"totals split into a second scan subtree:\n$p")
+  }
+
+  test("whole surface: no query ever plans a CartesianProduct; nested-loop joins only where the broadcast side is bounded") {
+    // BNLJ is acceptable ONLY for deliberately tiny broadcast sides
+    // (1-row stats frames, bounded ANN query sets) — everything else must
+    // stay a hash/merge equi-join. A new query that degrades to a real
+    // cartesian product fails here before it ever reaches a benchmark.
+    val bnljAllowed = Set("q23_embedding_cosine", "q24_ann_topk", "q55_tfidf",
+      "q76_sql_surface", "q79_unigram_logprob", "q80_hard_negatives",
+      "q87_bm25", "q100_temperature_mix", "q101_zorder")
+    // write-path/iterative queries execute real work at construction time;
+    // their operator internals are plan-asserted by their own suites
+    val skip = Set("q52_scd2_table_write", "q56_ivf_index",
+      "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
+      "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
+      "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge")
+    for ((name, fn) <- SparkEntry.queries if !skip(name)) {
+      val p = plan(fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested-loop join:\n$p")
+    }
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
