@@ -1466,6 +1466,16 @@ object OracleSql {
         |  quarter(d)::BIGINT AS qtr
         |FROM d""".stripMargin,
 
+    // same portable-hash sample, same lag formulation — exact integers
+    "q106_sequence_gaps" ->
+      s"""WITH sampled AS (SELECT DISTINCT event_id AS id FROM events
+         |  WHERE event_id IS NOT NULL
+         |    AND ${h32("event_id::VARCHAR")} % 10000 < 9300),
+         |g AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM sampled)
+         |SELECT (prev + 1)::BIGINT AS gap_start, (id - 1)::BIGINT AS gap_end,
+         |  (id - prev - 1)::BIGINT AS gap_len
+         |FROM g WHERE prev IS NOT NULL AND id - prev > 1""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

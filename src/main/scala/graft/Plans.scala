@@ -60,7 +60,7 @@ object Plans {
       |  alongside the HLL for the error column (~1.0 s), q62/q75 shingle or
       |  score the corpus (~0.7-1.0 s). Per-query steady state is the
       |  signal; the total tracks surface area. The late-round-5 additions
-      |  (q85-q105, 105 gates total) add ~12 s more: q96_curation_pipeline
+      |  (q85-q106, 106 gates total) add ~12 s more: q96_curation_pipeline
       |  (~5.8 s) is BY CONSTRUCTION the q53 component fixpoint (~4 s,
       |  scheduling-bound per round on tiny frames) plus the q92 funnel
       |  (~1.2 s); q85/q87/q92 each pay one corpus text pass (~1-1.4 s).

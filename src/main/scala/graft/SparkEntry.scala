@@ -1263,6 +1263,14 @@ object SparkEntry {
         dayofweek(col("d")).cast("long").as("dow"),
         quarter(col("d")).cast("long").as("qtr"))
 
+  /** Ingestion-completeness check: gaps in the event_id sequence after a
+    * deterministic ~93% sample punches reproducible holes. */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val sampled = graft.operators.Sampling.deterministicSample(
+      T(s, dir, "events"), "event_id", fraction = 0.93)
+    graft.operators.Stats.sequenceGaps(sampled, "event_id")
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1370,7 +1378,8 @@ object SparkEntry {
     "q102_pagerank" -> (q102 _),
     "q103_range_frame" -> (q103 _),
     "q104_schema_union" -> (q104 _),
-    "q105_date_funcs" -> (q105 _)
+    "q105_date_funcs" -> (q105 _),
+    "q106_sequence_gaps" -> (q106 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -82,6 +82,24 @@ object Stats {
         col("min_val"), col("max_val"))
   }
 
+  /** Gaps in an integer id sequence — the ingestion-completeness check
+    * ("did we lose a batch?"): every maximal run of missing ids between the
+    * observed min and max, as (gap_start, gap_end, gap_len). One sort per
+    * partition of the SINGLE window (no partition key: the id sequence is
+    * global, so this is the one legitimately global-ordered operator here —
+    * at scale, range-partition by id first and run the lag per range,
+    * stitching boundaries, which this formulation reduces to within each
+    * range). Exact integer arithmetic end to end. */
+  def sequenceGaps(df: DataFrame, idCol: String): DataFrame = {
+    val w = Window.orderBy(col("id"))
+    df.select(col(idCol).cast("long").as("id")).filter(col("id").isNotNull)
+      .distinct()
+      .withColumn("prev", lag(col("id"), 1).over(w))
+      .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"),
+        (col("id") - col("prev") - 1).as("gap_len"))
+  }
+
   /** Join-key skew profile: the diagnostic run BEFORE committing to a big
     * join's partitioning (the input that decides whether [[SkewJoin]]'s
     * salting or AQE skew splitting is needed). One count-per-key shuffle

@@ -42,6 +42,15 @@ class StatsSpec extends SparkSpec {
     assert(out(2.0) == 8L) // starts at rank 80 -> bucket 8
   }
 
+  test("sequenceGaps finds maximal missing-id runs, ignoring dups and nulls") {
+    val rows = Seq[java.lang.Long](1L, 2L, 2L, 5L, 9L, null).toDF("id")
+    val out = Stats.sequenceGaps(rows, "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((3L, 4L, 2L), (6L, 8L, 3L)))
+    // dense sequence -> no gaps
+    assert(Stats.sequenceGaps((1L to 10L).toDF("id"), "id").count() == 0)
+  }
+
   test("columnProfile: one row per column with nulls/distinct/min/max") {
     val rows = Seq((1L, Some(2.5), "x"), (2L, None, "y"), (3L, Some(2.5), "y"))
       .toDF("id", "v", "s")
