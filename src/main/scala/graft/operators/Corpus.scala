@@ -102,19 +102,18 @@ object Corpus {
   /** Per-domain document caps — the web-corpus "no single host dominates"
     * rule (C4/RefinedWeb keep at most N pages per registered domain). The
     * host comes out of the URL with Spark's native `parse_url` (codegen'd,
-    * no UDF); within each host, documents are ranked in portable-id-hash
-    * order (deterministic across runs and engines — NOT first-seen order,
-    * which is partition-layout-dependent) and everything past `cap` is
-    * dropped. Returns the per-host accounting (total / kept / dropped).
+    * no UDF). Returns the per-host accounting (total / kept / dropped).
     *
-    * The rank is a window over one host's rows only, so partitions are
-    * bounded by the biggest host; a pathological mega-host would ride the
-    * bounded [[graft.functions.TopKAgg]] path instead (see
-    * [[Sampling.samplePerGroup]] — same semantics, shuffles k rows per host
-    * instead of the host's whole page set). */
+    * No per-row rank is computed: within a host the cap keeps a rank-prefix
+    * of a permutation of its rows, so the COUNTS are pure arithmetic on the
+    * host's row count — kept = least(n, cap), dropped = n - kept — and the
+    * whole report is one map-side-combined count aggregation, bounded by
+    * the number of hosts. A mega-host that would single-partition a rank
+    * window simply cannot arise here. The kept-document SET (which needs
+    * the actual hash-order ranks) is [[domainCapDocs]], which rides the
+    * bounded [[graft.functions.TopKAgg]] path for the same reason. */
   def domainCapReport(df: DataFrame, urlCol: String, idCol: String,
                       cap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(cap > 0, "cap > 0")
     // try_parse_url, NOT parse_url: the strict variant THROWS on the first
     // malformed URL (one bad crawl row would fail the whole job). The null
@@ -122,13 +121,28 @@ object Corpus {
     // visible, countable, still-capped group rather than vanishing
     val hosted = df.select(col(idCol).as("id"),
       coalesce(expr(s"try_parse_url($urlCol, 'HOST')"), lit("(invalid)")).as("host"))
-    val h = graft.functions.Hashes.portableHash32(col("id").cast("string"))
-    val w = Window.partitionBy(col("host")).orderBy(h, col("id"))
-    hosted.withColumn("rk", row_number().over(w))
-      .groupBy(col("host"))
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(when(col("rk") <= cap, 1L).otherwise(0L)).cast("long").as("n_kept"),
-        sum(when(col("rk") > cap, 1L).otherwise(0L)).cast("long").as("n_dropped"))
+    hosted.groupBy(col("host"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .select(col("host"), col("n_docs"),
+        least(col("n_docs"), lit(cap.toLong)).as("n_kept"),
+        greatest(col("n_docs") - cap, lit(0L)).as("n_dropped"))
+  }
+
+  /** The documents that SURVIVE [[domainCapReport]]'s cap: per host, the
+    * first `cap` ids in portable-id-hash order (deterministic across runs
+    * and engines — NOT first-seen order, which is partition-layout-
+    * dependent). Delegates to [[Sampling.samplePerGroup]]'s bounded
+    * [[graft.functions.TopKAgg]]: map-side partials keep at most `cap`
+    * candidates per host per input partition, so the shuffle carries
+    * ~cap x partitions rows regardless of how lopsided the host
+    * distribution is — a mega-host holding half the corpus costs the same
+    * as any other host. Returns (host, id, sample_rank). */
+  def domainCapDocs(df: DataFrame, urlCol: String, idCol: String,
+                    cap: Int): DataFrame = {
+    require(cap > 0, "cap > 0")
+    val hosted = df.select(col(idCol).as("id"),
+      coalesce(expr(s"try_parse_url($urlCol, 'HOST')"), lit("(invalid)")).as("host"))
+    Sampling.samplePerGroup(hosted, "host", "id", cap)
   }
 
   /** Unigram log-probability quality proxy: each document scored by the

@@ -84,20 +84,55 @@ object Stats {
 
   /** Gaps in an integer id sequence — the ingestion-completeness check
     * ("did we lose a batch?"): every maximal run of missing ids between the
-    * observed min and max, as (gap_start, gap_end, gap_len). One sort per
-    * partition of the SINGLE window (no partition key: the id sequence is
-    * global, so this is the one legitimately global-ordered operator here —
-    * at scale, range-partition by id first and run the lag per range,
-    * stitching boundaries, which this formulation reduces to within each
-    * range). Exact integer arithmetic end to end. */
-  def sequenceGaps(df: DataFrame, idCol: String): DataFrame = {
-    val w = Window.orderBy(col("id"))
-    df.select(col(idCol).cast("long").as("id")).filter(col("id").isNotNull)
-      .distinct()
+    * observed min and max, as (gap_start, gap_end, gap_len).
+    *
+    * The naive formulation (`lag` over a global `ORDER BY id` window) sorts
+    * every distinct id through ONE partition — a single-executor sort on the
+    * one operator whose input is the whole corpus's id space. Instead:
+    * bucket the [min, max] span into `nRanges` contiguous intervals (bucket
+    * = monotone affine map of the id, so each bucket holds a contiguous id
+    * slice), run the lag per bucket — `nRanges` parallel partition-local
+    * sorts — and stitch bucket boundaries from the per-bucket (min, max)
+    * summary. The summary is ≤ `nRanges` rows, so it rides the bounded
+    * control-plane collect (same contract as a DPP filter list); cross-bucket
+    * gaps are computed on the driver from adjacent (prev.max, cur.min) pairs
+    * and unioned back as a literal relation. The distinct id frame is
+    * localCheckpoint'd so its shuffle is paid once, not once per action
+    * (bounds, summary, final job). Bucket math runs in doubles — fp rounding
+    * preserves monotonicity, so buckets stay contiguous even past 2^53 —
+    * with the top bucket clamped against fp round-up on the max id. Gap
+    * arithmetic itself is exact integers end to end. */
+  def sequenceGaps(df: DataFrame, idCol: String, nRanges: Int = 64): DataFrame = {
+    require(nRanges > 0, "nRanges > 0")
+    val ids = df.select(col(idCol).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct().localCheckpoint()
+    val empty = ids.limit(0).select(col("id").as("gap_start"),
+      col("id").as("gap_end"), col("id").as("gap_len"))
+    val b = ids.agg(min(col("id")), max(col("id"))).collect()(0)
+    if (b.isNullAt(0)) return empty
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val span = mx.toDouble - mn.toDouble + 1.0
+    val r = math.max(1L, math.min(nRanges.toLong, mx - mn + 1)).toInt
+    val ranged = ids.withColumn("rg",
+      least(lit(r - 1),
+        floor((col("id").cast("double") - mn.toDouble) * r / span)).cast("int"))
+    val w = Window.partitionBy(col("rg")).orderBy(col("id"))
+    val inner = ranged
       .withColumn("prev", lag(col("id"), 1).over(w))
       .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
       .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"),
         (col("id") - col("prev") - 1).as("gap_len"))
+    val summary = ranged.groupBy(col("rg"))
+      .agg(min(col("id")).as("rmin"), max(col("id")).as("rmax"))
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    val cross = summary.iterator.sliding(2).withPartial(false).collect {
+      case Seq((_, _, prevMax), (_, curMin, _)) if curMin - prevMax > 1 =>
+        (prevMax + 1, curMin - 1, curMin - prevMax - 1)
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    inner.union(cross.toDF("gap_start", "gap_end", "gap_len"))
   }
 
   /** Join-key skew profile: the diagnostic run BEFORE committing to a big

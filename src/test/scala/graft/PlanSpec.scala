@@ -139,6 +139,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sequence-gap lag is range-partitioned: no global-sort Window in q106") {
+    // the old formulation ordered EVERY distinct id through one partition;
+    // the range-bucketed rewrite must leave no Window without a partitionSpec
+    val df = SparkEntry.queries("q106_sequence_gaps")(spark, sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the per-range lag window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"an unpartitioned Window sorts every id through ONE partition:\n" +
+        df.queryExecution.optimizedPlan)
+    // and the domain-cap report no longer plans any window at all
+    val q86 = plan(SparkEntry.queries("q86_domain_caps")(spark, sf))
+    assert(!q86.contains("Window"), s"domain-cap counts window-sorted:\n$q86")
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -80,6 +80,36 @@ class CorpusSpec extends SparkSpec {
     assert(out("(invalid)") == 2L) // visible, countable, still capped
   }
 
+  test("domainCapReport is a pure aggregation — no rank window for a mega-host to single-partition") {
+    val docs = (1L to 10L).map(i => (i, s"https://h$i.example.com/x")).toDF("doc_id", "url")
+    val p = Corpus.domainCapReport(docs, "url", "doc_id", cap = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"domain-cap counts went through a window:\n$p")
+  }
+
+  test("domainCapDocs: a host holding half the corpus rides the bounded top-k path") {
+    // mega.example.com holds ~half the rows — the shape that would
+    // single-partition a rank window; the TopKAgg path shuffles <= cap
+    // candidates per input partition per host instead
+    val docs = ((1L to 500L).map(i => (i, "https://mega.example.com/p/" + i)) ++
+      (501L to 1000L).map(i => (i, s"https://h${i % 50}.example.com/p/" + i)))
+      .toDF("doc_id", "url").repartition(8)
+    val capped = Corpus.domainCapDocs(docs, "url", "doc_id", cap = 4)
+    val p = capped.queryExecution.executedPlan.toString
+    assert(p.contains("partial_topk_agg"), s"no map-side partial top-k:\n$p")
+    assert(!p.contains("Window"), s"mega-host rank became a window sort:\n$p")
+    // survivor SET matches the rank-window formulation exactly (same
+    // (hash, id) order, same cap) — including for the mega-host
+    val byWindow = Sampling.stratifiedSample(
+        docs.select(col("doc_id").as("id"),
+          expr("try_parse_url(url, 'HOST')").as("host")), "host", "id", 4)
+      .select("host", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = capped.select("host", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == byWindow)
+    assert(got.count(_._1 == "mega.example.com") == 4)
+  }
+
   test("unigramLogProb: uniform docs score ln(freq/N) exactly") {
     val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
     // N=3; a:2, b:1

@@ -49,6 +49,37 @@ class StatsSpec extends SparkSpec {
     assert(out == Set((3L, 4L, 2L), (6L, 8L, 3L)))
     // dense sequence -> no gaps
     assert(Stats.sequenceGaps((1L to 10L).toDF("id"), "id").count() == 0)
+    // empty input -> empty output, not a crash on the bounds collect
+    assert(Stats.sequenceGaps(Seq.empty[Long].toDF("id"), "id").count() == 0)
+  }
+
+  test("sequenceGaps stitches gaps across range-bucket boundaries") {
+    // ids spread over [0, 1000] with holes of every flavor: intra-bucket,
+    // spanning one boundary, spanning SEVERAL whole (empty) buckets
+    val ids = Seq(0L, 1L, 7L, 8L, 120L, 121L, 122L, 965L, 1000L)
+    val expected = {
+      val s = ids.sorted
+      s.zip(s.tail).collect { case (a, b) if b - a > 1 =>
+        (a + 1, b - 1, b - a - 1)
+      }.toSet
+    }
+    // the answer must be identical for ANY bucketing, including nRanges=1
+    // (degenerates to the single global sort) and nRanges >> span
+    for (r <- Seq(1, 2, 8, 64, 5000)) {
+      val out = Stats.sequenceGaps(ids.toDF("id"), "id", nRanges = r).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(out == expected, s"nRanges=$r")
+    }
+  }
+
+  test("sequenceGaps is partition-invariant and handles negative ids") {
+    val ids = Seq(-10L, -9L, -3L, 4L, 5L)
+    val expected = Set((-8L, -4L, 5L), (-2L, 3L, 6L))
+    val a = Stats.sequenceGaps(ids.toDF("id"), "id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val b = Stats.sequenceGaps(ids.toDF("id").repartition(7), "id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(a == expected && b == expected)
   }
 
   test("columnProfile: one row per column with nulls/distinct/min/max") {
