@@ -1476,6 +1476,51 @@ object OracleSql {
          |  (id - prev - 1)::BIGINT AS gap_len
          |FROM g WHERE prev IS NOT NULL AND id - prev > 1""".stripMargin,
 
+    // Lloyd k-means unrolled (init = first 4 vectors in vec_id order, 2
+    // rounds), mirroring Similarity.trainCentroids exactly: assignment is
+    // argmax cosine with DOUBLE accumulation over FLOAT inputs (ties ->
+    // lowest cid, like the first-strictly-greater Java loop), the new
+    // centroid is the per-dimension DOUBLE mean truncated to FLOAT, and an
+    // empty cluster keeps its previous coordinates. Summation-order fp noise
+    // (~1e-16 rel) is harmless: cosine gaps between distinct centroids are
+    // ~1e-2, and the float truncation collapses the mean before it feeds
+    // round 2. No zero-norm guard needed — the corpus is unit-normalized.
+    "q107_kmeans_train" -> {
+      val dim = 64
+      def iter(cin: String, cout: String) =
+        s"""cn$cout AS (SELECT cid, c,
+           |    sqrt(list_sum(list_transform(c, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           |  FROM $cin),
+           |sc$cout AS (SELECT e.vec_id, n.cid,
+           |    list_sum(list_transform(generate_series(1, $dim),
+           |      i -> e.embedding[i]::DOUBLE * n.c[i]::DOUBLE))
+           |      / (qn.nrm * n.nrm) AS cos
+           |  FROM e CROSS JOIN cn$cout n JOIN qn USING (vec_id)),
+           |a$cout AS (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+           |    FROM sc$cout) WHERE rn = 1),
+           |m$cout AS (SELECT a.cid, p.i - 1 AS pos, avg(e.embedding[p.i])::FLOAT AS m
+           |  FROM a$cout a JOIN e USING (vec_id) CROSS JOIN p GROUP BY 1, 2),
+           |$cout AS (SELECT c.cid, list(coalesce(m.m, c.c[p.i]) ORDER BY p.i) AS c
+           |  FROM $cin c CROSS JOIN p
+           |  LEFT JOIN m$cout m ON m.cid = c.cid AND m.pos = p.i - 1
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (SELECT unnest(generate_series(1, $dim)) AS i),
+         |qn AS (SELECT vec_id,
+         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM e),
+         |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid,
+         |    embedding AS c
+         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+         |${iter("c0", "c1")},
+         |${iter("c1", "c2")}
+         |SELECT c2.cid::BIGINT AS cid, (p.i - 1)::BIGINT AS pos,
+         |  ${rnd("c2.c[p.i]::DOUBLE", 5)} AS c
+         |FROM c2 CROSS JOIN p""".stripMargin
+    },
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

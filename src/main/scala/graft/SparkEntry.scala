@@ -1271,6 +1271,25 @@ object SparkEntry {
     graft.operators.Stats.sequenceGaps(sampled, "event_id")
   }
 
+  /** Lloyd k-means quantizer training (deterministic init: the first k
+    * vectors in vec_id order; 2 assignment/mean rounds) emitted as the
+    * trained centroid matrix in (cid, pos, value) long form. The oracle
+    * unrolls the same arithmetic in SQL (cosine assignment with double
+    * accumulation, per-dimension double mean truncated to float) exactly
+    * like q102's PageRank — closing the one previously spec-only public
+    * operator. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val cents = graft.operators.Similarity.trainCentroids(emb, k = 4, iters = 2)
+    val rows = for {
+      (v, cid) <- cents.zipWithIndex.toSeq
+      (x, pos) <- v.zipWithIndex
+    } yield (cid.toLong, pos.toLong, x.toDouble)
+    import s.implicits._
+    rows.toDF("cid", "pos", "c")
+      .select(col("cid"), col("pos"), round(col("c"), 5).as("c"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1379,7 +1398,8 @@ object SparkEntry {
     "q103_range_frame" -> (q103 _),
     "q104_schema_union" -> (q104 _),
     "q105_date_funcs" -> (q105 _),
-    "q106_sequence_gaps" -> (q106 _)
+    "q106_sequence_gaps" -> (q106 _),
+    "q107_kmeans_train" -> (q107 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

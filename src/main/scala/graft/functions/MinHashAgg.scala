@@ -56,11 +56,9 @@ object MinHashAgg {
     * the public route from Column/SQL to the aggregate (Column->Expression
     * converters are private[sql] in Spark 4). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_agg",
+    Registry.ensure(spark, "graft_minhash_agg")(
       exprs => MinHashAgg(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression(),
-      "built-in")
+        exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression())
 
   /** Column-API entry (after register): per-group minhash signature. */
   def minhashAgg(c: Column, numHashes: Int): Column =

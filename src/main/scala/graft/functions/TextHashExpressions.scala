@@ -232,17 +232,16 @@ object TextHashFunctions {
     e.eval(null).asInstanceOf[Number].intValue()
 
   def register(spark: SparkSession): Unit = {
-    val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("graft_shingles",
-      es => Shingles(es(0), intOf(es(1))), "built-in")
-    r.createOrReplaceTempFunction("graft_shingle_hashes",
-      es => ShingleHashes(es(0), intOf(es(1))), "built-in")
-    r.createOrReplaceTempFunction("graft_shingle_hashes64",
-      es => ShingleHashes64(es(0), intOf(es(1))), "built-in")
-    r.createOrReplaceTempFunction("graft_minhash_sig",
-      es => MinHashSig(es(0), intOf(es(1)), intOf(es(2))), "built-in")
-    r.createOrReplaceTempFunction("graft_simhash",
-      es => SimHashSig(es(0)), "built-in")
+    Registry.ensure(spark, "graft_shingles")(
+      es => Shingles(es(0), intOf(es(1))))
+    Registry.ensure(spark, "graft_shingle_hashes")(
+      es => ShingleHashes(es(0), intOf(es(1))))
+    Registry.ensure(spark, "graft_shingle_hashes64")(
+      es => ShingleHashes64(es(0), intOf(es(1))))
+    Registry.ensure(spark, "graft_minhash_sig")(
+      es => MinHashSig(es(0), intOf(es(1)), intOf(es(2))))
+    Registry.ensure(spark, "graft_simhash")(
+      es => SimHashSig(es(0)))
   }
 
   /** Column builders self-register against the active session (these are

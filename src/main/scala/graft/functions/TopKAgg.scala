@@ -63,11 +63,9 @@ object TopKAgg {
     * Expression converters are private[sql] in Spark 4, same route as
     * [[MinHashAgg]]). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_topk_agg",
+    Registry.ensure(spark, "graft_topk_agg")(
       exprs => TopKAgg(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression(),
-      "built-in")
+        exprs(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression())
 
   /** Column-API entry (after register): ascending-sorted array of the group's
     * k smallest elements. */

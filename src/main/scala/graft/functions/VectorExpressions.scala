@@ -275,10 +275,9 @@ object VectorFunctions {
   /** Register `graft_dot` / `graft_cosine` in the session's function registry
     * so they are callable from both the Column API and SQL. */
   def register(spark: SparkSession): Unit = synchronized {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    Registry.ensure(spark, "graft_dot")(exprs => DotProduct(exprs(0), exprs(1)))
+    Registry.ensure(spark, "graft_cosine")(
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
     registered = true
   }
 
@@ -292,8 +291,7 @@ object VectorFunctions {
   def nearestCentroid(spark: SparkSession, vec: Column,
                       bc: Broadcast[Array[Array[Float]]]): Column = {
     val name = s"graft_nearest_centroid_${bc.id}"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => NearestCentroid(exprs(0), bc), "built-in")
+    Registry.ensure(spark, name)(exprs => NearestCentroid(exprs(0), bc))
     call_function(name, vec)
   }
 
@@ -301,8 +299,7 @@ object VectorFunctions {
   def topCentroids(spark: SparkSession, vec: Column,
                    bc: Broadcast[Array[Array[Float]]], nProbe: Int): Column = {
     val name = s"graft_top_centroids_${bc.id}_$nProbe"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => TopCentroids(exprs(0), bc, nProbe), "built-in")
+    Registry.ensure(spark, name)(exprs => TopCentroids(exprs(0), bc, nProbe))
     call_function(name, vec)
   }
 

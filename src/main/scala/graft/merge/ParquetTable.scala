@@ -264,9 +264,16 @@ final class ParquetTable(val spark: SparkSession, val root: String,
       else lit(null).cast(f.dataType).as(f.name)): _*)
   }
 
+  /** TEST SEAM — crash injection for recovery tests: runs after a commit's
+    * DATA files are on disk but before the commit-log record that makes them
+    * visible (the exact window a mid-merge crash leaves open). Throwing here
+    * simulates that crash; production value is a no-op. */
+  private[graft] var onPreCommit: () => Unit = () => ()
+
   private def writeCommit(version: Long, action: String,
                           metrics: Map[String, String],
                           txn: Option[(String, Long)]): Unit = {
+    onPreCommit()
     Files.createDirectories(Paths.get(logDir))
     val fields = Map("version" -> version.toString, "action" -> action) ++
       metrics.map { case (k, v) => s"metric:$k" -> v } ++

@@ -40,9 +40,9 @@ object BloomJoin {
                            filterBytes: Array[Byte], key: Column): Column = {
     val name = "graft_bloom_might_contain_" +
       java.lang.Integer.toUnsignedString(java.util.Arrays.hashCode(filterBytes))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => BloomFilterMightContain(
-        Literal.create(filterBytes, BinaryType), exprs(0)), "built-in")
+    graft.functions.Registry.ensure(spark, name)(
+      exprs => BloomFilterMightContain(
+        Literal.create(filterBytes, BinaryType), exprs(0)))
     call_function(name, key)
   }
 

@@ -71,6 +71,49 @@ class StreamingSpec extends SparkSpec {
     assert(table.latestVersion == v)
   }
 
+  test("crash between data write and commit log: nothing visible, restart commits exactly once") {
+    val inDir = tmpDir("crash_in")
+    val ckpt = tmpDir("crash_ckpt")
+    val root = tmpDir("crash_table")
+    val table = new ParquetTable(spark, root)
+    table.create(Seq((1L, "alice")).toDF("id", "name"))
+
+    def runOnce(): Unit = {
+      val stream = Sources.cdcFileStream(spark, inDir, payload, maxFilesPerTrigger = 5)
+      val q = StreamSink.startForeachBatch(stream,
+        WriteStreamConfig(checkpointLocation = ckpt), (batch, batchId) => {
+          val upserts = CdcDemux.demux(batch).filter(col("row_active"))
+            .select(col("id"), col("name"))
+          StreamSink.scd1Batch(table, Seq("id"))(upserts, batchId)
+        })
+      q.awaitTermination()
+    }
+
+    writeEnvelopes(inDir, "b1.json", Seq(env("u", 1, "alicia"), env("c", 2, "bob")))
+    // kill the stream INSIDE the merge: after the new snapshot's data files
+    // are written, before the commit-log record that would make them visible
+    table.onPreCommit = () => throw new RuntimeException("injected crash")
+    intercept[Exception] { runOnce() }
+    table.onPreCommit = () => ()
+    // the crash hit the real window: the orphan snapshot is on disk...
+    assert(Files.exists(Paths.get(root, "snap", "v00001")),
+      "crash fired before the data write — the injected window is wrong")
+    // ...but nothing became visible: version and contents are pre-batch
+    assert(table.latestVersion == 0L)
+    assert(table.read.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "alice"))
+    // restart from the same checkpoint: the batch replays (its txn never
+    // reached the log), the merge re-runs over the SAME snapshot slot, and
+    // the commit lands exactly once
+    runOnce()
+    assert(table.latestVersion == 1L)
+    assert(table.read.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "alicia", 2L -> "bob"))
+    // and a further replay with the recorded txn stays a no-op
+    runOnce()
+    assert(table.latestVersion == 1L)
+  }
+
   test("WriteStreamConfig applies trigger modes and options") {
     val cfg = WriteStreamConfig("/tmp/x", triggerMode = "ProcessingTime",
       triggerDuration = "10 seconds")
