@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Dedup
+
+/** Scale-growth diagnostic for the banded/bucketed dedup operators: counts
+  * CANDIDATE pairs (the quantity that must stay sub-quadratic), verified
+  * pairs, and connected-components fixpoint rounds at a given scale factor,
+  * one JSON line per probe. Run at two decades (sf0.1 and the generated
+  * sf1 — `tools/gen_scale.py`) and compare growth: a 10x corpus must grow
+  * candidates ~10-100x depending on bucket granularity, never the all-pairs
+  * 100x-per-bucket blowup. Parameters mirror the q20/q22/q38/q51/q53/q85
+  * gates exactly.
+  *
+  * Usage: runMain graft.ScaleProbe <sfDir> [probe...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleProbe <sfDir> [probe...]")
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docs = Tables.widen(Tables.load(spark, sfDir, "documents"))
+    def emb = Tables.widen(Tables.load(spark, sfDir, "embeddings"))
+
+    val probes: Seq[(String, () => Long)] = Seq(
+      "docs_rows" -> (() => docs.count()),
+      "emb_rows" -> (() => emb.count()),
+      // q20 minhash LSH (bands=4, rowsPerBand=2): banded-bucket candidates
+      "q20_minhash_cand" -> (() =>
+        Dedup.minHashCandidates(docs, "text", "doc_id",
+          bands = 4, rowsPerBand = 2).count()),
+      "q20_minhash_pairs" -> (() =>
+        Dedup.verifiedNearDups(docs, "text", "doc_id",
+          threshold = 0.2, bands = 4, rowsPerBand = 2).count()),
+      // q22 ngram inverted index (shingleK=5, maxPostings=1000):
+      // threshold=0 keeps every posting-list candidate
+      "q22_ngram_cand" -> (() =>
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleK = 5, threshold = 0.0).count()),
+      "q22_ngram_pairs" -> (() =>
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleK = 5, threshold = 0.1).count()),
+      // q38 simhash byte-bands: maxHamming=32 keeps every band candidate
+      "q38_simhash_cand" -> (() =>
+        Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 32).count()),
+      "q38_simhash_pairs" -> (() =>
+        Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3).count()),
+      // q85 aligned-window blocking (window=64, stride=32, maxPostings=1000)
+      "q85_window_cand" -> (() =>
+        Dedup.sharedWindowPairs(docs, "doc_id", "text").count()),
+      "q85_edit_pairs" -> (() =>
+        Dedup.editDistanceNearDups(docs, "doc_id", "text", maxDist = 5).count()),
+      // q51 random-hyperplane LSH (bitsPerBand=8, numBands=2):
+      // threshold=-1 keeps every block-join candidate
+      "q51_embed_cand" -> (() =>
+        Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", dim = 64,
+          threshold = -1.0, bitsPerBand = 8, numBands = 2).count()),
+      "q51_embed_pairs" -> (() =>
+        Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", dim = 64,
+          threshold = 0.30, bitsPerBand = 8, numBands = 2).count()),
+      // q53 clustering over the simhash pairs: components + fixpoint rounds
+      "q53_components" -> (() => {
+        val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
+        val n = Dedup.connectedComponents(pairs)
+          .select("component").distinct().count()
+        println(s"""{"probe":"q53_cc_rounds","count":${Dedup.lastCcRounds},"sec":0.0,"sf":"$sfDir"}""")
+        n
+      })
+    )
+
+    val unknown = args.drop(1).filterNot(n => probes.exists(_._1 == n))
+    require(unknown.isEmpty, s"unknown probe(s): ${unknown.mkString(", ")}")
+    val selected =
+      if (args.length == 1) probes
+      else probes.filter { case (n, _) => args.drop(1).contains(n) }
+
+    selected.foreach { case (name, thunk) =>
+      val t0 = System.nanoTime()
+      val n = thunk()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop leftover localCheckpoint blocks so probes don't bleed memory
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      println(f"""{"probe":"$name","count":$n,"sec":$dt%.2f,"sf":"$sfDir"}""")
+    }
+    spark.stop()
+  }
+}

@@ -343,6 +343,12 @@ object Dedup {
     * warranted.
     *
     * Returns (node, component) where component = min node id reachable. */
+  /** DIAGNOSTIC — rounds the last [[connectedComponents]] call on this
+    * driver took to reach fixpoint. Read by `graft.ScaleProbe` to confirm
+    * the O(log diameter) round-count claim across scale factors; not part
+    * of the operator contract. */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
@@ -376,6 +382,7 @@ object Dedup {
       labels = next.drop("changed")
       iter += 1
     }
+    lastCcRounds = iter
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds - labels would " +
