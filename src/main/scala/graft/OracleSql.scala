@@ -1521,6 +1521,27 @@ object OracleSql {
          |FROM c2 CROSS JOIN p""".stripMargin
     },
 
+    // 64-bit simhash replayed bit-for-bit (hash64 = first 16 md5 hex chars;
+    // UBIGINT keeps the top bit unsigned like Java's >>> loop), then
+    // BRUTE-FORCE all-pairs Hamming <= 3 — deliberately not banded, so this
+    // row doubles as the recall proof for the banding in the Spark twin
+    "q108_simhash64_neardups" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |hs AS (SELECT doc_id,
+        |    list_transform(t, x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT) AS hashes
+        |  FROM toks),
+        |sigs AS (SELECT doc_id,
+        |    list_sum(list_transform(range(0, 64), j ->
+        |      CASE WHEN list_sum(list_transform(hashes, h ->
+        |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |           THEN (1::HUGEINT << j) ELSE 0::HUGEINT END))::UBIGINT AS sig
+        |  FROM hs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
     "q35_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

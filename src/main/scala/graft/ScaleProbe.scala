@@ -53,6 +53,25 @@ object ScaleProbe {
         Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 32).count()),
       "q38_simhash_pairs" -> (() =>
         Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3).count()),
+      // q108 64-bit simhash with 16-bit bands — the scale path the 32-bit
+      // byte-banding measurement motivated. Candidate count = band-bucket
+      // pairs (rebuilt from the public signature column; maxHamming=63
+      // would double-count the verify, this counts the join itself)
+      "q108_simhash64_cand" -> (() => {
+        import org.apache.spark.sql.functions._
+        val sigs = docs.select(col("doc_id").as("id"),
+          Dedup.simHash64(col("text")).as("sig")).localCheckpoint()
+        val banded = sigs.select(col("id"), posexplode(
+          array((0 until 4).map(b =>
+            shiftrightunsigned(col("sig"), b * 16)
+              .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bucket")))
+        banded.alias("a").join(banded.alias("b"),
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+          .select(col("a.id"), col("b.id")).distinct().count()
+      }),
+      "q108_simhash64_pairs" -> (() =>
+        Dedup.simHashNearDups64(docs, "text", "doc_id", maxHamming = 3).count()),
       // q85 aligned-window blocking (window=64, stride=32, maxPostings=1000)
       "q85_window_cand" -> (() =>
         Dedup.sharedWindowPairs(docs, "doc_id", "text").count()),
@@ -66,6 +85,16 @@ object ScaleProbe {
       "q51_embed_pairs" -> (() =>
         Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", dim = 64,
           threshold = 0.30, bitsPerBand = 8, numBands = 2).count()),
+      // the TIGHT embedding-LSH operating point (16-bit bands, cosine>=0.9):
+      // the true-pair set is sparse here, so candidates must stay
+      // sub-quadratic — this is the configuration a 100 TB near-dup pass
+      // runs, unlike q51's deliberately coarse high-recall gate point
+      "q51_tight_cand" -> (() =>
+        Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", dim = 64,
+          threshold = -1.0, bitsPerBand = 16, numBands = 4).count()),
+      "q51_tight_pairs" -> (() =>
+        Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", dim = 64,
+          threshold = 0.9, bitsPerBand = 16, numBands = 4).count()),
       // q53 clustering over the simhash pairs: components + fixpoint rounds
       "q53_components" -> (() => {
         val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)

@@ -1290,6 +1290,15 @@ object SparkEntry {
       .select(col("cid"), col("pos"), round(col("c"), 5).as("c"))
   }
 
+  /** 64-bit SimHash near-dups — the scale path's banding (4 x 16-bit bands,
+    * 2^16 buckets per band). The oracle is BRUTE-FORCE all-pairs Hamming in
+    * SQL, so a green row also proves the pigeonhole recall claim: banding
+    * found every Hamming<=3 pair the exhaustive scan finds. */
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDups64(T(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1399,7 +1408,8 @@ object SparkEntry {
     "q104_schema_union" -> (q104 _),
     "q105_date_funcs" -> (q105 _),
     "q106_sequence_gaps" -> (q106 _),
-    "q107_kmeans_train" -> (q107 _)
+    "q107_kmeans_train" -> (q107 _),
+    "q108_simhash64_neardups" -> (q108 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

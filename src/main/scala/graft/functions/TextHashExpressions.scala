@@ -227,6 +227,41 @@ case class SimHashSig(child: Expression) extends TextHashExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over word tokens — [[SimHashSig]]'s scale twin: bit j of
+  * the signature votes on bit j of the token's 64-bit md5-prefix hash
+  * ([[TextHashExpression.hash64]]). Twice the signature width means bands
+  * can be 16 bits wide instead of 8 while keeping the same pigeonhole
+  * guarantee, which is what keeps banded candidate generation sub-quadratic
+  * on corpora whose 32-bit signatures concentrate (measured: the 32-bit
+  * byte-band path generated ~n^2/10 candidates on the synthetic corpus at
+  * 50k docs — see PLANS.md scale-proof notes). */
+case class SimHashSig64(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def compute(s: UTF8String): Any = {
+    val toks = TextHashExpression.tokensOf(s)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = TextHashExpression.hash64(toks(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashFunctions {
   private def intOf(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
@@ -242,6 +277,8 @@ object TextHashFunctions {
       es => MinHashSig(es(0), intOf(es(1)), intOf(es(2))))
     Registry.ensure(spark, "graft_simhash")(
       es => SimHashSig(es(0)))
+    Registry.ensure(spark, "graft_simhash64")(
+      es => SimHashSig64(es(0)))
   }
 
   /** Column builders self-register against the active session (these are
@@ -258,4 +295,6 @@ object TextHashFunctions {
     { ensure(); call_function("graft_minhash_sig", text, lit(numHashes), lit(k)) }
   def simHash(text: Column): Column =
     { ensure(); call_function("graft_simhash", text) }
+  def simHash64(text: Column): Column =
+    { ensure(); call_function("graft_simhash64", text) }
 }

@@ -68,6 +68,27 @@ class DedupSpec extends SparkSpec {
     assert(nd.contains((1L, 4L)))
   }
 
+  test("simHashNearDups64: banding finds exactly the brute-force Hamming<=3 pairs") {
+    // a larger corpus than `docs`: 60 random-ish texts plus planted exact
+    // and near dups, so the brute-force set is non-trivial on both counts
+    val base = (1L to 60L).map(i =>
+      (i, s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 13} w${i % 3} w${(i * 7) % 5} tail$i"))
+    val planted = Seq(
+      (101L, base(4)._2),                     // exact dup of doc 5 (hamming 0)
+      (102L, base(9)._2 + " extraword"))      // near dup of doc 10
+    val corpus = (base ++ planted).toDF("doc_id", "text").repartition(7)
+    val got = Dedup.simHashNearDups64(corpus, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val sigs = corpus.select($"doc_id", Dedup.simHash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib) -> h).toMap
+    assert(got == brute)           // recall AND precision vs exhaustive scan
+    assert(got(((5L, 101L))) == 0) // the planted exact dup is in there
+  }
+
   test("connected components: chains, cycles and isolated pairs collapse to min id") {
     // 1-2, 2-3, 3-4 (chain); 10-11, 11-12, 12-10 (cycle); 20-21 (pair)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
