@@ -180,7 +180,20 @@ final class ParquetTable(val spark: SparkSession, val root: String,
     * are immutable under updates. The manual DPP below scans only the
     * partitions named by the update batch's CURRENT values — an update that
     * moved a row's partition key would leave the stale row in its old
-    * partition unscanned (choose stable columns as partition keys). */
+    * partition unscanned (choose stable columns as partition keys).
+    *
+    * CRASH SEMANTICS differ by layout. Unpartitioned (snapshot) tables are
+    * ATOMIC: data lands in a fresh `snap/vNNNNN` dir and only the commit-log
+    * record makes it visible, so a crash in between leaves the previous
+    * version readable (StreamingSpec "crash between data write and commit
+    * log"). Partitioned tables rewrite touched partitions IN PLACE (dynamic
+    * overwrite), so a crash in the same window leaves the new data visible
+    * with the commit log behind — the guarantee is the weaker idempotent-
+    * replay one: the checkpoint re-runs the batch, the merge re-applies
+    * over the half-committed state to the same result, and the txn record
+    * then closes the window (StreamingSpec "partitioned table: crash after
+    * data write"). Callers needing point-in-time atomicity should use the
+    * snapshot layout. */
   def merge(updates: DataFrame, condition: String,
             matched: Seq[MergeInto.WhenMatched],
             notMatched: Seq[MergeInto.WhenNotMatched],

@@ -154,6 +154,30 @@ class PlanSpec extends SparkSpec {
     assert(!q86.contains("Window"), s"domain-cap counts window-sorted:\n$q86")
   }
 
+  test("whole surface: unpartitioned Windows only over bounded value-space frames") {
+    // A Window with an empty partitionSpec sorts its whole input through ONE
+    // partition — the q106 failure mode. The only legitimate uses are over
+    // frames bounded by something other than the corpus: histogramBuckets'
+    // cumulative windows run over the DISTINCT-VALUE table (rounded scores /
+    // 2^(2*bits) z-values), never rows. Any new query that grows a global
+    // window must either partition it or justify itself onto this list.
+    val boundedFrameAllowed = Set("q75_curriculum_bins", "q101_zorder")
+    val skip = Set("q52_scd2_table_write", "q56_ivf_index",
+      "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
+      "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
+      "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for ((name, fn) <- SparkEntry.queries if !skip(name)) {
+      val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (!boundedFrameAllowed(name))
+        assert(globals.isEmpty,
+          s"$name plans ${globals.size} unpartitioned Window(s) — a single-" +
+            s"partition global sort at scale:\n${globals.mkString("\n")}")
+    }
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

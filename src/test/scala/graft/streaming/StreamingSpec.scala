@@ -114,6 +114,57 @@ class StreamingSpec extends SparkSpec {
     assert(table.latestVersion == 1L)
   }
 
+  test("partitioned table: crash after data write replays idempotently to exactly-once state") {
+    // the partitioned path rewrites touched partitions IN PLACE (dynamic
+    // overwrite), so unlike the snapshot path the new data is already
+    // visible when the crash hits the commit-log window — the guarantee
+    // here is idempotent replay to the exactly-once FINAL state, not
+    // point-in-time invisibility (ParquetTable.merge scaladoc)
+    val inDir = tmpDir("pcrash_in")
+    val ckpt = tmpDir("pcrash_ckpt")
+    val table = new ParquetTable(spark, tmpDir("pcrash_table"),
+      partitionKeys = Seq("region"))
+    table.create(Seq((1L, "east", "alice"), (2L, "west", "bob"))
+      .toDF("id", "region", "name"))
+
+    val payload3 = StructType(Seq(StructField("id", LongType),
+      StructField("region", StringType), StructField("name", StringType)))
+    def env3(op: String, id: Long, region: String, name: String): String =
+      s"""{"value":{"op":"$op","before":{"id":$id,"region":"$region","name":"$name"},"after":{"id":$id,"region":"$region","name":"$name"},"source":{"db":"db0","server_id":1}}}"""
+
+    def runOnce(): Unit = {
+      val stream = Sources.cdcFileStream(spark, inDir, payload3)
+      val q = StreamSink.startForeachBatch(stream,
+        WriteStreamConfig(checkpointLocation = ckpt), (batch, batchId) => {
+          val upserts = CdcDemux.demux(batch).filter(col("row_active"))
+            .select(col("id"), col("region"), col("name"))
+          StreamSink.scd1Batch(table, Seq("id"))(upserts, batchId)
+        })
+      q.awaitTermination()
+    }
+
+    writeEnvelopes(inDir, "b1.json", Seq(
+      env3("u", 1, "east", "alicia"), env3("c", 3, "west", "carol")))
+    table.onPreCommit = () => throw new RuntimeException("injected crash")
+    intercept[Exception] { runOnce() }
+    table.onPreCommit = () => ()
+    // commit log is behind the in-place data swap
+    assert(table.latestVersion == 0L)
+    def state() = table.read.select("id", "name", "region").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val expected = Map(1L -> ("alicia", "east"), 2L -> ("bob", "west"),
+      3L -> ("carol", "west"))
+    // restart: the batch replays (txn never logged) and the SCD1 merge is
+    // idempotent over the half-committed data — exactly-once final state
+    runOnce()
+    assert(table.latestVersion == 1L)
+    assert(state() == expected)
+    // further replay with the recorded txn is a no-op
+    runOnce()
+    assert(table.latestVersion == 1L)
+    assert(state() == expected)
+  }
+
   test("WriteStreamConfig applies trigger modes and options") {
     val cfg = WriteStreamConfig("/tmp/x", triggerMode = "ProcessingTime",
       triggerDuration = "10 seconds")
