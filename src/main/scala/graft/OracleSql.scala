@@ -382,6 +382,32 @@ object OracleSql {
          |SELECT id_a, id_b, ${rnd("jaccard", 3)} AS jaccard FROM jac WHERE jaccard >= 0.2""".stripMargin
     },
 
+    // q20's minhash replay over an 80/20 id-hash split: candidates are the
+    // CROSS-SET band matches (corpus x batch), verification identical
+    "q109_incremental_neardups" -> {
+      val sh = shinglesExpr("t", 3)
+      s"""WITH toks AS (SELECT doc_id AS id, $toksExpr AS t,
+         |    ${h32("doc_id::VARCHAR")} % 10000 AS h FROM documents),
+         |shing AS (SELECT id, h, $sh AS sh FROM toks),
+         |hashed AS (SELECT id, h, sh, list_transform(sh, x -> ${h32("x")}) AS hs FROM shing),
+         |sigs AS (SELECT id, h, list_distinct(sh) AS shset,
+         |  ${minhashSigExpr("hs", 8)} AS sig
+         |  FROM hashed),
+         |banded AS (SELECT id, h, band, array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '_') AS bucket
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |cands AS (SELECT DISTINCT c.id AS corpus_id, n.id AS batch_id
+         |  FROM banded c JOIN banded n ON c.band = n.band AND c.bucket = n.bucket
+         |    AND c.id != n.id AND c.h < 8000 AND n.h >= 8000),
+         |jac AS (SELECT corpus_id, batch_id,
+         |  CASE WHEN len(list_distinct(list_concat(sc.shset, sn.shset))) = 0 THEN 0.0
+         |       ELSE len(list_intersect(sc.shset, sn.shset))::DOUBLE
+         |            / len(list_distinct(list_concat(sc.shset, sn.shset)))::DOUBLE END AS jaccard
+         |  FROM cands JOIN sigs sc ON sc.id = cands.corpus_id
+         |  JOIN sigs sn ON sn.id = cands.batch_id)
+         |SELECT corpus_id, batch_id, ${rnd("jaccard", 3)} AS jaccard
+         |FROM jac WHERE jaccard >= 0.2""".stripMargin
+    },
+
     "q21_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $toksExpr AS t FROM documents),
          |hs AS (SELECT doc_id, list_transform(t, x -> ${h32("x")}) AS hashes FROM toks)

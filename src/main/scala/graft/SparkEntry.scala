@@ -1299,6 +1299,24 @@ object SparkEntry {
         maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
 
+  /** Incremental near-dup detection: the corpus (deterministic 80% id-hash
+    * split) is signed into a MinHash index once; the remaining 20% plays
+    * the incoming batch and joins against the index — the nightly-crawl
+    * shape. Same operating point as q20. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val h = pmod(graft.functions.Hashes.portableHash32(
+      col("doc_id").cast("string")), lit(10000L))
+    val corpus = docs.filter(h < 8000)
+    val batch = docs.filter(h >= 8000)
+    val index = Dedup.minHashIndexTable(corpus, "text", "doc_id",
+      bands = 4, rowsPerBand = 2).localCheckpoint()
+    Dedup.incrementalNearDups(batch, index, "text", "doc_id",
+        threshold = 0.2, bands = 4, rowsPerBand = 2)
+      .select(col("corpus_id"), col("batch_id"),
+        round(col("jaccard"), 3).as("jaccard"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1409,7 +1427,8 @@ object SparkEntry {
     "q105_date_funcs" -> (q105 _),
     "q106_sequence_gaps" -> (q106 _),
     "q107_kmeans_train" -> (q107 _),
-    "q108_simhash64_neardups" -> (q108 _)
+    "q108_simhash64_neardups" -> (q108 _),
+    "q109_incremental_neardups" -> (q109 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -139,6 +139,60 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Persistable MinHash signature index: (id, sig, shset) — the corpus
+    * shingled, 64-bit-hashed, and signed ONCE, in the shape
+    * [[incrementalNearDups]] joins against. At scale this is a real table
+    * (write it partitioned/bucketed next to the corpus and append each
+    * accepted batch's rows); re-signing a 100 TB corpus per incoming batch
+    * is the cost this index exists to avoid. `shset` carries the 64-bit
+    * shingle hashes for the exact-Jaccard verify (same hashed-set
+    * equivalence as [[verifiedNearDups]]). */
+  def minHashIndexTable(df: DataFrame, textCol: String, idCol: String,
+                        bands: Int = 4, rowsPerBand: Int = 4,
+                        shingleK: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    graft.Tables.widen(df).select(col(idCol).as("id"),
+      minHashSignature(col(textCol), numHashes, shingleK).as("sig"),
+      array_distinct(graft.functions.TextHashFunctions.shingleHashes64(
+        col(textCol), shingleK)).as("shset"))
+  }
+
+  /** Incremental near-dup detection: pairs between a NEW batch and an
+    * already-signed corpus index ([[minHashIndexTable]]) — the form an
+    * ingestion pipeline actually runs ("is anything in today's crawl a
+    * near-dup of the corpus?"). The batch is signed once (it's small), both
+    * sides band by projection (no re-shingling of the corpus — its
+    * signatures come off the index), candidates are the cross-set band-
+    * bucket matches, and the exact-Jaccard verify joins the shingle sets
+    * back by id so the banded join stays narrow (ids only, not arrays).
+    * Returns (corpus_id, batch_id, jaccard >= threshold). In-batch
+    * duplicates are [[verifiedNearDups]]'s job on the batch alone; rows
+    * present on both sides pair as equal ids and are excluded. */
+  def incrementalNearDups(batch: DataFrame, index: DataFrame,
+                          textCol: String, idCol: String, threshold: Double,
+                          bands: Int = 4, rowsPerBand: Int = 4,
+                          shingleK: Int = 3): DataFrame = {
+    val newSigs = minHashIndexTable(batch, textCol, idCol, bands, rowsPerBand,
+      shingleK).localCheckpoint()
+    def banded(sigs: DataFrame) = sigs.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+    ).as(Seq("band", "bucket")))
+    val cands = banded(index).alias("c").join(banded(newSigs).alias("n"),
+        col("c.band") === col("n.band") && col("c.bucket") === col("n.bucket") &&
+        col("c.id") =!= col("n.id"))
+      .select(col("c.id").as("corpus_id"), col("n.id").as("batch_id"))
+      .distinct()
+    cands
+      .join(index.select(col("id").as("corpus_id"), col("shset").as("sh_c")), "corpus_id")
+      .join(newSigs.select(col("id").as("batch_id"), col("shset").as("sh_n")), "batch_id")
+      .withColumn("inter", size(array_intersect(col("sh_c"), col("sh_n"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_c"), col("sh_n"))).cast("double"))
+      .withColumn("jaccard", when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
+      .filter(col("jaccard") >= threshold)
+      .select("corpus_id", "batch_id", "jaccard")
+  }
+
   // -------------------------------------------------------------------------
   // n-gram Jaccard (exact all-pairs within a candidate join)
   // -------------------------------------------------------------------------

@@ -68,6 +68,34 @@ class DedupSpec extends SparkSpec {
     assert(nd.contains((1L, 4L)))
   }
 
+  test("incrementalNearDups == the cross-set slice of the batch-mode pairs") {
+    // corpus = ids 1..40, batch = 41..50 with near-dups planted both ways
+    val base = (1L to 40L).map(i =>
+      (i, s"alpha beta w${i % 5} gamma w${(i * 3) % 7} delta epsilon tail$i end"))
+    val batchRows = (41L to 48L).map(i =>
+      (i, s"unrelated u$i v${i * 2} x${i * 3} y$i z$i q$i r$i s$i")) ++ Seq(
+      (49L, base(6)._2),                    // exact dup of corpus doc 7
+      (50L, base(12)._2 + " suffix"))       // near dup of corpus doc 13
+    val corpus = base.toDF("doc_id", "text").repartition(5)
+    val batch = batchRows.toDF("doc_id", "text").repartition(3)
+    val index = Dedup.minHashIndexTable(corpus, "text", "doc_id",
+      bands = 4, rowsPerBand = 2).localCheckpoint()
+    val inc = Dedup.incrementalNearDups(batch, index, "text", "doc_id",
+        threshold = 0.2, bands = 4, rowsPerBand = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // reference: batch-mode LSH over the UNION, restricted to cross-set pairs
+    val union = corpus.unionByName(batch)
+    val full = Dedup.verifiedNearDups(union, "text", "doc_id",
+        threshold = 0.2, bands = 4, rowsPerBand = 2)
+      .collect().collect {
+        case r if r.getLong(0) <= 40L && r.getLong(1) >= 41L =>
+          ((r.getLong(0), r.getLong(1)), r.getDouble(2))
+      }.toMap
+    assert(inc == full)
+    assert(inc.contains((7L, 49L)) && inc(((7L, 49L))) == 1.0)
+    assert(inc.contains((13L, 50L)))
+  }
+
   test("simHashNearDups64: banding finds exactly the brute-force Hamming<=3 pairs") {
     // a larger corpus than `docs`: 60 random-ish texts plus planted exact
     // and near dups, so the brute-force set is non-trivial on both counts
