@@ -408,6 +408,33 @@ object OracleSql {
          |FROM jac WHERE jaccard >= 0.2""".stripMargin
     },
 
+    // exact-retention percentile_approx == quantile_disc rank-for-rank
+    // (both select the floor(p*(n-1))-rank element; probed on both parities)
+    "q110_approx_quantiles" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |  quantile_disc(l_quantity, 0.25) AS p25,
+        |  quantile_disc(l_quantity, 0.5) AS p50,
+        |  quantile_disc(l_quantity, 0.9) AS p90,
+        |  quantile_disc(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    // normalization = nfc_normalize + the SAME two ASCII-range regexes the
+    // Spark expression applies (control chars stripped before the \s
+    // collapse, so Java-vs-RE2 \s differences can never be observed)
+    "q111_normalize_text" ->
+      """WITH edge AS (SELECT * FROM (VALUES
+        |    (900001, 'Cafe' || chr(769) || ' du  monde'),
+        |    (900002, 'tab' || chr(9) || 'here' || chr(7) || 'bell' || chr(127) || 'del'),
+        |    (900003, '  lots   of' || chr(10) || chr(10) || 'space  '),
+        |    (900004, 'nbsp' || chr(160) || 'stays')) v(doc_id, text)),
+        |docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id::BIGINT, text FROM edge),
+        |n AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM docs)
+        |SELECT doc_id, norm, (norm != text)::INT::BIGINT AS changed FROM n""".stripMargin,
+
     "q21_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $toksExpr AS t FROM documents),
          |hs AS (SELECT doc_id, list_transform(t, x -> ${h32("x")}) AS hashes FROM toks)

@@ -1317,6 +1317,45 @@ object SparkEntry {
         round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Approximate percentiles — the sketch that REPLACES q64's exact
+    * rank-selection sort at 100 TB (bounded GK summary state, no full
+    * sort). Gated in exact-retention mode: accuracy exceeds every group's
+    * row count, where Spark's summary keeps all samples and its query
+    * semantics pin to the same rank DuckDB's `quantile_disc` selects
+    * (probed empirically on both parities). At scale you lower accuracy to
+    * ~1e4 and accept the documented 1/accuracy rank error; the semantics
+    * gated here are that sketch's oracle. */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        percentile_approx(col("l_quantity"),
+          array(lit(0.25), lit(0.5), lit(0.9), lit(0.99)), lit(1000000)).as("qs"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        element_at(col("qs"), 1).as("p25"), element_at(col("qs"), 2).as("p50"),
+        element_at(col("qs"), 3).as("p90"), element_at(col("qs"), 4).as("p99"))
+
+  /** Canonical text normalization over the corpus PLUS injected edge rows
+    * (decomposed accents, control characters, run-on whitespace, a
+    * preserved NBSP) — the ASCII corpus alone would make this gate an
+    * identity test; the union pins the NFC/strip/collapse behavior against
+    * DuckDB's `nfc_normalize` + the same two regexes. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edge = Seq(
+      (900001L, "Cafe\u0301 du  monde"),   // decomposed accent + double space
+      (900002L, "tab\there\u0007bell\u007fdel"), // control chars -> spaces
+      (900003L, "  lots   of\n\nspace  "),  // collapse + trim
+      (900004L, "nbsp\u00a0stays")           // non-ASCII space preserved as-is
+    ).toDF("doc_id", "text")
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(edge)
+    docs.select(col("doc_id"), col("text"),
+        graft.operators.TextAnalysis.normalizeText(col("text")).as("norm"))
+      .withColumn("changed", (col("norm") =!= col("text")).cast("int").cast("long"))
+      .drop("text")
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1428,7 +1467,9 @@ object SparkEntry {
     "q106_sequence_gaps" -> (q106 _),
     "q107_kmeans_train" -> (q107 _),
     "q108_simhash64_neardups" -> (q108 _),
-    "q109_incremental_neardups" -> (q109 _)
+    "q109_incremental_neardups" -> (q109 _),
+    "q110_approx_quantiles" -> (q110 _),
+    "q111_normalize_text" -> (q111 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -279,6 +279,8 @@ object TextHashFunctions {
       es => SimHashSig(es(0)))
     Registry.ensure(spark, "graft_simhash64")(
       es => SimHashSig64(es(0)))
+    Registry.ensure(spark, "graft_normalize_text")(
+      es => NormalizeText(es(0)))
   }
 
   /** Column builders self-register against the active session (these are
@@ -297,4 +299,6 @@ object TextHashFunctions {
     { ensure(); call_function("graft_simhash", text) }
   def simHash64(text: Column): Column =
     { ensure(); call_function("graft_simhash64", text) }
+  def normalizeText(text: Column): Column =
+    { ensure(); call_function("graft_normalize_text", text) }
 }

@@ -255,6 +255,54 @@ final class ParquetTable(val spark: SparkSession, val root: String,
     writeCommit(next, "OVERWRITE", metrics, txn)
   }
 
+  /** Bin-pack compaction — Delta `OPTIMIZE`'s equivalent on the COW table:
+    * rewrites the CURRENT contents into ~`targetBytes` files and records a
+    * COMPACT commit (files/bytes before and after in the metrics, readable
+    * via [[lastMetrics]] like any other operation). Contents are unchanged —
+    * only the file layout moves, which is what keeps a streamed-into table
+    * scannable: a year of micro-batch appends leaves thousands of KB-sized
+    * files whose per-file open/footer cost dominates the scan.
+    *
+    * Snapshot layout: the repartitioned contents land in a fresh
+    * `snap/vNNNNN` (atomic visibility like every snapshot write).
+    * Partitioned layout: rows are repartitioned BY THE PARTITION KEYS so
+    * each partition value collapses to one task -> one file per partition
+    * (the common small-file case: many appends x few partitions), then
+    * dynamically overwritten in place. Skipped (no new version) when the
+    * current layout is already within the target file count. */
+  def compact(targetBytes: Long = 128L << 20,
+              txn: Option[(String, Long)] = None): Unit = monitor.synchronized {
+    if (txn.exists { case (a, v) => seenTxn(a, v) }) return
+    require(exists, s"compact target $root does not exist")
+    require(targetBytes > 0, "targetBytes > 0")
+    val dir = if (partitionKeys.nonEmpty) dataDir
+              else f"$snapDir/v${latestVersion}%05d"
+    val files = Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .toSeq
+    val bytes = files.map(Files.size).sum
+    val wantFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    if (files.size <= wantFiles) return // already packed; no empty commit
+    val metrics = Map(
+      "filesBefore" -> files.size.toString, "bytesBefore" -> bytes.toString,
+      "targetFiles" -> wantFiles.toString)
+    val next = latestVersion + 1
+    if (partitionKeys.nonEmpty) {
+      // materialize before overwriting the directory being read (same
+      // constraint as merge's COW rewrite)
+      val packed = read
+        .repartition(wantFiles.toInt, partitionKeys.map(col): _*)
+        .localCheckpoint()
+      packed.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionKeys: _*).parquet(dataDir)
+    } else {
+      read.repartition(wantFiles.toInt)
+        .write.mode(SaveMode.Overwrite).parquet(f"$snapDir/v$next%05d")
+    }
+    writeCommit(next, "COMPACT", metrics, txn)
+  }
+
   /** Schema union (Delta `mergeSchema` equivalent): pad each side with the
     * other's missing columns as NULLs. */
   private def unionMergeSchema(a: DataFrame, b: DataFrame): DataFrame = {

@@ -90,6 +90,12 @@ object TextAnalysis {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Canonical text normalization (NFC + control-strip + whitespace
+    * collapse) — run BEFORE any hashing/dedup so byte-level noise doesn't
+    * defeat fingerprints ([[graft.functions.NormalizeText]]). */
+  def normalizeText(text: Column): Column =
+    graft.functions.TextHashFunctions.normalizeText(text)
+
   /** Whitespace token count (0 for empty/blank docs). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))

@@ -71,4 +71,57 @@ class ParquetTableSpec extends SparkSpec {
     assert(t2.seenTxn("app", 5L) && !t2.seenTxn("app", 6L))
     assert(t2.seenTxn("app", 1L))
   }
+
+  private def parquetFiles(dir: java.io.File): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(dir)
+  }
+
+  test("compact: snapshot table packs many small appends, contents unchanged") {
+    val t = new ParquetTable(spark, tmpDir("pt_compact"))
+    t.create(spark.range(0, 10).toDF("id").repartition(8))
+    (1 to 4).foreach(i =>
+      t.append(spark.range(i * 100, i * 100 + 10).toDF("id").repartition(8)))
+    val before = t.read.collect().map(_.getLong(0)).sorted
+    val vBefore = t.latestVersion
+    val dirBefore = new java.io.File(t.root, f"snap/v$vBefore%05d")
+    assert(parquetFiles(dirBefore).size > 8)
+    t.compact() // default 128 MB target: tiny table -> 1 file
+    assert(t.latestVersion == vBefore + 1)
+    val dirAfter = new java.io.File(t.root, f"snap/v${t.latestVersion}%05d")
+    assert(parquetFiles(dirAfter).size == 1)
+    assert(t.read.collect().map(_.getLong(0)).sorted.toSeq == before.toSeq)
+    assert(t.lastMetrics("filesBefore").toInt > 8)
+    // re-compacting an already-packed table is a no-op (no empty commit)
+    val v = t.latestVersion
+    t.compact()
+    assert(t.latestVersion == v)
+  }
+
+  test("compact: partitioned table collapses each partition's files in place") {
+    import spark.implicits._
+    val t = new ParquetTable(spark, tmpDir("pt_compact_part"),
+      partitionKeys = Seq("p"))
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "p").repartition(4))
+    (1 to 4).foreach(i =>
+      t.append(Seq((i * 10L, "a"), (i * 10L + 1, "b")).toDF("id", "p")
+        .repartition(4)))
+    val before = t.read.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val dataDir = new java.io.File(t.root, "data")
+    assert(parquetFiles(dataDir).size > 2)
+    t.compact()
+    // one file per partition value is the floor for a hive layout
+    assert(parquetFiles(dataDir).size == 2)
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .toSeq == before.toSeq)
+    // replay protection rides the same txn record as every write
+    t.append(Seq((99L, "a")).toDF("id", "p").repartition(3))
+    val v = t.latestVersion
+    t.compact(txn = Some(("compactor", 1L)))
+    assert(t.latestVersion == v + 1)
+    t.compact(txn = Some(("compactor", 1L))) // replayed -> skipped
+    assert(t.latestVersion == v + 1)
+  }
 }

@@ -106,4 +106,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(3L)._3 == 1.0 && m(3L)._4)                          // every trigram dup'd
     assert(m(4L)._1 == 2L && m(4L)._3 == 0.0)                    // short doc: no trigrams
   }
+
+  test("normalizeText: NFC-composes, strips controls, collapses whitespace, keeps NBSP") {
+    val rows = Seq(
+      (1L, "Cafe\u0301"),            // decomposed -> composed
+      (2L, "a\u0000b\tc"),            // NUL and tab -> single spaces
+      (3L, "  x   y\n\nz  "),         // collapse + trim
+      (4L, "nb\u00a0sp"),             // NBSP is content, not whitespace
+      (5L, "already clean")
+    ).toDF("id", "t")
+    val out = rows.select($"id", TextAnalysis.normalizeText(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "Caf\u00e9")
+    assert(out(2L) == "a b c")
+    assert(out(3L) == "x y z")
+    assert(out(4L) == "nb\u00a0sp")
+    assert(out(5L) == "already clean")
+    // normalization makes the decomposed/composed forms exact-dedup equal
+    val pair = Seq((1L, "Cafe\u0301 x"), (2L, "Caf\u00e9 x")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("text"))
+    assert(Dedup.exact(pair, "text", "doc_id")
+      .filter(col("dup_count") > 1).count() == 1)
+  }
 }
