@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_minhash_sig",
       es => MinHashSig(es(0), intOf(es(1)), intOf(es(2)))))
     ext.injectFunction(fn("graft_simhash", es => SimHashSig(es(0))))
+    ext.injectFunction(fn("graft_simhash64", es => SimHashSig64(es(0))))
+    ext.injectFunction(fn("graft_normalize_text", es => NormalizeText(es(0))))
     ext.injectFunction(fn("graft_topk_agg",
       es => TopKAgg(es(0), intOf(es(1))).toAggregateExpression()))
     ext.injectFunction(fn("graft_minhash_agg",
