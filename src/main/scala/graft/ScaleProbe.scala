@@ -85,6 +85,17 @@ object ScaleProbe {
       "q51_embed_pairs" -> (() =>
         Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", dim = 64,
           threshold = 0.30, bitsPerBand = 8, numBands = 2).count()),
+      // q109 incremental near-dups: an 80/20 split's cross-set candidates
+      // (threshold=0 keeps every banded candidate the verify would see)
+      "q109_incremental_cand" -> (() => {
+        import org.apache.spark.sql.functions._
+        val h = pmod(graft.functions.Hashes.portableHash32(
+          col("doc_id").cast("string")), lit(10000L))
+        val index = Dedup.minHashIndexTable(docs.filter(h < 8000),
+          "text", "doc_id", bands = 4, rowsPerBand = 2).localCheckpoint()
+        Dedup.incrementalNearDups(docs.filter(h >= 8000), index,
+          "text", "doc_id", threshold = 0.0, bands = 4, rowsPerBand = 2).count()
+      }),
       // the TIGHT embedding-LSH operating point (16-bit bands, cosine>=0.9):
       // the true-pair set is sparse here, so candidates must stay
       // sub-quadratic — this is the configuration a 100 TB near-dup pass

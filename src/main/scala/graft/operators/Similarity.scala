@@ -217,6 +217,32 @@ object Similarity {
     VectorFunctions.releaseCentroidBroadcast(spark, cs.bc)
   }
 
+  /** Append a NEW batch into a persisted IVF index WITHOUT retraining or
+    * rewriting: the batch is assigned against the index's OWN centroid
+    * table (so existing bucket semantics are unchanged) and appended into
+    * its bucket directories — only the batch's buckets gain files, nothing
+    * is rewritten, and a concurrent [[ivfTopKFromIndex]] keeps reading
+    * consistent directories. This is the steady-state ingestion path; the
+    * caller contract is to retrain + rewrite ([[writeIvfIndex]]) when
+    * quantizer drift degrades recall (the standard IVF maintenance cycle).
+    * Cost: one codegen'd argmin projection over the batch + one shuffle on
+    * the bucket key to keep per-bucket file counts bounded. */
+  def appendToIvfIndex(batch: DataFrame, path: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    VectorFunctions.register(spark)
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("centroid_id")).collect()
+    val cs = CentroidSet(array(centRows.map(r => lit(r.get(0))): _*),
+      spark.sparkContext.broadcast(centRows.map(_.getSeq[Float](1).toArray)))
+    batch.select(col(idCol), col(vecCol))
+      .withColumn("centroid_id", nearestCentroidId(cs, col(vecCol), spark))
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$path/corpus")
+    VectorFunctions.releaseCentroidBroadcast(spark, cs.bc)
+  }
+
   /** Top-k over a persisted IVF index: probe selection runs on the (tiny)
     * centroid table, then the corpus scan carries `centroid_id IN (probed)`
     * — Spark turns it into PartitionFilters, so only the probed bucket

