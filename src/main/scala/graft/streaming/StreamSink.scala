@@ -117,6 +117,77 @@ object StreamSink {
     }
   }
 
+  /** Continuous NEAR-dup-filtered ingestion — [[dedupAppendBatch]]'s fuzzy
+    * sibling and the steady-state form of a curation pipeline's dedup
+    * stage. Each micro-batch:
+    *
+    *  1. exact-dedups within the batch (one row per md5 fingerprint,
+    *     deterministically the min id),
+    *  2. drops every doc directly near-dup (banded MinHash + exact-Jaccard
+    *     >= `threshold`) to a SMALLER id in the same batch — greedy by id
+    *     over direct links, the replay-deterministic form of in-batch
+    *     near-dedup,
+    *  3. drops every remaining doc with a near-dup match in the persisted
+    *     signature index ([[graft.operators.Dedup.minHashIndexTable]] rows
+    *     accumulated from all prior survivors — the corpus is NEVER
+    *     re-signed),
+    *  4. appends the survivors to the target table and their signature
+    *     rows to the index table, both under the batch txn.
+    *
+    * Replay safety: the index only ever contains prior SURVIVORS'
+    * signatures, and both near-dup steps exclude equal ids, so re-running
+    * a batch whose index append committed before a crash reproduces the
+    * same survivor set (a survivor cannot near-dup another survivor by
+    * construction — step 2/3 would have dropped it) and the per-table txn
+    * records skip whichever append already landed.
+    *
+    * Scale: give `index` a shard partition key (add
+    * [[graft.operators.Sampling.shardAssign]]'s column to the signature
+    * frame and construct the ParquetTable with it) so each append is a
+    * pure file-add into shard directories — a snapshot-layout index
+    * rewrites itself per batch, which is fine for tests and fatal for a
+    * 100 TB corpus. */
+  def nearDupFilterBatch(table: ParquetTable, index: ParquetTable,
+                         textCol: String, idCol: String,
+                         threshold: Double, bands: Int = 4, rowsPerBand: Int = 2,
+                         shingleK: Int = 3,
+                         appId: String = null): (DataFrame, Long) => Unit = {
+    val id = Option(appId).getOrElse(s"graft-neardup-filter:${table.root}")
+    (batch, batchId) => table.withLock {
+      if (!table.seenTxn(id, batchId) || !index.seenTxn(id, batchId)) {
+        import org.apache.spark.sql.functions._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp")).orderBy(col(idCol))
+        val exactDeduped = batch.withColumn("__fp", md5(col(textCol)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__fp")
+          .localCheckpoint()
+        val inBatchPairs = graft.operators.Dedup.verifiedNearDups(
+          exactDeduped, textCol, idCol, threshold, bands, rowsPerBand, shingleK)
+        val survivors1 = exactDeduped.join(
+          inBatchPairs.select(col("id_b").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+        val sigs = graft.operators.Dedup.minHashIndexTable(
+          survivors1, textCol, idCol, bands, rowsPerBand, shingleK)
+          .localCheckpoint()
+        val accepted =
+          if (!index.exists) sigs
+          else {
+            val hits = graft.operators.Dedup.incrementalNearDups(
+                survivors1, index.read, textCol, idCol, threshold,
+                bands, rowsPerBand, shingleK)
+              .select(col("batch_id").as("id")).distinct()
+            sigs.join(hits, Seq("id"), "left_anti")
+          }
+        val keptIds = accepted.select(col("id").as(idCol))
+        val survivors = survivors1.join(keptIds, Seq(idCol), "left_semi")
+          .localCheckpoint() // decided BEFORE either append mutates state
+        index.append(accepted.localCheckpoint(), txn = Some((id, batchId)))
+        table.append(survivors, txn = Some((id, batchId)))
+      }
+    }
+  }
+
   /** Start a foreachBatch stream with the declarative config (ref
     * ProcessOutputStream.processOutputStreamBatch,
     * M/writter/ProcessOutputStream.scala:50-76). */

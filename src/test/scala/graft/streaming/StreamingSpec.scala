@@ -293,6 +293,52 @@ class StreamingSpec extends SparkSpec {
     assert(table.read.count() == 3)
   }
 
+  test("continuous near-dup ingestion: in-batch, cross-batch and index survivors") {
+    val inDir = tmpDir("nd_in")
+    val ckpt = tmpDir("nd_ckpt")
+    val table = new ParquetTable(spark, tmpDir("nd_table"))
+    val index = new ParquetTable(spark, tmpDir("nd_index"))
+    val payloadT = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def envT(id: Long, text: String): String =
+      s"""{"value":{"op":"c","before":null,"after":{"doc_id":$id,"text":"$text"},"source":{"db":"db0","server_id":1}}}"""
+
+    def runOnce(): Unit = {
+      val stream = Sources.cdcFileStream(spark, inDir, payloadT)
+      val q = StreamSink.startForeachBatch(stream,
+        WriteStreamConfig(checkpointLocation = ckpt), (batch, batchId) => {
+          val docs = CdcDemux.demux(batch).filter(col("row_active"))
+            .select(col("doc_id"), col("text"))
+          StreamSink.nearDupFilterBatch(table, index, "text", "doc_id",
+            threshold = 0.5)(docs, batchId)
+        })
+      q.awaitTermination()
+    }
+
+    val longDoc = (1 to 12).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val otherDoc = (1 to 12).map(i => s"omega$i psi$i chi$i").mkString(" ")
+    // batch 1: 1+2 exact dups (keep 1), 3 near-dup of 1 (dropped), 4 distinct
+    writeEnvelopes(inDir, "b1.json", Seq(
+      envT(1L, longDoc), envT(2L, longDoc),
+      envT(3L, longDoc + " tailword"), envT(4L, otherDoc)))
+    runOnce()
+    assert(table.read.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    assert(index.read.select("id").as[Long].collect().toSet == Set(1L, 4L))
+
+    // batch 2: 5 near-dups doc 1 via the INDEX (dropped, corpus not re-read
+    // as text), 6 is fresh -> kept
+    writeEnvelopes(inDir, "b2.json", Seq(
+      envT(5L, longDoc + " extra"), envT(6L, "totally different words here")))
+    runOnce()
+    assert(table.read.select("doc_id").as[Long].collect().toSet == Set(1L, 4L, 6L))
+    assert(index.read.select("id").as[Long].collect().toSet == Set(1L, 4L, 6L))
+
+    // replay: no new versions on either table
+    val (tv, iv) = (table.latestVersion, index.latestVersion)
+    runOnce()
+    assert(table.latestVersion == tv && index.latestVersion == iv)
+  }
+
   test("streaming append sink writes through the declarative config") {
     val inDir = tmpDir("app_in")
     val outDir = tmpDir("app_out")
