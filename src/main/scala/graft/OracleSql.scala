@@ -1041,6 +1041,38 @@ object OracleSql {
          |SELECT k AS user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour,
          |  ${rnd("filled_v", 2)} AS filled_v, is_observed FROM f""".stripMargin,
 
+    // q74's prelude with linear interpolation: neighbors via IGNORE NULLS
+    // windows both directions, same operand order as the Spark expression
+    "q113_resample_interp" ->
+      s"""WITH b AS (SELECT user_id AS k, date_trunc('hour', ts) AS bucket,
+         |    ts, value AS v, event_id FROM events),
+         |lastobs AS (SELECT k, bucket, v FROM (
+         |    SELECT k, bucket, v, row_number() OVER (PARTITION BY k, bucket
+         |      ORDER BY ts DESC, event_id DESC) AS rn FROM b) WHERE rn = 1),
+         |spans AS (SELECT k, min(bucket)::TIMESTAMP AS b0,
+         |    max(bucket)::TIMESTAMP AS b1 FROM b GROUP BY 1),
+         |spine AS (SELECT k, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+         |  FROM spans),
+         |j AS (SELECT s.k, s.bucket, l.v FROM spine s
+         |  LEFT JOIN lastobs l ON s.k = l.k AND s.bucket = l.bucket),
+         |f AS (SELECT k, bucket, v,
+         |    last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+         |      OVER (PARTITION BY k ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         |    first_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY bucket
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+         |      OVER (PARTITION BY k ORDER BY bucket
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+         |  FROM j)
+         |SELECT k AS user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+         |  ${rnd("CASE WHEN v IS NOT NULL THEN v ELSE pv + (nv - pv) * " +
+           "(epoch(bucket)::DOUBLE - epoch(pb)::DOUBLE) / " +
+           "(epoch(nb)::DOUBLE - epoch(pb)::DOUBLE) END", 2)} AS interp_v,
+         |  v IS NOT NULL AS is_observed FROM f""".stripMargin,
+
     // exact histogram deciles: cumulative counts over sorted DISTINCT
     // scores, bucket = floor(first_rank * 10 / n) in integer arithmetic
     "q75_curriculum_bins" -> {
@@ -1173,6 +1205,18 @@ object OracleSql {
          |  sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
          |  sum(CASE WHEN rk > 10 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
          |FROM r GROUP BY host""".stripMargin,
+
+    // the kept-set twin of q86: the oracle ranks with a window (DuckDB can
+    // afford one), the Spark side must select the identical prefix via the
+    // bounded top-k aggregate
+    "q112_domain_cap_docs" ->
+      s"""WITH d AS (SELECT doc_id, source || '.example.com' AS host,
+         |    ${h32("doc_id::VARCHAR")} AS h FROM documents),
+         |r AS (SELECT host, doc_id,
+         |    row_number() OVER (PARTITION BY host ORDER BY h, doc_id) AS rk
+         |  FROM d)
+         |SELECT host, doc_id, rk::BIGINT AS keep_rank
+         |FROM r WHERE rk <= 10""".stripMargin,
 
     // Okapi BM25 with the exact Spark operand order (left-assoc * and /);
     // per-doc term-score sum is <= |query| doubles, drift ~1e-16 vs the

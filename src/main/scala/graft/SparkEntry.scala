@@ -1356,6 +1356,28 @@ object SparkEntry {
       .drop("text")
   }
 
+  /** The documents that SURVIVE q86's per-domain cap — the kept-SET twin of
+    * the count report, on the bounded TopKAgg path (no rank window). The
+    * oracle IS a rank window (DuckDB can afford one), so the green row
+    * proves the map-side top-k selects exactly the window's prefix. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+          col("doc_id")))
+    graft.operators.Corpus.domainCapDocs(docs, "url", "doc_id", cap = 10)
+      .select(col("host"), col("id").cast("long").as("doc_id"),
+        col("sample_rank").cast("long").as("keep_rank"))
+  }
+
+  /** Hourly resample with LINEAR interpolation (q74's other fill mode). */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.resampleInterpolate(
+        T(s, dir, "events"), "user_id", "ts", "value", tieCol = "event_id")
+      .select(col("user_id"),
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        round(col("interp_v"), 2).as("interp_v"), col("is_observed"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1469,7 +1491,9 @@ object SparkEntry {
     "q108_simhash64_neardups" -> (q108 _),
     "q109_incremental_neardups" -> (q109 _),
     "q110_approx_quantiles" -> (q110 _),
-    "q111_normalize_text" -> (q111 _)
+    "q111_normalize_text" -> (q111 _),
+    "q112_domain_cap_docs" -> (q112 _),
+    "q113_resample_interp" -> (q113 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -5,33 +5,24 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series regularization for event streams: resampling onto a fixed
-  * grid with forward fill — the step that turns irregular event data into
-  * the fixed-interval sequences a training pipeline consumes. */
+  * grid with forward fill or linear interpolation — the step that turns
+  * irregular event data into the fixed-interval sequences a training
+  * pipeline consumes. */
 object TimeSeries {
 
-  /** Resample each key's events onto a `step` grid from its first to its
-    * last bucket, carrying the last observed value forward across empty
-    * buckets.
-    *
-    * Three bounded stages, all partitioned on the key:
-    *   1. per-(key, bucket) last observation — the q06 windowed-dedup shape
-    *      (row_number DESC over (ts, tieCol)), so "last" is deterministic
-    *      under equal timestamps;
-    *   2. the spine — one `sequence()` per key exploded to its grid rows
-    *      (array length = key's own span / step, never the global span);
-    *   3. forward fill — `last(value, ignoreNulls)` over the bucket order,
-    *      a single running window per key.
-    * Nothing is ever quadratic and every shuffle is on the key; a key's
-    * cost is proportional to ITS span, so sparse keys stay cheap. The
-    * leading bucket of each key always holds an observation (the spine
-    * starts at the first event), so forward fill never emits null. */
-  def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
-                   valueCol: String, tieCol: String,
-                   step: String = "1 hour"): DataFrame = {
+  /** Shared resample prelude: per-(key, bucket) last observation (the q06
+    * windowed-dedup shape, deterministic under equal timestamps) and the
+    * per-key spine (one `sequence()` per key exploded to its own grid —
+    * array length = the key's span / step, never the global span). The
+    * observation table is checkpointed so the dedup runs once for the
+    * spine bounds and the join side. */
+  private def lastObsAndSpine(df: DataFrame, keyCol: String, tsCol: String,
+                              valueCol: String, tieCol: String,
+                              step: String): (DataFrame, DataFrame) = {
     // the grid stride must EQUAL the bucket truncation granularity, or
     // observations land in buckets the spine never visits (silently
-    // forward-filling stale values over real data) — so only "1 <unit>"
-    // steps with a valid date_trunc unit are accepted
+    // filling stale values over real data) — so only "1 <unit>" steps
+    // with a valid date_trunc unit are accepted
     val parts = step.trim.split("\\s+")
     val validUnits = Set("minute", "hour", "day", "week", "month", "quarter", "year")
     require(parts.length == 2 && parts(0) == "1" && validUnits(parts(1)),
@@ -48,19 +39,69 @@ object TimeSeries {
       .filter(col("rn") === 1)
       .select(col("k"), col("bucket"), col("v"))
       .localCheckpoint()
-    // spine bounds come from lastObs (one row per occupied (key, bucket) —
-    // same min/max as the raw events) so the event table is scanned ONCE;
-    // the checkpoint keeps the dedup from re-running for the spine and the
-    // join sides
     val spine = lastObs.groupBy(col("k"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
       .select(col("k"),
         explode(sequence(col("b0"), col("b1"), expr(s"INTERVAL $step"))).as("bucket"))
+    (lastObs, spine)
+  }
+
+  /** Resample each key's events onto a `step` grid from its first to its
+    * last bucket, carrying the last observed value forward across empty
+    * buckets.
+    *
+    * Three bounded stages, all partitioned on the key: the per-bucket
+    * dedup, the per-key spine, and one running `last(value, ignoreNulls)`
+    * window per key. Nothing is ever quadratic and every shuffle is on the
+    * key; a key's cost is proportional to ITS span, so sparse keys stay
+    * cheap. The leading bucket of each key always holds an observation
+    * (the spine starts at the first event), so forward fill never emits
+    * null. */
+  def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, tieCol: String,
+                   step: String = "1 hour"): DataFrame = {
+    val (lastObs, spine) = lastObsAndSpine(df, keyCol, tsCol, valueCol, tieCol, step)
     val fillW = Window.partitionBy(col("k")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(lastObs, Seq("k", "bucket"), "left")
       .withColumn("filled_v", last(col("v"), ignoreNulls = true).over(fillW))
       .withColumn("is_observed", col("v").isNotNull)
       .select(col("k").as(keyCol), col("bucket"), col("filled_v"), col("is_observed"))
+  }
+
+  /** Resample with LINEAR INTERPOLATION across empty buckets — the other
+    * standard regularization mode (sensor/metric series where holding the
+    * last value flat would bias downstream aggregates). Observed buckets
+    * keep their exact value; an empty bucket gets
+    * `pv + (nv - pv) * (t - tp) / (tn - tp)` between its neighboring
+    * observations. Two windows per key over the same (key, bucket) order —
+    * a backward `last(ignoreNulls)` pair for the previous observation and
+    * a forward `first(ignoreNulls)` pair for the next — so cost matches
+    * [[resampleFill]] plus one window. Gaps are always interior (the spine
+    * spans first..last observation), so both neighbors exist and the
+    * interpolation never divides by zero. */
+  def resampleInterpolate(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String, tieCol: String,
+                          step: String = "1 hour"): DataFrame = {
+    val (lastObs, spine) = lastObsAndSpine(df, keyCol, tsCol, valueCol, tieCol, step)
+    val back = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def secs(c: org.apache.spark.sql.Column) = unix_timestamp(c).cast("double")
+    spine.join(lastObs, Seq("k", "bucket"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pb", last(when(col("v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nb", first(when(col("v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(fwd))
+      .withColumn("interp_v",
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (secs(col("bucket")) - secs(col("pb"))) /
+            (secs(col("nb")) - secs(col("pb")))))
+      .withColumn("is_observed", col("v").isNotNull)
+      .select(col("k").as(keyCol), col("bucket"), col("interp_v"), col("is_observed"))
   }
 }
