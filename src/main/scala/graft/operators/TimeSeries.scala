@@ -74,28 +74,33 @@ object TimeSeries {
     * last value flat would bias downstream aggregates). Observed buckets
     * keep their exact value; an empty bucket gets
     * `pv + (nv - pv) * (t - tp) / (tn - tp)` between its neighboring
-    * observations. Two windows per key over the same (key, bucket) order —
-    * a backward `last(ignoreNulls)` pair for the previous observation and
-    * a forward `first(ignoreNulls)` pair for the next — so cost matches
-    * [[resampleFill]] plus one window. Gaps are always interior (the spine
-    * spans first..last observation), so both neighbors exist and the
-    * interpolation never divides by zero. */
+    * observations. Two RUNNING windows per key: a backward
+    * `last(ignoreNulls)` pair for the previous observation, and — for the
+    * next observation — the same running frame over the REVERSED bucket
+    * order. NOT `first(ignoreNulls)` over currentRow..unboundedFollowing:
+    * Spark evaluates unbounded-FOLLOWING frames by re-scanning from the
+    * current row to the partition end for every row, O(n^2) per key
+    * (measured 18 s vs ~1 s on the q113 gate at sf0.1); a running frame
+    * over a descending sort computes the identical value in O(n) at the
+    * cost of one extra per-partition sort. Gaps are always interior (the
+    * spine spans first..last observation), so both neighbors exist and
+    * the interpolation never divides by zero. */
   def resampleInterpolate(df: DataFrame, keyCol: String, tsCol: String,
                           valueCol: String, tieCol: String,
                           step: String = "1 hour"): DataFrame = {
     val (lastObs, spine) = lastObsAndSpine(df, keyCol, tsCol, valueCol, tieCol, step)
     val back = Window.partitionBy(col("k")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col("k")).orderBy(col("bucket"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val fwdRun = Window.partitionBy(col("k")).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def secs(c: org.apache.spark.sql.Column) = unix_timestamp(c).cast("double")
     spine.join(lastObs, Seq("k", "bucket"), "left")
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
       .withColumn("pb", last(when(col("v").isNotNull, col("bucket")),
         ignoreNulls = true).over(back))
-      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
-      .withColumn("nb", first(when(col("v").isNotNull, col("bucket")),
-        ignoreNulls = true).over(fwd))
+      .withColumn("nv", last(col("v"), ignoreNulls = true).over(fwdRun))
+      .withColumn("nb", last(when(col("v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(fwdRun))
       .withColumn("interp_v",
         when(col("v").isNotNull, col("v"))
           .otherwise(col("pv") + (col("nv") - col("pv")) *
