@@ -603,6 +603,29 @@ object OracleSql {
          |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d)
          |SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n""".stripMargin,
 
+    // q53's component chain extended with the hash-bucket split: docs
+    // missing from the reach (no near-dup link) are singleton components
+    "q114_leakage_safe_split" ->
+      s"""WITH RECURSIVE $simhashCtes,
+         |pairs AS (SELECT id_a, id_b FROM cands
+         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d),
+         |comp AS (SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n),
+         |labeled AS (SELECT d.doc_id,
+         |    coalesce(c.component_id, d.doc_id) AS component_id
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |h AS (SELECT doc_id, component_id,
+         |    ${h32("component_id::VARCHAR")} % 10000 AS b FROM labeled)
+         |SELECT doc_id, component_id,
+         |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h""".stripMargin,
+
     // q53's component chain extended with survivorship: canonical doc =
     // highest (pre-rounded) quality, ties by doc_id
     "q83_cluster_survivors" -> {

@@ -1378,6 +1378,18 @@ object SparkEntry {
         date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         round(col("interp_v"), 2).as("interp_v"), col("is_observed"))
 
+  /** Leakage-safe 80/10/10 split: every simhash near-dup cluster (q53's
+    * components) lands wholly inside one split, so no near-dup pair can
+    * straddle train and eval. Singletons split on their own id. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
+    val components = Dedup.connectedComponents(pairs)
+    graft.operators.Sampling.leakageSafeSplit(docs, components, "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("component_id"), col("split"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1493,7 +1505,8 @@ object SparkEntry {
     "q110_approx_quantiles" -> (q110 _),
     "q111_normalize_text" -> (q111 _),
     "q112_domain_cap_docs" -> (q112 _),
-    "q113_resample_interp" -> (q113 _)
+    "q113_resample_interp" -> (q113 _),
+    "q114_leakage_safe_split" -> (q114 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -76,6 +76,38 @@ object Sampling {
         (col("pos") + 1).as("sample_rank"))
   }
 
+  /** Leakage-safe train/val/test split: membership is decided PER NEAR-DUP
+    * COMPONENT, never per document — a near-dup pair straddling train and
+    * eval is test-set contamination by construction, so every member of a
+    * [[graft.operators.Dedup.connectedComponents]] cluster lands in the
+    * same split. Docs absent from `components` (no near-dup link) are
+    * their own singleton component. The split is the component id's
+    * portable hash bucket against cumulative weight thresholds —
+    * deterministic, engine-reproducible, and a pure projection after one
+    * equi-join on the id (broadcast when the component table is small;
+    * shuffle on the id otherwise — never on the component). Returns
+    * (id, component_id, split). */
+  def leakageSafeSplit(docs: DataFrame, components: DataFrame, idCol: String,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must be positive and sum to 1")
+    val joined = docs.select(col(idCol))
+      .join(components.select(col("node").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .withColumn("component_id",
+        coalesce(col("component"), col(idCol)).cast("long"))
+    val bucket = pmod(Hashes.portableHash32(col("component_id").cast("string")),
+      lit(10000L))
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(w => math.round(w * 10000))
+    val splitCol = splits.map(_._1).zip(cum).init
+      .foldRight(lit(splits.last._1): org.apache.spark.sql.Column) {
+        case ((name, th), acc) => when(bucket < th, lit(name)).otherwise(acc)
+      }
+    joined.select(col(idCol), col("component_id"), splitCol.as("split"))
+  }
+
   /** Source-weighted mixture sampling — the "mix datasets at given ratios"
     * step of a training pipeline: keep ~`weights(source)` of each source's
     * rows, chosen by id-hash so membership is reproducible and externally

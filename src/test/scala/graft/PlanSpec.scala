@@ -129,7 +129,8 @@ class PlanSpec extends SparkSpec {
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
-      "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge")
+      "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
+      "q114_leakage_safe_split")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
@@ -165,7 +166,8 @@ class PlanSpec extends SparkSpec {
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
-      "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge")
+      "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
+      "q114_leakage_safe_split")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
@@ -175,6 +177,33 @@ class PlanSpec extends SparkSpec {
         assert(globals.isEmpty,
           s"$name plans ${globals.size} unpartitioned Window(s) — a single-" +
             s"partition global sort at scale:\n${globals.mkString("\n")}")
+    }
+  }
+
+  test("whole surface: no quadratic unbounded-FOLLOWING window frames") {
+    // Spark evaluates an aggregate over (moving lower bound ..
+    // UNBOUNDED FOLLOWING) by re-scanning to the partition end for EVERY
+    // row — O(n^2) per partition (cost q113's first formulation 18.3 s vs
+    // 2.0 s). Whole-partition frames (unboundedPreceding ..
+    // unboundedFollowing) are computed once and stay legal; anything with
+    // a moving lower bound and an unbounded upper bound fails here.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.{SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+    val skip = Set("q52_scd2_table_write", "q56_ivf_index",
+      "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
+      "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
+      "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
+      "q114_leakage_safe_split")
+    for ((name, fn) <- SparkEntry.queries if !skip(name)) {
+      val frames = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow => w.windowExpressions.flatMap(_.collect {
+          case WindowExpression(_, WindowSpecDefinition(_, _,
+              SpecifiedWindowFrame(_, lower, UnboundedFollowing)))
+            if lower != UnboundedPreceding => lower
+        })
+      }.flatten
+      assert(frames.isEmpty,
+        s"$name plans a quadratic (moving-lower .. UNBOUNDED FOLLOWING) frame")
     }
   }
 

@@ -120,4 +120,27 @@ class SamplingSpec extends SparkSpec {
     assert(out(3L) == ((1L, 50L)))    // 200 before -> pack 1, offset 50
     assert(out(4L) == ((0L, 0L)))     // separate group restarts
   }
+
+  test("leakageSafeSplit: clusters never straddle splits; singletons split alone") {
+    val docs = (1L to 30L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // components: {1,2,3} and {10,11}; everyone else is a singleton
+    val components = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "component")
+    val out = Sampling.leakageSafeSplit(docs, components, "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 30)
+    // cluster cohesion: all members share both component and split
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(Set(out(10L), out(11L)).size == 1)
+    // singletons component on their own id
+    assert(out(7L)._1 == 7L)
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // partition-layout invariant
+    val again = Sampling.leakageSafeSplit(docs.repartition(7),
+        components.repartition(3), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again == out)
+  }
 }
