@@ -892,6 +892,35 @@ object OracleSql {
          |FROM ex LEFT JOIN est USING (l_returnflag)""".stripMargin
     },
 
+    // the UNION sketch computed directly — equal to the Spark side's
+    // max-merge of q60's per-group registers by the max-of-max identity
+    "q115_hll_merge" -> {
+      val m = 256
+      val maxRho = graft.operators.Sketches.hllMaxRho(m)
+      val c = graft.operators.Sketches.hllScaleC(m)
+      s"""WITH h AS (SELECT
+         |    ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |r AS (SELECT h & ${m - 1} AS reg, h >> 8 AS rest FROM h),
+         |regs AS (SELECT reg,
+         |    max(CASE WHEN rest = 0 THEN $maxRho
+         |             ELSE $maxRho - length(bin(rest)) END) AS rho
+         |  FROM r GROUP BY 1),
+         |s AS (SELECT count(*) AS np,
+         |    sum(1::BIGINT << ($maxRho - rho))::BIGINT AS scaled FROM regs),
+         |e AS (SELECT np,
+         |    (scaled + ($m - np) * (1::BIGINT << $maxRho))::DOUBLE AS total FROM s),
+         |est AS (SELECT CASE WHEN ($c)::DOUBLE / total <= ${2.5 * m} AND np < $m
+         |         THEN ($m.0)::DOUBLE * ln(($m.0)::DOUBLE / ($m - np))
+         |         ELSE ($c)::DOUBLE / total END AS est FROM e)
+         |SELECT (SELECT count(DISTINCT l_returnflag) FROM lineitem
+         |    WHERE l_orderkey IS NOT NULL)::BIGINT AS n_groups_merged,
+         |  (SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT
+         |    AS exact_distinct,
+         |  ${rnd("est", 2)} AS hll_distinct
+         |FROM est""".stripMargin
+    },
+
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),

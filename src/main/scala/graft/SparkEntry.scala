@@ -1390,6 +1390,15 @@ object SparkEntry {
       .select(col("doc_id"), col("component_id"), col("split"))
   }
 
+  /** HLL sketch MERGE: q60's per-flag register tables combined by
+    * per-register max into the corpus-total estimate — the rollup that
+    * replaces a global distinct at scale. The oracle computes the global
+    * sketch DIRECTLY from the values; equality proves max-merge == union
+    * sketch. */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllMergedDistinct(
+      T(s, dir, "lineitem"), "l_orderkey", Seq("l_returnflag"), m = 256)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1506,7 +1515,8 @@ object SparkEntry {
     "q111_normalize_text" -> (q111 _),
     "q112_domain_cap_docs" -> (q112 _),
     "q113_resample_interp" -> (q113 _),
-    "q114_leakage_safe_split" -> (q114 _)
+    "q114_leakage_safe_split" -> (q114 _),
+    "q115_hll_merge" -> (q115 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

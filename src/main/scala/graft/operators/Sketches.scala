@@ -88,6 +88,55 @@ object Sketches {
         coalesce(col("h"), lit(0.0)).as("hll_distinct")): _*)
   }
 
+  /** The MERGE property that makes HLL a 100 TB operator: per-group
+    * register tables combine by per-register MAX into the sketch of the
+    * UNION, so a rollup (per-source sketches -> corpus total) never
+    * re-reads data — the per-group state from [[hllDistinct]] is all that
+    * ever moves. This computes the per-`groupCols` registers (identical
+    * pipeline), merges them by max, and estimates the global distinct from
+    * the merged m-register sketch, returning one row of
+    * (n_groups_merged, exact_distinct, hll_distinct). The merged estimate
+    * is BY CONSTRUCTION equal to sketching the whole input directly (max
+    * over groups of per-group maxima == the global maximum per register) —
+    * which is exactly what the oracle checks from the other direction. */
+  def hllMergedDistinct(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                        m: Int = 256): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    require(groupCols.nonEmpty, "grouping columns required")
+    val regBits = hllRegBits(m)
+    val maxRho = hllMaxRho(m)
+    val scaleC = hllScaleC(m)
+    val gcols = groupCols.map(col)
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val hashed = df.filter(col(valueCol).isNotNull).select(gcols :+ h.as("h"): _*)
+      .withColumn("reg", col("h").bitwiseAND(lit((m - 1).toLong)))
+      .withColumn("rest", shiftright(col("h"), regBits))
+      .withColumn("rho", when(col("rest") === 0, lit(maxRho))
+        .otherwise(lit(maxRho) - length(bin(col("rest")))))
+    val groupRegs = hashed.groupBy(gcols :+ col("reg"): _*)
+      .agg(max(col("rho")).as("rho"))
+    // the merge itself: per-register MAX across the group sketches
+    val merged = groupRegs.groupBy(col("reg")).agg(max(col("rho")).as("rho"))
+    val est = merged.agg(
+        count(lit(1)).as("np"),
+        sum(call_function("shiftleft", lit(1L),
+          lit(maxRho) - col("rho"))).as("scaled"))
+      .select({
+        val total = (col("scaled") + (lit(m.toLong) - col("np")) *
+          call_function("shiftleft", lit(1L), lit(maxRho))).cast("double")
+        val eRaw = lit(scaleC) / total
+        val zeros = lit(m.toLong) - col("np")
+        round(when(eRaw <= lit(2.5 * m) && zeros > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(eRaw), 2)
+          .as("hll_distinct")
+      })
+    val nGroups = groupRegs
+      .agg(countDistinct(concat_ws("", gcols: _*)).cast("long")
+        .as("n_groups_merged"))
+    val exact = df.agg(countDistinct(col(valueCol)).cast("long").as("exact_distinct"))
+    nGroups.crossJoin(exact).crossJoin(est)
+  }
+
   /** Count-Min sketch frequency estimates for a set of probe keys, with the
     * exact counts alongside (the sketch-error report a pipeline runs before
     * trusting CMS numbers at a given width).

@@ -86,4 +86,23 @@ class SketchesSpec extends SparkSpec {
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("partial_topk_agg"), p)
   }
+
+  test("hllMergedDistinct: the merged estimate is grouping-invariant (max-of-max identity)") {
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 2000L).map(i => (i % 700, s"g${i % 3}", s"h${i % 7}"))
+      .toDF("v", "ga", "gb")
+    def est(groupCols: Seq[String]) =
+      Sketches.hllMergedDistinct(rows, "v", groupCols).collect()(0)
+    val a = est(Seq("ga"))
+    val b = est(Seq("gb"))
+    // merging 3 sketches and merging 7 sketches of the SAME values must
+    // land on the identical union sketch -> identical estimate
+    assert(a.getDouble(2) == b.getDouble(2))
+    assert(a.getLong(0) == 3L && b.getLong(0) == 7L)
+    assert(a.getLong(1) == 700L)
+    // and both equal the direct single-group sketch of the whole input
+    val direct = Sketches.hllDistinct(rows.withColumn("one", lit("x")),
+      "v", Seq("one")).collect()(0)
+    assert(direct.getDouble(2) == a.getDouble(2))
+  }
 }
