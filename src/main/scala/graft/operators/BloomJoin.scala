@@ -38,8 +38,13 @@ object BloomJoin {
     * [[graft.functions.VectorFunctions.nearestCentroid]]). */
   private def mightContain(spark: org.apache.spark.sql.SparkSession,
                            filterBytes: Array[Byte], key: Column): Column = {
-    val name = "graft_bloom_might_contain_" +
-      java.lang.Integer.toUnsignedString(java.util.Arrays.hashCode(filterBytes))
+    // content-address by a FULL md5 of the serialized filter: Registry.ensure
+    // is first-wins, so a truncated (32-bit) name could silently bind a later
+    // join to an earlier filter's bytes on collision — md5 makes distinct
+    // filters unable to share a name
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(filterBytes).map("%02x".format(_)).mkString
+    val name = "graft_bloom_might_contain_" + md5hex
     graft.functions.Registry.ensure(spark, name)(
       exprs => BloomFilterMightContain(
         Literal.create(filterBytes, BinaryType), exprs(0)))

@@ -81,7 +81,10 @@ object Sampling {
     * eval is test-set contamination by construction, so every member of a
     * [[graft.operators.Dedup.connectedComponents]] cluster lands in the
     * same split. Docs absent from `components` (no near-dup link) are
-    * their own singleton component. The split is the component id's
+    * their own singleton component. The id column keeps its NATIVE type
+    * throughout (numeric or string — the hash input is its string form, so
+    * a VARCHAR doc id buckets exactly like a BIGINT one; no lossy cast
+    * that could null the component). The split is the component id's
     * portable hash bucket against cumulative weight thresholds —
     * deterministic, engine-reproducible, and a pure projection after one
     * equi-join on the id (broadcast when the component table is small;
@@ -96,7 +99,7 @@ object Sampling {
       .join(components.select(col("node").as(idCol), col("component")),
         Seq(idCol), "left")
       .withColumn("component_id",
-        coalesce(col("component"), col(idCol)).cast("long"))
+        coalesce(col("component"), col(idCol)))
     val bucket = pmod(Hashes.portableHash32(col("component_id").cast("string")),
       lit(10000L))
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail

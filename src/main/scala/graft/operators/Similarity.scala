@@ -198,6 +198,14 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     VectorFunctions.register(spark)
+    // full rebuild: drop any append segments + their commit log FIRST —
+    // the new corpus supersedes them, and leaving the log would make
+    // readers union stale segments on top of the rewritten base
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    Seq(s"$path/append_log", s"$path/appends").foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    }
     val rows = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol), col(vecCol)).collect()
     val cs = CentroidSet(array(rows.map(r => lit(r.get(0))): _*),
@@ -217,30 +225,66 @@ object Similarity {
     VectorFunctions.releaseCentroidBroadcast(spark, cs.bc)
   }
 
+  /** Committed append segments of an IVF index, from its commit log. A
+    * segment is visible ONLY once its log row exists, so a crashed append
+    * (data files written, no log row) is invisible to every reader. */
+  private[operators] def committedSegments(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, Long, String)] = {
+    val logDir = s"$path/append_log"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(logDir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(logDir))) Seq.empty
+    else spark.read.parquet(logDir)
+      .select("app_id", "batch_id", "segment").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+  }
+
   /** Append a NEW batch into a persisted IVF index WITHOUT retraining or
     * rewriting: the batch is assigned against the index's OWN centroid
-    * table (so existing bucket semantics are unchanged) and appended into
-    * its bucket directories — only the batch's buckets gain files, nothing
-    * is rewritten, and a concurrent [[ivfTopKFromIndex]] keeps reading
-    * consistent directories. This is the steady-state ingestion path; the
-    * caller contract is to retrain + rewrite ([[writeIvfIndex]]) when
-    * quantizer drift degrades recall (the standard IVF maintenance cycle).
+    * table (so existing bucket semantics are unchanged) and written as a
+    * fresh append SEGMENT — only then is the segment committed into the
+    * index's append log, and [[ivfTopKFromIndex]] reads exactly the base
+    * corpus plus COMMITTED segments. That makes the append crash-safe and
+    * replay-safe, the same two-step contract as the repo's other persisted
+    * writes (ParquetTable txn, nearDupFilterBatch):
+    *  - a crash mid-write leaves data files but no log row → invisible;
+    *    the retry overwrites the same segment directory cleanly;
+    *  - a replayed `(appId, batchId)` already in the log is a no-op, so
+    *    a foreachBatch caller gets exactly-once index content.
+    * `batchId < 0` opts out of replay-dedup (each call appends a uniquely
+    * named segment — still crash-safe, not idempotent). The caller contract
+    * is to retrain + rewrite ([[writeIvfIndex]]) when quantizer drift
+    * degrades recall (the standard IVF maintenance cycle); the rewrite
+    * folds committed segments in and truncates the log.
     * Cost: one codegen'd argmin projection over the batch + one shuffle on
     * the bucket key to keep per-bucket file counts bounded. */
   def appendToIvfIndex(batch: DataFrame, path: String,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
+                       vecCol: String = "embedding",
+                       appId: String = "graft",
+                       batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
+    if (batchId >= 0 &&
+        committedSegments(spark, path).exists(s => s._1 == appId && s._2 == batchId))
+      return // replayed batch: already committed, exactly-once no-op
     VectorFunctions.register(spark)
     val centRows = spark.read.parquet(s"$path/centroids")
       .orderBy(col("centroid_id")).collect()
     val cs = CentroidSet(array(centRows.map(r => lit(r.get(0))): _*),
       spark.sparkContext.broadcast(centRows.map(_.getSeq[Float](1).toArray)))
+    val segment =
+      if (batchId >= 0) s"$appId-$batchId"
+      else s"$appId-u${java.util.UUID.randomUUID().toString.take(8)}"
     batch.select(col(idCol), col(vecCol))
       .withColumn("centroid_id", nearestCentroidId(cs, col(vecCol), spark))
       .repartition(col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id").parquet(s"$path/corpus")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/appends/$segment")
     VectorFunctions.releaseCentroidBroadcast(spark, cs.bc)
+    // data files are fully written; the single-file log append is the commit
+    import spark.implicits._
+    Seq((appId, batchId, segment)).toDF("app_id", "batch_id", "segment")
+      .coalesce(1).write.mode("append").parquet(s"$path/append_log")
   }
 
   /** Top-k over a persisted IVF index: probe selection runs on the (tiny)
@@ -271,10 +315,19 @@ object Similarity {
     val base = s"$path/corpus"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(base), spark.sparkContext.hadoopConfiguration)
-    val dirs = probedIds.map(v => s"$base/centroid_id=$v")
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-    require(dirs.nonEmpty, s"no probed IVF buckets exist under $base")
-    val bucket = spark.read.option("basePath", base).parquet(dirs: _*)
+    // visible index = base corpus + COMMITTED append segments (crashed
+    // appends have no log row and are never read); each root is pruned to
+    // its probed bucket directories independently
+    val roots = base +: committedSegments(spark, path)
+      .map(s => s"$path/appends/${s._3}")
+    val perRoot = roots.flatMap { root =>
+      val dirs = probedIds.map(v => s"$root/centroid_id=$v")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", root).parquet(dirs: _*))
+    }
+    require(perRoot.nonEmpty, s"no probed IVF buckets exist under $path")
+    val bucket = perRoot.reduce(_ unionByName _)
     val scored = broadcast(probes).join(bucket, "centroid_id")
       .select(col("query_id"), struct(
         negate(VectorFunctions.cosine(col(corpusVec), col("qv"))).as("negcos"),

@@ -130,8 +130,10 @@ object Sketches {
           lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(eRaw), 2)
           .as("hll_distinct")
       })
+    // distinct group TUPLES via struct, not a delimiter-joined string —
+    // adversarial values containing the delimiter could merge two groups
     val nGroups = groupRegs
-      .agg(countDistinct(concat_ws("", gcols: _*)).cast("long")
+      .agg(countDistinct(struct(gcols: _*)).cast("long")
         .as("n_groups_merged"))
     val exact = df.agg(countDistinct(col(valueCol)).cast("long").as("exact_distinct"))
     nGroups.crossJoin(exact).crossJoin(est)

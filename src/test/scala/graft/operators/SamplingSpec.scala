@@ -143,4 +143,25 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(again == out)
   }
+
+  test("leakageSafeSplit: string ids keep their native type and never null out") {
+    // regression: the long cast used to null every non-numeric id's
+    // component_id, silently dumping ALL docs into the last split
+    val docs = Seq("u-alpha", "u-beta", "u-gamma", "u-delta", "u-eps",
+        "u-zeta", "u-eta", "u-theta").toDF("doc_id")
+    val components = Seq(("u-alpha", "u-alpha"), ("u-beta", "u-alpha"))
+      .toDF("node", "component")
+    val out = Sampling.leakageSafeSplit(docs, components, "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out.size == 8)
+    // no component_id is null and singletons carry their own string id
+    assert(out.values.forall(_._1 != null))
+    assert(out("u-gamma")._1 == "u-gamma")
+    // the cluster still coheres
+    assert(out("u-alpha") == out("u-beta"))
+    // the old bug put every doc in the LAST split; with real hashing the
+    // 8 ids must not all collapse into "test"
+    assert(out.values.map(_._2).toSet != Set("test"))
+  }
 }

@@ -94,8 +94,8 @@ class SimilaritySpec extends SparkSpec {
     // split so the first nCentroids ids (the quantizer seed rows) are all in
     // the initial write — then both builds train identical centroids and the
     // incremental index must answer every query identically
-    val first = corpus.filter($"vec_id" < 6L)
-    val rest = corpus.filter($"vec_id" >= 6L)
+    val first = corpus.filter($"vec_id" < 3L)
+    val rest = corpus.filter($"vec_id" >= 3L)
     val incDir = tmpDir("ivf_inc")
     Similarity.writeIvfIndex(first, nCentroids = 3, incDir)
     Similarity.appendToIvfIndex(rest, incDir)
@@ -112,6 +112,35 @@ class SimilaritySpec extends SparkSpec {
     val files = new java.io.File(s"$incDir/corpus").listFiles()
       .filter(_.getName.startsWith("centroid_id="))
     assert(files.nonEmpty)
+  }
+
+  test("appendToIvfIndex: replayed (appId,batchId) is a no-op; crashed segment invisible") {
+    val dir = tmpDir("ivf_txn")
+    Similarity.writeIvfIndex(corpus.filter($"vec_id" < 3L), nCentroids = 3, dir)
+    val rest = corpus.filter($"vec_id" >= 3L)
+    Similarity.appendToIvfIndex(rest, dir, appId = "app", batchId = 7L)
+    val queries = corpus.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def visible() = Similarity
+      .ivfTopKFromIndex(spark, dir, queries, k = 10, nProbe = 3)
+      .select("neighbor_id").as[Long].collect().toSeq.sorted
+    val once = visible()
+    assert(once == once.distinct, s"duplicate neighbors after append: $once")
+    assert(once.toSet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    // replay the SAME (appId,batchId): exactly-once, nothing duplicated
+    Similarity.appendToIvfIndex(rest, dir, appId = "app", batchId = 7L)
+    assert(visible() == once)
+    // a crashed append = segment data on disk WITHOUT a commit-log row —
+    // readers must not see it
+    rest.withColumn("centroid_id", lit(0L))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/appends/app-crashed")
+    assert(visible() == once)
+    // a full rebuild folds everything in and truncates the log: no
+    // stale-segment double counting on top of the rewritten base
+    Similarity.writeIvfIndex(corpus, nCentroids = 3, dir)
+    assert(visible() == once)
+    assert(!new java.io.File(s"$dir/append_log").exists())
   }
 
   test("hardNegatives never returns a same-label neighbor and stays bounded") {

@@ -105,4 +105,12 @@ class SketchesSpec extends SparkSpec {
       "v", Seq("one")).collect()(0)
     assert(direct.getDouble(2) == a.getDouble(2))
   }
+
+  test("hllMergedDistinct: multi-column groups count as tuples, not concatenations") {
+    // regression: concat-based counting merged ("a","bc") with ("ab","c")
+    val rows = Seq((1L, "a", "bc"), (2L, "ab", "c"), (3L, "a", "bc"))
+      .toDF("v", "ga", "gb")
+    val out = Sketches.hllMergedDistinct(rows, "v", Seq("ga", "gb")).collect()(0)
+    assert(out.getLong(0) == 2L, s"expected 2 distinct group tuples, got $out")
+  }
 }
