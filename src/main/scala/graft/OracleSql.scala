@@ -921,6 +921,101 @@ object OracleSql {
          |FROM est""".stripMargin
     },
 
+    // SemDeDup: argmax-cosine assignment replayed as a cross join, the
+    // within-cluster prune as a lowest-id EXISTS
+    "q116_semantic_dedup" ->
+      s"""WITH centroids AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |assigned AS (SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS r
+         |    FROM embeddings e CROSS JOIN centroids c) WHERE r = 1),
+         |dropped AS (SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
+         |  ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
+         |SELECT a.vec_id, a.centroid_id, (d.vec_id IS NULL) AS kept
+         |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id""".stripMargin,
+
+    // PQ encode: per-subspace argmin squared-L2 against the first-16-row
+    // codebook, same double accumulation order as the codegen'd expression
+    "q117_pq_codes" -> {
+      val l2 = "list_sum(list_transform(generate_series(1, 8), i -> " +
+        "((e.embedding[s.sub * 8 + i]::DOUBLE) - (c.cw[s.sub * 8 + i]::DOUBLE)) * " +
+        "((e.embedding[s.sub * 8 + i]::DOUBLE) - (c.cw[s.sub * 8 + i]::DOUBLE))))"
+      s"""WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |    embedding AS cw FROM embeddings ORDER BY vec_id LIMIT 16),
+         |subs AS (SELECT unnest(range(0, 8)) AS sub),
+         |scored AS (SELECT e.vec_id, s.sub, c.code, $l2 AS d
+         |  FROM embeddings e CROSS JOIN subs s CROSS JOIN cb c),
+         |ranked AS (SELECT vec_id, sub, code,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d ASC, code ASC) AS r FROM scored)
+         |SELECT vec_id, sub::BIGINT AS sub, code::BIGINT AS code
+         |FROM ranked WHERE r = 1""".stripMargin
+    },
+
+    // duplicated-trigram fraction over gram STRINGS (the Spark side counts
+    // 64-bit gram hashes — q22's same-counts-modulo-collision contract)
+    "q118_dup_ngram_fraction" -> {
+      val sh = shinglesExpr("t", 3)
+      s"""WITH toks AS (SELECT doc_id, $toksExpr AS t FROM documents),
+         |grams AS (SELECT doc_id, unnest($sh) AS g FROM toks),
+         |dg AS (SELECT doc_id, g, count(*) AS n_occ FROM grams GROUP BY 1, 2),
+         |dfc AS (SELECT g, count(*) AS doc_freq FROM dg GROUP BY 1),
+         |per AS (SELECT dg.doc_id, sum(n_occ) AS n_grams,
+         |    sum(CASE WHEN doc_freq > 1 THEN n_occ ELSE 0 END) AS dup_grams
+         |  FROM dg JOIN dfc USING (g) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+         |  coalesce(dup_grams, 0)::BIGINT AS dup_grams,
+         |  ${rnd("CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0 " +
+               "ELSE dup_grams::DOUBLE / n_grams::DOUBLE END", 4)} AS dup_frac
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
+    },
+
+    // A-ES weighted sample: same hash-uniform, same ln(u)/w key, same
+    // (key DESC, id ASC) order — the oracle IS the reference sampler
+    "q119_weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id, n_chars::DOUBLE AS wt FROM documents
+         |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |keys AS (SELECT doc_id,
+         |    ln((${h32("doc_id::VARCHAR")} + 0.5) / 4294967296.0) / wt AS aes
+         |  FROM w),
+         |ranked AS (SELECT doc_id, aes,
+         |    row_number() OVER (ORDER BY aes DESC, doc_id ASC) AS r FROM keys)
+         |SELECT r::BIGINT AS sample_rank, doc_id, ${rnd("aes", 6)} AS aes_key
+         |FROM ranked WHERE r <= 25""".stripMargin,
+
+    // int8 quantization: per-dim max|x|/127 scales, half-up rounded codes
+    "q120_int8_quantize" ->
+      s"""WITH dims AS (SELECT vec_id,
+         |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         |    unnest(embedding) AS x FROM embeddings),
+         |scales AS (SELECT dim, max(abs(x))::DOUBLE / 127.0 AS scale
+         |  FROM dims GROUP BY 1)
+         |SELECT d.vec_id, d.dim::BIGINT AS dim,
+         |  CASE WHEN scale = 0.0 THEN 0
+         |       ELSE ${rnd("d.x::DOUBLE / scale", 0)}::BIGINT END AS code,
+         |  ${rnd("scale", 9)} AS scale
+         |FROM dims d JOIN scales USING (dim)""".stripMargin,
+
+    // bigram LM over token STRINGS (Spark joins 64-bit hashes — q22's
+    // same-counts-modulo-collision contract); MLE conditional
+    // c(w1 w2) / c_prefix(w1), prefix counted over bigram positions
+    "q121_bigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, $toksExpr AS t FROM documents),
+         |bgs AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+         |    unnest(list_transform(generate_series(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i + 1])) AS bg
+         |  FROM toks),
+         |cbt AS (SELECT bg, count(*) AS cb FROM bgs GROUP BY 1),
+         |cpt AS (SELECT w1, count(*) AS cp FROM bgs GROUP BY 1)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |  ${rnd("avg(ln(cb::DOUBLE / cp))", 4)} AS avg_logprob
+         |FROM bgs JOIN cbt USING (bg) JOIN cpt USING (w1)
+         |GROUP BY doc_id""".stripMargin,
+
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),

@@ -1399,6 +1399,53 @@ object SparkEntry {
     graft.operators.Sketches.hllMergedDistinct(
       T(s, dir, "lineitem"), "l_orderkey", Seq("l_returnflag"), m = 256)
 
+  /** SemDeDup semantic deduplication: embeddings bucketed by an 8-centroid
+    * coarse quantizer (deterministic first-8 rows), within-cluster pairs at
+    * cosine >= 0.4, lowest id survives. The oracle replays assignment as a
+    * cross-join argmax and the prune as an EXISTS — proving the codegen'd
+    * argmin + bounded within-cluster join select the same survivor set. */
+  private def q116(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(TW(s, dir, "embeddings"), "vec_id", "embedding",
+        nClusters = 8, threshold = 0.4)
+      .select(col("id").as("vec_id"), col("centroid_id"), col("kept"))
+
+  /** Product-quantization codes: 64d cut into m=8 subspaces, ksub=16
+    * deterministic codewords each; every vector compresses to 8 argmin-L2
+    * code indices via the codegen'd broadcast-codebook projection. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val emb = TW(s, dir, "embeddings")
+    val book = Similarity.pqCodebook(emb, m = 8, ksub = 16)
+    Similarity.pqEncode(emb, book)
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").cast("long").as("sub"),
+        col("col").cast("long").as("code"))
+  }
+
+  /** Per-doc duplicated-trigram fraction (RefinedWeb-style boilerplate
+    * filter): of each doc's trigram positions, the share whose trigram
+    * occurs in at least one OTHER document. */
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupNgramFraction(T(s, dir, "documents"), "text", "doc_id",
+      shingleK = 3, minDf = 1)
+
+  /** Efraimidis–Spirakis weighted sampling without replacement: 25 docs
+    * drawn PPS by n_chars with hash-derived uniforms — deterministic, so
+    * the oracle recomputes the exact same keys and winners. */
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      T(s, dir, "documents"), "doc_id", "n_chars", k = 25)
+
+  /** Symmetric int8 embedding quantization: per-dim scale = max|x|/127 over
+    * the corpus, code = round(x/scale) — the 4x compression pass before
+    * vector serving. Exploded (vec_id, dim, code, scale) form. */
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(T(s, dir, "embeddings"))
+
+  /** Bigram LM score per doc: avg ln c(w1 w2)/c_prefix(w1) — the Markov
+    * perplexity-style quality filter one step up from q79's unigram. */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1516,7 +1563,13 @@ object SparkEntry {
     "q112_domain_cap_docs" -> (q112 _),
     "q113_resample_interp" -> (q113 _),
     "q114_leakage_safe_split" -> (q114 _),
-    "q115_hll_merge" -> (q115 _)
+    "q115_hll_merge" -> (q115 _),
+    "q116_semantic_dedup" -> (q116 _),
+    "q117_pq_codes" -> (q117 _),
+    "q118_dup_ngram_fraction" -> (q118 _),
+    "q119_weighted_sample" -> (q119 _),
+    "q120_int8_quantize" -> (q120 _),
+    "q121_bigram_logprob" -> (q121 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

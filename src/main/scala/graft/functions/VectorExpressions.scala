@@ -269,6 +269,162 @@ case class TopCentroids(child: Expression, centroids: Broadcast[Array[Array[Floa
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: the input vector is cut into `m` equal
+  * subspaces and each subspace is replaced by the index of its nearest
+  * (squared-L2) codeword in that subspace's codebook — 8 bytes of codes per
+  * vector instead of dim x 4 bytes of floats. The codebook rides in the
+  * expression as a broadcast (m x ksub x dsub floats, one copy per
+  * executor, zero plan literals), and encoding is a zero-shuffle projection
+  * inside whole-stage codegen. Lowest code index wins distance ties. */
+case class PqEncode(child: Expression,
+                    codebooks: Broadcast[Array[Array[Array[Float]]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val cbs: Array[Array[Array[Float]]] = codebooks.value
+
+  override def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData].toFloatArray()
+    val m = cbs.length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val book = cbs(s)
+      val dsub = if (book.isEmpty) 0 else book(0).length
+      val base = s * dsub
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var d = 0.0; var i = 0
+        while (i < cw.length) {
+          val x = (if (base + i < q.length) q(base + i).toDouble else 0.0) - cw(i).toDouble
+          d += x * x; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pqCodebooksBc", codebooks,
+      classOf[Broadcast[Array[Array[Array[Float]]]]].getName)
+    val cb = ctx.addMutableState("float[][][]", "graftPqBooks",
+      v => s"$v = (float[][][]) $bcRef.value();")
+    val fn = ctx.freshName("graftPqEncode")
+    val f = ctx.addNewFunction(fn,
+      s"""
+         |private org.apache.spark.sql.catalyst.util.ArrayData $fn(
+         |    org.apache.spark.sql.catalyst.util.ArrayData arr) {
+         |  float[] q = arr.toFloatArray();
+         |  int m = $cb.length;
+         |  int[] codes = new int[m];
+         |  for (int s = 0; s < m; s++) {
+         |    float[][] book = $cb[s];
+         |    int dsub = book.length == 0 ? 0 : book[0].length;
+         |    int base = s * dsub;
+         |    int best = 0; double bestD = Double.MAX_VALUE;
+         |    for (int c = 0; c < book.length; c++) {
+         |      float[] cw = book[c];
+         |      double d = 0.0;
+         |      for (int i = 0; i < cw.length; i++) {
+         |        double x = (base + i < q.length ? (double) q[base + i] : 0.0)
+         |          - (double) cw[i];
+         |        d += x * x;
+         |      }
+         |      if (d < bestD) { bestD = d; best = c; }
+         |    }
+         |    codes[s] = best;
+         |  }
+         |  return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray(codes);
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $f($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric PQ distance: squared L2 between a RAW query vector and the
+  * RECONSTRUCTION of a PQ-coded corpus vector — Σ_s ||q_s - codeword(s,
+  * code_s)||², accumulated per subspace in code order (the ADC identity:
+  * per-subspace lookups sum to the exact distance to the decoded vector).
+  * The scan reads only the code arrays (m ints) per corpus row — the PQ
+  * win at scale is memory bandwidth, not FLOPs — and stays inside
+  * whole-stage codegen. */
+case class PqAdcDistance(left: Expression, right: Expression,
+                         codebooks: Broadcast[Array[Array[Array[Float]]]])
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_distance"
+
+  @transient private lazy val cbs: Array[Array[Array[Float]]] = codebooks.value
+
+  override def nullSafeEval(codesAny: Any, qAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val q = qAny.asInstanceOf[ArrayData].toFloatArray()
+    val m = math.min(cbs.length, codes.numElements())
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val book = cbs(s)
+      val dsub = if (book.isEmpty) 0 else book(0).length
+      val base = s * dsub
+      val cw = book(codes.getInt(s))
+      var i = 0
+      while (i < cw.length) {
+        val x = (if (base + i < q.length) q(base + i).toDouble else 0.0) - cw(i).toDouble
+        acc += x * x; i += 1
+      }
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pqCodebooksBc", codebooks,
+      classOf[Broadcast[Array[Array[Array[Float]]]]].getName)
+    val cb = ctx.addMutableState("float[][][]", "graftPqBooks",
+      v => s"$v = (float[][][]) $bcRef.value();")
+    val fn = ctx.freshName("graftPqAdc")
+    val f = ctx.addNewFunction(fn,
+      s"""
+         |private double $fn(org.apache.spark.sql.catalyst.util.ArrayData codes,
+         |    org.apache.spark.sql.catalyst.util.ArrayData arr) {
+         |  float[] q = arr.toFloatArray();
+         |  int m = Math.min($cb.length, codes.numElements());
+         |  double acc = 0.0;
+         |  for (int s = 0; s < m; s++) {
+         |    float[][] book = $cb[s];
+         |    int dsub = book.length == 0 ? 0 : book[0].length;
+         |    int base = s * dsub;
+         |    float[] cw = book[codes.getInt(s)];
+         |    for (int i = 0; i < cw.length; i++) {
+         |      double x = (base + i < q.length ? (double) q[base + i] : 0.0)
+         |        - (double) cw[i];
+         |      acc += x * x;
+         |    }
+         |  }
+         |  return acc;
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $f($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   @volatile private var registered = false
 
@@ -301,6 +457,34 @@ object VectorFunctions {
     val name = s"graft_top_centroids_${bc.id}_$nProbe"
     Registry.ensure(spark, name)(exprs => TopCentroids(exprs(0), bc, nProbe))
     call_function(name, vec)
+  }
+
+  /** Column wrapping [[PqEncode]] — registry route, per-broadcast name. */
+  def pqEncode(spark: SparkSession, vec: Column,
+               bc: Broadcast[Array[Array[Array[Float]]]]): Column = {
+    val name = s"graft_pq_encode_${bc.id}"
+    Registry.ensure(spark, name)(exprs => PqEncode(exprs(0), bc))
+    call_function(name, vec)
+  }
+
+  /** Column wrapping [[PqAdcDistance]] — registry route, per-broadcast name. */
+  def pqAdcDistance(spark: SparkSession, codes: Column, qv: Column,
+                    bc: Broadcast[Array[Array[Array[Float]]]]): Column = {
+    val name = s"graft_pq_adc_${bc.id}"
+    Registry.ensure(spark, name)(exprs => PqAdcDistance(exprs(0), exprs(1), bc))
+    call_function(name, codes, qv)
+  }
+
+  /** Release a PQ codebook broadcast — same lifecycle contract as
+    * [[releaseCentroidBroadcast]]. */
+  def releasePqBroadcast(spark: SparkSession,
+                         bc: Broadcast[Array[Array[Array[Float]]]]): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.listFunction()
+      .filter(f => f.funcName == s"graft_pq_encode_${bc.id}" ||
+        f.funcName == s"graft_pq_adc_${bc.id}")
+      .foreach(reg.dropFunction)
+    bc.destroy()
   }
 
   /** Release a centroid broadcast once every action that uses it has run:

@@ -161,4 +161,35 @@ object Corpus {
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         round(avg(log(col("cnt") / col("n"))), 4).as("avg_logprob"))
   }
+
+  /** Bigram language-model score per document — the Markov step up from
+    * [[unigramLogProb]] and the standard perplexity-style quality filter:
+    * avg over positions of ln P(w_i | w_{i-1}) with the MLE estimate
+    * c(w_{i-1}, w_i) / c_prefix(w_{i-1}), where c_prefix counts w_{i-1}
+    * occurrences as a bigram PREFIX (so the conditional sums to 1 over the
+    * vocabulary and every observed bigram scores > -inf without smoothing).
+    *
+    * Scale shape: bigrams and prefixes travel as 64-BIT HASHES
+    * ([[graft.functions.TextHashFunctions.shingleHashes64]]) — both count
+    * shuffles and both join-backs move 8-byte longs, never gram strings
+    * (same counts modulo md5-collision odds, the [[Dedup.ngramJaccardPairs]]
+    * contract). Count state is vocabulary-bounded; docs shorter than two
+    * tokens have no bigrams and drop out (mirrors [[unigramLogProb]] on
+    * empty docs). Returns (doc_id, n_bigrams, avg_logprob 4dp). */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextHashFunctions
+    val pairs = graft.Tables.widen(df).select(col(idCol).as("doc_id"),
+        explode(arrays_zip(
+          TextHashFunctions.shingleHashes64(col(textCol), 1).as("uh"),
+          TextHashFunctions.shingleHashes64(col(textCol), 2).as("bh"))).as("z"))
+      .select(col("doc_id"), col("z.uh").as("w1h"), col("z.bh").as("bgh"))
+      .filter(col("bgh").isNotNull) // zip pads: last unigram has no bigram
+      .localCheckpoint() // feeds both count tables and the join-back
+    val bigramCnt = pairs.groupBy("bgh").agg(count(lit(1)).as("cb"))
+    val prefixCnt = pairs.groupBy("w1h").agg(count(lit(1)).as("cp"))
+    pairs.join(bigramCnt, "bgh").join(prefixCnt, "w1h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(log(col("cb").cast("double") / col("cp"))), 4).as("avg_logprob"))
+  }
 }

@@ -595,4 +595,83 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    * compare pairs ONLY within a cluster and drop every doc that has a
+    * more-canonical (lower-id) cluster-mate above the cosine threshold.
+    *
+    * The candidate set is Σ c_i² over CLUSTER sizes — the published
+    * SemDeDup operating point chooses nClusters ~ n/avgClusterSize to keep
+    * each cluster in the thousands, which is exactly the bound the
+    * within-cluster join inherits here (one shuffle of the corpus on
+    * centroid_id; the pair scan is an SMJ within each cluster, never a
+    * global cross product). Assignment itself is the zero-shuffle codegen'd
+    * [[graft.operators.Similarity.ivfAssign]] argmin projection against a
+    * broadcast centroid matrix. Deterministic centroids (first nClusters
+    * rows by id) keep results reproducible and externally checkable — swap
+    * in [[graft.operators.Similarity.trainCentroids]] output for real
+    * workloads.
+    *
+    * Returns (id, centroid_id, kept): `kept` = false iff some same-cluster
+    * doc with a smaller id is cosine-similar at >= threshold. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(df.sparkSession)
+    val assigned = Similarity.ivfAssign(df, nClusters, idCol, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("centroid_id"))
+      .localCheckpoint() // assignment runs once, not once per join side
+    val dropped = assigned.alias("a").join(assigned.alias("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("b.id") < col("a.id"))
+      .filter(VectorFunctions.cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.id").as("id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("centroid_id"),
+        coalesce(!col("is_dropped"), lit(true)).as("kept"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Cross-document duplicated n-grams
+  // -------------------------------------------------------------------------
+
+  /** Per-document duplicated-n-gram fraction — the RefinedWeb/MassiveText
+    * "fraction of the document that is boilerplate shared with other
+    * documents" filter: of a doc's n-gram POSITIONS, the fraction whose
+    * n-gram also occurs in at least `minDf` OTHER documents.
+    *
+    * Shape: one explode to (doc, gram-hash) counts — grams travel as 64-bit
+    * hashes ([[graft.functions.TextHashFunctions.shingleHashes64]]), so the
+    * two aggregations shuffle 8-byte longs, never gram strings. Document
+    * frequency is computed FROM the per-(doc,gram) table (already exactly
+    * the distinct doc-gram pairs — no second distinct pass), and the join
+    * back to per-doc totals runs on the gram key both sides already
+    * shuffled on. State is vocabulary-bounded (distinct grams), per-doc
+    * output is one row — no step holds a posting list in memory. */
+  def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
+                       shingleK: Int = 3, minDf: Int = 1): DataFrame = {
+    val positions = graft.Tables.widen(df).select(col(idCol).as("id"),
+        explode(graft.functions.TextHashFunctions.shingleHashes64(
+          col(textCol), shingleK)).as("g"))
+    val docGram = positions.groupBy("id", "g").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint() // feeds df-counts AND the join-back; compute once
+    val gramDf = docGram.groupBy("g")
+      .agg(count(lit(1)).as("doc_freq"))
+    val perDoc = docGram.join(gramDf, "g")
+      .groupBy(col("id"))
+      .agg(sum(col("n_occ")).as("n_grams"),
+        sum(when(col("doc_freq") > minDf, col("n_occ")).otherwise(lit(0L)))
+          .as("dup_grams"))
+    // docs too short to have any n-gram still report (0, 0, 0.0)
+    df.select(col(idCol)).join(perDoc.withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        round(when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("dup_grams").cast("double") / col("n_grams")), 4)
+          .as("dup_frac"))
+  }
 }

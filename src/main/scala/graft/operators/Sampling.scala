@@ -185,4 +185,35 @@ object Sampling {
       .drop("__before")
       .withColumnRenamed("__tokens", "n_tokens")
   }
+
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
+    * ("Weighted random sampling with a reservoir", IPL 2006): each row gets
+    * key u^(1/w) for uniform u, and the k largest keys are a PPS-correct
+    * weighted sample. Ordering by ln(u)/w (monotone in u^(1/w), numerically
+    * tamer) with the uniform derived from the row id's portable hash —
+    * u = (h + 0.5) / 2^32 — so the sample is deterministic, reproducible on
+    * any cluster size, and externally recomputable, the same contract as
+    * [[deterministicSample]]. Selection is the bounded
+    * [[graft.functions.TopKAgg]]: every partition emits at most k
+    * candidates map-side, a single tiny merge picks the winners — no global
+    * sort, no shuffle of the corpus. Rows with null or non-positive weight
+    * are excluded (zero-weight items are never sampled in A-ES).
+    * Returns (sample_rank, id, aes_key) with aes_key = ln(u)/w 6dp. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val u = (Hashes.portableHash32(col(idCol).cast("string")).cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    val key = log(u) / col(weightCol).cast("double")
+    // TopKAgg keeps the k SMALLEST by first struct field: negate the key so
+    // "largest key" (A-ES winner) sorts first; ties (impossible for
+    // distinct ids in practice) break by id ascending
+    val keyed = struct(negate(key).as("nk"), col(idCol).as("id"))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .agg(graft.functions.TopKAgg.topK(keyed, k).as("arr"))
+      .select(posexplode(col("arr")))
+      .select((col("pos") + 1).cast("long").as("sample_rank"),
+        col("col.id").as(idCol),
+        round(negate(col("col.nk")), 6).as("aes_key"))
+  }
 }

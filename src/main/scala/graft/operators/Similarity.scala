@@ -364,4 +364,94 @@ object Similarity {
         col(corpusId).as("nid")).as("s"))
     topKMerge(scored, k)
   }
+
+  // -------------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search")
+  // -------------------------------------------------------------------------
+
+  /** A PQ codebook: `m` subspaces x `ksub` codewords x dim/m floats, held as
+    * one executor-side broadcast (never plan literals). */
+  final case class PqBook(m: Int, ksub: Int, dsub: Int,
+                          bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]])
+
+  /** Deterministic PQ codebook: the sub-vectors of the first `ksub` corpus
+    * rows by id, per subspace — same reproducible-quantizer convention as
+    * [[centroidSet]] (swap in per-subspace k-means for production recall;
+    * the encode/search machinery is codebook-agnostic). Bounded
+    * control-plane collect of ksub rows. */
+  def pqCodebook(corpus: DataFrame, m: Int, ksub: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): PqBook = {
+    val rows = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(rows.nonEmpty, "empty corpus for PQ codebook")
+    val dim = rows(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val books = Array.tabulate(m) { s =>
+      rows.map(r => java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub))
+    }
+    PqBook(m, ksub, dsub, corpus.sparkSession.sparkContext.broadcast(books))
+  }
+
+  /** PQ-encode the corpus: (id, codes) where codes(s) = index of the
+    * nearest (squared-L2) codeword in subspace s. A single zero-shuffle
+    * codegen'd projection ([[graft.functions.PqEncode]]) — at 100 TB this
+    * is the compression pass that turns a dim x 4-byte vector column into
+    * m x 4 bytes (m bytes once written as tinyint), so the ANN scan that
+    * follows is memory-bandwidth-bound on codes, not vectors. */
+  def pqEncode(corpus: DataFrame, book: PqBook,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    corpus.select(col(idCol),
+      VectorFunctions.pqEncode(spark, col(vecCol), book.bc).as("codes"))
+  }
+
+  /** PQ asymmetric-distance top-k: each query scans only the CODES table
+    * (m ints per corpus row), scoring via the exact ADC identity
+    * ||q - decode(codes)||² — a broadcast query side, a codegen'd
+    * [[graft.functions.PqAdcDistance]], and the bounded top-k aggregate, the
+    * same shape as [[bruteForceTopK]] with the vector column swapped for
+    * codes. Returns (query_id, neighbor_id, adc_dist, rank); ranks order by
+    * (distance ASC, neighbor_id ASC). */
+  def pqTopK(codes: DataFrame, queries: DataFrame, book: PqBook, k: Int,
+             codesId: String = "vec_id", codesCol: String = "codes",
+             queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    val spark = codes.sparkSession
+    TopKAgg.register(spark)
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")))
+    val scored = codes.select(col(codesId).as("neighbor_id"), col(codesCol).as("cs"))
+      .crossJoin(q)
+      .select(col("query_id"), struct(
+        VectorFunctions.pqAdcDistance(spark, col("cs"), col("qv"), book.bc).as("d"),
+        col("neighbor_id").as("nid")).as("s"))
+    scored.groupBy("query_id").agg(TopKAgg.topK(col("s"), k).as("arr"))
+      .select(col("query_id"), posexplode(col("arr")))
+      .select(col("query_id"), col("col.nid").as("neighbor_id"),
+        col("col.d").as("adc_dist"), (col("pos") + 1).as("rank"))
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the 4x
+    * compression pass run before sharding vectors for serving/training:
+    * per-dimension scale = max |x| / 127 over the corpus, code =
+    * round(x / scale). Two phases, both distributed: the per-dim maxima
+    * aggregate map-side to `dim` groups (a dim-row shuffle, constant in
+    * corpus size), then codes are a broadcast-hash-join projection of the
+    * exploded vectors against that dim-row scale table — the corpus itself
+    * never shuffles. An all-zero dimension quantizes to code 0 (scale 0
+    * guard). Returns the exploded (id, dim, code, scale) form; dim is
+    * 0-based, |code| <= 127 by construction so the codes pack into a
+    * tinyint/byte array on write. */
+  def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val dims = corpus.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+    val scales = dims.groupBy("dim")
+      .agg((max(abs(col("x"))).cast("double") / 127.0).as("scale"))
+    dims.join(broadcast(scales), "dim")
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(round(col("x").cast("double") / col("scale"), 0).cast("long"))
+          .as("code"),
+        round(col("scale"), 9).as("scale"))
+  }
 }

@@ -119,4 +119,26 @@ class CorpusSpec extends SparkSpec {
     assert(m(1L) == r4(math.log(2.0 / 3.0)))
     assert(m(2L) == r4(math.log(1.0 / 3.0)))
   }
+
+  test("bigramLogProb: MLE conditionals c(w1 w2)/c_prefix(w1); short docs drop out") {
+    // corpus bigrams: doc1 "a b" x1, "b a" x1, "a b" (doc2) x1 -> c(a b)=2,
+    // c(b a)=1; prefix counts: a as prefix 2x, b as prefix 1x
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val m = Corpus.bigramLogProb(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc1: ln P(b|a) + ln P(a|b) over 2 positions = ln(2/2) + ln(1/1) = 0
+    assert(m(1L) == ((2L, 0.0)))
+    // doc2: single position ln P(b|a) = ln(2/2) = 0
+    assert(m(2L) == ((1L, 0.0)))
+    // doc3 has no bigram
+    assert(!m.contains(3L))
+
+    // a corpus where conditionals differ from joint frequencies: "c d" and
+    // "c e" split prefix c -> P(d|c) = 1/2 even though c(c d)=1
+    val docs2 = Seq((1L, "c d"), (2L, "c e")).toDF("doc_id", "text")
+    val m2 = Corpus.bigramLogProb(docs2, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m2(1L) == r4(math.log(0.5)) && m2(2L) == r4(math.log(0.5)))
+  }
 }

@@ -206,4 +206,50 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 3L))) // candidate pair over the threshold: dropped
     assert(!out.contains((1L, 4L))) // never a candidate: no shared window
   }
+
+  test("semanticDedup: lowest-id cluster-mate above threshold wins; cross-cluster twins both survive") {
+    import spark.implicits._
+    // centroids = first 2 rows (ids 0, 1): x-axis and y-axis
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid/cluster 0, kept (lowest id)
+      (1L, Array(0.0f, 1.0f)),   // centroid/cluster 1, kept
+      (2L, Array(0.99f, 0.01f)), // cluster 0, near-dup of 0 -> dropped
+      (3L, Array(0.01f, 0.99f)), // cluster 1, near-dup of 1 -> dropped
+      (4L, Array(0.8f, 0.6f)),   // cluster 0 (cos .8 vs .6), no near-dup -> kept
+      (5L, Array(0.6f, 0.8f))    // cluster 1: same direction as 4 but OTHER
+                                 // cluster -> never compared, kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        nClusters = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 6)
+    assert(out(0L) == ((0L, true)) && out(2L) == ((0L, false)))
+    assert(out(1L) == ((1L, true)) && out(3L) == ((1L, false)))
+    // 4 and 5 are cosine 0.96 to each other but live in different clusters:
+    // SemDeDup's approximation keeps both — exactly the documented trade
+    assert(out(4L)._2 && out(5L)._2)
+    assert(out(4L)._1 != out(5L)._1)
+  }
+
+  test("dupNgramFraction counts position-weighted cross-doc duplication") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),      // grams: abc bcd cde
+      (2L, "a b c x y"),      // grams: abc bcx cxy -> shares abc with 1 and 3
+      (3L, "a b c a b c a"),  // grams: abc bca cab abc bca (5 positions)
+      (4L, "q r"),            // too short for a 3-gram: (0, 0, 0.0)
+      (5L, "zz yy xx ww")     // all grams unique to doc 5
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramFraction(docs, "text", "doc_id", shingleK = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out.size == 5)
+    assert(out(1L) == ((3L, 1L, 0.3333))) // abc duplicated (docs 2, 3)
+    assert(out(2L) == ((3L, 1L, 0.3333)))
+    // doc 3: abc appears at 2 distinct POSITIONS, both duplicated cross-doc;
+    // bca/cab repeat only within doc 3 -> not cross-doc duplicates
+    assert(out(3L) == ((5L, 2L, 0.4)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    assert(out(5L) == ((2L, 0L, 0.0))) // 4 tokens -> 2 trigram positions
+  }
 }

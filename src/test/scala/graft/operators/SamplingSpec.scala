@@ -164,4 +164,34 @@ class SamplingSpec extends SparkSpec {
     // 8 ids must not all collapse into "test"
     assert(out.values.map(_._2).toSet != Set("test"))
   }
+
+  test("weightedSample matches the local A-ES reference and excludes non-positive weights") {
+    val rows = (1L to 50L).map(i =>
+      (i, if (i <= 5) 0.0 else i.toDouble)) :+ ((51L, -3.0)) :+ ((52L, 1000000.0))
+    val df = rows.toDF("doc_id", "w")
+    val out = Sampling.weightedSample(df, "doc_id", "w", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 10)
+    // local reference: same hash-uniform, same key, same ordering
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    }
+    val expect = rows.filter(_._2 > 0)
+      .map { case (id, w) => (math.log(u(id)) / w, id) }
+      .sortBy { case (key, id) => (-key, id) }.take(10)
+    assert(out.map(_._2).toSeq == expect.map(_._2))
+    out.zip(expect).foreach { case ((_, _, got), (key, _)) =>
+      assert(math.abs(got - BigDecimal(key).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // ranks are 1..k in key order
+    assert(out.map(_._1).toSeq == (1L to 10L))
+    // the huge-weight row should essentially always make the sample
+    assert(out.map(_._2).contains(52L))
+    // zero/negative weights never sampled
+    assert(out.map(_._2).toSet.intersect(Set(1L, 2L, 3L, 4L, 5L, 51L)).isEmpty)
+  }
 }

@@ -194,6 +194,66 @@ class SimilaritySpec extends SparkSpec {
     assert(axes.length >= 2, s"centroids collapsed onto one axis: ${axes.toSeq}")
   }
 
+  test("pqEncode picks the nearest subspace codeword; ADC equals distance to the decoded vector") {
+    graft.functions.VectorFunctions.register(spark)
+    // 4 dims, m=2 subspaces of 2 dims; codebook = first 2 rows by id
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 5.0f, 5.0f)),
+      (1L, Array(0.0f, 1.0f, -5.0f, -5.0f)),
+      (2L, Array(0.9f, 0.1f, -4.0f, -6.0f)), // sub0 -> code 0, sub1 -> code 1
+      (3L, Array(0.2f, 0.8f, 4.0f, 6.0f))    // sub0 -> code 1, sub1 -> code 0
+    ).toDF("vec_id", "embedding")
+    val book = Similarity.pqCodebook(vecs, m = 2, ksub = 2)
+    val codes = Similarity.pqEncode(vecs, book)
+    val got = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got(0L) == List(0, 0) && got(1L) == List(1, 1))
+    assert(got(2L) == List(0, 1) && got(3L) == List(1, 0))
+
+    // ADC identity: sum of per-subspace L2² == L2² to the decoded vector
+    val queries = vecs.filter($"vec_id" < 2L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val out = Similarity.pqTopK(codes, queries, book, k = 4).collect()
+    val books = book.bc.value
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cds = got
+    out.foreach { r =>
+      val (qid, nid, d) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val q = raw(qid)
+      val decoded = cds(nid).zipWithIndex.flatMap { case (c, s) => books(s)(c) }
+      val direct = q.zip(decoded).map { case (a, b) =>
+        val x = a.toDouble - b.toDouble; x * x }.sum
+      assert(math.abs(d - direct) < 1e-9, s"ADC $d != direct $direct for ($qid,$nid)")
+    }
+    // rank 1 for each query is itself (its own codes decode nearest)
+    val r1 = out.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(0L -> 0L, 1L -> 1L))
+  }
+
+  test("quantizeInt8: codes bounded by 127, roundtrip error within scale/2, zero dims safe") {
+    val vecs = Seq(
+      (0L, Array(1.0f, -2.0f, 0.0f)),
+      (1L, Array(-0.5f, 4.0f, 0.0f)),
+      (2L, Array(0.25f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 9)
+    // extreme values hit ±127 exactly
+    assert(out((0L, 0L))._1 == 127L)  // 1.0 is the max |x| of dim 0
+    assert(out((1L, 1L))._1 == 127L)  // 4.0 max of dim 1
+    assert(out((0L, 1L))._1 == -64L)  // -2/ (4/127) = -63.5 -> half-up -64
+    // zero dimension: scale 0 guard, code 0
+    assert(out((0L, 2L)) == ((0L, 0.0)))
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    out.foreach { case ((id, dim), (code, scale)) =>
+      assert(math.abs(code) <= 127)
+      // scale in the output is rounded to 9dp; allow that quantum in the bound
+      val err = math.abs(raw(id)(dim.toInt).toDouble - code * scale)
+      assert(err <= scale / 2 + 127 * 1e-9, s"roundtrip err $err > ${scale / 2}")
+    }
+  }
+
   test("ivfTopK nProbe bounds the scanned buckets (fewer probes, subset results)") {
     graft.functions.VectorFunctions.register(spark)
     val queries = corpus.filter($"vec_id" === 0L)
