@@ -1016,6 +1016,136 @@ object OracleSql {
          |FROM bgs JOIN cbt USING (bg) JOIN cpt USING (w1)
          |GROUP BY doc_id""".stripMargin,
 
+    // PQ ADC top-k: replay q117's codebook + codes, decode each row's
+    // codewords into a flat 64-vector (flatten keeps subspace order), and
+    // accumulate the squared-diff terms in the expression's left-to-right
+    // double order — exact rank parity, not just rounded-value parity
+    "q122_pq_adc_topk" -> {
+      val l2 = "list_sum(list_transform(generate_series(1, 8), i -> " +
+        "((e.embedding[s.sub * 8 + i]::DOUBLE) - (c.cw[s.sub * 8 + i]::DOUBLE)) * " +
+        "((e.embedding[s.sub * 8 + i]::DOUBLE) - (c.cw[s.sub * 8 + i]::DOUBLE))))"
+      s"""WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |    embedding AS cw FROM embeddings ORDER BY vec_id LIMIT 16),
+         |subs AS (SELECT unnest(range(0, 8)) AS sub),
+         |scored AS (SELECT e.vec_id, s.sub, c.code, $l2 AS d
+         |  FROM embeddings e CROSS JOIN subs s CROSS JOIN cb c),
+         |codes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d ASC, code ASC) AS r FROM scored) WHERE r = 1),
+         |dec AS (SELECT co.vec_id,
+         |    flatten(list(list_slice(cb.cw, co.sub * 8 + 1, co.sub * 8 + 8)
+         |      ORDER BY co.sub)) AS dv
+         |  FROM codes co JOIN cb USING (code) GROUP BY co.vec_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 4),
+         |ad AS (SELECT q.query_id, dec.vec_id AS neighbor_id,
+         |    list_sum(list_transform(generate_series(1, 64), i ->
+         |      ((q.qv[i]::DOUBLE) - (dec.dv[i]::DOUBLE)) *
+         |      ((q.qv[i]::DOUBLE) - (dec.dv[i]::DOUBLE)))) AS d
+         |  FROM q CROSS JOIN dec),
+         |ranked AS (SELECT query_id, neighbor_id, d,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d ASC, neighbor_id ASC) AS rank FROM ad)
+         |SELECT query_id, neighbor_id, ${rnd("d", 3)} AS adc_dist,
+         |  rank::BIGINT AS rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    // duplicate-block removal over block STRINGS (the Spark side keys the
+    // frequency tables by xxhash64 block hashes — q22/q118's same-counts-
+    // modulo-collision contract); clean_text re-concatenates kept blocks
+    // in position order on both sides
+    "q123_block_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksExpr AS t FROM documents),
+         |blk AS (SELECT doc_id,
+         |    unnest(generate_series(0, (len(t) + 2) // 3 - 1)) AS b,
+         |    unnest(list_transform(generate_series(0, (len(t) + 2) // 3 - 1),
+         |      b -> array_to_string(list_slice(t, b * 3 + 1, b * 3 + 3), ' ')))
+         |      AS bt
+         |  FROM toks),
+         |dg AS (SELECT doc_id, bt, count(*) AS n_occ FROM blk GROUP BY 1, 2),
+         |dfc AS (SELECT bt, count(*) AS doc_freq FROM dg GROUP BY 1),
+         |j AS (SELECT blk.doc_id, blk.b, blk.bt, dfc.doc_freq
+         |  FROM blk JOIN dfc USING (bt))
+         |SELECT doc_id, count(*)::BIGINT AS n_blocks,
+         |  sum(CASE WHEN doc_freq > 1 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+         |  ${rnd("sum(CASE WHEN doc_freq > 1 THEN 1 ELSE 0 END)::DOUBLE " +
+              "/ count(*)::DOUBLE", 4)} AS boiler_frac,
+         |  coalesce(string_agg(CASE WHEN doc_freq <= 1 THEN bt END,
+         |    ' ' ORDER BY b), '') AS clean_text
+         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // JL sign projection: rebuild the md5 sign matrix row-as-list so the
+    // per-dim sum accumulates left-to-right like the codegen'd loop;
+    // 0.25 (= 1/sqrt(16)) is a binary power, so the final scale is exact
+    "q124_random_projection" -> {
+      val sgn = "CASE WHEN " +
+        h32("'rp:' || j::VARCHAR || ':' || (i - 1)::VARCHAR") +
+        " % 2 = 0 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END"
+      s"""WITH m AS (SELECT j, list_transform(generate_series(1, 64),
+         |    i -> $sgn) AS sgn
+         |  FROM (SELECT unnest(range(0, 16)) AS j))
+         |SELECT e.vec_id, j::BIGINT AS dim,
+         |  ${rnd("0.25::DOUBLE * list_sum(list_transform(generate_series(1, 64), " +
+              "i -> m.sgn[i] * (e.embedding[i]::DOUBLE)))", 6)} AS val
+         |FROM embeddings e CROSS JOIN m""".stripMargin
+    },
+
+    // IVF recall@5 vs brute force: replays the q40 IVF pipeline (probe 2 of
+    // 32) AND the q24 exact pipeline, then the hit-count join — the recall
+    // number itself is oracle-checked, not just the two result sets
+    "q125_ivf_recall" ->
+      s"""WITH centroids AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+         |  ORDER BY vec_id LIMIT 32),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC,
+         |          c.centroid_id ASC) AS r
+         |    FROM embeddings e CROSS JOIN centroids c) WHERE r = 1),
+         |probes AS (
+         |  SELECT query_id, qv, centroid_id FROM (
+         |    SELECT q.query_id, q.qv, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("q.qv", "c.cv")} DESC,
+         |          c.centroid_id ASC) AS r
+         |    FROM q CROSS JOIN centroids c) WHERE r <= 2),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, a.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${cosineSql("a.embedding", "p.qv")} DESC,
+         |          a.vec_id ASC) AS rank
+         |    FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id)
+         |  WHERE rank <= 5),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("e.embedding", "q.qv")} DESC,
+         |          e.vec_id ASC) AS rank
+         |    FROM q CROSS JOIN embeddings e) WHERE rank <= 5)
+         |SELECT ex.query_id, count(iv.neighbor_id)::BIGINT AS n_hit,
+         |  ${rnd("count(iv.neighbor_id)::DOUBLE / 5.0", 4)} AS recall
+         |FROM exact ex LEFT JOIN ivf iv
+         |  ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin,
+
+    // classifier quality filter: logit over the same ROUNDED features the
+    // other text gates replay; keep = logit sign (exp-parity-free)
+    "q126_quality_logit" -> {
+      val mwl = raw"(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0 " +
+        s"ELSE ${rnd(raw"list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)))::DOUBLE / len(regexp_split_to_array(trim(text), '\s+'))", 4)} END)"
+      val logit = s"(-1.0 + least($tokenCountExpr::DOUBLE / 100.0, 1.0) * 2.0" +
+        s" + $stopwordRatioExpr * 3.0 + $punctRatioExpr * -4.0" +
+        s" + least($mwl / 10.0, 1.0) * 0.5)"
+      s"""SELECT doc_id,
+         |  ${rnd(s"1.0 / (1.0 + exp(-$logit))", 4)} AS quality_prob,
+         |  ($logit >= 0.0) AS keep
+         |FROM documents""".stripMargin
+    },
+
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),

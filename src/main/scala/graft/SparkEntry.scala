@@ -1446,6 +1446,63 @@ object SparkEntry {
   private def q121(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
 
+  /** PQ asymmetric-distance top-k: queries scan only the 8-int CODES table
+    * (q117's compression output), scoring ||q - decode(codes)||² via the
+    * codegen'd broadcast-codebook ADC expression and the bounded top-k
+    * aggregate. The oracle decodes every row's codewords into a flat
+    * 64-vector and replays the same left-to-right double accumulation, so
+    * rank order is proven identical to exact decoded-vector distance. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val emb = TW(s, dir, "embeddings")
+    val book = Similarity.pqCodebook(emb, m = 8, ksub = 16)
+    val codes = Similarity.pqEncode(emb, book)
+    val queries = T(s, dir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.pqTopK(codes, queries, book, k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc_dist"), 3).as("adc_dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Duplicate-block boilerplate removal with reassembly (Dolma-style
+    * paragraph dedup over 3-word blocks): per-doc boilerplate fraction plus
+    * the doc rebuilt from its surviving blocks in order. */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockBoilerplate(T(s, dir, "documents"), "doc_id", "text",
+        wordsPerBlock = 3, minDf = 1)
+      .select(col("id").as("doc_id"), col("n_blocks"), col("n_boiler"),
+        col("boiler_frac"), col("clean_text"))
+
+  /** Johnson–Lindenstrauss sign projection 64d → 16d: the codegen'd
+    * broadcast-matrix mat-vec, oracle-replayed from the same md5-derived
+    * sign matrix (scale 1/√16 = 0.25 is exact in binary, so values match
+    * bit-for-bit before rounding). */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(TW(s, dir, "embeddings"), outDim = 16, inDim = 64)
+      .select(col("vec_id"), posexplode(col("projected")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        round(col("col"), 6).as("val"))
+
+  /** IVF recall@5 vs exact brute force at a deliberately lossy operating
+    * point (probe 2 of 32 buckets): the oracle replays BOTH pipelines and
+    * the hit count, proving the measured recall itself — not just the two
+    * result sets — is engine-identical. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val emb = TW(s, dir, "embeddings")
+    val queries = T(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+    val approx = Similarity.ivfTopK(emb, queries, 5, nCentroids = 32, nProbe = 2)
+    Similarity.recallAtK(exact, approx, 5)
+  }
+
+  /** Classifier-based quality filtering: fixed-weight logistic over the
+    * rounded text features; keep decided on the logit sign so the gate is
+    * independent of exp() last-ulp differences. */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.qualityLogit(
+      T(s, dir, "documents"), "doc_id", "text")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1569,7 +1626,12 @@ object SparkEntry {
     "q118_dup_ngram_fraction" -> (q118 _),
     "q119_weighted_sample" -> (q119 _),
     "q120_int8_quantize" -> (q120 _),
-    "q121_bigram_logprob" -> (q121 _)
+    "q121_bigram_logprob" -> (q121 _),
+    "q122_pq_adc_topk" -> (q122 _),
+    "q123_block_boilerplate" -> (q123 _),
+    "q124_random_projection" -> (q124 _),
+    "q125_ivf_recall" -> (q125 _),
+    "q126_quality_logit" -> (q126 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -26,6 +26,16 @@ object Hashes {
   def seededHash(c: Column, seed: Int): Column =
     portableHash32(concat(lit(s"$seed:"), c))
 
+  /** Driver-side twin of [[portableHash32]] for building small deterministic
+    * control-plane structures (random-projection sign matrices, salt maps)
+    * that the DuckDB oracle can replay with the same md5 formula. */
+  def portableHash32Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Reference `hashNumericalIt` (reference M/utility/Utility.scala:61-64):
     * bucket key `abs(hash(concat(cols))) % buckets` appended to merge join keys
     * to prune the merge join. We keep the semantics but use the portable hash

@@ -425,6 +425,66 @@ case class PqAdcDistance(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Dense projection y = scale * (M·x) against a broadcast float matrix —
+  * the Johnson–Lindenstrauss / PCA-style dimensionality-reduction kernel.
+  * One codegen'd loop nest per row (outDim × inDim double multiply-adds,
+  * ascending index order), no plan literals: the matrix rides the broadcast
+  * exactly like the centroid/codebook expressions above, so a 100 TB
+  * projection pass is a zero-shuffle map with the matrix resident per
+  * executor, not serialized per task. */
+case class MatVecProject(child: Expression,
+                         matrix: Broadcast[Array[Array[Float]]], scale: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec_project"
+
+  @transient private lazy val m: Array[Array[Float]] = matrix.value
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toFloatArray()
+    val out = new Array[Double](m.length)
+    var j = 0
+    while (j < m.length) {
+      val row = m(j)
+      var acc = 0.0; var i = 0
+      val n = math.min(row.length, x.length)
+      while (i < n) { acc += row(i).toDouble * x(i).toDouble; i += 1 }
+      out(j) = acc * scale
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("matVecBc", matrix,
+      classOf[Broadcast[Array[Array[Float]]]].getName)
+    val mv = ctx.addMutableState("float[][]", "graftMatVecM",
+      v => s"$v = (float[][]) $bcRef.value();")
+    val fn = ctx.freshName("graftMatVec")
+    val f = ctx.addNewFunction(fn,
+      s"""
+         |private org.apache.spark.sql.catalyst.util.GenericArrayData $fn(
+         |    org.apache.spark.sql.catalyst.util.ArrayData arr) {
+         |  float[] x = arr.toFloatArray();
+         |  double[] out = new double[$mv.length];
+         |  for (int j = 0; j < $mv.length; j++) {
+         |    float[] row = $mv[j];
+         |    double acc = 0.0;
+         |    int n = Math.min(row.length, x.length);
+         |    for (int i = 0; i < n; i++) acc += (double) row[i] * (double) x[i];
+         |    out[j] = acc * $scale;
+         |  }
+         |  return new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $f($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   @volatile private var registered = false
 
@@ -473,6 +533,16 @@ object VectorFunctions {
     val name = s"graft_pq_adc_${bc.id}"
     Registry.ensure(spark, name)(exprs => PqAdcDistance(exprs(0), exprs(1), bc))
     call_function(name, codes, qv)
+  }
+
+  /** Column wrapping [[MatVecProject]] — registry route, per-broadcast name
+    * (scale is part of the name so two projections sharing a matrix but not
+    * a scale can't collide). */
+  def matVecProject(spark: SparkSession, vec: Column,
+                    bc: Broadcast[Array[Array[Float]]], scale: Double): Column = {
+    val name = s"graft_matvec_${bc.id}_${java.lang.Double.doubleToLongBits(scale)}"
+    Registry.ensure(spark, name)(exprs => MatVecProject(exprs(0), bc, scale))
+    call_function(name, vec)
   }
 
   /** Release a PQ codebook broadcast — same lifecycle contract as

@@ -674,4 +674,54 @@ object Dedup {
           .otherwise(col("dup_grams").cast("double") / col("n_grams")), 4)
           .as("dup_frac"))
   }
+
+  // -------------------------------------------------------------------------
+  // Block-level boilerplate removal
+  // -------------------------------------------------------------------------
+
+  /** Dolma/CCNet-style duplicate-block REMOVAL with reassembly: cut each doc
+    * into non-overlapping `wordsPerBlock`-word blocks (the stand-in for the
+    * paragraph/line unit — pass the text pre-split on '\n\n' to dedup real
+    * paragraphs), flag blocks that also occur in more than `minDf` other
+    * documents, and rebuild each doc from its surviving blocks in order.
+    *
+    * Shape: blocks are built INSIDE codegen by an array `transform` over the
+    * token array (no word-level explode); document frequency travels as
+    * 64-bit xxhash block keys, so both frequency aggregations and the
+    * df join-back shuffle 8-byte longs, never block strings ("same counts
+    * modulo collision" — the q22/q118 hashed-postings contract). Block
+    * strings move exactly once, in the final per-doc reassembly shuffle
+    * (the unavoidable one — its payload is the corpus itself). Per-doc
+    * state is one doc's blocks: bounded by the longest document, same as
+    * any text column.
+    *
+    * Returns (id, n_blocks, n_boiler, boiler_frac, clean_text); a doc whose
+    * every block is boilerplate yields clean_text = "". */
+  def blockBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       wordsPerBlock: Int = 3, minDf: Int = 1): DataFrame = {
+    val wpb = wordsPerBlock
+    val t = tokens(col(textCol))
+    val blockArr = transform(
+      sequence(lit(0),
+        ((size(t) + lit(wpb - 1)) / lit(wpb)).cast("int") - lit(1)),
+      b => array_join(slice(t, b * wpb + 1, lit(wpb)), " "))
+    val blocks = graft.Tables.widen(df)
+      .select(col(idCol).as("id"), posexplode(blockArr).as(Seq("b", "bt")))
+      .withColumn("h", xxhash64(col("bt")))
+      .localCheckpoint() // feeds df-counts AND the join-back; compute once
+    val docBlock = blocks.groupBy("id", "h").agg(count(lit(1)).as("n_occ"))
+    val blockDf = docBlock.groupBy("h").agg(count(lit(1)).as("doc_freq"))
+    blocks.join(blockDf, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("doc_freq") > minDf, 1L).otherwise(0L)).as("n_boiler"),
+        array_join(transform(
+            array_sort(collect_list(when(col("doc_freq") <= minDf,
+              struct(col("b"), col("bt"))))),
+            s => s.getField("bt")), " ").as("clean_text"))
+      .select(col("id"), col("n_blocks"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_blocks"), 4)
+          .as("boiler_frac"),
+        col("clean_text"))
+  }
 }

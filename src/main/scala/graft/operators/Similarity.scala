@@ -365,6 +365,25 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * evaluation harness every IVF/LSH/PQ operating-point decision runs on.
+    * Both inputs are (query_id, neighbor_id[, ...]) top-k frames, so every
+    * join here is bounded by queries × k rows (control-plane sized): a
+    * left-semi hit probe, a per-query count, and a left join back to the
+    * full query list so zero-hit queries report 0.0 instead of vanishing. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 4)
+          .as("recall"))
+  }
+
   // -------------------------------------------------------------------------
   // Product quantization (Jégou et al. 2011, "Product Quantization for
   // Nearest Neighbor Search")
@@ -429,6 +448,34 @@ object Similarity {
       .select(col("query_id"), posexplode(col("arr")))
       .select(col("query_id"), col("col.nid").as("neighbor_id"),
         col("col.d").as("adc_dist"), (col("pos") + 1).as("rank"))
+  }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (outDim × inDim):
+    * sign(j, i) = +1 iff portableHash32("rp:j:i") is even — md5-derived, so
+    * the oracle can rebuild the identical matrix in SQL. Achlioptas (2001)
+    * showed ±1 entries preserve JL distance bounds; scale 1/√outDim makes
+    * the projection norm-preserving in expectation. */
+  def jlSignMatrix(outDim: Int, inDim: Int): Array[Array[Float]] =
+    Array.tabulate(outDim)(j => Array.tabulate(inDim)(i =>
+      if (graft.functions.Hashes.portableHash32Local(s"rp:$j:$i") % 2 == 0) 1.0f
+      else -1.0f))
+
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `outDim` dimensions: y = (1/√outDim) · S·x with the deterministic
+    * [[jlSignMatrix]]. A zero-shuffle codegen'd map
+    * ([[graft.functions.MatVecProject]]) with the matrix broadcast once per
+    * executor — the dimensionality-reduction pass that turns a 100 TB
+    * brute-force or LSH scan over wide vectors into one over `outDim`-wide
+    * sketches (distances preserved within the JL ε bound). Returns
+    * (id, projected) with projected as array<double>. */
+  def randomProject(df: DataFrame, outDim: Int, inDim: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(jlSignMatrix(outDim, inDim))
+    df.select(col(idCol),
+      VectorFunctions.matVecProject(spark, col(vecCol), bc,
+        1.0 / math.sqrt(outDim.toDouble)).as("projected"))
   }
 
   /** Symmetric int8 quantization of an embedding column — the 4x

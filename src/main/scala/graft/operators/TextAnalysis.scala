@@ -142,6 +142,27 @@ object TextAnalysis {
     round((lenScore * 0.4 + stopScore * 0.4 + punctPenalty * 0.2), 4)
   }
 
+  /** Model-based quality filtering (the fastText-classifier stage of a
+    * CCNet/RefinedWeb pipeline, with the learned weights supplied as plain
+    * doubles): score = σ(bias + w·x) over the deterministic text features
+    * above, keep = logit >= 0. The features are the ROUNDED 4dp values the
+    * other gates expose, so any engine reproduces the logit exactly; the
+    * keep decision uses the logit sign (not the sigmoid) and is therefore
+    * exp-parity-free. One codegen'd projection, zero shuffles — swap the
+    * weight constants for real trained weights without touching the plan. */
+  def qualityLogit(df: DataFrame, idCol: String, textCol: String,
+                   bias: Double = -1.0, wLen: Double = 2.0, wStop: Double = 3.0,
+                   wPunct: Double = -4.0, wMwl: Double = 0.5): DataFrame = {
+    val t = col(textCol)
+    val x1 = least(tokenCount(t).cast("double") / 100.0, lit(1.0))
+    val x4 = least(meanWordLen(t) / 10.0, lit(1.0))
+    val logit = lit(bias) + x1 * wLen + stopwordRatio(t) * wStop +
+      punctRatio(t) * wPunct + x4 * wMwl
+    df.select(col(idCol),
+      round(lit(1.0) / (lit(1.0) + exp(negate(logit))), 4).as("quality_prob"),
+      (logit >= 0.0).as("keep"))
+  }
+
   /** Language-ID heuristic: score each language by counts of its marker words
     * (classic stopword-profile n-gram heuristic collapsed to word unigrams),
     * pick the argmax, fall back to "und" when nothing matches. Marker lists

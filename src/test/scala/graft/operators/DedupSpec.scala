@@ -252,4 +252,37 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0.0)))
     assert(out(5L) == ((2L, 0L, 0.0))) // 4 tokens -> 2 trigram positions
   }
+
+  test("blockBoilerplate removes cross-doc duplicate blocks and reassembles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c x y z"),   // blocks: "a b c" (shared), "x y z" (unique)
+      (2L, "a b c q r s"),   // "a b c" shared with docs 1 and 3
+      (3L, "a b c"),         // every block boilerplate -> clean_text ""
+      (4L, "u v")            // one trailing partial block, unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockBoilerplate(docs, "doc_id", "text",
+        wordsPerBlock = 3, minDf = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5, "x y z")))
+    assert(out(2L) == ((2L, 1L, 0.5, "q r s")))
+    assert(out(3L) == ((1L, 1L, 1.0, "")))
+    assert(out(4L) == ((1L, 0L, 0.0, "u v")))
+  }
+
+  test("blockBoilerplate keeps within-doc repeats that no other doc shares") {
+    import spark.implicits._
+    // "m n o" repeats INSIDE doc 1 only: doc_freq = 1 -> not boilerplate
+    val docs = Seq(
+      (1L, "m n o m n o"),
+      (2L, "p q r")
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockBoilerplate(docs, "doc_id", "text",
+        wordsPerBlock = 3, minDf = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(1L) == ((2L, 0L, "m n o m n o")))
+    assert(out(2L) == ((1L, 0L, "p q r")))
+  }
 }

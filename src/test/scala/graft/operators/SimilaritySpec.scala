@@ -267,4 +267,43 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(out == Set(0L, 4L, 5L), s"probed bucket mismatch: $out")
   }
+
+  test("randomProject: known matrix algebra, deterministic sign matrix, scale") {
+    // direct MatVecProject check with a hand-built matrix
+    val m = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(1.0f, 1.0f))
+    val bc = spark.sparkContext.broadcast(m)
+    val df = Seq((0L, Array(2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val y = df.select(graft.functions.VectorFunctions
+        .matVecProject(spark, $"embedding", bc, 0.5).as("y"))
+      .as[Array[Double]].head()
+    assert(y.toSeq == Seq(1.0, 1.5, 2.5))
+    // the JL matrix is ±1-valued and reproducible call-to-call
+    val s1 = Similarity.jlSignMatrix(4, 8)
+    val s2 = Similarity.jlSignMatrix(4, 8)
+    assert(s1.flatten.forall(v => v == 1.0f || v == -1.0f))
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    // projected output has outDim entries and matches a local mat-vec
+    val out = Similarity.randomProject(corpus, outDim = 4, inDim = 64)
+      .filter($"vec_id" === 0L).select($"projected").as[Array[Double]].head()
+    val x = corpus.filter($"vec_id" === 0L)
+      .select($"embedding").as[Array[Float]].head()
+    val expect = Similarity.jlSignMatrix(4, 64).map { row =>
+      row.zip(x.padTo(64, 0.0f)).map { case (a, b) => a.toDouble * b.toDouble }
+        .sum * 0.5
+    }
+    assert(out.length == 4)
+    out.zip(expect).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("recallAtK: hit counting, zero-hit queries survive, rounding") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 21L), (2L, 99L), (3L, 98L), (3L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(exact, approx, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((2L, 1.0)))
+    assert(out(2L) == ((1L, 0.5)))
+    assert(out(3L) == ((0L, 0.0))) // no hits, still reported
+  }
 }

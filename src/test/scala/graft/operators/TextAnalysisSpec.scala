@@ -128,4 +128,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Dedup.exact(pair, "text", "doc_id")
       .filter(col("dup_count") > 1).count() == 1)
   }
+
+  test("qualityLogit: sigmoid of the rounded features, keep = logit sign") {
+    val rows = Seq(
+      // 4 tokens, 1 stopword ("the"), no punct, mwl (3+3+5+3)/4 = 3.5
+      (1L, "the cat likes fsh"),
+      // punctuation soup: heavy negative weight drives keep = false
+      (2L, "!!! ??? ,,, ;;;"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityLogit(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    // doc 1: logit = -1 + .04*2 + .25*3 - 0 + .35*.5 = 0.005 -> keep
+    assert(out(1L)._2)
+    assert(math.abs(out(1L)._1 - 1.0 / (1.0 + math.exp(-0.005))) < 5e-5)
+    assert(!out(2L)._2)
+    // empty doc: all features 0 -> logit = bias = -1 -> sigmoid 0.2689
+    assert(out(3L) == ((0.2689, false)))
+  }
 }
