@@ -127,6 +127,35 @@ object OracleSql {
        |SELECT id_a, id_b, ${rnd("cos", 3)} AS cos FROM scored WHERE cos >= $threshold""".stripMargin
   }
 
+  /** Cross-corpus LSH contamination oracle: q51's plane-literal replay with
+    * the two sides split by a vec_id predicate instead of a self-join. */
+  private def lshCrossSql(numBands: Int, bitsPerBand: Int, threshold: String,
+                          benchPred: String => String): String = {
+    val planes = graft.operators.Dedup.randomHyperplanes(numBands, bitsPerBand, dim = 64)
+    val rows = planes.zipWithIndex.flatMap { case (band, b) =>
+      band.zipWithIndex.map { case (h, i) =>
+        s"($b, $i, [${h.map(_.toDouble.toString).mkString(", ")}])"
+      }
+    }.mkString(",\n")
+    s"""WITH planes(band, bit, h) AS (VALUES
+       |$rows),
+       |keyed AS (
+       |  SELECT e.vec_id AS id, e.embedding AS v, p.band,
+       |    SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+       |          i -> (e.embedding[i]::DOUBLE) * p.h[i])) >= 0
+       |        THEN (1::BIGINT << p.bit) ELSE 0 END) AS key
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY 1, 2, 3),
+       |cands AS (SELECT DISTINCT a.id AS train_id, a.v AS va,
+       |    b.id AS bench_id, b.v AS vb
+       |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
+       |  WHERE NOT (${benchPred("a.id")}) AND ${benchPred("b.id")}),
+       |scored AS (SELECT train_id, bench_id, ${cosineSql("va", "vb")} AS cos
+       |  FROM cands)
+       |SELECT train_id, bench_id, ${rnd("cos", 3)} AS cos
+       |FROM scored WHERE cos >= $threshold""".stripMargin
+  }
+
   // -- text metrics (must mirror graft.operators.TextAnalysis exactly) -------
   private val tokenCountExpr =
     raw"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END)"
@@ -1144,6 +1173,51 @@ object OracleSql {
          |  ${rnd(s"1.0 / (1.0 + exp(-$logit))", 4)} AS quality_prob,
          |  ($logit >= 0.0) AS keep
          |FROM documents""".stripMargin
+    },
+
+    "q127_semantic_contamination" ->
+      lshCrossSql(numBands = 2, bitsPerBand = 8, threshold = "0.30",
+        benchPred = id => s"$id % 25 = 0"),
+
+    // MMR rerank: the greedy unrolled as 5 SQL rounds. μ is emitted as the
+    // exact double 1.0-0.7 (0.30000000000000004), matching the expression's
+    // constant — NOT the decimal 0.3, which is a different double
+    "q128_mmr_rerank" -> {
+      val lam = "0.7::DOUBLE"
+      val mu = s"${1.0 - 0.7}::DOUBLE"
+      val rounds = (1 to 5).map { r =>
+        val prev = s"sel${r - 1}"
+        s"""scored$r AS (
+           |  SELECT c.query_id, c.id, c.v, c.rel,
+           |    coalesce((SELECT max(${cosineSql("c.v", "s.v")}) FROM $prev s
+           |      WHERE s.query_id = c.query_id), 0.0) AS maxsim
+           |  FROM cand c
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+           |    WHERE s2.query_id = c.query_id AND s2.id = c.id)),
+           |pick$r AS (SELECT query_id, id, v, mmr, $r AS rank FROM (
+           |    SELECT query_id, id, v, $lam * rel - $mu * maxsim AS mmr,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY $lam * rel - $mu * maxsim DESC, id ASC) AS rr
+           |    FROM scored$r) WHERE rr = 1),
+           |sel$r AS (SELECT query_id, id, v FROM $prev
+           |  UNION ALL SELECT query_id, id, v FROM pick$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 4),
+         |cand AS (SELECT query_id, id, v, rel FROM (
+         |    SELECT q.query_id, e.vec_id AS id, e.embedding AS v,
+         |      ${cosineSql("e.embedding", "q.qv")} AS rel,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("e.embedding", "q.qv")} DESC,
+         |          e.vec_id ASC) AS rk
+         |    FROM q CROSS JOIN embeddings e) WHERE rk <= 20),
+         |sel0 AS (SELECT query_id, id, v FROM cand WHERE false),
+         |$rounds
+         |SELECT query_id, id AS neighbor_id, ${rnd("mmr", 4)} AS mmr,
+         |  rank::BIGINT AS rank
+         |FROM (SELECT * FROM pick1 UNION ALL SELECT * FROM pick2 UNION ALL
+         |      SELECT * FROM pick3 UNION ALL SELECT * FROM pick4 UNION ALL
+         |      SELECT * FROM pick5)""".stripMargin
     },
 
     "q61_top_ngrams" -> {

@@ -1503,6 +1503,33 @@ object SparkEntry {
     graft.operators.TextAnalysis.qualityLogit(
       T(s, dir, "documents"), "doc_id", "text")
 
+  /** Semantic decontamination: every 25th vector plays the benchmark set,
+    * the rest the train corpus; shared-hyperplane LSH buckets generate the
+    * candidates and exact cosine verifies, so contaminated train items
+    * surface without an all-pairs scan. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val emb = TW(s, dir, "embeddings")
+    val bench = emb.filter(col("vec_id") % 25 === 0)
+    val train = emb.filter(col("vec_id") % 25 =!= 0)
+    Dedup.crossCorpusNearDups(train, bench, "vec_id", "embedding", dim = 64,
+        threshold = 0.30, bitsPerBand = 8, numBands = 2)
+      .select(col("id_left").as("train_id"), col("id_right").as("bench_id"),
+        round(col("cos"), 3).as("cos"))
+  }
+
+  /** MMR-diversified retrieval: top-20 cosine candidates per query, greedy
+    * λ=0.7 rerank to 5 picks inside one codegen'd expression; the oracle
+    * unrolls the same greedy as five SQL rounds with the identical double
+    * constants, so selection order AND scores are proven equal. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val emb = TW(s, dir, "embeddings")
+    val queries = T(s, dir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.mmrRerank(emb, queries, nCandidates = 20, k = 5, lambda = 0.7)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("mmr"), 4).as("mmr"), col("rank"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1631,7 +1658,9 @@ object SparkEntry {
     "q123_block_boilerplate" -> (q123 _),
     "q124_random_projection" -> (q124 _),
     "q125_ivf_recall" -> (q125 _),
-    "q126_quality_logit" -> (q126 _)
+    "q126_quality_logit" -> (q126 _),
+    "q127_semantic_contamination" -> (q127 _),
+    "q128_mmr_rerank" -> (q128 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -485,6 +485,141 @@ case class MatVecProject(child: Expression,
     copy(child = newChild)
 }
 
+/** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998) over a
+  * BOUNDED candidate array: input array<struct<id:long, rel:double,
+  * v:array<float>>> (a per-query top-N, so per-group state is N rows by
+  * construction), output the k greedy picks as array<struct<id:long,
+  * mmr:double>> in selection order. Each step scores unpicked candidates
+  * λ·rel − μ·max(cos to any picked) with ties broken by id; μ is passed
+  * explicitly (not recomputed as 1−λ) so engines replaying the arithmetic
+  * use the identical double constant. The greedy is O(k·N·dim) per group —
+  * sequential by nature, which is exactly why it lives in one expression
+  * over the grouped array instead of k join rounds. */
+case class MmrSelect(child: Expression, k: Int, lambda: Double, mu: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StructType(Seq(
+    StructField("id", LongType), StructField("rel", DoubleType),
+    StructField("v", ArrayType(FloatType))))))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType), StructField("mmr", DoubleType))),
+    containsNull = false)
+  override def prettyName: String = "mmr_select"
+
+  override def nullSafeEval(candsAny: Any): Any = {
+    val cands = candsAny.asInstanceOf[ArrayData]
+    val n = cands.numElements()
+    val ids = new Array[Long](n)
+    val rels = new Array[Double](n)
+    val vecs = new Array[Array[Float]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val r = cands.getStruct(i, 3)
+      ids(i) = r.getLong(0); rels(i) = r.getDouble(1)
+      vecs(i) = r.getArray(2).toFloatArray()
+      var s = 0.0; var d = 0
+      while (d < vecs(i).length) {
+        s += vecs(i)(d).toDouble * vecs(i)(d).toDouble; d += 1
+      }
+      norms(i) = math.sqrt(s)
+      i += 1
+    }
+    def cos(a: Int, b: Int): Double = {
+      var dot = 0.0; var d = 0
+      val m = math.min(vecs(a).length, vecs(b).length)
+      while (d < m) { dot += vecs(a)(d).toDouble * vecs(b)(d).toDouble; d += 1 }
+      if (norms(a) == 0.0 || norms(b) == 0.0) 0.0 else dot / (norms(a) * norms(b))
+    }
+    val picked = new Array[Boolean](n)
+    val sel = new Array[Int](math.min(k, n))
+    val out = new Array[Any](sel.length)
+    var step = 0
+    while (step < sel.length) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          var maxSim = 0.0
+          var j = 0
+          while (j < step) {
+            val s = cos(i, sel(j)); if (s > maxSim) maxSim = s; j += 1
+          }
+          val score = lambda * rels(i) - mu * maxSim
+          if (score > bestScore ||
+              (score == bestScore && (best == -1 || ids(i) < ids(best)))) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      picked(best) = true; sel(step) = best
+      out(step) = org.apache.spark.sql.catalyst.InternalRow(ids(best), bestScore)
+      step += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = ctx.freshName("graftMmr")
+    val f = ctx.addNewFunction(fn,
+      s"""
+         |private org.apache.spark.sql.catalyst.util.GenericArrayData $fn(
+         |    org.apache.spark.sql.catalyst.util.ArrayData cands) {
+         |  int n = cands.numElements();
+         |  long[] ids = new long[n];
+         |  double[] rels = new double[n];
+         |  float[][] vecs = new float[n][];
+         |  double[] norms = new double[n];
+         |  for (int i = 0; i < n; i++) {
+         |    org.apache.spark.sql.catalyst.InternalRow r = cands.getStruct(i, 3);
+         |    ids[i] = r.getLong(0); rels[i] = r.getDouble(1);
+         |    vecs[i] = r.getArray(2).toFloatArray();
+         |    double s = 0.0;
+         |    for (int d = 0; d < vecs[i].length; d++)
+         |      s += (double) vecs[i][d] * (double) vecs[i][d];
+         |    norms[i] = Math.sqrt(s);
+         |  }
+         |  boolean[] picked = new boolean[n];
+         |  int kk = Math.min($k, n);
+         |  int[] sel = new int[kk];
+         |  Object[] out = new Object[kk];
+         |  for (int step = 0; step < kk; step++) {
+         |    int best = -1; double bestScore = Double.NEGATIVE_INFINITY;
+         |    for (int i = 0; i < n; i++) {
+         |      if (picked[i]) continue;
+         |      double maxSim = 0.0;
+         |      for (int j = 0; j < step; j++) {
+         |        int o = sel[j];
+         |        double dot = 0.0;
+         |        int m = Math.min(vecs[i].length, vecs[o].length);
+         |        for (int d = 0; d < m; d++)
+         |          dot += (double) vecs[i][d] * (double) vecs[o][d];
+         |        double sim = (norms[i] == 0.0 || norms[o] == 0.0)
+         |          ? 0.0 : dot / (norms[i] * norms[o]);
+         |        if (sim > maxSim) maxSim = sim;
+         |      }
+         |      double score = $lambda * rels[i] - $mu * maxSim;
+         |      if (score > bestScore ||
+         |          (score == bestScore && (best == -1 || ids[i] < ids[best]))) {
+         |        best = i; bestScore = score;
+         |      }
+         |    }
+         |    picked[best] = true; sel[step] = best;
+         |    out[step] = new org.apache.spark.sql.catalyst.expressions
+         |      .GenericInternalRow(new Object[] {
+         |        java.lang.Long.valueOf(ids[best]),
+         |        java.lang.Double.valueOf(bestScore) });
+         |  }
+         |  return new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $f($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   @volatile private var registered = false
 
@@ -543,6 +678,15 @@ object VectorFunctions {
     val name = s"graft_matvec_${bc.id}_${java.lang.Double.doubleToLongBits(scale)}"
     Registry.ensure(spark, name)(exprs => MatVecProject(exprs(0), bc, scale))
     call_function(name, vec)
+  }
+
+  /** Column wrapping [[MmrSelect]] — registry route; the (k, λ) operating
+    * point is part of the name so differing rerank configs coexist. */
+  def mmrSelect(spark: SparkSession, cands: Column, k: Int, lambda: Double,
+                mu: Double): Column = {
+    val name = s"graft_mmr_${k}_${java.lang.Double.doubleToLongBits(lambda)}"
+    Registry.ensure(spark, name)(exprs => MmrSelect(exprs(0), k, lambda, mu))
+    call_function(name, cands)
   }
 
   /** Release a PQ codebook broadcast — same lifecycle contract as

@@ -596,6 +596,33 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Cross-corpus embedding near-dups — SEMANTIC decontamination (train ×
+    * benchmark) and batch-vs-index screening: both corpora are keyed with
+    * the SAME seed-deterministic hyperplanes, candidates meet only inside a
+    * shared (band, key) bucket, and survivors are exact-cosine verified.
+    * Identical scale bound to [[embeddingNearDupsLsh]] (2^bitsPerBand
+    * buckets × numBands bands, never all-pairs) but the join is across two corpora —
+    * with a benchmark-sized right side the bucket join broadcasts and the
+    * train corpus never shuffles. Returns (id_left, id_right, cos). */
+  def crossCorpusNearDups(left: DataFrame, right: DataFrame,
+                          idCol: String, vecCol: String, dim: Int,
+                          threshold: Double = 0.95,
+                          bitsPerBand: Int = 16, numBands: Int = 4,
+                          seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions
+    val planes = randomHyperplanes(numBands, bitsPerBand, dim, seed)
+    val kl = lshBlockKeys(left, idCol, vecCol, planes).localCheckpoint()
+    val kr = lshBlockKeys(right, idCol, vecCol, planes).localCheckpoint()
+    kl.alias("a").join(kr.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("id_left"), col("b.id").as("id_right"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_left", "id_right", "cos")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
     * compare pairs ONLY within a cluster and drop every doc that has a

@@ -365,6 +365,35 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998): take the top
+    * `nCandidates` by cosine relevance, then greedily select `k` of them
+    * scoring λ·rel − (1−λ)·max-sim-to-picked. The candidate generation is
+    * the bounded [[bruteForceTopK]] shape (swap in [[ivfTopK]] at corpus
+    * scale); the inherently sequential greedy runs inside ONE codegen'd
+    * expression over the per-query candidate array
+    * ([[graft.functions.MmrSelect]]) — per-group state is nCandidates rows
+    * by construction, so no driver loop and no k join rounds. Returns
+    * (query_id, neighbor_id, mmr, rank) in selection order. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, nCandidates: Int,
+                k: Int, lambda: Double,
+                corpusId: String = "vec_id", corpusVec: String = "embedding",
+                queryId: String = "query_id",
+                queryVec: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val cand = bruteForceTopK(corpus, queries, nCandidates,
+      corpusId, corpusVec, queryId, queryVec)
+    val withVec = cand.join(
+      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("nv")),
+      "neighbor_id")
+    val grouped = withVec.groupBy("query_id")
+      .agg(collect_list(struct(col("neighbor_id").as("id"),
+        col("cosine").as("rel"), col("nv").as("v"))).as("cands"))
+    grouped.select(col("query_id"), posexplode(
+        VectorFunctions.mmrSelect(spark, col("cands"), k, lambda, 1.0 - lambda)))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.mmr").as("mmr"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact one — the
     * evaluation harness every IVF/LSH/PQ operating-point decision runs on.
     * Both inputs are (query_id, neighbor_id[, ...]) top-k frames, so every

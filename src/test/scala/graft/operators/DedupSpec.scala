@@ -253,6 +253,25 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L, 0.0))) // 4 tokens -> 2 trigram positions
   }
 
+  test("crossCorpusNearDups finds train-bench pairs only, never within a side") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Array(0.999f, 0.04f)),  // near-dup of bench 10
+      (2L, Array(0.0f, 1.0f)),     // orthogonal to everything in bench
+      (3L, Array(0.998f, 0.05f))   // near-dup of train 1 — must NOT pair
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.crossCorpusNearDups(train, bench, "vec_id", "embedding",
+        dim = 2, threshold = 0.9, bitsPerBand = 2, numBands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 10L)) && pairs.contains((3L, 10L)))
+    // within-train near-dup (1,3) is out of scope for decontamination
+    assert(out.forall(_._2 == 10L))
+    assert(out.forall(_._3 >= 0.9))
+    assert(!pairs.exists(p => p._1 == 2L)) // orthogonal: below threshold
+  }
+
   test("blockBoilerplate removes cross-doc duplicate blocks and reassembles") {
     import spark.implicits._
     val docs = Seq(

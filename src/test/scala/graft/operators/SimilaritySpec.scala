@@ -295,6 +295,28 @@ class SimilaritySpec extends SparkSpec {
     out.zip(expect).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
 
+  test("mmrRerank diversifies: near-dup of the top pick defers to the diverse one") {
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)),       // rel 1.0 to the query
+      (2L, Array(0.9999f, 0.01f)),   // nearly identical direction to id 1
+      (3L, Array(0.5f, 0.5f))        // diverse: cos ~0.707 to both
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("query_id", "embedding")
+    // λ=0.3 weights diversity over relevance: expect 1, then 3, then 2
+    val out = Similarity.mmrRerank(tiny, q, nCandidates = 3, k = 3, lambda = 0.3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 2L))
+    assert(out(0)._3 == 1L && out(2)._3 == 3L)
+    // step-1 score is λ·rel with no penalty; later scores strictly smaller
+    assert(math.abs(out(0)._2 - 0.3) < 1e-9)
+    assert(out(1)._2 > out(2)._2)
+    // plain top-k at λ=1.0 degenerates to relevance order 1, 2, 3
+    val plain = Similarity.mmrRerank(tiny, q, nCandidates = 3, k = 3, lambda = 1.0)
+      .orderBy($"rank").collect().map(_.getLong(1)).toSeq
+    assert(plain == Seq(1L, 2L, 3L))
+  }
+
   test("recallAtK: hit counting, zero-hit queries survive, rounding") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
       .toDF("query_id", "neighbor_id")
