@@ -1220,6 +1220,17 @@ object OracleSql {
          |      SELECT * FROM pick5)""".stripMargin
     },
 
+    // token-budget mix: running per-lang char sum in portable-hash order;
+    // unique (hash, doc_id) ordering makes RANGE and ROWS frames identical
+    "q129_token_budget_mix" ->
+      s"""SELECT doc_id, lang, n_chars, cum_tokens FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |    sum(n_chars) OVER (PARTITION BY lang
+         |      ORDER BY ${h32("doc_id::VARCHAR")}, doc_id) AS cum_tokens
+         |  FROM documents)
+         |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 20000
+         |  WHEN 'de' THEN 10000 WHEN 'fr' THEN 5000 END""".stripMargin,
+
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),

@@ -1530,6 +1530,14 @@ object SparkEntry {
         round(col("mmr"), 4).as("mmr"), col("rank"))
   }
 
+  /** Token-budget mixture fill: per-language char budgets, hash-ordered
+    * prefix per source — the deterministic "N tokens per source" mix
+    * assembly (zh/es carry no budget and drop out entirely). */
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.tokenBudgetSample(
+      T(s, dir, "documents"), "lang", "doc_id", "n_chars",
+      budgets = Map("en" -> 20000L, "de" -> 10000L, "fr" -> 5000L))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1660,7 +1668,8 @@ object SparkEntry {
     "q125_ivf_recall" -> (q125 _),
     "q126_quality_logit" -> (q126 _),
     "q127_semantic_contamination" -> (q127 _),
-    "q128_mmr_rerank" -> (q128 _)
+    "q128_mmr_rerank" -> (q128 _),
+    "q129_token_budget_mix" -> (q129 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -199,6 +199,27 @@ object Sampling {
     * sort, no shuffle of the corpus. Rows with null or non-positive weight
     * are excluded (zero-weight items are never sampled in A-ES).
     * Returns (sample_rank, id, aes_key) with aes_key = ln(u)/w 6dp. */
+  /** Token-budget-capped mixture fill — the "take N tokens per source"
+    * stage of assembling a training mix: docs are ordered per source by the
+    * deterministic portable hash (an unbiased shuffle any engine replays),
+    * and each source keeps its prefix while the running token sum stays
+    * within that source's budget. Sources absent from `budgets` are dropped
+    * entirely. The running sum is one per-source window — same per-group
+    * ordering contract as [[stratifiedSample]]; at extreme per-source
+    * cardinality, range-partition each source and prefix-stitch the partial
+    * sums exactly as `Stats.sequenceGaps` does for its id ranges. */
+  def tokenBudgetSample(df: DataFrame, srcCol: String, idCol: String,
+                        tokenCol: String,
+                        budgets: Map[String, Long]): DataFrame = {
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(graft.functions.Hashes.portableHash32(col(idCol).cast("string")),
+        col(idCol))
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <=
+        element_at(typedLit(budgets), col(srcCol)))
+      .select(col(idCol), col(srcCol), col(tokenCol), col("cum_tokens"))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     graft.functions.TopKAgg.register(df.sparkSession)

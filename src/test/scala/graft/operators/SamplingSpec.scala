@@ -165,6 +165,29 @@ class SamplingSpec extends SparkSpec {
     assert(out.values.map(_._2).toSet != Set("test"))
   }
 
+  test("tokenBudgetSample fills each source to its budget, drops unbudgeted sources") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L)).toDF("id", "src", "toks")
+    val out = Sampling.tokenBudgetSample(docs, "src", "id", "toks",
+      budgets = Map("a" -> 55L, "b" -> 200L))
+    val bySrc = out.collect().groupBy(_.getString(1))
+    // budget 55 at 10 tokens/doc -> exactly 5 docs; 200 -> all 20 of source b
+    assert(bySrc("a").length == 5)
+    assert(bySrc("b").length == 20)
+    assert(bySrc("a").map(_.getLong(3)).max == 50L)
+    // unbudgeted source vanishes
+    val out2 = Sampling.tokenBudgetSample(docs, "src", "id", "toks",
+      budgets = Map("a" -> 55L))
+    assert(out2.filter($"src" === "b").count() == 0)
+    // deterministic: same prefix both runs
+    val ids1 = out.filter($"src" === "a").select("id").as[Long].collect().toSet
+    val ids2 = Sampling.tokenBudgetSample(docs, "src", "id", "toks",
+        budgets = Map("a" -> 55L, "b" -> 200L))
+      .filter($"src" === "a").select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("weightedSample matches the local A-ES reference and excludes non-positive weights") {
     val rows = (1L to 50L).map(i =>
       (i, if (i <= 5) 0.0 else i.toDouble)) :+ ((51L, -3.0)) :+ ((52L, 1000000.0))
