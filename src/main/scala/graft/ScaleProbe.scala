@@ -106,6 +106,49 @@ object ScaleProbe {
       "q51_tight_pairs" -> (() =>
         Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", dim = 64,
           threshold = 0.9, bitsPerBand = 16, numBands = 4).count()),
+      // q116 SemDeDup: candidate pairs = Σ c·(c-1)/2 over cluster sizes,
+      // computed FROM the assignment (no pair join needed for the bound).
+      // nClusters scales as n/1000 — the published operating point that
+      // keeps each within-cluster scan in the thousands
+      "q116_semantic_cand" -> (() => {
+        import org.apache.spark.sql.functions._
+        val n = emb.count()
+        val k = math.max(8L, n / 1000L).toInt
+        graft.operators.Similarity.ivfAssign(emb, k)
+          .groupBy("centroid_id").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1) / 2).cast("long"))
+          .collect()(0).getLong(0)
+      }),
+      // q118 duplicated-trigram postings: state is vocabulary-bounded —
+      // distinct gram count must grow SUB-linearly in corpus size on a
+      // natural-ish vocabulary (new docs mostly re-use old grams)
+      "q118_gram_vocab" -> (() => {
+        import org.apache.spark.sql.functions._
+        docs.select(explode(graft.functions.TextHashFunctions
+          .shingleHashes64(col("text"), 3)).as("g"))
+          .select("g").distinct().count()
+      }),
+      // q123 block-boilerplate vocabulary: distinct 3-word blocks (the df
+      // table the join-back keys on)
+      "q123_block_vocab" -> (() => {
+        import org.apache.spark.sql.functions._
+        val t = Dedup.tokens(col("text"))
+        val blocks = transform(
+          sequence(lit(0), ((size(t) + lit(2)) / lit(3)).cast("int") - lit(1)),
+          b => array_join(slice(t, b * 3 + 1, lit(3)), " "))
+        docs.select(explode(blocks).as("bt"))
+          .select(xxhash64(col("bt")).as("h")).distinct().count()
+      }),
+      // q127 cross-corpus LSH at the TIGHT operating point with a 4% bench
+      // split: candidates must stay ~bench-linear, never |train|x|bench|
+      "q127_cross_cand" -> (() => {
+        import org.apache.spark.sql.functions._
+        Dedup.crossCorpusNearDups(
+          emb.filter(col("vec_id") % 25 =!= 0),
+          emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", dim = 64, threshold = -1.0,
+          bitsPerBand = 16, numBands = 4).count()
+      }),
       // q53 clustering over the simhash pairs: components + fixpoint rounds
       "q53_components" -> (() => {
         val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)

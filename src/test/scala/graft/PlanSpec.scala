@@ -124,7 +124,9 @@ class PlanSpec extends SparkSpec {
     val bnljAllowed = Set("q23_embedding_cosine", "q24_ann_topk", "q55_tfidf",
       "q76_sql_surface", "q79_unigram_logprob", "q80_hard_negatives",
       "q87_bm25", "q100_temperature_mix", "q101_zorder",
-      "q115_hll_merge") // three 1-row control frames cross-joined
+      "q115_hll_merge", // three 1-row control frames cross-joined
+      "q122_pq_adc_topk", "q125_ivf_recall",
+      "q128_mmr_rerank") // bounded broadcast ANN query sets
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
