@@ -1231,6 +1231,41 @@ object OracleSql {
          |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 20000
          |  WHEN 'de' THEN 10000 WHEN 'fr' THEN 5000 END""".stripMargin,
 
+    // median/MAD outliers: quantile_disc == exact-retention
+    // percentile_approx (q110 contract); the outlier test is the multiply
+    // form 0.6745·|x−med| > 3.5·mad, strict on both sides
+    "q130_mad_outliers" ->
+      s"""WITH med AS (SELECT l_returnflag AS k,
+         |    quantile_disc(l_extendedprice::DOUBLE, 0.5) AS med
+         |  FROM lineitem GROUP BY 1),
+         |mad AS (SELECT l.l_returnflag AS k, m.med AS med,
+         |    quantile_disc(abs(l.l_extendedprice::DOUBLE - m.med), 0.5) AS mad
+         |  FROM lineitem l JOIN med m ON l.l_returnflag = m.k GROUP BY 1, 2)
+         |SELECT l.l_returnflag, count(*)::BIGINT AS n, d.med AS med,
+         |  d.mad AS mad,
+         |  sum(CASE WHEN abs(l.l_extendedprice::DOUBLE - d.med) * 0.6745::DOUBLE
+         |      > d.mad * 3.5::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+         |  ${rnd("sum(CASE WHEN abs(l.l_extendedprice::DOUBLE - d.med) * 0.6745::DOUBLE " +
+              "> d.mad * 3.5::DOUBLE THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE", 4)}
+         |    AS outlier_frac
+         |FROM lineitem l JOIN mad d ON l.l_returnflag = d.k
+         |GROUP BY l.l_returnflag, d.med, d.mad""".stripMargin,
+
+    // per-source KL vs the corpus unigram mix; per-term arithmetic order
+    // mirrors the Spark expression, the cross-vocabulary sum is rnd(4)
+    "q131_source_kl" ->
+      s"""WITH toks AS (SELECT source, unnest($toksExpr) AS w FROM documents),
+         |sc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         |st AS (SELECT source, sum(c) AS tot FROM sc GROUP BY 1),
+         |cw AS (SELECT w, sum(c) AS cc FROM sc GROUP BY 1),
+         |ct AS (SELECT sum(c) AS ctot FROM sc)
+         |SELECT sc.source, max(st.tot)::BIGINT AS n_tokens,
+         |  count(*)::BIGINT AS vocab,
+         |  ${rnd("sum((sc.c::DOUBLE / st.tot) * " +
+              "ln((sc.c::DOUBLE / st.tot) / (cw.cc::DOUBLE / ct.ctot)))", 4)} AS kl
+         |FROM sc JOIN st USING (source) JOIN cw USING (w) CROSS JOIN ct
+         |GROUP BY sc.source""".stripMargin,
+
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),

@@ -1538,6 +1538,17 @@ object SparkEntry {
       T(s, dir, "documents"), "lang", "doc_id", "n_chars",
       budgets = Map("en" -> 20000L, "de" -> 10000L, "fr" -> 5000L))
 
+  /** Median/MAD robust outlier report over extended price per return flag —
+    * the modified-z trim pass that survives the skew a mean/stddev trim
+    * (q81's z-score) is blind to. */
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.madOutliers(
+      T(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+
+  /** Per-source KL(unigram source ‖ corpus) domain-shift report. */
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.sourceKlReport(T(s, dir, "documents"), "source", "text")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1669,7 +1680,9 @@ object SparkEntry {
     "q126_quality_logit" -> (q126 _),
     "q127_semantic_contamination" -> (q127 _),
     "q128_mmr_rerank" -> (q128 _),
-    "q129_token_budget_mix" -> (q129 _)
+    "q129_token_budget_mix" -> (q129 _),
+    "q130_mad_outliers" -> (q130 _),
+    "q131_source_kl" -> (q131 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -151,6 +151,31 @@ object Corpus {
     * filtering. Two aggregations (corpus counts, per-doc mean) plus one
     * join from the exploded corpus to the frequency table on the token —
     * the frequency table is vocabulary-sized, the corpus never moves twice. */
+  /** Per-source domain-shift report: KL(P_source ‖ P_corpus) over word
+    * unigram distributions — the drift metric that flags a source whose
+    * language diverges from the mix before it contaminates a training run.
+    * All state is vocabulary-bounded: one (source, word) count table feeds
+    * the per-source totals, the corpus word counts, and the KL sum; the
+    * corpus totals frame is a 1-row control cross join. Returns
+    * (source, n_tokens, vocab, kl); KL is 0 for a source distributed
+    * exactly like the corpus and grows with divergence. */
+  def sourceKlReport(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(srcCol).as("source"),
+      explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))
+    val sc = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds totals, corpus counts, and the KL sum
+    val st = sc.groupBy("source").agg(sum("c").as("tot"))
+    val cw = sc.groupBy("w").agg(sum("c").as("cc"))
+    val ct = sc.agg(sum("c").as("ctot"))
+    sc.join(st, "source").join(cw, "w").crossJoin(broadcast(ct))
+      .groupBy(col("source"))
+      .agg(max(col("tot")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        round(sum((col("c") / col("tot")) *
+          log((col("c") / col("tot")) / (col("cc") / col("ctot")))), 4)
+          .as("kl"))
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))

@@ -39,6 +39,39 @@ object Stats {
     ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Robust per-group outlier detection via median/MAD (Iglewicz–Hoaglin
+    * modified z-score): a value is an outlier when
+    * 0.6745·|x − median| > cutoff·MAD — written in multiply form so a
+    * zero MAD (constant group) yields zero outliers instead of a division
+    * blow-up. Three group aggregations over the column (median, MAD of the
+    * residuals, then the outlier count); each pass is a pruned columnar
+    * scan plus one group-count-bounded broadcast join — no window, no sort
+    * of the data plane, so the per-group cardinality never concentrates on
+    * one partition the way a rank-based trim would. percentile_approx runs
+    * at exact-retention accuracy here (== DuckDB quantile_disc rank rule,
+    * the q110 parity contract); at 100 TB lower the accuracy and accept
+    * the sketch's documented rank error. */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+                  cutoff: Double = 3.5): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(keyCol)).agg(
+      percentile_approx(v, lit(0.5), lit(1000000)).as("med"))
+    val mad = df.join(broadcast(med), keyCol)
+      .groupBy(col(keyCol))
+      .agg(first(col("med")).as("med"),
+        percentile_approx(abs(v - col("med")), lit(0.5), lit(1000000))
+          .as("mad"))
+    df.join(broadcast(mad), keyCol)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(v - col("med")) * 0.6745 > col("mad") * cutoff, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_frac",
+        round(col("n_outliers").cast("double") / col("n"), 4))
+  }
+
   /** Per-column table profile — the "ANALYZE TABLE" statistics a metadata
     * catalog records per snapshot: row count, null count, exact distinct
     * count, min/max (stringified so one output schema covers every column

@@ -126,7 +126,8 @@ class PlanSpec extends SparkSpec {
       "q87_bm25", "q100_temperature_mix", "q101_zorder",
       "q115_hll_merge", // three 1-row control frames cross-joined
       "q122_pq_adc_topk", "q125_ivf_recall",
-      "q128_mmr_rerank") // bounded broadcast ANN query sets
+      "q128_mmr_rerank", // bounded broadcast ANN query sets
+      "q131_source_kl") // 1-row corpus-total control frame cross-joined
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",

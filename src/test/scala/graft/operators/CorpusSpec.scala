@@ -141,4 +141,24 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(m2(1L) == r4(math.log(0.5)) && m2(2L) == r4(math.log(0.5)))
   }
+
+  test("sourceKlReport: corpus-distributed source scores 0, divergent scores >0") {
+    import spark.implicits._
+    // sources s1/s2 have IDENTICAL word distributions (each is half the
+    // corpus) -> P_source == P_corpus -> KL = 0 for both. s3 is disjoint.
+    val docs = Seq(
+      (1L, "s1", "a a b"), (2L, "s2", "a a b"),
+      (3L, "s3", "z z z")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.sourceKlReport(docs, "source", "text").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // s1: 3 tokens, vocab {a, b}; P_s(a)=2/3 vs P_c(a)=4/9 etc -> KL > 0
+    assert(out("s1")._1 == 3L && out("s1")._2 == 2L)
+    assert(out("s1")._3 == out("s2")._3) // symmetric halves score equally
+    // s3 is fully disjoint: KL = ln(9/3) = ln 3 (its words are 3/9 of corpus)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("s3")._3 == r4(math.log(3.0)))
+    assert(out("s1")._3 > 0.0)
+  }
 }

@@ -117,6 +117,20 @@ class StatsSpec extends SparkSpec {
     assert(a.map(_.getString(1)).toSet == Set("a", "b")) // null key dropped
   }
 
+  test("madOutliers flags by modified z-score; constant groups have none") {
+    // group a: median = rank-floor(0.5*5) element = 5; residuals
+    // {4,1,0,1,4,995} -> MAD 1.0; 0.6745*|x-5| > 3.5 only for the 1000
+    val rows = Seq(("a", 1.0), ("a", 4.0), ("a", 5.0), ("a", 6.0), ("a", 9.0),
+      ("a", 1000.0)) ++ (1 to 5).map(_ => ("b", 42.0))
+    val out = Stats.madOutliers(rows.toDF("k", "v"), "k", "v").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out("a")._1 == 6L && out("a")._4 == 1L)
+    assert(out("a")._2 == 5.0)
+    // constant group: MAD 0, multiply form -> zero outliers, no div-by-zero
+    assert(out("b") == ((5L, 42.0, 0.0, 0L)))
+  }
+
   test("groupQuantiles is deterministic under duplicate values") {
     val rows = (1 to 1000).map(i => ("g", (i % 10).toDouble))
     val a = Stats.groupQuantiles(rows.toDF("k", "v"), "k", "v", Seq(0.5)).collect()(0)
