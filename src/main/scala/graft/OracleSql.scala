@@ -58,9 +58,11 @@ object OracleSql {
     * assignment / probe selection by (cosine DESC, centroid_id ASC), probed
     * buckets brute-forced — shared by q40 (in-memory path) and q56
     * (persisted-index path), which differ only in operating point. */
-  private def ivfOracle(nCentroids: Int, maxQueryId: Int, nProbe: Int, k: Int): String =
+  private def ivfOracle(nCentroids: Int, maxQueryId: Int, nProbe: Int, k: Int,
+                        centroidWhere: String = "TRUE"): String =
     s"""WITH centroids AS (
-       |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT $nCentroids),
+       |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+       |  WHERE $centroidWhere ORDER BY vec_id LIMIT $nCentroids),
        |assigned AS (
        |  SELECT vec_id, embedding, centroid_id FROM (
        |    SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -690,6 +692,13 @@ object OracleSql {
     // same IVF semantics through the PERSISTED index (write bucketed
     // corpus + centroid table, probe via directory-pruned reads)
     "q56_ivf_index" -> ivfOracle(nCentroids = 32, maxQueryId = 6, nProbe = 8, k = 3),
+
+    // append path: centroids come from the 80% BASE build (the appended 20%
+    // is quantized against them, never retrained) — the oracle restricts
+    // the centroid pool but assigns/probes over the full corpus, exactly
+    // what base + committed append segments serve
+    "q132_ivf_append" -> ivfOracle(nCentroids = 32, maxQueryId = 6, nProbe = 8,
+      k = 3, centroidWhere = "vec_id % 5 <> 0"),
 
     "q41_salted_join" ->
       s"""SELECT o.o_orderstatus, count(*)::BIGINT AS n_rows,

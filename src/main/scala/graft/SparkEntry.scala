@@ -1549,6 +1549,29 @@ object SparkEntry {
   private def q131(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.sourceKlReport(T(s, dir, "documents"), "source", "text")
 
+  /** Persisted-IVF APPEND path, end-to-end: build the index from 80% of the
+    * corpus, append the other 20% as a committed segment (quantized against
+    * the BASE centroids — no retrain, no rewrite), probe the union. The
+    * oracle restricts the centroid pool to the base build but searches the
+    * full corpus — exactly what base + committed segments serve. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = T(s, dir, "embeddings")
+    val idxDir = scratchDir("graft_q132")
+    // append segments carry only (id, vec): write the base with the same
+    // two columns so the probe-time unionByName sees one schema
+    val ev = Tables.widen(e).select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfIndex(ev.filter(col("vec_id") % 5 =!= 0),
+      nCentroids = 32, idxDir)
+    Similarity.appendToIvfIndex(ev.filter(col("vec_id") % 5 === 0), idxDir,
+      appId = "q132", batchId = 1L)
+    val queries = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfTopKFromIndex(s, idxDir, queries, k = 3, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 3).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1682,7 +1705,8 @@ object SparkEntry {
     "q128_mmr_rerank" -> (q128 _),
     "q129_token_budget_mix" -> (q129 _),
     "q130_mad_outliers" -> (q130 _),
-    "q131_source_kl" -> (q131 _)
+    "q131_source_kl" -> (q131 _),
+    "q132_ivf_append" -> (q132 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

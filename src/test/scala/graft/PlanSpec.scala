@@ -134,7 +134,7 @@ class PlanSpec extends SparkSpec {
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
       "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
-      "q114_leakage_safe_split")
+      "q114_leakage_safe_split", "q132_ivf_append")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
@@ -171,7 +171,7 @@ class PlanSpec extends SparkSpec {
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
       "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
-      "q114_leakage_safe_split")
+      "q114_leakage_safe_split", "q132_ivf_append")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
@@ -197,7 +197,7 @@ class PlanSpec extends SparkSpec {
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
       "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
-      "q114_leakage_safe_split")
+      "q114_leakage_safe_split", "q132_ivf_append")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val frames = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: LWindow => w.windowExpressions.flatMap(_.collect {
