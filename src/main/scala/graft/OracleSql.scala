@@ -1275,6 +1275,37 @@ object OracleSql {
          |FROM sc JOIN st USING (source) JOIN cw USING (w) CROSS JOIN ct
          |GROUP BY sc.source""".stripMargin,
 
+    // lexical diversity: per-doc entropy/TTR/hapax from one word-count CTE
+    "q133_lexical_diversity" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS w FROM documents),
+         |cnt AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         |per AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+         |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+         |  FROM cnt GROUP BY 1)
+         |SELECT cnt.doc_id, max(n_tokens)::BIGINT AS n_tokens,
+         |  max(n_types)::BIGINT AS n_types,
+         |  ${rnd("max(n_types)::DOUBLE / max(n_tokens)", 4)} AS ttr,
+         |  ${rnd("sum((c::DOUBLE / n_tokens) * (-ln(c::DOUBLE / n_tokens)))", 4)}
+         |    AS entropy,
+         |  ${rnd("max(n_hapax)::DOUBLE / max(n_types)", 4)} AS hapax_frac
+         |FROM cnt JOIN per USING (doc_id) GROUP BY 1""".stripMargin,
+
+    // source-similarity matrix: integer-exact dot products over the shared
+    // vocabulary, double norms, pairs ordered source_a < source_b
+    "q134_source_similarity" ->
+      s"""WITH toks AS (SELECT source, unnest($toksExpr) AS w FROM documents),
+         |sc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         |norms AS (SELECT source, sqrt(sum(c * c)::DOUBLE) AS norm
+         |  FROM sc GROUP BY 1),
+         |d AS (SELECT a.source AS sa, b.source AS sb,
+         |    sum(a.c * b.c)::DOUBLE AS dot
+         |  FROM sc a JOIN sc b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT sa AS source_a, sb AS source_b,
+         |  ${rnd("dot / (na.norm * nb.norm)", 4)} AS cos
+         |FROM d JOIN norms na ON na.source = d.sa
+         |JOIN norms nb ON nb.source = d.sb""".stripMargin,
+
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),

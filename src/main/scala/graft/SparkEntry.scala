@@ -1572,6 +1572,19 @@ object SparkEntry {
         round(col("cosine"), 3).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Per-doc lexical diversity: word entropy, type-token ratio, hapax
+    * fraction — the vocabulary-richness quality features. */
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.lexicalDiversity(
+        T(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+
+  /** Source-similarity matrix: cosine between per-source unigram count
+    * vectors — which sources duplicate each other distributionally. */
+  private def q134(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.sourceSimilarityMatrix(
+      T(s, dir, "documents"), "source", "text")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1706,7 +1719,9 @@ object SparkEntry {
     "q129_token_budget_mix" -> (q129 _),
     "q130_mad_outliers" -> (q130 _),
     "q131_source_kl" -> (q131 _),
-    "q132_ivf_append" -> (q132 _)
+    "q132_ivf_append" -> (q132 _),
+    "q133_lexical_diversity" -> (q133 _),
+    "q134_source_similarity" -> (q134 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

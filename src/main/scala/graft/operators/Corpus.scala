@@ -176,6 +176,59 @@ object Corpus {
           .as("kl"))
   }
 
+  /** Per-document lexical-diversity metrics — the vocabulary-richness
+    * quality signals (low entropy / low TTR = TEMPLATE or keyword-stuffed
+    * text): Shannon word entropy Σ −p·ln p, type-token ratio
+    * |vocab|/|tokens|, and the hapax fraction (share of types occurring
+    * once). One explode to (doc, word) counts, then one per-doc
+    * aggregation — both shuffles carry compact keys and partial-aggregate
+    * map-side. Returns (id, n_tokens, n_types, ttr, entropy, hapax_frac). */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df.select(col(idCol).as("id"),
+        explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("c"))
+    val per = counts.groupBy("id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    counts.join(per, "id")
+      .groupBy(col("id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("n_types")).as("n_types"),
+        round(max(col("n_types")).cast("double") / max(col("n_tokens")), 4)
+          .as("ttr"),
+        round(sum((col("c") / col("n_tokens")) *
+          negate(log(col("c") / col("n_tokens")))), 4).as("entropy"),
+        round(max(col("n_hapax")).cast("double") / max(col("n_types")), 4)
+          .as("hapax_frac"))
+  }
+
+  /** Source-similarity matrix: cosine between the unigram COUNT vectors of
+    * every source pair — the mix-design diagnostic that shows which
+    * sources are near-duplicates of each other at the distribution level
+    * (and so add less diversity than their token count suggests). State is
+    * vocabulary-bounded: one (source, word) count table self-joined on the
+    * word key; output is sources² rows (control-plane sized). */
+  def sourceSimilarityMatrix(df: DataFrame, srcCol: String,
+                             textCol: String): DataFrame = {
+    val sc = df.select(col(srcCol).as("source"),
+        explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds norms AND the pair join
+    val norms = sc.groupBy("source")
+      .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("norm"))
+    sc.alias("a").join(sc.alias("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(col("a.c") * col("b.c")).cast("double").as("dot"))
+      .join(norms.select(col("source").as("source_a"), col("norm").as("na")),
+        "source_a")
+      .join(norms.select(col("source").as("source_b"), col("norm").as("nb")),
+        "source_b")
+      .select(col("source_a"), col("source_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))

@@ -142,6 +142,38 @@ class CorpusSpec extends SparkSpec {
     assert(m2(1L) == r4(math.log(0.5)) && m2(2L) == r4(math.log(0.5)))
   }
 
+  test("lexicalDiversity: entropy/TTR/hapax on hand-computable docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),      // one type: entropy 0, ttr .25, hapax 0
+      (2L, "a b c d"),      // uniform: entropy ln 4, ttr 1, hapax 1
+      (3L, "a a b")         // p = (2/3, 1/3)
+    ).toDF("doc_id", "text")
+    val out = Corpus.lexicalDiversity(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((4L, 1L, 0.25, 0.0, 0.0)))
+    assert(out(2L) == ((4L, 4L, 1.0, r4(math.log(4.0)), 1.0)))
+    val h3 = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    assert(out(3L)._1 == 3L && out(3L)._2 == 2L)
+    assert(math.abs(out(3L)._4 - h3) < 1e-3)
+    assert(out(3L)._5 == 0.5) // "b" is the hapax among 2 types
+  }
+
+  test("sourceSimilarityMatrix: identical sources cos 1, disjoint cos absent/0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b"), (2L, "s2", "a b"),   // identical count vectors
+      (3L, "s3", "z z")                        // disjoint vocabulary
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.sourceSimilarityMatrix(docs, "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("s1", "s2")) == 1.0)
+    // disjoint pairs share no word key -> no row (the sparse-join contract)
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+  }
+
   test("sourceKlReport: corpus-distributed source scores 0, divergent scores >0") {
     import spark.implicits._
     // sources s1/s2 have IDENTICAL word distributions (each is half the
