@@ -1024,6 +1024,22 @@ object OracleSql {
          |SELECT r::BIGINT AS sample_rank, doc_id, ${rnd("aes", 6)} AS aes_key
          |FROM ranked WHERE r <= 25""".stripMargin,
 
+    // clipped int8: per-dim p99.9 |x| quantile scale (quantile_disc ==
+    // exact-retention percentile_approx), codes clamped to ±127
+    "q135_int8_clipped" ->
+      s"""WITH dims AS (SELECT vec_id,
+         |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         |    unnest(embedding) AS x FROM embeddings),
+         |scales AS (SELECT dim,
+         |    quantile_disc(abs(x)::DOUBLE, 0.999) / 127.0 AS scale
+         |  FROM dims GROUP BY 1)
+         |SELECT d.vec_id, d.dim::BIGINT AS dim,
+         |  CASE WHEN scale = 0.0 THEN 0
+         |       ELSE greatest(least(${rnd("d.x::DOUBLE / scale", 0)}::BIGINT,
+         |         127), -127) END AS code,
+         |  ${rnd("scale", 9)} AS scale
+         |FROM dims d JOIN scales USING (dim)""".stripMargin,
+
     // int8 quantization: per-dim max|x|/127 scales, half-up rounded codes
     "q120_int8_quantize" ->
       s"""WITH dims AS (SELECT vec_id,

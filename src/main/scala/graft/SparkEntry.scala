@@ -1585,6 +1585,11 @@ object SparkEntry {
     graft.operators.Corpus.sourceSimilarityMatrix(
       T(s, dir, "documents"), "source", "text")
 
+  /** Percentile-clipped int8 quantization (p99.9 scale, saturating ±127
+    * codes) — q120's outlier-robust production variant. */
+  private def q135(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8Clipped(T(s, dir, "embeddings"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1721,7 +1726,8 @@ object SparkEntry {
     "q131_source_kl" -> (q131 _),
     "q132_ivf_append" -> (q132 _),
     "q133_lexical_diversity" -> (q133 _),
-    "q134_source_similarity" -> (q134 _)
+    "q134_source_similarity" -> (q134 _),
+    "q135_int8_clipped" -> (q135 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -518,6 +518,31 @@ object Similarity {
     * guard). Returns the exploded (id, dim, code, scale) form; dim is
     * 0-based, |code| <= 127 by construction so the codes pack into a
     * tinyint/byte array on write. */
+  /** Percentile-clipped int8 quantization — the production variant of
+    * [[quantizeInt8]]: per-dim scale = the p-quantile of |x| (not the max,
+    * which a single outlier inflates until every normal value collapses to
+    * code 0), codes clamped to ±127 so the clipped tail saturates instead
+    * of overflowing. Same two-phase shape: a dim-row quantile aggregate
+    * (exact-retention percentile_approx, the q110 parity contract — lower
+    * the accuracy at 100 TB), then a broadcast-scale projection; the
+    * corpus never shuffles. */
+  def quantizeInt8Clipped(corpus: DataFrame, p: Double = 0.999,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val dims = corpus.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+    val scales = dims.groupBy("dim")
+      .agg((percentile_approx(abs(col("x")).cast("double"), lit(p), lit(1000000))
+        / 127.0).as("scale"))
+    dims.join(broadcast(scales), "dim")
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(greatest(least(
+            round(col("x").cast("double") / col("scale"), 0).cast("long"),
+            lit(127L)), lit(-127L)))
+          .as("code"),
+        round(col("scale"), 9).as("scale"))
+  }
+
   def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val dims = corpus.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))

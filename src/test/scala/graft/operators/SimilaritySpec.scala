@@ -254,6 +254,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8Clipped: outlier saturates at ±127 instead of crushing the scale") {
+    // dim 0: values mostly ~1 with one 1000x outlier. Max-scale (q120) maps
+    // the normal values to code 0; the p-quantile scale keeps them resolved
+    // and saturates the outlier.
+    val vecs = ((0L until 99L).map(i => (i, Array(1.0f))) :+ (99L, Array(1000.0f)))
+      .toDF("vec_id", "embedding")
+    val clipped = Similarity.quantizeInt8Clipped(vecs, p = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(clipped(0L) == 127L)   // normal value resolved at full range
+    assert(clipped(99L) == 127L)  // outlier saturates, not overflows
+    val maxScale = Similarity.quantizeInt8(vecs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(maxScale(0L) == 0L)    // the failure mode the clip fixes
+    assert(maxScale(99L) == 127L)
+  }
+
   test("ivfTopK nProbe bounds the scanned buckets (fewer probes, subset results)") {
     graft.functions.VectorFunctions.register(spark)
     val queries = corpus.filter($"vec_id" === 0L)
