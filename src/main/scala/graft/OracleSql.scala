@@ -1322,6 +1322,204 @@ object OracleSql {
          |FROM d JOIN norms na ON na.source = d.sa
          |JOIN norms nb ON nb.source = d.sb""".stripMargin,
 
+    // interval x interval overlap: the oracle joins on the raw overlap
+    // predicate; the Spark side's chunk-binned equi-join + owner-chunk
+    // dedup must reproduce the exact pair set
+    "q136_overlap_join" ->
+      s"""WITH a AS (SELECT o_orderpriority, o_orderdate AS o_start,
+         |    o_orderdate + INTERVAL 7 DAY AS o_end FROM orders
+         |  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-03-01'),
+         |b AS (SELECT l_linestatus, l_shipdate,
+         |    l_shipdate + to_days((l_linenumber % 7 + 1)::INTEGER) AS l_receipt
+         |  FROM lineitem WHERE l_returnflag = 'R'
+         |    AND l_shipdate >= '1995-01-01' AND l_shipdate < '1995-03-01')
+         |SELECT o_orderpriority, l_linestatus, count(*)::BIGINT AS n_pairs,
+         |  sum(date_diff('day', greatest(o_start, l_shipdate),
+         |    least(o_end, l_receipt)) + 1)::BIGINT AS overlap_days
+         |FROM a JOIN b ON o_start <= l_receipt AND l_shipdate <= o_end
+         |GROUP BY 1, 2""".stripMargin,
+
+    // last-touch attribution: the same running last(ignoreNulls) over a
+    // rows-frame ending at the previous row, ties at equal ts broken by
+    // event_id; epoch_us replays Spark's micros truncation
+    "q137_attribution" ->
+      s"""WITH marked AS (SELECT user_id, ts, event_id, event_type, value,
+         |    last_value(CASE WHEN event_type IN ('click', 'view')
+         |        THEN {'t': ts, 'ty': event_type} END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+         |  FROM events)
+         |SELECT CASE WHEN lt IS NOT NULL
+         |      AND epoch_us(ts) - epoch_us(lt.t) <= 86400000000
+         |    THEN lt.ty ELSE '(none)' END AS attributed_type,
+         |  count(*)::BIGINT AS n_conversions,
+         |  ${rnd("sum(value)", 2)} AS total_value
+         |FROM marked WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    // reciprocal-rank fusion: both candidate lists replayed as rank
+    // windows over bit-identical cosine / composed-L2 folds, fused over
+    // the ranks PRESENT (full outer join), re-ranked by (rrf DESC, id)
+    "q138_rrf_fuse" -> {
+      val dotCC = "list_sum(list_transform(e.embedding, x -> (x::DOUBLE) * (x::DOUBLE)))"
+      val dotQQ = "list_sum(list_transform(q.qv, x -> (x::DOUBLE) * (x::DOUBLE)))"
+      val dotCQ = "list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE) * (q.qv[i]::DOUBLE)))"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 6),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${cosineSql("e.embedding", "q.qv")} AS cos,
+         |    ($dotCC + $dotQQ) - 2.0 * $dotCQ AS l2
+         |  FROM embeddings e CROSS JOIN q),
+         |cl AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS r_cos
+         |  FROM scored QUALIFY r_cos <= 20),
+         |ll AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY l2 ASC, neighbor_id ASC) AS r_l2
+         |  FROM scored QUALIFY r_l2 <= 20),
+         |f AS (SELECT coalesce(cl.query_id, ll.query_id) AS query_id,
+         |    coalesce(cl.neighbor_id, ll.neighbor_id) AS neighbor_id,
+         |    cl.r_cos, ll.r_l2
+         |  FROM cl FULL OUTER JOIN ll
+         |    ON cl.query_id = ll.query_id AND cl.neighbor_id = ll.neighbor_id),
+         |g AS (SELECT query_id, neighbor_id, r_cos::BIGINT AS r_cos,
+         |    r_l2::BIGINT AS r_l2,
+         |    ${rnd("coalesce(1.0 / (60 + r_cos), 0.0) + coalesce(1.0 / (60 + r_l2), 0.0)", 8)} AS rrf
+         |  FROM f)
+         |SELECT query_id, neighbor_id, r_cos, r_l2, rrf,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, neighbor_id ASC)::BIGINT AS rank
+         |FROM g QUALIFY rank <= 10""".stripMargin
+    },
+
+    // IVFADC: q40's coarse quantizer (first-16 centroids, cosine
+    // assignment/probes) composed with q122's PQ pipeline (first-16
+    // codebook, argmin-L2 codes, flat ADC fold), scan restricted to the
+    // probed buckets
+    "q139_ivfpq_topk" -> {
+      val l2sub = "list_sum(list_transform(generate_series(1, 8), i -> " +
+        "((e.embedding[s.sub * 8 + i]::DOUBLE) - (c.cw[s.sub * 8 + i]::DOUBLE)) * " +
+        "((e.embedding[s.sub * 8 + i]::DOUBLE) - (c.cw[s.sub * 8 + i]::DOUBLE))))"
+      val adc = "list_sum(list_transform(generate_series(1, 64), i -> " +
+        "((q.qv[i]::DOUBLE) - (dec.dv[i]::DOUBLE)) * " +
+        "((q.qv[i]::DOUBLE) - (dec.dv[i]::DOUBLE))))"
+      s"""WITH centroids AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+         |  ORDER BY vec_id LIMIT 16),
+         |assigned AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS r
+         |    FROM embeddings e CROSS JOIN centroids c) WHERE r = 1),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |    embedding AS cw FROM embeddings ORDER BY vec_id LIMIT 16),
+         |subs AS (SELECT unnest(range(0, 8)) AS sub),
+         |sc AS (SELECT e.vec_id, s.sub, c.code, $l2sub AS d
+         |  FROM embeddings e CROSS JOIN subs s CROSS JOIN cb c),
+         |codes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d ASC, code ASC) AS r FROM sc) WHERE r = 1),
+         |dec AS (SELECT co.vec_id,
+         |    flatten(list(list_slice(cb.cw, co.sub * 8 + 1, co.sub * 8 + 8)
+         |      ORDER BY co.sub)) AS dv
+         |  FROM codes co JOIN cb USING (code) GROUP BY co.vec_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 4),
+         |probes AS (SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("q.qv", "c.cv")} DESC, c.centroid_id ASC) AS r
+         |    FROM q CROSS JOIN centroids c) WHERE r <= 4),
+         |ad AS (SELECT q.query_id, dec.vec_id AS neighbor_id, $adc AS d
+         |  FROM q JOIN probes p ON p.query_id = q.query_id
+         |  JOIN assigned a ON a.centroid_id = p.centroid_id
+         |  JOIN dec ON dec.vec_id = a.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, d,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d ASC, neighbor_id ASC) AS rank FROM ad)
+         |SELECT query_id, neighbor_id, ${rnd("d", 3)} AS adc_dist,
+         |  rank::BIGINT AS rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    // tokenizer fertility per source: whitespace words, BPE-ish subwords,
+    // chars (length) and bytes (strlen)
+    "q140_fertility" ->
+      s"""WITH m AS (SELECT source,
+         |    $tokenCountExpr AS w,
+         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS s,
+         |    length(text) AS ch, strlen(text) AS by FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words,
+         |  sum(s)::BIGINT AS n_subwords,
+         |  ${rnd("sum(s)::DOUBLE / sum(w)", 4)} AS fertility,
+         |  ${rnd("sum(ch)::DOUBLE / sum(s)", 4)} AS chars_per_token,
+         |  ${rnd("sum(by)::DOUBLE / sum(s)", 4)} AS bytes_per_token
+         |FROM m GROUP BY 1""".stripMargin,
+
+    // Fightin' Words log-odds z, same left-assoc arithmetic as the Spark
+    // column expression, z rounded to 6dp BEFORE ranking on both sides
+    "q141_logodds_terms" ->
+      s"""WITH toks AS (SELECT source, unnest($toksExpr) AS w FROM documents),
+         |sc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         |st AS (SELECT source, sum(c) AS tot FROM sc GROUP BY 1),
+         |cw AS (SELECT w, sum(c) AS cc FROM sc GROUP BY 1),
+         |gl AS (SELECT sum(cc) AS ctot, count(*) AS vocab FROM cw),
+         |scored AS (SELECT sc.source, sc.w, sc.c::BIGINT AS c,
+         |    ${rnd("(ln((sc.c + 0.01) / (st.tot + 0.01 * gl.vocab - sc.c - 0.01)) - " +
+                "ln(((cw.cc - sc.c) + 0.01) / (gl.ctot - st.tot + 0.01 * gl.vocab - (cw.cc - sc.c) - 0.01))) / " +
+                "sqrt(1.0 / (sc.c + 0.01) + 1.0 / ((cw.cc - sc.c) + 0.01))", 6)} AS z
+         |  FROM sc JOIN st USING (source) JOIN cw USING (w) CROSS JOIN gl)
+         |SELECT source, row_number() OVER (PARTITION BY source
+         |    ORDER BY z DESC, w ASC)::BIGINT AS rank,
+         |  w AS term, c AS c_source, z
+         |FROM scored QUALIFY rank <= 5""".stripMargin,
+
+    // sign-bit pack to ONE 64-bit word (bit 63 via the signed minimum so
+    // BIGINT addition can't overflow), hamming = bit_count(xor)
+    "q142_hamming_topk" -> {
+      def pack(e: String): String =
+        s"(CASE WHEN $e[64] >= 0 THEN (-9223372036854775808)::BIGINT ELSE 0::BIGINT END" +
+          s" + list_sum(list_transform(range(0, 63), i -> CASE WHEN $e[i + 1] >= 0" +
+          s" THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT)"
+      s"""WITH packed AS (SELECT vec_id, ${pack("embedding")} AS w FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, w AS qw FROM packed WHERE vec_id < 6),
+         |sc AS (SELECT q.query_id, p.vec_id AS neighbor_id,
+         |    bit_count(xor(p.w, q.qw))::BIGINT AS hamming
+         |  FROM packed p CROSS JOIN q),
+         |ranked AS (SELECT query_id, neighbor_id, hamming,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hamming ASC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, hamming, rank::BIGINT AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    // PSI drift: reference-anchored fixed-width bins, identical fp binning
+    // expression, eps-smoothed terms, total repeated per row
+    "q143_psi_drift" ->
+      s"""WITH mm AS (SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi
+         |  FROM events WHERE ts < '2024-01-16'),
+         |r AS (SELECT least(9::BIGINT, greatest(0::BIGINT,
+         |      floor((value::DOUBLE - mm.lo) / ((mm.hi - mm.lo) / 10))::BIGINT)) AS bin
+         |  FROM events, mm WHERE ts < '2024-01-16' AND value IS NOT NULL),
+         |c AS (SELECT least(9::BIGINT, greatest(0::BIGINT,
+         |      floor((value::DOUBLE - mm.lo) / ((mm.hi - mm.lo) / 10))::BIGINT)) AS bin
+         |  FROM events, mm WHERE ts >= '2024-01-16' AND value IS NOT NULL),
+         |rs AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM r) AS ref_share
+         |  FROM r GROUP BY 1),
+         |cs AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM c) AS cur_share
+         |  FROM c GROUP BY 1),
+         |bins AS (SELECT unnest(range(0, 10)) AS bin),
+         |j AS (SELECT b.bin, coalesce(rs.ref_share, 0.0) AS ref_share,
+         |    coalesce(cs.cur_share, 0.0) AS cur_share
+         |  FROM bins b LEFT JOIN rs ON rs.bin = b.bin LEFT JOIN cs ON cs.bin = b.bin),
+         |t AS (SELECT bin, ref_share, cur_share,
+         |    (cur_share - ref_share) * ln((cur_share + 1e-6) / (ref_share + 1e-6))
+         |      AS psi_term FROM j)
+         |SELECT bin, ${rnd("ref_share", 6)} AS ref_share,
+         |  ${rnd("cur_share", 6)} AS cur_share,
+         |  ${rnd("psi_term", 6)} AS psi_term,
+         |  ${rnd("(SELECT sum(psi_term) FROM t)", 6)} AS psi_total
+         |FROM t""".stripMargin,
+
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),

@@ -1590,6 +1590,98 @@ object SparkEntry {
   private def q135(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8Clipped(T(s, dir, "embeddings"))
 
+  /** Interval × interval overlap join, binned (never a cross-join): order
+    * fulfilment windows [o_orderdate, +7d] against returned-lineitem
+    * transit windows [l_shipdate, l_receiptdate] in early 1995, aggregated
+    * per (priority, linestatus) with total overlap days. */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val a = T(s, dir, "orders")
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-03-01")
+      .select(col("o_orderpriority"), col("o_orderdate").as("o_start"),
+        date_add(col("o_orderdate"), 7).cast("timestamp").as("o_end"))
+    val b = T(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R"
+        && col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1995-03-01")
+      .select(col("l_linestatus"), col("l_shipdate"),
+        // no receipt date in this schema: a deterministic 1-7 day transit
+        date_add(col("l_shipdate"), col("l_linenumber") % 7 + 1)
+          .cast("timestamp").as("l_receipt"))
+    graft.operators.RangeJoin.intervalOverlap(a, b,
+        "o_start", "o_end", "l_shipdate", "l_receipt",
+        chunkSeconds = 7L * 86400L)
+      .groupBy("o_orderpriority", "l_linestatus")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(datediff(least(col("o_end"), col("l_receipt")),
+          greatest(col("o_start"), col("l_shipdate"))) + 1).cast("long")
+          .as("overlap_days"))
+  }
+
+  /** Last-touch attribution: each purchase credits the most recent
+    * click/view by the same user within 24 h (ties at equal timestamps
+    * broken by event id), unattributed purchases report as `(none)`. */
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.lastTouchAttribution(T(s, dir, "events"),
+      "user_id", "ts", "event_type", "value",
+      touchTypes = Seq("click", "view"), convType = "purchase",
+      windowSeconds = 86400L, idCol = "event_id")
+
+  /** Reciprocal-rank fusion of two bounded retrieval lists (cosine top-20
+    * and L2 top-20) into a fused top-10 — rank positions, not raw scores,
+    * so the two signals' incomparable scales never mix. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val e = TW(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.rrfFuse(e, queries, nCandidates = 20, k = 10)
+  }
+
+  /** IVF + PQ combined search (IVFADC): probe the 4 nearest of 16 coarse
+    * buckets, score only those buckets' 8-int PQ codes by asymmetric
+    * distance — the composed operating point of q40 (IVF) and q122 (PQ). */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val e = TW(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfPqTopK(e, queries, k = 5,
+        nCentroids = 16, nProbe = 4, m = 8, ksub = 16)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc_dist"), 3).as("adc_dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Per-source tokenizer fertility: subwords per word, chars and bytes per
+    * subword — the sequence-length cost model behind token budgeting. */
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.fertilityReport(
+      T(s, dir, "documents"), "source", "text")
+
+  /** Per-source distinctive terms by Dirichlet-smoothed log-odds z-score
+    * (Monroe et al. 2008) — top-5 per source, z rounded before ranking. */
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.logOddsTerms(
+      T(s, dir, "documents"), "source", "text", topK = 5, alpha = 0.01)
+
+  /** Sign-bit binary signatures + Hamming top-k: 64 dims pack to ONE long,
+    * distance = popcount(xor) — the 64x-compressed first pass of a
+    * binary-then-rerank ANN pipeline. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val e = TW(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.hammingTopK(e, queries, k = 5, dim = 64)
+  }
+
+  /** PSI drift report between the first and second half-month of events
+    * `value`: 10 reference-anchored fixed-width bins, ε-smoothed
+    * (cur−ref)·ln(cur/ref) terms, total repeated per row. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+    graft.operators.Stats.psiReport(
+      e.filter(col("ts") < "2024-01-16"),
+      e.filter(col("ts") >= "2024-01-16"),
+      "value", nBins = 10)
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1727,7 +1819,15 @@ object SparkEntry {
     "q132_ivf_append" -> (q132 _),
     "q133_lexical_diversity" -> (q133 _),
     "q134_source_similarity" -> (q134 _),
-    "q135_int8_clipped" -> (q135 _)
+    "q135_int8_clipped" -> (q135 _),
+    "q136_overlap_join" -> (q136 _),
+    "q137_attribution" -> (q137 _),
+    "q138_rrf_fuse" -> (q138 _),
+    "q139_ivfpq_topk" -> (q139 _),
+    "q140_fertility" -> (q140 _),
+    "q141_logodds_terms" -> (q141 _),
+    "q142_hamming_topk" -> (q142 _),
+    "q143_psi_drift" -> (q143 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

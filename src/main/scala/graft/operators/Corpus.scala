@@ -176,6 +176,51 @@ object Corpus {
           .as("kl"))
   }
 
+  /** Per-source distinctive terms by log-odds with an informative Dirichlet
+    * prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words") — the
+    * corpus-comparison statistic that, unlike raw TF-IDF, damps both
+    * low-count noise (the prior) and stopword mass (the odds vs the REST of
+    * the corpus): z = δ̂ / √(1/(c_sw+α) + 1/(c_rw+α)) with δ̂ the
+    * smoothed log-odds delta of word w in source s vs everything else.
+    * State is vocabulary-bounded throughout — one (source, word) count
+    * table feeding per-source totals, corpus word totals (both
+    * broadcast-joined back), and the final per-source top-k rides the
+    * bounded map-side-partial [[graft.functions.TopKAgg]], not a rank
+    * window over the vocabulary. z is ROUNDED (6dp) before ranking, word
+    * asc on ties — the cross-engine determinism contract for ln-derived
+    * scores. Returns (source, rank, term, c_source, z). */
+  def logOddsTerms(df: DataFrame, srcCol: String, textCol: String,
+                   topK: Int = 5, alpha: Double = 0.01): DataFrame = {
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val sc = df.select(col(srcCol).as("source"),
+        explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds source totals, corpus totals, and the scores
+    val st = sc.groupBy("source").agg(sum("c").as("tot"))
+    val cw = sc.groupBy("w").agg(sum("c").as("cc"))
+    val gl = cw.agg(sum("cc").as("ctot"), count(lit(1)).as("vocab"))
+    val scored = sc.join(broadcast(st), "source").join(cw, "w")
+      .crossJoin(broadcast(gl))
+      .withColumn("crw", col("cc") - col("c"))
+      .withColumn("delta",
+        log((col("c") + alpha) /
+            (col("tot") + lit(alpha) * col("vocab") - col("c") - alpha))
+          - log((col("crw") + alpha) /
+            (col("ctot") - col("tot") + lit(alpha) * col("vocab")
+              - col("crw") - alpha)))
+      .withColumn("z", round(col("delta") /
+        sqrt(lit(1.0) / (col("c") + alpha) + lit(1.0) / (col("crw") + alpha)),
+        6))
+    scored.groupBy("source")
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("z")).as("nz"), col("w").as("k"), col("c").as("c")),
+        topK).as("arr"))
+      .select(col("source"), posexplode(col("arr")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.k").as("term"), col("col.c").as("c_source"),
+        negate(col("col.nz")).as("z"))
+  }
+
   /** Per-document lexical-diversity metrics — the vocabulary-richness
     * quality signals (low entropy / low TTR = TEMPLATE or keyword-stuffed
     * text): Shannon word entropy Σ −p·ln p, type-token ratio

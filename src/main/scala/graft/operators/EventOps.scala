@@ -66,6 +66,37 @@ object EventOps {
     * session identity is the window start = the session's first event time.
     * Returns (user, session_start formatted, n_events, duration_us exact,
     * sum of `valueCol` 2dp). */
+  /** Last-touch attribution: every conversion event credits the most recent
+    * PRECEDING touch event (one of `touchTypes`) by the same user within
+    * `windowSeconds`; conversions with no in-window touch report as
+    * `(none)`. The carried "last touch" is a running `last(ignoreNulls)`
+    * over a rows-frame ENDING AT THE PREVIOUS ROW — an O(n)-per-row frame
+    * (unbounded-FOLLOWING frames are the O(n²) trap, PLANS.md r6), one
+    * shuffle on the user key, ties at identical timestamps broken by event
+    * id so the pick is deterministic. Returns one row per credited type:
+    * (attributed_type, n_conversions, total_value 2dp). */
+  def lastTouchAttribution(df: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, valueCol: String,
+                           touchTypes: Seq[String], convType: String,
+                           windowSeconds: Long, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes: _*),
+      struct(col(tsCol).as("t"), col(typeCol).as("ty")))
+    val attributed = df
+      .withColumn("__lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("attributed_type",
+        when(col("__lt").isNotNull &&
+            unix_micros(col(tsCol)) - unix_micros(col("__lt.t"))
+              <= windowSeconds * 1000000L,
+          col("__lt.ty")).otherwise(lit("(none)")))
+    attributed.groupBy("attributed_type")
+      .agg(count(lit(1)).cast("long").as("n_conversions"),
+        round(sum(col(valueCol)), 2).as("total_value"))
+  }
+
   def sessionWindowAgg(df: DataFrame, userCol: String, tsCol: String,
                        valueCol: String, gap: String): DataFrame =
     df.groupBy(col(userCol), session_window(col(tsCol), gap).as("sw"))

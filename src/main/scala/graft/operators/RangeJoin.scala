@@ -33,4 +33,35 @@ object RangeJoin {
       .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
       .drop("__chunk")
   }
+
+  /** Interval × interval overlap join without a cross-join — the two-sided
+    * generalization of [[pointInInterval]]. Both sides explode to the time
+    * chunks they span and join fully equi on the chunk id; the overlap
+    * predicate (aStart <= bEnd AND bStart <= aEnd) restores exact
+    * semantics. A pair whose intervals span several common chunks would
+    * match once per chunk, so each surviving pair is kept ONLY in the chunk
+    * that owns `greatest(aStart, bStart)` — an O(1) ownership rule that
+    * needs no post-join distinct (the dedup that usually makes binned
+    * overlap joins shuffle twice). Candidate pairs per chunk are bounded by
+    * the per-chunk interval density, independent of total row count; pick
+    * `chunkSeconds` near the typical interval length, exactly as for
+    * [[pointInInterval]]. Timestamp or date columns both work (dates cast
+    * to midnight timestamps). */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String,
+                      chunkSeconds: Long = 86400L): DataFrame = {
+    val chunkUs = chunkSeconds * 1000000L
+    def chunkOf(c: Column): Column =
+      floor(unix_micros(c.cast("timestamp")) / chunkUs)
+
+    val ae = a.withColumn("__chunk",
+      explode(sequence(chunkOf(col(aStart)), chunkOf(col(aEnd)))))
+    val be = b.withColumn("__chunk",
+      explode(sequence(chunkOf(col(bStart)), chunkOf(col(bEnd)))))
+    ae.join(be, Seq("__chunk"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__chunk") === chunkOf(greatest(col(aStart), col(bStart))))
+      .drop("__chunk")
+  }
 }

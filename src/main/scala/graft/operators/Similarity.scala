@@ -555,4 +555,145 @@ object Similarity {
           .as("code"),
         round(col("scale"), 9).as("scale"))
   }
+
+  /** IVF + PQ combined search (the IVFADC scheme of Jégou et al. 2011):
+    * corpus rows carry a coarse centroid assignment AND an m-byte PQ code;
+    * a query probes its `nProbe` nearest coarse buckets and scores ONLY
+    * those buckets' codes by asymmetric distance. This composes the two
+    * scale levers the separate [[ivfTopK]] / [[pqTopK]] paths exercise
+    * alone: the probe cuts the scanned fraction to nProbe/nCentroids and
+    * PQ cuts the bytes-per-scanned-row from dim x 4 to m — at 100 TB the
+    * scan this plan does is nProbe/nCentroids x m bytes per vector, the
+    * memory-bandwidth operating point every disk-resident IVFADC system
+    * targets. Probe side broadcasts (queries x nProbe rows); the equi-join
+    * on centroid_id reaches the codes table partition-pruned when the codes
+    * are written IVF-partitioned ([[writeIvfIndex]] layout). Ranks order by
+    * (adc_dist ASC, neighbor_id ASC). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int, nProbe: Int, m: Int, ksub: Int,
+                corpusId: String = "vec_id", corpusVec: String = "embedding",
+                queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    TopKAgg.register(spark)
+    val cs = centroidSet(corpus, nCentroids, corpusId, corpusVec)
+    val book = pqCodebook(corpus, m, ksub, corpusId, corpusVec)
+    // one zero-shuffle projection carries both quantizers: coarse bucket id
+    // + fine m-int code; the vector column is dropped before the join so
+    // the scanned side is codes-only
+    val codes = corpus.select(
+      col(corpusId).as("neighbor_id"),
+      nearestCentroidId(cs, col(corpusVec), spark).as("centroid_id"),
+      VectorFunctions.pqEncode(spark, col(corpusVec), book.bc).as("cs"))
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("cidx",
+        explode(VectorFunctions.topCentroids(spark, col("qv"), cs.bc, nProbe)))
+      .withColumn("centroid_id", element_at(cs.ids, col("cidx") + 1))
+      .drop("cidx")
+    val scored = broadcast(probes).join(codes, "centroid_id")
+      .select(col("query_id"), struct(
+        VectorFunctions.pqAdcDistance(spark, col("cs"), col("qv"), book.bc).as("d"),
+        col("neighbor_id").as("nid")).as("s"))
+    scored.groupBy("query_id").agg(TopKAgg.topK(col("s"), k).as("arr"))
+      .select(col("query_id"), posexplode(col("arr")))
+      .select(col("query_id"), col("col.nid").as("neighbor_id"),
+        col("col.d").as("adc_dist"), (col("pos") + 1).as("rank"))
+  }
+
+  /** Sign-bit binary signature of an embedding: bit i of word w is set iff
+    * vec[w*64+i] >= 0 — the 1-bit-per-dimension quantization (Charikar 2002
+    * hyperplane sketch with axis-aligned planes) that turns a dim x 4-byte
+    * vector into dim/8 bytes. A zero-shuffle whole-stage-codegen projection
+    * of builtins (no UDF): the per-word fold is an `aggregate` HOF whose
+    * additions are distinct powers of two, so the signed-overflow wrap on
+    * bit 63 is exactly the intended two's-complement bit pattern. */
+  def signBits(vec: Column, dim: Int): Column = {
+    require(dim % 64 == 0, s"dim $dim not a multiple of 64")
+    transform(sequence(lit(0), lit(dim / 64 - 1)), w =>
+      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
+        acc + when(element_at(vec, w * 64 + i + 1) >= 0f,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
+  }
+
+  /** Hamming-distance top-k over sign-bit signatures: both sides pack to
+    * dim/64 longs ([[signBits]]), distance = Σ popcount(xor) per word —
+    * 8 bytes of xor+popcount per 64 dims vs 512 bytes of fp multiply for
+    * cosine, the cheap FIRST pass of a binary-then-rerank pipeline (the
+    * float rerank of the survivors is [[bruteForceTopK]] on the candidate
+    * ids; the banded-LSH candidate generator for skipping the full scan is
+    * `Dedup.simhash64NearDups`' band-bucket shape). Same bounded plan as
+    * [[bruteForceTopK]]: broadcast packed queries, codegen'd scan, map-side
+    * partial [[graft.functions.TopKAgg]]. Ranks order by (hamming ASC,
+    * neighbor_id ASC). */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                  corpusId: String = "vec_id", corpusVec: String = "embedding",
+                  queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    TopKAgg.register(corpus.sparkSession)
+    val packed = corpus.select(col(corpusId).as("neighbor_id"),
+      signBits(col(corpusVec), dim).as("cw"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      signBits(col(queryVec), dim).as("qw")))
+    val scored = packed.crossJoin(q)
+      .select(col("query_id"), struct(
+        aggregate(zip_with(col("cw"), col("qw"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        col("neighbor_id").as("nid")).as("s"))
+    scored.groupBy("query_id").agg(TopKAgg.topK(col("s"), k).as("arr"))
+      .select(col("query_id"), posexplode(col("arr")))
+      .select(col("query_id"), col("col.nid").as("neighbor_id"),
+        col("col.d").as("hamming"), (col("pos") + 1).as("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval lists —
+    * here cosine similarity and squared-L2 distance, which disagree exactly
+    * when corpus norms vary. Each signal first produces a bounded
+    * top-`nCandidates` list through the map-side-partial
+    * [[graft.functions.TopKAgg]] (the corpus is scanned, never ranked: no
+    * per-query corpus-sized window exists anywhere in the plan); the lists
+    * then full-outer join on (query, neighbor) and fuse as Σ 1/(c + rank_i)
+    * over the ranks PRESENT — the standard list-fusion form, where a doc
+    * missing from one list simply contributes nothing. Everything after
+    * candidate generation is queries x nCandidates rows, control-plane
+    * sized. L2 is composed from the codegen'd dot products
+    * (‖a‖² + ‖b‖² − 2a·b) so both signals stay in whole-stage codegen and
+    * the oracle can replay bit-identical folds. Fused ranks order by
+    * (rrf DESC, neighbor_id ASC). */
+  def rrfFuse(corpus: DataFrame, queries: DataFrame, nCandidates: Int,
+              k: Int, c: Int = 60,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    TopKAgg.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")))
+    val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("cv"), col("qv")).as("cos"),
+        (VectorFunctions.dot(col("cv"), col("cv"))
+          + VectorFunctions.dot(col("qv"), col("qv"))
+          - lit(2.0) * VectorFunctions.dot(col("cv"), col("qv"))).as("l2"))
+    def topList(key: Column, rankName: String): DataFrame => DataFrame = df =>
+      df.groupBy("query_id")
+        .agg(TopKAgg.topK(struct(key.as("d"), col("neighbor_id").as("nid")),
+          nCandidates).as("arr"))
+        .select(col("query_id"), posexplode(col("arr")))
+        .select(col("query_id"), col("col.nid").as("neighbor_id"),
+          (col("pos") + 1).cast("long").as(rankName))
+    val cosList = topList(negate(col("cos")), "r_cos")(scored)
+    val l2List = topList(col("l2"), "r_l2")(scored)
+    val fused = cosList.join(l2List, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("r_cos")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c) + col("r_l2")), lit(0.0)), 8))
+    fused
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("r_cos"), col("r_l2"), col("rrf"), col("rank").cast("long").as("rank"))
+  }
 }

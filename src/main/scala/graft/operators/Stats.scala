@@ -229,4 +229,54 @@ object Stats {
           expr(s"((cum - cnt) * $nBuckets) div n")).cast("long").as("bucket"))
     df.join(broadcast(cum), Seq(valueCol))
   }
+
+  /** Population-stability-index drift report between a reference and a
+    * current snapshot of one numeric column — the per-feature drift monitor
+    * a continuously-ingested corpus runs between snapshots (PSI > 0.25 is
+    * the conventional "investigate" line, documented here, not enforced).
+    * Bins are `nBins` fixed-width slices of the REFERENCE min..max (so the
+    * binning is stable when the current distribution shifts), with the two
+    * open tails clamped into the edge bins; each side bins with one scan +
+    * one nBins-group aggregate (shuffles bounded by the bin count, not
+    * rows), shares join broadcast, and psi_term = (cur−ref)·ln(cur/ref)
+    * with ε-smoothed shares so an empty bin contributes a finite term.
+    * `psi_total` repeats the scalar Σ on every row (a broadcast of the
+    * 1-row aggregate — keeps the result one self-contained frame). Only
+    * min/max travel through a driver-free crossJoin(broadcast) — no
+    * collect anywhere. */
+  def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
+                nBins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    val mm = ref.agg(min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    def binned(df: DataFrame, share: String): DataFrame = {
+      val width = (col("__hi") - col("__lo")) / nBins
+      val raw = floor((col(valueCol).cast("double") - col("__lo")) / width)
+      val n = df.filter(col(valueCol).isNotNull)
+        .crossJoin(broadcast(mm))
+        .withColumn("bin",
+          least(lit(nBins - 1L), greatest(lit(0L), raw.cast("long"))))
+      n.groupBy("bin").agg(count(lit(1)).as("__c"))
+        .crossJoin(broadcast(
+          n.agg(count(lit(1)).as("__n"))))
+        .select(col("bin"), (col("__c").cast("double") / col("__n")).as(share))
+    }
+    val bins = ref.sparkSession.range(0, nBins.toLong)
+      .select(col("id").as("bin"))
+    val joined = bins
+      .join(binned(ref, "ref_share"), Seq("bin"), "left")
+      .join(binned(cur, "cur_share"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_share"), lit(0.0)).as("ref_share"),
+        coalesce(col("cur_share"), lit(0.0)).as("cur_share"))
+      .withColumn("psi_term",
+        (col("cur_share") - col("ref_share"))
+          * log((col("cur_share") + eps) / (col("ref_share") + eps)))
+    joined.crossJoin(broadcast(
+        joined.agg(sum(col("psi_term")).as("__psi"))))
+      .select(col("bin"),
+        round(col("ref_share"), 6).as("ref_share"),
+        round(col("cur_share"), 6).as("cur_share"),
+        round(col("psi_term"), 6).as("psi_term"),
+        round(col("__psi"), 6).as("psi_total"))
+  }
 }

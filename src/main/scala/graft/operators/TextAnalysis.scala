@@ -244,6 +244,27 @@ object TextAnalysis {
       col("top_word_frac") > topWordMax || col("dup_trigram_frac") > dupTrigramMax)
   }
 
+  /** Per-source tokenizer-fertility report: subword tokens per whitespace
+    * word (the "fertility" every tokenizer eval tracks — high fertility =
+    * the tokenizer fragments this source's text, so its documents cost more
+    * sequence length per word), plus chars/bytes per subword. All three
+    * numerators are zero-shuffle codegen'd projections ([[tokenCount]],
+    * [[subwordCount]], `octet_length`); the only shuffle is the
+    * sources-bounded final aggregate. Token-budget planning runs on
+    * exactly this table: budget_tokens ≈ n_words × fertility per source. */
+  def fertilityReport(df: DataFrame, srcCol: String, textCol: String): DataFrame =
+    df.select(col(srcCol).as("source"),
+        tokenCount(col(textCol)).cast("long").as("w"),
+        subwordCount(col(textCol)).cast("long").as("s"),
+        length(col(textCol)).cast("long").as("ch"),
+        octet_length(col(textCol)).cast("long").as("by"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("w").as("n_words"), sum("s").as("n_subwords"),
+        round(sum("s").cast("double") / sum("w"), 4).as("fertility"),
+        round(sum("ch").cast("double") / sum("s"), 4).as("chars_per_token"),
+        round(sum("by").cast("double") / sum("s"), 4).as("bytes_per_token"))
+
   /** One-pass document profile used by `SparkEntry`. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))

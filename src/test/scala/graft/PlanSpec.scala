@@ -127,7 +127,10 @@ class PlanSpec extends SparkSpec {
       "q115_hll_merge", // three 1-row control frames cross-joined
       "q122_pq_adc_topk", "q125_ivf_recall",
       "q128_mmr_rerank", // bounded broadcast ANN query sets
-      "q131_source_kl") // 1-row corpus-total control frame cross-joined
+      "q131_source_kl", // 1-row corpus-total control frame cross-joined
+      "q138_rrf_fuse", "q142_hamming_topk", // bounded broadcast ANN query sets
+      "q141_logodds_terms", // 1-row vocab/total control frame cross-joined
+      "q143_psi_drift") // 1-row min-max + share-total control frames
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",

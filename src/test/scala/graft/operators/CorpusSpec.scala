@@ -193,4 +193,23 @@ class CorpusSpec extends SparkSpec {
     assert(out("s3")._3 == r4(math.log(3.0)))
     assert(out("s1")._3 > 0.0)
   }
+
+  test("logOddsTerms surfaces a source's exclusive term with positive z") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma quantum", "s1"),
+      (3L, "alpha beta gamma delta", "s2"),
+      (4L, "alpha beta gamma epsilon", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.logOddsTerms(docs, "source", "text", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    // "quantum" is exclusive to s1, "epsilon" to s2: each tops its source
+    val (t1, c1, z1) = out(("s1", 1L))
+    val (t2, _, z2) = out(("s2", 1L))
+    assert(t1 == "quantum" && c1 == 1L && z1 > 0.0)
+    assert(t2 == "epsilon" && z2 > 0.0)
+    // shared terms score |z| near 0 relative to the exclusives
+    assert(out(("s1", 2L))._3 < z1)
+  }
 }

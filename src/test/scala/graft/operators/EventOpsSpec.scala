@@ -61,4 +61,26 @@ class EventOpsSpec extends SparkSpec {
       "10 minutes").collect()
     assert(b.length == 1 && b.head.getLong(2) == 2L, b.mkString(";"))
   }
+
+  test("lastTouchAttribution credits the latest in-window touch; ties by event id") {
+    val events = Seq(
+      // u1: click then view then purchase -> view (most recent) wins
+      (1L, 1L, "click", ts(1), 0.0), (2L, 1L, "view", ts(2), 0.0),
+      (3L, 1L, "purchase", ts(3), 10.0),
+      // u2: touch exists but outside the 5-minute window -> (none)
+      (4L, 2L, "click", ts(1), 0.0), (5L, 2L, "purchase", ts(30), 20.0),
+      // u3: no touch at all -> (none)
+      (6L, 3L, "purchase", ts(4), 30.0),
+      // u4: click and view at the SAME timestamp -> higher event id (view) wins
+      (7L, 4L, "click", ts(5), 0.0), (8L, 4L, "view", ts(5), 0.0),
+      (9L, 4L, "purchase", ts(6), 40.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventOps.lastTouchAttribution(events, "user_id", "ts",
+        "event_type", "value", Seq("click", "view"), "purchase",
+        windowSeconds = 300L, idCol = "event_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("view") == ((2L, 50.0)))   // u1 and u4
+    assert(out("(none)") == ((2L, 50.0))) // u2 (stale) and u3 (never)
+    assert(!out.contains("click"))
+  }
 }

@@ -344,4 +344,58 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == ((1L, 0.5)))
     assert(out(3L) == ((0L, 0.0))) // no hits, still reported
   }
+
+  private def dim64 = {
+    // deterministic 64-d vectors with mixed signs
+    def v(seed: Int) = Array.tabulate(64)(i =>
+      (((seed * 31 + i * 17) % 7) - 3).toFloat / 4f)
+    (0L to 9L).map(id => (id, v(id.toInt))).toDF("vec_id", "embedding")
+  }
+
+  test("signBits packs the sign pattern; hammingTopK rank 1 = self at distance 0") {
+    val packed = dim64.select($"vec_id",
+        Similarity.signBits($"embedding", 64).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(packed.values.forall(_.length == 1))
+    // replay the pack in Scala and compare bit-for-bit
+    val rows = dim64.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for ((id, vec) <- rows) {
+      val expected = vec.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x >= 0f) acc + (1L << i) else acc
+      }
+      assert(packed(id).head == expected, s"id $id")
+    }
+    val queries = dim64.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = Similarity.hammingTopK(dim64, queries, k = 3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(top((0L, 1)) == ((0L, 0L))) // self at hamming 0
+    assert(top((1L, 1)) == ((1L, 0L)))
+  }
+
+  test("ivfPqTopK with nProbe = nCentroids equals the full-scan pqTopK") {
+    val e = dim64
+    val queries = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val full = {
+      val book = Similarity.pqCodebook(e, m = 8, ksub = 4)
+      Similarity.pqTopK(Similarity.pqEncode(e, book), queries, book, k = 4)
+    }
+    val ivf = Similarity.ivfPqTopK(e, queries, k = 4,
+      nCentroids = 4, nProbe = 4, m = 8, ksub = 4)
+    assert(rowsOf(ivf) == rowsOf(full))
+  }
+
+  test("rrfFuse: self tops both lists and wins the fused rank") {
+    val e = dim64
+    val queries = e.filter($"vec_id" === 5L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val rows = Similarity.rrfFuse(e, queries, nCandidates = 5, k = 3).collect()
+    assert(rows.length == 3)
+    // self: cosine rank 1 AND l2 rank 1 -> rrf = 2/61, fused rank 1
+    val first = rows.find(_.getLong(5) == 1L).get
+    assert(first.getLong(1) == 5L)
+    assert(first.getLong(2) == 1L && first.getLong(3) == 1L)
+    assert(math.abs(first.getDouble(4) - 2.0 / 61.0) < 1e-8)
+  }
 }

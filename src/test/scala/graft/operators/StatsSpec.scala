@@ -138,4 +138,25 @@ class StatsSpec extends SparkSpec {
       Seq(0.5)).collect()(0)
     assert(a.getDouble(2) == b.getDouble(2)) // rank-k value is partition-invariant
   }
+
+  test("psiReport: identical distributions -> psi 0; a shift -> positive psi") {
+    val ref = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Stats.psiReport(ref, ref, "v", nBins = 10).collect()
+    assert(same.length == 10)
+    same.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2)) // shares equal bin-by-bin
+      assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+    }
+    assert(math.abs(same.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+
+    // current mass concentrated in the top decile: large positive psi there
+    val cur = (1 to 1000).map(i => 90.0 + (i % 10)).toDF("v")
+    val drift = Stats.psiReport(ref, cur, "v", nBins = 10).collect()
+    val total = drift.head.getDouble(4)
+    assert(total > 0.25, s"psi_total $total") // well past the alert line
+    // out-of-range current values clamp into edge bins, never vanish
+    val below = (1 to 100).map(_ => -50.0).toDF("v")
+    val clamped = Stats.psiReport(ref, below, "v", nBins = 10).collect()
+    assert(clamped.find(_.getLong(0) == 0L).get.getDouble(2) == 1.0)
+  }
 }

@@ -146,4 +146,18 @@ class TextAnalysisSpec extends SparkSpec {
     // empty doc: all features 0 -> logit = bias = -1 -> sigmoid 0.2689
     assert(out(3L) == ((0.2689, false)))
   }
+
+  test("fertilityReport computes subwords-per-word and chars/bytes-per-subword") {
+    val docs = Seq(
+      // "ab cd" -> 2 words, 2 subwords, 5 chars; "x9 y"  -> 2 words, 3 subwords
+      (1L, "ab cd", "s1"), (2L, "x9 y", "s1"),
+      // punctuation splits into its own subword: "hi, there" -> 2 words, 3 subwords
+      (3L, "hi, there", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.fertilityReport(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("s1") == ((2L, 4L, 5L, 1.25))) // subwords 2 + 3, words 2 + 2
+    assert(out("s2") == ((1L, 2L, 3L, 1.5)))
+  }
 }
