@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout straight through, unprefixed: sbt's
+// default logger wraps every line as "[info] ...", which breaks any
+// consumer that expects graft.Bench's one-line JSON to start with '{'
+// (the per-round bench harness scans the log tail for a JSON line).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

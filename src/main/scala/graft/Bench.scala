@@ -62,10 +62,30 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision, full-name record → file (committed as the round's
+    // quiet-box anchor; survives any log truncation).
+    val qsFull = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""" + "\n")
+    // Stdout line is what the per-round harness parses from a bounded log
+    // tail (last ~2000 chars), so it must stay short: query keys are the
+    // qNNN prefix, timings rounded to 1 ms. 144 full-name full-precision
+    // entries are ~5 KB and get truncated mid-line — that is exactly the
+    // r1-r7 "parsed": null failure.
+    def render(decimals: Int): String = {
+      def fmt(v: Double): String = s"%.${decimals}f".format(v)
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // ~1800 chars leaves room for sbt's trailing "[success] ..." line
+    // inside the 2000-char tail window.
+    val line = Seq(3, 2, 1).map(render).find(_.length <= 1800)
+      .getOrElse(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    println(line)
     spark.stop()
   }
 }

@@ -15,15 +15,22 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; read it as a long (legacy conf) and truncate to micros — the
-    // same truncation DuckDB applies, so the oracle agrees.
+    // events.ts has shifted physical type across testdata generations:
+    // TIMESTAMP(NANOS) (vectorized reader rejects it — read as long via the
+    // legacy conf and truncate to micros, the same truncation DuckDB
+    // applies) and TIMESTAMP(MICROS) with isAdjustedToUTC=false (Spark maps
+    // it to TIMESTAMP_NTZ, which time arithmetic like unix_micros rejects —
+    // cast to session-TZ TIMESTAMP; the session is pinned to UTC, so the
+    // wall-clock values are unchanged and DuckDB's naive-timestamp oracle
+    // agrees). Normalizing here keeps every downstream operator on one type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == types.LongType) match {
-      case Some(_) =>
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(types.LongType) =>
         df.withColumn("ts", functions.expr("timestamp_micros(ts div 1000)"))
-      case None => df
+      case Some(types.TimestampNTZType) =>
+        df.withColumn("ts", functions.col("ts").cast(types.TimestampType))
+      case _ => df
     }
   }
 

@@ -8,6 +8,7 @@ exactly. Usage: check_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
 import json, sys, math
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -15,12 +16,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def norm_cell(v):
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "NaN"
         return repr(v)
-    if isinstance(v, bool):
-        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
     return v
 
 def frame(rows, cols):
@@ -40,17 +46,24 @@ def main():
     for name in sorted(oracle):
         if only and name not in only:
             continue
+        # Fetch through pandas (.df()), NOT fetchall(): the driver goes
+        # through pandas, where DuckDB HUGEINT (e.g. sum(INT)) lands as
+        # float64 and hashes as "357.0" vs Spark's "357". fetchall() returns
+        # Python ints and silently hides that class of mismatch (the r7
+        # q129 hash_match:false escaped exactly this way).
         try:
-            sp_rows = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
-            sp_cols = [d[0] for d in con.description]
+            sp_df = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            sp_cols = list(sp_df.columns)
+            sp_rows = [tuple(r) for r in sp_df.itertuples(index=False)]
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
             continue
         try:
-            du_rows = con.execute(oracle[name]).fetchall()
-            du_cols = [d[0] for d in con.description]
+            du_df = con.execute(oracle[name]).df()
+            du_cols = list(du_df.columns)
+            du_rows = [tuple(r) for r in du_df.itertuples(index=False)]
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
