@@ -1246,12 +1246,16 @@ object OracleSql {
     },
 
     // token-budget mix: running per-lang char sum in portable-hash order;
-    // unique (hash, doc_id) ordering makes RANGE and ROWS frames identical
+    // unique (hash, doc_id) ordering makes RANGE and ROWS frames identical.
+    // The window sum MUST be cast ::BIGINT: DuckDB's sum(INT) is HUGEINT,
+    // which pandas renders as float64 ("357.0" vs Spark's "357") and the
+    // driver's cell hash diverges even though every value is equal (the
+    // r7 hash_match:false on this gate).
     "q129_token_budget_mix" ->
       s"""SELECT doc_id, lang, n_chars, cum_tokens FROM (
          |  SELECT doc_id, lang, n_chars,
-         |    sum(n_chars) OVER (PARTITION BY lang
-         |      ORDER BY ${h32("doc_id::VARCHAR")}, doc_id) AS cum_tokens
+         |    (sum(n_chars) OVER (PARTITION BY lang
+         |      ORDER BY ${h32("doc_id::VARCHAR")}, doc_id))::BIGINT AS cum_tokens
          |  FROM documents)
          |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 20000
          |  WHEN 'de' THEN 10000 WHEN 'fr' THEN 5000 END""".stripMargin,
@@ -1519,6 +1523,78 @@ object OracleSql {
          |  ${rnd("psi_term", 6)} AS psi_term,
          |  ${rnd("(SELECT sum(psi_term) FROM t)", 6)} AS psi_total
          |FROM t""".stripMargin,
+
+    // global total-order rank: the oracle IS the naive global window — the
+    // Spark side must reproduce it exactly from range-partitioned pieces
+    "q144_global_rank" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS global_rank
+        |FROM orders""".stripMargin,
+
+    // epoch-aware mixture plan: floor() (not a double cast — Spark
+    // truncates, DuckDB rounds) on every double→BIGINT landing
+    "q145_epoch_mix" ->
+      s"""WITH sizes AS (SELECT lang, sum(n_chars)::BIGINT AS n_tokens,
+         |    CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+         |      WHEN 'fr' THEN 0.2 END AS weight
+         |  FROM documents GROUP BY lang),
+         |planned AS (SELECT lang, n_tokens, weight,
+         |    floor(2000000.0 * weight)::BIGINT AS target_tokens,
+         |    least(floor(2000000.0 * weight)::BIGINT,
+         |      floor(n_tokens::DOUBLE * 4.0)::BIGINT) AS planned_tokens
+         |  FROM sizes WHERE weight IS NOT NULL AND n_tokens > 0)
+         |SELECT lang, n_tokens, weight, target_tokens, planned_tokens,
+         |  ${rnd("planned_tokens::DOUBLE / n_tokens::DOUBLE", 4)} AS epochs,
+         |  target_tokens - planned_tokens AS deficit_tokens
+         |FROM planned""".stripMargin,
+
+    // cross-source duplication matrix: q20's banded-LSH near-dup replay,
+    // pairs labeled with canonically ordered sources; min/max (never avg)
+    // keeps the cells fp-order-independent
+    "q146_crossdup_matrix" -> {
+      val sh = shinglesExpr("t", 3)
+      s"""WITH toks AS (SELECT doc_id AS id, $toksExpr AS t FROM documents),
+         |shing AS (SELECT id, $sh AS sh FROM toks),
+         |hashed AS (SELECT id, sh, list_transform(sh, x -> ${h32("x")}) AS hs FROM shing),
+         |sigs AS (SELECT id, list_distinct(sh) AS shset,
+         |  ${minhashSigExpr("hs", 8)} AS sig
+         |  FROM hashed),
+         |banded AS (SELECT id, band, array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '_') AS bucket
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |jac AS (SELECT id_a, id_b,
+         |  CASE WHEN len(list_distinct(list_concat(sa.shset, sb.shset))) = 0 THEN 0.0
+         |       ELSE len(list_intersect(sa.shset, sb.shset))::DOUBLE
+         |            / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE END AS jaccard
+         |  FROM cands JOIN sigs sa ON sa.id = cands.id_a JOIN sigs sb ON sb.id = cands.id_b),
+         |lab AS (SELECT j.jaccard, da.source AS s_a, db.source AS s_b
+         |  FROM jac j JOIN documents da ON da.doc_id = j.id_a
+         |             JOIN documents db ON db.doc_id = j.id_b
+         |  WHERE j.jaccard >= 0.2)
+         |SELECT least(s_a, s_b) AS src_a, greatest(s_a, s_b) AS src_b,
+         |  count(*)::BIGINT AS n_pairs,
+         |  ${rnd("min(jaccard)", 3)} AS min_jaccard,
+         |  ${rnd("max(jaccard)", 3)} AS max_jaccard
+         |FROM lab GROUP BY 1, 2""".stripMargin
+    },
+
+    // per-source trigram novelty: vocabulary-bounded counts only
+    "q147_ngram_novelty" -> {
+      val sh = shinglesExpr("t", 3)
+      s"""WITH toks AS (SELECT source, $toksExpr AS t FROM documents),
+         |grams AS (SELECT source, unnest($sh) AS g FROM toks),
+         |sg AS (SELECT source, g, count(*) AS c FROM grams GROUP BY 1, 2),
+         |gs AS (SELECT g, count(*) AS n_src FROM sg GROUP BY 1),
+         |agg AS (SELECT sg.source, sum(sg.c)::BIGINT AS n_instances,
+         |    count(*)::BIGINT AS n_distinct,
+         |    sum(CASE WHEN gs.n_src = 1 THEN 1 ELSE 0 END)::BIGINT AS n_exclusive
+         |  FROM sg JOIN gs ON gs.g = sg.g GROUP BY 1)
+         |SELECT source, n_instances, n_distinct, n_exclusive,
+         |  ${rnd("n_distinct::DOUBLE / n_instances::DOUBLE", 4)} AS novelty,
+         |  ${rnd("n_exclusive::DOUBLE / n_distinct::DOUBLE", 4)} AS exclusive_ratio
+         |FROM agg""".stripMargin
+    },
 
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)

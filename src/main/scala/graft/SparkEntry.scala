@@ -1682,6 +1682,35 @@ object SparkEntry {
       "value", nBins = 10)
   }
 
+  /** Global total-order rank over orders by (o_totalprice, o_orderkey) via
+    * the two-pass range formulation — no single-partition global-sort
+    * window anywhere in the plan (PlanSpec guards this). */
+  private def q144(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.globalRank(
+      T(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      "o_totalprice", "o_orderkey", nRanges = 32)
+
+  /** Epoch-aware mixture plan: per-source char budgets at a 50/30/20
+    * en/de/fr mix under a 4-epoch repetition cap, deficits reported. */
+  private def q145(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.epochMixPlan(
+      T(s, dir, "documents"), "lang", "n_chars",
+      weights = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
+      budgetTokens = 2000000L, maxEpochs = 4.0)
+
+  /** Cross-source duplication matrix over the q20 LSH near-dup pairs:
+    * which source pairs share verified near-duplicates, with pair counts
+    * and min/max Jaccard per cell. */
+  private def q146(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.crossSourceDupMatrix(
+      TW(s, dir, "documents"), "text", "doc_id", "source", threshold = 0.2)
+
+  /** Per-source trigram novelty: distinct/total shingle ratio and the
+    * exclusive-to-source share — the triage stat before pairwise dedup. */
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.ngramNovelty(
+      TW(s, dir, "documents"), "source", "text", k = 3)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1827,7 +1856,11 @@ object SparkEntry {
     "q140_fertility" -> (q140 _),
     "q141_logodds_terms" -> (q141 _),
     "q142_hamming_topk" -> (q142 _),
-    "q143_psi_drift" -> (q143 _)
+    "q143_psi_drift" -> (q143 _),
+    "q144_global_rank" -> (q144 _),
+    "q145_epoch_mix" -> (q145 _),
+    "q146_crossdup_matrix" -> (q146 _),
+    "q147_ngram_novelty" -> (q147 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -159,6 +159,41 @@ object Corpus {
     * corpus totals frame is a 1-row control cross join. Returns
     * (source, n_tokens, vocab, kl); KL is 0 for a source distributed
     * exactly like the corpus and grows with divergence. */
+  /** Per-source n-gram novelty: how much of a source's text is NEW text —
+    * `n_distinct / n_instances` (a source full of templated/repeated
+    * passages scores low) — and how much of it is text no OTHER source has:
+    * `n_exclusive / n_distinct` (near-1 means the source contributes unique
+    * material; near-0 means it mostly restates the rest of the corpus).
+    * The pair is the source-level triage stat run before paying for
+    * pairwise dedup: low novelty → intra-source dedup first; low
+    * exclusivity → cross-source dedup first.
+    *
+    * All state is vocabulary-bounded: one (source, shingle) count table
+    * (map-side combined), a shingle→source-count table derived from it,
+    * one broadcast-sized join between them, and a per-source rollup. The
+    * corpus text itself moves exactly once (the explode); nothing later
+    * scales with corpus size. */
+  def ngramNovelty(df: DataFrame, srcCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    val grams = df.select(col(srcCol).as("source"),
+      explode(graft.operators.Dedup.shingles(col(textCol), k)).as("g"))
+    val sg = grams.groupBy("source", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the per-gram source counts AND the rollup
+    val gs = sg.groupBy("g").agg(count(lit(1)).as("n_src"))
+    sg.join(gs, "g")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_instances"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(when(col("n_src") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_exclusive"))
+      .withColumn("novelty",
+        round(col("n_distinct").cast("double") /
+          col("n_instances").cast("double"), 4))
+      .withColumn("exclusive_ratio",
+        round(col("n_exclusive").cast("double") /
+          col("n_distinct").cast("double"), 4))
+  }
+
   def sourceKlReport(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(srcCol).as("source"),
       explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))

@@ -440,6 +440,40 @@ object Dedup {
     * warranted.
     *
     * Returns (node, component) where component = min node id reachable. */
+  /** Cross-source duplication matrix: for every unordered source pair
+    * (including a source with itself), how many verified near-duplicate
+    * document pairs link them, with the min/max Jaccard of those links —
+    * the curation diagnostic that tells you WHERE the duplication lives
+    * (mirror sites, syndication, cross-crawl overlap) before deciding which
+    * source loses its copies.
+    *
+    * Candidates come from the banded MinHash LSH path
+    * ([[verifiedNearDups]]) — never all-pairs. The pair→source attachment
+    * joins the (bounded) verified-pair set against the id→source
+    * projection twice; the pair side is the small side, so AQE broadcasts
+    * it when it fits and falls back to a shuffle join keyed on the
+    * corpus-unique id otherwise. Source labels are canonically ordered
+    * (src_a ≤ src_b) so each unordered pair lands in one cell; min/max are
+    * fp-order-independent (unlike avg), keeping the cell values
+    * oracle-exact. Output is |sources|² rows at most — driver-small. */
+  def crossSourceDupMatrix(df: DataFrame, textCol: String, idCol: String,
+                           srcCol: String, threshold: Double,
+                           bands: Int = 4, rowsPerBand: Int = 4,
+                           shingleK: Int = 3): DataFrame = {
+    val pairs = verifiedNearDups(df, textCol, idCol, threshold, bands,
+      rowsPerBand, shingleK)
+    val src = df.select(col(idCol).as("id"), col(srcCol).as("s"))
+    pairs
+      .join(src.withColumnRenamed("id", "id_a").withColumnRenamed("s", "s_a"), "id_a")
+      .join(src.withColumnRenamed("id", "id_b").withColumnRenamed("s", "s_b"), "id_b")
+      .withColumn("src_a", least(col("s_a"), col("s_b")))
+      .withColumn("src_b", greatest(col("s_a"), col("s_b")))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(min(col("jaccard")), 3).as("min_jaccard"),
+        round(max(col("jaccard")), 3).as("max_jaccard"))
+  }
+
   /** DIAGNOSTIC — rounds the last [[connectedComponents]] call on this
     * driver took to reach fixpoint. Read by `graft.ScaleProbe` to confirm
     * the O(log diameter) round-count claim across scale factors; not part

@@ -220,6 +220,49 @@ object Sampling {
       .select(col(idCol), col(srcCol), col(tokenCol), col("cum_tokens"))
   }
 
+  /** Epoch-aware mixture plan — the "how many passes over each source fills
+    * the token budget at the target mix" calculation (the repetition
+    * schedule of LLaMA/DoReMi-style data mixing, where small high-weight
+    * sources are repeated up to `maxEpochs` and the shortfall is reported
+    * rather than silently re-filled).
+    *
+    * Per weighted source: `target = floor(budget · weight)` tokens wanted;
+    * `planned = min(target, floor(size · maxEpochs))` tokens actually
+    * schedulable; `epochs = planned / size` passes; `deficit = target −
+    * planned` what the cap refuses. Sources without a weight drop out
+    * (weights need not sum to 1 — caller's contract).
+    *
+    * One map-side-combined groupBy over the corpus (per-source token sums),
+    * then constant-space arithmetic on the group rows: the output is
+    * |sources| rows regardless of corpus size, so the plan is a single
+    * shuffle of partial sums at any scale. floor() (not a double→long cast)
+    * on both engine sides: Spark's cast truncates while DuckDB's rounds,
+    * and `budget · weight` lands on x.9999… for non-dyadic weights. */
+  def epochMixPlan(df: DataFrame, srcCol: String, tokenCol: String,
+                   weights: Map[String, Double], budgetTokens: Long,
+                   maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens > 0")
+    require(maxEpochs > 0, "maxEpochs > 0")
+    val w = element_at(typedLit(weights), col(srcCol))
+    df.groupBy(col(srcCol))
+      .agg(sum(col(tokenCol)).cast("long").as("n_tokens"))
+      .withColumn("weight", w)
+      .filter(col("weight").isNotNull && col("n_tokens") > 0)
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * col("weight")).cast("long"))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"),
+          floor(col("n_tokens").cast("double") * lit(maxEpochs)).cast("long")))
+      .withColumn("epochs",
+        round(col("planned_tokens").cast("double") /
+          col("n_tokens").cast("double"), 4))
+      .withColumn("deficit_tokens",
+        col("target_tokens") - col("planned_tokens"))
+      .select(col(srcCol), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("planned_tokens"), col("epochs"),
+        col("deficit_tokens"))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     graft.functions.TopKAgg.register(df.sparkSession)

@@ -168,6 +168,53 @@ object Stats {
     inner.union(cross.toDF("gap_start", "gap_end", "gap_len"))
   }
 
+  /** Global total-order rank (row_number semantics over
+    * `ORDER BY orderCol, idCol`) without a global single-partition sort —
+    * the "export the corpus in quality order" / "assign stable global
+    * sequence numbers" primitive.
+    *
+    * The naive `row_number().over(Window.orderBy(...))` funnels every row
+    * through ONE partition (Spark even warns). Instead, the classic
+    * two-pass range formulation: `repartitionByRange` on the order key
+    * splits the data into `nRanges` contiguous, range-ordered partitions
+    * (the same sampled range boundaries a global `orderBy` would compute —
+    * one extra pass over the data, not a single-machine sort); per-partition
+    * counts (≤ `nRanges` rows — bounded control-plane collect, the DPP
+    * contract) prefix-sum on the driver into per-partition rank offsets;
+    * then a partition-local `row_number` window (partitioned by the range
+    * id, so all `nRanges` sorts run in parallel) plus the broadcast offset
+    * gives the exact global rank. The result is boundary-independent:
+    * whatever split the sampler picks, concatenating range-ordered
+    * partitions in partition order IS the total order, so ranks are
+    * deterministic even though the partitioner samples. Ties on `orderCol`
+    * are broken by `idCol`; the composite key is also the range key, so a
+    * tie group sliced across two ranges still ranks consistently. The
+    * ranged frame is localCheckpoint'd: the range exchange is paid once,
+    * not once per action (counts, final job). At 100 TB, `nRanges` scales
+    * with the cluster (e.g. 2-4× executor cores) — each range sorts
+    * ~1/nRanges of the data locally. */
+  def globalRank(df: DataFrame, orderCol: String, idCol: String,
+                 nRanges: Int = 64): DataFrame = {
+    require(nRanges > 0, "nRanges > 0")
+    val ranged = df
+      .repartitionByRange(nRanges, col(orderCol).asc, col(idCol).asc)
+      .withColumn("__rg", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("__rg")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toMap
+    }
+    val w = Window.partitionBy(col("__rg"))
+      .orderBy(col(orderCol).asc, col(idCol).asc)
+    ranged
+      .withColumn("global_rank",
+        row_number().over(w).cast("long") +
+          element_at(typedLit(offsets), col("__rg")))
+      .drop("__rg")
+  }
+
   /** Join-key skew profile: the diagnostic run BEFORE committing to a big
     * join's partitioning (the input that decides whether [[SkewJoin]]'s
     * salting or AQE skew splitting is needed). One count-per-key shuffle

@@ -212,4 +212,23 @@ class CorpusSpec extends SparkSpec {
     // shared terms score |z| near 0 relative to the exclusives
     assert(out(("s1", 2L))._3 < z1)
   }
+
+  test("ngramNovelty: repetition lowers novelty, shared text lowers exclusivity") {
+    val docs = Seq(
+      // s1: "a b c" twice -> 4 trigram instances ("a b c", "b c a", "c a b",
+      // "a b c"), 3 distinct; "a b c" also appears in s2 -> 2 exclusive
+      (1L, "a b c a b c", "s1"),
+      // s2: 1 instance, 1 distinct, shared with s1 -> 0 exclusive
+      (2L, "a b c", "s2"),
+      // s3: fully unique text -> novelty 1, exclusivity 1
+      (3L, "x y z w", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.ngramNovelty(docs, "source", "text", k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out("s1") == ((4L, 3L, 2L, 0.75, 0.6667)))
+    assert(out("s2") == ((1L, 1L, 0L, 1.0, 0.0)))
+    assert(out("s3") == ((2L, 2L, 2L, 1.0, 1.0)))
+  }
 }

@@ -304,4 +304,29 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((2L, 0L, "m n o m n o")))
     assert(out(2L) == ((1L, 0L, "p q r")))
   }
+
+  test("crossSourceDupMatrix: cells are canonical source pairs over verified near-dups") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, body, "web"),                 // exact dup across web/books
+      (2L, body, "books"),
+      (3L, body + " tonight", "web"),    // near-dup of 1 and 2
+      (4L, "completely different words about unrelated topics here", "wiki")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceDupMatrix(docs, "text", "doc_id", "source",
+        threshold = 0.2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // pair (1,2) links books-web; (1,3) links web-web; (2,3) books-web
+    val (nBw, loBw, hiBw) = out(("books", "web"))
+    assert(nBw == 2L)
+    assert(hiBw == 1.0)        // the exact dup pair
+    assert(loBw > 0.2 && loBw < 1.0)
+    assert(out(("web", "web"))._1 == 1L)
+    // the unrelated source never appears
+    assert(!out.keys.exists { case (a, b) => a == "wiki" || b == "wiki" })
+    // labels are canonically ordered
+    assert(out.keys.forall { case (a, b) => a <= b })
+  }
 }

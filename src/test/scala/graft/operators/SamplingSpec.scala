@@ -217,4 +217,24 @@ class SamplingSpec extends SparkSpec {
     // zero/negative weights never sampled
     assert(out.map(_._2).toSet.intersect(Set(1L, 2L, 3L, 4L, 5L, 51L)).isEmpty)
   }
+
+  test("epochMixPlan: caps repetition at maxEpochs and reports the deficit") {
+    // en: 1000 tokens, de: 100, fr: 50; budget 2000 at 50/30/20
+    val rows = Seq(("en", 1000L), ("de", 100L), ("fr", 50L), ("zh", 500L))
+      .flatMap { case (s, n) => Seq((s, n / 2), (s, n - n / 2)) }
+    val out = Sampling.epochMixPlan(rows.toDF("src", "toks"), "src", "toks",
+        weights = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2),
+        budgetTokens = 2000L, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    // en: target 1000 <= 1000*4 -> fully planned, 1 epoch, no deficit
+    assert(out("en") == ((1000L, 1000L, 1000L, 1.0, 0L)))
+    // de: target 600 > 100*4=400 -> capped at 4 epochs, deficit 200
+    assert(out("de") == ((100L, 600L, 400L, 4.0, 200L)))
+    // fr: target 400 > 50*4=200 -> capped, deficit 200
+    assert(out("fr") == ((50L, 400L, 200L, 4.0, 200L)))
+    // zh has no weight -> dropped
+    assert(!out.contains("zh"))
+  }
 }

@@ -159,4 +159,32 @@ class StatsSpec extends SparkSpec {
     val clamped = Stats.psiReport(ref, below, "v", nBins = 10).collect()
     assert(clamped.find(_.getLong(0) == 0L).get.getDouble(2) == 1.0)
   }
+
+  test("globalRank equals the naive global window, including cross-range ties") {
+    // values deliberately collide (i % 7) so tie groups straddle range
+    // boundaries; id breaks ties
+    val rows = (1 to 500).map(i => (i.toLong, (i % 7).toDouble))
+    val df = rows.toDF("id", "v")
+    val out = Stats.globalRank(df, "v", "id", nRanges = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val expect = rows.sortBy { case (id, v) => (v, id) }
+      .zipWithIndex.map { case ((id, v), i) => (id, v, i + 1L) }
+    assert(out.sortBy(_._3).toSeq == expect)
+    // more ranges than rows degrades gracefully
+    val tiny = Stats.globalRank((1 to 3).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "v"), "v", "id", nRanges = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._2)
+    assert(tiny.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("globalRank plans only range-partitioned windows — never a global sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = (1 to 100).map(i => (i.toLong, (i % 5).toDouble)).toDF("id", "v")
+    val plan = Stats.globalRank(df, "v", "id", nRanges = 8)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the per-range row_number window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned Window — a single-partition global sort at scale:\n$plan")
+  }
 }
