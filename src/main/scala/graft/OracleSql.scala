@@ -1596,6 +1596,60 @@ object OracleSql {
          |FROM agg""".stripMargin
     },
 
+    // first-order transition matrix: lead over (ts, event_id) per user
+    "q148_transition_matrix" ->
+      s"""WITH seq AS (SELECT user_id, event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |tr AS (SELECT event_type AS from_type, to_type FROM seq
+         |  WHERE to_type IS NOT NULL),
+         |tot AS (SELECT count(*)::DOUBLE AS t FROM tr)
+         |SELECT from_type, to_type, count(*)::BIGINT AS n_transitions,
+         |  ${rnd("count(*)::DOUBLE / (SELECT t FROM tot)", 4)} AS share
+         |FROM tr GROUP BY 1, 2""".stripMargin,
+
+    // unordered type co-occurrence: distinct (user, type) self-join
+    "q149_event_cooccurrence" ->
+      """WITH du AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*)::BIGINT AS n_users
+        |FROM du a JOIN du b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
+
+    // DAU + trailing-7-day distinct actives (spine range join; trailing
+    // distinct counts cannot be expressed as a window)
+    "q150_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+        |wau AS (SELECT d.day, count(DISTINCT u.user_id)::BIGINT AS wau
+        |  FROM (SELECT DISTINCT day FROM du) d
+        |  JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
+
+    // winsorized means: cut points by the exact rank rule (value at
+    // ceil(p*n) — groupQuantiles' engine-portable selection), means 2dp
+    "q151_winsorized" ->
+      s"""WITH r AS (SELECT l_returnflag AS k, l_extendedprice::DOUBLE AS v,
+         |    row_number() OVER (PARTITION BY l_returnflag
+         |      ORDER BY l_extendedprice::DOUBLE) AS rn,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |cuts AS (SELECT k,
+         |    max(CASE WHEN rn = ceil(0.05 * n::DOUBLE) THEN v END) AS lo,
+         |    max(CASE WHEN rn = ceil(0.95 * n::DOUBLE) THEN v END) AS hi
+         |  FROM r GROUP BY 1)
+         |SELECT r.k AS l_returnflag, count(*)::BIGINT AS n,
+         |  ${rnd("avg(r.v)", 2)} AS mean_raw,
+         |  ${rnd("avg(least(greatest(r.v, c.lo), c.hi))", 2)} AS mean_wins,
+         |  sum(CASE WHEN r.v < c.lo THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+         |  sum(CASE WHEN r.v > c.hi THEN 1 ELSE 0 END)::BIGINT AS n_hi
+         |FROM r JOIN cuts c ON r.k = c.k
+         |GROUP BY r.k""".stripMargin,
+
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),

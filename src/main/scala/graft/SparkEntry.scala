@@ -1711,6 +1711,30 @@ object SparkEntry {
     graft.operators.Corpus.ngramNovelty(
       TW(s, dir, "documents"), "source", "text", k = 3)
 
+  /** First-order event transition matrix (Markov next-action counts +
+    * global share), sequence fixed by (ts, event_id). */
+  private def q148(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.transitionMatrix(
+      T(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+
+  /** Unordered event-type co-occurrence support: users emitting both
+    * types at least once, |types|²-bounded output. */
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.eventCooccurrence(
+      T(s, dir, "events"), "user_id", "event_type")
+
+  /** DAU + trailing-7-day distinct actives per day (day-user table join
+    * against the broadcast day spine — trailing distincts can't window). */
+  private def q150(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.rollingActiveUsers(
+      T(s, dir, "events"), "ts", "user_id", windowDays = 7)
+
+  /** Winsorized per-flag price summary: mean before/after clamping into
+    * [p05, p95] plus per-tail clip counts. */
+  private def q151(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.winsorizedStats(
+      T(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1860,7 +1884,11 @@ object SparkEntry {
     "q144_global_rank" -> (q144 _),
     "q145_epoch_mix" -> (q145 _),
     "q146_crossdup_matrix" -> (q146 _),
-    "q147_ngram_novelty" -> (q147 _)
+    "q147_ngram_novelty" -> (q147 _),
+    "q148_transition_matrix" -> (q148 _),
+    "q149_event_cooccurrence" -> (q149 _),
+    "q150_rolling_active" -> (q150 _),
+    "q151_winsorized" -> (q151 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

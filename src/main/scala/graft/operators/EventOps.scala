@@ -97,6 +97,79 @@ object EventOps {
         round(sum(col(valueCol)), 2).as("total_value"))
   }
 
+  /** First-order transition matrix of the event stream: for each
+    * (from_type → to_type) pair of CONSECUTIVE events within a user's
+    * timeline, the transition count and its share of all transitions —
+    * the Markov-chain summary behind "what do users do after X"
+    * next-action analysis and synthetic-journey generation.
+    *
+    * One shuffle on the user key (the `lead` window); the transition pair
+    * table then collapses to at most |types|² rows, and the global total
+    * joins back as a broadcast single row — no second pass over the
+    * events. Ties in the order key break by `tieCol` (unique event id) so
+    * the sequence, and therefore the matrix, is engine-reproducible. */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val tr = df
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col(typeCol).as("from_type"), col("to_type"))
+    val counts = tr.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).cast("long").as("n_transitions"))
+    val total = counts.agg(sum("n_transitions").cast("double").as("t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n_transitions").cast("double") / col("t"), 4))
+      .drop("t")
+  }
+
+  /** Event-type co-occurrence support: for each unordered pair of event
+    * types, how many users emitted BOTH at least once (order-free basket
+    * analysis, vs [[transitionMatrix]]'s ordered adjacency).
+    *
+    * The (user, type) distinct table is the only corpus-sized state (one
+    * shuffle); its self-join is keyed on the user id with `type_a <
+    * type_b` keeping each pair once, and the output is at most
+    * |types|·(|types|−1)/2 rows. Per-user fan-out is |types choose 2| —
+    * bounded by the type vocabulary, not by the user's event count. */
+  def eventCooccurrence(df: DataFrame, userCol: String,
+                        typeCol: String): DataFrame = {
+    val du = df.select(col(userCol).as("u"), col(typeCol).as("t")).distinct()
+    du.join(du.select(col("u"), col("t").as("t2")), "u")
+      .filter(col("t") < col("t2"))
+      .groupBy(col("t").as("type_a"), col("t2").as("type_b"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
+
+  /** Daily active users with a trailing `windowDays`-day distinct-user
+    * count (DAU/WAU when windowDays=7) — the activity/retention headline
+    * series.
+    *
+    * Distinctness is resolved ONCE into the (day, user) table — bounded by
+    * days × active users, far below the raw event count — and the trailing
+    * window re-counts distinct users per anchor day by joining that table
+    * to the broadcast day spine on a day-range predicate: trailing
+    * distinct counts cannot be windowed (a user active twice in the window
+    * must count once), so the spine join is the honest formulation. Cost
+    * is |day-user| × windowDays rows through one aggregation; the spine
+    * side is |days| rows, always broadcast. */
+  def rollingActiveUsers(df: DataFrame, tsCol: String, userCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, "windowDays > 0")
+    val du = df.select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
+      .distinct().localCheckpoint()
+    val dau = du.groupBy("day").agg(count(lit(1)).cast("long").as("dau"))
+    val spine = du.select(col("day").as("anchor")).distinct()
+    val wau = du.join(broadcast(spine),
+        col("day") >= date_sub(col("anchor"), windowDays - 1) &&
+          col("day") <= col("anchor"))
+      .groupBy("anchor")
+      .agg(countDistinct(col("u")).cast("long").as("wau"))
+    dau.join(wau, dau("day") === wau("anchor"))
+      .select(col("day"), col("dau"), col("wau"))
+  }
+
   def sessionWindowAgg(df: DataFrame, userCol: String, tsCol: String,
                        valueCol: String, gap: String): DataFrame =
     df.groupBy(col(userCol), session_window(col(tsCol), gap).as("sw"))

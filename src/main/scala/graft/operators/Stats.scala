@@ -168,6 +168,35 @@ object Stats {
     inner.union(cross.toDF("gap_start", "gap_end", "gap_len"))
   }
 
+  /** Winsorized (percentile-clipped) per-group summary: the group mean
+    * before and after clamping values into [p_lo, p_hi], with how many
+    * rows each tail clipped — the robust-mean report that shows what the
+    * outliers were doing to the raw average (the groupwise cousin of
+    * q135's clipped int8 quantization, and [[madOutliers]]'s
+    * clamp-instead-of-drop counterpart).
+    *
+    * The cut points ride [[groupQuantiles]]'s exact rank rule (value at
+    * ordered position ceil(p·n) — the engine-portable selection, no
+    * interpolation); they come back |groups| rows and broadcast-join onto
+    * the data for a single clamp-and-aggregate pass. Two passes over the
+    * column total, both group-key shuffles with map-side partials. */
+  def winsorizedStats(df: DataFrame, keyCol: String, valueCol: String,
+                      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "0 <= pLo < pHi <= 1")
+    val v = col(valueCol).cast("double")
+    val lbl = (p: Double) => "p" + math.round(p * 100)
+    val cuts = groupQuantiles(df, keyCol, valueCol, Seq(pLo, pHi))
+      .select(col(keyCol), col(lbl(pLo)).as("lo"), col(lbl(pHi)).as("hi"))
+    df.filter(v.isNotNull).join(broadcast(cuts), keyCol)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(avg(v), 2).as("mean_raw"),
+        round(avg(least(greatest(v, col("lo")), col("hi"))), 2)
+          .as("mean_wins"),
+        sum(when(v < col("lo"), 1L).otherwise(0L)).cast("long").as("n_lo"),
+        sum(when(v > col("hi"), 1L).otherwise(0L)).cast("long").as("n_hi"))
+  }
+
   /** Global total-order rank (row_number semantics over
     * `ORDER BY orderCol, idCol`) without a global single-partition sort —
     * the "export the corpus in quality order" / "assign stable global

@@ -130,7 +130,9 @@ class PlanSpec extends SparkSpec {
       "q131_source_kl", // 1-row corpus-total control frame cross-joined
       "q138_rrf_fuse", "q142_hamming_topk", // bounded broadcast ANN query sets
       "q141_logodds_terms", // 1-row vocab/total control frame cross-joined
-      "q143_psi_drift") // 1-row min-max + share-total control frames
+      "q143_psi_drift", // 1-row min-max + share-total control frames
+      "q148_transition_matrix", // 1-row transition-total control frame
+      "q150_rolling_active") // broadcast day-spine range join (|days| rows)
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",

@@ -83,4 +83,60 @@ class EventOpsSpec extends SparkSpec {
     assert(out("(none)") == ((2L, 50.0))) // u2 (stale) and u3 (never)
     assert(!out.contains("click"))
   }
+
+  test("transitionMatrix: consecutive pairs per user, ties broken by event id") {
+    val events = Seq(
+      // u1: view -> click -> purchase (two transitions)
+      (1L, 1L, "view", ts(1)), (2L, 1L, "click", ts(2)),
+      (3L, 1L, "purchase", ts(3)),
+      // u2: view -> view (same ts: id 4 then id 5) -> click
+      (4L, 2L, "view", ts(1)), (5L, 2L, "view", ts(1)),
+      (6L, 2L, "click", ts(2)),
+      // u3: single event, no transition
+      (7L, 3L, "error", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.transitionMatrix(events, "user_id", "ts",
+        "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("view", "click")) == ((2L, 0.5)))
+    assert(out(("click", "purchase")) == ((1L, 0.25)))
+    assert(out(("view", "view")) == ((1L, 0.25)))
+    assert(out.values.map(_._1).sum == 4L)
+    assert(!out.keys.exists(_._1 == "error"))
+  }
+
+  test("eventCooccurrence: counts users with both types, each pair once") {
+    val events = Seq(
+      (1L, 1L, "view", ts(1)), (2L, 1L, "click", ts(2)),
+      (3L, 1L, "view", ts(3)),                        // duplicate type: once
+      (4L, 2L, "view", ts(1)), (5L, 2L, "click", ts(2)),
+      (6L, 3L, "view", ts(1))                         // single type: no pair
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.eventCooccurrence(events, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(("click", "view") -> 2L))
+  }
+
+  test("rollingActiveUsers: trailing window counts each user once") {
+    def day(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 09:00:00")
+    val events = Seq(
+      // u1 active day 1 twice and day 3; u2 active day 3 only
+      (1L, 1L, day(1)), (2L, 1L, day(1)), (3L, 1L, day(3)),
+      (4L, 2L, day(3)),
+      // day 10 is outside day 3's trailing-7 window
+      (5L, 1L, day(10))
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventOps.rollingActiveUsers(events, "ts", "user_id",
+        windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out("2026-01-01") == ((1L, 1L)))
+    // day 3: both users today; trailing window [day-3..day3] still 2 users
+    // (u1 counted once despite day-1 AND day-3 activity)
+    assert(out("2026-01-03") == ((2L, 2L)))
+    // day 10: only u1, and days 1/3 are outside the trailing window
+    assert(out("2026-01-10") == ((1L, 1L)))
+  }
 }

@@ -160,6 +160,19 @@ class StatsSpec extends SparkSpec {
     assert(clamped.find(_.getLong(0) == 0L).get.getDouble(2) == 1.0)
   }
 
+  test("winsorizedStats: clamped mean moves toward the body, tails counted") {
+    // group a: 98 values of 10 plus outliers 0 and 1000
+    // n=100: lo = v[ceil(.05*100)=5] = 10, hi = v[95] = 10
+    val rows = Seq(("a", 0.0), ("a", 1000.0)) ++
+      (1 to 98).map(_ => ("a", 10.0))
+    val out = Stats.winsorizedStats(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // raw mean = (0 + 1000 + 980)/100 = 19.8; winsorized: all clamp to 10
+    assert(out("a") == ((100L, 19.8, 10.0, 1L, 1L)))
+  }
+
   test("globalRank equals the naive global window, including cross-range ties") {
     // values deliberately collide (i % 7) so tie groups straddle range
     // boundaries; id breaks ties
