@@ -1650,6 +1650,39 @@ object OracleSql {
          |FROM r JOIN cuts c ON r.k = c.k
          |GROUP BY r.k""".stripMargin,
 
+    // label-filtered ANN: candidates restricted to the query's label
+    "q152_filtered_ann" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS lbl
+         |  FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |  ${cosineSql("e.embedding", "qv")} AS cosine
+         |  FROM embeddings e JOIN q ON e.label = q.lbl),
+         |ranked AS (SELECT query_id, neighbor_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ${rnd("cosine", 3)} AS cosine, rank::BIGINT AS rank
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // per-group OLS via the same centered two-pass sums (the single-pass
+    // E[xy]-E[x]E[y] form cancels catastrophically and is fp-order-unstable)
+    "q153_group_regression" ->
+      s"""WITH b AS (SELECT l_returnflag AS k, l_quantity::DOUBLE AS x,
+         |    l_extendedprice::DOUBLE AS y
+         |  FROM lineitem WHERE l_quantity IS NOT NULL
+         |    AND l_extendedprice IS NOT NULL),
+         |m AS (SELECT k, avg(x) AS mx, avg(y) AS my FROM b GROUP BY 1),
+         |s AS (SELECT b.k, count(*)::BIGINT AS n,
+         |    max(m.mx) AS mx, max(m.my) AS my,
+         |    sum((x - m.mx) * (y - m.my)) AS sxy,
+         |    sum((x - m.mx) * (x - m.mx)) AS sxx,
+         |    sum((y - m.my) * (y - m.my)) AS syy
+         |  FROM b JOIN m ON b.k = m.k GROUP BY 1)
+         |SELECT k AS l_returnflag, n,
+         |  ${rnd("CASE WHEN sxx > 0 THEN sxy / sxx END", 6)} AS slope,
+         |  ${rnd("CASE WHEN sxx > 0 THEN my - (sxy / sxx) * mx END", 4)} AS intercept,
+         |  ${rnd("CASE WHEN sxx > 0 AND syy > 0 THEN (sxy * sxy) / (sxx * syy) END", 6)} AS r2
+         |FROM s""".stripMargin,
+
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),

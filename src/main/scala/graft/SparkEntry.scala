@@ -1735,6 +1735,24 @@ object SparkEntry {
     graft.operators.Stats.winsorizedStats(
       T(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
 
+  /** Label-filtered ANN: top-3 cosine neighbors restricted to the query's
+    * own label — the join-keyed (not crossJoin-filtered) filtered-search
+    * plan. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val e = TW(s, dir, "embeddings")
+    val queries = T(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    Similarity.filteredTopK(e, queries, k = 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 3).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Per-flag OLS of extended price on quantity (centered two-pass sums —
+    * the cancellation-safe closed form). */
+  private def q153(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.groupRegression(
+      T(s, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1888,7 +1906,9 @@ object SparkEntry {
     "q148_transition_matrix" -> (q148 _),
     "q149_event_cooccurrence" -> (q149 _),
     "q150_rolling_active" -> (q150 _),
-    "q151_winsorized" -> (q151 _)
+    "q151_winsorized" -> (q151 _),
+    "q152_filtered_ann" -> (q152 _),
+    "q153_group_regression" -> (q153 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

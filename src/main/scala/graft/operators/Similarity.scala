@@ -75,6 +75,37 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Metadata-filtered top-k (the vector-DB "filtered search" primitive):
+    * for each query, the k nearest corpus vectors sharing the query's
+    * label — tenant-, language-, or shard-scoped retrieval.
+    *
+    * Unlike [[hardNegatives]]' broadcast-crossJoin-then-filter (correct
+    * when the predicate is an inequality that keeps most pairs), an
+    * EQUALITY filter makes the label a join key: the plan is a hash join
+    * keyed on the label, so a query only ever meets its own label's
+    * candidates — with L labels the scored set shrinks ~L× before any
+    * cosine is computed, and at corpus scale a label-partitioned layout
+    * turns the probe into a partition-pruned scan (the same contract as
+    * the IVF bucket directories). Top-k state stays the bounded map-side
+    * [[graft.functions.TopKAgg]]. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   labelCol: String = "label",
+                   corpusId: String = "vec_id", corpusVec: String = "embedding",
+                   queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    TopKAgg.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qv"), col(labelCol).as("lbl")))
+    val scored = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"),
+        col(labelCol).as("lbl"))
+      .join(q, "lbl")
+      .select(col("query_id"), struct(
+        negate(VectorFunctions.cosine(col("cv"), col("qv"))).as("negcos"),
+        col("neighbor_id").as("nid")).as("s"))
+    topKMerge(scored, k)
+  }
+
   /** Hard-negative mining for contrastive training: for each query, the k
     * most cosine-similar corpus vectors with a DIFFERENT label (similar but
     * known-wrong = the informative negatives). Same bounded shape as

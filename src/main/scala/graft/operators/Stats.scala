@@ -168,6 +168,45 @@ object Stats {
     inner.union(cross.toDF("gap_start", "gap_end", "gap_len"))
   }
 
+  /** Per-group ordinary-least-squares fit of y on x: slope, intercept and
+    * r² — the groupwise trend report (price-per-unit by segment, quality
+    * vs length by source) computed in closed form, no iterative solver.
+    *
+    * Deliberately TWO passes: means first (|groups| rows, broadcast back),
+    * then sums of CENTERED cross-products. The textbook single-pass form
+    * (E[xy] − E[x]E[y]) subtracts two near-equal ~|x·y·n| magnitudes —
+    * catastrophic cancellation that makes the 6dp result depend on
+    * partition-summation order; centering keeps every summand at residual
+    * scale, so the distributed sum agrees with a sequential engine to
+    * ~1e-12 relative and the rounded statistics are engine-stable. Groups
+    * with zero x-variance report null slope/intercept/r² rather than a
+    * division blow-up. Both passes are map-side-combined group-key
+    * shuffles; nothing scales beyond the group count after the scans. */
+  def groupRegression(df: DataFrame, keyCol: String, xCol: String,
+                      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+    val means = base.groupBy(col(keyCol))
+      .agg(avg(x).as("mx"), avg(y).as("my"))
+    val dx = x - col("mx")
+    val dy = y - col("my")
+    base.join(broadcast(means), keyCol)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        max(col("mx")).as("_mx"), max(col("my")).as("_my"),
+        sum(dx * dy).as("sxy"), sum(dx * dx).as("sxx"),
+        sum(dy * dy).as("syy"))
+      .select(col(keyCol), col("n"),
+        round(when(col("sxx") > 0, col("sxy") / col("sxx")), 6).as("slope"),
+        round(when(col("sxx") > 0,
+          col("_my") - (col("sxy") / col("sxx")) * col("_mx")), 4)
+          .as("intercept"),
+        round(when(col("sxx") > 0 && col("syy") > 0,
+          (col("sxy") * col("sxy")) / (col("sxx") * col("syy"))), 6)
+          .as("r2"))
+  }
+
   /** Winsorized (percentile-clipped) per-group summary: the group mean
     * before and after clamping values into [p_lo, p_hi], with how many
     * rows each tail clipped — the robust-mean report that shows what the

@@ -162,6 +162,27 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("partial_topk_agg"), p)
   }
 
+  test("filteredTopK searches only the query's label via a hash join, not a cross join") {
+    val labeled = corpus.withColumn("label",
+      (col("vec_id") % 2).cast("int"))
+    val queries = labeled.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    val out = Similarity.filteredTopK(labeled, queries, k = 3)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    val lbl = labeled.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(lbl(r.getLong(1)) == lbl(r.getLong(0)),
+        s"cross-label neighbor leaked through the filter: $r")
+    }
+    // the label is a JOIN KEY: hash join, never a nested-loop cross join
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_topk_agg"), p)
+  }
+
   test("meanPool averages element-wise per group") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)),

@@ -160,6 +160,21 @@ class StatsSpec extends SparkSpec {
     assert(clamped.find(_.getLong(0) == 0L).get.getDouble(2) == 1.0)
   }
 
+  test("groupRegression recovers an exact line; constant-x groups go null") {
+    // group a: y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
+    val a = (1 to 50).map(i => ("a", i.toDouble, 2.0 * i + 1))
+    // group b: x constant -> sxx = 0 -> null fit
+    val b = (1 to 10).map(i => ("b", 5.0, i.toDouble))
+    val out = Stats.groupRegression((a ++ b).toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ra = out("a")
+    assert(ra.getLong(1) == 50L && ra.getDouble(2) == 2.0 &&
+      ra.getDouble(3) == 1.0 && ra.getDouble(4) == 1.0)
+    val rb = out("b")
+    assert(rb.getLong(1) == 10L && rb.isNullAt(2) && rb.isNullAt(3) &&
+      rb.isNullAt(4))
+  }
+
   test("winsorizedStats: clamped mean moves toward the body, tails counted") {
     // group a: 98 values of 10 plus outliers 0 and 1000
     // n=100: lo = v[ceil(.05*100)=5] = 10, hi = v[95] = 10
