@@ -156,6 +156,27 @@ object ScaleProbe {
           .select("component").distinct().count()
         println(s"""{"probe":"q53_cc_rounds","count":${Dedup.lastCcRounds},"sec":0.0,"sf":"$sfDir"}""")
         n
+      }),
+      // q144 global rank: output rows == input rows (the probe's signal is
+      // the per-decade RUNTIME staying ~linear — two range shuffles, no
+      // single-partition sort to crack at scale)
+      "q144_rank_rows" -> (() => {
+        import org.apache.spark.sql.functions._
+        graft.operators.Stats.globalRank(
+          docs.select(col("doc_id"), col("n_chars")),
+          "n_chars", "doc_id", nRanges = 64).count()
+      }),
+      // q146 cross-source matrix: output cells must stay <= |sources|^2
+      // regardless of corpus size (pair volume is q20's, already probed)
+      "q146_matrix_cells" -> (() =>
+        Dedup.crossSourceDupMatrix(docs, "text", "doc_id", "source",
+          threshold = 0.2).count()),
+      // q147 novelty state: Σ per-source distinct grams — the
+      // vocabulary-bounded quantity everything after the explode rides on
+      "q147_novelty_state" -> (() => {
+        import org.apache.spark.sql.functions._
+        graft.operators.Corpus.ngramNovelty(docs, "source", "text", k = 3)
+          .agg(sum(col("n_distinct")).cast("long")).collect()(0).getLong(0)
       })
     )
 

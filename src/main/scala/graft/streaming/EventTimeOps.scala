@@ -145,6 +145,59 @@ object EventTimeOps {
       }
   }
 
+  final case class EwmaState(mean: Double, varr: Double, n: Long, lastTs: Long)
+  final case class EwmaAlert(user_id: Long, ts: Timestamp, value: Double,
+                             ewma: Double, sigma: Double, z: Double)
+
+  /** Streaming per-key anomaly detector: each key maintains an
+    * exponentially-weighted moving mean and variance of its value stream
+    * (EWMA / EWMV, the standard streaming control chart), and an alert row
+    * is EMITTED (append mode) whenever an arriving value deviates from the
+    * prediction by more than `k`·σ — the live data-quality tripwire a
+    * 100 TB ingest runs beside its pipelines (volume collapse, metric
+    * spikes, stuck-sensor repeats).
+    *
+    * Why `flatMapGroupsWithState` and not a windowed aggregate: the alert
+    * decision needs the PRE-update state at each single event (value vs the
+    * mean of everything before it), which no associative window aggregate
+    * exposes. State is three doubles and two longs per key — bounded,
+    * checkpoint-friendly, skew-free (one key's state never exceeds a few
+    * words no matter how hot the key). Within a batch, events apply in
+    * (ts, value) order, so replay determinism matches the sorted-batch
+    * contract of [[sessionize]]. The first `warmup` events per key train
+    * the chart silently (cold-start means everything is "anomalous"). */
+  def ewmaAlerts(events: Dataset[Event], alpha: Double = 0.2,
+                 k: Double = 4.0, warmup: Long = 5L)
+                (implicit spark: SparkSession): Dataset[EwmaAlert] = {
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, "alpha in (0,1]")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var s = state.getOption.getOrElse(
+            EwmaState(0.0, 0.0, 0L, Long.MinValue))
+          val alerts = Seq.newBuilder[EwmaAlert]
+          sorted.foreach { e =>
+            val sigma = math.sqrt(s.varr)
+            if (s.n >= warmup && sigma > 0 &&
+                math.abs(e.value - s.mean) > k * sigma)
+              alerts += EwmaAlert(userId, e.ts, e.value, s.mean, sigma,
+                (e.value - s.mean) / sigma)
+            // EWMA/EWMV update (West 1979 incremental form); the first
+            // event seeds the mean so variance starts at 0, not mean^2
+            val d = e.value - s.mean
+            val m = if (s.n == 0L) e.value else s.mean + alpha * d
+            val v = if (s.n == 0L) 0.0
+                    else (1 - alpha) * (s.varr + alpha * d * d)
+            s = EwmaState(m, v, s.n + 1, e.ts.getTime)
+          }
+          state.update(s)
+          alerts.result().iterator
+      }
+  }
+
   /** Convenience: run the sessionizer over a memory/file stream and collect
     * into an in-memory sink table (update mode — state emits per trigger;
     * drive with processAllAvailable in tests). */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import EventTimeOps.{Event, SessionUpdate}
+import EventTimeOps.{Event, EwmaAlert, SessionUpdate}
 
 class EventTimeOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -134,6 +134,51 @@ class EventTimeOpsSpec extends SparkSpec {
     q.stop()
     assert(rows("2024-01-01 10:00:00") == ((2L, 3.0))) // merged across batches
     assert(rows("2024-01-01 10:30:00") == ((1L, 4.0)))
+  }
+
+  test("ewmaAlerts: spikes alert after warmup, state survives micro-batch boundaries") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventTimeOps.ewmaAlerts(mem.toDS(), alpha = 0.2, k = 4.0,
+        warmup = 5L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_alerts").start()
+    // warmup + steady state: values oscillate 9..11 — no alerts, even
+    // though the FIRST events would be "anomalous" vs an empty chart
+    mem.addData((0 until 8).map(i =>
+      Event(1L, ts(i), if (i % 2 == 0) 9.0 else 11.0)): _*)
+    q.processAllAvailable()
+    assert(spark.table("ewma_alerts").count() == 0)
+    // the spike arrives in a LATER micro-batch: the chart state (mean ~10,
+    // sigma ~1) must have survived the batch boundary to catch it
+    mem.addData(Event(1L, ts(10), 100.0))
+    q.processAllAvailable()
+    val alerts = spark.table("ewma_alerts").as[EwmaAlert].collect()
+    assert(alerts.length == 1)
+    val a = alerts.head
+    assert(a.user_id == 1L && a.value == 100.0 && a.z > 4.0)
+    assert(math.abs(a.ewma - 10.0) < 1.5)
+    // post-spike normal value: the chart absorbed the spike into the mean
+    // but a normal reading must not alert
+    mem.addData(Event(1L, ts(12), 11.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("ewma_alerts").count() == 1)
+  }
+
+  test("ewmaAlerts: constant streams never alert (zero variance guard)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventTimeOps.ewmaAlerts(mem.toDS(), warmup = 3L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_const").start()
+    mem.addData((0 until 10).map(i => Event(2L, ts(i), 5.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    // sigma stays 0: the guard refuses to divide, no alert storm
+    assert(spark.table("ewma_const").count() == 0)
   }
 
   test("mapGroupsWithState sessionizer rolls sessions across the gap") {
