@@ -1683,6 +1683,42 @@ object OracleSql {
          |  ${rnd("CASE WHEN sxx > 0 AND syy > 0 THEN (sxy * sxy) / (sxx * syy) END", 6)} AS r2
          |FROM s""".stripMargin,
 
+    // retention cohorts: first-active-day per user, k = day - cohort_day
+    "q154_retention_cohorts" ->
+      s"""WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+         |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM du GROUP BY 1),
+         |sizes AS (SELECT cohort_day, count(*)::BIGINT AS cohort_size
+         |  FROM cohorts GROUP BY 1),
+         |cells AS (SELECT c.cohort_day,
+         |    (du.day - c.cohort_day)::BIGINT AS k, count(*)::BIGINT AS n_active
+         |  FROM du JOIN cohorts c ON du.user_id = c.user_id
+         |  WHERE du.day - c.cohort_day <= 7 GROUP BY 1, 2)
+         |SELECT cells.cohort_day, k, n_active, s.cohort_size,
+         |  ${rnd("n_active::DOUBLE / s.cohort_size::DOUBLE", 4)} AS retention
+         |FROM cells JOIN sizes s ON cells.cohort_day = s.cohort_day""".stripMargin,
+
+    // per-node triangles over the q38 hamming<=3 graph: the naive
+    // id-ordered closure (orientation-independent result; the Spark side
+    // runs the degree-oriented enumeration)
+    "q155_triangle_counts" ->
+      s"""WITH $simhashCtes,
+         |pairs AS (SELECT id_a, id_b FROM cands
+         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+         |tri AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.id_a = e1.id_b
+         |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+         |nt AS (SELECT node, count(*)::BIGINT AS n_triangles FROM (
+         |    SELECT x AS node FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri) GROUP BY 1),
+         |deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+         |    SELECT id_a AS node FROM pairs
+         |    UNION ALL SELECT id_b FROM pairs) GROUP BY 1)
+         |SELECT nt.node AS doc_id, nt.n_triangles, deg.degree,
+         |  ${rnd("2.0 * nt.n_triangles::DOUBLE / (deg.degree * (deg.degree - 1))::DOUBLE", 4)} AS clustering
+         |FROM nt JOIN deg ON deg.node = nt.node""".stripMargin,
+
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),

@@ -1753,6 +1753,21 @@ object SparkEntry {
     graft.operators.Stats.groupRegression(
       T(s, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
 
+  /** Retention cohort matrix over events: first-active-day cohorts tracked
+    * 7 days, per-cell counts and shares. */
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.retentionCohorts(
+      T(s, dir, "events"), "ts", "user_id", horizonDays = 7)
+
+  /** Per-node triangle counts + clustering coefficient over the q38
+    * simhash near-dup graph (degree-oriented wedges — the hub-safe
+    * enumeration; oracle uses the orientation-independent naive form). */
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleCounts(
+      Dedup.simHashNearDups(TW(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 3))
+      .withColumnRenamed("node", "doc_id")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1908,7 +1923,9 @@ object SparkEntry {
     "q150_rolling_active" -> (q150 _),
     "q151_winsorized" -> (q151 _),
     "q152_filtered_ann" -> (q152 _),
-    "q153_group_regression" -> (q153 _)
+    "q153_group_regression" -> (q153 _),
+    "q154_retention_cohorts" -> (q154 _),
+    "q155_triangle_counts" -> (q155 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

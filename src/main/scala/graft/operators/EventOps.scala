@@ -170,6 +170,38 @@ object EventOps {
       .select(col("day"), col("dau"), col("wau"))
   }
 
+  /** Retention cohort matrix: users grouped by their FIRST active day
+    * (the cohort), tracked for `horizonDays` — cell (cohort_day, k) is how
+    * many of that cohort were active k days later and what fraction of the
+    * cohort that is. The standard activation/retention report.
+    *
+    * Shapes: the (day, user) distinct table is resolved once (bounded by
+    * days × active users); each user's cohort day is a min-aggregate over
+    * it; the join back is keyed on the user id (hash join, AQE broadcasts
+    * the cohort side when it fits); cohort sizes re-enter by a broadcast
+    * join on the cohort day (|days| rows). Nothing after the first
+    * distinct scales with raw event volume. */
+  def retentionCohorts(df: DataFrame, tsCol: String, userCol: String,
+                       horizonDays: Int = 7): DataFrame = {
+    require(horizonDays >= 0, "horizonDays >= 0")
+    val du = df.select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
+      .distinct().localCheckpoint()
+    val cohorts = du.groupBy("u").agg(min(col("day")).as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).cast("long").as("cohort_size"))
+    du.join(cohorts, "u")
+      .withColumn("k", datediff(col("day"), col("cohort_day")))
+      .filter(col("k") <= horizonDays)
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .withColumn("retention",
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 4))
+      .select(col("cohort_day"), col("k").cast("long").as("k"),
+        col("n_active"), col("cohort_size"), col("retention"))
+  }
+
   def sessionWindowAgg(df: DataFrame, userCol: String, tsCol: String,
                        valueCol: String, gap: String): DataFrame =
     df.groupBy(col(userCol), session_window(col(tsCol), gap).as("sw"))

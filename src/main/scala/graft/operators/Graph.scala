@@ -19,6 +19,63 @@ object Graph {
       .union(pairs.select(col(idB).as("node")))
       .groupBy("node").agg(count(lit(1)).cast("long").as("degree"))
 
+  /** Per-node triangle counts with the local clustering coefficient
+    * (2T/d(d−1)) — the "is this near-dup neighborhood a clique or a
+    * chain?" diagnostic: template families form dense triangles, chained
+    * borrowings don't, and survivor selection can treat them differently.
+    *
+    * Wedge enumeration runs DEGREE-ORIENTED (each edge points from its
+    * lower-(degree, id) endpoint to the higher one): every triangle has
+    * exactly one node with two out-edges, so it's found once, and the
+    * wedge work is Σ outdeg² where the orientation caps outdeg at
+    * O(√edges) even on a star graph — the standard defense against the
+    * hub blowup that id-ordered wedges (Σ deg² on the raw degrees) hit at
+    * scale. Two self-joins on the oriented edge list, both equi-joins;
+    * the edge list is localCheckpoint'd (paid once, read three times).
+    * Output is one row per node appearing in ≥1 triangle. The result is
+    * orientation-independent, so an oracle can use the naive id-ordered
+    * formulation. */
+  def triangleCounts(pairs: DataFrame, idA: String = "id_a",
+                     idB: String = "id_b"): DataFrame = {
+    val und = pairs
+      .select(least(col(idA), col(idB)).as("a"),
+        greatest(col(idA), col(idB)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = degrees(und, "a", "b")
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+    // orient toward the higher (degree, id) endpoint
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("src"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("dst"))
+      .localCheckpoint()
+    // wedges at the common lower endpoint; close with either orientation
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    val closing = und.select(
+      least(col("a"), col("b")).as("cy"), greatest(col("a"), col("b")).as("cz"))
+    val tri = wedges.join(closing,
+      least(col("y"), col("z")) === col("cy") &&
+        greatest(col("y"), col("z")) === col("cz"))
+      .select(col("x"), col("y"), col("z"))
+    val nodeTri = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("n_triangles"))
+    nodeTri.join(deg, "node")
+      .select(col("node"), col("n_triangles"), col("degree"),
+        round(lit(2.0) * col("n_triangles").cast("double") /
+          (col("degree") * (col("degree") - 1)).cast("double"), 4)
+          .as("clustering"))
+  }
+
   /** PageRank by a FIXED number of power iterations over the undirected
     * pair graph: r_0 = 1/N;
     * `r_{k+1}(v) = (1-d)/N + d * sum over neighbors u of r_k(u)/deg(u)`.

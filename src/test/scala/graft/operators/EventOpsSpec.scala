@@ -119,6 +119,30 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Map(("click", "view") -> 2L))
   }
 
+  test("retentionCohorts: cohort = first active day; cells count returns") {
+    def day(d: Int) = Timestamp.valueOf(f"2026-02-$d%02d 09:00:00")
+    val events = Seq(
+      // cohort day 1: u1, u2. u1 returns day 2; u2 returns day 3 (twice)
+      (1L, 1L, day(1)), (2L, 2L, day(1)),
+      (3L, 1L, day(2)), (4L, 2L, day(3)), (5L, 2L, day(3)),
+      // cohort day 2: u3, never returns
+      (6L, 3L, day(2)),
+      // u1 again on day 12: beyond the 7-day horizon -> no cell
+      (7L, 1L, day(12))
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventOps.retentionCohorts(events, "ts", "user_id",
+        horizonDays = 7)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("2026-02-01", 0L)) == ((2L, 2L, 1.0)))
+    assert(out(("2026-02-01", 1L)) == ((1L, 2L, 0.5)))   // u1 on day 2
+    assert(out(("2026-02-01", 2L)) == ((1L, 2L, 0.5)))   // u2 once, despite 2 events
+    assert(out(("2026-02-02", 0L)) == ((1L, 1L, 1.0)))   // u3's own cohort
+    // u3 does NOT join cohort day 1; day-12 activity is beyond horizon
+    assert(out.keys.map(_._1).toSet == Set("2026-02-01", "2026-02-02"))
+    assert(!out.contains(("2026-02-01", 11L)))
+  }
+
   test("rollingActiveUsers: trailing window counts each user once") {
     def day(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 09:00:00")
     val events = Seq(

@@ -33,4 +33,25 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("triangleCounts: K4 gives 3 per node, a hanging wedge gives none") {
+    // K4 on 1..4 (every node in 3 triangles, clustering 1.0) plus a
+    // pendant path 4-5, 5-6 (wedge at 5, never closed); edges arrive in
+    // both orders and with a duplicate to exercise canonicalization
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L),          // duplicate of (2,3), reversed
+      (4L, 5L), (5L, 6L)
+    ).toDF("id_a", "id_b")
+    val out = Graph.triangleCounts(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 3L, 1.0)))
+    assert(out(3L) == ((3L, 3L, 1.0)))
+    // node 4 has degree 4 (K4 + pendant): clustering = 2*3/(4*3) = 0.5
+    assert(out(4L) == ((3L, 4L, 0.5)))
+    // 5 and 6 are in no triangle -> absent
+    assert(!out.contains(5L) && !out.contains(6L))
+  }
 }
