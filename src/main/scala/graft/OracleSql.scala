@@ -1719,6 +1719,46 @@ object OracleSql {
          |  ${rnd("2.0 * nt.n_triangles::DOUBLE / (deg.degree * (deg.degree - 1))::DOUBLE", 4)} AS clustering
          |FROM nt JOIN deg ON deg.node = nt.node""".stripMargin,
 
+    // CDC net-effect compaction: first/last op by unique sequence id
+    "q156_cdc_compact" ->
+      s"""WITH c AS (SELECT user_id, event_id,
+         |    CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+         |      ELSE 'u' END AS op, value
+         |  FROM events),
+         |agg AS (SELECT user_id,
+         |    min_by(op, event_id) AS first_op, max_by(op, event_id) AS last_op,
+         |    max_by(value, event_id) AS lv, count(*)::BIGINT AS n_ops
+         |  FROM c GROUP BY 1)
+         |SELECT user_id, first_op, last_op,
+         |  CASE WHEN first_op = 'c' AND last_op = 'd' THEN 'none'
+         |       WHEN first_op = 'c' THEN 'c'
+         |       WHEN last_op = 'd' THEN 'd'
+         |       ELSE 'u' END AS net_op,
+         |  ${rnd("lv", 2)} AS last_value, n_ops
+         |FROM agg""".stripMargin,
+
+    // label propagation, 3 synchronous rounds unrolled, ties to the
+    // smallest label (same contract as the q102 PageRank unroll)
+    "q157_label_prop" -> {
+      def round(prev: String, v: String, l: String): String =
+        s"""$v AS (SELECT e.s, l.label AS nl, count(*) AS cnt
+           |  FROM edges e JOIN $prev l ON l.node = e.d GROUP BY 1, 2),
+           |$l AS (SELECT s AS node, nl AS label FROM (
+           |    SELECT s, nl, row_number() OVER (PARTITION BY s
+           |      ORDER BY cnt DESC, nl ASC) AS rn FROM $v) WHERE rn = 1)"""
+          .stripMargin
+      s"""WITH $simhashCtes,
+         |pairs AS (SELECT id_a, id_b FROM cands
+         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |l0 AS (SELECT DISTINCT s AS node, s AS label FROM edges),
+         |${round("l0", "v1", "l1")},
+         |${round("l1", "v2", "l2")},
+         |${round("l2", "v3", "l3")}
+         |SELECT node AS doc_id, label AS community FROM l3""".stripMargin
+    },
+
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),

@@ -1768,6 +1768,26 @@ object SparkEntry {
         maxHamming = 3))
       .withColumnRenamed("node", "doc_id")
 
+  /** CDC net-effect compaction: per-user op sequences (q32's op mapping)
+    * collapsed to first/last/net op + last payload — the pre-MERGE shrink. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").withColumn("op",
+      when(col("event_type") === "signup", lit("c"))
+        .when(col("event_type") === "error", lit("d")).otherwise(lit("u")))
+    graft.operators.CdcProcessor.compactNetEffect(
+        ev, "user_id", "event_id", "op", "value")
+      .select(col("user_id"), col("first_op"), col("last_op"), col("net_op"),
+        round(col("last_value"), 2).as("last_value"), col("n_ops"))
+  }
+
+  /** Label-propagation communities (3 synchronous rounds, min-label ties)
+    * over the q38 simhash near-dup graph. */
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelPropagation(
+      Dedup.simHashNearDups(TW(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 3), rounds = 3)
+      .select(col("node").as("doc_id"), col("label").as("community"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1925,7 +1945,9 @@ object SparkEntry {
     "q152_filtered_ann" -> (q152 _),
     "q153_group_regression" -> (q153 _),
     "q154_retention_cohorts" -> (q154 _),
-    "q155_triangle_counts" -> (q155 _)
+    "q155_triangle_counts" -> (q155 _),
+    "q156_cdc_compact" -> (q156 _),
+    "q157_label_prop" -> (q157 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -106,4 +106,30 @@ object CdcProcessor {
     val rest = df.columns.filterNot(keys.contains)
     df.select((keys ++ rest).map(col): _*)
   }
+
+  /** CDC batch compaction: collapse each key's op sequence to its NET
+    * effect before the merge — the standard pre-MERGE shrink that turns
+    * "insert, update ×20, delete" into nothing and a hot key's churn into
+    * one row. Net rules from (first op in batch, last op in batch):
+    * c..d → `none` (born and died inside the batch), c..c/u → `c` with the
+    * last payload, u/d..d → `d`, u/d..c/u → `u`. Applying the compacted
+    * batch to the target equals applying the full sequence (ops are
+    * last-writer-wins within a key), so the merge joins |keys| rows
+    * instead of |ops|.
+    *
+    * One map-side-combined aggregation: first/last op and last payload are
+    * min_by/max_by over the unique sequence column — no window, no sort of
+    * the batch. */
+  def compactNetEffect(df: DataFrame, keyCol: String, seqCol: String,
+                       opCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min_by(col(opCol), col(seqCol)).as("first_op"),
+        max_by(col(opCol), col(seqCol)).as("last_op"),
+        max_by(col(valueCol), col(seqCol)).as("last_value"),
+        count(lit(1)).cast("long").as("n_ops"))
+      .withColumn("net_op",
+        when(col("first_op") === "c" && col("last_op") === "d", lit("none"))
+          .when(col("first_op") === "c", lit("c"))
+          .when(col("last_op") === "d", lit("d"))
+          .otherwise(lit("u")))
 }

@@ -76,6 +76,40 @@ object Graph {
           .as("clustering"))
   }
 
+  /** Synchronous label propagation for a FIXED number of rounds: every
+    * node starts as its own community and each round adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label — the
+    * cheap community detector that, unlike [[Dedup.connectedComponents]],
+    * separates densely-knit groups inside one connected component (a
+    * bridge edge between two template families doesn't merge them).
+    *
+    * Fixed rounds + deterministic tie-break keep the result closed-form
+    * replayable (an oracle unrolls the same rounds; the same contract as
+    * [[pageRank]]). Each round is one edge⋈label join and one two-level
+    * aggregation: the (node, label) vote count collapses via
+    * `max(struct(cnt, −label))` — max count, then min label — so no rank
+    * window ever sorts the vote table. State is one label per node. */
+  def labelPropagation(pairs: DataFrame, rounds: Int,
+                       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    val edges = pairs.select(col(idA).as("s"), col(idB).as("d"))
+      .union(pairs.select(col(idB).as("s"), col(idA).as("d")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("s").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.select(col("node").as("d"), col("label").as("nlabel")), "d")
+        .groupBy(col("s"), col("nlabel"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("s"))
+        .agg(max(struct(col("cnt"), negate(col("nlabel")).as("nl"))).as("m"))
+        .select(col("s").as("node"), negate(col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** PageRank by a FIXED number of power iterations over the undirected
     * pair graph: r_0 = 1/N;
     * `r_{k+1}(v) = (1-d)/N + d * sum over neighbors u of r_k(u)/deg(u)`.

@@ -54,6 +54,30 @@ class CdcMultimodalSpec extends SparkSpec {
     assert(out(2L).n_bytes == 0 && out(2L).mean_byte == 0.0)
   }
 
+  test("compactNetEffect collapses op sequences to their net merge effect") {
+    val ops = Seq(
+      // k1: c,u,u -> net c with the LAST payload
+      (1L, 10L, "c", 1.0), (1L, 11L, "u", 2.0), (1L, 12L, "u", 3.0),
+      // k2: c,d -> born and died inside the batch -> none
+      (2L, 20L, "c", 1.0), (2L, 21L, "d", 0.0),
+      // k3: u,d -> net d
+      (3L, 30L, "u", 5.0), (3L, 31L, "d", 0.0),
+      // k4: u alone -> net u
+      (4L, 40L, "u", 7.0),
+      // k5: d,c (delete then re-insert) -> net u (target row survives, updated)
+      (5L, 50L, "d", 0.0), (5L, 51L, "c", 9.0)
+    ).toDF("k", "seq", "op", "v")
+    val out = CdcProcessor.compactNetEffect(ops, "k", "seq", "op", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getDouble(3), r.getLong(4),
+          r.getString(5)))).toMap
+    assert(out(1L) == (("c", "u", 3.0, 3L, "c")))
+    assert(out(2L) == (("c", "d", 0.0, 2L, "none")))
+    assert(out(3L) == (("u", "d", 0.0, 2L, "d")))
+    assert(out(4L) == (("u", "u", 7.0, 1L, "u")))
+    assert(out(5L) == (("d", "c", 9.0, 2L, "u")))
+  }
+
   test("sampleFrames slices payload into strided fixed-size frames") {
     val df = Multimodal.withFakeImageColumn(
       Seq((1L, "a" * 100)).toDF("doc_id", "text"), "text")

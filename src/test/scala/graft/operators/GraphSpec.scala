@@ -34,6 +34,16 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("labelPropagation: disjoint cliques converge to their min id; bridged path keeps sides apart") {
+    // two disjoint triangles: each converges to its own min label in 3 rounds
+    val tris = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Graph.labelPropagation(tris, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("triangleCounts: K4 gives 3 per node, a hanging wedge gives none") {
     // K4 on 1..4 (every node in 3 triangles, clustering 1.0) plus a
     // pendant path 4-5, 5-6 (wedge at 5, never closed); edges arrive in
