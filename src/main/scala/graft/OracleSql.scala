@@ -1759,6 +1759,28 @@ object OracleSql {
          |SELECT node AS doc_id, label AS community FROM l3""".stripMargin
     },
 
+    // sorted-neighborhood dedup: normalized-prefix total order, pairs
+    // within 8 ranks, exact Jaccard over shingle strings (the Spark side
+    // verifies over 64-bit hashed sets — q20's equivalence contract)
+    "q158_sorted_neighbors" -> {
+      val sh = shinglesExpr("t", 3)
+      s"""WITH base AS (SELECT doc_id AS id, $toksExpr AS t,
+         |    substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, 24) AS sk
+         |  FROM documents),
+         |ranked AS (SELECT id, row_number() OVER (ORDER BY sk, id) AS r FROM base),
+         |cand AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r <= 8),
+         |shing AS (SELECT id, list_distinct($sh) AS shset FROM base),
+         |jac AS (SELECT id_a, id_b,
+         |  CASE WHEN len(list_distinct(list_concat(sa.shset, sb.shset))) = 0 THEN 0.0
+         |       ELSE len(list_intersect(sa.shset, sb.shset))::DOUBLE
+         |            / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE END AS jaccard
+         |  FROM cand JOIN shing sa ON sa.id = cand.id_a
+         |            JOIN shing sb ON sb.id = cand.id_b)
+         |SELECT id_a, id_b, ${rnd("jaccard", 3)} AS jaccard
+         |FROM jac WHERE jaccard >= 0.2""".stripMargin
+    },
+
     "q61_top_ngrams" -> {
       val sh = shinglesExpr("t", 3)
       s"""WITH toks AS (SELECT $toksExpr AS t FROM documents),

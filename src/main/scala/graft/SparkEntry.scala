@@ -1788,6 +1788,14 @@ object SparkEntry {
         maxHamming = 3), rounds = 3)
       .select(col("node").as("doc_id"), col("label").as("community"))
 
+  /** Sorted-neighborhood dedup: normalized-prefix total order (via the
+    * range-partitioned global rank), rank-window candidates (exactly
+    * n·window — skew-immune), exact-Jaccard verify. */
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborPairs(TW(s, dir, "documents"), "doc_id", "text",
+        window = 8, threshold = 0.2)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1947,7 +1955,8 @@ object SparkEntry {
     "q154_retention_cohorts" -> (q154 _),
     "q155_triangle_counts" -> (q155 _),
     "q156_cdc_compact" -> (q156 _),
-    "q157_label_prop" -> (q157 _)
+    "q157_label_prop" -> (q157 _),
+    "q158_sorted_neighbors" -> (q158 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -440,6 +440,55 @@ object Dedup {
     * warranted.
     *
     * Returns (node, component) where component = min node id reachable. */
+  /** Sorted-neighborhood dedup (Hernández–Stolfo): sort the corpus by a
+    * normalized blocking key (here: the first `keyLen` chars of the
+    * whitespace-collapsed lowered text) and verify only pairs within
+    * `window` positions of each other in that total order — the classic
+    * record-linkage method whose candidate count is EXACTLY n·window,
+    * independent of how skewed the key distribution is (an LSH bucket can
+    * blow up on a hot template; a rank window cannot).
+    *
+    * The total order comes from [[graft.operators.Stats.globalRank]]'s
+    * two-pass range formulation — no single-partition sort. Neighbor
+    * pairs materialize through a bucket equi-join (rank/window buckets,
+    * each right row also joined into its predecessor bucket), never a
+    * rank-range theta join; the exact-Jaccard verify runs over 64-bit
+    * hashed shingle sets (same contract and collision odds as
+    * [[verifiedNearDups]]). */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
+                          window: Int = 8, threshold: Double = 0.2,
+                          keyLen: Int = 24, nRanges: Int = 64,
+                          shingleK: Int = 3): DataFrame = {
+    require(window >= 1, "window >= 1")
+    val keyed = df.select(col(idCol).as("id"),
+      substring(regexp_replace(trim(lower(col(textCol))), "\\s+", " "),
+        1, keyLen).as("sk"))
+    val ranked = graft.operators.Stats.globalRank(keyed, "sk", "id", nRanges)
+      .select(col("id"), col("global_rank").as("r"))
+    val bucketed = ranked.withColumn("bkt", floor((col("r") - 1) / window))
+    val left = bucketed.select(col("id").as("id_a"), col("r").as("ra"), col("bkt"))
+    val right0 = bucketed.select(col("id").as("id_b"), col("r").as("rb"), col("bkt"))
+    // a pair at rank distance <= window sits in the same or adjacent
+    // bucket: join each right row into its own and its predecessor bucket
+    val right = right0.union(right0.withColumn("bkt", col("bkt") - 1))
+    val cand = left.join(right, "bkt")
+      .filter(col("rb") > col("ra") && col("rb") - col("ra") <= window)
+      .select("id_a", "id_b")
+    val sets = graft.Tables.widen(df).select(col(idCol).as("id"),
+      array_distinct(graft.functions.TextHashFunctions.shingleHashes64(
+        col(textCol), shingleK)).as("sh"))
+      .localCheckpoint()
+    cand
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Cross-source duplication matrix: for every unordered source pair
     * (including a source with itself), how many verified near-duplicate
     * document pairs link them, with the min/max Jaccard of those links —

@@ -305,6 +305,28 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((1L, 0L, "p q r")))
   }
 
+  test("sortedNeighborPairs: prefix-adjacent dups found, far-apart keys never meet") {
+    import spark.implicits._
+    val body = "shared middle words carry the jaccard overlap weight here"
+    val docs = Seq(
+      // near-identical prefixes -> adjacent in sort order -> verified
+      (1L, "aaa " + body),
+      (2L, "aab " + body),
+      // same body but a z-prefix: >window ranks away once padding docs land between
+      (3L, "zzz " + body)
+    ) ++ (10L to 30L).map(i => // word-disjoint fillers: no shared shingles
+      (i, s"m$i w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    val out = Dedup.sortedNeighborPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", window = 2, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+    // 3 is sorted far from 1/2 (21 filler docs between): window 2 never pairs them
+    assert(!out.exists { case (a, b) => Set(a, b).contains(3L) &&
+      Set(a, b).intersect(Set(1L, 2L)).nonEmpty })
+    // candidate volume is rank-bounded: no filler doc pairs pass the verify
+    assert(out == Set((1L, 2L)))
+  }
+
   test("crossSourceDupMatrix: cells are canonical source pairs over verified near-dups") {
     import spark.implicits._
     val body = "the quick brown fox jumps over the lazy dog again and again"
