@@ -81,9 +81,10 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    // ~1800 chars leaves room for sbt's trailing "[success] ..." line
-    // inside the 2000-char tail window.
-    val line = Seq(3, 2, 1).map(render).find(_.length <= 1800)
+    // The constraint: this line plus sbt's trailing "[success] Total time:
+    // ..." line (~75 chars) must fit the harness's 2000-char log tail.
+    // 1900 leaves that margin while degrading precision as late as possible.
+    val line = Seq(3, 2, 1).map(render).find(_.length <= 1900)
       .getOrElse(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir"}""")
     println(line)
     spark.stop()

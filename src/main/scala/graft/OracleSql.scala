@@ -1024,6 +1024,21 @@ object OracleSql {
          |SELECT r::BIGINT AS sample_rank, doc_id, ${rnd("aes", 6)} AS aes_key
          |FROM ranked WHERE r <= 25""".stripMargin,
 
+    // per-stratum A-ES weighted sample: same key formula as q119, ranked
+    // within each lang
+    "q159_group_weighted_sample" ->
+      s"""WITH w AS (SELECT lang, doc_id, n_chars::DOUBLE AS wt FROM documents
+         |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |keys AS (SELECT lang, doc_id,
+         |    ln((${h32("doc_id::VARCHAR")} + 0.5) / 4294967296.0) / wt AS aes
+         |  FROM w),
+         |ranked AS (SELECT lang, doc_id, aes,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY aes DESC, doc_id ASC) AS r FROM keys)
+         |SELECT lang, r::BIGINT AS sample_rank, doc_id,
+         |  ${rnd("aes", 6)} AS aes_key
+         |FROM ranked WHERE r <= 10""".stripMargin,
+
     // clipped int8: per-dim p99.9 |x| quantile scale (quantile_disc ==
     // exact-retention percentile_approx), codes clamped to ±127
     "q135_int8_clipped" ->

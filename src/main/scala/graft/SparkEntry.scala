@@ -1796,6 +1796,12 @@ object SparkEntry {
         window = 8, threshold = 0.2)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
 
+  /** Per-language weighted sample: 10 docs per lang, A-ES keyed by
+    * n_chars — bounded TopKAgg per stratum. */
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.groupWeightedSample(
+      T(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 10)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1956,7 +1962,8 @@ object SparkEntry {
     "q155_triangle_counts" -> (q155 _),
     "q156_cdc_compact" -> (q156 _),
     "q157_label_prop" -> (q157 _),
-    "q158_sorted_neighbors" -> (q158 _)
+    "q158_sorted_neighbors" -> (q158 _),
+    "q159_group_weighted_sample" -> (q159 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

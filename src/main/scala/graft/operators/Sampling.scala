@@ -263,6 +263,31 @@ object Sampling {
         col("deficit_tokens"))
   }
 
+  /** Per-stratum weighted sample without replacement: the k highest
+    * A-ES keys (Efraimidis–Spirakis `log(u)/w`, u from the portable id
+    * hash) WITHIN each stratum — "k docs per language, weighted by
+    * quality" in one pass. Same reproducibility contract as
+    * [[weightedSample]] (any engine can recompute membership), same
+    * bounded state as [[samplePerGroup]]: the per-stratum top-k rides the
+    * map-side-partial [[graft.functions.TopKAgg]], so no stratum's
+    * candidate set is ever sorted or collected whole. */
+  def groupWeightedSample(df: DataFrame, strataCol: String, idCol: String,
+                          weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k > 0")
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val u = (Hashes.portableHash32(col(idCol).cast("string")).cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    val key = log(u) / col(weightCol).cast("double")
+    val keyed = struct(negate(key).as("nk"), col(idCol).as("id"))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(strataCol))
+      .agg(graft.functions.TopKAgg.topK(keyed, k).as("arr"))
+      .select(col(strataCol), posexplode(col("arr")))
+      .select(col(strataCol), (col("pos") + 1).cast("long").as("sample_rank"),
+        col("col.id").as(idCol),
+        round(negate(col("col.nk")), 6).as("aes_key"))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     graft.functions.TopKAgg.register(df.sparkSession)

@@ -218,6 +218,24 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_._2).toSet.intersect(Set(1L, 2L, 3L, 4L, 5L, 51L)).isEmpty)
   }
 
+  test("groupWeightedSample: k per stratum, zero-weight rows excluded, ranks contiguous") {
+    val rows = (1L to 40L).map(i => ("a", i, i.toDouble)) ++
+      (41L to 50L).map(i => ("b", i, 1.0)) :+ (("b", 99L, 0.0))
+    val out = Sampling.groupWeightedSample(rows.toDF("g", "id", "w"),
+        "g", "id", "w", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byG = out.groupBy(_._1)
+    assert(byG("a").length == 5 && byG("b").length == 5)
+    assert(byG("a").map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // zero-weight id 99 never sampled
+    assert(!out.exists(_._3 == 99L))
+    // deterministic: a second run returns the identical sample
+    val again = Sampling.groupWeightedSample(rows.toDF("g", "id", "w"),
+        "g", "id", "w", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("epochMixPlan: caps repetition at maxEpochs and reports the deficit") {
     // en: 1000 tokens, de: 100, fr: 50; budget 2000 at 50/30/20
     val rows = Seq(("en", 1000L), ("de", 100L), ("fr", 50L), ("zh", 500L))
