@@ -1039,6 +1039,39 @@ object OracleSql {
          |  ${rnd("aes", 6)} AS aes_key
          |FROM ranked WHERE r <= 10""".stripMargin,
 
+    // contiguous event trigrams, top-10 by (count DESC, pattern ASC)
+    "q160_event_trigrams" ->
+      """WITH seq AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t3
+        |  FROM events),
+        |tri AS (SELECT t1 || '>' || t2 || '>' || t3 AS pattern FROM seq
+        |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+        |c AS (SELECT pattern, count(*) AS cnt FROM tri GROUP BY 1),
+        |r AS (SELECT pattern, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, pattern ASC) AS rank FROM c)
+        |SELECT rank::BIGINT AS rank, pattern, cnt::BIGINT AS n_occurrences
+        |FROM r WHERE rank <= 10""".stripMargin,
+
+    // funnel latency: per-user first view/purchase, whole-second floor
+    // delay, exact rank-rule p50/p90 (q64 contract)
+    "q161_funnel_latency" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS ta,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tb
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT floor((epoch_us(tb) - epoch_us(ta))::DOUBLE
+        |      / 1000000.0)::BIGINT AS v
+        |  FROM f WHERE ta IS NOT NULL AND tb IS NOT NULL AND ta <= tb),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |    count(*) OVER () AS n FROM d)
+        |SELECT max(n)::BIGINT AS n_converted,
+        |  max(CASE WHEN rn = ceil(0.5 * n::DOUBLE) THEN v END)::BIGINT AS p50_delay_s,
+        |  max(CASE WHEN rn = ceil(0.9 * n::DOUBLE) THEN v END)::BIGINT AS p90_delay_s
+        |FROM r""".stripMargin,
+
     // clipped int8: per-dim p99.9 |x| quantile scale (quantile_disc ==
     // exact-retention percentile_approx), codes clamped to ±127
     "q135_int8_clipped" ->

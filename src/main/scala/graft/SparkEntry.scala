@@ -1802,6 +1802,18 @@ object SparkEntry {
     graft.operators.Sampling.groupWeightedSample(
       T(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 10)
 
+  /** Top-10 contiguous event-type trigram paths (bounded TopKAgg over the
+    * |types|³ pattern table). */
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.topEventTrigrams(
+      T(s, dir, "events"), "user_id", "ts", "event_type", "event_id", k = 10)
+
+  /** view→purchase funnel latency: converted-user count + exact p50/p90
+    * delay seconds (rank rule). */
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.funnelLatency(
+      T(s, dir, "events"), "user_id", "ts", "event_type", "view", "purchase")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1963,7 +1975,9 @@ object SparkEntry {
     "q156_cdc_compact" -> (q156 _),
     "q157_label_prop" -> (q157 _),
     "q158_sorted_neighbors" -> (q158 _),
-    "q159_group_weighted_sample" -> (q159 _)
+    "q159_group_weighted_sample" -> (q159 _),
+    "q160_event_trigrams" -> (q160 _),
+    "q161_funnel_latency" -> (q161 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -202,6 +202,69 @@ object EventOps {
         col("n_active"), col("cohort_size"), col("retention"))
   }
 
+  /** Top-k frequent event-type sequences of length 3 (sequential-pattern
+    * mining, contiguous form): consecutive in-user trigrams of the event
+    * stream, counted corpus-wide, top-k by support — "what three-step
+    * paths dominate" without the exponential candidate lattice of full
+    * sequential pattern mining (contiguity bounds patterns at one per
+    * event).
+    *
+    * One user-key window produces both lookaheads in a single Window
+    * operator; the trigram count table is |types|³-bounded and its top-k
+    * rides the bounded [[graft.functions.TopKAgg]] — no rank window over
+    * the pattern table. Ties break lexicographically on the pattern. */
+  def topEventTrigrams(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String, k: Int): DataFrame = {
+    require(k > 0, "k > 0")
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val tri = df
+      .withColumn("t2", lead(col(typeCol), 1).over(w))
+      .withColumn("t3", lead(col(typeCol), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col(typeCol), col("t2"), col("t3")).as("pattern"))
+    val counts = tri.groupBy("pattern").agg(count(lit(1)).as("cnt"))
+    counts
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("cnt")).as("nc"), col("pattern").as("p")), k).as("arr"))
+      .select(posexplode(col("arr")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.p").as("pattern"), negate(col("col.nc")).cast("long").as("n_occurrences"))
+  }
+
+  /** Funnel latency report: for users who completed stage A then stage B
+    * (first A before first B), the stage-to-stage conversion delay
+    * distribution — count plus exact p50/p90 of the delay in seconds (the
+    * rank rule of [[graft.operators.Stats.groupQuantiles]], single group).
+    *
+    * Per-user firsts are one grouped aggregation (two conditional mins —
+    * no window, no self-join); the delay frame is ≤ one row per converted
+    * user, and the quantiles ride `percentile_approx` at exact-retention
+    * accuracy — a map-side-partial sketch aggregate that never sorts the
+    * frame through one partition (the q110 contract: at this accuracy it
+    * reproduces the quantile_disc rank rule the oracle runs; at true
+    * 100 TB funnel sizes, lower the accuracy and accept the sketch's
+    * documented rank error). */
+  def funnelLatency(df: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, fromStage: String,
+                    toStage: String): DataFrame = {
+    val firsts = df.groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === fromStage, col(tsCol))).as("ta"),
+        min(when(col(typeCol) === toStage, col(tsCol))).as("tb"))
+      .filter(col("ta").isNotNull && col("tb").isNotNull && col("ta") <= col("tb"))
+      .select(col(userCol),
+        // floor(), not integer `div` or a double->long cast: floor is the
+        // one whole-second truncation both engines compute identically
+        floor((unix_micros(col("tb")) - unix_micros(col("ta")))
+          .cast("double") / lit(1e6)).cast("long").as("delay_s"))
+    firsts.agg(count(lit(1)).cast("long").as("n_converted"),
+        percentile_approx(col("delay_s"), array(lit(0.5), lit(0.9)),
+          lit(1000000)).as("ps"))
+      .select(col("n_converted"),
+        element_at(col("ps"), 1).cast("long").as("p50_delay_s"),
+        element_at(col("ps"), 2).cast("long").as("p90_delay_s"))
+  }
+
   def sessionWindowAgg(df: DataFrame, userCol: String, tsCol: String,
                        valueCol: String, gap: String): DataFrame =
     df.groupBy(col(userCol), session_window(col(tsCol), gap).as("sw"))

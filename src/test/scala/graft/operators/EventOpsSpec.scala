@@ -143,6 +143,47 @@ class EventOpsSpec extends SparkSpec {
     assert(!out.contains(("2026-02-01", 11L)))
   }
 
+  test("topEventTrigrams: contiguous in-user paths only, ties break on pattern") {
+    val events = Seq(
+      // u1: view>click>purchase and click>purchase>view (overlapping)
+      (1L, 1L, "view", ts(1)), (2L, 1L, "click", ts(2)),
+      (3L, 1L, "purchase", ts(3)), (4L, 1L, "view", ts(4)),
+      // u2: view>click>purchase again -> that path counts 2
+      (5L, 2L, "view", ts(1)), (6L, 2L, "click", ts(2)),
+      (7L, 2L, "purchase", ts(3)),
+      // u3: only two events -> no trigram
+      (8L, 3L, "view", ts(1)), (9L, 3L, "click", ts(2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.topEventTrigrams(events, "user_id", "ts",
+        "event_type", "event_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.head == ((1L, "view>click>purchase", 2L)))
+    assert(out.map(_._2).toSet ==
+      Set("view>click>purchase", "click>purchase>view"))
+    // never a cross-user trigram (u3's pair + u1's view would be one)
+    assert(out.map(_._3).sum == 3L)
+  }
+
+  test("funnelLatency: first-A-to-first-B delays, non-converters excluded") {
+    val events = Seq(
+      // u1: view@1, purchase@4 -> 180 s
+      (1L, 1L, "view", ts(1)), (2L, 1L, "purchase", ts(4)),
+      // u2: purchase BEFORE any view -> excluded (ta > tb)
+      (3L, 2L, "purchase", ts(1)), (4L, 2L, "view", ts(2)),
+      // u3: view only -> excluded
+      (5L, 3L, "view", ts(1)),
+      // u4: view@2, purchase@2 (same minute) -> 0 s; second purchase ignored
+      (6L, 4L, "view", ts(2)), (7L, 4L, "purchase", ts(2)),
+      (8L, 4L, "purchase", ts(30))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.funnelLatency(events, "user_id", "ts", "event_type",
+        "view", "purchase").collect()
+    assert(out.length == 1)
+    val r = out.head
+    // n=2 (u1, u4); delays {0, 180}: p50 = v[ceil(.5*2)=1] = 0, p90 = v[2] = 180
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.getLong(2) == 180L)
+  }
+
   test("rollingActiveUsers: trailing window counts each user once") {
     def day(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 09:00:00")
     val events = Seq(
