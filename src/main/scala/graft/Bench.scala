@@ -75,7 +75,14 @@ object Bench {
     // entries are ~5 KB and get truncated mid-line — that is exactly the
     // r1-r7 "parsed": null failure.
     def render(decimals: Int): String = {
-      def fmt(v: Double): String = s"%.${decimals}f".format(v)
+      // trailing-zero trim ("0.50"->"0.5", "1.00"->"1"): worth ~1 char on
+      // ~half the entries, which is what keeps 161 queries at 2-decimal
+      // resolution inside the tail budget
+      def fmt(v: Double): String = {
+        val s = s"%.${decimals}f".format(v)
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+        else s
+      }
       val qs = results.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
         .mkString("{", ",", "}")
