@@ -1072,6 +1072,48 @@ object OracleSql {
         |  max(CASE WHEN rn = ceil(0.9 * n::DOUBLE) THEN v END)::BIGINT AS p90_delay_s
         |FROM r""".stripMargin,
 
+    // per-dim embedding stats: centered two-pass std (q153 contract)
+    "q162_dim_stats" ->
+      s"""WITH dims AS (SELECT
+         |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         |    unnest(embedding)::DOUBLE AS x
+         |  FROM embeddings),
+         |m AS (SELECT dim, avg(x) AS mx FROM dims GROUP BY 1)
+         |SELECT d.dim, count(*)::BIGINT AS n,
+         |  ${rnd("max(m.mx)", 6)} AS mean,
+         |  ${rnd("sqrt(sum((d.x - m.mx) * (d.x - m.mx)) / count(*)::DOUBLE)", 6)} AS std,
+         |  ${rnd("min(d.x)", 6)} AS min_val,
+         |  ${rnd("max(d.x)", 6)} AS max_val
+         |FROM dims d JOIN m ON d.dim = m.dim
+         |GROUP BY d.dim""".stripMargin,
+
+    // PMI collocations over the doc-frequency-top-50 vocabulary; ranking
+    // on ROUNDED pmi with (term_a, term_b) tie-break
+    "q163_pmi_pairs" ->
+      s"""WITH words AS (SELECT doc_id AS id, unnest($toksExpr) AS w
+         |  FROM documents),
+         |vc AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+         |vocab AS (SELECT w FROM (SELECT w,
+         |    row_number() OVER (ORDER BY c DESC, w ASC) AS rn FROM vc)
+         |  WHERE rn <= 50),
+         |present AS (SELECT DISTINCT id, words.w FROM words
+         |  JOIN vocab ON words.w = vocab.w),
+         |df1 AS (SELECT w, count(*) AS n_term FROM present GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+         |pairs AS (SELECT a.w AS term_a, b.w AS term_b, count(*) AS n_pair
+         |  FROM present a JOIN present b ON a.id = b.id AND a.w < b.w
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |scored AS (SELECT term_a, term_b, n_pair,
+         |    ${rnd("ln(n_pair::DOUBLE * (SELECT n FROM nd) / (da.n_term::DOUBLE * db.n_term::DOUBLE))", 6)} AS pmi
+         |  FROM pairs
+         |  JOIN df1 da ON da.w = pairs.term_a
+         |  JOIN df1 db ON db.w = pairs.term_b)
+         |SELECT rank, term_a, term_b, n_pair, pmi FROM (
+         |  SELECT row_number() OVER (ORDER BY pmi DESC, term_a ASC,
+         |    term_b ASC) AS rank, term_a, term_b, n_pair::BIGINT AS n_pair,
+         |    pmi FROM scored)
+         |WHERE rank <= 20""".stripMargin,
+
     // clipped int8: per-dim p99.9 |x| quantile scale (quantile_disc ==
     // exact-retention percentile_approx), codes clamped to ±127
     "q135_int8_clipped" ->

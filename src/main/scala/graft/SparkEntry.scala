@@ -1814,6 +1814,15 @@ object SparkEntry {
     graft.operators.EventOps.funnelLatency(
       T(s, dir, "events"), "user_id", "ts", "event_type", "view", "purchase")
 
+  /** Per-dimension embedding whitening stats (centered two-pass std). */
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimStats(T(s, dir, "embeddings"))
+
+  /** Top-20 PMI collocation pairs over the top-50 vocabulary. */
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.pmiPairs(
+      TW(s, dir, "documents"), "doc_id", "text")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1977,7 +1986,9 @@ object SparkEntry {
     "q158_sorted_neighbors" -> (q158 _),
     "q159_group_weighted_sample" -> (q159 _),
     "q160_event_trigrams" -> (q160 _),
-    "q161_funnel_latency" -> (q161 _)
+    "q161_funnel_latency" -> (q161 _),
+    "q162_dim_stats" -> (q162 _),
+    "q163_pmi_pairs" -> (q163 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -194,6 +194,58 @@ object Corpus {
           col("n_distinct").cast("double"), 4))
   }
 
+  /** Pointwise mutual information over co-occurring top terms:
+    * PMI(a,b) = ln(n_ab·N / (n_a·n_b)) for pairs of the corpus's
+    * `vocabTopK` most frequent words appearing in the same document —
+    * the collocation/phrase-mining statistic behind "which words travel
+    * together" (multi-word expressions, topic seeds).
+    *
+    * The vocabulary restriction IS the scale bound: only the broadcast
+    * top-`vocabTopK` term set survives the explode, so per-doc pair
+    * fan-out is ≤ vocabTopK² and the pair table is vocabulary-bounded
+    * regardless of corpus size (unrestricted PMI pair tables grow with
+    * the square of the vocabulary — the classic blowup). Document
+    * frequencies (distinct presence), not term frequencies, on both
+    * sides of the ratio; ranking is on ROUNDED pmi (6dp) with the pair
+    * as tie-break — the ln-score determinism contract of
+    * [[logOddsTerms]]. */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+               vocabTopK: Int = 50, minPairDocs: Long = 5,
+               topK: Int = 20): DataFrame = {
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val words = df.select(col(idCol).as("id"),
+      explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("c")).as("nc"), col("w").as("t")), vocabTopK).as("arr"))
+      .select(explode(col("arr")).as("e")).select(col("e.t").as("w"))
+    val present = words.join(broadcast(vocab), "w")
+      .select(col("id"), col("w")).distinct().localCheckpoint()
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val df1 = present.groupBy("w").agg(count(lit(1)).as("n_term"))
+    val pairs = present.alias("a")
+      .join(present.alias("b"), col("a.id") === col("b.id") &&
+        col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("term_a"), col("b.w").as("term_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairDocs)
+    val scored = pairs
+      .join(df1.select(col("w").as("term_a"), col("n_term").as("na")), "term_a")
+      .join(df1.select(col("w").as("term_b"), col("n_term").as("nb")), "term_b")
+      .withColumn("pmi", round(
+        log(col("n_pair").cast("double") * lit(nDocs.toDouble) /
+          (col("na").cast("double") * col("nb").cast("double"))), 6))
+    scored
+      .agg(graft.functions.TopKAgg.topK(struct(
+        negate(col("pmi")).as("np"), col("term_a").as("ta"),
+        col("term_b").as("tb"), col("n_pair").as("c")), topK).as("arr"))
+      .select(posexplode(col("arr")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.ta").as("term_a"), col("col.tb").as("term_b"),
+        col("col.c").cast("long").as("n_pair"),
+        negate(col("col.np")).as("pmi"))
+  }
+
   def sourceKlReport(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(srcCol).as("source"),
       explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))

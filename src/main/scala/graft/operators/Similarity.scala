@@ -75,6 +75,36 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Per-dimension embedding statistics — the whitening/normalization
+    * parameter table (mean, std, min, max per dimension) computed before
+    * centering, PCA, or product quantization, and the drift check run
+    * when a new encoder version lands.
+    *
+    * One posexplode moves the vectors once; everything after is bounded
+    * by the dimensionality. The std uses CENTERED two-pass sums (means
+    * first, then residual squares — q153's cancellation contract: the
+    * single-pass E[x²]−E[x]² form subtracts near-equal magnitudes and
+    * its rounded result would depend on partition-sum order). */
+  def dimStats(df: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val dims = graft.Tables.widen(df)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "xr")))
+      .select(col("dim"), col("xr").cast("double").as("x"))
+      .localCheckpoint()
+    val means = dims.groupBy("dim").agg(avg(col("x")).as("mx"))
+    dims.join(broadcast(means), "dim")
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        max(col("mx")).as("_mx"),
+        sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("ss"),
+        min(col("x")).as("_mn"), max(col("x")).as("_mxv"))
+      .select(col("dim"), col("n"),
+        round(col("_mx"), 6).as("mean"),
+        round(sqrt(col("ss") / col("n").cast("double")), 6).as("std"),
+        round(col("_mn"), 6).as("min_val"),
+        round(col("_mxv"), 6).as("max_val"))
+  }
+
   /** Metadata-filtered top-k (the vector-DB "filtered search" primitive):
     * for each query, the k nearest corpus vectors sharing the query's
     * label — tenant-, language-, or shard-scoped retrieval.

@@ -213,6 +213,21 @@ class CorpusSpec extends SparkSpec {
     assert(out(("s1", 2L))._3 < z1)
   }
 
+  test("pmiPairs: co-traveling terms score high, independent terms near zero") {
+    // "rocket" and "launch" always co-occur (4 docs of 8); "the" appears
+    // everywhere (independent of both)
+    val docs = (1L to 4L).map(i => (i, s"the rocket launch pad$i")) ++
+      (5L to 8L).map(i => (i, s"the quiet garden bench$i"))
+    val out = Corpus.pmiPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        vocabTopK = 10, minPairDocs = 2, topK = 10)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getDouble(4))
+      .toMap
+    // PMI(launch, rocket) = ln(4*8/(4*4)) = ln 2
+    assert(math.abs(out(("launch", "rocket")) - math.log(2.0)) < 1e-6)
+    // PMI(the, rocket) = ln(4*8/(8*4)) = 0 — independence
+    assert(out(("rocket", "the")) == 0.0)
+  }
+
   test("ngramNovelty: repetition lowers novelty, shared text lowers exclusivity") {
     val docs = Seq(
       // s1: "a b c" twice -> 4 trigram instances ("a b c", "b c a", "c a b",

@@ -183,6 +183,21 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("partial_topk_agg"), p)
   }
 
+  test("dimStats: hand-computable per-dimension mean/std/min/max") {
+    val df = Seq(
+      (1L, Array(1.0f, 10.0f)),
+      (2L, Array(3.0f, 10.0f)),
+      (3L, Array(5.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dimStats(df).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    // dim 0: mean 3, population std sqrt(8/3) ~ 1.632993, min 1, max 5
+    assert(out(0) == ((3L, 3.0, 1.632993, 1.0, 5.0)))
+    // dim 1: constant -> std 0
+    assert(out(1) == ((3L, 10.0, 0.0, 10.0, 10.0)))
+  }
+
   test("meanPool averages element-wise per group") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)),
