@@ -1114,6 +1114,32 @@ object OracleSql {
          |    pmi FROM scored)
          |WHERE rank <= 20""".stripMargin,
 
+    // CMS inner-product join-size estimate (q93's sketch replayed on both
+    // sides; min over depth rows of the bucket dot product)
+    "q164_join_size_est" -> {
+      def sk(table: String, key: String, alias: String): String = {
+        val b = s"${h32(s"j::VARCHAR || ':' || $key::VARCHAR")} % 256"
+        s"""$alias AS (SELECT j, $b AS b, count(*) AS c
+           |  FROM (SELECT $key FROM $table WHERE $key IS NOT NULL)
+           |  CROSS JOIN js GROUP BY 1, 2)""".stripMargin
+      }
+      s"""WITH js AS (SELECT unnest([0, 1, 2]) AS j),
+         |${sk("orders", "o_custkey", "sa")},
+         |${sk("customer", "c_custkey", "sb")},
+         |dot AS (SELECT min(dj)::BIGINT AS est_join_rows FROM (
+         |  SELECT sa.j, sum(sa.c * sb.c) AS dj
+         |  FROM sa JOIN sb ON sa.j = sb.j AND sa.b = sb.b GROUP BY 1)),
+         |ca AS (SELECT o_custkey AS k, count(*) AS na FROM orders
+         |  WHERE o_custkey IS NOT NULL GROUP BY 1),
+         |cb AS (SELECT c_custkey AS k, count(*) AS nb FROM customer
+         |  WHERE c_custkey IS NOT NULL GROUP BY 1),
+         |exact AS (SELECT coalesce(sum(na * nb), 0)::BIGINT AS exact_join_rows
+         |  FROM ca JOIN cb ON ca.k = cb.k)
+         |SELECT exact_join_rows, est_join_rows,
+         |  (est_join_rows - exact_join_rows)::BIGINT AS overcount
+         |FROM exact CROSS JOIN dot""".stripMargin
+    },
+
     // clipped int8: per-dim p99.9 |x| quantile scale (quantile_disc ==
     // exact-retention percentile_approx), codes clamped to ±127
     "q135_int8_clipped" ->

@@ -1823,6 +1823,13 @@ object SparkEntry {
     graft.operators.Corpus.pmiPairs(
       TW(s, dir, "documents"), "doc_id", "text")
 
+  /** Join-size pre-flight: orders ⋈ customer cardinality estimated by the
+    * CMS inner product vs the exact Σ a_k·b_k — never running the join. */
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.cmsJoinSizeEstimate(
+      T(s, dir, "orders"), "o_custkey",
+      T(s, dir, "customer"), "c_custkey", width = 256, depth = 3)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1988,7 +1995,8 @@ object SparkEntry {
     "q160_event_trigrams" -> (q160 _),
     "q161_funnel_latency" -> (q161 _),
     "q162_dim_stats" -> (q162 _),
-    "q163_pmi_pairs" -> (q163 _)
+    "q163_pmi_pairs" -> (q163 _),
+    "q164_join_size_est" -> (q164 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

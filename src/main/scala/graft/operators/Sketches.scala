@@ -184,6 +184,53 @@ object Sketches {
         (col("cms_est") - coalesce(col("exact_n"), lit(0L))).as("overcount"))
   }
 
+  /** Equi-join cardinality estimate WITHOUT running the join — the
+    * pre-flight that catches a key-skew output blowup (or proves a join
+    * harmless) before committing a cluster to it: |A ⋈ B| = Σ_k a_k·b_k,
+    * estimated by the Count-Min inner product — per depth row j,
+    * Σ_bucket cmsA[j]·cmsB[j], then MIN over rows (one-sided like the
+    * point estimate: never under the true size; AMS-style overshoot
+    * ~|A|·|B|/width per row, damped by the min).
+    *
+    * Each side collapses to its depth×width counter grid (map-side
+    * partial counts — the key space never shuffles); the inner product
+    * joins two such grids on (row, bucket), a few-KB broadcast join.
+    * The exact size is computed alongside from the two per-key count
+    * tables (one group-key shuffle each, joined on the key — still never
+    * materializing the join output), so the gate checks the estimator's
+    * algebra against the truth it predicts. */
+  def cmsJoinSizeEstimate(left: DataFrame, leftKey: String,
+                          right: DataFrame, rightKey: String,
+                          width: Int, depth: Int): DataFrame = {
+    require(width > 0 && depth > 0, "width/depth")
+    def bucket(k: Column, j: Column): Column =
+      pmod(graft.functions.Hashes.portableHash32(
+        concat(j.cast("string"), lit(":"), k)), lit(width.toLong))
+    def sketch(df: DataFrame, keyCol: String): DataFrame =
+      df.filter(col(keyCol).isNotNull)
+        .select(col(keyCol).cast("string").as("k"))
+        .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+        .select(col("j"), bucket(col("k"), col("j")).as("b"))
+        .groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val dot = sketch(left, leftKey)
+      .join(broadcast(sketch(right, rightKey)
+        .withColumnRenamed("c", "c2")), Seq("j", "b"))
+      .groupBy("j").agg(sum(col("c") * col("c2")).as("dotj"))
+      .agg(min(col("dotj")).cast("long").as("est_join_rows"))
+    val ca = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).cast("string").as("k"))
+      .agg(count(lit(1)).as("na"))
+    val cb = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).cast("string").as("k"))
+      .agg(count(lit(1)).as("nb"))
+    val exact = ca.join(cb, "k")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).cast("long")
+        .as("exact_join_rows"))
+    exact.crossJoin(dot)
+      .withColumn("overcount",
+        col("est_join_rows") - col("exact_join_rows"))
+  }
+
   /** Corpus-wide top-`topK` word n-grams by occurrence count (the heavy-
     * hitter profile of a training corpus: boilerplate detection, template
     * mining, tokenizer-vocab sanity checks).

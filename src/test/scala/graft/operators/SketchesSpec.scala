@@ -106,6 +106,23 @@ class SketchesSpec extends SparkSpec {
     assert(direct.getDouble(2) == a.getDouble(2))
   }
 
+  test("cmsJoinSizeEstimate: exact when collision-free, one-sided when narrow") {
+    import spark.implicits._
+    // left: key 1 x3, key 2 x2; right: key 1 x2, key 3 x4
+    // exact join rows = 3*2 = 6
+    val l = Seq(1L, 1L, 1L, 2L, 2L).toDF("k")
+    val r = Seq(1L, 1L, 3L, 3L, 3L, 3L).toDF("k")
+    val wide = Sketches.cmsJoinSizeEstimate(l, "k", r, "k",
+      width = 65536, depth = 3).collect()(0)
+    assert(wide.getLong(0) == 6L && wide.getLong(1) == 6L &&
+      wide.getLong(2) == 0L)
+    // width 1: everything collides -> estimate = |L|*|R| = 30, never under
+    val narrow = Sketches.cmsJoinSizeEstimate(l, "k", r, "k",
+      width = 1, depth = 2).collect()(0)
+    assert(narrow.getLong(0) == 6L && narrow.getLong(1) == 30L)
+    assert(narrow.getLong(2) >= 0L)
+  }
+
   test("hllMergedDistinct: multi-column groups count as tuples, not concatenations") {
     // regression: concat-based counting merged ("a","bc") with ("ab","c")
     val rows = Seq((1L, "a", "bc"), (2L, "ab", "c"), (3L, "a", "bc"))
