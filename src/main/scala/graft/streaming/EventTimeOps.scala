@@ -198,6 +198,46 @@ object EventTimeOps {
       }
   }
 
+  final case class DebounceState(lastEmitTs: Long)
+
+  /** Streaming per-key debounce: emit the FIRST event of each key, then
+    * suppress everything inside `cooldownMs` of the last emission — the
+    * alert-fatigue / burst-collapse stage placed after a detector like
+    * [[ewmaAlerts]] (one incident, one page) or in front of a per-event
+    * webhook. Append mode: an emitted event is final, suppression is
+    * silent.
+    *
+    * State is ONE long per key (the last emission time) — smaller than
+    * any windowed-dedup buffer and immune to hot keys; a windowed
+    * `dropDuplicates` can't express this because suppression depends on
+    * the last EMITTED event, not on equality with any buffered one
+    * (three bursts 40 s apart under a 60 s cooldown emit #1 and #3:
+    * the decision chain is inherently sequential). In-batch events apply
+    * in (ts, value) order — the sorted-batch replay contract shared by
+    * the sessionizers. */
+  def debounce(events: Dataset[Event], cooldownMs: Long)
+              (implicit spark: SparkSession): Dataset[Event] = {
+    import spark.implicits._
+    require(cooldownMs > 0, "cooldownMs > 0")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DebounceState, Event](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[Event], state: GroupState[DebounceState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var s = state.getOption.getOrElse(DebounceState(Long.MinValue))
+          val out = Seq.newBuilder[Event]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (s.lastEmitTs == Long.MinValue || t - s.lastEmitTs >= cooldownMs) {
+              out += e
+              s = DebounceState(t)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Convenience: run the sessionizer over a memory/file stream and collect
     * into an in-memory sink table (update mode — state emits per trigger;
     * drive with processAllAvailable in tests). */

@@ -181,6 +181,30 @@ class EventTimeOpsSpec extends SparkSpec {
     assert(spark.table("ewma_const").count() == 0)
   }
 
+  test("debounce: bursts collapse to the first event, cooldown anchors on EMITTED events") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventTimeOps.debounce(mem.toDS(), cooldownMs = 60 * 60 * 1000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("debounced").start()
+    // three events 40 min apart under a 60-min cooldown: #1 emits,
+    // #2 suppressed (40 < 60 from #1), #3 emits (80 >= 60 from #1) —
+    // the chain anchors on EMITTED events, so a buffer-equality dedup
+    // could not reproduce it
+    mem.addData(Event(1L, ts(0), 1.0), Event(1L, ts(40), 2.0))
+    q.processAllAvailable()
+    // the second batch: state (last emit = :00) must survive the boundary
+    mem.addData(Event(1L, Timestamp.valueOf("2024-01-01 11:20:00"), 3.0))
+    // an independent key is never suppressed by key 1's state
+    mem.addData(Event(2L, ts(5), 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("debounced").as[Event].collect()
+      .map(e => (e.user_id, e.value)).toSet
+    assert(got == Set((1L, 1.0), (1L, 3.0), (2L, 9.0)))
+  }
+
   test("mapGroupsWithState sessionizer rolls sessions across the gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
