@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UTC like graft.Verify: Tables.widen's TIMESTAMP_NTZ cast and the
+      // date-bucketing ops must group identically in bench and gate runs
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup at the smallest SF: pays JIT/codegen compilation once so
@@ -79,7 +82,10 @@ object Bench {
       // ~half the entries, which is what keeps 161 queries at 2-decimal
       // resolution inside the tail budget
       def fmt(v: Double): String = {
-        val s = s"%.${decimals}f".format(v)
+        // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
+        // "1,234" and break the JSON this line exists to keep parseable
+        val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+          Double.box(v))
         if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
         else s
       }

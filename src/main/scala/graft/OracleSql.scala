@@ -86,9 +86,9 @@ object OracleSql {
        |SELECT query_id, neighbor_id, ${rnd("cosine", 3)} AS cosine, rank::BIGINT AS rank
        |FROM ranked WHERE rank <= $k""".stripMargin
 
-  /** SimHash signature + byte-band candidate CTE chain (mirrors
-    * [[graft.operators.Dedup.simHash]]/`simHashNearDups`), shared by the
-    * q38 pair gate and q53's component clustering over those pairs. */
+  /** 32-bit SimHash signature + byte-band candidate CTE chain (mirrors
+    * [[graft.operators.Dedup.simHash]]/`simHashNearDups`) — q38's explicit
+    * gate subject; every composite consumer rides [[simhash64PairsCtes]]. */
   private def simhashCtes: String =
     s"""toks AS (SELECT doc_id AS id, $toksExpr AS t FROM documents),
        |hs AS (SELECT id, list_transform(t, x -> ${h32("x")}) AS hashes FROM toks),
@@ -102,6 +102,30 @@ object OracleSql {
        |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
        |cands AS (SELECT DISTINCT a.id AS id_a, a.sig AS sig_a, b.id AS id_b, b.sig AS sig_b
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)""".stripMargin
+
+  /** 64-bit SimHash signature + near-dup PAIR CTE chain (ends in
+    * `pairs(id_a, id_b)`), replaying [[graft.operators.Dedup.simHash64]]
+    * bit-for-bit (hash64 = first 16 md5 hex chars; UBIGINT keeps the top
+    * bit unsigned like Java's >>>). Pairs are brute-forced all-pairs —
+    * both banded Spark twins ([[graft.operators.Dedup.simHashNearDups64]]
+    * and the Manku-combination `simHashNearDupsMulti`) are recall-complete
+    * by pigeonhole at their stated radii, so the banded and brute-force
+    * pair sets are identical. Shared by the q53/q83/q96/q114 dedup
+    * composites (maxHamming 3) and the q155/q157 graph gates (7). */
+  private def simhash64PairsCtes(maxHamming: Int): String =
+    s"""toks64 AS (SELECT doc_id AS id, $toksExpr AS t FROM documents),
+       |hs64 AS (SELECT id,
+       |    list_transform(t, x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT) AS hashes
+       |  FROM toks64),
+       |sigs64 AS (SELECT id,
+       |    list_sum(list_transform(range(0, 64), j ->
+       |      CASE WHEN list_sum(list_transform(hashes, h ->
+       |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |           THEN (1::HUGEINT << j) ELSE 0::HUGEINT END))::UBIGINT AS sig
+       |  FROM hs64),
+       |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sigs64 a JOIN sigs64 b ON a.id < b.id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming)""".stripMargin
 
   /** Multi-band random-hyperplane LSH near-dup oracle: the SAME
     * seed-deterministic hyperplanes the Spark side projects onto, embedded
@@ -620,12 +644,10 @@ object OracleSql {
          |SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
          |FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin,
 
-    // connected components over the hamming<=3 pair list: transitive
+    // connected components over the 64-bit hamming<=3 pair list: transitive
     // closure by recursive CTE, component id = min reachable node
     "q53_dedup_clusters" ->
-      s"""WITH RECURSIVE $simhashCtes,
-         |pairs AS (SELECT id_a, id_b FROM cands
-         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+      s"""WITH RECURSIVE ${simhash64PairsCtes(3)},
          |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs),
          |reach(n, r) AS (
@@ -637,9 +659,7 @@ object OracleSql {
     // q53's component chain extended with the hash-bucket split: docs
     // missing from the reach (no near-dup link) are singleton components
     "q114_leakage_safe_split" ->
-      s"""WITH RECURSIVE $simhashCtes,
-         |pairs AS (SELECT id_a, id_b FROM cands
-         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+      s"""WITH RECURSIVE ${simhash64PairsCtes(3)},
          |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs),
          |reach(n, r) AS (
@@ -661,9 +681,7 @@ object OracleSql {
     // highest (pre-rounded) quality, ties by doc_id
     "q83_cluster_survivors" -> {
       val qExpr = rnd(s"least($tokenCountExpr::DOUBLE / 100.0, 1.0) * 0.4 + least($stopwordRatioExpr * 4.0, 1.0) * 0.4 + greatest(1.0 - $punctRatioExpr * 5.0, 0.0) * 0.2", 4)
-      s"""WITH RECURSIVE $simhashCtes,
-         |pairs AS (SELECT id_a, id_b FROM cands
-         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+      s"""WITH RECURSIVE ${simhash64PairsCtes(3)},
          |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs),
          |reach(n, r) AS (
@@ -1813,13 +1831,13 @@ object OracleSql {
          |  ${rnd("n_active::DOUBLE / s.cohort_size::DOUBLE", 4)} AS retention
          |FROM cells JOIN sizes s ON cells.cohort_day = s.cohort_day""".stripMargin,
 
-    // per-node triangles over the q38 hamming<=3 graph: the naive
-    // id-ordered closure (orientation-independent result; the Spark side
-    // runs the degree-oriented enumeration)
+    // per-node triangles over the 64-bit hamming<=7 graph (the Manku
+    // combination-banded generator on the Spark side; recall-complete, so
+    // the brute-forced pair CTE is the same set): the naive id-ordered
+    // closure (orientation-independent result; the Spark side runs the
+    // degree-oriented enumeration)
     "q155_triangle_counts" ->
-      s"""WITH $simhashCtes,
-         |pairs AS (SELECT id_a, id_b FROM cands
-         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+      s"""WITH ${simhash64PairsCtes(7)},
          |tri AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
          |  FROM pairs e1
          |  JOIN pairs e2 ON e2.id_a = e1.id_b
@@ -1863,9 +1881,7 @@ object OracleSql {
            |    SELECT s, nl, row_number() OVER (PARTITION BY s
            |      ORDER BY cnt DESC, nl ASC) AS rn FROM $v) WHERE rn = 1)"""
           .stripMargin
-      s"""WITH $simhashCtes,
-         |pairs AS (SELECT id_a, id_b FROM cands
-         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+      s"""WITH ${simhash64PairsCtes(7)},
          |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs),
          |l0 AS (SELECT DISTINCT s AS node, s AS label FROM edges),
@@ -2406,9 +2422,7 @@ object OracleSql {
     // the q92 funnel x the q53/q83 near-dup clustering: per-source corpus
     // retention after quality AND dedup
     "q96_curation_pipeline" ->
-      s"""WITH RECURSIVE $simhashCtes,
-         |pairs AS (SELECT id_a, id_b FROM cands
-         |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+      s"""WITH RECURSIVE ${simhash64PairsCtes(3)},
          |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs),
          |reach(n, r) AS (

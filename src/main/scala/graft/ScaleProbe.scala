@@ -24,6 +24,8 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UTC like graft.Verify — Tables.widen's NTZ cast assumes it
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -177,6 +179,84 @@ object ScaleProbe {
         import org.apache.spark.sql.functions._
         graft.operators.Corpus.ngramNovelty(docs, "source", "text", k = 3)
           .agg(sum(col("n_distinct")).cast("long")).collect()(0).getLong(0)
+      }),
+      // q155/q157 candidate generator: the Manku combination-banded 64-bit
+      // candidate join volume (rebuilt without the Hamming verify — the
+      // pigeonhole require forbids maxHamming=63 through the public entry)
+      "q155_multi_cand" -> (() => {
+        import org.apache.spark.sql.functions._
+        val blocks = 9; val blocksPerKey = 2
+        val bounds = (0 to blocks).map(i => i * 64 / blocks)
+        def blockVal(sig: org.apache.spark.sql.Column, i: Int) = {
+          val lo = bounds(i); val width = bounds(i + 1) - lo
+          shiftrightunsigned(sig, lo).bitwiseAND(lit((1L << width) - 1L))
+        }
+        val combos = (0 until blocks).combinations(blocksPerKey).toSeq
+        val sigs = docs.select(col("doc_id").as("id"),
+          Dedup.simHash64(col("text")).as("sig")).localCheckpoint()
+        val keyed = sigs.select(col("id"), posexplode(
+          array(combos.map { c =>
+            c.zipWithIndex.foldLeft(lit(0L)) { case (acc, (blk, slot)) =>
+              acc.bitwiseOR(shiftleft(blockVal(col("sig"), blk), slot * 16))
+            }
+          }: _*)).as(Seq("combo", "key")))
+        keyed.alias("a").join(keyed.alias("b"),
+            col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id"), col("b.id")).distinct().count()
+      }),
+      // q155 triangle counts: wedge work under the DEGREE orientation.
+      // Emits side lines sum_outdeg2 (what the oriented enumeration pays)
+      // and sum_deg2 (what an id-ordered enumeration would pay on the raw
+      // degrees) — the scaledoc's hub-safety claim is outdeg2 << deg2 and
+      // outdeg2 tracking ~edges·avg_outdeg across decades, never hub².
+      "q155_wedges" -> (() => {
+        import org.apache.spark.sql.functions._
+        val pairs = Dedup.simHashNearDupsMulti(docs, "text", "doc_id",
+          maxHamming = 7, blocks = 9, blocksPerKey = 2)
+        val und = pairs.select(least(col("id_a"), col("id_b")).as("a"),
+            greatest(col("id_a"), col("id_b")).as("b"))
+          .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+        val deg = und.select(col("a").as("node"))
+          .union(und.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+        val withDeg = und
+          .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+          .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+        val oriented = withDeg.select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("src")).localCheckpoint()
+        val outdeg = oriented.groupBy("src").agg(count(lit(1)).as("od"))
+        val sumOutdeg2 = outdeg.agg(sum(col("od") * col("od")).cast("long"))
+          .collect()(0).getLong(0)
+        val sumDeg2 = deg.agg(sum(col("degree") * col("degree")).cast("long"))
+          .collect()(0).getLong(0)
+        println(s"""{"probe":"q155_sum_outdeg2","count":$sumOutdeg2,"sec":0.0,"sf":"$sfDir"}""")
+        println(s"""{"probe":"q155_sum_deg2","count":$sumDeg2,"sec":0.0,"sf":"$sfDir"}""")
+        // wedges actually enumerated = Σ od·(od−1)/2 over the orientation
+        outdeg.agg(sum(col("od") * (col("od") - 1) / 2).cast("long"))
+          .collect()(0).getLong(0)
+      }),
+      // q157 label propagation: per-round edge⋈label join volume. Every
+      // edge matches exactly one label row each round, so round volume is
+      // |directed edges| — constant across rounds; the vote table (distinct
+      // (node, neighbor-label)) can only be smaller. Emits the round-3 vote
+      // rows as a side line to show the aggregation state stays edge-bounded.
+      "q157_round_volume" -> (() => {
+        import org.apache.spark.sql.functions._
+        val pairs = Dedup.simHashNearDupsMulti(docs, "text", "doc_id",
+          maxHamming = 7, blocks = 9, blocksPerKey = 2)
+        val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+          .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+          .distinct().localCheckpoint()
+        val l2 = graft.operators.Graph.labelPropagation(pairs, rounds = 2)
+        val votes3 = edges
+          .join(l2.select(col("node").as("d"), col("label").as("nlabel")), "d")
+          .groupBy(col("s"), col("nlabel")).agg(count(lit(1)))
+          .count()
+        println(s"""{"probe":"q157_round3_votes","count":$votes3,"sec":0.0,"sf":"$sfDir"}""")
+        edges.count()
       })
     )
 

@@ -673,9 +673,12 @@ object SparkEntry {
 
   /** Dedup clustering: SimHash near-dup pairs -> connected components via
     * iterative min-label propagation (the pairs->clusters step of a
-    * production dedup pipeline; component id = min doc_id reachable). */
+    * production dedup pipeline; component id = min doc_id reachable).
+    * Pairs come from the 64-bit banded generator (q108's scale path —
+    * 2^16-bucket bands, not the 32-bit byte-banding whose 1024 total
+    * buckets go quadratic past ~10^6 docs). */
   private def q53(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.simHashNearDups(TW(s, dir, "documents"), "text", "doc_id",
+    val pairs = Dedup.simHashNearDups64(TW(s, dir, "documents"), "text", "doc_id",
       maxHamming = 3)
     Dedup.connectedComponents(pairs)
       .select(col("node").cast("long").as("doc_id"),
@@ -978,10 +981,10 @@ object SparkEntry {
   }
 
   /** Cluster survivorship: the q53 components reduced to one canonical
-    * (highest-quality) doc per near-dup cluster. */
+    * (highest-quality) doc per near-dup cluster. 64-bit banded pairs. */
   private def q83(s: SparkSession, dir: String): DataFrame = {
     val docs = TW(s, dir, "documents")
-    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
+    val pairs = Dedup.simHashNearDups64(docs, "text", "doc_id", maxHamming = 3)
     val comps = Dedup.connectedComponents(pairs)
     val scored = docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
     Dedup.clusterRepresentatives(comps, scored, "doc_id", "q")
@@ -1130,7 +1133,7 @@ object SparkEntry {
       .select(col("doc_id"), col("source"),
         (col("q") >= 0.5 && col("lang_pred") === "en" && !col("repetitive"))
           .as("pass_funnel"))
-    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
+    val pairs = Dedup.simHashNearDups64(docs, "text", "doc_id", maxHamming = 3)
     val comps = Dedup.connectedComponents(pairs)
     // survivorship reuses the quality already computed in `flags` — one
     // text-metric pass over the corpus, not two
@@ -1380,10 +1383,11 @@ object SparkEntry {
 
   /** Leakage-safe 80/10/10 split: every simhash near-dup cluster (q53's
     * components) lands wholly inside one split, so no near-dup pair can
-    * straddle train and eval. Singletons split on their own id. */
+    * straddle train and eval. Singletons split on their own id.
+    * 64-bit banded pairs. */
   private def q114(s: SparkSession, dir: String): DataFrame = {
     val docs = TW(s, dir, "documents")
-    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
+    val pairs = Dedup.simHashNearDups64(docs, "text", "doc_id", maxHamming = 3)
     val components = Dedup.connectedComponents(pairs)
     graft.operators.Sampling.leakageSafeSplit(docs, components, "doc_id",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
@@ -1700,10 +1704,13 @@ object SparkEntry {
 
   /** Cross-source duplication matrix over the q20 LSH near-dup pairs:
     * which source pairs share verified near-duplicates, with pair counts
-    * and min/max Jaccard per cell. */
+    * and min/max Jaccard per cell. Banding pinned explicitly to q20's
+    * operating point (8-hash signature, 2-row bands) — the oracle replays
+    * exactly that banding. */
   private def q146(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.crossSourceDupMatrix(
-      TW(s, dir, "documents"), "text", "doc_id", "source", threshold = 0.2)
+      TW(s, dir, "documents"), "text", "doc_id", "source", threshold = 0.2,
+      bands = 4, rowsPerBand = 2)
 
   /** Per-source trigram novelty: distinct/total shingle ratio and the
     * exclusive-to-source share — the triage stat before pairwise dedup. */
@@ -1759,13 +1766,17 @@ object SparkEntry {
     graft.operators.EventOps.retentionCohorts(
       T(s, dir, "events"), "ts", "user_id", horizonDays = 7)
 
-  /** Per-node triangle counts + clustering coefficient over the q38
-    * simhash near-dup graph (degree-oriented wedges — the hub-safe
-    * enumeration; oracle uses the orientation-independent naive form). */
+  /** Per-node triangle counts + clustering coefficient over the 64-bit
+    * simhash near-dup graph at Hamming <= 7 — the Manku block-combination
+    * candidate generator ([[Dedup.simHashNearDupsMulti]]), the scale-safe
+    * way to widen the radius (14-bit combo keys, never byte-buckets).
+    * Degree-oriented wedges — the hub-safe enumeration; oracle brute-forces
+    * the 64-bit pair set (banding is recall-complete, so sets agree) and
+    * uses the orientation-independent naive triangle form. */
   private def q155(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.triangleCounts(
-      Dedup.simHashNearDups(TW(s, dir, "documents"), "text", "doc_id",
-        maxHamming = 3))
+      Dedup.simHashNearDupsMulti(TW(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 7))
       .withColumnRenamed("node", "doc_id")
 
   /** CDC net-effect compaction: per-user op sequences (q32's op mapping)
@@ -1781,11 +1792,12 @@ object SparkEntry {
   }
 
   /** Label-propagation communities (3 synchronous rounds, min-label ties)
-    * over the q38 simhash near-dup graph. */
+    * over the 64-bit simhash near-dup graph at Hamming <= 7 (the Manku
+    * block-combination generator — see q155). */
   private def q157(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.labelPropagation(
-      Dedup.simHashNearDups(TW(s, dir, "documents"), "text", "doc_id",
-        maxHamming = 3), rounds = 3)
+      Dedup.simHashNearDupsMulti(TW(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 7), rounds = 3)
       .select(col("node").as("doc_id"), col("label").as("community"))
 
   /** Sorted-neighborhood dedup: normalized-prefix total order (via the

@@ -421,6 +421,66 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** 64-bit SimHash near-dups at Hamming radii BEYOND what disjoint-band
+    * pigeonhole can reach with wide bands: the block-COMBINATION scheme of
+    * Manku/Jain/Das Sarma (WWW '07, "Detecting Near-Duplicates for Web
+    * Crawling"). Split the signature into `blocks` contiguous blocks; for
+    * every `blocksPerKey`-subset of blocks, key each doc by the
+    * concatenated block values of that subset (one bucket table per
+    * subset). Recall is complete by pigeonhole: <= maxHamming differing
+    * bits touch <= maxHamming blocks, so >= blocks - maxHamming blocks are
+    * untouched; requiring blocksPerKey <= blocks - maxHamming guarantees
+    * some enumerated subset consists entirely of untouched blocks, where
+    * the pair collides.
+    *
+    * Why this and not 8x8-bit disjoint bands for Hamming <= 7: an 8-bit
+    * band has 256 buckets — the same saturation the 32-bit byte-banding
+    * hits (candidates O(n^2/2^8) per band once n >> 256). Here each key is
+    * `blocksPerKey` blocks wide (~14-15 bits at the 9/2 default), so the
+    * bucket space per table is ~2^14 and there are C(blocks, blocksPerKey)
+    * tables: candidate expectation C(9,2) * n^2 / 2^15 ~ n^2/910 on
+    * uniform signatures vs the byte-band's n^2/64 — and the knob scales:
+    * more blocksPerKey = wider keys = fewer collisions, at the cost of
+    * C(b,m) table fan-out. The row fan-out is C(b,m) per doc (36 at
+    * default), all inside one posexplode + shuffled self-join — no
+    * all-pairs stage anywhere. */
+  def simHashNearDupsMulti(df: DataFrame, textCol: String, idCol: String,
+                           maxHamming: Int = 7, blocks: Int = 9,
+                           blocksPerKey: Int = 2): DataFrame = {
+    require(blocksPerKey >= 1 && blocksPerKey <= blocks - maxHamming,
+      s"pigeonhole needs blocksPerKey <= blocks - maxHamming " +
+        s"(got blocks=$blocks, blocksPerKey=$blocksPerKey, maxHamming=$maxHamming)")
+    // block i covers bits [i*64/blocks, (i+1)*64/blocks) — widths differ by
+    // at most one bit when 64 % blocks != 0
+    val bounds = (0 to blocks).map(i => i * 64 / blocks)
+    def blockVal(sig: Column, i: Int): Column = {
+      val lo = bounds(i); val width = bounds(i + 1) - lo
+      shiftrightunsigned(sig, lo).bitwiseAND(lit((1L << width) - 1L))
+    }
+    val combos = (0 until blocks).combinations(blocksPerKey).toSeq
+    val sigs = graft.Tables.widen(df)
+      .select(col(idCol).as("id"), simHash64(col(textCol)).as("sig"))
+      .localCheckpoint()
+    // one row per (doc, combo): key = blocks of the combo packed into a
+    // single long (16 bits per block slot is enough for any width <= 16)
+    val keyed = sigs.select(col("id"), col("sig"), posexplode(
+      array(combos.map { c =>
+        c.zipWithIndex.foldLeft(lit(0L)) { case (acc, (blk, slot)) =>
+          acc.bitwiseOR(shiftleft(blockVal(col("sig"), blk), slot * 16))
+        }
+      }: _*)).as(Seq("combo", "key")))
+    val cands = keyed.alias("a").join(keyed.alias("b"),
+        col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.sig").as("sig_a"),
+        col("b.id").as("id_b"), col("b.sig").as("sig_b"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   // -------------------------------------------------------------------------
   // Near-dup clustering
   // -------------------------------------------------------------------------
@@ -497,7 +557,11 @@ object Dedup {
     * source loses its copies.
     *
     * Candidates come from the banded MinHash LSH path
-    * ([[verifiedNearDups]]) — never all-pairs. The pair→source attachment
+    * ([[verifiedNearDups]]) at q20's exact operating point — an 8-hash
+    * signature banded 2 rows per band (2-row bands collide at p^2 per
+    * band, so moderate-Jaccard links ~0.2-0.6 that 4-row bands would miss
+    * still surface; DedupSpec pins one such pair) — never all-pairs. The
+    * pair→source attachment
     * joins the (bounded) verified-pair set against the id→source
     * projection twice; the pair side is the small side, so AQE broadcasts
     * it when it fits and falls back to a shuffle join keyed on the
@@ -507,7 +571,7 @@ object Dedup {
     * oracle-exact. Output is |sources|² rows at most — driver-small. */
   def crossSourceDupMatrix(df: DataFrame, textCol: String, idCol: String,
                            srcCol: String, threshold: Double,
-                           bands: Int = 4, rowsPerBand: Int = 4,
+                           bands: Int = 4, rowsPerBand: Int = 2,
                            shingleK: Int = 3): DataFrame = {
     val pairs = verifiedNearDups(df, textCol, idCol, threshold, bands,
       rowsPerBand, shingleK)

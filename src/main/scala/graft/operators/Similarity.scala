@@ -254,9 +254,21 @@ object Similarity {
     * HIVE-PARTITIONED BY centroid_id (each bucket is its own directory) and
     * the centroid table to `path/centroids`. At query time the probe filter
     * becomes a PartitionFilter on the scan — a probe reads nProbe/nCentroids
-    * of the data OFF DISK, not just of the in-memory scan. */
+    * of the data OFF DISK, not just of the in-memory scan.
+    *
+    * Quantizer choice: `trainIters = 0` (default) keeps the deterministic
+    * first-`nCentroids`-by-id quantizer — bit-reproducible, which is what
+    * the oracle-gated paths (q56/q125/q132) rely on. `trainIters > 0` runs
+    * that many Lloyd rounds ([[trainCentroids]], seeded by the same
+    * first-k) and indexes on the TRAINED centroids (ids 0..k-1) — the
+    * production 100 TB configuration, where balanced buckets and tighter
+    * cells buy recall at the same nProbe (measured on the sf0.1 embeddings
+    * in PLANS.md; index/search agreement spec-tested either way). All
+    * readers ([[ivfTopKFromIndex]], [[appendToIvfIndex]]) consume the
+    * persisted centroid table and never care which quantizer built it. */
   def writeIvfIndex(corpus: DataFrame, nCentroids: Int, path: String,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    trainIters: Int = 0): Unit = {
     val spark = corpus.sparkSession
     VectorFunctions.register(spark)
     // full rebuild: drop any append segments + their commit log FIRST —
@@ -267,10 +279,17 @@ object Similarity {
     Seq(s"$path/append_log", s"$path/appends").foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(d), true)
     }
-    val rows = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol), col(vecCol)).collect()
-    val cs = CentroidSet(array(rows.map(r => lit(r.get(0))): _*),
-      spark.sparkContext.broadcast(rows.map(_.getSeq[Float](1).toArray)))
+    val (centIds, centVecs): (Array[Any], Array[Array[Float]]) =
+      if (trainIters > 0) {
+        val cents = trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+        (cents.indices.map(_.toLong.asInstanceOf[Any]).toArray, cents)
+      } else {
+        val rows = corpus.orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol), col(vecCol)).collect()
+        (rows.map(_.get(0)), rows.map(_.getSeq[Float](1).toArray))
+      }
+    val cs = CentroidSet(array(centIds.map(lit): _*),
+      spark.sparkContext.broadcast(centVecs))
     // repartition ON the bucket key before the partitioned write: without
     // it every task writes a sliver of every bucket (tasks x buckets small
     // files — the classic partitionBy fan-out); with it each bucket's rows
@@ -278,7 +297,10 @@ object Similarity {
     corpus.withColumn("centroid_id", nearestCentroidId(cs, col(vecCol), spark))
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/corpus")
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+    val centRows = centIds.zip(centVecs).map { case (id, v) =>
+      org.apache.spark.sql.Row(id, v.toSeq)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(centRows: _*),
         corpus.select(idCol, vecCol).schema)
       .withColumnRenamed(idCol, "centroid_id").withColumnRenamed(vecCol, "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")

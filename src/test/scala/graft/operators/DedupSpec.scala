@@ -117,6 +117,35 @@ class DedupSpec extends SparkSpec {
     assert(got(((5L, 101L))) == 0) // the planted exact dup is in there
   }
 
+  test("simHashNearDupsMulti: combination banding == brute force at Hamming<=7") {
+    // wider radius than any disjoint-band pigeonhole reaches with >=14-bit
+    // keys — the Manku block-combination scheme must still be exhaustive
+    val base = (1L to 80L).map(i =>
+      (i, s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 13} w${i % 3} w${(i * 7) % 5} tail$i"))
+    val planted = Seq(
+      (101L, base(4)._2),                    // hamming 0
+      (102L, base(9)._2 + " extraword"),     // small perturbation
+      (103L, base(19)._2 + " two more words")) // larger perturbation
+    val corpus = (base ++ planted).toDF("doc_id", "text").repartition(7)
+    val got = Dedup.simHashNearDupsMulti(corpus, "text", "doc_id",
+        maxHamming = 7, blocks = 9, blocksPerKey = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val sigs = corpus.select($"doc_id", Dedup.simHash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 7
+    } yield (ia, ib) -> h).toMap
+    assert(got == brute)            // recall AND precision vs exhaustive scan
+    assert(got(((5L, 101L))) == 0)
+    assert(brute.size > 5)          // the radius actually bites on this corpus
+    // pigeonhole precondition is enforced, not silently under-recalled
+    intercept[IllegalArgumentException] {
+      Dedup.simHashNearDupsMulti(corpus, "text", "doc_id",
+        maxHamming = 8, blocks = 9, blocksPerKey = 2)
+    }
+  }
+
   test("connected components: chains, cycles and isolated pairs collapse to min id") {
     // 1-2, 2-3, 3-4 (chain); 10-11, 11-12, 12-10 (cycle); 20-21 (pair)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
@@ -350,5 +379,26 @@ class DedupSpec extends SparkSpec {
     assert(!out.keys.exists { case (a, b) => a == "wiki" || b == "wiki" })
     // labels are canonically ordered
     assert(out.keys.forall { case (a, b) => a <= b })
+  }
+
+  test("crossSourceDupMatrix default banding catches moderate-Jaccard pairs 4-row bands miss") {
+    import spark.implicits._
+    // A pre-searched pair with Jaccard ~0.43 whose 8-hash signature
+    // collides in a 2-row band but whose 16-hash signature collides in NO
+    // 4-row band: the q20 operating point (bands=4, rowsPerBand=2) must
+    // surface it — the exact latent gap the 4-row default would have hidden.
+    val t1 = "w4 w12 w36 w14 w15 w9 w28 w5 w32 w10 w33 w16"
+    val t2 = "w4 w12 w36 w14 w15 w9 w28 w5 w3 w17 w25 w31"
+    val docs = Seq((1L, t1, "web"), (2L, t2, "books"))
+      .toDF("doc_id", "text", "source")
+    // the 4-row banding genuinely misses this pair (guards the test premise)
+    assert(Dedup.verifiedNearDups(docs, "text", "doc_id", threshold = 0.2,
+      bands = 4, rowsPerBand = 4).count() == 0)
+    val out = Dedup.crossSourceDupMatrix(docs, "text", "doc_id", "source",
+        threshold = 0.2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val (n, lo) = out(("books", "web"))
+    assert(n == 1L && lo > 0.2 && lo < 0.6)
   }
 }

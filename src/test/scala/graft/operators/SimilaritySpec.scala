@@ -90,6 +90,36 @@ class SimilaritySpec extends SparkSpec {
       s"unprobed buckets in scan:\n$plan")
   }
 
+  test("trained IVF index (Lloyd quantizer): search agrees with the index it wrote") {
+    val dir = tmpDir("ivf_trained")
+    Similarity.writeIvfIndex(corpus, nCentroids = 3, dir, trainIters = 3)
+    // trained centroid table: synthetic ids 0..k-1, k rows
+    val cents = spark.read.parquet(s"$dir/centroids")
+    assert(cents.count() == 3)
+    assert(cents.select("centroid_id").as[Long].collect().sorted.sameElements(
+      Array(0L, 1L, 2L)))
+    // every corpus vector landed in exactly one bucket (no loss, no dup)
+    val indexed = spark.read.parquet(s"$dir/corpus")
+    assert(indexed.count() == 6)
+    assert(indexed.select("vec_id").distinct().count() == 6)
+    // full-probe search over the trained index == brute force: the reader
+    // only consumes the persisted centroid table, so index-time assignment
+    // and query-time probing agree regardless of which quantizer trained it
+    val queries = corpus.filter($"vec_id" < 2L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = Similarity.bruteForceTopK(corpus, queries, 2)
+      .select("query_id", "neighbor_id", "rank")
+    val idx = Similarity.ivfTopKFromIndex(spark, dir, queries, 2, nProbe = 3)
+      .select("query_id", "neighbor_id", "rank")
+    assert(rowsOf(bf) == rowsOf(idx))
+    // appends quantize against the PERSISTED (trained) centroids too
+    Similarity.appendToIvfIndex(
+      Seq((10L, Array(0.95f, 0.05f, 0.0f))).toDF("vec_id", "embedding"), dir)
+    val after = Similarity.ivfTopKFromIndex(spark, dir, queries, 7, nProbe = 3)
+      .filter($"neighbor_id" === 10L)
+    assert(after.count() > 0)
+  }
+
   test("appendToIvfIndex: incremental batches equal a one-shot index build") {
     // split so the first nCentroids ids (the quantizer seed rows) are all in
     // the initial write — then both builds train identical centroids and the

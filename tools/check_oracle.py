@@ -9,12 +9,21 @@ exactly. Usage: check_oracle.py <sfDir> <verifyOutDir> [query ...]
 import json, sys, math
 import duckdb
 import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def norm_cell(v):
     if v is None:
+        return None
+    # pandas missing markers that are NOT float nan (pd.NA from nullable
+    # dtypes, NaT from datetime columns) are SQL NULLs -> normalize to None.
+    # Float-column NULL vs NaN is conflated to NaN by the pandas bridge on
+    # BOTH sides identically (DuckDB .df() hands back a plain float64 array)
+    # -- same conflation the driver's own pandas bridge applies, so the
+    # comparison stays driver-faithful.
+    if v is getattr(pd, "NA", None) or v is pd.NaT:
         return None
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(norm_cell(x) for x in v)
