@@ -238,6 +238,30 @@ object ScaleProbe {
         outdeg.agg(sum(col("od") * (col("od") - 1) / 2).cast("long"))
           .collect()(0).getLong(0)
       }),
+      // q125 harness over the PERSISTED index: recall@5 at the lossy
+      // probe-2-of-32 operating point, trained (5 Lloyd rounds) vs the
+      // deterministic first-k quantizer. Returns trained mean recall x1e4;
+      // first-k recall and the two SSEs land as side lines. The production
+      // question this answers: what does writeIvfIndex(trainIters=5) buy
+      // at the same nProbe on this corpus?
+      "q125_trained_recall" -> (() => {
+        import org.apache.spark.sql.functions._
+        val sim = graft.operators.Similarity
+        val root = java.nio.file.Files.createTempDirectory("ivf_probe").toString
+        val queries = emb.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val exact = sim.bruteForceTopK(emb, queries, 5).localCheckpoint()
+        def meanRecall(dir: String): Double =
+          sim.recallAtK(exact,
+              sim.ivfTopKFromIndex(spark, dir, queries, 5, nProbe = 2), 5)
+            .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        sim.writeIvfIndex(emb, nCentroids = 32, s"$root/firstk")
+        val firstK = meanRecall(s"$root/firstk")
+        sim.writeIvfIndex(emb, nCentroids = 32, s"$root/trained", trainIters = 5)
+        val trained = meanRecall(s"$root/trained")
+        println(s"""{"probe":"q125_firstk_recall","count":${math.round(firstK * 10000)},"sec":0.0,"sf":"$sfDir"}""")
+        math.round(trained * 10000)
+      }),
       // q157 label propagation: per-round edge⋈label join volume. Every
       // edge matches exactly one label row each round, so round volume is
       // |directed edges| — constant across rounds; the vote table (distinct

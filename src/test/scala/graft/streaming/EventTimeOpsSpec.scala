@@ -205,6 +205,92 @@ class EventTimeOpsSpec extends SparkSpec {
     assert(got == Set((1L, 1.0), (1L, 3.0), (2L, 9.0)))
   }
 
+  test("debounce: kill at the state-store boundary replays to exactly-once emissions") {
+    // The replay-safety gate the SCD sinks already have (StreamingSpec
+    // injected mid-merge crash), for the flatMapGroupsWithState debounce:
+    // crash INSIDE the sink's commit window (data files written, commit-log
+    // record not), restart from the same checkpoint, and require the final
+    // table to hold the exact single-run emission set — a state store
+    // restored to the wrong version would either re-emit the suppressed
+    // burst event (state loss) or swallow the post-crash emission (state
+    // ahead of the offset log); a non-idempotent sink would double the
+    // replayed batch's rows.
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("debounce_ckpt")
+    val table = new graft.merge.ParquetTable(spark, tmpDir("debounce_table"))
+    val mem = MemoryStream[Event]
+    def runOnce(): Unit = {
+      val q = EventTimeOps.debounce(mem.toDS(), cooldownMs = 60 * 60 * 1000)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], id: Long) =>
+          table.append(batch.toDF(), txn = Some(("debounce_gate", id)))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: burst — first event emits, the 40-min follower is suppressed
+    mem.addData(Event(1L, ts(0), 1.0), Event(1L, ts(40), 2.0))
+    runOnce()
+    assert(table.read.count() == 1)
+    // batch 2 (80 min after the last EMISSION: must emit) crashes in the
+    // commit window
+    mem.addData(Event(1L, Timestamp.valueOf("2024-01-01 11:20:00"), 3.0))
+    table.onPreCommit = () => throw new RuntimeException("injected crash")
+    intercept[Exception] { runOnce() }
+    table.onPreCommit = () => ()
+    // nothing visible (snapshot layout is atomic), then the restart replays
+    // batch 2 against the restored pre-batch state and commits exactly once
+    assert(table.read.count() == 1)
+    runOnce()
+    val got = table.read.as[Event].collect().map(e => (e.user_id, e.value)).toSeq.sorted
+    assert(got == Seq((1L, 1.0), (1L, 3.0)), s"emissions after replay: $got")
+    // a further restart with no new data changes nothing
+    val v = table.latestVersion
+    runOnce()
+    assert(table.latestVersion == v && table.read.count() == 2)
+  }
+
+  test("ewmaAlerts: kill at the state-store boundary never duplicates an alert") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("ewma_ckpt")
+    val table = new graft.merge.ParquetTable(spark, tmpDir("ewma_table"))
+    val mem = MemoryStream[Event]
+    def runOnce(): Unit = {
+      val q = EventTimeOps.ewmaAlerts(mem.toDS(), alpha = 0.2, k = 4.0, warmup = 5L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[EwmaAlert], id: Long) =>
+          table.append(batch.toDF(), txn = Some(("ewma_gate", id)))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1 trains the chart (no alerts — nothing appended, but the
+    // batch still commits its state + offsets)
+    mem.addData((0 until 8).map(i =>
+      Event(1L, ts(i), if (i % 2 == 0) 9.0 else 11.0)): _*)
+    runOnce()
+    assert(!table.exists || table.read.count() == 0)
+    // the spike batch crashes in the sink's commit window
+    mem.addData(Event(1L, ts(10), 100.0))
+    table.onPreCommit = () => throw new RuntimeException("injected crash")
+    intercept[Exception] { runOnce() }
+    table.onPreCommit = () => ()
+    // restart: the batch replays against the restored chart state — the
+    // alert lands EXACTLY once (a state store that advanced past the failed
+    // batch would absorb the spike into the mean and emit nothing; a
+    // non-idempotent sink would emit it twice)
+    runOnce()
+    val alerts = table.read.as[EwmaAlert].collect()
+    assert(alerts.length == 1 && alerts.head.value == 100.0 && alerts.head.z > 4.0)
+    // replay again: still exactly one
+    runOnce()
+    assert(table.read.count() == 1)
+  }
+
   test("mapGroupsWithState sessionizer rolls sessions across the gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
