@@ -123,6 +123,33 @@ class SketchesSpec extends SparkSpec {
     assert(narrow.getLong(2) >= 0L)
   }
 
+  test("cmsJoinSizeEstimate under adversarial skew: one hot key at 10% of both sides") {
+    import spark.implicits._
+    // The configuration a real pre-flight consults: a hot key holding 10%
+    // of BOTH sides (the join-blowup case the estimator exists to catch),
+    // long tails of singleton keys, width sized by the rule
+    // width ≳ |A|·|B| / (ε · true_join) for relative error ε.
+    val hot = Seq.fill(200)(1L)
+    val l = (hot ++ (2L to 1801L)).toDF("k")          // 2000 rows
+    val r = (hot ++ (1000L to 2799L)).toDF("k")       // 2000 rows
+    // exact: hot 200·200 + singleton overlap keys 1000..1801 (802 keys)
+    val exactExpected = 200L * 200L + 802L
+    val out = Sketches.cmsJoinSizeEstimate(l, "k", r, "k",
+      width = 4096, depth = 5).collect()(0)
+    val (exact, est, over) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    assert(exact == exactExpected)
+    // one-sided: the estimate never understates the blowup
+    assert(over >= 0L)
+    // and the hot key's mass doesn't poison the error term: expected
+    // overshoot per depth row is ≤ |A|·|B|/width ≈ 977 (2.4% of exact
+    // here); the min over 5 rows must stay within a few multiples of it
+    assert(over <= 3L * (2000L * 2000L / 4096L),
+      s"overcount $over vs AMS bound ${2000L * 2000L / 4096L}")
+    // the decision the pre-flight exists for: est flags ~40k output rows
+    // from 2k x 2k inputs (10x amplification), not a harmless join
+    assert(est >= exactExpected && est.toDouble / exact < 1.1)
+  }
+
   test("hllMergedDistinct: multi-column groups count as tuples, not concatenations") {
     // regression: concat-based counting merged ("a","bc") with ("ab","c")
     val rows = Seq((1L, "a", "bc"), (2L, "ab", "c"), (3L, "a", "bc"))
