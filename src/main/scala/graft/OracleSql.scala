@@ -1158,6 +1158,76 @@ object OracleSql {
          |FROM exact CROSS JOIN dot""".stripMargin
     },
 
+    // DSIR importance weights: hashed unigram+bigram features (low 13 bits
+    // of the 64-bit gram hash — identical under the signed and unsigned
+    // views, so `& 8191` replays Spark's bitwiseAND on the signed long),
+    // add-one smoothing, per-doc sum of per-gram log ratios
+    "q165_dsir_weights" -> {
+      val u1 = shinglesExpr("t", 1)
+      val u2 = shinglesExpr("t", 2)
+      def featCte(alias: String, where: String): String =
+        s"""$alias AS (SELECT doc_id,
+           |    (('0x' || substr(md5(g), 1, 16))::UBIGINT & 8191) AS b
+           |  FROM (SELECT doc_id, unnest(list_concat($u1, $u2)) AS g
+           |        FROM (SELECT doc_id, $toksExpr AS t FROM documents $where)))"""
+          .stripMargin
+      s"""WITH ${featCte("fb", "")},
+         |${featCte("tb", "WHERE lang = 'en'")},
+         |sc AS (SELECT b, count(*) AS cs FROM fb GROUP BY 1),
+         |tc AS (SELECT b, count(*) AS ct FROM tb GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(cs) FROM sc) AS ts,
+         |               (SELECT coalesce(sum(ct), 0) FROM tc) AS tt),
+         |per AS (SELECT fb.doc_id,
+         |    ln(coalesce(tc.ct, 0)::DOUBLE + 1.0) - ln(sc.cs::DOUBLE + 1.0)
+         |      + (ln(tot.ts::DOUBLE + 8192.0) - ln(tot.tt::DOUBLE + 8192.0)) AS lw
+         |  FROM fb JOIN sc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot)
+         |SELECT doc_id, count(*)::BIGINT AS n_feats,
+         |  ${rnd("sum(lw)", 4)} AS log_weight
+         |FROM per GROUP BY doc_id""".stripMargin
+    },
+
+    // HLL key-overlap pre-flight: q60's register pipeline per side, union
+    // sketch by per-register max (full outer join), inclusion-exclusion
+    // clamped at 0 — every estimate replayed with the same deterministic
+    // md5 hash and scaled-integer harmonic sum
+    "q166_key_overlap" -> {
+      val m = 256
+      val maxRho = graft.operators.Sketches.hllMaxRho(m)
+      val c = graft.operators.Sketches.hllScaleC(m)
+      def regCte(alias: String, table: String, key: String): String =
+        s"""$alias AS (SELECT h & ${m - 1} AS reg,
+           |    max(CASE WHEN (h >> 8) = 0 THEN $maxRho
+           |             ELSE $maxRho - length(bin(h >> 8)) END) AS rho
+           |  FROM (SELECT ('0x' || substr(md5($key::VARCHAR), 1, 15))::BIGINT AS h
+           |        FROM $table WHERE $key IS NOT NULL) GROUP BY 1)"""
+          .stripMargin
+      def estCte(alias: String, regs: String, name: String): String =
+        s"""$alias AS (SELECT CASE
+           |    WHEN ($c)::DOUBLE / total <= ${2.5 * m} AND np < $m
+           |    THEN ($m.0)::DOUBLE * ln(($m.0)::DOUBLE / ($m - np))
+           |    ELSE ($c)::DOUBLE / total END AS $name FROM (
+           |  SELECT np, (scaled + ($m - np) * (1::BIGINT << $maxRho))::DOUBLE AS total
+           |  FROM (SELECT count(*) AS np,
+           |      sum(1::BIGINT << ($maxRho - rho))::BIGINT AS scaled FROM $regs)))"""
+          .stripMargin
+      s"""WITH ${regCte("rga", "orders", "o_custkey")},
+         |${regCte("rgb", "customer", "c_custkey")},
+         |rgu AS (SELECT coalesce(a.reg, b.reg) AS reg,
+         |    greatest(coalesce(a.rho, 0), coalesce(b.rho, 0)) AS rho
+         |  FROM rga a FULL OUTER JOIN rgb b ON a.reg = b.reg),
+         |${estCte("ea", "rga", "ea")},
+         |${estCte("eb", "rgb", "eb")},
+         |${estCte("eu", "rgu", "eu")},
+         |exact AS (SELECT count(*)::BIGINT AS exact_overlap FROM
+         |  (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+         |  WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         |SELECT exact_overlap,
+         |  ${rnd("ea", 2)} AS est_left, ${rnd("eb", 2)} AS est_right,
+         |  ${rnd("eu", 2)} AS est_union,
+         |  ${rnd("greatest(ea + eb - eu, 0.0)", 2)} AS est_overlap
+         |FROM exact CROSS JOIN ea CROSS JOIN eb CROSS JOIN eu""".stripMargin
+    },
+
     // clipped int8: per-dim p99.9 |x| quantile scale (quantile_disc ==
     // exact-retention percentile_approx), codes clamped to ±127
     "q135_int8_clipped" ->

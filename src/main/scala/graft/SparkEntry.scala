@@ -1842,6 +1842,25 @@ object SparkEntry {
       T(s, dir, "orders"), "o_custkey",
       T(s, dir, "customer"), "c_custkey", width = 256, depth = 3)
 
+  /** DSIR importance weights: source = the full corpus, target = its
+    * English slice — "reweight everything toward what English looks
+    * like". Hashed unigram+bigram features (8192 buckets), add-one
+    * smoothing; the oracle replays the bucketing and smoothing
+    * arithmetic exactly. */
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.dsirWeights(
+      TW(s, dir, "documents"),
+      T(s, dir, "documents").filter(col("lang") === "en"),
+      "doc_id", "text", buckets = 8192)
+
+  /** HLL distinct-key overlap pre-flight: how many customer keys actually
+    * appear in orders — inclusion–exclusion over three deterministic
+    * sketches, the companion to q164's output-size estimate. */
+  private def q166(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllKeyOverlap(
+      T(s, dir, "orders"), "o_custkey",
+      T(s, dir, "customer"), "c_custkey", m = 256)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2008,7 +2027,9 @@ object SparkEntry {
     "q161_funnel_latency" -> (q161 _),
     "q162_dim_stats" -> (q162 _),
     "q163_pmi_pairs" -> (q163 _),
-    "q164_join_size_est" -> (q164 _)
+    "q164_join_size_est" -> (q164 _),
+    "q165_dsir_weights" -> (q165 _),
+    "q166_key_overlap" -> (q166 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

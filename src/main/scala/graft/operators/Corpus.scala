@@ -402,4 +402,60 @@ object Corpus {
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(avg(log(col("cb").cast("double") / col("cp"))), 4).as("avg_logprob"))
   }
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data Selection
+    * for Language Models via Importance Resampling"): score every SOURCE
+    * doc by how much more likely its hashed n-gram features are under the
+    * TARGET corpus's feature distribution than under the source's own —
+    *
+    *   log w(x) = Σ_{g ∈ feats(x)} [ ln p̂_T(b(g)) − ln p̂_S(b(g)) ]
+    *
+    * with features = word unigrams + bigrams, b(g) = the gram's 64-bit
+    * hash masked to `buckets` (power of two — the low bits, identical
+    * under signed and unsigned views, so the DuckDB oracle replays the
+    * bucketing exactly), and add-one smoothing
+    * p̂(b) = (c_b + 1)/(total + buckets). Resampling the source on
+    * exp(log w / T) (e.g. through [[Sampling]]'s A-ES sampler) yields the
+    * target-matched training subset — the published recipe for "select
+    * web data that looks like Wikipedia" at corpus scale.
+    *
+    * Scale shape: the ONLY state is the two bucket-count tables, each
+    * ≤ `buckets` rows regardless of corpus size (the point of hashed DSIR
+    * features vs raw vocabulary) — both broadcast into the per-gram
+    * join-back, so after the two bounded count shuffles the weight pass
+    * is map-side + one doc_id aggregation. Totals ride the count tables
+    * (driver scalars), never a second data pass. Docs with zero features
+    * (empty text) drop out, mirroring [[unigramLogProb]].
+    * Returns (doc_id, n_feats, log_weight 4dp). */
+  def dsirWeights(source: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 8192): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    import graft.functions.TextHashFunctions
+    val mask = (buckets - 1).toLong
+    def feats(df: DataFrame): DataFrame =
+      graft.Tables.widen(df).select(col(idCol).as("doc_id"),
+          explode(concat(
+            TextHashFunctions.shingleHashes64(col(textCol), 1),
+            TextHashFunctions.shingleHashes64(col(textCol), 2))).as("h"))
+        .select(col("doc_id"), col("h").bitwiseAND(lit(mask)).as("b"))
+    val src = feats(source).localCheckpoint() // feeds counts AND join-back
+    val srcCnt = src.groupBy("b").agg(count(lit(1)).as("cs"))
+      .localCheckpoint() // bounded (<= buckets rows); totals read it too
+    val tgtCnt = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
+    val totS = srcCnt.agg(coalesce(sum(col("cs")), lit(0L))).collect()(0).getLong(0)
+    val totT = tgtCnt.agg(coalesce(sum(col("ct")), lit(0L))).collect()(0).getLong(0)
+    // per-gram term: ln(ct+1) − ln(cs+1) + [ln(totS+B) − ln(totT+B)]
+    val logNorm = math.log((totS + buckets).toDouble) -
+      math.log((totT + buckets).toDouble)
+    src.join(broadcast(srcCnt), "b") // every source bucket is in srcCnt
+      .join(broadcast(tgtCnt), Seq("b"), "left")
+      .select(col("doc_id"),
+        (log(coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) -
+          log(col("cs").cast("double") + lit(1.0)) + lit(logNorm)).as("lw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        round(sum(col("lw")), 4).as("log_weight"))
+  }
 }

@@ -231,6 +231,78 @@ object Sketches {
         col("est_join_rows") - col("exact_join_rows"))
   }
 
+  /** Distinct-key OVERLAP pre-flight for a join: |keys(A) ∩ keys(B)|
+    * estimated by inclusion–exclusion over three HLL sketches —
+    * est(A) + est(B) − est(A ∪ B) — where the union sketch is the
+    * per-register MAX of the two sides' register tables (the
+    * [[hllMergedDistinct]] merge identity), so NOTHING beyond the two
+    * m-register tables ever moves. Complements [[cmsJoinSizeEstimate]]:
+    * CMS predicts the join's OUTPUT size (multiplicity-weighted), this
+    * predicts how many distinct keys actually match — together they
+    * distinguish "few hot keys amplify" from "broad genuine overlap"
+    * before a cluster commits to the join. The sketch is deterministic
+    * (md5-derived), so the estimate is engine-replayable; inclusion-
+    * exclusion can yield a small negative when the two sides are nearly
+    * disjoint (errors don't cancel), clamped at 0 like any real
+    * pre-flight would.
+    *
+    * One row: (exact_overlap, est_left, est_right, est_union,
+    * est_overlap). Drop the exact column at scale — it is the gate's
+    * truth check, computed from the two per-key distinct sets without
+    * materializing the join. */
+  def hllKeyOverlap(left: DataFrame, leftKey: String,
+                    right: DataFrame, rightKey: String,
+                    m: Int = 256): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val regBits = hllRegBits(m)
+    val maxRho = hllMaxRho(m)
+    val scaleC = hllScaleC(m)
+    def regs(df: DataFrame, keyCol: String): DataFrame = {
+      val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      df.filter(col(keyCol).isNotNull).select(h.as("h"))
+        .select(col("h").bitwiseAND(lit((m - 1).toLong)).as("reg"),
+          shiftright(col("h"), regBits).as("rest"))
+        .select(col("reg"), when(col("rest") === 0, lit(maxRho))
+          .otherwise(lit(maxRho) - length(bin(col("rest")))).as("rho"))
+        .groupBy("reg").agg(max(col("rho")).as("rho"))
+    }
+    def estimate(regTable: DataFrame, name: String): DataFrame =
+      regTable.agg(
+          count(lit(1)).as("np"),
+          sum(call_function("shiftleft", lit(1L),
+            lit(maxRho) - col("rho"))).as("scaled"))
+        .select((col("scaled") + (lit(m.toLong) - col("np")) *
+            call_function("shiftleft", lit(1L), lit(maxRho))).cast("double").as("total"),
+          col("np"))
+        .select(when(lit(scaleC) / col("total") <= lit(2.5 * m) &&
+            lit(m.toLong) - col("np") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("np"))))
+          .otherwise(lit(scaleC) / col("total")).as(name))
+    val la = regs(left, leftKey).localCheckpoint()   // each <= m rows
+    val rb = regs(right, rightKey).localCheckpoint()
+    val union = la.withColumnRenamed("rho", "ra")
+      .join(rb.withColumnRenamed("rho", "rb"), Seq("reg"), "full_outer")
+      .select(col("reg"),
+        greatest(coalesce(col("ra"), lit(0)), coalesce(col("rb"), lit(0))).as("rho"))
+      .filter(col("rho") > 0) // a register absent on both sides stays absent
+    val exact = left.filter(col(leftKey).isNotNull)
+      .select(col(leftKey).cast("string").as("k")).distinct()
+      .join(right.filter(col(rightKey).isNotNull)
+        .select(col(rightKey).cast("string").as("k")).distinct(), Seq("k"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("exact_overlap"))
+    exact
+      .crossJoin(estimate(la, "ea"))
+      .crossJoin(estimate(rb, "eb"))
+      .crossJoin(estimate(union, "eu"))
+      .select(col("exact_overlap"),
+        round(col("ea"), 2).as("est_left"),
+        round(col("eb"), 2).as("est_right"),
+        round(col("eu"), 2).as("est_union"),
+        round(greatest(col("ea") + col("eb") - col("eu"), lit(0.0)), 2)
+          .as("est_overlap"))
+  }
+
   /** Corpus-wide top-`topK` word n-grams by occurrence count (the heavy-
     * hitter profile of a training corpus: boilerplate detection, template
     * mining, tokenizer-vocab sanity checks).

@@ -133,7 +133,8 @@ class PlanSpec extends SparkSpec {
       "q143_psi_drift", // 1-row min-max + share-total control frames
       "q148_transition_matrix", // 1-row transition-total control frame
       "q150_rolling_active", // broadcast day-spine range join (|days| rows)
-      "q164_join_size_est") // 1-row exact x 1-row estimate control frames
+      "q164_join_size_est", // 1-row exact x 1-row estimate control frames
+      "q166_key_overlap") // four 1-row sketch-estimate control frames
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",

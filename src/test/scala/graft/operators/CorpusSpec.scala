@@ -246,4 +246,29 @@ class CorpusSpec extends SparkSpec {
     assert(out("s2") == ((1L, 1L, 0L, 1.0, 0.0)))
     assert(out("s3") == ((2L, 2L, 2L, 1.0, 1.0)))
   }
+
+  test("dsirWeights: target==source scores exactly 0; target-like docs rank higher") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown dog runs far"),
+      (3L, "completely unrelated legal boilerplate text here"),
+      (4L, "the quick brown fox jumps high")  // twin of 1
+    ).toDF("doc_id", "text")
+    // identity: when the target IS the source, every per-gram ratio is 1
+    // (ct=cs, totT=totS) and every log weight is exactly 0.0
+    val self = Corpus.dsirWeights(docs, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(self.size == 4 && self.values.forall(_ == 0.0))
+    // n_feats = unigrams + bigrams = 6 + 5
+    val nf = Corpus.dsirWeights(docs, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nf.values.forall(_ == 11L)) // every doc: 6 tokens -> 6 + 5 feats
+    // directional: target = the fox docs -> fox docs outrank the boilerplate
+    val target = docs.filter($"doc_id" === 1L || $"doc_id" === 4L)
+    val w = Corpus.dsirWeights(docs, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) == w(4L))          // identical docs, identical weight
+    assert(w(1L) > w(2L))           // partial overlap scores between
+    assert(w(2L) > w(3L))           // no overlap scores lowest
+  }
 }

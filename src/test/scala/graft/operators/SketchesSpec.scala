@@ -150,6 +150,34 @@ class SketchesSpec extends SparkSpec {
     assert(est >= exactExpected && est.toDouble / exact < 1.1)
   }
 
+  test("hllKeyOverlap: identical sides collapse to one sketch; disjoint sides clamp at 0") {
+    import spark.implicits._
+    val a = (1L to 400L).toDF("k")
+    // identical key sets: all three sketches are THE SAME register table,
+    // so est_overlap == est_left == est_right == est_union exactly
+    val same = Sketches.hllKeyOverlap(a, "k", a.orderBy(rand(7)), "k").collect()(0)
+    assert(same.getLong(0) == 400L)
+    assert(same.getDouble(1) == same.getDouble(2))
+    assert(same.getDouble(1) == same.getDouble(3))
+    assert(same.getDouble(4) == same.getDouble(1))
+    // half-overlap: 200 shared keys; the estimate lands within HLL error
+    // (m=256 -> ~6.5% relative) of truth, scaled by the union's size
+    val b = (201L to 600L).toDF("k")
+    val half = Sketches.hllKeyOverlap(a, "k", b, "k").collect()(0)
+    assert(half.getLong(0) == 200L)
+    assert(math.abs(half.getDouble(4) - 200.0) < 80.0,
+      s"overlap estimate ${half.getDouble(4)} too far from 200")
+    // disjoint: inclusion-exclusion noise must clamp at 0, never negative
+    val c = (10001L to 10400L).toDF("k")
+    val disj = Sketches.hllKeyOverlap(a, "k", c, "k").collect()(0)
+    assert(disj.getLong(0) == 0L)
+    assert(disj.getDouble(4) >= 0.0)
+    // multiplicities don't matter: distinct-key semantics
+    val dup = Sketches.hllKeyOverlap(
+      a.union(a).union(a), "k", a, "k").collect()(0)
+    assert(dup.getLong(0) == 400L && dup.getDouble(1) == same.getDouble(1))
+  }
+
   test("hllMergedDistinct: multi-column groups count as tuples, not concatenations") {
     // regression: concat-based counting merged ("a","bc") with ("ab","c")
     val rows = Seq((1L, "a", "bc"), (2L, "ab", "c"), (3L, "a", "bc"))
