@@ -1228,6 +1228,148 @@ object OracleSql {
          |FROM exact CROSS JOIN ea CROSS JOIN eb CROSS JOIN eu""".stripMargin
     },
 
+    // q125's IVF replay with ranks kept on both lists; MRR from the
+    // exact top-1's approx position, binary nDCG@5 with the closed-form
+    // ideal prefix sum injected as the SAME Scala double literal the
+    // Spark twin folds in
+    "q167_rank_eval" -> {
+      val k = 5
+      val idcg = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+      s"""WITH centroids AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+         |  ORDER BY vec_id LIMIT 32),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC,
+         |          c.centroid_id ASC) AS r
+         |    FROM embeddings e CROSS JOIN centroids c) WHERE r = 1),
+         |probes AS (
+         |  SELECT query_id, qv, centroid_id FROM (
+         |    SELECT q.query_id, q.qv, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("q.qv", "c.cv")} DESC,
+         |          c.centroid_id ASC) AS r
+         |    FROM q CROSS JOIN centroids c) WHERE r <= 2),
+         |ivf AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT p.query_id, a.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${cosineSql("a.embedding", "p.qv")} DESC,
+         |          a.vec_id ASC) AS rank
+         |    FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id)
+         |  WHERE rank <= $k),
+         |exact AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("e.embedding", "q.qv")} DESC,
+         |          e.vec_id ASC) AS rank
+         |    FROM q CROSS JOIN embeddings e) WHERE rank <= $k),
+         |mrr AS (SELECT ex.query_id,
+         |    coalesce(1.0 / iv.rank, 0.0) AS mrr_raw
+         |  FROM exact ex LEFT JOIN ivf iv
+         |    ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+         |  WHERE ex.rank = 1),
+         |dcg AS (SELECT ex.query_id,
+         |    sum(1.0 / log2(iv.rank::DOUBLE + 1.0)) AS dcg_raw
+         |  FROM exact ex JOIN ivf iv
+         |    ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.query_id, ${rnd("coalesce(m.mrr_raw, 0.0)", 4)} AS mrr,
+         |  ${rnd(s"coalesce(d.dcg_raw, 0.0) / $idcg", 4)} AS ndcg
+         |FROM (SELECT DISTINCT query_id FROM exact) q
+         |LEFT JOIN mrr m ON m.query_id = q.query_id
+         |LEFT JOIN dcg d ON d.query_id = q.query_id""".stripMargin
+    },
+
+    // positioned 5-shingles (strings here, 64-bit hashes in Spark — q22's
+    // same-result-modulo-collision contract); runs of consecutive shared
+    // positions are gaps-and-islands groups on the (pa - pb) diagonal
+    "q168_contamination_spans" -> {
+      val sh = shinglesExpr("t", 5)
+      s"""WITH tarr AS (SELECT doc_id, source, $toksExpr AS t FROM documents),
+         |pos AS (SELECT doc_id, source, i AS p,
+         |    array_to_string(list_slice(t, i, i + 4), ' ') AS g
+         |  FROM tarr, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+         |train AS (SELECT doc_id AS tid, p AS pa, g FROM pos
+         |  WHERE source <> 'src0'),
+         |bench AS (SELECT doc_id AS bid, p AS pb, g FROM pos
+         |  WHERE source = 'src0'),
+         |keep AS (SELECT g FROM (SELECT DISTINCT tid, g FROM train)
+         |  GROUP BY g HAVING count(*) <= 1000),
+         |matches AS (SELECT tid, bid, pa, pa - pb AS diag
+         |  FROM train JOIN keep USING (g) JOIN bench USING (g)),
+         |runs AS (SELECT tid, bid, count(*) AS run_len FROM (
+         |    SELECT tid, bid, diag,
+         |      pa - row_number() OVER (PARTITION BY tid, bid, diag
+         |        ORDER BY pa) AS grp
+         |    FROM matches) GROUP BY tid, bid, diag, grp)
+         |SELECT tid AS train_id, bid AS bench_id,
+         |  max(run_len)::BIGINT AS max_run,
+         |  (max(run_len) + 4)::BIGINT AS span_tokens
+         |FROM runs GROUP BY 1, 2 HAVING max(run_len) >= 3""".stripMargin
+    },
+
+    // redaction report: RE2 'g' flag == Spark's replace-all default;
+    // distinct counts over md5 fingerprints on both sides
+    "q169_redact_report" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |  sum(len(regexp_extract_all(c_name, '[0-9]{6,}')))::BIGINT
+        |    AS n_matches,
+        |  count(DISTINCT md5(c_name))::BIGINT AS distinct_before,
+        |  count(DISTINCT md5(regexp_replace(c_name, '[0-9]{6,}', '[ID]',
+        |    'g')))::BIGINT AS distinct_after
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    // per-source top-40 tokens by (freq desc, token asc), ln-ln OLS via
+    // q153's centered two-pass formulas
+    "q170_zipf_fit" ->
+      s"""WITH toks AS (SELECT source, unnest($toksExpr) AS token
+         |  FROM documents),
+         |tf AS (SELECT source, token, count(*) AS f FROM toks GROUP BY 1, 2),
+         |top AS (SELECT source, f,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY f DESC, token ASC) AS rank
+         |  FROM tf QUALIFY rank <= 40),
+         |pts AS (SELECT source, ln(rank::DOUBLE) AS x, ln(f::DOUBLE) AS y
+         |  FROM top),
+         |m AS (SELECT source, avg(x) AS mx, avg(y) AS my FROM pts GROUP BY 1),
+         |s AS (SELECT p.source, count(*)::BIGINT AS n,
+         |    max(m.mx) AS mx, max(m.my) AS my,
+         |    sum((x - m.mx) * (y - m.my)) AS sxy,
+         |    sum((x - m.mx) * (x - m.mx)) AS sxx,
+         |    sum((y - m.my) * (y - m.my)) AS syy
+         |  FROM pts p JOIN m USING (source) GROUP BY 1)
+         |SELECT source, n,
+         |  ${rnd("CASE WHEN sxx > 0 THEN sxy / sxx END", 6)} AS slope,
+         |  ${rnd("CASE WHEN sxx > 0 THEN my - (sxy / sxx) * mx END", 4)} AS intercept,
+         |  ${rnd("CASE WHEN sxx > 0 AND syy > 0 THEN (sxy * sxy) / (sxx * syy) END", 6)} AS r2
+         |FROM s""".stripMargin,
+
+    // q20's signature/banding replayed, then ONLY the bucket-size
+    // group-by — the implied-pair pre-flight never runs the self-join
+    "q171_lsh_bucket_profile" -> {
+      val sh = shinglesExpr("t", 3)
+      s"""WITH toks AS (SELECT doc_id AS id, $toksExpr AS t FROM documents),
+         |shing AS (SELECT id, $sh AS sh FROM toks),
+         |hashed AS (SELECT id, list_transform(sh, x -> ${h32("x")}) AS hs
+         |  FROM shing),
+         |sigs AS (SELECT id, ${minhashSigExpr("hs", 8)} AS sig FROM hashed),
+         |banded AS (SELECT id, band,
+         |    array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '_')
+         |      AS bucket
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |buckets AS (SELECT band, bucket, count(*) AS s FROM banded
+         |  GROUP BY 1, 2)
+         |SELECT band::BIGINT AS band, count(*)::BIGINT AS n_buckets,
+         |  sum(CASE WHEN s >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_multi,
+         |  max(s)::BIGINT AS max_bucket,
+         |  (sum(s * (s - 1)) / 2)::BIGINT AS cand_pairs
+         |FROM buckets GROUP BY 1""".stripMargin
+    },
+
     // clipped int8: per-dim p99.9 |x| quantile scale (quantile_disc ==
     // exact-retention percentile_approx), codes clamped to ±127
     "q135_int8_clipped" ->

@@ -1861,6 +1861,53 @@ object SparkEntry {
       T(s, dir, "orders"), "o_custkey",
       T(s, dir, "customer"), "c_custkey", m = 256)
 
+  /** Ranking quality (MRR + nDCG@5) of the q125 IVF operating point vs the
+    * exact top-k — recall says IF the neighbors were found, this grades
+    * WHERE the list put them. */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val emb = TW(s, dir, "embeddings")
+    val queries = T(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+    val approx = Similarity.ivfTopK(emb, queries, 5, nCentroids = 32, nProbe = 2)
+    Similarity.rankEval(exact, approx, 5)
+  }
+
+  /** Benchmark-contamination spans: longest run of consecutive shared
+    * 5-shingles between each training doc (source != src0) and each
+    * "benchmark" doc (source = src0) — presence says overlap exists,
+    * max_run says whether to drop the doc or excise the span. */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.Dedup.crossCorpusMaxRun(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "text", "doc_id", shingleK = 5, minRun = 3)
+  }
+
+  /** PII-redaction report over customer names: digit-run identifiers
+    * ([0-9]{6,}) replaced by a token; the distinct-count collapse
+    * (every row unique before, one template after) is the cardinality
+    * a dedup/accounting pass should actually see. */
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redactReport(
+      T(s, dir, "customer"), "c_mktsegment", "c_name",
+      pattern = "[0-9]{6,}", token = "[ID]")
+
+  /** Zipf fit per source: OLS slope of ln(freq) on ln(rank) over each
+    * source's top-40 tokens — the template/boilerplate source detector. */
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.zipfFit(
+      TW(s, dir, "documents"), "source", "text", topN = 40)
+
+  /** LSH bucket-size pre-flight for the q20 banding (8 hashes, 2-row
+    * bands): per band, buckets / multi-doc buckets / max size / implied
+    * candidate pairs — the go/no-go check run before the LSH self-join. */
+  private def q171(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.lshBucketProfile(
+      TW(s, dir, "documents"), "text", "doc_id",
+      bands = 4, rowsPerBand = 2)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2029,7 +2076,12 @@ object SparkEntry {
     "q163_pmi_pairs" -> (q163 _),
     "q164_join_size_est" -> (q164 _),
     "q165_dsir_weights" -> (q165 _),
-    "q166_key_overlap" -> (q166 _)
+    "q166_key_overlap" -> (q166 _),
+    "q167_rank_eval" -> (q167 _),
+    "q168_contamination_spans" -> (q168 _),
+    "q169_redact_report" -> (q169 _),
+    "q170_zipf_fit" -> (q170 _),
+    "q171_lsh_bucket_profile" -> (q171 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -57,6 +57,36 @@ object Corpus {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Zipf fit per source: OLS of ln(frequency) on ln(rank) over the
+    * top-`topN` tokens — slope ~ -1 is the healthy-natural-text signature;
+    * a flat slope flags template/boilerplate sources and a cliff flags
+    * tiny-vocabulary (e.g. log-spam) sources before they hit training.
+    * Rank is (frequency desc, token asc) for engine determinism.
+    *
+    * Per-source top-N rides the bounded [[graft.functions.TopKAgg]]
+    * (never a rank window over the full vocabulary), so post-explode
+    * state is sources x topN; the regression reuses
+    * [[Stats.groupRegression]]'s centered two-pass contract. */
+  def zipfFit(df: DataFrame, srcCol: String, textCol: String,
+              topN: Int = 100): DataFrame = {
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val tf = graft.Tables.widen(df)
+      .select(col(srcCol).as("source"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).cast("long").as("f"))
+    val top = tf.groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("f")).as("negf"), col("token").as("token")),
+        topN).as("arr"))
+      .select(col("source"), posexplode(col("arr")))
+      .select(col("source"), (col("pos") + 1).cast("double").as("rank"),
+        negate(col("col.negf")).cast("double").as("f"))
+    val pts = top.select(col("source"), log(col("rank")).as("ln_rank"),
+      log(col("f")).as("ln_freq"))
+    Stats.groupRegression(pts, "source", "ln_rank", "ln_freq")
+  }
+
   /** Out-of-vocabulary rate per group against a vocabulary frame (from
     * [[buildVocab]] or external): the tokenizer-coverage check run before
     * committing to a vocab. The vocab side is dimension-sized — broadcast —

@@ -114,6 +114,38 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH bucket-size profile — the pre-flight run BEFORE
+    * [[minHashCandidates]]'s self-join: per band, how many buckets exist,
+    * how many hold >= 2 docs, the largest bucket, and the implied
+    * candidate-pair volume sum(s*(s-1)/2). The pair volume is exactly what
+    * the within-bucket self-join will produce, so this one cheap group-by
+    * (no join) is the go / no-go check for candidate explosion — the same
+    * role q164's CMS estimate plays for equi-joins, specialized to the
+    * banding. At scale the answer decides the operating point: a band
+    * whose implied pairs blow past budget needs more rows per band (or a
+    * boilerplate filter upstream), and this report names the band and the
+    * bucket size that did it before any quadratic work runs. */
+  def lshBucketProfile(df: DataFrame, textCol: String, idCol: String,
+                       bands: Int = 4, rowsPerBand: Int = 4,
+                       shingleK: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val banded = graft.Tables.widen(df).select(col(idCol).as("id"),
+      minHashSignature(col(textCol), numHashes, shingleK).as("sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+      ).as(Seq("band", "bucket")))
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("s"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(when(col("s") >= 2, 1L).otherwise(0L)).cast("long").as("n_multi"),
+        max(col("s")).cast("long").as("max_bucket"),
+        sum(col("s") * (col("s") - 1) / 2).cast("long").as("cand_pairs"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("n_multi"), col("max_bucket"), col("cand_pairs"))
+  }
+
   /** Exact Jaccard similarity between two docs' shingle sets (verification
     * step after LSH candidate generation). */
   def verifiedNearDups(df: DataFrame, textCol: String, idCol: String,
@@ -276,6 +308,53 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("tid").as("train_id"), col("bid").as("bench_id"),
         col("n_shared").cast("long").as("n_shared"), col("containment"))
+  }
+
+  /** Benchmark-contamination SPANS: for each (train, bench) document pair
+    * sharing at least `minRun` CONSECUTIVE word k-shingles, the length of
+    * the longest shared run — the "longest common substring (in tokens)"
+    * signal behind span-level decontamination (the GPT-3/PaLM 13-gram
+    * overlap checks report presence; this reports extent, which is what
+    * decides between dropping the document and excising the span).
+    *
+    * Positions matter, so shingles explode with posexplode and pairs meet
+    * on the shingle hash; a run of shared shingles is a gaps-and-islands
+    * group on the (train_pos - bench_pos) diagonal: consecutive matched
+    * positions on one diagonal have constant pos - row_number. The island
+    * window partitions by (pair, diagonal) — bounded by the matched-gram
+    * count of one document pair, never global. Grams appearing in more
+    * than `maxPostings` training docs are stop-listed before the join
+    * (same quadratic-bucket guard as [[ngramContainment]]); a run that
+    * crosses a stop-listed gram splits into two islands, so boilerplate
+    * can only UNDER-report a span, never invent one. */
+  def crossCorpusMaxRun(train: DataFrame, bench: DataFrame,
+                        textCol: String, idCol: String,
+                        shingleK: Int = 8, minRun: Int = 2,
+                        maxPostings: Int = 1000): DataFrame = {
+    def posts(df: DataFrame, out: String, pos: String) =
+      graft.Tables.widen(df).select(col(idCol).as(out),
+        posexplode(graft.functions.TextHashFunctions.shingleHashes64(
+          col(textCol), shingleK)).as(Seq(pos, "g")))
+    val tp = posts(train, "tid", "pa")
+    val bp = posts(bench, "bid", "pb")
+    val keep = tp.select(col("tid"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= maxPostings).select("g")
+    val matches = tp.join(keep, "g").join(bp, "g")
+      .select(col("tid"), col("bid"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy(col("tid"), col("bid"), col("diag"))
+      .orderBy(col("pa"))
+    val runs = matches
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("tid"), col("bid"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("tid"), col("bid"))
+      .agg(max(col("run_len")).as("mr"))
+      .filter(col("mr") >= minRun)
+      .select(col("tid").as("train_id"), col("bid").as("bench_id"),
+        col("mr").cast("long").as("max_run"),
+        (col("mr") + lit(shingleK - 1)).cast("long").as("span_tokens"))
   }
 
   /** Exact-substring near-dup candidates by ALIGNED character windows:
@@ -652,6 +731,63 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("component").as("component_id"), col("node").as("canonical_doc"),
         col("score"), col("n_members").cast("long").as("n_members"))
+  }
+
+  /** Cluster-quality audit over a near-dup clustering: for each connected
+    * component, its member count, intra-cluster edge count, and the
+    * min/max of the pair metric (Jaccard, Hamming, cosine) across those
+    * edges — the QA table read before trusting a dedup pass (a huge
+    * cluster with a weak min metric is a transitive-closure chain, not a
+    * duplicate family, and wants a higher verify threshold, not a bigger
+    * survivor cut).
+    *
+    * Both endpoint-to-component joins hit the (bounded) verified-pair set;
+    * min/max are fp-order-independent so the cells stay oracle-exact
+    * (the same avg-ban as [[crossSourceDupMatrix]]). Output is one row
+    * per component. */
+  def clusterStats(components: DataFrame, pairs: DataFrame,
+                   idA: String = "id_a", idB: String = "id_b",
+                   metricCol: String = "jaccard"): DataFrame = {
+    val comp = components.select(col("node"), col("component"))
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val edges = pairs
+      .join(comp.withColumnRenamed("node", idA)
+        .withColumnRenamed("component", "ca"), idA)
+      .groupBy(col("ca").as("component"))
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        min(col(metricCol)).as(s"min_$metricCol"),
+        max(col(metricCol)).as(s"max_$metricCol"))
+    sizes.join(edges, Seq("component"), "left")
+      .select(col("component").as("component_id"), col("n_docs"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        col(s"min_$metricCol"), col(s"max_$metricCol"))
+  }
+
+  /** LSH operating-point planner: the analytic S-curve
+    * p(catch | similarity s) = 1 - (1 - s^rows)^bands for every way to
+    * split `numHashes` MinHash rows into equal bands, evaluated on a
+    * similarity grid — plus each scheme's threshold s* = (1/b)^(1/r)
+    * (the curve's inflection, where catch probability crosses ~1-1/e).
+    * This is the table a 100 TB dedup run consults to pick (bands, rows)
+    * for its target Jaccard BEFORE signing the corpus; pure driver-side
+    * math (|divisors| x |grid| rows), no data touched. */
+  def lshOperatingPoints(spark: org.apache.spark.sql.SparkSession,
+                         numHashes: Int,
+                         simGrid: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
+    import spark.implicits._
+    val schemes = for {
+      r <- 1 to numHashes if numHashes % r == 0
+      s <- simGrid
+    } yield (numHashes / r.toLong, r.toLong, s)
+    val b = col("bands").cast("double")
+    val r = col("rows_per_band").cast("double")
+    schemes.toDF("bands", "rows_per_band", "sim")
+      .select(col("bands"), col("rows_per_band"),
+        round(pow(lit(1.0) / b, lit(1.0) / r), 4).as("s_star"),
+        col("sim"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("sim"), r), b), 4)
+          .as("p_catch"))
   }
 
   // -------------------------------------------------------------------------

@@ -496,6 +496,42 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Ranking-quality companion to [[recallAtK]]: per-query MRR and binary
+    * nDCG@k of an approximate top-k against the exact one. Recall counts
+    * hits anywhere in the list; these two grade WHERE they land — MRR is
+    * the reciprocal of the approx rank holding the true nearest neighbor
+    * (0.0 if it was missed entirely), nDCG discounts each recovered
+    * exact-top-k member by log2(rank+1) at its approx position and
+    * normalizes by the ideal prefix sum, so rank inversions cost even
+    * when recall is perfect.
+    *
+    * Both inputs are (query_id, neighbor_id, rank) top-k frames, so every
+    * join is bounded by queries x k rows — control-plane sized, same
+    * contract as [[recallAtK]]. The ideal DCG is a closed-form constant
+    * per k (both lists hold exactly k entries), folded in as a literal. */
+  def rankEval(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("ex_rank"))
+    val ap = approx.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("ap_rank"))
+    val mrr = ex.filter(col("ex_rank") === 1)
+      .join(ap, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        coalesce(lit(1.0) / col("ap_rank").cast("double"), lit(0.0))
+          .as("mrr_raw"))
+    val dcg = ex.join(ap, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id")
+      .agg(sum(lit(1.0) / log2(col("ap_rank").cast("double") + 1.0))
+        .as("dcg_raw"))
+    val idcg = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    ex.select("query_id").distinct()
+      .join(mrr, Seq("query_id"), "left")
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("mrr_raw"), lit(0.0)), 4).as("mrr"),
+        round(coalesce(col("dcg_raw"), lit(0.0)) / lit(idcg), 4).as("ndcg"))
+  }
+
   // -------------------------------------------------------------------------
   // Product quantization (Jégou et al. 2011, "Product Quantization for
   // Nearest Neighbor Search")

@@ -200,6 +200,37 @@ object TextAnalysis {
     aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
   }
 
+  /** Redact every regex match in `text` with `token` — the PII-scrub
+    * primitive (account numbers, emails, phones) run over raw text before
+    * it can enter a training corpus. Pure codegen'd projection
+    * (regexp_replace), no shuffle. Keep patterns in the portable subset
+    * (char classes, quantifiers, alternation) so the DuckDB/RE2 oracle
+    * replays them identically. */
+  def redact(text: Column, pattern: String, token: String): Column =
+    regexp_replace(text, pattern, token)
+
+  /** Per-group redaction report: rows scanned, total matches hit, and the
+    * DISTINCT value count before vs after redaction. The before/after
+    * collapse is the point — identifier noise (serial numbers, user ids)
+    * makes every row unique; redaction restores the real cardinality,
+    * which is what dedup and domain-cap accounting should run on.
+    *
+    * One scan, one group-by; the distinct counts ride md5 fingerprints so
+    * the partial aggregate moves 16-byte keys, not full texts. */
+  def redactReport(df: DataFrame, groupCol: String, textCol: String,
+                   pattern: String, token: String = "[ID]"): DataFrame = {
+    val red = redact(col(textCol), pattern, token)
+    graft.Tables.widen(df)
+      .select(col(groupCol).as("grp"), col(textCol).as("t"),
+        regexp_count(col(textCol), lit(pattern)).as("nm"), red.as("r"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("nm")).cast("long").as("n_matches"),
+        countDistinct(md5(col("t"))).cast("long").as("distinct_before"),
+        countDistinct(md5(col("r"))).cast("long").as("distinct_after"))
+      .withColumnRenamed("grp", groupCol)
+  }
+
   /** Within-document repetition metrics (the Gopher/MassiveText repetition
     * filter family, adapted to word granularity since the corpus has no line
     * structure): for each doc

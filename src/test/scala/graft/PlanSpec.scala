@@ -125,7 +125,7 @@ class PlanSpec extends SparkSpec {
       "q76_sql_surface", "q79_unigram_logprob", "q80_hard_negatives",
       "q87_bm25", "q100_temperature_mix", "q101_zorder",
       "q115_hll_merge", // three 1-row control frames cross-joined
-      "q122_pq_adc_topk", "q125_ivf_recall",
+      "q122_pq_adc_topk", "q125_ivf_recall", "q167_rank_eval",
       "q128_mmr_rerank", // bounded broadcast ANN query sets
       "q131_source_kl", // 1-row corpus-total control frame cross-joined
       "q138_rrf_fuse", "q142_hamming_topk", // bounded broadcast ANN query sets

@@ -70,6 +70,52 @@ class ContaminationSpec extends SparkSpec {
       maxPostings = 1000).count() == 30L * 29 / 2)
   }
 
+  test("crossCorpusMaxRun reports the longest consecutive shared shingle run") {
+    val bench = (1 to 20).map(i => s"b$i").mkString(" ")
+    val train = Seq(
+      // quotes bench tokens b1..b10 verbatim: 10 tokens -> 8 consecutive
+      // 3-shingles -> max_run 8, span_tokens 10
+      (1L, "intro words here " + (1 to 10).map(i => s"b$i").mkString(" ") +
+        " trailing stuff"),
+      // two SEPARATE quotes (b1..b5, b10..b14) split by unrelated tokens:
+      // islands of 3 consecutive shingles each -> max_run 3, not 6
+      (2L, (1 to 5).map(i => s"b$i").mkString(" ") + " gap1 gap2 gap3 " +
+        (10 to 14).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val benchDf = Seq((100L, bench)).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusMaxRun(train, benchDf, "text", "doc_id",
+        shingleK = 3, minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1L, 100L)) == ((8L, 10L)))
+    assert(out((2L, 100L)) == ((3L, 5L)))
+    assert(!out.contains((3L, 100L)))
+  }
+
+  test("crossCorpusMaxRun stop-list splits runs but never invents them") {
+    // every train doc shares the same 3-token boilerplate in the middle of
+    // an otherwise-verbatim quote; with the boilerplate gram stop-listed the
+    // run splits into two shorter islands
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val benchDf = Seq((100L, quote)).toDF("doc_id", "text")
+    val full = Seq((1L, quote)).toDF("doc_id", "text")
+    val okRun = Dedup.crossCorpusMaxRun(full, benchDf, "text", "doc_id",
+      shingleK = 3, minRun = 2).collect()
+    assert(okRun.length == 1 && okRun(0).getLong(2) == 10L) // 12 tokens -> 10 shingles
+    // 50 extra train docs all containing the shingle "q5 q6 q7" push it over
+    // maxPostings=40: doc 1's single run splits at the stop-listed grams
+    val noisy = full.union(
+      (2L to 51L).map(i => (i, s"pad${i}a pad${i}b q5 q6 q7 pad${i}c pad${i}d"))
+        .toDF("doc_id", "text"))
+    val capped = Dedup.crossCorpusMaxRun(noisy, benchDf, "text", "doc_id",
+        shingleK = 3, minRun = 2, maxPostings = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // grams q3q4q5..q7q8q9 (those containing q5 q6 q7? only "q5 q6 q7"
+    // itself hits 51 docs) -> doc 1 keeps two islands around the dropped gram
+    assert(capped(1L) < 10L && capped(1L) >= 2L)
+  }
+
   test("sharedWindowPairs needs alignment: same span at misaligned offsets is missed") {
     val span = (1 to 30).map(i => s"unique$i").mkString(" ") // ~250 chars, no repeats
     val a = Seq((1L, span), (2L, "q " + span)).toDF("doc_id", "text") // offset 2

@@ -271,4 +271,31 @@ class CorpusSpec extends SparkSpec {
     assert(w(1L) > w(2L))           // partial overlap scores between
     assert(w(2L) > w(3L))           // no overlap scores lowest
   }
+
+  test("zipfFit: exact power law fits slope -1 with r2 = 1; flat source degenerates") {
+    import spark.implicits._
+    // source zipf: freq halves when rank doubles -> ln f = ln 6 - 1 * ln r
+    val zipf = ("a " * 6 + "b " * 3).trim
+    // source flat: two tokens at identical frequency -> syy = 0 -> r2 null
+    val flat = ("x " * 4 + "y " * 4).trim
+    val docs = Seq((1L, zipf, "zipf"), (2L, flat, "flat"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.zipfFit(docs, "source", "text", topN = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val z = out("zipf")
+    assert(z.getLong(1) == 2L && z.getDouble(2) == -1.0 && z.getDouble(4) == 1.0)
+    val f = out("flat")
+    assert(f.getLong(1) == 2L && f.getDouble(2) == 0.0 && f.isNullAt(4))
+  }
+
+  test("zipfFit rank ties break by token and topN caps the fit window") {
+    import spark.implicits._
+    // c and d tie at freq 2: rank(c)=2, rank(d)=3 by token asc; topN=2
+    // keeps only ranks 1-2, so d never enters the regression
+    val docs = Seq((1L, "a a a a c c d d", "s")).toDF("doc_id", "text", "source")
+    val r = Corpus.zipfFit(docs, "source", "text", topN = 2).collect()(0)
+    assert(r.getLong(1) == 2L)
+    // points: (ln1, ln4), (ln2, ln2) -> slope = (ln2-ln4)/(ln2-ln1) = -1
+    assert(r.getDouble(2) == -1.0)
+  }
 }

@@ -381,6 +381,30 @@ class DedupSpec extends SparkSpec {
     assert(out.keys.forall { case (a, b) => a <= b })
   }
 
+  test("lshBucketProfile implied pairs equal the self-join's per-band candidate volume") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, body), (2L, body), (3L, body),       // 3 identical docs
+      (4L, "completely different words about unrelated topics here")
+    ).toDF("doc_id", "text")
+    val prof = Dedup.lshBucketProfile(docs, "text", "doc_id",
+        bands = 4, rowsPerBand = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(prof.keySet == Set(0L, 1L, 2L, 3L))
+    // identical docs share every band bucket: each band has one 3-doc
+    // bucket (3 implied pairs) and, bar a hash collision with doc 4, one
+    // singleton -> the profile predicts the self-join volume exactly
+    prof.values.foreach { case (nBuckets, nMulti, maxB, pairs) =>
+      assert(nBuckets == 2L && nMulti == 1L && maxB == 3L && pairs == 3L)
+    }
+    // the prediction matches what minHashCandidates actually generates
+    // (3 distinct pairs; each counted once though all 4 bands collide)
+    assert(Dedup.minHashCandidates(docs, "text", "doc_id",
+      bands = 4, rowsPerBand = 2).count() == 3L)
+  }
+
   test("crossSourceDupMatrix default banding catches moderate-Jaccard pairs 4-row bands miss") {
     import spark.implicits._
     // A pre-searched pair with Jaccard ~0.43 whose 8-hash signature

@@ -452,6 +452,39 @@ class SimilaritySpec extends SparkSpec {
     assert(rowsOf(ivf) == rowsOf(full))
   }
 
+  test("rankEval: perfect order, full reversal, and a total miss") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // identical -> mrr=ndcg=1
+      (2L, 22L, 1), (2L, 21L, 2), (2L, 20L, 3), // reversed -> mrr=1/3, ndcg=1
+      (3L, 90L, 1), (3L, 91L, 2), (3L, 92L, 3)  // disjoint -> 0, 0
+    ).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rankEval(exact, approx, 3)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((1.0, 1.0)))
+    // full reversal: every exact member still present -> binary nDCG stays
+    // 1.0 (that is recall's blind spot too); MRR sees the top-1 at rank 3
+    assert(out(2L) == ((0.3333, 1.0)))
+    assert(out(3L) == ((0.0, 0.0)))
+  }
+
+  test("rankEval: partial overlap discounts by approx position") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
+    // top-1 recovered at rank 2; exact #2 missing entirely
+    val approx = Seq((1L, 99L, 1), (1L, 10L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val r = Similarity.rankEval(exact, approx, 2).collect()(0)
+    assert(r.getDouble(1) == 0.5) // mrr = 1/2
+    val idcg = 1.0 / (math.log(2) / math.log(2)) + 1.0 / (math.log(3) / math.log(2))
+    val expected = math.rint((1.0 / (math.log(3) / math.log(2))) / idcg * 10000) / 10000
+    assert(r.getDouble(2) == expected)
+  }
+
   test("rrfFuse: self tops both lists and wins the fused rank") {
     val e = dim64
     val queries = e.filter($"vec_id" === 5L)

@@ -160,4 +160,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("s1") == ((2L, 4L, 5L, 1.25))) // subwords 2 + 3, words 2 + 2
     assert(out("s2") == ((1L, 2L, 3L, 1.5)))
   }
+
+  test("redact replaces every match; redactReport shows the cardinality collapse") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", "user 123456 and 987654 done"),   // two ids, both replaced
+      ("a", "user 555555 and 444444 done"),   // distinct text, same template
+      ("a", "no identifiers at all"),
+      ("b", "id 12345 too short")             // 5 digits: below {6,}
+    ).toDF("grp", "t")
+    val red = rows.select(
+      TextAnalysis.redact(col("t"), "[0-9]{6,}", "[ID]").as("r"))
+      .collect().map(_.getString(0))
+    assert(red(0) == "user [ID] and [ID] done")
+    assert(red(3) == "id 12345 too short")
+    val rep = TextAnalysis.redactReport(rows, "grp", "t", "[0-9]{6,}")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // group a: 3 rows, 4 matches, 3 distinct before, 2 after (the two id
+    // rows collapse onto one template; the no-id row stays itself)
+    assert(rep("a") == ((3L, 4L, 3L, 2L)))
+    assert(rep("b") == ((1L, 0L, 1L, 1L)))
+  }
 }
