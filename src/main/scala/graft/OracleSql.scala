@@ -1370,6 +1370,58 @@ object OracleSql {
          |FROM buckets GROUP BY 1""".stripMargin
     },
 
+    // q53's component fixpoint replayed, then per-component edge stats;
+    // min/max only (avg is fp-order-dependent — crossSourceDupMatrix's
+    // same avg-ban)
+    "q172_cluster_stats" ->
+      s"""WITH RECURSIVE ${simhash64PairsCtes(3)},
+         |ph AS (SELECT id_a, id_b,
+         |    bit_count(xor(sa.sig, sb.sig))::BIGINT AS hamming
+         |  FROM pairs JOIN sigs64 sa ON sa.id = pairs.id_a
+         |  JOIN sigs64 sb ON sb.id = pairs.id_b),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d),
+         |comp AS (SELECT n AS node, min(r) AS component FROM reach GROUP BY n),
+         |sizes AS (SELECT component, count(*)::BIGINT AS n_docs
+         |  FROM comp GROUP BY 1),
+         |es AS (SELECT c.component, count(*)::BIGINT AS n_edges,
+         |    min(hamming) AS min_hamming, max(hamming) AS max_hamming
+         |  FROM ph JOIN comp c ON c.node = ph.id_a GROUP BY 1)
+         |SELECT s.component AS component_id, s.n_docs,
+         |  coalesce(e.n_edges, 0)::BIGINT AS n_edges,
+         |  e.min_hamming, e.max_hamming
+         |FROM sizes s LEFT JOIN es e USING (component)""".stripMargin,
+
+    // heaviest-first round-robin dealing: rank by (weight DESC, id ASC)
+    // == globalRank over the negated weight
+    "q173_balanced_shards" ->
+      """WITH ranked AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT ((rk - 1) % 16)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars::BIGINT)::BIGINT AS sum_weight,
+        |  min(n_chars::BIGINT) AS min_weight,
+        |  max(n_chars::BIGINT) AS max_weight
+        |FROM ranked GROUP BY 1""".stripMargin,
+
+    // the analytic S-curve on the same (divisor, sim-grid) lattice; pow
+    // and division replayed in double on both engines
+    "q174_lsh_tuning" ->
+      s"""WITH r AS (SELECT unnest([1, 2, 4, 8, 16]) AS rows_per_band),
+         |g AS (SELECT unnest(generate_series(1, 9)) AS i)
+         |SELECT (16 / rows_per_band)::BIGINT AS bands,
+         |  rows_per_band::BIGINT AS rows_per_band,
+         |  ${rnd("pow(1.0 / (16 / rows_per_band), 1.0 / rows_per_band)", 4)}
+         |    AS s_star,
+         |  i / 10.0 AS sim,
+         |  ${rnd("1.0 - pow(1.0 - pow(i / 10.0, rows_per_band), 16 / rows_per_band)", 4)}
+         |    AS p_catch
+         |FROM r CROSS JOIN g""".stripMargin,
+
     // clipped int8: per-dim p99.9 |x| quantile scale (quantile_disc ==
     // exact-retention percentile_approx), codes clamped to ±127
     "q135_int8_clipped" ->

@@ -1908,6 +1908,30 @@ object SparkEntry {
       TW(s, dir, "documents"), "text", "doc_id",
       bands = 4, rowsPerBand = 2)
 
+  /** Cluster-quality audit over q53's near-dup clustering: per component,
+    * members / intra-edges / Hamming extremes — the chain-vs-family check
+    * run before trusting a dedup pass. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simHashNearDups64(TW(s, dir, "documents"), "text",
+      "doc_id", maxHamming = 3).localCheckpoint()
+    Dedup.clusterStats(Dedup.connectedComponents(pairs), pairs,
+      metricCol = "hamming")
+  }
+
+  /** Weight-balanced training shards: documents dealt heaviest-first
+    * round-robin into 16 shards by n_chars; the per-shard manifest shows
+    * the balance hash dealing can't give under a heavy-tailed corpus. */
+  private def q173(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.balancedShardReport(
+      T(s, dir, "documents"), "doc_id", "n_chars",
+      nShards = 16, nRanges = 32)
+
+  /** LSH operating-point planner: the analytic band/row S-curve table for
+    * a 16-hash MinHash budget — pure control-plane math, the knob chart a
+    * dedup run reads before signing a corpus. */
+  private def q174(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.lshOperatingPoints(s, numHashes = 16)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2081,7 +2105,10 @@ object SparkEntry {
     "q168_contamination_spans" -> (q168 _),
     "q169_redact_report" -> (q169 _),
     "q170_zipf_fit" -> (q170 _),
-    "q171_lsh_bucket_profile" -> (q171 _)
+    "q171_lsh_bucket_profile" -> (q171 _),
+    "q172_cluster_stats" -> (q172 _),
+    "q173_balanced_shards" -> (q173 _),
+    "q174_lsh_tuning" -> (q174 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -43,6 +43,38 @@ object Sampling {
       .agg(count(lit(1)).cast("long").as("n_rows"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
 
+  /** Weight-balanced shard assignment: docs ranked heaviest-first and
+    * dealt round-robin across `nShards` — the classic sorted/round-robin
+    * bin packing whose max-shard excess over perfect balance is bounded
+    * by one document, vs the unbounded skew [[shardAssign]]'s pure hash
+    * dealing allows when token counts are heavy-tailed (one shard catching
+    * two book-length docs while another gets tweets). This is how training
+    * shards stay byte-balanced so no data-loader rank straggles.
+    *
+    * The global heaviest-first rank rides [[Stats.globalRank]]'s
+    * range-partitioned contract (never a single-partition window);
+    * weights enter negated to use its ascending order. */
+  def balancedShards(df: DataFrame, idCol: String, weightCol: String,
+                     nShards: Int, nRanges: Int = 64): DataFrame =
+    Stats.globalRank(
+      df.select(col(idCol), col(weightCol),
+        negate(col(weightCol).cast("long")).as("__negw")),
+      "__negw", idCol, nRanges)
+      .withColumn("shard", ((col("global_rank") - 1) % nShards).cast("long"))
+      .drop("__negw")
+
+  /** Per-shard manifest for [[balancedShards]]: row count and total /
+    * extreme weights — the balance audit (max(sum_weight)/min(sum_weight)
+    * across rows should sit near 1). */
+  def balancedShardReport(df: DataFrame, idCol: String, weightCol: String,
+                          nShards: Int, nRanges: Int = 64): DataFrame =
+    balancedShards(df, idCol, weightCol, nShards, nRanges)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col(weightCol).cast("long")).cast("long").as("sum_weight"),
+        min(col(weightCol).cast("long")).as("min_weight"),
+        max(col(weightCol).cast("long")).as("max_weight"))
+
   /** Exactly `perStratum` rows per stratum, selected in id-hash order (a
     * deterministic stand-in for uniform-without-replacement). One shuffle on
     * the stratum key; rank is a window over each stratum only. */

@@ -405,6 +405,47 @@ class DedupSpec extends SparkSpec {
       bands = 4, rowsPerBand = 2).count() == 3L)
   }
 
+  test("clusterStats flags a transitive chain by its weak min metric") {
+    import spark.implicits._
+    // component {1,2,3} is a CHAIN: strong edges 1-2, 2-3, weak closure
+    // absent; component {10,11} is a tight family
+    val pairs = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.85), (1L, 3L, 0.3), // chain closure is weak
+      (10L, 11L, 0.95)
+    ).toDF("id_a", "id_b", "jaccard")
+    val comps = Dedup.connectedComponents(pairs)
+    val out = Dedup.clusterStats(comps, pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((3L, 3L, 0.3, 0.9))) // min exposes the weak closure
+    assert(out(10L) == ((2L, 1L, 0.95, 0.95)))
+  }
+
+  test("lshOperatingPoints: monotone S-curve, s_star at the 1-1/e crossing") {
+    val rows = Dedup.lshOperatingPoints(spark, numHashes = 16).collect()
+    assert(rows.length == 5 * 9) // divisors {1,2,4,8,16} x sim grid
+    val byScheme = rows.groupBy(r => (r.getLong(0), r.getLong(1)))
+    assert(byScheme.keySet == Set((16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L), (1L, 16L)))
+    // p_catch is monotone in sim for every scheme
+    byScheme.values.foreach { rs =>
+      val ps = rs.sortBy(_.getDouble(3)).map(_.getDouble(4))
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    }
+    // s_star is the inflection (1/b)^(1/r): per-band match prob there is
+    // exactly 1/b, putting p_catch at 1-(1-1/b)^b (-> 1-1/e as b grows)
+    val r44 = byScheme((4L, 4L))(0)
+    val sStar = r44.getDouble(2)
+    assert(math.abs(math.pow(sStar, 4) - 0.25) < 1e-3)
+    val pAtStar = 1.0 - math.pow(1.0 - math.pow(sStar, 4), 4)
+    assert(math.abs(pAtStar - (1.0 - math.pow(0.75, 4))) < 1e-3)
+    // single band of 16 rows is the high-precision extreme: misses sim 0.5
+    val oneB = byScheme((1L, 16L)).find(_.getDouble(3) == 0.5).get
+    assert(oneB.getDouble(4) < 0.001)
+    // 16 bands of 1 row is the high-recall extreme: catches sim 0.5
+    val oneR = byScheme((16L, 1L)).find(_.getDouble(3) == 0.5).get
+    assert(oneR.getDouble(4) > 0.999)
+  }
+
   test("crossSourceDupMatrix default banding catches moderate-Jaccard pairs 4-row bands miss") {
     import spark.implicits._
     // A pre-searched pair with Jaccard ~0.43 whose 8-hash signature

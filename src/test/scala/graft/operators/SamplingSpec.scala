@@ -255,4 +255,31 @@ class SamplingSpec extends SparkSpec {
     // zh has no weight -> dropped
     assert(!out.contains("zh"))
   }
+
+  test("balancedShards deals heaviest-first round-robin; hash dealing can skew") {
+    import spark.implicits._
+    // weights 100, 90, ..., 10: heaviest-first round-robin over 2 shards
+    // puts {100, 80, 60, 40, 20} on shard 0 and {90, 70, 50, 30, 10} on 1
+    val docs = (1L to 10L).map(i => (i, (11 - i) * 10)).toDF("id", "w")
+    val assigned = Sampling.balancedShards(docs, "id", "w", nShards = 2,
+        nRanges = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(assigned(1L) == 0L && assigned(2L) == 1L && assigned(3L) == 0L)
+    val rep = Sampling.balancedShardReport(docs, "id", "w", nShards = 2,
+        nRanges = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep(0L) == ((5L, 300L)))
+    assert(rep(1L) == ((5L, 250L))) // max/min sum ratio 1.2, one-doc bound
+  }
+
+  test("balancedShards weight ties break by id and ranks stay globally unique") {
+    import spark.implicits._
+    val docs = Seq((5L, 10), (3L, 10), (8L, 10), (1L, 10)).toDF("id", "w")
+    val out = Sampling.balancedShards(docs, "id", "w", nShards = 3, nRanges = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // equal weights -> rank order is id order: 1,3,5,8 -> shards 0,1,2,0
+    assert(out.sortBy(_._2).map(_._1).toSeq == Seq(1L, 3L, 5L, 8L))
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+    assert(out.sortBy(_._2).map(_._3).toSeq == Seq(0L, 1L, 2L, 0L))
+  }
 }
