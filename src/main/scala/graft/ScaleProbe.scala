@@ -281,6 +281,41 @@ object ScaleProbe {
           .count()
         println(s"""{"probe":"q157_round3_votes","count":$votes3,"sec":0.0,"sf":"$sfDir"}""")
         edges.count()
+      }),
+      // q168 contamination spans: the diagonal-match row count — the
+      // volume entering the island window, which the maxPostings stoplist
+      // must keep posting-bounded (train-side fan-out per bench gram
+      // <= maxPostings). Gate parameters (k=5, src0 as bench, cap 1000);
+      // the final span rows land as a side line.
+      "q168_span_matches" -> (() => {
+        import org.apache.spark.sql.functions._
+        val k = 5
+        def posts(df: org.apache.spark.sql.DataFrame, out: String, pos: String) =
+          df.select(col("doc_id").as(out),
+            posexplode(graft.functions.TextHashFunctions.shingleHashes64(
+              col("text"), k)).as(Seq(pos, "g")))
+        val tp = posts(docs.filter(col("source") =!= "src0"), "tid", "pa")
+        val bp = posts(docs.filter(col("source") === "src0"), "bid", "pb")
+        val keep = tp.select(col("tid"), col("g")).distinct()
+          .groupBy("g").agg(count(lit(1)).as("dfc"))
+          .filter(col("dfc") <= 1000).select("g")
+        val matches = tp.join(keep, "g").join(bp, "g").count()
+        val spans = Dedup.crossCorpusMaxRun(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "text", "doc_id", shingleK = k, minRun = 3).count()
+        println(s"""{"probe":"q168_span_rows","count":$spans,"sec":0.0,"sf":"$sfDir"}""")
+        matches
+      }),
+      // q171 pre-flight: Σ implied candidate pairs across bands at the q20
+      // operating point — the number the profile predicts the LSH self-join
+      // will generate (per-band, so ≥ the distinct q20_minhash_cand count;
+      // the ratio across decades must track q20's, or the profile lies)
+      "q171_implied_pairs" -> (() => {
+        import org.apache.spark.sql.functions._
+        Dedup.lshBucketProfile(docs, "text", "doc_id",
+            bands = 4, rowsPerBand = 2)
+          .agg(sum(col("cand_pairs")).cast("long")).collect()(0).getLong(0)
       })
     )
 
