@@ -1410,6 +1410,143 @@ object OracleSql {
 
     // the analytic S-curve on the same (divisor, sim-grid) lattice; pow
     // and division replayed in double on both engines
+    // binned two-sample KS: 32 shared fixed-width bins over the global
+    // n_chars range, densified per source, cumulative shares, pairwise sup
+    "q175_ks_drift" ->
+      s"""WITH base AS (SELECT source::VARCHAR AS g, n_chars::DOUBLE AS v
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+         |binned AS (SELECT g,
+         |    least(31, greatest(0, floor((v - lo) /
+         |      (CASE WHEN (hi - lo) / 32 > 0 THEN (hi - lo) / 32
+         |            ELSE 1.0 END))::BIGINT)) AS bin,
+         |    count(*) AS cnt
+         |  FROM base CROSS JOIN mm GROUP BY 1, 2),
+         |dense AS (SELECT g, b.bin, coalesce(cnt, 0) AS cnt
+         |  FROM (SELECT DISTINCT g FROM binned)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 31))::BIGINT AS bin) b
+         |  LEFT JOIN binned USING (g, bin)),
+         |cdf AS (SELECT g, bin,
+         |    (sum(cnt) OVER (PARTITION BY g ORDER BY bin))::DOUBLE /
+         |      sum(cnt) OVER (PARTITION BY g) AS cdf,
+         |    cnt::DOUBLE / sum(cnt) OVER (PARTITION BY g) AS bin_share
+         |  FROM dense),
+         |pairs AS (SELECT a.g AS g_a, b.g AS g_b, a.bin,
+         |    abs(a.cdf - b.cdf) AS d,
+         |    greatest(a.bin_share, b.bin_share) AS sh
+         |  FROM cdf a JOIN cdf b USING (bin) WHERE a.g < b.g),
+         |mx AS (SELECT *, max(d) OVER (PARTITION BY g_a, g_b) AS dmax
+         |  FROM pairs)
+         |SELECT g_a, g_b, ${rnd("max(d)", 6)} AS ks_stat,
+         |  min(CASE WHEN d = dmax THEN bin END)::BIGINT AS at_bin,
+         |  ${rnd("max(sh)", 6)} AS max_bin_share
+         |FROM mx GROUP BY g_a, g_b""".stripMargin,
+
+    // sampled-pair cosine profile: id-modulus sample sides, ceil-rank
+    // discrete quantiles over the pair frame (q64's selection rule)
+    "q176_pair_distance_profile" ->
+      s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings
+         |  WHERE vec_id % 17 = 0),
+         |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings
+         |  WHERE vec_id % 19 = 0),
+         |p AS (SELECT ${cosineSql("va", "vb")} AS cos
+         |  FROM a CROSS JOIN b WHERE id_a < id_b),
+         |r AS (SELECT cos, row_number() OVER (ORDER BY cos) AS rn,
+         |    count(*) OVER () AS n FROM p)
+         |SELECT max(n)::BIGINT AS n_pairs,
+         |  ${rnd("avg(cos)", 6)} AS mean_cos,
+         |  ${rnd("min(cos)", 6)} AS min_cos,
+         |  ${rnd("max(cos)", 6)} AS max_cos,
+         |  ${rnd("max(CASE WHEN rn = ceil(0.05 * n::DOUBLE) THEN cos END)", 6)} AS p5,
+         |  ${rnd("max(CASE WHEN rn = ceil(0.25 * n::DOUBLE) THEN cos END)", 6)} AS p25,
+         |  ${rnd("max(CASE WHEN rn = ceil(0.5 * n::DOUBLE) THEN cos END)", 6)} AS p50,
+         |  ${rnd("max(CASE WHEN rn = ceil(0.75 * n::DOUBLE) THEN cos END)", 6)} AS p75,
+         |  ${rnd("max(CASE WHEN rn = ceil(0.95 * n::DOUBLE) THEN cos END)", 6)} AS p95
+         |FROM r""".stripMargin,
+
+    // surrogate-key collision audit: portable md5 hash mod 2^bits per
+    // width, exact bucket dedup, birthday-bound expectation
+    "q177_surrogate_key_audit" ->
+      s"""WITH keys AS (SELECT DISTINCT o_orderkey::VARCHAR AS k FROM orders
+         |  WHERE o_orderkey IS NOT NULL),
+         |hashed AS (SELECT ${h32("k")} AS h FROM keys),
+         |pairs AS (SELECT bits, h % (1::BIGINT << bits) AS sk
+         |  FROM hashed CROSS JOIN
+         |    (SELECT unnest([12, 16, 20, 24])::BIGINT AS bits)),
+         |buckets AS (SELECT bits, sk, count(*) AS keys_in_bucket
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT bits, sum(keys_in_bucket)::BIGINT AS n_keys,
+         |  count(*)::BIGINT AS n_hashes,
+         |  (sum(keys_in_bucket) - count(*))::BIGINT AS n_collisions,
+         |  ${rnd("sum(keys_in_bucket)::DOUBLE - pow(2.0, bits::DOUBLE) * " +
+           "(1.0 - pow(1.0 - 1.0 / pow(2.0, bits::DOUBLE), " +
+           "sum(keys_in_bucket)::DOUBLE))", 2)} AS expected_collisions,
+         |  max(keys_in_bucket)::BIGINT AS max_bucket
+         |FROM buckets GROUP BY bits""".stripMargin,
+
+    // lang-ID calibration: en-marker confidence share vs gold lang label,
+    // 5 fixed-width bins, n-weighted ECE repeated per row
+    "q178_calibration" -> {
+      def score(markers: Seq[String]) =
+        s"len(list_filter($toksExpr, t -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], t)))"
+      val total = Seq(
+        score(Seq("the", "and", "of", "is", "that")),
+        score(Seq("der", "die", "und", "ist", "das")),
+        score(Seq("le", "la", "et", "est", "les")),
+        score(Seq("el", "la", "que", "es", "los")),
+        score(Seq("的", "是", "了", "在", "我"))).mkString(" + ")
+      val en = score(Seq("the", "and", "of", "is", "that"))
+      s"""WITH scored AS (SELECT
+         |    CASE WHEN ($total) > 0
+         |         THEN ($en)::DOUBLE / ($total)::DOUBLE ELSE 0.0 END AS conf,
+         |    (lang = 'en') AS is_en
+         |  FROM documents WHERE lang IS NOT NULL),
+         |binned AS (SELECT
+         |    least(4, greatest(0, floor(conf * 5)::BIGINT)) AS bin,
+         |    count(*) AS n, avg(conf) AS mc,
+         |    avg(CASE WHEN is_en THEN 1.0 ELSE 0.0 END) AS pr
+         |  FROM scored GROUP BY 1),
+         |e AS (SELECT sum(n * abs(mc - pr)) / sum(n) AS ece FROM binned)
+         |SELECT bin, n::BIGINT AS n, ${rnd("mc", 6)} AS mean_conf,
+         |  ${rnd("pr", 6)} AS pos_rate, ${rnd("abs(mc - pr)", 6)} AS gap,
+         |  ${rnd("ece", 6)} AS ece
+         |FROM binned CROSS JOIN e""".stripMargin
+    },
+
+    // water-filling allocation: ratio-ascending greedy prefix saturation,
+    // level from the saturated totals, floor()'d proportional allocations
+    "q179_water_fill" ->
+      s"""WITH caps AS (SELECT source, sum(n_chars)::DOUBLE AS cap,
+         |    CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.3
+         |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+         |      WHEN 'src4' THEN 0.1 END AS weight
+         |  FROM documents GROUP BY source),
+         |r AS (SELECT source, cap, weight, cap / weight AS ratio
+         |  FROM caps WHERE weight IS NOT NULL AND cap > 0),
+         |flagged AS (SELECT *,
+         |    coalesce(sum(cap) OVER (ORDER BY ratio, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_c,
+         |    coalesce(sum(weight) OVER (ORDER BY ratio, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_w,
+         |    sum(weight) OVER () AS tot_w
+         |  FROM r),
+         |sat AS (SELECT *,
+         |    cap * (tot_w - cum_w) <= weight * (30000.0 - cum_c) AS saturated
+         |  FROM flagged),
+         |lvl AS (SELECT CASE WHEN max(tot_w) >
+         |      sum(CASE WHEN saturated THEN weight ELSE 0.0 END)
+         |    THEN (30000.0 - sum(CASE WHEN saturated THEN cap ELSE 0.0 END)) /
+         |      (max(tot_w) - sum(CASE WHEN saturated THEN weight ELSE 0.0 END))
+         |    END AS level FROM sat)
+         |SELECT source, weight, cap::BIGINT AS capacity_tokens,
+         |  ${rnd("ratio", 2)} AS saturation_ratio, saturated,
+         |  (CASE WHEN saturated THEN cap
+         |        ELSE floor(weight * level) END)::BIGINT AS alloc_tokens,
+         |  ${rnd("CASE WHEN saturated THEN 1.0 ELSE weight * level / cap END", 6)}
+         |    AS fill_frac,
+         |  ${rnd("level", 2)} AS water_level
+         |FROM sat CROSS JOIN lvl""".stripMargin,
+
     "q174_lsh_tuning" ->
       s"""WITH r AS (SELECT unnest([1, 2, 4, 8, 16]) AS rows_per_band),
          |g AS (SELECT unnest(generate_series(1, 9)) AS i)

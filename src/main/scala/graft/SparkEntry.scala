@@ -1932,6 +1932,56 @@ object SparkEntry {
   private def q174(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.lshOperatingPoints(s, numHashes = 16)
 
+  /** Binned two-sample KS drift matrix between every source pair's doc-length
+    * distribution — 32 shared fixed-width bins over the global n_chars range;
+    * the multi-source shape check run before trusting a cross-source mix. */
+  private def q175(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.ksBinnedDrift(
+      T(s, dir, "documents"), "source", "n_chars", nBins = 32)
+
+  /** Sampled-pair cosine profile over the embeddings: exact discrete
+    * quantiles + mean/extremes of the id-modulus pair sample — the stat an
+    * ANN/LSH deployment reads before fixing thresholds and band counts. */
+  private def q176(s: SparkSession, dir: String): DataFrame =
+    Similarity.pairDistanceProfile(
+      T(s, dir, "embeddings"), "vec_id", "embedding", modA = 17, modB = 19)
+
+  /** Surrogate-key collision audit over order keys: distinct natural keys
+    * vs distinct `md5-hash mod 2^bits` surrogates at 4 widths, against the
+    * birthday-bound expectation — the sizing table read before swapping a
+    * natural join key for a fixed-width hash id. */
+  private def q177(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.surrogateKeyAudit(
+      T(s, dir, "orders"), "o_orderkey", widths = Seq(12, 16, 20, 24))
+
+  /** Calibration of the lang-ID confidence against the gold lang column:
+    * per confidence bin, claimed confidence vs empirical en-rate, and the
+    * n-weighted ECE — the eval a heuristic scorer gets before its output
+    * gates a corpus. Confidence = en-marker share of all marker hits. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val scores = TextAnalysis.langScores(col("text"))
+    val total = scores.map(_._2).reduce(_ + _)
+    val conf = when(total > 0,
+      scores.toMap.apply("en").cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+    val scored = TW(s, dir, "documents")
+      .select(conf.as("en_conf"), (col("lang") === "en").as("is_en"))
+    graft.operators.Stats.calibrationReport(scored, "en_conf", "is_en",
+      nBins = 5)
+  }
+
+  /** Water-filling token allocation across sources: the max-proportional
+    * mixture when capped sources can't supply their share — saturated
+    * sources give everything, the rest fill at the solved water level. */
+  private def q179(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.waterFillAllocation(
+      T(s, dir, "documents"), "source", "n_chars",
+      weights = Map("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.2,
+        "src3" -> 0.1, "src4" -> 0.1),
+      // at the sf0.001/sf0.01 gate corpora this budget saturates src0/src1
+      // and leaves the rest filling proportionally — both branches exercised
+      budgetTokens = 30000L)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2108,7 +2158,12 @@ object SparkEntry {
     "q171_lsh_bucket_profile" -> (q171 _),
     "q172_cluster_stats" -> (q172 _),
     "q173_balanced_shards" -> (q173 _),
-    "q174_lsh_tuning" -> (q174 _)
+    "q174_lsh_tuning" -> (q174 _),
+    "q175_ks_drift" -> (q175 _),
+    "q176_pair_distance_profile" -> (q176 _),
+    "q177_surrogate_key_audit" -> (q177 _),
+    "q178_calibration" -> (q178 _),
+    "q179_water_fill" -> (q179 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

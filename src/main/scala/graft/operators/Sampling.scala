@@ -252,6 +252,72 @@ object Sampling {
       .select(col(idCol), col(srcCol), col(tokenCol), col("cum_tokens"))
   }
 
+  /** Water-filling token allocation: the max-proportional mixture plan when
+    * some sources cannot supply their target share. [[epochMixPlan]] holds
+    * each source's target fixed and reports deficits; this operator
+    * REDISTRIBUTES capped sources' shortfall to the sources that still have
+    * supply, solving for the highest water level `T` with
+    * `Σ min(capacity_s, weight_s · T) = budget` — a source is saturated
+    * (gives everything) iff `capacity_s / weight_s ≤ T`, everyone else
+    * contributes proportionally at level `T`.
+    *
+    * Exact greedy in one pass over the |sources|-row capacity frame: sorted
+    * by the saturation ratio ascending, the saturated set is a PREFIX, and
+    * row k is saturated iff
+    * `cap_k · (W − cumW_prev) ≤ w_k · (B − cumC_prev)` with exclusive
+    * prefix sums over ALL prior rows (prior rows are exactly the saturated
+    * ones inside the prefix, and once the test fails it fails for every
+    * later row — f(k) decreases past the boundary while ratios increase).
+    * The level itself then comes from the saturated totals via one
+    * conditional aggregate. Shuffle cost: one map-side-combined groupBy
+    * over the corpus for capacities; everything after runs on |sources|
+    * rows (the unpartitioned ratio-order window is bounded by the source
+    * count, not rows — same contract as the curriculum-bin value frame).
+    * Allocations floor() to whole tokens (engine-portable, same rule as
+    * [[epochMixPlan]]); budgets beyond total capacity saturate every source
+    * and report a null water level. */
+  def waterFillAllocation(df: DataFrame, srcCol: String, tokenCol: String,
+                          weights: Map[String, Double],
+                          budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens > 0")
+    require(weights.values.forall(_ > 0), "weights > 0")
+    val caps = df.groupBy(col(srcCol))
+      .agg(sum(col(tokenCol)).cast("double").as("cap"))
+      .withColumn("weight", element_at(typedLit(weights), col(srcCol)))
+      .filter(col("weight").isNotNull && col("cap") > 0)
+      .withColumn("ratio", col("cap") / col("weight"))
+    val wOrd = Window.orderBy(col("ratio"), col(srcCol))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val flagged = caps
+      .withColumn("cum_c", coalesce(sum(col("cap")).over(wPrev), lit(0.0)))
+      .withColumn("cum_w", coalesce(sum(col("weight")).over(wPrev), lit(0.0)))
+      .withColumn("tot_w", sum(col("weight")).over(wAll))
+      .withColumn("saturated",
+        col("cap") * (col("tot_w") - col("cum_w")) <=
+          col("weight") * (lit(budgetTokens.toDouble) - col("cum_c")))
+    val level = flagged.agg(
+      sum(when(col("saturated"), col("cap")).otherwise(0.0)).as("__sc"),
+      sum(when(col("saturated"), col("weight")).otherwise(0.0)).as("__sw"),
+      max(col("tot_w")).as("__tw"))
+      .select(when(col("__tw") > col("__sw"),
+        (lit(budgetTokens.toDouble) - col("__sc")) /
+          (col("__tw") - col("__sw"))).as("__level"))
+    flagged.crossJoin(broadcast(level))
+      .select(col(srcCol), col("weight"),
+        col("cap").cast("long").as("capacity_tokens"),
+        round(col("ratio"), 2).as("saturation_ratio"),
+        col("saturated"),
+        when(col("saturated"), col("cap"))
+          .otherwise(floor(col("weight") * col("__level")))
+          .cast("long").as("alloc_tokens"),
+        round(when(col("saturated"), lit(1.0))
+          .otherwise(col("weight") * col("__level") / col("cap")), 6)
+          .as("fill_frac"),
+        round(col("__level"), 2).as("water_level"))
+  }
+
   /** Epoch-aware mixture plan — the "how many passes over each source fills
     * the token budget at the target mix" calculation (the repetition
     * schedule of LLaMA/DoReMi-style data mixing, where small high-weight

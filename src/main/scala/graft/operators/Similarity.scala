@@ -75,6 +75,51 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Cosine-similarity profile of a deterministic pair sample — the
+    * distribution stats (exact discrete quantiles + mean/extremes) an ANN /
+    * LSH deployment reads BEFORE picking its knobs: the near-dup cosine
+    * threshold, the hyperplane band count ([[graft.operators.Dedup.embeddingNearDupsLsh]]),
+    * and the IVF probe budget all depend on where the corpus's random-pair
+    * similarity mass sits (a tight mass near 0.9 needs many more bits to
+    * split than one near 0.2).
+    *
+    * Sampling is id-modulus (reproducible, any engine recomputes
+    * membership); the two residue classes give ~n/modA × n/modB pairs, so
+    * the pair frame is quadratic ONLY in the sample — pick moduli so
+    * (n/modA)·(n/modB) stays ~10⁶ at the target corpus (the knob rule:
+    * grow moduli ∝ n). Quantiles use the engine-portable ceil-rank
+    * selection over the pair frame ([[graft.operators.Stats.groupQuantiles]]'s
+    * rule) — the rank window partitions on a constant, bounded by the
+    * sample-pair count by construction, never by the corpus. */
+  def pairDistanceProfile(df: DataFrame, idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          modA: Int = 29, modB: Int = 31,
+                          ps: Seq[Double] = Seq(0.05, 0.25, 0.5, 0.75, 0.95))
+      : DataFrame = {
+    require(modA > 1 && modB > 1, "moduli > 1")
+    VectorFunctions.register(df.sparkSession)
+    val a = df.filter(col(idCol) % modA === 0)
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.filter(col(idCol) % modB === 0)
+      .select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .select(lit(0).as("g"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+      .localCheckpoint() // quantile ranks + moment agg share one pair pass
+    val qs = Stats.groupQuantiles(pairs, "g", "cos", ps)
+    val moments = pairs.groupBy(col("g"))
+      .agg(avg(col("cos")).as("mean_cos"),
+        min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+    val pCols = ps.map(p => "p" + math.round(p * 100)).map(c =>
+      round(col(c), 6).as(c))
+    qs.join(moments, "g")
+      .select(Seq(col("n").as("n_pairs"),
+        round(col("mean_cos"), 6).as("mean_cos"),
+        round(col("min_cos"), 6).as("min_cos"),
+        round(col("max_cos"), 6).as("max_cos")) ++ pCols: _*)
+  }
+
   /** Per-dimension embedding statistics — the whitening/normalization
     * parameter table (mean, std, min, max per dimension) computed before
     * centering, PCA, or product quantization, and the drift check run

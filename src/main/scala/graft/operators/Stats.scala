@@ -345,6 +345,147 @@ object Stats {
     df.join(broadcast(cum), Seq(valueCol))
   }
 
+  /** Binned two-sample Kolmogorov–Smirnov distance between every pair of
+    * groups' value distributions — the multi-source drift matrix ("is src3's
+    * length distribution the same shape as src0's?") run before trusting a
+    * cross-source mixture. PSI ([[psiReport]]) compares two snapshots of one
+    * stream; this compares ALL group pairs at once and reports WHERE the
+    * distributions diverge (the bin realizing the sup).
+    *
+    * Exact KS needs a global sort per group; the binned variant needs only
+    * fixed-width bin COUNTS over the shared global min..max — one scan + one
+    * (group, bin)-key aggregate, shuffle bounded by |groups|·nBins, never by
+    * rows. CDFs are a cumulative window over the densified |groups|·nBins
+    * frame (partitioned by group, nBins rows each); the pairwise sup is a
+    * bin-key self-join of that same small frame. Bin edges come from the
+    * 1-row global min/max aggregate via crossJoin(broadcast) — no driver
+    * collect. The discretization error is bounded by the largest single-bin
+    * mass, reported as `max_bin_share` so a reader can tell a real 0.4 KS
+    * from a coarse-binning artifact. */
+  def ksBinnedDrift(df: DataFrame, groupCol: String, valueCol: String,
+                    nBins: Int = 64): DataFrame = {
+    require(nBins > 1, "nBins > 1")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull)
+      .select(col(groupCol).cast("string").as("g"), v.as("v"))
+    val mm = base.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / nBins
+    val binned = base.crossJoin(broadcast(mm))
+      .withColumn("bin", least(lit(nBins - 1L), greatest(lit(0L),
+        floor((col("v") - col("__lo")) /
+          when(width > 0, width).otherwise(lit(1.0))).cast("long"))))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+    // densify: every (group, bin) cell, zero-filled — the cumulative window
+    // and the pairwise join both need aligned bin frames
+    val groups = binned.select(col("g")).distinct()
+    val bins = df.sparkSession.range(0, nBins.toLong).select(col("id").as("bin"))
+    val dense = groups.crossJoin(broadcast(bins))
+      .join(binned, Seq("g", "bin"), "left")
+      .select(col("g"), col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("g"))
+    val cdf = dense
+      .withColumn("cdf", sum(col("cnt")).over(wcum).cast("double") /
+        sum(col("cnt")).over(wall))
+      .withColumn("bin_share", col("cnt").cast("double") /
+        sum(col("cnt")).over(wall))
+    val a = cdf.select(col("g").as("g_a"), col("bin"),
+      col("cdf").as("cdf_a"), col("bin_share").as("sh_a"))
+    val b = cdf.select(col("g").as("g_b"), col("bin"),
+      col("cdf").as("cdf_b"), col("bin_share").as("sh_b"))
+    val diffs = a.join(b, "bin").filter(col("g_a") < col("g_b"))
+      .withColumn("d", abs(col("cdf_a") - col("cdf_b")))
+    diffs
+      .withColumn("__mx",
+        max(col("d")).over(Window.partitionBy(col("g_a"), col("g_b"))))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(round(max(col("d")), 6).as("ks_stat"),
+        min(when(col("d") === col("__mx"), col("bin"))).as("at_bin"),
+        round(max(greatest(col("sh_a"), col("sh_b"))), 6).as("max_bin_share"))
+  }
+
+  /** Calibration-report bins + expected calibration error for a [0,1]
+    * confidence score against a binary label — the eval a heuristic
+    * classifier (lang-ID confidence, quality logit) gets before its scores
+    * gate a corpus: per fixed-width confidence bin, the mean claimed
+    * confidence vs the empirical positive rate, their gap, and the
+    * n-weighted ECE repeated on every row.
+    *
+    * One scan bins rows (`least(nBins-1, floor(score·nBins))` — scores
+    * exactly 1.0 land in the top bin), one nBins-bounded aggregate per bin,
+    * and the scalar ECE rides a crossJoin(broadcast) of the 1-row weighted
+    * sum — shuffles bounded by the bin count throughout, no collect. Rows
+    * with a null score or label are excluded (they'd shift every bin's
+    * rate under engines' differing null-comparison semantics). */
+  def calibrationReport(df: DataFrame, scoreCol: String, labelCol: String,
+                        nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins > 0")
+    val sc = col(scoreCol).cast("double")
+    val lb = col(labelCol).cast("boolean")
+    val binned = df.filter(sc.isNotNull && lb.isNotNull)
+      .withColumn("bin",
+        least(lit(nBins - 1L), greatest(lit(0L),
+          floor(sc * nBins).cast("long"))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        avg(sc).as("__conf"),
+        avg(lb.cast("double")).as("__rate"))
+    binned.crossJoin(broadcast(binned.agg(
+        (sum(col("n") * abs(col("__conf") - col("__rate"))) /
+          sum(col("n"))).as("__ece")))
+      )
+      .select(col("bin"), col("n"),
+        round(col("__conf"), 6).as("mean_conf"),
+        round(col("__rate"), 6).as("pos_rate"),
+        round(abs(col("__conf") - col("__rate")), 6).as("gap"),
+        round(col("__ece"), 6).as("ece"))
+  }
+
+  /** Surrogate-key collision audit: for each candidate hash width, how many
+    * distinct natural keys collide when assigned `hash mod 2^bits` surrogate
+    * ids, against the birthday-bound expectation m·(1 − (1−1/m)^n) distinct
+    * hashes — the sizing table read before replacing a natural join key
+    * with a fixed-width hash id (the failure mode: silent row merges in
+    * every downstream join). Uses the portable md5-based 32-bit hash
+    * ([[graft.functions.Hashes.portableHash32]]) so widths ≤ 32 are
+    * meaningful and any engine can replay the audit.
+    *
+    * One distinct over the natural keys, one explode to |widths| rows per
+    * key, one (width, hash)-key dedup + width-key count — the shuffle is
+    * |keys|·|widths| narrow rows, and the output is |widths| rows. At
+    * 100 TB run the same audit over [[Sketches.hllDistinct]] register sets
+    * per width instead of the exact dedup; the exact form here is that
+    * sketch's oracle. */
+  def surrogateKeyAudit(df: DataFrame, keyCol: String,
+                        widths: Seq[Int] = Seq(16, 20, 24, 28)): DataFrame = {
+    require(widths.nonEmpty && widths.forall(b => b > 0 && b <= 32),
+      "widths in 1..32")
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull).distinct()
+      .withColumn("h", graft.functions.Hashes.portableHash32(col("k")))
+    val pairs = keys.select(explode(array(widths.map(b =>
+        struct(lit(b.toLong).as("bits"), pmod(col("h"), lit(1L << b)).as("sk")))
+        : _*)).as("p"))
+      .select(col("p.bits").as("bits"), col("p.sk").as("sk"))
+    val perWidth = pairs.groupBy(col("bits"), col("sk"))
+      .agg(count(lit(1)).as("keys_in_bucket"))
+      .groupBy(col("bits"))
+      .agg(sum(col("keys_in_bucket")).cast("long").as("n_keys"),
+        count(lit(1)).cast("long").as("n_hashes"),
+        max(col("keys_in_bucket")).cast("long").as("max_bucket"))
+    perWidth
+      .withColumn("space", pow(lit(2.0), col("bits").cast("double")))
+      .select(col("bits"), col("n_keys"), col("n_hashes"),
+        (col("n_keys") - col("n_hashes")).as("n_collisions"),
+        round(col("n_keys").cast("double") -
+          col("space") * (lit(1.0) -
+            pow(lit(1.0) - lit(1.0) / col("space"),
+              col("n_keys").cast("double"))), 2).as("expected_collisions"),
+        col("max_bucket"))
+      .orderBy(col("bits"))
+  }
+
   /** Population-stability-index drift report between a reference and a
     * current snapshot of one numeric column — the per-feature drift monitor
     * a continuously-ingested corpus runs between snapshots (PSI > 0.25 is

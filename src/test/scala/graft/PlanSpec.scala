@@ -134,7 +134,11 @@ class PlanSpec extends SparkSpec {
       "q148_transition_matrix", // 1-row transition-total control frame
       "q150_rolling_active", // broadcast day-spine range join (|days| rows)
       "q164_join_size_est", // 1-row exact x 1-row estimate control frames
-      "q166_key_overlap") // four 1-row sketch-estimate control frames
+      "q166_key_overlap", // four 1-row sketch-estimate control frames
+      "q175_ks_drift", // 1-row min-max frame + |groups|x|bins| densify cross
+      "q176_pair_distance_profile", // bounded id-modulus sample sides
+      "q178_calibration", // 1-row ECE control frame cross-joined
+      "q179_water_fill") // 1-row water-level control frame cross-joined
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
@@ -173,7 +177,12 @@ class PlanSpec extends SparkSpec {
     // cumulative windows run over the DISTINCT-VALUE table (rounded scores /
     // 2^(2*bits) z-values), never rows. Any new query that grows a global
     // window must either partition it or justify itself onto this list.
-    val boundedFrameAllowed = Set("q75_curriculum_bins", "q101_zorder")
+    val boundedFrameAllowed = Set("q75_curriculum_bins", "q101_zorder",
+      // |sources|-row ratio-order greedy — bounded by the source count
+      "q179_water_fill",
+      // constant-partition quantile rank over the bounded pair sample —
+      // the optimizer folds the lit(0) partition key away
+      "q176_pair_distance_profile")
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",

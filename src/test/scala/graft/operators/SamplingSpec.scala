@@ -272,6 +272,34 @@ class SamplingSpec extends SparkSpec {
     assert(rep(1L) == ((5L, 250L))) // max/min sum ratio 1.2, one-doc bound
   }
 
+  test("waterFillAllocation: saturated prefix gives capacity, rest fills at the solved level") {
+    import spark.implicits._
+    // capacities a=100, b=1000, c=1000; weights .5/.25/.25; budget 1000
+    // a saturates (ratio 200 <= level); level = (1000-100)/0.5 = 1800
+    // b,c alloc floor(.25*1800)=450 each; total = 100+450+450 = 1000
+    val docs = Seq(("a", 100L), ("b", 1000L), ("c", 1000L))
+      .flatMap { case (s, t) => Seq((s, t / 2), (s, t - t / 2)) }
+      .toDF("src", "tok")
+    val out = Sampling.waterFillAllocation(docs, "src", "tok",
+        Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25), budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(4), r.getLong(5), r.getDouble(7)))).toMap
+    assert(out("a") == ((true, 100L, 1800.0)))
+    assert(out("b") == ((false, 450L, 1800.0)))
+    assert(out("c") == ((false, 450L, 1800.0)))
+  }
+
+  test("waterFillAllocation: budget beyond capacity saturates everything, null level; unweighted sources drop") {
+    import spark.implicits._
+    val docs = Seq(("a", 10L), ("b", 20L), ("z", 999L)).toDF("src", "tok")
+    val rows = Sampling.waterFillAllocation(docs, "src", "tok",
+        Map("a" -> 0.5, "b" -> 0.5), budgetTokens = 1000L).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("a", "b")) // z unweighted
+    assert(rows.forall(_.getBoolean(4)), "all saturated past total capacity")
+    assert(rows.map(_.getLong(5)).sum == 30L) // alloc == capacity
+    assert(rows.forall(_.isNullAt(7)), "no finite water level")
+  }
+
   test("balancedShards weight ties break by id and ranks stay globally unique") {
     import spark.implicits._
     val docs = Seq((5L, 10), (3L, 10), (8L, 10), (1L, 10)).toDF("id", "w")

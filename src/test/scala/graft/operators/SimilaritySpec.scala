@@ -411,6 +411,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) == ((0L, 0.0))) // no hits, still reported
   }
 
+  test("pairDistanceProfile matches a brute-force recomputation of the pair sample") {
+    val e = dim64 // ids 0..9; A = evens, B = multiples of 3, pairs id_a < id_b
+    val out = Similarity.pairDistanceProfile(e, "vec_id", "embedding",
+      modA = 2, modB = 3, ps = Seq(0.5)).collect()(0)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, na, nb), (x, y)) =>
+          (d + x.toDouble * y.toDouble, na + x.toDouble * x.toDouble,
+            nb + y.toDouble * y.toDouble)
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val pairs = for {
+      a <- vecs.keys.toSeq if a % 2 == 0
+      b <- vecs.keys.toSeq if b % 3 == 0 && a < b
+    } yield cos(vecs(a), vecs(b))
+    assert(out.getLong(0) == pairs.length.toLong)
+    val sorted = pairs.sorted
+    val p50 = sorted(math.ceil(0.5 * pairs.length).toInt - 1)
+    assert(math.abs(out.getDouble(4) - p50) < 1e-6, "ceil-rank median")
+    assert(math.abs(out.getDouble(2) - sorted.head) < 1e-6)
+    assert(math.abs(out.getDouble(3) - sorted.last) < 1e-6)
+    assert(math.abs(out.getDouble(1) - pairs.sum / pairs.length) < 1e-6)
+  }
+
   private def dim64 = {
     // deterministic 64-d vectors with mixed signs
     def v(seed: Int) = Array.tabulate(64)(i =>

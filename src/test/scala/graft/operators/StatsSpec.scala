@@ -205,6 +205,74 @@ class StatsSpec extends SparkSpec {
     assert(tiny.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("ksBinnedDrift: identical distributions score 0, disjoint ones score 1") {
+    val same = (1 to 50).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble)))
+    val ks0 = Stats.ksBinnedDrift(same.toDF("g", "v"), "g", "v", nBins = 10)
+      .collect()
+    assert(ks0.length == 1)
+    assert(ks0(0).getDouble(2) == 0.0, "identical groups must have KS 0")
+    // a occupies [1,50], c occupies [1001,1050]: CDFs never overlap -> KS 1,
+    // realized at the last bin a fully occupies
+    val far = (1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("c", 1000.0 + i))
+    val ks1 = Stats.ksBinnedDrift(far.toDF("g", "v"), "g", "v", nBins = 10)
+      .collect()
+    assert(ks1.length == 1)
+    assert(ks1(0).getDouble(2) == 1.0, "disjoint supports must have KS 1")
+    assert(ks1(0).getLong(3) == 0L, "sup realized where a's mass ends")
+  }
+
+  test("ksBinnedDrift densifies empty bins: sparse group CDFs stay aligned") {
+    // b has mass only in the top bin; without zero-filled cells its CDF rows
+    // would be missing for bins 0..8 and the pairwise join would drop them
+    val rows = (1 to 90).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 90.0), ("b", 89.0))
+    val out = Stats.ksBinnedDrift(rows.toDF("g", "v"), "g", "v", nBins = 9)
+      .collect()
+    assert(out.length == 1)
+    // a's CDF at the second-to-last bin is ~8/9ths, b's is 0 -> KS near 0.88
+    assert(out(0).getDouble(2) > 0.8 && out(0).getDouble(2) < 1.0)
+  }
+
+  test("calibrationReport: per-bin gaps and the n-weighted ECE") {
+    // bin 9 (conf .9): 4 rows, 3 positives -> gap |.9 - .75| = .15
+    // bin 1 (conf .1): 6 rows, 0 positives -> gap .1
+    // ECE = (4*.15 + 6*.1) / 10 = .12
+    val rows = Seq.fill(3)((0.9, true)) ++ Seq((0.9, false)) ++
+      Seq.fill(6)((0.1, false))
+    val out = Stats.calibrationReport(rows.toDF("score", "label"),
+      "score", "label", nBins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out.keySet == Set(1L, 9L))
+    assert(out(9L) == ((4L, 0.9, 0.75, 0.15, 0.12)))
+    assert(out(1L) == ((6L, 0.1, 0.0, 0.1, 0.12)))
+    // a score of exactly 1.0 lands in the top bin, not bin nBins
+    val top = Stats.calibrationReport(Seq((1.0, true)).toDF("s", "l"),
+      "s", "l", nBins = 10).collect()
+    assert(top.length == 1 && top(0).getLong(0) == 9L)
+  }
+
+  test("surrogateKeyAudit: narrow widths collide, keys count is width-invariant") {
+    val df = (1 to 500).map(i => s"key_$i").toDF("k")
+    val out = Stats.surrogateKeyAudit(df, "k", widths = Seq(4, 30))
+      .collect().map(r => r.getLong(0).toInt ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    // 500 keys into 16 slots: heavy collisions, every slot multi-occupied
+    val (n4, h4, c4, mb4) = out(4)
+    assert(n4 == 500L && h4 == 16L && c4 == 484L && mb4 >= 32L)
+    // 500 keys into 2^30 slots: collisions essentially impossible
+    val (n30, h30, c30, _) = out(30)
+    assert(n30 == 500L && c30 == n30 - h30 && c30 <= 1L)
+    // duplicate natural keys dedup before hashing
+    val dup = Stats.surrogateKeyAudit(
+      (1 to 100).map(i => s"key_${i % 10}").toDF("k"), "k", Seq(16))
+      .collect()
+    assert(dup(0).getLong(1) == 10L)
+  }
+
   test("globalRank plans only range-partitioned windows — never a global sort") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = (1 to 100).map(i => (i.toLong, (i % 5).toDouble)).toDF("id", "v")
