@@ -238,6 +238,64 @@ object EventTimeOps {
       }
   }
 
+  final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelState(stage: Int, startTs: Long)
+  final case class FunnelHit(user_id: Long, start_ts: Timestamp,
+                             end_ts: Timestamp, latency_ms: Long)
+
+  /** Streaming ordered-funnel detector: emit one row per key each time the
+    * full `steps` sequence completes within `windowMs` of the FIRST step —
+    * the live twin of the batch [[graft.operators.EventOps.conversionFunnel]]
+    * (which reports aggregate stage counts after the fact; this fires the
+    * moment a user converts, e.g. to trigger a fulfillment action or an
+    * online metric).
+    *
+    * Per key the state is (current stage, funnel start time) — two words,
+    * bounded and hot-key-immune like [[debounce]]'s. Advancement rules:
+    * first-touch (a repeated earlier step never restarts a funnel in
+    * progress — the earliest qualifying chain wins, matching the batch
+    * operator's first-event minimums); an expired funnel (now − start >
+    * window) resets BEFORE the current event applies, so a late step-0
+    * event starts a fresh attempt; completion emits and resets, so
+    * back-to-back conversions each count. Why flatMapGroupsWithState: the
+    * decision at each event depends on the key's unbounded-in-time
+    * prior chain (stream-stream interval joins would need |steps|−1
+    * cascaded joins, each buffering a window of BOTH sides). In-batch
+    * events apply in (ts, event_type) order — the sorted-batch replay
+    * contract shared by every stateful operator here. */
+  def streamingFunnel(events: Dataset[TypedEvent], steps: Seq[String],
+                      windowMs: Long)
+                     (implicit spark: SparkSession): Dataset[FunnelHit] = {
+    import spark.implicits._
+    require(steps.length >= 2, "a funnel needs at least 2 steps")
+    require(steps.distinct.length == steps.length, "steps must be distinct")
+    require(windowMs > 0, "windowMs > 0")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val hits = Seq.newBuilder[FunnelHit]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (s.stage > 0 && t - s.startTs > windowMs)
+              s = FunnelState(0, Long.MinValue) // expired before this event
+            if (s.stage == 0) {
+              if (e.event_type == steps.head) s = FunnelState(1, t)
+            } else if (e.event_type == steps(s.stage)) {
+              if (s.stage + 1 == steps.length) {
+                hits += FunnelHit(userId, new Timestamp(s.startTs), e.ts,
+                  t - s.startTs)
+                s = FunnelState(0, Long.MinValue)
+              } else s = FunnelState(s.stage + 1, s.startTs)
+            }
+          }
+          state.update(s)
+          hits.result().iterator
+      }
+  }
+
   /** Convenience: run the sessionizer over a memory/file stream and collect
     * into an in-memory sink table (update mode — state emits per trigger;
     * drive with processAllAvailable in tests). */

@@ -291,6 +291,83 @@ class EventTimeOpsSpec extends SparkSpec {
     assert(table.read.count() == 1)
   }
 
+  test("streamingFunnel: ordered completion within the window, first-touch, expiry resets") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import EventTimeOps.{TypedEvent, FunnelHit}
+    val mem = MemoryStream[TypedEvent]
+    val q = EventTimeOps.streamingFunnel(mem.toDS(),
+        steps = Seq("view", "cart", "buy"), windowMs = 30 * 60 * 1000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_hits").start()
+    mem.addData(
+      // user 1 completes in order within 20 min; the repeated "view" at
+      // t=10 must NOT restart the clock (first-touch)
+      TypedEvent(1L, ts(0), "view"), TypedEvent(1L, ts(5), "cart"),
+      TypedEvent(1L, ts(10), "view"), TypedEvent(1L, ts(20), "buy"),
+      // user 2: out of order (buy before cart) -> no hit
+      TypedEvent(2L, ts(0), "view"), TypedEvent(2L, ts(5), "buy"),
+      // user 3: completes but outside the 30-min window -> expired
+      TypedEvent(3L, ts(0), "view"), TypedEvent(3L, ts(5), "cart"))
+    q.processAllAvailable()
+    mem.addData(TypedEvent(3L, Timestamp.valueOf("2024-01-01 10:45:00"), "buy"))
+    q.processAllAvailable()
+    val hits = spark.table("funnel_hits").as[FunnelHit].collect()
+    assert(hits.length == 1, s"hits: ${hits.toSeq}")
+    assert(hits(0).user_id == 1L && hits(0).latency_ms == 20 * 60 * 1000)
+    // user 3's expired funnel reset: a fresh full chain converts
+    mem.addData(
+      TypedEvent(3L, Timestamp.valueOf("2024-01-01 11:00:00"), "view"),
+      TypedEvent(3L, Timestamp.valueOf("2024-01-01 11:05:00"), "cart"),
+      TypedEvent(3L, Timestamp.valueOf("2024-01-01 11:10:00"), "buy"))
+    q.processAllAvailable()
+    val after = spark.table("funnel_hits").as[FunnelHit].collect()
+    q.stop()
+    assert(after.length == 2)
+    assert(after.map(_.user_id).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("streamingFunnel: kill at the state-store boundary — in-flight funnel survives, exactly-once hits") {
+    // Same replay gate as debounce/ewmaAlerts: user 1's funnel is mid-flight
+    // (view+cart applied) when the sink crashes inside the commit window of
+    // the batch carrying "buy". A state store restored to the wrong version
+    // would either lose the in-flight stages (no hit ever) or re-emit the
+    // hit on replay (duplicate); the restart must deliver exactly one.
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import EventTimeOps.{TypedEvent, FunnelHit}
+    val ckpt = tmpDir("funnel_ckpt")
+    val table = new graft.merge.ParquetTable(spark, tmpDir("funnel_table"))
+    val mem = MemoryStream[TypedEvent]
+    def runOnce(): Unit = {
+      val q = EventTimeOps.streamingFunnel(mem.toDS(),
+          steps = Seq("view", "cart", "buy"), windowMs = 60 * 60 * 1000)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelHit], id: Long) =>
+          table.append(batch.toDF(), txn = Some(("funnel_gate", id)))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    mem.addData(TypedEvent(1L, ts(0), "view"), TypedEvent(1L, ts(5), "cart"))
+    runOnce()
+    assert(table.read.count() == 0) // in flight, nothing emitted yet
+    mem.addData(TypedEvent(1L, ts(10), "buy"))
+    table.onPreCommit = () => throw new RuntimeException("injected crash")
+    intercept[Exception] { runOnce() }
+    table.onPreCommit = () => ()
+    assert(table.read.count() == 0) // atomic snapshot: crash left nothing
+    runOnce() // replay batch against the restored pre-batch state
+    val got = table.read.as[FunnelHit].collect()
+    assert(got.length == 1 && got(0).user_id == 1L &&
+      got(0).latency_ms == 10 * 60 * 1000, s"after replay: ${got.toSeq}")
+    // restart with no new data: no further emissions, no version churn
+    val v = table.latestVersion
+    runOnce()
+    assert(table.latestVersion == v && table.read.count() == 1)
+  }
+
   test("mapGroupsWithState sessionizer rolls sessions across the gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
