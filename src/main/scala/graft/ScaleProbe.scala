@@ -316,6 +316,33 @@ object ScaleProbe {
         Dedup.lshBucketProfile(docs, "text", "doc_id",
             bands = 4, rowsPerBand = 2)
           .agg(sum(col("cand_pairs")).cast("long")).collect()(0).getLong(0)
+      }),
+      // q176 distance profile: pair-frame size at FIXED moduli grows
+      // ~100x/decade (quadratic in the sample) — the measurement behind
+      // the operator's knob rule. The _scaled twin grows both moduli
+      // proportionally to n (sampled sides held ~50 rows each), which must
+      // hold the pair frame scale-INVARIANT across decades.
+      "q176_pair_rows" -> (() => {
+        import org.apache.spark.sql.functions._
+        val a = emb.filter(col("vec_id") % 17 === 0).count()
+        val b = emb.filter(col("vec_id") % 19 === 0).count()
+        a * b // upper bound; the id_a < id_b filter halves the overlap only
+      }),
+      "q176_pair_rows_scaled" -> (() => {
+        import org.apache.spark.sql.functions._
+        val n = emb.count()
+        // knob rule: moduli ∝ n — each sample side stays ~50 rows, the
+        // pair frame ~2500 at ANY corpus size
+        val m = math.max(2L, n / 50)
+        val a = emb.filter(col("vec_id") % m === 0).count()
+        val b = emb.filter(col("vec_id") % (m + 2) === 0).count()
+        a * b
+      }),
+      // q175 KS drift: the post-scan state is |sources|x32 dense cells +
+      // |sources|^2/2 output pairs — both corpus-size-invariant
+      "q175_cells" -> (() => {
+        import org.apache.spark.sql.functions._
+        docs.select(col("source")).distinct().count() * 32
       })
     )
 
