@@ -1410,6 +1410,91 @@ object OracleSql {
 
     // the analytic S-curve on the same (divisor, sim-grid) lattice; pow
     // and division replayed in double on both engines
+    // vocab coverage curve: full-vocab counts, rank by (cnt desc, token),
+    // per-k conditional mass sums
+    "q180_vocab_coverage" ->
+      s"""WITH counts AS (SELECT t AS token, count(*) AS cnt
+         |  FROM (SELECT unnest($toksExpr) AS t FROM documents) GROUP BY 1),
+         |ranked AS (SELECT cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+         |  FROM counts),
+         |tot AS (SELECT sum(cnt)::BIGINT AS total_tokens,
+         |    count(*)::BIGINT AS vocab_size FROM counts),
+         |ks AS (SELECT unnest([10, 100, 1000, 5000])::BIGINT AS k)
+         |SELECT k,
+         |  coalesce(sum(CASE WHEN rnk <= k THEN cnt END), 0)::BIGINT
+         |    AS covered_tokens,
+         |  ${rnd("coalesce(sum(CASE WHEN rnk <= k THEN cnt END), 0)::DOUBLE" +
+           " / total_tokens::DOUBLE", 6)} AS coverage,
+         |  vocab_size, total_tokens
+         |FROM ks CROSS JOIN ranked CROSS JOIN tot
+         |GROUP BY k, vocab_size, total_tokens""".stripMargin,
+
+    // dedup savings: components from the shared 64-bit simhash pair CTEs,
+    // lowest-id canonical per family, per-source doc/token survival sums
+    "q181_dedup_savings" ->
+      s"""WITH RECURSIVE ${simhash64PairsCtes(3)},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d),
+         |comp AS (SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n),
+         |canon AS (SELECT component_id, min(doc_id) AS canonical
+         |  FROM comp GROUP BY 1),
+         |keepf AS (SELECT c.doc_id, (c.doc_id = k.canonical) AS keep
+         |  FROM comp c JOIN canon k USING (component_id))
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN coalesce(kf.keep, TRUE) THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_surviving_docs,
+         |  sum(CASE WHEN coalesce(kf.keep, TRUE) THEN n_chars ELSE 0 END)::BIGINT
+         |    AS surviving_tokens,
+         |  ${rnd("1.0 - sum(CASE WHEN coalesce(kf.keep, TRUE) THEN n_chars" +
+           " ELSE 0 END)::DOUBLE / sum(n_chars)::DOUBLE", 6)} AS savings_frac
+         |FROM documents d LEFT JOIN keepf kf ON d.doc_id = kf.doc_id
+         |GROUP BY source""".stripMargin,
+
+    // split-leakage audit: q114's component split vs the same rule with
+    // the component table empty (a per-document hash split), each counted
+    // over the shared near-dup pair set
+    "q182_split_leakage" ->
+      s"""WITH RECURSIVE ${simhash64PairsCtes(3)},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d),
+         |comp AS (SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n),
+         |asg AS (SELECT d.doc_id,
+         |    ${h32("coalesce(c.component_id, d.doc_id)::VARCHAR")} % 10000 AS bs,
+         |    ${h32("d.doc_id::VARCHAR")} % 10000 AS bn
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN bs < 8000 THEN 'train' WHEN bs < 9000 THEN 'val'
+         |         ELSE 'test' END AS s_safe,
+         |    CASE WHEN bn < 8000 THEN 'train' WHEN bn < 9000 THEN 'val'
+         |         ELSE 'test' END AS s_naive
+         |  FROM asg),
+         |j AS (SELECT a.s_safe AS sa_safe, b.s_safe AS sb_safe,
+         |    a.s_naive AS sa_naive, b.s_naive AS sb_naive
+         |  FROM pairs p JOIN sp a ON a.doc_id = p.id_a
+         |  JOIN sp b ON b.doc_id = p.id_b)
+         |SELECT 'naive_hash' AS method, count(*)::BIGINT AS n_pairs,
+         |  sum(CASE WHEN sa_naive <> sb_naive THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_cross_pairs,
+         |  ${rnd("sum(CASE WHEN sa_naive <> sb_naive THEN 1 ELSE 0 END)" +
+           "::DOUBLE / count(*)::DOUBLE", 6)} AS leakage_frac
+         |FROM j
+         |UNION ALL
+         |SELECT 'component_safe', count(*)::BIGINT,
+         |  sum(CASE WHEN sa_safe <> sb_safe THEN 1 ELSE 0 END)::BIGINT,
+         |  ${rnd("sum(CASE WHEN sa_safe <> sb_safe THEN 1 ELSE 0 END)" +
+           "::DOUBLE / count(*)::DOUBLE", 6)}
+         |FROM j""".stripMargin,
+
     // binned two-sample KS: 32 shared fixed-width bins over the global
     // n_chars range, densified per source, cumulative shares, pairwise sup
     "q175_ks_drift" ->

@@ -1982,6 +1982,43 @@ object SparkEntry {
       // and leaves the rest filling proportionally — both branches exercised
       budgetTokens = 30000L)
 
+  /** Vocabulary coverage curve: token-mass share covered by the top-k
+    * tokens for four candidate vocab sizes — the tokenizer-budget sizing
+    * table, one bounded top-k pass over the vocab counts. */
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.vocabCoverage(
+      TW(s, dir, "documents"), "text", ks = Seq(10, 100, 1000, 5000))
+
+  /** Dedup savings per source over the 64-bit SimHash near-dup families:
+    * docs/tokens removed if each family keeps its lowest-id canonical —
+    * the "what does dedup buy" report and the post-dedup capacity input
+    * to a mixture plan. */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+    val pairs = Dedup.simHashNearDups64(docs, "text", "doc_id",
+      maxHamming = 3).localCheckpoint()
+    Dedup.dedupSavingsReport(docs, pairs, "doc_id", "source", "n_chars")
+  }
+
+  /** Split-leakage audit: near-dup pairs straddling splits under a naive
+    * per-document hash split vs q114's component-keyed split — the proof
+    * the leakage-safe split actually held (its cross count must be 0). */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+    val pairs = Dedup.simHashNearDups64(docs, "text", "doc_id",
+      maxHamming = 3).localCheckpoint()
+    val comps = Dedup.connectedComponents(pairs)
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    // the naive method is the SAME split rule with no component table:
+    // component_id degenerates to the doc id, i.e. a per-document hash
+    val safe = graft.operators.Sampling.leakageSafeSplit(
+      docs, comps, "doc_id", splits)
+    val naive = graft.operators.Sampling.leakageSafeSplit(
+      docs, comps.limit(0), "doc_id", splits)
+    graft.operators.Sampling.splitLeakageAudit(pairs, "id_a", "id_b",
+      Seq(("naive_hash", naive), ("component_safe", safe)), "doc_id")
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2163,7 +2200,10 @@ object SparkEntry {
     "q176_pair_distance_profile" -> (q176 _),
     "q177_surrogate_key_audit" -> (q177 _),
     "q178_calibration" -> (q178 _),
-    "q179_water_fill" -> (q179 _)
+    "q179_water_fill" -> (q179 _),
+    "q180_vocab_coverage" -> (q180 _),
+    "q181_dedup_savings" -> (q181 _),
+    "q182_split_leakage" -> (q182 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

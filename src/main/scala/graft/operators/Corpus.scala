@@ -57,6 +57,50 @@ object Corpus {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Vocabulary coverage curve: for each candidate vocab size k, the share
+    * of ALL token occurrences the top-k most frequent tokens cover — the
+    * tokenizer-budget sizing table ("is 32k entries enough, or does this
+    * corpus need 100k?") and the direct complement of [[oovRate]] (which
+    * audits ONE fixed vocab; this sweeps the size axis in a single pass).
+    *
+    * One token-count aggregate (shuffle bounded by the vocabulary, not
+    * occurrences — map-side partials collapse repeats), then ONE bounded
+    * top-max(ks) [[graft.functions.TopKAgg]] carries every rank the curve
+    * needs: no global sort of the vocab table, no rank window. Ranks tie
+    * on (count desc, token asc) — deterministic on any engine. A k larger
+    * than the vocabulary saturates at coverage 1. */
+  def vocabCoverage(df: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "ks > 0")
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val maxK = ks.max
+    val counts = df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).cast("long").as("n_occ"))
+    val top = counts.agg(
+      graft.functions.TopKAgg.topK(
+        struct(negate(col("n_occ")).as("negn"), col("token").as("token")),
+        maxK).as("arr"),
+      sum(col("n_occ")).cast("long").as("total_tokens"),
+      count(lit(1)).cast("long").as("vocab_size"))
+    val ranked = top
+      .select(col("total_tokens"), col("vocab_size"), posexplode(col("arr")))
+      .select(col("total_tokens"), col("vocab_size"),
+        (col("pos") + 1).cast("long").as("rank"),
+        negate(col("col.negn")).as("cnt"))
+    val aggs = ks.map(k =>
+      sum(when(col("rank") <= k, col("cnt"))).cast("long").as(s"__c_$k"))
+    val row = ranked.groupBy(col("total_tokens"), col("vocab_size"))
+      .agg(aggs.head, aggs.tail: _*)
+    val structs = ks.map(k => struct(lit(k.toLong).as("k"),
+      coalesce(col(s"__c_$k"), lit(0L)).as("covered_tokens")))
+    row.select(col("total_tokens"), col("vocab_size"),
+        explode(array(structs: _*)).as("p"))
+      .select(col("p.k").as("k"), col("p.covered_tokens").as("covered_tokens"),
+        round(col("p.covered_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("coverage"),
+        col("vocab_size"), col("total_tokens"))
+  }
+
   /** Zipf fit per source: OLS of ln(frequency) on ln(rank) over the
     * top-`topN` tokens — slope ~ -1 is the healthy-natural-text signature;
     * a flat slope flags template/boilerplate sources and a cliff flags

@@ -733,6 +733,43 @@ object Dedup {
         col("score"), col("n_members").cast("long").as("n_members"))
   }
 
+  /** Dedup savings accounting: per source, how many documents and tokens a
+    * near-dup pass would REMOVE if each duplicate family kept only its
+    * lowest-id canonical — the "what does dedup buy us" report read before
+    * paying for the full survivorship pipeline (and the per-source budget
+    * input to a mixture plan over the deduped corpus: post-dedup capacities
+    * feed [[graft.operators.Sampling.waterFillAllocation]]).
+    *
+    * `pairs` is any verified near-dup pair table (the scale-safe 64-bit
+    * banded [[simHashNearDups64]] at the gates); components ride the
+    * measured log-round [[connectedComponents]] fixpoint. After that the
+    * whole report is one |members|-row join back to the corpus and one
+    * source-key aggregate — docs outside any duplicate family never enter
+    * the join (left join, default keep). */
+  def dedupSavingsReport(df: DataFrame, pairs: DataFrame, idCol: String,
+                         srcCol: String, weightCol: String): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val canon = comp.groupBy(col("component"))
+      .agg(min(col("node")).as("__canonical"))
+    val keep = comp.join(canon, "component")
+      .select(col("node").as(idCol),
+        (col("node") === col("__canonical")).as("__keep"))
+    val w = col(weightCol).cast("long")
+    df.select(col(idCol), col(srcCol), w.as("__w"))
+      .join(keep, Seq(idCol), "left")
+      .withColumn("__keep", coalesce(col("__keep"), lit(true)))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__w")).cast("long").as("n_tokens"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).cast("long")
+          .as("n_surviving_docs"),
+        sum(when(col("__keep"), col("__w")).otherwise(0L)).cast("long")
+          .as("surviving_tokens"))
+      .withColumn("savings_frac",
+        round(lit(1.0) - col("surviving_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6))
+  }
+
   /** Cluster-quality audit over a near-dup clustering: for each connected
     * component, its member count, intra-cluster edge count, and the
     * min/max of the pair metric (Jaccard, Hamming, cosine) across those

@@ -143,6 +143,35 @@ object Sampling {
     joined.select(col(idCol), col("component_id"), splitCol.as("split"))
   }
 
+  /** Split-leakage audit: for each candidate split ASSIGNMENT, how many
+    * verified near-dup pairs straddle two different splits — the number
+    * that must be ZERO for the split protecting an eval set
+    * ([[leakageSafeSplit]]'s whole reason to exist) and is substantially
+    * nonzero for a naive per-document hash split on any corpus with
+    * duplicate families. Run it to PROVE the split held, not assume it.
+    *
+    * Per method: two id-equi-joins of the pair table against the
+    * assignment (hash joins on the doc id — the assignment is corpus-sized,
+    * so this shuffles on the id, never on the component), one 1-row count
+    * aggregate. Output is |methods| rows. */
+  def splitLeakageAudit(pairs: DataFrame, idA: String, idB: String,
+                        assignments: Seq[(String, DataFrame)],
+                        idCol: String): DataFrame = {
+    require(assignments.nonEmpty, "at least one assignment")
+    assignments.map { case (method, asg) =>
+      val a = asg.select(col(idCol).as(idA), col("split").as("__sa"))
+      val b = asg.select(col(idCol).as(idB), col("split").as("__sb"))
+      pairs.join(a, idA).join(b, idB)
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+            .cast("long").as("n_cross_pairs"))
+        .select(lit(method).as("method"), col("n_pairs"),
+          col("n_cross_pairs"),
+          round(col("n_cross_pairs").cast("double") /
+            col("n_pairs").cast("double"), 6).as("leakage_frac"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Source-weighted mixture sampling — the "mix datasets at given ratios"
     * step of a training pipeline: keep ~`weights(source)` of each source's
     * rows, chosen by id-hash so membership is reproducible and externally

@@ -298,4 +298,17 @@ class CorpusSpec extends SparkSpec {
     // points: (ln1, ln4), (ln2, ln2) -> slope = (ln2-ln4)/(ln2-ln1) = -1
     assert(r.getDouble(2) == -1.0)
   }
+
+  test("vocabCoverage: rank ties break by token, curve saturates past the vocab") {
+    import spark.implicits._
+    // counts: a=4, b=2, c=2, d=1 (9 tokens, vocab 4); b/c tie -> b rank 2
+    val docs = Seq((1L, "a a b c"), (2L, "a a b c d")).toDF("doc_id", "text")
+    val out = Corpus.vocabCoverage(docs, "text", ks = Seq(1, 2, 3, 10))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((4L, 0.444444, 4L, 9L)))
+    assert(out(2L) == ((6L, 0.666667, 4L, 9L))) // top-2 = a + b (tie-break)
+    assert(out(3L) == ((8L, 0.888889, 4L, 9L)))
+    assert(out(10L) == ((9L, 1.0, 4L, 9L))) // k > vocab saturates
+  }
 }

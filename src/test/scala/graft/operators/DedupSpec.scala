@@ -466,4 +466,21 @@ class DedupSpec extends SparkSpec {
     val (n, lo) = out(("books", "web"))
     assert(n == 1L && lo > 0.2 && lo < 0.6)
   }
+
+  test("dedupSavingsReport: lowest-id canonical survives per family, singletons always survive") {
+    import spark.implicits._
+    // family {1,2,3} (src a), singleton 4 (src a), family {5,6} (src b)
+    val docs = Seq((1L, "a", 100L), (2L, "a", 50L), (3L, "a", 25L),
+      (4L, "a", 10L), (5L, "b", 40L), (6L, "b", 60L))
+      .toDF("doc_id", "source", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupSavingsReport(docs, pairs, "doc_id", "source", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // a: keeps doc 1 (canonical) + doc 4 (singleton) = 110 of 185 tokens
+    assert(out("a") == ((4L, 185L, 2L, 110L, 0.405405)))
+    // b: keeps doc 5 -> saves 60/100
+    assert(out("b") == ((2L, 100L, 1L, 40L, 0.6)))
+  }
 }
