@@ -1410,6 +1410,89 @@ object OracleSql {
 
     // the analytic S-curve on the same (divisor, sim-grid) lattice; pow
     // and division replayed in double on both engines
+    // planted-dup recall: truncated twins under offset ids, q20's full
+    // minhash chain over the union, recovered = pairs at exactly the offset
+    "q183_planted_recall" -> {
+      val sh = shinglesExpr("t", 3)
+      s"""WITH base AS (SELECT doc_id AS id, text FROM documents),
+         |tw AS (SELECT doc_id + 10000000 AS id,
+         |    array_to_string(list_slice($toksExpr, 1,
+         |      greatest(1, ceil(len($toksExpr) * 0.7))::INT), ' ') AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |allc AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+         |toksU AS (SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |  FROM allc),
+         |shing AS (SELECT id, $sh AS sh FROM toksU),
+         |hashed AS (SELECT id, sh, list_transform(sh, x -> ${h32("x")}) AS hs
+         |  FROM shing),
+         |sigs AS (SELECT id, list_distinct(sh) AS shset,
+         |  ${minhashSigExpr("hs", 8)} AS sig FROM hashed),
+         |banded AS (SELECT id, band,
+         |    array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '_') AS bucket
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |jac AS (SELECT id_a, id_b,
+         |  CASE WHEN len(list_distinct(list_concat(sa.shset, sb.shset))) = 0 THEN 0.0
+         |       ELSE len(list_intersect(sa.shset, sb.shset))::DOUBLE
+         |            / len(list_distinct(list_concat(sa.shset, sb.shset)))::DOUBLE END AS jaccard
+         |  FROM cands JOIN sigs sa ON sa.id = cands.id_a
+         |  JOIN sigs sb ON sb.id = cands.id_b)
+         |SELECT (SELECT count(*) FROM tw)::BIGINT AS n_planted,
+         |  coalesce(sum(CASE WHEN id_b = id_a + 10000000 THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS n_recovered,
+         |  ${rnd("coalesce(sum(CASE WHEN id_b = id_a + 10000000 THEN 1 ELSE 0 END), 0)" +
+           "::DOUBLE / (SELECT count(*) FROM tw)::DOUBLE", 6)} AS recall
+         |FROM jac WHERE jaccard >= 0.2""".stripMargin
+    },
+
+    // hour-of-day chi-square vs uniform: densified 24-bin profile per type,
+    // peak hour by max-count equi-join (ties earliest)
+    "q184_hourly_uniformity" ->
+      s"""WITH counts AS (SELECT event_type AS t, hour(ts)::BIGINT AS h,
+         |    count(*) AS cnt
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |dense AS (SELECT t, s.h, coalesce(cnt, 0) AS cnt
+         |  FROM (SELECT DISTINCT t FROM counts)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 23))::BIGINT AS h) s
+         |  LEFT JOIN counts USING (t, h)),
+         |stats AS (SELECT t, sum(cnt)::BIGINT AS n, max(cnt) AS mx
+         |  FROM dense GROUP BY 1),
+         |chi AS (SELECT d.t,
+         |    sum((d.cnt - s.n / 24.0) * (d.cnt - s.n / 24.0) / (s.n / 24.0))
+         |      AS chi2
+         |  FROM dense d JOIN stats s USING (t) GROUP BY 1),
+         |peak AS (SELECT d.t, min(d.h) AS peak_hour
+         |  FROM dense d JOIN stats s USING (t) WHERE d.cnt = s.mx GROUP BY 1)
+         |SELECT s.t AS event_type, s.n, ${rnd("chi2", 4)} AS chi2, peak_hour,
+         |  ${rnd("s.mx::DOUBLE / s.n::DOUBLE", 6)} AS peak_share
+         |FROM stats s JOIN chi ON chi.t = s.t JOIN peak ON peak.t = s.t""".stripMargin,
+
+    // per-label centroid cosine between id-parity halves
+    "q185_centroid_shift" ->
+      s"""WITH dims AS (SELECT label, vec_id % 2 AS half,
+         |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         |    unnest(embedding) AS x FROM embeddings),
+         |means AS (SELECT label, half, dim, avg(x::DOUBLE) AS m
+         |  FROM dims GROUP BY 1, 2, 3),
+         |j AS (SELECT a.label, a.m AS ma, b.m AS mb
+         |  FROM means a JOIN means b
+         |  ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1),
+         |per AS (SELECT label, sum(ma * mb) AS dot, sum(ma * ma) AS na,
+         |    sum(mb * mb) AS nb, avg(abs(ma - mb)) AS shift
+         |  FROM j GROUP BY 1),
+         |sizes AS (SELECT label,
+         |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+         |  FROM embeddings GROUP BY 1)
+         |SELECT label, n_a, n_b,
+         |  ${rnd("CASE WHEN na > 0 AND nb > 0" +
+           " THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END", 6)}
+         |    AS centroid_cosine,
+         |  ${rnd("shift", 6)} AS mean_abs_shift
+         |FROM per JOIN sizes USING (label)""".stripMargin,
+
     // vocab coverage curve: full-vocab counts, rank by (cnt desc, token),
     // per-k conditional mass sums
     "q180_vocab_coverage" ->

@@ -2019,6 +2019,27 @@ object SparkEntry {
       Seq(("naive_hash", naive), ("component_safe", safe)), "doc_id")
   }
 
+  /** Planted-duplicate recall of the q20 MinHash LSH operating point:
+    * every 10th doc truncated to its first 70% of tokens and planted under
+    * an offset id; the report is the measured recall of the banded pass on
+    * those known pairs — the empirical check on q174's analytic S-curve. */
+  private def q183(s: SparkSession, dir: String): DataFrame =
+    Dedup.plantedDupRecall(TW(s, dir, "documents"), "text", "doc_id",
+      sampleMod = 10, keepFrac = 0.7, idOffset = 10000000L,
+      threshold = 0.2, bands = 4, rowsPerBand = 2)
+
+  /** Hour-of-day chi-square uniformity per event type: diurnal-structure /
+    * scheduled-job detector with the peak hour and its share. */
+  private def q184(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.hourOfDayUniformity(
+      T(s, dir, "events"), "event_type", "ts")
+
+  /** Per-label centroid agreement between the two id-parity halves of the
+    * embedding corpus — the encoder-stability / split-sanity audit. */
+  private def q185(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidShift(
+      T(s, dir, "embeddings"), "vec_id", "embedding", "label")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2203,7 +2224,10 @@ object SparkEntry {
     "q179_water_fill" -> (q179 _),
     "q180_vocab_coverage" -> (q180 _),
     "q181_dedup_savings" -> (q181 _),
-    "q182_split_leakage" -> (q182 _)
+    "q182_split_leakage" -> (q182 _),
+    "q183_planted_recall" -> (q183 _),
+    "q184_hourly_uniformity" -> (q184 _),
+    "q185_centroid_shift" -> (q185 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -733,6 +733,49 @@ object Dedup {
         col("score"), col("n_members").cast("long").as("n_members"))
   }
 
+  /** Planted-duplicate recall harness: deterministically corrupt a sample
+    * of documents (keep the first `keepFrac` of each one's tokens), plant
+    * the twins back into the corpus under offset ids, run the banded
+    * MinHash near-dup pass at the operating point under test, and report
+    * what fraction of the planted (original, twin) pairs it recovered —
+    * the measured-recall number behind [[lshOperatingPoints]]' analytic
+    * S-curve ("measure, don't guess" applied to the dedup pass itself,
+    * with a corruption level you control instead of whatever the corpus
+    * happens to contain).
+    *
+    * Everything is id-hash/modulus deterministic, so any engine replays
+    * the exact planted set. Cost is one [[verifiedNearDups]] run over a
+    * corpus grown by ~1/sampleMod — the same banded-bucket scale shape as
+    * the pass being audited; the recall arithmetic is two 1-row frames.
+    * Truncation (not random token drops) keeps the corruption portable
+    * and pins planted-pair Jaccard near (L−k·s)/L for an L-token doc,
+    * s = 1−keepFrac — pick `keepFrac` to place the probe on the S-curve. */
+  def plantedDupRecall(df: DataFrame, textCol: String, idCol: String,
+                       sampleMod: Int, keepFrac: Double, idOffset: Long,
+                       threshold: Double, bands: Int = 4, rowsPerBand: Int = 2,
+                       shingleK: Int = 3): DataFrame = {
+    require(sampleMod > 1, "sampleMod > 1")
+    require(keepFrac > 0 && keepFrac < 1, "keepFrac in (0,1)")
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol), col(textCol))
+    val planted = df.filter(col(idCol) % sampleMod === 0)
+      .select((col(idCol) + idOffset).as(idCol),
+        array_join(slice(toks, lit(1),
+          greatest(lit(1L), ceil(size(toks).cast("double") * keepFrac))
+            .cast("int")), " ").as(textCol))
+      .localCheckpoint() // planted twice (union + count) — corrupt once
+    val pairs = verifiedNearDups(base.unionByName(planted), textCol, idCol,
+      threshold, bands, rowsPerBand, shingleK)
+    val nPlanted = planted.agg(count(lit(1)).cast("long").as("n_planted"))
+    val nRec = pairs.agg(
+      coalesce(sum(when(col("id_b") === col("id_a") + idOffset, 1L)
+        .otherwise(0L)), lit(0L)).cast("long").as("n_recovered"))
+    nPlanted.crossJoin(broadcast(nRec))
+      .select(col("n_planted"), col("n_recovered"),
+        round(col("n_recovered").cast("double") /
+          col("n_planted").cast("double"), 6).as("recall"))
+  }
+
   /** Dedup savings accounting: per source, how many documents and tokens a
     * near-dup pass would REMOVE if each duplicate family kept only its
     * lowest-id canonical — the "what does dedup buy us" report read before

@@ -265,6 +265,51 @@ object EventOps {
         element_at(col("ps"), 2).cast("long").as("p90_delay_s"))
   }
 
+  /** Hour-of-day uniformity test per event type: the 24-bin count profile
+    * reduced to a chi-square statistic against the uniform expectation —
+    * the seasonality/bot-traffic detector (χ² far above the df=23
+    * reference says the type has strong diurnal structure or a scheduled
+    * job behind it; the peak hour and its share say where). Statistic
+    * only — no p-value table, the conventional reference is documented,
+    * not enforced.
+    *
+    * One scan bins rows to (type, hour); the chi-square needs EMPTY hours
+    * to contribute (0−e)²/e, so the |types|×24 frame is densified from a
+    * broadcast 24-row spine before the per-type reduction. Every
+    * aggregation after the scan is bounded by |types|×24; the peak hour
+    * resolves with a max-count equi-join back onto that same small frame
+    * (ties take the earliest hour) — no rank window. */
+  def hourOfDayUniformity(df: DataFrame, typeCol: String,
+                          tsCol: String): DataFrame = {
+    val counts = df.filter(col(tsCol).isNotNull)
+      .select(col(typeCol).as("t"), hour(col(tsCol)).cast("long").as("h"))
+      .groupBy(col("t"), col("h")).agg(count(lit(1)).as("cnt"))
+    val spine = df.sparkSession.range(0, 24).select(col("id").as("h"))
+    val dense = counts.select(col("t")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(counts, Seq("t", "h"), "left")
+      .select(col("t"), col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .localCheckpoint() // feeds the chi2 agg AND the peak join — bin once
+    val stats = dense.groupBy(col("t"))
+      .agg(sum(col("cnt")).cast("long").as("n"),
+        max(col("cnt")).as("__mx"))
+    val chi = dense.join(broadcast(stats), "t")
+      .withColumn("__e", col("n").cast("double") / 24.0)
+      .groupBy(col("t"))
+      .agg(max(col("n")).as("n"), max(col("__mx")).as("__mx"),
+        sum((col("cnt") - col("__e")) * (col("cnt") - col("__e")) / col("__e"))
+          .as("__chi2"))
+    val peak = dense.join(broadcast(stats), "t")
+      .filter(col("cnt") === col("__mx"))
+      .groupBy(col("t")).agg(min(col("h")).as("peak_hour"))
+    chi.join(broadcast(peak), "t")
+      .select(col("t").as("event_type"), col("n"),
+        round(col("__chi2"), 4).as("chi2"),
+        col("peak_hour"),
+        round(col("__mx").cast("double") / col("n").cast("double"), 6)
+          .as("peak_share"))
+  }
+
   def sessionWindowAgg(df: DataFrame, userCol: String, tsCol: String,
                        valueCol: String, gap: String): DataFrame =
     df.groupBy(col(userCol), session_window(col(tsCol), gap).as("sw"))

@@ -75,6 +75,51 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Per-label centroid agreement between two deterministic halves of the
+    * corpus (id parity): cosine between each label's half-A and half-B mean
+    * vectors, plus the mean absolute per-dimension shift — the
+    * encoder-stability / split-sanity check ([[dimStats]] audits global
+    * per-dimension moments; this audits whether each CLASS's center is
+    * stable, the thing a classifier or ANN label filter actually depends
+    * on). A healthy split scores ~1.0 per label; a label whose halves
+    * disagree is either undersampled or heterogeneous.
+    *
+    * One posexplode moves the vectors once; means, the half-join, and the
+    * per-label reduction are all bounded by |labels|×dim. Half sizes ride
+    * the same scan. */
+  def labelCentroidShift(df: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         labelCol: String = "label"): DataFrame = {
+    val dims = graft.Tables.widen(df)
+      .select(col(labelCol).as("lbl"), (col(idCol) % 2).as("half"),
+        posexplode(col(vecCol)).as(Seq("dim", "xr")))
+      .select(col("lbl"), col("half"), col("dim"),
+        col("xr").cast("double").as("x"))
+    val means = dims.groupBy(col("lbl"), col("half"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+    val a = means.filter(col("half") === 0)
+      .select(col("lbl"), col("dim"), col("m").as("ma"))
+    val b = means.filter(col("half") === 1)
+      .select(col("lbl"), col("dim"), col("m").as("mb"))
+    val per = a.join(b, Seq("lbl", "dim"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("ma") * col("mb")).as("__dot"),
+        sum(col("ma") * col("ma")).as("__na"),
+        sum(col("mb") * col("mb")).as("__nb"),
+        avg(abs(col("ma") - col("mb"))).as("__shift"))
+    val sizes = df.groupBy(col(labelCol).as("lbl"))
+      .agg(sum(when(col(idCol) % 2 === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_a"),
+        sum(when(col(idCol) % 2 === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_b"))
+    per.join(broadcast(sizes), "lbl")
+      .select(col("lbl").as(labelCol), col("n_a"), col("n_b"),
+        round(when(col("__na") > 0 && col("__nb") > 0,
+          col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb"))))
+          .otherwise(lit(0.0)), 6).as("centroid_cosine"),
+        round(col("__shift"), 6).as("mean_abs_shift"))
+  }
+
   /** Cosine-similarity profile of a deterministic pair sample — the
     * distribution stats (exact discrete quantiles + mean/extremes) an ANN /
     * LSH deployment reads BEFORE picking its knobs: the near-dup cosine

@@ -138,7 +138,8 @@ class PlanSpec extends SparkSpec {
       "q175_ks_drift", // 1-row min-max frame + |groups|x|bins| densify cross
       "q176_pair_distance_profile", // bounded id-modulus sample sides
       "q178_calibration", // 1-row ECE control frame cross-joined
-      "q179_water_fill") // 1-row water-level control frame cross-joined
+      "q179_water_fill", // 1-row water-level control frame cross-joined
+      "q184_hourly_uniformity") // |types| x broadcast 24-row spine densify
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
@@ -146,7 +147,7 @@ class PlanSpec extends SparkSpec {
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
       "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
       "q114_leakage_safe_split", "q132_ivf_append", "q172_cluster_stats",
-      "q181_dedup_savings", "q182_split_leakage")
+      "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
@@ -189,7 +190,7 @@ class PlanSpec extends SparkSpec {
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
       "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
       "q114_leakage_safe_split", "q132_ivf_append", "q172_cluster_stats",
-      "q181_dedup_savings", "q182_split_leakage")
+      "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
@@ -216,7 +217,7 @@ class PlanSpec extends SparkSpec {
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
       "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
       "q114_leakage_safe_split", "q132_ivf_append", "q172_cluster_stats",
-      "q181_dedup_savings", "q182_split_leakage")
+      "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val frames = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: LWindow => w.windowExpressions.flatMap(_.collect {

@@ -467,6 +467,29 @@ class DedupSpec extends SparkSpec {
     assert(n == 1L && lo > 0.2 && lo < 0.6)
   }
 
+  test("plantedDupRecall: high-overlap twins recover fully; count and pairing are exact") {
+    import spark.implicits._
+    // 4 sampled docs (ids 10,20,30,40 under mod 10), each 20 distinct words:
+    // keepFrac .9 leaves 18/20 tokens -> shingle Jaccard ~0.84, certain
+    // catch for 2-row bands on an 8-hash signature
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until 20).map(w => s"w${i}_$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.plantedDupRecall(docs, "text", "doc_id",
+      sampleMod = 10, keepFrac = 0.9, idOffset = 1000L,
+      threshold = 0.2, bands = 4, rowsPerBand = 2).collect()(0)
+    assert(out.getLong(0) == 4L, "every 10th doc plants one twin")
+    assert(out.getLong(1) == 4L && out.getDouble(2) == 1.0,
+      s"high-overlap twins must all recover: $out")
+    // an aggressive truncation (keep 1 of 20 tokens -> < shingleK tokens,
+    // empty shingle set) recovers nothing: recall honestly reports 0
+    val hard = Dedup.plantedDupRecall(docs, "text", "doc_id",
+      sampleMod = 10, keepFrac = 0.05, idOffset = 1000L,
+      threshold = 0.2, bands = 4, rowsPerBand = 2).collect()(0)
+    assert(hard.getLong(0) == 4L && hard.getLong(1) == 0L &&
+      hard.getDouble(2) == 0.0)
+  }
+
   test("dedupSavingsReport: lowest-id canonical survives per family, singletons always survive") {
     import spark.implicits._
     // family {1,2,3} (src a), singleton 4 (src a), family {5,6} (src b)

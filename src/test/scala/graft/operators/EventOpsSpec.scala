@@ -204,4 +204,19 @@ class EventOpsSpec extends SparkSpec {
     // day 10: only u1, and days 1/3 are outside the trailing window
     assert(out("2026-01-10") == ((1L, 1L)))
   }
+
+  test("hourOfDayUniformity: uniform profile scores 0, point-mass profile scores (n-1)^2/e + 23e") {
+    // "flat": one event in every hour -> chi2 exactly 0
+    val flat = (0 until 24).map(h =>
+      ("flat", Timestamp.valueOf(f"2026-01-01 $h%02d:15:00")))
+    // "spike": 24 events all in hour 3 -> e = 1; chi2 = 23^2 + 23*1 = 552
+    val spike = (1 to 24).map(_ =>
+      ("spike", Timestamp.valueOf("2026-01-01 03:30:00")))
+    val df = (flat ++ spike).toDF("event_type", "ts")
+    val out = EventOps.hourOfDayUniformity(df, "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("flat") == ((24L, 0.0, 0L, 0.041667)))
+    assert(out("spike") == ((24L, 552.0, 3L, 1.0)))
+  }
 }

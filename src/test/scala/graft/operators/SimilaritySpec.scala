@@ -411,6 +411,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) == ((0L, 0.0))) // no hits, still reported
   }
 
+  test("labelCentroidShift: identical halves score cosine 1, orthogonal halves 0") {
+    // label 1: every vector (1,0) -> half centroids identical
+    // label 2: even ids (1,0), odd ids (0,1) -> orthogonal half centroids
+    val rows = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(1f, 0f), 1),
+      (2L, Array(1f, 0f), 1), (3L, Array(1f, 0f), 1),
+      (10L, Array(1f, 0f), 2), (11L, Array(0f, 1f), 2),
+      (12L, Array(1f, 0f), 2), (13L, Array(0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidShift(rows, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1) == ((2L, 2L, 1.0, 0.0)))
+    assert(out(2) == ((2L, 2L, 0.0, 1.0))) // |1-0| + |0-1| over 2 dims -> 1
+  }
+
   test("pairDistanceProfile matches a brute-force recomputation of the pair sample") {
     val e = dim64 // ids 0..9; A = evens, B = multiples of 3, pairs id_a < id_b
     val out = Similarity.pairDistanceProfile(e, "vec_id", "embedding",
