@@ -97,8 +97,27 @@ object Bench {
     // The constraint: this line plus sbt's trailing "[success] Total time:
     // ..." line (~75 chars) must fit the harness's 2000-char log tail.
     // 1900 leaves that margin while degrading precision as late as possible.
+    // Past ~180 queries even 1-decimal full coverage overflows; rather than
+    // the old empty-map fallback (which silently discarded every per-query
+    // number), keep the SLOWEST prefix that fits at 2-decimal resolution
+    // and say how many fast queries were dropped — the heavy tail is the
+    // signal a bench consumer reads, and the omission is explicit.
+    def renderTop(keep: Int): String = {
+      def fmt(v: Double): String = {
+        val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+        else s
+      }
+      val top = results.toSeq.sortBy(-_._2).take(keep).sortBy(_._1)
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top,""" +
+        s""""queries_omitted":${results.size - math.min(keep, results.size)},"sf":"$sfDir"}"""
+    }
     val line = Seq(3, 2, 1).map(render).find(_.length <= 1900)
-      .getOrElse(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir"}""")
+      .getOrElse((results.size to 1 by -10).view.map(renderTop)
+        .find(_.length <= 1900)
+        .getOrElse(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir"}"""))
     println(line)
     spark.stop()
   }

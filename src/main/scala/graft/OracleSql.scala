@@ -1410,6 +1410,69 @@ object OracleSql {
 
     // the analytic S-curve on the same (divisor, sim-grid) lattice; pow
     // and division replayed in double on both engines
+    // join pre-flight card: q164's CMS estimator + q166's HLL overlap +
+    // per-side (n, top-share) + the threshold-implied strategy
+    "q186_join_preflight" -> {
+      def sk(table: String, key: String, alias: String): String = {
+        val b = s"${h32(s"j::VARCHAR || ':' || $key::VARCHAR")} % 256"
+        s"""$alias AS (SELECT j, $b AS b, count(*) AS c
+           |  FROM (SELECT $key FROM $table WHERE $key IS NOT NULL)
+           |  CROSS JOIN js GROUP BY 1, 2)""".stripMargin
+      }
+      val m = 256
+      val maxRho = graft.operators.Sketches.hllMaxRho(m)
+      val c = graft.operators.Sketches.hllScaleC(m)
+      def regCte(alias: String, table: String, key: String): String =
+        s"""$alias AS (SELECT h & ${m - 1} AS reg,
+           |    max(CASE WHEN (h >> 8) = 0 THEN $maxRho
+           |             ELSE $maxRho - length(bin(h >> 8)) END) AS rho
+           |  FROM (SELECT ('0x' || substr(md5($key::VARCHAR), 1, 15))::BIGINT AS h
+           |        FROM $table WHERE $key IS NOT NULL) GROUP BY 1)"""
+          .stripMargin
+      def estCte(alias: String, regs: String, name: String): String =
+        s"""$alias AS (SELECT CASE
+           |    WHEN ($c)::DOUBLE / total <= ${2.5 * m} AND np < $m
+           |    THEN ($m.0)::DOUBLE * ln(($m.0)::DOUBLE / ($m - np))
+           |    ELSE ($c)::DOUBLE / total END AS $name FROM (
+           |  SELECT np, (scaled + ($m - np) * (1::BIGINT << $maxRho))::DOUBLE AS total
+           |  FROM (SELECT count(*) AS np,
+           |      sum(1::BIGINT << ($maxRho - rho))::BIGINT AS scaled FROM $regs)))"""
+          .stripMargin
+      def sideCte(alias: String, table: String, key: String, n: String,
+                  sh: String): String =
+        s"""$alias AS (SELECT coalesce(sum(cc), 0)::BIGINT AS $n,
+           |  ${rnd(s"CASE WHEN coalesce(sum(cc), 0) > 0 THEN" +
+             s" coalesce(max(cc), 0)::DOUBLE / sum(cc)::DOUBLE" +
+             s" ELSE 0.0 END", 6)} AS $sh
+           |  FROM (SELECT count(*) AS cc FROM $table
+           |        WHERE $key IS NOT NULL GROUP BY $key))""".stripMargin
+      s"""WITH js AS (SELECT unnest([0, 1, 2]) AS j),
+         |${sk("orders", "o_custkey", "sa")},
+         |${sk("customer", "c_custkey", "sb")},
+         |dot AS (SELECT min(dj)::BIGINT AS est_join_rows FROM (
+         |  SELECT sa.j, sum(sa.c * sb.c) AS dj
+         |  FROM sa JOIN sb ON sa.j = sb.j AND sa.b = sb.b GROUP BY 1)),
+         |${regCte("rga", "orders", "o_custkey")},
+         |${regCte("rgb", "customer", "c_custkey")},
+         |rgu AS (SELECT coalesce(a.reg, b.reg) AS reg,
+         |    greatest(coalesce(a.rho, 0), coalesce(b.rho, 0)) AS rho
+         |  FROM rga a FULL OUTER JOIN rgb b ON a.reg = b.reg),
+         |${estCte("ea", "rga", "ea")},
+         |${estCte("eb", "rgb", "eb")},
+         |${estCte("eu", "rgu", "eu")},
+         |${sideCte("sl", "orders", "o_custkey", "n_left", "left_top_share")},
+         |${sideCte("sr", "customer", "c_custkey", "n_right", "right_top_share")}
+         |SELECT n_left, left_top_share, n_right, right_top_share,
+         |  est_join_rows,
+         |  ${rnd("greatest(ea + eb - eu, 0.0)", 2)} AS est_overlap_keys,
+         |  CASE WHEN n_right <= 1000 THEN 'broadcast_right'
+         |       WHEN n_left <= 1000 THEN 'broadcast_left'
+         |       WHEN greatest(left_top_share, right_top_share) > 0.1 THEN 'salt'
+         |       ELSE 'shuffle_hash' END AS strategy
+         |FROM sl CROSS JOIN sr CROSS JOIN dot
+         |CROSS JOIN ea CROSS JOIN eb CROSS JOIN eu""".stripMargin
+    },
+
     // planted-dup recall: truncated twins under offset ids, q20's full
     // minhash chain over the union, recovered = pairs at exactly the offset
     "q183_planted_recall" -> {

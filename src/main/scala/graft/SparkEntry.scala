@@ -2040,6 +2040,15 @@ object SparkEntry {
     Similarity.labelCentroidShift(
       T(s, dir, "embeddings"), "vec_id", "embedding", "label")
 
+  /** Join pre-flight card for orders ⋈ customer on custkey: sizes, CMS
+    * output-size estimate, HLL key overlap, top-key shares, and the
+    * threshold-implied strategy — one row, all sketch/count-bounded. */
+  private def q186(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.joinPreflightCard(
+      T(s, dir, "orders"), "o_custkey", T(s, dir, "customer"), "c_custkey",
+      cmsWidth = 256, cmsDepth = 3, hllM = 256,
+      broadcastRowLimit = 1000L, skewShareLimit = 0.1)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2227,7 +2236,8 @@ object SparkEntry {
     "q182_split_leakage" -> (q182 _),
     "q183_planted_recall" -> (q183 _),
     "q184_hourly_uniformity" -> (q184 _),
-    "q185_centroid_shift" -> (q185 _)
+    "q185_centroid_shift" -> (q185 _),
+    "q186_join_preflight" -> (q186 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

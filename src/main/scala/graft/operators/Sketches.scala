@@ -231,6 +231,55 @@ object Sketches {
         col("est_join_rows") - col("exact_join_rows"))
   }
 
+  /** Join pre-flight CARD: the one-row decision artifact a planner reads
+    * before committing a big join, combining every pre-flight this module
+    * provides — per-side row counts, the CMS inner-product OUTPUT-size
+    * estimate ([[cmsJoinSizeEstimate]]'s estimator half), the HLL
+    * distinct-key overlap ([[hllKeyOverlap]]'s estimator half), per-side
+    * top-key shares (the [[graft.operators.Stats.keySkewProfile]] signal
+    * reduced to its decision bit), and the strategy the thresholds imply:
+    * `broadcast_left`/`broadcast_right` when a side fits the broadcast
+    * budget, `salt` when either side's hottest key exceeds the skew
+    * share limit, else `shuffle_hash`.
+    *
+    * Every component is sketch- or count-bounded: two depth×width CMS
+    * grids, three m-register HLL tables, two per-key count tables reduced
+    * to (n, max) — nothing the size of the join output ever materializes,
+    * and all seven 1-row frames cross-join broadcast into the card. The
+    * per-side max-key-count is exact here (it is the oracle for the CMS
+    * point estimate a 100 TB run would use instead); thresholds are
+    * caller-owned knobs, the card just applies them deterministically. */
+  def joinPreflightCard(left: DataFrame, leftKey: String,
+                        right: DataFrame, rightKey: String,
+                        cmsWidth: Int = 256, cmsDepth: Int = 3,
+                        hllM: Int = 256,
+                        broadcastRowLimit: Long = 100000L,
+                        skewShareLimit: Double = 0.1): DataFrame = {
+    def sideStats(df: DataFrame, keyCol: String, n: String, sh: String) =
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as(n),
+          coalesce(max(col("c")), lit(0L)).as("__mx"))
+        .select(col(n), round(when(col(n) > 0,
+          col("__mx").cast("double") / col(n).cast("double"))
+          .otherwise(lit(0.0)), 6).as(sh))
+    val la = sideStats(left, leftKey, "n_left", "left_top_share")
+    val rb = sideStats(right, rightKey, "n_right", "right_top_share")
+    val size = cmsJoinSizeEstimate(left, leftKey, right, rightKey,
+      cmsWidth, cmsDepth).select(col("est_join_rows"))
+    val overlap = hllKeyOverlap(left, leftKey, right, rightKey, hllM)
+      .select(col("est_overlap").as("est_overlap_keys"))
+    la.crossJoin(broadcast(rb))
+      .crossJoin(broadcast(size))
+      .crossJoin(broadcast(overlap))
+      .withColumn("strategy",
+        when(col("n_right") <= broadcastRowLimit, lit("broadcast_right"))
+          .when(col("n_left") <= broadcastRowLimit, lit("broadcast_left"))
+          .when(greatest(col("left_top_share"), col("right_top_share"))
+            > skewShareLimit, lit("salt"))
+          .otherwise(lit("shuffle_hash")))
+  }
+
   /** Distinct-key OVERLAP pre-flight for a join: |keys(A) ∩ keys(B)|
     * estimated by inclusion–exclusion over three HLL sketches —
     * est(A) + est(B) − est(A ∪ B) — where the union sketch is the

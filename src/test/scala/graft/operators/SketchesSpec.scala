@@ -185,4 +185,34 @@ class SketchesSpec extends SparkSpec {
     val out = Sketches.hllMergedDistinct(rows, "v", Seq("ga", "gb")).collect()(0)
     assert(out.getLong(0) == 2L, s"expected 2 distinct group tuples, got $out")
   }
+
+  test("joinPreflightCard: every strategy branch fires at its threshold") {
+    import spark.implicits._
+    def card(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+             bc: Long, skew: Double) =
+      Sketches.joinPreflightCard(l, "k", r, "k",
+        broadcastRowLimit = bc, skewShareLimit = skew).collect()(0)
+    val flat = (1 to 100).map(i => i.toLong).toDF("k")      // uniform keys
+    val hot = ((1 to 80).map(_ => 7L) ++ (1 to 20).map(i => 100L + i))
+      .toDF("k")                                            // one key at 80%
+    // small right side -> broadcast_right wins before any other rule
+    val br = card(flat, (1 to 5).map(_.toLong).toDF("k"), bc = 10, skew = 0.1)
+    assert(br.getString(6) == "broadcast_right", br.toString)
+    assert(br.getLong(0) == 100L && br.getLong(2) == 5L)
+    // small LEFT side (right too big to broadcast) -> broadcast_left
+    val bl = card((1 to 5).map(_.toLong).toDF("k"), flat, bc = 10, skew = 0.1)
+    assert(bl.getString(6) == "broadcast_left", bl.toString)
+    // no broadcast fit, hot key share 0.8 > 0.1 -> salt
+    val sa = card(hot, flat, bc = 10, skew = 0.1)
+    assert(sa.getString(6) == "salt", sa.toString)
+    assert(sa.getDouble(1) == 0.8)
+    // uniform both sides, no broadcast fit -> shuffle_hash
+    val shf = card(flat, flat, bc = 10, skew = 0.1)
+    assert(shf.getString(6) == "shuffle_hash", shf.toString)
+    // the card's estimates stay sane on the uniform self-join: every key
+    // matches itself once, so the CMS estimate >= the exact 100 and the
+    // HLL overlap lands near 100
+    assert(shf.getLong(4) >= 100L)
+    assert(math.abs(shf.getDouble(5) - 100.0) < 25.0)
+  }
 }
