@@ -1410,6 +1410,33 @@ object OracleSql {
 
     // the analytic S-curve on the same (divisor, sim-grid) lattice; pow
     // and division replayed in double on both engines
+    // persisted-index incremental dedup: build(80%) + append(10%) must
+    // serve the SAME signature rows as one-shot signing of the 90% —
+    // q109's replay with the corpus/batch boundary moved to 9000
+    "q187_index_neardups" -> {
+      val sh = shinglesExpr("t", 3)
+      s"""WITH toks AS (SELECT doc_id AS id, $toksExpr AS t,
+         |    ${h32("doc_id::VARCHAR")} % 10000 AS h FROM documents),
+         |shing AS (SELECT id, h, $sh AS sh FROM toks),
+         |hashed AS (SELECT id, h, sh, list_transform(sh, x -> ${h32("x")}) AS hs FROM shing),
+         |sigs AS (SELECT id, h, list_distinct(sh) AS shset,
+         |  ${minhashSigExpr("hs", 8)} AS sig
+         |  FROM hashed),
+         |banded AS (SELECT id, h, band, array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '_') AS bucket
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |cands AS (SELECT DISTINCT c.id AS corpus_id, n.id AS batch_id
+         |  FROM banded c JOIN banded n ON c.band = n.band AND c.bucket = n.bucket
+         |    AND c.id != n.id AND c.h < 9000 AND n.h >= 9000),
+         |jac AS (SELECT corpus_id, batch_id,
+         |  CASE WHEN len(list_distinct(list_concat(sc.shset, sn.shset))) = 0 THEN 0.0
+         |       ELSE len(list_intersect(sc.shset, sn.shset))::DOUBLE
+         |            / len(list_distinct(list_concat(sc.shset, sn.shset)))::DOUBLE END AS jaccard
+         |  FROM cands JOIN sigs sc ON sc.id = cands.corpus_id
+         |  JOIN sigs sn ON sn.id = cands.batch_id)
+         |SELECT corpus_id, batch_id, ${rnd("jaccard", 3)} AS jaccard
+         |FROM jac WHERE jaccard >= 0.2""".stripMargin
+    },
+
     // join pre-flight card: q164's CMS estimator + q166's HLL overlap +
     // per-side (n, top-share) + the threshold-implied strategy
     "q186_join_preflight" -> {

@@ -2049,6 +2049,26 @@ object SparkEntry {
       cmsWidth = 256, cmsDepth = 3, hllM = 256,
       broadcastRowLimit = 1000L, skewShareLimit = 0.1)
 
+  /** Per-batch dedup against the PERSISTED MinHash index: 80% of docs
+    * build the index (one-time signing), the next 10% append through the
+    * commit log, the last 10% query — pairs must equal a one-shot
+    * incremental run over the 90% corpus, which is what the oracle
+    * replays. The artifact flow a continuously-ingested corpus runs. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+    val h = pmod(Hashes.portableHash32(col("doc_id").cast("string")),
+      lit(10000L))
+    val idxDir = scratchDir("graft_q187")
+    Dedup.writeMinHashIndex(docs.filter(h < 8000), idxDir,
+      bands = 4, rowsPerBand = 2)
+    Dedup.appendToMinHashIndex(docs.filter(h >= 8000 && h < 9000), idxDir,
+      txn = Some(("q187", 1L)))
+    Dedup.nearDupsAgainstIndex(s, idxDir, docs.filter(h >= 9000),
+      threshold = 0.2)
+      .select(col("corpus_id"), col("batch_id"),
+        round(col("jaccard"), 3).as("jaccard"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2237,7 +2257,8 @@ object SparkEntry {
     "q183_planted_recall" -> (q183 _),
     "q184_hourly_uniformity" -> (q184 _),
     "q185_centroid_shift" -> (q185 _),
-    "q186_join_preflight" -> (q186 _)
+    "q186_join_preflight" -> (q186 _),
+    "q187_index_neardups" -> (q187 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

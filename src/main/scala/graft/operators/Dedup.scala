@@ -226,6 +226,88 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // persisted MinHash index (ParquetTable-backed)
+  // -------------------------------------------------------------------------
+
+  final case class MinHashIndexParams(bands: Int, rowsPerBand: Int,
+                                      shingleK: Int)
+
+  private def indexParamsPath(path: String) =
+    java.nio.file.Paths.get(path, "minhash_params.properties")
+
+  /** Materialize [[minHashIndexTable]] as a REAL on-disk artifact — the
+    * dedup twin of [[graft.operators.Similarity.writeIvfIndex]]: the corpus
+    * shingled, hashed, and signed ONCE into a
+    * [[graft.merge.ParquetTable]] at `path/index`, with the banding
+    * parameters pinned in a sidecar file. The ParquetTable commit log makes
+    * every later append atomic (data files without a log row are invisible
+    * to readers) and idempotent under foreachBatch txn replay — the same
+    * guarantees the SCD sinks ride.
+    *
+    * Pinning (bands, rowsPerBand, shingleK) IN the artifact is the
+    * operational point: a reader or appender joining with different
+    * banding than the signatures were built with would silently produce
+    * wrong candidates, so [[appendToMinHashIndex]] and
+    * [[nearDupsAgainstIndex]] take NO banding knobs — they read the
+    * pinned ones. At 100 TB this index is the thing that makes per-batch
+    * dedup affordable: each incoming batch pays one signature pass over
+    * ITSELF, never over the corpus. */
+  def writeMinHashIndex(df: DataFrame, path: String,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        bands: Int = 4, rowsPerBand: Int = 2,
+                        shingleK: Int = 3): Unit = {
+    val spark = df.sparkSession
+    val dir = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(dir)
+    new graft.merge.ParquetTable(spark, s"$path/index")
+      .create(minHashIndexTable(df, textCol, idCol, bands, rowsPerBand,
+        shingleK))
+    java.nio.file.Files.writeString(indexParamsPath(path),
+      s"bands=$bands\nrowsPerBand=$rowsPerBand\nshingleK=$shingleK\n")
+  }
+
+  def readMinHashIndexParams(path: String): MinHashIndexParams = {
+    val kv = java.nio.file.Files.readAllLines(indexParamsPath(path))
+      .toArray(Array.empty[String]).filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.toInt }.toMap
+    MinHashIndexParams(kv("bands"), kv("rowsPerBand"), kv("shingleK"))
+  }
+
+  /** Sign `batch` with the index's pinned parameters and append its rows —
+    * one signature pass over the batch, never the corpus; atomic and
+    * txn-replayable via the ParquetTable commit log. The usual flow:
+    * [[nearDupsAgainstIndex]] first (dedup the batch against everything
+    * accepted so far), drop the dups, then append the survivors. */
+  def appendToMinHashIndex(batch: DataFrame, path: String,
+                           textCol: String = "text",
+                           idCol: String = "doc_id",
+                           txn: Option[(String, Long)] = None): Unit = {
+    val p = readMinHashIndexParams(path)
+    new graft.merge.ParquetTable(batch.sparkSession, s"$path/index")
+      .append(minHashIndexTable(batch, textCol, idCol, p.bands,
+        p.rowsPerBand, p.shingleK), txn = txn)
+  }
+
+  /** [[incrementalNearDups]] against the PERSISTED index: read the committed
+    * signature rows, join the batch's banded keys — the per-batch dedup a
+    * continuously-ingested corpus runs without ever re-signing itself. */
+  def nearDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, batch: DataFrame,
+                           textCol: String = "text",
+                           idCol: String = "doc_id",
+                           threshold: Double = 0.2): DataFrame = {
+    val p = readMinHashIndexParams(path)
+    val index = new graft.merge.ParquetTable(spark, s"$path/index").read
+    incrementalNearDups(batch, index, textCol, idCol, threshold,
+      p.bands, p.rowsPerBand, p.shingleK)
+  }
+
+  // -------------------------------------------------------------------------
   // n-gram Jaccard (exact all-pairs within a candidate join)
   // -------------------------------------------------------------------------
 

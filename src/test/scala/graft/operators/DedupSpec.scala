@@ -490,6 +490,49 @@ class DedupSpec extends SparkSpec {
       hard.getDouble(2) == 0.0)
   }
 
+  test("persisted MinHash index: build+append serves the one-shot signature rows; params pinned; crashed append invisible") {
+    import spark.implicits._
+    val docs = (1L to 30L).map { i =>
+      val words = (0 until 12).map(w => s"w${i % 10}_$w") // 3 near-dup waves
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    val base = docs.filter($"doc_id" <= 20)
+    val batch1 = docs.filter($"doc_id" > 20 && $"doc_id" <= 25)
+    val query = docs.filter($"doc_id" > 25)
+    Dedup.writeMinHashIndex(base, dir, bands = 4, rowsPerBand = 2)
+    // appender/reader take NO banding knobs — the artifact pins them
+    assert(Dedup.readMinHashIndexParams(dir) ==
+      Dedup.MinHashIndexParams(4, 2, 3))
+    Dedup.appendToMinHashIndex(batch1, dir, txn = Some(("spec", 1L)))
+    val fromIndex = Dedup.nearDupsAgainstIndex(spark, dir, query,
+        threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: one-shot in-memory index over the same 25 docs
+    val oneShot = Dedup.incrementalNearDups(query,
+        Dedup.minHashIndexTable(docs.filter($"doc_id" <= 25), "text",
+          "doc_id", bands = 4, rowsPerBand = 2),
+        "text", "doc_id", threshold = 0.2, bands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIndex == oneShot && fromIndex.nonEmpty,
+      s"index pairs $fromIndex != one-shot $oneShot")
+    // a crashed append (data written, commit refused) must stay invisible —
+    // drive the injected crash through the same ParquetTable commit path
+    // appendToMinHashIndex rides (onPreCommit is per-instance)
+    val t = new graft.merge.ParquetTable(spark, s"$dir/index")
+    val v = t.latestVersion
+    t.onPreCommit = () => throw new RuntimeException("injected crash")
+    intercept[Exception] {
+      t.append(Dedup.minHashIndexTable(docs.filter($"doc_id" > 25), "text",
+        "doc_id", bands = 4, rowsPerBand = 2))
+    }
+    t.onPreCommit = () => ()
+    val t2 = new graft.merge.ParquetTable(spark, s"$dir/index")
+    assert(t2.latestVersion == v, "crashed append must not commit")
+    assert(Dedup.nearDupsAgainstIndex(spark, dir, query, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == oneShot)
+  }
+
   test("dedupSavingsReport: lowest-id canonical survives per family, singletons always survive") {
     import spark.implicits._
     // family {1,2,3} (src a), singleton 4 (src a), family {5,6} (src b)
