@@ -1410,6 +1410,38 @@ object OracleSql {
 
     // the analytic S-curve on the same (divisor, sim-grid) lattice; pow
     // and division replayed in double on both engines
+    // day-over-day value drift: q175's binned-KS chain over per-day events
+    "q188_daily_value_drift" ->
+      s"""WITH base AS (SELECT strftime(ts, '%Y-%m-%d') AS g,
+         |    value::DOUBLE AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+         |binned AS (SELECT g,
+         |    least(15, greatest(0, floor((v - lo) /
+         |      (CASE WHEN (hi - lo) / 16 > 0 THEN (hi - lo) / 16
+         |            ELSE 1.0 END))::BIGINT)) AS bin,
+         |    count(*) AS cnt
+         |  FROM base CROSS JOIN mm GROUP BY 1, 2),
+         |dense AS (SELECT g, b.bin, coalesce(cnt, 0) AS cnt
+         |  FROM (SELECT DISTINCT g FROM binned)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 15))::BIGINT AS bin) b
+         |  LEFT JOIN binned USING (g, bin)),
+         |cdf AS (SELECT g, bin,
+         |    (sum(cnt) OVER (PARTITION BY g ORDER BY bin))::DOUBLE /
+         |      sum(cnt) OVER (PARTITION BY g) AS cdf,
+         |    cnt::DOUBLE / sum(cnt) OVER (PARTITION BY g) AS bin_share
+         |  FROM dense),
+         |pairs AS (SELECT a.g AS g_a, b.g AS g_b, a.bin,
+         |    abs(a.cdf - b.cdf) AS d,
+         |    greatest(a.bin_share, b.bin_share) AS sh
+         |  FROM cdf a JOIN cdf b USING (bin) WHERE a.g < b.g),
+         |mx AS (SELECT *, max(d) OVER (PARTITION BY g_a, g_b) AS dmax
+         |  FROM pairs)
+         |SELECT g_a, g_b, ${rnd("max(d)", 6)} AS ks_stat,
+         |  min(CASE WHEN d = dmax THEN bin END)::BIGINT AS at_bin,
+         |  ${rnd("max(sh)", 6)} AS max_bin_share
+         |FROM mx GROUP BY g_a, g_b""".stripMargin,
+
     // persisted-index incremental dedup: build(80%) + append(10%) must
     // serve the SAME signature rows as one-shot signing of the 90% —
     // q109's replay with the corpus/batch boundary moved to 9000

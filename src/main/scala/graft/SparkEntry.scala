@@ -2069,6 +2069,15 @@ object SparkEntry {
         round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Day-over-day value-distribution drift: the q175 binned-KS matrix over
+    * per-day event values — the continuous-ingest monitor shape (every day
+    * pair scored, divergence localized to its bin). */
+  private def q188(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.ksBinnedDrift(
+      T(s, dir, "events").select(
+        to_date(col("ts")).cast("string").as("day"), col("value")),
+      "day", "value", nBins = 16)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2258,7 +2267,8 @@ object SparkEntry {
     "q184_hourly_uniformity" -> (q184 _),
     "q185_centroid_shift" -> (q185 _),
     "q186_join_preflight" -> (q186 _),
-    "q187_index_neardups" -> (q187 _)
+    "q187_index_neardups" -> (q187 _),
+    "q188_daily_value_drift" -> (q188 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

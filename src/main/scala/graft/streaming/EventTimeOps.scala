@@ -296,6 +296,38 @@ object EventTimeOps {
       }
   }
 
+  /** Streaming per-window top-k event types: two chained stateful
+    * aggregations in append mode — watermarked tumbling-window counts per
+    * type, then the bounded [[graft.functions.TopKAgg]] reduces each
+    * window's count table to its k heaviest types the moment the watermark
+    * closes the window. The live "what dominated the last hour" board.
+    *
+    * Why this shape at scale: the first aggregation's state is
+    * |windows|×|types| counters (bounded by the watermark horizon), and the
+    * second carries k entries per open window — never a full sort of the
+    * type space, exactly the q90 heavy-hitter contract made incremental.
+    * Chained stateful aggregations require append mode + the watermark
+    * (Spark's multi-stateful-operator support); results emit once per
+    * CLOSED window, which is the semantics a downstream alert wants. */
+  def windowedTopEvents(events: DataFrame, tsCol: String, typeCol: String,
+                        windowDur: String, watermarkDelay: String, k: Int)
+                       (implicit spark: SparkSession): DataFrame = {
+    require(k > 0, "k > 0")
+    graft.functions.TopKAgg.register(spark)
+    val counts = events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("w"), col(typeCol).as("t"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(col("w"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("cnt")).as("nc"), col("t").as("t")), k).as("arr"))
+      .select(col("w.start").as("window_start"), posexplode(col("arr")))
+      .select(col("window_start"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.t").as(typeCol),
+        negate(col("col.nc")).cast("long").as("cnt"))
+  }
+
   /** Convenience: run the sessionizer over a memory/file stream and collect
     * into an in-memory sink table (update mode — state emits per trigger;
     * drive with processAllAvailable in tests). */

@@ -140,7 +140,8 @@ class PlanSpec extends SparkSpec {
       "q178_calibration", // 1-row ECE control frame cross-joined
       "q179_water_fill", // 1-row water-level control frame cross-joined
       "q184_hourly_uniformity", // |types| x broadcast 24-row spine densify
-      "q186_join_preflight") // seven 1-row sketch/count frames cross-joined
+      "q186_join_preflight", // seven 1-row sketch/count frames cross-joined
+      "q188_daily_value_drift") // q175's 1-row min-max + densify cross
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",

@@ -368,6 +368,33 @@ class EventTimeOpsSpec extends SparkSpec {
     assert(table.latestVersion == v && table.read.count() == 1)
   }
 
+  test("windowedTopEvents: chained stateful aggs emit a closed window's top-k once") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = EventTimeOps.windowedTopEvents(
+        mem.toDF().toDF("ts", "event_type"),
+        "ts", "event_type", windowDur = "10 minutes",
+        watermarkDelay = "0 seconds", k = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("win_topk").start()
+    // window [10:00,10:10): a x3, b x2, c x1 -> top-2 = a, b
+    mem.addData(
+      (ts(1), "a"), (ts(2), "a"), (ts(3), "a"),
+      (ts(4), "b"), (ts(5), "b"), (ts(6), "c"))
+    q.processAllAvailable()
+    // nothing emits while the window is open
+    assert(spark.table("win_topk").count() == 0)
+    // an event past the window end advances the watermark and closes it
+    mem.addData((Timestamp.valueOf("2024-01-01 10:25:00"), "z"))
+    q.processAllAvailable()
+    val rows = spark.table("win_topk").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+    q.stop()
+    assert(rows.toSeq == Seq((1L, "a", 3L), (2L, "b", 2L)),
+      s"expected a=3 then b=2, got ${rows.toSeq}")
+  }
+
   test("mapGroupsWithState sessionizer rolls sessions across the gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
