@@ -131,16 +131,18 @@ object OracleSql {
     * seed-deterministic hyperplanes the Spark side projects onto, embedded
     * as double literals (float -> double is exact). Shared by q39/q51 —
     * each gates a different (bands, bits, threshold) operating point. */
-  private def lshNearDupSql(numBands: Int, bitsPerBand: Int, threshold: String): String = {
+  private def lshNearDupSql(numBands: Int, bitsPerBand: Int, threshold: String,
+                            extraCtes: String = ""): String = {
     val planes = graft.operators.Dedup.randomHyperplanes(numBands, bitsPerBand, dim = 64)
     val rows = planes.zipWithIndex.flatMap { case (band, b) =>
       band.zipWithIndex.map { case (h, i) =>
         s"($b, $i, [${h.map(_.toDouble.toString).mkString(", ")}])"
       }
     }.mkString(",\n")
+    val extra = if (extraCtes.isEmpty) "" else extraCtes + ",\n"
     s"""WITH planes(band, bit, h) AS (VALUES
        |$rows),
-       |keyed AS (
+       |${extra}keyed AS (
        |  SELECT e.vec_id AS id, e.embedding AS v, p.band,
        |    SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
        |          i -> (e.embedding[i]::DOUBLE) * p.h[i])) >= 0
@@ -1410,6 +1412,25 @@ object OracleSql {
 
     // the analytic S-curve on the same (divisor, sim-grid) lattice; pow
     // and division replayed in double on both engines
+    // self-tuned LSH near-dups: threshold = the q176 pair sample's p95
+    // (ceil-rank selection, 6dp like the profile), fed into q51's chain
+    "q189_auto_threshold_neardups" -> {
+      val thrCtes =
+        s"""qa AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings
+           |  WHERE vec_id % 17 = 0),
+           |qb AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings
+           |  WHERE vec_id % 19 = 0),
+           |qp AS (SELECT ${cosineSql("va", "vb")} AS qcos
+           |  FROM qa CROSS JOIN qb WHERE id_a < id_b),
+           |qr AS (SELECT qcos, row_number() OVER (ORDER BY qcos) AS rn,
+           |    count(*) OVER () AS n FROM qp),
+           |thr_t AS (SELECT
+           |  ${rnd("max(CASE WHEN rn = ceil(0.95 * n::DOUBLE) THEN qcos END)", 6)}
+           |    AS thr FROM qr)""".stripMargin
+      lshNearDupSql(numBands = 2, bitsPerBand = 8,
+        threshold = "(SELECT thr FROM thr_t)", extraCtes = thrCtes)
+    },
+
     // day-over-day value drift: q175's binned-KS chain over per-day events
     "q188_daily_value_drift" ->
       s"""WITH base AS (SELECT strftime(ts, '%Y-%m-%d') AS g,

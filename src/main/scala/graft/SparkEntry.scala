@@ -2078,6 +2078,23 @@ object SparkEntry {
         to_date(col("ts")).cast("string").as("day"), col("value")),
       "day", "value", nBins = 16)
 
+  /** Self-tuned embedding near-dups: the LSH pass run at a threshold the
+    * corpus itself supplies — the 95th percentile of the q176 random-pair
+    * cosine sample ("flag pairs significantly closer than random"). The
+    * planner-measures-then-runs loop: the profile is a bounded pair
+    * sample, the threshold a 1-value control-plane collect (DPP-list
+    * contract), the pass the usual banded hyperplane join. */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = T(s, dir, "embeddings")
+    val thr = Similarity.pairDistanceProfile(e, "vec_id", "embedding",
+        modA = 17, modB = 19, ps = Seq(0.95))
+      .select(col("p95")).collect()(0).getDouble(0)
+    Dedup.embeddingNearDupsLsh(e, "vec_id", "embedding", dim = 64,
+        threshold = thr, bitsPerBand = 8, numBands = 2)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2268,7 +2285,8 @@ object SparkEntry {
     "q185_centroid_shift" -> (q185 _),
     "q186_join_preflight" -> (q186 _),
     "q187_index_neardups" -> (q187 _),
-    "q188_daily_value_drift" -> (q188 _)
+    "q188_daily_value_drift" -> (q188 _),
+    "q189_auto_threshold_neardups" -> (q189 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

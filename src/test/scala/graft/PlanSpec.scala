@@ -150,7 +150,7 @@ class PlanSpec extends SparkSpec {
       "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
       "q114_leakage_safe_split", "q132_ivf_append", "q172_cluster_stats",
       "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall",
-      "q187_index_neardups")
+      "q187_index_neardups", "q189_auto_threshold_neardups")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
@@ -194,7 +194,7 @@ class PlanSpec extends SparkSpec {
       "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
       "q114_leakage_safe_split", "q132_ivf_append", "q172_cluster_stats",
       "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall",
-      "q187_index_neardups")
+      "q187_index_neardups", "q189_auto_threshold_neardups")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
@@ -222,7 +222,7 @@ class PlanSpec extends SparkSpec {
       "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
       "q114_leakage_safe_split", "q132_ivf_append", "q172_cluster_stats",
       "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall",
-      "q187_index_neardups")
+      "q187_index_neardups", "q189_auto_threshold_neardups")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val frames = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: LWindow => w.windowExpressions.flatMap(_.collect {
