@@ -343,6 +343,31 @@ object ScaleProbe {
       "q175_cells" -> (() => {
         import org.apache.spark.sql.functions._
         docs.select(col("source")).distinct().count() * 32
+      }),
+      // q183 planted recall x10^4: banding recall is an operating-point
+      // property (per-pair collision probability), so the measured number
+      // must hold ~steady across decades — if it sagged, bucket crowding
+      // would be changing the pass's effective semantics
+      "q183_recall_x10k" -> (() => {
+        import org.apache.spark.sql.functions._
+        val r = Dedup.plantedDupRecall(docs, "text", "doc_id",
+          sampleMod = 10, keepFrac = 0.7, idOffset = 10000000L,
+          threshold = 0.2, bands = 4, rowsPerBand = 2)
+          .collect()(0).getDouble(2)
+        math.round(r * 10000)
+      }),
+      // q189 auto-threshold x10^6: the sampled p95 random-pair cosine must
+      // be a stable corpus property, not a sample artifact — the moduli
+      // scale with n (knob rule) so the sample size stays comparable
+      "q189_auto_thr_x1e6" -> (() => {
+        import org.apache.spark.sql.functions._
+        val n = emb.count()
+        val m = math.max(2L, n / 60).toInt
+        val thr = graft.operators.Similarity.pairDistanceProfile(
+            emb, "vec_id", "embedding", modA = m, modB = m + 2,
+            ps = Seq(0.95))
+          .select(col("p95")).collect()(0).getDouble(0)
+        math.round(thr * 1e6)
       })
     )
 
