@@ -1631,10 +1631,10 @@ object OracleSql {
          |  FROM embeddings GROUP BY 1)
          |SELECT label, n_a, n_b,
          |  ${rnd("CASE WHEN na > 0 AND nb > 0" +
-           " THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END", 6)}
+           " THEN dot / (sqrt(na) * sqrt(nb)) END", 6)}
          |    AS centroid_cosine,
          |  ${rnd("shift", 6)} AS mean_abs_shift
-         |FROM per JOIN sizes USING (label)""".stripMargin,
+         |FROM sizes LEFT JOIN per USING (label)""".stripMargin,
 
     // vocab coverage curve: full-vocab counts, rank by (cnt desc, token),
     // per-k conditional mass sums

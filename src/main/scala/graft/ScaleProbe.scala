@@ -326,7 +326,9 @@ object ScaleProbe {
         import org.apache.spark.sql.functions._
         val a = emb.filter(col("vec_id") % 17 === 0).count()
         val b = emb.filter(col("vec_id") % 19 === 0).count()
-        a * b // upper bound; the id_a < id_b filter halves the overlap only
+        a * b // upper bound: id_a < id_b keeps ~half the cross product,
+              // so the materialized frame is ~a*b/2 — ratios across
+              // decades (the probe's signal) are unaffected
       }),
       "q176_pair_rows_scaled" -> (() => {
         import org.apache.spark.sql.functions._

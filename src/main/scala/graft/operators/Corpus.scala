@@ -71,6 +71,9 @@ object Corpus {
     * than the vocabulary saturates at coverage 1. */
   def vocabCoverage(df: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), "ks > 0")
+    // duplicate ks would alias two identical __c_k aggregate columns and
+    // fail (or ambiguously bind) at analysis — reject up front
+    require(ks.distinct.length == ks.length, "ks must be distinct")
     graft.functions.TopKAgg.register(df.sparkSession)
     val maxK = ks.max
     val counts = df

@@ -233,7 +233,7 @@ object Dedup {
                                       shingleK: Int)
 
   private def indexParamsPath(path: String) =
-    java.nio.file.Paths.get(path, "minhash_params.properties")
+    s"$path/minhash_params.properties"
 
   /** Materialize [[minHashIndexTable]] as a REAL on-disk artifact — the
     * dedup twin of [[graft.operators.Similarity.writeIvfIndex]]: the corpus
@@ -257,23 +257,33 @@ object Dedup {
                         bands: Int = 4, rowsPerBand: Int = 2,
                         shingleK: Int = 3): Unit = {
     val spark = df.sparkSession
-    val dir = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+    // delete ONLY this artifact's own known paths — never the whole
+    // caller-supplied directory (a typo'd or shared root must not lose
+    // unrelated data; same scoped-delete contract as writeIvfIndex)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    Seq(s"$path/index", indexParamsPath(path)).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
     }
-    java.nio.file.Files.createDirectories(dir)
     new graft.merge.ParquetTable(spark, s"$path/index")
       .create(minHashIndexTable(df, textCol, idCol, bands, rowsPerBand,
         shingleK))
-    java.nio.file.Files.writeString(indexParamsPath(path),
-      s"bands=$bands\nrowsPerBand=$rowsPerBand\nshingleK=$shingleK\n")
+    val out = fs.create(new org.apache.hadoop.fs.Path(indexParamsPath(path)),
+      true)
+    try out.write(
+      s"bands=$bands\nrowsPerBand=$rowsPerBand\nshingleK=$shingleK\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
-  def readMinHashIndexParams(path: String): MinHashIndexParams = {
-    val kv = java.nio.file.Files.readAllLines(indexParamsPath(path))
-      .toArray(Array.empty[String]).filter(_.contains("="))
+  def readMinHashIndexParams(spark: org.apache.spark.sql.SparkSession,
+                             path: String): MinHashIndexParams = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(indexParamsPath(path)))
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val kv = text.linesIterator.filter(_.contains("="))
       .map { l => val Array(k, v) = l.split("=", 2); k -> v.toInt }.toMap
     MinHashIndexParams(kv("bands"), kv("rowsPerBand"), kv("shingleK"))
   }
@@ -287,7 +297,7 @@ object Dedup {
                            textCol: String = "text",
                            idCol: String = "doc_id",
                            txn: Option[(String, Long)] = None): Unit = {
-    val p = readMinHashIndexParams(path)
+    val p = readMinHashIndexParams(batch.sparkSession, path)
     new graft.merge.ParquetTable(batch.sparkSession, s"$path/index")
       .append(minHashIndexTable(batch, textCol, idCol, p.bands,
         p.rowsPerBand, p.shingleK), txn = txn)
@@ -301,7 +311,7 @@ object Dedup {
                            textCol: String = "text",
                            idCol: String = "doc_id",
                            threshold: Double = 0.2): DataFrame = {
-    val p = readMinHashIndexParams(path)
+    val p = readMinHashIndexParams(spark, path)
     val index = new graft.merge.ParquetTable(spark, s"$path/index").read
     incrementalNearDups(batch, index, textCol, idCol, threshold,
       p.bands, p.rowsPerBand, p.shingleK)
@@ -838,6 +848,13 @@ object Dedup {
                        shingleK: Int = 3): DataFrame = {
     require(sampleMod > 1, "sampleMod > 1")
     require(keepFrac > 0 && keepFrac < 1, "keepFrac in (0,1)")
+    require(idOffset > 0, "idOffset > 0")
+    // an id collision between a twin and a real doc (or a natural pair
+    // sitting exactly idOffset apart) silently corrupts the recall the
+    // harness exists to measure — refuse instead (1-value control collect)
+    val maxId = df.agg(max(col(idCol).cast("long"))).collect()(0)
+    require(maxId.isNullAt(0) || maxId.getLong(0) < idOffset,
+      s"idOffset=$idOffset must exceed the max $idCol (${maxId.get(0)})")
     val toks = tokens(col(textCol))
     val base = df.select(col(idCol), col(textCol))
     val planted = df.filter(col(idCol) % sampleMod === 0)

@@ -112,11 +112,14 @@ object Similarity {
           .as("n_a"),
         sum(when(col(idCol) % 2 === 1, 1L).otherwise(0L)).cast("long")
           .as("n_b"))
-    per.join(broadcast(sizes), "lbl")
+    // sizes is the BASE of the join: a label whose docs all land in one
+    // parity half has no `per` row — the very instability this audit
+    // exists to surface — and must appear with a null cosine, not vanish
+    sizes.join(broadcast(per), Seq("lbl"), "left")
       .select(col("lbl").as(labelCol), col("n_a"), col("n_b"),
         round(when(col("__na") > 0 && col("__nb") > 0,
-          col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb"))))
-          .otherwise(lit(0.0)), 6).as("centroid_cosine"),
+          col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb")))), 6)
+          .as("centroid_cosine"),
         round(col("__shift"), 6).as("mean_abs_shift"))
   }
 
@@ -129,10 +132,12 @@ object Similarity {
     * split than one near 0.2).
     *
     * Sampling is id-modulus (reproducible, any engine recomputes
-    * membership); the two residue classes give ~n/modA × n/modB pairs, so
-    * the pair frame is quadratic ONLY in the sample — pick moduli so
-    * (n/modA)·(n/modB) stays ~10⁶ at the target corpus (the knob rule:
-    * grow moduli ∝ n). Quantiles use the engine-portable ceil-rank
+    * membership); the two residue classes give ~(n/modA)·(n/modB)/2 pairs
+    * (the id_a < id_b ordering filter keeps about half of the cross
+    * product), so the pair frame is quadratic ONLY in the sample — pick
+    * moduli so (n/modA)·(n/modB) stays ~10⁶ at the target corpus (the
+    * knob rule: grow moduli ∝ n; the materialized frame is ~half that
+    * product). Quantiles use the engine-portable ceil-rank
     * selection over the pair frame ([[graft.operators.Stats.groupQuantiles]]'s
     * rule) — the rank window partitions on a constant, bounded by the
     * sample-pair count by construction, never by the corpus. */

@@ -199,9 +199,14 @@ object Sketches {
     * tables (one group-key shuffle each, joined on the key — still never
     * materializing the join output), so the gate checks the estimator's
     * algebra against the truth it predicts. */
-  def cmsJoinSizeEstimate(left: DataFrame, leftKey: String,
-                          right: DataFrame, rightKey: String,
-                          width: Int, depth: Int): DataFrame = {
+  /** Estimator half of [[cmsJoinSizeEstimate]] — 1-row `est_join_rows`,
+    * NO exact computation. This is what a real pre-flight runs
+    * ([[joinPreflightCard]]); the public gate wraps it with the exact
+    * truth column. */
+  private[operators] def cmsJoinSizeEstimateOnly(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      width: Int, depth: Int): DataFrame = {
     require(width > 0 && depth > 0, "width/depth")
     def bucket(k: Column, j: Column): Column =
       pmod(graft.functions.Hashes.portableHash32(
@@ -212,11 +217,18 @@ object Sketches {
         .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
         .select(col("j"), bucket(col("k"), col("j")).as("b"))
         .groupBy("j", "b").agg(count(lit(1)).as("c"))
-    val dot = sketch(left, leftKey)
+    sketch(left, leftKey)
       .join(broadcast(sketch(right, rightKey)
         .withColumnRenamed("c", "c2")), Seq("j", "b"))
       .groupBy("j").agg(sum(col("c") * col("c2")).as("dotj"))
       .agg(min(col("dotj")).cast("long").as("est_join_rows"))
+  }
+
+  def cmsJoinSizeEstimate(left: DataFrame, leftKey: String,
+                          right: DataFrame, rightKey: String,
+                          width: Int, depth: Int): DataFrame = {
+    val dot = cmsJoinSizeEstimateOnly(left, leftKey, right, rightKey,
+      width, depth)
     val ca = left.filter(col(leftKey).isNotNull)
       .groupBy(col(leftKey).cast("string").as("k"))
       .agg(count(lit(1)).as("na"))
@@ -265,10 +277,10 @@ object Sketches {
           .otherwise(lit(0.0)), 6).as(sh))
     val la = sideStats(left, leftKey, "n_left", "left_top_share")
     val rb = sideStats(right, rightKey, "n_right", "right_top_share")
-    val size = cmsJoinSizeEstimate(left, leftKey, right, rightKey,
-      cmsWidth, cmsDepth).select(col("est_join_rows"))
-    val overlap = hllKeyOverlap(left, leftKey, right, rightKey, hllM)
-      .select(col("est_overlap").as("est_overlap_keys"))
+    val size = cmsJoinSizeEstimateOnly(left, leftKey, right, rightKey,
+      cmsWidth, cmsDepth)
+    val overlap = hllKeyOverlapEstimateOnly(left, leftKey, right, rightKey,
+      hllM).select(col("est_overlap").as("est_overlap_keys"))
     la.crossJoin(broadcast(rb))
       .crossJoin(broadcast(size))
       .crossJoin(broadcast(overlap))
@@ -299,9 +311,14 @@ object Sketches {
     * est_overlap). Drop the exact column at scale — it is the gate's
     * truth check, computed from the two per-key distinct sets without
     * materializing the join. */
-  def hllKeyOverlap(left: DataFrame, leftKey: String,
-                    right: DataFrame, rightKey: String,
-                    m: Int = 256): DataFrame = {
+  /** Estimator half of [[hllKeyOverlap]] — the three sketch estimates and
+    * the clamped inclusion-exclusion overlap, NO exact computation. What a
+    * real pre-flight runs ([[joinPreflightCard]]); the public gate wraps
+    * it with the exact truth column. */
+  private[operators] def hllKeyOverlapEstimateOnly(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      m: Int = 256): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
     val regBits = hllRegBits(m)
     val maxRho = hllMaxRho(m)
@@ -335,21 +352,28 @@ object Sketches {
       .select(col("reg"),
         greatest(coalesce(col("ra"), lit(0)), coalesce(col("rb"), lit(0))).as("rho"))
       .filter(col("rho") > 0) // a register absent on both sides stays absent
+    estimate(la, "ea")
+      .crossJoin(estimate(rb, "eb"))
+      .crossJoin(estimate(union, "eu"))
+      .select(round(col("ea"), 2).as("est_left"),
+        round(col("eb"), 2).as("est_right"),
+        round(col("eu"), 2).as("est_union"),
+        round(greatest(col("ea") + col("eb") - col("eu"), lit(0.0)), 2)
+          .as("est_overlap"))
+  }
+
+  def hllKeyOverlap(left: DataFrame, leftKey: String,
+                    right: DataFrame, rightKey: String,
+                    m: Int = 256): DataFrame = {
+    val est = hllKeyOverlapEstimateOnly(left, leftKey, right, rightKey, m)
     val exact = left.filter(col(leftKey).isNotNull)
       .select(col(leftKey).cast("string").as("k")).distinct()
       .join(right.filter(col(rightKey).isNotNull)
         .select(col(rightKey).cast("string").as("k")).distinct(), Seq("k"), "left_semi")
       .agg(count(lit(1)).cast("long").as("exact_overlap"))
-    exact
-      .crossJoin(estimate(la, "ea"))
-      .crossJoin(estimate(rb, "eb"))
-      .crossJoin(estimate(union, "eu"))
-      .select(col("exact_overlap"),
-        round(col("ea"), 2).as("est_left"),
-        round(col("eb"), 2).as("est_right"),
-        round(col("eu"), 2).as("est_union"),
-        round(greatest(col("ea") + col("eb") - col("eu"), lit(0.0)), 2)
-          .as("est_overlap"))
+    exact.crossJoin(est)
+      .select(col("exact_overlap"), col("est_left"), col("est_right"),
+        col("est_union"), col("est_overlap"))
   }
 
   /** Corpus-wide top-`topK` word n-grams by occurrence count (the heavy-

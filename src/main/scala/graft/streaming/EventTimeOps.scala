@@ -239,7 +239,7 @@ object EventTimeOps {
   }
 
   final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
-  final case class FunnelState(stage: Int, startTs: Long)
+  final case class FunnelState(stage: Int, startTs: Long, lastTs: Long)
   final case class FunnelHit(user_id: Long, start_ts: Timestamp,
                              end_ts: Timestamp, latency_ms: Long)
 
@@ -275,20 +275,27 @@ object EventTimeOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
           val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
-          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          var s = state.getOption.getOrElse(
+            FunnelState(0, Long.MinValue, Long.MinValue))
           val hits = Seq.newBuilder[FunnelHit]
           sorted.foreach { e =>
             val t = e.ts.getTime
-            if (s.stage > 0 && t - s.startTs > windowMs)
-              s = FunnelState(0, Long.MinValue) // expired before this event
-            if (s.stage == 0) {
-              if (e.event_type == steps.head) s = FunnelState(1, t)
-            } else if (e.event_type == steps(s.stage)) {
-              if (s.stage + 1 == steps.length) {
-                hits += FunnelHit(userId, new Timestamp(s.startTs), e.ts,
-                  t - s.startTs)
-                s = FunnelState(0, Long.MinValue)
-              } else s = FunnelState(s.stage + 1, s.startTs)
+            // an event older than the chain's last accepted step is a
+            // cross-batch straggler: an "ordered" funnel must never advance
+            // on it (it would emit end_ts < the prior step's time — or even
+            // < start_ts, a negative-latency hit)
+            if (s.stage == 0 || t >= s.lastTs) {
+              if (s.stage > 0 && t - s.startTs > windowMs)
+                s = FunnelState(0, Long.MinValue, Long.MinValue) // expired
+              if (s.stage == 0) {
+                if (e.event_type == steps.head) s = FunnelState(1, t, t)
+              } else if (e.event_type == steps(s.stage)) {
+                if (s.stage + 1 == steps.length) {
+                  hits += FunnelHit(userId, new Timestamp(s.startTs), e.ts,
+                    t - s.startTs)
+                  s = FunnelState(0, Long.MinValue, Long.MinValue)
+                } else s = FunnelState(s.stage + 1, s.startTs, t)
+              }
             }
           }
           state.update(s)

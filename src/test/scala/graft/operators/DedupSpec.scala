@@ -502,7 +502,7 @@ class DedupSpec extends SparkSpec {
     val query = docs.filter($"doc_id" > 25)
     Dedup.writeMinHashIndex(base, dir, bands = 4, rowsPerBand = 2)
     // appender/reader take NO banding knobs — the artifact pins them
-    assert(Dedup.readMinHashIndexParams(dir) ==
+    assert(Dedup.readMinHashIndexParams(spark, dir) ==
       Dedup.MinHashIndexParams(4, 2, 3))
     Dedup.appendToMinHashIndex(batch1, dir, txn = Some(("spec", 1L)))
     val fromIndex = Dedup.nearDupsAgainstIndex(spark, dir, query,

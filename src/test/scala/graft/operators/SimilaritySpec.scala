@@ -425,6 +425,14 @@ class SimilaritySpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
     assert(out(1) == ((2L, 2L, 1.0, 0.0)))
     assert(out(2) == ((2L, 2L, 0.0, 1.0))) // |1-0| + |0-1| over 2 dims -> 1
+    // a label whose docs ALL land in one parity half is the instability the
+    // audit exists to surface: it must appear with a null cosine, not vanish
+    val lop = rows.unionByName(Seq((20L, Array(1f, 0f), 3), (22L, Array(1f, 0f), 3))
+      .toDF("vec_id", "embedding", "label"))
+    val shifted = Similarity.labelCentroidShift(lop, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.isNullAt(3)))).toMap
+    assert(shifted(3) == ((2L, 0L, true)), s"one-half label: ${shifted.get(3)}")
   }
 
   test("pairDistanceProfile matches a brute-force recomputation of the pair sample") {

@@ -327,6 +327,33 @@ class EventTimeOpsSpec extends SparkSpec {
     assert(after.map(_.user_id).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("streamingFunnel: a cross-batch straggler older than the chain never advances it") {
+    // Batch 1 applies view+cart (stage 2, lastTs=10:05). Batch 2 delivers a
+    // LATE buy stamped 10:03 — before the cart it would claim to follow.
+    // An ordered funnel must not emit (the old bug: a hit with end_ts
+    // before the cart step, or even negative latency for ts < start).
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import EventTimeOps.{TypedEvent, FunnelHit}
+    val mem = MemoryStream[TypedEvent]
+    val q = EventTimeOps.streamingFunnel(mem.toDS(),
+        steps = Seq("view", "cart", "buy"), windowMs = 60 * 60 * 1000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_late").start()
+    mem.addData(TypedEvent(1L, ts(0), "view"), TypedEvent(1L, ts(5), "cart"))
+    q.processAllAvailable()
+    mem.addData(TypedEvent(1L, ts(3), "buy")) // straggler: before the cart
+    q.processAllAvailable()
+    assert(spark.table("funnel_late").count() == 0,
+      "an out-of-order buy must not complete an ordered funnel")
+    // an in-order buy afterwards still completes the surviving chain
+    mem.addData(TypedEvent(1L, ts(20), "buy"))
+    q.processAllAvailable()
+    val hits = spark.table("funnel_late").as[FunnelHit].collect()
+    q.stop()
+    assert(hits.length == 1 && hits(0).latency_ms == 20 * 60 * 1000)
+  }
+
   test("streamingFunnel: kill at the state-store boundary — in-flight funnel survives, exactly-once hits") {
     // Same replay gate as debounce/ewmaAlerts: user 1's funnel is mid-flight
     // (view+cart applied) when the sink crashes inside the commit window of
