@@ -1412,6 +1412,30 @@ object OracleSql {
 
     // the analytic S-curve on the same (divisor, sim-grid) lattice; pow
     // and division replayed in double on both engines
+    // packing-efficiency report: q44's continuous-filling chain reduced to
+    // per-source fill and boundary-crossing shares
+    "q190_packing_report" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $tokenCountExpr::BIGINT AS n_tokens FROM documents),
+         |pre AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM toks),
+         |packed AS (
+         |  SELECT source, n_tokens, (before // 2048) AS pack_id,
+         |    (before % 2048) AS pack_offset FROM pre)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS total_tokens,
+         |  (max(pack_id) + 1)::BIGINT AS n_packs,
+         |  ${rnd("sum(n_tokens)::DOUBLE / ((max(pack_id) + 1)::DOUBLE * 2048)", 6)}
+         |    AS fill_frac,
+         |  sum(CASE WHEN pack_offset + n_tokens > 2048 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_spanning,
+         |  ${rnd("sum(CASE WHEN pack_offset + n_tokens > 2048 THEN 1 ELSE 0 END)" +
+           "::DOUBLE / count(*)::DOUBLE", 6)} AS span_frac
+         |FROM packed GROUP BY source""".stripMargin,
+
     // self-tuned LSH near-dups: threshold = the q176 pair sample's p95
     // (ceil-rank selection, 6dp like the profile), fed into q51's chain
     "q189_auto_threshold_neardups" -> {

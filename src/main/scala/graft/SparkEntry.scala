@@ -2095,6 +2095,14 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
   }
 
+  /** Packing-efficiency report over the q44 packs: per source, fill
+    * fraction (tail-pack loss) and the share of docs crossing a pack
+    * boundary — the attention-masking decision input. */
+  private def q190(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.packingReport(
+      T(s, dir, "documents"), "source", "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget = 2048)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2286,7 +2294,8 @@ object SparkEntry {
     "q186_join_preflight" -> (q186 _),
     "q187_index_neardups" -> (q187 _),
     "q188_daily_value_drift" -> (q188 _),
-    "q189_auto_threshold_neardups" -> (q189 _)
+    "q189_auto_threshold_neardups" -> (q189 _),
+    "q190_packing_report" -> (q190 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

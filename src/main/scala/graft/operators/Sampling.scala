@@ -247,6 +247,35 @@ object Sampling {
       .withColumnRenamed("__tokens", "n_tokens")
   }
 
+  /** Packing-efficiency report over [[packByTokenBudget]]'s continuous
+    * filling: per group, the pack count, total tokens, the fill fraction
+    * (only each group's LAST pack can be partial under continuous filling
+    * — fill_frac isolates that tail loss), and the share of documents that
+    * CROSS a pack boundary (`pack_offset + n_tokens > budget`) — the
+    * number that decides whether a training setup needs cross-pack
+    * attention masking or should switch to non-splitting bin packing.
+    *
+    * One window pass (the packer's own per-group cumulative sum) plus one
+    * group-key aggregate; output is |groups| rows. */
+  def packingReport(df: DataFrame, groupCol: String, orderCol: String,
+                    tokenCountCol: Column, budget: Int): DataFrame = {
+    val packed = packByTokenBudget(df, groupCol, orderCol, tokenCountCol,
+      budget)
+    packed.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        (max(col("pack_id")) + 1).cast("long").as("n_packs"),
+        sum(when(col("pack_offset") + col("n_tokens") > budget, 1L)
+          .otherwise(0L)).cast("long").as("n_spanning"))
+      .select(col(groupCol), col("n_docs"), col("total_tokens"),
+        col("n_packs"),
+        round(col("total_tokens").cast("double") /
+          (col("n_packs").cast("double") * budget), 6).as("fill_frac"),
+        col("n_spanning"),
+        round(col("n_spanning").cast("double") /
+          col("n_docs").cast("double"), 6).as("span_frac"))
+  }
+
   /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
     * ("Weighted random sampling with a reservoir", IPL 2006): each row gets
     * key u^(1/w) for uniform u, and the k largest keys are a PPS-correct

@@ -321,6 +321,19 @@ class SamplingSpec extends SparkSpec {
     assert(crossNaive > 0L, "per-doc hash split should leak on dup families")
   }
 
+  test("packingReport: fill and boundary-crossing shares from the continuous packer") {
+    import spark.implicits._
+    // order 1,2,3; before: 0, 1000, 2500 -> packs 0,0,1; offsets 0,1000,452
+    // doc 2 crosses the 2048 boundary (1000+1500), doc 3 does not
+    val docs = Seq((1L, "a", 1000L), (2L, "a", 1500L), (3L, "a", 600L))
+      .toDF("doc_id", "src", "tok")
+    val r = Sampling.packingReport(docs, "src", "doc_id", col("tok"),
+      budget = 2048).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 3100L, 2L)))
+    assert(r.getDouble(4) == 0.756836) // 3100 / (2*2048)
+    assert(r.getLong(5) == 1L && r.getDouble(6) == 0.333333)
+  }
+
   test("balancedShards weight ties break by id and ranks stay globally unique") {
     import spark.implicits._
     val docs = Seq((5L, 10), (3L, 10), (8L, 10), (1L, 10)).toDF("id", "w")
