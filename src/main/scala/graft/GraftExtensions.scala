@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_simhash", es => SimHashSig(es(0))))
     ext.injectFunction(fn("graft_simhash64", es => SimHashSig64(es(0))))
     ext.injectFunction(fn("graft_normalize_text", es => NormalizeText(es(0))))
+    ext.injectFunction(fn("graft_jaro_winkler", es => JaroWinklerSim(es(0), es(1))))
+    ext.injectFunction(fn("graft_damerau_levenshtein",
+      es => DamerauLevenshteinDist(es(0), es(1))))
     ext.injectFunction(fn("graft_topk_agg",
       es => TopKAgg(es(0), intOf(es(1))).toAggregateExpression()))
     ext.injectFunction(fn("graft_minhash_agg",

@@ -3427,6 +3427,111 @@ object OracleSql {
         |  (64 + (first_byte % 16) * 32)::BIGINT AS width,
         |  (64 + (n % 16) * 32)::BIGINT AS height,
         |  floor(((s / n) * 10000) + 0.5) / 10000 AS mean_byte
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // blocked Jaro-Winkler linkage over canonical part names; DuckDB's
+    // jaro_winkler_similarity IS the byte-based floored-transposition
+    // variant the graft expression pins (StringSimilaritySpec fixture)
+    "q191_jaro_linkage" ->
+      s"""WITH canon AS (SELECT p_name AS name, min(p_partkey) AS id
+         |  FROM part GROUP BY 1),
+         |b AS (SELECT id, name, string_split(name, ' ')[-1] AS blk FROM canon),
+         |p AS (SELECT a.id AS id_a, b2.id AS id_b,
+         |    a.name AS name_a, b2.name AS name_b,
+         |    jaro_winkler_similarity(a.name, b2.name) AS jw
+         |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id)
+         |SELECT id_a, id_b, name_a, name_b, ${rnd("jw", 4)} AS jw
+         |FROM p WHERE jw >= 0.8""".stripMargin,
+
+    // same blocks, unrestricted Damerau-Levenshtein <= 4 with Levenshtein
+    // alongside (dl < lev rows = transposition-involving matches)
+    "q192_damerau_linkage" ->
+      s"""WITH canon AS (SELECT p_name AS name, min(p_partkey) AS id
+         |  FROM part GROUP BY 1),
+         |b AS (SELECT id, name, string_split(name, ' ')[-1] AS blk FROM canon)
+         |SELECT a.id AS id_a, b2.id AS id_b,
+         |  damerau_levenshtein(a.name, b2.name)::BIGINT AS dl,
+         |  levenshtein(a.name, b2.name)::BIGINT AS lev
+         |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+         |WHERE damerau_levenshtein(a.name, b2.name) <= 4""".stripMargin,
+
+    // brute-force all-pairs 3-shingle Jaccard: equality with the Spark
+    // side IS the prefix filter's exact-recall proof on this corpus
+    "q193_prefix_jaccard" ->
+      s"""WITH t0 AS (SELECT doc_id AS id, $toksExpr AS tk FROM documents),
+         |t AS (SELECT id, list_distinct(${shinglesExpr("tk", 3)}) AS toks
+         |  FROM t0),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    len(list_intersect(a.toks, b.toks))::DOUBLE
+         |      / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE AS jaccard
+         |  FROM t a JOIN t b ON a.id < b.id
+         |  WHERE len(a.toks) > 0 AND len(b.toks) > 0)
+         |SELECT id_a, id_b, ${rnd("jaccard", 3)} AS jaccard
+         |FROM p WHERE jaccard >= 0.5""".stripMargin,
+
+    // CUSUM changepoint: every fp value divides exact integer sums, so the
+    // running chart replays bit-for-bit; tie on |S| -> earliest day
+    "q194_cusum_changepoint" ->
+      s"""WITH daily AS (SELECT event_type AS k, date_trunc('day', ts) AS day,
+         |    count(*) AS cnt FROM events GROUP BY 1, 2),
+         |st AS (SELECT k, sum(cnt)::BIGINT AS tot,
+         |    sum(cnt * cnt)::BIGINT AS totsq, count(*)::BIGINT AS n_days
+         |  FROM daily GROUP BY 1),
+         |s AS (SELECT d.k, d.day, st.tot, st.totsq, st.n_days,
+         |    row_number() OVER (PARTITION BY d.k ORDER BY d.day) AS t,
+         |    sum(d.cnt) OVER (PARTITION BY d.k ORDER BY d.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM daily d JOIN st ON st.k = d.k),
+         |sv AS (SELECT k, day, tot, totsq, n_days,
+         |    run::DOUBLE - t * (tot::DOUBLE / n_days) AS sval FROM s),
+         |pick AS (SELECT k, day, sval, tot, totsq, n_days,
+         |    row_number() OVER (PARTITION BY k
+         |      ORDER BY abs(sval) DESC, day ASC) AS r FROM sv)
+         |SELECT k AS event_type, n_days, strftime(day, '%Y-%m-%d') AS change_day,
+         |  ${rnd("sval", 4)} AS s_at_change,
+         |  ${rnd("tot::DOUBLE / n_days", 4)} AS daily_mean,
+         |  CASE WHEN totsq * n_days = tot * tot THEN NULL
+         |    ELSE ${rnd("abs(sval) / (sqrt(totsq::DOUBLE / n_days - " +
+           "(tot::DOUBLE / n_days) * (tot::DOUBLE / n_days)) * sqrt(n_days::DOUBLE))", 4)}
+         |    END AS cusum_stat
+         |FROM pick WHERE r = 1""".stripMargin,
+
+    // 2-core by 4 unrolled peel rounds over the q155 edge generator; the
+    // brute-force Hamming pairs equal the Spark block-combination pairs
+    // (exact recall at maxHamming 7), and convergence makes the extra
+    // rounds no-ops on both sides
+    "q195_kcore" -> {
+      val peels = (1 to 4).map { r =>
+        val prev = s"e${r - 1}"
+        s"""k$r AS (SELECT s FROM $prev GROUP BY s HAVING count(*) >= 2),
+           |e$r AS (SELECT e.s, e.d FROM $prev e
+           |  JOIN k$r a ON e.s = a.s JOIN k$r b ON e.d = b.s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${simhash64PairsCtes(7)},
+         |e0 AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |$peels
+         |SELECT s AS doc_id, count(*)::BIGINT AS core_degree,
+         |  count(*) >= 2 AS stable
+         |FROM e4 GROUP BY s""".stripMargin
+    },
+
+    // Cohen's kappa: all fp values divide exact integer sums (sum of
+    // ca*cb longs), immune to aggregation fold order
+    "q196_label_kappa" ->
+      s"""WITH l AS (SELECT (n_chars >= 300)::VARCHAR AS a,
+         |    ($tokenCountExpr >= 40)::VARCHAR AS b FROM documents),
+         |base AS (SELECT count(*)::BIGINT AS n,
+         |    sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT AS matches FROM l),
+         |ma AS (SELECT a AS label, count(*)::BIGINT AS ca FROM l GROUP BY 1),
+         |mb AS (SELECT b AS label, count(*)::BIGINT AS cb FROM l GROUP BY 1),
+         |cx AS (SELECT coalesce(sum(ca * cb), 0)::BIGINT AS cxc
+         |  FROM ma JOIN mb USING (label))
+         |SELECT n, ${rnd("matches::DOUBLE / n", 4)} AS po,
+         |  ${rnd("cxc::DOUBLE / (n * n)", 4)} AS pe,
+         |  CASE WHEN cxc::DOUBLE / (n * n) = 1.0 THEN NULL
+         |    ELSE ${rnd("(matches::DOUBLE / n - cxc::DOUBLE / (n * n)) / " +
+           "(1.0 - cxc::DOUBLE / (n * n))", 4)} END AS kappa
+         |FROM base CROSS JOIN cx""".stripMargin
   )
 }

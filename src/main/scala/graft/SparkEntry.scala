@@ -2103,6 +2103,84 @@ object SparkEntry {
       T(s, dir, "documents"), "source", "doc_id",
       TextAnalysis.tokenCount(col("text")), budget = 2048)
 
+  /** Blocked record linkage over the part catalog: one canonical record
+    * per distinct name (min partkey), blocked on the name's LAST token
+    * (the head noun — 'cold widget'/'small widget' share a block), scored
+    * by the codegen byte-based Jaro-Winkler. Cross-block fuzz is missed by
+    * design — that is the blocking contract. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val canon = T(s, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("id"))
+      .withColumn("blk", element_at(split(col("name"), " "), -1))
+    Dedup.recordLinkagePairs(canon, "id", "name", "blk", threshold = 0.8)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        round(col("jw"), 4).as("jw"))
+  }
+
+  /** Damerau-Levenshtein edit audit on the same canonical blocks as q191:
+    * pairs within typo range (dl <= 4), with plain Levenshtein alongside —
+    * the dl < lev rows are exactly the transposition-involving matches a
+    * Levenshtein-only matcher would score worse. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val canon = T(s, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("id"))
+      .withColumn("blk", element_at(split(col("name"), " "), -1))
+    val left = canon.select(col("id").as("id_a"), col("name").as("name_a"), col("blk"))
+    val right = canon.select(col("id").as("id_b"), col("name").as("name_b"), col("blk"))
+    left.join(right, "blk").filter(col("id_a") < col("id_b"))
+      .withColumn("dl", graft.functions.StringSimilarity.damerauLevenshtein(
+        s, col("name_a"), col("name_b")))
+      .filter(col("dl") <= 4)
+      .select(col("id_a"), col("id_b"), col("dl"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("lev"))
+  }
+
+  /** Exact-recall Jaccard self-join by prefix filtering (AllPairs) over
+    * distinct 3-shingle sets at t = 0.5 — the third candidate generator
+    * next to MinHash-LSH and rare-shingle postings, with a recall
+    * GUARANTEE instead of a collision probability. Shingles, not words:
+    * this corpus's 31-word vocabulary defeats any ordering at k = 1
+    * (every prefix collides with ~40% of docs), while the 27k-shingle
+    * space gives the filter rare units to prune on — the vocabulary-size
+    * knob rule in the operator's scaladoc. The oracle brute-forces all
+    * pairs: equality IS the exact-recall proof on this corpus. */
+  private def q193(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterJaccardPairs(
+        T(s, dir, "documents"), "text", "doc_id", threshold = 0.5, shingleK = 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
+
+  /** CUSUM changepoint per event type over the daily count series: the
+    * day maximizing |Σcnt − t·μ| plus the σ√n-normalized statistic — the
+    * pipeline-health primitive for "did this source's volume shift". */
+  private def q194(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.cusumChangepoint(
+        T(s, dir, "events"), "event_type", "ts")
+      .withColumn("change_day",
+        date_format(col("change_day"), "yyyy-MM-dd"))
+
+  /** 2-core of the near-dup similarity graph (q155's 64-bit SimHash edge
+    * generator): nodes surviving iterated degree-2 peeling — dup CLUSTERS
+    * with internal redundancy, vs the pendant pairs the core drops.
+    * Fixed 4 peel rounds, oracle-unrolled; `stable` proves convergence. */
+  private def q195(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCore(
+      Dedup.simHashNearDupsMulti(TW(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 7), k = 2, rounds = 4)
+      .withColumnRenamed("node", "doc_id")
+
+  /** Cohen's kappa between two single-pass quality heuristics (length >=
+    * 300 chars vs >= 40 tokens): the chance-corrected agreement check run
+    * before trusting any cheap label as a filter. */
+  private def q196(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.cohenKappa(
+      T(s, dir, "documents")
+        .withColumn("len_ok", (col("n_chars") >= 300).cast("string"))
+        .withColumn("tok_ok",
+          (TextAnalysis.tokenCount(col("text")) >= 40).cast("string")),
+      "len_ok", "tok_ok")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2295,7 +2373,13 @@ object SparkEntry {
     "q187_index_neardups" -> (q187 _),
     "q188_daily_value_drift" -> (q188 _),
     "q189_auto_threshold_neardups" -> (q189 _),
-    "q190_packing_report" -> (q190 _)
+    "q190_packing_report" -> (q190 _),
+    "q191_jaro_linkage" -> (q191 _),
+    "q192_damerau_linkage" -> (q192 _),
+    "q193_prefix_jaccard" -> (q193 _),
+    "q194_cusum_changepoint" -> (q194 _),
+    "q195_kcore" -> (q195 _),
+    "q196_label_kappa" -> (q196 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

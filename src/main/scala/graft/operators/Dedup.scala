@@ -1213,4 +1213,99 @@ object Dedup {
           .as("boiler_frac"),
         col("clean_text"))
   }
+
+  /** Blocked record linkage: fuzzy-match short entity keys (names, titles,
+    * normalized addresses) within cheap blocks, scored by the codegen'd
+    * byte-based Jaro-Winkler ([[graft.functions.StringSimilarity]]).
+    *
+    * Scale shape: the self-join is ON THE BLOCK KEY — pair work is
+    * Σ|block|², never |records|², and the blocking column is the knob that
+    * keeps blocks bounded (first/last token, phonetic key, sorted-prefix).
+    * The scorer is O(|a|·|b|) per pair over byte arrays inside whole-stage
+    * codegen; with key-length-bounded inputs each pair is a few hundred ns.
+    * Cross-block matches are missed BY DESIGN (that is the blocking
+    * trade-off); run with two complementary block keys and union when
+    * recall matters more than one pass. */
+  def recordLinkagePairs(df: DataFrame, idCol: String, nameCol: String,
+                         blockCol: String, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    val recs = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      col(blockCol).as("blk"))
+    val left = recs.select(col("id").as("id_a"), col("name").as("name_a"), col("blk"))
+    val right = recs.select(col("id").as("id_b"), col("name").as("name_b"), col("blk"))
+    left.join(right, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw", graft.functions.StringSimilarity.jaroWinkler(
+        spark, col("name_a"), col("name_b")))
+      .filter(col("jw") >= threshold)
+      .select("id_a", "id_b", "name_a", "name_b", "jw")
+  }
+
+  /** Jaccard similarity self-join by PREFIX FILTERING (Bayardo et al.'s
+    * AllPairs candidate rule) over distinct word tokens — the third
+    * candidate generator next to MinHash-LSH (probabilistic recall) and
+    * rare-shingle postings (stoplist-capped): EXACT recall at threshold
+    * `t` with a pair space cut by the token-frequency ordering.
+    *
+    * Rule: order every doc's distinct tokens by ascending corpus document
+    * frequency (ties by token); a doc with n tokens indexes only its first
+    * `n - ceil(t*n) + 1` tokens. Any pair with J >= t shares a token in
+    * BOTH prefixes (the earliest-ordered common token w must sit inside
+    * each side's prefix: if w were outside a's, all >= ceil(t*n_a) common
+    * tokens would fit in a suffix of length ceil(t*n_a) - 1), so joining
+    * prefix postings loses nothing — candidates are then verified with the
+    * exact Jaccard from the full token sets.
+    *
+    * Scale: posting work concentrates on RARE tokens (the prefix holds the
+    * rarest), so bucket sizes are small exactly where the join fans out;
+    * the verify join ships each doc's token set only to its candidate
+    * pairs. One aggregation for the df table (broadcast to the ordering),
+    * one shuffle on the prefix token, one on the pair ids. At a skewed
+    * vocabulary the largest posting bucket is the highest-df token that
+    * still lands in someone's prefix — raise `t` or pre-drop degenerate
+    * docs (n < 2) to bound it.
+    *
+    * `shingleK > 1` runs the same algorithm over word k-shingle sets
+    * instead of word sets. The pruning power is the VOCABULARY's: on a
+    * degenerate unit vocabulary (every token in ~40% of docs — this
+    * repo's synthetic corpus at k=1) no ordering prunes, because every
+    * doc's prefix still collides with most docs (measured: ~114 s / all
+    * 12.5M pairs as candidates at sf0.1). Shingling is the standard
+    * fix — it exponentiates the vocabulary (31 words → 27k 3-shingles
+    * here, max df 25), so prefixes hold genuinely rare units and the
+    * candidate set collapses to near-output size. */
+  def prefixFilterJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                               threshold: Double, shingleK: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val units = if (shingleK <= 1) tokens(col(textCol))
+                else shingles(col(textCol), shingleK)
+    val toks = graft.Tables.widen(df).select(col(idCol).as("id"),
+        array_distinct(units).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .localCheckpoint() // feeds df-counts, prefixes, and the verify join
+    val tokenDf = toks.select(col("id"), explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("tdf"))
+    // global order: rarest first, ties by token bytes — broadcast-joined
+    // onto the postings (the vocab is the small side by construction)
+    val posts = toks.select(col("id"), size(col("toks")).as("n"),
+        posexplode(col("toks")).as(Seq("p", "t")))
+      .join(broadcast(tokenDf), "t")
+    val ranked = posts.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+        .orderBy(col("tdf"), col("t"))))
+    val prefix = ranked.filter(
+      col("r") <= col("n") - ceil(col("n") * threshold) + 1)
+    val cand = prefix.select(col("t"), col("id").as("id_a"))
+      .join(prefix.select(col("t"), col("id").as("id_b")), "t")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+      .withColumn("uni", size(array_union(col("ta"), col("tb"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

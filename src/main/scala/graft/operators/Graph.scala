@@ -147,4 +147,40 @@ object Graph {
     deg.join(ranks, "node")
       .select(col("node"), col("degree"), round(col("rank"), 6).as("rank"))
   }
+
+  /** k-core decomposition by FIXED-round peeling: each round computes
+    * degrees over the surviving edge set and drops every node with
+    * degree < k (and its edges). After enough rounds the set is stable and
+    * equals the true k-core; a fixed round count (like [[pageRank]]'s
+    * fixed iterations) keeps the result closed-form replayable — an oracle
+    * unrolls the same rounds, and once converged extra rounds are no-ops.
+    *
+    * Scale shape: each round is one aggregation (degrees) + two
+    * semi-joins (edge endpoints against survivors), all keyed on the node
+    * id — no windows, no driver collects; the edge set only shrinks, and
+    * `localCheckpoint` per round cuts the lineage the same way
+    * [[labelPropagation]] does. Rounds needed = peel depth, which is
+    * O(log n) on heavy-tailed graphs in practice (degeneracy peels in
+    * waves, not one node at a time). Returns surviving (node,
+    * core_degree, stable) — `stable` false on any node means `rounds` was
+    * too small for this graph (one more peel would still remove nodes). */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int,
+            idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    var edges = pairs.select(col(idA).as("s"), col(idB).as("d"))
+      .union(pairs.select(col(idB).as("s"), col(idA).as("d")))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("s"))
+      edges = edges
+        .join(keep, "s")
+        .join(keep.withColumnRenamed("s", "d"), "d")
+        .select("s", "d").localCheckpoint()
+    }
+    edges.groupBy(col("s").as("node"))
+      .agg(count(lit(1)).cast("long").as("core_degree"))
+      .withColumn("stable", col("core_degree") >= k)
+  }
 }

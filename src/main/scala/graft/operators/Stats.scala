@@ -535,4 +535,36 @@ object Stats {
         round(col("psi_term"), 6).as("psi_term"),
         round(col("__psi"), 6).as("psi_total"))
   }
+
+  /** Cohen's kappa between two categorical label columns — the standard
+    * chance-corrected agreement statistic for labeler/classifier QA
+    * (two annotation runs, a heuristic vs a model scorer, two model
+    * versions): `κ = (p_o − p_e) / (1 − p_e)` with `p_o` the observed
+    * agreement rate and `p_e = Σ_label p_A(l)·p_B(l)` the agreement
+    * expected from the marginals alone.
+    *
+    * One pass for (n, matches), one two-sided marginal count, one bounded
+    * label-space join — state is the label vocabulary, never the rows.
+    * Every fp value divides exact integer sums (`Σ c_A(l)·c_B(l)` is a sum
+    * of longs), so partial-aggregation fold order cannot wobble a bit at
+    * hash-compare strictness. Perfect chance agreement (p_e = 1: both
+    * sides constant and equal — κ undefined) reports null. */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val labeled = df.select(col(colA).cast("string").as("a"),
+      col(colB).cast("string").as("b"))
+    val base = labeled.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("matches"))
+    val ma = labeled.groupBy(col("a").as("label")).agg(count(lit(1)).as("ca"))
+    val mb = labeled.groupBy(col("b").as("label")).agg(count(lit(1)).as("cb"))
+    val cross = ma.join(mb, Seq("label"), "inner")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("cxc"))
+    base.crossJoin(broadcast(cross))
+      .withColumn("po", col("matches").cast("double") / col("n"))
+      .withColumn("pe", col("cxc").cast("double") / (col("n") * col("n")))
+      .select(col("n"), round(col("po"), 4).as("po"),
+        round(col("pe"), 4).as("pe"),
+        when(col("pe") === 1.0, lit(null).cast("double"))
+          .otherwise(round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4))
+          .as("kappa"))
+  }
 }

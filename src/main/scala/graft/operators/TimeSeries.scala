@@ -109,4 +109,54 @@ object TimeSeries {
       .withColumn("is_observed", col("v").isNotNull)
       .select(col("k").as(keyCol), col("bucket"), col("interp_v"), col("is_observed"))
   }
+
+  /** Offline CUSUM changepoint estimate per key: daily event counts, the
+    * classic cumulative-sum chart `S_t = Σ_{i<=t} cnt_i − t·μ`, and the
+    * day maximizing |S_t| — the standard single-changepoint locator for
+    * level shifts in a count series (Page's statistic without the online
+    * clamp, so it is closed-form replayable). Also reports the normalized
+    * statistic `max|S| / (σ·√n)` (≳1.3 flags a likely shift at the usual
+    * bootstrap quantiles).
+    *
+    * Determinism at hash-compare strictness: every fp value derives from
+    * EXACT integer sums — `S_t` is an integer running sum minus `t·μ`
+    * where `μ = Σcnt/n` divides two integers, and `σ` comes from integer
+    * Σcnt² — so aggregation fold order can never wobble a bit. Ties on
+    * |S| break to the earliest day via one `max(struct)` (no rank
+    * window). Scale: one shuffle on the key for the daily rollup, one
+    * bounded per-key window over its own days (≤ calendar span), one
+    * bounded aggregate — state is days-per-key, never events. Days with
+    * zero events contribute no row (resample first if closed gaps should
+    * count as zeros). */
+  def cusumChangepoint(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("k"),
+        date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy("k").agg(
+      sum(col("cnt")).as("tot"), sum(col("cnt") * col("cnt")).as("totsq"),
+      count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    val s = daily.join(stats, "k")
+      .withColumn("t", row_number().over(w))
+      .withColumn("run", sum(col("cnt")).over(w))
+      .withColumn("mu", col("tot").cast("double") / col("n_days"))
+      .withColumn("s", col("run").cast("double") - col("t") * col("mu"))
+    s.groupBy(col("k"))
+      .agg(max(struct(abs(col("s")).as("a"),
+          (-unix_timestamp(col("day"))).as("nd"), col("day").as("d"),
+          col("s").as("sv"), col("mu").as("m"), col("n_days").as("n"),
+          col("tot").as("tt"), col("totsq").as("tq"))).as("b"))
+      .select(col("k").as(keyCol), col("b.n").as("n_days"),
+        col("b.d").as("change_day"), round(col("b.sv"), 4).as("s_at_change"),
+        round(col("b.m"), 4).as("daily_mean"),
+        // σ = 0 ⟺ n·Σc² = (Σc)² — an INTEGER identity, so the guard can't
+        // fp-drift; without it a constant series emits NaN (0/0), not null
+        when(col("b.tq") * col("b.n") === col("b.tt") * col("b.tt"),
+          lit(null).cast("double"))
+          .otherwise(round(col("b.a") /
+            (sqrt(col("b.tq").cast("double") / col("b.n") -
+              (col("b.tt").cast("double") / col("b.n")) *
+              (col("b.tt").cast("double") / col("b.n"))) * sqrt(col("b.n"))), 4))
+          .as("cusum_stat"))
+  }
 }

@@ -14,7 +14,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val fns = ExtensionsProbe.registeredFunctions(ext)
     Seq("graft_cosine", "graft_dot", "graft_shingles", "graft_shingle_hashes",
       "graft_shingle_hashes64", "graft_minhash_sig", "graft_simhash",
-      "graft_simhash64", "graft_normalize_text",
+      "graft_simhash64", "graft_normalize_text", "graft_jaro_winkler",
+      "graft_damerau_levenshtein",
       "graft_topk_agg", "graft_minhash_agg")
       .foreach(f => assert(fns.contains(f), s"missing $f"))
   }

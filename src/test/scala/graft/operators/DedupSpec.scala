@@ -549,4 +549,44 @@ class DedupSpec extends SparkSpec {
     // b: keeps doc 5 -> saves 60/100
     assert(out("b") == ((2L, 100L, 1L, 40L, 0.6)))
   }
+
+  test("recordLinkagePairs scores within blocks and misses across by design") {
+    val recs = Seq(
+      (1L, "acme corp", "corp"), (2L, "acme corp.", "corp"), // near-identical
+      (3L, "acme inc", "inc"),                               // other block
+      (4L, "zzzz corp", "corp")                              // same block, far
+    ).toDF("id", "name", "blk")
+    val out = Dedup.recordLinkagePairs(recs, "id", "name", "blk", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      "only the within-block near-identical pair qualifies; 1-3 is cross-block")
+    assert(out.head._3 > 0.97)
+  }
+
+  test("prefixFilterJaccardPairs equals brute force (exact recall) and prunes") {
+    // 8 docs over a skewed vocab: "the" appears everywhere (high df, lands
+    // in nobody's prefix at t=0.5); two moderate-Jaccard pairs planted
+    val docs = Seq(
+      (1L, "the red fox jumps high"),
+      (2L, "the red fox jumps low"),     // J(1,2) = 4/6
+      (3L, "the blue bird sings"),
+      (4L, "the blue bird hums loud"),   // J(3,4) = 3/6
+      (5L, "the green tree"),
+      (6L, "the tall green tree"),       // J(5,6) = 3/4
+      (7L, "the quick brown dog"),
+      (8L, "the lazy cat sleeps")
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force over distinct token sets
+    val toks = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("\\s+").toSet).toMap
+    val want = (for {
+      a <- toks.keys; b <- toks.keys if a < b
+      j = toks(a).intersect(toks(b)).size.toDouble / toks(a).union(toks(b)).size
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(got == want, s"prefix filter must not lose pairs: got $got want $want")
+    assert(want.keySet == Set((1L, 2L), (3L, 4L), (5L, 6L)))
+  }
 }

@@ -64,4 +64,27 @@ class GraphSpec extends SparkSpec {
     // 5 and 6 are in no triangle -> absent
     assert(!out.contains(5L) && !out.contains(6L))
   }
+
+  test("kCore: peeling strips pendants transitively, keeps the triangle") {
+    // triangle 1-2-3 plus a chain 3-4, 4-5: round 1 drops 5 (deg 1),
+    // round 2 drops the now-pendant 4 — only the triangle is the 2-core,
+    // so a CASCADE needs multiple rounds, not one degree filter
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val out = Graph.kCore(pairs, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(1L -> ((2L, true)), 2L -> ((2L, true)), 3L -> ((2L, true))))
+  }
+
+  test("kCore: too few rounds leaves mid-peel nodes flagged unstable") {
+    // a 4-chain peels from both ends over 2 rounds; rounds = 1 leaves the
+    // middle edge with degree-1 endpoints -> stable = false signals the
+    // round budget was too small (not a converged 2-core)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val r1 = Graph.kCore(chain, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(r1 == Map(2L -> false, 3L -> false))
+    // at convergence the 2-core of a tree is empty
+    assert(Graph.kCore(chain, k = 2, rounds = 2).count() == 0)
+  }
 }

@@ -283,4 +283,30 @@ class StatsSpec extends SparkSpec {
     assert(wins.forall(_.partitionSpec.nonEmpty),
       s"unpartitioned Window — a single-partition global sort at scale:\n$plan")
   }
+
+  test("cohenKappa matches the textbook worked example") {
+    // classic 2x2: 50 items, A/B say yes together 20, no together 15,
+    // A-yes/B-no 10, A-no/B-yes 5 -> po=0.7, pe=0.5, kappa=0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(10)(("y", "n")) ++ Seq.fill(5)(("n", "y"))
+    val r = Stats.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(1) == 0.7)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.4)
+  }
+
+  test("cohenKappa edge cases: perfect agreement and degenerate pe = 1") {
+    import org.apache.spark.sql.Row
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    assert(Stats.cohenKappa(perfect, "a", "b").head().getDouble(3) == 1.0)
+    // both raters constant and equal: pe = 1, kappa undefined -> null
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val r = Stats.cohenKappa(const, "a", "b").head()
+    assert(r.getDouble(2) == 1.0 && r.isNullAt(3))
+    // disjoint label sets: pe = 0, kappa = po = 0
+    val disjoint = Seq(("x", "y"), ("x", "y")).toDF("a", "b")
+    val d = Stats.cohenKappa(disjoint, "a", "b").head()
+    assert(d.getDouble(1) == 0.0 && d.getDouble(2) == 0.0 && d.getDouble(3) == 0.0)
+  }
 }

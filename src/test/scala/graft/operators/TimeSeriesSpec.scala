@@ -61,4 +61,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1L) == 2.0)
     assert(out(2L) == 8.0)
   }
+
+  test("cusumChangepoint locates a planted level shift at the shift day") {
+    // key "up": 2 events/day for days 1-6, then 8/day for days 7-10.
+    // S_t = cumsum - t*mu peaks in magnitude at the last pre-shift day
+    // (day 6): mu = (12+32)/10 = 4.4, S_6 = 12 - 6*4.4 = -14.4.
+    // key "flat": constant 3/day -> S_t = 0 for all t, sigma = 0 ->
+    // cusum_stat divides by zero -> null; argmax ties break earliest day.
+    def ts(d: Int, i: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 0$i:00:00")
+    val rows =
+      (1 to 6).flatMap(d => (1 to 2).map(i => ("up", ts(d, i)))) ++
+      (7 to 10).flatMap(d => (1 to 8).map(i => ("up", ts(d, i)))) ++
+      (1 to 5).flatMap(d => (1 to 3).map(i => ("flat", ts(d, i))))
+    val out = TimeSeries.cusumChangepoint(rows.toDF("k", "ts"), "k", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val up = out("up")
+    assert(up.getLong(1) == 10L)
+    assert(up.getTimestamp(2).toString.startsWith("2024-03-06"))
+    assert(up.getDouble(3) == -14.4)
+    assert(up.getDouble(4) == 4.4)
+    val flat = out("flat")
+    assert(flat.getTimestamp(2).toString.startsWith("2024-03-01"))
+    assert(flat.getDouble(3) == 0.0)
+    assert(flat.isNullAt(5), "sigma = 0 must yield null stat, not NaN/Inf")
+  }
 }
