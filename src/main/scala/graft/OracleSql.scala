@@ -3532,6 +3532,89 @@ object OracleSql {
          |  CASE WHEN cxc::DOUBLE / (n * n) = 1.0 THEN NULL
          |    ELSE ${rnd("(matches::DOUBLE / n - cxc::DOUBLE / (n * n)) / " +
            "(1.0 - cxc::DOUBLE / (n * n))", 4)} END AS kappa
-         |FROM base CROSS JOIN cx""".stripMargin
+         |FROM base CROSS JOIN cx""".stripMargin,
+
+    // rolling 7-day HLL: q60's register pipeline per DAY, max-merged into
+    // each window ending on an observed day; exact count alongside
+    "q197_rolling_hll" -> {
+      val m = 256
+      val maxRho = graft.operators.Sketches.hllMaxRho(m)
+      val c = graft.operators.Sketches.hllScaleC(m)
+      s"""WITH h AS (SELECT ts::DATE AS day,
+         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |regs AS (SELECT day, h & ${m - 1} AS reg,
+         |    max(CASE WHEN h >> 8 = 0 THEN $maxRho
+         |             ELSE $maxRho - length(bin(h >> 8)) END) AS rho
+         |  FROM h GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM regs),
+         |merged AS (SELECT d.day AS wend, r.reg, max(r.rho) AS rho
+         |  FROM regs r JOIN days d ON d.day BETWEEN r.day AND r.day + 6
+         |  GROUP BY 1, 2),
+         |s AS (SELECT wend, count(*) AS np,
+         |    sum(1::BIGINT << ($maxRho - rho))::BIGINT AS scaled
+         |  FROM merged GROUP BY 1),
+         |e AS (SELECT wend, np,
+         |    (scaled + ($m - np) * (1::BIGINT << $maxRho))::DOUBLE AS total FROM s),
+         |est AS (SELECT wend,
+         |    CASE WHEN ($c)::DOUBLE / total <= ${2.5 * m} AND np < $m
+         |         THEN ($m.0)::DOUBLE * ln(($m.0)::DOUBLE / ($m - np))
+         |         ELSE ($c)::DOUBLE / total END AS est
+         |  FROM e),
+         |dv AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |exact AS (SELECT d.day AS wend,
+         |    count(DISTINCT dv.user_id)::BIGINT AS exact_distinct,
+         |    count(DISTINCT dv.day)::BIGINT AS n_days
+         |  FROM dv JOIN days d ON d.day BETWEEN dv.day AND dv.day + 6
+         |  GROUP BY 1)
+         |SELECT strftime(wend, '%Y-%m-%d') AS window_end, n_days,
+         |  exact_distinct, coalesce(${rnd("est", 2)}, 0.0) AS hll_distinct
+         |FROM exact LEFT JOIN est USING (wend)""".stripMargin
+    },
+
+    // lead-lag Pearson from integer sums over the zero-filled spine;
+    // integer zero-variance guard -> null r
+    "q198_leadlag_corr" ->
+      s"""WITH daily AS (SELECT event_type AS k, ts::DATE AS day,
+         |    count(*)::BIGINT AS cnt FROM events
+         |  WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+         |spine AS (SELECT unnest(generate_series(
+         |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+         |    INTERVAL 1 DAY))::DATE AS day),
+         |a AS (SELECT s.day, coalesce(d.cnt, 0) AS ca FROM spine s
+         |  LEFT JOIN daily d ON d.day = s.day AND d.k = 'click'),
+         |b AS (SELECT s.day, coalesce(d.cnt, 0) AS cb FROM spine s
+         |  LEFT JOIN daily d ON d.day = s.day AND d.k = 'purchase'),
+         |lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+         |p AS (SELECT l.lag, a.ca, b.cb FROM a CROSS JOIN lags l
+         |  JOIN b ON b.day = a.day + l.lag::INT),
+         |sums AS (SELECT lag, count(*)::BIGINT AS n, sum(ca)::BIGINT AS sa,
+         |    sum(cb)::BIGINT AS sb, sum(ca * ca)::BIGINT AS saa,
+         |    sum(cb * cb)::BIGINT AS sbb, sum(ca * cb)::BIGINT AS sab
+         |  FROM p GROUP BY 1)
+         |SELECT lag::INT AS lag, n,
+         |  CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0 THEN NULL
+         |    ELSE ${rnd("(n * sab - sa * sb)::DOUBLE / " +
+           "(sqrt((n * saa - sa * sa)::DOUBLE) * sqrt((n * sbb - sb * sb)::DOUBLE))", 4)}
+         |    END AS r
+         |FROM sums""".stripMargin,
+
+    // categorical MI in the q143 PSI report shape: per-cell terms from
+    // exact integer counts + the broadcast total
+    "q199_mutual_info" ->
+      s"""WITH cells AS (SELECT source AS a, lang AS b, count(*)::BIGINT AS n_ab
+         |  FROM documents GROUP BY 1, 2),
+         |ma AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM cells GROUP BY 1),
+         |mb AS (SELECT b, sum(n_ab)::BIGINT AS n_b FROM cells GROUP BY 1),
+         |n AS (SELECT sum(n_ab)::BIGINT AS n FROM cells),
+         |terms AS (SELECT c.a, c.b, c.n_ab,
+         |    (c.n_ab::DOUBLE / n.n) * ln((n.n::DOUBLE * c.n_ab)
+         |      / (ma.n_a::DOUBLE * mb.n_b)) AS term
+         |  FROM cells c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN n),
+         |tot AS (SELECT sum(term) AS mi FROM terms)
+         |SELECT a, b, n_ab, ${rnd("term", 6)} AS mi_term,
+         |  ${rnd("(SELECT mi FROM tot)", 6)} AS mi_total
+         |FROM terms""".stripMargin
   )
 }

@@ -2181,6 +2181,29 @@ object SparkEntry {
           (TextAnalysis.tokenCount(col("text")) >= 40).cast("string")),
       "len_ok", "tok_ok")
 
+  /** Rolling 7-day distinct users via HLL register merge — the bounded-
+    * state twin of q150's exact rolling actives: each day's 256-register
+    * sketch max-merges into its windows, so window state never scales
+    * with cardinality. Exact count rides along as the error column. */
+  private def q197(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllRollingDistinct(
+        T(s, dir, "events"), "ts", "user_id", windowDays = 7)
+      .withColumn("window_end",
+        date_format(col("window_end"), "yyyy-MM-dd"))
+
+  /** Lead-lag cross-correlation of the click and purchase daily series
+    * (lags −3..3): does click volume lead purchases? Zero-variance lags
+    * report null r. */
+  private def q198(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.leadLagCorrelation(
+      T(s, dir, "events"), "event_type", "ts", "click", "purchase", maxLag = 3)
+
+  /** Mutual information between document source and language — the
+    * source-confound audit before stratifying a mixture on either. */
+  private def q199(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.mutualInformation(
+      T(s, dir, "documents"), "source", "lang")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2379,7 +2402,10 @@ object SparkEntry {
     "q193_prefix_jaccard" -> (q193 _),
     "q194_cusum_changepoint" -> (q194 _),
     "q195_kcore" -> (q195 _),
-    "q196_label_kappa" -> (q196 _)
+    "q196_label_kappa" -> (q196 _),
+    "q197_rolling_hll" -> (q197 _),
+    "q198_leadlag_corr" -> (q198 _),
+    "q199_mutual_info" -> (q199 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -399,4 +399,69 @@ object Sketches {
       .select(col("col.gram").as("gram"), negate(col("col.negn")).as("n_occ"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** Rolling `windowDays`-day distinct estimate via HLL REGISTER MERGE —
+    * the scale path for "7-day active users": the exact rolling distinct
+    * ([[graft.operators.EventOps.rollingActiveUsers]]) must carry every
+    * (day, user) pair into each window, while this ships each day's
+    * m-register sketch into its ≤ `windowDays` windows and max-merges —
+    * per-window state is `m` registers regardless of cardinality, and the
+    * daily sketch table (days × m rows) is reusable across window widths
+    * without re-reading events.
+    *
+    * Same deterministic pipeline as [[hllDistinct]] (md5-60-bit hash,
+    * scaled-integer harmonic sum), so the estimate replays externally.
+    * Windows are reported for each day PRESENT in the data, covering
+    * [day − windowDays + 1, day]; leading windows are naturally partial
+    * (`n_days` says how many days contributed). The `exact_distinct`
+    * column is the error-inspection diagnostic — drop it at scale, it is
+    * exactly the shuffle this operator exists to avoid. */
+  def hllRollingDistinct(df: DataFrame, tsCol: String, valueCol: String,
+                         windowDays: Int = 7, m: Int = 256): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    require(windowDays >= 1, "windowDays >= 1")
+    val regBits = hllRegBits(m)
+    val maxRho = hllMaxRho(m)
+    val scaleC = hllScaleC(m)
+    val rows = df.filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), col(valueCol).as("v"))
+    val h = conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10).cast("long")
+    val daily = rows.select(col("day"), h.as("h"))
+      .withColumn("reg", col("h").bitwiseAND(lit((m - 1).toLong)))
+      .withColumn("rest", shiftright(col("h"), regBits))
+      .withColumn("rho", when(col("rest") === 0, lit(maxRho))
+        .otherwise(lit(maxRho) - length(bin(col("rest")))))
+      .groupBy(col("day"), col("reg")).agg(max(col("rho")).as("rho"))
+      .localCheckpoint() // days x m rows; feeds the window ends AND the merge
+    val wends = daily.select(col("day").as("wend")).distinct()
+    val merged = daily
+      .withColumn("wend", explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))))
+      .join(wends, "wend") // only windows ending on an observed day
+      .groupBy(col("wend"), col("reg")).agg(max(col("rho")).as("rho"))
+    val est = merged.groupBy(col("wend")).agg(
+        count(lit(1)).as("np"),
+        sum(call_function("shiftleft", lit(1L),
+          lit(maxRho) - col("rho"))).as("scaled"))
+      .select(col("wend"), {
+        val total = (col("scaled") + (lit(m.toLong) - col("np")) *
+          call_function("shiftleft", lit(1L), lit(maxRho))).cast("double")
+        val eRaw = lit(scaleC) / total
+        val zeros = lit(m.toLong) - col("np")
+        round(when(eRaw <= lit(2.5 * m) && zeros > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(eRaw), 2)
+          .as("hll_distinct")
+      })
+    val exact = rows.distinct()
+      .withColumn("wend", explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))))
+      .join(wends, "wend")
+      .groupBy(col("wend"))
+      .agg(countDistinct(col("v")).cast("long").as("exact_distinct"),
+        countDistinct(col("day")).cast("long").as("n_days"))
+    exact.join(est, Seq("wend"), "left")
+      .select(col("wend").as("window_end"), col("n_days"),
+        col("exact_distinct"), coalesce(col("hll_distinct"), lit(0.0))
+          .as("hll_distinct"))
+  }
 }

@@ -567,4 +567,33 @@ object Stats {
           .otherwise(round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4))
           .as("kappa"))
   }
+
+  /** Mutual information between two categorical columns, reported per cell
+    * (pointwise term, nats) plus the total — "how much does knowing the
+    * source tell you about the quality band": the dependence audit before
+    * trusting a stratified design or suspecting a confound. Follows the
+    * [[psiDrift]] report shape: cell rows carry `n_ab` and the term
+    * `(n_ab/n)·ln(n·n_ab / (n_a·n_b))`, the total is broadcast onto every
+    * row. All ratios divide exact integer counts; only the per-cell `ln`
+    * and the final (few-term) total sum are fp. One pass for the cell
+    * counts, marginals by a second aggregation of the CELL table (never
+    * the rows), a broadcast-sized label-space join. */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.select(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint() // label-space-bounded; feeds marginals + terms
+    val ma = cells.groupBy("a").agg(sum(col("n_ab")).as("n_a"))
+    val mb = cells.groupBy("b").agg(sum(col("n_ab")).as("n_b"))
+    val n = cells.agg(sum(col("n_ab")).as("n"))
+    val terms = cells.join(ma, "a").join(mb, "b").crossJoin(broadcast(n))
+      .withColumn("term",
+        (col("n_ab").cast("double") / col("n")) *
+          log((col("n").cast("double") * col("n_ab")) /
+            (col("n_a").cast("double") * col("n_b"))))
+    terms.crossJoin(broadcast(terms.agg(sum(col("term")).as("__mi"))))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(col("term"), 6).as("mi_term"),
+        round(col("__mi"), 6).as("mi_total"))
+  }
 }

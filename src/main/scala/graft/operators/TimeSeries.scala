@@ -159,4 +159,56 @@ object TimeSeries {
               (col("b.tt").cast("double") / col("b.n"))) * sqrt(col("b.n"))), 4))
           .as("cusum_stat"))
   }
+
+  /** Lead-lag Pearson cross-correlation between two keys' daily count
+    * series: r(lag) over lag ∈ [−maxLag, maxLag], where positive lag means
+    * "`keyA` today co-moves with `keyB` `lag` days LATER" — the diagnostic
+    * for pipeline causality questions (do error spikes trail deploy
+    * spikes?).
+    *
+    * Both series are zero-filled onto the full observed calendar spine
+    * (min..max day across either key) so gaps read as 0 events, not
+    * missing rows; each lag correlates the n−|lag| overlapping days.
+    * Scale shape: the one real shuffle is the daily rollup of raw events;
+    * everything after runs on the DAILY table (span-bounded — a decade is
+    * ~3.7k rows), so the lag fan-out (2·maxLag+1 copies) and the
+    * correlation sums are post-aggregation small data. Pearson terms are
+    * integer sums of count products — fold-order-proof. Zero variance on
+    * either side of a lag (one series constant over the overlap) yields a
+    * null r. */
+  def leadLagCorrelation(df: DataFrame, keyCol: String, tsCol: String,
+                         keyA: String, keyB: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 0, "maxLag >= 0")
+    val daily = df.filter(col(keyCol).isin(keyA, keyB))
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // tiny; feeds the spine and both series
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    def series(k: String) = spine.join(
+        daily.filter(col("k") === k).select(col("day"), col("cnt")),
+        Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("c"))
+    val a = series(keyA).select(col("day"), col("c").as("ca"))
+    val b = series(keyB).select(col("day"), col("c").as("cb"))
+    val lags = df.sparkSession.range(-maxLag, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = a.crossJoin(lags)
+      .join(b.withColumnRenamed("day", "bday"),
+        expr("bday = date_add(day, lag)"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("ca")).as("sa"),
+        sum(col("cb")).as("sb"), sum(col("ca") * col("ca")).as("saa"),
+        sum(col("cb") * col("cb")).as("sbb"),
+        sum(col("ca") * col("cb")).as("sab"))
+      .select(col("lag"), col("n"), {
+        val va = col("n") * col("saa") - col("sa") * col("sa")
+        val vb = col("n") * col("sbb") - col("sb") * col("sb")
+        val cov = (col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+        // zero variance is an INTEGER identity -> the guard can't fp-drift
+        when(va === 0 || vb === 0, lit(null).cast("double"))
+          .otherwise(round(cov /
+            (sqrt(va.cast("double")) * sqrt(vb.cast("double"))), 4)).as("r")
+      })
+  }
 }

@@ -215,4 +215,31 @@ class SketchesSpec extends SparkSpec {
     assert(shf.getLong(4) >= 100L)
     assert(math.abs(shf.getDouble(5) - 100.0) < 25.0)
   }
+
+  test("hllRollingDistinct: window merge equals the direct union sketch") {
+    import spark.implicits._
+    def ts(d: Int, i: Int) = java.sql.Timestamp.valueOf(f"2024-05-$d%02d 0${i % 9}:0${i / 9}:00")
+    // day 1: users 1-40, day 2: 21-60 (overlap 20), day 9: 100-130
+    val rows = (1 to 40).map(u => (ts(1, u % 60), u.toLong)) ++
+      (21 to 60).map(u => (ts(2, u % 60), u.toLong)) ++
+      (100 to 130).map(u => (ts(9, u % 60), u.toLong))
+    val df = rows.toDF("ts", "user_id")
+    val out = Sketches.hllRollingDistinct(df, "ts", "user_id", windowDays = 3)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // exact rolling counts and contributing-day counts
+    assert(out("2024-05-01")._1 == 1L && out("2024-05-01")._2 == 40L)
+    assert(out("2024-05-02")._1 == 2L)
+    assert(out("2024-05-02")._2 == 60L)
+    assert(out("2024-05-09")._2 == 31L)
+    // the MERGE identity: the 2-day window's estimate must equal the
+    // direct sketch of the union of those days' values (max of per-day
+    // register maxima == the union's register maxima, by construction)
+    val direct = Sketches.hllDistinct(
+        df.filter(col("ts") < ts(3, 0)).withColumn("g", lit("x")),
+        "user_id", Seq("g")).head().getDouble(2)
+    assert(out("2024-05-02")._3 == direct)
+    // estimates land near exact at these cardinalities (small-range mode)
+    assert(math.abs(out("2024-05-02")._3 - 60.0) < 10.0)
+  }
 }

@@ -309,4 +309,19 @@ class StatsSpec extends SparkSpec {
     val d = Stats.cohenKappa(disjoint, "a", "b").head()
     assert(d.getDouble(1) == 0.0 && d.getDouble(2) == 0.0 && d.getDouble(3) == 0.0)
   }
+
+  test("mutualInformation: zero when independent, ln(2) when determined") {
+    // independent uniform 2x2: every cell n*n_ab == n_a*n_b -> term 0
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val ti = Stats.mutualInformation(indep, "a", "b").collect()
+    assert(ti.length == 4)
+    assert(ti.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+    // b fully determined by a, two uniform classes -> MI = ln 2
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).toDF("a", "b")
+    val td = Stats.mutualInformation(dep, "a", "b").collect()
+    assert(td.length == 2)
+    assert(td.forall(_.getDouble(4) == 0.693147))
+    assert(td.forall(_.getDouble(3) == 0.346574))
+  }
 }

@@ -85,4 +85,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flat.getDouble(3) == 0.0)
     assert(flat.isNullAt(5), "sigma = 0 must yield null stat, not NaN/Inf")
   }
+
+  test("leadLagCorrelation: a planted 2-day lead shows r = 1 at lag 2") {
+    // A fires on days 1,3,5 (2,4,6,... events), B repeats the exact
+    // pattern two days later — and day 4 has NO rows for either series
+    // (the zero-fill must supply it, or lag alignment breaks)
+    def ts(d: Int, i: Int) = java.sql.Timestamp.valueOf(f"2024-07-$d%02d 0$i:00:00")
+    val a = Seq(1 -> 2, 3 -> 5, 5 -> 3).flatMap { case (d, n) =>
+      (1 to n).map(i => ("a", ts(d, i))) }
+    val b = Seq(3 -> 2, 5 -> 5, 7 -> 3).flatMap { case (d, n) =>
+      (1 to n).map(i => ("b", ts(d, i))) }
+    val noise = Seq(("z", ts(2, 1))) // other key: must be ignored entirely
+    val out = TimeSeries.leadLagCorrelation(
+        (a ++ b ++ noise).toDF("k", "ts"), "k", "ts", "a", "b", maxLag = 3)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    assert(out.keySet == (-3 to 3).toSet)
+    // spine = days 1..7 (7 days); lag 2 overlaps 5 days, perfectly aligned
+    assert(out(2) == ((5L, 1.0)))
+    assert(out(0)._1 == 7L)
+    assert(out(0)._2 < 1.0)
+  }
+
+  test("leadLagCorrelation: constant overlap yields null r, not NaN") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-07-$d%02d 01:00:00")
+    // one event of each type per day: both series constant -> zero variance
+    val rows = (1 to 5).flatMap(d => Seq(("a", ts(d)), ("b", ts(d))))
+    val out = TimeSeries.leadLagCorrelation(
+        rows.toDF("k", "ts"), "k", "ts", "a", "b", maxLag = 1)
+      .collect()
+    assert(out.forall(_.isNullAt(2)))
+  }
 }
