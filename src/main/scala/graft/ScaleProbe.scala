@@ -32,6 +32,27 @@ object ScaleProbe {
     def docs = Tables.widen(Tables.load(spark, sfDir, "documents"))
     def emb = Tables.widen(Tables.load(spark, sfDir, "embeddings"))
 
+    def prefixCandCount(docs: org.apache.spark.sql.DataFrame,
+                        t: Double, k: Int): Long = {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs.select(col("doc_id").as("id"),
+          array_distinct(Dedup.shingles(col("text"), k)).as("toks"))
+        .filter(size(col("toks")) > 0).localCheckpoint()
+      val tokenDf = toks.select(col("id"), explode(col("toks")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("tdf"))
+      val prefix = toks.select(col("id"), size(col("toks")).as("n"),
+          posexplode(col("toks")).as(Seq("p", "t")))
+        .join(broadcast(tokenDf), "t")
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("tdf"), col("t"))))
+        .filter(col("r") <= col("n") - ceil(col("n") * t) + 1)
+      prefix.select(col("t"), col("id").as("id_a"))
+        .join(prefix.select(col("t"), col("id").as("id_b")), "t")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    }
+
     val probes: Seq[(String, () => Long)] = Seq(
       "docs_rows" -> (() => docs.count()),
       "emb_rows" -> (() => emb.count()),
@@ -370,7 +391,30 @@ object ScaleProbe {
             ps = Seq(0.95))
           .select(col("p95")).collect()(0).getDouble(0)
         math.round(thr * 1e6)
-      })
+      }),
+      // q193 prefix filtering: candidate pairs from the rarest-first
+      // prefix postings — the quantity that must track the OUTPUT size,
+      // not n² (probe rebuilds the candidate stage the way the q108 probe
+      // rebuilds the banding). Three operating points measure the two
+      // knobs: the prefix posts ~(1-t)·n units per doc, so MODERATE
+      // thresholds lean entirely on vocabulary growth for pruning — and
+      // this synthetic corpus's 31-word base vocab SATURATES the
+      // 3-shingle space at the sf1 decade (the r10 blowup row). Raising
+      // t shrinks the prefix; raising k exponentiates the vocabulary.
+      "q193_prefix_cand" -> (() => prefixCandCount(docs, 0.5, 3)),
+      "q193_prefix_cand_t08" -> (() => prefixCandCount(docs, 0.8, 3)),
+      "q193_prefix_cand_k5" -> (() => prefixCandCount(docs, 0.5, 5)),
+      "q193_prefix_pairs" -> (() =>
+        Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",
+          threshold = 0.5, shingleK = 3).count()),
+      // q195 k-core: surviving 2-core nodes over the q155 edge generator —
+      // peel work per round is one degree agg + two semi-joins on a
+      // SHRINKING edge set, so the interesting decade quantity is the
+      // core size itself (edge volumes were probed for q155/q157 in r9)
+      "q195_kcore_nodes" -> (() =>
+        graft.operators.Graph.kCore(
+          Dedup.simHashNearDupsMulti(docs, "text", "doc_id", maxHamming = 7),
+          k = 2, rounds = 4).count())
     )
 
     val unknown = args.drop(1).filterNot(n => probes.exists(_._1 == n))
