@@ -335,6 +335,83 @@ object EventTimeOps {
         negate(col("col.nc")).cast("long").as("cnt"))
   }
 
+  // -- streaming HLL distinct -------------------------------------------
+
+  final case class HllState(regs: Array[Byte], nEvents: Long)
+  final case class HllUpdate(event_type: String, n_events: Long,
+                             hll_distinct: Double)
+
+  /** First 60 bits of md5 (== the batch pipeline's
+    * `conv(substring(md5(s),1,15),16,10)`): big-endian first 8 digest
+    * bytes, low nibble dropped. */
+  private def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  /** Streaming distinct-user estimate per event type: the
+    * [[graft.operators.Sketches.hllDistinct]] register pipeline as
+    * mapGroupsWithState state — `m` bytes per key FOREVER, versus the
+    * exact streaming `dropDuplicates` whose state grows with every new
+    * user until the watermark evicts it (and unbounded without one).
+    * Emits the running (n_events, estimate) per key per trigger.
+    *
+    * Replay safety is STRUCTURAL here: register max-merge is monotone and
+    * idempotent, so a replayed batch restored against pre-batch state
+    * reconverges to the identical registers — the estimate can never
+    * double-count a crash window (HllStreamSpec injects the same
+    * mid-commit crash as the debounce/EWMA gates). The estimate is
+    * bit-identical to the batch operator's on the same values
+    * (same md5-60-bit hash, same scaled-integer harmonic sum — the
+    * parity spec pins stream == batch). */
+  def streamingHllDistinct(events: Dataset[TypedEvent], m: Int = 256)
+                          (implicit spark: SparkSession): Dataset[HllUpdate] = {
+    import spark.implicits._
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val regBits = graft.operators.Sketches.hllRegBits(m)
+    val maxRho = graft.operators.Sketches.hllMaxRho(m)
+    val scaleC = graft.operators.Sketches.hllScaleC(m)
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[HllState, HllUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[TypedEvent], state: GroupState[HllState]) =>
+          val prev = state.getOption.getOrElse(HllState(new Array[Byte](m), 0L))
+          val regs = prev.regs.clone() // never mutate the store's array
+          var n = prev.nEvents
+          batch.foreach { e =>
+            val h = hash60(e.user_id.toString)
+            val reg = (h & (m - 1)).toInt
+            val rest = h >>> regBits
+            val rho = if (rest == 0L) maxRho
+              else maxRho - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+            if (rho > regs(reg)) regs(reg) = rho.toByte
+            n += 1
+          }
+          state.update(HllState(regs, n))
+          // scaled-integer harmonic estimate, identical to the batch op
+          var np = 0L
+          var scaled = 0L
+          var i = 0
+          while (i < m) {
+            if (regs(i) > 0) { np += 1; scaled += 1L << (maxRho - regs(i)) }
+            i += 1
+          }
+          val total = (scaled + (m - np) * (1L << maxRho)).toDouble
+          val eRaw = scaleC / total
+          val zeros = m - np
+          val est = if (eRaw <= 2.5 * m && zeros > 0)
+            m.toDouble * math.log(m.toDouble / zeros) else eRaw
+          // java BigDecimal.valueOf = shortest-repr HALF_UP, exactly
+          // Spark's round(x, 2) (scala's BigDecimal(double) would round
+          // the full binary expansion and diverge on ties)
+          HllUpdate(key, n, java.math.BigDecimal.valueOf(est)
+            .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+  }
+
   /** Convenience: run the sessionizer over a memory/file stream and collect
     * into an in-memory sink table (update mode — state emits per trigger;
     * drive with processAllAvailable in tests). */
