@@ -3615,6 +3615,22 @@ object OracleSql {
          |tot AS (SELECT sum(term) AS mi FROM terms)
          |SELECT a, b, n_ab, ${rnd("term", 6)} AS mi_term,
          |  ${rnd("(SELECT mi FROM tot)", 6)} AS mi_total
-         |FROM terms""".stripMargin
+         |FROM terms""".stripMargin,
+
+    // quantile normalization: integer ceil-rank mapping onto the pooled
+    // order statistics; ties broken by doc_id on both rank sides
+    "q200_quantile_norm" ->
+      s"""WITH pooled AS (SELECT n_chars AS norm_value,
+         |    row_number() OVER (ORDER BY n_chars, doc_id) AS target_rank
+         |  FROM documents),
+         |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |ranked AS (SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id)::BIGINT AS r,
+         |    count(*) OVER (PARTITION BY source)::BIGINT AS n_g
+         |  FROM documents)
+         |SELECT doc_id, source, n_chars, r AS group_rank, norm_value
+         |FROM ranked CROSS JOIN n
+         |JOIN pooled ON pooled.target_rank = (r * n.n + n_g - 1) // n_g""".stripMargin
   )
 }

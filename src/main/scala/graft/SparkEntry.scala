@@ -2204,6 +2204,14 @@ object SparkEntry {
     graft.operators.Stats.mutualInformation(
       T(s, dir, "documents"), "source", "lang")
 
+  /** Quantile normalization of document length across sources: every doc's
+    * n_chars is replaced by the pooled order statistic at its within-source
+    * percentile — the cross-source score calibration primitive (exact
+    * ceil-rank mapping, no interpolation). */
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.quantileNormalize(
+      T(s, dir, "documents"), "source", "n_chars", "doc_id")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2405,7 +2413,8 @@ object SparkEntry {
     "q196_label_kappa" -> (q196 _),
     "q197_rolling_hll" -> (q197 _),
     "q198_leadlag_corr" -> (q198 _),
-    "q199_mutual_info" -> (q199 _)
+    "q199_mutual_info" -> (q199 _),
+    "q200_quantile_norm" -> (q200 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

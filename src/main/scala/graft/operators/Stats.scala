@@ -596,4 +596,39 @@ object Stats {
         round(col("term"), 6).as("mi_term"),
         round(col("__mi"), 6).as("mi_total"))
   }
+
+  /** Quantile normalization of a score across groups: each row's value is
+    * replaced by the POOLED distribution's value at the same within-group
+    * percentile — the calibration step that makes per-source quality
+    * scores comparable before a global threshold or mixture weighting
+    * (source A's "0.9" and source B's "0.9" rarely mean the same thing).
+    *
+    * Exact, deterministic semantics (no interpolation): within-group rank
+    * r of n (row_number by value, ties by id), mapped to the pooled
+    * order statistic at rank `ceil(r·N / n)` — computed as the INTEGER
+    * `(r·N + n − 1) div n`, so the mapping can't fp-drift. The pooled
+    * side uses [[globalRank]] (range-partitioned — never a single-
+    * partition window); the within-group window partitions on the group.
+    * One range-repartition for the pooled ranks, one group shuffle, one
+    * join on the target rank. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String, nRanges: Int = 64): DataFrame = {
+    val pooled = globalRank(df.select(col(idCol), col(valueCol)),
+        valueCol, idCol, nRanges)
+      .select(col("global_rank").as("target_rank"),
+        col(valueCol).as("norm_value"))
+      .localCheckpoint() // collected range offsets; don't recompute per join
+    val n = df.count()
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val ranked = df.select(col(idCol), col(groupCol), col(valueCol))
+      .withColumn("r", row_number().over(wg).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(
+        Window.partitionBy(col(groupCol))).cast("long"))
+      .withColumn("target_rank",
+        expr(s"(r * ${n}L + n_g - 1) div n_g")) // INTEGER ceil(r·N/n)
+    ranked.join(pooled, "target_rank")
+      .select(col(idCol), col(groupCol), col(valueCol),
+        col("r").as("group_rank"), col("norm_value"))
+  }
 }

@@ -141,7 +141,10 @@ class PlanSpec extends SparkSpec {
       "q179_water_fill", // 1-row water-level control frame cross-joined
       "q184_hourly_uniformity", // |types| x broadcast 24-row spine densify
       "q186_join_preflight", // seven 1-row sketch/count frames cross-joined
-      "q188_daily_value_drift") // q175's 1-row min-max + densify cross
+      "q188_daily_value_drift", // q175's 1-row min-max + densify cross
+      "q196_label_kappa", // 1-row base + 1-row marginal-product control frames
+      "q198_leadlag_corr", // 7-row literal lag frame cross-joined onto the daily spine
+      "q199_mutual_info") // 1-row corpus-total + 1-row MI-total control frames
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",

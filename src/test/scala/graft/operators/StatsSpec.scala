@@ -324,4 +324,20 @@ class StatsSpec extends SparkSpec {
     assert(td.forall(_.getDouble(4) == 0.693147))
     assert(td.forall(_.getDouble(3) == 0.346574))
   }
+
+  test("quantileNormalize maps each group rank onto the pooled order stats") {
+    // pooled sorted: 1,2,3,4,5,6,10,20,30 (N=9)
+    // group a (n=3): r=1 -> ceil(9/3)=3 -> 3; r=2 -> 6 -> 6; r=3 -> 9 -> 30
+    // group b (n=6): r=1 -> 2 -> 2; r=3 -> ceil(27/6)=5 -> 5; r=6 -> 9 -> 30
+    val rows = Seq(("a", 10L), ("a", 20L), ("a", 30L),
+        ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L), ("b", 5L), ("b", 6L))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+    val out = Stats.quantileNormalize(
+        rows.toDF("id", "g", "v"), "g", "v", "id")
+      .collect().map(r => (r.getString(1), r.getLong(3)) -> r.getLong(4)).toMap
+    assert(out(("a", 1L)) == 3L && out(("a", 2L)) == 6L && out(("a", 3L)) == 30L)
+    assert(out(("b", 1L)) == 2L && out(("b", 3L)) == 5L && out(("b", 6L)) == 30L)
+    // every group's top rank maps to the pooled maximum
+    assert(out.filterKeys(_._2 == 1L).values.forall(_ <= 3L))
+  }
 }
