@@ -3631,6 +3631,50 @@ object OracleSql {
          |  FROM documents)
          |SELECT doc_id, source, n_chars, r AS group_rank, norm_value
          |FROM ranked CROSS JOIN n
-         |JOIN pooled ON pooled.target_rank = (r * n.n + n_g - 1) // n_g""".stripMargin
+         |JOIN pooled ON pooled.target_rank = (r * n.n + n_g - 1) // n_g""".stripMargin,
+
+    // day-of-week baseline: expected divides exact integer sums; residual
+    // subtracts the UNROUNDED expected (both sides)
+    "q201_seasonal_residuals" ->
+      s"""WITH daily AS (SELECT event_type AS k, ts::DATE AS day,
+         |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+         |d2 AS (SELECT k, day, cnt, (dayofweek(day) + 1)::INT AS dow FROM daily),
+         |prof AS (SELECT k, dow, sum(cnt)::BIGINT AS tot,
+         |    count(*)::BIGINT AS n_days FROM d2 GROUP BY 1, 2)
+         |SELECT d2.k AS event_type, strftime(d2.day, '%Y-%m-%d') AS day,
+         |  d2.dow, d2.cnt, ${rnd("tot::DOUBLE / n_days", 4)} AS expected,
+         |  ${rnd("d2.cnt::DOUBLE - tot::DOUBLE / n_days", 4)} AS residual
+         |FROM d2 JOIN prof USING (k, dow)""".stripMargin,
+
+    // golden records: q53's recursive-CTE components (+ singletons), one
+    // arg-max per survivorship field (rank DESC, id ASC = the Spark
+    // max(struct(rank, -id)) tie rule)
+    "q202_golden_records" ->
+      s"""WITH RECURSIVE ${simhash64PairsCtes(3)},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d),
+         |comp AS (SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n),
+         |labeled AS (SELECT d.doc_id,
+         |    coalesce(c.component_id, d.doc_id) AS component_id
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |j AS (SELECT l.component_id, d.doc_id, d.text, d.source, d.n_chars
+         |  FROM documents d JOIN labeled l USING (doc_id)),
+         |wt AS (SELECT component_id, text, doc_id, row_number() OVER (
+         |    PARTITION BY component_id ORDER BY n_chars DESC, doc_id ASC) AS r
+         |  FROM j),
+         |ws AS (SELECT component_id, source, doc_id, row_number() OVER (
+         |    PARTITION BY component_id ORDER BY doc_id ASC) AS r FROM j),
+         |base AS (SELECT component_id, count(*)::BIGINT AS n_members,
+         |    min(doc_id) AS canonical_id FROM j GROUP BY 1)
+         |SELECT b.component_id, b.n_members, b.canonical_id,
+         |  wt.text AS golden_text, wt.doc_id AS text_from,
+         |  ws.source AS golden_source, ws.doc_id AS source_from
+         |FROM base b
+         |JOIN wt ON wt.component_id = b.component_id AND wt.r = 1
+         |JOIN ws ON ws.component_id = b.component_id AND ws.r = 1""".stripMargin
   )
 }

@@ -2212,6 +2212,25 @@ object SparkEntry {
     graft.operators.Stats.quantileNormalize(
       T(s, dir, "documents"), "source", "n_chars", "doc_id")
 
+  /** Day-of-week seasonal baseline + residuals per event type — the
+    * de-seasonalization step before anomaly-scoring daily volumes (CUSUM
+    * the residual, not the raw count). */
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.seasonalResiduals(
+        T(s, dir, "events"), "event_type", "ts")
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+
+  /** Golden records over the q53 dup clusters: field-level survivorship —
+    * the longest member contributes the text, the lowest-id member the
+    * source; singletons survive as themselves. */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+    val comp = Dedup.connectedComponents(
+      Dedup.simHashNearDups64(docs, "text", "doc_id", maxHamming = 3))
+    Dedup.goldenRecords(T(s, dir, "documents"), comp, "doc_id",
+      Seq("text" -> col("n_chars"), "source" -> negate(col("doc_id"))))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2414,7 +2433,9 @@ object SparkEntry {
     "q197_rolling_hll" -> (q197 _),
     "q198_leadlag_corr" -> (q198 _),
     "q199_mutual_info" -> (q199 _),
-    "q200_quantile_norm" -> (q200 _)
+    "q200_quantile_norm" -> (q200 _),
+    "q201_seasonal_residuals" -> (q201 _),
+    "q202_golden_records" -> (q202 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

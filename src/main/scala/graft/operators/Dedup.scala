@@ -1308,4 +1308,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Field-level survivorship over duplicate clusters — the "golden
+    * record" step after [[connectedComponents]]: where
+    * [[clusterRepresentatives]] keeps ONE whole row per cluster, this
+    * composes the output record from the best value PER FIELD (longest
+    * text from one member, canonical source from another), the standard
+    * MDM merge.
+    *
+    * `fields` maps each output field to its ranking column: the cluster
+    * member maximizing (rank, then lowest id) contributes that field's
+    * value, via one `max(struct(rank, −id, value))` per field inside a
+    * single aggregation — no rank windows, per-cluster state is one
+    * struct per field. Docs absent from `components` (no dup link) form
+    * singleton clusters of themselves. Output: component_id, n_members,
+    * canonical_id (min member id), and per field `golden_<name>` +
+    * `<name>_from` (the contributing member). */
+  def goldenRecords(df: DataFrame, components: DataFrame, idCol: String,
+                    fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "at least one survivorship field")
+    val comp = df.select(col(idCol).as("node"))
+      .join(components, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component_id"))
+    val joined = df.join(comp, df(idCol) === comp("node"))
+    val aggs = Seq(
+      count(lit(1)).cast("long").as("n_members"),
+      min(col("node")).as("canonical_id")) ++
+      fields.map { case (name, rank) =>
+        max(struct(rank.as("rk"), negate(col("node")).as("nid"),
+          col(name).as("v"))).as(s"__$name")
+      }
+    val out = fields.flatMap { case (name, _) =>
+      Seq(col(s"__$name.v").as(s"golden_$name"),
+        negate(col(s"__$name.nid")).as(s"${name}_from"))
+    }
+    joined.groupBy(col("component_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("component_id"), col("n_members"),
+        col("canonical_id")) ++ out: _*)
+  }
 }

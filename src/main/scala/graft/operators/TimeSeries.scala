@@ -211,4 +211,29 @@ object TimeSeries {
             (sqrt(va.cast("double")) * sqrt(vb.cast("double"))), 4)).as("r")
       })
   }
+
+  /** Day-of-week seasonal baseline + residuals per key: expected(k, dow) =
+    * mean daily count over that key's same-weekday history, residual =
+    * observed − expected. The de-seasonalization step that keeps weekly
+    * rhythm (weekend dips, Monday batch spikes) from drowning real volume
+    * anomalies — CUSUM/z-score the RESIDUAL, not the raw count.
+    *
+    * Two aggregations, both keyed (daily rollup, then the 7-row-per-key
+    * dow profile joined back — broadcastable at any scale since it is
+    * |keys|×7). Expected values divide exact integer sums; residuals
+    * subtract them — fold-order-proof. */
+  def seasonalResiduals(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("k"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", dayofweek(col("day")))
+      .localCheckpoint() // feeds the profile AND the residual join
+    val profile = daily.groupBy("k", "dow")
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_days"))
+    daily.join(broadcast(profile), Seq("k", "dow"))
+      .withColumn("expected", col("tot").cast("double") / col("n_days"))
+      .select(col("k").as(keyCol), col("day"), col("dow"), col("cnt"),
+        round(col("expected"), 4).as("expected"),
+        round(col("cnt").cast("double") - col("expected"), 4).as("residual"))
+  }
 }

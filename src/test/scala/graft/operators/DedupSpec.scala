@@ -589,4 +589,26 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"prefix filter must not lose pairs: got $got want $want")
     assert(want.keySet == Set((1L, 2L), (3L, 4L), (5L, 6L)))
   }
+
+  test("goldenRecords: each field survives from its own best member") {
+    // cluster {1,2,3}: longest text on 2, lowest id 1; doc 9 is a singleton
+    val docs = Seq(
+      (1L, "short", "src_a", 5L),
+      (2L, "the longest text", "src_b", 16L),
+      (3L, "mid text", "src_c", 8L),
+      (9L, "lonely", "src_z", 6L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "component")
+    val out = Dedup.goldenRecords(docs, comp, "doc_id",
+        Seq("text" -> col("n_chars"), "source" -> negate(col("doc_id"))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c1 = out(1L)
+    assert(c1.getLong(1) == 3L && c1.getLong(2) == 1L)
+    assert(c1.getString(3) == "the longest text" && c1.getLong(4) == 2L)
+    assert(c1.getString(5) == "src_a" && c1.getLong(6) == 1L,
+      "source must come from the LOWEST id, not the text winner")
+    val s9 = out(9L)
+    assert(s9.getLong(1) == 1L && s9.getString(3) == "lonely" &&
+      s9.getString(5) == "src_z")
+  }
 }

@@ -116,4 +116,20 @@ class TimeSeriesSpec extends SparkSpec {
       .collect()
     assert(out.forall(_.isNullAt(2)))
   }
+
+  test("seasonalResiduals: weekday baseline averages same-dow history") {
+    // Mondays 2024-03-04/11/18 with 2,4,6 events (mean 4); one Tuesday
+    // with 5 (mean 5, residual 0)
+    def ts(d: Int, i: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 0$i:00:00")
+    val rows = Seq(4 -> 2, 11 -> 4, 18 -> 6).flatMap { case (d, n) =>
+      (1 to n).map(i => ("m", ts(d, i))) } ++
+      (1 to 5).map(i => ("m", ts(5, i)))
+    val out = TimeSeries.seasonalResiduals(rows.toDF("k", "ts"), "k", "ts")
+      .collect().map(r => r.getDate(1).toString ->
+        ((r.getInt(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("2024-03-04") == ((2, 2L, 4.0, -2.0))) // Monday, dow=2
+    assert(out("2024-03-11") == ((2, 4L, 4.0, 0.0)))
+    assert(out("2024-03-18") == ((2, 6L, 4.0, 2.0)))
+    assert(out("2024-03-05") == ((3, 5L, 5.0, 0.0))) // lone Tuesday
+  }
 }
