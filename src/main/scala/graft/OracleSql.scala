@@ -3675,6 +3675,61 @@ object OracleSql {
          |  ws.source AS golden_source, ws.doc_id AS source_from
          |FROM base b
          |JOIN wt ON wt.component_id = b.component_id AND wt.r = 1
-         |JOIN ws ON ws.component_id = b.component_id AND ws.r = 1""".stripMargin
+         |JOIN ws ON ws.component_id = b.component_id AND ws.r = 1""".stripMargin,
+
+    // one-scan rule report: NULL predicate results count as failures
+    "q203_dq_rules" ->
+      s"""WITH agg AS (SELECT count(*)::BIGINT AS n,
+         |  sum(CASE WHEN coalesce(l_orderkey IS NOT NULL, false)
+         |      THEN 0 ELSE 1 END)::BIGINT AS f1,
+         |  sum(CASE WHEN coalesce(l_quantity >= 1 AND l_quantity <= 50, false)
+         |      THEN 0 ELSE 1 END)::BIGINT AS f2,
+         |  sum(CASE WHEN coalesce(l_discount >= 0.0 AND l_discount <= 0.1, false)
+         |      THEN 0 ELSE 1 END)::BIGINT AS f3,
+         |  sum(CASE WHEN coalesce(l_extendedprice < 20000.0, false)
+         |      THEN 0 ELSE 1 END)::BIGINT AS f4,
+         |  sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), false)
+         |      THEN 0 ELSE 1 END)::BIGINT AS f5
+         |  FROM lineitem),
+         |rows_(rule, n_fail_col) AS (VALUES
+         |  ('orderkey_not_null', 1), ('quantity_in_1_50', 2),
+         |  ('discount_in_0_01', 3), ('price_under_20k', 4), ('flag_domain', 5))
+         |SELECT rule, n AS n_rows,
+         |  CASE n_fail_col WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3
+         |    WHEN 4 THEN f4 ELSE f5 END AS n_fail,
+         |  ${rnd("(CASE n_fail_col WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3 " +
+           "WHEN 4 THEN f4 ELSE f5 END)::DOUBLE / n", 6)} AS fail_rate
+         |FROM rows_ CROSS JOIN agg""".stripMargin,
+
+    // orphaned FKs: NOT EXISTS per relationship (NULL child keys orphan)
+    "q204_ri_orphans" -> {
+      def rel(name: String, child: String, ck: String, parent: String,
+              pk: String): String =
+        s"""SELECT '$name' AS relationship,
+           |  (SELECT count(*) FROM $child)::BIGINT AS n_child,
+           |  (SELECT count(*) FROM $child c WHERE NOT EXISTS
+           |    (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))::BIGINT
+           |    AS n_orphans""".stripMargin
+      s"""WITH rels AS (
+         |${rel("orders_customer", "orders", "o_custkey", "customer", "c_custkey")}
+         |UNION ALL
+         |${rel("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+         |UNION ALL
+         |${rel("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey")})
+         |SELECT relationship, n_child, n_orphans,
+         |  ${rnd("n_orphans::DOUBLE / n_child", 6)} AS orphan_rate
+         |FROM rels""".stripMargin
+    },
+
+    // freshness: exact integer micros under the lag arithmetic
+    "q205_freshness" ->
+      s"""WITH g AS (SELECT event_type,
+         |    max(epoch_us(ts))::BIGINT AS last_us, count(*)::BIGINT AS n_rows
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         |gm AS (SELECT max(last_us) AS global_us FROM g)
+         |SELECT event_type,
+         |  strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S') AS last_ts,
+         |  n_rows, (global_us - last_us) // 1000000 AS lag_seconds
+         |FROM g CROSS JOIN gm""".stripMargin
   )
 }

@@ -2231,6 +2231,36 @@ object SparkEntry {
       Seq("text" -> col("n_chars"), "source" -> negate(col("doc_id"))))
   }
 
+  /** Declarative data-quality rule report over lineitem — every rule
+    * evaluated in ONE scan (adding a rule never adds a pass); the
+    * deliberately-failing price-cap rule keeps the fail path exercised. */
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.ruleReport(T(s, dir, "lineitem"), Seq(
+      "orderkey_not_null" -> col("l_orderkey").isNotNull,
+      "quantity_in_1_50" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+      "discount_in_0_01" -> (col("l_discount") >= 0.0 && col("l_discount") <= 0.1),
+      "price_under_20k" -> (col("l_extendedprice") < 20000.0),
+      "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+
+  /** Referential-integrity audit: orphaned foreign keys across the three
+    * core relationships, one left-anti count each. */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val dq = graft.operators.DataQuality
+    dq.referentialIntegrity(T(s, dir, "orders"), "o_custkey",
+        T(s, dir, "customer"), "c_custkey", "orders_customer")
+      .unionByName(dq.referentialIntegrity(T(s, dir, "lineitem"), "l_orderkey",
+        T(s, dir, "orders"), "o_orderkey", "lineitem_orders"))
+      .unionByName(dq.referentialIntegrity(T(s, dir, "lineitem"), "l_partkey",
+        T(s, dir, "part"), "p_partkey", "lineitem_part"))
+  }
+
+  /** Freshness: how far each event type trails the stream's newest row. */
+  private def q205(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.freshnessReport(
+        T(s, dir, "events"), "event_type", "ts")
+      .withColumn("last_ts",
+        date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2435,7 +2465,10 @@ object SparkEntry {
     "q199_mutual_info" -> (q199 _),
     "q200_quantile_norm" -> (q200 _),
     "q201_seasonal_residuals" -> (q201 _),
-    "q202_golden_records" -> (q202 _)
+    "q202_golden_records" -> (q202 _),
+    "q203_dq_rules" -> (q203 _),
+    "q204_ri_orphans" -> (q204 _),
+    "q205_freshness" -> (q205 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality auditing — the ingestion-side contract checks
+  * a metadata pipeline runs before promoting a load (rule pass rates,
+  * orphaned foreign keys, per-partition freshness). Shapes mirror the
+  * reference's control-table philosophy (`M/utils/` config-driven
+  * validation hooks) re-expressed as single-pass Spark aggregations.
+  *
+  * Scale contracts: [[ruleReport]] evaluates EVERY rule in one scan (one
+  * conditional sum per rule inside a single aggregate — adding a rule
+  * never adds a pass); [[referentialIntegrity]] is one left-anti count per
+  * relationship (broadcast when the parent's key set fits, shuffle
+  * otherwise — Catalyst's call); [[freshnessReport]] is one grouped
+  * max/count plus a 1-row global frame. */
+object DataQuality {
+
+  /** Evaluate named row-level predicates in ONE pass: each rule reports
+    * rows checked, failures, and the failure rate (6dp, exact integer
+    * division). Null predicate results count as FAILURES (a rule that
+    * cannot evaluate did not pass — the conservative audit stance). */
+  def ruleReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggs = count(lit(1)).as("__n") +: rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__f_$name")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to one row per rule; rule order = declaration order
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i).as("ord"), lit(name).as("rule"),
+        col("__n").as("n_rows"), col(s"__f_$name").as("n_fail"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_rows").as("n_rows"),
+        col("r.n_fail").as("n_fail"),
+        round(col("r.n_fail").cast("double") / col("r.n_rows"), 6)
+          .as("fail_rate"))
+  }
+
+  /** Orphaned-foreign-key count for one child→parent relationship: rows
+    * of `child` whose `childKey` has no match in `parent.parentKey`
+    * (NULL child keys are orphans — they reference nothing). Returns one
+    * row (relationship, n_child, n_orphans, orphan_rate). */
+  def referentialIntegrity(child: DataFrame, childKey: String,
+                           parent: DataFrame, parentKey: String,
+                           relationship: String): DataFrame = {
+    val parentKeys = parent.select(col(parentKey).as("__pk")).distinct()
+    val orphans = child.select(col(childKey).as("__ck"))
+      .join(parentKeys, col("__ck") === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val total = child.agg(count(lit(1)).as("n_child"))
+    total.crossJoin(broadcast(orphans))
+      .select(lit(relationship).as("relationship"), col("n_child"),
+        col("n_orphans"),
+        round(col("n_orphans").cast("double") / col("n_child"), 6)
+          .as("orphan_rate"))
+  }
+
+  /** Per-group freshness: latest timestamp, row count, and how far the
+    * group trails the table's newest row (whole seconds — exact integer
+    * arithmetic on epoch micros). The staleness triage before blaming a
+    * source feed. */
+  def freshnessReport(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val grouped = df.filter(col(tsCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(max(unix_micros(col(tsCol))).as("last_us"),
+        count(lit(1)).as("n_rows"))
+    val global = grouped.agg(max(col("last_us")).as("global_us"))
+    grouped.crossJoin(broadcast(global))
+      .select(col(groupCol), timestamp_micros(col("last_us")).as("last_ts"),
+        col("n_rows"),
+        // INTEGER div — a double quotient could round across a whole
+        // second near representation boundaries
+        expr("(global_us - last_us) div 1000000").as("lag_seconds"))
+  }
+}

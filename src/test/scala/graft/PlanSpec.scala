@@ -144,7 +144,9 @@ class PlanSpec extends SparkSpec {
       "q188_daily_value_drift", // q175's 1-row min-max + densify cross
       "q196_label_kappa", // 1-row base + 1-row marginal-product control frames
       "q198_leadlag_corr", // 7-row literal lag frame cross-joined onto the daily spine
-      "q199_mutual_info") // 1-row corpus-total + 1-row MI-total control frames
+      "q199_mutual_info", // 1-row corpus-total + 1-row MI-total control frames
+      "q204_ri_orphans", // three 1-row orphan-count control frames
+      "q205_freshness") // 1-row global-max control frame
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ruleReport: one pass, null predicate results count as failures") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (2L, -1.0), (null, 3.0), (4L, null)
+    ).toDF("id", "v")
+    val out = DataQuality.ruleReport(df, Seq(
+        "id_not_null" -> col("id").isNotNull,
+        "v_positive" -> (col("v") > 0)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("id_not_null") == ((4L, 1L, 0.25)))
+    // v > 0 is NULL for the null value -> failure, plus the -1.0 row
+    assert(out("v_positive") == ((4L, 2L, 0.5)))
+  }
+
+  test("ruleReport plans a single scan of the input") {
+    val df = Seq((1L, 2.0), (3L, 4.0)).toDF("id", "v")
+    val plan = DataQuality.ruleReport(df, Seq(
+        "a" -> col("id").isNotNull, "b" -> (col("v") > 0),
+        "c" -> (col("id") < 10))).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    assert(plan.collect { case l: LocalRelation => l }.size == 1,
+      s"rules must share ONE scan:\n$plan")
+  }
+
+  test("referentialIntegrity counts missing parents and null child keys") {
+    val child = Seq[java.lang.Long](1L, 2L, 2L, 5L, null).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = DataQuality.referentialIntegrity(
+      child, "fk", parent, "pk", "c_p").head()
+    assert(r.getString(0) == "c_p")
+    assert(r.getLong(1) == 5L)
+    assert(r.getLong(2) == 2L) // the 5L orphan + the null key
+    assert(r.getDouble(3) == 0.4)
+  }
+
+  test("freshnessReport lags are whole seconds behind the global max") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 12:00:00")),
+      ("b", ts("2024-01-01 11:59:58")),
+      ("c", ts("2024-01-01 09:00:00"))
+    ).toDF("g", "ts")
+    val out = DataQuality.freshnessReport(df, "g", "ts")
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == ((2L, 0L)))
+    assert(out("b") == ((1L, 2L)))
+    assert(out("c") == ((1L, 3L * 3600)))
+  }
+}
