@@ -3730,6 +3730,30 @@ object OracleSql {
          |SELECT event_type,
          |  strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S') AS last_ts,
          |  n_rows, (global_us - last_us) // 1000000 AS lag_seconds
-         |FROM g CROSS JOIN gm""".stripMargin
+         |FROM g CROSS JOIN gm""".stripMargin,
+
+    // blocking-key pre-flight: Σ b(b-1)/2 per candidate, exact longs
+    "q206_block_profile" -> {
+      def cand(name: String, keyExpr: String): String =
+        s"""SELECT '$name' AS block_key, s.n_rows, s.null_keys,
+           |  b.n_blocks, b.max_block, b.est_pairs,
+           |  ${rnd("b.est_pairs::DOUBLE / greatest(s.n_rows, 1)", 2)}
+           |    AS pairs_per_row
+           |FROM (SELECT count(*)::BIGINT AS n_rows,
+           |    sum(CASE WHEN $keyExpr IS NULL THEN 1 ELSE 0 END)::BIGINT
+           |      AS null_keys FROM canon) s
+           |CROSS JOIN (SELECT count(*)::BIGINT AS n_blocks,
+           |    coalesce(max(cb), 0)::BIGINT AS max_block,
+           |    coalesce(sum(cb * (cb - 1) // 2), 0)::BIGINT AS est_pairs
+           |  FROM (SELECT count(*)::BIGINT AS cb FROM canon
+           |    WHERE $keyExpr IS NOT NULL GROUP BY $keyExpr)) b""".stripMargin
+      s"""WITH canon AS (SELECT p_name AS name, min(p_partkey) AS id
+         |  FROM part GROUP BY 1)
+         |${cand("first_token", "string_split(name, ' ')[1]")}
+         |UNION ALL
+         |${cand("last_token", "string_split(name, ' ')[-1]")}
+         |UNION ALL
+         |${cand("first_char", "substr(name, 1, 1)")}""".stripMargin
+    }
   )
 }

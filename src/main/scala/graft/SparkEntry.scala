@@ -2261,6 +2261,18 @@ object SparkEntry {
       .withColumn("last_ts",
         date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss"))
 
+  /** Blocking-key pre-flight for record linkage over part names: three
+    * candidate keys (first token, last token, first char) with the pair
+    * work each implies — the measured input to q191's blocking choice. */
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    Dedup.linkageBlockProfile(
+      T(s, dir, "part")
+        .groupBy(col("p_name").as("name")).agg(min(col("p_partkey")).as("id")),
+      "id", Seq(
+        "first_token" -> element_at(split(col("name"), " "), 1),
+        "last_token" -> element_at(split(col("name"), " "), -1),
+        "first_char" -> substring(col("name"), 1, 1)))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2468,7 +2480,8 @@ object SparkEntry {
     "q202_golden_records" -> (q202 _),
     "q203_dq_rules" -> (q203 _),
     "q204_ri_orphans" -> (q204 _),
-    "q205_freshness" -> (q205 _)
+    "q205_freshness" -> (q205 _),
+    "q206_block_profile" -> (q206 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -119,6 +119,12 @@ object StringSimilarity {
     val lb = b.length
     if (la == 0) return lb.toLong
     if (lb == 0) return la.toLong
+    // the DP matrix is (|a|+2)·(|b|+2) ints — a pair of 100 KB documents
+    // would be a 40 GB allocation. This is a SHORT-KEY scorer (names,
+    // titles); fail loudly instead of OOM-killing an executor.
+    require(la.toLong * lb <= 16L * 1024 * 1024,
+      s"damerau_levenshtein inputs too large ($la x $lb bytes) — " +
+        "score short keys after blocking, not raw documents")
     val inf = la + lb
     val da = new Array[Int](256)
     // d is (la+2) x (lb+2); flat row-major

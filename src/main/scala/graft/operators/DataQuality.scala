@@ -23,6 +23,8 @@ object DataQuality {
     * cannot evaluate did not pass — the conservative audit stance). */
   def ruleReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "duplicate rule names (duplicate aggregate aliases)")
     val aggs = count(lit(1)).as("__n") +: rules.map { case (name, pred) =>
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__f_$name")
     }

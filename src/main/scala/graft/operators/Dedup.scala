@@ -1324,9 +1324,43 @@ object Dedup {
     * singleton clusters of themselves. Output: component_id, n_members,
     * canonical_id (min member id), and per field `golden_<name>` +
     * `<name>_from` (the contributing member). */
+  /** Blocking-key pre-flight for [[recordLinkagePairs]]: for each CANDIDATE
+    * blocking expression, the pair work it implies — Σ b·(b−1)/2 over its
+    * block sizes — plus block-count/max-block/coverage stats, so the
+    * quadratic-stage key is chosen from measured numbers, not intuition
+    * (the [[lshOperatingPoints]] / joinPreflightCard philosophy applied to
+    * linkage). One count-per-block aggregation per candidate, unioned;
+    * all sums are exact integers. `null_keys` rows never enter a block
+    * (they'd pair with every other null — the classic blocking blowup). */
+  def linkageBlockProfile(df: DataFrame, idCol: String,
+                          candidates: Seq[(String, Column)]): DataFrame = {
+    require(candidates.nonEmpty, "at least one candidate blocking key")
+    require(candidates.map(_._1).distinct.size == candidates.size,
+      "duplicate candidate names (rows would be indistinguishable)")
+    candidates.map { case (name, key) =>
+      val keyed = df.select(col(idCol).as("id"), key.as("blk"))
+      val withNull = keyed.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("blk").isNull, 1L).otherwise(0L)).as("null_keys"))
+      val blocks = keyed.filter(col("blk").isNotNull)
+        .groupBy(col("blk")).agg(count(lit(1)).as("b"))
+        .agg(count(lit(1)).as("n_blocks"),
+          coalesce(max(col("b")), lit(0L)).as("max_block"),
+          coalesce(sum(expr("b * (b - 1) div 2")), lit(0L))
+            .cast("long").as("est_pairs")) // integer div: longs end to end
+      withNull.crossJoin(broadcast(blocks))
+        .select(lit(name).as("block_key"), col("n_rows"), col("null_keys"),
+          col("n_blocks"), col("max_block"), col("est_pairs"),
+          round(col("est_pairs").cast("double") /
+            greatest(col("n_rows"), lit(1L)), 2).as("pairs_per_row"))
+    }.reduce(_ unionByName _)
+  }
+
   def goldenRecords(df: DataFrame, components: DataFrame, idCol: String,
                     fields: Seq[(String, Column)]): DataFrame = {
     require(fields.nonEmpty, "at least one survivorship field")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "duplicate survivorship field names (duplicate aggregate aliases)")
     val comp = df.select(col(idCol).as("node"))
       .join(components, Seq("node"), "left")
       .select(col("node"),

@@ -179,6 +179,8 @@ object TimeSeries {
   def leadLagCorrelation(df: DataFrame, keyCol: String, tsCol: String,
                          keyA: String, keyB: String, maxLag: Int = 3): DataFrame = {
     require(maxLag >= 0, "maxLag >= 0")
+    require(keyA != keyB,
+      "keyA == keyB correlates a series with itself (r(0) = 1 trivially)")
     val daily = df.filter(col(keyCol).isin(keyA, keyB))
       .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("cnt"))

@@ -611,4 +611,20 @@ class DedupSpec extends SparkSpec {
     assert(s9.getLong(1) == 1L && s9.getString(3) == "lonely" &&
       s9.getString(5) == "src_z")
   }
+
+  test("linkageBlockProfile: pair work per candidate key, nulls excluded") {
+    val recs = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"),
+      (4L, "b", "y"), (5L, "b", null), (6L, null, "y")
+    ).toDF("id", "k1", "k2")
+    val out = Dedup.linkageBlockProfile(recs, "id",
+        Seq("by_k1" -> col("k1"), "by_k2" -> col("k2")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // k1: blocks a=3, b=2 -> pairs 3+1=4; one null key
+    assert(out("by_k1") == ((6L, 1L, 2L, 3L, 4L)))
+    // k2: blocks x=2, y=3 -> pairs 1+3=4; one null key
+    assert(out("by_k2") == ((6L, 1L, 2L, 3L, 4L)))
+  }
 }
