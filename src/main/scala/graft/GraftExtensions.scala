@@ -46,5 +46,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => TopKAgg(es(0), intOf(es(1))).toAggregateExpression()))
     ext.injectFunction(fn("graft_minhash_agg",
       es => MinHashAgg(es(0), intOf(es(1))).toAggregateExpression()))
+    ext.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPruning)
   }
 }
