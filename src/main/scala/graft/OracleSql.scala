@@ -3754,6 +3754,58 @@ object OracleSql {
          |${cand("last_token", "string_split(name, ' ')[-1]")}
          |UNION ALL
          |${cand("first_char", "substr(name, 1, 1)")}""".stripMargin
+    },
+
+    // Wilson 95% interval: the formula tree mirrors the Spark column
+    // expression exactly (same literals, same association) so the doubles
+    // replay bit-for-bit
+    "q207_wilson_rates" ->
+      s"""WITH agg AS (SELECT source, count(*)::BIGINT AS n,
+         |    sum(CASE WHEN coalesce(n_chars >= 300, false) THEN 1 ELSE 0
+         |      END)::BIGINT AS k
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT source, n, k, n::DOUBLE AS nd,
+         |    k::DOUBLE / n::DOUBLE AS p FROM agg)
+         |SELECT source, n, k, ${rnd("p", 6)} AS rate,
+         |  ${rnd("(p + (1.96 * 1.96) / (2.0 * nd) - 1.96 * sqrt(p * (1.0 - p) / nd " +
+           "+ (1.96 * 1.96) / (4.0 * nd * nd))) / (1.0 + (1.96 * 1.96) / nd)", 6)}
+         |    AS wilson_lo,
+         |  ${rnd("(p + (1.96 * 1.96) / (2.0 * nd) + 1.96 * sqrt(p * (1.0 - p) / nd " +
+           "+ (1.96 * 1.96) / (4.0 * nd * nd))) / (1.0 + (1.96 * 1.96) / nd)", 6)}
+         |    AS wilson_hi
+         |FROM t""".stripMargin,
+
+    // decile lift/gains: q75's exact equal-frequency binning on the
+    // quality score, decile 1 = highest scores, integer counts throughout
+    "q208_lift_table" -> {
+      val qExpr = rnd(s"least($tokenCountExpr::DOUBLE / 100.0, 1.0) * 0.4 + " +
+        s"least($stopwordRatioExpr * 4.0, 1.0) * 0.4 + " +
+        s"greatest(1.0 - $punctRatioExpr * 5.0, 0.0) * 0.2", 4)
+      s"""WITH scored AS (SELECT $qExpr AS q,
+         |    coalesce(n_chars >= 300, false) AS y FROM documents),
+         |counts AS (SELECT q, count(*) AS cnt FROM scored GROUP BY 1),
+         |cum AS (SELECT q, cnt,
+         |    sum(cnt) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS cumn,
+         |    sum(cnt) OVER () AS n FROM counts),
+         |b AS (SELECT q,
+         |    least(9, ((cumn - cnt) * 10) // n)::BIGINT AS bucket FROM cum),
+         |j AS (SELECT s.q, s.y, (10 - b.bucket)::BIGINT AS decile
+         |  FROM scored s JOIN b USING (q)),
+         |per AS (SELECT decile, count(*)::BIGINT AS n,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS k
+         |  FROM j GROUP BY 1),
+         |c AS (SELECT decile, n, k,
+         |    sum(k) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW)::BIGINT AS cum_k,
+         |    sum(n) OVER ()::BIGINT AS tot_n, sum(k) OVER ()::BIGINT AS tot_k
+         |  FROM per)
+         |SELECT decile, n, k, ${rnd("k::DOUBLE / n", 6)} AS rate,
+         |  CASE WHEN tot_k = 0 THEN NULL
+         |    ELSE ${rnd("(k::DOUBLE / n) / (tot_k::DOUBLE / tot_n)", 4)} END AS lift,
+         |  CASE WHEN tot_k = 0 THEN NULL
+         |    ELSE ${rnd("cum_k::DOUBLE / tot_k", 6)} END AS capture
+         |FROM c""".stripMargin
     }
   )
 }

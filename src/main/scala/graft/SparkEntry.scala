@@ -2273,6 +2273,22 @@ object SparkEntry {
         "last_token" -> element_at(split(col("name"), " "), -1),
         "first_char" -> substring(col("name"), 1, 1)))
 
+  /** Wilson 95% score intervals per source for the length-pass rate —
+    * the error bars under any cross-source rate comparison. */
+  private def q207(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.wilsonIntervals(
+      T(s, dir, "documents"), "source", col("n_chars") >= 300)
+
+  /** Decile lift/gains of the quality score against the length label:
+    * does the score rank long docs first, and how much of them do the
+    * top deciles capture. */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val scored = TW(s, dir, "documents")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"),
+        col("n_chars"))
+    graft.operators.Stats.liftTable(scored, "q", col("n_chars") >= 300)
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2481,7 +2497,9 @@ object SparkEntry {
     "q203_dq_rules" -> (q203 _),
     "q204_ri_orphans" -> (q204 _),
     "q205_freshness" -> (q205 _),
-    "q206_block_profile" -> (q206 _)
+    "q206_block_profile" -> (q206 _),
+    "q207_wilson_rates" -> (q207 _),
+    "q208_lift_table" -> (q208 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

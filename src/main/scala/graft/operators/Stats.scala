@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -630,5 +630,69 @@ object Stats {
     ranked.join(pooled, "target_rank")
       .select(col(idCol), col(groupCol), col(valueCol),
         col("r").as("group_rank"), col("norm_value"))
+  }
+
+  /** Wilson score interval per group for a boolean success predicate —
+    * the small-sample-honest error bars a data-quality rate needs before
+    * anyone compares two sources' pass rates (a 3/4 source and a
+    * 7500/10000 source both read "75%"; their intervals don't overlap
+    * the same decisions). Closed form, no bootstrap: every input is an
+    * exact integer count, the z constant is a literal, and the formula
+    * tree is written identically in the oracle so the doubles replay
+    * bit-for-bit. Groups with n = 0 successes still report (0-width
+    * intervals never happen: Wilson is defined at k = 0 and k = n). */
+  def wilsonIntervals(df: DataFrame, groupCol: String, success: Column,
+                      z: Double = 1.96): DataFrame = {
+    val z2 = z * z
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(when(coalesce(success, lit(false)), 1L).otherwise(0L)).as("k"))
+    val n = col("n").cast("double")
+    val p = col("k").cast("double") / n
+    val denom = lit(1.0) + lit(z2) / n
+    val center = p + lit(z2) / (lit(2.0) * n)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      lit(z2) / (lit(4.0) * n * n))
+    agg.select(col(groupCol), col("n"), col("k"),
+      round(p, 6).as("rate"),
+      round((center - half) / denom, 6).as("wilson_lo"),
+      round((center + half) / denom, 6).as("wilson_hi"))
+  }
+
+  /** Decile lift/gains table for a score against a boolean label — the
+    * standard eval for "does this quality score actually rank good docs
+    * first" before using it as a filter or curriculum key. Deciles are
+    * the exact equal-frequency buckets of [[histogramBuckets]] (decile 1
+    * = highest scores); each reports its positive rate, lift over the
+    * base rate, and the cumulative capture share walking down from the
+    * top. Counts are exact integers end to end; the cumulative walk is a
+    * 10-row window. */
+  def liftTable(df: DataFrame, scoreCol: String, label: Column,
+                nBuckets: Int = 10): DataFrame = {
+    val labeled = df.select(col(scoreCol),
+      when(coalesce(label, lit(false)), 1L).otherwise(0L).as("y"))
+    val bucketed = histogramBuckets(labeled, scoreCol, nBuckets)
+      .withColumn("decile", (lit(nBuckets).cast("long") - col("bucket")))
+    val per = bucketed.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_k", sum(col("k")).over(w))
+      .withColumn("tot_n", sum(col("n")).over(tot))
+      .withColumn("tot_k", sum(col("k")).over(tot))
+      .select(col("decile"), col("n"), col("k"),
+        round(col("k").cast("double") / col("n"), 6).as("rate"),
+        // zero positives anywhere: lift/capture undefined -> null (an
+        // INTEGER guard, not a fp comparison)
+        when(col("tot_k") === 0, lit(null).cast("double"))
+          .otherwise(round((col("k").cast("double") / col("n")) /
+            (col("tot_k").cast("double") / col("tot_n")), 4)).as("lift"),
+        when(col("tot_k") === 0, lit(null).cast("double"))
+          .otherwise(round(col("cum_k").cast("double") / col("tot_k"), 6))
+          .as("capture"))
   }
 }

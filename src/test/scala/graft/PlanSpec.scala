@@ -146,7 +146,8 @@ class PlanSpec extends SparkSpec {
       "q198_leadlag_corr", // 7-row literal lag frame cross-joined onto the daily spine
       "q199_mutual_info", // 1-row corpus-total + 1-row MI-total control frames
       "q204_ri_orphans", // three 1-row orphan-count control frames
-      "q205_freshness") // 1-row global-max control frame
+      "q205_freshness", // 1-row global-max control frame
+      "q206_block_profile") // per-candidate 1-row null-count x 1-row block-stats frames
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
@@ -192,7 +193,9 @@ class PlanSpec extends SparkSpec {
       "q179_water_fill",
       // constant-partition quantile rank over the bounded pair sample —
       // the optimizer folds the lit(0) partition key away
-      "q176_pair_distance_profile")
+      "q176_pair_distance_profile",
+      // nBuckets-row decile table: cumulative + totals windows over <= 10 rows
+      "q208_lift_table")
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -339,5 +340,43 @@ class StatsSpec extends SparkSpec {
     assert(out(("b", 1L)) == 2L && out(("b", 3L)) == 5L && out(("b", 6L)) == 30L)
     // every group's top rank maps to the pooled maximum
     assert(out.filterKeys(_._2 == 1L).values.forall(_ <= 3L))
+  }
+
+  test("wilsonIntervals: textbook values, asymmetry, and the k=0/k=n edges") {
+    val rows = Seq.fill(15)(("a", true)) ++ Seq.fill(5)(("a", false)) ++
+      Seq.fill(4)(("zero", false)) ++ Seq.fill(4)(("all", true))
+    val out = Stats.wilsonIntervals(rows.toDF("g", "s"), "g", col("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // 15/20 at z=1.96: Wilson interval ~ (0.531, 0.888)
+    val a = out("a")
+    assert(a._1 == 20L && a._2 == 15L && a._3 == 0.75)
+    assert(math.abs(a._4 - 0.531) < 0.002 && math.abs(a._5 - 0.888) < 0.002)
+    assert(a._4 > 0.0 && a._5 < 1.0)
+    // k = 0: lo exactly 0 is fine, hi must be well above 0 for n = 4
+    val z = out("zero")
+    assert(z._3 == 0.0 && z._4 == 0.0 && z._5 > 0.4)
+    // k = n mirrors it
+    val l = out("all")
+    assert(l._3 == 1.0 && l._5 == 1.0 && l._4 < 0.6)
+  }
+
+  test("liftTable: a perfectly ranking score captures all positives early") {
+    // scores 1..100, label = score > 80 (top two deciles are all-positive)
+    val rows = (1 to 100).map(i => (i.toDouble, i > 80))
+    val out = Stats.liftTable(rows.toDF("s", "y"), "s", col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out.keySet == (1L to 10L).toSet)
+    assert(out(1L) == ((10L, 10L, 1.0, 5.0, 0.5)))   // decile 1: all pos, lift 5x
+    assert(out(2L) == ((10L, 10L, 1.0, 5.0, 1.0)))   // capture complete by decile 2
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    assert(out(10L)._5 == 1.0)
+    // no positives at all -> null lift/capture, not NaN
+    val none = Stats.liftTable(
+      (1 to 40).map(i => (i.toDouble, false)).toDF("s", "y"), "s", col("y"))
+    assert(none.collect().forall(r => r.isNullAt(4) && r.isNullAt(5)))
   }
 }
