@@ -32,26 +32,12 @@ object ScaleProbe {
     def docs = Tables.widen(Tables.load(spark, sfDir, "documents"))
     def emb = Tables.widen(Tables.load(spark, sfDir, "embeddings"))
 
+    // measured through the operator's OWN candidate stage
+    // (Dedup.prefixCandidates) — a probe-local re-implementation would
+    // drift from the contract it claims to measure
     def prefixCandCount(docs: org.apache.spark.sql.DataFrame,
-                        t: Double, k: Int): Long = {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      val toks = docs.select(col("doc_id").as("id"),
-          array_distinct(Dedup.shingles(col("text"), k)).as("toks"))
-        .filter(size(col("toks")) > 0).localCheckpoint()
-      val tokenDf = toks.select(col("id"), explode(col("toks")).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("tdf"))
-      val prefix = toks.select(col("id"), size(col("toks")).as("n"),
-          posexplode(col("toks")).as(Seq("p", "t")))
-        .join(broadcast(tokenDf), "t")
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("tdf"), col("t"))))
-        .filter(col("r") <= col("n") - ceil(col("n") * t) + 1)
-      prefix.select(col("t"), col("id").as("id_a"))
-        .join(prefix.select(col("t"), col("id").as("id_b")), "t")
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct().count()
-    }
+                        t: Double, k: Int): Long =
+      Dedup.prefixCandidateCount(docs, "text", "doc_id", t, k)
 
     val probes: Seq[(String, () => Long)] = Seq(
       "docs_rows" -> (() => docs.count()),

@@ -168,14 +168,11 @@ object StringSimilarity {
     d((la + 1) * w + lb + 1).toLong
   }
 
-  private var registered = false
-
   def register(spark: SparkSession): Unit = synchronized {
     Registry.ensure(spark, "graft_jaro_winkler")(
       exprs => JaroWinklerSim(exprs(0), exprs(1)))
     Registry.ensure(spark, "graft_damerau_levenshtein")(
       exprs => DamerauLevenshteinDist(exprs(0), exprs(1)))
-    registered = true
   }
 
   def jaroWinkler(spark: SparkSession, a: Column, b: Column): Column = {

@@ -1274,15 +1274,29 @@ object Dedup {
     * fix — it exponentiates the vocabulary (31 words → 27k 3-shingles
     * here, max df 25), so prefixes hold genuinely rare units and the
     * candidate set collapses to near-output size. */
-  def prefixFilterJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                               threshold: Double, shingleK: Int = 1): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+  /** Distinct token sets per doc for the prefix-filter chain (shared by
+    * the operator and the candidate stage). */
+  private def prefixTokenSets(df: DataFrame, textCol: String, idCol: String,
+                              shingleK: Int): DataFrame = {
     val units = if (shingleK <= 1) tokens(col(textCol))
                 else shingles(col(textCol), shingleK)
-    val toks = graft.Tables.widen(df).select(col(idCol).as("id"),
+    graft.Tables.widen(df).select(col(idCol).as("id"),
         array_distinct(units).as("toks"))
       .filter(size(col("toks")) > 0)
       .localCheckpoint() // feeds df-counts, prefixes, and the verify join
+  }
+
+  /** The AllPairs candidate stage over prepared token sets: rarest-first
+    * prefix postings self-joined. Exposed so [[graft.ScaleProbe]] measures
+    * EXACTLY the operator's candidate generator (a re-implementation would
+    * drift). The prefix length `n − ceil(t·n) + 1` uses DECIMAL ceiling —
+    * an fp `ceil(n * t)` overshoots the true ceiling whenever n·t rounds
+    * up across an integer (e.g. 25·0.56 → 14.000000000000002 → 15),
+    * silently shortening the prefix below the proven exact-recall minimum
+    * (DuckDB's numeric literals are DECIMAL, so the oracle never had the
+    * bug — only the Spark side did). */
+  private[graft] def prefixCandidates(toks: DataFrame,
+                                      threshold: Double): DataFrame = {
     val tokenDf = toks.select(col("id"), explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("tdf"))
     // global order: rarest first, ties by token bytes — broadcast-joined
@@ -1293,13 +1307,20 @@ object Dedup {
     val ranked = posts.withColumn("r", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
         .orderBy(col("tdf"), col("t"))))
+    val tDec = lit(java.math.BigDecimal.valueOf(threshold)) // exact decimal
     val prefix = ranked.filter(
-      col("r") <= col("n") - ceil(col("n") * threshold) + 1)
-    val cand = prefix.select(col("t"), col("id").as("id_a"))
+      col("r") <= col("n") - ceil(col("n") * tDec) + 1)
+    prefix.select(col("t"), col("id").as("id_a"))
       .join(prefix.select(col("t"), col("id").as("id_b")), "t")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cand
+  }
+
+  def prefixFilterJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                               threshold: Double, shingleK: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val toks = prefixTokenSets(df, textCol, idCol, shingleK)
+    prefixCandidates(toks, threshold)
       .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
@@ -1309,21 +1330,14 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Field-level survivorship over duplicate clusters — the "golden
-    * record" step after [[connectedComponents]]: where
-    * [[clusterRepresentatives]] keeps ONE whole row per cluster, this
-    * composes the output record from the best value PER FIELD (longest
-    * text from one member, canonical source from another), the standard
-    * MDM merge.
-    *
-    * `fields` maps each output field to its ranking column: the cluster
-    * member maximizing (rank, then lowest id) contributes that field's
-    * value, via one `max(struct(rank, −id, value))` per field inside a
-    * single aggregation — no rank windows, per-cluster state is one
-    * struct per field. Docs absent from `components` (no dup link) form
-    * singleton clusters of themselves. Output: component_id, n_members,
-    * canonical_id (min member id), and per field `golden_<name>` +
-    * `<name>_from` (the contributing member). */
+  /** Probe entry: candidate count at an operating point, measured through
+    * the operator's own stages. */
+  private[graft] def prefixCandidateCount(df: DataFrame, textCol: String,
+                                          idCol: String, threshold: Double,
+                                          shingleK: Int): Long =
+    prefixCandidates(prefixTokenSets(df, textCol, idCol, shingleK),
+      threshold).count()
+
   /** Blocking-key pre-flight for [[recordLinkagePairs]]: for each CANDIDATE
     * blocking expression, the pair work it implies — Σ b·(b−1)/2 over its
     * block sizes — plus block-count/max-block/coverage stats, so the
@@ -1356,6 +1370,21 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** Field-level survivorship over duplicate clusters — the "golden
+    * record" step after [[connectedComponents]]: where
+    * [[clusterRepresentatives]] keeps ONE whole row per cluster, this
+    * composes the output record from the best value PER FIELD (longest
+    * text from one member, canonical source from another), the standard
+    * MDM merge.
+    *
+    * `fields` maps each output field to its ranking column: the cluster
+    * member maximizing (rank, then lowest id) contributes that field's
+    * value, via one `max(struct(rank, −id, value))` per field inside a
+    * single aggregation — no rank windows, per-cluster state is one
+    * struct per field. Docs absent from `components` (no dup link) form
+    * singleton clusters of themselves. Output: component_id, n_members,
+    * canonical_id (min member id), and per field `golden_<name>` +
+    * `<name>_from` (the contributing member). */
   def goldenRecords(df: DataFrame, components: DataFrame, idCol: String,
                     fields: Seq[(String, Column)]): DataFrame = {
     require(fields.nonEmpty, "at least one survivorship field")

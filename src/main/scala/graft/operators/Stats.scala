@@ -548,10 +548,19 @@ object Stats {
     * Every fp value divides exact integer sums (`Σ c_A(l)·c_B(l)` is a sum
     * of longs), so partial-aggregation fold order cannot wobble a bit at
     * hash-compare strictness. Perfect chance agreement (p_e = 1: both
-    * sides constant and equal — κ undefined) reports null. */
+    * sides constant and equal — κ undefined) reports null.
+    *
+    * Rows where EITHER label is null are excluded from n entirely (an
+    * unlabeled item is not a rating). Counting them would be
+    * inconsistent by construction: `a = b` is never true for nulls and
+    * the marginal join drops null groups, so a corpus of identical null
+    * pairs would read as disagreement (κ = 0.33 instead of the honest
+    * "no data") — treat null-as-category upstream if that is the
+    * intent. */
   def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
     val labeled = df.select(col(colA).cast("string").as("a"),
-      col(colB).cast("string").as("b"))
+        col(colB).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
     val base = labeled.agg(count(lit(1)).as("n"),
       sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("matches"))
     val ma = labeled.groupBy(col("a").as("label")).agg(count(lit(1)).as("ca"))

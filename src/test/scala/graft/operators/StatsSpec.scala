@@ -309,6 +309,12 @@ class StatsSpec extends SparkSpec {
     val disjoint = Seq(("x", "y"), ("x", "y")).toDF("a", "b")
     val d = Stats.cohenKappa(disjoint, "a", "b").head()
     assert(d.getDouble(1) == 0.0 && d.getDouble(2) == 0.0 && d.getDouble(3) == 0.0)
+    // null labels are excluded from n, not counted as disagreement: ten
+    // (null,null) rows + two perfect agreements must read kappa = 1 on n=2
+    val nullish = (Seq.fill(10)((null: String, null: String)) ++
+      Seq(("x", "x"), ("y", "y"))).toDF("a", "b")
+    val nr = Stats.cohenKappa(nullish, "a", "b").head()
+    assert(nr.getLong(0) == 2L && nr.getDouble(3) == 1.0)
   }
 
   test("mutualInformation: zero when independent, ln(2) when determined") {
