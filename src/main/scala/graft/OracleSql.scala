@@ -3725,7 +3725,7 @@ object OracleSql {
     "q205_freshness" ->
       s"""WITH g AS (SELECT event_type,
          |    max(epoch_us(ts))::BIGINT AS last_us, count(*)::BIGINT AS n_rows
-         |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         |  FROM events GROUP BY 1),
          |gm AS (SELECT max(last_us) AS global_us FROM g)
          |SELECT event_type,
          |  strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S') AS last_ts,

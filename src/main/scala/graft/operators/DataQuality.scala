@@ -63,9 +63,12 @@ object DataQuality {
   /** Per-group freshness: latest timestamp, row count, and how far the
     * group trails the table's newest row (whole seconds — exact integer
     * arithmetic on epoch micros). The staleness triage before blaming a
-    * source feed. */
+    * source feed. Groups whose timestamps are ALL null — a dead feed,
+    * precisely what this report exists to surface — still appear, with
+    * null `last_ts`/`lag_seconds` (max ignores nulls; no pre-filter that
+    * would silently drop them) and `n_rows` counting every row. */
   def freshnessReport(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
-    val grouped = df.filter(col(tsCol).isNotNull)
+    val grouped = df
       .groupBy(col(groupCol))
       .agg(max(unix_micros(col(tsCol))).as("last_us"),
         count(lit(1)).as("n_rows"))

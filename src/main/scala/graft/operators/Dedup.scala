@@ -1299,11 +1299,15 @@ object Dedup {
                                       threshold: Double): DataFrame = {
     val tokenDf = toks.select(col("id"), explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("tdf"))
-    // global order: rarest first, ties by token bytes — broadcast-joined
-    // onto the postings (the vocab is the small side by construction)
+    // global order: rarest first, ties by token bytes. NO forced
+    // broadcast on the vocab: with shingleK > 1 the vocabulary grows
+    // with the corpus (27k shingles at sf0.001 already), so a pinned
+    // hint could blow the 8 GB broadcast limit at scale — AQE picks
+    // broadcast while the df table is small and degrades to a shuffle
+    // join when it is not
     val posts = toks.select(col("id"), size(col("toks")).as("n"),
         posexplode(col("toks")).as(Seq("p", "t")))
-      .join(broadcast(tokenDf), "t")
+      .join(tokenDf, "t")
     val ranked = posts.withColumn("r", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
         .orderBy(col("tdf"), col("t"))))
@@ -1379,12 +1383,15 @@ object Dedup {
     *
     * `fields` maps each output field to its ranking column: the cluster
     * member maximizing (rank, then lowest id) contributes that field's
-    * value, via one `max(struct(rank, −id, value))` per field inside a
+    * value, via one `min(struct(−rank, id, value))` per field inside a
     * single aggregation — no rank windows, per-cluster state is one
-    * struct per field. Docs absent from `components` (no dup link) form
-    * singleton clusters of themselves. Output: component_id, n_members,
-    * canonical_id (min member id), and per field `golden_<name>` +
-    * `<name>_from` (the contributing member). */
+    * struct per field. The id rides the struct UN-negated, so it may be
+    * any orderable type (string business keys included — the common MDM
+    * case); only the RANKING column must be numeric (it is negated to
+    * flip the struct ordering). Docs absent from `components` (no dup
+    * link) form singleton clusters of themselves. Output: component_id,
+    * n_members, canonical_id (min member id), and per field
+    * `golden_<name>` + `<name>_from` (the contributing member). */
   def goldenRecords(df: DataFrame, components: DataFrame, idCol: String,
                     fields: Seq[(String, Column)]): DataFrame = {
     require(fields.nonEmpty, "at least one survivorship field")
@@ -1399,12 +1406,12 @@ object Dedup {
       count(lit(1)).cast("long").as("n_members"),
       min(col("node")).as("canonical_id")) ++
       fields.map { case (name, rank) =>
-        max(struct(rank.as("rk"), negate(col("node")).as("nid"),
+        min(struct(negate(rank).as("nrk"), col("node").as("from"),
           col(name).as("v"))).as(s"__$name")
       }
     val out = fields.flatMap { case (name, _) =>
       Seq(col(s"__$name.v").as(s"golden_$name"),
-        negate(col(s"__$name.nid")).as(s"${name}_from"))
+        col(s"__$name.from").as(s"${name}_from"))
     }
     joined.groupBy(col("component_id"))
       .agg(aggs.head, aggs.tail: _*)

@@ -56,4 +56,20 @@ class DataQualitySpec extends SparkSpec {
     assert(out("b") == ((1L, 2L)))
     assert(out("c") == ((1L, 3L * 3600)))
   }
+
+  test("freshnessReport surfaces a dead feed (all-null ts) with null lag") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      ("live", ts("2024-01-01 10:00:00")),
+      ("dead", null.asInstanceOf[Timestamp]),
+      ("dead", null.asInstanceOf[Timestamp])
+    ).toDF("g", "ts")
+    val rows = DataQuality.freshnessReport(df, "g", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("live", "dead"), "dead feed must not vanish")
+    val dead = rows("dead")
+    assert(dead.isNullAt(1) && dead.isNullAt(3)) // last_ts, lag_seconds
+    assert(dead.getLong(2) == 2L)                // n_rows counts every row
+    assert(rows("live").getLong(3) == 0L)
+  }
 }

@@ -612,6 +612,22 @@ class DedupSpec extends SparkSpec {
       s9.getString(5) == "src_z")
   }
 
+  test("goldenRecords accepts string ids (MDM business keys)") {
+    val docs = Seq(
+      ("cust-001", "Acme Corp", 4L),
+      ("cust-002", "Acme Corporation Inc", 9L),
+      ("cust-003", "Acme", 2L)
+    ).toDF("rec_id", "name", "score")
+    val comp = Seq(("cust-001", "cust-001"), ("cust-002", "cust-001"),
+      ("cust-003", "cust-001")).toDF("node", "component")
+    val r = Dedup.goldenRecords(docs, comp, "rec_id",
+      Seq("name" -> col("score"))).head()
+    assert(r.getString(0) == "cust-001" && r.getLong(1) == 3L)
+    assert(r.getString(2) == "cust-001") // canonical = min string id
+    assert(r.getString(3) == "Acme Corporation Inc" &&
+      r.getString(4) == "cust-002")
+  }
+
   test("linkageBlockProfile: pair work per candidate key, nulls excluded") {
     val recs = Seq(
       (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"),
