@@ -3806,6 +3806,119 @@ object OracleSql {
          |  CASE WHEN tot_k = 0 THEN NULL
          |    ELSE ${rnd("cum_k::DOUBLE / tot_k", 6)} END AS capture
          |FROM c""".stripMargin
-    }
+    },
+
+    // chi-squared from observed cells only: every zero cell contributes
+    // exactly its expectation e, and sum(e) over the full grid is n, so
+    // chi2 = sum_observed((o-e)^2/e - e) + n; HUGEINT sums cast ::BIGINT
+    "q209_chi2_independence" -> {
+      val e = "ra::DOUBLE * cb::DOUBLE / n::DOUBLE"
+      s"""WITH base AS (SELECT source::VARCHAR AS a, lang::VARCHAR AS b
+         |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
+         |cells AS (SELECT a, b, count(*)::BIGINT AS o FROM base GROUP BY 1, 2),
+         |rt AS (SELECT a, sum(o)::BIGINT AS ra FROM cells GROUP BY 1),
+         |ct AS (SELECT b, sum(o)::BIGINT AS cb FROM cells GROUP BY 1),
+         |dims AS (SELECT sum(o)::BIGINT AS n,
+         |    count(DISTINCT a)::BIGINT AS r, count(DISTINCT b)::BIGINT AS c
+         |  FROM cells),
+         |contrib AS (SELECT coalesce(sum(
+         |    pow(o::DOUBLE - $e, 2) / ($e) - ($e)), 0.0) AS t_sum
+         |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN dims)
+         |SELECT n, r, c, ((r - 1) * (c - 1))::BIGINT AS dof,
+         |  ${rnd("t_sum + n::DOUBLE", 6)} AS chi2,
+         |  CASE WHEN least(r, c) - 1 <= 0 THEN NULL
+         |    ELSE ${rnd("sqrt((t_sum + n::DOUBLE) / " +
+           "(n::DOUBLE * (least(r, c) - 1)::DOUBLE))", 6)} END AS cramers_v
+         |FROM dims CROSS JOIN contrib""".stripMargin
+    },
+
+    // BH step-up over the q175 KS sweep: asymptotic p = 2*exp(-2 D^2 ne)
+    // on the ROUNDED ks_stat (both engines), q_i = min_{j>=i}(m p_j / j)
+    // via the reversed running min, decisions from the rounded q
+    "q210_drift_fdr" -> {
+      val pExpr = "least(1.0, 2.0 * exp(-2.0 * ks_stat * ks_stat * " +
+        "((n_a::DOUBLE * n_b::DOUBLE) / (n_a + n_b)::DOUBLE)))"
+      s"""WITH base AS (SELECT source::VARCHAR AS g, n_chars::DOUBLE AS v
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+         |binned AS (SELECT g,
+         |    least(31, greatest(0, floor((v - lo) /
+         |      (CASE WHEN (hi - lo) / 32 > 0 THEN (hi - lo) / 32
+         |            ELSE 1.0 END))::BIGINT)) AS bin,
+         |    count(*) AS cnt
+         |  FROM base CROSS JOIN mm GROUP BY 1, 2),
+         |dense AS (SELECT g, b.bin, coalesce(cnt, 0) AS cnt
+         |  FROM (SELECT DISTINCT g FROM binned)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 31))::BIGINT AS bin) b
+         |  LEFT JOIN binned USING (g, bin)),
+         |cdf AS (SELECT g, bin,
+         |    (sum(cnt) OVER (PARTITION BY g ORDER BY bin))::DOUBLE /
+         |      sum(cnt) OVER (PARTITION BY g) AS cdf
+         |  FROM dense),
+         |kpairs AS (SELECT a.g AS g_a, b.g AS g_b, abs(a.cdf - b.cdf) AS d
+         |  FROM cdf a JOIN cdf b USING (bin) WHERE a.g < b.g),
+         |ks AS (SELECT g_a, g_b, ${rnd("max(d)", 6)} AS ks_stat
+         |  FROM kpairs GROUP BY 1, 2),
+         |sizes AS (SELECT g, count(*)::BIGINT AS cnt FROM base GROUP BY 1),
+         |tested AS (SELECT ks.g_a || '|' || ks.g_b AS pair, ks.ks_stat,
+         |    sa.cnt AS n_a, sb.cnt AS n_b, ${rnd(pExpr, 6)} AS p_value
+         |  FROM ks JOIN sizes sa ON sa.g = ks.g_a
+         |  JOIN sizes sb ON sb.g = ks.g_b),
+         |ranked AS (SELECT *, row_number() OVER (ORDER BY p_value, pair)
+         |    AS rnk, count(*) OVER () AS m FROM tested),
+         |adj AS (SELECT *, ${rnd("least(1.0, min(m::DOUBLE * p_value / rnk::DOUBLE) " +
+           "OVER (ORDER BY p_value DESC, pair DESC " +
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 6)}
+         |    AS q_value FROM ranked)
+         |SELECT pair, ks_stat, n_a, n_b, p_value, rnk::BIGINT AS rank,
+         |  q_value, (q_value <= 0.05) AS significant
+         |FROM adj""".stripMargin
+    },
+
+    // brute-force ordered-pair containment over 3-shingle sets: equality
+    // with the Spark side IS the containment prefix filter's exact-recall
+    // proof (the contained side's prefix joined against FULL postings)
+    "q211_containment_pairs" ->
+      s"""WITH t0 AS (SELECT doc_id AS id, $toksExpr AS tk FROM documents),
+         |t AS (SELECT id, list_distinct(${shinglesExpr("tk", 3)}) AS toks
+         |  FROM t0),
+         |tt AS (SELECT id, toks FROM t WHERE len(toks) > 0),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    len(list_intersect(a.toks, b.toks))::DOUBLE
+         |      / len(a.toks)::DOUBLE AS containment
+         |  FROM tt a JOIN tt b ON a.id != b.id)
+         |SELECT id_a, id_b, ${rnd("containment", 3)} AS containment
+         |FROM p WHERE containment >= 0.7""".stripMargin,
+
+    // group-kfold: fold = portable-hash(source) mod 5, every source in
+    // exactly one fold by construction
+    "q212_group_kfold" ->
+      s"""SELECT ${h32("source")} % 5 AS fold, source,
+         |  count(*)::BIGINT AS n_docs
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // Matryoshka truncation recall: exact top-10 on the 16-dim prefix vs
+    // the full 64-dim exact top-10, same tie rule (cosine DESC, id ASC)
+    "q213_truncated_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("e.embedding", "q.qv")} DESC,
+         |          e.vec_id ASC) AS rank
+         |    FROM q CROSS JOIN embeddings e) WHERE rank <= 10),
+         |tr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("list_slice(e.embedding, 1, 16)",
+           "list_slice(q.qv, 1, 16)")} DESC,
+         |          e.vec_id ASC) AS rank
+         |    FROM q CROSS JOIN embeddings e) WHERE rank <= 10)
+         |SELECT ex.query_id, count(tr.neighbor_id)::BIGINT AS n_hit,
+         |  ${rnd("count(tr.neighbor_id)::DOUBLE / 10.0", 4)} AS recall
+         |FROM exact ex LEFT JOIN tr
+         |  ON ex.query_id = tr.query_id AND ex.neighbor_id = tr.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin
   )
 }

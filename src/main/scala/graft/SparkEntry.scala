@@ -2289,6 +2289,74 @@ object SparkEntry {
     graft.operators.Stats.liftTable(scored, "q", col("n_chars") >= 300)
   }
 
+  /** Chi-squared independence + Cramér's V for source × lang — the
+    * effect-size companion to q199's mutual information on the same
+    * confound pair: χ² feeds a significance threshold, V reads on a
+    * fixed 0..1 scale. */
+  private def q209(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.chiSquaredIndependence(
+      T(s, dir, "documents"), "source", "lang")
+
+  /** Benjamini–Hochberg FDR over the pairwise KS drift sweep (q175's
+    * statistics): each source pair's asymptotic KS p-value
+    * (2·exp(−2D²·n_eff)), then the step-up q-values and the α = 0.05
+    * decisions — the multiple-testing correction the drift alert needs
+    * before paging anyone about 1 pair out of many. */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val St = graft.operators.Stats
+    val docs = T(s, dir, "documents")
+    val ks = St.ksBinnedDrift(docs, "source", "n_chars", nBins = 32)
+    val sizes = docs.filter(col("n_chars").isNotNull)
+      .groupBy(col("source").cast("string").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val ne = (col("n_a").cast("double") * col("n_b").cast("double")) /
+      (col("n_a") + col("n_b")).cast("double")
+    val tested = ks
+      .join(sizes.select(col("g").as("g_a"), col("cnt").as("n_a")), "g_a")
+      .join(sizes.select(col("g").as("g_b"), col("cnt").as("n_b")), "g_b")
+      .select(concat(col("g_a"), lit("|"), col("g_b")).as("pair"),
+        col("ks_stat"), col("n_a"), col("n_b"),
+        round(least(lit(1.0), lit(2.0) *
+          exp(lit(-2.0) * col("ks_stat") * col("ks_stat") * ne)), 6)
+          .as("p_value"))
+    St.bhAdjust(tested, "pair", "p_value", alpha = 0.05)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Asymmetric containment near-dups over 3-shingle sets at t = 0.7:
+    * ordered pairs where one doc's shingles are 70%-inside another's —
+    * the quote/subset dup class Jaccard structurally misses. Oracle
+    * brute-forces every ordered pair: equality is the containment prefix
+    * filter's exact-recall proof. */
+  private def q211(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+        T(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.7, shingleK = 3)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 3).as("containment"))
+
+  /** Group-aware 5-fold assignment keyed on source, summarized as
+    * (fold, source) counts: every source lands in exactly one fold (the
+    * leakage-safe CV contract), reproducibly across engines via the
+    * portable md5 hash. */
+  private def q212(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.groupKFold(T(s, dir, "documents"), "source", k = 5)
+      .groupBy(col("fold"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Matryoshka truncation harness: recall@10 of cosine top-k over the
+    * first 16 of 64 dims against the full-dimension exact top-k — the
+    * measured cost of a 4× index-byte cut, same decide-from-numbers
+    * contract as the PQ/int8/sign-bit variants. */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val Sim = graft.operators.Similarity
+    val emb = T(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Sim.bruteForceTopK(emb, qs, k = 10)
+    val trunc = Sim.truncatedTopK(emb, qs, k = 10, dims = 16)
+    Sim.recallAtK(exact, trunc, k = 10)
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2499,7 +2567,12 @@ object SparkEntry {
     "q205_freshness" -> (q205 _),
     "q206_block_profile" -> (q206 _),
     "q207_wilson_rates" -> (q207 _),
-    "q208_lift_table" -> (q208 _)
+    "q208_lift_table" -> (q208 _),
+    "q209_chi2_independence" -> (q209 _),
+    "q210_drift_fdr" -> (q210 _),
+    "q211_containment_pairs" -> (q211 _),
+    "q212_group_kfold" -> (q212 _),
+    "q213_truncated_recall" -> (q213 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

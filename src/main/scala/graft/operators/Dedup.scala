@@ -1342,6 +1342,58 @@ object Dedup {
     prefixCandidates(prefixTokenSets(df, textCol, idCol, shingleK),
       threshold).count()
 
+  /** ASYMMETRIC near-dup detection: ordered pairs where doc A's token set
+    * is `threshold`-contained in doc B's — |A∩B| / |A| ≥ t. Jaccard
+    * misses exactly these (a paragraph quoted inside a long page scores
+    * near-zero Jaccard at full containment), yet "A is inside B" is the
+    * dup class quotation, scraping, and template-wrapping produce; the
+    * quote/subset companion to [[prefixFilterJaccardPairs]].
+    *
+    * Candidates via the containment form of the prefix filter: order
+    * tokens rarest-first (corpus df, ties by bytes); if |A∩B| ≥ t·|A|
+    * then A's prefix of length |A| − ceil(t·|A|) + 1 must share a token
+    * with B SOMEWHERE (were all common tokens outside it, they'd have to
+    * fit in the length-(ceil(t·|A|)−1) suffix), so joining A-prefixes
+    * against FULL postings loses nothing — exact recall at t, verified
+    * with the exact containment from the full sets.
+    *
+    * Scale: only the contained side gets a prefix (B genuinely needs all
+    * its tokens — subset semantics), but the JOIN KEYS are restricted to
+    * tokens that land in some A-prefix, i.e. the rare end of the
+    * vocabulary: the full-postings bucket for token w is df(w), small
+    * exactly where the join fans out, and common tokens never become
+    * keys. As with the Jaccard twin, `shingleK > 1` is the knob that
+    * makes units rare on a degenerate vocabulary. DECIMAL ceiling for
+    * the prefix length (the fp-overshoot bug noted on
+    * [[prefixCandidates]]). */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       threshold: Double, shingleK: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val toks = prefixTokenSets(df, textCol, idCol, shingleK)
+    val exploded = toks.select(col("id"), size(col("toks")).as("n"),
+      explode(col("toks")).as("t"))
+    val tokenDf = exploded.groupBy("t").agg(count(lit(1)).as("tdf"))
+    val posts = exploded.join(tokenDf, "t")
+    val ranked = posts.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+        .orderBy(col("tdf"), col("t"))))
+    val tDec = lit(java.math.BigDecimal.valueOf(threshold))
+    val prefix = ranked.filter(
+      col("r") <= col("n") - ceil(col("n") * tDec) + 1)
+    val cands = prefix.select(col("t"), col("id").as("id_a"))
+      .join(posts.select(col("t"), col("id").as("id_b")), "t")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(col("ta")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Blocking-key pre-flight for [[recordLinkagePairs]]: for each CANDIDATE
     * blocking expression, the pair work it implies — Σ b·(b−1)/2 over its
     * block sizes — plus block-count/max-block/coverage stats, so the

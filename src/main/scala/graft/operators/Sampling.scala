@@ -35,6 +35,23 @@ object Sampling {
       pmod(Hashes.portableHash32(col(idCol).cast("string")), lit(nShards.toLong)))
   }
 
+  /** Group-aware k-fold assignment (GroupKFold): fold =
+    * portable-hash(group) mod k, so EVERY row of a group lands in the
+    * same fold — the cross-validation split that respects leakage
+    * boundaries (near-dup cluster ids, domains, users): evaluating fold
+    * i against the rest never sees fold i's groups in training. A pure
+    * codegen'd projection — no shuffle, reproducible across runs and
+    * engines (same md5 contract as [[deterministicSample]]). Fold sizes
+    * are uniform in expectation over GROUPS, not rows: one giant group
+    * still dominates its fold, which is the semantics leakage-safety
+    * requires (check with [[graft.operators.Stats.keySkewProfile]] before
+    * trusting the balance). */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k > 1, "k > 1")
+    df.withColumn("fold",
+      pmod(Hashes.portableHash32(col(groupCol).cast("string")), lit(k.toLong)))
+  }
+
   /** Per-shard export manifest: row count and id range per shard (what a
     * training loader checks before consuming the shards). */
   def shardManifest(df: DataFrame, idCol: String, nShards: Int): DataFrame =

@@ -75,6 +75,26 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Brute-force top-k over PREFIX-TRUNCATED embeddings: both sides keep
+    * only their first `dims` components before cosine scoring — the
+    * Matryoshka-representation retrieval pattern, where a prefix of the
+    * vector is trained to stand alone and searching it cuts compute and
+    * index bytes by dim/dims. Cosine re-normalizes per pair, so no
+    * explicit re-normalization step is needed after the slice. Feed the
+    * result to [[recallAtK]] against the full-dimension exact top-k to
+    * MEASURE what the truncation costs before adopting it — the same
+    * decide-from-numbers harness as the PQ/int8/sign-bit variants
+    * ([[pqTopK]], [[quantizeInt8]], [[hammingTopK]]). */
+  def truncatedTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+                    corpusId: String = "vec_id", corpusVec: String = "embedding",
+                    queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    require(dims > 0, "dims > 0")
+    bruteForceTopK(
+      corpus.withColumn(corpusVec, slice(col(corpusVec), 1, dims)),
+      queries.withColumn(queryVec, slice(col(queryVec), 1, dims)),
+      k, corpusId, corpusVec, queryId, queryVec)
+  }
+
   /** Per-label centroid agreement between two deterministic halves of the
     * corpus (id parity): cosine between each label's half-A and half-B mean
     * vectors, plus the mean absolute per-dimension shift — the

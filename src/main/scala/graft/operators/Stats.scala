@@ -704,4 +704,79 @@ object Stats {
           .otherwise(round(col("cum_k").cast("double") / col("tot_k"), 6))
           .as("capture"))
   }
+
+  /** Chi-squared test of independence + Cramér's V for two categorical
+    * columns — the effect-size companion to [[mutualInformation]] (MI
+    * says "how much information", V says "how strong on a 0..1 scale",
+    * and the χ² statistic is what a significance threshold consumes).
+    *
+    * One scan builds the observed contingency cells; row/column marginals
+    * re-aggregate the CELLS (bounded r and c, never the row scale) and
+    * broadcast back. Zero-observed cells of the r×c grid are never
+    * materialized: each contributes exactly its expectation e to χ², and
+    * Σe over ALL cells is n, so χ² = Σ_observed((o−e)²/e − e) + n — the
+    * full-grid statistic from the observed cells alone (a dense
+    * crossJoin of the margins would be r×c rows for no reason).
+    * Null categories are excluded (their margins are undefined across
+    * engines). Output is one row: n, r, c, dof, chi2, cramers_v
+    * (null when either margin is degenerate, where V divides by 0). */
+  def chiSquaredIndependence(df: DataFrame, colA: String,
+                             colB: String): DataFrame = {
+    val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))
+    val cells = base.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("o")).localCheckpoint()
+    val rowTot = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val colTot = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val dims = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("a")).as("r"), count_distinct(col("b")).as("c"))
+    val e = col("ra").cast("double") * col("cb").cast("double") /
+      col("n").cast("double")
+    val contrib = cells
+      .join(broadcast(rowTot), "a").join(broadcast(colTot), "b")
+      .crossJoin(broadcast(dims))
+      .select((pow(col("o").cast("double") - e, 2) / e - e).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0.0)).as("t_sum"))
+    val minDim = least(col("r"), col("c")) - lit(1L)
+    dims.crossJoin(broadcast(contrib)).select(
+      col("n"), col("r"), col("c"),
+      ((col("r") - 1) * (col("c") - 1)).as("dof"),
+      round(col("t_sum") + col("n").cast("double"), 6).as("chi2"),
+      when(minDim <= 0, lit(null).cast("double"))
+        .otherwise(round(sqrt((col("t_sum") + col("n").cast("double")) /
+          (col("n").cast("double") * minDim.cast("double"))), 6))
+        .as("cramers_v"))
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a per-hypothesis p-value
+    * frame — the multiple-testing correction every "which groups
+    * drifted?" sweep needs before alerting: testing 50 source pairs at
+    * α = 0.05 expects 2–3 false alarms; BH caps the FALSE DISCOVERY RATE
+    * at α instead. Input is one row per hypothesis (already aggregated —
+    * the m-row control frame, not row-scale data); output adds the
+    * ascending-p rank, the step-up adjusted q-value
+    * q_i = min_{j≥i}(m·p_j / j) clamped to 1, and the α decision.
+    *
+    * The two unpartitioned windows order/scan the m-row HYPOTHESIS frame
+    * (m = groups or group pairs, control-plane bounded) — same contract
+    * as [[liftTable]]'s 10-row walk, never a row-scale sort. Ties in p
+    * share one q-value by construction (the running min from the bottom
+    * flows through equal p's); `idCol` breaks rank ties so the emitted
+    * rank column is deterministic. */
+  def bhAdjust(df: DataFrame, idCol: String, pCol: String,
+               alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0, 1)")
+    val wRank = Window.orderBy(col(pCol), col(idCol))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wTail = Window.orderBy(col(pCol).desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("rank", row_number().over(wRank))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("q_value", round(least(lit(1.0),
+        min(col("__m").cast("double") * col(pCol) /
+          col("rank").cast("double")).over(wTail)), 6))
+      .withColumn("significant", col("q_value") <= alpha)
+      .drop("__m")
+  }
 }

@@ -147,7 +147,10 @@ class PlanSpec extends SparkSpec {
       "q199_mutual_info", // 1-row corpus-total + 1-row MI-total control frames
       "q204_ri_orphans", // three 1-row orphan-count control frames
       "q205_freshness", // 1-row global-max control frame
-      "q206_block_profile") // per-candidate 1-row null-count x 1-row block-stats frames
+      "q206_block_profile", // per-candidate 1-row null-count x 1-row block-stats frames
+      "q209_chi2_independence", // 1-row dims + 1-row chi2-sum control frames
+      "q210_drift_fdr", // q175's 1-row min-max frame + densify cross
+      "q213_truncated_recall") // bounded broadcast ANN query sets
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
@@ -195,7 +198,10 @@ class PlanSpec extends SparkSpec {
       // the optimizer folds the lit(0) partition key away
       "q176_pair_distance_profile",
       // nBuckets-row decile table: cumulative + totals windows over <= 10 rows
-      "q208_lift_table")
+      "q208_lift_table",
+      // BH rank/m/tail-min windows over the |source-pairs|-row hypothesis
+      // frame — control-plane bounded, never row-scale
+      "q210_drift_fdr")
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",

@@ -590,6 +590,31 @@ class DedupSpec extends SparkSpec {
     assert(want.keySet == Set((1L, 2L), (3L, 4L), (5L, 6L)))
   }
 
+  test("containmentPairs equals brute force and catches what Jaccard misses") {
+    // doc 2 is doc 1 QUOTED inside a much longer page: containment(2->1)
+    // is 1.0 while Jaccard is far below any dedup threshold
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "beta gamma delta"),
+      (3L, "beta gamma delta lambda"),   // c(3->1) = 3/4 < 0.8
+      (4L, "mu nu xi omicron")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val toks = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("\\s+").toSet).toMap
+    val want = (for {
+      a <- toks.keys; b <- toks.keys if a != b
+      c = toks(a).intersect(toks(b)).size.toDouble / toks(a).size
+      if c >= 0.8
+    } yield (a, b) -> c).toMap
+    assert(got == want, s"containment filter must not lose pairs: got $got want $want")
+    assert(want.keySet == Set((2L, 1L), (2L, 3L)),
+      "the quote is contained in both supersets; nothing else crosses 0.8")
+    // and the Jaccard twin at the same threshold sees nothing here
+    assert(Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id", 0.8).isEmpty)
+  }
+
   test("goldenRecords: each field survives from its own best member") {
     // cluster {1,2,3}: longest text on 2, lowest id 1; doc 9 is a singleton
     val docs = Seq(

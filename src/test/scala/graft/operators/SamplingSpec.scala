@@ -344,4 +344,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
     assert(out.sortBy(_._2).map(_._3).toSeq == Seq(0L, 1L, 2L, 0L))
   }
+
+  test("groupKFold: group-coherent, reproducible, folds within [0, k)") {
+    import spark.implicits._
+    val rows = (1 to 60).map(i => (i.toLong, s"group_${i % 12}"))
+    val df = rows.toDF("id", "grp")
+    val out = Sampling.groupKFold(df, "grp", 4)
+      .select("grp", "fold").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // every group maps to exactly ONE fold — the leakage-safety contract
+    val byGroup = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byGroup.values.forall(_.size == 1),
+      s"a group straddles folds: $byGroup")
+    assert(out.forall { case (_, f) => f >= 0 && f < 4 })
+    // reproducible across invocations (hash-based, not rand-based)
+    val again = Sampling.groupKFold(df, "grp", 4)
+      .select("grp", "fold").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(again == out.toSet)
+    // 12 groups over 4 folds: at least 2 distinct folds occupied
+    assert(out.map(_._2).toSet.size >= 2)
+  }
 }

@@ -547,4 +547,23 @@ class SimilaritySpec extends SparkSpec {
     assert(first.getLong(2) == 1L && first.getLong(3) == 1L)
     assert(math.abs(first.getDouble(4) - 2.0 / 61.0) < 1e-8)
   }
+
+  test("truncatedTopK equals brute force over pre-sliced vectors") {
+    val e = dim64
+    val queries = e.filter($"vec_id" < 3L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.truncatedTopK(e, queries, k = 4, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val sliced = e.withColumn("embedding", slice($"embedding", 1, 16))
+    val qSliced = queries.withColumn("embedding", slice($"embedding", 1, 16))
+    val want = Similarity.bruteForceTopK(sliced, qSliced, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want)
+    // full-width truncation is the identity: same ranks as the plain search
+    val full = Similarity.truncatedTopK(e, queries, k = 4, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val plain = Similarity.bruteForceTopK(e, queries, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == plain)
+  }
 }

@@ -385,4 +385,52 @@ class StatsSpec extends SparkSpec {
       (1 to 40).map(i => (i.toDouble, false)).toDF("s", "y"), "s", col("y"))
     assert(none.collect().forall(r => r.isNullAt(4) && r.isNullAt(5)))
   }
+
+  test("chiSquaredIndependence: textbook 2x2, independence, and null exclusion") {
+    // 2x2 with margins 30/30 x 30/30: e = 15 everywhere,
+    // chi2 = 4 * (10-15)^2/15 = 6.666667; V = sqrt(chi2 / (60 * 1))
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r = Stats.chiSquaredIndependence(rows.toDF("u", "v"), "u", "v").head()
+    assert(r.getLong(0) == 60L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 1L)
+    assert(math.abs(r.getDouble(4) - 6.666667) < 1e-5)
+    assert(math.abs(r.getDouble(5) - math.sqrt(6.666667 / 60.0)) < 1e-5)
+    // perfectly proportional cells -> chi2 exactly 0
+    val ind = Seq.fill(6)(("a", "x")) ++ Seq.fill(3)(("a", "y")) ++
+      Seq.fill(4)(("b", "x")) ++ Seq.fill(2)(("b", "y"))
+    val ri = Stats.chiSquaredIndependence(ind.toDF("u", "v"), "u", "v").head()
+    assert(ri.getDouble(4) == 0.0)
+    // a single-category margin -> dof 0, V null (not NaN)
+    val deg = Seq(("a", "x"), ("a", "y"), ("a", "y"))
+    val rd = Stats.chiSquaredIndependence(deg.toDF("u", "v"), "u", "v").head()
+    assert(rd.getLong(3) == 0L && rd.isNullAt(5))
+    // null categories are excluded from n and margins
+    val withNull = rows ++ Seq((null.asInstanceOf[String], "x"), ("a", null))
+    val rn = Stats.chiSquaredIndependence(withNull.toDF("u", "v"), "u", "v").head()
+    assert(rn.getLong(0) == 60L)
+  }
+
+  test("bhAdjust: step-up q-values, tie sharing, and monotone decisions") {
+    val df = Seq(("h1", 0.01), ("h2", 0.02), ("h3", 0.03), ("h4", 0.5))
+      .toDF("h", "p")
+    val out = Stats.bhAdjust(df, "h", "p", alpha = 0.05)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // q1 = min(4*.01/1, 4*.02/2, 4*.03/3, .5) = 0.04; ranks ascend with p
+    assert(out("h1") == ((1, 0.04, true)))
+    assert(out("h2") == ((2, 0.04, true)))
+    assert(out("h3") == ((3, 0.04, true)))
+    assert(out("h4") == ((4, 0.5, false)))
+    // tied p-values share one q regardless of rank order
+    val tied = Stats.bhAdjust(
+        Seq(("a", 0.02), ("b", 0.02), ("c", 0.9)).toDF("h", "p"), "h", "p")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(tied("a") == tied("b"))
+    // q clamps at 1.0 even when m*p/rank overshoots
+    val clamp = Stats.bhAdjust(
+        Seq(("a", 0.8), ("b", 0.9)).toDF("h", "p"), "h", "p")
+      .collect().map(_.getDouble(3))
+    assert(clamp.forall(_ <= 1.0))
+  }
 }
