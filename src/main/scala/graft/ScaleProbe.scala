@@ -393,6 +393,19 @@ object ScaleProbe {
       "q193_prefix_pairs" -> (() =>
         Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",
           threshold = 0.5, shingleK = 3).count()),
+      // q211 containment: A-prefix x FULL-postings candidates at the gate
+      // point (t=0.7, k=3) and at the vocabulary knob (k=5) — containment
+      // joins full postings, so its growth vs the q193 Jaccard twin is the
+      // measured cost of subset semantics on this corpus
+      "q211_contain_cand" -> (() =>
+        Dedup.containmentCandidates(
+          Dedup.prefixTokenSets(docs, "text", "doc_id", 3), 0.7).count()),
+      "q211_contain_cand_k5" -> (() =>
+        Dedup.containmentCandidates(
+          Dedup.prefixTokenSets(docs, "text", "doc_id", 5), 0.7).count()),
+      "q211_contain_pairs" -> (() =>
+        Dedup.containmentPairs(docs, "text", "doc_id",
+          threshold = 0.7, shingleK = 3).count()),
       // q195 k-core: surviving 2-core nodes over the q155 edge generator —
       // peel work per round is one degree agg + two semi-joins on a
       // SHRINKING edge set, so the interesting decade quantity is the

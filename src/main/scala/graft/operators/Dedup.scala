@@ -1276,8 +1276,8 @@ object Dedup {
     * candidate set collapses to near-output size. */
   /** Distinct token sets per doc for the prefix-filter chain (shared by
     * the operator and the candidate stage). */
-  private def prefixTokenSets(df: DataFrame, textCol: String, idCol: String,
-                              shingleK: Int): DataFrame = {
+  private[graft] def prefixTokenSets(df: DataFrame, textCol: String,
+                                     idCol: String, shingleK: Int): DataFrame = {
     val units = if (shingleK <= 1) tokens(col(textCol))
                 else shingles(col(textCol), shingleK)
     graft.Tables.widen(df).select(col(idCol).as("id"),
@@ -1366,10 +1366,12 @@ object Dedup {
     * makes units rare on a degenerate vocabulary. DECIMAL ceiling for
     * the prefix length (the fp-overshoot bug noted on
     * [[prefixCandidates]]). */
-  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
-                       threshold: Double, shingleK: Int = 1): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val toks = prefixTokenSets(df, textCol, idCol, shingleK)
+  /** The containment candidate stage over prepared token sets: A-prefix
+    * postings joined against FULL postings. Exposed so [[graft.ScaleProbe]]
+    * measures exactly the operator's generator (the
+    * [[prefixCandidates]] probe contract). */
+  private[graft] def containmentCandidates(toks: DataFrame,
+                                           threshold: Double): DataFrame = {
     val exploded = toks.select(col("id"), size(col("toks")).as("n"),
       explode(col("toks")).as("t"))
     val tokenDf = exploded.groupBy("t").agg(count(lit(1)).as("tdf"))
@@ -1380,11 +1382,17 @@ object Dedup {
     val tDec = lit(java.math.BigDecimal.valueOf(threshold))
     val prefix = ranked.filter(
       col("r") <= col("n") - ceil(col("n") * tDec) + 1)
-    val cands = prefix.select(col("t"), col("id").as("id_a"))
+    prefix.select(col("t"), col("id").as("id_a"))
       .join(posts.select(col("t"), col("id").as("id_b")), "t")
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
-    cands
+  }
+
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       threshold: Double, shingleK: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val toks = prefixTokenSets(df, textCol, idCol, shingleK)
+    containmentCandidates(toks, threshold)
       .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("containment",
