@@ -3919,6 +3919,121 @@ object OracleSql {
          |  ${rnd("count(tr.neighbor_id)::DOUBLE / 10.0", 4)} AS recall
          |FROM exact ex LEFT JOIN tr
          |  ON ex.query_id = tr.query_id AND ex.neighbor_id = tr.neighbor_id
-         |GROUP BY ex.query_id""".stripMargin
+         |GROUP BY ex.query_id""".stripMargin,
+
+    // Markov removal effects: 8 unrolled power iterations per scenario
+    // (base + one per channel); each per-state sum is a list_sum over
+    // targets ORDERED BY state — the same ascending fold the Spark driver
+    // runs, so the doubles replay
+    "q214_markov_attribution" -> {
+      val channels = Seq("click", "error", "signup", "view")
+      def chain(sfx: String, removed: Option[String]): String = {
+        val rmCase = removed.map(c =>
+          s"WHEN tm.t = '$c' THEN 0.0 ").getOrElse("")
+        val zero = s"s${sfx}_0 AS (SELECT NULL::VARCHAR AS state, " +
+          "NULL::DOUBLE AS p WHERE 1 = 0)"
+        val steps = (1 to 8).map { i =>
+          s"""s${sfx}_$i AS (SELECT tm.f AS state,
+             |    list_sum(list(tm.p * (CASE WHEN tm.t = '(conv)' THEN 1.0
+             |      WHEN tm.t = '(null)' THEN 0.0
+             |      ${rmCase}ELSE coalesce(pv.p, 0.0) END) ORDER BY tm.t)) AS p
+             |  FROM tm LEFT JOIN s${sfx}_${i - 1} pv ON pv.state = tm.t
+             |  GROUP BY tm.f)""".stripMargin
+        }
+        (zero +: steps).mkString(",\n")
+      }
+      val chains = (chain("b", None) +:
+        channels.map(c => chain(c, Some(c)))).mkString(",\n")
+      val rows = channels.map { c =>
+        s"""SELECT '$c' AS channel, ${rnd("b.p", 6)} AS base_conv,
+           |  ${rnd("r.p", 6)} AS removed_conv,
+           |  CASE WHEN b.p > 0 THEN ${rnd("(b.p - r.p) / b.p", 6)}
+           |    END AS removal_effect
+           |FROM (SELECT p FROM sb_8 WHERE state = '(start)') b
+           |CROSS JOIN (SELECT p FROM s${c}_8 WHERE state = '(start)') r"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (SELECT user_id, event_type, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events WHERE user_id IS NOT NULL),
+         |cr AS (SELECT user_id, min(rn) AS conv_rn FROM ev
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |kept AS (SELECT e.user_id,
+         |    CASE WHEN e.event_type = 'purchase' THEN '(conv)'
+         |      ELSE e.event_type END AS state, e.rn
+         |  FROM ev e LEFT JOIN cr USING (user_id)
+         |  WHERE cr.conv_rn IS NULL OR e.rn <= cr.conv_rn),
+         |seq AS (SELECT user_id, state, rn,
+         |    lead(state) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+         |  FROM kept),
+         |tr AS (SELECT '(start)' AS f, state AS t FROM seq WHERE rn = 1
+         |  UNION ALL SELECT state, nxt FROM seq
+         |    WHERE nxt IS NOT NULL AND state != '(conv)'
+         |  UNION ALL SELECT state, '(null)' FROM seq
+         |    WHERE nxt IS NULL AND state != '(conv)'),
+         |cnts AS (SELECT f, t, count(*)::BIGINT AS c FROM tr GROUP BY 1, 2),
+         |tot AS (SELECT f, sum(c)::BIGINT AS tc FROM cnts GROUP BY 1),
+         |tm AS (SELECT c.f, c.t, c.c::DOUBLE / t.tc::DOUBLE AS p
+         |  FROM cnts c JOIN tot t USING (f)),
+         |$chains
+         |$rows""".stripMargin
+    },
+
+    // reciprocal margin: both direction top-4 rank CTEs, per-query knn
+    // mean as an ordered list_sum / 4.0 (the Spark explode-order avg),
+    // mutual top-1 join, ratio margin
+    "q215_reciprocal_margin" -> {
+      def rank(qs: String, cs: String): String =
+        s"""SELECT query_id, neighbor_id, cos, rank FROM (
+           |    SELECT qa.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      ${cosineSql("e.embedding", "qa.embedding")} AS cos,
+           |      row_number() OVER (PARTITION BY qa.vec_id
+           |        ORDER BY ${cosineSql("e.embedding", "qa.embedding")} DESC,
+           |          e.vec_id ASC) AS rank
+           |    FROM $qs qa CROSS JOIN $cs e) WHERE rank <= 4""".stripMargin
+      s"""WITH a AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+         |ab AS (${rank("a", "b")}),
+         |ba AS (${rank("b", "a")}),
+         |avga AS (SELECT query_id,
+         |    list_sum(list(cos ORDER BY rank)) / 4.0 AS knn_a
+         |  FROM ab GROUP BY 1),
+         |avgb AS (SELECT query_id,
+         |    list_sum(list(cos ORDER BY rank)) / 4.0 AS knn_b
+         |  FROM ba GROUP BY 1),
+         |t1a AS (SELECT query_id AS id_a, neighbor_id AS id_b, cos
+         |  FROM ab WHERE rank = 1),
+         |t1b AS (SELECT query_id AS bq, neighbor_id AS bn FROM ba
+         |  WHERE rank = 1),
+         |m AS (SELECT t.id_a, t.id_b, t.cos, aa.knn_a, bb.knn_b
+         |  FROM t1a t JOIN t1b ON t1b.bq = t.id_b AND t1b.bn = t.id_a
+         |  JOIN avga aa ON aa.query_id = t.id_a
+         |  JOIN avgb bb ON bb.query_id = t.id_b)
+         |SELECT id_a, id_b, ${rnd("cos", 4)} AS cosine,
+         |  ${rnd("cos / ((knn_a + knn_b) / 2.0)", 4)} AS margin
+         |FROM m""".stripMargin
+    },
+
+    // cross-corpus containment: brute-force needle x haystack — equality
+    // is the order-free containment prefix rule's exact-recall proof
+    "q216_cross_containment" ->
+      s"""WITH n0 AS (SELECT doc_id AS id, $toksExpr AS tk FROM documents
+         |  WHERE source = 'src0'),
+         |h0 AS (SELECT doc_id AS id, $toksExpr AS tk FROM documents
+         |  WHERE source != 'src0'),
+         |nt AS (SELECT id, list_distinct(${shinglesExpr("tk", 3)}) AS toks
+         |  FROM n0),
+         |ht AS (SELECT id, list_distinct(${shinglesExpr("tk", 3)}) AS toks
+         |  FROM h0),
+         |ntt AS (SELECT id, toks FROM nt WHERE len(toks) > 0),
+         |htt AS (SELECT id, toks FROM ht WHERE len(toks) > 0),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    len(list_intersect(a.toks, b.toks))::DOUBLE
+         |      / len(a.toks)::DOUBLE AS containment
+         |  FROM ntt a CROSS JOIN htt b)
+         |SELECT id_a, id_b, ${rnd("containment", 3)} AS containment
+         |FROM p WHERE containment >= 0.6""".stripMargin
   )
 }

@@ -2357,6 +2357,42 @@ object SparkEntry {
     Sim.recallAtK(exact, trunc, k = 10)
   }
 
+  /** Markov removal-effect attribution over user journeys (first
+    * conversion absorbs): per channel, how much of the chain's conversion
+    * probability disappears when the channel is removed — the data-driven
+    * alternative to q137's last-touch rule, from the same event log. */
+  private def q214(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.markovAttribution(
+      T(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+      convType = "purchase", iters = 8)
+
+  /** Reciprocal best matches between the even- and odd-id embedding
+    * halves with ratio-margin scores (kMargin = 4) — the bitext-mining
+    * alignment primitive; mutuality + the hubness-corrected margin is
+    * what separates a real translation pair from a hub's easy cosine. */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.reciprocalMatches(
+        emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+        kMargin = 4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"),
+        round(col("margin"), 4).as("margin"))
+  }
+
+  /** Decontamination sweep: which src0 documents (the stand-in benchmark
+    * set) are 60%-contained in some OTHER source's document, over
+    * 3-shingle sets — q62/q127/q168 catch overlap and semantic twins;
+    * this catches the benchmark item quoted inside a training page. */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.crossContainmentPairs(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "text", "doc_id", threshold = 0.6, shingleK = 3)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 3).as("containment"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2572,7 +2608,10 @@ object SparkEntry {
     "q210_drift_fdr" -> (q210 _),
     "q211_containment_pairs" -> (q211 _),
     "q212_group_kfold" -> (q212 _),
-    "q213_truncated_recall" -> (q213 _)
+    "q213_truncated_recall" -> (q213 _),
+    "q214_markov_attribution" -> (q214 _),
+    "q215_reciprocal_margin" -> (q215 _),
+    "q216_cross_containment" -> (q216 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1388,6 +1388,49 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Cross-corpus [[containmentPairs]] — the DECONTAMINATION shape: which
+    * `needles` (benchmark items, eval prompts) are `threshold`-contained
+    * in some `haystack` (training) document. Same exact-recall containment
+    * prefix filter, but the needle prefix is ordered by HAYSTACK document
+    * frequency — the prefix rule is order-free (the pigeonhole argument
+    * never uses the order, only the prefix length), so ordering by the
+    * side that owns the postings puts the SMALLEST posting lists under
+    * the join; needle tokens absent from the haystack rank first (df 0)
+    * and generate no candidates at all. Corpora are assumed id-disjoint
+    * (the caller's split); output is (needle id_a, haystack id_b,
+    * containment of A in B). Scale: |needles| is benchmark-sized — the
+    * pass is one prefix-postings join against the train corpus, never
+    * |train|² anything. */
+  def crossContainmentPairs(needles: DataFrame, haystack: DataFrame,
+                            textCol: String, idCol: String,
+                            threshold: Double, shingleK: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val na = prefixTokenSets(needles, textCol, idCol, shingleK)
+    val hb = prefixTokenSets(haystack, textCol, idCol, shingleK)
+    val hPosts = hb.select(col("id"), explode(col("toks")).as("t"))
+    val hDf = hPosts.groupBy("t").agg(count(lit(1)).as("tdf"))
+    val aTok = na.select(col("id"), size(col("toks")).as("n"),
+        explode(col("toks")).as("t"))
+      .join(hDf, Seq("t"), "left")
+      .withColumn("tdf", coalesce(col("tdf"), lit(0L)))
+    val ranked = aTok.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+        .orderBy(col("tdf"), col("t"))))
+    val tDec = lit(java.math.BigDecimal.valueOf(threshold))
+    val prefix = ranked.filter(
+      col("r") <= col("n") - ceil(col("n") * tDec) + 1)
+    prefix.select(col("t"), col("id").as("id_a"))
+      .join(hPosts.select(col("t"), col("id").as("id_b")), "t")
+      .select("id_a", "id_b").distinct()
+      .join(na.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(hb.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(col("ta")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        threshold: Double, shingleK: Int = 1): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")

@@ -97,6 +97,100 @@ object EventOps {
         round(sum(col(valueCol)), 2).as("total_value"))
   }
 
+  /** Markov removal-effect attribution — the data-driven alternative to
+    * [[lastTouchAttribution]]'s positional rule: model each user's journey
+    * as a first-order Markov chain over channels with absorbing (conv) and
+    * (null) states, compute the chain's conversion probability from
+    * (start), then re-compute it with each channel REMOVED (every
+    * transition into it redirected to (null)); a channel's credit is the
+    * relative conversion drop its removal causes (Anderl et al.'s removal
+    * effect).
+    *
+    * Journeys: per user, events ordered by (ts, tie) up to and including
+    * the FIRST `convType` event (later events are post-conversion noise);
+    * users who never convert absorb in (null). Null users carry no
+    * journey. The distributed pass ends at the transition-count table —
+    * at most (|channels|+2)² rows — which is collected and iterated on
+    * the driver `iters` times per scenario: a bounded k×k control-plane
+    * collect, the same contract as the IVF centroid/codebook collects
+    * ([[Similarity]]), never row-scale. Within each iteration the
+    * per-state sum runs over targets in ASCENDING state order (and the
+    * oracle sums an identically-ordered list), so the fp result is
+    * engine-reproducible. Fixed `iters` power iterations rather than a
+    * tolerance keep the result closed-form replayable — the
+    * [[graft.operators.Graph.pageRank]] contract; 8 iterations bound the
+    * walk at length 8, ample when journeys average a handful of steps.
+    *
+    * Output: one row per channel — base_conv (the unremoved chain's
+    * conversion probability, repeated), removed_conv, removal_effect
+    * = (base − removed)/base (null when base = 0). */
+  def markovAttribution(df: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, tieCol: String, convType: String,
+                        iters: Int = 8): DataFrame = {
+    require(iters > 0, "iters > 0")
+    val START = "(start)"; val CONV = "(conv)"; val NULLS = "(null)"
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val ev = df.filter(col(userCol).isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .select(col(userCol).as("u"), col(typeCol).as("ty"), col("rn"))
+    val convRn = ev.filter(col("ty") === convType)
+      .groupBy("u").agg(min(col("rn")).as("conv_rn"))
+    val kept = ev.join(convRn, Seq("u"), "left")
+      .filter(col("conv_rn").isNull || col("rn") <= col("conv_rn"))
+      .select(col("u"),
+        when(col("ty") === convType, lit(CONV)).otherwise(col("ty")).as("state"),
+        col("rn"))
+    val wk = Window.partitionBy(col("u")).orderBy(col("rn"))
+    val seq = kept.withColumn("nxt", lead(col("state"), 1).over(wk))
+    val tr = seq.filter(col("rn") === 1)
+        .select(lit(START).as("f"), col("state").as("t"))
+      .unionAll(seq.filter(col("nxt").isNotNull && col("state") =!= CONV)
+        .select(col("state").as("f"), col("nxt").as("t")))
+      .unionAll(seq.filter(col("nxt").isNull && col("state") =!= CONV)
+        .select(col("state").as("f"), lit(NULLS).as("t")))
+    val counts = tr.groupBy("f", "t").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("f").agg(sum(col("c")).as("tc"))
+    // bounded (|channels|+2)^2 control-plane collect
+    val matrix = counts.join(totals, "f")
+      .select(col("f"), col("t"),
+        (col("c").cast("double") / col("tc").cast("double")).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val byFrom = matrix.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map(r => (r._2, r._3)).sortBy(_._1).toSeq
+    }
+    val channels = matrix.flatMap(r => Seq(r._1, r._2)).distinct
+      .filterNot(Set(START, CONV, NULLS)).sorted
+    def absorb(removed: Option[String]): Double = {
+      var p = Map.empty[String, Double].withDefaultValue(0.0)
+      def value(t: String, cur: Map[String, Double]): Double =
+        if (t == CONV) 1.0
+        else if (t == NULLS) 0.0
+        else if (removed.contains(t)) 0.0
+        else cur.getOrElse(t, 0.0)
+      for (_ <- 1 to iters) {
+        p = byFrom.map { case (f, outs) =>
+          f -> outs.foldLeft(0.0) { case (acc, (t, pr)) =>
+            acc + pr * value(t, p)
+          }
+        }.toMap.withDefaultValue(0.0)
+      }
+      p(START)
+    }
+    val base = absorb(None)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // rounding through Spark's own round() so the oracle's replay rule
+    // (shortest-repr HALF_UP) applies to these driver-computed doubles too
+    channels.map(c => (c, base, absorb(Some(c))))
+      .toSeq.toDF("channel", "__base", "__removed")
+      .select(col("channel"),
+        round(col("__base"), 6).as("base_conv"),
+        round(col("__removed"), 6).as("removed_conv"),
+        when(col("__base") > 0,
+          round((col("__base") - col("__removed")) / col("__base"), 6))
+          .as("removal_effect"))
+  }
+
   /** First-order transition matrix of the event stream: for each
     * (from_type → to_type) pair of CONSECUTIVE events within a user's
     * timeline, the transition count and its share of all transitions —

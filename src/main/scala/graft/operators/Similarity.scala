@@ -95,6 +95,48 @@ object Similarity {
       k, corpusId, corpusVec, queryId, queryVec)
   }
 
+  /** Reciprocal best matches with RATIO-MARGIN scoring between two
+    * embedding corpora — the bitext/cross-corpus alignment primitive
+    * (Artetxe & Schwenk's margin criterion): keep pairs (x ∈ A, y ∈ B)
+    * where each is the other's top-1 by cosine, scored by
+    * cos(x,y) / ((knnA(x) + knnB(y)) / 2) with knn the mean cosine of the
+    * side's `kMargin` nearest cross-corpus neighbors — a hubness
+    * correction: a point whose neighborhood is uniformly close (a hub)
+    * needs a much closer partner to score the same margin.
+    *
+    * Both directions run the bounded top-k aggregate ([[bruteForceTopK]]
+    * here; swap in [[ivfTopK]] for corpus-scale sides — the mutual-join
+    * and margin algebra only consume (query, neighbor, cosine, rank)
+    * frames). Everything after the two searches is bounded by
+    * (|A|+|B|)·kMargin rows. The per-query mean runs over the EXPLODE
+    * order of the top-k array (rank ascending) and the oracle sums an
+    * identically-ordered list, keeping the doubles replayable. */
+  def reciprocalMatches(a: DataFrame, b: DataFrame, kMargin: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(kMargin > 0, "kMargin > 0")
+    val qa = a.select(col(idCol).as("query_id"), col(vecCol).as(vecCol))
+    val qb = b.select(col(idCol).as("query_id"), col(vecCol).as(vecCol))
+    val ab = bruteForceTopK(b, qa, kMargin, idCol, vecCol, "query_id", vecCol)
+      .localCheckpoint()
+    val ba = bruteForceTopK(a, qb, kMargin, idCol, vecCol, "query_id", vecCol)
+      .localCheckpoint()
+    val avgA = ab.groupBy("query_id").agg(avg(col("cosine")).as("knn_a"))
+    val avgB = ba.groupBy("query_id").agg(avg(col("cosine")).as("knn_b"))
+    val top1A = ab.filter(col("rank") === 1)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cosine"))
+    val top1B = ba.filter(col("rank") === 1)
+      .select(col("query_id").as("b_q"), col("neighbor_id").as("b_n"))
+    top1A.join(top1B,
+        col("id_b") === col("b_q") && col("id_a") === col("b_n"))
+      .join(avgA.select(col("query_id").as("id_a"), col("knn_a")), "id_a")
+      .join(avgB.select(col("query_id").as("id_b"), col("knn_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cosine"),
+        (col("cosine") / ((col("knn_a") + col("knn_b")) / lit(2.0)))
+          .as("margin"))
+  }
+
   /** Per-label centroid agreement between two deterministic halves of the
     * corpus (id parity): cosine between each label's half-A and half-B mean
     * vectors, plus the mean absolute per-dimension shift — the

@@ -150,7 +150,8 @@ class PlanSpec extends SparkSpec {
       "q206_block_profile", // per-candidate 1-row null-count x 1-row block-stats frames
       "q209_chi2_independence", // 1-row dims + 1-row chi2-sum control frames
       "q210_drift_fdr", // q175's 1-row min-max frame + densify cross
-      "q213_truncated_recall") // bounded broadcast ANN query sets
+      "q213_truncated_recall", // bounded broadcast ANN query sets
+      "q215_reciprocal_margin") // bounded broadcast ANN query sets, both directions
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",

@@ -615,6 +615,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id", 0.8).isEmpty)
   }
 
+  test("crossContainmentPairs equals brute force; unseen-token needles cost nothing") {
+    val needles = Seq(
+      (100L, "beta gamma delta"),            // fully inside doc 1
+      (101L, "unseen tokens entirely novel"),// nothing in the haystack
+      (102L, "alpha beta zeta omega")        // 3/4 in doc 1
+    ).toDF("doc_id", "text")
+    val hay = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "mu nu xi")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossContainmentPairs(needles, hay, "text", "doc_id", 0.75)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val nt = needles.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("\\s+").toSet).toMap
+    val ht = hay.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("\\s+").toSet).toMap
+    val want = (for {
+      a <- nt.keys; b <- ht.keys
+      c = nt(a).intersect(ht(b)).size.toDouble / nt(a).size
+      if c >= 0.75
+    } yield (a, b) -> c).toMap
+    assert(got == want, s"got $got want $want")
+    assert(want.keySet == Set((100L, 1L), (102L, 1L)))
+  }
+
   test("goldenRecords: each field survives from its own best member") {
     // cluster {1,2,3}: longest text on 2, lowest id 1; doc 9 is a singleton
     val docs = Seq(

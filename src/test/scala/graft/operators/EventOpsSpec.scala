@@ -219,4 +219,47 @@ class EventOpsSpec extends SparkSpec {
     assert(out("flat") == ((24L, 0.0, 0L, 0.041667)))
     assert(out("spike") == ((24L, 552.0, 3L, 1.0)))
   }
+
+  test("markovAttribution: removal effects on a hand-computable chain") {
+    // u1: a -> conv; u2: a -> conv; u3: b -> null; u4: b -> a -> conv
+    // T: start->{a:.5, b:.5}; a->conv 1; b->{null:.5, a:.5}
+    // base = .5*1 + .5*(.5*0 + .5*1) = 0.75
+    // remove a: start->a dies, b->a dies -> base' = 0; effect 1
+    // remove b: only u3/u4's first hop dies -> base' = .5; effect 1/3
+    val events = Seq(
+      (1L, 1L, "a", ts(1)), (2L, 1L, "purchase", ts(2)),
+      (3L, 2L, "a", ts(1)), (4L, 2L, "purchase", ts(2)),
+      (5L, 3L, "b", ts(1)),
+      (6L, 4L, "b", ts(1)), (7L, 4L, "a", ts(2)), (8L, 4L, "purchase", ts(3))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.markovAttribution(events, "user_id", "ts",
+        "event_type", "event_id", convType = "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("a", "b"))
+    assert(out("a") == ((0.75, 0.0, 1.0)))
+    assert(out("b")._1 == 0.75 && out("b")._2 == 0.5)
+    assert(math.abs(out("b")._3 - 1.0 / 3.0) < 1e-6)
+  }
+
+  test("markovAttribution: post-conversion events are dropped; no-conv chain reports base 0") {
+    // u1 converts then clicks again — the tail click must not create
+    // transitions (the journey ends at the first conversion)
+    val events = Seq(
+      (1L, 1L, "a", ts(1)), (2L, 1L, "purchase", ts(2)), (3L, 1L, "a", ts(3)),
+      (4L, 2L, "a", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.markovAttribution(events, "user_id", "ts",
+      "event_type", "event_id", convType = "purchase").collect()
+    assert(out.length == 1 && out.head.getString(0) == "a")
+    // start->a 1.0; a->{conv .5, null .5} -> base 0.5, removing a kills it
+    assert(out.head.getDouble(1) == 0.5 && out.head.getDouble(3) == 1.0)
+    // a corpus with NO conversions: base 0 -> effect null, not NaN
+    val none = EventOps.markovAttribution(
+      Seq((1L, 1L, "a", ts(1))).toDF("event_id", "user_id", "event_type", "ts"),
+      "user_id", "ts", "event_type", "event_id", convType = "purchase")
+      .collect()
+    assert(none.length == 1 && none.head.getDouble(1) == 0.0 &&
+      none.head.isNullAt(3))
+  }
 }

@@ -566,4 +566,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(full == plain)
   }
+
+  test("reciprocalMatches: mutual top-1 only, margin rewards isolated pairs") {
+    graft.functions.VectorFunctions.register(spark)
+    // A = {0: x-axis, 2: y-axis}, B = {1: near-x, 3: near-y, 5: between}
+    val a = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val b = Seq(
+      (1L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(0.01f, 0.99f, 0.0f)),
+      (5L, Array(0.7f, 0.7f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.reciprocalMatches(a, b, kMargin = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // 0<->1 and 2<->3 are mutual top-1; 5's top-1 (0 or 2) already has a
+    // closer partner, so 5 never appears
+    assert(out.keySet == Set((0L, 1L), (2L, 3L)))
+    // margin > 1: the matched cosine beats the mean of each side's 2-NN
+    assert(out.values.forall(_ > 1.0))
+  }
 }
