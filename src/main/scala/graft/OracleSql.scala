@@ -4034,6 +4034,106 @@ object OracleSql {
          |      / len(a.toks)::DOUBLE AS containment
          |  FROM ntt a CROSS JOIN htt b)
          |SELECT id_a, id_b, ${rnd("containment", 3)} AS containment
-         |FROM p WHERE containment >= 0.6""".stripMargin
+         |FROM p WHERE containment >= 0.6""".stripMargin,
+
+    // q217 (compression profile) has NO oracle by design: DuckDB has no
+    // compression scalar — the driver records its rows-only check and
+    // CompressionSpec anchors the values.
+
+    // Neyman allocation: exact integer moments, sigma and weights derived
+    // in doubles, the weight total as an ordered list_sum (the Spark
+    // driver's ascending-stratum fold), largest-remainder integers
+    "q218_neyman_allocation" ->
+      s"""WITH m AS (SELECT source::VARCHAR AS stratum,
+         |    count(*)::BIGINT AS n_rows, sum(n_chars::BIGINT)::BIGINT AS s1,
+         |    sum(n_chars::BIGINT * n_chars::BIGINT)::BIGINT AS s2
+         |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+         |w2 AS (SELECT stratum, n_rows,
+         |    sqrt(greatest(0.0, (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE
+         |      / n_rows::DOUBLE) / n_rows::DOUBLE)) AS sd,
+         |    n_rows::DOUBLE * sqrt(greatest(0.0, (s2::DOUBLE - s1::DOUBLE
+         |      * s1::DOUBLE / n_rows::DOUBLE) / n_rows::DOUBLE)) AS wt
+         |  FROM m),
+         |tot AS (SELECT list_sum(list(wt ORDER BY stratum)) AS tw FROM w2),
+         |shares AS (SELECT stratum, n_rows, sd,
+         |    CASE WHEN tw > 0 THEN 1000.0 * wt / tw ELSE 0.0 END AS share
+         |  FROM w2 CROSS JOIN tot),
+         |fl AS (SELECT stratum, n_rows, sd, floor(share)::BIGINT AS fl,
+         |    share - floor(share) AS frac FROM shares),
+         |rem AS (SELECT 1000 - sum(fl)::BIGINT AS r FROM fl),
+         |ranked AS (SELECT *, row_number() OVER (ORDER BY frac DESC,
+         |    stratum ASC) AS rn FROM fl)
+         |SELECT stratum, n_rows, ${rnd("sd", 4)} AS stddev,
+         |  (fl + CASE WHEN rn <= r THEN 1 ELSE 0 END)::BIGINT AS alloc
+         |FROM ranked CROSS JOIN rem""".stripMargin,
+
+    // k-anonymity class-size profile: rows -> equivalence classes -> sizes
+    "q219_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    count(*)::BIGINT AS class_size,
+        |    count(DISTINCT c_acctbal)::BIGINT AS ldiv
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT class_size, count(*)::BIGINT AS n_classes,
+        |  sum(class_size)::BIGINT AS n_rows,
+        |  min(ldiv)::BIGINT AS min_l_diversity, class_size < 6 AS at_risk
+        |FROM cls GROUP BY class_size""".stripMargin,
+
+    // Adamic-Adar over the bipartite customer<->part list; the top-20 cut
+    // orders by the ROUNDED score + id tie-breaks so float summation order
+    // can't flip the boundary
+    "q220_adamic_adar" ->
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+         |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |d AS (SELECT i, count(*)::BIGINT AS di FROM e
+         |  GROUP BY i HAVING count(*) >= 2),
+         |w AS (SELECT x.u AS id_a, y.u AS id_b, 1.0 / ln(d.di) AS w
+         |    FROM e x JOIN e y ON x.i = y.i AND x.u < y.u
+         |    JOIN d ON d.i = x.i),
+         |sc AS (SELECT id_a, id_b, count(*)::BIGINT AS n_common,
+         |    ${rnd("sum(w)", 4)} AS score FROM w GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common, score FROM sc
+         |ORDER BY score DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    // KMV bottom-128 sketches of distinct users per event type, combined
+    // pairwise: k-mins of the union come from the two sketches alone; rho
+    // (combined k-mins present in both) estimates Jaccard, rho*union the
+    // intersection. 127*2^32 is double-exact on both engines.
+    "q221_kmv_overlap" ->
+      s"""WITH dk AS (SELECT DISTINCT event_type::VARCHAR AS g,
+         |    ${h32("user_id::VARCHAR")} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+         |    AS rn FROM dk),
+         |s AS (SELECT g, list(h ORDER BY h) AS sk FROM r WHERE rn <= 128
+         |  GROUP BY g),
+         |p AS (SELECT a.g AS g_a, b.g AS g_b, a.sk AS sk_a, b.sk AS sk_b
+         |    FROM s a JOIN s b ON a.g < b.g),
+         |c AS (SELECT *, list_slice(list_sort(list_distinct(
+         |      list_concat(sk_a, sk_b))), 1, 128) AS comb FROM p),
+         |m AS (SELECT g_a, g_b, sk_a, sk_b, comb,
+         |    len(list_filter(comb, x -> list_contains(sk_a, x)
+         |      AND list_contains(sk_b, x)))::DOUBLE / len(comb) AS rho,
+         |    CASE WHEN len(comb) < 128 THEN len(comb)::DOUBLE
+         |      ELSE 545460846592.0 / comb[-1] END AS union_est
+         |  FROM c)
+         |SELECT g_a, g_b,
+         |  ${rnd("CASE WHEN len(sk_a) < 128 THEN len(sk_a)::DOUBLE ELSE 545460846592.0 / sk_a[-1] END", 2)} AS n_a_est,
+         |  ${rnd("CASE WHEN len(sk_b) < 128 THEN len(sk_b)::DOUBLE ELSE 545460846592.0 / sk_b[-1] END", 2)} AS n_b_est,
+         |  ${rnd("union_est", 2)} AS union_est,
+         |  ${rnd("rho", 4)} AS jaccard_est,
+         |  ${rnd("rho * union_est", 2)} AS inter_est
+         |FROM m""".stripMargin,
+
+    // order-independent fingerprints: commutative sum/xor of the portable
+    // row hash; chr(1)/chr(0) replay Spark's u0001-join / u0000-null encoding
+    "q222_fingerprint" ->
+      s"""WITH h AS (SELECT source, ${h32(
+           "concat_ws(chr(1), coalesce(doc_id::VARCHAR, chr(0)), " +
+           "coalesce(lang, chr(0)), coalesce(n_chars::VARCHAR, chr(0)), " +
+           "coalesce(text, chr(0)))")} AS rh
+         |  FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_rows,
+         |  sum(rh)::BIGINT AS sum_hash, bit_xor(rh)::BIGINT AS xor_hash
+         |FROM h GROUP BY source""".stripMargin
   )
 }

@@ -413,7 +413,54 @@ object ScaleProbe {
       "q195_kcore_nodes" -> (() =>
         graft.operators.Graph.kCore(
           Dedup.simHashNearDupsMulti(docs, "text", "doc_id", maxHamming = 7),
-          k = 2, rounds = 4).count())
+          k = 2, rounds = 4).count()),
+      // q220 Adamic-Adar: wedge work is Σ_items d·(d−1)/2 — the quantity the
+      // item-side self-join actually enumerates. Run across the TPC-H decade
+      // (sf0.01 vs sf0.1: the customer↔part incidence list is driver data,
+      // no scratch twin exists). TPC-H part degrees grow ~linearly with sf
+      // at fixed part-to-lineitem ratio, so UNCAPPED wedges grow ~decade²/
+      // |parts| — the _cap64 twin is the knob that must hold the growth to
+      // ~capped-linear, and the dropped-evidence fraction is the price.
+      "q220_aa_wedges" -> (() => {
+        import org.apache.spark.sql.functions._
+        val e = Tables.load(spark, sfDir, "orders")
+          .join(Tables.load(spark, sfDir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+          .distinct()
+        e.groupBy("i").agg(count(lit(1)).as("d")).filter(col("d") >= 2)
+          .agg(sum(col("d") * (col("d") - 1) / 2).cast("long"))
+          .collect()(0).getLong(0)
+      }),
+      "q220_aa_wedges_cap64" -> (() => {
+        import org.apache.spark.sql.functions._
+        val e = Tables.load(spark, sfDir, "orders")
+          .join(Tables.load(spark, sfDir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+          .distinct()
+        e.groupBy("i").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 2 && col("d") <= 64)
+          .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+            .cast("long")).collect()(0).getLong(0)
+      }),
+      // the scored-pair frame (pre-top-N; rebuilt without the TakeOrdered
+      // cut the way the q108 probe rebuilds the banding): what the final
+      // groupBy state holds before the bounded top-N ships
+      "q220_aa_pairs" -> (() => {
+        import org.apache.spark.sql.functions._
+        val e = Tables.load(spark, sfDir, "orders")
+          .join(Tables.load(spark, sfDir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+          .distinct().localCheckpoint()
+        val deg = e.groupBy("i").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 2)
+        val ew = e.join(deg, "i")
+        ew.as("x").join(ew.as("y"),
+            col("x.i") === col("y.i") && col("x.u") < col("y.u"))
+          .select(col("x.u"), col("y.u")).distinct().count()
+      })
     )
 
     val unknown = args.drop(1).filterNot(n => probes.exists(_._1 == n))

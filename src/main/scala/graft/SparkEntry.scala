@@ -2393,6 +2393,68 @@ object SparkEntry {
         round(col("containment"), 3).as("containment"))
   }
 
+  /** Per-source compression-ratio profile (codegen'd DeflateRatio): mean/
+    * min deflate ratio and the count of template-like docs (< 0.35) — the
+    * LZ77 quality filter next to the Gopher repetition rules. NOT
+    * SQL-expressible (DuckDB has no compression scalar) → the driver
+    * records its rows-only check; value correctness is CompressionSpec's
+    * hand-characterized anchor. */
+  private def q217(s: SparkSession, dir: String): DataFrame =
+    TW(s, dir, "documents")
+      .select(col("source"),
+        graft.functions.TextHashFunctions.deflateRatio(col("text")).as("r"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("r")), 4).as("mean_ratio"),
+        round(min(col("r")), 4).as("min_ratio"),
+        sum(when(col("r") < 0.35, 1L).otherwise(0L)).as("n_template_like"))
+
+  /** Neyman allocation of a 1000-sample audit budget across sources by
+    * n_chars: strata get samples ∝ N_h·σ_h (big AND varied wins), integer
+    * allocations summing to the budget exactly via largest-remainder. */
+  private def q218(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.neymanAllocation(
+      T(s, dir, "documents"), "source", "n_chars", budget = 1000L)
+
+  /** Re-identification-risk profile of `customer` with quasi-identifiers
+    * (nation, market segment) and `c_acctbal` as the sensitive attribute:
+    * one row per equivalence-class size with the worst l-diversity and an
+    * at-risk flag (k = 6). */
+  private def q219(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.kAnonymityAudit(
+      T(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+      "c_acctbal", k = 6)
+
+  /** Adamic–Adar "customers who buy alike" link prediction over the
+    * bipartite customer↔part incidence list (orders ⋈ lineitem): top 20
+    * pairs by Σ 1/ln(part degree), deterministic rounded-score ordering.
+    * The degree cap stays inactive at gate scale so the oracle replays the
+    * exact score; the hub throttle is spec-exercised instead. */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val edges = T(s, dir, "orders")
+      .join(T(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    graft.operators.Graph.adamicAdar(edges, "o_custkey", "l_partkey",
+      topN = 20)
+  }
+
+  /** KMV (bottom-k) audience-overlap estimates between event types over
+    * distinct user sets (k = 128): per-side, union, intersection, and
+    * Jaccard estimates — the set-intersection sketch HLL
+    * inclusion–exclusion (q166) can't do accurately at small overlaps. */
+  private def q221(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvOverlap(
+      T(s, dir, "events"), "user_id", "event_type", k = 128)
+
+  /** Order-independent per-source dataset fingerprints over the documents
+    * table (count + sum/xor of the portable row hash) — the replica-
+    * equality check that never sorts or ships a row. */
+  private def q222(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.datasetFingerprint(
+      TW(s, dir, "documents"), "source",
+      Seq("doc_id", "lang", "n_chars", "text"))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2611,7 +2673,13 @@ object SparkEntry {
     "q213_truncated_recall" -> (q213 _),
     "q214_markov_attribution" -> (q214 _),
     "q215_reciprocal_margin" -> (q215 _),
-    "q216_cross_containment" -> (q216 _)
+    "q216_cross_containment" -> (q216 _),
+    "q217_compression_profile" -> (q217 _),
+    "q218_neyman_allocation" -> (q218 _),
+    "q219_k_anonymity" -> (q219 _),
+    "q220_adamic_adar" -> (q220 _),
+    "q221_kmv_overlap" -> (q221 _),
+    "q222_fingerprint" -> (q222 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -281,6 +281,8 @@ object TextHashFunctions {
       es => SimHashSig64(es(0)))
     Registry.ensure(spark, "graft_normalize_text")(
       es => NormalizeText(es(0)))
+    Registry.ensure(spark, "graft_deflate_ratio")(
+      es => DeflateRatio(es(0)))
   }
 
   /** Column builders self-register against the active session (these are
@@ -301,4 +303,6 @@ object TextHashFunctions {
     { ensure(); call_function("graft_simhash64", text) }
   def normalizeText(text: Column): Column =
     { ensure(); call_function("graft_normalize_text", text) }
+  def deflateRatio(text: Column): Column =
+    { ensure(); call_function("graft_deflate_ratio", text) }
 }

@@ -80,4 +80,67 @@ object DataQuality {
         // second near representation boundaries
         expr("(global_us - last_us) div 1000000").as("lag_seconds"))
   }
+
+  /** k-anonymity / l-diversity audit — the re-identification-risk pre-flight
+    * a dataset gets before leaving its trust boundary (the release-side
+    * complement of [[graft.functions.Pii]]'s column hashing: hashing direct
+    * identifiers does nothing about a (nation, segment) combination only one
+    * person has). Rows are grouped into equivalence classes over the
+    * quasi-identifier columns; a class smaller than `k` re-identifies its
+    * members by linkage, and a class whose members all share one sensitive
+    * value leaks it even at size ≥ k (hence l-diversity).
+    *
+    * Output is the class-SIZE profile, one row per observed class size:
+    * how many classes, how many rows, the worst (minimum) sensitive-value
+    * diversity at that size, and whether the size is below `k` — the
+    * at-risk rows are `sum(n_rows where at_risk)`. Reporting by size keeps
+    * the output bounded by |distinct sizes| (≤ √(2·rows) — sizes sum to the
+    * row count) and PUBLISHABLE: it never echoes the quasi-identifier
+    * values it warns about. Two aggregations, rows → classes → sizes, both
+    * map-side-combinable; no windows. NULL sensitive values count toward
+    * class size but not diversity (an unknown value diversifies nothing —
+    * the conservative stance, same as [[ruleReport]]'s null-fails rule). */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2, "k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("ldiv"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("class_size")).cast("long").as("n_rows"),
+        min(col("ldiv")).cast("long").as("min_l_diversity"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
+
+  /** Order-independent per-group dataset fingerprint: row count plus the
+    * SUM and XOR of a portable per-row hash — the cheap "is this replica
+    * byte-identical?" check for datasets too big to sort and diff. Both
+    * combiners are commutative, so the fingerprint is invariant to
+    * partitioning, task order, and row order: two engines (or two sides of
+    * a migration) agree iff they hold the same multiset of rows, with no
+    * global sort and no row shipped anywhere — the aggregation state is
+    * three numbers per group. Sum and xor together resist the single-bit
+    * cancellations either alone would miss (xor misses duplicated rows,
+    * sum misses balanced swaps).
+    *
+    * `cols` must be cast-stable columns (string / integer / boolean /
+    * date): the row preimage is their string forms joined with `\u0001`,
+    * nulls encoded as `\u0000` so (null, "") and ("", null) differ —
+    * floating-point columns are excluded by contract since engines differ
+    * in shortest-repr formatting. The hash is
+    * [[graft.functions.Hashes.portableHash32]], so any md5-capable engine
+    * reproduces the fingerprint bit-for-bit. */
+  def datasetFingerprint(df: DataFrame, groupCol: String,
+                         cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one fingerprint column")
+    val preimage = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val rowHash = graft.functions.Hashes.portableHash32(preimage)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(rowHash).as("sum_hash"),
+        call_function("bit_xor", rowHash).as("xor_hash"))
+  }
 }

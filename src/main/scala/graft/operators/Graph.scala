@@ -183,4 +183,48 @@ object Graph {
       .agg(count(lit(1)).cast("long").as("core_degree"))
       .withColumn("stable", col("core_degree") >= k)
   }
+
+  /** Adamic–Adar link prediction over a BIPARTITE incidence list
+    * (entity, item): for every entity pair sharing ≥1 item, score
+    * `Σ_items 1/ln(deg(item))` — common items count, but an item shared by
+    * everyone says nearly nothing (its 1/ln(d) → 0), which is the whole
+    * point of Adamic–Adar over raw common-neighbor counts. The "which
+    * customers buy alike / which docs cite alike" primitive behind
+    * collaborative filtering candidates and entity-resolution hints.
+    *
+    * Scale shape: wedges enumerate through the ITEM side (one self-equi-join
+    * on item), so the work is Σ_i d_i² — quadratic only in per-item degree,
+    * never in entities. `maxItemDegree` is the hub throttle: items above the
+    * cap are dropped BEFORE the join, bounding wedge work at |items|·cap²
+    * while discarding only the least-informative evidence (every dropped
+    * wedge would have added < 1/ln(cap) to its pair — the exact weights the
+    * scoring already argues are noise; the classic log-degree cut in
+    * large-scale people-you-may-know pipelines). Degree-1 items generate no
+    * wedges and are pruned with the same filter. The final top-N is a
+    * `TakeOrdered` (sort ships N rows per partition, never the pair table),
+    * ordered by the ROUNDED score with (id_a, id_b) tie-breaks so the cut
+    * is deterministic and engine-replayable despite float summation order.
+    *
+    * Entity pairs are same-mode (bipartite ⇒ never already adjacent), so no
+    * existing-edge anti-join is needed. */
+  def adamicAdar(edges: DataFrame, entityCol: String, itemCol: String,
+                 topN: Int, maxItemDegree: Int = Int.MaxValue): DataFrame = {
+    require(topN >= 1, "topN >= 1")
+    require(maxItemDegree >= 2, "maxItemDegree >= 2")
+    val e = edges.select(col(entityCol).as("u"), col(itemCol).as("i"))
+      .filter(col("u").isNotNull && col("i").isNotNull)
+      .distinct().localCheckpoint() // read thrice: degrees + both join sides
+    val deg = e.groupBy("i").agg(count(lit(1)).cast("long").as("di"))
+      .filter(col("di") >= 2 && col("di") <= maxItemDegree)
+    val ew = e.join(deg, "i")
+    ew.as("x").join(ew.as("y"),
+        col("x.i") === col("y.i") && col("x.u") < col("y.u"))
+      .select(col("x.u").as("id_a"), col("y.u").as("id_b"),
+        (lit(1.0) / log(col("x.di").cast("double"))).as("w"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_common"),
+        round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
 }

@@ -52,6 +52,61 @@ object Sampling {
       pmod(Hashes.portableHash32(col(groupCol).cast("string")), lit(k.toLong)))
   }
 
+  /** Neyman-optimal allocation of a fixed sample budget across strata:
+    * n_h ∝ N_h·σ_h — the survey-sampling rule that minimizes the variance
+    * of the estimated population mean under a total-budget constraint,
+    * i.e. how many eval/audit samples each source deserves (big AND
+    * internally-varied strata get more; a large but uniform stratum needs
+    * few). The alternative every pipeline starts with — proportional
+    * allocation — over-samples homogeneous strata; this is the
+    * measured fix.
+    *
+    * One scan computes per-stratum EXACT integer moments (count, Σv, Σv²
+    * — `valueCol` is cast to long: the metric is expected integer-valued,
+    * e.g. chars/tokens/bytes); σ and the weight products are derived on
+    * the driver from the collected |strata|-row frame (bounded
+    * control-plane collect, the [[graft.operators.EventOps.markovAttribution]]
+    * contract), with the weight total folded in ASCENDING stratum order so
+    * the oracle's ordered list_sum replays every double. Integer
+    * allocations use largest-remainder rounding (floor everything, then
+    * +1 to the largest fractional parts, ties by stratum) so they sum to
+    * the budget EXACTLY. Zero-variance strata get weight 0 — the pure
+    * Neyman rule; pad floors externally if every stratum must appear. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, "budget >= 0")
+    val moments = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("long")).as("s1"),
+        sum(col(valueCol).cast("long") * col(valueCol).cast("long")).as("s2"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val weighted = moments.map { case (st, n, s1, s2) =>
+      val nd = n.toDouble
+      val variance = math.max(0.0, (s2.toDouble - s1.toDouble * s1.toDouble / nd) / nd)
+      val sd = math.sqrt(variance)
+      (st, n, sd, nd * sd)
+    }
+    val tw = weighted.foldLeft(0.0)(_ + _._4) // ascending-stratum fold
+    val raw = weighted.map { case (st, n, sd, w) =>
+      val share = if (tw > 0) budget.toDouble * w / tw else 0.0
+      (st, n, sd, math.floor(share).toLong, share - math.floor(share))
+    }
+    val remainder = budget - raw.map(_._4).sum
+    val bump = raw.sortBy { case (st, _, _, _, frac) => (-frac, st) }
+      .take(math.max(0L, math.min(remainder, raw.length.toLong)).toInt)
+      .map(_._1).toSet
+    val spark = df.sparkSession
+    import spark.implicits._
+    raw.map { case (st, n, sd, fl, _) =>
+      (st, n, sd, fl + (if (bump(st)) 1L else 0L))
+    }.toSeq.toDF("stratum", "n_rows", "__sd", "alloc")
+      .select(col("stratum"), col("n_rows"),
+        round(col("__sd"), 4).as("stddev"), col("alloc"))
+  }
+
   /** Per-shard export manifest: row count and id range per shard (what a
     * training loader checks before consuming the shards). */
   def shardManifest(df: DataFrame, idCol: String, nShards: Int): DataFrame =

@@ -464,4 +464,64 @@ object Sketches {
         col("exact_distinct"), coalesce(col("hll_distinct"), lit(0.0))
           .as("hll_distinct"))
   }
+
+  /** K-minimum-values (bottom-k) distinct sketches per group, with pairwise
+    * set-overlap estimates — the sketch family HLL cannot provide: an HLL
+    * union is exact-by-merge but its INTERSECTION only comes from
+    * inclusion–exclusion ([[hllKeyOverlap]]), whose error explodes when the
+    * overlap is small relative to either set. A KMV sketch is the group's k
+    * smallest distinct hash values; because the k-mins of A∪B are computable
+    * from the two sketches alone, the fraction ρ of combined k-mins present
+    * in BOTH sketches is an unbiased Jaccard estimator and
+    * `|A∩B| ≈ ρ·|A∪B|` follows directly (Beyer et al., SIGMOD'07;
+    * the same bottom-k construction as Broder's original MinHash resemblance
+    * estimator).
+    *
+    * Estimates: a sketch holding fewer than k values IS its whole set
+    * (exact); a saturated sketch estimates `(k−1)·2³²/h_k` with `h_k` the
+    * kth-smallest 32-bit hash. Relative error ~ 1/√k (k=128 → ~9%).
+    *
+    * Scale shape: one distinct on (group, hash) — the same shuffle an exact
+    * distinct-count pays — then the k-mins ride the bounded
+    * [[graft.functions.TopKAgg]] (map-side partial, ≤ k values per partition
+    * shuffled, never the value set); the pair stage is a self-join of the
+    * |groups|-row sketch table, broadcast by construction. All arithmetic is
+    * integer or single IEEE ops over the md5-derived portable hash, so an
+    * external engine replays every estimate bit-for-bit.
+    *
+    * Output: one row per unordered group pair (g_a < g_b) with per-side,
+    * union, and intersection estimates plus the Jaccard ρ. */
+  def kmvOverlap(df: DataFrame, keyCol: String, groupCol: String,
+                 k: Int = 128): DataFrame = {
+    require(k >= 2, "k >= 2")
+    graft.functions.TopKAgg.register(df.sparkSession)
+    val hashes = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        graft.functions.Hashes.portableHash32(col(keyCol).cast("string")).as("h"))
+      .distinct() // KMV sketches SETS: one vote per (group, hash)
+    val sk = hashes.groupBy("g")
+      .agg(graft.functions.TopKAgg.topK(col("h"), k).as("sk"))
+    // (k-1)*2^32 is exact in a double for any sane k; same literal in the oracle
+    def est(s: Column): Column =
+      when(size(s) < k, size(s).cast("double"))
+        .otherwise(lit((k - 1).toDouble * 4294967296.0) / element_at(s, -1))
+    val a = sk.select(col("g").as("g_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("g").as("g_b"), col("sk").as("sk_b"))
+    a.join(b, col("g_a") < col("g_b"))
+      .withColumn("comb", slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k))
+      .withColumn("m", size(col("comb")))
+      .withColumn("union_est",
+        when(col("m") < k, col("m").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+            element_at(col("comb"), -1)))
+      .withColumn("rho",
+        size(array_intersect(array_intersect(col("comb"), col("sk_a")),
+          col("sk_b"))).cast("double") / col("m"))
+      .select(col("g_a"), col("g_b"),
+        round(est(col("sk_a")), 2).as("n_a_est"),
+        round(est(col("sk_b")), 2).as("n_b_est"),
+        round(col("union_est"), 2).as("union_est"),
+        round(col("rho"), 4).as("jaccard_est"),
+        round(col("rho") * col("union_est"), 2).as("inter_est"))
+  }
 }

@@ -72,4 +72,46 @@ class DataQualitySpec extends SparkSpec {
     assert(dead.getLong(2) == 2L)                // n_rows counts every row
     assert(rows("live").getLong(3) == 0L)
   }
+
+  test("kAnonymityAudit: class-size profile, null sensitive adds size not diversity") {
+    // classes over (zip): {10001: 3 rows, 2 distinct diag + null},
+    // {10002: 1 row} (singleton -> at risk at k=2), {10003: 2 rows, 1 diag}
+    val df = Seq(
+      ("10001", "flu"), ("10001", "cold"), ("10001", null),
+      ("10002", "flu"),
+      ("10003", "flu"), ("10003", "flu")
+    ).toDF("zip", "diag")
+    val out = DataQuality.kAnonymityAudit(df, Seq("zip"), "diag", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, true)), "singleton class is at risk")
+    assert(out(2L) == ((1L, 2L, 1L, false)), "size-2 l=1: k-safe, l-leaky")
+    assert(out(3L) == ((1L, 3L, 2L, false)), "null diversifies nothing")
+    assert(out.values.map(_._2).sum == df.count())
+  }
+
+  test("datasetFingerprint: order/partition invariant, distinguishes null vs empty") {
+    val base = Seq(("s", 1L, "x"), ("s", 2L, "y"), ("s", 3L, null))
+      .toDF("g", "id", "v")
+    val fp = DataQuality.datasetFingerprint(base, "g", Seq("id", "v"))
+      .collect().head
+    val shuffled = DataQuality.datasetFingerprint(
+      base.orderBy(org.apache.spark.sql.functions.col("id").desc)
+        .repartition(7), "g", Seq("id", "v")).collect().head
+    assert(fp.getLong(1) == 3L)
+    assert(fp.getLong(2) == shuffled.getLong(2) &&
+      fp.getLong(3) == shuffled.getLong(3),
+      "fingerprint must not depend on row order or partitioning")
+    val emptied = DataQuality.datasetFingerprint(
+      Seq(("s", 1L, "x"), ("s", 2L, "y"), ("s", 3L, "")).toDF("g", "id", "v"),
+      "g", Seq("id", "v")).collect().head
+    assert(emptied.getLong(2) != fp.getLong(2),
+      "null and empty string must fingerprint differently")
+    // single-row corruption flips both combiners
+    val tweaked = DataQuality.datasetFingerprint(
+      Seq(("s", 1L, "x"), ("s", 2L, "y"), ("s", 3L, "z")).toDF("g", "id", "v"),
+      "g", Seq("id", "v")).collect().head
+    assert(tweaked.getLong(2) != fp.getLong(2) &&
+      tweaked.getLong(3) != fp.getLong(3))
+  }
 }

@@ -87,4 +87,34 @@ class GraphSpec extends SparkSpec {
     // at convergence the 2-core of a tree is empty
     assert(Graph.kCore(chain, k = 2, rounds = 2).count() == 0)
   }
+
+  test("adamicAdar: rare shared items outweigh popular ones; degree-1 items inert") {
+    // item 10: shared by users 1,2 only (deg 2 — strong evidence)
+    // item 20: shared by users 1,3,4,5,6,7,8,9 (deg 8 — weak evidence)
+    // item 30: only user 1 (deg 1 — no wedge)
+    val edges = (Seq((1L, 10L), (2L, 10L), (1L, 30L)) ++
+      Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L).map(u => (u, 20L)))
+      .toDF("u", "i")
+    val out = Graph.adamicAdar(edges, "u", "i", topN = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val w2 = 1.0 / math.log(2.0)
+    val w8 = 1.0 / math.log(8.0)
+    assert(math.abs(out((1L, 2L))._2 - math.rint(w2 * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(out((1L, 3L))._2 - math.rint(w8 * 1e4) / 1e4) < 1e-9)
+    assert(out((1L, 2L))._2 > out((1L, 3L))._2,
+      "the rare shared item must score above the popular one")
+    assert(out((3L, 4L))._1 == 1L) // popular-item co-buyers still pair
+    assert(!out.keySet.exists { case (a, b) => a >= b }, "pairs are a < b")
+  }
+
+  test("adamicAdar: maxItemDegree drops hub evidence before the wedge join") {
+    val edges = (Seq((1L, 10L), (2L, 10L)) ++
+      Seq(1L, 2L, 3L, 4L, 5L).map(u => (u, 20L))).toDF("u", "i")
+    val capped = Graph.adamicAdar(edges, "u", "i", topN = 50, maxItemDegree = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // hub 20 (deg 5 > cap) gone: only the (1,2) pair via item 10 survives
+    assert(capped.keySet == Set((1L, 2L)))
+    assert(capped((1L, 2L)) == 1L)
+  }
 }

@@ -345,6 +345,22 @@ class SamplingSpec extends SparkSpec {
     assert(out.sortBy(_._2).map(_._3).toSeq == Seq(0L, 1L, 2L, 0L))
   }
 
+  test("neymanAllocation: n_h follows N_h*sigma_h; largest remainder sums exactly") {
+    import spark.implicits._
+    // A: {0,10} sigma 5, w 10; B: {7,7,7,7} sigma 0, w 0; C: {0,0,10,10}
+    // sigma 5, w 20 -> shares of 10: A 3.33, B 0, C 6.67 -> floors 3/0/6,
+    // remainder 1 goes to C (largest fraction)
+    val rows = Seq(("A", 0L), ("A", 10L), ("B", 7L), ("B", 7L), ("B", 7L),
+      ("B", 7L), ("C", 0L), ("C", 0L), ("C", 10L), ("C", 10L))
+    val out = Sampling.neymanAllocation(rows.toDF("st", "v"), "st", "v", 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out("A") == ((2L, 5.0, 3L)))
+    assert(out("B") == ((4L, 0.0, 0L)), "zero-variance stratum gets nothing")
+    assert(out("C") == ((4L, 5.0, 7L)))
+    assert(out.values.map(_._3).sum == 10L, "allocations sum to the budget")
+  }
+
   test("groupKFold: group-coherent, reproducible, folds within [0, k)") {
     import spark.implicits._
     val rows = (1 to 60).map(i => (i.toLong, s"group_${i % 12}"))

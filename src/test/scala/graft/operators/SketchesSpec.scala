@@ -242,4 +242,40 @@ class SketchesSpec extends SparkSpec {
     // estimates land near exact at these cardinalities (small-range mode)
     assert(math.abs(out("2024-05-02")._3 - 60.0) < 10.0)
   }
+
+  test("kmvOverlap: unsaturated sketches are exact sets; estimates track truth when saturated") {
+    import spark.implicits._
+    // A = 1..60, B = 31..90: |A|=|B|=60, union 90, inter 30, J=1/3.
+    // k=16 saturates everything; k=256 holds the full sets -> exact.
+    val rows = ((1 to 60).map(i => ("A", i.toLong)) ++
+      (31 to 90).map(i => ("B", i.toLong))).toDF("g", "v")
+    val exact = Sketches.kmvOverlap(rows, "v", "g", k = 256).collect().head
+    assert(exact.getDouble(2) == 60.0 && exact.getDouble(3) == 60.0)
+    assert(exact.getDouble(4) == 90.0, "unsaturated union is the exact set")
+    assert(math.abs(exact.getDouble(5) - math.rint(1e4 * 30.0 / 90.0) / 1e4) < 1e-9)
+    assert(exact.getDouble(6) == 30.0)
+    val est = Sketches.kmvOverlap(rows, "v", "g", k = 16).collect().head
+    // ~1/sqrt(16) = 25% relative error band, doubled for slack
+    assert(math.abs(est.getDouble(4) - 90.0) / 90.0 < 0.5, s"union ${est.getDouble(4)}")
+    assert(est.getDouble(5) >= 0.0 && est.getDouble(5) <= 1.0)
+    // duplicates must not shift the sketch (set semantics)
+    val dup = Sketches.kmvOverlap(rows.union(rows), "v", "g", k = 16).collect().head
+    assert(dup.getDouble(4) == est.getDouble(4) && dup.getDouble(6) == est.getDouble(6))
+  }
+
+  test("kmvOverlap: disjoint sets report zero intersection; identical sets J=1") {
+    import spark.implicits._
+    val rows = ((1 to 40).map(i => ("L", i.toLong)) ++
+      (1001 to 1040).map(i => ("R", i.toLong)) ++
+      (1 to 40).map(i => ("S", i.toLong))).toDF("g", "v")
+    // k = 64 > 40: the per-side sketches hold their whole sets (exact);
+    // the disjoint L∪R (80 values) still saturates the combined sketch
+    val out = Sketches.kmvOverlap(rows, "v", "g", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val lr = out(("L", "R"))
+    assert(lr.getDouble(5) == 0.0 && lr.getDouble(6) == 0.0)
+    val ls = out(("L", "S"))
+    assert(ls.getDouble(5) == 1.0, "identical sets must estimate J=1")
+    assert(ls.getDouble(4) == 40.0 && ls.getDouble(6) == 40.0)
+  }
 }
