@@ -4134,6 +4134,81 @@ object OracleSql {
          |  FROM documents)
          |SELECT source, count(*)::BIGINT AS n_rows,
          |  sum(rh)::BIGINT AS sum_hash, bit_xor(rh)::BIGINT AS xor_hash
-         |FROM h GROUP BY source""".stripMargin
+         |FROM h GROUP BY source""".stripMargin,
+
+    // Gini from the sorted-rank identity over exact integer totals; only
+    // the final two divisions are floating point
+    "q223_gini_concentration" ->
+      s"""WITH t AS (SELECT source::VARCHAR AS g,
+         |    sum(n_chars::BIGINT)::BIGINT AS w
+         |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+         |r AS (SELECT g, w, row_number() OVER (ORDER BY w, g) AS i FROM t)
+         |SELECT count(*)::BIGINT AS n_groups, sum(w)::BIGINT AS total,
+         |  ${rnd("2.0 * sum(i * w)::DOUBLE / (count(*) * sum(w))::DOUBLE" +
+             " - (count(*) + 1)::DOUBLE / count(*)::DOUBLE", 6)} AS gini,
+         |  ${rnd("max(w)::DOUBLE / sum(w)::DOUBLE", 6)} AS top_share
+         |FROM r""".stripMargin,
+
+    // Benford: leading digit of the INTEGER part (engine-portable where
+    // raw double formatting is not); 9-row spine keeps absent digits
+    "q224_benford" ->
+      s"""WITH e AS (SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR,
+         |      1, 1)::INT AS d
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+         |t AS (SELECT count(*)::BIGINT AS tot FROM e),
+         |c AS (SELECT d, count(*)::BIGINT AS cnt FROM e GROUP BY d),
+         |s AS (SELECT unnest(generate_series(1, 9))::BIGINT AS digit)
+         |SELECT digit, coalesce(cnt, 0)::BIGINT AS n,
+         |  ${rnd("coalesce(cnt, 0)::DOUBLE / tot", 6)} AS share,
+         |  ${rnd("log10(1.0 + 1.0 / digit)", 6)} AS expected,
+         |  ${rnd("abs(coalesce(cnt, 0)::DOUBLE / tot - log10(1.0 + 1.0 / digit))", 6)} AS abs_dev
+         |FROM s LEFT JOIN c ON s.digit = c.d CROSS JOIN t""".stripMargin,
+
+    // weighted quantiles: exact integer cumulative weights, one float
+    // threshold product, smallest crossing value
+    "q225_weighted_quantiles" ->
+      """WITH bv AS (SELECT l_returnflag AS k, l_extendedprice AS v,
+        |    sum(l_quantity::BIGINT)::BIGINT AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2),
+        |c AS (SELECT k, v,
+        |    sum(w) OVER (PARTITION BY k ORDER BY v) AS cw,
+        |    sum(w) OVER (PARTITION BY k) AS tw FROM bv),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q)
+        |SELECT k AS l_returnflag, q, min(v) AS value
+        |FROM c CROSS JOIN qs
+        |WHERE cw::DOUBLE >= q * tw::DOUBLE
+        |GROUP BY 1, 2""".stripMargin,
+
+    // regularity triage: entropy from exact counts (H = ln n - sum c ln c / n),
+    // CV from integer second-resolution gap moments; rounded-score ordering
+    // with id tie-breaks pins the top-20 cut
+    "q226_user_regularity" ->
+      s"""WITH b AS (SELECT user_id AS u, event_type AS t,
+         |    epoch_us(ts) // 1000000 AS s
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |ent AS (SELECT u, count(*)::BIGINT AS n_types,
+         |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
+         |  FROM (SELECT u, t, count(*)::BIGINT AS c FROM b GROUP BY 1, 2)
+         |  GROUP BY u),
+         |g AS (SELECT u, s - lag(s) OVER (PARTITION BY u ORDER BY s) AS g
+         |  FROM b),
+         |gm AS (SELECT u, count(*)::BIGINT AS ng, sum(g)::BIGINT AS sg,
+         |    sum(g * g)::BIGINT AS sg2
+         |  FROM g WHERE g IS NOT NULL GROUP BY u),
+         |f AS (SELECT e.u, (gm.ng + 1)::BIGINT AS n_events, e.n_types,
+         |    ln((gm.ng + 1)::DOUBLE) - e.clnc / (gm.ng + 1)::DOUBLE
+         |      AS entropy,
+         |    sqrt(greatest((gm.sg2::DOUBLE - gm.sg::DOUBLE * gm.sg::DOUBLE
+         |        / gm.ng::DOUBLE) / gm.ng::DOUBLE, 0.0))
+         |      / (gm.sg::DOUBLE / gm.ng::DOUBLE) AS cv
+         |  FROM ent e JOIN gm ON e.u = gm.u
+         |  WHERE gm.ng + 1 >= 5 AND gm.sg > 0)
+         |SELECT u AS user_id, n_events, n_types,
+         |  ${rnd("entropy", 4)} AS entropy, ${rnd("cv", 4)} AS gap_cv,
+         |  ${rnd("entropy + cv", 4)} AS score
+         |FROM f ORDER BY ${rnd("entropy + cv", 4)}, u LIMIT 20""".stripMargin
   )
 }

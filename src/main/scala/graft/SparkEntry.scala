@@ -2455,6 +2455,33 @@ object SparkEntry {
       TW(s, dir, "documents"), "source",
       Seq("doc_id", "lang", "n_chars", "text"))
 
+  /** One-row Gini concentration of character mass across sources — the
+    * "will the domain cap bind?" pre-flight for corpus mixing. */
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.giniConcentration(
+      T(s, dir, "documents"), "source", "n_chars")
+
+  /** Benford first-digit audit of order totals: 9 rows of observed vs
+    * log10(1+1/d) expected shares. */
+  private def q224(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.benfordAudit(T(s, dir, "orders"),
+      "o_totalprice")
+
+  /** Quantity-weighted price quantiles per return flag: the price level
+    * below which 25/50/75/90% of the shipped QUANTITY sits — what the
+    * unweighted quantiles can't say when big lines carry the mass. */
+  private def q225(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.weightedQuantiles(T(s, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice", "l_quantity",
+      Seq(0.25, 0.5, 0.75, 0.9))
+
+  /** Bot triage: the 20 users whose streams are least human — low
+    * event-type entropy plus metronomic inter-event gaps (integer-moment
+    * CV), score ascending with id tie-breaks. */
+  private def q226(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.userRegularity(T(s, dir, "events"),
+      "user_id", "ts", "event_type", minEvents = 5, topN = 20)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2679,7 +2706,11 @@ object SparkEntry {
     "q219_k_anonymity" -> (q219 _),
     "q220_adamic_adar" -> (q220 _),
     "q221_kmv_overlap" -> (q221 _),
-    "q222_fingerprint" -> (q222 _)
+    "q222_fingerprint" -> (q222 _),
+    "q223_gini_concentration" -> (q223 _),
+    "q224_benford" -> (q224 _),
+    "q225_weighted_quantiles" -> (q225 _),
+    "q226_user_regularity" -> (q226 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

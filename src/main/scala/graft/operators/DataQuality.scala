@@ -143,4 +143,42 @@ object DataQuality {
         sum(rowHash).as("sum_hash"),
         call_function("bit_xor", rowHash).as("xor_hash"))
   }
+
+  /** Benford first-digit audit of a positive numeric column: observed vs
+    * expected `log₁₀(1+1/d)` share per leading digit — the classic
+    * fabricated-or-truncated-data tripwire for organically-grown
+    * magnitudes (amounts, populations, file sizes). A feed that suddenly
+    * fails Benford usually switched to synthetic, defaulted, or clipped
+    * values upstream; a column that never obeyed it (uniform ids,
+    * bounded scores) shouldn't be audited this way — the operator reports
+    * deviations, the reader supplies the applicability judgment.
+    *
+    * The leading digit comes from the INTEGER part (`floor → long →
+    * string`), engine-portable where raw double formatting is not; rows
+    * with value < 1 are excluded (no stable first digit across
+    * magnitude-shifting representations). Shares are exact integer
+    * divisions; expectation is one `log10` per digit.
+    *
+    * Scale: one conditional-count aggregate pass (9 sums, one scan — the
+    * [[ruleReport]] shape), then arithmetic on a 9-row literal spine.
+    * Output: one row per digit 1–9 (n, share, expected, abs_dev 6dp). */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = substring(floor(col(valueCol)).cast("long").cast("string"),
+      1, 1).cast("int")
+    val eligible = df.filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(digit.as("d"))
+    val aggs = count(lit(1)).as("__n") +:
+      (1 to 9).map(d => sum(when(col("d") === d, 1L).otherwise(0L))
+        .as(s"__c_$d"))
+    val one = eligible.agg(aggs.head, aggs.tail: _*)
+    val rows = (1 to 9).map(d =>
+      struct(lit(d.toLong).as("digit"), col(s"__c_$d").as("n"),
+        col("__n").as("t")))
+    val share = col("r.n").cast("double") / col("r.t")
+    val expected = log10(lit(1.0) + lit(1.0) / col("r.digit"))
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.digit").as("digit"), col("r.n").as("n"),
+        round(share, 6).as("share"), round(expected, 6).as("expected"),
+        round(abs(share - expected), 6).as("abs_dev"))
+  }
 }

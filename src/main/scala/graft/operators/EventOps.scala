@@ -414,4 +414,68 @@ object EventOps {
       .select(col(userCol),
         date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("duration_us"), col("session_value"))
+
+  /** Behavioral-regularity triage: the `topN` users whose event streams
+    * look least human — low Shannon entropy over event types (always the
+    * same action) AND low coefficient of variation on inter-event gaps
+    * (metronome timing). Real users are bursty and varied; scripts and
+    * scrapers are neither — this is the first-cut bot filter an events
+    * pipeline runs before engagement stats, and a curation pipeline runs
+    * before trusting behavioral signals as training labels.
+    *
+    * `score = entropy + gap_cv`, ascending (low = suspicious). Entropy
+    * uses the identity `H = ln(n) − Σ c·ln(c)/n` (c = per-type counts),
+    * so every input to the float math is an exact integer; the gap CV is
+    * derived from integer second-resolution moments (n, Σg, Σg², g ≤
+    * corpus span in seconds, so Σg² stays in BIGINT range) — no
+    * engine-specific `stddev` algorithm in the replay path. Users need
+    * ≥ `minEvents` events and a positive total gap (all-simultaneous
+    * streams have no timing signal and report null CV — excluded).
+    *
+    * Scale: per-user lag window (PARTITIONED — no global sort), two
+    * grouped aggregations, and a TakeOrdered top-N cut on the rounded
+    * score with user-id tie-break (deterministic under float summation).
+    * State per user is one row of moments. */
+  def userRegularity(df: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, minEvents: Int = 5,
+                     topN: Int = 20): DataFrame = {
+    require(minEvents >= 2, "minEvents >= 2 (CV needs two gaps)")
+    require(topN >= 1, "topN >= 1")
+    val base = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), col(typeCol).as("t"),
+        unix_micros(col(tsCol)).as("us"))
+      // INTEGER div to whole seconds (freshnessReport's exactness rule)
+      .withColumn("s", expr("us div 1000000")).drop("us")
+    // entropy moments: per-(user, type) counts -> Σ c·ln c per user
+    val ent = base.groupBy(col("u"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clnc"))
+    // gap moments: integer seconds, exact Σg / Σg²
+    val w = Window.partitionBy(col("u")).orderBy(col("s"))
+    val gaps = base.select(col("u"),
+        (col("s") - lag(col("s"), 1).over(w)).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("ng"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sg2"))
+    val n = col("ng") + lit(1) // events = gaps + 1
+    val mean = col("sg").cast("double") / col("ng").cast("double")
+    val variance = (col("sg2").cast("double") -
+      col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double")) / col("ng").cast("double")
+    val entropy = log(n.cast("double")) - col("clnc") / n.cast("double")
+    ent.join(gaps, "u")
+      .filter(n >= minEvents && col("sg") > 0)
+      .select(col("u").as(userCol), n.cast("long").as("n_events"),
+        col("n_types"),
+        round(entropy, 4).as("entropy"),
+        round(sqrt(greatest(variance, lit(0.0))) / mean, 4).as("gap_cv"),
+        round(entropy + sqrt(greatest(variance, lit(0.0))) / mean, 4)
+          .as("score"))
+      .orderBy(col("score"), col(userCol))
+      .limit(topN)
+  }
 }

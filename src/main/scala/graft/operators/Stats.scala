@@ -779,4 +779,78 @@ object Stats {
       .withColumn("significant", col("q_value") <= alpha)
       .drop("__m")
   }
+
+  /** Gini concentration of an integer-valued measure across groups — the
+    * one-number "how skewed is this corpus toward a few sources?" audit
+    * (0 = perfectly even, →1 = one group holds everything). Corpus-mix
+    * planning reads it next to [[graft.operators.Corpus.domainCaps]]: a
+    * high Gini says the cap will bind, a low one says it's a no-op.
+    *
+    * Computed from the sorted-rank identity
+    * `G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n` over per-group totals sorted
+    * ascending (ties broken by group name — Σ i·xᵢ is tie-order
+    * invariant, the break just pins the rank column). `valueCol` is cast
+    * to long ([[graft.operators.Sampling.neymanAllocation]]'s
+    * integer-metric contract), so every sum is exact integer arithmetic
+    * and only the two final divisions are floating point — the estimate
+    * replays bit-for-bit externally.
+    *
+    * Scale shape: one grouped sum (rows → |groups|), then one rank window
+    * and one aggregate over the |groups|-row control frame — the
+    * unpartitioned window orders groups, never rows. Output is ONE row:
+    * (n_groups, total, gini 6dp, top_share 6dp). */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    val totals = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(sum(col(valueCol).cast("long")).as("w"))
+    val ranked = totals.withColumn("i",
+      row_number().over(Window.orderBy(col("w"), col("g"))))
+    ranked.agg(count(lit(1)).as("n"), sum(col("w")).as("tw"),
+        sum(col("i") * col("w")).as("iw"), max(col("w")).as("mw"))
+      .select(col("n").cast("long").as("n_groups"),
+        col("tw").cast("long").as("total"),
+        round(lit(2.0) * col("iw").cast("double") /
+          (col("n") * col("tw")).cast("double") -
+          (col("n") + lit(1)).cast("double") / col("n").cast("double"), 6)
+          .as("gini"),
+        round(col("mw").cast("double") / col("tw").cast("double"), 6)
+          .as("top_share"))
+  }
+
+  /** Exact weighted quantiles per group: the smallest value whose
+    * cumulative weight reaches `q·W` — `percentile_disc` generalized to a
+    * weight column (volume-weighted median price, token-weighted length
+    * quantiles: "half the TOKENS sit in documents shorter than X", which
+    * the unweighted [[groupQuantiles]] cannot say when long docs hold most
+    * of the mass).
+    *
+    * Weights are cast to long (integer-metric contract — quantities/
+    * tokens/bytes), so cumulative weights are EXACT and order-stable; the
+    * only float op is the `q·W` threshold product, identical in any
+    * engine. Duplicate values collapse to one row BEFORE the cumulative
+    * window (sum-then-scan), so the scan length is the distinct-value
+    * count and the crossing rule is well-defined under ties.
+    *
+    * Scale: one grouped sum (rows → group×distinct-value), one cumulative
+    * window PARTITIONED by group (no global sort), one crossing aggregate.
+    * Output: one row per (group, q). */
+  def weightedQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                        weightCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0, 1]")
+    val byValue = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(keyCol).as("k"), col(valueCol).as("v"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    val cum = byValue
+      .withColumn("cw",
+        sum(col("w")).over(Window.partitionBy(col("k")).orderBy(col("v"))))
+      .withColumn("tw",
+        sum(col("w")).over(Window.partitionBy(col("k"))))
+    cum.select(col("k"), col("v"), col("cw"), col("tw"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .filter(col("cw").cast("double") >= col("q") * col("tw").cast("double"))
+      .groupBy(col("k").as(keyCol), col("q"))
+      .agg(min(col("v")).as("value"))
+  }
 }

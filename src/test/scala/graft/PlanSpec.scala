@@ -151,7 +151,8 @@ class PlanSpec extends SparkSpec {
       "q209_chi2_independence", // 1-row dims + 1-row chi2-sum control frames
       "q210_drift_fdr", // q175's 1-row min-max frame + densify cross
       "q213_truncated_recall", // bounded broadcast ANN query sets
-      "q215_reciprocal_margin") // bounded broadcast ANN query sets, both directions
+      "q215_reciprocal_margin", // bounded broadcast ANN query sets, both directions
+      "q221_kmv_overlap") // |groups|-row sketch-table self-join on g_a < g_b
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
@@ -202,7 +203,9 @@ class PlanSpec extends SparkSpec {
       "q208_lift_table",
       // BH rank/m/tail-min windows over the |source-pairs|-row hypothesis
       // frame — control-plane bounded, never row-scale
-      "q210_drift_fdr")
+      "q210_drift_fdr",
+      // Gini rank window over the |sources|-row totals frame
+      "q223_gini_concentration")
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",

@@ -114,4 +114,21 @@ class DataQualitySpec extends SparkSpec {
     assert(tweaked.getLong(2) != fp.getLong(2) &&
       tweaked.getLong(3) != fp.getLong(3))
   }
+
+  test("benfordAudit: digit of the integer part, sub-1 rows excluded, 9-row spine") {
+    // 111, 19.5, 1.2 -> digit 1 x3; 250 -> 2; 0.8 -> excluded; 9000 -> 9
+    val df = Seq(111.0, 19.5, 1.2, 250.0, 0.8, 9000.0).toDF("v")
+    val out = DataQuality.benfordAudit(df, "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == (1L to 9L).toSet, "all nine digits always present")
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L && out(9L)._1 == 1L)
+    assert(out(3L)._1 == 0L && out(3L)._2 == 0.0)
+    assert(out.values.map(_._1).sum == 5L, "the 0.8 row must not count")
+    assert(out(1L)._2 == 0.6)                     // 3/5
+    assert(math.abs(out(1L)._3 - 0.30103) < 1e-6) // log10(2)
+    // expectations sum to 1 (a distribution, not a heuristic)
+    val expSum = out.values.map(_._3).sum
+    assert(math.abs(expSum - 1.0) < 1e-4)
+  }
 }

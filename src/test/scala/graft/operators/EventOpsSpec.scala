@@ -262,4 +262,35 @@ class EventOpsSpec extends SparkSpec {
     assert(none.length == 1 && none.head.getDouble(1) == 0.0 &&
       none.head.isNullAt(3))
   }
+
+  test("userRegularity: metronomic single-action bot scores below a varied bursty human") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // bot 1: one event type, exact 60s cadence -> entropy 0, cv 0
+    val bot = (0 until 6).map(i =>
+      (1L, ts(f"2024-03-01 10:${i}%02d:00"), "ping"))
+    // human 2: three types, irregular gaps
+    val human = Seq(
+      (2L, ts("2024-03-01 10:00:00"), "view"),
+      (2L, ts("2024-03-01 10:00:05"), "click"),
+      (2L, ts("2024-03-01 10:07:00"), "view"),
+      (2L, ts("2024-03-01 11:30:00"), "purchase"),
+      (2L, ts("2024-03-01 11:30:30"), "view"),
+      (2L, ts("2024-03-02 09:00:00"), "click"))
+    // user 3: too few events — excluded
+    val sparse = Seq((3L, ts("2024-03-01 10:00:00"), "view"),
+      (3L, ts("2024-03-01 10:05:00"), "view"))
+    val df = (bot ++ human ++ sparse).toDF("user_id", "ts", "event_type")
+    val out = EventOps.userRegularity(df, "user_id", "ts", "event_type",
+        minEvents = 5, topN = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out.keySet == Set(1L, 2L), "sparse user excluded")
+    val (bn, bt, bh, bcv, bscore) = out(1L)
+    assert(bn == 6L && bt == 1L && bh == 0.0 && bcv == 0.0 && bscore == 0.0,
+      "perfect metronome: zero entropy, zero CV")
+    val (_, ht, hh, hcv, hscore) = out(2L)
+    assert(ht == 3L && hh > 0.5 && hcv > 1.0 && hscore > 1.5)
+    assert(bscore < hscore, "bot must rank more suspicious than human")
+  }
 }

@@ -433,4 +433,37 @@ class StatsSpec extends SparkSpec {
       .collect().map(_.getDouble(3))
     assert(clamp.forall(_ <= 1.0))
   }
+
+  test("giniConcentration: 0 for even mass, known value for skew, ~1 for monopoly") {
+    import spark.implicits._
+    def gini(ws: Seq[Long]): (Long, Long, Double, Double) = {
+      val df = ws.zipWithIndex.map { case (w, i) => (s"g$i", w) }.toDF("g", "w")
+      val r = Stats.giniConcentration(df, "g", "w").collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    val even = gini(Seq(10L, 10L, 10L, 10L))
+    assert(even == ((4L, 40L, 0.0, 0.25)))
+    // {1,2,3,4}: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    assert(gini(Seq(1L, 2L, 3L, 4L))._3 == 0.25)
+    val mono = gini(Seq(0L, 0L, 0L, 100L))
+    assert(mono._3 == 0.75 && mono._4 == 1.0) // max G at n=4 is (n-1)/n
+  }
+
+  test("weightedQuantiles: crossing rule exact on integer weights; ties collapse") {
+    import spark.implicits._
+    // values 1,2,3 with weights 1,1,8 (two tied (3,4)+(3,4) rows): W=10.
+    // q=0.5 -> threshold 5: cum 1,2,10 -> value 3. q=0.2 -> 2 -> value 2.
+    // q=0.1 -> 1 -> value 1. q=1.0 -> 10 -> value 3.
+    val df = Seq(("k", 1.0, 1L), ("k", 2.0, 1L), ("k", 3.0, 4L), ("k", 3.0, 4L))
+      .toDF("k", "v", "w")
+    val out = Stats.weightedQuantiles(df, "k", "v", "w",
+        Seq(0.1, 0.2, 0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(out == Map(0.1 -> 1.0, 0.2 -> 2.0, 0.5 -> 3.0, 1.0 -> 3.0))
+    // unweighted sanity: uniform weights reduce to plain quantile_disc
+    val uni = (1 to 100).map(i => ("u", i.toDouble, 1L)).toDF("k", "v", "w")
+    val med = Stats.weightedQuantiles(uni, "k", "v", "w", Seq(0.5))
+      .collect().head.getDouble(2)
+    assert(med == 50.0)
+  }
 }
