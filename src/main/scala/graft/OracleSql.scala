@@ -4209,6 +4209,128 @@ object OracleSql {
          |SELECT u AS user_id, n_events, n_types,
          |  ${rnd("entropy", 4)} AS entropy, ${rnd("cv", 4)} AS gap_cv,
          |  ${rnd("entropy + cv", 4)} AS score
-         |FROM f ORDER BY ${rnd("entropy + cv", 4)}, u LIMIT 20""".stripMargin
+         |FROM f ORDER BY ${rnd("entropy + cv", 4)}, u LIMIT 20""".stripMargin,
+
+    // CUPED: pooled theta from one global moment frame, per-arm adjusted
+    // means + realized (population-variance) reduction
+    "q227_cuped" ->
+      s"""WITH units AS (SELECT user_id % 2 AS arm,
+         |    sum(CASE WHEN ts::DATE < DATE '2024-01-16' THEN value
+         |      ELSE 0.0 END) AS pre,
+         |    sum(CASE WHEN ts::DATE >= DATE '2024-01-16' THEN value
+         |      ELSE 0.0 END) AS post
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY user_id),
+         |ctl AS (SELECT count(*)::BIGINT AS n, sum(pre) AS sp,
+         |    sum(post) AS so, sum(pre * pre) AS spp,
+         |    sum(pre * post) AS spo FROM units),
+         |th AS (SELECT (spo - sp * so / n) / (spp - sp * sp / n) AS theta,
+         |    sp / n AS mpre FROM ctl),
+         |a AS (SELECT u.arm, u.post, t.theta,
+         |    u.post - t.theta * (u.pre - t.mpre) AS adj
+         |  FROM units u CROSS JOIN th t)
+         |SELECT arm, count(*)::BIGINT AS n_units,
+         |  ${rnd("sum(post) / count(*)", 4)} AS mean_post,
+         |  ${rnd("sum(adj) / count(*)", 4)} AS mean_adj,
+         |  ${rnd("max(theta)", 4)} AS theta,
+         |  ${rnd("1.0 - (sum(adj * adj) - sum(adj) * sum(adj) / count(*))" +
+             " / (sum(post * post) - sum(post) * sum(post) / count(*))", 4)}
+         |    AS var_reduction
+         |FROM a GROUP BY arm""".stripMargin,
+
+    // SMD balance: one conditional-moment pass, population variances
+    "q228_covariate_balance" -> {
+      def covRow(c: String, expr: String): String =
+        s"""SELECT '$c' AS covariate,
+           |  ${rnd(s"sa_$c / na", 4)} AS mean_a,
+           |  ${rnd(s"sb_$c / nb", 4)} AS mean_b,
+           |  ${rnd(s"(sb_$c / nb - sa_$c / na) / sqrt(((ssa_$c / na" +
+               s" - (sa_$c / na) * (sa_$c / na)) + (ssb_$c / nb" +
+               s" - (sb_$c / nb) * (sb_$c / nb))) / 2.0)", 4)} AS smd,
+           |  abs((sb_$c / nb - sa_$c / na) / sqrt(((ssa_$c / na
+           |    - (sa_$c / na) * (sa_$c / na)) + (ssb_$c / nb
+           |    - (sb_$c / nb) * (sb_$c / nb))) / 2.0)) < 0.1 AS balanced
+           |FROM m""".stripMargin
+      val sums = Seq("c_acctbal" -> "c_acctbal::DOUBLE",
+        "c_nationkey" -> "c_nationkey::DOUBLE").map { case (c, e) =>
+        s"""sum(CASE WHEN c_custkey % 2 = 0 THEN $e ELSE 0.0 END) AS sb_$c,
+           |    sum(CASE WHEN c_custkey % 2 <> 0 THEN $e ELSE 0.0 END) AS sa_$c,
+           |    sum(CASE WHEN c_custkey % 2 = 0 THEN $e * $e ELSE 0.0 END) AS ssb_$c,
+           |    sum(CASE WHEN c_custkey % 2 <> 0 THEN $e * $e ELSE 0.0 END) AS ssa_$c""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH m AS (SELECT
+         |    sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS nb,
+         |    sum(CASE WHEN c_custkey % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+         |    $sums
+         |  FROM customer)
+         |${covRow("c_acctbal", "")}
+         |UNION ALL
+         |${covRow("c_nationkey", "")}""".stripMargin
+    },
+
+    // Welch t: sample variances, Welch-Satterthwaite df
+    "q229_welch_t" ->
+      s"""WITH m AS (SELECT
+         |    sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS nb,
+         |    sum(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+         |    sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 0.0 END) AS sb,
+         |    sum(CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice ELSE 0.0 END) AS sa,
+         |    sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * o_totalprice ELSE 0.0 END) AS ssb,
+         |    sum(CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice * o_totalprice ELSE 0.0 END) AS ssa
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |v AS (SELECT *, (ssa - sa * sa / na) / (na - 1) AS va,
+         |    (ssb - sb * sb / nb) / (nb - 1) AS vb FROM m),
+         |s AS (SELECT *, va / na AS sea, vb / nb AS seb FROM v)
+         |SELECT na AS n_a, nb AS n_b,
+         |  ${rnd("sa / na", 4)} AS mean_a, ${rnd("sb / nb", 4)} AS mean_b,
+         |  ${rnd("(sb / nb - sa / na) / sqrt(sea + seb)", 4)} AS t_stat,
+         |  ${rnd("(sea + seb) * (sea + seb) / (sea * sea / (na - 1)" +
+             " + seb * seb / (nb - 1))", 2)} AS df
+         |FROM s""".stripMargin,
+
+    // Kaplan-Meier: exact integer curve counts; survival via exp(sum(ln))
+    // over positive terms with a cumulative went-to-zero mask
+    "q230_kaplan_meier" ->
+      s"""WITH u AS (SELECT user_id, min(ts::DATE) AS fd, max(ts::DATE) AS ld
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY 1),
+         |e AS (SELECT max(ld) AS cend FROM u),
+         |l AS (SELECT (ld - fd)::BIGINT AS t, (cend - ld) < 3 AS cens
+         |  FROM u CROSS JOIN e),
+         |d AS (SELECT t, sum(CASE WHEN cens THEN 0 ELSE 1 END)::BIGINT AS d,
+         |    sum(CASE WHEN cens THEN 1 ELSE 0 END)::BIGINT AS c
+         |  FROM l GROUP BY t),
+         |r AS (SELECT *, sum(d + c) OVER (ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS at_risk FROM d),
+         |s AS (SELECT *, 1.0 - d::DOUBLE / at_risk::DOUBLE AS term FROM r),
+         |z AS (SELECT *,
+         |    max(CASE WHEN term = 0.0 THEN 1 ELSE 0 END) OVER wa AS zeroed,
+         |    sum(CASE WHEN term > 0 THEN ln(term) END) OVER wa AS lnsum
+         |  FROM s WINDOW wa AS (ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT t AS day, at_risk, d AS deaths, c AS censored,
+         |  ${rnd("CASE WHEN zeroed = 1 THEN 0.0" +
+             " ELSE exp(coalesce(lnsum, 0.0)) END", 6)} AS survival
+         |FROM z""".stripMargin,
+
+    // Heaps fit: per-source (N, V) points, centered log-log OLS
+    "q231_heaps_fit" ->
+      s"""WITH per AS (SELECT source AS g, count(*)::BIGINT AS n,
+         |    count(DISTINCT w)::BIGINT AS v
+         |  FROM (SELECT source, unnest($toksExpr) AS w FROM documents)
+         |  GROUP BY 1),
+         |pts AS (SELECT ln(n::DOUBLE) AS x, ln(v::DOUBLE) AS y FROM per
+         |  WHERE n > 0 AND v > 0),
+         |m AS (SELECT avg(x) AS mx, avg(y) AS my FROM pts),
+         |f AS (SELECT count(*)::BIGINT AS n_groups, max(mx) AS _mx,
+         |    max(my) AS _my, sum((x - mx) * (y - my)) AS sxy,
+         |    sum((x - mx) * (x - mx)) AS sxx,
+         |    sum((y - my) * (y - my)) AS syy
+         |  FROM pts CROSS JOIN m)
+         |SELECT n_groups, ${rnd("sxy / sxx", 4)} AS beta,
+         |  ${rnd("exp(_my - (sxy / sxx) * _mx)", 4)} AS k,
+         |  ${rnd("sxy * sxy / (sxx * syy)", 4)} AS r2
+         |FROM f""".stripMargin
   )
 }

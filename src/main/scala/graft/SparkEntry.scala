@@ -2482,6 +2482,48 @@ object SparkEntry {
     graft.operators.EventOps.userRegularity(T(s, dir, "events"),
       "user_id", "ts", "event_type", minEvents = 5, topN = 20)
 
+  /** CUPED readout over a synthetic events experiment: per-user value
+    * totals split at Jan 16 (pre | post), arms by user-id parity, pooled
+    * theta, per-arm adjusted means + realized variance reduction. */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("date")
+    val units = T(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(to_date(col("ts")) < cut, col("value"))
+          .otherwise(lit(0.0))).as("pre"),
+        sum(when(to_date(col("ts")) >= cut, col("value"))
+          .otherwise(lit(0.0))).as("post"))
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        col("pre"), col("post"))
+    graft.operators.Stats.cupedAdjustment(units, "arm", "pre", "post")
+  }
+
+  /** Covariate balance (SMD) between customer-key-parity arms over
+    * account balance and nation — the randomization-health audit. */
+  private def q228(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.covariateBalance(T(s, dir, "customer"),
+      pmod(col("c_custkey"), lit(2L)) === 0,
+      Seq("c_acctbal", "c_nationkey"))
+
+  /** Welch's t between order-key-parity arms on order totals: t statistic
+    * plus Welch-Satterthwaite df from one conditional-moment pass. */
+  private def q229(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.welchTTest(T(s, dir, "orders"),
+      pmod(col("o_orderkey"), lit(2L)) === 0, "o_totalprice")
+
+  /** Kaplan-Meier user-lifetime curve with 3-day right-censoring at the
+    * corpus edge: at-risk, deaths, censored, survival per lifetime day. */
+  private def q230(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.kaplanMeierRetention(T(s, dir, "events"),
+      "user_id", "ts", censorDays = 3)
+
+  /** Heaps'-law vocabulary-growth fit V = K*N^beta across sources:
+    * log-log OLS over the per-source (tokens, vocab) points. */
+  private def q231(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.heapsFit(TW(s, dir, "documents"), "source",
+      "text")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2710,7 +2752,12 @@ object SparkEntry {
     "q223_gini_concentration" -> (q223 _),
     "q224_benford" -> (q224 _),
     "q225_weighted_quantiles" -> (q225 _),
-    "q226_user_regularity" -> (q226 _)
+    "q226_user_regularity" -> (q226 _),
+    "q227_cuped" -> (q227 _),
+    "q228_covariate_balance" -> (q228 _),
+    "q229_welch_t" -> (q229 _),
+    "q230_kaplan_meier" -> (q230 _),
+    "q231_heaps_fit" -> (q231 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -535,4 +535,41 @@ object Corpus {
       .agg(count(lit(1)).cast("long").as("n_feats"),
         round(sum(col("lw")), 4).as("log_weight"))
   }
+
+  /** Heaps'-law fit `V = K·N^β` across per-group (token-count, vocabulary)
+    * points: log-log OLS over the |groups|-row frame. The corpus-growth
+    * planning number — β says how fast NEW vocabulary keeps arriving as
+    * the crawl grows (natural language sits near 0.4–0.6; β ≈ 1 means
+    * near-random tokens, β ≈ 0 a closed vocabulary), which sizes
+    * everything downstream that is "vocabulary-bounded by Heaps"
+    * ([[ngramNovelty]], the BPE pair table, the posting stoplists).
+    *
+    * One explode+aggregate produces the per-group (N, V) moments (the
+    * vocabulary count is the only distinct-shuffle); the fit itself is
+    * [[graft.operators.Stats.groupRegression]]'s centered two-pass over
+    * the bounded points frame. Output is ONE row:
+    * (n_groups, beta 4dp, k 4dp, r2 4dp). */
+  def heapsFit(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val per = df.select(col(groupCol).as("g"),
+        explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("v"))
+      .filter(col("n") > 0 && col("v") > 0)
+    val pts = per.select(log(col("n").cast("double")).as("x"),
+      log(col("v").cast("double")).as("y"))
+    val means = pts.agg(avg(col("x")).as("mx"), avg(col("y")).as("my"))
+    val dx = col("x") - col("mx")
+    val dy = col("y") - col("my")
+    pts.crossJoin(broadcast(means))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        max(col("mx")).as("_mx"), max(col("my")).as("_my"),
+        sum(dx * dy).as("sxy"), sum(dx * dx).as("sxx"),
+        sum(dy * dy).as("syy"))
+      .select(col("n_groups"),
+        round(col("sxy") / col("sxx"), 4).as("beta"),
+        round(exp(col("_my") - (col("sxy") / col("sxx")) * col("_mx")), 4)
+          .as("k"),
+        round((col("sxy") * col("sxy")) / (col("sxx") * col("syy")), 4)
+          .as("r2"))
+  }
 }

@@ -478,4 +478,54 @@ object EventOps {
       .orderBy(col("score"), col(userCol))
       .limit(topN)
   }
+
+  /** Kaplan–Meier user-lifetime curve with right-censoring: per observed
+    * lifetime day, the at-risk count, deaths, censored exits, and the
+    * product-limit survival estimate `S(t) = Π_{s≤t} (1 − d_s/r_s)` — the
+    * honest "how long do users stay?" curve. The naive churn histogram
+    * treats every silent user as dead; KM counts users still active near
+    * the corpus edge (last event within `censorDays` of the corpus max)
+    * as CENSORED — they exit the at-risk pool without being deaths, which
+    * is exactly the correction that keeps fresh cohorts from dragging the
+    * curve down.
+    *
+    * Lifetime = whole days between a user's first and last event. The
+    * at-risk count is a reverse cumulative sum over the |days|-row curve
+    * frame; the product rides `exp(Σ ln(1−d/r))` over positive terms with
+    * a cumulative went-to-zero flag (a day where everyone at risk dies
+    * pins S at 0 from there on — `ln(0)` never evaluates). All counts are
+    * exact integers; windows scan the curve frame (bounded by the corpus
+    * SPAN in days), never user rows — the per-user reduction is one
+    * grouped min/max. */
+  def kaplanMeierRetention(df: DataFrame, userCol: String, tsCol: String,
+                           censorDays: Int = 3): DataFrame = {
+    require(censorDays >= 1, "censorDays >= 1")
+    val users = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("u"))
+      .agg(min(to_date(col(tsCol))).as("first_d"),
+        max(to_date(col(tsCol))).as("last_d"))
+    val end = users.agg(max(col("last_d")).as("cend"))
+    val lives = users.crossJoin(broadcast(end))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+        (datediff(col("cend"), col("last_d")) < censorDays).as("cens"))
+    val byDay = lives.groupBy(col("t"))
+      .agg(sum(when(col("cens"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("c"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay.withColumn("at_risk", sum(col("d") + col("c")).over(wDesc))
+      .withColumn("term",
+        lit(1.0) - col("d").cast("double") / col("at_risk").cast("double"))
+      .withColumn("zeroed",
+        max(when(col("term") === 0.0, 1L).otherwise(0L)).over(wAsc))
+      .withColumn("lnsum",
+        sum(when(col("term") > 0, log(col("term")))).over(wAsc))
+      .select(col("t").as("day"), col("at_risk"), col("d").as("deaths"),
+        col("c").as("censored"),
+        round(when(col("zeroed") === 1, 0.0)
+          .otherwise(exp(coalesce(col("lnsum"), lit(0.0)))), 6)
+          .as("survival"))
+  }
 }

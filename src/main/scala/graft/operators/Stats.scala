@@ -818,6 +818,121 @@ object Stats {
           .as("top_share"))
   }
 
+  /** CUPED variance reduction for an A/B readout: adjust each unit's
+    * post-period metric by its own PRE-period metric
+    * (`adj = post − θ·(pre − mean(pre))`, θ = cov(pre, post)/var(pre),
+    * pooled across arms — pre-period data can't be affected by treatment,
+    * so the adjustment is unbiased) and report per-arm means before/after
+    * plus the realized variance reduction. The industry-standard way to
+    * cut experiment runtimes: same decision, tighter confidence, often
+    * 30–60% variance gone when pre/post correlate.
+    *
+    * Scale: one global moment frame (n, Σpre, Σpost, Σpre², Σpre·post →
+    * θ and mean(pre), ONE row, broadcast back), then one per-arm moment
+    * pass over the adjusted metric — two aggregations, no windows, unit
+    * rows never leave their shuffle. Population variances (÷n): the
+    * reduction RATIO is the readout, not an inference statistic. */
+  def cupedAdjustment(units: DataFrame, armCol: String, preCol: String,
+                      postCol: String): DataFrame = {
+    val pre = col(preCol).cast("double")
+    val post = col(postCol).cast("double")
+    val base = units.filter(pre.isNotNull && post.isNotNull)
+    val ctl = base.agg(count(lit(1)).as("n"), sum(pre).as("sp"),
+        sum(post).as("so"), sum(pre * pre).as("spp"),
+        sum(pre * post).as("spo"))
+      .select(
+        ((col("spo") - col("sp") * col("so") / col("n")) /
+          (col("spp") - col("sp") * col("sp") / col("n"))).as("theta"),
+        (col("sp") / col("n")).as("mpre"))
+    val adj = post - col("theta") * (pre - col("mpre"))
+    base.crossJoin(broadcast(ctl))
+      .groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).cast("long").as("n_units"),
+        max(col("theta")).as("__t"),
+        sum(post).as("__so"), sum(post * post).as("__soo"),
+        sum(adj).as("__sa"), sum(adj * adj).as("__saa"))
+      .select(col("arm"), col("n_units"),
+        round(col("__so") / col("n_units"), 4).as("mean_post"),
+        round(col("__sa") / col("n_units"), 4).as("mean_adj"),
+        round(col("__t"), 4).as("theta"),
+        round(lit(1.0) -
+          (col("__saa") - col("__sa") * col("__sa") / col("n_units")) /
+          (col("__soo") - col("__so") * col("__so") / col("n_units")), 4)
+          .as("var_reduction"))
+  }
+
+  /** Pre-experiment covariate balance: standardized mean difference per
+    * covariate between two arms, `SMD = (m_b − m_a)/√((v_a + v_b)/2)` —
+    * the randomization-health check run BEFORE trusting any readout
+    * (|SMD| < 0.1 is the conventional "balanced" line). A skewed SMD on a
+    * pre-period covariate means the split is broken or the analysis needs
+    * stratification, and no amount of post-period statistics fixes it.
+    *
+    * One conditional-moment pass for ALL covariates together (six sums
+    * per covariate inside a single aggregate — the [[DataQuality.ruleReport]]
+    * shape: adding a covariate never adds a scan), then arithmetic on the
+    * |covariates|-row literal unpivot. Population variances (÷n). */
+  def covariateBalance(df: DataFrame, arm: Column,
+                       covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty, "at least one covariate")
+    val aggs = covariates.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(sum(when(arm, 1L).otherwise(0L)).as(s"__nb_$c"),
+        sum(when(!arm, 1L).otherwise(0L)).as(s"__na_$c"),
+        sum(when(arm, v).otherwise(lit(0.0))).as(s"__sb_$c"),
+        sum(when(!arm, v).otherwise(lit(0.0))).as(s"__sa_$c"),
+        sum(when(arm, v * v).otherwise(lit(0.0))).as(s"__ssb_$c"),
+        sum(when(!arm, v * v).otherwise(lit(0.0))).as(s"__ssa_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = covariates.map { c =>
+      struct(lit(c).as("cov"), col(s"__na_$c").as("na"),
+        col(s"__nb_$c").as("nb"), col(s"__sa_$c").as("sa"),
+        col(s"__sb_$c").as("sb"), col(s"__ssa_$c").as("ssa"),
+        col(s"__ssb_$c").as("ssb"))
+    }
+    val ma = col("r.sa") / col("r.na")
+    val mb = col("r.sb") / col("r.nb")
+    val va = col("r.ssa") / col("r.na") - ma * ma
+    val vb = col("r.ssb") / col("r.nb") - mb * mb
+    val smd = (mb - ma) / sqrt((va + vb) / 2.0)
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.cov").as("covariate"),
+        round(ma, 4).as("mean_a"), round(mb, 4).as("mean_b"),
+        round(smd, 4).as("smd"), (abs(smd) < 0.1).as("balanced"))
+  }
+
+  /** Welch's unequal-variance t-test between two arms: t statistic and
+    * Welch–Satterthwaite degrees of freedom from one conditional-moment
+    * pass (never pooled-variance Student's t — arms in production rarely
+    * share a variance, and Welch is the safe default). Sample variances
+    * (÷(n−1)) as the test requires. One row out; the caller compares |t|
+    * to the critical value for `df` — the heavy lift at 100 TB is the
+    * moment pass, and that is one scan with map-side partials. */
+  def welchTTest(df: DataFrame, arm: Column, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val one = df.filter(v.isNotNull).agg(
+      sum(when(arm, 1L).otherwise(0L)).as("nb"),
+      sum(when(!arm, 1L).otherwise(0L)).as("na"),
+      sum(when(arm, v).otherwise(lit(0.0))).as("sb"),
+      sum(when(!arm, v).otherwise(lit(0.0))).as("sa"),
+      sum(when(arm, v * v).otherwise(lit(0.0))).as("ssb"),
+      sum(when(!arm, v * v).otherwise(lit(0.0))).as("ssa"))
+    val ma = col("sa") / col("na")
+    val mb = col("sb") / col("nb")
+    val va = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+    val vb = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val sea = va / col("na")
+    val seb = vb / col("nb")
+    one.select(col("na").cast("long").as("n_a"),
+      col("nb").cast("long").as("n_b"),
+      round(ma, 4).as("mean_a"), round(mb, 4).as("mean_b"),
+      round((mb - ma) / sqrt(sea + seb), 4).as("t_stat"),
+      round((sea + seb) * (sea + seb) /
+        (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1)), 2)
+        .as("df"))
+  }
+
   /** Exact weighted quantiles per group: the smallest value whose
     * cumulative weight reaches `q·W` — `percentile_disc` generalized to a
     * weight column (volume-weighted median price, token-weighted length

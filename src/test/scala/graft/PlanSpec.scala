@@ -152,7 +152,10 @@ class PlanSpec extends SparkSpec {
       "q210_drift_fdr", // q175's 1-row min-max frame + densify cross
       "q213_truncated_recall", // bounded broadcast ANN query sets
       "q215_reciprocal_margin", // bounded broadcast ANN query sets, both directions
-      "q221_kmv_overlap") // |groups|-row sketch-table self-join on g_a < g_b
+      "q221_kmv_overlap", // |groups|-row sketch-table self-join on g_a < g_b
+      "q227_cuped", // 1-row pooled-theta control frame cross-joined
+      "q231_heaps_fit", // 1-row log-means frame x |sources|-row points frame
+      "q230_kaplan_meier") // 1-row corpus-end frame cross-joined
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
@@ -205,7 +208,10 @@ class PlanSpec extends SparkSpec {
       // frame — control-plane bounded, never row-scale
       "q210_drift_fdr",
       // Gini rank window over the |sources|-row totals frame
-      "q223_gini_concentration")
+      "q223_gini_concentration",
+      // at-risk / zero-mask / ln-sum windows over the |lifetime-days|-row
+      // curve frame — bounded by the corpus SPAN, never user rows
+      "q230_kaplan_meier")
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",

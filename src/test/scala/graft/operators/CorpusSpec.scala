@@ -311,4 +311,20 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == ((8L, 0.888889, 4L, 9L)))
     assert(out(10L) == ((9L, 1.0, 4L, 9L))) // k > vocab saturates
   }
+
+  test("heapsFit: exact-power-law points recover beta and K; r2 = 1") {
+    import spark.implicits._
+    // build groups whose (N, V) sit EXACTLY on V = N^0.5: group g_m has
+    // m^2 tokens with m distinct words (word j repeated m times)
+    val rows = (2 to 6).map { m =>
+      val text = (0 until m).flatMap(j => Seq.fill(m)(s"w${m}_$j")).mkString(" ")
+      (s"g$m", text)
+    }
+    val out = Corpus.heapsFit(rows.toDF("src", "text"), "src", "text")
+      .collect().head
+    assert(out.getLong(0) == 5L)
+    assert(out.getDouble(1) == 0.5, s"beta ${out.getDouble(1)}")
+    assert(out.getDouble(2) == 1.0, s"K ${out.getDouble(2)}")
+    assert(out.getDouble(3) == 1.0, s"r2 ${out.getDouble(3)}")
+  }
 }

@@ -293,4 +293,42 @@ class EventOpsSpec extends SparkSpec {
     assert(ht == 3L && hh > 0.5 && hcv > 1.0 && hscore > 1.5)
     assert(bscore < hscore, "bot must rank more suspicious than human")
   }
+
+  test("kaplanMeierRetention: hand-computed product-limit curve with censoring") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // corpus end = Jan 20. censorDays = 3 (last event after Jan 17 => censored)
+    // u1: Jan 1 -> Jan 1  (t=0, death)
+    // u2: Jan 1 -> Jan 3  (t=2, death)
+    // u3: Jan 1 -> Jan 3  (t=2, death)
+    // u4: Jan 10 -> Jan 12 (t=2, death)
+    // u5: Jan 16 -> Jan 19 (t=3, censored)
+    // u6: Jan 18 -> Jan 20 (t=2, censored)
+    val ev = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"), (2L, "2024-01-03"),
+      (3L, "2024-01-01"), (3L, "2024-01-03"), (4L, "2024-01-10"),
+      (4L, "2024-01-12"), (5L, "2024-01-16"), (5L, "2024-01-19"),
+      (6L, "2024-01-18"), (6L, "2024-01-20"))
+      .map { case (u, d) => (u, ts(s"$d 12:00:00")) }
+      .toDF("user_id", "ts")
+    val out = EventOps.kaplanMeierRetention(ev, "user_id", "ts", censorDays = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // day 0: at risk 6, 1 death           -> S = 5/6
+    // day 2: at risk 5, 3 deaths, 1 cens  -> S = 5/6 * 2/5 = 1/3
+    // day 3: at risk 1, 0 deaths, 1 cens  -> S unchanged
+    assert(out(0L) == ((6L, 1L, 0L, math.rint(1e6 * 5.0 / 6.0) / 1e6)))
+    assert(out(2L)._1 == 5L && out(2L)._2 == 3L && out(2L)._3 == 1L)
+    assert(math.abs(out(2L)._4 - 1.0 / 3.0) < 1e-5)
+    assert(out(3L) == ((1L, 0L, 1L, out(2L)._4)),
+      "a censored-only day must not move the curve")
+    // terminal all-death day pins survival at exactly 0 (the longest-lived
+    // user dies while a shorter-lived one holds the corpus edge)
+    val dead = Seq((1L, "2024-01-01"), (1L, "2024-01-05"),
+      (2L, "2024-01-08"), (2L, "2024-01-10"))
+      .map { case (u, d) => (u, ts(s"$d 12:00:00")) }.toDF("user_id", "ts")
+    val dOut = EventOps.kaplanMeierRetention(dead, "user_id", "ts",
+        censorDays = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(dOut(4L) == 0.0, "everyone at risk dying must zero the curve")
+  }
 }

@@ -466,4 +466,66 @@ class StatsSpec extends SparkSpec {
       .collect().head.getDouble(2)
     assert(med == 50.0)
   }
+
+  test("cupedAdjustment: perfectly correlated pre kills ~all variance; theta pooled") {
+    import spark.implicits._
+    // post = pre + arm lift, arms share the same pre multiset -> theta = 1
+    // exactly (cov(pre, arm) = 0) and adjusted variance 0 in each arm
+    val units = (for {
+      v <- 0 until 10; arm <- 0 to 1; _ <- 0 until 2
+    } yield (arm.toLong, v * 3.0, v * 3.0 + 5.0 * arm))
+      .toDF("arm", "pre", "post")
+    val out = Stats.cupedAdjustment(units, "arm", "pre", "post")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out(0L)._1 == 20L && out(1L)._1 == 20L)
+    assert(out(0L)._4 == 1.0 && out(1L)._4 == 1.0, "theta must be 1")
+    // the arm LIFT survives adjustment (means differ by exactly 5)
+    assert(math.abs((out(1L)._3 - out(0L)._3) - 5.0) < 1e-9)
+    assert(out(0L)._5 > 0.99 && out(1L)._5 > 0.99,
+      s"variance reduction ~1, got ${out(0L)._5} / ${out(1L)._5}")
+    // uncorrelated pre must NOT reduce variance (theta ~ 0)
+    val noise = (1 to 40).map(i =>
+      (i.toLong % 2, (i % 7).toDouble, (i % 5).toDouble))
+      .toDF("arm", "pre", "post")
+    val nr = Stats.cupedAdjustment(noise, "arm", "pre", "post")
+      .collect().map(_.getDouble(5))
+    assert(nr.forall(_ < 0.2))
+  }
+
+  test("covariateBalance: balanced covariate ~0 SMD, shifted covariate flagged") {
+    import spark.implicits._
+    // balanced: same values in both arms; skewed: arm B shifted far out
+    val df = (1 to 200).map { i =>
+      val b = i % 2 == 0
+      val v = (((i + 1) / 2) % 10).toDouble
+      (b, v, v + (if (b) 20.0 else 0.0))
+    }.toDF("arm", "bal", "skew")
+    val out = Stats.covariateBalance(df, col("arm"), Seq("bal", "skew"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out("bal")._3 == 0.0 && out("bal")._4, "identical arms: SMD 0")
+    assert(math.abs(out("skew")._2 - out("skew")._1 - 20.0) < 1e-9)
+    assert(math.abs(out("skew")._3) > 1.0 && !out("skew")._4)
+  }
+
+  test("welchTTest: zero effect gives |t|<eps; known shift gives the textbook t") {
+    import spark.implicits._
+    // arms share the value multiset (0..9 five times each)
+    val same = (1 to 100).map(i => (i % 2 == 0, (((i + 1) / 2) % 10).toDouble))
+      .toDF("arm", "v")
+    val t0 = Stats.welchTTest(same, col("arm"), "v").collect().head
+    assert(t0.getLong(0) == 50L && t0.getLong(1) == 50L)
+    assert(math.abs(t0.getDouble(4)) < 1e-9)
+    // shift arm B by +1 with per-arm sample var 8.25*50/49 over n=50
+    val shifted = (1 to 100).map(i =>
+      (i % 2 == 0,
+        (((i + 1) / 2) % 10).toDouble + (if (i % 2 == 0) 1.0 else 0.0)))
+      .toDF("arm", "v")
+    val t1 = Stats.welchTTest(shifted, col("arm"), "v").collect().head
+    val expT = 1.0 / math.sqrt(2 * (8.25 * 50 / 49) / 50)
+    assert(math.abs(t1.getDouble(4) - math.rint(expT * 1e4) / 1e4) < 1e-9)
+    assert(t1.getDouble(5) == 98.0, "equal variances: Welch df = n1+n2-2")
+  }
 }
