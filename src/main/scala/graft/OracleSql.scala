@@ -4331,6 +4331,78 @@ object OracleSql {
          |SELECT n_groups, ${rnd("sxy / sxx", 4)} AS beta,
          |  ${rnd("exp(_my - (sxy / sxx) * _mx)", 4)} AS k,
          |  ${rnd("sxy * sxy / (sxx * syy)", 4)} AS r2
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+
+    // split conformal: exact-integer OLS moments on the train split,
+    // (resid, id)-ordered rank selection on calibration, coverage on test
+    "q232_conformal_interval" ->
+      s"""WITH b AS (SELECT doc_id AS id, len($toksExpr)::BIGINT AS x,
+         |    n_chars::BIGINT AS y, ${h32("doc_id::VARCHAR")} % 3 AS split
+         |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+         |    AND text IS NOT NULL),
+         |f AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+         |    sum(x * x)::BIGINT AS sxx FROM b WHERE split = 0),
+         |ab AS (SELECT n AS n_train, b2,
+         |    (sy::DOUBLE - b2 * sx::DOUBLE) / n AS a
+         |  FROM (SELECT *, (n * sxy - sx * sy)::DOUBLE
+         |      / (n * sxx - sx * sx)::DOUBLE AS b2 FROM f)),
+         |r1 AS (SELECT id, abs(y::DOUBLE - (a + b2 * x::DOUBLE)) AS resid
+         |  FROM b CROSS JOIN ab WHERE split = 1),
+         |kf AS (SELECT count(*)::BIGINT AS n_cal,
+         |    least(ceil((count(*) + 1)::DOUBLE * 0.9)::BIGINT,
+         |      count(*)::BIGINT) AS k FROM r1),
+         |q AS (SELECT n_cal, resid AS qhat
+         |  FROM (SELECT resid, row_number() OVER (ORDER BY resid, id)
+         |      AS rn FROM r1) CROSS JOIN kf WHERE rn = k),
+         |t2 AS (SELECT count(*)::BIGINT AS nt,
+         |    sum(CASE WHEN resid <= qhat THEN 1 ELSE 0 END)::BIGINT AS cov,
+         |    max(qhat) AS qhat, max(n_cal)::BIGINT AS n_cal
+         |  FROM (SELECT abs(y::DOUBLE - (a + b2 * x::DOUBLE)) AS resid
+         |    FROM b CROSS JOIN ab WHERE split = 2) CROSS JOIN q)
+         |SELECT ab.n_train, t2.n_cal, t2.nt AS n_test,
+         |  ${rnd("ab.b2", 6)} AS slope, ${rnd("ab.a", 4)} AS intercept,
+         |  ${rnd("t2.qhat", 4)} AS qhat,
+         |  ${rnd("t2.cov::DOUBLE / t2.nt", 4)} AS coverage,
+         |  0.9 AS target
+         |FROM t2 CROSS JOIN ab""".stripMargin,
+
+    // SCD2 temporal join: q16's merge shape with in-range dates, each
+    // order matched to the version whose [eff, expiry) window holds its
+    // order date
+    "q233_scd2_temporal_join" ->
+      s"""WITH target AS (
+         |  SELECT c_custkey, c_acctbal, true AS current_flag,
+         |    DATE '1995-01-01' AS eff_date, CAST(NULL AS DATE) AS expiry_date
+         |  FROM customer),
+         |updates AS (
+         |  SELECT c_custkey, ${rnd("c_acctbal + 100", 2)} AS c_acctbal,
+         |    DATE '1998-06-01' AS eff_date
+         |  FROM customer WHERE c_custkey % 3 = 0),
+         |rows_to_insert AS (
+         |  SELECT u.* FROM updates u JOIN target t
+         |    ON t.c_custkey = u.c_custkey
+         |  WHERE t.current_flag = true AND t.c_acctbal <> u.c_acctbal),
+         |dim AS (
+         |  SELECT t.c_custkey,
+         |    CASE WHEN u.c_custkey IS NOT NULL AND t.current_flag = true
+         |        AND t.c_acctbal <> u.c_acctbal
+         |      THEN false ELSE t.current_flag END AS current_flag,
+         |    t.eff_date,
+         |    CASE WHEN u.c_custkey IS NOT NULL AND t.current_flag = true
+         |        AND t.c_acctbal <> u.c_acctbal
+         |      THEN u.eff_date ELSE t.expiry_date END AS expiry_date
+         |  FROM target t LEFT JOIN updates u ON t.c_custkey = u.c_custkey
+         |  UNION ALL
+         |  SELECT c_custkey, true AS current_flag, eff_date,
+         |    CAST(NULL AS DATE) AS expiry_date FROM rows_to_insert),
+         |j AS (SELECT d.eff_date, d.current_flag, o.o_totalprice
+         |  FROM orders o LEFT JOIN dim d ON d.c_custkey = o.o_custkey
+         |    AND d.eff_date <= o.o_orderdate::DATE
+         |    AND (d.expiry_date IS NULL
+         |      OR d.expiry_date > o.o_orderdate::DATE))
+         |SELECT eff_date, current_flag, count(*)::BIGINT AS n_orders,
+         |  ${rnd("sum(o_totalprice)", 2)} AS revenue
+         |FROM j GROUP BY 1, 2""".stripMargin
   )
 }

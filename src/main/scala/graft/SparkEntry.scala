@@ -2524,6 +2524,53 @@ object SparkEntry {
     graft.operators.Corpus.heapsFit(TW(s, dir, "documents"), "source",
       "text")
 
+  /** Split-conformal interval for predicting n_chars from the token count
+    * (hash-mod-3 train/calibrate/test splits, alpha = 0.1): exact-integer
+    * OLS moments, range-partitioned rank selection for q-hat, realized
+    * coverage vs the 0.9 target. */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    val base = TW(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.operators.Dedup.tokens(col("text"))).as("n_tok"),
+        col("n_chars"))
+    graft.operators.Stats.conformalInterval(base, "doc_id", "n_tok",
+      "n_chars", alpha = 0.1)
+  }
+
+  /** SCD2 temporal join: orders pick the customer-dimension VERSION valid
+    * on their own order date (dim built like q16 but with in-range dates:
+    * v1 eff 1995-01-01, changes eff 1998-06-01). Output: revenue and
+    * order counts per (eff_date, current_flag) version cohort. */
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val target = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      lit(true).as("current_flag"),
+      to_date(lit("1995-01-01")).as("eff_date"),
+      lit(null).cast("date").as("expiry_date"))
+    val changed = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") + 100, 2).as("c_acctbal"),
+        to_date(lit("1998-06-01")).as("eff_date"))
+    val dim = Scd.scd2Apply(target, changed, Seq("c_custkey"),
+      matchCondition = "target.current_flag = true AND target.c_acctbal <> updates.c_acctbal",
+      updateMap = Map(
+        "current_flag" -> "false",
+        "expiry_date" -> "updates.eff_date"),
+      insertMap = Map(
+        "c_custkey" -> "updates.c_custkey",
+        "c_name" -> "updates.c_name",
+        "c_acctbal" -> "updates.c_acctbal",
+        "current_flag" -> "true",
+        "eff_date" -> "updates.eff_date",
+        "expiry_date" -> "cast(null as date)"))
+    val facts = T(s, dir, "orders").select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
+    Scd.scd2TemporalJoin(facts, dim, "o_custkey", "c_custkey", "o_date")
+      .groupBy(col("eff_date"), col("current_flag"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2757,7 +2804,9 @@ object SparkEntry {
     "q228_covariate_balance" -> (q228 _),
     "q229_welch_t" -> (q229 _),
     "q230_kaplan_meier" -> (q230 _),
-    "q231_heaps_fit" -> (q231 _)
+    "q231_heaps_fit" -> (q231 _),
+    "q232_conformal_interval" -> (q232 _),
+    "q233_scd2_temporal_join" -> (q233 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -138,6 +138,32 @@ object Scd {
       notMatched = Seq(WhenNotMatched(None, InsertExpr(insertMap))))
   }
 
+  /** Temporal (point-in-time) join of a fact table against an SCD2
+    * dimension: each fact row picks the dimension VERSION that was valid
+    * on its own date — `eff ≤ factDate < expiry` (open expiry = NULL), the
+    * half-open convention under which exactly one version matches any
+    * date (a version expiring on D hands D to its successor). This is the
+    * read side of [[scd2Apply]]/[[writeScd2]]: history exists so facts can
+    * be joined to the dimension AS IT WAS, not as it is.
+    *
+    * Plan shape: a plain hash equi-join on the business key with the
+    * validity window as a post-join residual filter — never a range/theta
+    * join, because the SCD2 invariant (non-overlapping versions per key)
+    * guarantees at most `versions-per-key` candidates per fact, a small
+    * constant in any real dimension. Left join keeps orphan facts (their
+    * dimension columns come back NULL — the audit signal, same stance as
+    * [[graft.operators.DataQuality.referentialIntegrity]]). */
+  def scd2TemporalJoin(facts: DataFrame, dim: DataFrame,
+                       factKey: String, dimKey: String, factDateCol: String,
+                       effCol: String = "eff_date",
+                       expCol: String = "expiry_date"): DataFrame =
+    facts.alias("f").join(dim.alias("d"),
+      col(s"f.$factKey") === col(s"d.$dimKey") &&
+        col(s"d.$effCol") <= col(s"f.$factDateCol") &&
+        (col(s"d.$expCol").isNull ||
+          col(s"d.$expCol") > col(s"f.$factDateCol")),
+      "left")
+
   def writeScd2(table: ParquetTable, updates: DataFrame, keySpecs: Seq[String],
                 matchCondition: String,
                 updateMap: Map[String, String],

@@ -780,6 +780,74 @@ object Stats {
       .drop("__m")
   }
 
+  /** Split-conformal prediction interval with a coverage audit: fit a
+    * simple regression on the TRAIN split, take the
+    * `⌈(n+1)(1−α)⌉`-th smallest absolute residual on the CALIBRATION
+    * split as the interval half-width q̂, and measure realized coverage on
+    * the held-out TEST split — the distribution-free guarantee
+    * (coverage ≥ 1−α regardless of the model being right) that makes
+    * conformal the honest way to ship uncertainty with a prediction.
+    * A calibrated pipeline reads `coverage ≈ target`; a drifted one shows
+    * the gap directly.
+    *
+    * Splits are portable-hash-mod-3 of the id (deterministic, replayable).
+    * `xCol`/`yCol` are cast to long (integer-metric contract), so the OLS
+    * moments are EXACT integers and slope/intercept/residuals replay
+    * bit-for-bit externally. The rank selection rides [[globalRank]]
+    * (range-partitioned — no single-partition sort of the calibration
+    * set); everything else is moment aggregates and 1-row control frames.
+    * Output is ONE row: split sizes, fit, q̂, realized coverage, target. */
+  def conformalInterval(df: DataFrame, idCol: String, xCol: String,
+                        yCol: String, alpha: Double = 0.1,
+                        nRanges: Int = 64): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0, 1)")
+    val base = df.filter(col(idCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(idCol).as("id"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"),
+        pmod(graft.functions.Hashes.portableHash32(
+          col(idCol).cast("string")), lit(3L)).as("split"))
+      .localCheckpoint() // three splits, three reads
+    val fit = base.filter(col("split") === 0)
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").cast("long").as("n_train"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("b"), col("sx"), col("sy"))
+      .select(col("n_train"), col("b"),
+        ((col("sy").cast("double") - col("b") * col("sx").cast("double")) /
+          col("n_train")).as("a"))
+    def resid(split: Int): DataFrame = base.filter(col("split") === split)
+      .crossJoin(broadcast(fit))
+      .select(col("id"), col("n_train"), col("a"), col("b"),
+        abs(col("y").cast("double") -
+          (col("a") + col("b") * col("x").cast("double"))).as("resid"))
+    val cal = resid(1).localCheckpoint() // feeds the size frame AND the rank
+    val kF = cal.agg(count(lit(1)).as("nc"))
+      .select(col("nc").cast("long").as("n_cal"),
+        least(ceil((col("nc") + lit(1)).cast("double") * lit(1.0 - alpha))
+          .cast("long"), col("nc")).as("k"))
+    val qhat = globalRank(cal.select(col("id"), col("resid")),
+        "resid", "id", nRanges)
+      .crossJoin(broadcast(kF))
+      .filter(col("global_rank") === col("k"))
+      .select(col("n_cal"), col("resid").as("qhat"))
+    val test = resid(2).crossJoin(broadcast(qhat))
+      .groupBy(lit(1).as("__g"))
+      .agg(count(lit(1)).as("nt"), max(col("n_train")).as("n_train"),
+        max(col("a")).as("a"), max(col("b")).as("b"),
+        max(col("n_cal")).as("n_cal"), max(col("qhat")).as("qhat"),
+        sum(when(col("resid") <= col("qhat"), 1L).otherwise(0L)).as("cov"))
+    test.select(col("n_train"), col("n_cal"),
+      col("nt").cast("long").as("n_test"),
+      round(col("b"), 6).as("slope"), round(col("a"), 4).as("intercept"),
+      round(col("qhat"), 4).as("qhat"),
+      round(col("cov").cast("double") / col("nt"), 4).as("coverage"),
+      lit(1.0 - alpha).as("target"))
+  }
+
   /** Gini concentration of an integer-valued measure across groups — the
     * one-number "how skewed is this corpus toward a few sources?" audit
     * (0 = perfectly even, →1 = one group holds everything). Corpus-mix

@@ -154,6 +154,7 @@ class PlanSpec extends SparkSpec {
       "q215_reciprocal_margin", // bounded broadcast ANN query sets, both directions
       "q221_kmv_overlap", // |groups|-row sketch-table self-join on g_a < g_b
       "q227_cuped", // 1-row pooled-theta control frame cross-joined
+      "q232_conformal_interval", // 1-row fit/k/qhat control frames cross-joined
       "q231_heaps_fit", // 1-row log-means frame x |sources|-row points frame
       "q230_kaplan_meier") // 1-row corpus-end frame cross-joined
     // write-path/iterative queries execute real work at construction time;

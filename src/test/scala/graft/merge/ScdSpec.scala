@@ -91,4 +91,30 @@ class ScdSpec extends SparkSpec {
     assert(curT.read.select("v").as[String].collect().toSet == Set("a2"))
     assert(histT.read.count() == 1) // first version snapshotted
   }
+
+  test("scd2TemporalJoin: each fact picks exactly its own-date version; boundary goes to the successor") {
+    def d(s: String) = Date.valueOf(s)
+    // key 1: v1 [2020-01-01, 2021-01-01), v2 [2021-01-01, null)
+    // key 2: one open version. key 3 absent from the dimension.
+    val dim = Seq(
+      (1L, "v1", d("2020-01-01"), Option(d("2021-01-01"))),
+      (1L, "v2", d("2021-01-01"), Option.empty[Date]),
+      (2L, "only", d("2020-06-01"), Option.empty[Date])
+    ).toDF("k", "ver", "eff_date", "expiry_date")
+    val facts = Seq(
+      (10L, 1L, d("2020-05-05")), // inside v1
+      (11L, 1L, d("2021-01-01")), // BOUNDARY: successor's day
+      (12L, 1L, d("2023-01-01")), // open v2
+      (13L, 1L, d("2019-12-31")), // before any version
+      (14L, 2L, d("2020-07-01")), // single-version key
+      (15L, 3L, d("2020-07-01"))  // orphan key
+    ).toDF("fid", "k", "fdate")
+    val out = Scd.scd2TemporalJoin(facts, dim, "k", "k", "fdate")
+      .select(col("fid"), col("ver"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out == Map(10L -> "v1", 11L -> "v2", 12L -> "v2",
+      13L -> null, 14L -> "only", 15L -> null))
+    assert(out.size == facts.count(), "at most one version per fact")
+  }
 }

@@ -434,6 +434,28 @@ class StatsSpec extends SparkSpec {
     assert(clamp.forall(_ <= 1.0))
   }
 
+  test("conformalInterval: exact linear data -> qhat 0, full coverage; alpha monotone") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, i.toLong, 2L * i))
+      .toDF("id", "x", "y")
+    val r = Stats.conformalInterval(df, "id", "x", "y", alpha = 0.1)
+      .collect().head
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) == 300,
+      "three splits partition the input")
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 0.0, "exact fit")
+    assert(r.getDouble(5) == 0.0, "zero residuals -> zero half-width")
+    assert(r.getDouble(6) == 1.0 && r.getDouble(7) == 0.9)
+    // noise: a tighter alpha can only widen the interval
+    val noisy = (1 to 300).map(i => (i.toLong, i.toLong, 2L * i + (i % 7)))
+      .toDF("id", "x", "y")
+    val q01 = Stats.conformalInterval(noisy, "id", "x", "y", alpha = 0.1)
+      .collect().head
+    val q05 = Stats.conformalInterval(noisy, "id", "x", "y", alpha = 0.5)
+      .collect().head
+    assert(q01.getDouble(5) >= q05.getDouble(5))
+    assert(q01.getDouble(6) >= 0.8, s"90% interval badly undercovers: $q01")
+  }
+
   test("giniConcentration: 0 for even mass, known value for skew, ~1 for monopoly") {
     import spark.implicits._
     def gini(ws: Seq[Long]): (Long, Long, Double, Double) = {
