@@ -4403,6 +4403,49 @@ object OracleSql {
          |      OR d.expiry_date > o.o_orderdate::DATE))
          |SELECT eff_date, current_flag, count(*)::BIGINT AS n_orders,
          |  ${rnd("sum(o_totalprice)", 2)} AS revenue
-         |FROM j GROUP BY 1, 2""".stripMargin
+         |FROM j GROUP BY 1, 2""".stripMargin,
+
+    // two-stage sign-bit retrieval: Hamming shortlist-50 (q142's packing),
+    // exact-cosine rerank to 10, recall vs the exact top-10 next to the
+    // one-stage Hamming recall
+    "q234_hamming_rerank" -> {
+      def pack(e: String): String =
+        s"(CASE WHEN $e[64] >= 0 THEN (-9223372036854775808)::BIGINT ELSE 0::BIGINT END" +
+          s" + list_sum(list_transform(range(0, 63), i -> CASE WHEN $e[i + 1] >= 0" +
+          s" THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT)"
+      s"""WITH packed AS (SELECT vec_id, embedding, ${pack("embedding")} AS w
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, w AS qw
+         |  FROM packed WHERE vec_id < 8),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("e.embedding", "q.qv")} DESC,
+         |          e.vec_id ASC) AS rank
+         |    FROM q CROSS JOIN embeddings e) WHERE rank <= 10),
+         |hranked AS (SELECT q.query_id, p.vec_id AS neighbor_id,
+         |    p.embedding, q.qv,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY bit_count(xor(p.w, q.qw)) ASC, p.vec_id ASC)
+         |      AS hrank
+         |  FROM packed p CROSS JOIN q),
+         |onestage AS (SELECT query_id, neighbor_id FROM hranked
+         |  WHERE hrank <= 10),
+         |rerank AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${cosineSql("embedding", "qv")} DESC,
+         |          neighbor_id ASC) AS rank
+         |    FROM hranked WHERE hrank <= 50) WHERE rank <= 10)
+         |SELECT ex.query_id,
+         |  ${rnd("count(rr.neighbor_id)::DOUBLE / 10.0", 4)} AS recall_rerank,
+         |  ${rnd("count(os.neighbor_id)::DOUBLE / 10.0", 4)} AS recall_hamming
+         |FROM exact ex
+         |LEFT JOIN rerank rr ON ex.query_id = rr.query_id
+         |  AND ex.neighbor_id = rr.neighbor_id
+         |LEFT JOIN onestage os ON ex.query_id = os.query_id
+         |  AND ex.neighbor_id = os.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin
+    }
   )
 }

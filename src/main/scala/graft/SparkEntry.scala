@@ -2571,6 +2571,25 @@ object SparkEntry {
         round(sum(col("o_totalprice")), 2).as("revenue"))
   }
 
+  /** Two-stage sign-bit retrieval: Hamming shortlist (50) -> exact cosine
+    * rerank (10), measured as recall@10 against the exact top-k NEXT TO
+    * the one-stage Hamming recall — the rerank's recovery, per query. */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val Sim = graft.operators.Similarity
+    val emb = T(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Sim.bruteForceTopK(emb, qs, k = 10).localCheckpoint()
+    val rerank = Sim.hammingRerankTopK(emb, qs, k = 10, nShortlist = 50,
+      dim = 64)
+    val oneStage = Sim.hammingTopK(emb, qs, k = 10, dim = 64)
+    Sim.recallAtK(exact, rerank, k = 10)
+      .select(col("query_id"), col("recall").as("recall_rerank"))
+      .join(Sim.recallAtK(exact, oneStage, k = 10)
+        .select(col("query_id"), col("recall").as("recall_hamming")),
+        Seq("query_id"))
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2806,7 +2825,8 @@ object SparkEntry {
     "q230_kaplan_meier" -> (q230 _),
     "q231_heaps_fit" -> (q231 _),
     "q232_conformal_interval" -> (q232 _),
-    "q233_scd2_temporal_join" -> (q233 _)
+    "q233_scd2_temporal_join" -> (q233 _),
+    "q234_hamming_rerank" -> (q234 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

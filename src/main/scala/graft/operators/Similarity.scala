@@ -922,6 +922,46 @@ object Similarity {
         col("col.d").as("hamming"), (col("pos") + 1).as("rank"))
   }
 
+  /** Two-stage binary-quantized retrieval — the production shape for
+    * sign-bit indexes: a cheap Hamming shortlist of `nShortlist`
+    * candidates per query (64× smaller reads than float vectors, XOR+
+    * popcount per comparison), then an EXACT cosine rerank of only the
+    * shortlist. One-stage Hamming ([[hammingTopK]]) keeps the quantization
+    * error in the final ranking; reranking pays full-precision cost on
+    * `queries × nShortlist` rows — control-plane sized — and recovers
+    * almost all of it. Feed [[recallAtK]] both this and the one-stage
+    * list against the exact top-k to MEASURE the recovery before
+    * adopting (the PQ/int8/Matryoshka decide-from-numbers harness).
+    *
+    * Plan shape: stage 1 is hammingTopK's bounded map-side TopKAgg scan;
+    * stage 2 joins the shortlist (small side, broadcast by construction)
+    * back to the corpus for vectors and merges through the same bounded
+    * TopKAgg — the full corpus is never cosine-scored and never ranked
+    * by a window. `nShortlist ≥ k`; ties break on neighbor id both
+    * stages. */
+  def hammingRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        nShortlist: Int, dim: Int,
+                        corpusId: String = "vec_id",
+                        corpusVec: String = "embedding",
+                        queryId: String = "query_id",
+                        queryVec: String = "embedding"): DataFrame = {
+    require(nShortlist >= k, "nShortlist >= k")
+    VectorFunctions.register(corpus.sparkSession)
+    TopKAgg.register(corpus.sparkSession)
+    val short = hammingTopK(corpus, queries, nShortlist, dim,
+        corpusId, corpusVec, queryId, queryVec)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = short
+      .join(corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).as("cv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qv"))), Seq("query_id"))
+      .select(col("query_id"), struct(
+        negate(VectorFunctions.cosine(col("cv"), col("qv"))).as("negcos"),
+        col("neighbor_id").as("nid")).as("s"))
+    topKMerge(scored, k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval lists —
     * here cosine similarity and squared-L2 distance, which disagree exactly
     * when corpus norms vary. Each signal first produces a bounded

@@ -151,6 +151,7 @@ class PlanSpec extends SparkSpec {
       "q209_chi2_independence", // 1-row dims + 1-row chi2-sum control frames
       "q210_drift_fdr", // q175's 1-row min-max frame + densify cross
       "q213_truncated_recall", // bounded broadcast ANN query sets
+      "q234_hamming_rerank", // bounded broadcast ANN query sets, both stages
       "q215_reciprocal_margin", // bounded broadcast ANN query sets, both directions
       "q221_kmv_overlap", // |groups|-row sketch-table self-join on g_a < g_b
       "q227_cuped", // 1-row pooled-theta control frame cross-joined

@@ -587,4 +587,32 @@ class SimilaritySpec extends SparkSpec {
     // margin > 1: the matched cosine beats the mean of each side's 2-NN
     assert(out.values.forall(_ > 1.0))
   }
+
+  test("hammingRerankTopK: full shortlist recovers the exact ranking sign bits can't see") {
+    graft.functions.VectorFunctions.register(spark)
+    // ALL-POSITIVE vectors: identical sign patterns, so one-stage Hamming
+    // is blind (every distance 0, ranks collapse to id order) while the
+    // exact rerank separates them by true cosine — the pathological case
+    // the two-stage design exists for
+    val docs = (0 until 20).map { j =>
+      val v = Array.fill(64)(0.1f); v(j) = 1.0f; (j.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val qs = docs.filter($"vec_id" === 7L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(docs, qs, 3)
+      .collect().map(r => (r.getInt(3), r.getLong(1))).toMap
+    assert(exact(1) == 7L, "self first")
+    val rerank = Similarity.hammingRerankTopK(docs, qs, k = 3,
+        nShortlist = 20, dim = 64)
+      .collect().map(r => (r.getInt(3), r.getLong(1))).toMap
+    assert(rerank == exact, "full shortlist + exact rerank = brute force")
+    val oneStage = Similarity.hammingTopK(docs, qs, k = 3, dim = 64)
+      .collect().map(r => (r.getInt(3), r.getLong(1))).toMap
+    assert(oneStage(1) == 0L && oneStage(2) == 1L,
+      "sign-blind one-stage collapses to id order — the gap rerank closes")
+    // a shortlist SMALLER than the corpus still returns exactly k rows
+    val narrow = Similarity.hammingRerankTopK(docs, qs, k = 3,
+      nShortlist = 5, dim = 64).collect()
+    assert(narrow.length == 3)
+  }
 }
