@@ -4446,6 +4446,68 @@ object OracleSql {
          |LEFT JOIN onestage os ON ex.query_id = os.query_id
          |  AND ex.neighbor_id = os.neighbor_id
          |GROUP BY ex.query_id""".stripMargin
+    },
+
+    // Fellegi-Sunter EM, 5 unrolled iterations over the <= 8-row pattern
+    // frame; every fold is an ascending-pattern list_sum and every product
+    // is left-associated, replaying the driver's arithmetic exactly;
+    // clamps mirror min(1-1e-9, max(1e-9, x))
+    "q235_fellegi_sunter" -> {
+      def fld(j: Int, v: String): String =
+        s"(CASE WHEN (pattern >> $j) & 1 = 1 THEN $v ELSE 1.0 - $v END)"
+      def cl(x: String): String =
+        s"least(1.0 - 1e-9, greatest(1e-9, $x))"
+      def bitSum(j: Int, w: String): String =
+        s"list_sum(list(CASE WHEN (pattern >> $j) & 1 = 1 THEN n::DOUBLE * ($w) ELSE 0.0 END ORDER BY pattern))"
+      val wExpr = "(pm / (pm + pu))"
+      val iterCtes = (1 to 5).map { t =>
+        val g = s"g${t - 1}"
+        val ms = (1 to 3).map(j =>
+          s"${bitSum(j - 1, wExpr)} AS a$j").mkString(",\n         |    ")
+        val us = (1 to 3).map(j =>
+          s"${bitSum(j - 1, s"1.0 - $wExpr")} AS b$j").mkString(",\n         |    ")
+        s"""w$t AS (SELECT c.pattern, c.n,
+           |    (($g.p * ${fld(0, s"$g.m1")}) * ${fld(1, s"$g.m2")}) * ${fld(2, s"$g.m3")} AS pm,
+           |    (((1.0 - $g.p) * ${fld(0, s"$g.u1")}) * ${fld(1, s"$g.u2")}) * ${fld(2, s"$g.u3")} AS pu
+           |  FROM cnt c CROSS JOIN $g),
+           |s$t AS (SELECT
+           |    list_sum(list(n::DOUBLE ORDER BY pattern)) AS totn,
+           |    list_sum(list(n::DOUBLE * $wExpr ORDER BY pattern)) AS sw,
+           |    list_sum(list(n::DOUBLE * (1.0 - $wExpr) ORDER BY pattern)) AS suw,
+           |    $ms,
+           |    $us
+           |  FROM w$t),
+           |g$t AS (SELECT ${cl("sw / totn")} AS p,
+           |    ${cl("a1 / sw")} AS m1, ${cl("a2 / sw")} AS m2, ${cl("a3 / sw")} AS m3,
+           |    ${cl("b1 / suw")} AS u1, ${cl("b2 / suw")} AS u2, ${cl("b3 / suw")} AS u3
+           |  FROM s$t)"""
+      }.mkString(",\n")
+      def outRow(name: String, j: Int): String =
+        s"""SELECT '$name' AS field, ${rnd(s"m$j", 6)} AS m,
+           |  ${rnd(s"u$j", 6)} AS u,
+           |  ${rnd(s"ln(m$j / u$j) / ln(2.0)", 4)} AS w_agree,
+           |  ${rnd(s"ln((1.0 - m$j) / (1.0 - u$j)) / ln(2.0)", 4)} AS w_disagree,
+           |  ${rnd("p", 6)} AS match_prior FROM g5"""
+      s"""WITH canon AS (SELECT p_name AS name, min(p_partkey) AS id
+         |  FROM part GROUP BY 1),
+         |cp AS (SELECT c.id, c.name, string_split(c.name, ' ')[-1] AS blk,
+         |    p.p_brand AS brand, p.p_size AS sz
+         |  FROM canon c JOIN part p ON p.p_partkey = c.id),
+         |cnt AS (SELECT pattern, count(*)::BIGINT AS n FROM (
+         |    SELECT (CASE WHEN jaro_winkler_similarity(a.name, b.name) >= 0.85 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN a.brand = b.brand THEN 2 ELSE 0 END)
+         |      + (CASE WHEN a.sz = b.sz THEN 4 ELSE 0 END) AS pattern
+         |    FROM cp a JOIN cp b ON a.blk = b.blk AND a.id < b.id)
+         |  GROUP BY 1),
+         |g0 AS (SELECT 0.1::DOUBLE AS p, 0.9::DOUBLE AS m1, 0.9::DOUBLE AS m2,
+         |    0.9::DOUBLE AS m3, 0.1::DOUBLE AS u1, 0.1::DOUBLE AS u2,
+         |    0.1::DOUBLE AS u3),
+         |$iterCtes
+         |${outRow("name_sim", 1)}
+         |UNION ALL
+         |${outRow("brand_eq", 2)}
+         |UNION ALL
+         |${outRow("size_eq", 3)}""".stripMargin
     }
   )
 }

@@ -2590,6 +2590,30 @@ object SparkEntry {
         Seq("query_id"))
   }
 
+  /** Fellegi-Sunter EM over the q191 linkage blocks: per comparison field
+    * (name Jaro-Winkler >= 0.85, brand equal, size equal), the learned
+    * m/u probabilities and log2 agree/disagree weights + match prior —
+    * the data-chosen replacement for ad-hoc distance thresholds. */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val part = T(s, dir, "part")
+    val canon = part.groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("id"))
+      .withColumn("blk", element_at(split(col("name"), " "), -1))
+    val full = canon.join(part.select(col("p_partkey").as("id"),
+      col("p_brand").as("brand"), col("p_size").as("sz")), "id")
+    val a = full.select(col("id").as("id_a"), col("name").as("name_a"),
+      col("brand").as("brand_a"), col("sz").as("sz_a"), col("blk"))
+    val b = full.select(col("id").as("id_b"), col("name").as("name_b"),
+      col("brand").as("brand_b"), col("sz").as("sz_b"), col("blk"))
+    val pairs = a.join(b, "blk").filter(col("id_a") < col("id_b"))
+      .withColumn("jw", graft.functions.StringSimilarity.jaroWinkler(
+        s, col("name_a"), col("name_b")))
+    Dedup.fellegiSunterWeights(pairs, Seq(
+      "name_sim" -> (col("jw") >= 0.85),
+      "brand_eq" -> (col("brand_a") === col("brand_b")),
+      "size_eq" -> (col("sz_a") === col("sz_b"))), iters = 5)
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2826,7 +2850,8 @@ object SparkEntry {
     "q231_heaps_fit" -> (q231 _),
     "q232_conformal_interval" -> (q232 _),
     "q233_scd2_temporal_join" -> (q233 _),
-    "q234_hamming_rerank" -> (q234 _)
+    "q234_hamming_rerank" -> (q234 _),
+    "q235_fellegi_sunter" -> (q235 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

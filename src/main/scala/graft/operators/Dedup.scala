@@ -1521,4 +1521,72 @@ object Dedup {
       .select(Seq(col("component_id"), col("n_members"),
         col("canonical_id")) ++ out: _*)
   }
+
+  /** Fellegi–Sunter match/unmatch weight estimation by EM over UNLABELED
+    * candidate pairs — the classical statistical core of probabilistic
+    * record linkage (Fellegi & Sunter 1969; the Splink/industry-standard
+    * parameter-estimation step). Given candidate pairs and `k` binary
+    * comparison fields, the latent two-class model learns, per field, the
+    * agreement probability among true matches (m) and among non-matches
+    * (u); a pair's linkage score is then Σ log₂(m/u) over agreeing fields
+    * + Σ log₂((1−m)/(1−u)) over disagreeing ones — which is exactly what
+    * this returns per field, plus the estimated match prior. The ad-hoc
+    * thresholds the distance matchers ([[recordLinkagePairs]],
+    * [[damerauPairs]]) need are replaced by weights the DATA chose.
+    *
+    * Scale contract: one pass collapses the pairs to ≤ 2^k pattern
+    * counts (k ≤ 10 enforced) — EM then runs DRIVER-SIDE on that bounded
+    * frame (the [[graft.operators.Sampling.neymanAllocation]]
+    * control-plane-collect contract) with ascending-pattern fold order,
+    * so an external engine replays every double exactly (the oracle
+    * unrolls the same fixed `iters`). Null field values count as
+    * DISAGREEMENT (a comparison that cannot agree did not agree).
+    * Probabilities are clamped to [1e-9, 1−1e-9] each step so the log
+    * weights stay finite on degenerate fields. */
+  def fellegiSunterWeights(pairs: DataFrame, fields: Seq[(String, Column)],
+                           iters: Int = 5): DataFrame = {
+    val k = fields.size
+    require(k >= 1 && k <= 10, "1 to 10 comparison fields")
+    require(iters >= 1 && iters <= 20, "iters in [1, 20]")
+    val pat = fields.zipWithIndex.map { case ((_, c), j) =>
+      when(coalesce(c, lit(false)), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val counts = pairs.select(pat.as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty, "no candidate pairs")
+    def clamp(x: Double): Double = math.min(1.0 - 1e-9, math.max(1e-9, x))
+    var p = 0.1
+    var m = Array.fill(k)(0.9)
+    var u = Array.fill(k)(0.1)
+    for (_ <- 1 to iters) {
+      val w = counts.map { case (g, n) =>
+        val pm = (0 until k).foldLeft(p)((acc, j) =>
+          acc * (if (((g >> j) & 1L) == 1L) m(j) else 1.0 - m(j)))
+        val pu = (0 until k).foldLeft(1.0 - p)((acc, j) =>
+          acc * (if (((g >> j) & 1L) == 1L) u(j) else 1.0 - u(j)))
+        (g, n, pm / (pm + pu))
+      }
+      val totN = counts.foldLeft(0.0)((acc, t) => acc + t._2)
+      val sumW = w.foldLeft(0.0)((acc, t) => acc + t._2 * t._3)
+      val sumUW = w.foldLeft(0.0)((acc, t) => acc + t._2 * (1.0 - t._3))
+      p = clamp(sumW / totN)
+      m = Array.tabulate(k)(j => clamp(w.foldLeft(0.0)((acc, t) =>
+        acc + (if (((t._1 >> j) & 1L) == 1L) t._2 * t._3 else 0.0)) / sumW))
+      u = Array.tabulate(k)(j => clamp(w.foldLeft(0.0)((acc, t) =>
+        acc + (if (((t._1 >> j) & 1L) == 1L) t._2 * (1.0 - t._3) else 0.0)) / sumUW))
+    }
+    val ln2 = math.log(2.0)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    fields.zipWithIndex.map { case ((name, _), j) =>
+      (name, m(j), u(j), math.log(m(j) / u(j)) / ln2,
+        math.log((1.0 - m(j)) / (1.0 - u(j))) / ln2, p)
+    }.toDF("field", "__m", "__u", "__wa", "__wd", "__p")
+      .select(col("field"), round(col("__m"), 6).as("m"),
+        round(col("__u"), 6).as("u"),
+        round(col("__wa"), 4).as("w_agree"),
+        round(col("__wd"), 4).as("w_disagree"),
+        round(col("__p"), 6).as("match_prior"))
+  }
 }

@@ -693,4 +693,30 @@ class DedupSpec extends SparkSpec {
     // k2: blocks x=2, y=3 -> pairs 1+3=4; one null key
     assert(out("by_k2") == ((6L, 1L, 2L, 3L, 4L)))
   }
+
+  test("fellegiSunterWeights: planted match structure recovers m >> u; nulls disagree") {
+    import spark.implicits._
+    // 60 "match" pairs: both fields agree 90%/80% of the time;
+    // 940 "non-match" pairs: agree 10%/5% — EM must find m1~0.9, u1~0.1
+    val pairs = ((0 until 60).map(i =>
+      (i % 10 != 9, i % 5 != 4)) ++ // matches: 90% / 80% agreement
+      (0 until 940).map(i =>
+        (i % 10 == 0, i % 20 == 0))) // non-matches: 10% / 5%
+      .toDF("f1", "f2")
+    val out = Dedup.fellegiSunterWeights(pairs,
+        Seq("f1" -> col("f1"), "f2" -> col("f2")), iters = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (m1, u1, wa1) = out("f1")
+    val (m2, u2, _) = out("f2")
+    assert(m1 > 0.7 && u1 < 0.2, s"f1 m/u not separated: $m1 / $u1")
+    assert(m2 > 0.6 && u2 < 0.1, s"f2 m/u not separated: $m2 / $u2")
+    assert(wa1 > 2.0, "agreement on a discriminating field earns log-odds")
+    // a null comparison counts as disagreement, not a crash
+    val withNull = Seq((Some(true), true), (None, false), (Some(false), true))
+      .toDF("f1", "f2")
+    val n = Dedup.fellegiSunterWeights(withNull,
+      Seq("f1" -> col("f1"), "f2" -> col("f2")), iters = 2).collect()
+    assert(n.length == 2 && n.forall(r => !r.getDouble(1).isNaN))
+  }
 }
