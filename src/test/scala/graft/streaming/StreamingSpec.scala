@@ -339,6 +339,58 @@ class StreamingSpec extends SparkSpec {
     assert(table.latestVersion == tv && index.latestVersion == iv)
   }
 
+  test("stream-static SCD2 temporal enrichment: each fact gets its own-date version; replay no-op") {
+    import java.sql.Date
+    val inDir = tmpDir("tj_in")
+    val ckpt = tmpDir("tj_ckpt")
+    val out = new ParquetTable(spark, tmpDir("tj_out"))
+    // static SCD2 dimension: key 1 has two versions, key 2 one open version
+    val dim = Seq(
+      (1L, "v1", Date.valueOf("2020-01-01"), Option(Date.valueOf("2021-01-01"))),
+      (1L, "v2", Date.valueOf("2021-01-01"), Option.empty[Date]),
+      (2L, "only", Date.valueOf("2020-06-01"), Option.empty[Date])
+    ).toDF("k", "ver", "eff_date", "expiry_date")
+    val factSchema = StructType(Seq(StructField("fid", LongType),
+      StructField("k", LongType), StructField("fdate", DateType)))
+    def fact(fid: Long, k: Long, d: String): String =
+      s"""{"fid":$fid,"k":$k,"fdate":"$d"}"""
+    writeEnvelopes(inDir, "f1.json", Seq(
+      fact(10, 1, "2020-05-05"), fact(11, 1, "2021-03-01")))
+    val cfg = WriteStreamConfig(checkpointLocation = ckpt,
+      triggerMode = "AvailableNow")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(factSchema).json(inDir)
+      val q = StreamSink.startForeachBatch(stream, cfg, (batch, batchId) =>
+        out.withLock {
+          if (!out.seenTxn("tj", batchId)) {
+            val enriched = graft.merge.Scd
+              .scd2TemporalJoin(batch, dim, "k", "k", "fdate")
+              .select(col("fid"), col("ver")).localCheckpoint()
+            out.append(enriched, txn = Some(("tj", batchId)))
+          }
+        })
+      q.awaitTermination()
+    }
+    runOnce()
+    val after1 = out.read.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after1 == Map(10L -> "v1", 11L -> "v2"),
+      "facts must join the version valid on their own date")
+    // batch 2: boundary date goes to the successor; orphan key enriches null
+    writeEnvelopes(inDir, "f2.json", Seq(
+      fact(12, 1, "2021-01-01"), fact(13, 2, "2020-07-01"),
+      fact(14, 9, "2020-07-01")))
+    runOnce()
+    val after2 = out.read.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(after2(12L).contains("v2") && after2(13L).contains("only"))
+    assert(after2(14L).isEmpty, "orphan fact survives with a NULL version")
+    // replay with the same checkpoint: no new table version
+    val v = out.latestVersion
+    runOnce()
+    assert(out.latestVersion == v)
+  }
+
   test("streaming append sink writes through the declarative config") {
     val inDir = tmpDir("app_in")
     val outDir = tmpDir("app_out")
