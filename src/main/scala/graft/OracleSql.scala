@@ -4508,6 +4508,46 @@ object OracleSql {
          |${outRow("brand_eq", 2)}
          |UNION ALL
          |${outRow("size_eq", 3)}""".stripMargin
-    }
+    },
+
+    // power planning: fixed z literals (no inverse normal anywhere),
+    // sample variances, Spark's floor(n/2) per-arm size
+    "q236_power_analysis" -> {
+      val z = "2.8015852181129683" // zA + zB, the same double Spark folds
+      s"""WITH m AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    sum(value) AS s, sum(value * value) AS ss
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |d AS (SELECT event_type, n, s / n AS mean,
+         |    sqrt((ss - s * s / n) / (n - 1)) AS sd,
+         |    floor(n / 2)::DOUBLE AS arm FROM m)
+         |SELECT event_type, n, ${rnd("mean", 4)} AS mean,
+         |  ${rnd("sd", 4)} AS stddev,
+         |  ${rnd(s"$z * sd * sqrt(2.0 / arm)", 4)} AS mde_abs,
+         |  ${rnd(s"($z * sd * sqrt(2.0 / arm)) / mean", 4)} AS mde_rel,
+         |  ceil(2.0 * sd * sd * 7.848879734349088
+         |    / ((0.05 * mean) * (0.05 * mean)))::BIGINT AS n_per_arm_5pct
+         |FROM d""".stripMargin
+    },
+
+    // readability: exact integer (word, sentence, syllable-heuristic)
+    // totals from one regexp pass; the two formulas are the only floats
+    "q237_readability" ->
+      s"""WITH pd AS (SELECT source,
+         |    len($toksExpr)::BIGINT AS w,
+         |    greatest(1, len(regexp_extract_all(lower(text), '[.!?]+')))::BIGINT AS st,
+         |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS sy
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(w)::BIGINT AS ws, sum(st)::BIGINT AS sts,
+         |    sum(sy)::BIGINT AS sys
+         |  FROM pd GROUP BY 1)
+         |SELECT source, n_docs,
+         |  ${rnd("ws::DOUBLE / sts::DOUBLE", 4)} AS words_per_sentence,
+         |  ${rnd("sys::DOUBLE / ws::DOUBLE", 4)} AS syllables_per_word,
+         |  ${rnd("206.835 - 1.015 * (ws::DOUBLE / sts::DOUBLE)" +
+             " - 84.6 * (sys::DOUBLE / ws::DOUBLE)", 4)} AS flesch_ease,
+         |  ${rnd("0.39 * (ws::DOUBLE / sts::DOUBLE)" +
+             " + 11.8 * (sys::DOUBLE / ws::DOUBLE) - 15.59", 4)} AS fk_grade
+         |FROM g""".stripMargin
   )
 }

@@ -444,6 +444,30 @@ object ScaleProbe {
           .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
             .cast("long")).collect()(0).getLong(0)
       }),
+      // q221 KMV accuracy: the k=128 sketch's worst relative union error
+      // across all source pairs (x1e4), vs the exact distinct union of the
+      // per-source text-hash sets. KMV error is a k-property (~1/sqrt(k)),
+      // so the measured number must hold ~steady across decades while the
+      // sketch state stays 128 values per source regardless of corpus size
+      "q221_kmv_err_x1e4" -> (() => {
+        import org.apache.spark.sql.functions._
+        val hashes = docs.select(col("source").as("g"),
+            graft.functions.Hashes.portableHash32(col("text")).as("h"))
+          .distinct().localCheckpoint()
+        val est = graft.operators.Sketches.kmvOverlap(
+            docs, "text", "source", k = 128)
+          .select(col("g_a"), col("g_b"), col("union_est"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+        // exact pairwise union sizes from the bounded per-source hash sets
+        // (probe-local driver collect: |sources| x |distinct hashes| only)
+        val sets = hashes.collect().groupBy(_.getString(0))
+          .map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+        val errs = est.map { case ((a, b), e) =>
+          val exact = (sets(a) ++ sets(b)).size.toDouble
+          math.abs(e - exact) / exact
+        }
+        math.round(errs.max * 10000)
+      }),
       // the scored-pair frame (pre-top-N; rebuilt without the TakeOrdered
       // cut the way the q108 probe rebuilds the banding): what the final
       // groupBy state holds before the bounded top-N ships

@@ -2614,6 +2614,19 @@ object SparkEntry {
       "size_eq" -> (col("sz_a") === col("sz_b"))), iters = 5)
   }
 
+  /** Power planning per event type: minimum detectable effect at today's
+    * traffic (equal split) and the per-arm n a 5%-of-mean lift needs —
+    * fixed z literals, one conditional-moment scan. */
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.powerAnalysis(T(s, dir, "events"),
+      "event_type", "value")
+
+  /** Per-source readability: Flesch ease + FK grade from exact corpus
+    * (word, sentence, vowel-group-syllable) totals. */
+  private def q237(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.readabilityReport(
+      TW(s, dir, "documents"), "source", "text")
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2851,7 +2864,9 @@ object SparkEntry {
     "q232_conformal_interval" -> (q232 _),
     "q233_scd2_temporal_join" -> (q233 _),
     "q234_hamming_rerank" -> (q234 _),
-    "q235_fellegi_sunter" -> (q235 _)
+    "q235_fellegi_sunter" -> (q235 _),
+    "q236_power_analysis" -> (q236 _),
+    "q237_readability" -> (q237 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

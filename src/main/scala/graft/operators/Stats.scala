@@ -848,6 +848,37 @@ object Stats {
       lit(1.0 - alpha).as("target"))
   }
 
+  /** Experiment power planning per group: with the group's observed
+    * variance, (a) the minimum detectable effect if its rows were split
+    * into two equal arms TODAY, and (b) the per-arm sample size a 5%-of-
+    * mean lift would need — `n = 2σ²(z_{α/2}+z_β)²/δ²`, the planning
+    * arithmetic run BEFORE an experiment, answering "is this metric even
+    * testable at our traffic?" (the ex-ante complement of [[welchTTest]]'s
+    * ex-post verdict). Fixed z constants (α = 0.05 two-sided, 80% power)
+    * are literals, so no inverse-normal evaluation exists anywhere —
+    * engine-replayable by construction. One conditional-moment scan per
+    * group; sample variances (÷(n−1)). */
+  def powerAnalysis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val zA = 1.959963984540054 // Phi^-1(0.975)
+    val zB = 0.8416212335729143 // Phi^-1(0.80)
+    val v = col(valueCol).cast("double")
+    val m = floor(col("n") / 2).cast("double") // per-arm size today
+    val sd = sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+    val mean = col("s") / col("n")
+    val mde = lit(zA + zB) * sd * sqrt(lit(2.0) / m)
+    val delta5 = lit(0.05) * mean
+    df.filter(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("ss"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        round(mean, 4).as("mean"), round(sd, 4).as("stddev"),
+        round(mde, 4).as("mde_abs"),
+        round(mde / mean, 4).as("mde_rel"),
+        ceil(lit(2.0) * sd * sd * lit((zA + zB) * (zA + zB)) /
+          (delta5 * delta5)).cast("long").as("n_per_arm_5pct"))
+  }
+
   /** Gini concentration of an integer-valued measure across groups — the
     * one-number "how skewed is this corpus toward a few sources?" audit
     * (0 = perfectly even, →1 = one group holds everything). Corpus-mix

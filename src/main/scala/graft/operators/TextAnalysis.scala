@@ -306,4 +306,38 @@ object TextAnalysis {
       .withColumn("quality_score", qualityScore(col(textCol)))
       .withColumn("lang_pred", langId(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** Per-group readability report: Flesch reading ease and Flesch–Kincaid
+    * grade from corpus-level (words, sentences, syllables) totals — the
+    * classic audience-level proxy a curation mix consults next to the
+    * statistical quality score (a corpus can be high-"quality" and still
+    * uniformly graduate-level, or vice versa). Syllables use the standard
+    * cheap heuristic (maximal vowel-[aeiouy] groups — off by a constant
+    * factor on edge words, which cancels in cross-group COMPARISON, the
+    * actual use); sentences are `[.!?]+` runs, floored at one per
+    * document. All three counts are exact integers from ONE codegen'd
+    * regexp pass, so the two final formulas are the only float ops. */
+  def readabilityReport(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val perDoc = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        size(graft.operators.Dedup.tokens(col(textCol))).as("w"),
+        greatest(lit(1L), regexp_count(t, lit("[.!?]+"))).as("st"),
+        regexp_count(t, lit("[aeiouy]+")).as("sy"))
+    val wps = col("ws").cast("double") / col("sts").cast("double")
+    val spw = col("sys").cast("double") / col("ws").cast("double")
+    perDoc.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("w")).cast("long").as("ws"),
+        sum(col("st")).cast("long").as("sts"),
+        sum(col("sy")).cast("long").as("sys"))
+      .select(col(groupCol), col("n_docs"),
+        round(wps, 4).as("words_per_sentence"),
+        round(spw, 4).as("syllables_per_word"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+          .as("flesch_ease"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+          .as("fk_grade"))
+  }
 }

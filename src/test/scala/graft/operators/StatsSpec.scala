@@ -434,6 +434,26 @@ class StatsSpec extends SparkSpec {
     assert(clamp.forall(_ <= 1.0))
   }
 
+  test("powerAnalysis: closed-form MDE and required n on a known-variance group") {
+    import spark.implicits._
+    // 100 rows, values 0..9 ten times: mean 4.5, sample var 8.25*100/99
+    val df = (1 to 100).map(i => ("g", (i % 10).toDouble)).toDF("k", "v")
+    val r = Stats.powerAnalysis(df, "k", "v").collect().head
+    val sd = math.sqrt(8.25 * 100 / 99)
+    val z = 2.8015852181129683
+    assert(r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 4.5)
+    assert(r.getDouble(3) == math.rint(sd * 1e4) / 1e4)
+    val mde = z * sd * math.sqrt(2.0 / 50.0)
+    assert(math.abs(r.getDouble(4) - mde) < 1e-3)
+    val nReq = math.ceil(2.0 * sd * sd * z * z / math.pow(0.05 * 4.5, 2))
+    assert(r.getLong(6).toDouble == nReq)
+    // higher variance at the SAME mean -> larger required n
+    val wild = (1 to 100).map(i => ("g", (i % 2 * 9).toDouble)).toDF("k", "v")
+    assert(Stats.powerAnalysis(wild, "k", "v").collect().head.getLong(6) >
+      r.getLong(6))
+  }
+
   test("conformalInterval: exact linear data -> qhat 0, full coverage; alpha monotone") {
     import spark.implicits._
     val df = (1 to 300).map(i => (i.toLong, i.toLong, 2L * i))

@@ -182,4 +182,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rep("a") == ((3L, 4L, 3L, 2L)))
     assert(rep("b") == ((1L, 0L, 1L, 1L)))
   }
+
+  test("readabilityReport: hand-counted totals; punctuation-free text floors at one sentence") {
+    import spark.implicits._
+    // doc 1: "the cat sat. it ran!" -> 5 words, 2 sentences,
+    //   syllables (vowel groups): the(1) cat(1) sat(1) it(1) ran(1) = 5
+    // doc 2: "beautiful onomatopoeia" -> 2 words, 1 sentence (floored),
+    //   vowel groups: beautiful eau,i,u = 3; onomatopoeia o,o,a,o,oeia = 5
+    val df = Seq(("s1", "the cat sat. it ran!"),
+      ("s1", "beautiful onomatopoeia")).toDF("src", "text")
+    val r = TextAnalysis.readabilityReport(df, "src", "text").collect().head
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == math.rint(1e4 * 7.0 / 3.0) / 1e4) // 7 w / 3 s
+    assert(r.getDouble(3) == math.rint(1e4 * 13.0 / 7.0) / 1e4) // 13 sy / 7 w
+    // simple prose scores easier (higher ease, lower grade) than jargon
+    val simple = Seq(("a", "the cat sat on the mat. it was fun.")).toDF("src", "text")
+    val dense = Seq(("a", "organizational interoperability necessitates comprehensive standardization methodologies")).toDF("src", "text")
+    val es = TextAnalysis.readabilityReport(simple, "src", "text").collect().head
+    val ed = TextAnalysis.readabilityReport(dense, "src", "text").collect().head
+    assert(es.getDouble(4) > ed.getDouble(4), "simple prose reads easier")
+    assert(es.getDouble(5) < ed.getDouble(5), "jargon grades higher")
+  }
 }
