@@ -4548,6 +4548,67 @@ object OracleSql {
              " - 84.6 * (sys::DOUBLE / ws::DOUBLE)", 4)} AS flesch_ease,
          |  ${rnd("0.39 * (ws::DOUBLE / sts::DOUBLE)" +
              " + 11.8 * (sys::DOUBLE / ws::DOUBLE) - 15.59", 4)} AS fk_grade
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    // four-fifths rule: exact integer counts; reference = max-rate group,
+    // ties to the larger name (Spark's max(struct) tie rule)
+    "q238_disparate_impact" ->
+      s"""WITH r AS (SELECT c_mktsegment::VARCHAR AS grp,
+         |    count(*)::BIGINT AS n,
+         |    sum(CASE WHEN coalesce(c_acctbal > 5000, false) THEN 1
+         |      ELSE 0 END)::BIGINT AS n_sel
+         |  FROM customer GROUP BY 1),
+         |ref AS (SELECT n_sel::DOUBLE / n AS ref_rate, grp AS ref_group
+         |  FROM r ORDER BY n_sel::DOUBLE / n DESC, grp DESC LIMIT 1)
+         |SELECT r.grp AS c_mktsegment, r.n, r.n_sel,
+         |  ${rnd("r.n_sel::DOUBLE / r.n", 6)} AS rate, ref.ref_group,
+         |  ${rnd("(r.n_sel::DOUBLE / r.n) / ref.ref_rate", 4)} AS impact_ratio,
+         |  (r.n_sel::DOUBLE / r.n) / ref.ref_rate >= 0.8 AS passes_80pct
+         |FROM r CROSS JOIN ref""".stripMargin,
+
+    // burstiness: zero-filled day spine, exact integer daily-count
+    // moments, population variance
+    "q239_burstiness" ->
+      s"""WITH daily AS (SELECT event_type AS k, ts::DATE AS day,
+         |    count(*)::BIGINT AS cnt
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY 1, 2),
+         |spine AS (SELECT unnest(generate_series(min(day), max(day),
+         |    INTERVAL 1 DAY))::DATE AS day FROM daily),
+         |dense AS (SELECT kk.k, s.day, coalesce(d.cnt, 0)::BIGINT AS c
+         |  FROM (SELECT DISTINCT k FROM daily) kk CROSS JOIN spine s
+         |  LEFT JOIN daily d ON d.k = kk.k AND d.day = s.day),
+         |m AS (SELECT k, count(*)::BIGINT AS n_days, sum(c)::BIGINT AS s,
+         |    sum(c * c)::BIGINT AS ss, max(c)::BIGINT AS peak
+         |  FROM dense GROUP BY k)
+         |SELECT k AS event_type, n_days, s AS n_events, peak,
+         |  ${rnd("s::DOUBLE / n_days", 4)} AS mean_daily,
+         |  ${rnd("((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n_days) / n_days)" +
+             " / (s::DOUBLE / n_days)", 4)} AS fano,
+         |  ${rnd("(sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n_days) / n_days)" +
+             " - s::DOUBLE / n_days) / (sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE" +
+             " / n_days) / n_days) + s::DOUBLE / n_days)", 4)} AS burstiness
+         |FROM m""".stripMargin,
+
+    // cold-start exposure: h32(event_id) % 5 split, exact anti/semi counts
+    "q240_cold_start" ->
+      s"""WITH b AS (SELECT user_id AS e,
+         |    ${h32("event_id::VARCHAR")} % 5 = 0 AS is_test
+         |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+         |tr AS (SELECT DISTINCT e FROM b WHERE NOT is_test),
+         |te AS (SELECT DISTINCT e FROM b WHERE is_test),
+         |un AS (SELECT e FROM te ANTI JOIN tr USING (e)),
+         |c AS (SELECT
+         |    (SELECT count(*) FROM b WHERE is_test)::BIGINT AS n_test_events,
+         |    (SELECT count(*) FROM te)::BIGINT AS n_test_entities,
+         |    (SELECT count(*) FROM un)::BIGINT AS n_unseen_entities,
+         |    (SELECT count(*) FROM b SEMI JOIN un USING (e)
+         |      WHERE is_test)::BIGINT AS n_unseen_events)
+         |SELECT n_test_events, n_test_entities, n_unseen_entities,
+         |  ${rnd("n_unseen_entities::DOUBLE / n_test_entities", 6)}
+         |    AS unseen_entity_share,
+         |  ${rnd("n_unseen_events::DOUBLE / n_test_events", 6)}
+         |    AS unseen_event_share
+         |FROM c""".stripMargin
   )
 }

@@ -2627,6 +2627,25 @@ object SparkEntry {
     graft.operators.TextAnalysis.readabilityReport(
       TW(s, dir, "documents"), "source", "text")
 
+  /** Four-fifths-rule disparate-impact audit of a balance-threshold
+    * "selection" across market segments: per-group rates, ratio vs the
+    * max-rate group, pass flag. */
+  private def q238(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.disparateImpact(T(s, dir, "customer"),
+      "c_mktsegment", col("c_acctbal") > 5000)
+
+  /** Per-event-type burstiness of daily volume (absent days = 0): Fano
+    * factor + bounded burstiness index from exact integer moments. */
+  private def q239(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.burstiness(T(s, dir, "events"),
+      "event_type", "ts")
+
+  /** Cold-start exposure of an event_id-hash test split: how much of the
+    * test side rides users the train side never saw. */
+  private def q240(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.coldStartReport(T(s, dir, "events"),
+      "event_id", "user_id", testMod = 5)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2866,7 +2885,10 @@ object SparkEntry {
     "q234_hamming_rerank" -> (q234 _),
     "q235_fellegi_sunter" -> (q235 _),
     "q236_power_analysis" -> (q236 _),
-    "q237_readability" -> (q237 _)
+    "q237_readability" -> (q237 _),
+    "q238_disparate_impact" -> (q238 _),
+    "q239_burstiness" -> (q239 _),
+    "q240_cold_start" -> (q240 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

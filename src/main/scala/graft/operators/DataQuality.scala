@@ -181,4 +181,36 @@ object DataQuality {
         round(share, 6).as("share"), round(expected, 6).as("expected"),
         round(abs(share - expected), 6).as("abs_dev"))
   }
+
+  /** Disparate-impact (four-fifths rule) audit: per-group selection rates
+    * and each group's ratio against the HIGHEST-rate group — the fairness
+    * screen regulators actually apply (a ratio below 0.8 is presumptive
+    * adverse impact), run on any selection-shaped decision: loan approval,
+    * training-data keep/drop, moderation, sampling. Plugs the same hole
+    * for DECISIONS that [[kAnonymityAudit]] plugs for releases.
+    *
+    * Null selection outcomes count as NOT selected ([[ruleReport]]'s
+    * conservative stance). The reference group is the max-rate group with
+    * ties broken by group name, so the report is deterministic; rates use
+    * exact integer counts — the ratio division is the only float op.
+    * One grouped aggregation + a 1-row broadcast reference frame. */
+  def disparateImpact(df: DataFrame, groupCol: String,
+                      selected: Column): DataFrame = {
+    val rates = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(coalesce(selected, lit(false)), 1L).otherwise(0L))
+          .as("n_sel"))
+    val ref = rates.agg(max(struct(
+        (col("n_sel").cast("double") / col("n")).as("rate"),
+        col("grp").as("g"))).as("m"))
+      .select(col("m.rate").as("ref_rate"), col("m.g").as("ref_group"))
+    rates.crossJoin(broadcast(ref))
+      .select(col("grp").as(groupCol), col("n"), col("n_sel"),
+        round(col("n_sel").cast("double") / col("n"), 6).as("rate"),
+        col("ref_group"),
+        round((col("n_sel").cast("double") / col("n")) / col("ref_rate"), 4)
+          .as("impact_ratio"),
+        ((col("n_sel").cast("double") / col("n")) / col("ref_rate") >= 0.8)
+          .as("passes_80pct"))
+  }
 }

@@ -533,4 +533,44 @@ object Sampling {
         col("col.id").as(idCol),
         round(negate(col("col.nk")), 6).as("aes_key"))
   }
+
+  /** Cold-start exposure report for a hash split: how much of the TEST
+    * side rides entities the TRAIN side never saw. A recommender / ranking
+    * eval where most test events hit known entities overstates production
+    * quality exactly where it matters (new users, new items); this report
+    * is the one-row honesty check run before quoting the metric. The
+    * leakage-family complement of [[leakageSafeSplit]]: that one keeps
+    * near-dups from straddling splits, this one MEASURES how much genuine
+    * novelty the split left in the eval.
+    *
+    * Split = portable-hash(`rowIdCol`) mod `testMod` == 0 (deterministic,
+    * replayable). Unseen = test entities absent from the train side
+    * (one left-anti on the distinct entity sets — broadcast when small,
+    * shuffle otherwise, Catalyst's call). All counts exact integers. */
+  def coldStartReport(df: DataFrame, rowIdCol: String, entityCol: String,
+                      testMod: Int = 5): DataFrame = {
+    require(testMod >= 2, "testMod >= 2")
+    val base = df.filter(col(rowIdCol).isNotNull && col(entityCol).isNotNull)
+      .select(col(entityCol).as("e"),
+        (pmod(Hashes.portableHash32(col(rowIdCol).cast("string")),
+          lit(testMod.toLong)) === 0).as("is_test"))
+      .localCheckpoint() // feeds both sides + the event recount
+    val trainEnts = base.filter(!col("is_test")).select("e").distinct()
+    val testEnts = base.filter(col("is_test")).select("e").distinct()
+    val unseen = testEnts.join(trainEnts, Seq("e"), "left_anti")
+      .localCheckpoint() // counted AND joined back
+    val testEvents = base.filter(col("is_test"))
+    val counts = testEvents.agg(count(lit(1)).as("n_test_events"))
+      .crossJoin(broadcast(testEnts.agg(count(lit(1)).as("n_test_entities"))))
+      .crossJoin(broadcast(unseen.agg(count(lit(1)).as("n_unseen_entities"))))
+      .crossJoin(broadcast(testEvents.join(unseen, Seq("e"), "left_semi")
+        .agg(count(lit(1)).as("n_unseen_events"))))
+    counts.select(col("n_test_events").cast("long").as("n_test_events"),
+      col("n_test_entities").cast("long").as("n_test_entities"),
+      col("n_unseen_entities").cast("long").as("n_unseen_entities"),
+      round(col("n_unseen_entities").cast("double") /
+        col("n_test_entities"), 6).as("unseen_entity_share"),
+      round(col("n_unseen_events").cast("double") /
+        col("n_test_events"), 6).as("unseen_event_share"))
+  }
 }

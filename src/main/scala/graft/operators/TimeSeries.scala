@@ -238,4 +238,47 @@ object TimeSeries {
         round(col("expected"), 4).as("expected"),
         round(col("cnt").cast("double") - col("expected"), 4).as("residual"))
   }
+
+  /** Per-key burstiness of daily event counts: the Fano factor
+    * (variance/mean — 1 for a Poisson process, ≫1 for bursty arrivals,
+    * <1 for metronomes) and the bounded burstiness index
+    * `(σ−μ)/(σ+μ)` ∈ (−1, 1) — the load-planning number that says
+    * whether a key's daily volume is steady or spiky (capacity for the
+    * p99 day, not the mean day), and a second bot tell next to
+    * [[graft.operators.EventOps.userRegularity]]'s gap CV.
+    *
+    * ABSENT days count as ZERO events — the whole point (a key active
+    * one day a week is bursty, which dropping its silent days would
+    * hide): the day spine is the corpus's observed day range, densified
+    * per key (|keys|×|days| bounded frame). Daily counts are integers,
+    * so the moments (n, Σc, Σc²) are exact and both statistics replay
+    * externally; population variance (÷n). */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the spine bounds AND the densify join
+    val days = daily.select(col("day")).agg(
+      min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = daily.select(col("k")).distinct()
+      .crossJoin(broadcast(days))
+      .join(daily, Seq("k", "day"), "left")
+      .select(col("k"), coalesce(col("cnt"), lit(0L)).as("c"))
+    val mean = col("s").cast("double") / col("n")
+    val variance = (col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / col("n")) / col("n")
+    val sd = sqrt(variance)
+    dense.groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("c")).cast("long").as("s"),
+        sum(col("c") * col("c")).cast("long").as("ss"),
+        max(col("c")).cast("long").as("peak"))
+      .withColumn("n", col("n_days"))
+      .select(col(keyCol), col("n_days"), col("s").as("n_events"),
+        col("peak"),
+        round(mean, 4).as("mean_daily"),
+        round(variance / mean, 4).as("fano"),
+        round((sd - mean) / (sd + mean), 4).as("burstiness"))
+  }
 }

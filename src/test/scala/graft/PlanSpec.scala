@@ -156,6 +156,9 @@ class PlanSpec extends SparkSpec {
       "q221_kmv_overlap", // |groups|-row sketch-table self-join on g_a < g_b
       "q227_cuped", // 1-row pooled-theta control frame cross-joined
       "q232_conformal_interval", // 1-row fit/k/qhat control frames cross-joined
+      "q238_disparate_impact", // 1-row max-rate reference frame cross-joined
+      "q239_burstiness", // |keys| x broadcast |days|-row spine densify
+      "q240_cold_start", // four 1-row count control frames cross-joined
       "q231_heaps_fit", // 1-row log-means frame x |sources|-row points frame
       "q230_kaplan_meier") // 1-row corpus-end frame cross-joined
     // write-path/iterative queries execute real work at construction time;

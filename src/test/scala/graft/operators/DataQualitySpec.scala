@@ -131,4 +131,22 @@ class DataQualitySpec extends SparkSpec {
     val expSum = out.values.map(_._3).sum
     assert(math.abs(expSum - 1.0) < 1e-4)
   }
+
+  test("disparateImpact: 80% rule flags the half-rate group; null outcome = not selected") {
+    val df = Seq(
+      ("A", Some(true)), ("A", Some(true)), ("A", Some(true)), ("A", Some(true)),
+      ("B", Some(true)), ("B", Some(true)), ("B", Some(false)), ("B", None),
+      ("C", Some(true)), ("C", Some(true)), ("C", Some(true)), ("C", Some(false))
+    ).toDF("g", "sel")
+    val out = DataQuality.disparateImpact(df, "g",
+        org.apache.spark.sql.functions.col("sel"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4),
+          r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(out("A") == ((4L, 4L, 1.0, "A", 1.0, true)), "reference group")
+    val (bn, bs, brate, bref, bratio, bpass) = out("B")
+    assert(bn == 4L && bs == 2L && brate == 0.5 && bref == "A")
+    assert(bratio == 0.5 && !bpass, "half the reference rate fails the 80% rule")
+    assert(out("C")._5 == 0.75 && !out("C")._6)
+  }
 }

@@ -361,6 +361,23 @@ class SamplingSpec extends SparkSpec {
     assert(out.values.map(_._3).sum == 10L, "allocations sum to the budget")
   }
 
+  test("coldStartReport: shared entity never unseen; unique-per-row entities always unseen") {
+    import spark.implicits._
+    // one entity across all rows: both splits see it -> zero cold start
+    val shared = (1 to 200).map(i => (i.toLong, 7L)).toDF("rid", "ent")
+    val s = Sampling.coldStartReport(shared, "rid", "ent", testMod = 5)
+      .collect().head
+    assert(s.getLong(2) == 0L && s.getDouble(3) == 0.0 && s.getDouble(4) == 0.0)
+    assert(s.getLong(0) > 0L, "the hash split must produce a test side")
+    // every row its own entity: every test entity is cold -> shares 1.0
+    val unique = (1 to 200).map(i => (i.toLong, i.toLong)).toDF("rid", "ent")
+    val u = Sampling.coldStartReport(unique, "rid", "ent", testMod = 5)
+      .collect().head
+    assert(u.getLong(1) == u.getLong(2), "all test entities unseen")
+    assert(u.getDouble(3) == 1.0 && u.getDouble(4) == 1.0)
+    assert(u.getLong(0) == u.getLong(1), "one event per unique entity")
+  }
+
   test("groupKFold: group-coherent, reproducible, folds within [0, k)") {
     import spark.implicits._
     val rows = (1 to 60).map(i => (i.toLong, s"group_${i % 12}"))

@@ -132,4 +132,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("2024-03-18") == ((2, 6L, 4.0, 2.0)))
     assert(out("2024-03-05") == ((3, 5L, 5.0, 0.0))) // lone Tuesday
   }
+
+  test("burstiness: metronome -> Fano 0 / index -1; one-day burst counts absent days as zero") {
+    import spark.implicits._
+    // corpus span Mar 1-5 (5 days).
+    // steady: exactly one event each day -> var 0
+    // burst: 10 events on Mar 3 only -> counts (0,0,10,0,0)
+    val rows =
+      (1 to 5).map(d => ("steady", ts(f"2024-03-0$d 10:00:00"))) ++
+        (1 to 10).map(_ => ("burst", ts("2024-03-03 10:00:00")))
+    val out = TimeSeries.burstiness(rows.toDF("k", "ts"), "k", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("steady") == ((5L, 5L, 1L, 1.0, 0.0, -1.0)))
+    val (nd, ne, peak, mean, fano, b) = out("burst")
+    assert(nd == 5L && ne == 10L && peak == 10L && mean == 2.0)
+    // counts (0,0,10,0,0): pop var = (100 - 100/5)/5 = 16 -> fano 8
+    assert(fano == 8.0, s"fano $fano")
+    assert(b == math.rint(1e4 * (4.0 - 2.0) / (4.0 + 2.0)) / 1e4)
+    assert(b > 0, "bursty index positive, metronome at the -1 floor")
+  }
 }
