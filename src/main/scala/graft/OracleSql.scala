@@ -4609,6 +4609,43 @@ object OracleSql {
          |    AS unseen_entity_share,
          |  ${rnd("n_unseen_events::DOUBLE / n_test_events", 6)}
          |    AS unseen_event_share
-         |FROM c""".stripMargin
+         |FROM c""".stripMargin,
+
+    // fixed-size chunk hashes; dedup ratio = 1 - distinct/total
+    "q241_chunk_dedup" ->
+      s"""WITH ch AS (SELECT unnest(list_transform(
+         |    generate_series(1, len(text), 256),
+         |    i -> ${h32("substr(text, i, 256)")})) AS h
+         |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+         |ph AS (SELECT h, count(*)::BIGINT AS c FROM ch GROUP BY h),
+         |d AS (SELECT count(*)::BIGINT AS n_docs FROM documents
+         |  WHERE text IS NOT NULL AND len(text) > 0)
+         |SELECT d.n_docs, sum(c)::BIGINT AS n_chunks,
+         |  count(*)::BIGINT AS n_distinct_chunks,
+         |  ${rnd("1.0 - count(*)::DOUBLE / sum(c)", 6)} AS dedup_ratio,
+         |  max(c)::BIGINT AS top_chunk_count
+         |FROM ph CROSS JOIN d GROUP BY d.n_docs""".stripMargin,
+
+    // delta-method ratio CI: per-user sums, sample (co)variance moments,
+    // fixed z literal
+    "q242_ratio_metric_ci" -> {
+      val seExpr = "sqrt(greatest((vx - 2.0 * r * cxy + r * r * vy)" +
+        " / (n * my * my), 0.0))"
+      s"""WITH u AS (SELECT event_type AS g, user_id AS un,
+         |    sum(coalesce(value, 0.0)) AS x, sum(1.0::DOUBLE) AS y
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT g, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM u GROUP BY g),
+         |d AS (SELECT *, sx / sy AS r, sy / n AS my,
+         |    (sxx - sx * sx / n) / (n - 1) AS vx,
+         |    (syy - sy * sy / n) / (n - 1) AS vy,
+         |    (sxy - sx * sy / n) / (n - 1) AS cxy FROM m)
+         |SELECT g AS event_type, n AS n_units, ${rnd("r", 6)} AS ratio,
+         |  ${rnd(seExpr, 6)} AS se,
+         |  ${rnd(s"r - 1.959963984540054 * $seExpr", 4)} AS ci_lo,
+         |  ${rnd(s"r + 1.959963984540054 * $seExpr", 4)} AS ci_hi
+         |FROM d""".stripMargin
+    }
   )
 }

@@ -2646,6 +2646,19 @@ object SparkEntry {
     graft.operators.Sampling.coldStartReport(T(s, dir, "events"),
       "event_id", "user_id", testMod = 5)
 
+  /** Block-level (256-char fixed chunks) dedup estimate over document
+    * payloads: chunk volume, distinct chunks, the content-addressed-
+    * storage savings ratio, hottest chunk count. */
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.chunkDedupReport(
+      TW(s, dir, "documents"), "text", chunkSize = 256)
+
+  /** Delta-method CI for value-per-event by type with the USER as the
+    * independent unit — the variance the naive per-event stderr misses. */
+  private def q242(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.ratioMetricCI(T(s, dir, "events"),
+      "event_type", "user_id", col("value"), lit(1.0))
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2888,7 +2901,9 @@ object SparkEntry {
     "q237_readability" -> (q237 _),
     "q238_disparate_impact" -> (q238 _),
     "q239_burstiness" -> (q239 _),
-    "q240_cold_start" -> (q240 _)
+    "q240_cold_start" -> (q240 _),
+    "q241_chunk_dedup" -> (q241 _),
+    "q242_ratio_metric_ci" -> (q242 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -64,4 +64,46 @@ object Multimodal {
       .withColumn("frame", col(binCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
       .drop(binCol)
   }
+
+  /** Block-level dedup estimate — the "what would content-addressed
+    * storage save?" pre-flight for a multimodal corpus: payloads split
+    * into fixed-size chunks, chunks hashed, and the report says how much
+    * of the chunk volume is duplicated (shared headers, repeated frames,
+    * re-uploaded assets — all invisible to whole-file hashing the moment
+    * one byte differs). One row: doc/chunk totals, distinct chunks, the
+    * dedup ratio, and the hottest chunk's occurrence count (a
+    * boilerplate-block tell). Fixed-size chunking understates savings vs
+    * content-defined boundaries when content SHIFTS (an insertion
+    * re-phases every later chunk) — the documented trade for an
+    * engine-replayable report; the numbers are a LOWER bound on CDC-style
+    * savings.
+    *
+    * One explode pass (corpus → chunk hashes) and two aggregations; the
+    * distinct count is the only value-set shuffle, same contract as an
+    * exact distinct. Works on string payloads (char-positional, the
+    * oracle-checked form) — binary payloads chunk identically through the
+    * same `substr`. */
+  def chunkDedupReport(df: DataFrame, payloadCol: String,
+                       chunkSize: Int = 256): DataFrame = {
+    require(chunkSize >= 1, "chunkSize >= 1")
+    val chunks = df
+      .filter(col(payloadCol).isNotNull && length(col(payloadCol)) > 0)
+      .select(explode(transform(
+        sequence(lit(1), length(col(payloadCol)), lit(chunkSize)),
+        i => graft.functions.Hashes.portableHash32(
+          col(payloadCol).substr(i, lit(chunkSize))))).as("h"))
+      .localCheckpoint() // feeds totals AND the per-hash counts
+    val perHash = chunks.groupBy("h").agg(count(lit(1)).as("c"))
+    val docs = df.filter(col(payloadCol).isNotNull &&
+      length(col(payloadCol)) > 0).agg(count(lit(1)).as("n_docs"))
+    docs.crossJoin(broadcast(perHash.agg(
+        count(lit(1)).as("n_distinct"), sum(col("c")).as("n_chunks"),
+        max(col("c")).as("top_count"))))
+      .select(col("n_docs").cast("long").as("n_docs"),
+        col("n_chunks").cast("long").as("n_chunks"),
+        col("n_distinct").cast("long").as("n_distinct_chunks"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_chunks"), 6)
+          .as("dedup_ratio"),
+        col("top_count").cast("long").as("top_chunk_count"))
+  }
 }

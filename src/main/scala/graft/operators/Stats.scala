@@ -879,6 +879,45 @@ object Stats {
           (delta5 * delta5)).cast("long").as("n_per_arm_5pct"))
   }
 
+  /** Delta-method confidence interval for a RATIO-of-sums metric
+    * (revenue per session, clicks per impression, value per event): the
+    * metric is `Σx/Σy` over independent UNITS (users), and its variance
+    * comes from the delta method over the per-unit (x, y) pairs —
+    * `se² = (s_x² − 2r·s_xy + r²·s_y²)/(n·ȳ²)` with r the ratio and
+    * sample (co)variances. Naively treating the EVENT as the unit
+    * understates the variance whenever users differ (they always do);
+    * this is the standard correct form every experimentation platform
+    * ships for ratio metrics.
+    *
+    * Two-level aggregation: rows → per-unit sums (the only row-scale
+    * shuffle) → per-group moments; the CI arithmetic runs on one row per
+    * group. Fixed z literal (95%), same no-inverse-normal stance as
+    * [[powerAnalysis]]. */
+  def ratioMetricCI(df: DataFrame, groupCol: String, unitCol: String,
+                    numCol: Column, denCol: Column): DataFrame = {
+    val z = 1.959963984540054
+    val units = df.groupBy(col(groupCol).as("g"), col(unitCol).as("u"))
+      .agg(sum(coalesce(numCol, lit(0.0))).as("x"),
+        sum(coalesce(denCol, lit(0.0))).as("y"))
+    val n = col("n").cast("double")
+    val r = col("sx") / col("sy")
+    val my = col("sy") / n
+    val vx = (col("sxx") - col("sx") * col("sx") / n) / (n - 1)
+    val vy = (col("syy") - col("sy") * col("sy") / n) / (n - 1)
+    val cxy = (col("sxy") - col("sx") * col("sy") / n) / (n - 1)
+    val se = sqrt(greatest(
+      (vx - lit(2.0) * r * cxy + r * r * vy) / (n * my * my), lit(0.0)))
+    units.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col(groupCol), col("n").cast("long").as("n_units"),
+        round(r, 6).as("ratio"), round(se, 6).as("se"),
+        round(r - lit(z) * se, 4).as("ci_lo"),
+        round(r + lit(z) * se, 4).as("ci_hi"))
+  }
+
   /** Gini concentration of an integer-valued measure across groups — the
     * one-number "how skewed is this corpus toward a few sources?" audit
     * (0 = perfectly even, →1 = one group holds everything). Corpus-mix

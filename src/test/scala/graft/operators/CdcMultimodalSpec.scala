@@ -87,4 +87,21 @@ class CdcMultimodalSpec extends SparkSpec {
     val lens = frames.select(length(col("frame"))).as[Int].collect()
     assert(lens.forall(_ <= 32))
   }
+
+  test("chunkDedupReport: shared prefix chunks dedup; shifted content doesn't (fixed-size honesty)") {
+    // chunkSize 4: "aaaabbbb" -> [aaaa, bbbb]; "aaaacccc" -> [aaaa, cccc]
+    val df = Seq("aaaabbbb", "aaaacccc", "").toDF("payload")
+    val r = Multimodal.chunkDedupReport(df, "payload", chunkSize = 4)
+      .collect().head
+    assert(r.getLong(0) == 2L, "empty payload excluded")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.25, "one duplicated chunk of four")
+    assert(r.getLong(4) == 2L)
+    // a ONE-char insertion re-phases every later chunk: fixed-size chunking
+    // finds nothing — the documented lower-bound behavior vs CDC
+    val shifted = Seq("aaaabbbbccccdddd", "Xaaaabbbbccccdddd").toDF("payload")
+    val s = Multimodal.chunkDedupReport(shifted, "payload", chunkSize = 4)
+      .collect().head
+    assert(s.getDouble(3) == 0.0, "re-phased content shares no fixed chunks")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -432,6 +432,27 @@ class StatsSpec extends SparkSpec {
         Seq(("a", 0.8), ("b", 0.9)).toDF("h", "p"), "h", "p")
       .collect().map(_.getDouble(3))
     assert(clamp.forall(_ <= 1.0))
+  }
+
+  test("ratioMetricCI: homogeneous units -> zero SE; unit heterogeneity widens the CI") {
+    import spark.implicits._
+    // every user identical: 2 events of value 3 -> ratio 3, se 0
+    val homo = (1 to 40).flatMap(u => Seq((u.toLong, 3.0), (u.toLong, 3.0)))
+      .toDF("u", "v").withColumn("g", lit("m"))
+    val h = Stats.ratioMetricCI(homo, "g", "u", col("v"), lit(1.0))
+      .collect().head
+    assert(h.getLong(1) == 40L && h.getDouble(2) == 3.0)
+    assert(h.getDouble(3) == 0.0 && h.getDouble(4) == 3.0 && h.getDouble(5) == 3.0)
+    // same OVERALL ratio, heterogeneous users -> positive SE, CI straddles 3
+    val hetero = (1 to 40).flatMap(u =>
+      Seq((u.toLong, if (u % 2 == 0) 5.0 else 1.0),
+        (u.toLong, if (u % 2 == 0) 5.0 else 1.0))).toDF("u", "v")
+      .withColumn("g", lit("m"))
+    val t = Stats.ratioMetricCI(hetero, "g", "u", col("v"), lit(1.0))
+      .collect().head
+    assert(t.getDouble(2) == 3.0)
+    assert(t.getDouble(3) > 0.2, s"heterogeneity must surface in the SE: $t")
+    assert(t.getDouble(4) < 3.0 && t.getDouble(5) > 3.0)
   }
 
   test("powerAnalysis: closed-form MDE and required n on a known-variance group") {
