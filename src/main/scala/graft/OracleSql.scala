@@ -4611,6 +4611,11 @@ object OracleSql {
          |    AS unseen_event_share
          |FROM c""".stripMargin,
 
+    // q243 (CDC chunk dedup) has NO oracle by design: the gear rolling
+    // hash carries per-byte state no SQL expression replays — the driver
+    // records its rows-only check; CdcMultimodalSpec anchors the values
+    // (the q217 DeflateRatio precedent).
+
     // fixed-size chunk hashes; dedup ratio = 1 - distinct/total
     "q241_chunk_dedup" ->
       s"""WITH ch AS (SELECT unnest(list_transform(

@@ -2659,6 +2659,15 @@ object SparkEntry {
     graft.operators.Stats.ratioMetricCI(T(s, dir, "events"),
       "event_type", "user_id", col("value"), lit(1.0))
 
+  /** Content-defined (gear rolling hash) chunk-dedup estimate over the
+    * same payloads as q241 — the insertion-immune upper bracket. NOT
+    * SQL-expressible (per-byte rolling state) -> rows-only driver check;
+    * CompressionSpec + CdcMultimodalSpec anchor the values. */
+  private def q243(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.cdcChunkDedupReport(
+      TW(s, dir, "documents"), "text", minSize = 16, maskBits = 6,
+      maxSize = 256)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2903,7 +2912,8 @@ object SparkEntry {
     "q239_burstiness" -> (q239 _),
     "q240_cold_start" -> (q240 _),
     "q241_chunk_dedup" -> (q241 _),
-    "q242_ratio_metric_ci" -> (q242 _)
+    "q242_ratio_metric_ci" -> (q242 _),
+    "q243_cdc_chunk_dedup" -> (q243 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

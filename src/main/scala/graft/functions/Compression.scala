@@ -60,3 +60,80 @@ object DeflateRatio {
     override def initialValue(): Array[Byte] = new Array[Byte](8192)
   }
 }
+
+/** Content-defined chunk hashes — the gear rolling hash (the FastCDC
+  * family's core): a boundary is declared where the rolling hash of the
+  * last bytes masks to zero, so boundaries are a function of CONTENT, not
+  * position. This is exactly what fixed-size chunking
+  * ([[graft.operators.Multimodal.chunkDedupReport]]) cannot do: after an
+  * insertion the gear hash RE-SYNCS at the next content boundary and every
+  * later chunk hashes identically again, while fixed-size chunks stay
+  * re-phased forever — the rsync/backup-dedup insight, applied to
+  * multimodal payload storage.
+  *
+  * Deterministic by construction: the 256-entry gear table is md5-derived
+  * per byte value (the portable-hash recipe), chunk content hashes are
+  * FNV-1a 64. `minSize` suppresses boundary checks inside the first bytes
+  * of a chunk (tiny-chunk pathology), `maxSize` forces a cut (mask
+  * never matching on adversarial content must not produce unbounded
+  * chunks). Returns the array of chunk hashes; the trailing partial chunk
+  * is emitted. Sequential per payload by nature — the parallelism unit is
+  * the ROW, which is the right grain for a corpus of payloads; the loop
+  * runs inside whole-stage codegen via the [[TextHashExpression]]
+  * scaffold. */
+case class CdcChunkHashes(child: Expression, minSize: Int, maskBits: Int,
+                          maxSize: Int) extends TextHashExpression {
+  require(minSize >= 1 && maxSize >= minSize, "1 <= minSize <= maxSize")
+  require(maskBits >= 1 && maskBits <= 48, "maskBits in [1, 48]")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  private val mask: Long = (1L << maskBits) - 1
+
+  override def compute(s: UTF8String): Any = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + CdcChunkHashes.gear(bytes(i) & 0xff)
+      val size = i - start + 1
+      if ((size >= minSize && (h & mask) == 0L) || size >= maxSize ||
+        i == n - 1) {
+        out += CdcChunkHashes.fnv64(bytes, start, i + 1)
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunkHashes {
+  /** md5-derived 64-bit gear constants, one per byte value. */
+  val gear: Array[Long] = Array.tabulate(256) { b =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array(b.toByte))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** FNV-1a 64 over a byte slice — the chunk's content address. */
+  def fnv64(b: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}

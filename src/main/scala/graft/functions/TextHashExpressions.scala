@@ -283,6 +283,10 @@ object TextHashFunctions {
       es => NormalizeText(es(0)))
     Registry.ensure(spark, "graft_deflate_ratio")(
       es => DeflateRatio(es(0)))
+    Registry.ensure(spark, "graft_cdc_chunks")(es => CdcChunkHashes(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue(),
+      es(2).eval(null).asInstanceOf[Number].intValue(),
+      es(3).eval(null).asInstanceOf[Number].intValue()))
   }
 
   /** Column builders self-register against the active session (these are
@@ -305,4 +309,8 @@ object TextHashFunctions {
     { ensure(); call_function("graft_normalize_text", text) }
   def deflateRatio(text: Column): Column =
     { ensure(); call_function("graft_deflate_ratio", text) }
+  def cdcChunkHashes(text: Column, minSize: Int, maskBits: Int,
+                     maxSize: Int): Column =
+    { ensure(); call_function("graft_cdc_chunks", text, lit(minSize),
+      lit(maskBits), lit(maxSize)) }
 }

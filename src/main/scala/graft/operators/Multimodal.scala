@@ -106,4 +106,38 @@ object Multimodal {
           .as("dedup_ratio"),
         col("top_count").cast("long").as("top_chunk_count"))
   }
+
+  /** [[chunkDedupReport]]'s content-defined sibling: chunk boundaries come
+    * from the gear rolling hash ([[graft.functions.CdcChunkHashes]]), so an
+    * insertion re-phases only the chunks up to the next content boundary —
+    * the savings this report finds are the ones fixed-size chunking
+    * provably misses on shifted content, and the pair of reports brackets
+    * the real dedup opportunity from below and from (nearly) above.
+    * Expected chunk size ≈ 2^maskBits bytes between [minSize, maxSize].
+    * NOT SQL-expressible (per-byte rolling state) — the driver records a
+    * rows-only check; value correctness is spec-anchored
+    * (the q217 DeflateRatio precedent). Same plan shape as the fixed-size
+    * report: one explode pass, two aggregations. */
+  def cdcChunkDedupReport(df: DataFrame, payloadCol: String,
+                          minSize: Int = 16, maskBits: Int = 6,
+                          maxSize: Int = 256): DataFrame = {
+    graft.functions.TextHashFunctions.register(df.sparkSession)
+    val chunks = df
+      .filter(col(payloadCol).isNotNull && length(col(payloadCol)) > 0)
+      .select(explode(graft.functions.TextHashFunctions.cdcChunkHashes(
+        col(payloadCol), minSize, maskBits, maxSize)).as("h"))
+      .localCheckpoint()
+    val perHash = chunks.groupBy("h").agg(count(lit(1)).as("c"))
+    val docs = df.filter(col(payloadCol).isNotNull &&
+      length(col(payloadCol)) > 0).agg(count(lit(1)).as("n_docs"))
+    docs.crossJoin(broadcast(perHash.agg(
+        count(lit(1)).as("n_distinct"), sum(col("c")).as("n_chunks"),
+        max(col("c")).as("top_count"))))
+      .select(col("n_docs").cast("long").as("n_docs"),
+        col("n_chunks").cast("long").as("n_chunks"),
+        col("n_distinct").cast("long").as("n_distinct_chunks"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_chunks"), 6)
+          .as("dedup_ratio"),
+        col("top_count").cast("long").as("top_chunk_count"))
+  }
 }

@@ -160,6 +160,7 @@ class PlanSpec extends SparkSpec {
       "q239_burstiness", // |keys| x broadcast |days|-row spine densify
       "q240_cold_start", // four 1-row count control frames cross-joined
       "q241_chunk_dedup", // 1-row docs x 1-row chunk-stats control frames
+      "q243_cdc_chunk_dedup", // 1-row docs x 1-row chunk-stats control frames
       "q231_heaps_fit", // 1-row log-means frame x |sources|-row points frame
       "q230_kaplan_meier") // 1-row corpus-end frame cross-joined
     // write-path/iterative queries execute real work at construction time;

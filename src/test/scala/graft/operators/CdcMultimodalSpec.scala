@@ -104,4 +104,28 @@ class CdcMultimodalSpec extends SparkSpec {
       .collect().head
     assert(s.getDouble(3) == 0.0, "re-phased content shares no fixed chunks")
   }
+
+  test("cdcChunkDedupReport: boundaries re-sync after an insertion where fixed-size stays blind") {
+    // a long pseudo-random payload (deterministic generator, varied bytes
+    // so gear boundaries actually fire), duplicated with a 1-char prefix
+    val rnd = new scala.util.Random(42)
+    val payload = (1 to 4000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val pair = Seq(payload, "X" + payload).toDF("payload")
+    val fixed = Multimodal.chunkDedupReport(pair, "payload", chunkSize = 64)
+      .collect().head
+    val cdc = Multimodal.cdcChunkDedupReport(pair, "payload",
+      minSize = 16, maskBits = 6, maxSize = 256).collect().head
+    assert(fixed.getDouble(3) == 0.0, "fixed-size: fully re-phased")
+    assert(cdc.getDouble(3) > 0.3,
+      s"CDC must re-sync and find the shared tail: ${cdc.getDouble(3)}")
+    // identical payloads: every chunk shared -> ratio 1/2 of chunk volume
+    val twin = Seq(payload, payload).toDF("payload")
+    val t = Multimodal.cdcChunkDedupReport(twin, "payload").collect().head
+    assert(t.getDouble(3) == 0.5 && t.getLong(4) == 2L)
+    // determinism + chunk-count sanity: ~len/2^maskBits chunks expected
+    val one = Multimodal.cdcChunkDedupReport(Seq(payload).toDF("payload"),
+      "payload").collect().head
+    assert(one.getLong(1) == t.getLong(1) / 2)
+    assert(one.getLong(1) >= 4000 / 256 && one.getLong(1) <= 4000 / 16)
+  }
 }
