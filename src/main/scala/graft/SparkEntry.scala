@@ -2668,6 +2668,14 @@ object SparkEntry {
       TW(s, dir, "documents"), "text", minSize = 16, maskBits = 6,
       maxSize = 256)
 
+  /** Learn a 20-merge BPE table from the corpus character sequences — the
+    * tokenizer-training loop itself. NOT SQL-expressible (each round's
+    * argmax feeds the next round's rewrite) -> rows-only driver check;
+    * CorpusSpec anchors the classic low/lower/lowest example. */
+  private def q244(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.bpeLearn(TW(s, dir, "documents"), "text",
+      nMerges = 20)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2913,7 +2921,8 @@ object SparkEntry {
     "q240_cold_start" -> (q240 _),
     "q241_chunk_dedup" -> (q241 _),
     "q242_ratio_metric_ci" -> (q242 _),
-    "q243_cdc_chunk_dedup" -> (q243 _)
+    "q243_cdc_chunk_dedup" -> (q243 _),
+    "q244_bpe_learn" -> (q244 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -262,6 +262,50 @@ case class SimHashSig64(child: Expression) extends TextHashExpression {
     copy(child = newChild)
 }
 
+/** One greedy left-to-right BPE merge pass: every adjacent (a, b) token
+  * pair collapses to the concatenation `ab`, non-overlapping (after a
+  * merge, scanning resumes AFTER the merged token — "aaa" under (a,a)
+  * yields ["aa", "a"], the reference BPE application rule). One round of
+  * the trainer loop [[graft.operators.Corpus.bpeLearn]] applies per
+  * vocabulary row; the loop stays in whole-stage codegen through the same
+  * addReferenceObj route as [[TextHashExpression]]. */
+case class BpeMergeOnce(child: Expression, a: UTF8String, b: UTF8String)
+    extends UnaryExpression with ExpectsInputTypes {
+  // Seq is covariant, so Seq[DataType] satisfies ExpectsInputTypes
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_merge"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (i + 1 < n && cur.equals(a) && arr.getUTF8String(i + 1).equals(b)) {
+        out += UTF8String.concat(a, b)
+        i += 2
+      } else {
+        out += cur
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBpeMerge", this,
+      classOf[BpeMergeOnce].getName)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = $ref.compute($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashFunctions {
   private def intOf(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
@@ -287,6 +331,9 @@ object TextHashFunctions {
       es(1).eval(null).asInstanceOf[Number].intValue(),
       es(2).eval(null).asInstanceOf[Number].intValue(),
       es(3).eval(null).asInstanceOf[Number].intValue()))
+    Registry.ensure(spark, "graft_bpe_merge")(es => BpeMergeOnce(es(0),
+      es(1).eval(null).asInstanceOf[UTF8String],
+      es(2).eval(null).asInstanceOf[UTF8String]))
   }
 
   /** Column builders self-register against the active session (these are
@@ -313,4 +360,6 @@ object TextHashFunctions {
                      maxSize: Int): Column =
     { ensure(); call_function("graft_cdc_chunks", text, lit(minSize),
       lit(maskBits), lit(maxSize)) }
+  def bpeMergeOnce(tokens: Column, a: String, b: String): Column =
+    { ensure(); call_function("graft_bpe_merge", tokens, lit(a), lit(b)) }
 }

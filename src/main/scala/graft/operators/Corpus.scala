@@ -536,6 +536,70 @@ object Corpus {
         round(sum(col("lw")), 4).as("log_weight"))
   }
 
+  /** Learn a byte-pair-encoding merge table — the actual tokenizer-
+    * training loop, not just the first round's pair counts
+    * ([[bpePairCounts]]): start from per-word CHARACTER sequences, and for
+    * `nMerges` rounds (1) count adjacent token pairs weighted by word
+    * frequency, (2) pick the most frequent pair (ties to the
+    * lexicographically smallest — deterministic), (3) collapse that pair
+    * corpus-wide via the codegen'd greedy left-to-right
+    * [[graft.functions.BpeMergeOnce]]. Returns the learned merge table in
+    * order: exactly the artifact a BPE tokenizer ships.
+    *
+    * Scale contract: the distributed state is the WORD VOCABULARY (one
+    * row per distinct word with its corpus frequency — Heaps-bounded,
+    * never the corpus), so each round is one explode-count over vocab
+    * rows plus one 1-row argmax collect (control plane) and one mapped
+    * column rewrite; `localCheckpoint` per round cuts the lineage like
+    * every fixed-round operator here. Pair counts follow the reference
+    * convention: ALL adjacent positions count (overlaps included);
+    * application is non-overlapping greedy left-to-right. NOT
+    * SQL-expressible (per-round argmax feeds the next round's rewrite) —
+    * rows-only gate, spec-anchored on the classic low/lower/lowest
+    * corpus. */
+  def bpeLearn(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, "nMerges in [1, 64]")
+    val spark = df.sparkSession
+    graft.functions.TextHashFunctions.register(spark)
+    var vocab = df
+      .select(explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).cast("long").as("freq"))
+      .select(col("freq"), transform(
+        sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("t"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    var dry = false
+    while (r < nMerges && !dry) {
+      val best = vocab.filter(size(col("t")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("a"),
+            element_at(col("t"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .agg(min(struct(negate(col("n")).as("negn"), col("a"), col("b"))).as("m"))
+        .collect()
+      if (best.isEmpty || best(0).isNullAt(0)) dry = true
+      else {
+        val row = best(0).getStruct(0)
+        val (a, b, n) = (row.getString(1), row.getString(2), -row.getLong(0))
+        merges += ((a, b, n))
+        vocab = vocab.select(col("freq"),
+            graft.functions.TextHashFunctions.bpeMergeOnce(col("t"), a, b)
+              .as("t"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b, n), i) =>
+      ((i + 1).toLong, a, b, a + b, n)
+    }.toSeq.toDF("merge_rank", "left", "right", "merged", "n_occ")
+  }
+
   /** Heaps'-law fit `V = K·N^β` across per-group (token-count, vocabulary)
     * points: log-log OLS over the |groups|-row frame. The corpus-growth
     * planning number — β says how fast NEW vocabulary keeps arriving as

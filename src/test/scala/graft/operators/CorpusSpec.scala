@@ -54,6 +54,37 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq(("ab", 3L, 1L), ("ba", 2L, 2L)))
   }
 
+  test("bpeLearn learns the classic low/lower/lowest merge table in order") {
+    // words: low x2, lower x1, lowest x1 (split across two docs to prove
+    // the vocab aggregation is corpus-wide, not per-doc)
+    val docs = Seq((1L, "low lower"), (2L, "low lowest")).toDF("doc_id", "text")
+    val out = Corpus.bpeLearn(docs, "text", nMerges = 10)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    // round 1: (l,o)=4 ties (o,w)=4, lexicographically smallest wins;
+    // rounds proceed lo->low->lowe->lower->lowes->lowest then go dry
+    // before exhausting nMerges=10
+    assert(out.toSeq == Seq(
+      (1L, "l", "o", "lo", 4L),
+      (2L, "lo", "w", "low", 4L),
+      (3L, "low", "e", "lowe", 2L),
+      (4L, "lowe", "r", "lower", 1L),
+      (5L, "lowe", "s", "lowes", 1L),
+      (6L, "lowes", "t", "lowest", 1L)))
+  }
+
+  test("bpeLearn counts overlapping pairs but applies merges greedily") {
+    // "aaa": pair (a,a) occurs at 2 positions (overlap counted), but the
+    // merge rewrites greedily left-to-right -> [aa, a], the reference
+    // BPE application rule
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val out = Corpus.bpeLearn(docs, "text", nMerges = 5)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(out.toSeq == Seq(("a", "a", 4L), ("aa", "a", 2L)))
+  }
+
   test("domainCapReport caps per host deterministically") {
     val docs = (1L to 5L).map(i => (i, "https://big.example.com/p/" + i)) ++
       Seq((6L, "https://mid.example.com/p/6"), (7L, "https://mid.example.com/p/7"),
