@@ -4651,6 +4651,109 @@ object OracleSql {
          |  ${rnd(s"r - 1.959963984540054 * $seExpr", 4)} AS ci_lo,
          |  ${rnd(s"r + 1.959963984540054 * $seExpr", 4)} AS ci_hi
          |FROM d""".stripMargin
+    },
+
+    // q245: exact strict-dominance skyline — the NOT EXISTS form is the
+    // definition; the Spark side's running-max-over-distinct-x plan must
+    // reproduce it point for point
+    "q245_pareto_front" ->
+      s"""WITH m AS (SELECT doc_id, n_chars,
+         |    len(list_distinct($toksExpr))::BIGINT AS n_types
+         |  FROM documents),
+         |pts AS (SELECT n_chars, n_types, count(*)::BIGINT AS n_members,
+         |    min(doc_id) AS min_id FROM m GROUP BY 1, 2)
+         |SELECT n_chars, n_types, n_members, min_id FROM pts p
+         |WHERE NOT EXISTS (SELECT 1 FROM pts q
+         |  WHERE q.n_chars >= p.n_chars AND q.n_types >= p.n_types
+         |    AND (q.n_chars > p.n_chars OR q.n_types > p.n_types))""".stripMargin,
+
+    // q246: hash-deterministic Poisson(1) inverse-CDF weights; replicate
+    // means are exact-DECIMAL-numerator single fp divisions, so only the
+    // 64-value stddev is fp (rounded)
+    "q246_poisson_bootstrap" -> {
+      val cum = Seq("0.36787944117144233", "0.7357588823428847",
+        "0.9196986029286058", "0.9810118431238463", "0.9963401531726563",
+        "0.9994058151824183", "0.999916758850712", "0.9999897508033253",
+        "0.999998874797402")
+      val wCase = cum.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString("CASE ", " ", " ELSE 9 END")
+      s"""WITH base AS (SELECT o_orderstatus AS g,
+         |    o_orderkey::VARCHAR AS id, o_totalprice::DECIMAL(18,2) AS v
+         |  FROM orders
+         |  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+         |reps AS (SELECT g, id, v, unnest(range(64)) AS rep FROM base),
+         |us AS (SELECT g, rep, v,
+         |    ${h32("id || ':' || rep::VARCHAR")}::DOUBLE / 4294967296.0 AS u
+         |  FROM reps),
+         |wt AS (SELECT g, rep, v, ($wCase)::BIGINT AS w FROM us),
+         |rm AS (SELECT g, rep,
+         |    sum(w * v)::DOUBLE / sum(w)::DOUBLE AS m
+         |  FROM wt GROUP BY 1, 2),
+         |se AS (SELECT g, stddev_samp(m) AS boot_se FROM rm GROUP BY 1),
+         |fl AS (SELECT g, count(*)::BIGINT AS n_rows,
+         |    sum(v)::DOUBLE / count(*)::DOUBLE AS est FROM base GROUP BY 1)
+         |SELECT fl.g AS o_orderstatus, n_rows, ${rnd("est", 4)} AS mean,
+         |  ${rnd("boot_se", 4)} AS boot_se,
+         |  ${rnd("est - 1.959963984540054 * boot_se", 4)} AS ci_lo,
+         |  ${rnd("est + 1.959963984540054 * boot_se", 4)} AS ci_hi
+         |FROM fl JOIN se USING (g)""".stripMargin
+    },
+
+    // q247: normal-mixture mSPRT, tau2 = 10 (mirrors Stats.msprt)
+    "q247_msprt" -> {
+      val va = "(ssa - sa * sa / na) / (na - 1)"
+      val vb = "(ssb - sb * sb / nb) / (nb - 1)"
+      val vn = s"($va / na + $vb / nb)"
+      val delta = "(sb / nb - sa / na)"
+      val lam = s"(sqrt($vn / ($vn + 10.0)) * " +
+        s"exp($delta * $delta * 10.0 / (2.0 * $vn * ($vn + 10.0))))"
+      s"""WITH m AS (SELECT event_type,
+         |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nb,
+         |    sum(CASE WHEN user_id % 2 <> 1 THEN 1 ELSE 0 END) AS na,
+         |    sum(CASE WHEN user_id % 2 = 1 THEN value ELSE 0.0 END) AS sb,
+         |    sum(CASE WHEN user_id % 2 <> 1 THEN value ELSE 0.0 END) AS sa,
+         |    sum(CASE WHEN user_id % 2 = 1 THEN value * value ELSE 0.0 END) AS ssb,
+         |    sum(CASE WHEN user_id % 2 <> 1 THEN value * value ELSE 0.0 END) AS ssa
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+         |SELECT event_type, (na + nb)::BIGINT AS n,
+         |  ${rnd(delta, 4)} AS delta, ${rnd(lam, 4)} AS lambda,
+         |  ${rnd(s"least(1.0, 1.0 / $lam)", 4)} AS always_valid_p
+         |FROM m""".stripMargin
+    },
+
+    // q248: 2x2 diff-in-diff over the q227 pre/post cut (mirrors
+    // Stats.diffInDiff cell moments)
+    "q248_diff_in_diff" -> {
+      def cell(tag: String, cond: String): String =
+        s"""sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS n_$tag,
+           |    sum(CASE WHEN $cond THEN value ELSE 0.0 END) AS s_$tag,
+           |    sum(CASE WHEN $cond THEN value * value ELSE 0.0 END) AS ss_$tag""".stripMargin
+      def mean(t: String) = s"(s_$t / n_$t)"
+      def vt(t: String) =
+        s"(((ss_$t - s_$t * s_$t / n_$t) / (n_$t - 1)) / n_$t)"
+      val did = s"((${mean("tp")} - ${mean("t0")}) - " +
+        s"(${mean("cp")} - ${mean("c0")}))"
+      val se = s"sqrt(${vt("tp")} + ${vt("t0")} + ${vt("cp")} + ${vt("c0")})"
+      s"""WITH m AS (SELECT
+         |    ${cell("tp", "user_id % 2 = 0 AND ts::DATE >= DATE '2024-01-16'")},
+         |    ${cell("t0", "user_id % 2 = 0 AND ts::DATE < DATE '2024-01-16'")},
+         |    ${cell("cp", "user_id % 2 <> 0 AND ts::DATE >= DATE '2024-01-16'")},
+         |    ${cell("c0", "user_id % 2 <> 0 AND ts::DATE < DATE '2024-01-16'")}
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT (n_tp + n_t0 + n_cp + n_c0)::BIGINT AS n,
+         |  ${rnd(mean("t0"), 4)} AS treat_pre,
+         |  ${rnd(mean("tp"), 4)} AS treat_post,
+         |  ${rnd(mean("c0"), 4)} AS control_pre,
+         |  ${rnd(mean("cp"), 4)} AS control_post,
+         |  ${rnd(did, 4)} AS did, ${rnd(se, 6)} AS se,
+         |  ${rnd(s"$did / $se", 4)} AS z
+         |FROM m""".stripMargin
     }
+
+    // q249 (BPE encode) has NO oracle by design: it inherits q244's
+    // sequential per-round argmax (each round's winner rewrites the next
+    // round's input), which SQL cannot replay -> rows-only driver check,
+    // CorpusSpec anchors fertility/chars-per-token on a known corpus.
   )
 }

@@ -2676,6 +2676,46 @@ object SparkEntry {
     graft.operators.Corpus.bpeLearn(TW(s, dir, "documents"), "text",
       nMerges = 20)
 
+  /** Pareto frontier over per-doc (chars, distinct tokens): the curation
+    * trade-off surface — no doc on it is beaten on BOTH size and lexical
+    * richness. Exact NOT-EXISTS dominance oracle. */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents").select(col("doc_id"),
+      col("n_chars"),
+      size(array_distinct(graft.operators.Dedup.tokens(col("text"))))
+        .cast("long").as("n_types"))
+    graft.operators.Stats.paretoFrontier(docs, "doc_id", "n_chars",
+      "n_types")
+  }
+
+  /** Poisson-bootstrap SE of mean order value per status: 64 hash-
+    * deterministic Poisson(1) replicate weights per row, all replicates in
+    * one pass (the bootstrap that works at 100 TB — no resampling
+    * shuffle). */
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.poissonBootstrapSE(T(s, dir, "orders"),
+      "o_orderstatus", "o_orderkey", "o_totalprice", b = 64)
+
+  /** Always-valid p-value (normal-mixture mSPRT) per event type between
+    * user-parity arms — the peeking-safe dashboard statistic. */
+  private def q247(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.msprt(T(s, dir, "events"), "event_type",
+      pmod(col("user_id"), lit(2L)) === 1, "value", tau2 = 10.0)
+
+  /** Difference-in-differences across the q227 pre/post cut between
+    * user-parity arms: the 2x2 panel estimator with four-cell SE. */
+  private def q248(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.diffInDiff(T(s, dir, "events"),
+      pmod(col("user_id"), lit(2L)) === 0,
+      to_date(col("ts")) >= lit("2024-01-16").cast("date"), "value")
+
+  /** Tokenizer economics per source under a freshly learned 16-merge BPE
+    * table: fertility and chars-per-token from the trainer's final
+    * vocabulary state. Inherits q244's sequential argmax -> rows-only. */
+  private def q249(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.bpeEncode(TW(s, dir, "documents"), "text",
+      "source", nMerges = 16)
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2922,7 +2962,12 @@ object SparkEntry {
     "q241_chunk_dedup" -> (q241 _),
     "q242_ratio_metric_ci" -> (q242 _),
     "q243_cdc_chunk_dedup" -> (q243 _),
-    "q244_bpe_learn" -> (q244 _)
+    "q244_bpe_learn" -> (q244 _),
+    "q245_pareto_front" -> (q245 _),
+    "q246_poisson_bootstrap" -> (q246 _),
+    "q247_msprt" -> (q247 _),
+    "q248_diff_in_diff" -> (q248 _),
+    "q249_bpe_encode" -> (q249 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

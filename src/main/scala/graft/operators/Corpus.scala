@@ -558,6 +558,21 @@ object Corpus {
     * rows-only gate, spec-anchored on the classic low/lower/lowest
     * corpus. */
   def bpeLearn(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val (merges, _) = bpeTrain(df, textCol, nMerges)
+    val spark = df.sparkSession
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b, n), i) =>
+      ((i + 1).toLong, a, b, a + b, n)
+    }.toDF("merge_rank", "left", "right", "merged", "n_occ")
+  }
+
+  /** The shared BPE trainer behind [[bpeLearn]] and [[bpeEncode]]: returns
+    * the merge list in learn order AND the final per-word vocabulary state
+    * (`w`, `freq`, token array `t`) — for the training corpus itself,
+    * running the learned merges to completion IS the encoding, so the
+    * encode report falls straight out of the trainer's final state. */
+  private def bpeTrain(df: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(String, String, Long)], DataFrame) = {
     require(nMerges >= 1 && nMerges <= 64, "nMerges in [1, 64]")
     val spark = df.sparkSession
     graft.functions.TextHashFunctions.register(spark)
@@ -565,7 +580,7 @@ object Corpus {
       .select(explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).cast("long").as("freq"))
-      .select(col("freq"), transform(
+      .select(col("w"), col("freq"), transform(
         sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))).as("t"))
       .localCheckpoint()
@@ -587,17 +602,49 @@ object Corpus {
         val row = best(0).getStruct(0)
         val (a, b, n) = (row.getString(1), row.getString(2), -row.getLong(0))
         merges += ((a, b, n))
-        vocab = vocab.select(col("freq"),
+        vocab = vocab.select(col("w"), col("freq"),
             graft.functions.TextHashFunctions.bpeMergeOnce(col("t"), a, b)
               .as("t"))
           .localCheckpoint()
         r += 1
       }
     }
-    import spark.implicits._
-    merges.zipWithIndex.map { case ((a, b, n), i) =>
-      ((i + 1).toLong, a, b, a + b, n)
-    }.toSeq.toDF("merge_rank", "left", "right", "merged", "n_occ")
+    (merges.toSeq, vocab)
+  }
+
+  /** Encode the corpus under a freshly learned `nMerges`-merge BPE table
+    * and report per-group tokenizer economics: word count, BPE token
+    * count, fertility (BPE tokens per word — the number tokenizer teams
+    * actually watch), and chars-per-token (compression). The encoding
+    * itself is free: the trainer's final vocabulary state ([[bpeTrain]])
+    * already holds each distinct word's merged token sequence, so the
+    * report is one (group, word)-counts aggregate joined against the
+    * Heaps-bounded vocabulary — per-document text is never re-scanned by
+    * the merge loop. Broadcast-friendly: the vocab side is the small side
+    * at any corpus size where BPE makes sense. NOT SQL-expressible
+    * (inherits the trainer's sequential argmax) — rows-only gate,
+    * spec-anchored next to [[bpeLearn]]. */
+  def bpeEncode(df: DataFrame, textCol: String, groupCol: String,
+                nMerges: Int): DataFrame = {
+    val (_, vocab) = bpeTrain(df, textCol, nMerges)
+    val perWord = df
+      .select(col(groupCol).as("g"),
+        explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("g"), col("w"))
+      .agg(count(lit(1)).cast("long").as("n_w"))
+    perWord
+      .join(vocab.select(col("w"), size(col("t")).cast("long").as("n_bpe")),
+        Seq("w"))
+      .groupBy(col("g").as(groupCol))
+      .agg(sum(col("n_w")).as("n_words"),
+        sum(col("n_w") * col("n_bpe")).as("n_bpe_tokens"),
+        sum(col("n_w") * length(col("w")).cast("long")).as("n_chars"))
+      .select(col(groupCol), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 4).as("fertility"),
+        round(col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"), 4).as("chars_per_token"))
   }
 
   /** Heaps'-law fit `V = K·N^β` across per-group (token-count, vocabulary)

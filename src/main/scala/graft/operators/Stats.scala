@@ -1106,4 +1106,180 @@ object Stats {
       .groupBy(col("k").as(keyCol), col("q"))
       .agg(min(col("v")).as("value"))
   }
+
+  /** 2-D Pareto frontier (skyline, both dimensions maximized): the points
+    * no other point dominates (≥ in both dims, > in at least one) — the
+    * curation trade-off surface ("no doc is both longer AND lexically
+    * richer"). Output: one row per frontier POINT with its member count
+    * and smallest id, ordered implicitly by the caller.
+    *
+    * Scale shape: collapse to distinct (x, max-y-at-x) first — the window
+    * then scans DISTINCT x values, not rows. That global ordered window is
+    * a single-partition sort over |distinct x| (bounded: a metric's value
+    * grid, not the corpus); the row→point collapse before it is an
+    * ordinary shuffled aggregate. Dominance via running max: after
+    * per-x collapse, a point is on the frontier iff its y strictly
+    * exceeds every y at strictly larger x — exactly `max(y) over
+    * (order by x desc rows unbounded preceding .. 1 preceding)`, so ties
+    * in x never self-dominate and equal-y plateaus keep only the
+    * largest-x point (standard strict-dominance skyline). */
+  def paretoFrontier(df: DataFrame, idCol: String, xCol: String,
+                     yCol: String): DataFrame = {
+    val pts = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        min(col(idCol)).as("min_id"))
+    val atX = pts.groupBy(col("x"))
+      .agg(max(col("y")).as("ymax"))
+    val w = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = atX
+      .withColumn("prev_best", max(col("ymax")).over(w))
+      .filter(col("prev_best").isNull || col("ymax") > col("prev_best"))
+      .select(col("x"), col("ymax").as("y"))
+    frontier.join(pts, Seq("x", "y"))
+      .select(col("x").as(xCol), col("y").as(yCol), col("n_members"),
+        col("min_id"))
+  }
+
+  /** Poisson bootstrap standard error of a per-group mean — the bootstrap
+    * that scales: instead of resampling rows (a shuffle per replicate),
+    * each row carries `b` independent Poisson(1) weights derived from a
+    * portable hash of (unit id, replicate), so ALL replicates compute in
+    * ONE pass with map-side partial aggregation and the only shuffle is
+    * the (group × replicate) aggregate — `b`× map-side row expansion,
+    * zero extra scans. Standard large-scale practice (each replicate's
+    * total weight ~Poisson(n) ≈ n, the classic multinomial-bootstrap
+    * approximation).
+    *
+    * Determinism: weight = inverse-CDF lookup of u = portableHash32(
+    * id:rep)/2^32 against hard-coded Poisson(1) cumulative literals —
+    * engine-portable bit-for-bit (the same md5-derived hash the sampling
+    * operators use). Value sums are DECIMAL(18,2): exact and
+    * summation-order-independent, so replicate means are reproducible
+    * across partitionings; only the final stddev over `b` means is fp.
+    * Output per group: n rows, the full-sample mean, the bootstrap SE,
+    * and the normal-approximation CI. */
+  def poissonBootstrapSE(df: DataFrame, groupCol: String, idCol: String,
+                         valueCol: String, b: Int): DataFrame = {
+    require(b >= 2 && b <= 512, "replicates in [2, 512]")
+    val cum = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183, 0.999916758850712, 0.9999897508033253,
+      0.999998874797402)
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        col(idCol).cast("string").as("id"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+    val u = graft.functions.Hashes.portableHash32(
+      concat(col("id"), lit(":"), col("rep").cast("string")))
+      .cast("double") / lit(4294967296.0)
+    // inverse-CDF: weight k has cumulative mass cum(k); u >= last literal
+    // (mass 1.1e-6) truncates to 9 — beyond any per-replicate noise
+    val weight = cum.zipWithIndex.foldRight(lit(9): Column) {
+      case ((c, k), rest) => when(col("u") < lit(c), lit(k)).otherwise(rest)
+    }
+    val reps = base
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("u", u)
+      .withColumn("w", weight.cast("long"))
+      .groupBy(col("g"), col("rep"))
+      // exact DECIMAL numerator, exact integer denominator, then ONE fp
+      // division — the replicate mean is bit-identical across engines
+      // and partitionings
+      .agg((sum(col("w") * col("v")).cast("double") /
+        sum(col("w")).cast("double")).as("m"))
+      .groupBy(col("g"))
+      .agg(stddev_samp(col("m")).as("boot_se"))
+    val full = base.groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        (sum(col("v")).cast("double") /
+          count(lit(1)).cast("double")).as("est"))
+    full.join(reps, Seq("g"))
+      .select(col("g").as(groupCol), col("n_rows"),
+        round(col("est"), 4).as("mean"),
+        round(col("boot_se"), 4).as("boot_se"),
+        round(col("est") - lit(1.959963984540054) * col("boot_se"), 4)
+          .as("ci_lo"),
+        round(col("est") + lit(1.959963984540054) * col("boot_se"), 4)
+          .as("ci_hi"))
+  }
+
+  /** Mixture sequential probability ratio test (mSPRT) — the always-valid
+    * p-value an experimentation platform shows on a LIVE dashboard: unlike
+    * a fixed-horizon t-test, it stays valid under continuous monitoring
+    * (peeking), because the mixture likelihood ratio is a martingale under
+    * the null. Normal mixture with variance `tau2` over the treatment
+    * effect; two-sample form with plug-in variance
+    * `V = s²_a/n_a + s²_b/n_b`:
+    *
+    *   Λ = sqrt(V/(V+τ²)) · exp(δ²τ² / (2V(V+τ²))),  p = min(1, 1/Λ)
+    *
+    * One conditional-moment pass per group (map-side partials — the 100 TB
+    * cost is the scan, as [[welchTTest]]); the mixture algebra is a
+    * per-group scalar epilogue. */
+  def msprt(df: DataFrame, groupCol: String, arm: Column, valueCol: String,
+            tau2: Double): DataFrame = {
+    require(tau2 > 0, "tau2 > 0")
+    val v = col(valueCol).cast("double")
+    val m = df.filter(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sum(when(arm, 1L).otherwise(0L)).as("nb"),
+        sum(when(!arm, 1L).otherwise(0L)).as("na"),
+        sum(when(arm, v).otherwise(lit(0.0))).as("sb"),
+        sum(when(!arm, v).otherwise(lit(0.0))).as("sa"),
+        sum(when(arm, v * v).otherwise(lit(0.0))).as("ssb"),
+        sum(when(!arm, v * v).otherwise(lit(0.0))).as("ssa"))
+    val va = (col("ssa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+    val vb = (col("ssb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val vn = va / col("na") + vb / col("nb")
+    val delta = col("sb") / col("nb") - col("sa") / col("na")
+    val lam = sqrt(vn / (vn + lit(tau2))) *
+      exp(delta * delta * lit(tau2) / (lit(2.0) * vn * (vn + lit(tau2))))
+    m.select(col(groupCol),
+      (col("na") + col("nb")).cast("long").as("n"),
+      round(delta, 4).as("delta"),
+      round(lam, 4).as("lambda"),
+      round(least(lit(1.0), lit(1.0) / lam), 4).as("always_valid_p"))
+  }
+
+  /** Difference-in-differences: the 2×2 (treat × post) panel estimator
+    * `(T_post − T_pre) − (C_post − C_pre)` with its four-cell pooled SE
+    * `sqrt(Σ s²_cell/n_cell)` — the pre-period differences out any fixed
+    * group gap, so the estimate isolates the post-period treatment shift
+    * under the parallel-trends assumption. One conditional-moment pass
+    * over the facts (4 cells × 3 moments, all map-side partials); output
+    * is one row. */
+  def diffInDiff(df: DataFrame, treat: Column, post: Column,
+                 valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cells = Seq(("tp", true, true), ("t0", true, false),
+      ("cp", false, true), ("c0", false, false))
+    val aggs = cells.flatMap { case (tag, t, p) =>
+      val in = (if (t) treat else !treat) && (if (p) post else !post)
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$tag"),
+        sum(when(in, v).otherwise(lit(0.0))).as(s"s_$tag"),
+        sum(when(in, v * v).otherwise(lit(0.0))).as(s"ss_$tag"))
+    }
+    val m = df.filter(v.isNotNull).agg(aggs.head, aggs.tail: _*)
+    def mean(tag: String): Column = col(s"s_$tag") / col(s"n_$tag")
+    def varTerm(tag: String): Column =
+      ((col(s"ss_$tag") - col(s"s_$tag") * col(s"s_$tag") / col(s"n_$tag")) /
+        (col(s"n_$tag") - 1)) / col(s"n_$tag")
+    val did = (mean("tp") - mean("t0")) - (mean("cp") - mean("c0"))
+    val se = sqrt(varTerm("tp") + varTerm("t0") + varTerm("cp") +
+      varTerm("c0"))
+    m.select(
+      (col("n_tp") + col("n_t0") + col("n_cp") + col("n_c0")).cast("long")
+        .as("n"),
+      round(mean("t0"), 4).as("treat_pre"),
+      round(mean("tp"), 4).as("treat_post"),
+      round(mean("c0"), 4).as("control_pre"),
+      round(mean("cp"), 4).as("control_post"),
+      round(did, 4).as("did"),
+      round(se, 6).as("se"),
+      round(did / se, 4).as("z"))
+  }
 }

@@ -85,6 +85,18 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", "a", 4L), ("aa", "a", 2L)))
   }
 
+  test("bpeEncode reports fertility under the learned merge table") {
+    // 3 merges on the low/lower/lowest corpus: lo, low, lowe — so
+    // low->[low](1 tok), lower->[lowe,r](2), lowest->[lowe,s,t](3)
+    val docs = Seq(("s1", "low lower"), ("s2", "low lowest"))
+      .toDF("source", "text")
+    val out = Corpus.bpeEncode(docs, "text", "source", nMerges = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("s1") == ((2L, 3L, 1.5, 2.6667))) // 8 chars / 3 bpe tokens
+    assert(out("s2") == ((2L, 4L, 2.0, 2.25)))   // 9 chars / 4 bpe tokens
+  }
+
   test("domainCapReport caps per host deterministically") {
     val docs = (1L to 5L).map(i => (i, "https://big.example.com/p/" + i)) ++
       Seq((6L, "https://mid.example.com/p/6"), (7L, "https://mid.example.com/p/7"),

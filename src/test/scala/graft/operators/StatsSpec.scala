@@ -591,4 +591,75 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(t1.getDouble(4) - math.rint(expT * 1e4) / 1e4) < 1e-9)
     assert(t1.getDouble(5) == 98.0, "equal variances: Welch df = n1+n2-2")
   }
+
+  test("paretoFrontier keeps exactly the undominated points, with counts") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L, 1L), (2L, 5L, 1L), (3L, 4L, 3L), (4L, 3L, 3L),
+      (5L, 4L, 2L), (6L, 2L, 4L), (7L, 3L, 4L)).toDF("id", "x", "y")
+    val out = Stats.paretoFrontier(pts, "id", "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // (5,1)x2 survives (nothing has x>=5 except itself); (4,3) beats
+    // (4,2) and (3,3); the (y=4) plateau keeps only the larger-x (3,4)
+    assert(out == Set((5L, 1L, 2L, 1L), (4L, 3L, 1L, 3L),
+      (3L, 4L, 1L, 7L)))
+  }
+
+  test("poissonBootstrapSE: exact mean, positive SE, partition-invariant") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => ("g" + (i % 2), i.toLong, (i % 50) * 1.0))
+      .toDF("g", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.poissonBootstrapSE(d, "g", "id", "v", b = 32)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).sortBy(_._1)
+    val out = run(df)
+    assert(out.map(_._2).toSeq == Seq(200L, 200L))
+    // the point estimate is the EXACT full-sample mean, not a resample:
+    // g0 holds the even residues 0,2,..,48 (mean 24), g1 the odds (25)
+    assert(out.map(_._3).toSeq == Seq(24.0, 25.0))
+    assert(out.forall(_._4 > 0.0), "bootstrap SE must be positive")
+    // hash-derived weights: identical output under any partitioning
+    assert(run(df.repartition(13)).toSeq == out.toSeq)
+  }
+
+  test("msprt matches the closed-form mixture likelihood ratio") {
+    import spark.implicits._
+    val df = Seq((false, 1.0), (false, 2.0), (false, 3.0),
+      (true, 5.0), (true, 6.0), (true, 7.0)).map { case (a, v) =>
+      ("m", a, v)
+    }.toDF("metric", "arm", "v")
+    val out = Stats.msprt(df, "metric", col("arm"), "v", tau2 = 1.0)
+      .collect().head
+    // na=nb=3, va=vb=1 -> V=2/3, delta=4:
+    // lam = sqrt((2/3)/(5/3)) * exp(16/(2*(2/3)*(5/3)))
+    val v = 2.0 / 3.0
+    val lam = math.sqrt(v / (v + 1.0)) * math.exp(16.0 / (2.0 * v * (v + 1.0)))
+    assert(out.getLong(1) == 6L && out.getDouble(2) == 4.0)
+    assert(math.abs(out.getDouble(3) - math.rint(lam * 1e4) / 1e4) < 1e-9)
+    assert(out.getDouble(4) == math.rint(1e4 / lam) / 1e4,
+      "always-valid p = 1/lambda, capped at 1")
+    // null effect: lambda < 1 -> p pinned to 1
+    val nul = Seq(("m", false, 1.0), ("m", false, 3.0), ("m", true, 1.0),
+      ("m", true, 3.0)).toDF("metric", "arm", "v")
+    assert(Stats.msprt(nul, "metric", col("arm"), "v", 1.0)
+      .collect().head.getDouble(4) == 1.0)
+  }
+
+  test("diffInDiff: textbook 2x2 cells recover the estimator and SE") {
+    import spark.implicits._
+    val rows = Seq((true, false, 1.0), (true, false, 3.0),   // T pre m=2
+      (true, true, 5.0), (true, true, 7.0),                  // T post m=6
+      (false, false, 2.0), (false, false, 4.0),              // C pre m=3
+      (false, true, 3.0), (false, true, 5.0))                // C post m=4
+      .toDF("treat", "post", "v")
+    val out = Stats.diffInDiff(rows, col("treat"), col("post"), "v")
+      .collect().head
+    assert(out.getLong(0) == 8L)
+    assert((out.getDouble(1), out.getDouble(2), out.getDouble(3),
+      out.getDouble(4)) == ((2.0, 6.0, 3.0, 4.0)))
+    // did = (6-2)-(4-3) = 3; each cell var 2 over n=2 -> se = 2, z = 1.5
+    assert(out.getDouble(5) == 3.0 && out.getDouble(6) == 2.0)
+    assert(out.getDouble(7) == 1.5)
+  }
 }
