@@ -4749,11 +4749,96 @@ object OracleSql {
          |  ${rnd(did, 4)} AS did, ${rnd(se, 6)} AS se,
          |  ${rnd(s"$did / $se", 4)} AS z
          |FROM m""".stripMargin
-    }
+    },
 
     // q249 (BPE encode) has NO oracle by design: it inherits q244's
     // sequential per-round argmax (each round's winner rewrites the next
     // round's input), which SQL cannot replay -> rows-only driver check,
     // CorpusSpec anchors fertility/chars-per-token on a known corpus.
+
+    // q250: Soundex-variant key replayed step for step (translate + 'g'
+    // regexp chain — deliberately NO backreferences: RE2 lacks them)
+    "q250_phonetic_blocks" -> {
+      val codes = "01230120022455012623010202"
+      val norm = raw"regexp_replace(lower(w), '[^a-z]', '', 'g')"
+      val digits0 =
+        s"translate(substr($norm, 2), 'abcdefghijklmnopqrstuvwxyz', '$codes')"
+      val collapsed = (1 to 6).foldLeft(digits0) { (c, d) =>
+        s"regexp_replace($c, '$d+', '$d', 'g')"
+      }
+      val key = s"CASE WHEN length($norm) = 0 THEN NULL ELSE " +
+        s"rpad(substr($norm, 1, 1) || replace($collapsed, '0', ''), 4, '0') END"
+      raw"""WITH words AS (SELECT DISTINCT p_partkey AS id, w FROM (
+         |    SELECT p_partkey, unnest(regexp_split_to_array(p_name, '\s+')) AS w
+         |    FROM part) WHERE length(w) > 0),
+         |keyed AS (SELECT id, w, $key AS key FROM words)
+         |SELECT key, count(DISTINCT id)::BIGINT AS n_records,
+         |  count(DISTINCT w)::BIGINT AS n_words, min(w) AS example_word
+         |FROM keyed WHERE key IS NOT NULL GROUP BY 1""".stripMargin
+    },
+
+    // q251: the EWMA recursion as the identical left fold (list over the
+    // running window + list_reduce, init = first element) — fp ops match
+    // order-for-order, daily means are exact-numerator single divisions
+    "q251_ewma" ->
+      s"""WITH daily AS (SELECT event_type AS k, ts::DATE AS day,
+         |    count(*)::BIGINT AS n,
+         |    sum(value::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE AS m
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |pre AS (SELECT k, day, n, m, list(m) OVER (PARTITION BY k
+         |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS l FROM daily)
+         |SELECT k AS event_type, day, n, ${rnd("m", 4)} AS daily_mean,
+         |  ${rnd("list_reduce(l, (acc, x) -> 0.8 * acc + 0.2 * x)", 4)}
+         |    AS ewma
+         |FROM pre""".stripMargin,
+
+    // q252: exact Mann-Whitney AUC with midranks (rank + (ties-1)/2 —
+    // sums of half-integers are exact in double, one final division)
+    "q252_group_auc" ->
+      s"""WITH base AS (SELECT source AS g, n_chars AS s,
+         |    (lang = 'en') AS y FROM documents
+         |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+         |r AS (SELECT g, y,
+         |    rank() OVER (PARTITION BY g ORDER BY s) AS rk,
+         |    count(*) OVER (PARTITION BY g, s) AS tc FROM base),
+         |a AS (SELECT g, sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+         |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nn,
+         |    sum(CASE WHEN y THEN rk::DOUBLE + (tc::DOUBLE - 1.0) / 2.0
+         |      ELSE 0.0 END) AS rpos
+         |  FROM r GROUP BY 1)
+         |SELECT g AS source, np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+         |  ${rnd("CASE WHEN np = 0 OR nn = 0 THEN NULL ELSE (rpos - " +
+            "np::DOUBLE * (np::DOUBLE + 1.0) / 2.0) / " +
+            "(np::DOUBLE * nn::DOUBLE) END", 4)} AS auc
+         |FROM a""".stripMargin,
+
+    // q253: BFS unrolled 3 rounds over the q66/q102 shared-window pair
+    // graph — min over (settled ∪ expanded) per round is exactly the
+    // frontier expansion's distance set
+    "q253_bfs_hops" -> {
+      def hop(prev: String, out: String) =
+        s"""$out AS (SELECT node, min(hops)::BIGINT AS hops FROM (
+           |  SELECT node, hops FROM $prev UNION ALL
+           |  SELECT e.dst, d.hops + 1 FROM $prev d
+           |  JOIN edges e ON e.src = d.node) GROUP BY 1)""".stripMargin
+      s"""WITH wins AS (SELECT DISTINCT doc_id, md5(substring(text, p + 1, 64)) AS h
+         |  FROM documents, unnest(range(0, length(text) - 64 + 1, 32)) AS u(p)
+         |  WHERE length(text) >= 64),
+         |rare AS (SELECT h FROM wins GROUP BY h HAVING count(*) <= 1000),
+         |pruned AS (SELECT w.doc_id, w.h FROM wins w JOIN rare USING (h)),
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |d0 AS (SELECT doc_id AS node, 0::BIGINT AS hops FROM documents
+         |  WHERE doc_id % 5 = 3),
+         |${hop("d0", "d1")},
+         |${hop("d1", "d2")},
+         |${hop("d2", "d3")}
+         |SELECT node, hops FROM d3""".stripMargin
+    }
   )
 }

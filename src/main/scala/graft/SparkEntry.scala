@@ -2716,6 +2716,32 @@ object SparkEntry {
     graft.operators.Corpus.bpeEncode(TW(s, dir, "documents"), "text",
       "source", nMerges = 16)
 
+  /** Phonetic (Soundex-variant) blocking profile over part-name words —
+    * the typo-tolerant member of the q191/q206 linkage family. */
+  private def q250(s: SparkSession, dir: String): DataFrame =
+    Dedup.phoneticBlocks(T(s, dir, "part"), "p_partkey", "p_name")
+
+  /** Exact per-event-type EWMA (alpha 0.2) of the daily mean value — the
+    * anomaly-baseline smoother, as an order-identical prefix fold. */
+  private def q251(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.ewma(T(s, dir, "events"), "event_type",
+      "ts", "value", alpha = 0.2)
+
+  /** Per-source ROC AUC (exact Mann-Whitney with midranks) of doc length
+    * as a predictor of lang='en' — the sliced classifier audit. */
+  private def q252(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.groupAuc(T(s, dir, "documents"), "source",
+      col("n_chars"), col("lang") === "en")
+
+  /** Bounded 3-hop BFS over the shared-window dup graph from the
+    * doc_id%5=3 seed set: min-hop contamination blast radius. */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.sharedWindowPairs(T(s, dir, "documents"), "doc_id", "text")
+    val seeds = T(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(5L)) === 3).select(col("doc_id"))
+    graft.operators.Graph.bfsHops(pairs, seeds, maxHops = 3)
+  }
+
   // ==========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2967,7 +2993,11 @@ object SparkEntry {
     "q246_poisson_bootstrap" -> (q246 _),
     "q247_msprt" -> (q247 _),
     "q248_diff_in_diff" -> (q248 _),
-    "q249_bpe_encode" -> (q249 _)
+    "q249_bpe_encode" -> (q249 _),
+    "q250_phonetic_blocks" -> (q250 _),
+    "q251_ewma" -> (q251 _),
+    "q252_group_auc" -> (q252 _),
+    "q253_bfs_hops" -> (q253 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

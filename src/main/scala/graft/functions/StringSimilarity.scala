@@ -184,6 +184,32 @@ object StringSimilarity {
     register(spark)
     call_function("graft_damerau_levenshtein", a, b)
   }
+
+  /** Consonant-class code per letter a..z (Soundex's classes; vowels and
+    * h/w/y code 0): b f p v→1, c g j k q s x z→2, d t→3, l→4, m n→5, r→6. */
+  private val PhoneticCodes = "01230120022455012623010202"
+
+  /** Soundex-style phonetic blocking key: first letter + the first three
+    * consonant-class digits of the rest (adjacent same-class runs
+    * collapsed, vowel classes dropped), zero-padded to 4 — "large"→l620,
+    * "bolt"→b430. Deliberately a DOCUMENTED variant of classic Soundex
+    * (no h/w bridging rule, no first-letter-code suppression): every step
+    * is a codegen'd builtin (`translate` + per-digit `regexp_replace` —
+    * NO backreferences, so the identical chain runs under DuckDB's RE2
+    * oracle with the 'g' flag), which is the portability contract the
+    * linkage gates need. Null/letterless input → null key. */
+  def phoneticKey(name: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val n = regexp_replace(lower(name), "[^a-z]", "")
+    val digits0 = translate(n.substr(lit(2), length(n)),
+      "abcdefghijklmnopqrstuvwxyz", PhoneticCodes)
+    val collapsed = (1 to 6).foldLeft(digits0) { (c, d) =>
+      regexp_replace(c, s"$d+", s"$d")
+    }
+    val noZero = regexp_replace(collapsed, "0", "")
+    when(length(n) === 0, lit(null).cast("string"))
+      .otherwise(rpad(concat(n.substr(1, 1), noZero), 4, "0"))
+  }
 }
 
 /** `double` Jaro-Winkler similarity of two strings (byte-based). */

@@ -1477,6 +1477,30 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** Phonetic blocking over the words of a name column: each distinct
+    * (record, word) gets the Soundex-style
+    * [[graft.functions.StringSimilarity.phoneticKey]], and the report
+    * profiles every key's block — how many records and distinct words it
+    * pools (n_words > 1 rows are exactly the sound-alike candidates a
+    * [[recordLinkagePairs]] pass would then score). The missing member of
+    * the q191/q192/q206 linkage family: those block on EXACT tokens, so a
+    * one-typo word lands outside its block and the pair is unreachable;
+    * a phonetic key is typo-tolerant by construction. Pure projection +
+    * one aggregate — the key is codegen'd builtins end to end, no UDF. */
+  def phoneticBlocks(df: DataFrame, idCol: String,
+                     nameCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+        explode(split(col(nameCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    words
+      .withColumn("key", graft.functions.StringSimilarity.phoneticKey(col("w")))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(countDistinct(col("id")).cast("long").as("n_records"),
+        countDistinct(col("w")).cast("long").as("n_words"),
+        min(col("w")).as("example_word"))
+  }
+
   /** Field-level survivorship over duplicate clusters — the "golden
     * record" step after [[connectedComponents]]: where
     * [[clusterRepresentatives]] keeps ONE whole row per cluster, this

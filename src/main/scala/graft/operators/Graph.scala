@@ -227,4 +227,44 @@ object Graph {
       .orderBy(col("score").desc, col("id_a"), col("id_b"))
       .limit(topN)
   }
+
+  /** Bounded-hop BFS from a seed set over the undirected pair graph:
+    * min-hop distance for every node reachable within `maxHops` (seeds at
+    * hop 0, isolated seeds included). The neighborhood-expansion
+    * primitive behind blast-radius and contamination-spread questions.
+    *
+    * Pregel-style FRONTIER expansion, not distance-table re-joining: each
+    * round joins only the nodes discovered LAST round against the edge
+    * list, anti-joins out already-settled nodes, and unions the new hops
+    * into the distance set — per-round work is proportional to the
+    * frontier × degree, the BFS optimum, and each round is one shuffle
+    * join. `localCheckpoint` per round cuts the growing lineage (the
+    * same fixed-round contract as [[pageRank]]/[[labelPropagation]]);
+    * rounds stop early when a frontier comes back empty. */
+  def bfsHops(pairs: DataFrame, seeds: DataFrame, maxHops: Int,
+              idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 12, "maxHops in [1, 12]")
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var dist = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var k = 1
+    var dry = false
+    while (k <= maxHops && !dry) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(k.toLong))
+        .localCheckpoint()
+      if (next.isEmpty) dry = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next
+        k += 1
+      }
+    }
+    dist
+  }
 }

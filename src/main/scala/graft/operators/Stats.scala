@@ -1207,6 +1207,45 @@ object Stats {
           .as("ci_hi"))
   }
 
+  /** Per-group ROC AUC of a score against a binary label, computed exactly
+    * as the Mann-Whitney U statistic: AUC = (Σ avg-ranks of positives −
+    * n⁺(n⁺+1)/2) / (n⁺·n⁻), with midranks for score ties (the standard
+    * tie treatment — counts a tied positive/negative pair as half
+    * concordant). The classifier-quality audit per slice ("does the
+    * quality score actually separate keep from drop IN EVERY source?") —
+    * a global AUC hides a slice where the score is inverted.
+    *
+    * One rank window per group (shuffle on the group key, sort within),
+    * midranks from rank() + (tie-count−1)/2 — all integer arithmetic
+    * until the final division, so the result is engine-exact. Degenerate
+    * groups (no positives or no negatives) emit null AUC rather than
+    * vanishing. */
+  def groupAuc(df: DataFrame, groupCol: String, score: Column,
+               label: Column): DataFrame = {
+    val base = df.filter(score.isNotNull && label.isNotNull)
+      .select(col(groupCol).as("g"), score.as("s"),
+        label.cast("boolean").as("y"))
+    val r = rank().over(Window.partitionBy(col("g")).orderBy(col("s")))
+    val tc = count(lit(1)).over(Window.partitionBy(col("g"), col("s")))
+    val ranked = base
+      .withColumn("ar",
+        r.cast("double") + (tc.cast("double") - 1.0) / 2.0)
+    val np = sum(when(col("y"), 1L).otherwise(0L))
+    val nn = sum(when(!col("y"), 1L).otherwise(0L))
+    ranked.groupBy(col("g"))
+      .agg(np.as("np"), nn.as("nn"),
+        sum(when(col("y"), col("ar")).otherwise(lit(0.0))).as("rpos"))
+      .select(col("g").as(groupCol),
+        col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        round(when(col("np") === 0 || col("nn") === 0,
+          lit(null).cast("double"))
+          .otherwise((col("rpos") -
+            col("np").cast("double") * (col("np").cast("double") + 1.0) / 2.0)
+            / (col("np").cast("double") * col("nn").cast("double"))), 4)
+          .as("auc"))
+  }
+
   /** Mixture sequential probability ratio test (mSPRT) — the always-valid
     * p-value an experimentation platform shows on a LIVE dashboard: unlike
     * a fixed-horizon t-test, it stays valid under continuous monitoring

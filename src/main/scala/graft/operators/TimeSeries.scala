@@ -281,4 +281,43 @@ object TimeSeries {
         round(variance / mean, 4).as("fano"),
         round((sd - mean) / (sd + mean), 4).as("burstiness"))
   }
+
+  /** Exponentially weighted moving average of the per-day mean value per
+    * series — the standard anomaly-baseline smoother, EXACT (the real
+    * recursion y_t = (1−α)·y_{t−1} + α·x_t with y_1 = x_1, not a
+    * truncated-window approximation). The recursion is a left fold over
+    * the day-ordered prefix, expressed as `collect_list` over the running
+    * window + the `aggregate` HOF with the first element as init — the
+    * SAME fold sequence DuckDB's `list(...) OVER` + `list_reduce` runs,
+    * so every fp operation matches order-for-order and the result is
+    * bit-identical cross-engine (daily means themselves are exact-DECIMAL
+    * numerator single divisions).
+    *
+    * Scale contract: the prefix list costs O(L²) values per series where
+    * L is the series LENGTH (days), not the row count — fine for any
+    * metric dashboard (L ≤ a few thousand); the row→day collapse before
+    * it is the only full-data pass. A per-partition imperative scan
+    * (repartition by series + sortWithinPartitions + mapPartitions)
+    * replaces it when L grows unbounded. */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+           alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0, 1)")
+    val daily = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        (sum(col(valueCol).cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = collect_list(col("m")).over(w)
+    daily
+      .withColumn("l", prefix)
+      .select(col("k").as(keyCol), col("day"), col("n"),
+        round(col("m"), 4).as("daily_mean"),
+        round(aggregate(slice(col("l"), lit(2), size(col("l")) - 1),
+          element_at(col("l"), 1),
+          (acc, x) => lit(1.0 - alpha) * acc + lit(alpha) * x), 4)
+          .as("ewma"))
+  }
 }

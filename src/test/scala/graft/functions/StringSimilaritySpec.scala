@@ -117,4 +117,18 @@ class StringSimilaritySpec extends SparkSpec {
     assert(r.getDouble(0) == 0.9611111111111111)
     assert(r.getLong(1) == 2L)
   }
+
+  test("phoneticKey: sound-alikes collide, classic anchors, null on no letters") {
+    import spark.implicits._
+    val rows = Seq("Robert", "Rupert", "smith", "smyth", "blue", "bolt",
+      "large", "42", "a").toDF("w")
+      .withColumn("k", StringSimilarity.phoneticKey(col("w")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("Robert") == "r163" && rows("Rupert") == "r163") // classic pair
+    assert(rows("smith") == "s530" && rows("smyth") == "s530")
+    assert(rows("blue") == "b400" && rows("bolt") == "b430") // NOT merged
+    assert(rows("large") == "l620")
+    assert(rows("42") == null, "letterless input keys to null")
+    assert(rows("a") == "a000", "single letter pads with zeros")
+  }
 }

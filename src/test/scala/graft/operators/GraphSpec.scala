@@ -117,4 +117,18 @@ class GraphSpec extends SparkSpec {
     assert(capped.keySet == Set((1L, 2L)))
     assert(capped((1L, 2L)) == 1L)
   }
+
+  test("bfsHops: min-hop frontier expansion, isolated seeds kept, cap holds") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 9L).toDF("node") // 9 is not in the graph at all
+    val out = Graph.bfsHops(pairs, seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 2L),
+      "nodes 4,5 are beyond the 2-hop cap")
+    // rounds stop early once a frontier is empty; seeds on both ends
+    // meet in the middle with the MIN hop winning
+    val all = Graph.bfsHops(pairs, Seq(1L, 5L).toDF("node"), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
 }

@@ -646,6 +646,23 @@ class StatsSpec extends SparkSpec {
       .collect().head.getDouble(4) == 1.0)
   }
 
+  test("groupAuc: perfect separation 1, inversion 0, ties give midrank credit") {
+    import spark.implicits._
+    val df = Seq(
+      ("sep", 1.0, false), ("sep", 2.0, false), ("sep", 3.0, true), ("sep", 4.0, true),
+      ("inv", 1.0, true), ("inv", 2.0, true), ("inv", 3.0, false), ("inv", 4.0, false),
+      ("tie", 2.0, true), ("tie", 2.0, false),
+      ("deg", 1.0, true), ("deg", 2.0, true)).toDF("g", "s", "y")
+    val out = Stats.groupAuc(df, "g", col("s"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(out("sep") == ((2L, 2L, 1.0)))
+    assert(out("inv") == ((2L, 2L, 0.0)))
+    assert(out("tie") == ((1L, 1L, 0.5)), "tied pair counts half concordant")
+    assert(out("deg")._3.isNaN, "no negatives: AUC undefined, not dropped")
+  }
+
   test("diffInDiff: textbook 2x2 cells recover the estimator and SE") {
     import spark.implicits._
     val rows = Seq((true, false, 1.0), (true, false, 3.0),   // T pre m=2

@@ -153,4 +153,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(b == math.rint(1e4 * (4.0 - 2.0) / (4.0 + 2.0)) / 1e4)
     assert(b > 0, "bursty index positive, metronome at the -1 floor")
   }
+
+  test("ewma: exact recursion y1=x1, day collapse first, singletons pass through") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("a", ts("2024-03-01 10:00:00"), 10.0),
+      ("a", ts("2024-03-02 09:00:00"), 15.0), // same day, two rows -> mean 20
+      ("a", ts("2024-03-02 11:00:00"), 25.0),
+      ("a", ts("2024-03-03 10:00:00"), 40.0),
+      ("b", ts("2024-03-05 10:00:00"), 7.0)   // single-day series
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.ewma(rows, "k", "ts", "v", alpha = 0.2)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(("a", "2024-03-01")) == ((1L, 10.0, 10.0)))
+    // y2 = 0.8*10 + 0.2*20 = 12; y3 = 0.8*12 + 0.2*40 = 17.6
+    assert(out(("a", "2024-03-02")) == ((2L, 20.0, 12.0)))
+    assert(out(("a", "2024-03-03")) == ((1L, 40.0, 17.6)))
+    assert(out(("b", "2024-03-05")) == ((1L, 7.0, 7.0)),
+      "a one-day series folds nothing: ewma = the day mean")
+  }
 }
