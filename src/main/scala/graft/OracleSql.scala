@@ -4839,6 +4839,76 @@ object OracleSql {
          |${hop("d1", "d2")},
          |${hop("d2", "d3")}
          |SELECT node, hops FROM d3""".stripMargin
+    },
+
+    // q254/q255 share the q251 daily-mean spine (exact-numerator single
+    // divisions -> bit-identical m values, so slope/sign/tie groups match)
+    "q254_theil_sen" ->
+      s"""WITH daily AS (SELECT event_type AS k, ts::DATE AS day,
+         |    sum(value::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE AS m
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |slopes AS (SELECT a.k AS k,
+         |    (b.m - a.m) / (b.day - a.day)::DOUBLE AS slope
+         |  FROM daily a JOIN daily b ON a.k = b.k AND a.day < b.day),
+         |r AS (SELECT k, slope,
+         |    row_number() OVER (PARTITION BY k ORDER BY slope) AS rn,
+         |    count(*) OVER (PARTITION BY k) AS np FROM slopes)
+         |SELECT k AS event_type, max(np)::BIGINT AS n_pairs,
+         |  ${rnd("max(CASE WHEN rn = ceil(0.5 * np::DOUBLE) THEN slope END)", 6)}
+         |    AS sen_slope
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "q255_mann_kendall" ->
+      s"""WITH daily AS (SELECT event_type AS k, ts::DATE AS day,
+         |    sum(value::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE AS m
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |st AS (SELECT a.k AS k, sum(sign(b.m - a.m))::BIGINT AS s
+         |  FROM daily a JOIN daily b ON a.k = b.k AND a.day < b.day
+         |  GROUP BY 1),
+         |cnt AS (SELECT k, count(*)::BIGINT AS nd FROM daily GROUP BY 1),
+         |ties AS (SELECT k,
+         |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term FROM (
+         |    SELECT k, m, count(*)::BIGINT AS t FROM daily GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |j AS (SELECT cnt.k, nd, s,
+         |    (nd * (nd - 1) * (2 * nd + 5) - tie_term)::DOUBLE / 18.0
+         |      AS var_s
+         |  FROM cnt JOIN ties USING (k) JOIN st USING (k))
+         |SELECT k AS event_type, nd AS n_days, s, ${rnd("var_s", 4)} AS var_s,
+         |  ${rnd("CASE WHEN s > 0 THEN (s::DOUBLE - 1.0) / sqrt(var_s) " +
+            "WHEN s < 0 THEN (s::DOUBLE + 1.0) / sqrt(var_s) " +
+            "ELSE 0.0 END", 4)} AS z
+         |FROM j""".stripMargin,
+
+    // q256: diagonal Mahalanobis from exact integer moments; every score
+    // is a deterministic fp function of longs, so the top-20 order
+    // (score desc, doc_id) is engine-stable
+    "q256_mahalanobis_outliers" -> {
+      def term(f: String) = {
+        val v = s"((sxx_$f::DOUBLE - sx_$f::DOUBLE * sx_$f::DOUBLE / n::DOUBLE) / " +
+          s"(n::DOUBLE - 1.0))"
+        s"(CASE WHEN $v = 0.0 THEN 0.0 ELSE " +
+          s"(($f::DOUBLE - sx_$f::DOUBLE / n::DOUBLE) * " +
+          s"($f::DOUBLE - sx_$f::DOUBLE / n::DOUBLE)) / $v END)"
+      }
+      val score = s"${term("n_chars")} + ${term("n_tokens")} + ${term("n_types")}"
+      s"""WITH f AS (SELECT doc_id, n_chars::BIGINT AS n_chars,
+         |    len($toksExpr)::BIGINT AS n_tokens,
+         |    len(list_distinct($toksExpr))::BIGINT AS n_types
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |m AS (SELECT count(*)::BIGINT AS n,
+         |    sum(n_chars) AS sx_n_chars,
+         |    sum(n_chars * n_chars) AS sxx_n_chars,
+         |    sum(n_tokens) AS sx_n_tokens,
+         |    sum(n_tokens * n_tokens) AS sxx_n_tokens,
+         |    sum(n_types) AS sx_n_types,
+         |    sum(n_types * n_types) AS sxx_n_types
+         |  FROM f),
+         |scored AS (SELECT doc_id, n_chars, n_tokens, n_types,
+         |    ${rnd(score, 4)} AS score FROM f CROSS JOIN m)
+         |SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     }
   )
 }

@@ -2733,6 +2733,29 @@ object SparkEntry {
     graft.operators.Stats.groupAuc(T(s, dir, "documents"), "source",
       col("n_chars"), col("lang") === "en")
 
+  /** Theil-Sen robust trend slope per event type over the daily-mean
+    * spine: median of all pairwise slopes, discrete-median selection. */
+  private def q254(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.theilSen(T(s, dir, "events"), "event_type",
+      "ts", "value")
+
+  /** Mann-Kendall monotonic-trend test per event type: exact integer S,
+    * tie-corrected variance, continuity-corrected z. */
+  private def q255(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.mannKendall(T(s, dir, "events"),
+      "event_type", "ts", "value")
+
+  /** Top-20 multivariate doc outliers by diagonal Mahalanobis over
+    * (chars, tokens, distinct tokens) — exact integer moments. */
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.Dedup.tokens(col("text"))
+    val feats = TW(s, dir, "documents").select(col("doc_id"),
+      col("n_chars"), size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_types"))
+    graft.operators.Stats.mahalanobisOutliers(feats, "doc_id",
+      Seq("n_chars", "n_tokens", "n_types"), topK = 20)
+  }
+
   /** Bounded 3-hop BFS over the shared-window dup graph from the
     * doc_id%5=3 seed set: min-hop contamination blast radius. */
   private def q253(s: SparkSession, dir: String): DataFrame = {
@@ -2997,7 +3020,10 @@ object SparkEntry {
     "q250_phonetic_blocks" -> (q250 _),
     "q251_ewma" -> (q251 _),
     "q252_group_auc" -> (q252 _),
-    "q253_bfs_hops" -> (q253 _)
+    "q253_bfs_hops" -> (q253 _),
+    "q254_theil_sen" -> (q254 _),
+    "q255_mann_kendall" -> (q255 _),
+    "q256_mahalanobis_outliers" -> (q256 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1207,6 +1207,51 @@ object Stats {
           .as("ci_hi"))
   }
 
+  /** Top-k multivariate outliers by DIAGONAL Mahalanobis distance over
+    * integer-valued feature columns: score = Σ_f (x_f − μ_f)²/σ²_f — the
+    * axis-scaled distance that makes "3σ on ANY combination of features"
+    * one number, without the d×d covariance inverse (features are treated
+    * independent; the full-covariance version needs a driver-side d×d
+    * solve and is overkill for a curation triage).
+    *
+    * The INTEGER-features contract is what makes the gate exact: moments
+    * (n, Σx, Σx²) are exact longs, so μ and σ² are deterministic fp
+    * functions of integers, every row's score is bit-reproducible, and
+    * the (score desc, id) top-k is stable across engines and
+    * partitionings. Two passes: one moment aggregate (map-side partials,
+    * d×3 longs total), one scored scan + partial top-k. At true 100 TB
+    * the Σx² accumulator needs DECIMAL headroom — cast up before the
+    * feature values exceed ~3e9. */
+  def mahalanobisOutliers(df: DataFrame, idCol: String,
+                          features: Seq[String], topK: Int): DataFrame = {
+    require(features.nonEmpty, "at least one feature")
+    require(topK >= 1, "topK >= 1")
+    val clean = df.filter(features.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(idCol) +: features.map(f => col(f).cast("long").as(f)): _*)
+    val momentAggs = features.flatMap { f =>
+      Seq(sum(col(f)).as(s"sx_$f"), sum(col(f) * col(f)).as(s"sxx_$f"))
+    }
+    val m = clean.agg(count(lit(1)).cast("long").as("n"),
+      momentAggs: _*)
+    val scored = clean.crossJoin(broadcast(m))
+    val nD = col("n").cast("double")
+    val score = features.map { f =>
+      val mu = col(s"sx_$f").cast("double") / nD
+      val v = (col(s"sxx_$f").cast("double") -
+        col(s"sx_$f").cast("double") * col(s"sx_$f").cast("double") / nD) /
+        (nD - 1.0)
+      val d = col(f).cast("double") - mu
+      // a constant feature has zero variance and zero information — its
+      // term is 0, not a divide-by-zero Infinity poisoning every score
+      when(v === 0.0, lit(0.0)).otherwise(d * d / v)
+    }.reduce(_ + _)
+    scored
+      .select(col(idCol) +: features.map(col) :+
+        round(score, 4).as("score"): _*)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Per-group ROC AUC of a score against a binary label, computed exactly
     * as the Mann-Whitney U statistic: AUC = (Σ avg-ranks of positives −
     * n⁺(n⁺+1)/2) / (n⁺·n⁻), with midranks for score ties (the standard

@@ -282,6 +282,80 @@ object TimeSeries {
         round((sd - mean) / (sd + mean), 4).as("burstiness"))
   }
 
+  /** Per-series daily mean spine shared by the trend operators: exact
+    * DECIMAL numerator, integer denominator, one fp division — the same
+    * determinism contract as [[ewma]]. */
+  private def dailyMeans(df: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String): DataFrame =
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg((sum(col(valueCol).cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+
+  /** Theil–Sen trend slope per series: the MEDIAN of all pairwise slopes
+    * `(m_j − m_i)/(day_j − day_i)` over the daily-mean spine — the robust
+    * trend estimator (up to ~29% outlier days cannot move it, where OLS
+    * follows a single spike). Median selection uses the engine-portable
+    * discrete convention (value at ordered position ceil(n/2), exactly
+    * [[Stats.groupQuantiles]]'s rule) — no interpolated midpoint average,
+    * so the result is one of the actual slopes, bit-reproducible.
+    *
+    * Scale contract: the pair join is per-SERIES O(L²) in the series
+    * LENGTH (days), never the row count — the row→day collapse happens
+    * first, and the join key is the series, so a thousand metrics × a
+    * year of days is ~66k slope rows per series, one shuffle. */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String): DataFrame = {
+    val daily = dailyMeans(df, keyCol, tsCol, valueCol).localCheckpoint()
+    val slopes = daily.as("a").join(daily.as("b"),
+        col("a.k") === col("b.k") && col("a.day") < col("b.day"))
+      .select(col("a.k").as("k"),
+        ((col("b.m") - col("a.m")) /
+          datediff(col("b.day"), col("a.day")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col("k")).orderBy(col("slope"))
+    val wc = Window.partitionBy(col("k"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(wc))
+      .groupBy(col("k").as(keyCol))
+      .agg(max(col("np")).cast("long").as("n_pairs"),
+        round(max(when(col("rn") ===
+          ceil(lit(0.5) * col("np").cast("double")), col("slope"))), 6)
+          .as("sen_slope"))
+  }
+
+  /** Mann–Kendall trend test per series over the daily-mean spine:
+    * S = Σ_{i<j} sign(m_j − m_i) (an INTEGER — exact), the tie-corrected
+    * variance n(n−1)(2n+5)/18 − Σ t(t−1)(2t+5)/18, and the
+    * continuity-corrected z — the standard monotonic-trend detector that
+    * pairs with [[theilSen]] (MK says WHETHER the trend is real, Sen says
+    * HOW STEEP). Everything is integer arithmetic until the final two fp
+    * ops (÷18 inside the sqrt), so the statistic is engine-exact; the
+    * pair join is the same per-series O(L²) as Theil–Sen. */
+  def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val daily = dailyMeans(df, keyCol, tsCol, valueCol).localCheckpoint()
+    val s = daily.as("a").join(daily.as("b"),
+        col("a.k") === col("b.k") && col("a.day") < col("b.day"))
+      .groupBy(col("a.k").as("k"))
+      .agg(sum(signum(col("b.m") - col("a.m")).cast("long")).as("s"))
+    val n = daily.groupBy(col("k")).agg(count(lit(1)).cast("long").as("n"))
+    val ties = daily.groupBy(col("k"), col("m"))
+      .agg(count(lit(1)).cast("long").as("t"))
+      .groupBy(col("k"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+        .as("tie_term"))
+    val varS = (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+      col("tie_term")).cast("double") / lit(18.0)
+    val z = when(col("s") > 0,
+        (col("s").cast("double") - 1.0) / sqrt(varS))
+      .when(col("s") < 0, (col("s").cast("double") + 1.0) / sqrt(varS))
+      .otherwise(lit(0.0))
+    n.join(ties, Seq("k")).join(s, Seq("k"))
+      .select(col("k").as(keyCol), col("n").as("n_days"), col("s"),
+        round(varS, 4).as("var_s"), round(z, 4).as("z"))
+  }
+
   /** Exponentially weighted moving average of the per-day mean value per
     * series — the standard anomaly-baseline smoother, EXACT (the real
     * recursion y_t = (1−α)·y_{t−1} + α·x_t with y_1 = x_1, not a

@@ -646,6 +646,21 @@ class StatsSpec extends SparkSpec {
       .collect().head.getDouble(4) == 1.0)
   }
 
+  test("mahalanobisOutliers: axis-scaled top-k, constant feature contributes 0") {
+    import spark.implicits._
+    // f1 = [10,10,10,14,22] (one big, one small deviant); f2 constant —
+    // a zero-variance feature must contribute 0, not Infinity
+    val df = Seq((1L, 10L, 5L), (2L, 10L, 5L), (3L, 10L, 5L),
+      (4L, 14L, 5L), (5L, 22L, 5L)).toDF("id", "f1", "f2")
+    val out = Stats.mahalanobisOutliers(df, "id", Seq("f1", "f2"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // moments: mu=13.2, ss=108.8, var=27.2 -> id5 (8.8^2/27.2), then the
+    // three 10s (3.2^2/27.2) tie and break by id; id4 (0.8^2/27.2) misses
+    def sc(x: Double) = math.rint((x - 13.2) * (x - 13.2) / 27.2 * 1e4) / 1e4
+    assert(out.toSeq == Seq((5L, sc(22)), (1L, sc(10)), (2L, sc(10))))
+    assert(out.forall(!_._2.isInfinite), "constant feature poisoned scores")
+  }
+
   test("groupAuc: perfect separation 1, inversion 0, ties give midrank credit") {
     import spark.implicits._
     val df = Seq(

@@ -154,6 +154,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(b > 0, "bursty index positive, metronome at the -1 floor")
   }
 
+  test("theilSen ignores the outlier day OLS would chase") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")
+    // days 1..4 climb by exactly 1/day; day 5 spikes to 100 — 6 of the 10
+    // pairwise slopes are 1.0, so the discrete median is 1.0 exactly
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex
+      .map { case (v, i) => ("m", ts(i + 1), v) }.toDF("k", "ts", "v")
+    val out = TimeSeries.theilSen(rows, "k", "ts", "v").collect().head
+    assert(out.getLong(1) == 10L && out.getDouble(2) == 1.0)
+    // even-count selection: slopes [1, 1.5, 2] -> position ceil(1.5)=2
+    val even = Seq(("e", ts(1), 1.0), ("e", ts(2), 2.0), ("e", ts(3), 4.0))
+      .toDF("k", "ts", "v")
+    assert(TimeSeries.theilSen(even, "k", "ts", "v")
+      .collect().head.getDouble(2) == 1.5)
+  }
+
+  test("mannKendall: monotone series scores the exact S/var/z; flat is null-safe") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")
+    val up = (1 to 5).map(d => ("up", ts(d), d * 10.0))
+    val flat = (1 to 5).map(d => ("flat", ts(d), 7.0))
+    val out = TimeSeries.mannKendall((up ++ flat).toDF("k", "ts", "v"),
+        "k", "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // strictly increasing: S = C(5,2) = 10, var = 5*4*15/18, z = 9/sqrt(var)
+    val varS = 300.0 / 18.0
+    assert(out("up") == ((5L, 10L, math.rint(varS * 1e4) / 1e4,
+      math.rint(9.0 / math.sqrt(varS) * 1e4) / 1e4)))
+    // all-tied series: S = 0 and the tie correction zeroes the variance —
+    // z must be the 0 branch, not a 0/0 NaN
+    assert(out("flat") == ((5L, 0L, 0.0, 0.0)))
+  }
+
   test("ewma: exact recursion y1=x1, day collapse first, singletons pass through") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
