@@ -4909,6 +4909,86 @@ object OracleSql {
          |scored AS (SELECT doc_id, n_chars, n_tokens, n_types,
          |    ${rnd(score, 4)} AS score FROM f CROSS JOIN m)
          |SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    }
+    },
+
+    // q257: h32(user:slot) mod |catalog| against the dense catalog index;
+    // slots colliding with a positive are dropped (documented semantics)
+    "q257_negative_sampling" ->
+      s"""WITH pos AS (SELECT DISTINCT o_custkey AS u, l_partkey AS it
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |cat AS (SELECT p_partkey AS it,
+         |    row_number() OVER (ORDER BY p_partkey) - 1 AS idx FROM part),
+         |nc AS (SELECT count(*)::BIGINT AS n FROM part),
+         |cand AS (SELECT u, rep AS slot,
+         |    ${h32("u::VARCHAR || ':' || rep::VARCHAR")} % n AS idx
+         |  FROM (SELECT DISTINCT u FROM pos) CROSS JOIN nc,
+         |    unnest(range(8)) AS r(rep)),
+         |neg AS (SELECT u, slot, it FROM cand JOIN cat USING (idx))
+         |SELECT u AS o_custkey, slot::BIGINT AS slot,
+         |  it AS neg_p_partkey FROM neg n
+         |WHERE NOT EXISTS (SELECT 1 FROM pos p
+         |  WHERE p.u = n.u AND p.it = n.it)""".stripMargin,
+
+    // q258: Yuen's trimmed t (trim 0.2) — order statistics via the same
+    // row_number windows, values DECIMAL through clamping so every moment
+    // is exact
+    "q258_yuen_trimmed_t" -> {
+      val core =
+        s"""WITH base AS (SELECT (o_orderkey % 2 = 0) AS b,
+           |    o_totalprice::DECIMAL(18,2) AS v FROM orders
+           |  WHERE o_totalprice IS NOT NULL),
+           |r AS (SELECT b, v,
+           |    row_number() OVER (PARTITION BY b ORDER BY v) AS rn,
+           |    count(*) OVER (PARTITION BY b) AS n FROM base),
+           |rg AS (SELECT *, floor(0.2 * n::DOUBLE)::BIGINT AS g FROM r),
+           |lims AS (SELECT b, max(CASE WHEN rn = g + 1 THEN v END) AS lo,
+           |    max(CASE WHEN rn = n - g THEN v END) AS hi
+           |  FROM rg GROUP BY 1),
+           |wz AS (SELECT rg.b AS b, rg.n AS n, rg.g AS g, v, rn,
+           |    greatest(lo, least(hi, v)) AS wv,
+           |    (rn > g AND rn <= rg.n - g) AS mid
+           |  FROM rg JOIN lims ON rg.b = lims.b),
+           |m AS (SELECT b, max(n)::BIGINT AS n, max(n - 2 * g)::BIGINT AS h,
+           |    sum(CASE WHEN mid THEN v END)::DOUBLE /
+           |      sum(CASE WHEN mid THEN 1 ELSE 0 END)::DOUBLE AS mt,
+           |    sum(wv)::DOUBLE AS sw, sum(wv * wv)::DOUBLE AS sww
+           |  FROM wz GROUP BY 1),
+           |d AS (SELECT *,
+           |    (n::DOUBLE - 1.0) * ((sww - sw * sw / n::DOUBLE) /
+           |      (n::DOUBLE - 1.0)) /
+           |      (h::DOUBLE * (h::DOUBLE - 1.0)) AS dj FROM m)""".stripMargin
+      s"""$core
+         |SELECT a.n AS n_a, bb.n AS n_b, a.h AS h_a, bb.h AS h_b,
+         |  ${rnd("a.mt", 4)} AS tmean_a, ${rnd("bb.mt", 4)} AS tmean_b,
+         |  ${rnd("(bb.mt - a.mt) / sqrt(a.dj + bb.dj)", 4)} AS t_stat,
+         |  ${rnd("(a.dj + bb.dj) * (a.dj + bb.dj) / " +
+            "(a.dj * a.dj / (a.h::DOUBLE - 1.0) + " +
+            "bb.dj * bb.dj / (bb.h::DOUBLE - 1.0))", 2)} AS df
+         |FROM d a CROSS JOIN d bb WHERE NOT a.b AND bb.b""".stripMargin
+    },
+
+    // q259: post-stratification over the 10% hash sample, strata = market
+    // segment; population shares exact integer ratios
+    "q259_poststrat_mean" ->
+      s"""WITH pop AS (SELECT c_mktsegment AS s, count(*)::BIGINT AS n_pop
+         |  FROM customer GROUP BY 1),
+         |tot AS (SELECT sum(n_pop)::BIGINT AS n_pop_t FROM pop),
+         |samp AS (SELECT c_mktsegment AS s,
+         |    c_acctbal::DECIMAL(18,2) AS v FROM customer
+         |  WHERE ${h32("c_custkey::VARCHAR")} % 10 = 0
+         |    AND c_acctbal IS NOT NULL),
+         |sm AS (SELECT s, count(*)::BIGINT AS n_s, sum(v)::DOUBLE AS sx,
+         |    sum(v * v)::DOUBLE AS sxx FROM samp GROUP BY 1),
+         |j AS (SELECT pop.s, n_pop, n_s, sx, sxx, n_pop_t,
+         |    n_pop::DOUBLE / n_pop_t::DOUBLE AS w,
+         |    sx / n_s::DOUBLE AS mean_s,
+         |    (sxx - sx * sx / n_s::DOUBLE) / (n_s::DOUBLE - 1.0) AS var_s
+         |  FROM pop JOIN sm USING (s) CROSS JOIN tot)
+         |SELECT max(n_pop_t)::BIGINT AS n_population,
+         |  sum(n_s)::BIGINT AS n_sample,
+         |  ${rnd("sum(sx) / sum(n_s)::DOUBLE", 4)} AS naive_mean,
+         |  ${rnd("sum(w * mean_s)", 4)} AS poststrat_mean,
+         |  ${rnd("sqrt(sum(w * w * var_s / n_s::DOUBLE))", 4)} AS se
+         |FROM j""".stripMargin
   )
 }

@@ -2733,6 +2733,32 @@ object SparkEntry {
     graft.operators.Stats.groupAuc(T(s, dir, "documents"), "source",
       col("n_chars"), col("lang") === "en")
 
+  /** Deterministic contrastive negative sampling: 8 hash-drawn part
+    * candidates per purchasing customer, positives anti-joined away. */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    val pos = T(s, dir, "orders").join(T(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    graft.operators.Sampling.negativeSampling(pos, "o_custkey", "l_partkey",
+      T(s, dir, "part"), "p_partkey", k = 8)
+  }
+
+  /** Yuen's 20%-trimmed t between order-parity arms on order totals —
+    * the whale-proof Welch. */
+  private def q258(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.yuenTrimmedT(T(s, dir, "orders"),
+      pmod(col("o_orderkey"), lit(2L)) === 0, "o_totalprice", trim = 0.2)
+
+  /** Post-stratified account-balance mean over a 10% hash sample of
+    * customers, strata = market segment; naive vs corrected + SE. */
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    val pop = T(s, dir, "customer")
+    val samp = pop.filter(pmod(graft.functions.Hashes.portableHash32(
+      col("c_custkey").cast("string")), lit(10L)) === 0)
+    graft.operators.Stats.postStratifiedMean(pop, "c_mktsegment",
+      "c_acctbal", samp)
+  }
+
   /** Theil-Sen robust trend slope per event type over the daily-mean
     * spine: median of all pairwise slopes, discrete-median selection. */
   private def q254(s: SparkSession, dir: String): DataFrame =
@@ -3023,7 +3049,10 @@ object SparkEntry {
     "q253_bfs_hops" -> (q253 _),
     "q254_theil_sen" -> (q254 _),
     "q255_mann_kendall" -> (q255 _),
-    "q256_mahalanobis_outliers" -> (q256 _)
+    "q256_mahalanobis_outliers" -> (q256 _),
+    "q257_negative_sampling" -> (q257 _),
+    "q258_yuen_trimmed_t" -> (q258 _),
+    "q259_poststrat_mean" -> (q259 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -573,4 +573,44 @@ object Sampling {
       round(col("n_unseen_events").cast("double") /
         col("n_test_events"), 6).as("unseen_event_share"))
   }
+
+  /** Deterministic uniform negative sampling for contrastive training:
+    * for every interacting user, draw `k` candidate items by portable
+    * hash (`h32(user:slot) mod |catalog|` against a dense catalog index),
+    * then anti-join the user's POSITIVES away — the standard
+    * two-tower/contrastive negatives pass, reproducible on any cluster
+    * size and re-runnable to the same pairs (a `rand()` version re-rolls
+    * per retry and poisons the training cache). Slots that collide with
+    * a positive are DROPPED, not re-probed (documented semantics: with
+    * |positives| ≪ |catalog| the loss is ~|pos|/|catalog| per slot;
+    * re-probing would make each row's output depend on the whole
+    * positive set and break the pure-projection shape).
+    *
+    * Scale: candidates are a k× map-side expansion of the USER list; the
+    * catalog index (row_number over the catalog order) is catalog-sized
+    * — broadcast it; the only shuffles are the distinct on positives and
+    * the anti-join on (user, item). */
+  def negativeSampling(positives: DataFrame, userCol: String,
+                       itemCol: String, catalog: DataFrame,
+                       catalogKey: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, "k in [1, 1024]")
+    val pos = positives
+      .select(col(userCol).as("u"), col(itemCol).as("it")).distinct()
+      .localCheckpoint() // read twice: user list + anti-join side
+    val cat = catalog
+      .select(col(catalogKey).as("it"))
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("it"))).cast("long") - 1)
+    val n = catalog.agg(count(lit(1)).as("n_items"))
+    val cand = pos.select(col("u")).distinct()
+      .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
+      .crossJoin(broadcast(n))
+      .withColumn("idx", pmod(Hashes.portableHash32(
+        concat(col("u").cast("string"), lit(":"),
+          col("slot").cast("string"))), col("n_items")))
+      .join(broadcast(cat), Seq("idx"))
+    cand.join(pos, Seq("u", "it"), "left_anti")
+      .select(col("u").as(userCol), col("slot").cast("long").as("slot"),
+        col("it").as(s"neg_$catalogKey"))
+  }
 }

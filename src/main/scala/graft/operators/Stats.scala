@@ -1329,6 +1329,104 @@ object Stats {
       round(least(lit(1.0), lit(1.0) / lam), 4).as("always_valid_p"))
   }
 
+  /** Yuen's trimmed-mean t-test between two arms: Welch's t on `trim`-
+    * trimmed means with winsorized variances — the robust two-sample test
+    * that a single whale user cannot move (plain Welch on revenue-like
+    * metrics is dominated by the tail; trimming is the standard fix that
+    * still comes with a valid reference distribution).
+    *
+    * Per arm: g = floor(trim·n) observations clipped per tail; trimmed
+    * mean over the middle h = n−2g; winsorized variance s²w over values
+    * clamped to the (g+1)-th / (n−g)-th order statistics;
+    * d = (n−1)s²w/(h(h−1)); t = Δ(trimmed means)/√(d_a+d_b) with the
+    * Welch–Satterthwaite df on (h−1). Values stay DECIMAL through
+    * clamping, so all moments are exact and the statistic is
+    * engine-deterministic. One rank window per arm + one moment pass. */
+  def yuenTrimmedT(df: DataFrame, arm: Column, valueCol: String,
+                   trim: Double): DataFrame = {
+    require(trim > 0 && trim < 0.5, "trim in (0, 0.5)")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(arm.as("b"), col(valueCol).cast("decimal(18,2)").as("v"))
+    val w = Window.partitionBy(col("b")).orderBy(col("v"))
+    val wc = Window.partitionBy(col("b"))
+    val ranked = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("g", floor(lit(trim) * col("n").cast("double")))
+    val lims = ranked.groupBy(col("b"))
+      .agg(max(when(col("rn") === col("g") + 1, col("v"))).as("lo"),
+        max(when(col("rn") === col("n") - col("g"), col("v"))).as("hi"))
+    val winz = ranked.join(broadcast(lims), Seq("b"))
+      .withColumn("wv", greatest(col("lo"), least(col("hi"), col("v"))))
+      .withColumn("mid",
+        col("rn") > col("g") && col("rn") <= col("n") - col("g"))
+    val m = winz.groupBy(col("b"))
+      .agg(max(col("n")).cast("long").as("n"),
+        (max(col("n") - lit(2) * col("g"))).cast("long").as("h"),
+        (sum(when(col("mid"), col("v"))).cast("double") /
+          sum(when(col("mid"), 1L).otherwise(0L)).cast("double")).as("mt"),
+        sum(col("wv")).cast("double").as("sw"),
+        sum(col("wv") * col("wv")).cast("double").as("sww"))
+      .withColumn("s2w", (col("sww") - col("sw") * col("sw") /
+        col("n").cast("double")) / (col("n").cast("double") - 1.0))
+      .withColumn("d", (col("n").cast("double") - 1.0) * col("s2w") /
+        (col("h").cast("double") * (col("h").cast("double") - 1.0)))
+    val a = m.filter(!col("b")).select(col("n").as("n_a"), col("h").as("h_a"),
+      col("mt").as("mt_a"), col("d").as("d_a"))
+    val bb = m.filter(col("b")).select(col("n").as("n_b"), col("h").as("h_b"),
+      col("mt").as("mt_b"), col("d").as("d_b"))
+    val den = col("d_a") + col("d_b")
+    a.crossJoin(broadcast(bb))
+      .select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+        round(col("mt_a"), 4).as("tmean_a"),
+        round(col("mt_b"), 4).as("tmean_b"),
+        round((col("mt_b") - col("mt_a")) / sqrt(den), 4).as("t_stat"),
+        round(den * den /
+          (col("d_a") * col("d_a") / (col("h_a").cast("double") - 1.0) +
+            col("d_b") * col("d_b") / (col("h_b").cast("double") - 1.0)), 2)
+          .as("df"))
+  }
+
+  /** Post-stratified mean: reweight a (hash-deterministic) sample's
+    * per-stratum means by the POPULATION stratum shares — the survey
+    * estimator that removes sampling imbalance across strata
+    * (est = Σ Wₛ·x̄ₛ, SE = √(Σ Wₛ²·s²ₛ/nₛ)), the estimation-side
+    * complement of [[neymanAllocation]]'s planning. Emits the naive
+    * sample mean alongside, so the correction is visible. Population
+    * shares are exact integer ratios; per-stratum moments are
+    * DECIMAL-exact; only the final Σ over |strata| terms is fp. */
+  def postStratifiedMean(population: DataFrame, strataCol: String,
+                         valueCol: String, sample: DataFrame): DataFrame = {
+    val popW = population.groupBy(col(strataCol).as("s"))
+      .agg(count(lit(1)).cast("long").as("n_pop"))
+    val samp = sample
+      .filter(col(valueCol).isNotNull)
+      .select(col(strataCol).as("s"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+    val sm = samp.groupBy(col("s"))
+      .agg(count(lit(1)).cast("long").as("n_s"),
+        sum(col("v")).cast("double").as("sx"),
+        sum(col("v") * col("v")).cast("double").as("sxx"))
+      .withColumn("mean_s", col("sx") / col("n_s").cast("double"))
+      .withColumn("var_s", (col("sxx") - col("sx") * col("sx") /
+        col("n_s").cast("double")) / (col("n_s").cast("double") - 1.0))
+    val joined = popW.join(sm, Seq("s")).crossJoin(
+      broadcast(popW.agg(sum(col("n_pop")).cast("long").as("n_pop_t"))))
+      .withColumn("w", col("n_pop").cast("double") /
+        col("n_pop_t").cast("double"))
+    joined.agg(
+        max(col("n_pop_t")).as("n_population"),
+        sum(col("n_s")).cast("long").as("n_sample"),
+        (sum(col("sx")) / sum(col("n_s")).cast("double")).as("naive"),
+        sum(col("w") * col("mean_s")).as("ps"),
+        sum(col("w") * col("w") * col("var_s") /
+          col("n_s").cast("double")).as("v"))
+      .select(col("n_population"), col("n_sample"),
+        round(col("naive"), 4).as("naive_mean"),
+        round(col("ps"), 4).as("poststrat_mean"),
+        round(sqrt(col("v")), 4).as("se"))
+  }
+
   /** Difference-in-differences: the 2×2 (treat × post) panel estimator
     * `(T_post − T_pre) − (C_post − C_pre)` with its four-cell pooled SE
     * `sqrt(Σ s²_cell/n_cell)` — the pre-period differences out any fixed

@@ -398,4 +398,25 @@ class SamplingSpec extends SparkSpec {
     // 12 groups over 4 folds: at least 2 distinct folds occupied
     assert(out.map(_._2).toSet.size >= 2)
   }
+
+  test("negativeSampling: no positives leak, catalog-closed, reproducible") {
+    import spark.implicits._
+    val pos = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("u", "it")
+    val catalog = Seq(10L, 20L, 30L, 40L, 50L).toDF("item")
+    def run(p: org.apache.spark.sql.DataFrame) =
+      Sampling.negativeSampling(p, "u", "it", catalog, "item", k = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val out = run(pos)
+    val posSet = Set((1L, 10L), (1L, 20L), (2L, 30L))
+    assert(out.forall { case (u, _, it) => !posSet((u, it)) },
+      "a positive leaked into the negatives")
+    assert(out.forall { case (_, s, it) =>
+      s >= 0 && s < 6 && Set(10L, 20L, 30L, 40L, 50L)(it) })
+    assert(out.nonEmpty && out.size <= 12)
+    assert(run(pos.repartition(7)) == out, "hash draw is layout-invariant")
+    // a catalog fully owned by the user yields nothing, not an error
+    val tiny = Sampling.negativeSampling(Seq((1L, 99L)).toDF("u", "it"),
+      "u", "it", Seq(99L).toDF("item"), "item", k = 4)
+    assert(tiny.count() == 0)
+  }
 }

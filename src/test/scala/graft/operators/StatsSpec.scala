@@ -646,6 +646,40 @@ class StatsSpec extends SparkSpec {
       .collect().head.getDouble(4) == 1.0)
   }
 
+  test("yuenTrimmedT: whale-proof — trims the spike Welch would chase") {
+    import spark.implicits._
+    // each arm: 4 tame values + one whale; trim 0.2 -> g=1, h=3
+    val rows = Seq((false, 0.0), (false, 1.0), (false, 2.0), (false, 3.0),
+      (false, 100.0), (true, 10.0), (true, 11.0), (true, 12.0),
+      (true, 13.0), (true, 110.0)).toDF("arm", "v")
+    val out = Stats.yuenTrimmedT(rows, col("arm"), "v", trim = 0.2)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      == ((5L, 5L, 3L, 3L)))
+    assert(out.getDouble(4) == 2.0 && out.getDouble(5) == 12.0,
+      "trimmed means drop the whale entirely")
+    // winsorized var 1 each arm -> d = 4/(3*2) -> t = 10/sqrt(4/3), df = 4
+    assert(out.getDouble(6) ==
+      math.rint(10.0 / math.sqrt(4.0 / 3.0) * 1e4) / 1e4)
+    assert(out.getDouble(7) == 4.0)
+  }
+
+  test("postStratifiedMean reweights sample means by population shares") {
+    import spark.implicits._
+    val pop = (Seq.fill(8)("A") ++ Seq.fill(2)("B")).zipWithIndex
+      .map { case (s, i) => (s, i * 1.0) }.toDF("seg", "v")
+    // the sample over-represents stratum B (3 of 5 rows vs 20% of pop)
+    val samp = Seq(("A", 1.0), ("A", 3.0), ("B", 10.0), ("B", 20.0),
+      ("B", 30.0)).toDF("seg", "v")
+    val out = Stats.postStratifiedMean(pop, "seg", "v", samp).collect().head
+    assert(out.getLong(0) == 10L && out.getLong(1) == 5L)
+    assert(out.getDouble(2) == 12.8, "naive mean follows the skewed sample")
+    assert(out.getDouble(3) == 0.8 * 2.0 + 0.2 * 20.0, // 5.6
+      "post-stratification restores the population weighting")
+    val se = math.sqrt(0.64 * 2.0 / 2.0 + 0.04 * 100.0 / 3.0)
+    assert(out.getDouble(4) == math.rint(se * 1e4) / 1e4)
+  }
+
   test("mahalanobisOutliers: axis-scaled top-k, constant feature contributes 0") {
     import spark.implicits._
     // f1 = [10,10,10,14,22] (one big, one small deviant); f2 constant —
