@@ -4989,6 +4989,51 @@ object OracleSql {
          |  ${rnd("sum(sx) / sum(n_s)::DOUBLE", 4)} AS naive_mean,
          |  ${rnd("sum(w * mean_s)", 4)} AS poststrat_mean,
          |  ${rnd("sqrt(sum(w * w * var_s / n_s::DOUBLE))", 4)} AS se
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+
+    // q260: LOO 5-NN vote — self excluded up front (equivalent to the
+    // Spark side's ask-k+1-drop-self under exact-duplicate ties too);
+    // vote ties break to the smallest label
+    "q260_knn_eval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS tl
+         |  FROM embeddings WHERE vec_id % 7 = 0),
+         |scored AS (SELECT query_id, tl, e.vec_id AS nid, e.label AS nl,
+         |    ${cosineSql("e.embedding", "qv")} AS c
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+         |ranked AS (SELECT query_id, tl, nl,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY c DESC, nid ASC) AS r FROM scored),
+         |votes AS (SELECT query_id, tl, nl, count(*) AS cnt FROM ranked
+         |  WHERE r <= 5 GROUP BY 1, 2, 3),
+         |pred AS (SELECT query_id, tl, nl AS predicted FROM votes
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cnt DESC, nl ASC) = 1)
+         |SELECT tl AS true_label, count(*)::BIGINT AS n_eval,
+         |  sum(CASE WHEN predicted = tl THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_correct,
+         |  ${rnd("sum(CASE WHEN predicted = tl THEN 1 ELSE 0 END)::DOUBLE" +
+            " / count(*)::DOUBLE", 4)} AS accuracy
+         |FROM pred GROUP BY 1""".stripMargin,
+
+    // q261: anisotropy via the sum-vector identity (||sum u||^2 - n) /
+    // (n(n-1)) over unit vectors — no pairwise join on either side
+    "q261_anisotropy" ->
+      s"""WITH base AS (SELECT label, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> (x::DOUBLE) * (x::DOUBLE)))) AS nrm FROM embeddings),
+         |b2 AS (SELECT label, nrm,
+         |    list_transform(embedding, x -> (x::DOUBLE) / nrm) AS u
+         |  FROM base WHERE nrm > 0),
+         |pd AS (SELECT label, i AS pos, sum(u[i]) AS s, count(*) AS n,
+         |    sum(nrm) AS nrmsum
+         |  FROM b2, unnest(generate_series(1, len(u))) AS t(i)
+         |  GROUP BY 1, 2),
+         |ag AS (SELECT label, max(n)::BIGINT AS n, sum(s * s) AS ss2,
+         |    max(nrmsum) / max(n)::DOUBLE AS mean_norm
+         |  FROM pd GROUP BY 1)
+         |SELECT label, n, ${rnd("mean_norm", 4)} AS mean_norm,
+         |  ${rnd("(ss2 - n::DOUBLE) / (n::DOUBLE * (n::DOUBLE - 1.0))", 4)}
+         |    AS mean_pairwise_cos
+         |FROM ag WHERE n >= 2""".stripMargin
   )
 }

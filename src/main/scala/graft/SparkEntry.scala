@@ -2733,6 +2733,17 @@ object SparkEntry {
     graft.operators.Stats.groupAuc(T(s, dir, "documents"), "source",
       col("n_chars"), col("lang") === "en")
 
+  /** Leave-one-out 5-NN classification accuracy per class over the
+    * vec_id%7 evaluation sample — the embedding-quality eval. */
+  private def q260(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.knnClassifierEval(TW(s, dir, "embeddings"),
+      pmod(col("vec_id"), lit(7L)) === 0, k = 5)
+
+  /** Per-class anisotropy via the sum-vector identity (mean pairwise
+    * cosine with NO pairwise join) + raw-norm means. */
+  private def q261(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.labelAnisotropy(TW(s, dir, "embeddings"))
+
   /** Deterministic contrastive negative sampling: 8 hash-drawn part
     * candidates per purchasing customer, positives anti-joined away. */
   private def q257(s: SparkSession, dir: String): DataFrame = {
@@ -3052,7 +3063,9 @@ object SparkEntry {
     "q256_mahalanobis_outliers" -> (q256 _),
     "q257_negative_sampling" -> (q257 _),
     "q258_yuen_trimmed_t" -> (q258 _),
-    "q259_poststrat_mean" -> (q259 _)
+    "q259_poststrat_mean" -> (q259 _),
+    "q260_knn_eval" -> (q260 _),
+    "q261_anisotropy" -> (q261 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

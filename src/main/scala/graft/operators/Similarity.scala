@@ -1012,4 +1012,91 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("r_cos"), col("r_l2"), col("rrf"), col("rank").cast("long").as("rank"))
   }
+
+  /** Leave-one-out kNN classification accuracy per class — the standard
+    * "are these embeddings any good for this label?" eval: each query
+    * vector is classified by majority vote over its k nearest OTHER
+    * vectors (cosine, ties by neighbor id; vote ties to the smallest
+    * label), and accuracy is reported per TRUE class, because a global
+    * accuracy hides the one class the space collapses.
+    *
+    * `queryPred` samples the evaluation set — the corpus side stays full
+    * (that's what LOO means), so cost is |queries|·|corpus| through the
+    * same broadcast + partial-top-k plan as [[bruteForceTopK]] (query
+    * side broadcasts, corpus never shuffles; asks for k+1 then drops
+    * self). At index scale, swap the brute-force scorer for [[ivfTopK]]
+    * and this becomes the recall-adjusted eval. */
+  def knnClassifierEval(vectors: DataFrame, queryPred: Column, k: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val queries = vectors.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as(vecCol))
+    val topK1 = bruteForceTopK(vectors, queries, k + 1,
+      corpusId = idCol, corpusVec = vecCol,
+      queryId = "query_id", queryVec = vecCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+    val nn = topK1.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("r2", row_number().over(w))
+      .filter(col("r2") <= k)
+    val labels = vectors.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nl"))
+    val votes = nn.join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("nl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("query_id"))
+      .agg(min(struct(negate(col("c")).as("negc"), col("nl").as("l")))
+        .as("m"))
+      .select(col("query_id"), col("m.l").as("predicted"))
+    val truth = vectors.select(col(idCol).as("query_id"),
+      col(labelCol).as("true_label"))
+    votes.join(truth, Seq("query_id"))
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).cast("long").as("n_eval"),
+        sum(when(col("predicted") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("true_label"), col("n_eval"),
+        col("n_correct").cast("long").as("n_correct"),
+        round(col("n_correct").cast("double") /
+          col("n_eval").cast("double"), 4).as("accuracy"))
+  }
+
+  /** Per-class embedding anisotropy WITHOUT a pairwise join: after
+    * unit-normalizing each vector, the mean pairwise cosine inside a
+    * class is exactly (‖Σu‖² − n)/(n(n−1)) — the sum-vector identity
+    * turns an O(n²) pair computation into one per-dimension sum. High
+    * anisotropy (members bunched in a narrow cone) is the classic
+    * embedding-collapse symptom that makes cosine retrieval
+    * uninformative; the raw-norm mean rides along since normalization
+    * hides it. One aggregation pass, d running sums per class. */
+  def labelAnisotropy(vectors: DataFrame,
+                      vecCol: String = "embedding",
+                      labelCol: String = "label"): DataFrame = {
+    val dims = size(col(vecCol))
+    val norm = sqrt(aggregate(col(vecCol), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val unit = transform(col(vecCol), x => x.cast("double") / col("nrm"))
+    val base = vectors
+      .withColumn("nrm", norm)
+      .filter(col("nrm") > 0)
+      .select(col(labelCol).as("label"), col("nrm"), unit.as("u"),
+        dims.as("d"))
+    val perDim = base
+      .select(col("label"), col("nrm"), posexplode(col("u")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"),
+        sum(col("nrm")).as("nrmsum"))
+    perDim.groupBy(col("label"))
+      .agg(max(col("n")).cast("long").as("n"),
+        sum(col("s") * col("s")).as("ss2"),
+        (max(col("nrmsum")) / max(col("n")).cast("double")).as("mean_norm"))
+      .filter(col("n") >= 2)
+      .select(col("label"), col("n"),
+        round(col("mean_norm"), 4).as("mean_norm"),
+        round((col("ss2") - col("n").cast("double")) /
+          (col("n").cast("double") * (col("n").cast("double") - 1.0)), 4)
+          .as("mean_pairwise_cos"))
+  }
 }

@@ -615,4 +615,39 @@ class SimilaritySpec extends SparkSpec {
       nShortlist = 5, dim = 64).collect()
     assert(narrow.length == 3)
   }
+
+  test("knnClassifierEval: planted clusters classify perfectly, LOO holds") {
+    import spark.implicits._
+    // two tight cones: label 1 near e1, label 2 near e2 — 3-NN of any
+    // member (self excluded) is its own cluster
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 1L), (2L, Array(0.9f, 0.1f), 1L),
+      (3L, Array(0.95f, 0.05f), 1L), (4L, Array(0.85f, 0.15f), 1L),
+      (5L, Array(0.0f, 1.0f), 2L), (6L, Array(0.1f, 0.9f), 2L),
+      (7L, Array(0.05f, 0.95f), 2L), (8L, Array(0.15f, 0.85f), 2L)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassifierEval(vecs, lit(true), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 4L, 1.0)) && out(2L) == ((4L, 4L, 1.0)))
+  }
+
+  test("labelAnisotropy: sum-vector identity hits the closed-form cases") {
+    import spark.implicits._
+    val vecs = Seq(
+      ("dup", Array(3.0f, 0.0f)), ("dup", Array(1.0f, 0.0f)), // same ray
+      ("orth", Array(1.0f, 0.0f)), ("orth", Array(0.0f, 1.0f)),
+      ("anti", Array(1.0f, 0.0f)), ("anti", Array(-1.0f, 0.0f)),
+      ("solo", Array(1.0f, 1.0f)),                  // n=1: dropped
+      ("zero", Array(0.0f, 0.0f)), ("zero", Array(1.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.labelAnisotropy(vecs, "embedding", "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("dup") == ((2L, 2.0, 1.0)), "same direction: cos 1, norms 3,1")
+    assert(out("orth") == ((2L, 1.0, 0.0)))
+    assert(out("anti") == ((2L, 1.0, -1.0)))
+    assert(!out.contains("solo"), "singleton class has no pairs")
+    assert(!out.contains("zero"), "zero vector filtered, leaving a singleton")
+  }
 }
