@@ -5034,6 +5034,15 @@ object OracleSql {
          |SELECT label, n, ${rnd("mean_norm", 4)} AS mean_norm,
          |  ${rnd("(ss2 - n::DOUBLE) / (n::DOUBLE * (n::DOUBLE - 1.0))", 4)}
          |    AS mean_pairwise_cos
-         |FROM ag WHERE n >= 2""".stripMargin
+         |FROM ag WHERE n >= 2""".stripMargin,
+
+    // q262: the audit numbers recomputed straight from the source — any
+    // delete leak on the COW table breaks the residue/count hash match
+    "q262_erasure_audit" ->
+      """SELECT event_type, count(*)::BIGINT AS n_before,
+        |  sum(CASE WHEN user_id % 11 = 3 THEN 0 ELSE 1 END)::BIGINT AS n_after,
+        |  sum(CASE WHEN user_id % 11 = 3 THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+        |  0::BIGINT AS residue
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -2733,6 +2733,33 @@ object SparkEntry {
     graft.operators.Stats.groupAuc(T(s, dir, "documents"), "source",
       col("n_chars"), col("lang") === "en")
 
+  /** GDPR-erasure audit on the COW table: create a partitioned events
+    * table, DELETE one user cohort, report per-partition before/after/
+    * deleted counts plus the residue (must be zero) re-read from the
+    * table — the oracle recomputes the same numbers from the source, so
+    * any delete leak (a resurrected partition, a missed file) breaks the
+    * hash match. */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    import graft.merge.ParquetTable
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val root = scratchDir("graft_q262")
+    val table = new ParquetTable(s, s"$root/events_cow", Seq("event_type"))
+    table.create(ev)
+    table.delete("user_id % 11 = 3", metrics = Map("reason" -> "erasure"))
+    val after = table.read.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_after"),
+        sum(when(pmod(col("user_id"), lit(11L)) === 3, 1L).otherwise(0L))
+          .cast("long").as("residue"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_before"))
+      .join(after, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_deleted"),
+        coalesce(col("residue"), lit(0L)).as("residue"))
+  }
+
   /** Leave-one-out 5-NN classification accuracy per class over the
     * vec_id%7 evaluation sample — the embedding-quality eval. */
   private def q260(s: SparkSession, dir: String): DataFrame =
@@ -3065,7 +3092,8 @@ object SparkEntry {
     "q258_yuen_trimmed_t" -> (q258 _),
     "q259_poststrat_mean" -> (q259 _),
     "q260_knn_eval" -> (q260 _),
-    "q261_anisotropy" -> (q261 _)
+    "q261_anisotropy" -> (q261 _),
+    "q262_erasure_audit" -> (q262 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -209,34 +209,77 @@ final class ParquetTable(val spark: SparkSession, val root: String,
       val touched = touchedPartitions(updates)
       val targetTouched = read.filter(prunerFor(touched))
       val merged = MergeInto(targetTouched, updates, condition, matched, notMatched)
-        .localCheckpoint() // materialize BEFORE overwriting the dirs we read from
-      // per-WRITER dynamic overwrite: mutating the session conf would leak
-      // into other tables' concurrent writers (their full overwrites would
-      // silently keep partitions they meant to drop)
-      merged.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionKeys: _*).parquet(dataDir)
-      // Dynamic overwrite replaces exactly the partitions present in `merged`;
-      // a touched partition whose rows were ALL deleted is absent from
-      // `merged` and must be dropped explicitly.
-      val remaining = merged.select(partitionKeys.map(col): _*).distinct().collect()
-        .map(_.toSeq).toSet
-      touched.map(_.toSeq).filterNot(remaining.contains).foreach { vals =>
-        // Spark writes Hive-ESCAPED partition dir names (':' -> '%3A' etc.);
-        // raw toString would miss those dirs and resurrect deleted rows
-        val rel = partitionKeys.zip(vals).map { case (k, v) =>
-          if (v == null) s"$k=__HIVE_DEFAULT_PARTITION__"
-          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(k, v.toString)
-        }.mkString("/")
-        deleteRecursively(Paths.get(dataDir, rel))
-      }
-      writeCommit(latestVersion + 1, "MERGE", metrics, txn)
+      rewriteTouchedPartitions(touched, merged, "MERGE", metrics, txn)
     } else {
       val merged = MergeInto(read, updates, condition, matched, notMatched)
       val next = latestVersion + 1
       merged.write.mode(SaveMode.Overwrite).parquet(f"$snapDir/v$next%05d")
       writeCommit(next, "MERGE", metrics, txn)
+    }
+  }
+
+  /** The partitioned copy-on-write rewrite shared by [[merge]] and
+    * [[delete]]: dynamic-overwrite only the touched partitions with
+    * `newContent`, then explicitly drop touched partitions whose rows all
+    * vanished (dynamic overwrite cannot see them — they are absent from
+    * the write). */
+  private def rewriteTouchedPartitions(touched: Array[org.apache.spark.sql.Row],
+                                       newContent: DataFrame, action: String,
+                                       metrics: Map[String, String],
+                                       txn: Option[(String, Long)]): Unit = {
+    val content = newContent
+      .localCheckpoint() // materialize BEFORE overwriting the dirs we read from
+    // per-WRITER dynamic overwrite: mutating the session conf would leak
+    // into other tables' concurrent writers (their full overwrites would
+    // silently keep partitions they meant to drop)
+    content.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionKeys: _*).parquet(dataDir)
+    // Dynamic overwrite replaces exactly the partitions present in the
+    // content; a touched partition whose rows were ALL deleted is absent
+    // from the write and must be dropped explicitly.
+    val remaining = content.select(partitionKeys.map(col): _*).distinct().collect()
+      .map(_.toSeq).toSet
+    touched.map(_.toSeq).filterNot(remaining.contains).foreach { vals =>
+      // Spark writes Hive-ESCAPED partition dir names (':' -> '%3A' etc.);
+      // raw toString would miss those dirs and resurrect deleted rows
+      val rel = partitionKeys.zip(vals).map { case (k, v) =>
+        if (v == null) s"$k=__HIVE_DEFAULT_PARTITION__"
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(k, v.toString)
+      }.mkString("/")
+      deleteRecursively(Paths.get(dataDir, rel))
+    }
+    writeCommit(latestVersion + 1, action, metrics, txn)
+  }
+
+  /** `DELETE WHERE condition` — the GDPR-erasure primitive on the COW
+    * table. SQL DELETE semantics: rows where the predicate is TRUE go;
+    * FALSE and NULL rows stay. Partitioned tables rewrite ONLY the
+    * partitions that contain matching rows (the same manual-DPP bound as
+    * [[merge]] — an erasure request touching one user never rewrites the
+    * whole table); snapshot tables write the kept rows as a new version.
+    * Records a DELETE commit either way, so [[lastMetrics]] carries the
+    * caller's audit numbers and a no-match delete is still a visible,
+    * idempotency-checkable operation. */
+  def delete(condition: String,
+             metrics: Map[String, String] = Map.empty,
+             txn: Option[(String, Long)] = None): Unit = monitor.synchronized {
+    if (txn.exists { case (a, v) => seenTxn(a, v) }) return
+    require(exists, s"delete target $root does not exist")
+    val hit = coalesce(expr(condition), lit(false))
+    if (partitionKeys.nonEmpty) {
+      val touched = touchedPartitions(read.filter(hit))
+      if (touched.isEmpty) writeCommit(latestVersion + 1, "DELETE", metrics, txn)
+      else {
+        val kept = read.filter(prunerFor(touched)).filter(!hit)
+        rewriteTouchedPartitions(touched, kept, "DELETE", metrics, txn)
+      }
+    } else {
+      val next = latestVersion + 1
+      read.filter(!hit).write.mode(SaveMode.Overwrite)
+        .parquet(f"$snapDir/v$next%05d")
+      writeCommit(next, "DELETE", metrics, txn)
     }
   }
 

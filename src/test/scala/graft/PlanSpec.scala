@@ -162,7 +162,13 @@ class PlanSpec extends SparkSpec {
       "q241_chunk_dedup", // 1-row docs x 1-row chunk-stats control frames
       "q243_cdc_chunk_dedup", // 1-row docs x 1-row chunk-stats control frames
       "q231_heaps_fit", // 1-row log-means frame x |sources|-row points frame
-      "q230_kaplan_meier") // 1-row corpus-end frame cross-joined
+      "q230_kaplan_meier", // 1-row corpus-end frame cross-joined
+      "q246_poisson_bootstrap", // 1-row full-sample-mean control frame
+      "q256_mahalanobis_outliers", // 1-row moment control frame
+      "q257_negative_sampling", // 1-row catalog-count control frame
+      "q258_yuen_trimmed_t", // 1-row arm frames cross-joined
+      "q259_poststrat_mean", // 1-row population-total control frame
+      "q260_knn_eval") // bounded broadcast ANN query set
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
@@ -171,7 +177,9 @@ class PlanSpec extends SparkSpec {
       "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
       "q114_leakage_safe_split", "q132_ivf_append", "q172_cluster_stats",
       "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall",
-      "q187_index_neardups", "q189_auto_threshold_neardups")
+      "q187_index_neardups", "q189_auto_threshold_neardups",
+      "q244_bpe_learn", "q249_bpe_encode", "q253_bfs_hops",
+      "q262_erasure_audit")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
@@ -218,14 +226,21 @@ class PlanSpec extends SparkSpec {
       "q223_gini_concentration",
       // at-risk / zero-mask / ln-sum windows over the |lifetime-days|-row
       // curve frame — bounded by the corpus SPAN, never user rows
-      "q230_kaplan_meier")
+      "q230_kaplan_meier",
+      // skyline running-max over the DISTINCT (x, max-y) value grid —
+      // bounded by the metric's value space, never rows
+      "q245_pareto_front",
+      // dense catalog index: row_number over the |catalog|-row small side
+      "q257_negative_sampling")
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
       "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
       "q114_leakage_safe_split", "q132_ivf_append", "q172_cluster_stats",
       "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall",
-      "q187_index_neardups", "q189_auto_threshold_neardups")
+      "q187_index_neardups", "q189_auto_threshold_neardups",
+      "q244_bpe_learn", "q249_bpe_encode", "q253_bfs_hops",
+      "q262_erasure_audit")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
@@ -253,7 +268,9 @@ class PlanSpec extends SparkSpec {
       "q15_scd1_merge", "q16_scd2_merge", "q17_scd4_merge",
       "q114_leakage_safe_split", "q132_ivf_append", "q172_cluster_stats",
       "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall",
-      "q187_index_neardups", "q189_auto_threshold_neardups")
+      "q187_index_neardups", "q189_auto_threshold_neardups",
+      "q244_bpe_learn", "q249_bpe_encode", "q253_bfs_hops",
+      "q262_erasure_audit")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val frames = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: LWindow => w.windowExpressions.flatMap(_.collect {

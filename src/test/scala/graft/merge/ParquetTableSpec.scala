@@ -42,6 +42,40 @@ class ParquetTableSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, "data", "p=p3")))
   }
 
+  test("delete: SQL WHERE semantics, untouched partitions keep their files") {
+    val t = new ParquetTable(spark, tmpDir("pt_del"), partitionKeys = Seq("p"))
+    t.create(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"),
+      (4, null.asInstanceOf[String], "p3")).toDF("k", "v", "p"))
+    val p2Before = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t.root, "data", "p=p2")).toArray.toSet
+    // NULL predicate rows (v = 'zzz' is NULL for k=4) must be KEPT
+    t.delete("k = 1 OR v = 'zzz'", metrics = Map("why" -> "erasure"))
+    val rows = t.read.collect().map(_.getInt(0)).toSet
+    assert(rows == Set(2, 3, 4), "k=1 gone; NULL-predicate k=4 kept")
+    // p2/p3 had no matching rows: their files must be byte-identical
+    val p2After = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t.root, "data", "p=p2")).toArray.toSet
+    assert(p2After == p2Before, "an untouched partition was rewritten")
+    assert(t.lastMetrics.get("why").contains("erasure"))
+    // deleting a partition's last row drops its directory
+    t.delete("k = 3")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t.root, "data", "p=p2")))
+    // txn replay is a no-op
+    t.delete("k = 2", txn = Some(("gdpr", 1L)))
+    t.delete("k = 4", txn = Some(("gdpr", 1L))) // replayed id: must not run
+    assert(t.read.collect().map(_.getInt(0)).toSet == Set(4))
+  }
+
+  test("delete on a snapshot table writes a new version with kept rows") {
+    val t = new ParquetTable(spark, tmpDir("pt_del_snap"))
+    t.create(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    val v0 = t.latestVersion
+    t.delete("k >= 2")
+    assert(t.latestVersion == v0 + 1)
+    assert(t.read.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("txn idempotency via seenTxn") {
     val t = new ParquetTable(spark, tmpDir("pt_txn"))
     t.create(Seq((1, "a")).toDF("k", "v"))
