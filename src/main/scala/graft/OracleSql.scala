@@ -5043,6 +5043,43 @@ object OracleSql {
         |  sum(CASE WHEN user_id % 11 = 3 THEN 0 ELSE 1 END)::BIGINT AS n_after,
         |  sum(CASE WHEN user_id % 11 = 3 THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
         |  0::BIGINT AS residue
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // q263: q27's langId CASE replayed, row-normalized per true class
+    "q263_lang_confusion" -> {
+      def score(markers: Seq[String]) =
+        s"len(list_filter($toksExpr, t -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], t)))"
+      val en = score(Seq("the", "and", "of", "is", "that"))
+      val de = score(Seq("der", "die", "und", "ist", "das"))
+      val fr = score(Seq("le", "la", "et", "est", "les"))
+      val es = score(Seq("el", "la", "que", "es", "los"))
+      val zh = score(Seq("的", "是", "了", "在", "我"))
+      s"""WITH s AS (SELECT lang AS true_lang, $en AS s_en, $de AS s_de,
+         |    $fr AS s_fr, $es AS s_es, $zh AS s_zh
+         |  FROM documents WHERE lang IS NOT NULL),
+         |p AS (SELECT true_lang,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+         |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+         |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+         |       ELSE 'zh' END AS pred_lang FROM s),
+         |c AS (SELECT true_lang, pred_lang, count(*)::BIGINT AS n
+         |  FROM p GROUP BY 1, 2)
+         |SELECT true_lang, pred_lang, n,
+         |  ${rnd("n::DOUBLE / (sum(n) OVER (PARTITION BY true_lang))::DOUBLE", 4)}
+         |    AS share_of_true
+         |FROM c""".stripMargin
+    },
+
+    // q264: the IVM contract — three incremental merges must equal the
+    // one-shot recompute exactly (DECIMAL sums, so no fp drift between
+    // the incremental and direct paths)
+    "q264_ivm_agg" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n,
+         |  sum(coalesce(value, 0.0)::DECIMAL(18,2))::DOUBLE AS sum_value,
+         |  ${rnd("sum(coalesce(value, 0.0)::DECIMAL(18,2))::DOUBLE" +
+            " / count(*)::DOUBLE", 4)} AS mean_value
+         |FROM events GROUP BY 1""".stripMargin
   )
 }

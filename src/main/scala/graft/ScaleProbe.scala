@@ -484,6 +484,34 @@ object ScaleProbe {
         ew.as("x").join(ew.as("y"),
             col("x.i") === col("y.i") && col("x.u") < col("y.u"))
           .select(col("x.u"), col("y.u")).distinct().count()
+      }),
+      // q244 BPE trainer: the DISTRIBUTED state is the word vocabulary —
+      // Heaps' law says it grows ~N^beta (beta<1), so the count decade-to-
+      // decade is the scale claim; `sec` alongside is the 20-merge loop's
+      // wall time over that vocab
+      "q244_bpe_vocab" -> (() => {
+        import org.apache.spark.sql.functions._
+        docs.select(explode(Dedup.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) >= 1).select(col("w")).distinct().count()
+      }),
+      "q244_bpe_merges" -> (() =>
+        graft.operators.Corpus.bpeLearn(docs, "text", nMerges = 20).count()),
+      // q253 BFS: settled nodes are bounded by seeds + reachable component
+      // mass, NEVER corpus rows — the count is the per-round join input
+      "q253_bfs_settled" -> (() => {
+        import org.apache.spark.sql.functions._
+        val pairs = Dedup.sharedWindowPairs(docs, "doc_id", "text")
+        val seeds = docs.filter(pmod(col("doc_id"), lit(5L)) === 3)
+          .select(col("doc_id"))
+        graft.operators.Graph.bfsHops(pairs, seeds, maxHops = 3).count()
+      }),
+      // q246 bootstrap: the one-pass map-side expansion is exactly 64x the
+      // input rows — linear by construction; `sec` is the full operator
+      "q246_boot_rows" -> (() => {
+        val orders = Tables.load(spark, sfDir, "orders")
+        graft.operators.Stats.poissonBootstrapSE(orders, "o_orderstatus",
+          "o_orderkey", "o_totalprice", b = 64).count()
+        orders.count() * 64
       })
     )
 

@@ -2733,6 +2733,44 @@ object SparkEntry {
     graft.operators.Stats.groupAuc(T(s, dir, "documents"), "source",
       col("n_chars"), col("lang") === "en")
 
+  /** Language-ID confusion matrix against the labeled lang column: the
+    * diagonal share IS per-class recall; off-diagonals say where each
+    * language's docs leak. */
+  private def q263(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.langConfusion(TW(s, dir, "documents"),
+      "text", "lang")
+
+  /** Incremental view maintenance on the COW table: three event batches
+    * merged as per-group (count, sum) deltas; the final table must
+    * hash-match the oracle's one-shot recompute — the IVM correctness
+    * contract (incremental == full). Vacuums to the last version after
+    * the merges (retention on the snapshot chain). */
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    import graft.merge.{MergeInto, ParquetTable}
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val root = scratchDir("graft_q264")
+    val table = new ParquetTable(s, s"$root/agg_ivm")
+    (0L to 2L).foreach { b =>
+      val delta = ev.filter(pmod(col("event_id"), lit(3L)) === b)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(coalesce(col("value"), lit(0.0)).cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_v"))
+      if (!table.exists) table.create(delta)
+      else table.merge(delta, "target.event_type = updates.event_type",
+        matched = Seq(MergeInto.WhenMatched(None, MergeInto.UpdateExpr(Map(
+          "n" -> "target.n + updates.n",
+          "sum_v" -> "CAST(target.sum_v + updates.sum_v AS DECIMAL(18,2))")))),
+        notMatched = Seq(MergeInto.WhenNotMatched(None, MergeInto.InsertAll)))
+    }
+    table.vacuum(keepLast = 1)
+    table.read.select(col("event_type"), col("n"),
+      col("sum_v").cast("double").as("sum_value"),
+      round(col("sum_v").cast("double") / col("n").cast("double"), 4)
+        .as("mean_value"))
+  }
+
   /** GDPR-erasure audit on the COW table: create a partitioned events
     * table, DELETE one user cohort, report per-partition before/after/
     * deleted counts plus the residue (must be zero) re-read from the
@@ -3093,7 +3131,9 @@ object SparkEntry {
     "q259_poststrat_mean" -> (q259 _),
     "q260_knn_eval" -> (q260 _),
     "q261_anisotropy" -> (q261 _),
-    "q262_erasure_audit" -> (q262 _)
+    "q262_erasure_audit" -> (q262 _),
+    "q263_lang_confusion" -> (q263 _),
+    "q264_ivm_agg" -> (q264 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

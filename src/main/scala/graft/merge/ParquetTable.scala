@@ -283,6 +283,29 @@ final class ParquetTable(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Retention cleanup — Delta `VACUUM`'s equivalent for the SNAPSHOT
+    * layout: physically drop all snapshot versions older than the
+    * `keepLast` most recent (the current version is always kept). The
+    * commit LOG stays intact — history remains auditable, only the data
+    * bytes of expired versions go, which is the actual storage-cost and
+    * GDPR point of vacuuming (a deleted row's bytes otherwise live on in
+    * old snapshots indefinitely). Partitioned tables rewrite in place
+    * (one live copy), so vacuum is a no-op there. */
+  def vacuum(keepLast: Int = 1): Unit = monitor.synchronized {
+    require(keepLast >= 1, "keepLast >= 1")
+    if (partitionKeys.nonEmpty || !Files.exists(Paths.get(snapDir))) return
+    val cutoff = latestVersion - keepLast + 1
+    val listing = Files.list(Paths.get(snapDir))
+    try listing.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+          n.drop(1).toLong < cutoff
+      }
+      .toList.foreach(deleteRecursively)
+    finally listing.close()
+  }
+
   /** Replace full contents (new snapshot / full overwrite). For PARTITIONED
     * tables the incoming plan may still lazily read this table's dataDir
     * (e.g. scd2Apply over table.read) — materialize it first, or Spark

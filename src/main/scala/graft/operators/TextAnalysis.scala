@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: token counting,
@@ -339,5 +340,28 @@ object TextAnalysis {
           .as("flesch_ease"),
         round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
           .as("fk_grade"))
+  }
+
+  /** Confusion matrix of [[langId]] against a labeled column: one row per
+    * (true, predicted) cell with its count and the cell's share of the
+    * TRUE class (row-normalized — the recall decomposition: the diagonal
+    * share IS per-class recall, and every off-diagonal row says exactly
+    * where that language's documents leak). The detector-eval every
+    * heuristic classifier needs before it gates a corpus — aggregate
+    * accuracy hides the one language the marker list misses. One
+    * projection + one aggregate + a per-class count window. */
+  def langConfusion(df: DataFrame, textCol: String,
+                    labelCol: String): DataFrame = {
+    val cells = df.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).as("true_lang"),
+        langId(col(textCol)).as("pred_lang"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val wt = Window.partitionBy(col("true_lang"))
+    cells
+      .withColumn("n_true", sum(col("n")).over(wt))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("n_true").cast("double"), 4)
+          .as("share_of_true"))
   }
 }

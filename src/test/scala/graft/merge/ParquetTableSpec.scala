@@ -76,6 +76,31 @@ class ParquetTableSpec extends SparkSpec {
     assert(t.read.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("vacuum drops expired snapshot versions, keeps log and current read") {
+    val t = new ParquetTable(spark, tmpDir("pt_vac"))
+    t.create(Seq((1, "a")).toDF("k", "v"))
+    t.overwrite(Seq((2, "b")).toDF("k", "v"))
+    t.overwrite(Seq((3, "c")).toDF("k", "v"))
+    val snaps = java.nio.file.Paths.get(t.root, "snap")
+    def versions = {
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(snaps)
+      try l.iterator().asScala.map(_.getFileName.toString).toSet
+      finally l.close()
+    }
+    assert(versions.size == 3)
+    t.vacuum(keepLast = 1)
+    assert(versions == Set(f"v${t.latestVersion}%05d"),
+      "only the current snapshot's bytes survive")
+    assert(t.read.collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(t.latestVersion == 2, "commit log history intact")
+    // partitioned layout: single live copy, vacuum is a safe no-op
+    val p = new ParquetTable(spark, tmpDir("pt_vac_part"), Seq("p"))
+    p.create(Seq((1, "a", "p1")).toDF("k", "v", "p"))
+    p.vacuum()
+    assert(p.read.count() == 1)
+  }
+
   test("txn idempotency via seenTxn") {
     val t = new ParquetTable(spark, tmpDir("pt_txn"))
     t.create(Seq((1, "a")).toDF("k", "v"))

@@ -203,4 +203,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(es.getDouble(4) > ed.getDouble(4), "simple prose reads easier")
     assert(es.getDouble(5) < ed.getDouble(5), "jargon grades higher")
   }
+
+  test("langConfusion: diagonal share is per-class recall, leaks localized") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "the cat and the dog"),          // correctly en
+      ("en", "der die und das ist hier"),     // mislabeled corpus row -> de
+      ("de", "der hund ist gut")).toDF("lang", "text")
+    val out = TextAnalysis.langConfusion(docs, "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("en", "en")) == ((1L, 0.5)), "en recall is the diagonal share")
+    assert(out(("en", "de")) == ((1L, 0.5)), "the leak cell names the confuser")
+    assert(out(("de", "de")) == ((1L, 1.0)))
+    assert(out.size == 3)
+  }
 }
