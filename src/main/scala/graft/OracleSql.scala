@@ -5080,6 +5080,121 @@ object OracleSql {
          |  sum(coalesce(value, 0.0)::DECIMAL(18,2))::DOUBLE AS sum_value,
          |  ${rnd("sum(coalesce(value, 0.0)::DECIMAL(18,2))::DOUBLE" +
             " / count(*)::DOUBLE", 4)} AS mean_value
-         |FROM events GROUP BY 1""".stripMargin
+         |FROM events GROUP BY 1""".stripMargin,
+
+    // q265: histogram Wasserstein-1 + KS vs the pooled corpus — CDF gaps
+    // keep exact integer numerators (|cum_g·N − C_b·n_g| in HUGEINT ==
+    // Spark DECIMAL(38,0)); fp enters only in the final per-group division
+    "q265_emd_drift" ->
+      s"""WITH base AS (SELECT event_type::VARCHAR AS g, value::DOUBLE AS v
+         |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         |ext AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+         |counts AS (SELECT g,
+         |    CASE WHEN hi = lo THEN 0
+         |      ELSE least(63, floor((v - lo) / (hi - lo) * 64)::BIGINT) END
+         |      AS b,
+         |    count(*)::BIGINT AS c FROM base, ext GROUP BY 1, 2),
+         |grid AS (SELECT d.g, t.b
+         |  FROM (SELECT DISTINCT g FROM counts) d
+         |  CROSS JOIN generate_series(0, 63) AS t(b)),
+         |fill AS (SELECT grid.g, grid.b, coalesce(counts.c, 0)::BIGINT AS c
+         |  FROM grid LEFT JOIN counts
+         |    ON grid.g = counts.g AND grid.b = counts.b),
+         |cum AS (SELECT g, b, c,
+         |    sum(c) OVER (PARTITION BY g ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(c) OVER (PARTITION BY g) AS n_g FROM fill),
+         |pool AS (SELECT g, b, cum, n_g,
+         |    sum(cum) OVER (PARTITION BY b) AS cb FROM cum),
+         |tot AS (SELECT sum(c)::BIGINT AS total FROM counts),
+         |dev AS (SELECT g, n_g, total,
+         |    abs(cum::HUGEINT * total::HUGEINT - cb::HUGEINT * n_g::HUGEINT)
+         |      AS dev
+         |  FROM pool, tot)
+         |SELECT g AS event_type, max(n_g)::BIGINT AS n,
+         |  ${rnd("sum(dev)::DOUBLE * ((max(hi) - max(lo)) / 64.0) / " +
+            "(max(n_g)::DOUBLE * max(total)::DOUBLE)", 6)} AS emd,
+         |  ${rnd("max(dev)::DOUBLE / " +
+            "(max(n_g)::DOUBLE * max(total)::DOUBLE)", 6)} AS ks
+         |FROM dev, ext GROUP BY 1""".stripMargin,
+
+    // q266: Bradley-Terry MM unrolled 3 rounds — each denominator folds
+    // the SORTED opponent list (list_prepend 0.0 + list_reduce == Spark's
+    // aggregate with 0.0 init, order-for-order), mean-1 renorm folds the
+    // sorted item list
+    "q266_bradley_terry" -> {
+      def mmRound(r: Int): String = {
+        val prev = if (r == 1) "p0" else s"p${r - 1}"
+        s"""t$r AS (SELECT pr.i, pi.p AS p,
+           |    list_sort(list(struct_pack(j := pr.j, n_ij := pr.n_ij,
+           |      pj := pj.p))) AS ts
+           |  FROM pair pr JOIN $prev pj ON pr.j = pj.i
+           |    JOIN $prev pi ON pr.i = pi.i
+           |  GROUP BY 1, 2),
+           |raw$r AS (SELECT t$r.i, w.wins::DOUBLE / list_reduce(
+           |    list_prepend(0.0::DOUBLE,
+           |      list_transform(ts, x -> x.n_ij::DOUBLE / (p + x.pj))),
+           |    (a, b) -> a + b) AS praw
+           |  FROM t$r JOIN wins w ON t$r.i = w.i),
+           |norm$r AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+           |    list_transform(list_sort(list(struct_pack(i := i,
+           |      praw := praw))), x -> x.praw)),
+           |    (a, b) -> a + b) / count(*)::DOUBLE AS pbar FROM raw$r),
+           |p$r AS (SELECT i, praw / pbar AS p FROM raw$r, norm$r)""".stripMargin
+      }
+      s"""WITH e AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+         |    p_brand AS brand, l_extendedprice AS price
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |comp AS (SELECT
+         |    CASE WHEN a.price > b.price THEN a.brand
+         |      WHEN a.price < b.price THEN b.brand
+         |      ELSE least(a.brand, b.brand) END AS winner,
+         |    CASE WHEN a.price > b.price THEN b.brand
+         |      WHEN a.price < b.price THEN a.brand
+         |      ELSE greatest(a.brand, b.brand) END AS loser
+         |  FROM e a JOIN e b ON a.ok = b.ok AND a.ln < b.ln
+         |  WHERE a.brand <> b.brand),
+         |dirp AS (SELECT winner AS i, loser AS j, 1 AS win FROM comp
+         |  UNION ALL SELECT loser, winner, 0 FROM comp),
+         |pair AS (SELECT i, j, count(*)::BIGINT AS n_ij,
+         |    sum(win)::BIGINT AS w_ij FROM dirp GROUP BY 1, 2),
+         |wins AS (SELECT i, sum(w_ij)::BIGINT AS wins,
+         |    sum(n_ij)::BIGINT AS n_comp FROM pair GROUP BY 1),
+         |p0 AS (SELECT i, 1.0::DOUBLE AS p FROM wins),
+         |${mmRound(1)},
+         |${mmRound(2)},
+         |${mmRound(3)}
+         |SELECT w.i AS item, w.wins, w.n_comp, ${rnd("p3.p", 4)} AS strength
+         |FROM p3 JOIN wins w ON p3.i = w.i""".stripMargin
+    },
+
+    // q267: delete-one-group jackknife — exact DECIMAL group sums, one
+    // division per LOO mean, jackknife mean and deviance sum fold the
+    // sorted 24-row list
+    "q267_jackknife_se" ->
+      s"""WITH base AS (SELECT ${h32("user_id::VARCHAR")} % 24 AS g,
+         |    value::DECIMAL(18,2) AS v FROM events
+         |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         |grp AS (SELECT g, count(*)::BIGINT AS n_g, sum(v) AS s_g
+         |  FROM base GROUP BY 1),
+         |tot AS (SELECT sum(n_g)::BIGINT AS n,
+         |    sum(s_g)::DECIMAL(38,2) AS s FROM grp),
+         |loo AS (SELECT g, (s - s_g)::DOUBLE / (n - n_g)::DOUBLE AS loo
+         |  FROM grp, tot),
+         |f AS (SELECT list_sort(list(struct_pack(g := g, loo := loo)))
+         |    AS ls FROM loo),
+         |j AS (SELECT n, s, ls, len(ls)::BIGINT AS n_groups,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(ls, x -> x.loo)), (a, b) -> a + b)
+         |      / len(ls)::DOUBLE AS jm
+         |  FROM f, tot)
+         |SELECT n AS n_rows, n_groups, ${rnd("s::DOUBLE / n::DOUBLE", 4)}
+         |    AS theta,
+         |  ${rnd("jm", 4)} AS jack_mean,
+         |  ${rnd("sqrt((len(ls)::DOUBLE - 1.0) / len(ls)::DOUBLE * " +
+            "list_reduce(list_prepend(0.0::DOUBLE, list_transform(ls, " +
+            "x -> (x.loo - jm) * (x.loo - jm))), (a, b) -> a + b))", 6)}
+         |    AS se_jack
+         |FROM j""".stripMargin
   )
 }

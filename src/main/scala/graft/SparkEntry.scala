@@ -2798,6 +2798,43 @@ object SparkEntry {
         coalesce(col("residue"), lit(0L)).as("residue"))
   }
 
+  /** Exact histogram Wasserstein-1 + KS of each event type's value
+    * distribution vs the pooled corpus — drift in value units (EMD) and
+    * largest CDF gap (KS), exact integer numerators on a 64-bin grid. */
+  private def q265(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.emdDrift(T(s, dir, "events"), "event_type",
+      "value", nBins = 64)
+
+  /** Bradley-Terry brand strengths from within-order price contests:
+    * lineitem pairs inside an order vote for the pricier brand; 3 MM
+    * rounds over the 25-brand win matrix, mean-1 normalized. */
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "lineitem")
+      .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("p_brand").as("brand"), col("l_extendedprice").as("price"))
+    val a = e.as("a")
+    val b = e.as("b")
+    val comp = a.join(b, col("a.ok") === col("b.ok") &&
+        col("a.ln") < col("b.ln"))
+      .filter(col("a.brand") =!= col("b.brand"))
+      .select(
+        when(col("a.price") > col("b.price"), col("a.brand"))
+          .when(col("a.price") < col("b.price"), col("b.brand"))
+          .otherwise(least(col("a.brand"), col("b.brand"))).as("winner"),
+        when(col("a.price") > col("b.price"), col("b.brand"))
+          .when(col("a.price") < col("b.price"), col("a.brand"))
+          .otherwise(greatest(col("a.brand"), col("b.brand"))).as("loser"))
+    graft.operators.Stats.bradleyTerry(comp, "winner", "loser", iters = 3)
+  }
+
+  /** Delete-one-group jackknife SE for the mean event value, units =
+    * users hashed into 24 pseudo-replicates — the correlated-rows-safe
+    * SE in one aggregation pass. */
+  private def q267(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.jackknifeGroupSE(T(s, dir, "events"),
+      col("user_id"), "value", nGroups = 24)
+
   /** Leave-one-out 5-NN classification accuracy per class over the
     * vec_id%7 evaluation sample — the embedding-quality eval. */
   private def q260(s: SparkSession, dir: String): DataFrame =
@@ -3133,7 +3170,10 @@ object SparkEntry {
     "q261_anisotropy" -> (q261 _),
     "q262_erasure_audit" -> (q262 _),
     "q263_lang_confusion" -> (q263 _),
-    "q264_ivm_agg" -> (q264 _)
+    "q264_ivm_agg" -> (q264 _),
+    "q265_emd_drift" -> (q265 _),
+    "q266_bradley_terry" -> (q266 _),
+    "q267_jackknife_se" -> (q267 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

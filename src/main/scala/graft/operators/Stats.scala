@@ -1464,4 +1464,174 @@ object Stats {
       round(se, 6).as("se"),
       round(did / se, 4).as("z"))
   }
+
+  /** Exact histogram Wasserstein-1 (earth-mover distance) and
+    * Kolmogorov-Smirnov statistic of each group's value distribution
+    * against the POOLED corpus — the drift metric family beyond PSI/chi²:
+    * EMD is the area between the CDFs in VALUE units (how far mass must
+    * move), KS the largest CDF gap. Together they say both "how different"
+    * and "different where it matters" (EMD weights tail mass by distance;
+    * KS is location-free).
+    *
+    * Scale shape: one pass bins every row into `nBins` equi-width buckets
+    * (global min/max from a 1-row broadcast), then ALL remaining work runs
+    * on the groups×bins grid — bounded by the parameter, never by rows.
+    * CDF windows are partitioned (by group over ≤nBins rows, by bin over
+    * ≤|groups| rows); the |F_g − F_pool| terms keep exact INTEGER
+    * numerators (|cum_g·N − C_b·n_g| in DECIMAL(38,0)), so the statistic
+    * is bit-reproducible across engines and partitionings — fp enters only
+    * in the final one-shot division per group. */
+  def emdDrift(df: DataFrame, groupCol: String, valueCol: String,
+               nBins: Int = 64): DataFrame = {
+    require(nBins >= 2 && nBins <= 4096, "nBins in [2, 4096]")
+    val spark = df.sparkSession
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+    val ext = base.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    // degenerate all-equal corpus: every row lands in bin 0, EMD = KS = 0
+    val binIdx = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(lit((nBins - 1).toLong),
+        floor((col("v") - col("lo")) / (col("hi") - col("lo")) * nBins)
+          .cast("long")))
+    val counts = base.crossJoin(broadcast(ext))
+      .select(col("g"), binIdx.as("b"))
+      .groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    // dense grid: a group's missing bins are zero-count rows, or its CDF
+    // (and the pooled per-bin sum) silently skips mass
+    val bins = spark.range(nBins).select(col("id").as("b"))
+    val grid = counts.select(col("g")).distinct()
+      .crossJoin(broadcast(bins))
+      .join(counts, Seq("g", "b"), "left")
+      .select(col("g"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wgAll = Window.partitionBy(col("g"))
+    val wb = Window.partitionBy(col("b"))
+    val total = counts.agg(sum(col("c")).cast("long").as("total"))
+    val dev = grid
+      .withColumn("cum", sum(col("c")).over(wg))
+      .withColumn("n_g", sum(col("c")).over(wgAll))
+      .withColumn("cb", sum(col("cum")).over(wb))
+      .crossJoin(broadcast(total))
+      .select(col("g"), col("n_g"),
+        abs(col("cum").cast("decimal(38,0)") *
+          col("total").cast("decimal(38,0)") -
+          col("cb").cast("decimal(38,0)") *
+          col("n_g").cast("decimal(38,0)")).as("dev"),
+        col("total"))
+    dev.groupBy(col("g"))
+      .agg(max(col("n_g")).as("n_g"), sum(col("dev")).as("num"),
+        max(col("dev")).as("ksnum"), max(col("total")).as("total"))
+      .crossJoin(broadcast(ext))
+      .select(col("g").as(groupCol), col("n_g").cast("long").as("n"),
+        round(col("num").cast("double") *
+          ((col("hi") - col("lo")) / lit(nBins.toDouble)) /
+          (col("n_g").cast("double") * col("total").cast("double")), 6)
+          .as("emd"),
+        round(col("ksnum").cast("double") /
+          (col("n_g").cast("double") * col("total").cast("double")), 6)
+          .as("ks"))
+  }
+
+  /** Bradley-Terry preference strengths from pairwise comparisons
+    * (winner, loser) via `iters` minorization-maximization rounds
+    * (Hunter 2004): p_i ← W_i / Σ_j n_ij/(p_i+p_j), renormalized to mean 1
+    * each round — the batch model behind preference-data curation and
+    * LLM-judge leaderboards (order-free, unlike Elo's sequential fold).
+    *
+    * Scale shape: one groupBy collapses the comparison stream to the
+    * observed-pair win matrix (≤ items² rows, items vocabulary-bounded);
+    * every MM round is a self-join on that matrix plus a per-item fold
+    * over its (sorted) opponent list — bounded by item degree, never by
+    * comparisons. fp determinism: each round's denominator is a left fold
+    * over the sorted opponent structs and the mean-1 renormalizer folds
+    * the sorted item list, so results are bit-identical across engines
+    * and partitionings. */
+  def bradleyTerry(comparisons: DataFrame, winnerCol: String,
+                   loserCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, "iters in [1, 8]")
+    val dirPairs = comparisons
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
+      .select(col(winnerCol).cast("string").as("i"),
+        col(loserCol).cast("string").as("j"), lit(1L).as("win"))
+      .unionByName(comparisons
+        .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
+        .select(col(loserCol).cast("string").as("i"),
+          col(winnerCol).cast("string").as("j"), lit(0L).as("win")))
+    val pairAgg = dirPairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).cast("long").as("n_ij"),
+        sum(col("win")).cast("long").as("w_ij"))
+    val wins = pairAgg.groupBy(col("i"))
+      .agg(sum(col("w_ij")).cast("long").as("wins"),
+        sum(col("n_ij")).cast("long").as("n_comp"))
+    var p = wins.select(col("i"), lit(1.0).as("p"))
+    for (_ <- 1 to iters) {
+      val pj = p.select(col("i").as("j"), col("p").as("pj"))
+      val terms = pairAgg.join(pj, Seq("j")).join(p, Seq("i"))
+        .groupBy(col("i"), col("p"))
+        .agg(sort_array(collect_list(
+          struct(col("j"), col("n_ij"), col("pj")))).as("ts"))
+      val raw = terms.join(wins, Seq("i"))
+        .select(col("i"), (col("wins").cast("double") /
+          aggregate(col("ts"), lit(0.0),
+            (acc, x) => acc + x("n_ij").cast("double") /
+              (col("p") + x("pj")))).as("praw"))
+      val norm = raw
+        .agg(sort_array(collect_list(struct(col("i"), col("praw"))))
+          .as("ls"))
+        .select((aggregate(col("ls"), lit(0.0),
+          (acc, x) => acc + x("praw")) /
+          size(col("ls")).cast("double")).as("pbar"))
+      p = raw.crossJoin(broadcast(norm))
+        .select(col("i"), (col("praw") / col("pbar")).as("p"))
+    }
+    p.join(wins, Seq("i"))
+      .select(col("i").as("item"), col("wins"), col("n_comp"),
+        round(col("p"), 4).as("strength"))
+  }
+
+  /** Delete-one-group jackknife standard error for the corpus mean: units
+    * hash into `nGroups` pseudo-replicates; each leave-one-out mean is
+    * (S−s_g)/(N−n_g) from EXACT decimal/integer group moments, and
+    * SE² = (G−1)/G · Σ (LOO_g − mean LOO)². The cheap honest SE when the
+    * Poisson bootstrap's B passes are too dear: ONE aggregation pass,
+    * G bounded driver-free rows, and — unlike the naive s/√n — it stays
+    * valid when units contribute correlated rows (whole units leave
+    * together).
+    *
+    * fp determinism: group sums are exact DECIMAL, each LOO mean is one
+    * division, and both the jackknife mean and the deviance sum fold the
+    * SORTED G-row list — bit-identical across engines/partitionings. */
+  def jackknifeGroupSE(df: DataFrame, unitCol: Column, valueCol: String,
+                       nGroups: Int = 24): DataFrame = {
+    require(nGroups >= 2 && nGroups <= 1024, "nGroups in [2, 1024]")
+    val base = df.filter(col(valueCol).isNotNull && unitCol.isNotNull)
+      .select(pmod(graft.functions.Hashes.portableHash32(
+        unitCol.cast("string")), lit(nGroups.toLong)).as("g"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+    val grp = base.groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("n_g"), sum(col("v")).as("s_g"))
+    val tot = grp.agg(sum(col("n_g")).cast("long").as("n"),
+      sum(col("s_g")).cast("decimal(38,2)").as("s"))
+    val loo = grp.crossJoin(broadcast(tot))
+      .select(col("g"),
+        ((col("s") - col("s_g")).cast("double") /
+          (col("n") - col("n_g")).cast("double")).as("loo"))
+    val gd = size(col("ls")).cast("double")
+    loo.agg(sort_array(collect_list(struct(col("g"), col("loo")))).as("ls"))
+      .crossJoin(broadcast(tot))
+      .withColumn("jm", aggregate(col("ls"), lit(0.0),
+        (acc, x) => acc + x("loo")) / gd)
+      .select(col("n").as("n_rows"), size(col("ls")).cast("long")
+        .as("n_groups"),
+        round(col("s").cast("double") / col("n").cast("double"), 4)
+          .as("theta"),
+        round(col("jm"), 4).as("jack_mean"),
+        round(sqrt((gd - lit(1.0)) / gd * aggregate(col("ls"), lit(0.0),
+          (acc, x) => acc + (x("loo") - col("jm")) *
+            (x("loo") - col("jm")))), 6).as("se_jack"))
+  }
 }

@@ -168,7 +168,10 @@ class PlanSpec extends SparkSpec {
       "q257_negative_sampling", // 1-row catalog-count control frame
       "q258_yuen_trimmed_t", // 1-row arm frames cross-joined
       "q259_poststrat_mean", // 1-row population-total control frame
-      "q260_knn_eval") // bounded broadcast ANN query set
+      "q260_knn_eval", // bounded broadcast ANN query set
+      "q265_emd_drift", // 1-row min-max/total frames + 64-row bin densify
+      "q266_bradley_terry", // 1-row mean-strength renorm frame per MM round
+      "q267_jackknife_se") // 1-row grand-total control frame
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",

@@ -728,4 +728,72 @@ class StatsSpec extends SparkSpec {
     assert(out.getDouble(5) == 3.0 && out.getDouble(6) == 2.0)
     assert(out.getDouble(7) == 1.5)
   }
+
+  test("emdDrift: identical groups 0, separated point masses give the closed form") {
+    import spark.implicits._
+    // identical distributions: each group == pooled -> EMD = KS = 0
+    val same = (1 to 10).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+      .toDF("g", "v")
+    val z = Stats.emdDrift(same, "g", "v", nBins = 64).collect()
+    assert(z.forall(r => r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0))
+    // point masses at 0 and 64 (bin width exactly 1): each group's CDF is
+    // 0.5 away from pooled over 63 of 64 bins -> EMD = 31.5, KS = 0.5
+    val apart = ((1 to 20).map(_ => ("a", 0.0)) ++
+      (1 to 20).map(_ => ("b", 64.0))).toDF("g", "v")
+    val out = Stats.emdDrift(apart, "g", "v", nBins = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("a") == ((20L, 31.5, 0.5)) && out("b") == ((20L, 31.5, 0.5)))
+    // hash/partition-layout invariance
+    val rep = Stats.emdDrift(apart.repartition(7), "g", "v", nBins = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rep == out)
+  }
+
+  test("bradleyTerry: dominance orders strengths, symmetry ties them, mean stays 1") {
+    import spark.implicits._
+    val chain = (Seq.fill(4)(("A", "B")) ++ Seq(("B", "A")) ++
+      Seq.fill(3)(("B", "C")) ++ Seq(("C", "B"))).toDF("w", "l")
+    val out = Stats.bradleyTerry(chain, "w", "l", iters = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // wins/comparison bookkeeping: A 4/5, B 4/9, C 1/4
+    assert(out("A")._1 == 4L && out("A")._2 == 5L)
+    assert(out("B")._1 == 4L && out("B")._2 == 9L)
+    assert(out("C")._1 == 1L && out("C")._2 == 4L)
+    // the dominance chain orders the strengths
+    assert(out("A")._3 > out("B")._3 && out("B")._3 > out("C")._3)
+    // mean-1 normalization (rounded strengths sum to ~K)
+    assert(math.abs(out.values.map(_._3).sum - 3.0) < 0.01)
+    // perfectly symmetric record -> equal strengths
+    val even = (Seq.fill(2)(("X", "Y")) ++ Seq.fill(2)(("Y", "X")))
+      .toDF("w", "l")
+    val ev = Stats.bradleyTerry(even, "w", "l", iters = 3)
+      .collect().map(r => r.getDouble(3))
+    assert(ev.forall(_ == 1.0))
+    // partition-layout invariance
+    val rep = Stats.bradleyTerry(chain.repartition(5), "w", "l", iters = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rep == out)
+  }
+
+  test("jackknifeGroupSE: constant corpus gives zero SE; heterogeneity is positive; layout-invariant") {
+    import spark.implicits._
+    val const = (1 to 100).map(i => (i.toLong, 5.0)).toDF("u", "v")
+    val c = Stats.jackknifeGroupSE(const, col("u"), "v", nGroups = 8)
+      .collect().head
+    assert(c.getLong(0) == 100L && c.getLong(1) == 8L)
+    assert(c.getDouble(2) == 5.0 && c.getDouble(3) == 5.0 &&
+      c.getDouble(4) == 0.0)
+    // unit-level heterogeneity: whole units leave together -> SE > 0
+    val het = (1 to 100).map(i => (i.toLong, (i % 10) * 2.0)).toDF("u", "v")
+    val h = Stats.jackknifeGroupSE(het, col("u"), "v", nGroups = 8)
+      .collect().head
+    assert(h.getDouble(4) > 0.0)
+    val rep = Stats.jackknifeGroupSE(het.repartition(11), col("u"), "v",
+      nGroups = 8).collect().head
+    assert(rep == h)
+  }
 }
