@@ -5195,6 +5195,150 @@ object OracleSql {
             "list_reduce(list_prepend(0.0::DOUBLE, list_transform(ls, " +
             "x -> (x.loo - jm) * (x.loo - jm))), (a, b) -> a + b))", 6)}
          |    AS se_jack
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+
+    // q268: farthest-point sampling unrolled 7 greedy rounds — min-dist
+    // over the selected set, argmax by (d DESC, id), distances through the
+    // same list-lambda cosine as every ANN oracle
+    "q268_fps_coreset" -> {
+      def fpsRound(r: Int): String =
+        s"""c$r AS (SELECT e.vec_id,
+           |    min(1.0 - ${cosineSql("e.embedding", "s.v")}) AS d
+           |  FROM embeddings e, sel${r - 1} s
+           |  WHERE e.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+           |  GROUP BY 1),
+           |p$r AS (SELECT $r::BIGINT AS r, c.vec_id, e2.embedding AS v, c.d
+           |  FROM (SELECT vec_id, d FROM c$r ORDER BY d DESC, vec_id
+           |    LIMIT 1) c
+           |  JOIN embeddings e2 ON e2.vec_id = c.vec_id),
+           |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL
+           |  SELECT * FROM p$r)""".stripMargin
+      s"""WITH sel0 AS (SELECT 0::BIGINT AS r, vec_id, embedding AS v,
+         |    NULL::DOUBLE AS d
+         |  FROM embeddings
+         |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+         |${(1 to 7).map(fpsRound).mkString(",\n")}
+         |SELECT r AS sel_round, vec_id, ${rnd("d", 6)} AS min_dist
+         |FROM sel7""".stripMargin
+    },
+
+    // q269: winnowing — leftmost min per w=4 window over the word
+    // 3-shingle hash list (list lambdas replay the Spark array pipeline
+    // index-for-index), then bounded-key aggregates
+    "q269_winnowing" ->
+      s"""WITH per AS (SELECT doc_id, source AS src,
+         |    list_transform(${shinglesExpr(toksExpr, 3)}, s -> ${h32("s")})
+         |      AS hs
+         |  FROM documents),
+         |sel AS (SELECT doc_id, src, hs, len(hs)::BIGINT AS m,
+         |    CASE WHEN len(hs) >= 4 THEN list_distinct(list_transform(
+         |      generate_series(4, len(hs)),
+         |      e -> e - 4 + list_position(list_slice(hs, e - 3, e),
+         |        list_min(list_slice(hs, e - 3, e)))))
+         |    ELSE []::BIGINT[] END AS selpos
+         |  FROM per),
+         |persrc AS (SELECT src, count(*)::BIGINT AS n_docs,
+         |    sum(m)::BIGINT AS shingles,
+         |    sum(len(selpos))::BIGINT AS fingerprints
+         |  FROM sel GROUP BY 1),
+         |fp AS (SELECT doc_id, src,
+         |    unnest(list_distinct(list_transform(selpos, p -> hs[p]))) AS h
+         |  FROM sel),
+         |cnt AS (SELECT h, count(*)::BIGINT AS dc FROM fp GROUP BY 1),
+         |sh AS (SELECT src, count(*)::BIGINT AS shared_docs FROM (
+         |    SELECT f.doc_id, f.src, max(c.dc) AS mx
+         |    FROM fp f JOIN cnt c ON f.h = c.h GROUP BY 1, 2)
+         |  WHERE mx > 1 GROUP BY 1)
+         |SELECT p.src AS source, p.n_docs, p.shingles, p.fingerprints,
+         |  CASE WHEN p.shingles > 0 THEN
+         |    ${rnd("p.fingerprints::DOUBLE / p.shingles::DOUBLE", 4)} END
+         |    AS density,
+         |  coalesce(sh.shared_docs, 0)::BIGINT AS shared_docs
+         |FROM persrc p LEFT JOIN sh ON p.src = sh.src""".stripMargin,
+
+    // q270: seasonal-naive (t-7) forecast eval — integer errors, so MAE
+    // and both pinball losses are exact-integer numerators with one
+    // division each (pinball90 = max(9e, -e)/10)
+    "q270_forecast_eval" ->
+      s"""WITH daily AS (SELECT event_type AS k, ts::DATE AS day,
+         |    count(*)::BIGINT AS n
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |j AS (SELECT d.k, d.n - p.n AS e
+         |  FROM daily d JOIN daily p ON d.k = p.k AND d.day = p.day + 7),
+         |a AS (SELECT k, count(*)::BIGINT AS n_days,
+         |    sum(abs(e))::BIGINT AS sae,
+         |    sum(greatest(9 * e, -e))::BIGINT AS sp90
+         |  FROM j GROUP BY 1)
+         |SELECT k AS event_type, n_days,
+         |  ${rnd("sae::DOUBLE / n_days::DOUBLE", 4)} AS mae,
+         |  ${rnd("sae::DOUBLE / (2.0 * n_days::DOUBLE)", 4)} AS pinball50,
+         |  ${rnd("sp90::DOUBLE / (10.0 * n_days::DOUBLE)", 4)} AS pinball90
+         |FROM a""".stripMargin,
+
+    // q271: ACF at calendar lags 1..7 — exact HUGEINT moments mirror the
+    // Spark DECIMAL(38,0) forms; one double division at the end
+    "q271_acf" ->
+      s"""WITH daily AS (SELECT event_type AS k, ts::DATE AS day,
+         |    count(*)::BIGINT AS n
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |base AS (SELECT k, count(*)::HUGEINT AS nd, sum(n)::HUGEINT AS t,
+         |    sum(n * n)::HUGEINT AS sxx
+         |  FROM daily GROUP BY 1),
+         |head AS (SELECT k, g.l, day + g.l::INTEGER AS day, n AS n_head
+         |  FROM daily, generate_series(1, 7) AS g(l)),
+         |pairs AS (SELECT h.k, h.l, count(*)::HUGEINT AS c,
+         |    sum(h.n_head * d.n)::HUGEINT AS sxy,
+         |    sum(h.n_head)::HUGEINT AS sh, sum(d.n)::HUGEINT AS st
+         |  FROM head h JOIN daily d ON h.k = d.k AND h.day = d.day
+         |  GROUP BY 1, 2)
+         |SELECT p.k AS event_type, p.l::BIGINT AS lag,
+         |  p.c::BIGINT AS n_pairs,
+         |  ${rnd("(b.nd * b.nd * p.sxy - b.nd * b.t * (p.sh + p.st) + " +
+             "p.c * b.t * b.t)::DOUBLE / " +
+             "(b.nd * (b.nd * b.sxx - b.t * b.t))::DOUBLE", 4)} AS acf
+         |FROM pairs p JOIN base b ON p.k = b.k""".stripMargin,
+
+    // q272: degree assortativity over the distinct customer–part edges;
+    // five exact moments, doubles only inside the final sqrt-and-divide
+    // (same operation order as the Spark side)
+    "q272_assortativity" ->
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |dl AS (SELECT u, count(*)::BIGINT AS dx FROM e GROUP BY 1),
+         |dr AS (SELECT i, count(*)::BIGINT AS dy FROM e GROUP BY 1),
+         |mm AS (SELECT count(*)::HUGEINT AS m, sum(dx)::HUGEINT AS sx,
+         |    sum(dy)::HUGEINT AS sy, sum(dx * dy)::HUGEINT AS sxy,
+         |    sum(dx * dx)::HUGEINT AS sxx, sum(dy * dy)::HUGEINT AS syy,
+         |    count(DISTINCT u)::BIGINT AS n_left,
+         |    count(DISTINCT i)::BIGINT AS n_right
+         |  FROM e JOIN dl USING (u) JOIN dr USING (i))
+         |SELECT m::BIGINT AS n_edges, n_left, n_right,
+         |  ${rnd("sx::DOUBLE / m::DOUBLE", 4)} AS mean_deg_left,
+         |  ${rnd("sy::DOUBLE / m::DOUBLE", 4)} AS mean_deg_right,
+         |  ${rnd("(m * sxy - sx * sy)::DOUBLE / " +
+             "sqrt((m * sxx - sx * sx)::DOUBLE * " +
+             "(m * syy - sy * sy)::DOUBLE)", 4)} AS assortativity
+         |FROM mm""".stripMargin,
+
+    // q273: growth accounting — per-user lag/lead over the distinct
+    // (user, day) spine; DATE subtraction is integer days on both engines
+    "q273_growth_accounting" ->
+      s"""WITH du AS (SELECT DISTINCT user_id AS u, ts::DATE AS day
+         |  FROM events WHERE ts IS NOT NULL),
+         |x AS (SELECT u, day,
+         |    lag(day) OVER (PARTITION BY u ORDER BY day) AS prev,
+         |    lead(day) OVER (PARTITION BY u ORDER BY day) AS nxt
+         |  FROM du)
+         |SELECT day, count(*)::BIGINT AS dau,
+         |  sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS new_users,
+         |  sum(CASE WHEN prev IS NOT NULL AND day - prev <= 7
+         |    THEN 1 ELSE 0 END)::BIGINT AS retained,
+         |  sum(CASE WHEN prev IS NOT NULL AND day - prev > 7
+         |    THEN 1 ELSE 0 END)::BIGINT AS resurrected,
+         |  sum(CASE WHEN nxt IS NULL OR nxt - day > 7
+         |    THEN 1 ELSE 0 END)::BIGINT AS churning
+         |FROM x GROUP BY 1""".stripMargin
   )
 }

@@ -2835,6 +2835,48 @@ object SparkEntry {
     graft.operators.Stats.jackknifeGroupSE(T(s, dir, "events"),
       col("user_id"), "value", nGroups = 24)
 
+  /** Farthest-point (greedy k-center) coreset of 8 embeddings: selection
+    * order + covering radius curve; seeded at min id, ties to smaller id. */
+  private def q268(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.farthestPointSample(T(s, dir, "embeddings"),
+      k = 8)
+
+  /** Winnowing (MOSS) fingerprints over word 3-shingle hashes, window 4:
+    * per-source density + cross-document shared-fingerprint triage. */
+  private def q269(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.winnowingReport(TW(s, dir, "documents"),
+      "doc_id", "source", "text", k = 3, w = 4)
+
+  /** Seasonal-naive (t−7) daily-count forecast eval per event type: MAE +
+    * pinball τ=0.5/0.9 with exact integer numerators. */
+  private def q270(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.seasonalForecastEval(T(s, dir, "events"),
+      "event_type", "ts", season = 7)
+
+  /** Daily-count autocorrelation per event type at calendar lags 1..7 —
+    * exact integer moments, one division; the seasonal-baseline licence. */
+  private def q271(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.autocorrelation(T(s, dir, "events"),
+      "event_type", "ts", maxLag = 7)
+      .orderBy(col("event_type"), col("lag"))
+
+  /** Degree assortativity of the customer–part purchase graph (q220's
+    * edge list): do heavy buyers buy popular parts? */
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    val edges = T(s, dir, "orders")
+      .join(T(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    graft.operators.Graph.degreeAssortativity(edges, "o_custkey",
+      "l_partkey")
+  }
+
+  /** Growth-accounting ledger over the event log: per-day new / retained /
+    * resurrected DAU decomposition + churning-at-risk flags (gap 7 d). */
+  private def q273(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.growthAccounting(T(s, dir, "events"),
+      "user_id", "ts", gapDays = 7)
+
   /** Leave-one-out 5-NN classification accuracy per class over the
     * vec_id%7 evaluation sample — the embedding-quality eval. */
   private def q260(s: SparkSession, dir: String): DataFrame =
@@ -3173,7 +3215,13 @@ object SparkEntry {
     "q264_ivm_agg" -> (q264 _),
     "q265_emd_drift" -> (q265 _),
     "q266_bradley_terry" -> (q266 _),
-    "q267_jackknife_se" -> (q267 _)
+    "q267_jackknife_se" -> (q267 _),
+    "q268_fps_coreset" -> (q268 _),
+    "q269_winnowing" -> (q269 _),
+    "q270_forecast_eval" -> (q270 _),
+    "q271_acf" -> (q271 _),
+    "q272_assortativity" -> (q272 _),
+    "q273_growth_accounting" -> (q273 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -528,4 +528,43 @@ object EventOps {
           .otherwise(exp(coalesce(col("lnsum"), lit(0.0)))), 6)
           .as("survival"))
   }
+
+  /** Growth accounting (the "new / retained / resurrected / churning"
+    * ledger): classify every active (user, day) by the user's PREVIOUS
+    * active day — `new_users` (none), `retained` (gap ≤ `gapDays`),
+    * `resurrected` (gap > `gapDays`) — and flag `churning` actives whose
+    * NEXT activity is more than `gapDays` out (or absent). DAU =
+    * new + retained + resurrected by construction, so the report
+    * decomposes every DAU move into its cause — the standard growth ledger.
+    *
+    * The last `gapDays` of the observation window right-censor `churning`
+    * (a user quiet "so far" may yet return); that column reads as "at risk
+    * as of the data's edge", the standard caveat. Shape: events collapse
+    * once to the distinct (user, day) spine (bounded by users × active
+    * days); lag/lead run per-user over that spine (partitioned window,
+    * each user's slice is their active-day count); one bounded groupBy on
+    * day. Nothing after the first distinct scales with raw event rows. */
+  def growthAccounting(df: DataFrame, userCol: String, tsCol: String,
+                       gapDays: Int = 7): DataFrame = {
+    require(gapDays >= 1, "gapDays >= 1")
+    val du = df.filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("day"))
+    du.withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("nxt", lead(col("day"), 1).over(w))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("dau"),
+        sum(when(col("prev").isNull, 1L).otherwise(0L))
+          .cast("long").as("new_users"),
+        sum(when(col("prev").isNotNull &&
+          datediff(col("day"), col("prev")) <= gapDays, 1L).otherwise(0L))
+          .cast("long").as("retained"),
+        sum(when(col("prev").isNotNull &&
+          datediff(col("day"), col("prev")) > gapDays, 1L).otherwise(0L))
+          .cast("long").as("resurrected"),
+        sum(when(col("nxt").isNull ||
+          datediff(col("nxt"), col("day")) > gapDays, 1L).otherwise(0L))
+          .cast("long").as("churning"))
+  }
 }

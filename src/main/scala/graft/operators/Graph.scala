@@ -267,4 +267,49 @@ object Graph {
     }
     dist
   }
+
+  /** Degree assortativity of a bipartite edge list: the Pearson
+    * correlation, across DISTINCT edges, between the left endpoint's
+    * degree and the right endpoint's degree — "do heavy customers buy
+    * popular parts?" Positive r says hubs attach to hubs (rich-club);
+    * negative says hubs fan out to the long tail — the single number that
+    * predicts whether a hub-join will be skew-on-skew (the q186 preflight
+    * question asked of the graph itself).
+    *
+    * Exactness: degrees are integers, so all five moments (Σx, Σy, Σxy,
+    * Σx², Σy²) are exact DECIMAL(38,0) sums and r's numerator/variance
+    * terms are exact integers — doubles appear only in the final
+    * sqrt-and-divide, written in one fixed order both engines replay.
+    * Shape: distinct → two bounded degree aggregates → two equi-joins
+    * back to the edge list → one global 5-moment aggregate (map-side
+    * combinable, one row out). */
+  def degreeAssortativity(edges: DataFrame, leftCol: String,
+                          rightCol: String): DataFrame = {
+    val e = edges.select(col(leftCol).as("u"), col(rightCol).as("i"))
+      .filter(col("u").isNotNull && col("i").isNotNull)
+      .distinct().localCheckpoint(eager = false) // degrees + the join spine
+    val degL = e.groupBy("u").agg(count(lit(1)).cast("long").as("dx"))
+    val degR = e.groupBy("i").agg(count(lit(1)).cast("long").as("dy"))
+    val m = e.join(degL, "u").join(degR, "i")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(col("dx")).cast("decimal(38,0)").as("sx"),
+        sum(col("dy")).cast("decimal(38,0)").as("sy"),
+        sum(col("dx") * col("dy")).cast("decimal(38,0)").as("sxy"),
+        sum(col("dx") * col("dx")).cast("decimal(38,0)").as("sxx"),
+        sum(col("dy") * col("dy")).cast("decimal(38,0)").as("syy"),
+        countDistinct(col("u")).cast("long").as("n_left"),
+        countDistinct(col("i")).cast("long").as("n_right"))
+    m.select(col("m").cast("long").as("n_edges"), col("n_left"),
+      col("n_right"),
+      round(col("sx").cast("double") / col("m").cast("double"), 4)
+        .as("mean_deg_left"),
+      round(col("sy").cast("double") / col("m").cast("double"), 4)
+        .as("mean_deg_right"),
+      round(
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("m") * col("syy") - col("sy") * col("sy"))
+            .cast("double")), 4).as("assortativity"))
+  }
 }

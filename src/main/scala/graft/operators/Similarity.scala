@@ -1099,4 +1099,63 @@ object Similarity {
           (col("n").cast("double") * (col("n").cast("double") - 1.0)), 4)
           .as("mean_pairwise_cos"))
   }
+
+  /** Farthest-point sampling (greedy k-center) coreset: seed at the
+    * smallest id, then repeatedly take the vector FARTHEST (max over the
+    * corpus of its min cosine distance to the selected set, ties to the
+    * smaller id) — the classic 2-approximation to the k-center cover, and
+    * the diversity-first answer to "which k documents should a human look
+    * at / which k examples seed the eval set". Output: selection order,
+    * id, and the covering radius at selection time (a monotone curve — the
+    * r-th row says "k=r covers the corpus to radius d").
+    *
+    * Scale shape: k scans; each round broadcasts the ≤k selected vectors
+    * (bounded control plane, the IVF-centroid contract) and takes ONE
+    * ordered row — no corpus-side state, no shuffle beyond the TakeOrdered.
+    * min-dist is a per-row fold over ≤k broadcast rows; the argmax ties
+    * break on id, so the trajectory is deterministic across engines and
+    * partitionings. The k scans, not k² work: a 100 TB corpus pays k
+    * scan-shaped passes (or one pass with an incrementally-maintained
+    * min-dist column — noted, not needed at gate scale). */
+  def farthestPointSample(corpus: DataFrame, k: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2 && k <= 256, "k in [2, 256]")
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    val seed = base.orderBy(col("id")).limit(1).collect().head
+    var selected = Vector(
+      (seed.getLong(0), seed.getSeq[Float](1).toArray, Option.empty[Double]))
+    val selSchema = StructType(Seq(
+      StructField("sv", ArrayType(FloatType), nullable = false)))
+    while (selected.size < k) {
+      val selDf = spark.createDataFrame(java.util.Arrays.asList(
+        selected.map { case (_, v, _) => Row(v.toSeq) }: _*), selSchema)
+      val ids = selected.map(_._1)
+      val pick = base
+        .filter(!col("id").isin(ids: _*))
+        .crossJoin(broadcast(selDf))
+        .groupBy(col("id"))
+        .agg(min(lit(1.0) -
+          VectorFunctions.cosine(col("v"), col("sv"))).as("d"))
+        .orderBy(col("d").desc, col("id"))
+        .limit(1).collect().head
+      val pv = base.filter(col("id") === pick.getLong(0))
+        .select(col("v")).collect().head.getSeq[Float](0).toArray
+      selected :+= ((pick.getLong(0), pv, Some(pick.getDouble(1))))
+    }
+    val outSchema = StructType(Seq(
+      StructField("sel_round", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("min_dist", DoubleType, nullable = true)))
+    val rows = selected.zipWithIndex.map { case ((id, _, d), r) =>
+      Row(r.toLong, id, d.map(java.lang.Double.valueOf).orNull) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      .select(col("sel_round"), col("vec_id"),
+        round(col("min_dist"), 6).as("min_dist"))
+  }
 }

@@ -364,4 +364,58 @@ object TextAnalysis {
         round(col("n").cast("double") / col("n_true").cast("double"), 4)
           .as("share_of_true"))
   }
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm)
+    * over word `k`-shingle hashes: in every window of `w` consecutive
+    * shingle hashes, select the leftmost minimum — guaranteeing any shared
+    * run of ≥ w+k−1 words leaves at least one COMMON selected hash in both
+    * documents, at an expected density of 2/(w+1). The per-source report:
+    * shingle/fingerprint volumes, realized density, and how many documents
+    * share at least one fingerprint with ANY other document (the
+    * plagiarism/mirror-content triage number).
+    *
+    * Scale shape: selection is a per-document array pipeline over the
+    * codegen'd shingle-hash array (O(w·len) per doc, no joins); the only
+    * shuffles are the per-source aggregate and the fingerprint-frequency
+    * join, both on bounded-cardinality keys (fingerprint space is
+    * hash-bounded; a shared-hash hub would be a stop-shingle — the q118
+    * stoplist pattern applies before the join at real scale). */
+  def winnowingReport(df: DataFrame, idCol: String, srcCol: String,
+                      textCol: String, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 16 && w >= 2 && w <= 64, "k in [1,16], w in [2,64]")
+    val per = df
+      .select(col(idCol).as("doc_id"), col(srcCol).as("src"),
+        graft.functions.TextHashFunctions.shingleHashes(col(textCol), k)
+          .as("hs"))
+      .withColumn("m", size(col("hs")).cast("long"))
+      // leftmost-min per window, positions deduped: selected iff minimal in
+      // at least one window (array lambdas; no per-row state beyond the doc)
+      .withColumn("selpos", expr(
+        s"""CASE WHEN m >= $w THEN array_distinct(transform(
+           |  sequence(cast($w as bigint), m),
+           |  e -> e - $w + array_position(
+           |    slice(hs, cast(e - ${w - 1} as int), $w),
+           |    array_min(slice(hs, cast(e - ${w - 1} as int), $w)))))
+           |ELSE cast(array() as array<bigint>) END""".stripMargin))
+    val perSrc = per.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("m")).cast("long").as("shingles"),
+        sum(size(col("selpos"))).cast("long").as("fingerprints"))
+    val fp = per.select(col("doc_id"), col("src"),
+      explode(expr(
+        "array_distinct(transform(selpos, p -> element_at(hs, cast(p as int))))"))
+        .as("h"))
+    val cnt = fp.groupBy(col("h")).agg(count(lit(1)).cast("long").as("dc"))
+    val shared = fp.join(cnt, Seq("h"))
+      .groupBy(col("doc_id"), col("src")).agg(max(col("dc")).as("mx"))
+      .filter(col("mx") > 1)
+      .groupBy(col("src")).agg(count(lit(1)).cast("long").as("shared_docs"))
+    perSrc.join(shared, Seq("src"), "left")
+      .select(col("src").as(srcCol), col("n_docs"), col("shingles"),
+        col("fingerprints"),
+        round(when(col("shingles") > 0,
+          col("fingerprints").cast("double") /
+            col("shingles").cast("double")), 4).as("density"),
+        coalesce(col("shared_docs"), lit(0L)).as("shared_docs"))
+  }
 }

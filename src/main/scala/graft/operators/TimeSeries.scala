@@ -394,4 +394,91 @@ object TimeSeries {
           (acc, x) => lit(1.0 - alpha) * acc + lit(alpha) * x), 4)
           .as("ewma"))
   }
+
+  /** Autocorrelation function of per-key DAILY counts at calendar lags
+    * 1..`maxLag`: r_l = Σ(x_t−x̄)(x_{t+l}−x̄) / Σ(x_t−x̄)², the "does
+    * yesterday predict today / is there a weekly echo" diagnostic every
+    * volume monitor wants before it picks a seasonal baseline (a spike at
+    * lag 7 is the licence for q270's t−7 forecast).
+    *
+    * Exactness: counts are integers and x̄ = T/n is rational, so both
+    * sides multiply through by n² into EXACT integer forms —
+    * n²·num = n²·Σx_t·x_{t+l} − n·T·(Σhead + Σtail) + c·T², and
+    * n²·den = n·(n·Σx² − T²) — carried in DECIMAL(38,0) with ONE double
+    * division at the end; no floating accumulation anywhere. Lags are
+    * CALENDAR lags: a gap day simply contributes no pair (c counts the
+    * realized pairs per lag).
+    *
+    * Scale shape: the event scan collapses to a keys×days spine once;
+    * lagging is an `explode(sequence(1, maxLag))` over that bounded spine
+    * (L× a tiny frame, never L× events) followed by ONE equi-join on
+    * (key, day) — no range join, no window. */
+  def autocorrelation(df: DataFrame, keyCol: String, tsCol: String,
+                      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 90, "maxLag in [1, 90]")
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(eager = false)
+    val base = daily.groupBy(col("k"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("nd"),
+        sum(col("n")).cast("decimal(38,0)").as("t"),
+        sum(col("n") * col("n")).cast("decimal(38,0)").as("sxx"))
+    // head rows re-keyed forward by l: (k, day+l) meets the tail row at
+    // (k, day) — pair (x_t, x_{t+l}) materializes iff both days exist
+    val head = daily
+      .withColumn("l", explode(sequence(lit(1), lit(maxLag))))
+      .select(col("k"), col("l"), date_add(col("day"), col("l")).as("day"),
+        col("n").as("n_head"))
+    val pairs = head.join(daily, Seq("k", "day"))
+      .groupBy(col("k"), col("l"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"),
+        sum(col("n_head") * col("n")).cast("decimal(38,0)").as("sxy"),
+        sum(col("n_head")).cast("decimal(38,0)").as("sh"),
+        sum(col("n")).cast("decimal(38,0)").as("st"))
+    pairs.join(base, Seq("k"))
+      .select(col("k").as(keyCol), col("l").cast("long").as("lag"),
+        col("c").cast("long").as("n_pairs"),
+        round(
+          ((col("nd") * col("nd") * col("sxy") -
+            col("nd") * col("t") * (col("sh") + col("st")) +
+            col("c") * col("t") * col("t")).cast("double")) /
+          ((col("nd") * (col("nd") * col("sxx") - col("t") * col("t")))
+            .cast("double")), 4).as("acf"))
+  }
+
+  /** Seasonal-naive forecast evaluation with pinball (quantile) loss: the
+    * forecast for day d is the observed count at d−season; per key, report
+    * MAE and the pinball losses at τ=0.5/0.9 — the baseline every
+    * volume-forecasting model must beat, and the metric (pinball) that
+    * scores quantile forecasts properly (τ=0.9 charges under-forecasting
+    * 9× over-forecasting — the "don't under-provision" asymmetry).
+    *
+    * Exactness: daily counts are integers, so errors are integers and
+    * both losses carry exact INTEGER numerators — |e| for MAE/τ=0.5 and
+    * max(9e, −e) for τ=0.9 (pinball×10) — with ONE division per output
+    * cell. One aggregation + one self-join on (key, day): the joined spine
+    * is bounded by keys × days, never event rows. */
+  def seasonalForecastEval(df: DataFrame, keyCol: String, tsCol: String,
+                           season: Int = 7): DataFrame = {
+    require(season >= 1 && season <= 366, "season in [1, 366]")
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val prev = daily.select(col("k"),
+      date_add(col("day"), season).as("day"), col("n").as("n_prev"))
+    val err = col("n") - col("n_prev")
+    daily.join(prev, Seq("k", "day"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(abs(err)).cast("long").as("sae"),
+        sum(greatest(lit(9L) * err, -err)).cast("long").as("sp90"))
+      .select(col("k").as(keyCol), col("n_days"),
+        round(col("sae").cast("double") /
+          col("n_days").cast("double"), 4).as("mae"),
+        round(col("sae").cast("double") /
+          (lit(2.0) * col("n_days").cast("double")), 4).as("pinball50"),
+        round(col("sp90").cast("double") /
+          (lit(10.0) * col("n_days").cast("double")), 4).as("pinball90"))
+  }
 }

@@ -182,7 +182,7 @@ class PlanSpec extends SparkSpec {
       "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall",
       "q187_index_neardups", "q189_auto_threshold_neardups",
       "q244_bpe_learn", "q249_bpe_encode", "q253_bfs_hops",
-      "q262_erasure_audit", "q264_ivm_agg")
+      "q262_erasure_audit", "q264_ivm_agg", "q268_fps_coreset")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
@@ -243,7 +243,7 @@ class PlanSpec extends SparkSpec {
       "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall",
       "q187_index_neardups", "q189_auto_threshold_neardups",
       "q244_bpe_learn", "q249_bpe_encode", "q253_bfs_hops",
-      "q262_erasure_audit", "q264_ivm_agg")
+      "q262_erasure_audit", "q264_ivm_agg", "q268_fps_coreset")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
@@ -273,7 +273,7 @@ class PlanSpec extends SparkSpec {
       "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall",
       "q187_index_neardups", "q189_auto_threshold_neardups",
       "q244_bpe_learn", "q249_bpe_encode", "q253_bfs_hops",
-      "q262_erasure_audit", "q264_ivm_agg")
+      "q262_erasure_audit", "q264_ivm_agg", "q268_fps_coreset")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val frames = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: LWindow => w.windowExpressions.flatMap(_.collect {

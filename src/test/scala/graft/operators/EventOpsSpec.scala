@@ -331,4 +331,27 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
     assert(dOut(4L) == 0.0, "everyone at risk dying must zero the curve")
   }
+
+  test("growthAccounting: DAU decomposes into new/retained/resurrected; edge censors churn") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // A: d1, d2 (retained), d12 (gap 10 > 7: resurrected); B: d1 only
+    val rows = Seq(
+      (1L, "2024-03-01 10:00:00"), (1L, "2024-03-01 11:00:00"), // same day
+      (1L, "2024-03-02 10:00:00"), (1L, "2024-03-12 10:00:00"),
+      (2L, "2024-03-01 10:00:00")
+    ).map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts")
+    val out = EventOps.growthAccounting(rows, "user_id", "ts", gapDays = 7)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out("2024-03-01") == ((2L, 2L, 0L, 0L, 1L)),
+      "both new; B churns (never returns)")
+    assert(out("2024-03-02") == ((1L, 0L, 1L, 0L, 1L)),
+      "A retained; next gap 10 > 7 flags churning")
+    assert(out("2024-03-12") == ((1L, 0L, 0L, 1L, 1L)),
+      "A resurrected; data edge right-censors as churning")
+    assert(out.values.forall(v => v._1 == v._2 + v._3 + v._4),
+      "dau = new + retained + resurrected")
+  }
 }

@@ -131,4 +131,18 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(all == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
   }
+
+  test("degreeAssortativity: exact moments on a tiny bipartite graph") {
+    import spark.implicits._
+    // u1-{i1,i2}, u2-{i1}; duplicate rows and nulls must not count
+    val edges = Seq(
+      (Some(1L), Some(10L)), (Some(1L), Some(10L)), (Some(1L), Some(20L)),
+      (Some(2L), Some(10L)), (None, Some(10L)), (Some(2L), None)
+    ).toDF("u", "i")
+    val r = Graph.degreeAssortativity(edges, "u", "i").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.6667 && r.getDouble(4) == 1.6667)
+    // (dx,dy) pairs (2,2),(2,1),(1,2): r = (3*8-25)/sqrt(2*2) = -0.5
+    assert(r.getDouble(5) == -0.5)
+  }
 }

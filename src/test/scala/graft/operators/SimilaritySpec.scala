@@ -650,4 +650,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.contains("solo"), "singleton class has no pairs")
     assert(!out.contains("zero"), "zero vector filtered, leaving a singleton")
   }
+
+  test("farthestPointSample: greedy k-center trajectory, ties to smaller id") {
+    import spark.implicits._
+    // three axis clusters: each axis pair is near-identical, axes orthogonal
+    val out = Similarity.farthestPointSample(corpus, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L), "rounds 0..k-1")
+    // seed = min id; then the two remaining axes (exact d=1 ties -> smaller
+    // id first), then any near-duplicate (three-way exact tie -> id 1)
+    assert(out.map(_._2).toSeq == Seq(0L, 2L, 4L, 1L))
+    assert(out(0)._3.isEmpty, "seed has no covering distance")
+    assert(out(1)._3.contains(1.0) && out(2)._3.contains(1.0))
+    val last = out(3)._3.get
+    assert(last > 0.004 && last < 0.008, s"near-dup radius, got $last")
+    assert(out.flatMap(_._3).sliding(2).forall(p => p(0) >= p(1)),
+      "covering radius curve is monotone non-increasing")
+  }
 }

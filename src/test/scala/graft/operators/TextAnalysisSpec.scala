@@ -218,4 +218,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("de", "de")) == ((1L, 1.0)))
     assert(out.size == 3)
   }
+
+  test("winnowingReport: duplicate docs share fingerprints, short docs emit none") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, "s1", long),                       // identical pair -> shared
+      (2L, "s1", long),
+      (3L, "s2", "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen"),   // unique -> not shared
+      (4L, "s3", "tiny doc here")             // 1 shingle < w -> 0 selected
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.winnowingReport(docs, "doc_id", "source", "text",
+        k = 3, w = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]), r.getLong(5)))).toMap
+    val s1 = out("s1")
+    assert(s1._1 == 2L && s1._2 == 20L, "12 words -> 10 3-shingles per doc")
+    assert(s1._3 > 0 && s1._3 % 2 == 0,
+      "identical docs select identical fingerprint sets")
+    assert(s1._5 == 2L, "both copies share every fingerprint")
+    assert(out("s2")._5 == 0L, "unique content shares nothing")
+    assert(out("s3")._3 == 0L && out("s3")._4.contains(0.0),
+      "fewer than w shingles: no window, no fingerprints, zero density")
+    // density ~= 2/(w+1); with w=4 leftmost-min dedup it stays well under 1
+    assert(s1._4.exists(d => d > 0.0 && d <= 1.0))
+  }
 }

@@ -208,4 +208,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("b", "2024-03-05")) == ((1L, 7.0, 7.0)),
       "a one-day series folds nothing: ewma = the day mean")
   }
+
+  test("seasonalForecastEval: t-7 errors, pinball asymmetry charges under-forecast 9x") {
+    import spark.implicits._
+    def ev(k: String, day: Int, n: Int) = (1 to n).map(_ =>
+      (k, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00")))
+    // a: day1=2, day8=5, day15=5 -> errors (+3, 0); b: day1=5, day8=2 -> (-3)
+    val rows = (ev("a", 1, 2) ++ ev("a", 8, 5) ++ ev("a", 15, 5) ++
+      ev("b", 1, 5) ++ ev("b", 8, 2)).toDF("event_type", "ts")
+    val out = TimeSeries.seasonalForecastEval(rows, "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // a: over-forecast day8 by -?? e=+3 (actual above forecast): pinball90
+    // = max(9*3, -3)/10 /2days = 27/20
+    assert(out("a") == ((2L, 1.5, 0.75, 1.35)))
+    // b: e=-3 (actual below forecast): pinball90 = max(-27, 3)/10 = 0.3
+    assert(out("b") == ((1L, 3.0, 1.5, 0.3)))
+    // days without a t-7 partner (day1) never score
+  }
+
+  test("autocorrelation: exact integer moments, calendar gaps drop pairs") {
+    import spark.implicits._
+    def ev(k: String, day: Int, n: Int) = (1 to n).map(_ =>
+      (k, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00")))
+    // a: counts [1,2,3,4] on d1..d4; b: [1,2,4] on d1,d2,d4 (d3 gap)
+    val rows = (ev("a", 1, 1) ++ ev("a", 2, 2) ++ ev("a", 3, 3) ++
+      ev("a", 4, 4) ++ ev("b", 1, 1) ++ ev("b", 2, 2) ++ ev("b", 4, 4))
+      .toDF("event_type", "ts")
+    val out = TimeSeries.autocorrelation(rows, "event_type", "ts", maxLag = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // a, n=4 T=10 Sxx=30: lag1 num*16 = 16*20-40*15+3*100 = 20, den*16 = 80
+    assert(out(("a", 1L)) == ((3L, 0.25)))
+    assert(out(("a", 2L)) == ((2L, -0.3)))
+    assert(out(("a", 3L)) == ((1L, -0.45)))
+    // b: lag1 only pairs (1,2) — the d2->d3 and d4->d5 lags find no day
+    assert(out(("b", 1L)) == ((1L, math.rint(4.0 / 42.0 * 1e4) / 1e4)))
+    assert(out(("b", 2L)) == ((1L, math.rint(-5.0 / 42.0 * 1e4) / 1e4)),
+      "lag 2 bridges the gap day: pair (d2, d4)")
+    assert(out(("b", 3L)) == ((1L, math.rint(-20.0 / 42.0 * 1e4) / 1e4)),
+      "lag 3 pairs d1 with d4 across the gap")
+  }
 }
