@@ -4667,9 +4667,11 @@ object OracleSql {
          |  WHERE q.n_chars >= p.n_chars AND q.n_types >= p.n_types
          |    AND (q.n_chars > p.n_chars OR q.n_types > p.n_types))""".stripMargin,
 
-    // q246: hash-deterministic Poisson(1) inverse-CDF weights; replicate
-    // means are exact-DECIMAL-numerator single fp divisions, so only the
-    // 64-value stddev is fp (rounded)
+    // q246: ONE md5 per row fanned into 64 replicate streams by the
+    // portable fmix32 avalanche (xor/shift/split-multiply mod 2^32 —
+    // BIGINT-overflow-safe on both engines); replicate means are
+    // exact-DECIMAL-numerator single fp divisions, so only the 64-value
+    // stddev is fp (rounded)
     "q246_poisson_bootstrap" -> {
       val cum = Seq("0.36787944117144233", "0.7357588823428847",
         "0.9196986029286058", "0.9810118431238463", "0.9963401531726563",
@@ -4678,14 +4680,23 @@ object OracleSql {
       val wCase = cum.zipWithIndex
         .map { case (c, k) => s"WHEN u < $c THEN $k" }
         .mkString("CASE ", " ", " ELSE 9 END")
+      def mm(x: String, c: String): String =
+        s"((($x % 65536) * $c) + ((($x >> 16) * $c) % 65536) * 65536) " +
+          "% 4294967296"
       s"""WITH base AS (SELECT o_orderstatus AS g,
-         |    o_orderkey::VARCHAR AS id, o_totalprice::DECIMAL(18,2) AS v
+         |    ${h32("o_orderkey::VARCHAR")} AS h,
+         |    o_totalprice::DECIMAL(18,2) AS v
          |  FROM orders
          |  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
-         |reps AS (SELECT g, id, v, unnest(range(64)) AS rep FROM base),
+         |reps AS (SELECT g, h, v, unnest(range(64)) AS rep FROM base),
+         |x0 AS (SELECT g, rep, v,
+         |    xor(h, (rep * 2654435761) % 4294967296) AS x FROM reps),
+         |x1 AS (SELECT g, rep, v, xor(x, x >> 16) AS x FROM x0),
+         |x2 AS (SELECT g, rep, v, ${mm("x", "2246822507")} AS x FROM x1),
+         |x3 AS (SELECT g, rep, v, xor(x, x >> 13) AS x FROM x2),
+         |x4 AS (SELECT g, rep, v, ${mm("x", "3266489909")} AS x FROM x3),
          |us AS (SELECT g, rep, v,
-         |    ${h32("id || ':' || rep::VARCHAR")}::DOUBLE / 4294967296.0 AS u
-         |  FROM reps),
+         |    xor(x, x >> 16)::DOUBLE / 4294967296.0 AS u FROM x4),
          |wt AS (SELECT g, rep, v, ($wCase)::BIGINT AS w FROM us),
          |rm AS (SELECT g, rep,
          |    sum(w * v)::DOUBLE / sum(w)::DOUBLE AS m

@@ -26,6 +26,26 @@ object Hashes {
   def seededHash(c: Column, seed: Int): Column =
     portableHash32(concat(lit(s"$seed:"), c))
 
+  /** (x * c) mod 2^32 without 64-bit overflow: split x into 16-bit halves
+    * so every intermediate stays ≤ ~2^48 — BIGINT-safe in engines that
+    * CHECK overflow (DuckDB errors where the JVM would silently wrap). */
+  private def mulMod32(x: Column, c: Long): Column =
+    ((x % 65536L) * c + ((shiftright(x, 16) * c) % 65536L) * 65536L) %
+      4294967296L
+
+  /** Portable murmur3 fmix32 avalanche over a 32-bit value carried in a
+    * long: every operation (xor, shift, split multiply mod 2^32) has
+    * bit-identical semantics in Spark and DuckDB SQL, so derived
+    * pseudo-randomness (e.g. per-replicate bootstrap weights) replays
+    * exactly in the oracle — at integer-codegen cost instead of an md5
+    * per derivation. Feed it `portableHash32(id) ^ (k * oddConst mod
+    * 2^32)` to fan one md5 into k decorrelated streams. */
+  def portableMix32(x: Column): Column = {
+    val a = mulMod32(x.bitwiseXOR(shiftright(x, 16)), 2246822507L)
+    val b = mulMod32(a.bitwiseXOR(shiftright(a, 13)), 3266489909L)
+    b.bitwiseXOR(shiftright(b, 16))
+  }
+
   /** Driver-side twin of [[portableHash32]] for building small deterministic
     * control-plane structures (random-projection sign matrices, salt maps)
     * that the DuckDB oracle can replay with the same md5 formula. */

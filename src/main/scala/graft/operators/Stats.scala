@@ -1153,10 +1153,13 @@ object Stats {
     * total weight ~Poisson(n) ≈ n, the classic multinomial-bootstrap
     * approximation).
     *
-    * Determinism: weight = inverse-CDF lookup of u = portableHash32(
-    * id:rep)/2^32 against hard-coded Poisson(1) cumulative literals —
-    * engine-portable bit-for-bit (the same md5-derived hash the sampling
-    * operators use). Value sums are DECIMAL(18,2): exact and
+    * Determinism: ONE md5 per row ([[graft.functions.Hashes.portableHash32]])
+    * fanned into `b` decorrelated streams by the integer-codegen
+    * [[graft.functions.Hashes.portableMix32]] avalanche (x = h ⊕ rep·φ32
+    * mod 2^32, then fmix32) — engine-portable bit-for-bit at a fraction
+    * of the b-md5s-per-row cost; u = mix/2^32 feeds an inverse-CDF lookup
+    * against hard-coded Poisson(1) cumulative literals. Value sums are
+    * DECIMAL(18,2): exact and
     * summation-order-independent, so replicate means are reproducible
     * across partitionings; only the final stddev over `b` means is fp.
     * Output per group: n rows, the full-sample mean, the bootstrap SE,
@@ -1171,10 +1174,11 @@ object Stats {
     val base = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("g"),
-        col(idCol).cast("string").as("id"),
+        graft.functions.Hashes.portableHash32(col(idCol).cast("string"))
+          .as("h"),
         col(valueCol).cast("decimal(18,2)").as("v"))
-    val u = graft.functions.Hashes.portableHash32(
-      concat(col("id"), lit(":"), col("rep").cast("string")))
+    val u = graft.functions.Hashes.portableMix32(
+      col("h").bitwiseXOR((col("rep") * 2654435761L) % 4294967296L))
       .cast("double") / lit(4294967296.0)
     // inverse-CDF: weight k has cumulative mass cum(k); u >= last literal
     // (mass 1.1e-6) truncates to 9 — beyond any per-replicate noise
@@ -1182,7 +1186,7 @@ object Stats {
       case ((c, k), rest) => when(col("u") < lit(c), lit(k)).otherwise(rest)
     }
     val reps = base
-      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("rep", explode(sequence(lit(0L), lit(b - 1L))))
       .withColumn("u", u)
       .withColumn("w", weight.cast("long"))
       .groupBy(col("g"), col("rep"))
@@ -1561,12 +1565,18 @@ object Stats {
         .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
         .select(col(loserCol).cast("string").as("i"),
           col(winnerCol).cast("string").as("j"), lit(0L).as("win")))
+    // the win matrix is items² rows at most — materialize it ONCE so the
+    // (potentially expensive) comparison-generating plan upstream never
+    // re-executes inside the MM iterations, which would otherwise replay
+    // it ~3× per round through the terms/wins joins
     val pairAgg = dirPairs.groupBy(col("i"), col("j"))
       .agg(count(lit(1)).cast("long").as("n_ij"),
         sum(col("win")).cast("long").as("w_ij"))
+      .localCheckpoint()
     val wins = pairAgg.groupBy(col("i"))
       .agg(sum(col("w_ij")).cast("long").as("wins"),
         sum(col("n_ij")).cast("long").as("n_comp"))
+      .localCheckpoint()
     var p = wins.select(col("i"), lit(1.0).as("p"))
     for (_ <- 1 to iters) {
       val pj = p.select(col("i").as("j"), col("p").as("pj"))
@@ -1585,8 +1595,10 @@ object Stats {
         .select((aggregate(col("ls"), lit(0.0),
           (acc, x) => acc + x("praw")) /
           size(col("ls")).cast("double")).as("pbar"))
+      // items rows; cuts the per-round lineage (the pageRank contract)
       p = raw.crossJoin(broadcast(norm))
         .select(col("i"), (col("praw") / col("pbar")).as("p"))
+        .localCheckpoint()
     }
     p.join(wins, Seq("i"))
       .select(col("i").as("item"), col("wins"), col("n_comp"),
