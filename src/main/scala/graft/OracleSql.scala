@@ -5350,6 +5350,99 @@ object OracleSql {
          |    THEN 1 ELSE 0 END)::BIGINT AS resurrected,
          |  sum(CASE WHEN nxt IS NULL OR nxt - day > 7
          |    THEN 1 ELSE 0 END)::BIGINT AS churning
-         |FROM x GROUP BY 1""".stripMargin
+         |FROM x GROUP BY 1""".stripMargin,
+
+    // q274: Spearman via value-grid midranks ×2 (integer), five exact
+    // HUGEINT moments, one sqrt-and-divide in the Spark operation order
+    "q274_spearman" ->
+      s"""WITH base AS (SELECT l_returnflag AS g, l_quantity AS x,
+         |    l_discount AS y
+         |  FROM lineitem WHERE l_returnflag IS NOT NULL
+         |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+         |gx AS (SELECT g, x, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+         |rx AS (SELECT g, x, 2 * (sum(c) OVER (PARTITION BY g ORDER BY x
+         |    ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS rx FROM gx),
+         |gy AS (SELECT g, y, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+         |ry AS (SELECT g, y, 2 * (sum(c) OVER (PARTITION BY g ORDER BY y
+         |    ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS ry FROM gy),
+         |j AS (SELECT b.g, rx.rx, ry.ry FROM base b
+         |  JOIN rx ON b.g = rx.g AND b.x = rx.x
+         |  JOIN ry ON b.g = ry.g AND b.y = ry.y),
+         |m AS (SELECT g, count(*)::HUGEINT AS n, sum(rx)::HUGEINT AS sx,
+         |    sum(ry)::HUGEINT AS sy, sum(rx * ry)::HUGEINT AS sxy,
+         |    sum(rx * rx)::HUGEINT AS sxx, sum(ry * ry)::HUGEINT AS syy
+         |  FROM j GROUP BY 1)
+         |SELECT g AS l_returnflag, n::BIGINT AS n_rows,
+         |  ${rnd("CASE WHEN (n * sxx - sx * sx) = 0 OR " +
+             "(n * syy - sy * sy) = 0 THEN NULL ELSE " +
+             "(n * sxy - sx * sy)::DOUBLE / " +
+             "sqrt((n * sxx - sx * sx)::DOUBLE * " +
+             "(n * syy - sy * sy)::DOUBLE) END", 4)} AS spearman_rho
+         |FROM m""".stripMargin,
+
+    // q275: Pettitt — delta-encoded pair signs, running-sum U over the
+    // day spine, earliest-day argmax, classic p approximation
+    "q275_pettitt" ->
+      s"""WITH daily AS (SELECT event_type AS k, ts::DATE AS day,
+         |    count(*)::BIGINT AS n
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |pr AS (SELECT a.k, a.day AS di, b.day AS dj,
+         |    sign(b.n - a.n)::BIGINT AS s
+         |  FROM daily a JOIN daily b ON a.k = b.k AND a.day < b.day),
+         |del AS (SELECT k, day, sum(d)::BIGINT AS d FROM (
+         |    SELECT k, di AS day, s AS d FROM pr
+         |    UNION ALL SELECT k, dj AS day, -s AS d FROM pr)
+         |  GROUP BY 1, 2),
+         |u AS (SELECT k, day, sum(d) OVER (PARTITION BY k ORDER BY day
+         |    ROWS UNBOUNDED PRECEDING) AS u FROM del),
+         |nd AS (SELECT k, count(*)::BIGINT AS n_days, max(day) AS last_day
+         |  FROM daily GROUP BY 1),
+         |cuts AS (SELECT u.k, nd.n_days, u.day, abs(u.u)::BIGINT AS au
+         |  FROM u JOIN nd ON u.k = nd.k WHERE u.day < nd.last_day),
+         |km AS (SELECT k, n_days, max(au)::BIGINT AS k_stat
+         |  FROM cuts GROUP BY 1, 2),
+         |cd AS (SELECT c.k, min(c.day) AS change_day
+         |  FROM cuts c JOIN km ON c.k = km.k AND c.au = km.k_stat
+         |  GROUP BY 1)
+         |SELECT km.k AS event_type, n_days, k_stat, change_day,
+         |  ${rnd("least(1.0, 2.0 * exp(-6.0 * k_stat::DOUBLE * " +
+             "k_stat::DOUBLE / (n_days::DOUBLE * n_days::DOUBLE * " +
+             "n_days::DOUBLE + n_days::DOUBLE * n_days::DOUBLE)))", 6)}
+         |    AS p_value
+         |FROM km JOIN cd ON km.k = cd.k""".stripMargin,
+
+    // q276: rank-aligned triplets (pos = next same-label id, neg = same
+    // rank in the next label of the sorted cycle); margins rounded to 12
+    // decimals then DECIMAL-summed, so the mean is order-free
+    "q276_triplet_eval" ->
+      s"""WITH labs AS (SELECT DISTINCT label::VARCHAR AS l
+         |  FROM embeddings WHERE label IS NOT NULL),
+         |cyc AS (SELECT l AS l_str, coalesce(lead(l) OVER (ORDER BY l),
+         |    (SELECT min(l) FROM labs)) AS l_next_str FROM labs),
+         |ranked AS (SELECT label AS lab, label::VARCHAR AS l,
+         |    vec_id AS id, embedding AS v,
+         |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS r
+         |  FROM embeddings WHERE label IS NOT NULL),
+         |anch AS (SELECT lab, l, r, v,
+         |    lead(id) OVER (PARTITION BY l ORDER BY id) AS pid,
+         |    lead(v) OVER (PARTITION BY l ORDER BY id) AS pv
+         |  FROM ranked),
+         |trip AS (SELECT a.lab, a.v, a.pv, n.v AS nv
+         |  FROM anch a JOIN cyc ON a.l = cyc.l_str
+         |  JOIN ranked n ON n.l = cyc.l_next_str AND n.r = a.r
+         |  WHERE a.pid IS NOT NULL),
+         |ms AS (SELECT lab,
+         |    ${rnd(cosineSql("v", "pv") + " - " + cosineSql("v", "nv"),
+             12)}::DECIMAL(20,12) AS m
+         |  FROM trip),
+         |agg AS (SELECT lab, count(*)::BIGINT AS n_triplets,
+         |    sum(CASE WHEN m < 0 THEN 1 ELSE 0 END)::BIGINT AS violations,
+         |    sum(m) AS msum
+         |  FROM ms GROUP BY 1)
+         |SELECT lab AS label, n_triplets, violations,
+         |  ${rnd("violations::DOUBLE / n_triplets::DOUBLE", 4)}
+         |    AS violation_rate,
+         |  ${rnd("msum::DOUBLE / n_triplets::DOUBLE", 6)} AS mean_margin
+         |FROM agg""".stripMargin
   )
 }

@@ -2877,6 +2877,23 @@ object SparkEntry {
     graft.operators.EventOps.growthAccounting(T(s, dir, "events"),
       "user_id", "ts", gapDays = 7)
 
+  /** Spearman rank correlation (midranks, value-grid windows) between
+    * quantity and discount per return flag — exact ×2-integer moments. */
+  private def q274(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.spearmanByGroup(T(s, dir, "lineitem"),
+      "l_returnflag", "l_quantity", "l_discount")
+
+  /** Pettitt rank changepoint on daily counts per event type —
+    * delta-encoded O(d²) pairs, earliest-day ties, exact integer U. */
+  private def q275(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.pettittChangepoint(T(s, dir, "events"),
+      "event_type", "ts")
+
+  /** Deterministic triplet-margin eval per label over the embeddings:
+    * violation rate + mean margin, rank-aligned triplets, decimal sums. */
+  private def q276(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.tripletEval(TW(s, dir, "embeddings"))
+
   /** Leave-one-out 5-NN classification accuracy per class over the
     * vec_id%7 evaluation sample — the embedding-quality eval. */
   private def q260(s: SparkSession, dir: String): DataFrame =
@@ -3221,7 +3238,10 @@ object SparkEntry {
     "q270_forecast_eval" -> (q270 _),
     "q271_acf" -> (q271 _),
     "q272_assortativity" -> (q272 _),
-    "q273_growth_accounting" -> (q273 _)
+    "q273_growth_accounting" -> (q273 _),
+    "q274_spearman" -> (q274 _),
+    "q275_pettitt" -> (q275 _),
+    "q276_triplet_eval" -> (q276 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1158,4 +1158,66 @@ object Similarity {
       .select(col("sel_round"), col("vec_id"),
         round(col("min_dist"), 6).as("min_dist"))
   }
+
+  /** Triplet-margin eval of an embedding space WITHOUT sampling noise:
+    * every vector anchors one deterministic triplet — positive = the next
+    * same-label vector in id order, negative = the same-position vector
+    * in the NEXT label (labels cycled in sorted order) — and the report
+    * is, per label, how often cos(a,pos) < cos(a,neg) (a violation: some
+    * other class sits closer than the anchor's own class) plus the mean
+    * margin. The metric behind "are these embeddings good enough to
+    * label-classify", complementary to the kNN eval: kNN measures
+    * decision accuracy, the margin measures by HOW MUCH geometry holds.
+    *
+    * Determinism and exactness: triplets are rank-aligned equi-joins
+    * (windows partitioned by label, never global); the label→next-label
+    * cycle is a bounded driver collect (the IVF-centroid control-plane
+    * contract); each margin is rounded to 12 decimals — the shortest-repr
+    * rounding both engines reproduce — and summed as DECIMAL, so the
+    * per-label mean is partition-order-free. One scan, three bounded
+    * joins, no corpus×corpus work. */
+  def tripletEval(corpus: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    val base = corpus
+      .filter(col(labelCol).isNotNull)
+      .select(col(labelCol).as("l"), col(idCol).as("id"),
+        col(vecCol).as("v"))
+    // bounded control plane: the sorted label cycle (|labels| rows)
+    val labels = base.select(col("l")).distinct().collect()
+      .map(_.get(0)).sortBy(_.toString)
+    require(labels.length >= 2, "need at least two labels")
+    import spark.implicits._
+    val nextOf = labels.indices.map(i =>
+      (labels(i).toString, labels((i + 1) % labels.length).toString))
+    val cyc = nextOf.toDF("l_str", "l_next_str")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l")).orderBy(col("id"))
+    val ranked = base.withColumn("r", row_number().over(w))
+      .localCheckpoint(eager = false) // anchor + positive + negative sides
+    val anchors = ranked
+      .withColumn("pid", lead(col("id"), 1).over(w))
+      .withColumn("pv", lead(col("v"), 1).over(w))
+      .filter(col("pid").isNotNull)
+      .join(broadcast(cyc), col("l").cast("string") === col("l_str"))
+    val negs = ranked.select(col("l").cast("string").as("l_next_str"),
+      col("r"), col("id").as("nid"), col("v").as("nv"))
+    val margin = round(
+      VectorFunctions.cosine(col("v"), col("pv")) -
+        VectorFunctions.cosine(col("v"), col("nv")), 12)
+    anchors.join(negs, Seq("l_next_str", "r"))
+      .select(col("l"), margin.as("m"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).cast("long").as("n_triplets"),
+        sum(when(col("m") < 0.0, 1L).otherwise(0L)).cast("long")
+          .as("violations"),
+        sum(col("m").cast("decimal(20,12)")).as("msum"))
+      .select(col("l").as(labelCol), col("n_triplets"), col("violations"),
+        round(col("violations").cast("double") /
+          col("n_triplets").cast("double"), 4).as("violation_rate"),
+        round(col("msum").cast("double") /
+          col("n_triplets").cast("double"), 6).as("mean_margin"))
+  }
 }

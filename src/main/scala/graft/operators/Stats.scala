@@ -1646,4 +1646,109 @@ object Stats {
           (acc, x) => acc + (x("loo") - col("jm")) *
             (x("loo") - col("jm")))), 6).as("se_jack"))
   }
+
+  /** Spearman rank correlation per group — the monotone-association
+    * number that survives outliers and nonlinear scales where Pearson
+    * (q198/q153) lies. Midranks handle ties exactly: rank(v) =
+    * #smaller + (#tied+1)/2, computed on the per-group VALUE GRID (one
+    * count per distinct value + a cumulative window over the grid), so
+    * the window scans |distinct values| rows, never data rows — the
+    * q245/q151 bounded-grid contract. Rows pick up their ranks by two
+    * joins against the tiny grid tables.
+    *
+    * Exactness: ranks are doubled into integers (2·midrank is always
+    * whole), all five Pearson moments over (2rx, 2ry) are exact
+    * DECIMAL(38,0) sums — the ×2 cancels in the correlation — and ρ is
+    * one sqrt-and-divide over exact integers, same operation order both
+    * engines. Degenerate groups (a constant side) emit null ρ. */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+                      yCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(groupCol).as("g"), col(xCol).as("x"), col(yCol).as("y"))
+      .localCheckpoint(eager = false) // rank grids + the rank-join spine
+    def gridRanks(v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      base.groupBy(col("g"), col(v))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        // 2·midrank = 2·(cum−c) + c + 1 — integer even under ties
+        .select(col("g"), col(v),
+          (lit(2L) * (col("cum") - col("c")) + col("c") + 1L).as(out))
+    }
+    base
+      .join(broadcast(gridRanks("x", "rx")), Seq("g", "x"))
+      .join(broadcast(gridRanks("y", "ry")), Seq("g", "y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("rx")).cast("decimal(38,0)").as("sx"),
+        sum(col("ry")).cast("decimal(38,0)").as("sy"),
+        sum(col("rx") * col("ry")).cast("decimal(38,0)").as("sxy"),
+        sum(col("rx") * col("rx")).cast("decimal(38,0)").as("sxx"),
+        sum(col("ry") * col("ry")).cast("decimal(38,0)").as("syy"))
+      .select(col("g").as(groupCol), col("n").cast("long").as("n_rows"),
+        round(when(
+          (col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0, null)
+          .otherwise(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 4).as("spearman_rho"))
+  }
+
+  /** Pettitt changepoint test on per-key daily counts: the nonparametric
+    * complement to [[cusumChangepoint]] — U_t = Σ_{i≤t<j} sgn(x_j − x_i)
+    * over observation pairs, K = max|U_t|, with the classic significance
+    * approximation p ≈ 2·exp(−6K²/(n³+n²)). Rank-based, so a monotone
+    * transform of the metric changes nothing, and a single outlier moves
+    * U by at most n — exactly the robustness CUSUM lacks.
+    *
+    * The O(d²) pair set is DELTA-ENCODED instead of cut-replicated: pair
+    * (i, j) contributes sgn to every cut in [i, j), i.e. +sgn at day i
+    * and −sgn at day j, so U_t is one running sum over the day spine —
+    * O(d²) pairs, O(d) window rows, never O(d³) pair×cut work. All
+    * integer until the final exp; ties in |U| break to the EARLIEST day
+    * (the standard convention). State is per-key days², bounded by the
+    * calendar, not event volume. */
+  def pettittChangepoint(df: DataFrame, keyCol: String,
+                         tsCol: String): DataFrame = {
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(eager = false)
+    val a = daily.select(col("k"), col("day").as("di"), col("n").as("ni"))
+    val b = daily.select(col("k"), col("day").as("dj"), col("n").as("nj"))
+    val sgn = signum(col("nj") - col("ni")).cast("long")
+    val deltas = a.join(b, Seq("k")).filter(col("di") < col("dj"))
+      .select(col("k"), explode(array(
+        struct(col("di").as("day"), sgn.as("d")),
+        struct(col("dj").as("day"), (-sgn).as("d")))).as("e"))
+      .select(col("k"), col("e.day").as("day"), col("e.d").as("d"))
+      .groupBy(col("k"), col("day")).agg(sum(col("d")).as("d"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val u = deltas.withColumn("u", sum(col("d")).over(w))
+    val nd = daily.groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        max(col("day")).as("last_day"))
+    val cuts = u.join(nd, Seq("k")).filter(col("day") < col("last_day"))
+      .select(col("k"), col("n_days"), col("day"), abs(col("u")).as("au"))
+      .localCheckpoint(eager = false) // read twice: max + argmax
+    val kmax = cuts.groupBy(col("k"), col("n_days"))
+      .agg(max(col("au")).as("k_stat"))
+    val k = cuts.join(kmax.select(col("k"), col("k_stat")), Seq("k"))
+      .filter(col("au") === col("k_stat"))
+      .groupBy(col("k")).agg(min(col("day")).as("change_day"))
+      .join(kmax, Seq("k"))
+    val n3 = col("n_days").cast("double")
+    k.select(col("k").as(keyCol), col("n_days"),
+      col("k_stat").cast("long").as("k_stat"), col("change_day"),
+      round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+        col("k_stat").cast("double") * col("k_stat").cast("double") /
+        (n3 * n3 * n3 + n3 * n3))), 6).as("p_value"))
+  }
 }

@@ -668,4 +668,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.flatMap(_._3).sliding(2).forall(p => p(0) >= p(1)),
       "covering radius curve is monotone non-increasing")
   }
+
+  test("tripletEval: aligned geometry scores margin +1, crossed geometry violates") {
+    import spark.implicits._
+    // labels cycle A->B->A; rank r pairs with rank r of the next label
+    val good = Seq(
+      ("A", 1L, Array(1.0f, 0.0f)), ("A", 2L, Array(1.0f, 0.0f)),
+      ("B", 3L, Array(0.0f, 1.0f)), ("B", 4L, Array(0.0f, 1.0f))
+    ).toDF("label", "vec_id", "embedding")
+    val g = Similarity.tripletEval(good).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // anchor r1 -> pos r2 (cos 1), neg = other label r1 (cos 0): margin 1
+    assert(g("A") == ((1L, 0L, 0.0, 1.0)) && g("B") == ((1L, 0L, 0.0, 1.0)))
+    val bad = Seq(
+      ("A", 1L, Array(1.0f, 0.0f)), ("A", 2L, Array(0.0f, 1.0f)),
+      ("B", 3L, Array(1.0f, 0.0f)), ("B", 4L, Array(0.0f, 1.0f))
+    ).toDF("label", "vec_id", "embedding")
+    val b = Similarity.tripletEval(bad).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    // pos is orthogonal (cos 0), neg is identical (cos 1): margin -1
+    assert(b("A") == ((1L, 1.0, -1.0)) && b("B") == ((1L, 1.0, -1.0)))
+  }
 }

@@ -796,4 +796,38 @@ class StatsSpec extends SparkSpec {
       nGroups = 8).collect().head
     assert(rep == h)
   }
+
+  test("spearmanByGroup: monotone ±1, midrank ties hit the closed form, constant is null") {
+    import spark.implicits._
+    val rows = Seq(
+      ("m", 1.0, 10.0), ("m", 2.0, 20.0), ("m", 3.0, 30.0),  // rho = 1
+      ("r", 1.0, 3.0), ("r", 2.0, 2.0), ("r", 3.0, 1.0),     // rho = -1
+      ("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 2.0),     // ties
+      ("c", 5.0, 1.0), ("c", 5.0, 2.0)                       // constant x
+    ).toDF("g", "x", "y")
+    val out = Stats.spearmanByGroup(rows, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("m") == ((3L, Some(1.0))))
+    assert(out("r") == ((3L, Some(-1.0))))
+    // 2x midranks x:(3,3,6) y:(2,5,5) -> rho = 9/18 = 0.5
+    assert(out("t") == ((3L, Some(0.5))))
+    assert(out("c") == ((2L, None)), "zero-variance side yields null rho")
+  }
+
+  test("pettittChangepoint: step shift pins K and the earliest argmax day") {
+    import spark.implicits._
+    def ev(day: Int, n: Int) = (1 to n).map(_ =>
+      ("a", java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00")))
+    // counts 1,1,1,1 then 3,3,3,3: every cross pair is +1 -> U_4 = 16
+    val rows = ((1 to 4).flatMap(ev(_, 1)) ++ (5 to 8).flatMap(ev(_, 3)))
+      .toDF("event_type", "ts")
+    val r = Stats.pettittChangepoint(rows, "event_type", "ts")
+      .collect().head
+    assert(r.getLong(1) == 8L && r.getLong(2) == 16L)
+    assert(r.getDate(3).toString == "2024-03-04",
+      "the cut BEFORE the shift maximizes U")
+    val p = 2.0 * math.exp(-6.0 * 256.0 / (512.0 + 64.0))
+    assert(r.getDouble(4) == math.rint(p * 1e6) / 1e6)
+  }
 }
