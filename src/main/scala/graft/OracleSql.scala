@@ -5443,6 +5443,97 @@ object OracleSql {
          |  ${rnd("violations::DOUBLE / n_triplets::DOUBLE", 4)}
          |    AS violation_rate,
          |  ${rnd("msum::DOUBLE / n_triplets::DOUBLE", 6)} AS mean_margin
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+
+    // q277: Holt recursion replayed as a RECURSIVE CTE (one row per key
+    // per step — list_reduce struct-literal lambdas alias the in-flight
+    // accumulator in this DuckDB version, so plain column rebinding it
+    // is); alpha/beta are dyadic so every state value is fp-exact
+    "q277_holt_eval" ->
+      s"""WITH RECURSIVE daily AS (SELECT event_type AS k, ts::DATE AS day,
+         |    count(*)::DOUBLE AS n
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |idx AS (SELECT k, n,
+         |    row_number() OVER (PARTITION BY k ORDER BY day) AS i
+         |  FROM daily),
+         |rec AS (
+         |  SELECT k, i, n AS l, 0.0::DOUBLE AS b, n AS px,
+         |    0.0::DOUBLE AS sae, 0.0::DOUBLE AS nae
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.k, x.i,
+         |    0.5 * x.n + 0.5 * (r.l + r.b),
+         |    0.25 * ((0.5 * x.n + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b,
+         |    x.n,
+         |    r.sae + abs(x.n - (r.l + r.b)),
+         |    r.nae + abs(x.n - r.px)
+         |  FROM rec r JOIN idx x ON x.k = r.k AND x.i = r.i + 1),
+         |fin AS (SELECT k, i AS t, sae, nae FROM rec
+         |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY i DESC) = 1)
+         |SELECT k AS event_type, t AS n_days,
+         |  ${rnd("sae / (t - 1)::DOUBLE", 4)} AS holt_mae,
+         |  ${rnd("nae / (t - 1)::DOUBLE", 4)} AS naive_mae,
+         |  ${rnd("CASE WHEN nae > 0.0 THEN 1.0 - sae / nae END", 4)}
+         |    AS skill
+         |FROM fin WHERE t >= 2""".stripMargin,
+
+    // q278: Kendall tau-b on the joint value grid — each unordered cell
+    // pair counted once via x-order; // keeps HUGEINT halving exact
+    "q278_kendall_tau" ->
+      s"""WITH cells AS (SELECT l_returnflag AS g, l_quantity AS x,
+         |    l_discount AS y, count(*)::BIGINT AS c
+         |  FROM lineitem WHERE l_returnflag IS NOT NULL
+         |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |tot AS (SELECT g, sum(c)::HUGEINT AS n,
+         |    (sum(c)::HUGEINT * (sum(c)::HUGEINT - 1)) // 2 AS n0
+         |  FROM cells GROUP BY 1),
+         |tx AS (SELECT g, sum((cv * (cv - 1)) // 2)::HUGEINT AS n1 FROM (
+         |    SELECT g, x, sum(c)::HUGEINT AS cv FROM cells GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |ty AS (SELECT g, sum((cv * (cv - 1)) // 2)::HUGEINT AS n2 FROM (
+         |    SELECT g, y, sum(c)::HUGEINT AS cv FROM cells GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |cd AS (SELECT a.g,
+         |    sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)::HUGEINT
+         |      AS nc,
+         |    sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)::HUGEINT
+         |      AS nd
+         |  FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+         |  GROUP BY 1)
+         |SELECT t.g AS l_returnflag, n::BIGINT AS n_rows,
+         |  coalesce(nc, 0)::BIGINT AS concordant,
+         |  coalesce(nd, 0)::BIGINT AS discordant,
+         |  ${rnd("CASE WHEN (n0 - n1) = 0 OR (n0 - n2) = 0 THEN NULL " +
+             "ELSE (coalesce(nc, 0) - coalesce(nd, 0))::DOUBLE / " +
+             "sqrt((n0 - n1)::DOUBLE * (n0 - n2)::DOUBLE) END", 4)}
+         |    AS tau_b
+         |FROM tot t JOIN tx USING (g) JOIN ty USING (g)
+         |LEFT JOIN cd ON t.g = cd.g""".stripMargin,
+
+    // q279: shard + position hashes are the same portable md5 stream with
+    // different salts; adjacency via a per-shard lag window
+    "q279_shard_mixing" ->
+      s"""WITH sh AS (SELECT source AS src,
+         |    ${h32("doc_id::VARCHAR")} % 32 AS shard,
+         |    ${h32("'pos:' || doc_id::VARCHAR")} AS ph,
+         |    doc_id::VARCHAR AS id
+         |  FROM documents),
+         |adj AS (SELECT src, lag(src) OVER (PARTITION BY shard
+         |    ORDER BY ph, id) AS prev FROM sh),
+         |per AS (SELECT src, count(*)::BIGINT AS n_docs,
+         |    sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_follow,
+         |    sum(CASE WHEN prev = src THEN 1 ELSE 0 END)::BIGINT
+         |      AS adjacent_same
+         |  FROM adj GROUP BY 1),
+         |tot AS (SELECT sum(n_docs)::BIGINT AS n_total FROM per)
+         |SELECT src AS source, n_docs, n_follow, adjacent_same,
+         |  ${rnd("adjacent_same::DOUBLE / n_follow::DOUBLE", 4)}
+         |    AS adj_rate,
+         |  ${rnd("n_docs::DOUBLE / n_total::DOUBLE", 4)} AS share,
+         |  ${rnd("(adjacent_same::DOUBLE / n_follow::DOUBLE) / " +
+             "(n_docs::DOUBLE / n_total::DOUBLE)", 4)} AS lift
+         |FROM per, tot""".stripMargin
   )
 }

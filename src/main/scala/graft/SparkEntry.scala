@@ -2894,6 +2894,24 @@ object SparkEntry {
   private def q276(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.tripletEval(TW(s, dir, "embeddings"))
 
+  /** Holt level+trend one-step eval vs naive carry-forward per event
+    * type — dyadic α/β make the whole recursion fp-exact. */
+  private def q277(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.holtForecastEval(T(s, dir, "events"),
+      "event_type", "ts")
+
+  /** Kendall τ-b between quantity and discount per return flag — the
+    * tie-corrected concordance on the joint value grid (grid², not rows²). */
+  private def q278(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.kendallTauB(T(s, dir, "lineitem"),
+      "l_returnflag", "l_quantity", "l_discount")
+
+  /** Shuffle-quality audit of the 32-shard deterministic training order:
+    * per-source adjacency lift vs corpus share. */
+  private def q279(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shardMixingReport(TW(s, dir, "documents"),
+      "doc_id", "source", nShards = 32)
+
   /** Leave-one-out 5-NN classification accuracy per class over the
     * vec_id%7 evaluation sample — the embedding-quality eval. */
   private def q260(s: SparkSession, dir: String): DataFrame =
@@ -3241,7 +3259,10 @@ object SparkEntry {
     "q273_growth_accounting" -> (q273 _),
     "q274_spearman" -> (q274 _),
     "q275_pettitt" -> (q275 _),
-    "q276_triplet_eval" -> (q276 _)
+    "q276_triplet_eval" -> (q276 _),
+    "q277_holt_eval" -> (q277 _),
+    "q278_kendall_tau" -> (q278 _),
+    "q279_shard_mixing" -> (q279 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -613,4 +613,53 @@ object Sampling {
       .select(col("u").as(userCol), col("slot").cast("long").as("slot"),
         col("it").as(s"neg_$catalogKey"))
   }
+
+  /** Shuffle-quality audit of the training order a deterministic shard +
+    * hash shuffle would feed the loader: documents land in
+    * `pmod(h(id), nShards)` shards, are read within each shard in
+    * position-hash order, and the report measures per-source ADJACENCY —
+    * how often a doc's predecessor has the same source, vs the source's
+    * overall share. `lift` ≈ 1 is a healthy shuffle; lift ≫ 1 means
+    * same-source runs survive into training batches (the gradient-
+    * correlation smell), lift ≪ 1 an anti-correlated (suspicious)
+    * interleave. The check every "we globally shuffled, trust us"
+    * pipeline should ship.
+    *
+    * Scale shape: both hashes are one md5 per row; the only window is
+    * PARTITIONED by shard (each slice is corpus/nShards); counts are
+    * exact integers, rates single divisions, lift the one
+    * division-of-divisions written identically in the oracle. Position
+    * salt differs from the shard salt, so shard and order are
+    * independent streams of the same portable hash. */
+  def shardMixingReport(df: DataFrame, idCol: String, srcCol: String,
+                        nShards: Int): DataFrame = {
+    require(nShards >= 2 && nShards <= (1 << 20), "nShards in [2, 2^20]")
+    val h = graft.functions.Hashes
+    val base = df.select(col(idCol).cast("string").as("id"),
+      col(srcCol).as("src"))
+      .withColumn("shard", pmod(h.portableHash32(col("id")),
+        lit(nShards.toLong)))
+      .withColumn("ph", h.portableHash32(concat(lit("pos:"), col("id"))))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ph"), col("id"))
+    val adj = base.withColumn("prev", lag(col("src"), 1).over(w))
+    val per = adj.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("prev").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_follow"),
+        sum(when(col("prev") === col("src"), 1L).otherwise(0L)).cast("long")
+          .as("adjacent_same"))
+    val tot = per.agg(sum(col("n_docs")).cast("long").as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("src").as(srcCol), col("n_docs"), col("n_follow"),
+        col("adjacent_same"),
+        round(col("adjacent_same").cast("double") /
+          col("n_follow").cast("double"), 4).as("adj_rate"),
+        round(col("n_docs").cast("double") /
+          col("n_total").cast("double"), 4).as("share"),
+        round((col("adjacent_same").cast("double") /
+          col("n_follow").cast("double")) /
+          (col("n_docs").cast("double") / col("n_total").cast("double")), 4)
+          .as("lift"))
+  }
 }

@@ -1700,6 +1700,57 @@ object Stats {
                 .cast("double"))), 4).as("spearman_rho"))
   }
 
+  /** Kendall τ-b per group between two discrete-valued columns — the
+    * tie-corrected concordance coefficient, computed ENTIRELY on the
+    * JOINT VALUE GRID: rows collapse to (x, y, count) cells once, and
+    * concordant/discordant mass comes from a cell×cell join (each
+    * unordered cell pair counted once via x-order), so the quadratic is
+    * |grid|², bounded by distinct-value products, never rows². Tie terms
+    * n₁/n₂ fall out of the marginals; τ-b = (nc−nd)/√((n₀−n₁)(n₀−n₂)).
+    * Everything is exact DECIMAL integer arithmetic up to one final
+    * sqrt-and-divide; degenerate groups (either side constant) emit null.
+    * The right correlation for ordinal/low-cardinality pairs where
+    * [[spearmanByGroup]]'s midranks still over-resolve. */
+  def kendallTauB(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint() // marginals + both sides of the cell join
+    val tot = cells.groupBy(col("g"))
+      .agg(sum(col("c")).cast("decimal(38,0)").as("n"))
+      .withColumn("n0", col("n") * (col("n") - 1) / 2)
+    def tiePairs(v: String, out: String) = cells
+      .groupBy(col("g"), col(v)).agg(sum(col("c")).as("cv"))
+      .groupBy(col("g"))
+      .agg(sum(col("cv") * (col("cv") - 1) / 2).cast("decimal(38,0)")
+        .as(out))
+    val a = cells.select(col("g"), col("x").as("xa"), col("y").as("ya"),
+      col("c").as("ca"))
+    val b = cells.select(col("g"), col("x").as("xb"), col("y").as("yb"),
+      col("c").as("cb"))
+    val cd = a.join(b, Seq("g")).filter(col("xa") < col("xb"))
+      .groupBy(col("g"))
+      .agg(sum(when(col("ya") < col("yb"), col("ca") * col("cb"))
+        .otherwise(0L)).cast("decimal(38,0)").as("nc"),
+        sum(when(col("ya") > col("yb"), col("ca") * col("cb"))
+          .otherwise(0L)).cast("decimal(38,0)").as("nd"))
+    tot.join(tiePairs("x", "n1"), Seq("g"))
+      .join(tiePairs("y", "n2"), Seq("g"))
+      .join(cd, Seq("g"), "left")
+      .select(col("g").as(groupCol), col("n").cast("long").as("n_rows"),
+        coalesce(col("nc"), lit(0)).cast("long").as("concordant"),
+        coalesce(col("nd"), lit(0)).cast("long").as("discordant"),
+        round(when((col("n0") - col("n1")) === 0 ||
+          (col("n0") - col("n2")) === 0, null)
+          .otherwise((coalesce(col("nc"), lit(0)) -
+            coalesce(col("nd"), lit(0))).cast("double") /
+            sqrt((col("n0") - col("n1")).cast("double") *
+              (col("n0") - col("n2")).cast("double"))), 4).as("tau_b"))
+  }
+
   /** Pettitt changepoint test on per-key daily counts: the nonparametric
     * complement to [[cusumChangepoint]] — U_t = Σ_{i≤t<j} sgn(x_j − x_i)
     * over observation pairs, K = max|U_t|, with the classic significance

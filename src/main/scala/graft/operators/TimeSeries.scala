@@ -395,6 +395,63 @@ object TimeSeries {
           .as("ewma"))
   }
 
+  /** Holt double-exponential-smoothing one-step forecast eval on per-key
+    * daily counts, scored AGAINST the naive carry-forward baseline: level
+    * l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}), trend b_t = β(l_t−l_{t−1}) +
+    * (1−β)b_{t−1}, forecast f_t = l_{t−1}+b_{t−1}, init l₁ = x₁, b₁ = 0.
+    * `skill` = 1 − holt_mae/naive_mae: positive means modeling the trend
+    * actually beats "predict yesterday" — the go/no-go for deploying any
+    * smoother on that key.
+    *
+    * EXACT-DYADIC contract: α and β must be dyadic rationals (k/2^m, e.g.
+    * the defaults 0.5/0.25), so with integer counts every level/trend/
+    * error value is a dyadic rational carried EXACTLY by doubles — the
+    * whole recursion is fp-error-free and engine-identical, not merely
+    * same-order. The fold runs over each key's sorted day list (one
+    * bounded array per key, the q251 EWMA shape); gap days are simply
+    * successive observations (documented, as in [[autocorrelation]]). */
+  def holtForecastEval(df: DataFrame, keyCol: String, tsCol: String,
+                       alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
+    def dyadic(x: Double) = { val s = x * 1048576.0; s == math.rint(s) }
+    require(alpha > 0 && alpha < 1 && dyadic(alpha), "alpha dyadic in (0,1)")
+    require(beta >= 0 && beta < 1 && dyadic(beta), "beta dyadic in [0,1)")
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val folded = daily.groupBy(col("k"))
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("xs"))
+      .withColumn("st", aggregate(col("xs"),
+        struct(lit(Double.NaN).as("l"), lit(0.0).as("b"),
+          lit(Double.NaN).as("px"),
+          lit(0.0).as("sae"), lit(0.0).as("nae"), lit(0L).as("t")),
+        (acc, x) => {
+          val xv = x("n")
+          val f = acc("l") + acc("b")
+          val l2 = lit(alpha) * xv + lit(1 - alpha) * f
+          val first = acc("t") === 0L
+          struct(
+            when(first, xv).otherwise(l2).as("l"),
+            when(first, lit(0.0)).otherwise(
+              lit(beta) * (l2 - acc("l")) + lit(1 - beta) * acc("b"))
+              .as("b"),
+            xv.as("px"),
+            when(first, lit(0.0)).otherwise(acc("sae") + abs(xv - f))
+              .as("sae"),
+            when(first, lit(0.0)).otherwise(acc("nae") + abs(xv - acc("px")))
+              .as("nae"),
+            (acc("t") + 1L).as("t"))
+        }))
+    folded
+      .filter(col("st.t") >= 2L)
+      .select(col("k").as(keyCol), col("st.t").as("n_days"),
+        round(col("st.sae") / (col("st.t") - 1L).cast("double"), 4)
+          .as("holt_mae"),
+        round(col("st.nae") / (col("st.t") - 1L).cast("double"), 4)
+          .as("naive_mae"),
+        round(when(col("st.nae") > 0.0,
+          lit(1.0) - col("st.sae") / col("st.nae")), 4).as("skill"))
+  }
+
   /** Autocorrelation function of per-key DAILY counts at calendar lags
     * 1..`maxLag`: r_l = Σ(x_t−x̄)(x_{t+l}−x̄) / Σ(x_t−x̄)², the "does
     * yesterday predict today / is there a weekly echo" diagnostic every

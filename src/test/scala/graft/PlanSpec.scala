@@ -171,7 +171,8 @@ class PlanSpec extends SparkSpec {
       "q260_knn_eval", // bounded broadcast ANN query set
       "q265_emd_drift", // 1-row min-max/total frames + 64-row bin densify
       "q266_bradley_terry", // 1-row mean-strength renorm frame per MM round
-      "q267_jackknife_se") // 1-row grand-total control frame
+      "q267_jackknife_se", // 1-row grand-total control frame
+      "q279_shard_mixing") // 1-row corpus-total control frame
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",

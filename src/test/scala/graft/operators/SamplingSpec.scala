@@ -419,4 +419,26 @@ class SamplingSpec extends SparkSpec {
       "u", "it", Seq(99L).toDF("item"), "item", k = 4)
     assert(tiny.count() == 0)
   }
+
+  test("shardMixingReport: single source lifts to 1, counts tie out, layout-invariant") {
+    import spark.implicits._
+    val mono = (1 to 200).map(i => (i.toLong, "s")).toDF("id", "src")
+    val m = Sampling.shardMixingReport(mono, "id", "src", nShards = 4)
+      .collect().head
+    // every predecessor is the same source: adj_rate = share = lift = 1
+    assert(m.getLong(1) == 200L && m.getDouble(4) == 1.0 &&
+      m.getDouble(5) == 1.0 && m.getDouble(6) == 1.0)
+    assert(m.getLong(2) == 196L, "4 shard-first rows have no predecessor")
+    val mixed = (1 to 300).map(i => (i.toLong, "s" + (i % 3)))
+      .toDF("id", "src")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shardMixingReport(d, "id", "src", nShards = 8)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+    val out = run(mixed)
+    assert(out.map(_(1).asInstanceOf[Long]).sum == 300L)
+    assert(out.map(_(2).asInstanceOf[Long]).sum == 292L,
+      "n_follow totals N minus the non-empty shard count")
+    assert(run(mixed.repartition(7)).toSeq == out.toSeq,
+      "hash order is layout-invariant")
+  }
 }

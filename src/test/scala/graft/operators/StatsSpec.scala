@@ -830,4 +830,23 @@ class StatsSpec extends SparkSpec {
     val p = 2.0 * math.exp(-6.0 * 256.0 / (512.0 + 64.0))
     assert(r.getDouble(4) == math.rint(p * 1e6) / 1e6)
   }
+
+  test("kendallTauB: monotone ±1, the tied 2x2 grid scores 0, constant is null") {
+    import spark.implicits._
+    val rows = Seq(
+      ("m", 1, 1), ("m", 2, 2), ("m", 3, 3),             // tau = 1
+      ("r", 1, 3), ("r", 2, 2), ("r", 3, 1),             // tau = -1
+      ("t", 1, 1), ("t", 1, 2), ("t", 2, 1), ("t", 2, 2), // nc=nd=1 -> 0
+      ("c", 1, 7), ("c", 2, 7)                            // constant y
+    ).toDF("g", "x", "y")
+    val out = Stats.kendallTauB(rows, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("m") == ((3L, 3L, 0L, Some(1.0))))
+    assert(out("r") == ((3L, 0L, 3L, Some(-1.0))))
+    assert(out("t") == ((4L, 1L, 1L, Some(0.0))),
+      "n0=6 n1=n2=2: (1-1)/sqrt(4*4)")
+    assert(out("c") == ((2L, 0L, 0L, None)), "tied-out side yields null")
+  }
 }

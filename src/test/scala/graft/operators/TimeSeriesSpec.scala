@@ -249,4 +249,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("b", 3L)) == ((1L, math.rint(-20.0 / 42.0 * 1e4) / 1e4)),
       "lag 3 pairs d1 with d4 across the gap")
   }
+
+  test("holtForecastEval: dyadic recursion is exact; singleton keys drop") {
+    import spark.implicits._
+    def ev(k: String, day: Int, n: Int) = (1 to n).map(_ =>
+      (k, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00")))
+    // a: counts 1,2,4 -> holt errors |2-1|=1, |4-1.625|=2.375; naive 1,2
+    val rows = (ev("a", 1, 1) ++ ev("a", 2, 2) ++ ev("a", 3, 4) ++
+      ev("solo", 1, 3)).toDF("event_type", "ts")
+    val out = TimeSeries.holtForecastEval(rows, "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("a") == ((3L, 1.6875, 1.5, -0.125)),
+      "l2=1.5 b2=0.125 f3=1.625: sae 3.375/2, nae 3/2, skill 1-3.375/3")
+    assert(!out.contains("solo"), "one observation scores nothing")
+    intercept[IllegalArgumentException] {
+      TimeSeries.holtForecastEval(rows, "event_type", "ts", alpha = 0.3)
+    }
+  }
 }
