@@ -5534,6 +5534,108 @@ object OracleSql {
          |  ${rnd("n_docs::DOUBLE / n_total::DOUBLE", 4)} AS share,
          |  ${rnd("(adjacent_same::DOUBLE / n_follow::DOUBLE) / " +
              "(n_docs::DOUBLE / n_total::DOUBLE)", 4)} AS lift
-         |FROM per, tot""".stripMargin
+         |FROM per, tot""".stripMargin,
+
+    // q280: Krippendorff alpha over three raters (corpus label, n-gram
+    // langId, 200-char-prefix langId that abstains on short docs); n and
+    // the marginals are integers, the diagonal weights dyadic (<=3 raters)
+    "q280_krippendorff" -> {
+      def toksOf(e: String) =
+        raw"regexp_split_to_array(trim(lower($e)), '\s+')"
+      def score(markers: Seq[String], textE: String) =
+        s"len(list_filter(${toksOf(textE)}, t -> list_contains([" +
+          markers.map("'" + _ + "'").mkString(",") + "], t)))"
+      def langIdOf(textE: String): String = {
+        val en = score(Seq("the", "and", "of", "is", "that"), textE)
+        val de = score(Seq("der", "die", "und", "ist", "das"), textE)
+        val fr = score(Seq("le", "la", "et", "est", "les"), textE)
+        val es = score(Seq("el", "la", "que", "es", "los"), textE)
+        val zh = score(Seq("的", "是", "了", "在", "我"), textE)
+        val g = s"greatest($en, $de, $fr, $es, $zh)"
+        s"""CASE WHEN $g = 0 THEN 'und'
+           |     WHEN $en = $g THEN 'en' WHEN $de = $g THEN 'de'
+           |     WHEN $fr = $g THEN 'fr' WHEN $es = $g THEN 'es'
+           |     ELSE 'zh' END""".stripMargin
+      }
+      s"""WITH longf AS (
+         |  SELECT doc_id AS u, lang AS c FROM documents
+         |  UNION ALL SELECT doc_id, ${langIdOf("text")} FROM documents
+         |  UNION ALL SELECT doc_id, CASE WHEN n_chars >= 200
+         |    THEN ${langIdOf("substr(text, 1, 200)")} END FROM documents),
+         |vals AS (SELECT u, c FROM longf WHERE c IS NOT NULL),
+         |uc AS (SELECT u, c, count(*)::DOUBLE AS muc FROM vals
+         |  GROUP BY 1, 2),
+         |um AS (SELECT u, sum(muc) AS mu FROM uc GROUP BY 1
+         |  HAVING sum(muc) >= 2),
+         |j AS (SELECT uc.u, uc.c, uc.muc, um.mu FROM uc
+         |  JOIN um ON uc.u = um.u),
+         |d AS (SELECT sum(muc * (muc - 1.0) / (mu - 1.0)) AS occ,
+         |    sum(muc) AS n, count(DISTINCT u)::BIGINT AS n_units FROM j),
+         |nc AS (SELECT sum(ncv * ncv) AS snc2 FROM (
+         |    SELECT c, sum(muc) AS ncv FROM j GROUP BY 1))
+         |SELECT n_units, n::BIGINT AS n_values,
+         |  ${rnd("occ / n", 6)} AS observed_agreement,
+         |  ${rnd("1.0 - (n - 1.0) * (n - occ) / (n * n - snc2)", 6)}
+         |    AS alpha
+         |FROM d, nc""".stripMargin
+    },
+
+    // q281: ROLLUP levels disambiguated by the grouping bitmask
+    "q281_rollup" ->
+      s"""SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT
+         |    AS n_orders,
+         |  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price,
+         |  GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS level
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    // q282: PR curve on the q178 en-confidence — bin histogram once,
+    // cumulative-from-top windows over the 20-row bin frame, F1 via the
+    // 2TP/(pred+P) identity (one division)
+    "q282_pr_curve" -> {
+      def score(markers: Seq[String]) =
+        s"len(list_filter($toksExpr, t -> list_contains([" +
+          markers.map("'" + _ + "'").mkString(",") + "], t)))"
+      val total = Seq(
+        score(Seq("the", "and", "of", "is", "that")),
+        score(Seq("der", "die", "und", "ist", "das")),
+        score(Seq("le", "la", "et", "est", "les")),
+        score(Seq("el", "la", "que", "es", "los")),
+        score(Seq("的", "是", "了", "在", "我"))).mkString(" + ")
+      val en = score(Seq("the", "and", "of", "is", "that"))
+      s"""WITH scored AS (SELECT
+         |    CASE WHEN ($total) > 0
+         |         THEN ($en)::DOUBLE / ($total)::DOUBLE ELSE 0.0 END
+         |      AS conf,
+         |    (lang = 'en') AS y
+         |  FROM documents WHERE lang IS NOT NULL),
+         |b AS (SELECT least(19, greatest(0, floor(conf * 20)::BIGINT))
+         |      AS bin,
+         |    count(*)::BIGINT AS n,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos
+         |  FROM scored GROUP BY 1),
+         |c AS (SELECT bin, n, pos,
+         |    sum(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+         |      ::BIGINT AS n_pred,
+         |    sum(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+         |      ::BIGINT AS tp FROM b),
+         |t AS (SELECT sum(pos)::BIGINT AS p_total FROM b)
+         |SELECT bin::DOUBLE / 20 AS threshold, n_pred, tp,
+         |  ${rnd("tp::DOUBLE / n_pred::DOUBLE", 6)} AS "precision",
+         |  ${rnd("CASE WHEN p_total > 0 THEN " +
+             "tp::DOUBLE / p_total::DOUBLE END", 6)} AS recall,
+         |  ${rnd("CASE WHEN n_pred + p_total > 0 THEN " +
+             "2.0 * tp::DOUBLE / (n_pred + p_total)::DOUBLE END", 6)} AS f1
+         |FROM c, t""".stripMargin
+    },
+
+    // q283: the maintained join view must equal the full recompute —
+    // count-distinct catches double-applied deltas, sums catch drops
+    "q283_ivm_join" ->
+      s"""SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+         |  count(DISTINCT o_orderkey)::BIGINT AS n_orders,
+         |  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1""".stripMargin
   )
 }

@@ -2912,6 +2912,71 @@ object SparkEntry {
     graft.operators.Sampling.shardMixingReport(TW(s, dir, "documents"),
       "doc_id", "source", nShards = 32)
 
+  /** Krippendorff's α across THREE pseudo-annotators of document language
+    * — the corpus label, the n-gram classifier, and the classifier run on
+    * a 200-char prefix that abstains on shorter docs (real missing data,
+    * the case α exists for; ≤3 raters keeps the weights dyadic-exact). */
+  private def q280(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+    val prefixRater = when(col("n_chars") >= 200,
+      TextAnalysis.langId(substring(col("text"), 1, 200)))
+    val long = docs.select(col("doc_id"), col("lang").as("rating"))
+      .unionByName(docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("rating")))
+      .unionByName(docs.select(col("doc_id"), prefixRater.as("rating")))
+    graft.operators.Stats.krippendorffAlpha(long, "doc_id", "rating")
+  }
+
+  /** Multi-granularity ROLLUP over orders: (priority, status) cells,
+    * per-priority subtotals, and the grand total in ONE pass —
+    * grouping_id disambiguates levels; exact decimal revenue. */
+  private def q281(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        grouping_id().cast("long").as("level"))
+
+  /** Precision/recall/F1 over a 20-point threshold grid for the q178
+    * en-confidence score against the corpus label — the operating-point
+    * picker (counts exact, cumulated on the bin frame). */
+  private def q282(s: SparkSession, dir: String): DataFrame = {
+    val scores = TextAnalysis.langScores(col("text"))
+    val total = scores.map(_._2).reduce(_ + _)
+    val conf = when(total > 0,
+      scores.toMap.apply("en").cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+    val scored = TW(s, dir, "documents").filter(col("lang").isNotNull)
+      .select(conf.as("en_conf"), (col("lang") === "en").as("is_en"))
+    graft.operators.Stats.prCurve(scored, "en_conf", "is_en", nBins = 20)
+  }
+
+  /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
+    * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
+    * full recomputed join; count-distinct catches double-applied deltas. */
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    import graft.merge.ParquetTable
+    val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val c = T(s, dir, "customer").select(col("c_custkey"),
+      col("c_mktsegment"))
+    def oHalf(b: Long) = o.filter(pmod(col("o_orderkey"), lit(2L)) === b)
+    def cHalf(b: Long) = c.filter(pmod(col("c_custkey"), lit(2L)) === b)
+    def j(ord: DataFrame, cust: DataFrame) =
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"), col("price"))
+    val root = scratchDir("graft_q283")
+    val table = new ParquetTable(s, s"$root/join_ivm")
+    table.create(j(oHalf(0), cHalf(0)))       // initial view
+    table.append(j(oHalf(1), cHalf(0)))       // ΔO ⋈ C
+    table.append(j(o, cHalf(1)))              // O ⋈ ΔC
+    table.read.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("o_orderkey")).cast("long").as("n_orders"),
+        sum(col("price")).cast("double").as("sum_price"))
+  }
+
   /** Leave-one-out 5-NN classification accuracy per class over the
     * vec_id%7 evaluation sample — the embedding-quality eval. */
   private def q260(s: SparkSession, dir: String): DataFrame =
@@ -3262,7 +3327,11 @@ object SparkEntry {
     "q276_triplet_eval" -> (q276 _),
     "q277_holt_eval" -> (q277 _),
     "q278_kendall_tau" -> (q278 _),
-    "q279_shard_mixing" -> (q279 _)
+    "q279_shard_mixing" -> (q279 _),
+    "q280_krippendorff" -> (q280 _),
+    "q281_rollup" -> (q281 _),
+    "q282_pr_curve" -> (q282 _),
+    "q283_ivm_join" -> (q283 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

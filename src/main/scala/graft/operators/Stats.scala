@@ -1700,6 +1700,82 @@ object Stats {
                 .cast("double"))), 4).as("spearman_rho"))
   }
 
+  /** Krippendorff's α (nominal) from LONG-format ratings (unit, value) —
+    * the inter-annotator agreement that, unlike [[cohenKappa]], handles
+    * ANY number of raters and MISSING ratings: units contribute pairable
+    * values weighted 1/(m_u−1), so a unit rated twice and a unit rated
+    * thrice both enter correctly and single-rating units drop out.
+    * α = 1 − D_o/D_e with D_e from the pooled value marginals:
+    * α = 1 − (n−1)·D_o / (n² − Σ_c n_c²).
+    *
+    * Exactness: n and the marginals n_c are INTEGERS (the 1/(m_u−1)
+    * weights telescope out of them); only the observed-agreement diagonal
+    * carries weights, and for ≤3 raters per unit those are dyadic (1 or
+    * 1/2) — fp-exact. With ≥4 raters 1/(m_u−1) stops being dyadic and
+    * the sums are same-order-deterministic only (document at call sites
+    * needing cross-engine bit equality). Two bounded aggregations over
+    * the (unit, value) frame; output is one row. */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+                        ratingCol: String): DataFrame = {
+    val vals = ratings.filter(col(ratingCol).isNotNull)
+      .select(col(unitCol).as("u"), col(ratingCol).as("c"))
+    val uc = vals.groupBy(col("u"), col("c"))
+      .agg(count(lit(1)).cast("double").as("muc"))
+    val um = uc.groupBy(col("u")).agg(sum(col("muc")).as("mu"))
+      .filter(col("mu") >= 2.0)
+    val j = uc.join(um, Seq("u"))
+      .localCheckpoint(eager = false) // diagonal + marginals
+    val diag = j.agg(
+      sum(col("muc") * (col("muc") - 1.0) / (col("mu") - 1.0)).as("occ"),
+      sum(col("muc")).as("n"),
+      countDistinct(col("u")).cast("long").as("n_units"))
+    val nc2 = j.groupBy(col("c")).agg(sum(col("muc")).as("nc"))
+      .agg(sum(col("nc") * col("nc")).as("snc2"))
+    diag.crossJoin(broadcast(nc2))
+      .select(col("n_units"), col("n").cast("long").as("n_values"),
+        round(col("occ") / col("n"), 6).as("observed_agreement"),
+        round(lit(1.0) - (col("n") - 1.0) * (col("n") - col("occ")) /
+          (col("n") * col("n") - col("snc2")), 6).as("alpha"))
+  }
+
+  /** Precision/recall curve over a fixed `nBins` threshold grid: scores
+    * histogram once into [0,1) bins, cumulative-from-the-top windows over
+    * the BIN frame (nBins rows, never data rows) give TP and predicted
+    * counts at every threshold k/nBins, and F1 collapses to the
+    * single-division identity 2·TP/(n_pred + P). The
+    * operating-point picker that complements [[calibrationReport]] (is
+    * the score honest) and groupAuc (is the ranking good): where do I cut.
+    * All counts exact integers; three divisions per row. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+              nBins: Int = 20): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, "nBins in [2, 1000]")
+    val binned = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(least(lit(nBins - 1), greatest(lit(0),
+        floor(col(scoreCol) * nBins).cast("int"))).as("bin"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).cast("long").as("pos"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = binned.agg(sum(col("pos")).cast("long").as("p_total"))
+    binned
+      .withColumn("n_pred", sum(col("n")).over(w).cast("long"))
+      .withColumn("tp", sum(col("pos")).over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select((col("bin").cast("double") / nBins).as("threshold"),
+        col("n_pred"), col("tp"),
+        round(col("tp").cast("double") / col("n_pred").cast("double"), 6)
+          .as("precision"),
+        round(when(col("p_total") > 0,
+          col("tp").cast("double") / col("p_total").cast("double")), 6)
+          .as("recall"),
+        round(when(col("n_pred") + col("p_total") > 0,
+          lit(2.0) * col("tp").cast("double") /
+            (col("n_pred") + col("p_total")).cast("double")), 6).as("f1"))
+  }
+
   /** Kendall τ-b per group between two discrete-valued columns — the
     * tie-corrected concordance coefficient, computed ENTIRELY on the
     * JOINT VALUE GRID: rows collapse to (x, y, count) cells once, and

@@ -172,7 +172,9 @@ class PlanSpec extends SparkSpec {
       "q265_emd_drift", // 1-row min-max/total frames + 64-row bin densify
       "q266_bradley_terry", // 1-row mean-strength renorm frame per MM round
       "q267_jackknife_se", // 1-row grand-total control frame
-      "q279_shard_mixing") // 1-row corpus-total control frame
+      "q279_shard_mixing", // 1-row corpus-total control frame
+      "q280_krippendorff", // 1-row marginals control frame
+      "q282_pr_curve") // 1-row positives-total control frame
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
@@ -183,7 +185,8 @@ class PlanSpec extends SparkSpec {
       "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall",
       "q187_index_neardups", "q189_auto_threshold_neardups",
       "q244_bpe_learn", "q249_bpe_encode", "q253_bfs_hops",
-      "q262_erasure_audit", "q264_ivm_agg", "q268_fps_coreset")
+      "q262_erasure_audit", "q264_ivm_agg", "q268_fps_coreset",
+      "q283_ivm_join")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val p = plan(fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
@@ -235,7 +238,9 @@ class PlanSpec extends SparkSpec {
       // bounded by the metric's value space, never rows
       "q245_pareto_front",
       // dense catalog index: row_number over the |catalog|-row small side
-      "q257_negative_sampling")
+      "q257_negative_sampling",
+      // cumulative-from-top windows over the nBins-row PR-curve frame
+      "q282_pr_curve")
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",
@@ -244,7 +249,8 @@ class PlanSpec extends SparkSpec {
       "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall",
       "q187_index_neardups", "q189_auto_threshold_neardups",
       "q244_bpe_learn", "q249_bpe_encode", "q253_bfs_hops",
-      "q262_erasure_audit", "q264_ivm_agg", "q268_fps_coreset")
+      "q262_erasure_audit", "q264_ivm_agg", "q268_fps_coreset",
+      "q283_ivm_join")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
@@ -274,7 +280,8 @@ class PlanSpec extends SparkSpec {
       "q181_dedup_savings", "q182_split_leakage", "q183_planted_recall",
       "q187_index_neardups", "q189_auto_threshold_neardups",
       "q244_bpe_learn", "q249_bpe_encode", "q253_bfs_hops",
-      "q262_erasure_audit", "q264_ivm_agg", "q268_fps_coreset")
+      "q262_erasure_audit", "q264_ivm_agg", "q268_fps_coreset",
+      "q283_ivm_join")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val frames = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: LWindow => w.windowExpressions.flatMap(_.collect {

@@ -849,4 +849,33 @@ class StatsSpec extends SparkSpec {
       "n0=6 n1=n2=2: (1-1)/sqrt(4*4)")
     assert(out("c") == ((2L, 0L, 0L, None)), "tied-out side yields null")
   }
+
+  test("krippendorffAlpha: hand-checked mixed-rater example; singletons drop") {
+    import spark.implicits._
+    // u1 AA, u2 AB, u3 BB, u4 lone B (drops), u5 AAB (3 raters)
+    val rows = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "B"), (3L, "B"), (4L, "B"),
+      (5L, "A"), (5L, "A"), (5L, "B"), (6L, null))
+      .toDF("u", "c")
+    val r = Stats.krippendorffAlpha(rows, "u", "c").collect().head
+    // n=9, nA=5, nB=4, occ=5: alpha = 1 - 8*4/(81-41) = 0.2
+    assert(r.getLong(0) == 4L && r.getLong(1) == 9L)
+    assert(r.getDouble(2) == math.rint(5.0 / 9.0 * 1e6) / 1e6)
+    assert(r.getDouble(3) == 0.2)
+  }
+
+  test("prCurve: cumulative-from-top counts, F1 identity, exact rows") {
+    import spark.implicits._
+    val rows = Seq((0.1, false), (0.3, true), (0.6, true),
+      (0.9, true), (0.9, false)).toDF("s", "y")
+    val out = Stats.prCurve(rows, "s", "y", nBins = 4)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out(0.75) == ((2L, 1L, 0.5, math.rint(1e6 / 3.0) / 1e6, 0.4)))
+    val r23 = math.rint(2e6 / 3.0) / 1e6
+    assert(out(0.5) == ((3L, 2L, r23, r23, r23)))
+    assert(out(0.25) == ((4L, 3L, 0.75, 1.0, math.rint(6e6 / 7.0) / 1e6)))
+    assert(out(0.0) == ((5L, 3L, 0.6, 1.0, 0.75)))
+  }
 }
