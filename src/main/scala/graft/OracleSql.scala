@@ -5629,6 +5629,52 @@ object OracleSql {
          |FROM c, t""".stripMargin
     },
 
+    // q284: the SAME driver-computed discrete-Laplace cumulative literals
+    // the Spark side embeds (shared generator), so the CASE ladders are
+    // bit-identical
+    "q284_dp_counts" -> {
+      val cum = graft.operators.DataQuality.discreteLaplaceCum(1.0)
+      val k = cum.last._1
+      val ladder = cum.init
+        .map { case (i, c) => s"WHEN u < $c THEN $i" }
+        .mkString("CASE ", " ", s" ELSE $k END")
+      s"""WITH c AS (SELECT event_type AS g, count(*)::BIGINT AS n_true
+         |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+         |u AS (SELECT g, n_true,
+         |    ${h32("'dp:' || g")}::DOUBLE / 4294967296.0 AS u FROM c)
+         |SELECT g AS event_type, n_true,
+         |  greatest(0, n_true + ($ladder))::BIGINT AS released_count,
+         |  1.0::DOUBLE AS epsilon
+         |FROM u""".stripMargin
+    },
+
+    // q285: lateness bucketed to the watermark grid FIRST (exact, since
+    // watermarks are the grid points), then a keys x grid conditional sum
+    "q285_lateness_profile" ->
+      s"""WITH e AS (SELECT event_type AS k, event_id AS arr,
+         |    floor(epoch(ts))::BIGINT AS ts
+         |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+         |l AS (SELECT k, greatest(0, coalesce(max(ts) OVER (
+         |    PARTITION BY k ORDER BY arr
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts, 0))
+         |    ::BIGINT AS late_by FROM e),
+         |b AS (SELECT k, CASE WHEN late_by <= 0 THEN 0
+         |    WHEN late_by <= 60 THEN 60 WHEN late_by <= 300 THEN 300
+         |    WHEN late_by <= 900 THEN 900 WHEN late_by <= 3600 THEN 3600
+         |    END AS kept_at, count(*)::BIGINT AS n
+         |  FROM l GROUP BY 1, 2),
+         |tot AS (SELECT k, sum(n)::BIGINT AS n_events FROM b GROUP BY 1),
+         |grid AS (SELECT DISTINCT b.k, g.wm FROM b,
+         |  (VALUES (0), (60), (300), (900), (3600)) g(wm)),
+         |d AS (SELECT grid.k, grid.wm,
+         |    sum(CASE WHEN b.kept_at IS NULL OR b.kept_at > grid.wm
+         |      THEN b.n ELSE 0 END)::BIGINT AS n_dropped
+         |  FROM grid LEFT JOIN b ON grid.k = b.k GROUP BY 1, 2)
+         |SELECT d.k AS event_type, wm::BIGINT AS watermark_s, n_dropped,
+         |  n_events,
+         |  ${rnd("n_dropped::DOUBLE / n_events::DOUBLE", 6)} AS drop_rate
+         |FROM d JOIN tot ON d.k = tot.k""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

@@ -2952,6 +2952,18 @@ object SparkEntry {
     graft.operators.Stats.prCurve(scored, "en_conf", "is_en", nBins = 20)
   }
 
+  /** ε-DP released event counts per type: discrete-Laplace integer noise
+    * by inverse-CDF literal lookup — exact, transcendental-free rows. */
+  private def q284(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.dpNoisyCounts(T(s, dir, "events"),
+      "event_type", epsilon = 1.0)
+
+  /** Watermark-lateness profile: per event type, events dropped at each
+    * candidate watermark delay — the withWatermark() sizing card. */
+  private def q285(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.latenessProfile(T(s, dir, "events"),
+      "event_type", "event_id", "ts")
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3331,7 +3343,9 @@ object SparkEntry {
     "q280_krippendorff" -> (q280 _),
     "q281_rollup" -> (q281 _),
     "q282_pr_curve" -> (q282 _),
-    "q283_ivm_join" -> (q283 _)
+    "q283_ivm_join" -> (q283 _),
+    "q284_dp_counts" -> (q284 _),
+    "q285_lateness_profile" -> (q285 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -213,4 +213,57 @@ object DataQuality {
         ((col("n_sel").cast("double") / col("n")) / col("ref_rate") >= 0.8)
           .as("passes_80pct"))
   }
+
+  /** ε-DP count release via the DISCRETE Laplace (two-sided geometric)
+    * mechanism: integer noise drawn by inverse-CDF lookup against
+    * cumulative literals computed once from ε — so the hot path is a
+    * hash + a CASE ladder, NO transcendental per row, and the release is
+    * bit-reproducible in any engine that shares the hash (the q246
+    * Poisson-weight pattern applied to privacy). Noise support is
+    * truncated where the two-sided tail mass drops below 1e-9 —
+    * negligible against the mechanism's own ε-budget accounting, and
+    * stated here rather than hidden. Released counts clamp at 0
+    * (post-processing preserves DP). The reproducible-noise seed is the
+    * unit-test/backfill harness contract: rotate the seed per release in
+    * production, or repeated releases compose their ε.
+    *
+    * Completes the privacy family: [[kAnonymityAudit]] says what is safe
+    * to group, the COW DELETE (q262) erases, this RELEASES aggregates.
+    * One aggregation; the CASE ladder is |support| branches (~43 at ε=1),
+    * codegen-friendly. */
+  /** Driver-side cumulative CDF of the truncated discrete Laplace —
+    * shared with the oracle generator so BOTH engines embed the
+    * bit-identical literals. */
+  def discreteLaplaceCum(epsilon: Double): Seq[(Int, Double)] = {
+    require(epsilon >= 0.05 && epsilon <= 10.0, "epsilon in [0.05, 10]")
+    val p = math.exp(-epsilon)
+    // smallest K with two-sided tail mass 2p^(K+1)/(1+p) < 1e-9
+    val k = math.ceil(math.log(1e-9 * (1 + p) / 2) / math.log(p)).toInt
+      .max(1)
+    val w0 = (1 - p) / (1 + p)
+    val weights = (-k to k).map(i => i -> w0 * math.pow(p, math.abs(i)))
+    weights.scanLeft(0 -> 0.0) {
+      case ((_, acc), (i, w)) => i -> (acc + w) }.tail
+  }
+
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double = 1.0,
+                    seed: String = "dp"): DataFrame = {
+    val cum = discreteLaplaceCum(epsilon)
+    val k = cum.last._1
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).cast("long").as("n_true"))
+    val u = graft.functions.Hashes.portableHash32(
+      concat(lit(s"$seed:"), col("g").cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val noise = cum.init.foldRight(lit(k.toLong): Column) {
+      case ((i, c), rest) =>
+        when(col("u") < lit(c), lit(i.toLong)).otherwise(rest)
+    }
+    counts.withColumn("u", u)
+      .select(col("g").as(groupCol), col("n_true"),
+        greatest(lit(0L), col("n_true") + noise.cast("long"))
+          .as("released_count"),
+        lit(epsilon).as("epsilon"))
+  }
 }

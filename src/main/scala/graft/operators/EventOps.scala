@@ -529,6 +529,59 @@ object EventOps {
           .as("survival"))
   }
 
+  /** Watermark-lateness profile: for each stream (key) and a grid of
+    * candidate watermark delays, how many events a Structured-Streaming
+    * watermark at that delay would DROP — the number you need BEFORE
+    * setting `withWatermark`, answered from the batch log. An event is
+    * late by (max event-time already seen at its arrival) − (its event
+    * time); it survives a watermark of W iff late_by ≤ W. Arrival order
+    * is the `arrivalCol` (monotone ingest id); event time is `tsCol`.
+    *
+    * One partitioned running-max window per stream + one grid explode of
+    * the BOUNDED (key, late-bucket) aggregate — lateness is bucketed to
+    * the grid first, so the exploded frame is keys × |grid|, never
+    * events × |grid|. Counts exact; one division per cell. */
+  def latenessProfile(df: DataFrame, keyCol: String, arrivalCol: String,
+                      tsCol: String,
+                      gridSeconds: Seq[Long] = Seq(0L, 60L, 300L, 900L,
+                        3600L)): DataFrame = {
+    require(gridSeconds.nonEmpty && gridSeconds == gridSeconds.sorted &&
+      gridSeconds.distinct == gridSeconds, "grid ascending, distinct")
+    val w = Window.partitionBy(col("k")).orderBy(col("arr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = df.filter(col(tsCol).isNotNull && col(arrivalCol).isNotNull)
+      .select(col(keyCol).as("k"), col(arrivalCol).as("arr"),
+        unix_timestamp(col(tsCol)).as("ts"))
+      .withColumn("late_by",
+        greatest(lit(0L), coalesce(max(col("ts")).over(w) - col("ts"),
+          lit(0L))))
+    // bucket = the SMALLEST grid watermark that keeps the event (or null
+    // if even the largest drops it); the exploded spine is keys x grid
+    val bucket = gridSeconds.foldRight(lit(null).cast("long")) {
+      case (g, rest) => when(col("late_by") <= g, lit(g)).otherwise(rest)
+    }
+    val perBucket = late.groupBy(col("k"), bucket.as("kept_at"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(eager = false) // totals + the grid join
+    val tot = perBucket.groupBy(col("k"))
+      .agg(sum(col("n")).cast("long").as("n_events"))
+    val grid = perBucket.select(col("k")).distinct()
+      .withColumn("watermark_s",
+        explode(array(gridSeconds.map(lit): _*)))
+    grid.join(perBucket, Seq("k"), "left")
+      .groupBy(col("k"), col("watermark_s"))
+      // conditional sum, not a filter: a (key, watermark) cell with zero
+      // drops must report 0, not disappear
+      .agg(sum(when(col("kept_at").isNull ||
+        col("kept_at") > col("watermark_s"), col("n")).otherwise(0L))
+        .cast("long").as("n_dropped"))
+      .join(tot, Seq("k"))
+      .select(col("k").as(keyCol), col("watermark_s"), col("n_dropped"),
+        col("n_events"),
+        round(col("n_dropped").cast("double") /
+          col("n_events").cast("double"), 6).as("drop_rate"))
+  }
+
   /** Growth accounting (the "new / retained / resurrected / churning"
     * ledger): classify every active (user, day) by the user's PREVIOUS
     * active day — `new_users` (none), `retained` (gap ≤ `gapDays`),

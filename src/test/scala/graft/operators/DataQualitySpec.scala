@@ -149,4 +149,26 @@ class DataQualitySpec extends SparkSpec {
     assert(bratio == 0.5 && !bpass, "half the reference rate fails the 80% rule")
     assert(out("C")._5 == 0.75 && !out("C")._6)
   }
+
+  test("dpNoisyCounts: bounded integer noise, clamped release, layout-invariant") {
+    import spark.implicits._
+    val cum = DataQuality.discreteLaplaceCum(1.0)
+    assert(cum.last._1 == 22 && cum.map(_._2).sliding(2)
+      .forall(p => p(0) < p(1)), "monotone CDF truncated at K=22")
+    assert(math.abs(cum.last._2 - 1.0) < 1e-8, "tail mass < 1e-8 remains")
+    val rows = (1 to 500).map(i => ("g" + (i % 5), i)).toDF("g", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      DataQuality.dpNoisyCounts(d, "g", epsilon = 1.0)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val out = run(rows)
+    assert(out.size == 5 && out.values.forall(_._1 == 100L))
+    assert(out.values.forall { case (t, rel, eps) =>
+      rel >= 0L && math.abs(rel - t) <= 22L && eps == 1.0 },
+      "noise stays inside the truncated support")
+    assert(run(rows.repartition(13)) == out, "hash noise is layout-invariant")
+    // tiny true counts clamp at zero rather than releasing negatives
+    val tiny = Seq.fill(1)(("only", 1)).toDF("g", "x")
+    assert(run(tiny)("only")._2 >= 0L)
+  }
 }

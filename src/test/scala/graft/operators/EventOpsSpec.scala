@@ -354,4 +354,22 @@ class EventOpsSpec extends SparkSpec {
     assert(out.values.forall(v => v._1 == v._2 + v._3 + v._4),
       "dau = new + retained + resurrected")
   }
+
+  test("latenessProfile: drops thin out as the watermark widens; zero cells survive") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // arrival order 1..5; event times 100,200,150,90,310:
+    // late_by = 0, 0, 50, 110, 0
+    val rows = Seq((1L, 100L), (2L, 200L), (3L, 150L), (4L, 90L),
+      (5L, 310L)).map { case (a, t) => ("a", a, ts(t)) }
+      .toDF("event_type", "event_id", "ts")
+    val out = EventOps.latenessProfile(rows, "event_type", "event_id", "ts")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((2L, 5L, 0.4)), "watermark 0 drops both late events")
+    assert(out(60L) == ((1L, 5L, 0.2)), "60 s keeps the 50 s-late event")
+    assert(out(300L) == ((0L, 5L, 0.0)), "zero-drop cells report 0, not absent")
+    assert(out(900L) == ((0L, 5L, 0.0)) && out(3600L) == ((0L, 5L, 0.0)))
+    assert(out.size == 5)
+  }
 }
