@@ -512,6 +512,36 @@ object ScaleProbe {
         graft.operators.Stats.poissonBootstrapSE(orders, "o_orderstatus",
           "o_orderkey", "o_totalprice", b = 64).count()
         orders.count() * 64
+      }),
+      // q269 winnowing: selected-fingerprint volume tracks total shingles
+      // (expected density 2/(w+1)) — linear in corpus chars, per-doc work
+      "q269_winnow_fp" -> (() => {
+        import org.apache.spark.sql.functions._
+        graft.operators.TextAnalysis.winnowingReport(docs,
+            "doc_id", "source", "text", k = 3, w = 4)
+          .agg(sum(col("fingerprints"))).head().getLong(0)
+      }),
+      // q276 triplets: exactly one per non-last same-label anchor with a
+      // matching rank in the next label — linear in vectors
+      "q276_triplets" -> (() => {
+        import org.apache.spark.sql.functions._
+        graft.operators.Similarity.tripletEval(emb)
+          .agg(sum(col("n_triplets"))).head().getLong(0)
+      }),
+      // q268 FPS: k=8 bounded corpus scans (sec is the whole trajectory;
+      // count is k — the interesting number is sec vs corpus size)
+      "q268_fps_scans" -> (() =>
+        graft.operators.Similarity.farthestPointSample(emb, k = 8).count()),
+      // q278 Kendall: the cell-join side — bounded by the VALUE SPACE
+      // (50 quantities x 11 discounts x flags), so cells saturate while
+      // rows grow 10x; the tau join is cells^2, never rows^2
+      "q278_kendall_cells" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.load(spark, sfDir, "lineitem")
+          .filter(col("l_returnflag").isNotNull &&
+            col("l_quantity").isNotNull && col("l_discount").isNotNull)
+          .groupBy(col("l_returnflag"), col("l_quantity"),
+            col("l_discount")).count().count()
       })
     )
 
