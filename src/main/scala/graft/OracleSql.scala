@@ -5675,6 +5675,69 @@ object OracleSql {
          |  ${rnd("n_dropped::DOUBLE / n_events::DOUBLE", 6)} AS drop_rate
          |FROM d JOIN tot ON d.k = tot.k""".stripMargin,
 
+    // q286: IPS/SNIPS with Laplace-smoothed propensities; the two double
+    // folds replay the Spark sorted-context order via list(... ORDER BY x)
+    "q286_ips_policy" ->
+      s"""WITH base AS (SELECT (user_id % 4)::VARCHAR AS x,
+         |    event_type AS a, value::DECIMAL(18,2) AS r
+         |  FROM events WHERE user_id IS NOT NULL
+         |    AND event_type IS NOT NULL AND value IS NOT NULL),
+         |xa AS (SELECT x, a, count(*)::BIGINT AS n_xa,
+         |    sum(r)::DECIMAL(38,2) AS s_xa FROM base GROUP BY 1, 2),
+         |nact AS (SELECT count(DISTINCT a)::BIGINT AS n_act FROM xa),
+         |nx AS (SELECT x, sum(n_xa)::BIGINT AS n_x,
+         |    sum(s_xa)::DECIMAL(38,2) AS s_x FROM xa GROUP BY 1),
+         |pi AS (SELECT x, n_xa AS n_m, s_xa AS s_m FROM xa
+         |  QUALIFY row_number() OVER (PARTITION BY x
+         |    ORDER BY s_xa::DOUBLE / n_xa::DOUBLE DESC, a ASC) = 1),
+         |per AS (SELECT pi.x, n_x, s_x, n_m,
+         |    (n_x + n_act)::DOUBLE / (n_m + 1)::DOUBLE AS iw,
+         |    s_m::DOUBLE AS sm
+         |  FROM pi JOIN nx ON pi.x = nx.x CROSS JOIN nact),
+         |f AS (SELECT count(*)::BIGINT AS n_contexts,
+         |    sum(n_x)::BIGINT AS n_logs, sum(n_m)::BIGINT AS n_matched,
+         |    sum(s_x)::DECIMAL(38,2) AS s_all,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(sm * iw ORDER BY x)), (a, b) -> a + b) AS wr,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(n_m::DOUBLE * iw ORDER BY x)), (a, b) -> a + b) AS wsum
+         |  FROM per)
+         |SELECT n_contexts, n_logs, n_matched,
+         |  ${rnd("s_all::DOUBLE / n_logs::DOUBLE", 4)} AS behavior_value,
+         |  ${rnd("wr / n_logs::DOUBLE", 4)} AS ips_value,
+         |  ${rnd("wr / wsum", 4)} AS snips_value,
+         |  ${rnd("n_matched::DOUBLE / n_logs::DOUBLE", 4)} AS match_rate
+         |FROM f""".stripMargin,
+
+    // q287: exact decimal moments per (segment, half); contributions in
+    // the Spark operation order; absent-period rates fill with the other
+    // period's overall mean (identity-preserving)
+    "q287_mix_shift" -> {
+      val ra = "coalesce(sa::DOUBLE / na::DOUBLE, tsa::DOUBLE / ta::DOUBLE)"
+      val rb = "coalesce(sb::DOUBLE / nb::DOUBLE, tsb::DOUBLE / tb::DOUBLE)"
+      val wa = "na::DOUBLE / ta::DOUBLE"
+      val wb = "nb::DOUBLE / tb::DOUBLE"
+      s"""WITH base AS (SELECT event_type AS s,
+         |    (date_part('day', ts) >= 16) AS pb, value::DECIMAL(18,2) AS v
+         |  FROM events WHERE value IS NOT NULL
+         |    AND event_type IS NOT NULL AND ts IS NOT NULL),
+         |sp AS (SELECT s,
+         |    sum(CASE WHEN NOT pb THEN 1 ELSE 0 END)::BIGINT AS na,
+         |    sum(CASE WHEN NOT pb THEN v END)::DECIMAL(38,2) AS sa,
+         |    sum(CASE WHEN pb THEN 1 ELSE 0 END)::BIGINT AS nb,
+         |    sum(CASE WHEN pb THEN v END)::DECIMAL(38,2) AS sb
+         |  FROM base GROUP BY 1),
+         |tot AS (SELECT sum(na)::BIGINT AS ta,
+         |    sum(sa)::DECIMAL(38,2) AS tsa, sum(nb)::BIGINT AS tb,
+         |    sum(sb)::DECIMAL(38,2) AS tsb FROM sp)
+         |SELECT s AS event_type, na AS n_a, nb AS n_b,
+         |  ${rnd(wa, 6)} AS w_a, ${rnd(wb, 6)} AS w_b,
+         |  ${rnd(ra, 4)} AS rate_a, ${rnd(rb, 4)} AS rate_b,
+         |  ${rnd(s"(($wb) - ($wa)) * ($ra)", 6)} AS mix_contrib,
+         |  ${rnd(s"($wb) * (($rb) - ($ra))", 6)} AS rate_contrib
+         |FROM sp, tot""".stripMargin
+    },
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

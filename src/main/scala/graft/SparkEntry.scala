@@ -2964,6 +2964,21 @@ object SparkEntry {
     graft.operators.EventOps.latenessProfile(T(s, dir, "events"),
       "event_type", "event_id", "ts")
 
+  /** Off-policy IPS/SNIPS value of the greedy max-mean-reward policy over
+    * the event log (context = user bucket, action = type, reward =
+    * value), Laplace-smoothed propensities. */
+  private def q286(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.ipsPolicyValue(
+      T(s, dir, "events").filter(col("user_id").isNotNull),
+      pmod(col("user_id"), lit(4L)), "event_type", "value")
+
+  /** Mix-shift vs rate-shift decomposition of the mean event value
+    * between month-halves — "did behavior change, or the traffic mix?" */
+  private def q287(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.mixShiftDecomposition(
+      T(s, dir, "events").filter(col("ts").isNotNull),
+      "event_type", dayofmonth(col("ts")) >= 16, "value")
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3345,7 +3360,9 @@ object SparkEntry {
     "q282_pr_curve" -> (q282 _),
     "q283_ivm_join" -> (q283 _),
     "q284_dp_counts" -> (q284 _),
-    "q285_lateness_profile" -> (q285 _)
+    "q285_lateness_profile" -> (q285 _),
+    "q286_ips_policy" -> (q286 _),
+    "q287_mix_shift" -> (q287 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1700,6 +1700,123 @@ object Stats {
                 .cast("double"))), 4).as("spearman_rho"))
   }
 
+  /** Off-policy evaluation of a greedy target policy by IPS and SNIPS
+    * over a logged (context, action, reward) stream: the behavior
+    * propensity is LAPLACE-SMOOTHED per context, p̂(a|x) =
+    * (n_xa+1)/(n_x+|A|) — the clipping every production IPS applies,
+    * and what keeps IPS and SNIPS genuinely different (with raw
+    * empirical propensities the weights telescope and the two estimators
+    * collapse to the same number). The target policy π(x) picks the
+    * action with the highest historical mean reward (ties to the
+    * lexicographically smaller action). In-sample propensities and an
+    * in-sample-greedy target make this the MACHINERY gate, not a causal
+    * claim — swap in logged propensities and a real candidate policy at
+    * deployment.
+    *
+    * Everything reduces to the bounded (context × action) frame —
+    * contexts must be LOW-cardinality (a bucketing, not a user id). Each
+    * context's matched term is one decimal·integer product and one
+    * division; the cross-context sums fold a SORTED |contexts|-row list,
+    * so the fp order is engine-identical (the q267 jackknife pattern). */
+  def ipsPolicyValue(df: DataFrame, contextCol: Column, actionCol: String,
+                     rewardCol: String): DataFrame = {
+    val base = df
+      .filter(col(actionCol).isNotNull && col(rewardCol).isNotNull)
+      .select(contextCol.cast("string").as("x"),
+        col(actionCol).cast("string").as("a"),
+        col(rewardCol).cast("decimal(18,2)").as("r"))
+    val xa = base.groupBy(col("x"), col("a"))
+      .agg(count(lit(1)).cast("long").as("n_xa"), sum(col("r")).as("s_xa"))
+      .localCheckpoint(eager = false) // argmax + matched sums + |A|
+    val nActions = xa.agg(countDistinct(col("a")).cast("long").as("n_act"))
+    val nx = xa.groupBy(col("x"))
+      .agg(sum(col("n_xa")).cast("long").as("n_x"),
+        sum(col("s_xa")).cast("decimal(38,2)").as("s_x"))
+    // greedy target: argmax over mean reward, ties to the smaller action
+    // (exact-decimal single-division means -> identical order both engines)
+    val w = Window.partitionBy(col("x"))
+      .orderBy((col("s_xa").cast("double") / col("n_xa").cast("double"))
+        .desc, col("a"))
+    val pi = xa.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("x"), col("a").as("pi_a"), col("n_xa").as("n_m"),
+        col("s_xa").cast("decimal(38,2)").as("s_m"))
+    // per-context matched term with the smoothed inverse propensity
+    // iw = (n_x + |A|)/(n_m + 1); sums fold the sorted context list
+    val per = pi.join(nx, Seq("x")).crossJoin(broadcast(nActions))
+      .select(col("x"), col("n_x"), col("s_x"), col("n_m"),
+        ((col("n_x") + col("n_act")).cast("double") /
+          (col("n_m") + 1L).cast("double")).as("iw"),
+        col("s_m").cast("double").as("sm"))
+    val folded = per
+      .agg(sort_array(collect_list(struct(col("x"), col("n_x"),
+        col("s_x"), col("n_m"), col("iw"), col("sm")))).as("ls"))
+      .select(col("ls"),
+        aggregate(col("ls"), lit(0L), (a, e) => a + e("n_x")).as("n_logs"),
+        aggregate(col("ls"), lit(0L), (a, e) => a + e("n_m"))
+          .as("n_matched"),
+        aggregate(col("ls"), lit(0).cast("decimal(38,2)"),
+          (a, e) => (a + e("s_x")).cast("decimal(38,2)")).as("s_all"),
+        aggregate(col("ls"), lit(0.0), (a, e) => a + e("sm") * e("iw"))
+          .as("wr"),
+        aggregate(col("ls"), lit(0.0),
+          (a, e) => a + e("n_m").cast("double") * e("iw")).as("wsum"))
+    folded.select(size(col("ls")).cast("long").as("n_contexts"),
+      col("n_logs"), col("n_matched"),
+      round(col("s_all").cast("double") / col("n_logs").cast("double"), 4)
+        .as("behavior_value"),
+      round(col("wr") / col("n_logs").cast("double"), 4).as("ips_value"),
+      round(col("wr") / col("wsum"), 4).as("snips_value"),
+      round(col("n_matched").cast("double") /
+        col("n_logs").cast("double"), 4).as("match_rate"))
+  }
+
+  /** Mix-shift decomposition of a mean-metric move between two periods:
+    * ΔR = R_B − R_A splits EXACTLY into Σ_s (w_B−w_A)·r_A  (mix: the
+    * segment WEIGHTS moved) plus Σ_s w_B·(r_B−r_A)  (rate: behavior
+    * WITHIN segments moved) — the first question on any metric regression
+    * ("did the metric move, or did the traffic mix?"). Segments present
+    * in only one period use the other period's OVERALL mean as their
+    * counterfactual rate; the identity holds for any such fill (the
+    * filled terms telescope), and deviation-from-average is the standard
+    * convention that keeps their contributions interpretable.
+    *
+    * Shape: one pass to the (segment × period) moment frame (exact
+    * decimal sums, single-division weights/rates), then per-segment
+    * arithmetic in a fixed operation order. Output: one row per segment
+    * with both contributions; the column sums reconstruct ΔR. */
+  def mixShiftDecomposition(df: DataFrame, segmentCol: String,
+                            periodBCol: Column,
+                            valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull &&
+      col(segmentCol).isNotNull && periodBCol.isNotNull)
+      .select(col(segmentCol).as("s"), periodBCol.as("pb"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+    val sp = base.groupBy(col("s"))
+      .agg(sum(when(!col("pb"), 1L).otherwise(0L)).cast("long").as("na"),
+        sum(when(!col("pb"), col("v"))).cast("decimal(38,2)").as("sa"),
+        sum(when(col("pb"), 1L).otherwise(0L)).cast("long").as("nb"),
+        sum(when(col("pb"), col("v"))).cast("decimal(38,2)").as("sb"))
+      .localCheckpoint(eager = false) // totals + the per-segment pass
+    val tot = sp.agg(sum(col("na")).cast("long").as("ta"),
+      sum(col("sa")).cast("decimal(38,2)").as("tsa"),
+      sum(col("nb")).cast("long").as("tb"),
+      sum(col("sb")).cast("decimal(38,2)").as("tsb"))
+    val ra = coalesce(col("sa").cast("double") / col("na").cast("double"),
+      col("tsa").cast("double") / col("ta").cast("double"))
+    val rb = coalesce(col("sb").cast("double") / col("nb").cast("double"),
+      col("tsb").cast("double") / col("tb").cast("double"))
+    val wa = col("na").cast("double") / col("ta").cast("double")
+    val wb = col("nb").cast("double") / col("tb").cast("double")
+    sp.crossJoin(broadcast(tot))
+      .select(col("s").as(segmentCol),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(wa, 6).as("w_a"), round(wb, 6).as("w_b"),
+        round(ra, 4).as("rate_a"), round(rb, 4).as("rate_b"),
+        round((wb - wa) * ra, 6).as("mix_contrib"),
+        round(wb * (rb - ra), 6).as("rate_contrib"))
+  }
+
   /** Krippendorff's α (nominal) from LONG-format ratings (unit, value) —
     * the inter-annotator agreement that, unlike [[cohenKappa]], handles
     * ANY number of raters and MISSING ratings: units contribute pairable

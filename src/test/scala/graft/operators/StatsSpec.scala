@@ -864,6 +864,50 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.2)
   }
 
+  test("ipsPolicyValue: greedy target, smoothed weights, hand-checked estimates") {
+    import spark.implicits._
+    // x1: A 2x10 (picked), B 2x2; x2: A 1x1, B 3x5 (picked); |A|=2
+    val rows = Seq(
+      (1L, "A", 10.0), (1L, "A", 10.0), (1L, "B", 2.0), (1L, "B", 2.0),
+      (2L, "A", 1.0), (2L, "B", 5.0), (2L, "B", 5.0), (2L, "B", 5.0)
+    ).toDF("u", "a", "r")
+    val out = Stats.ipsPolicyValue(rows, col("u"), "a", "r")
+      .collect().head
+    assert(out.getLong(0) == 2L && out.getLong(1) == 8L &&
+      out.getLong(2) == 5L)
+    assert(out.getDouble(3) == 5.0, "behavior value = overall mean")
+    // iw = (4+2)/(n_m+1): 2 and 1.5 -> wr = 20*2 + 15*1.5 = 62.5
+    assert(out.getDouble(4) == 7.8125, "IPS = 62.5/8")
+    assert(out.getDouble(5) == math.rint(62.5 / 8.5 * 1e4) / 1e4,
+      "SNIPS = 62.5/8.5 (smoothed weights de-telescope the denominator)")
+    assert(out.getDouble(6) == 0.625)
+  }
+
+  test("mixShiftDecomposition: contributions reconstruct the delta; fills keep the identity") {
+    import spark.implicits._
+    val rows = Seq(
+      ("s1", false, 10.0), ("s1", false, 10.0),
+      ("s2", false, 20.0), ("s2", false, 20.0),
+      ("s1", true, 10.0), ("s1", true, 10.0), ("s1", true, 10.0),
+      ("s2", true, 30.0)
+    ).toDF("s", "pb", "v")
+    val out = Stats.mixShiftDecomposition(rows, "s", col("pb"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7), r.getDouble(8)))).toMap
+    assert(out("s1") == ((0.5, 0.75, 10.0, 10.0, 2.5, 0.0)))
+    assert(out("s2") == ((0.5, 0.25, 20.0, 30.0, -5.0, 2.5)))
+    // R_A = R_B = 15: the contributions must cancel exactly
+    assert(out.values.map(v => v._5 + v._6).sum == 0.0)
+    // a segment absent from period A fills rate_a with R_A; identity holds
+    val withNew = rows.union(Seq(("s3", true, 50.0)).toDF("s", "pb", "v"))
+    val o2 = Stats.mixShiftDecomposition(withNew, "s", col("pb"), "v")
+      .collect().map(r => (r.getDouble(7), r.getDouble(8)))
+    val delta = (30.0 + 30.0 + 50.0) / 5.0 - 15.0 // R_B - R_A
+    assert(math.abs(o2.map(v => v._1 + v._2).sum - delta) < 1e-9,
+      "mix + rate sums reconstruct the overall move even with fills")
+  }
+
   test("prCurve: cumulative-from-top counts, F1 identity, exact rows") {
     import spark.implicits._
     val rows = Seq((0.1, false), (0.3, true), (0.6, true),
