@@ -5738,6 +5738,76 @@ object OracleSql {
          |FROM sp, tot""".stripMargin
     },
 
+    // q288: x7-scaled integer decomposition; dow VALUES differ across
+    // engines but only serve as a grouping key (not output)
+    "q288_seasonal_decompose" ->
+      s"""WITH daily AS (SELECT event_type AS k, ts::DATE AS day,
+         |    count(*)::BIGINT AS n
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |f AS (SELECT k, day, n,
+         |    sum(n) OVER w AS s7, count(*) OVER w AS c7
+         |  FROM daily WINDOW w AS (PARTITION BY k ORDER BY day
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |d AS (SELECT k, day, n, s7, 7 * n - s7 AS d7,
+         |    dayofweek(day) AS dow FROM f WHERE c7 = 7),
+         |dw AS (SELECT k, dow, sum(d7)::BIGINT AS sd,
+         |    count(*)::BIGINT AS c FROM d GROUP BY 1, 2)
+         |SELECT d.k AS event_type, d.day, d.n,
+         |  ${rnd("s7::DOUBLE / 7.0", 4)} AS trend,
+         |  ${rnd("sd::DOUBLE / (7.0 * c::DOUBLE)", 4)} AS seasonal,
+         |  ${rnd("(d7 * c - sd)::DOUBLE / (7.0 * c::DOUBLE)", 4)}
+         |    AS residual
+         |FROM d JOIN dw ON d.k = dw.k AND d.dow = dw.dow""".stripMargin,
+
+    // q289: identical integer-cent moments in HUGEINT; the common scale
+    // cancels in r
+    "q289_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val ps = for (i <- cs.indices; j <- cs.indices if i < j)
+        yield (cs(i), cs(j))
+      val moments =
+        cs.map(c => s"sum($c)::HUGEINT AS s_$c") ++
+        cs.map(c => s"sum($c * $c)::HUGEINT AS ss_$c") ++
+        ps.map { case (a, b) => s"sum($a * $b)::HUGEINT AS sp_${a}_$b" }
+      val rows = ps.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n::BIGINT AS n_rows,
+           |  ${rnd(s"(n * sp_${a}_$b - s_$a * s_$b)::DOUBLE / " +
+               s"sqrt((n * ss_$a - s_$a * s_$a)::DOUBLE * " +
+               s"(n * ss_$b - s_$b * s_$b)::DOUBLE)", 4)} AS pearson_r
+           |FROM m""".stripMargin }
+      s"""WITH c AS (SELECT
+         |    ${cs.map(c =>
+             s"((($c)::DECIMAL(18,2)) * 100)::HUGEINT AS $c")
+             .mkString(",\n|    ")}
+         |  FROM lineitem
+         |  WHERE ${cs.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+         |m AS (SELECT count(*)::HUGEINT AS n,
+         |    ${moments.mkString(",\n|    ")}
+         |  FROM c)
+         |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // q290: vocabulary-bounded codepoint histogram; the c·log2(c) fold
+    // runs in byte-order of the char (both engines' default collation)
+    "q290_char_stats" ->
+      s"""WITH ch AS (SELECT source AS src,
+         |    unnest(string_split(text, '')) AS ch FROM documents),
+         |cnt AS (SELECT src, ch, count(*)::BIGINT AS c FROM ch
+         |  WHERE len(ch) > 0 GROUP BY 1, 2),
+         |agg AS (SELECT src, sum(c)::BIGINT AS n_chars,
+         |    count(*)::BIGINT AS n_distinct_chars,
+         |    sum(CASE WHEN ascii(ch) > 127 OR ascii(ch) < 0 THEN c
+         |      ELSE 0 END)::BIGINT AS n_non,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(c::DOUBLE * log2(c::DOUBLE) ORDER BY ch)),
+         |      (a, b) -> a + b) AS sl
+         |  FROM cnt GROUP BY 1)
+         |SELECT src AS source, n_chars, n_distinct_chars,
+         |  ${rnd("log2(n_chars::DOUBLE) - sl / n_chars::DOUBLE", 4)}
+         |    AS entropy_bits,
+         |  ${rnd("n_non::DOUBLE / n_chars::DOUBLE", 4)} AS non_ascii_ratio
+         |FROM agg""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

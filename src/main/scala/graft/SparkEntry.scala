@@ -2979,6 +2979,24 @@ object SparkEntry {
       T(s, dir, "events").filter(col("ts").isNotNull),
       "event_type", dayofmonth(col("ts")) >= 16, "value")
 
+  /** Classical trend/seasonal/residual decomposition of daily counts per
+    * event type — exact ×7-scaled integer arithmetic, full-frame rows. */
+  private def q288(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.seasonalDecompose(T(s, dir, "events"),
+      "event_type", "ts")
+
+  /** Pairwise Pearson matrix over four lineitem measures in ONE scan —
+    * integer-cent moments, k(k−1)/2 pairs from a single aggregate. */
+  private def q289(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.correlationMatrix(T(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  /** Character-level corpus QA per source: codepoint entropy, char
+    * vocabulary, non-ASCII share — the encoding tripwire. */
+  private def q290(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.charStats(TW(s, dir, "documents"),
+      "source", "text")
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3362,7 +3380,10 @@ object SparkEntry {
     "q284_dp_counts" -> (q284 _),
     "q285_lateness_profile" -> (q285 _),
     "q286_ips_policy" -> (q286 _),
-    "q287_mix_shift" -> (q287 _)
+    "q287_mix_shift" -> (q287 _),
+    "q288_seasonal_decompose" -> (q288 _),
+    "q289_corr_matrix" -> (q289 _),
+    "q290_char_stats" -> (q290 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1700,6 +1700,48 @@ object Stats {
                 .cast("double"))), 4).as("spearman_rho"))
   }
 
+  /** Pairwise Pearson correlation matrix over `cols` in ONE aggregation
+    * pass: the k + k(k+1)/2 exact DECIMAL moments (sums, squares, cross
+    * products) land in a single map-side-combinable aggregate — one scan
+    * for the whole matrix, where per-pair `corr()` calls would re-scan
+    * k(k−1)/2 times. Output is the upper triangle as rows; each r is the
+    * usual moment formula evaluated in one fixed operation order. Rows
+    * with a NULL in ANY of the columns are excluded (listwise deletion,
+    * the convention that keeps all pairs on the same n). */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 12, "2 to 12 columns")
+    // values scale to integer CENTS so every moment is a plain integer —
+    // the common scale cancels in r, and both engines do the identical
+    // integer arithmetic (DuckDB carries it in HUGEINT)
+    val clean = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c =>
+        (col(c).cast("decimal(18,2)") * 100).cast("decimal(20,0)")
+          .as(c)): _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val momentAggs =
+      cols.map(c => sum(col(c)).cast("decimal(38,0)").as(s"s_$c")) ++
+      cols.map(c => sum(col(c) * col(c)).cast("decimal(38,0)")
+        .as(s"ss_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(col(a) * col(b)).cast("decimal(38,0)").as(s"sp_${a}_$b") }
+    val m = clean.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      momentAggs: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("n").cast("long").as("n_rows"),
+        round(
+          (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+            .cast("double") /
+            sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+              .cast("double") *
+              (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+              .cast("double")), 4).as("pearson_r"))
+    }
+    m.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Off-policy evaluation of a greedy target policy by IPS and SNIPS
     * over a logged (context, action, reward) stream: the behavior
     * propensity is LAPLACE-SMOOTHED per context, p̂(a|x) =

@@ -365,6 +365,43 @@ object TextAnalysis {
           .as("share_of_true"))
   }
 
+  /** Character-level corpus stats per source: codepoint-distribution
+    * entropy, distinct-codepoint vocabulary, and the non-ASCII share —
+    * the mojibake/wrong-encoding tripwire that token-level diversity
+    * (lexicalDiversity) can't see: double-encoded UTF-8 explodes the
+    * char vocabulary and entropy long before tokens look wrong, and a
+    * non-ASCII share that disagrees with the source's declared language
+    * mix is the first question to ask of a new crawl.
+    *
+    * Entropy = log₂N − Σc·log₂c/N over the (source × codepoint) frame —
+    * the histogram is VOCABULARY-bounded, never char-rows; the Σc·log₂c
+    * fold runs over the SORTED per-source codepoint list so the fp sum
+    * order is engine-identical (the q267 pattern). Non-ASCII and totals
+    * are exact integers. */
+  def charStats(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val chars = df
+      .select(col(srcCol).as("src"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("src"), col("ch"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    chars.groupBy(col("src"))
+      .agg(sum(col("c")).cast("long").as("n_chars"),
+        count(lit(1)).cast("long").as("n_distinct_chars"),
+        sum(when(ascii(col("ch")) > 127 || ascii(col("ch")) < 0, col("c"))
+          .otherwise(0L)).cast("long").as("n_non_ascii"),
+        sort_array(collect_list(struct(col("ch"), col("c")))).as("ls"))
+      .select(col("src").as(srcCol), col("n_chars"),
+        col("n_distinct_chars"),
+        round(
+          log2(col("n_chars").cast("double")) -
+            aggregate(col("ls"), lit(0.0), (a, e) =>
+              a + e("c").cast("double") * log2(e("c").cast("double"))) /
+              col("n_chars").cast("double"), 4).as("entropy_bits"),
+        round(col("n_non_ascii").cast("double") /
+          col("n_chars").cast("double"), 4).as("non_ascii_ratio"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm)
     * over word `k`-shingle hashes: in every window of `w` consecutive
     * shingle hashes, select the leftmost minimum — guaranteeing any shared

@@ -395,6 +395,46 @@ object TimeSeries {
           .as("ewma"))
   }
 
+  /** Classical seasonal decomposition of per-key daily counts —
+    * count = trend + seasonal + residual — with trend the CENTERED 7-row
+    * moving mean, seasonal the day-of-week mean of the detrended series,
+    * and the residual what monitoring should actually alert on (q201's
+    * weekday baseline answers "what is normal", this splits "why").
+    * Only days with a FULL ±3-row frame emit (edges have no honest
+    * trend); calendar gaps make the frame the 7 nearest OBSERVED days
+    * (documented, as in [[autocorrelation]]).
+    *
+    * Exactness by ×7 scaling: d7 = 7·n − Σ₇n is an INTEGER, so
+    * trend = Σ₇/7, seasonal = Σ_dow(d7)/(7·c) and
+    * residual = (d7·c − Σ_dow(d7))/(7·c) are each ONE division of exact
+    * integers — no float accumulates anywhere, bit-equal across engines
+    * and partitionings. Two bounded passes (frame window + dow means). */
+  def seasonalDecompose(df: DataFrame, keyCol: String,
+                        tsCol: String): DataFrame = {
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val framed = daily
+      .withColumn("s7", sum(col("n")).over(w))
+      .withColumn("c7", count(lit(1)).over(w))
+      .filter(col("c7") === 7)
+      .withColumn("d7", lit(7L) * col("n") - col("s7"))
+      .withColumn("dow", dayofweek(col("day")))
+      .localCheckpoint(eager = false) // dow means + the output pass
+    val dow = framed.groupBy(col("k"), col("dow"))
+      .agg(sum(col("d7")).cast("long").as("sd"),
+        count(lit(1)).cast("long").as("c"))
+    framed.join(dow, Seq("k", "dow"))
+      .select(col("k").as(keyCol), col("day"), col("n"),
+        round(col("s7").cast("double") / 7.0, 4).as("trend"),
+        round(col("sd").cast("double") / (lit(7.0) *
+          col("c").cast("double")), 4).as("seasonal"),
+        round((col("d7") * col("c") - col("sd")).cast("double") /
+          (lit(7.0) * col("c").cast("double")), 4).as("residual"))
+  }
+
   /** Holt double-exponential-smoothing one-step forecast eval on per-key
     * daily counts, scored AGAINST the naive carry-forward baseline: level
     * l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}), trend b_t = β(l_t−l_{t−1}) +

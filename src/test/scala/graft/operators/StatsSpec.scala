@@ -864,6 +864,21 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.2)
   }
 
+  test("correlationMatrix: one pass, exact ±1 on linear columns, listwise deletion") {
+    import spark.implicits._
+    val rows = Seq(
+      (Some(1.0), Some(2.0), Some(3.0)), (Some(2.0), Some(4.0), Some(2.0)),
+      (Some(3.0), Some(6.0), Some(1.0)), (Some(9.0), Some(9.0), None)
+    ).toDF("x", "y", "z")
+    val out = Stats.correlationMatrix(rows, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 3)
+    assert(out(("x", "y")) == ((3L, 1.0)), "y = 2x exactly")
+    assert(out(("x", "z")) == ((3L, -1.0)) && out(("y", "z")) == ((3L, -1.0)))
+    // the null-z row is excluded from EVERY pair (listwise deletion)
+  }
+
   test("ipsPolicyValue: greedy target, smoothed weights, hand-checked estimates") {
     import spark.implicits._
     // x1: A 2x10 (picked), B 2x2; x2: A 1x1, B 3x5 (picked); |A|=2

@@ -219,6 +219,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("charStats: codepoint entropy closed form, non-ascii share exact") {
+    import spark.implicits._
+    val docs = Seq(("a", "aab"), ("b", "é")).toDF("src", "text")
+    val out = TextAnalysis.charStats(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // H(aab) = log2(3) - (2*log2(2) + 1*log2(1))/3
+    val h = math.log(3.0) / math.log(2.0) - 2.0 / 3.0
+    assert(out("a") == ((3L, 2L, math.rint(h * 1e4) / 1e4, 0.0)))
+    assert(out("b") == ((1L, 1L, 0.0, 1.0)),
+      "single non-ascii char: zero entropy, full non-ascii share")
+  }
+
   test("winnowingReport: duplicate docs share fingerprints, short docs emit none") {
     import spark.implicits._
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"

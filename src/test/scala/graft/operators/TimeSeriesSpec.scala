@@ -268,4 +268,26 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.holtForecastEval(rows, "event_type", "ts", alpha = 0.3)
     }
   }
+
+  test("seasonalDecompose: n = trend + seasonal + residual, full frames only") {
+    import spark.implicits._
+    def ev(day: Int, n: Int) = (1 to n).map(_ =>
+      ("a", java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00")))
+    // counts 1,2,3,4,12,6,7,8,9 — a spike on day 5
+    val counts = Seq(1, 2, 3, 4, 12, 6, 7, 8, 9)
+    val rows = counts.zipWithIndex.flatMap { case (n, i) => ev(i + 1, n) }
+      .toDF("event_type", "ts")
+    val out = TimeSeries.seasonalDecompose(rows, "event_type", "ts")
+      .collect().map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet == Set("2024-03-04", "2024-03-05", "2024-03-06"),
+      "only days with a full +-3 frame emit")
+    assert(out("2024-03-04") == ((4L, 5.0, -1.0, 0.0)))
+    assert(out("2024-03-05") == ((12L, 6.0, 6.0, 0.0)),
+      "the spike shows as seasonal here: each dow has one obs, resid 0")
+    assert(out("2024-03-06") == ((6L, 7.0, -1.0, 0.0)))
+    assert(out.values.forall(v => v._1.toDouble == v._2 + v._3 + v._4),
+      "the decomposition reconstructs the count exactly")
+  }
 }
