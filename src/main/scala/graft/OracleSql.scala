@@ -5808,6 +5808,80 @@ object OracleSql {
          |  ${rnd("n_non::DOUBLE / n_chars::DOUBLE", 4)} AS non_ascii_ratio
          |FROM agg""".stripMargin,
 
+    // q291: weighted lower medians on the (group, rep, value) grid with
+    // q246's exact weight chain — no floating arithmetic anywhere
+    "q291_median_boot_ci" -> {
+      val cum = graft.operators.Stats.poissonCum.map(_.toString)
+      val wCase = cum.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString("CASE ", " ", " ELSE 9 END")
+      def mm(x: String, c: String): String =
+        s"((($x % 65536) * $c) + ((($x >> 16) * $c) % 65536) * 65536) " +
+          "% 4294967296"
+      s"""WITH base AS (SELECT o_orderstatus AS g,
+         |    ${h32("o_orderkey::VARCHAR")} AS h,
+         |    o_totalprice::DECIMAL(18,2) AS v
+         |  FROM orders
+         |  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+         |nn AS (SELECT g, count(*)::BIGINT AS n_rows FROM base GROUP BY 1),
+         |ptg AS (SELECT g, v, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+         |ptc AS (SELECT g, v,
+         |    sum(c) OVER (PARTITION BY g ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(c) OVER (PARTITION BY g) AS wt FROM ptg),
+         |pt AS (SELECT g, min(v) AS med FROM ptc
+         |  WHERE cum * 2 >= wt GROUP BY 1),
+         |reps AS (SELECT g, h, v, gs.rep FROM base,
+         |  generate_series(0, 63) gs(rep)),
+         |x0 AS (SELECT g, rep, v,
+         |    xor(h, (rep * 2654435761) % 4294967296) AS x FROM reps),
+         |x1 AS (SELECT g, rep, v, xor(x, x >> 16) AS x FROM x0),
+         |x2 AS (SELECT g, rep, v, ${mm("x", "2246822507")} AS x FROM x1),
+         |x3 AS (SELECT g, rep, v, xor(x, x >> 13) AS x FROM x2),
+         |x4 AS (SELECT g, rep, v, ${mm("x", "3266489909")} AS x FROM x3),
+         |us AS (SELECT g, rep, v,
+         |    xor(x, x >> 16)::DOUBLE / 4294967296.0 AS u FROM x4),
+         |wg AS (SELECT g, rep, v, sum(($wCase)::BIGINT)::BIGINT AS w8
+         |  FROM us GROUP BY 1, 2, 3),
+         |wc AS (SELECT g, rep, v,
+         |    sum(w8) OVER (PARTITION BY g, rep ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(w8) OVER (PARTITION BY g, rep) AS wt FROM wg),
+         |md AS (SELECT g, rep, min(v) AS med FROM wc
+         |  WHERE wt > 0 AND cum * 2 >= wt GROUP BY 1, 2),
+         |ci AS (SELECT g, count(*)::BIGINT AS n_reps,
+         |    list(med ORDER BY med) AS ms FROM md GROUP BY 1)
+         |SELECT nn.g AS o_orderstatus, n_rows, n_reps,
+         |  pt.med::DOUBLE AS median,
+         |  ms[greatest(1, ceil(0.025 * len(ms))::INT)]::DOUBLE AS ci_lo,
+         |  ms[len(ms) + 1 - greatest(1, ceil(0.025 * len(ms))::INT)]
+         |    ::DOUBLE AS ci_hi
+         |FROM nn JOIN pt ON nn.g = pt.g JOIN ci ON nn.g = ci.g"""
+        .stripMargin
+    },
+
+    // q292: per-half token top-20 by (count desc, gram asc), full-outer
+    // churn join
+    "q292_topk_churn" ->
+      s"""WITH t AS (SELECT (doc_id % 2 = 1) AS pb,
+         |    unnest($toksExpr) AS gram FROM documents),
+         |c AS (SELECT pb, gram, count(*)::BIGINT AS n_occ FROM t
+         |  GROUP BY 1, 2),
+         |r AS (SELECT pb, gram, n_occ, row_number() OVER (PARTITION BY pb
+         |    ORDER BY n_occ DESC, gram ASC)::BIGINT AS rnk FROM c
+         |  QUALIFY rnk <= 20),
+         |a AS (SELECT gram, n_occ AS n_a, rnk AS rank_a FROM r
+         |  WHERE NOT pb),
+         |b AS (SELECT gram, n_occ AS n_b, rnk AS rank_b FROM r WHERE pb)
+         |SELECT coalesce(a.gram, b.gram) AS gram, n_a, rank_a, n_b,
+         |  rank_b,
+         |  CASE WHEN rank_a IS NULL THEN 'entered'
+         |       WHEN rank_b IS NULL THEN 'dropped'
+         |       ELSE 'steady' END AS status,
+         |  (coalesce(rank_a, 0) - coalesce(rank_b, 0))::BIGINT
+         |    AS rank_move
+         |FROM a FULL OUTER JOIN b ON a.gram = b.gram""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

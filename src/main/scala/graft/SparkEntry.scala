@@ -2997,6 +2997,18 @@ object SparkEntry {
     graft.operators.TextAnalysis.charStats(TW(s, dir, "documents"),
       "source", "text")
 
+  /** Percentile-bootstrap CI for the median order price per status —
+    * weighted lower medians on the value grid, zero floating arithmetic. */
+  private def q291(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.bootstrapMedianCI(T(s, dir, "orders"),
+      "o_orderstatus", "o_orderkey", "o_totalprice", b = 64)
+
+  /** Heavy-hitter churn: top-20 tokens of corpus half A vs half B with
+    * entered/dropped/steady status and rank movement. */
+  private def q292(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.topKChurn(TW(s, dir, "documents"), "text",
+      pmod(col("doc_id"), lit(2L)) === 1, n = 1, topK = 20)
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3383,7 +3395,9 @@ object SparkEntry {
     "q287_mix_shift" -> (q287 _),
     "q288_seasonal_decompose" -> (q288 _),
     "q289_corr_matrix" -> (q289 _),
-    "q290_char_stats" -> (q290 _)
+    "q290_char_stats" -> (q290 _),
+    "q291_median_boot_ci" -> (q291 _),
+    "q292_topk_churn" -> (q292 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -400,6 +400,47 @@ object Sketches {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Heavy-hitter CHURN between two periods: top-`topK` n-grams per
+    * period (count desc, gram asc — the [[topNgrams]] partial-top-k
+    * path, never a vocabulary rank window) full-outer-joined on the
+    * gram, with rank movement and entered/dropped/steady status — the
+    * "what changed in the corpus this month" card that a single-period
+    * top-k can't answer. One token scan (both periods' counts in one
+    * aggregate), two bounded top-k folds, one ≤2·topK-row join. */
+  def topKChurn(df: DataFrame, textCol: String, periodBCol: Column,
+                n: Int, topK: Int): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.TextHashFunctions.register(spark)
+    graft.functions.TopKAgg.register(spark)
+    val counts = df.select(periodBCol.as("pb"), explode(
+        graft.functions.TextHashFunctions.shingles(col(textCol), n))
+        .as("gram"))
+      .filter(col("pb").isNotNull)
+      .groupBy(col("pb"), col("gram"))
+      .agg(count(lit(1)).cast("long").as("n_occ"))
+    val tops = counts.groupBy(col("pb"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(negate(col("n_occ")).as("negn"), col("gram").as("gram")),
+        topK).as("arr"))
+      .select(col("pb"), posexplode(col("arr")))
+      .select(col("pb"), col("col.gram").as("gram"),
+        negate(col("col.negn")).as("n_occ"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .localCheckpoint(eager = false) // both sides of the churn join
+    val a = tops.filter(!col("pb")).select(col("gram"),
+      col("n_occ").as("n_a"), col("rank").as("rank_a"))
+    val b = tops.filter(col("pb")).select(col("gram"),
+      col("n_occ").as("n_b"), col("rank").as("rank_b"))
+    a.join(b, Seq("gram"), "full_outer")
+      .select(col("gram"), col("n_a"), col("rank_a"), col("n_b"),
+        col("rank_b"),
+        when(col("rank_a").isNull, "entered")
+          .when(col("rank_b").isNull, "dropped")
+          .otherwise("steady").as("status"),
+        (coalesce(col("rank_a"), lit(0L)) -
+          coalesce(col("rank_b"), lit(0L))).as("rank_move"))
+  }
+
   /** Rolling `windowDays`-day distinct estimate via HLL REGISTER MERGE —
     * the scale path for "7-day active users": the exact rolling distinct
     * ([[graft.operators.EventOps.rollingActiveUsers]]) must carry every

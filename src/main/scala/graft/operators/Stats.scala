@@ -1164,31 +1164,39 @@ object Stats {
     * across partitionings; only the final stddev over `b` means is fp.
     * Output per group: n rows, the full-sample mean, the bootstrap SE,
     * and the normal-approximation CI. */
+  /** Poisson(1) cumulative masses — shared by every bootstrap variant
+    * and their oracle generators (bit-identical literals both engines). */
+  private[graft] val poissonCum = Seq(0.36787944117144233,
+    0.7357588823428847, 0.9196986029286058, 0.9810118431238463,
+    0.9963401531726563, 0.9994058151824183, 0.999916758850712,
+    0.9999897508033253, 0.999998874797402)
+
+  /** q246's portable weight chain: one md5 per unit fanned per replicate
+    * by the fmix32 avalanche, then the Poisson(1) inverse-CDF ladder.
+    * Expects columns `h` (portableHash32 of the unit id) and `rep`. */
+  private def poissonWeight: Column = {
+    val u = graft.functions.Hashes.portableMix32(
+      col("h").bitwiseXOR((col("rep") * 2654435761L) % 4294967296L))
+      .cast("double") / lit(4294967296.0)
+    // inverse-CDF: weight k has cumulative mass cum(k); u >= last literal
+    // (mass 1.1e-6) truncates to 9 — beyond any per-replicate noise
+    poissonCum.zipWithIndex.foldRight(lit(9): Column) {
+      case ((c, k), rest) => when(u < lit(c), lit(k)).otherwise(rest)
+    }.cast("long")
+  }
+
   def poissonBootstrapSE(df: DataFrame, groupCol: String, idCol: String,
                          valueCol: String, b: Int): DataFrame = {
     require(b >= 2 && b <= 512, "replicates in [2, 512]")
-    val cum = Seq(0.36787944117144233, 0.7357588823428847,
-      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
-      0.9994058151824183, 0.999916758850712, 0.9999897508033253,
-      0.999998874797402)
     val base = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("g"),
         graft.functions.Hashes.portableHash32(col(idCol).cast("string"))
           .as("h"),
         col(valueCol).cast("decimal(18,2)").as("v"))
-    val u = graft.functions.Hashes.portableMix32(
-      col("h").bitwiseXOR((col("rep") * 2654435761L) % 4294967296L))
-      .cast("double") / lit(4294967296.0)
-    // inverse-CDF: weight k has cumulative mass cum(k); u >= last literal
-    // (mass 1.1e-6) truncates to 9 — beyond any per-replicate noise
-    val weight = cum.zipWithIndex.foldRight(lit(9): Column) {
-      case ((c, k), rest) => when(col("u") < lit(c), lit(k)).otherwise(rest)
-    }
     val reps = base
       .withColumn("rep", explode(sequence(lit(0L), lit(b - 1L))))
-      .withColumn("u", u)
-      .withColumn("w", weight.cast("long"))
+      .withColumn("w", poissonWeight)
       .groupBy(col("g"), col("rep"))
       // exact DECIMAL numerator, exact integer denominator, then ONE fp
       // division — the replicate mean is bit-identical across engines
@@ -1209,6 +1217,71 @@ object Stats {
           .as("ci_lo"),
         round(col("est") + lit(1.959963984540054) * col("boot_se"), 4)
           .as("ci_hi"))
+  }
+
+  /** Percentile-bootstrap confidence interval for a per-group MEDIAN —
+    * the quantile CI no normal approximation gives you (the median's SE
+    * depends on the unknown density at the median; the bootstrap
+    * sidesteps it). Same one-pass Poisson machinery as
+    * [[poissonBootstrapSE]]: b hash-deterministic Poisson(1) weights per
+    * unit, but each replicate's statistic is the WEIGHTED LOWER MEDIAN,
+    * computed on the per-(group, replicate) VALUE GRID — cumulative
+    * windows over grid rows (bounded by distinct values), never a
+    * per-replicate sort of raw rows. The CI is the percentile interval
+    * of the b replicate medians (sorted-list positions ⌈0.025b⌉ /
+    * b+1−⌈0.025b⌉).
+    *
+    * FULLY exact: medians are data values selected by integer-weight
+    * comparisons (2·cum ≥ W picks the lower median), so there is no
+    * floating arithmetic anywhere — the gate matches bit-for-bit by
+    * construction. Replicates whose total weight lands 0 (only possible
+    * for tiny groups) drop, and n_reps reports the survivors. */
+  def bootstrapMedianCI(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String, b: Int = 64): DataFrame = {
+    require(b >= 8 && b <= 512, "replicates in [8, 512]")
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        graft.functions.Hashes.portableHash32(col(idCol).cast("string"))
+          .as("h"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+      .localCheckpoint(eager = false) // point estimate + the rep grid
+    def lowerMedian(grid: DataFrame, parts: Seq[String]): DataFrame = {
+      val pcols = parts.map(col)
+      val w = Window.partitionBy(pcols: _*).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.partitionBy(pcols: _*)
+      grid
+        .withColumn("cum", sum(col("w8")).over(w))
+        .withColumn("wt", sum(col("w8")).over(tot))
+        .filter(col("wt") > 0 && col("cum") * 2 >= col("wt"))
+        .groupBy(pcols: _*).agg(min(col("v")).as("med"))
+    }
+    val point = lowerMedian(
+      base.groupBy(col("g"), col("v"))
+        .agg(count(lit(1)).cast("long").as("w8")), Seq("g"))
+      .withColumnRenamed("med", "median")
+    val n = base.groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val repMeds = lowerMedian(
+      base.withColumn("rep", explode(sequence(lit(0L), lit(b - 1L))))
+        .withColumn("w", poissonWeight)
+        .groupBy(col("g"), col("rep"), col("v"))
+        .agg(sum(col("w")).as("w8")), Seq("g", "rep"))
+    val ci = repMeds.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("med"))).as("ms"))
+      .select(col("g"), size(col("ms")).cast("long").as("n_reps"),
+        element_at(col("ms"),
+          greatest(lit(1), ceil(lit(0.025) * size(col("ms")))
+            .cast("int"))).as("ci_lo"),
+        element_at(col("ms"),
+          size(col("ms")) + 1 - greatest(lit(1),
+            ceil(lit(0.025) * size(col("ms"))).cast("int"))).as("ci_hi"))
+    n.join(point, Seq("g")).join(ci, Seq("g"))
+      .select(col("g").as(groupCol), col("n_rows"), col("n_reps"),
+        col("median").cast("double").as("median"),
+        col("ci_lo").cast("double").as("ci_lo"),
+        col("ci_hi").cast("double").as("ci_hi"))
   }
 
   /** Top-k multivariate outliers by DIAGONAL Mahalanobis distance over

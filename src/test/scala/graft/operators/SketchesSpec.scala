@@ -278,4 +278,19 @@ class SketchesSpec extends SparkSpec {
     assert(ls.getDouble(5) == 1.0, "identical sets must estimate J=1")
     assert(ls.getDouble(4) == 40.0 && ls.getDouble(6) == 40.0)
   }
+
+  test("topKChurn: entered/dropped/steady with rank movement") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(("x x x y", false), ("y y z", true)).toDF("text", "pb")
+    val out = Sketches.topKChurn(docs, "text", col("pb"), n = 1, topK = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("x", "y", "z"))
+    assert(out("x").getString(5) == "dropped" && out("x").getLong(2) == 1L)
+    val y = out("y")
+    assert(y.getString(5) == "steady" && y.getLong(2) == 2L &&
+      y.getLong(4) == 1L && y.getLong(6) == 1L,
+      "y climbs from rank 2 to rank 1: move +1")
+    assert(out("z").getString(5) == "entered" && out("z").getLong(4) == 2L)
+  }
 }

@@ -864,6 +864,26 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.2)
   }
 
+  test("bootstrapMedianCI: exact lower median, ordered CI, layout-invariant") {
+    import spark.implicits._
+    val rows = (1 to 9).map(i => ("g", i.toLong, i * 10.0)).toDF("g", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.bootstrapMedianCI(d, "g", "id", "v", b = 64).collect().head
+    val r = run(rows)
+    assert(r.getLong(1) == 9L && r.getDouble(3) == 50.0,
+      "point estimate is the exact lower median")
+    assert(r.getLong(2) >= 60L, "nearly all 64 replicates survive")
+    val (lo, hi) = (r.getDouble(4), r.getDouble(5))
+    assert(lo <= 50.0 && 50.0 <= hi && lo >= 10.0 && hi <= 90.0)
+    assert((1 to 9).map(_ * 10.0).contains(lo) &&
+      (1 to 9).map(_ * 10.0).contains(hi),
+      "CI bounds are DATA values (percentile bootstrap), not interpolations")
+    assert(run(rows.repartition(7)) == r, "hash weights: layout-invariant")
+    // even-count lower median: values 10,20 -> 10
+    val even = Seq(("e", 1L, 10.0), ("e", 2L, 20.0)).toDF("g", "id", "v")
+    assert(run(even).getDouble(3) == 10.0)
+  }
+
   test("correlationMatrix: one pass, exact ±1 on linear columns, listwise deletion") {
     import spark.implicits._
     val rows = Seq(
