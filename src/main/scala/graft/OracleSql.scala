@@ -5825,12 +5825,16 @@ object OracleSql {
          |  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
          |nn AS (SELECT g, count(*)::BIGINT AS n_rows FROM base GROUP BY 1),
          |ptg AS (SELECT g, v, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
-         |ptc AS (SELECT g, v,
+         |ptc AS (SELECT g, v, c,
          |    sum(c) OVER (PARTITION BY g ORDER BY v
          |      ROWS UNBOUNDED PRECEDING) AS cum,
-         |    sum(c) OVER (PARTITION BY g) AS wt FROM ptg),
+         |    sum(c) OVER (PARTITION BY g) AS ng FROM ptg),
          |pt AS (SELECT g, min(v) AS med FROM ptc
-         |  WHERE cum * 2 >= wt GROUP BY 1),
+         |  WHERE cum * 2 >= ng GROUP BY 1),
+         |central AS (SELECT g, v FROM ptc
+         |  WHERE cum * 2 >= ng - ceil(32.0 * sqrt(ng::DOUBLE))::BIGINT
+         |    AND (cum - c) * 2 <= ng + ceil(32.0 * sqrt(ng::DOUBLE))::BIGINT),
+         |cut AS (SELECT g, min(v) AS v_lo FROM central GROUP BY 1),
          |reps AS (SELECT g, h, v, gs.rep FROM base,
          |  generate_series(0, 63) gs(rep)),
          |x0 AS (SELECT g, rep, v,
@@ -5841,14 +5845,19 @@ object OracleSql {
          |x4 AS (SELECT g, rep, v, ${mm("x", "3266489909")} AS x FROM x3),
          |us AS (SELECT g, rep, v,
          |    xor(x, x >> 16)::DOUBLE / 4294967296.0 AS u FROM x4),
-         |wg AS (SELECT g, rep, v, sum(($wCase)::BIGINT)::BIGINT AS w8
-         |  FROM us GROUP BY 1, 2, 3),
+         |ws AS (SELECT g, rep, v, ($wCase)::BIGINT AS w FROM us),
+         |masses AS (SELECT ws.g, rep, sum(w)::BIGINT AS wt,
+         |    sum(CASE WHEN v < v_lo THEN w ELSE 0 END)::BIGINT AS below
+         |  FROM ws JOIN cut ON ws.g = cut.g GROUP BY 1, 2),
+         |wg AS (SELECT ws.g, rep, ws.v, sum(w)::BIGINT AS w8
+         |  FROM ws JOIN central ON ws.g = central.g AND ws.v = central.v
+         |  GROUP BY 1, 2, 3),
          |wc AS (SELECT g, rep, v,
          |    sum(w8) OVER (PARTITION BY g, rep ORDER BY v
-         |      ROWS UNBOUNDED PRECEDING) AS cum,
-         |    sum(w8) OVER (PARTITION BY g, rep) AS wt FROM wg),
-         |md AS (SELECT g, rep, min(v) AS med FROM wc
-         |  WHERE wt > 0 AND cum * 2 >= wt GROUP BY 1, 2),
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM wg),
+         |md AS (SELECT wc.g, wc.rep, min(v) AS med
+         |  FROM wc JOIN masses ON wc.g = masses.g AND wc.rep = masses.rep
+         |  WHERE wt > 0 AND (below + cum) * 2 >= wt GROUP BY 1, 2),
          |ci AS (SELECT g, count(*)::BIGINT AS n_reps,
          |    list(med ORDER BY med) AS ms FROM md GROUP BY 1)
          |SELECT nn.g AS o_orderstatus, n_rows, n_reps,

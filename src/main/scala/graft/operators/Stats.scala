@@ -1235,7 +1235,18 @@ object Stats {
     * comparisons (2·cum ≥ W picks the lower median), so there is no
     * floating arithmetic anywhere — the gate matches bit-for-bit by
     * construction. Replicates whose total weight lands 0 (only possible
-    * for tiny groups) drop, and n_reps reports the survivors. */
+    * for tiny groups) drop, and n_reps reports the survivors.
+    *
+    * TRIMMED SEARCH (the scale lever): a Poisson replicate's weighted
+    * median sits within O(√n) ranks of the point median, so the
+    * per-replicate sorted pass runs only over the CENTRAL rank window
+    * |2·rank − n| ≤ 32·√n; the mass below the window enters as a plain
+    * per-(group, replicate) aggregate (map-side combinable, no sort).
+    * The window is part of the estimator's definition — a replicate
+    * whose true median escapes it (probability < e⁻⁵⁰⁰ per replicate)
+    * clips to the window edge or drops — so both engines compute the
+    * identical, deterministic statistic. Cuts the b× sorted volume from
+    * all values to ~64√n per group. */
   def bootstrapMedianCI(df: DataFrame, groupCol: String, idCol: String,
                         valueCol: String, b: Int = 64): DataFrame = {
     require(b >= 8 && b <= 512, "replicates in [8, 512]")
@@ -1246,28 +1257,46 @@ object Stats {
           .as("h"),
         col(valueCol).cast("decimal(18,2)").as("v"))
       .localCheckpoint(eager = false) // point estimate + the rep grid
-    def lowerMedian(grid: DataFrame, parts: Seq[String]): DataFrame = {
-      val pcols = parts.map(col)
-      val w = Window.partitionBy(pcols: _*).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val tot = Window.partitionBy(pcols: _*)
-      grid
-        .withColumn("cum", sum(col("w8")).over(w))
-        .withColumn("wt", sum(col("w8")).over(tot))
-        .filter(col("wt") > 0 && col("cum") * 2 >= col("wt"))
-        .groupBy(pcols: _*).agg(min(col("v")).as("med"))
-    }
-    val point = lowerMedian(
-      base.groupBy(col("g"), col("v"))
-        .agg(count(lit(1)).cast("long").as("w8")), Seq("g"))
-      .withColumnRenamed("med", "median")
+    val grid = base.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = grid
+      .withColumn("cum", sum(col("c")).over(wg))
+      .withColumn("ng", sum(col("c")).over(Window.partitionBy(col("g"))))
+      .localCheckpoint(eager = false) // point median + the central cut
+    val point = ranked.filter(col("cum") * 2 >= col("ng"))
+      .groupBy(col("g")).agg(min(col("v")).as("median"))
+    val margin = ceil(lit(32.0) * sqrt(col("ng").cast("double")))
+      .cast("long")
+    val central = ranked.filter(
+      col("cum") * 2 >= col("ng") - margin &&
+        (col("cum") - col("c")) * 2 <= col("ng") + margin)
+      .select(col("g"), col("v"))
+    val cut = central.groupBy(col("g")).agg(min(col("v")).as("v_lo"))
     val n = base.groupBy(col("g"))
       .agg(count(lit(1)).cast("long").as("n_rows"))
-    val repMeds = lowerMedian(
-      base.withColumn("rep", explode(sequence(lit(0L), lit(b - 1L))))
-        .withColumn("w", poissonWeight)
-        .groupBy(col("g"), col("rep"), col("v"))
-        .agg(sum(col("w")).as("w8")), Seq("g", "rep"))
+    val reps = base
+      .withColumn("rep", explode(sequence(lit(0L), lit(b - 1L))))
+      .withColumn("w", poissonWeight)
+    // total and below-window mass: straight aggregates to g×b groups
+    val masses = reps.join(broadcast(cut), Seq("g"))
+      .groupBy(col("g"), col("rep"))
+      .agg(sum(col("w")).as("wt"),
+        sum(when(col("v") < col("v_lo"), col("w")).otherwise(0L))
+          .as("below"))
+    // the sorted pass runs ONLY over the central window's rep grid
+    val inWin = reps.join(central, Seq("g", "v"))
+      .groupBy(col("g"), col("rep"), col("v"))
+      .agg(sum(col("w")).as("w8"))
+    val wr = Window.partitionBy(col("g"), col("rep")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val repMeds = inWin
+      .withColumn("cum", sum(col("w8")).over(wr))
+      .join(masses, Seq("g", "rep"))
+      .filter(col("wt") > 0 &&
+        (col("below") + col("cum")) * 2 >= col("wt"))
+      .groupBy(col("g"), col("rep")).agg(min(col("v")).as("med"))
     val ci = repMeds.groupBy(col("g"))
       .agg(sort_array(collect_list(col("med"))).as("ms"))
       .select(col("g"), size(col("ms")).cast("long").as("n_reps"),
