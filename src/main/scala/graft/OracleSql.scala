@@ -5891,6 +5891,44 @@ object OracleSql {
          |    AS rank_move
          |FROM a FULL OUTER JOIN b ON a.gram = b.gram""".stripMargin,
 
+    // q293: category frame -> kept/OTHER fold, shares over the total
+    "q293_rare_collapse" ->
+      s"""WITH c AS (SELECT p_type::VARCHAR AS cat, count(*)::BIGINT AS n
+         |  FROM part GROUP BY 1),
+         |tot AS (SELECT sum(n)::BIGINT AS nt FROM c),
+         |t AS (SELECT CASE WHEN cat IS NULL OR n < 10 THEN '__OTHER__'
+         |    ELSE cat END AS category, n,
+         |    CASE WHEN cat IS NULL OR n < 10 THEN 1 ELSE 0 END AS folded
+         |  FROM c),
+         |g AS (SELECT category, sum(n)::BIGINT AS n_rows,
+         |    sum(folded)::BIGINT AS nf FROM t GROUP BY 1)
+         |SELECT category, category = '__OTHER__' AS is_other, n_rows,
+         |  CASE WHEN category = '__OTHER__' THEN nf ELSE 1 END::BIGINT
+         |    AS n_source_categories,
+         |  ${rnd("n_rows::DOUBLE / nt::DOUBLE", 6)} AS share
+         |FROM g, tot""".stripMargin,
+
+    // q294: distinct categories -> md5 buckets; birthday expectation in
+    // the same operation order
+    "q294_feature_hash_audit" ->
+      s"""WITH b AS (SELECT ${h32("cat")} % 128 AS b,
+         |    count(*)::BIGINT AS load FROM (
+         |    SELECT DISTINCT p_type::VARCHAR AS cat FROM part
+         |    WHERE p_type IS NOT NULL) GROUP BY 1),
+         |a AS (SELECT sum(load)::BIGINT AS n_categories,
+         |    count(*)::BIGINT AS n_buckets_used,
+         |    sum(CASE WHEN load >= 2 THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_colliding_buckets,
+         |    sum(CASE WHEN load >= 2 THEN load ELSE 0 END)::BIGINT
+         |      AS n_collided_categories,
+         |    max(load)::BIGINT AS max_bucket_load FROM b)
+         |SELECT n_categories, 128::BIGINT AS n_buckets, n_buckets_used,
+         |  n_colliding_buckets, n_collided_categories, max_bucket_load,
+         |  ${rnd("n_categories::DOUBLE - 128.0 * (1.0 - " +
+             "pow(1.0 - 0.0078125, n_categories::DOUBLE))", 4)}
+         |    AS expected_collided
+         |FROM a""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

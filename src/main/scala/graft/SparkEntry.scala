@@ -3009,6 +3009,18 @@ object SparkEntry {
     graft.operators.Sketches.topKChurn(TW(s, dir, "documents"), "text",
       pmod(col("doc_id"), lit(2L)) === 1, n = 1, topK = 20)
 
+  /** Long-tail collapse of part types at support ≥ 10: the auditable
+    * pre-encoding step (kept categories + the OTHER mass). */
+  private def q293(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.rareCategoryCollapse(T(s, dir, "part"),
+      "p_type", minSupport = 10L)
+
+  /** Feature-hashing audit of part types into 2^7 buckets: observed vs
+    * birthday-expected collisions — the bits-sizing gate. */
+  private def q294(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.featureHashAudit(T(s, dir, "part"),
+      "p_type", bits = 7)
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3397,7 +3409,9 @@ object SparkEntry {
     "q289_corr_matrix" -> (q289 _),
     "q290_char_stats" -> (q290 _),
     "q291_median_boot_ci" -> (q291 _),
-    "q292_topk_churn" -> (q292 _)
+    "q292_topk_churn" -> (q292 _),
+    "q293_rare_collapse" -> (q293 _),
+    "q294_feature_hash_audit" -> (q294 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -231,6 +231,77 @@ object DataQuality {
     * to group, the COW DELETE (q262) erases, this RELEASES aggregates.
     * One aggregation; the CASE ladder is |support| branches (~43 at ε=1),
     * codegen-friendly. */
+  /** Long-tail category collapse — the encoding step before one-hot or
+    * target encoding: categories with support < `minSupport` fold into a
+    * single OTHER row, and the report shows exactly what the model will
+    * see (kept categories with shares, plus OTHER's aggregate mass and
+    * how many raw categories it swallowed). Keeping the tail as explicit
+    * rows is what makes the decision AUDITABLE: coverage = 1 − OTHER
+    * share tells you if the threshold is eating signal. One aggregation
+    * to the category frame; NULL categories fold into OTHER too (an
+    * unknown category diversifies nothing — the q219 stance). */
+  def rareCategoryCollapse(df: DataFrame, catCol: String,
+                           minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport >= 1")
+    val counts = df
+      .groupBy(col(catCol).cast("string").as("cat"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val tot = counts.agg(sum(col("n")).cast("long").as("nt"))
+    val tagged = counts.select(
+      when(col("cat").isNull || col("n") < minSupport, lit("__OTHER__"))
+        .otherwise(col("cat")).as("category"),
+      col("n"),
+      when(col("cat").isNull || col("n") < minSupport, 1L).otherwise(0L)
+        .as("folded"))
+    tagged.groupBy(col("category"))
+      .agg(sum(col("n")).cast("long").as("n_rows"),
+        sum(col("folded")).cast("long").as("n_source_categories"))
+      .crossJoin(broadcast(tot))
+      .select(col("category"),
+        (col("category") === "__OTHER__").as("is_other"),
+        col("n_rows"),
+        when(col("category") === "__OTHER__",
+          col("n_source_categories")).otherwise(1L)
+          .as("n_source_categories"),
+        round(col("n_rows").cast("double") / col("nt").cast("double"), 6)
+          .as("share"))
+  }
+
+  /** Feature-hashing collision audit: hash the column's DISTINCT
+    * categories into 2^`bits` buckets (portable md5, so the audit
+    * replays anywhere the feature pipeline runs) and report how much
+    * signal the hashing trick destroys — colliding buckets, categories
+    * sharing a bucket, the max pile-up, and the birthday-bound
+    * expectation E[collisions] = m − n·(1−(1−1/n)^m) to judge whether
+    * the observed count is hash pathology or just math. The deploy gate
+    * for choosing `bits` before training. Distinct-frame work only. */
+  def featureHashAudit(df: DataFrame, catCol: String,
+                       bits: Int): DataFrame = {
+    require(bits >= 2 && bits <= 24, "bits in [2, 24]")
+    val nBuckets = 1L << bits
+    val buckets = df.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("cat")).distinct()
+      .select(pmod(graft.functions.Hashes.portableHash32(col("cat")),
+        lit(nBuckets)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).cast("long").as("load"))
+    buckets.agg(
+        sum(col("load")).cast("long").as("n_categories"),
+        count(lit(1)).cast("long").as("n_buckets_used"),
+        sum(when(col("load") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("n_colliding_buckets"),
+        sum(when(col("load") >= 2, col("load")).otherwise(0L)).cast("long")
+          .as("n_collided_categories"),
+        max(col("load")).cast("long").as("max_bucket_load"))
+      .select(col("n_categories"), lit(nBuckets).as("n_buckets"),
+        col("n_buckets_used"), col("n_colliding_buckets"),
+        col("n_collided_categories"), col("max_bucket_load"),
+        round(col("n_categories").cast("double") -
+          lit(nBuckets.toDouble) * (lit(1.0) -
+            pow(lit(1.0) - lit(1.0 / nBuckets),
+              col("n_categories").cast("double"))), 4)
+          .as("expected_collided"))
+  }
+
   /** Driver-side cumulative CDF of the truncated discrete Laplace —
     * shared with the oracle generator so BOTH engines embed the
     * bit-identical literals. */

@@ -176,7 +176,8 @@ class PlanSpec extends SparkSpec {
       "q280_krippendorff", // 1-row marginals control frame
       "q282_pr_curve", // 1-row positives-total control frame
       "q286_ips_policy", // 1-row |A| frame x the |contexts|-row policy frame
-      "q287_mix_shift") // 1-row period-totals control frame
+      "q287_mix_shift", // 1-row period-totals control frame
+      "q293_rare_collapse") // 1-row category-total control frame
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",

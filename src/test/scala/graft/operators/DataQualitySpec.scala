@@ -171,4 +171,37 @@ class DataQualitySpec extends SparkSpec {
     val tiny = Seq.fill(1)(("only", 1)).toDF("g", "x")
     assert(run(tiny)("only")._2 >= 0L)
   }
+
+  test("rareCategoryCollapse: tail and nulls fold into OTHER, shares tie out") {
+    import spark.implicits._
+    val rows = (Seq.fill(5)("big") ++ Seq.fill(3)("mid") ++
+      Seq("rare1", "rare2") ++ Seq(null.asInstanceOf[String]))
+      .map(Tuple1(_)).toDF("c")
+    val out = DataQuality.rareCategoryCollapse(rows, "c", minSupport = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out("big") == ((false, 5L, 1L, math.rint(5e6 / 11.0) / 1e6)))
+    assert(out("mid")._2 == 3L)
+    assert(out("__OTHER__") == ((true, 3L, 3L,
+      math.rint(3e6 / 11.0) / 1e6)),
+      "two rare categories + the null row fold into one OTHER")
+    assert(out.values.map(_._2).sum == 11L)
+  }
+
+  test("featureHashAudit: loads tie out; expectation matches the closed form") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => "cat" + i).map(Tuple1(_)).toDF("c")
+    val r = DataQuality.featureHashAudit(rows, "c", bits = 4).collect().head
+    assert(r.getLong(0) == 50L && r.getLong(1) == 16L)
+    assert(r.getLong(2) <= 16L && r.getLong(5) >= 4L,
+      "50 cats into 16 buckets: max load >= ceil(50/16)")
+    assert(r.getLong(4) >= r.getLong(3) * 2,
+      "each colliding bucket holds at least two categories")
+    assert(r.getLong(0) - r.getLong(4) + r.getLong(3) == r.getLong(1) ||
+      r.getLong(2) < r.getLong(1),
+      "used buckets = singletons + colliding buckets")
+    val exp = 50.0 - 16.0 * (1.0 - math.pow(1.0 - 1.0 / 16.0, 50.0))
+    assert(r.getDouble(6) == math.rint(exp * 1e4) / 1e4)
+  }
 }
