@@ -5327,9 +5327,11 @@ object OracleSql {
          |SELECT m::BIGINT AS n_edges, n_left, n_right,
          |  ${rnd("sx::DOUBLE / m::DOUBLE", 4)} AS mean_deg_left,
          |  ${rnd("sy::DOUBLE / m::DOUBLE", 4)} AS mean_deg_right,
-         |  ${rnd("(m * sxy - sx * sy)::DOUBLE / " +
+         |  ${rnd("CASE WHEN (m * sxx - sx * sx) = 0 OR " +
+             "(m * syy - sy * sy) = 0 THEN NULL ELSE " +
+             "(m * sxy - sx * sy)::DOUBLE / " +
              "sqrt((m * sxx - sx * sx)::DOUBLE * " +
-             "(m * syy - sy * sy)::DOUBLE)", 4)} AS assortativity
+             "(m * syy - sy * sy)::DOUBLE) END", 4)} AS assortativity
          |FROM mm""".stripMargin,
 
     // q273: growth accounting — per-user lag/lead over the distinct

@@ -305,11 +305,14 @@ object Graph {
         .as("mean_deg_left"),
       round(col("sy").cast("double") / col("m").cast("double"), 4)
         .as("mean_deg_right"),
-      round(
-        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
-            .cast("double") *
-            (col("m") * col("syy") - col("sy") * col("sy"))
-            .cast("double")), 4).as("assortativity"))
+      round(when(
+        (col("m") * col("sxx") - col("sx") * col("sx")) === 0 ||
+          (col("m") * col("syy") - col("sy") * col("sy")) === 0, null)
+        .otherwise(
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("m") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 4).as("assortativity"))
   }
 }

@@ -1127,26 +1127,36 @@ object Similarity {
     import org.apache.spark.sql.types._
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
-    val seed = base.orderBy(col("id")).limit(1).collect().head
+    val seedRows = base.orderBy(col("id")).limit(1).collect()
+    require(seedRows.nonEmpty, "empty corpus")
+    val seed = seedRows.head
     var selected = Vector(
       (seed.getLong(0), seed.getSeq[Float](1).toArray, Option.empty[Double]))
     val selSchema = StructType(Seq(
       StructField("sv", ArrayType(FloatType), nullable = false)))
-    while (selected.size < k) {
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
       val selDf = spark.createDataFrame(java.util.Arrays.asList(
         selected.map { case (_, v, _) => Row(v.toSeq) }: _*), selSchema)
       val ids = selected.map(_._1)
-      val pick = base
+      val picks = base
         .filter(!col("id").isin(ids: _*))
         .crossJoin(broadcast(selDf))
         .groupBy(col("id"))
         .agg(min(lit(1.0) -
           VectorFunctions.cosine(col("v"), col("sv"))).as("d"))
         .orderBy(col("d").desc, col("id"))
-        .limit(1).collect().head
+        .limit(1).collect()
+      // a corpus smaller than k simply yields its full trajectory
+      exhausted = picks.isEmpty
+      if (exhausted) {
+        // nothing left to select
+      } else {
+      val pick = picks.head
       val pv = base.filter(col("id") === pick.getLong(0))
         .select(col("v")).collect().head.getSeq[Float](0).toArray
       selected :+= ((pick.getLong(0), pv, Some(pick.getDouble(1))))
+      }
     }
     val outSchema = StructType(Seq(
       StructField("sel_round", LongType, nullable = false),

@@ -1780,9 +1780,12 @@ object Stats {
         .select(col("g"), col(v),
           (lit(2L) * (col("cum") - col("c")) + col("c") + 1L).as(out))
     }
+    // no broadcast hint: the grid is value-space-bounded for the intended
+    // discrete columns, but a continuous column would blow an 8 GB forced
+    // broadcast — let AQE pick (it broadcasts the small grids anyway)
     base
-      .join(broadcast(gridRanks("x", "rx")), Seq("g", "x"))
-      .join(broadcast(gridRanks("y", "ry")), Seq("g", "y"))
+      .join(gridRanks("x", "rx"), Seq("g", "x"))
+      .join(gridRanks("y", "ry"), Seq("g", "y"))
       .groupBy(col("g"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(col("rx")).cast("decimal(38,0)").as("sx"),

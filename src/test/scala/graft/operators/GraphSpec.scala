@@ -144,5 +144,9 @@ class GraphSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.6667 && r.getDouble(4) == 1.6667)
     // (dx,dy) pairs (2,2),(2,1),(1,2): r = (3*8-25)/sqrt(2*2) = -0.5
     assert(r.getDouble(5) == -0.5)
+    // flat degrees (a perfect matching) have zero variance: null, not NaN
+    val flat = Seq((1L, 10L), (2L, 20L)).toDF("u", "i")
+    assert(Graph.degreeAssortativity(flat, "u", "i").collect().head
+      .isNullAt(5))
   }
 }

@@ -667,6 +667,10 @@ class SimilaritySpec extends SparkSpec {
     assert(last > 0.004 && last < 0.008, s"near-dup radius, got $last")
     assert(out.flatMap(_._3).sliding(2).forall(p => p(0) >= p(1)),
       "covering radius curve is monotone non-increasing")
+    // a corpus smaller than k yields its full trajectory, not a crash
+    val tiny = Similarity.farthestPointSample(
+      corpus.filter($"vec_id" < 2L), k = 5).collect()
+    assert(tiny.length == 2)
   }
 
   test("tripletEval: aligned geometry scores margin +1, crossed geometry violates") {
