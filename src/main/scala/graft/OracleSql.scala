@@ -5931,6 +5931,82 @@ object OracleSql {
          |    AS expected_collided
          |FROM a""".stripMargin,
 
+    // q295: deterministic-sample range bounds (exact sample-grid
+    // quantiles) -> realized partition loads
+    "q295_range_bounds" ->
+      s"""WITH base AS (SELECT o_orderkey::VARCHAR AS id, o_totalprice AS v
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |grid AS (SELECT v, count(*)::BIGINT AS c,
+         |    sum(CASE WHEN ${h32("id")} % 100 < 5 THEN 1 ELSE 0 END)
+         |      ::BIGINT AS sc
+         |  FROM base GROUP BY 1),
+         |sampled AS (SELECT v, sum(sc) OVER (ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM grid WHERE sc > 0),
+         |stot AS (SELECT sum(sc)::BIGINT AS st FROM grid),
+         |bounds AS (SELECT i, min(v) AS bound
+         |  FROM sampled, stot, generate_series(1, 15) g(i)
+         |  WHERE cum * 16 >= i * st GROUP BY 1),
+         |assigned AS (SELECT g.v, g.c, count(b.i)::BIGINT AS p
+         |  FROM grid g LEFT JOIN bounds b ON g.v >= b.bound GROUP BY 1, 2),
+         |tot AS (SELECT sum(c)::BIGINT AS nt FROM grid)
+         |SELECT p AS partition, sum(c)::BIGINT AS n_rows,
+         |  ${rnd("sum(c)::DOUBLE / any_value(nt)::DOUBLE", 6)} AS share,
+         |  ${rnd("sum(c)::DOUBLE * 16 / any_value(nt)::DOUBLE", 4)}
+         |    AS skew_ratio
+         |FROM assigned, tot GROUP BY 1""".stripMargin,
+
+    // q296: Murphy decomposition — 12-decimal forecast sums (the q276
+    // contract), bin-order folds, exact-numerator Brier
+    "q296_brier_decomp" -> {
+      def score(markers: Seq[String]) =
+        s"len(list_filter($toksExpr, t -> list_contains([" +
+          markers.map("'" + _ + "'").mkString(",") + "], t)))"
+      val total = Seq(
+        score(Seq("the", "and", "of", "is", "that")),
+        score(Seq("der", "die", "und", "ist", "das")),
+        score(Seq("le", "la", "et", "est", "les")),
+        score(Seq("el", "la", "que", "es", "los")),
+        score(Seq("的", "是", "了", "在", "我"))).mkString(" + ")
+      val en = score(Seq("the", "and", "of", "is", "that"))
+      val fd = rnd("conf", 12) + "::DECIMAL(19,12)"
+      s"""WITH scored AS (SELECT
+         |    CASE WHEN ($total) > 0
+         |         THEN ($en)::DOUBLE / ($total)::DOUBLE ELSE 0.0 END
+         |      AS conf,
+         |    (lang = 'en') AS y
+         |  FROM documents WHERE lang IS NOT NULL),
+         |b AS (SELECT least(19, greatest(0, floor(conf * 20)::BIGINT))
+         |      AS bin,
+         |    count(*)::BIGINT AS n,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos,
+         |    sum($fd)::DECIMAL(38,12) AS sf,
+         |    sum(($fd * $fd)::DECIMAL(38,24))::DECIMAL(38,24) AS sf2,
+         |    sum(CASE WHEN y THEN $fd END)::DECIMAL(38,12) AS sfy
+         |  FROM scored GROUP BY 1),
+         |tt AS (SELECT sum(n)::BIGINT AS nt, sum(pos)::BIGINT AS pt,
+         |    sum(sf2)::DECIMAL(38,24) AS sf2t,
+         |    coalesce(sum(sfy), 0)::DECIMAL(38,12) AS sfyt FROM b),
+         |folds AS (SELECT
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(
+         |      n::DOUBLE * (sf::DOUBLE / n::DOUBLE - pos::DOUBLE /
+         |        n::DOUBLE) * (sf::DOUBLE / n::DOUBLE - pos::DOUBLE /
+         |        n::DOUBLE) ORDER BY bin)), (a, x) -> a + x) AS relsum,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(
+         |      n::DOUBLE * (pos::DOUBLE / n::DOUBLE - pt::DOUBLE /
+         |        nt::DOUBLE) * (pos::DOUBLE / n::DOUBLE - pt::DOUBLE /
+         |        nt::DOUBLE) ORDER BY bin)), (a, x) -> a + x) AS ressum
+         |  FROM b, tt GROUP BY nt, pt)
+         |SELECT nt AS n_rows,
+         |  ${rnd("pt::DOUBLE / nt::DOUBLE", 6)} AS base_rate,
+         |  ${rnd("(sf2t::DOUBLE - 2.0 * sfyt::DOUBLE + pt::DOUBLE) / " +
+             "nt::DOUBLE", 6)} AS brier,
+         |  ${rnd("relsum / nt::DOUBLE", 6)} AS reliability,
+         |  ${rnd("ressum / nt::DOUBLE", 6)} AS resolution,
+         |  ${rnd("(pt::DOUBLE / nt::DOUBLE) * (1.0 - pt::DOUBLE / " +
+             "nt::DOUBLE)", 6)} AS uncertainty
+         |FROM folds, tt""".stripMargin
+    },
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

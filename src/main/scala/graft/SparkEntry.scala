@@ -3021,6 +3021,27 @@ object SparkEntry {
     graft.operators.DataQuality.featureHashAudit(T(s, dir, "part"),
       "p_type", bits = 7)
 
+  /** Range-partitioner pre-flight on order prices: deterministic-sample
+    * bounds (16 parts, 5%) vs realized partition loads + skew ratios. */
+  private def q295(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.rangePartitionAudit(T(s, dir, "orders"),
+      "o_orderkey", "o_totalprice", nParts = 16, samplePct = 5)
+      .orderBy(col("partition"))
+
+  /** Murphy decomposition of the en-confidence Brier score: reliability /
+    * resolution / uncertainty + the exact Brier alongside. */
+  private def q296(s: SparkSession, dir: String): DataFrame = {
+    val scores = TextAnalysis.langScores(col("text"))
+    val total = scores.map(_._2).reduce(_ + _)
+    val conf = when(total > 0,
+      scores.toMap.apply("en").cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+    val scored = TW(s, dir, "documents").filter(col("lang").isNotNull)
+      .select(conf.as("en_conf"), (col("lang") === "en").as("is_en"))
+    graft.operators.Stats.brierDecomposition(scored, "en_conf", "is_en",
+      nBins = 20)
+  }
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3411,7 +3432,9 @@ object SparkEntry {
     "q291_median_boot_ci" -> (q291 _),
     "q292_topk_churn" -> (q292 _),
     "q293_rare_collapse" -> (q293 _),
-    "q294_feature_hash_audit" -> (q294 _)
+    "q294_feature_hash_audit" -> (q294 _),
+    "q295_range_bounds" -> (q295 _),
+    "q296_brier_decomp" -> (q296 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

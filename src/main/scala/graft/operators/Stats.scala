@@ -1805,6 +1805,119 @@ object Stats {
                 .cast("double"))), 4).as("spearman_rho"))
   }
 
+  /** Range-partitioner audit: compute split bounds from a DETERMINISTIC
+    * hash sample (the repartitionByRange recipe, made reproducible) and
+    * report each partition's REALIZED row count and skew ratio — the
+    * pre-flight for any global sort / range shuffle: sampled bounds that
+    * looked fine can still land 3× on one partition when the column is
+    * stepped or heavy-tailed, and that partition is the straggler. Bound
+    * i is the smallest sampled value whose cumulative sample count
+    * reaches ⌈i·S/n⌉ (exact grid quantiles of the sample, no
+    * interpolation); assignment joins the value grid against the ≤n−1
+    * broadcast bounds. All counts exact; one division per output cell. */
+  def rangePartitionAudit(df: DataFrame, idCol: String, valueCol: String,
+                          nParts: Int, samplePct: Int = 5): DataFrame = {
+    require(nParts >= 2 && nParts <= 4096, "nParts in [2, 4096]")
+    require(samplePct >= 1 && samplePct <= 100, "samplePct in [1, 100]")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("id"), col(valueCol).as("v"))
+    val grid = base.groupBy(col("v"))
+      .agg(count(lit(1)).cast("long").as("c"),
+        sum(when(pmod(graft.functions.Hashes.portableHash32(col("id")),
+          lit(100L)) < samplePct, 1L).otherwise(0L)).cast("long")
+          .as("sc"))
+      .localCheckpoint(eager = false) // bounds + the assignment pass
+    val wv = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sampled = grid.filter(col("sc") > 0)
+      .withColumn("cum", sum(col("sc")).over(wv))
+    val stot = sampled.agg(sum(col("sc")).cast("long").as("st"))
+    val bounds = sampled.crossJoin(broadcast(stot))
+      .withColumn("i", explode(sequence(lit(1), lit(nParts - 1))))
+      // smallest sampled v reaching the i-th exact sample quantile
+      .filter(col("cum") * nParts >= col("i") * col("st"))
+      .groupBy(col("i")).agg(min(col("v")).as("bound"))
+    val assigned = grid.join(broadcast(bounds),
+        col("v") >= col("bound"), "left")
+      .groupBy(col("v"), col("c"))
+      .agg(count(col("i")).cast("int").as("partition"))
+    val tot = grid.agg(sum(col("c")).cast("long").as("nt"))
+    assigned.groupBy(col("partition"))
+      .agg(sum(col("c")).cast("long").as("n_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("partition").cast("long").as("partition"),
+        col("n_rows"),
+        round(col("n_rows").cast("double") / col("nt").cast("double"), 6)
+          .as("share"),
+        round(col("n_rows").cast("double") * nParts /
+          col("nt").cast("double"), 4).as("skew_ratio"))
+  }
+
+  /** Murphy decomposition of the Brier score over a fixed bin grid:
+    * reliability (how far bin-mean forecasts sit from bin outcome rates
+    * — lower is better-calibrated), resolution (how far bin outcome
+    * rates spread from the base rate — higher is more informative), and
+    * uncertainty (the base rate's own variance, the no-skill floor).
+    * Complements [[calibrationReport]]'s ECE: REL/RES separate "honest"
+    * from "useful". Binning makes the classic identity Brier = REL −
+    * RES + UNC hold only up to within-bin forecast variance; the exact
+    * Brier is reported alongside so the residual is visible, not
+    * assumed away.
+    *
+    * Exactness: scores round to 12 decimals and sum as DECIMAL (the
+    * q276 contract), so bin means are single divisions; the bin-level
+    * folds run in bin order on both engines; Brier's numerator is
+    * Σf² − 2Σ(f·y) + pos — exact decimals, one division. */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+                         nBins: Int = 20): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, "nBins in [2, 1000]")
+    val f = round(col(scoreCol), 12).cast("decimal(20,12)")
+    val binned = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(least(lit(nBins - 1), greatest(lit(0),
+        floor(col(scoreCol) * nBins).cast("int"))).as("bin"),
+        f.as("f"), col(labelCol).cast("boolean").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).cast("long").as("pos"),
+        sum(col("f")).cast("decimal(38,12)").as("sf"),
+        sum((col("f") * col("f")).cast("decimal(38,24)"))
+          .cast("decimal(38,24)").as("sf2"),
+        sum(when(col("y"), col("f"))).cast("decimal(38,12)").as("sfy"))
+    val folded = binned
+      .agg(sort_array(collect_list(struct(col("bin"), col("n"),
+        col("pos"), col("sf"), col("sf2"), col("sfy")))).as("ls"))
+      .select(col("ls"),
+        aggregate(col("ls"), lit(0L), (a, e) => a + e("n")).as("nt"),
+        aggregate(col("ls"), lit(0L), (a, e) => a + e("pos")).as("pt"),
+        aggregate(col("ls"), lit(0).cast("decimal(38,12)"),
+          (a, e) => (a + e("sf")).cast("decimal(38,12)")).as("sft"),
+        aggregate(col("ls"), lit(0).cast("decimal(38,24)"),
+          (a, e) => (a + e("sf2")).cast("decimal(38,24)")).as("sf2t"),
+        aggregate(col("ls"), lit(0).cast("decimal(38,12)"),
+          (a, e) => coalesce((a + e("sfy")).cast("decimal(38,12)"), a))
+          .as("sfyt"))
+    val ntD = col("nt").cast("double")
+    val obar = col("pt").cast("double") / ntD
+    val rel = aggregate(col("ls"), lit(0.0), (a, e) => {
+      val fb = e("sf").cast("double") / e("n").cast("double")
+      val ob = e("pos").cast("double") / e("n").cast("double")
+      a + e("n").cast("double") * (fb - ob) * (fb - ob)
+    }) / ntD
+    val res = aggregate(col("ls"), lit(0.0), (a, e) => {
+      val ob = e("pos").cast("double") / e("n").cast("double")
+      a + e("n").cast("double") * (ob - obar) * (ob - obar)
+    }) / ntD
+    folded.select(col("nt").as("n_rows"),
+      round(obar, 6).as("base_rate"),
+      round((col("sf2t").cast("double") -
+        lit(2.0) * col("sfyt").cast("double") +
+        col("pt").cast("double")) / ntD, 6).as("brier"),
+      round(rel, 6).as("reliability"),
+      round(res, 6).as("resolution"),
+      round(obar * (lit(1.0) - obar), 6).as("uncertainty"))
+  }
+
   /** Pairwise Pearson correlation matrix over `cols` in ONE aggregation
     * pass: the k + k(k+1)/2 exact DECIMAL moments (sums, squares, cross
     * products) land in a single map-side-combinable aggregate — one scan

@@ -177,7 +177,9 @@ class PlanSpec extends SparkSpec {
       "q282_pr_curve", // 1-row positives-total control frame
       "q286_ips_policy", // 1-row |A| frame x the |contexts|-row policy frame
       "q287_mix_shift", // 1-row period-totals control frame
-      "q293_rare_collapse") // 1-row category-total control frame
+      "q293_rare_collapse", // 1-row category-total control frame
+      "q295_range_bounds", // <=nParts-row broadcast bounds frame
+      "q296_brier_decomp") // 1-row totals control frame
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
@@ -243,7 +245,11 @@ class PlanSpec extends SparkSpec {
       // dense catalog index: row_number over the |catalog|-row small side
       "q257_negative_sampling",
       // cumulative-from-top windows over the nBins-row PR-curve frame
-      "q282_pr_curve")
+      "q282_pr_curve",
+      // sample-grid cumulative for the range bounds — computing split
+      // bounds IS a global-ordering problem (Spark's own RangePartitioner
+      // collects its sample to the driver; this sorts it distributed)
+      "q295_range_bounds")
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",
       "q59_scd4_table_write", "q53_dedup_clusters", "q83_cluster_survivors",
       "q96_curation_pipeline", "q102_pagerank", "q71_bucketed_join",

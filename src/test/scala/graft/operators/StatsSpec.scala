@@ -884,6 +884,37 @@ class StatsSpec extends SparkSpec {
     assert(run(even).getDouble(3) == 10.0)
   }
 
+  test("rangePartitionAudit: full-sample bounds are exact quartiles, loads tie out") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Stats.rangePartitionAudit(rows, "id", "v", nParts = 4,
+        samplePct = 100)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // bounds at v=25/50/75: partitions hold 24/25/25/26 rows
+    assert(out(0L) == ((24L, 0.24, 0.96)))
+    assert(out(1L) == ((25L, 0.25, 1.0)) && out(2L) == ((25L, 0.25, 1.0)))
+    assert(out(3L) == ((26L, 0.26, 1.04)))
+    assert(out.values.map(_._1).sum == 100L)
+  }
+
+  test("brierDecomposition: two-spike forecast hits the closed-form Murphy terms") {
+    import spark.implicits._
+    val rows = (Seq.fill(4)((0.1, false)) ++ Seq.fill(4)((0.9, true)))
+      .toDF("s", "y")
+    val r = Stats.brierDecomposition(rows, "s", "y", nBins = 20)
+      .collect().head
+    assert(r.getLong(0) == 8L && r.getDouble(1) == 0.5)
+    assert(r.getDouble(2) == 0.01, "brier = mean (f-y)^2 = 0.01")
+    assert(r.getDouble(3) == 0.01, "reliability: both bins off by 0.1")
+    assert(r.getDouble(4) == 0.25, "resolution: bin rates 0/1 vs base 0.5")
+    assert(r.getDouble(5) == 0.25)
+    // constant within-bin forecasts: the Murphy identity holds (up to
+    // the rounding of the already-rounded report columns)
+    assert(math.abs(r.getDouble(2) -
+      (r.getDouble(3) - r.getDouble(4) + r.getDouble(5))) < 1e-9)
+  }
+
   test("correlationMatrix: one pass, exact ±1 on linear columns, listwise deletion") {
     import spark.implicits._
     val rows = Seq(
