@@ -6007,6 +6007,71 @@ object OracleSql {
          |FROM folds, tt""".stripMargin
     },
 
+    // q297: IPF unrolled — 3 iterations x (row, col) scalings; margin
+    // totals fold the sorted cell lists, the scale literal keeps the
+    // Spark operation order ((1.0/nr)*nt)
+    "q297_ipf_raking" -> {
+      def stage(i: Int, src: String, key: String, other: String,
+                share: String): String =
+        s"""t$i AS (SELECT $key, list_reduce(list_prepend(0.0::DOUBLE,
+           |    list(w * n::DOUBLE ORDER BY $other)), (a, x) -> a + x)
+           |    AS mt
+           |  FROM $src GROUP BY 1),
+           |s$i AS (SELECT $src.r, $src.c, n,
+           |    w * ($share * nt) / mt AS w
+           |  FROM $src JOIN t$i USING ($key), dims)""".stripMargin
+      val stages = (0 until 3).flatMap { it =>
+        Seq(stage(2 * it + 1, if (it == 0) "s0" else s"s${2 * it}",
+          "r", "c", "(1.0 / nr)"),
+          stage(2 * it + 2, s"s${2 * it + 1}", "c", "r", "(1.0 / nc)"))
+      }
+      s"""WITH cells AS (SELECT event_type::VARCHAR AS r,
+         |    (user_id % 4)::VARCHAR AS c, count(*)::BIGINT AS n
+         |  FROM events WHERE event_type IS NOT NULL
+         |    AND user_id IS NOT NULL GROUP BY 1, 2),
+         |dims AS (SELECT count(DISTINCT r)::DOUBLE AS nr,
+         |    count(DISTINCT c)::DOUBLE AS nc, sum(n)::DOUBLE AS nt
+         |  FROM cells),
+         |s0 AS (SELECT r, c, n, 1.0::DOUBLE AS w FROM cells),
+         |${stages.mkString(",\n")}
+         |SELECT r, c, n, ${rnd("w", 6)} AS weight,
+         |  ${rnd("w * n::DOUBLE / nt", 6)} AS fitted_share
+         |FROM s6, dims""".stripMargin
+    },
+
+    // q298: ordered-step conversion z between arms — strict follow after
+    // the FIRST entry event, pooled-variance z in the Spark order
+    "q298_funnel_ab" -> {
+      val pa = "conv_a::DOUBLE / n_a::DOUBLE"
+      val pb = "conv_b::DOUBLE / n_b::DOUBLE"
+      val pp = "(conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE"
+      val z = s"CASE WHEN ($pp) > 0.0 AND ($pp) < 1.0 THEN " +
+        s"(($pb) - ($pa)) / sqrt(($pp) * (1.0 - ($pp)) * " +
+        "(1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) END"
+      s"""WITH base AS (SELECT user_id AS u, (user_id % 2 = 1) AS arm,
+         |    event_type AS t, ts
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |    AND user_id IS NOT NULL),
+         |entered AS (SELECT u, arm, min(ts) AS ta FROM base
+         |  WHERE t = 'view' GROUP BY 1, 2),
+         |cv AS (SELECT arm, count(*)::BIGINT AS conv FROM (
+         |    SELECT DISTINCT e.u, e.arm FROM entered e
+         |    JOIN base b ON b.u = e.u AND b.t = 'purchase'
+         |      AND b.ts > e.ta) GROUP BY 1),
+         |arms AS (SELECT entered.arm, count(*)::BIGINT AS n,
+         |    coalesce(any_value(conv), 0)::BIGINT AS conv
+         |  FROM entered LEFT JOIN cv ON entered.arm = cv.arm GROUP BY 1),
+         |ab AS (SELECT
+         |    (SELECT n FROM arms WHERE NOT arm) AS n_a,
+         |    (SELECT conv FROM arms WHERE NOT arm) AS conv_a,
+         |    (SELECT n FROM arms WHERE arm) AS n_b,
+         |    (SELECT conv FROM arms WHERE arm) AS conv_b)
+         |SELECT n_a, conv_a, ${rnd(pa, 6)} AS rate_a, n_b, conv_b,
+         |  ${rnd(pb, 6)} AS rate_b, ${rnd(z, 4)} AS z,
+         |  abs($z) > 1.959963984540054 AS significant_5pct
+         |FROM ab""".stripMargin
+    },
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

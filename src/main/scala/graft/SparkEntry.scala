@@ -3042,6 +3042,19 @@ object SparkEntry {
       nBins = 20)
   }
 
+  /** IPF raking of the event_type × user-bucket table to uniform margins
+    * (3 alternating scalings, sorted-fold margin totals). */
+  private def q297(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.ipfRaking(T(s, dir, "events"),
+      col("event_type"), pmod(col("user_id"), lit(4L)), iters = 3)
+
+  /** view→purchase funnel conversion z-test between the user_id%2 arms —
+    * the ordered-step experiment readout. */
+  private def q298(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.funnelConversionTest(T(s, dir, "events"),
+      "user_id", "ts", "event_type", "view", "purchase",
+      pmod(col("user_id"), lit(2L)) === 1)
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3434,7 +3447,9 @@ object SparkEntry {
     "q293_rare_collapse" -> (q293 _),
     "q294_feature_hash_audit" -> (q294 _),
     "q295_range_bounds" -> (q295 _),
-    "q296_brier_decomp" -> (q296 _)
+    "q296_brier_decomp" -> (q296 _),
+    "q297_ipf_raking" -> (q297 _),
+    "q298_funnel_ab" -> (q298 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1853,6 +1853,99 @@ object Stats {
           col("nt").cast("double"), 4).as("skew_ratio"))
   }
 
+  /** Iterative proportional fitting (raking) of a two-way contingency
+    * table to UNIFORM target margins: the survey-calibration step that
+    * turns a biased collection into one whose row and column totals match
+    * the design — [[postStratifiedMean]] corrects ONE margin exactly;
+    * raking reconciles both when the joint target is unknown. Fixed
+    * `iters` alternating row/column scalings (the deterministic-loop
+    * contract of pageRank/BPE); each scaling is a ≤|rows|- or
+    * ≤|cols|-bounded join, and every margin total folds the SORTED cell
+    * list so the fp sequence is engine-identical. Output per cell: raw
+    * count, the raking weight, and the fitted share. */
+  def ipfRaking(df: DataFrame, rowCol: Column, colCol: Column,
+                iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters in [1, 10]")
+    val cells = df.filter(rowCol.isNotNull && colCol.isNotNull)
+      .groupBy(rowCol.cast("string").as("r"), colCol.cast("string").as("c"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint() // the fixpoint re-reads it every scaling
+    val dims = cells.agg(countDistinct(col("r")).cast("double").as("nr"),
+      countDistinct(col("c")).cast("double").as("nc"),
+      sum(col("n")).cast("double").as("nt")).collect().head
+    val (nr, nc, nt) = (dims.getDouble(0), dims.getDouble(1),
+      dims.getDouble(2))
+    var w = cells.select(col("r"), col("c"), col("n"), lit(1.0).as("w"))
+    def scale(key: String, targetShare: Double): Unit = {
+      val tot = w.groupBy(col(key))
+        .agg(sort_array(collect_list(struct(
+          (if (key == "r") col("c") else col("r")).as("o"),
+          (col("w") * col("n").cast("double")).as("m")))).as("ls"))
+        .select(col(key), aggregate(col("ls"), lit(0.0),
+          (a, e) => a + e("m")).as("mt"))
+      w = w.join(tot, Seq(key))
+        .select(col("r"), col("c"), col("n"),
+          (col("w") * lit(targetShare * nt) / col("mt")).as("w"))
+        .localCheckpoint()
+    }
+    (1 to iters).foreach { _ =>
+      scale("r", 1.0 / nr)
+      scale("c", 1.0 / nc)
+    }
+    w.select(col("r"), col("c"), col("n"), round(col("w"), 6).as("weight"),
+      round(col("w") * col("n").cast("double") / nt, 6).as("fitted_share"))
+  }
+
+  /** Two-proportion z-test on an ordered funnel step between two arms:
+    * a user converts iff an `eventB` STRICTLY FOLLOWS their first
+    * `eventA`; rates compare via the pooled-variance z (the experiment
+    * readout for "did the variant move step conversion"), with |z| >
+    * 1.96 as the two-sided 5% flag. Counts are exact (two aggregates +
+    * one semi-join on the user spine — nothing scales past the user
+    * count); z is a fixed-order double expression both engines replay. */
+  def funnelConversionTest(df: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, eventA: String, eventB: String,
+                           armB: Column): DataFrame = {
+    val base = df.filter(col(tsCol).isNotNull && col(typeCol).isNotNull &&
+      col(userCol).isNotNull)
+      .select(col(userCol).as("u"), armB.as("arm"), col(typeCol).as("t"),
+        col(tsCol).as("ts"))
+      .localCheckpoint(eager = false) // entry aggregate + follow-up join
+    val entered = base.filter(col("t") === eventA)
+      .groupBy(col("u"), col("arm"))
+      .agg(min(col("ts")).as("ta"))
+    val converted = entered.join(
+        base.filter(col("t") === eventB)
+          .select(col("u"), col("ts").as("tb")), Seq("u"))
+      .filter(col("tb") > col("ta"))
+      .select(col("u"), col("arm")).distinct()
+      .groupBy(col("arm")).agg(count(lit(1)).cast("long").as("conv"))
+    val arms = entered.groupBy(col("arm"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .join(converted, Seq("arm"), "left")
+      .select(col("arm"), col("n"), coalesce(col("conv"), lit(0L))
+        .as("conv"))
+    val a = arms.filter(!col("arm")).select(col("n").as("n_a"),
+      col("conv").as("conv_a"))
+    val b = arms.filter(col("arm")).select(col("n").as("n_b"),
+      col("conv").as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    // a pooled rate of exactly 0 or 1 has zero variance: z undefined
+    // (null), not an ANSI divide-by-zero
+    val z = when(pp > 0.0 && pp < 1.0,
+      (pb - pa) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double"))))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("conv_a"), round(pa, 6).as("rate_a"),
+        col("n_b"), col("conv_b"), round(pb, 6).as("rate_b"),
+        round(z, 4).as("z"),
+        (abs(z) > 1.959963984540054).as("significant_5pct"))
+  }
+
   /** Murphy decomposition of the Brier score over a fixed bin grid:
     * reliability (how far bin-mean forecasts sit from bin outcome rates
     * — lower is better-calibrated), resolution (how far bin outcome

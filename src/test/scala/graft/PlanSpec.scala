@@ -179,7 +179,8 @@ class PlanSpec extends SparkSpec {
       "q287_mix_shift", // 1-row period-totals control frame
       "q293_rare_collapse", // 1-row category-total control frame
       "q295_range_bounds", // <=nParts-row broadcast bounds frame
-      "q296_brier_decomp") // 1-row totals control frame
+      "q296_brier_decomp", // 1-row totals control frame
+      "q298_funnel_ab") // two 1-row arm frames cross-joined
     // write-path/iterative queries execute real work at construction time;
     // their operator internals are plan-asserted by their own suites
     val skip = Set("q52_scd2_table_write", "q56_ivf_index",

@@ -915,6 +915,46 @@ class StatsSpec extends SparkSpec {
       (r.getDouble(3) - r.getDouble(4) + r.getDouble(5))) < 1e-9)
   }
 
+  test("ipfRaking: skewed 2x2 rakes toward uniform margins; shares tie out") {
+    import spark.implicits._
+    val rows = (Seq.fill(30)(("r1", "c1")) ++ Seq.fill(10)(("r1", "c2")) ++
+      Seq.fill(10)(("r2", "c1")) ++ Seq.fill(10)(("r2", "c2")))
+      .toDF("r", "c")
+    val out = Stats.ipfRaking(rows, col("r"), col("c"), iters = 3)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(out.size == 4 && out.values.forall(_._2 > 0.0))
+    val shareSum = out.values.map(_._3).sum
+    assert(math.abs(shareSum - 1.0) < 1e-6, "fitted shares are a distribution")
+    val r1 = out(("r1", "c1"))._3 + out(("r1", "c2"))._3
+    val c1 = out(("r1", "c1"))._3 + out(("r2", "c1"))._3
+    assert(math.abs(r1 - 0.5) < 0.01 && math.abs(c1 - 0.5) < 0.01,
+      "3 iterations pull both margins to uniform (raw row share was 2/3)")
+    assert(out(("r1", "c1"))._2 < 1.0, "the overrepresented cell deflates")
+  }
+
+  test("funnelConversionTest: strict-after ordering, hand-checked z") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rows = Seq(
+      (1L, "view", 1L), (1L, "purchase", 2L),   // arm A converts
+      (2L, "view", 1L),                          // arm A no purchase
+      (3L, "view", 1L), (3L, "purchase", 2L),    // arm B converts
+      (5L, "view", 1L), (5L, "purchase", 3L),    // arm B converts
+      (4L, "purchase", 0L), (4L, "view", 1L)     // purchase BEFORE view
+    ).map { case (u, t, s) => (u, t, ts(s)) }.toDF("u", "t", "ts")
+    val r = Stats.funnelConversionTest(rows, "u", "ts", "t", "view",
+      "purchase", col("u") >= 3L).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L &&
+      r.getDouble(2) == 0.5)
+    assert(r.getLong(3) == 3L && r.getLong(4) == 2L,
+      "a purchase before the first view never counts")
+    val z = (2.0 / 3.0 - 0.5) /
+      math.sqrt(0.6 * 0.4 * (1.0 / 2.0 + 1.0 / 3.0))
+    assert(r.getDouble(6) == math.rint(z * 1e4) / 1e4)
+    assert(!r.getBoolean(7))
+  }
+
   test("correlationMatrix: one pass, exact ±1 on linear columns, listwise deletion") {
     import spark.implicits._
     val rows = Seq(
