@@ -131,6 +131,59 @@ object OracleSql {
     * seed-deterministic hyperplanes the Spark side projects onto, embedded
     * as double literals (float -> double is exact). Shared by q39/q51 —
     * each gates a different (bands, bits, threshold) operating point. */
+  /** Character-sequence word vocabulary for the BPE oracles: every corpus
+    * word (the q108 tokenization replayed) with its frequency and its
+    * token list starting as single characters. Plain string — `\s` must
+    * survive, so no s-interpolation. */
+  private val bpeBaseCte: String =
+    """v0 AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq,
+      |    list_transform(generate_series(1, length(w)),
+      |      i -> substr(w, i, 1)) AS t
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+      |      '\s+')) AS w FROM documents)
+      |  WHERE length(w) >= 1 GROUP BY w)""".stripMargin
+
+  /** One unrolled BPE merge round over `v{r-1}`, replaying the Spark
+    * trainer exactly: overlap-counted adjacent pair counts → argmax with
+    * (count desc, pair lexicographic) tie-break (the struct-min) → greedy
+    * NON-OVERLAPPING left-to-right collapse. The greedy scan in SQL:
+    * when a ≠ b two matches can never sit at consecutive positions (that
+    * would force a = b), so every match merges; when a = b matches chain
+    * inside runs of the same token and greedy takes every other — odd
+    * rank within each gaps-and-islands group of consecutive match
+    * positions. Rebuild keeps a position unless its LEFT neighbour was
+    * selected (consumed as the pair's right half). */
+  private def bpeRoundCte(r: Int): String = {
+    val (pv, pc, bp, pos, sel, v) =
+      (s"v${r - 1}", s"pc$r", s"bp$r", s"pos$r", s"sel$r", s"v$r")
+    s"""$pc AS MATERIALIZED (SELECT a, b, sum(freq)::BIGINT AS n FROM (
+       |    SELECT unnest(t[:len(t)-1]) AS a, unnest(t[2:]) AS b, freq
+       |    FROM $pv WHERE len(t) >= 2) GROUP BY 1, 2),
+       |$bp AS MATERIALIZED (SELECT a, b, a || b AS mg, n FROM $pc
+       |  ORDER BY n DESC, a, b LIMIT 1),
+       |$pos AS MATERIALIZED (SELECT q.w, q.freq, q.i, q.tok, bp.mg,
+       |    CASE WHEN q.tok = bp.a AND
+       |      lead(q.tok) OVER (PARTITION BY q.w ORDER BY q.i) = bp.b
+       |    THEN 1 ELSE 0 END AS mt
+       |  FROM (SELECT w, freq,
+       |      unnest(generate_series(1, len(t))) AS i, unnest(t) AS tok
+       |    FROM $pv) q CROSS JOIN $bp bp),
+       |$sel AS MATERIALIZED (SELECT w, i FROM (
+       |    SELECT w, i,
+       |      row_number() OVER (PARTITION BY w, isl ORDER BY i) AS rn
+       |    FROM (SELECT w, i,
+       |        i - row_number() OVER (PARTITION BY w ORDER BY i) AS isl
+       |      FROM $pos WHERE mt = 1)) WHERE rn % 2 = 1),
+       |$v AS MATERIALIZED (SELECT p.w, any_value(p.freq) AS freq,
+       |    list(CASE WHEN j1.w IS NOT NULL THEN p.mg ELSE p.tok END
+       |      ORDER BY p.i) AS t
+       |  FROM $pos p
+       |  LEFT JOIN $sel j1 ON j1.w = p.w AND j1.i = p.i
+       |  LEFT JOIN $sel j0 ON j0.w = p.w AND j0.i = p.i - 1
+       |  WHERE j0.w IS NULL
+       |  GROUP BY p.w)""".stripMargin
+  }
+
   private def lshNearDupSql(numBands: Int, bitsPerBand: Int, threshold: String,
                             extraCtes: String = ""): String = {
     val planes = graft.operators.Dedup.randomHyperplanes(numBands, bitsPerBand, dim = 64)
@@ -4085,7 +4138,7 @@ object OracleSql {
       s"""WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
          |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          |d AS (SELECT i, count(*)::BIGINT AS di FROM e
-         |  GROUP BY i HAVING count(*) >= 2),
+         |  GROUP BY i HAVING count(*) >= 2 AND count(*) <= 1024),
          |w AS (SELECT x.u AS id_a, y.u AS id_b, 1.0 / ln(d.di) AS w
          |    FROM e x JOIN e y ON x.i = y.i AND x.u < y.u
          |    JOIN d ON d.i = x.i),
@@ -4762,10 +4815,41 @@ object OracleSql {
          |FROM m""".stripMargin
     },
 
-    // q249 (BPE encode) has NO oracle by design: it inherits q244's
-    // sequential per-round argmax (each round's winner rewrites the next
-    // round's input), which SQL cannot replay -> rows-only driver check,
-    // CorpusSpec anchors fertility/chars-per-token on a known corpus.
+    // the 20 BPE merge rounds unrolled as chained CTEs (the q107 k-means /
+    // q128 MMR precedent): each round re-derives pair counts from the
+    // previous round's rewritten vocabulary, picks the argmax with the
+    // trainer's exact tie-break, and collapses it greedily
+    "q244_bpe_learn" -> {
+      val rounds = (1 to 20).map(bpeRoundCte).mkString(",\n")
+      val out = (1 to 20).map(r =>
+        s"""SELECT $r::BIGINT AS merge_rank, a AS "left", b AS "right",
+           |  mg AS merged, n::BIGINT AS n_occ FROM bp$r""".stripMargin)
+        .mkString("\nUNION ALL ")
+      s"WITH $bpeBaseCte,\n$rounds\n$out"
+    },
+
+    // tokenizer economics under the 16-round chain: the final vocabulary
+    // state's token counts joined against per-(source, word) counts
+    "q249_bpe_encode" -> {
+      val rounds = (1 to 16).map(bpeRoundCte).mkString(",\n")
+      val pw =
+        """pw AS (SELECT source, w, count(*)::BIGINT AS n_w FROM (
+          |    SELECT source, unnest(regexp_split_to_array(trim(lower(text)),
+          |        '\s+')) AS w FROM documents)
+          |  WHERE length(w) >= 1 GROUP BY 1, 2)""".stripMargin
+      s"""WITH $bpeBaseCte,
+         |$rounds,
+         |$pw,
+         |agg AS (SELECT pw.source, sum(pw.n_w)::BIGINT AS n_words,
+         |    sum(pw.n_w * len(v.t))::BIGINT AS n_bpe_tokens,
+         |    sum(pw.n_w * length(pw.w))::BIGINT AS n_chars
+         |  FROM pw JOIN v16 v ON v.w = pw.w GROUP BY 1)
+         |SELECT source, n_words, n_bpe_tokens,
+         |  ${rnd("n_bpe_tokens::DOUBLE / n_words::DOUBLE", 4)} AS fertility,
+         |  ${rnd("n_chars::DOUBLE / n_bpe_tokens::DOUBLE", 4)}
+         |    AS chars_per_token
+         |FROM agg""".stripMargin
+    },
 
     // q250: Soundex-variant key replayed step for step (translate + 'g'
     // regexp chain — deliberately NO backreferences: RE2 lacks them)

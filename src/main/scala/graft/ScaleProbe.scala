@@ -542,6 +542,46 @@ object ScaleProbe {
             col("l_quantity").isNotNull && col("l_discount").isNotNull)
           .groupBy(col("l_returnflag"), col("l_quantity"),
             col("l_discount")).count().count()
+      }),
+      // q244 BPE: the batched (fast-BPE symbol-disjoint top-m) trainer
+      // must cut Spark rounds at IDENTICAL merge output — the scale knob
+      // on the repo's one inherently sequential driver loop
+      "q244_bpe_rounds_seq" -> (() =>
+        graft.operators.Corpus.bpeTrain(docs, "text", nMerges = 20,
+          batch = 1)._3.toLong),
+      "q244_bpe_rounds_b8" -> (() =>
+        graft.operators.Corpus.bpeTrain(docs, "text", nMerges = 20,
+          batch = 8)._3.toLong),
+      "q244_bpe_batch_equal" -> (() => {
+        val s1 = graft.operators.Corpus.bpeTrain(docs, "text", 20,
+          batch = 1)._1
+        val s8 = graft.operators.Corpus.bpeTrain(docs, "text", 20,
+          batch = 8)._1
+        if (s1 == s8) 1L else 0L
+      }),
+      // q233 scd2 temporal join at decade scale: facts x dim-versions is
+      // an equi-join on the business key with the validity window as a
+      // residual filter, so output rows and wall time must grow ~linearly
+      // in facts (versions-per-key is a small constant by the SCD2
+      // invariant). Dim built directly: every even key gets a second
+      // version splitting the date line at 1995-06-01.
+      "q233_scd2_temporal_rows" -> (() => {
+        import org.apache.spark.sql.functions._
+        val cust = Tables.load(spark, sfDir, "customer")
+        val v1 = cust.select(col("c_custkey"), col("c_acctbal"),
+          to_date(lit("1990-01-01")).as("eff_date"),
+          when(pmod(col("c_custkey"), lit(2)) === 0,
+            to_date(lit("1995-06-01")))
+            .otherwise(lit(null).cast("date")).as("expiry_date"))
+        val v2 = cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+          .select(col("c_custkey"),
+            (col("c_acctbal") + 100).as("c_acctbal"),
+            to_date(lit("1995-06-01")).as("eff_date"),
+            lit(null).cast("date").as("expiry_date"))
+        val facts = Tables.load(spark, sfDir, "orders")
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("o_date"))
+        graft.merge.Scd.scd2TemporalJoin(facts, v1.unionByName(v2),
+          "o_custkey", "c_custkey", "o_date").count()
       })
     )
 

@@ -2428,15 +2428,18 @@ object SparkEntry {
   /** Adamic–Adar "customers who buy alike" link prediction over the
     * bipartite customer↔part incidence list (orders ⋈ lineitem): top 20
     * pairs by Σ 1/ln(part degree), deterministic rounded-score ordering.
-    * The degree cap stays inactive at gate scale so the oracle replays the
-    * exact score; the hub throttle is spec-exercised instead. */
+    * The hub throttle is pinned EXPLICITLY at the scale-safe 1024 default
+    * (uncapped is O(d²) on the hottest item — never in a gate), and the
+    * oracle replays the identical degree ceiling, so the scores hash-match
+    * whether or not any part actually trips the cap at gate scale. The
+    * cap's drop behaviour itself is spec-exercised in GraphSpec. */
   private def q220(s: SparkSession, dir: String): DataFrame = {
     val edges = T(s, dir, "orders")
       .join(T(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_partkey"))
     graft.operators.Graph.adamicAdar(edges, "o_custkey", "l_partkey",
-      topN = 20)
+      topN = 20, maxItemDegree = 1024)
   }
 
   /** KMV (bottom-k) audience-overlap estimates between event types over
@@ -2669,9 +2672,9 @@ object SparkEntry {
       maxSize = 256)
 
   /** Learn a 20-merge BPE table from the corpus character sequences — the
-    * tokenizer-training loop itself. NOT SQL-expressible (each round's
-    * argmax feeds the next round's rewrite) -> rows-only driver check;
-    * CorpusSpec anchors the classic low/lower/lowest example. */
+    * tokenizer-training loop itself. Oracle-gated by unrolling the 20
+    * rounds as chained CTEs (the q107/q128 precedent); CorpusSpec anchors
+    * the classic low/lower/lowest example and batched ≡ sequential. */
   private def q244(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.bpeLearn(TW(s, dir, "documents"), "text",
       nMerges = 20)
@@ -2711,7 +2714,7 @@ object SparkEntry {
 
   /** Tokenizer economics per source under a freshly learned 16-merge BPE
     * table: fertility and chars-per-token from the trainer's final
-    * vocabulary state. Inherits q244's sequential argmax -> rows-only. */
+    * vocabulary state. Oracle-gated via q244's unrolled 16-round chain. */
   private def q249(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.bpeEncode(TW(s, dir, "documents"), "text",
       "source", nMerges = 16)

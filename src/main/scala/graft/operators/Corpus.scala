@@ -549,16 +549,30 @@ object Corpus {
     * Scale contract: the distributed state is the WORD VOCABULARY (one
     * row per distinct word with its corpus frequency — Heaps-bounded,
     * never the corpus), so each round is one explode-count over vocab
-    * rows plus one 1-row argmax collect (control plane) and one mapped
+    * rows plus one bounded top-k collect (control plane) and one mapped
     * column rewrite; `localCheckpoint` per round cuts the lineage like
     * every fixed-round operator here. Pair counts follow the reference
     * convention: ALL adjacent positions count (overlaps included);
-    * application is non-overlapping greedy left-to-right. NOT
-    * SQL-expressible (per-round argmax feeds the next round's rewrite) —
-    * rows-only gate, spec-anchored on the classic low/lower/lowest
-    * corpus. */
-  def bpeLearn(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    val (merges, _) = bpeTrain(df, textCol, nMerges)
+    * application is non-overlapping greedy left-to-right.
+    *
+    * Driver-round envelope: merges are inherently sequential (round r's
+    * argmax depends on round r−1's rewrite), so a real 30k-merge
+    * tokenizer is NOT this operator's regime — that is a single-machine
+    * job over the collected (Heaps-bounded) vocabulary. What the batched
+    * trainer (`batch` > 1, the fast-BPE trick) buys is the corpus-scale
+    * sweet spot: the top `batch` pairs that are pairwise SYMBOL-DISJOINT
+    * and sit strictly above the first symbol-sharing count are applied
+    * in ONE rewrite, cutting Spark rounds ~batch× with output PROVABLY
+    * identical to the sequential loop — a merge only perturbs counts of
+    * pairs sharing one of its symbols (disjoint counts are invariant),
+    * and every pair it creates inherits a count ≤ some existing
+    * symbol-sharing pair's, which the strict cutoff keeps below every
+    * accepted count (CorpusSpec pins batched ≡ sequential on tie- and
+    * run-heavy corpora). SQL-expressible only by unrolling rounds as
+    * CTEs, which is exactly what the q244/q249 oracles do. */
+  def bpeLearn(df: DataFrame, textCol: String, nMerges: Int,
+               batch: Int = 8): DataFrame = {
+    val (merges, _, _) = bpeTrain(df, textCol, nMerges, batch)
     val spark = df.sparkSession
     import spark.implicits._
     merges.zipWithIndex.map { case ((a, b, n), i) =>
@@ -567,13 +581,17 @@ object Corpus {
   }
 
   /** The shared BPE trainer behind [[bpeLearn]] and [[bpeEncode]]: returns
-    * the merge list in learn order AND the final per-word vocabulary state
+    * the merge list in learn order, the final per-word vocabulary state
     * (`w`, `freq`, token array `t`) — for the training corpus itself,
     * running the learned merges to completion IS the encoding, so the
-    * encode report falls straight out of the trainer's final state. */
-  private def bpeTrain(df: DataFrame, textCol: String, nMerges: Int)
-      : (Seq[(String, String, Long)], DataFrame) = {
+    * encode report falls straight out of the trainer's final state — and
+    * the number of Spark rounds the loop actually ran (the quantity the
+    * batched mode exists to shrink; ScaleProbe records it). */
+  private[graft] def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+                              batch: Int = 8)
+      : (Seq[(String, String, Long)], DataFrame, Int) = {
     require(nMerges >= 1 && nMerges <= 64, "nMerges in [1, 64]")
+    require(batch >= 1 && batch <= 64, "batch in [1, 64]")
     val spark = df.sparkSession
     graft.functions.TextHashFunctions.register(spark)
     var vocab = df
@@ -585,31 +603,65 @@ object Corpus {
         i => col("w").substr(i, lit(1))).as("t"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var r = 0
+    var rounds = 0
     var dry = false
-    while (r < nMerges && !dry) {
-      val best = vocab.filter(size(col("t")) >= 2)
+    while (merges.size < nMerges && !dry) {
+      val want = math.min(batch, nMerges - merges.size)
+      // bounded control-plane collect: enough sorted rows to scan past
+      // the accepted prefix and SEE the first symbol-sharing pair
+      val topLimit = want * 4 + 8
+      val top = vocab.filter(size(col("t")) >= 2)
         .select(col("freq"), explode(transform(
           sequence(lit(0), size(col("t")) - 2),
           i => struct(element_at(col("t"), i + 1).as("a"),
             element_at(col("t"), i + 2).as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("n"))
-        .agg(min(struct(negate(col("n")).as("negn"), col("a"), col("b"))).as("m"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(topLimit)
         .collect()
-      if (best.isEmpty || best(0).isNullAt(0)) dry = true
+      if (top.isEmpty) dry = true
       else {
-        val row = best(0).getStruct(0)
-        val (a, b, n) = (row.getString(1), row.getString(2), -row.getLong(0))
-        merges += ((a, b, n))
-        vocab = vocab.select(col("w"), col("freq"),
-            graft.functions.TextHashFunctions.bpeMergeOnce(col("t"), a, b)
-              .as("t"))
+        // maximal symbol-disjoint prefix of the sorted pair list...
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        val symbols = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        var sharing = false
+        while (i < top.length && !sharing && accepted.size < want) {
+          val (a, b, n) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (symbols.contains(a) || symbols.contains(b)) sharing = true
+          else {
+            accepted += ((a, b, n)); symbols += a; symbols += b; i += 1
+          }
+        }
+        // ...kept strictly ABOVE the first count at which a pair sharing
+        // a symbol with the batch could exist: the sharing pair we hit,
+        // or the truncation count if the collect limit cut the scan (an
+        // unseen pair below it may share). Ties at that count must go —
+        // a merge-created pair could tie and win the lexicographic
+        // tie-break. The head argmax alone is always sequential-exact.
+        val nStop =
+          if (sharing) top(i).getLong(2)
+          else if (i < top.length || top.length == topLimit)
+            top(math.min(i, top.length - 1)).getLong(2)
+          else Long.MinValue
+        val safe = accepted.takeWhile(_._3 > nStop)
+        val batchMerges =
+          if (safe.nonEmpty) safe.toSeq
+          else Seq((top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2)))
+        merges ++= batchMerges
+        val rewritten = batchMerges.foldLeft(col("t")) { case (c, (a, b, _)) =>
+          graft.functions.TextHashFunctions.bpeMergeOnce(c, a, b)
+        }
+        vocab = vocab.select(col("w"), col("freq"), rewritten.as("t"))
           .localCheckpoint()
-        r += 1
+        rounds += 1
       }
     }
-    (merges.toSeq, vocab)
+    (merges.toSeq, vocab, rounds)
   }
 
   /** Encode the corpus under a freshly learned `nMerges`-merge BPE table
@@ -621,12 +673,11 @@ object Corpus {
     * report is one (group, word)-counts aggregate joined against the
     * Heaps-bounded vocabulary — per-document text is never re-scanned by
     * the merge loop. Broadcast-friendly: the vocab side is the small side
-    * at any corpus size where BPE makes sense. NOT SQL-expressible
-    * (inherits the trainer's sequential argmax) — rows-only gate,
-    * spec-anchored next to [[bpeLearn]]. */
+    * at any corpus size where BPE makes sense. Oracle-gated like
+    * [[bpeLearn]]: the rounds unroll as chained CTEs. */
   def bpeEncode(df: DataFrame, textCol: String, groupCol: String,
-                nMerges: Int): DataFrame = {
-    val (_, vocab) = bpeTrain(df, textCol, nMerges)
+                nMerges: Int, batch: Int = 8): DataFrame = {
+    val (_, vocab, _) = bpeTrain(df, textCol, nMerges, batch)
     val perWord = df
       .select(col(groupCol).as("g"),
         explode(graft.operators.Dedup.tokens(col(textCol))).as("w"))

@@ -1273,7 +1273,16 @@ object Dedup {
     * 12.5M pairs as candidates at sf0.1). Shingling is the standard
     * fix — it exponentiates the vocabulary (31 words → 27k 3-shingles
     * here, max df 25), so prefixes hold genuinely rare units and the
-    * candidate set collapses to near-output size. */
+    * candidate set collapses to near-output size. `shingleK` therefore
+    * DEFAULTS to 3: the r11 scale probe measured 66,064,718 candidates at
+    * synthetic sf1 with k=1 vs 160 with k=5 — 136× candidate growth for
+    * 10× data at k=1, i.e. the quadratic config — so word-unit runs must
+    * be asked for explicitly. Belt to that suspender, `candidateBudget`
+    * is a fail-fast pre-flight: the exact candidate-pair count implied by
+    * the prefix posting lists (Σ per-token bucket work — one cheap
+    * aggregation over postings the join reads anyway) is measured BEFORE
+    * the self-join runs, and a configuration that exceeds the budget is
+    * refused with the measured number instead of melting the cluster. */
   /** Distinct token sets per doc for the prefix-filter chain (shared by
     * the operator and the candidate stage). */
   private[graft] def prefixTokenSets(df: DataFrame, textCol: String,
@@ -1295,8 +1304,8 @@ object Dedup {
     * silently shortening the prefix below the proven exact-recall minimum
     * (DuckDB's numeric literals are DECIMAL, so the oracle never had the
     * bug — only the Spark side did). */
-  private[graft] def prefixCandidates(toks: DataFrame,
-                                      threshold: Double): DataFrame = {
+  private[graft] def prefixPostings(toks: DataFrame,
+                                    threshold: Double): DataFrame = {
     val tokenDf = toks.select(col("id"), explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("tdf"))
     // global order: rarest first, ties by token bytes. NO forced
@@ -1312,19 +1321,50 @@ object Dedup {
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
         .orderBy(col("tdf"), col("t"))))
     val tDec = lit(java.math.BigDecimal.valueOf(threshold)) // exact decimal
-    val prefix = ranked.filter(
-      col("r") <= col("n") - ceil(col("n") * tDec) + 1)
+    ranked.filter(col("r") <= col("n") - ceil(col("n") * tDec) + 1)
+      .select("t", "id")
+      .localCheckpoint() // read ≥3×: the guard estimate + both join sides
+  }
+
+  /** The AllPairs self-join over already-materialized prefix postings. */
+  private[graft] def prefixCandidatesFrom(prefix: DataFrame): DataFrame =
     prefix.select(col("t"), col("id").as("id_a"))
       .join(prefix.select(col("t"), col("id").as("id_b")), "t")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-  }
+
+  private[graft] def prefixCandidates(toks: DataFrame,
+                                      threshold: Double): DataFrame =
+    prefixCandidatesFrom(prefixPostings(toks, threshold))
+
+  /** Fail-fast pre-flight on a candidate-pair estimate measured from the
+    * operator's OWN posting lists (the [[lshOperatingPoints]] philosophy:
+    * quadratic stages run on measured numbers, not hope). fp sum is fine —
+    * this is a guard threshold, not a gated result. */
+  private def requireCandidateBudget(estimate: Double, budget: Long,
+                                     op: String, shingleK: Int,
+                                     threshold: Double): Unit =
+    require(estimate <= budget.toDouble,
+      f"$op pre-flight refused: ~$estimate%.0f candidate pairs measured " +
+        f"from the prefix posting lists at shingleK=$shingleK, " +
+        f"threshold=$threshold exceed candidateBudget=$budget. The unit " +
+        "vocabulary is too degenerate to prune on — raise shingleK " +
+        "(rarer units), raise threshold, or raise candidateBudget " +
+        "explicitly if the cost is intended.")
 
   def prefixFilterJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                               threshold: Double, shingleK: Int = 1): DataFrame = {
+                               threshold: Double, shingleK: Int = 3,
+                               candidateBudget: Long = 100000000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val toks = prefixTokenSets(df, textCol, idCol, shingleK)
-    prefixCandidates(toks, threshold)
+    val prefix = prefixPostings(toks, threshold)
+    // exact join-work count: Σ_t c·(c−1)/2 over prefix-posting bucket sizes
+    val est = prefix.groupBy("t").agg(count(lit(1)).cast("double").as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)))
+      .head().getDouble(0)
+    requireCandidateBudget(est, candidateBudget,
+      "prefixFilterJaccardPairs", shingleK, threshold)
+    prefixCandidatesFrom(prefix)
       .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
@@ -1363,29 +1403,45 @@ object Dedup {
     * vocabulary: the full-postings bucket for token w is df(w), small
     * exactly where the join fans out, and common tokens never become
     * keys. As with the Jaccard twin, `shingleK > 1` is the knob that
-    * makes units rare on a degenerate vocabulary. DECIMAL ceiling for
-    * the prefix length (the fp-overshoot bug noted on
-    * [[prefixCandidates]]). */
+    * makes units rare on a degenerate vocabulary — it defaults to 3 for
+    * the same probe-measured reason, and the same `candidateBudget`
+    * pre-flight refuses a configuration whose measured prefix×postings
+    * join work exceeds the budget. DECIMAL ceiling for the prefix length
+    * (the fp-overshoot bug noted on [[prefixCandidates]]). */
   /** The containment candidate stage over prepared token sets: A-prefix
     * postings joined against FULL postings. Exposed so [[graft.ScaleProbe]]
     * measures exactly the operator's generator (the
     * [[prefixCandidates]] probe contract). */
-  private[graft] def containmentCandidates(toks: DataFrame,
-                                           threshold: Double): DataFrame = {
+  private[graft] def containmentStages(toks: DataFrame, threshold: Double)
+      : (DataFrame, DataFrame) = {
     val exploded = toks.select(col("id"), size(col("toks")).as("n"),
       explode(col("toks")).as("t"))
     val tokenDf = exploded.groupBy("t").agg(count(lit(1)).as("tdf"))
     val posts = exploded.join(tokenDf, "t")
+      .localCheckpoint() // read by the ranking, the join side, the guard
     val ranked = posts.withColumn("r", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
         .orderBy(col("tdf"), col("t"))))
     val tDec = lit(java.math.BigDecimal.valueOf(threshold))
     val prefix = ranked.filter(
       col("r") <= col("n") - ceil(col("n") * tDec) + 1)
+      .select("t", "id").localCheckpoint()
+    (prefix, posts.select("t", "id"))
+  }
+
+  /** A-prefix postings joined against FULL postings over materialized
+    * stages. */
+  private[graft] def containmentCandidatesFrom(prefix: DataFrame,
+                                               posts: DataFrame): DataFrame =
     prefix.select(col("t"), col("id").as("id_a"))
       .join(posts.select(col("t"), col("id").as("id_b")), "t")
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
+
+  private[graft] def containmentCandidates(toks: DataFrame,
+                                           threshold: Double): DataFrame = {
+    val (prefix, posts) = containmentStages(toks, threshold)
+    containmentCandidatesFrom(prefix, posts)
   }
 
   /** Cross-corpus [[containmentPairs]] — the DECONTAMINATION shape: which
@@ -1403,7 +1459,7 @@ object Dedup {
     * |train|² anything. */
   def crossContainmentPairs(needles: DataFrame, haystack: DataFrame,
                             textCol: String, idCol: String,
-                            threshold: Double, shingleK: Int = 1): DataFrame = {
+                            threshold: Double, shingleK: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val na = prefixTokenSets(needles, textCol, idCol, shingleK)
     val hb = prefixTokenSets(haystack, textCol, idCol, shingleK)
@@ -1432,10 +1488,21 @@ object Dedup {
   }
 
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
-                       threshold: Double, shingleK: Int = 1): DataFrame = {
+                       threshold: Double, shingleK: Int = 3,
+                       candidateBudget: Long = 100000000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val toks = prefixTokenSets(df, textCol, idCol, shingleK)
-    containmentCandidates(toks, threshold)
+    val (prefix, posts) = containmentStages(toks, threshold)
+    // exact join-work count: Σ_t cp·cf − cp (each prefix entry always
+    // matches its own doc's full posting, filtered as a self pair)
+    val cp = prefix.groupBy("t").agg(count(lit(1)).cast("double").as("cp"))
+    val cf = posts.groupBy("t").agg(count(lit(1)).cast("double").as("cf"))
+    val est = cp.join(cf, "t")
+      .agg(coalesce(sum(col("cp") * col("cf") - col("cp")), lit(0.0)))
+      .head().getDouble(0)
+    requireCandidateBudget(est, candidateBudget,
+      "containmentPairs", shingleK, threshold)
+    containmentCandidatesFrom(prefix, posts)
       .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("containment",

@@ -200,7 +200,13 @@ object Graph {
     * wedge would have added < 1/ln(cap) to its pair — the exact weights the
     * scoring already argues are noise; the classic log-degree cut in
     * large-scale people-you-may-know pipelines). Degree-1 items generate no
-    * wedges and are pruned with the same filter. The final top-N is a
+    * wedges and are pruned with the same filter. The cap DEFAULTS to a
+    * finite 1024 — uncapped Adamic–Adar is the textbook skew scale-killer
+    * (one power-law hub item turns the self-join quadratic on the hottest
+    * key), so an unbounded run must be asked for explicitly via
+    * `maxItemDegree = Int.MaxValue`, never fallen into. At the default cap
+    * every dropped wedge was worth < 1/ln(1024) ≈ 0.144, comfortably inside
+    * the noise band of the 4-dp rounded score. The final top-N is a
     * `TakeOrdered` (sort ships N rows per partition, never the pair table),
     * ordered by the ROUNDED score with (id_a, id_b) tie-breaks so the cut
     * is deterministic and engine-replayable despite float summation order.
@@ -208,7 +214,7 @@ object Graph {
     * Entity pairs are same-mode (bipartite ⇒ never already adjacent), so no
     * existing-edge anti-join is needed. */
   def adamicAdar(edges: DataFrame, entityCol: String, itemCol: String,
-                 topN: Int, maxItemDegree: Int = Int.MaxValue): DataFrame = {
+                 topN: Int, maxItemDegree: Int = 1024): DataFrame = {
     require(topN >= 1, "topN >= 1")
     require(maxItemDegree >= 2, "maxItemDegree >= 2")
     val e = edges.select(col(entityCol).as("u"), col(itemCol).as("i"))

@@ -85,6 +85,30 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", "a", 4L), ("aa", "a", 2L)))
   }
 
+  test("bpeLearn batched (fast-BPE) equals sequential at fewer rounds") {
+    // tie- and run-heavy by construction: (c,d) and (l,l) tie at 8 (both
+    // batchable — symbol-disjoint), (x,y)/(y,z) tie at 5 INSIDE one word
+    // (xyz), so the batch must drop (x,y) at the sharing cutoff and
+    // replay it sequentially; lll exercises greedy run application
+    val docs = Seq(
+      (1L, (Seq.fill(9)("ab") ++ Seq.fill(8)("cd")).mkString(" ")),
+      (2L, (Seq.fill(4)("lll") ++ Seq.fill(5)("xyz")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val (m1, _, r1) = Corpus.bpeTrain(docs, "text", nMerges = 6, batch = 1)
+    val (m8, _, r8) = Corpus.bpeTrain(docs, "text", nMerges = 6, batch = 8)
+    assert(m1 == Seq(("a", "b", 9L), ("c", "d", 8L), ("l", "l", 8L),
+      ("x", "y", 5L), ("xy", "z", 5L), ("ll", "l", 4L)))
+    assert(m8 == m1, "batched merge table must equal the sequential one")
+    assert(r1 == 6 && r8 == 3,
+      s"batching must cut rounds: sequential $r1, batched $r8")
+    // and the full learn/encode surfaces agree end to end
+    val lSeq = Corpus.bpeLearn(docs, "text", 6, batch = 1)
+      .orderBy("merge_rank").collect().toSeq
+    val lBat = Corpus.bpeLearn(docs, "text", 6, batch = 8)
+      .orderBy("merge_rank").collect().toSeq
+    assert(lSeq == lBat)
+  }
+
   test("bpeEncode reports fertility under the learned merge table") {
     // 3 merges on the low/lower/lowest corpus: lo, low, lowe — so
     // low->[low](1 tok), lower->[lowe,r](2), lowest->[lowe,s,t](3)

@@ -576,7 +576,7 @@ class DedupSpec extends SparkSpec {
       (7L, "the quick brown dog"),
       (8L, "the lazy cat sleeps")
     ).toDF("doc_id", "text")
-    val got = Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id", 0.5)
+    val got = Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id", 0.5, shingleK = 1)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     // brute force over distinct token sets
     val toks = docs.collect().map(r => r.getLong(0) ->
@@ -599,7 +599,7 @@ class DedupSpec extends SparkSpec {
       (3L, "beta gamma delta lambda"),   // c(3->1) = 3/4 < 0.8
       (4L, "mu nu xi omicron")
     ).toDF("doc_id", "text")
-    val got = Dedup.containmentPairs(docs, "text", "doc_id", 0.8)
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", 0.8, shingleK = 1)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val toks = docs.collect().map(r => r.getLong(0) ->
       r.getString(1).split("\\s+").toSet).toMap
@@ -612,7 +612,7 @@ class DedupSpec extends SparkSpec {
     assert(want.keySet == Set((2L, 1L), (2L, 3L)),
       "the quote is contained in both supersets; nothing else crosses 0.8")
     // and the Jaccard twin at the same threshold sees nothing here
-    assert(Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id", 0.8).isEmpty)
+    assert(Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id", 0.8, shingleK = 1).isEmpty)
   }
 
   test("crossContainmentPairs equals brute force; unseen-token needles cost nothing") {
@@ -625,7 +625,7 @@ class DedupSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "mu nu xi")
     ).toDF("doc_id", "text")
-    val got = Dedup.crossContainmentPairs(needles, hay, "text", "doc_id", 0.75)
+    val got = Dedup.crossContainmentPairs(needles, hay, "text", "doc_id", 0.75, shingleK = 1)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val nt = needles.collect().map(r => r.getLong(0) ->
       r.getString(1).split("\\s+").toSet).toMap
@@ -638,6 +638,30 @@ class DedupSpec extends SparkSpec {
     } yield (a, b) -> c).toMap
     assert(got == want, s"got $got want $want")
     assert(want.keySet == Set((100L, 1L), (102L, 1L)))
+  }
+
+  test("candidate pre-flight guard refuses a degenerate vocabulary") {
+    // 40 docs sharing one tiny word vocabulary at shingleK=1: every
+    // prefix token posts in ~all docs, so the measured candidate count
+    // is near-quadratic (hundreds of pairs) — a budget below it must
+    // fail fast with the measured number, BEFORE the self-join runs
+    val docs = (1L to 40L).map(i =>
+      (i, s"alpha beta gamma delta w$i")).toDF("doc_id", "text")
+    val eJ = intercept[IllegalArgumentException] {
+      Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id", 0.5,
+        shingleK = 1, candidateBudget = 100L).count()
+    }
+    assert(eJ.getMessage.contains("pre-flight refused") &&
+      eJ.getMessage.contains("candidateBudget=100"))
+    val eC = intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "text", "doc_id", 0.7,
+        shingleK = 1, candidateBudget = 100L).count()
+    }
+    assert(eC.getMessage.contains("pre-flight refused"))
+    // the same config under a sufficient budget (or at the shingled
+    // default's rarer units) runs fine — the guard gates cost, not output
+    assert(Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id", 0.5,
+      shingleK = 1, candidateBudget = 1000000L).count() >= 0L)
   }
 
   test("goldenRecords: each field survives from its own best member") {
