@@ -18,10 +18,25 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     // Drop leftover localCheckpoint blocks between queries — accumulated
     // blocks from 40+ queries create memory pressure that bleeds one query's
-    // cost into the next.
+    // cost into the next. BLOCKING unpersist: the async variant defers the
+    // actual block removal onto the next query's TIMED window, which is
+    // exactly the co-scheduling noise that made r11's all-at-once numbers
+    // show phantom 2-3.5x regressions the one-at-a-time quiet anchor
+    // disproved. Cleanup cost must land here, between timings.
     def dropPersistedBlocks(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+    }
+    // Between QUERIES (not runs): ContextCleaner only reclaims dead
+    // broadcasts/accumulators when a JVM GC notices them — on a large heap
+    // that can be hundreds of queries later, so executor memory ratchets
+    // up and later queries pay the pressure. Nudge a full GC only when the
+    // heap is actually past 60% (bounded cost: a handful of GCs per run,
+    // not 900), still outside any timed window.
+    def quiesce(): Unit = {
+      dropPersistedBlocks()
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 10 * 6) System.gc()
     }
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -63,6 +78,7 @@ object Bench {
         dropPersistedBlocks()
         dt
       }
+      quiesce()
       name -> times.min
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0

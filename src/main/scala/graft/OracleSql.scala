@@ -4291,34 +4291,38 @@ object OracleSql {
          |    AS var_reduction
          |FROM a GROUP BY arm""".stripMargin,
 
-    // SMD balance: one conditional-moment pass, population variances
+    // SMD balance: one conditional-moment pass, population variances;
+    // per-covariate NON-NULL ns (the operator's documented NULL stance —
+    // the value sums always skipped NULLs, so the counts must too)
     "q228_covariate_balance" -> {
-      def covRow(c: String, expr: String): String =
+      def covRow(c: String): String =
         s"""SELECT '$c' AS covariate,
-           |  ${rnd(s"sa_$c / na", 4)} AS mean_a,
-           |  ${rnd(s"sb_$c / nb", 4)} AS mean_b,
-           |  ${rnd(s"(sb_$c / nb - sa_$c / na) / sqrt(((ssa_$c / na" +
-               s" - (sa_$c / na) * (sa_$c / na)) + (ssb_$c / nb" +
-               s" - (sb_$c / nb) * (sb_$c / nb))) / 2.0)", 4)} AS smd,
-           |  abs((sb_$c / nb - sa_$c / na) / sqrt(((ssa_$c / na
-           |    - (sa_$c / na) * (sa_$c / na)) + (ssb_$c / nb
-           |    - (sb_$c / nb) * (sb_$c / nb))) / 2.0)) < 0.1 AS balanced
+           |  ${rnd(s"sa_$c / na_$c", 4)} AS mean_a,
+           |  ${rnd(s"sb_$c / nb_$c", 4)} AS mean_b,
+           |  ${rnd(s"(sb_$c / nb_$c - sa_$c / na_$c) / sqrt(((ssa_$c / na_$c" +
+               s" - (sa_$c / na_$c) * (sa_$c / na_$c)) + (ssb_$c / nb_$c" +
+               s" - (sb_$c / nb_$c) * (sb_$c / nb_$c))) / 2.0)", 4)} AS smd,
+           |  abs((sb_$c / nb_$c - sa_$c / na_$c) / sqrt(((ssa_$c / na_$c
+           |    - (sa_$c / na_$c) * (sa_$c / na_$c)) + (ssb_$c / nb_$c
+           |    - (sb_$c / nb_$c) * (sb_$c / nb_$c))) / 2.0)) < 0.1 AS balanced
            |FROM m""".stripMargin
       val sums = Seq("c_acctbal" -> "c_acctbal::DOUBLE",
         "c_nationkey" -> "c_nationkey::DOUBLE").map { case (c, e) =>
-        s"""sum(CASE WHEN c_custkey % 2 = 0 THEN $e ELSE 0.0 END) AS sb_$c,
+        s"""sum(CASE WHEN c_custkey % 2 = 0 AND $e IS NOT NULL
+           |      THEN 1 ELSE 0 END)::BIGINT AS nb_$c,
+           |    sum(CASE WHEN c_custkey % 2 <> 0 AND $e IS NOT NULL
+           |      THEN 1 ELSE 0 END)::BIGINT AS na_$c,
+           |    sum(CASE WHEN c_custkey % 2 = 0 THEN $e ELSE 0.0 END) AS sb_$c,
            |    sum(CASE WHEN c_custkey % 2 <> 0 THEN $e ELSE 0.0 END) AS sa_$c,
            |    sum(CASE WHEN c_custkey % 2 = 0 THEN $e * $e ELSE 0.0 END) AS ssb_$c,
            |    sum(CASE WHEN c_custkey % 2 <> 0 THEN $e * $e ELSE 0.0 END) AS ssa_$c""".stripMargin
       }.mkString(",\n    ")
       s"""WITH m AS (SELECT
-         |    sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS nb,
-         |    sum(CASE WHEN c_custkey % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS na,
          |    $sums
          |  FROM customer)
-         |${covRow("c_acctbal", "")}
+         |${covRow("c_acctbal")}
          |UNION ALL
-         |${covRow("c_nationkey", "")}""".stripMargin
+         |${covRow("c_nationkey")}""".stripMargin
     },
 
     // Welch t: sample variances, Welch-Satterthwaite df

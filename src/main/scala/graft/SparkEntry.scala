@@ -2956,10 +2956,13 @@ object SparkEntry {
   }
 
   /** ε-DP released event counts per type: discrete-Laplace integer noise
-    * by inverse-CDF literal lookup — exact, transcendental-free rows. */
+    * by inverse-CDF literal lookup — exact, transcendental-free rows. The
+    * gate pins the seed so the oracle replays it; a production release
+    * supplies a secret single-use seed (the operator's documented
+    * condition — it deliberately has no default). */
   private def q284(s: SparkSession, dir: String): DataFrame =
     graft.operators.DataQuality.dpNoisyCounts(T(s, dir, "events"),
-      "event_type", epsilon = 1.0)
+      "event_type", seed = "dp", epsilon = 1.0)
 
   /** Watermark-lateness profile: per event type, events dropped at each
     * candidate watermark delay — the withWatermark() sizing card. */

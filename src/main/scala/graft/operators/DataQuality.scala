@@ -223,9 +223,17 @@ object DataQuality {
     * truncated where the two-sided tail mass drops below 1e-9 —
     * negligible against the mechanism's own ε-budget accounting, and
     * stated here rather than hidden. Released counts clamp at 0
-    * (post-processing preserves DP). The reproducible-noise seed is the
-    * unit-test/backfill harness contract: rotate the seed per release in
-    * production, or repeated releases compose their ε.
+    * (post-processing preserves DP).
+    *
+    * THE GUARANTEE IS CONDITIONAL ON THE SEED: noise is a deterministic
+    * hash of (seed, group), so anyone who knows the seed can recompute
+    * and subtract it exactly — ε-DP holds ONLY if the seed is a secret,
+    * single-use value drawn fresh per release (and repeated releases
+    * under different seeds still compose their ε). That is why `seed`
+    * has NO default and must be supplied by the caller: a shared or
+    * hard-coded seed turns the release into the true counts. Determinism
+    * given the seed is the unit-test/backfill harness contract, not a
+    * privacy feature.
     *
     * Completes the privacy family: [[kAnonymityAudit]] says what is safe
     * to group, the COW DELETE (q262) erases, this RELEASES aggregates.
@@ -317,8 +325,8 @@ object DataQuality {
       case ((_, acc), (i, w)) => i -> (acc + w) }.tail
   }
 
-  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double = 1.0,
-                    seed: String = "dp"): DataFrame = {
+  def dpNoisyCounts(df: DataFrame, groupCol: String, seed: String,
+                    epsilon: Double = 1.0): DataFrame = {
     val cum = discreteLaplaceCum(epsilon)
     val k = cum.last._1
     val counts = df.filter(col(groupCol).isNotNull)

@@ -71,7 +71,13 @@ object Sampling {
     * allocations use largest-remainder rounding (floor everything, then
     * +1 to the largest fractional parts, ties by stratum) so they sum to
     * the budget EXACTLY. Zero-variance strata get weight 0 — the pure
-    * Neyman rule; pad floors externally if every stratum must appear. */
+    * Neyman rule; pad floors externally if every stratum must appear.
+    * Degenerate all-zero-variance input (total weight 0) allocates 0
+    * everywhere and spends NOTHING — there is no variance to minimize,
+    * and the remainder bump is skipped so the zero-weight rule is not
+    * silently violated by +1s that would neither sum to the budget nor
+    * mean anything; fall back to proportional allocation explicitly if
+    * the budget must be spent regardless. */
   def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
                        budget: Long): DataFrame = {
     require(budget >= 0, "budget >= 0")
@@ -94,7 +100,9 @@ object Sampling {
       val share = if (tw > 0) budget.toDouble * w / tw else 0.0
       (st, n, sd, math.floor(share).toLong, share - math.floor(share))
     }
-    val remainder = budget - raw.map(_._4).sum
+    // tw == 0: every share is 0 by rule — bumping would hand the budget
+    // to the alphabetically-first strata for no reason (ADVICE r11)
+    val remainder = if (tw > 0) budget - raw.map(_._4).sum else 0L
     val bump = raw.sortBy { case (st, _, _, _, frac) => (-frac, st) }
       .take(math.max(0L, math.min(remainder, raw.length.toLong)).toInt)
       .map(_._1).toSet

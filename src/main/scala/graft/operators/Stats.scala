@@ -318,31 +318,52 @@ object Stats {
   /** Equal-frequency bucketing (curriculum/quality binning) WITHOUT a global
     * row_number: a global rank window collapses the corpus onto one
     * partition, which dies at scale. Instead the exact histogram algorithm:
-    * count per distinct value (a shuffle bounded by the value space — rounded
-    * scores, not rows), cumulative counts over the SORTED DISTINCT VALUES
-    * (a window over that small frame only), then each value's bucket =
-    * floor(rank_of_first_occurrence * nBuckets / n) in pure integer
-    * arithmetic, joined back broadcast. Ties share a value, so they land in
-    * the same bucket by construction — deterministic across engines with no
-    * tie-break column needed. Bucket ids are 0..nBuckets-1; a value run
-    * longer than a bucket simply occupies it. */
+    * count per distinct value (a shuffle bounded by the value space), then
+    * each value's bucket = floor(rank_of_first_occurrence * nBuckets / n)
+    * in pure integer arithmetic, joined back on the value. Ties share a
+    * value, so they land in the same bucket by construction —
+    * deterministic across engines with no tie-break column needed. Bucket
+    * ids are 0..nBuckets-1; a value run longer than a bucket simply
+    * occupies it.
+    *
+    * The cumulative pass over the sorted value GRID uses [[globalRank]]'s
+    * two-pass range partitioning (per-range prefix sums + collected
+    * per-range totals as offsets), NOT an unpartitioned window — on a
+    * quantized score the grid is small either way, but on a raw
+    * continuous column the grid is as large as the row count, and this
+    * operator must not be the one unpartitioned-window trap in the repo
+    * (StatsSpec pins the plan on a continuous column). The join back is
+    * AQE-chosen, not a pinned broadcast, for the same reason. */
   def histogramBuckets(df: DataFrame, valueCol: String,
-                       nBuckets: Int = 10): DataFrame = {
+                       nBuckets: Int = 10, nRanges: Int = 64): DataFrame = {
+    require(nRanges > 0, "nRanges > 0")
     // null values are excluded from the output AND the offsets: a null
     // count group would inflate n and shift every non-null bucket while
     // the final equi-join dropped the null rows anyway
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
-    val cum = counts
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.orderBy(col(valueCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum(col("cnt")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ranged = counts
+      .repartitionByRange(nRanges, col(valueCol).asc)
+      .withColumn("__rg", spark_partition_id())
+      .localCheckpoint() // read twice: per-range totals + the prefix pass
+    val parts = ranged.groupBy(col("__rg"))
+      .agg(sum(col("cnt")).as("s")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = parts.map(_._2).sum
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      parts.map { case (p, s) => val o = (p, acc); acc += s; o }.toMap
+    }
+    val w = Window.partitionBy(col("__rg")).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranged
+      .withColumn("cum", sum(col("cnt")).over(w) +
+        element_at(typedLit(offsets), col("__rg")))
       .select(col(valueCol),
         least(lit(nBuckets - 1),
-          expr(s"((cum - cnt) * $nBuckets) div n")).cast("long").as("bucket"))
-    df.join(broadcast(cum), Seq(valueCol))
+          expr(s"((cum - cnt) * $nBuckets) div ${math.max(total, 1L)}"))
+          .cast("long").as("bucket"))
+    df.join(cum, Seq(valueCol))
   }
 
   /** Binned two-sample Kolmogorov–Smirnov distance between every pair of
@@ -1009,14 +1030,19 @@ object Stats {
     * One conditional-moment pass for ALL covariates together (six sums
     * per covariate inside a single aggregate — the [[DataQuality.ruleReport]]
     * shape: adding a covariate never adds a scan), then arithmetic on the
-    * |covariates|-row literal unpivot. Population variances (÷n). */
+    * |covariates|-row literal unpivot. Population variances (÷n).
+    * NULL stance: each covariate's n counts its own NON-NULL rows (the
+    * value sums always skipped NULLs — counting them would silently bias
+    * every mean/variance/SMD downstream), matching [[welchTTest]] /
+    * [[cupedAdjustment]]'s explicit filters; a covariate with NULLs is
+    * compared over the rows where it exists. */
   def covariateBalance(df: DataFrame, arm: Column,
                        covariates: Seq[String]): DataFrame = {
     require(covariates.nonEmpty, "at least one covariate")
     val aggs = covariates.flatMap { c =>
       val v = col(c).cast("double")
-      Seq(sum(when(arm, 1L).otherwise(0L)).as(s"__nb_$c"),
-        sum(when(!arm, 1L).otherwise(0L)).as(s"__na_$c"),
+      Seq(sum(when(arm && v.isNotNull, 1L).otherwise(0L)).as(s"__nb_$c"),
+        sum(when(!arm && v.isNotNull, 1L).otherwise(0L)).as(s"__na_$c"),
         sum(when(arm, v).otherwise(lit(0.0))).as(s"__sb_$c"),
         sum(when(!arm, v).otherwise(lit(0.0))).as(s"__sa_$c"),
         sum(when(arm, v * v).otherwise(lit(0.0))).as(s"__ssb_$c"),
@@ -1925,25 +1951,34 @@ object Stats {
       .join(converted, Seq("arm"), "left")
       .select(col("arm"), col("n"), coalesce(col("conv"), lit(0L))
         .as("conv"))
-    val a = arms.filter(!col("arm")).select(col("n").as("n_a"),
-      col("conv").as("conv_a"))
-    val b = arms.filter(col("arm")).select(col("n").as("n_b"),
-      col("conv").as("conv_b"))
-    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
-    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
-    val pp = (col("conv_a") + col("conv_b")).cast("double") /
-      (col("n_a") + col("n_b")).cast("double")
+    // ONE pivoted aggregate over the (<=2)-row arm frame, not an a×b
+    // crossJoin: with a degenerate (zero-entered) arm the crossJoin had
+    // an empty side and silently VANISHED the whole report — the
+    // surviving arm's counts must stay visible, with null rate/z for
+    // what cannot be computed (ADVICE r11)
+    val one = arms.agg(
+      coalesce(max(when(!col("arm"), col("n"))), lit(0L)).as("n_a"),
+      coalesce(max(when(!col("arm"), col("conv"))), lit(0L)).as("conv_a"),
+      coalesce(max(when(col("arm"), col("n"))), lit(0L)).as("n_b"),
+      coalesce(max(when(col("arm"), col("conv"))), lit(0L)).as("conv_b"))
+    val pa = when(col("n_a") > 0,
+      col("conv_a").cast("double") / col("n_a").cast("double"))
+    val pb = when(col("n_b") > 0,
+      col("conv_b").cast("double") / col("n_b").cast("double"))
+    val pp = when(col("n_a") + col("n_b") > 0,
+      (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
     // a pooled rate of exactly 0 or 1 has zero variance: z undefined
-    // (null), not an ANSI divide-by-zero
-    val z = when(pp > 0.0 && pp < 1.0,
+    // (null), not an ANSI divide-by-zero; an empty arm likewise leaves
+    // its rate (and so z) null
+    val z = when(pa.isNotNull && pb.isNotNull && pp > 0.0 && pp < 1.0,
       (pb - pa) / sqrt(pp * (lit(1.0) - pp) *
         (lit(1.0) / col("n_a").cast("double") +
           lit(1.0) / col("n_b").cast("double"))))
-    a.crossJoin(broadcast(b))
-      .select(col("n_a"), col("conv_a"), round(pa, 6).as("rate_a"),
-        col("n_b"), col("conv_b"), round(pb, 6).as("rate_b"),
-        round(z, 4).as("z"),
-        (abs(z) > 1.959963984540054).as("significant_5pct"))
+    one.select(col("n_a"), col("conv_a"), round(pa, 6).as("rate_a"),
+      col("n_b"), col("conv_b"), round(pb, 6).as("rate_b"),
+      round(z, 4).as("z"),
+      (abs(z) > 1.959963984540054).as("significant_5pct"))
   }
 
   /** Murphy decomposition of the Brier score over a fixed bin grid:

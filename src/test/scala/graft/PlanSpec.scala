@@ -220,11 +220,12 @@ class PlanSpec extends SparkSpec {
   test("whole surface: unpartitioned Windows only over bounded value-space frames") {
     // A Window with an empty partitionSpec sorts its whole input through ONE
     // partition — the q106 failure mode. The only legitimate uses are over
-    // frames bounded by something other than the corpus: histogramBuckets'
-    // cumulative windows run over the DISTINCT-VALUE table (rounded scores /
-    // 2^(2*bits) z-values), never rows. Any new query that grows a global
+    // frames bounded by something other than the corpus. histogramBuckets
+    // (q75/q101) left this list in r12: its grid cumulative now runs the
+    // globalRank two-pass range partitioning, so it plans NO unpartitioned
+    // window even on a continuous column. Any new query that grows a global
     // window must either partition it or justify itself onto this list.
-    val boundedFrameAllowed = Set("q75_curriculum_bins", "q101_zorder",
+    val boundedFrameAllowed = Set(
       // |sources|-row ratio-order greedy — bounded by the source count
       "q179_water_fill",
       // constant-partition quantile rank over the bounded pair sample —

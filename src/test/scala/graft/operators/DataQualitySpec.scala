@@ -158,7 +158,7 @@ class DataQualitySpec extends SparkSpec {
     assert(math.abs(cum.last._2 - 1.0) < 1e-8, "tail mass < 1e-8 remains")
     val rows = (1 to 500).map(i => ("g" + (i % 5), i)).toDF("g", "x")
     def run(d: org.apache.spark.sql.DataFrame) =
-      DataQuality.dpNoisyCounts(d, "g", epsilon = 1.0)
+      DataQuality.dpNoisyCounts(d, "g", seed = "dp", epsilon = 1.0)
         .collect().map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     val out = run(rows)

@@ -361,6 +361,19 @@ class SamplingSpec extends SparkSpec {
     assert(out.values.map(_._3).sum == 10L, "allocations sum to the budget")
   }
 
+  test("neymanAllocation: all-zero-variance strata allocate nothing at all") {
+    import spark.implicits._
+    // every stratum is constant -> total weight 0: the documented rule is
+    // weight 0 everywhere, and the remainder bump must NOT hand +1s to
+    // the alphabetically-first strata (they would neither sum to the
+    // budget nor mean anything)
+    val rows = Seq(("A", 5L), ("A", 5L), ("B", 7L), ("B", 7L), ("C", 1L))
+    val out = Sampling.neymanAllocation(rows.toDF("st", "v"), "st", "v", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out == Map("A" -> 0L, "B" -> 0L, "C" -> 0L),
+      s"zero-variance rule must hold degenerately too: $out")
+  }
+
   test("coldStartReport: shared entity never unseen; unique-per-row entities always unseen") {
     import spark.implicits._
     // one entity across all rows: both splits see it -> zero cold start

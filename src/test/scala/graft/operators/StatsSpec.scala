@@ -34,6 +34,25 @@ class StatsSpec extends SparkSpec {
     assert(sorted.map(_._2).toSeq == sorted.map(_._2).sorted.toSeq)
   }
 
+  test("histogramBuckets: continuous column (grid = rows) plans no unpartitioned window") {
+    // every value distinct — the value grid IS the row count, the case
+    // where the old grid-wide cumulative window became a single-partition
+    // global sort. The range-partitioned two-pass must plan only
+    // partitioned windows and still bucket exactly.
+    val rows = (1 to 200).map(i => (i.toLong, i * 0.37)).toDF("id", "v")
+    val out = Stats.histogramBuckets(rows, "v", nBuckets = 10, nRanges = 8)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val globals = out.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty,
+      s"histogramBuckets planned an unpartitioned Window:\n$globals")
+    val byBucket = out.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBucket.keys.toSet == (0L to 9L).toSet)
+    assert(byBucket.values.forall(_ == 20L)) // 200 distinct rows / 10 buckets
+  }
+
   test("histogramBuckets: a dominant value occupies its bucket without splitting") {
     val rows = (1 to 80).map(i => (i.toLong, 1.0)) ++ (81 to 100).map(i => (i.toLong, 2.0))
     val out = Stats.histogramBuckets(rows.toDF("id", "v"), "v", nBuckets = 10)
@@ -573,6 +592,21 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out("skew")._3) > 1.0 && !out("skew")._4)
   }
 
+  test("covariateBalance: NULL covariate values drop from that covariate's n") {
+    import spark.implicits._
+    // arm A holds (1, 3) plus two NULLs; arm B holds (2, 4) plus a NULL.
+    // With listwise arm counts the NULLs would deflate both means; the
+    // per-covariate non-null ns must give the exact means 2 and 3.
+    val df = Seq(
+      (false, Some(1.0)), (false, Some(3.0)), (false, None), (false, None),
+      (true, Some(2.0)), (true, Some(4.0)), (true, None)
+    ).toDF("arm", "v")
+    val out = Stats.covariateBalance(df, col("arm"), Seq("v"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).head
+    assert(out == ((2.0, 3.0)),
+      s"NULLs must not bias the arm means: got $out, want (2.0, 3.0)")
+  }
+
   test("welchTTest: zero effect gives |t|<eps; known shift gives the textbook t") {
     import spark.implicits._
     // arms share the value multiset (0..9 five times each)
@@ -953,6 +987,27 @@ class StatsSpec extends SparkSpec {
       math.sqrt(0.6 * 0.4 * (1.0 / 2.0 + 1.0 / 3.0))
     assert(r.getDouble(6) == math.rint(z * 1e4) / 1e4)
     assert(!r.getBoolean(7))
+  }
+
+  test("funnelConversionTest: a zero-entered arm stays visible with null z") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // every user lands in arm A (u < 10); arm B never enters the funnel.
+    // The old a×b crossJoin returned an EMPTY frame here — the surviving
+    // arm's counts must be reported with nulls where nothing computes.
+    val rows = Seq(
+      (1L, "view", 1L), (1L, "purchase", 2L),
+      (2L, "view", 1L)
+    ).map { case (u, t, s) => (u, t, ts(s)) }.toDF("u", "t", "ts")
+    val out = Stats.funnelConversionTest(rows, "u", "ts", "t", "view",
+      "purchase", col("u") >= 10L).collect()
+    assert(out.length == 1, "the report must not vanish on a missing arm")
+    val r = out.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L &&
+      r.getDouble(2) == 0.5, "the surviving arm keeps its exact counts")
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7),
+      "missing-arm rate, z, and the flag are null, not fabricated")
   }
 
   test("correlationMatrix: one pass, exact ±1 on linear columns, listwise deletion") {
