@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a 298-query bench sweep generates thousands of codegen classes; the
+  // JDK default 240m code cache silently stops JIT compilation when full
+  // (late queries then run interpreted at 4-10x) — headroom is cheap
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -1323,7 +1323,9 @@ object Dedup {
     val tDec = lit(java.math.BigDecimal.valueOf(threshold)) // exact decimal
     ranked.filter(col("r") <= col("n") - ceil(col("n") * tDec) + 1)
       .select("t", "id")
-      .localCheckpoint() // read ≥3×: the guard estimate + both join sides
+      // lazy: the guard estimate (or the probe's candidate count) is the
+      // first action and materializes it; the self-join reuses blocks
+      .localCheckpoint(eager = false)
   }
 
   /** The AllPairs self-join over already-materialized prefix postings. */
@@ -1418,14 +1420,14 @@ object Dedup {
       explode(col("toks")).as("t"))
     val tokenDf = exploded.groupBy("t").agg(count(lit(1)).as("tdf"))
     val posts = exploded.join(tokenDf, "t")
-      .localCheckpoint() // read by the ranking, the join side, the guard
+      .localCheckpoint(eager = false) // ranking + join side + guard reuse
     val ranked = posts.withColumn("r", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
         .orderBy(col("tdf"), col("t"))))
     val tDec = lit(java.math.BigDecimal.valueOf(threshold))
     val prefix = ranked.filter(
       col("r") <= col("n") - ceil(col("n") * tDec) + 1)
-      .select("t", "id").localCheckpoint()
+      .select("t", "id").localCheckpoint(eager = false)
     (prefix, posts.select("t", "id"))
   }
 

@@ -345,7 +345,9 @@ object Stats {
     val ranged = counts
       .repartitionByRange(nRanges, col(valueCol).asc)
       .withColumn("__rg", spark_partition_id())
-      .localCheckpoint() // read twice: per-range totals + the prefix pass
+      // lazy: the per-range totals collect right below is the first
+      // action and materializes it; the prefix pass then reuses blocks
+      .localCheckpoint(eager = false)
     val parts = ranged.groupBy(col("__rg"))
       .agg(sum(col("cnt")).as("s")).collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

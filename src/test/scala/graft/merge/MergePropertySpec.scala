@@ -22,7 +22,9 @@ class MergePropertySpec extends SparkSpec {
     ("updates.a % 2 = 0", (_, u) => u.a % 2 == 0),
     ("target.a > 5", (t, _) => t.a > 5),
     ("updates.a > target.a", (t, u) => u.a > t.a),
-    ("updates.b <> target.b", (t, u) => u.b != t.b))
+    ("updates.b <> target.b", (t, u) => u.b != t.b),
+    ("updates.b = 'x' AND target.a < 8", (t, u) => u.b == "x" && t.a < 8),
+    ("target.a + updates.a > 10", (t, u) => t.a + u.a > 10))
 
   private sealed trait MClause { def cond: Option[Int] }
   private case class MDelete(cond: Option[Int]) extends MClause
@@ -42,11 +44,17 @@ class MergePropertySpec extends SparkSpec {
     b <- Gen.oneOf("x", "y", "z")
   } yield R(k, a, b)
 
+  // Variable-length clause matrices: 0..3 matched and 0..2 not-matched
+  // clauses exercise first-satisfied-wins ordering, the no-clause
+  // degenerate (merge keeps target / drops updates), and shadowed
+  // clauses (an unconditional clause ahead of a conditional one).
   private val genScenario = for {
     target <- Gen.listOfN(8, genRow)
     updatesRaw <- Gen.listOfN(8, genRow)
-    matched <- Gen.listOfN(2, genMClause)
-    notMatched <- Gen.listOfN(1, genNClause)
+    nm <- Gen.choose(0, 3)
+    nn <- Gen.choose(0, 2)
+    matched <- Gen.listOfN(nm, genMClause)
+    notMatched <- Gen.listOfN(nn, genNClause)
   } yield (target, updatesRaw.groupBy(_.k).values.map(_.head).toList, matched, notMatched)
 
   private def holds(c: Option[Int], t: R, u: R): Boolean =
@@ -113,7 +121,7 @@ class MergePropertySpec extends SparkSpec {
       }
       got == want
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
     assert(res.passed, res.status.toString)
   }
 }
