@@ -4668,10 +4668,55 @@ object OracleSql {
          |    AS unseen_event_share
          |FROM c""".stripMargin,
 
-    // q243 (CDC chunk dedup) has NO oracle by design: the gear rolling
-    // hash carries per-byte state no SQL expression replays — the driver
-    // records its rows-only check; CdcMultimodalSpec anchors the values
-    // (the q217 DeflateRatio precedent).
+    // q243: the gear rolling hash replayed BYTE FOR BYTE in a RECURSIVE
+    // CTE — one iteration per byte position, advancing every doc's
+    // (gear h, incremental FNV, chunk size) in plain per-row CASE
+    // expressions and emitting the chunk's FNV at each cut. The gear
+    // table is the Spark expression's own md5-derived constants (shared
+    // generator, the q284 ladder precedent) as UBIGINT literals; Java's
+    // signed wrap-around is mod-2^64 arithmetic via HUGEINT
+    // intermediates. NOT a lambda fold: DuckDB 1.0's list_reduce
+    // corrupts struct state when vectorized over multiple rows (verified
+    // against a reference port — single-row folds are exact, multi-row
+    // diverges), so the sequential state lives in recursion instead.
+    // ascii() codepoints equal UTF-8 bytes on this corpus (verified
+    // ASCII-only); the report compares counts, not hash values, so the
+    // signed/unsigned representation difference is immaterial.
+    "q243_cdc_chunk_dedup" -> {
+      val gearLit = graft.functions.CdcChunkHashes.gear
+        .map(g => java.lang.Long.toUnsignedString(g) + "::UBIGINT")
+        .mkString("[", ",", "]")
+      val b = "ascii(substr(t, i + 1, 1))"
+      val m64 = "18446744073709551616"
+      val fnv0 = "14695981039346656037::UBIGINT"
+      val newH = s"((h::HUGEINT * 2 + g[$b + 1]::HUGEINT) % $m64)::UBIGINT"
+      val newF =
+        s"((xor(fnv, $b::UBIGINT)::HUGEINT * 1099511628211) % $m64)::UBIGINT"
+      val cut = s"((size + 1 >= 16 AND ($newH & 63) = 0)" +
+        s" OR size + 1 >= 256 OR i + 1 = length(t))"
+      s"""WITH RECURSIVE gr AS (SELECT $gearLit AS g),
+         |d AS (SELECT text AS t FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0),
+         |r AS (
+         |  SELECT t, g, 0 AS i, 0::UBIGINT AS h, $fnv0 AS fnv, 0 AS size,
+         |    NULL::UBIGINT AS cut_hash
+         |  FROM d CROSS JOIN gr
+         |  UNION ALL
+         |  SELECT t, g, i + 1,
+         |    CASE WHEN $cut THEN 0::UBIGINT ELSE $newH END,
+         |    CASE WHEN $cut THEN $fnv0 ELSE $newF END,
+         |    CASE WHEN $cut THEN 0 ELSE size + 1 END,
+         |    CASE WHEN $cut THEN $newF ELSE NULL END
+         |  FROM r WHERE i < length(t)),
+         |ph AS (SELECT cut_hash AS ch, count(*)::BIGINT AS c FROM r
+         |  WHERE cut_hash IS NOT NULL GROUP BY 1),
+         |nd AS (SELECT count(*)::BIGINT AS n_docs FROM d)
+         |SELECT n_docs, sum(c)::BIGINT AS n_chunks,
+         |  count(*)::BIGINT AS n_distinct_chunks,
+         |  ${rnd("1.0 - count(*)::DOUBLE / sum(c)", 6)} AS dedup_ratio,
+         |  max(c)::BIGINT AS top_chunk_count
+         |FROM ph CROSS JOIN nd GROUP BY n_docs""".stripMargin
+    },
 
     // fixed-size chunk hashes; dedup ratio = 1 - distinct/total
     "q241_chunk_dedup" ->

@@ -2663,8 +2663,9 @@ object SparkEntry {
       "event_type", "user_id", col("value"), lit(1.0))
 
   /** Content-defined (gear rolling hash) chunk-dedup estimate over the
-    * same payloads as q241 — the insertion-immune upper bracket. NOT
-    * SQL-expressible (per-byte rolling state) -> rows-only driver check;
+    * same payloads as q241 — the insertion-immune upper bracket.
+    * Oracle-gated: the per-byte rolling state unrolls as a RECURSIVE CTE
+    * (one iteration per byte position) over the shared gear constants;
     * CompressionSpec + CdcMultimodalSpec anchor the values. */
   private def q243(s: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.cdcChunkDedupReport(
