@@ -1461,11 +1461,13 @@ object Dedup {
     * |train|² anything. */
   def crossContainmentPairs(needles: DataFrame, haystack: DataFrame,
                             textCol: String, idCol: String,
-                            threshold: Double, shingleK: Int = 3): DataFrame = {
+                            threshold: Double, shingleK: Int = 3,
+                            candidateBudget: Long = 100000000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val na = prefixTokenSets(needles, textCol, idCol, shingleK)
     val hb = prefixTokenSets(haystack, textCol, idCol, shingleK)
     val hPosts = hb.select(col("id"), explode(col("toks")).as("t"))
+      .localCheckpoint(eager = false) // df counts + guard + join side
     val hDf = hPosts.groupBy("t").agg(count(lit(1)).as("tdf"))
     val aTok = na.select(col("id"), size(col("toks")).as("n"),
         explode(col("toks")).as("t"))
@@ -1477,6 +1479,18 @@ object Dedup {
     val tDec = lit(java.math.BigDecimal.valueOf(threshold))
     val prefix = ranked.filter(
       col("r") <= col("n") - ceil(col("n") * tDec) + 1)
+      .select("t", "id").localCheckpoint(eager = false)
+    // exact join-work count, same stance as the self-join twins: needle
+    // prefixes are benchmark-sized by contract, but a degenerate vocab
+    // at k=1 still fans every prefix token across the full haystack
+    // postings — measure it before the join, not after
+    val est = prefix.groupBy("t").agg(count(lit(1)).cast("double").as("cp"))
+      .join(hPosts.groupBy("t").agg(count(lit(1)).cast("double").as("cf")),
+        "t")
+      .agg(coalesce(sum(col("cp") * col("cf")), lit(0.0)))
+      .head().getDouble(0)
+    requireCandidateBudget(est, candidateBudget,
+      "crossContainmentPairs", shingleK, threshold)
     prefix.select(col("t"), col("id").as("id_a"))
       .join(hPosts.select(col("t"), col("id").as("id_b")), "t")
       .select("id_a", "id_b").distinct()
