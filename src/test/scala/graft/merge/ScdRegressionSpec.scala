@@ -157,4 +157,30 @@ class ScdRegressionSpec extends SparkSpec {
     assert(t.read.count() == 5)       // no lost appends
     assert(t.latestVersion == 4L)     // one commit per append
   }
+
+  test("concurrent SCD1 merges on disjoint keys serialize to the union") {
+    // the per-root monitor makes interleaved merges SERIALIZE (each reads
+    // the previous writer's committed snapshot): four threads upserting
+    // disjoint key ranges must all land — a lost update here would mean a
+    // merge read a stale snapshot while another writer's COW was in flight
+    val t = new ParquetTable(spark, tmpDir("conc_merge"))
+    t.create(Seq((0, "seed")).toDF("k", "v"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() =>
+        try Scd.writeScd1(t,
+          Seq((i * 10, s"v$i"), (i * 10 + 1, s"w$i")).toDF("k", "v"),
+          Seq("k"))
+        catch { case e: Throwable => failures.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"merge threads failed: ${failures.peek()}")
+    val rows = t.read.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows.size == 9, s"lost updates: $rows")
+    (1 to 4).foreach { i =>
+      assert(rows(i * 10) == s"v$i" && rows(i * 10 + 1) == s"w$i")
+    }
+    assert(t.latestVersion == 4L)     // one MERGE commit per thread
+  }
 }
