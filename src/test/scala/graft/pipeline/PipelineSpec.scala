@@ -115,4 +115,44 @@ class PipelineSpec extends SparkSpec {
     val err = j.errors.read.select("row").as[String].collect().head
     assert(err == "1|bad")
   }
+
+  test("random failure trees: Error at the shallowest failure, DeadEnd below, Finished elsewhere") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random tree (parent(i) < i keeps it acyclic; addAfter is the only
+    // public edge API, so the fuzz space is exactly what callers can
+    // build) plus a random failing subset — the scheduler must stop at
+    // each branch's SHALLOWEST failure: that node errors, everything
+    // under it is dead_end (never the reference's Finished-on-error
+    // defect), every other branch finishes, and run() is true only on a
+    // failure-free tree
+    val genCase = for {
+      n <- Gen.choose(3, 9)
+      parents <- Gen.sequence[List[Int], Int]((1 until n).toList.map(i => Gen.choose(0, i - 1)))
+      fails <- Gen.listOfN(n, Gen.frequency(3 -> false, 1 -> true))
+    } yield (n, parents, fails)
+    val prop = Prop.forAll(genCase) { case (n, parents, fails) =>
+      val p = new Pipeline("fuzz", spark)
+      def mk(i: Int) = task(s"t$i", (_, _) =>
+        if (fails(i)) throw new RuntimeException(s"boom$i") else Map.empty)
+      p.addTask(mk(0))
+      (1 until n).foreach(i => p.addAfter(s"t${parents(i - 1)}", mk(i)))
+      val ok = p.run()
+      def chain(i: Int): List[Int] = // ancestors root-first, self last
+        if (i == 0) List(0) else chain(parents(i - 1)) :+ i
+      val want = (0 until n).map { i =>
+        val firstBad = chain(i).find(fails(_))
+        i -> (firstBad match {
+          case None => TaskStatus.Finished
+          case Some(b) if b == i => TaskStatus.Error
+          case _ => TaskStatus.DeadEnd
+        })
+      }.toMap
+      val got = (0 until n).map(i => i -> p.statusOf(s"t$i")).toMap
+      if (got != want || ok != fails.take(n).forall(!_))
+        println(s"n=$n parents=$parents fails=$fails\ngot=$got\nwant=$want ok=$ok")
+      got == want && ok == fails.take(n).forall(!_)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
