@@ -34,13 +34,15 @@ object Bench {
     // inside their timed windows (the r11/r12 late-alphabet cluster:
     // q47/q270-q277 at 4-13x their isolated cost, reproduced fast when
     // run alone). Nudge a full GC when the heap passes 60% AND every
-    // 48th query regardless (~6 GCs per sweep — bounded, untimed).
+    // 16th query regardless (~19 GCs per sweep, ~1s each — bounded,
+    // untimed; the 48-query cadence still left 1.5-2x residual
+    // inflation on the heaviest late-sweep queries).
     var sinceGc = 0
     def quiesce(): Unit = {
       dropPersistedBlocks()
       val rt = Runtime.getRuntime
       sinceGc += 1
-      if (sinceGc >= 48 ||
+      if (sinceGc >= 16 ||
           rt.totalMemory - rt.freeMemory > rt.maxMemory / 10 * 6) {
         System.gc()
         sinceGc = 0
