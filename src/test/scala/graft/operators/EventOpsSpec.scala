@@ -62,6 +62,53 @@ class EventOpsSpec extends SparkSpec {
     assert(b.length == 1 && b.head.getLong(2) == 2L, b.mkString(";"))
   }
 
+  test("sessionWindowAgg matches the gap-merge model on random event sets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random (user, second-offset, value) triples at a 10 s gap: the
+    // driver model merges while next − last <= gap (Spark's
+    // exactly-at-gap MERGE, pinned by the boundary test above) and must
+    // reproduce every (user, session_start) row exactly — count, min-max
+    // duration in µs, and value sum
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def fmtStart(off: Int): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(base + off * 1000L))
+    val genEvents = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(1L, 4L), Gen.choose(0, 120), Gen.choose(1, 9)))
+    } yield rows
+    val prop = Prop.forAll(genEvents) { rows =>
+      val df = rows.zipWithIndex.map { case ((u, s, v), i) =>
+        (u, new java.sql.Timestamp(base + s * 1000L), v.toDouble, i.toLong)
+      }.toDF("user_id", "ts", "value", "event_id")
+      val got = EventOps.sessionWindowAgg(df, "user_id", "ts", "value",
+          "10 seconds").collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.map(e => (e._2, e._3)).sortBy(_._1)
+        val sessions = sorted.foldLeft(List.empty[List[(Int, Int)]]) {
+          case (cur :: rest, e) if e._1 - cur.last._1 <= 10 =>
+            (cur :+ e) :: rest
+          case (acc, e) => List(e) :: acc
+        }.reverse
+        sessions.map { s =>
+          (u, fmtStart(s.head._1)) -> ((s.length.toLong,
+            (s.last._1 - s.head._1) * 1000000L,
+            s.map(_._2).sum.toDouble))
+        }
+      }
+      if (got != want)
+        println(s"rows=$rows\ngot=$got\nwant=$want")
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("lastTouchAttribution credits the latest in-window touch; ties by event id") {
     val events = Seq(
       // u1: click then view then purchase -> view (most recent) wins
