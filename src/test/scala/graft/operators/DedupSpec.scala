@@ -156,6 +156,41 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components match union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random edge multisets over a small node space hit every shape at
+    // once — chains, cycles, stars, self-loops, duplicate and reversed
+    // edges, singleton-free graphs — against a driver union-find
+    val genEdges = for {
+      n <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    } yield edges
+    val prop = Prop.forAll(genEdges) { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min node of the component (the operator's
+      // min-label contract)
+      val byRoot = nodes.groupBy(find)
+      val want = byRoot.values.flatMap { ns =>
+        val m = ns.min; ns.map(_ -> m) }.toMap
+      if (got != want) println(s"edges=$edges\ngot=$got\nwant=$want")
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("connected components converge on a long path within maxIter") {
     // a 16-node path needs ~diameter rounds of min-label propagation
     val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
