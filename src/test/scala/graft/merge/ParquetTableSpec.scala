@@ -183,4 +183,50 @@ class ParquetTableSpec extends SparkSpec {
     t.compact(txn = Some(("compactor", 1L))) // replayed -> skipped
     assert(t.latestVersion == v + 1)
   }
+
+  test("append schema evolution fuzz: union schema, nulls where a batch lacked a column") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // random append sequences with random column subsets: the table's
+    // schema must converge to the union (mergeSchema equivalent), every
+    // batch's values must survive verbatim, and columns a batch never
+    // carried must read back NULL for its rows
+    val pool = Seq("a", "b", "c")
+    val genBatches = for {
+      n <- Gen.choose(1, 5)
+      sets <- Gen.listOfN(n, Gen.someOf(pool))
+    } yield sets.map(_.toSeq.sorted)
+    val prop = Prop.forAll(genBatches) { batches =>
+      val t = new ParquetTable(spark, tmpDir("pt_evofuzz"))
+      batches.zipWithIndex.foreach { case (cols, i) =>
+        val schema = StructType(StructField("k", LongType, nullable = false) +:
+          cols.map(c => StructField(c, LongType, nullable = true)))
+        val row = Row.fromSeq(i.toLong +: cols.map(c =>
+          (i * 10 + pool.indexOf(c)).toLong))
+        t.append(spark.createDataFrame(
+          java.util.Collections.singletonList(row), schema))
+      }
+      val seen = batches.flatten.distinct
+      val schemaOk = t.read.columns.toSet == (Set("k") ++ seen)
+      val rows = t.read.collect().map { r =>
+        r.getLong(r.fieldIndex("k")) -> r
+      }.toMap
+      val valsOk = batches.zipWithIndex.forall { case (cols, i) =>
+        val r = rows(i.toLong)
+        seen.forall { c =>
+          val idx = r.fieldIndex(c)
+          if (cols.contains(c)) !r.isNullAt(idx) &&
+            r.getLong(idx) == (i * 10 + pool.indexOf(c)).toLong
+          else r.isNullAt(idx)
+        }
+      }
+      if (!(schemaOk && valsOk && rows.size == batches.size))
+        println(s"batches=$batches schema=${t.read.columns.toSeq} rows=$rows")
+      schemaOk && valsOk && rows.size == batches.size
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
