@@ -57,6 +57,36 @@ class PiiCryptoSpec extends SparkSpec {
     assert(back.toSeq == Seq(Some("x"), None)) // sentinel restored to null
   }
 
+  test("AES codec round-trips under fuzz: unicode, salts, keys, long strings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random (salt, secret, plaintext) triples, plaintexts including
+    // unicode and block-boundary lengths (15/16/17 bytes matter under
+    // ECB/PKCS5): decrypt(encrypt(x)) must be exact, distinct keys or
+    // salts must produce distinct ciphertexts for the same plaintext
+    val genStr = Gen.oneOf(
+      Gen.listOf(Gen.alphaNumChar).map(_.mkString),
+      Gen.listOf(Gen.oneOf('ü', 'é', '中', '€', 'a', ' ')).map(_.mkString),
+      Gen.choose(0, 64).map("x" * _))
+    val genCase = for {
+      salt <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+      key <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+      text <- genStr
+    } yield (salt.take(16), key.take(16), text)
+    val prop = Prop.forAll(genCase) { case (salt, key, text) =>
+      val codec = AesCodec(salt, key)
+      val rt = codec.decrypt(codec.encrypt(text)) == text
+      val other = AesCodec(salt + "z", key)
+      val keyed = text.isEmpty ||
+        codec.encrypt(text) != other.encrypt(text)
+      if (!(rt && keyed))
+        println(s"salt=$salt key=$key text=${text.take(40)} rt=$rt keyed=$keyed")
+      rt && keyed
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("epoch cast only applies when the column exists") {
     val df = Seq((1000L, 1)).toDF("ts", "k")
     val out = Pii.epochMillisToTimestamp(df, "ts")
