@@ -622,7 +622,16 @@ object Corpus {
         .collect()
       if (top.isEmpty) dry = true
       else {
-        // maximal symbol-disjoint prefix of the sorted pair list...
+        // maximal symbol-disjoint prefix of the sorted pair list. The
+        // symbol set ALSO holds each accepted pair's merged OUTPUT a+b:
+        // a later pair consuming a symbol the batch is about to create
+        // (creator ("a","bc") then consumer ("abc","x")) passes a
+        // component-only check — {a,bc} and {abc,x} are disjoint strings
+        // — yet applying the creator first adds new ("abc","x")
+        // occurrences mid-batch, so sequential training would see a
+        // larger count for the consumer and could reorder merges.
+        // Tracking outputs makes creator-before-consumer interference a
+        // sharing hit, preserving the sequential-exactness proof.
         val accepted = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, Long)]
         val symbols = scala.collection.mutable.Set.empty[String]
@@ -633,7 +642,8 @@ object Corpus {
             (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
           if (symbols.contains(a) || symbols.contains(b)) sharing = true
           else {
-            accepted += ((a, b, n)); symbols += a; symbols += b; i += 1
+            accepted += ((a, b, n))
+            symbols += a; symbols += b; symbols += (a + b); i += 1
           }
         }
         // ...kept strictly ABOVE the first count at which a pair sharing

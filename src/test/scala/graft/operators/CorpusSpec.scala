@@ -109,6 +109,30 @@ class CorpusSpec extends SparkSpec {
     assert(lSeq == lBat)
   }
 
+  test("bpeTrain batched equals sequential on random 2-letter corpora (fuzz)") {
+    // a 2-letter alphabet maximizes concatenation collisions: merged
+    // outputs ("ab", "ba", "aab"...) keep re-entering the pair stream as
+    // components, which is exactly the creator-before-consumer seam the
+    // output-tracking disjointness check guards (a batch accepting
+    // ("a","ba") must refuse a later ("aba","b") in the same batch even
+    // though the component STRINGS are disjoint). Deterministic seed.
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 4).foreach { trial =>
+      val docs = (1L to 6L).map { id =>
+        val words = (1 to 8).map { _ =>
+          (1 to (2 + rnd.nextInt(5)))
+            .map(_ => if (rnd.nextBoolean()) "a" else "b").mkString
+        }
+        (id, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val (m1, _, _) = Corpus.bpeTrain(docs, "text", nMerges = 6, batch = 1)
+      val (m4, _, r4) = Corpus.bpeTrain(docs, "text", nMerges = 6, batch = 4)
+      assert(m4 == m1,
+        s"trial $trial: batched table $m4 diverged from sequential $m1")
+      assert(r4 <= 6, s"trial $trial: batching must never add rounds")
+    }
+  }
+
   test("bpeEncode reports fertility under the learned merge table") {
     // 3 merges on the low/lower/lowest corpus: lo, low, lowe — so
     // low->[low](1 tok), lower->[lowe,r](2), lowest->[lowe,s,t](3)
