@@ -1326,9 +1326,13 @@ object Dedup {
       // persist, not localCheckpoint: the guard estimate + BOTH self-join
       // sides read this, and InMemoryRelation keeps column stats AQE can
       // plan the join with (an RDD-checkpoint scan is a stats black hole
-      // — measured 2.8x slower end-to-end at sf0.1). Lifecycle follows
-      // the repo's localCheckpoint convention: blocks release on session
-      // cache-clear (the bench does) or GC of the plan.
+      // — measured 2.8x slower end-to-end at sf0.1). LIFECYCLE CONTRACT:
+      // Spark's CacheManager holds strong references to cached plans, so
+      // this block is NOT GC-reclaimable — every caller must unpersist it
+      // once the candidate pairs have materialized (all public operators
+      // localCheckpoint the candidates, then unpersist here, so repeated
+      // calls in a long-lived session leave no net cached blocks —
+      // asserted by DedupSpec's lifecycle property).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -1340,8 +1344,14 @@ object Dedup {
       .select("id_a", "id_b").distinct()
 
   private[graft] def prefixCandidates(toks: DataFrame,
-                                      threshold: Double): DataFrame =
-    prefixCandidatesFrom(prefixPostings(toks, threshold))
+                                      threshold: Double): DataFrame = {
+    val prefix = prefixPostings(toks, threshold)
+    // candidate set is bounded (it feeds a count or a verify join, never
+    // a re-expansion), so materialize it and release the posting cache
+    // deterministically — the prefixPostings lifecycle contract
+    try prefixCandidatesFrom(prefix).localCheckpoint()
+    finally prefix.unpersist(blocking = true)
+  }
 
   /** Fail-fast pre-flight on a candidate-pair estimate measured from the
     * operator's OWN posting lists (the [[lshOperatingPoints]] philosophy:
@@ -1364,13 +1374,21 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val toks = prefixTokenSets(df, textCol, idCol, shingleK)
     val prefix = prefixPostings(toks, threshold)
-    // exact join-work count: Σ_t c·(c−1)/2 over prefix-posting bucket sizes
-    val est = prefix.groupBy("t").agg(count(lit(1)).cast("double").as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)))
-      .head().getDouble(0)
-    requireCandidateBudget(est, candidateBudget,
-      "prefixFilterJaccardPairs", shingleK, threshold)
-    prefixCandidatesFrom(prefix)
+    // materialize the candidate pairs (bounded by the pre-flight budget
+    // by construction), then release the posting cache deterministically
+    // — CacheManager entries are not GC-reclaimable, and a long-lived
+    // session calling this repeatedly must not accumulate blocks. The
+    // finally covers a guard REFUSAL too: the throw must not leak blocks.
+    val cands = try {
+      // exact join-work count: Σ_t c·(c−1)/2 over prefix-posting buckets
+      val est = prefix.groupBy("t").agg(count(lit(1)).cast("double").as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)))
+        .head().getDouble(0)
+      requireCandidateBudget(est, candidateBudget,
+        "prefixFilterJaccardPairs", shingleK, threshold)
+      prefixCandidatesFrom(prefix).localCheckpoint()
+    } finally prefix.unpersist(blocking = true)
+    cands
       .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
@@ -1418,8 +1436,17 @@ object Dedup {
     * postings joined against FULL postings. Exposed so [[graft.ScaleProbe]]
     * measures exactly the operator's generator (the
     * [[prefixCandidates]] probe contract). */
+  /** `prefix` and `posts` views plus the two PERSISTED datasets backing
+    * them — callers must `release()` once candidates have materialized
+    * (the [[prefixPostings]] lifecycle contract: CacheManager entries
+    * are not GC-reclaimable). */
+  private[graft] final case class ContainmentStages(
+      prefix: DataFrame, posts: DataFrame, cached: Seq[DataFrame]) {
+    def release(): Unit = cached.foreach(_.unpersist(blocking = true))
+  }
+
   private[graft] def containmentStages(toks: DataFrame, threshold: Double)
-      : (DataFrame, DataFrame) = {
+      : ContainmentStages = {
     val exploded = toks.select(col("id"), size(col("toks")).as("n"),
       explode(col("toks")).as("t"))
     val tokenDf = exploded.groupBy("t").agg(count(lit(1)).as("tdf"))
@@ -1435,7 +1462,7 @@ object Dedup {
       col("r") <= col("n") - ceil(col("n") * tDec) + 1)
       .select("t", "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (prefix, posts.select("t", "id"))
+    ContainmentStages(prefix, posts.select("t", "id"), Seq(prefix, posts))
   }
 
   /** A-prefix postings joined against FULL postings over materialized
@@ -1449,8 +1476,9 @@ object Dedup {
 
   private[graft] def containmentCandidates(toks: DataFrame,
                                            threshold: Double): DataFrame = {
-    val (prefix, posts) = containmentStages(toks, threshold)
-    containmentCandidatesFrom(prefix, posts)
+    val st = containmentStages(toks, threshold)
+    try containmentCandidatesFrom(st.prefix, st.posts).localCheckpoint()
+    finally st.release()
   }
 
   /** Cross-corpus [[containmentPairs]] — the DECONTAMINATION shape: which
@@ -1488,20 +1516,31 @@ object Dedup {
       col("r") <= col("n") - ceil(col("n") * tDec) + 1)
       .select("t", "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact join-work count, same stance as the self-join twins: needle
-    // prefixes are benchmark-sized by contract, but a degenerate vocab
-    // at k=1 still fans every prefix token across the full haystack
-    // postings — measure it before the join, not after
-    val est = prefix.groupBy("t").agg(count(lit(1)).cast("double").as("cp"))
-      .join(hPosts.groupBy("t").agg(count(lit(1)).cast("double").as("cf")),
-        "t")
-      .agg(coalesce(sum(col("cp") * col("cf")), lit(0.0)))
-      .head().getDouble(0)
-    requireCandidateBudget(est, candidateBudget,
-      "crossContainmentPairs", shingleK, threshold)
-    prefix.select(col("t"), col("id").as("id_a"))
-      .join(hPosts.select(col("t"), col("id").as("id_b")), "t")
-      .select("id_a", "id_b").distinct()
+    // budget-bounded candidates materialized, posting cache released
+    // deterministically — on the guard-refusal path too (prefixPostings
+    // lifecycle contract)
+    val cands = try {
+      // exact join-work count, same stance as the self-join twins: needle
+      // prefixes are benchmark-sized by contract, but a degenerate vocab
+      // at k=1 still fans every prefix token across the full haystack
+      // postings — measure it before the join, not after
+      val est = prefix.groupBy("t")
+        .agg(count(lit(1)).cast("double").as("cp"))
+        .join(hPosts.groupBy("t")
+          .agg(count(lit(1)).cast("double").as("cf")), "t")
+        .agg(coalesce(sum(col("cp") * col("cf")), lit(0.0)))
+        .head().getDouble(0)
+      requireCandidateBudget(est, candidateBudget,
+        "crossContainmentPairs", shingleK, threshold)
+      prefix.select(col("t"), col("id").as("id_a"))
+        .join(hPosts.select(col("t"), col("id").as("id_b")), "t")
+        .select("id_a", "id_b").distinct()
+        .localCheckpoint()
+    } finally {
+      prefix.unpersist(blocking = true)
+      hPosts.unpersist(blocking = true)
+    }
+    cands
       .join(na.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(hb.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("containment",
@@ -1516,17 +1555,25 @@ object Dedup {
                        candidateBudget: Long = 100000000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val toks = prefixTokenSets(df, textCol, idCol, shingleK)
-    val (prefix, posts) = containmentStages(toks, threshold)
-    // exact join-work count: Σ_t cp·cf − cp (each prefix entry always
-    // matches its own doc's full posting, filtered as a self pair)
-    val cp = prefix.groupBy("t").agg(count(lit(1)).cast("double").as("cp"))
-    val cf = posts.groupBy("t").agg(count(lit(1)).cast("double").as("cf"))
-    val est = cp.join(cf, "t")
-      .agg(coalesce(sum(col("cp") * col("cf") - col("cp")), lit(0.0)))
-      .head().getDouble(0)
-    requireCandidateBudget(est, candidateBudget,
-      "containmentPairs", shingleK, threshold)
-    containmentCandidatesFrom(prefix, posts)
+    val st = containmentStages(toks, threshold)
+    // budget-bounded candidates materialized, posting cache released
+    // deterministically — on the guard-refusal path too (prefixPostings
+    // lifecycle contract)
+    val cands = try {
+      // exact join-work count: Σ_t cp·cf − cp (each prefix entry always
+      // matches its own doc's full posting, filtered as a self pair)
+      val cp = st.prefix.groupBy("t")
+        .agg(count(lit(1)).cast("double").as("cp"))
+      val cf = st.posts.groupBy("t")
+        .agg(count(lit(1)).cast("double").as("cf"))
+      val est = cp.join(cf, "t")
+        .agg(coalesce(sum(col("cp") * col("cf") - col("cp")), lit(0.0)))
+        .head().getDouble(0)
+      requireCandidateBudget(est, candidateBudget,
+        "containmentPairs", shingleK, threshold)
+      containmentCandidatesFrom(st.prefix, st.posts).localCheckpoint()
+    } finally st.release()
+    cands
       .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("containment",

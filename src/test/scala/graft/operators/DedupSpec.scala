@@ -778,4 +778,99 @@ class DedupSpec extends SparkSpec {
       Seq("f1" -> col("f1"), "f2" -> col("f2")), iters = 2).collect()
     assert(n.length == 2 && n.forall(r => !r.getDouble(1).isNaN))
   }
+
+  test("candidate pre-flight guard edges: empty corpus, threshold 1.0, cross twin") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty corpus: measured work is exactly 0 — passes even a ZERO
+    // budget and yields an empty result, never a divide-by-nothing throw
+    assert(Dedup.prefixFilterJaccardPairs(empty, "text", "doc_id", 0.5,
+      shingleK = 1, candidateBudget = 0L).count() == 0L)
+    assert(Dedup.containmentPairs(empty, "text", "doc_id", 0.5,
+      shingleK = 1, candidateBudget = 0L).count() == 0L)
+    assert(Dedup.crossContainmentPairs(empty, empty, "text", "doc_id", 0.5,
+      shingleK = 1, candidateBudget = 0L).count() == 0L)
+    // one-sided empty cross: needle prefixes exist but no haystack
+    // postings — est joins to nothing, coalesces to 0, result empty
+    val needles = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(Dedup.crossContainmentPairs(needles, empty, "text", "doc_id",
+      0.5, shingleK = 1, candidateBudget = 0L).count() == 0L)
+    // threshold -> 1.0: prefix length collapses to n - ceil(n) + 1 = 1
+    // (one token per doc under the join), the DECIMAL ceiling must not
+    // overshoot to 0, and the verify pass keeps exact dups only
+    val dup = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), // exact dup
+      (3L, "alpha beta delta")                            // J = 1/2
+    ).toDF("doc_id", "text")
+    val exact = Dedup.prefixFilterJaccardPairs(dup, "text", "doc_id", 1.0,
+        shingleK = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)), s"t=1.0 keeps exact dups only: $exact")
+    // guard still measures REAL work at t=1.0 on a degenerate corpus:
+    // 40 identical docs -> one posting bucket of 40 -> 780 pairs measured
+    val clones = (1L to 40L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.prefixFilterJaccardPairs(clones, "text", "doc_id", 1.0,
+        shingleK = 1, candidateBudget = 100L).count()
+    }
+    assert(e.getMessage.contains("pre-flight refused"))
+    // the cross twin refuses a degenerate k=1 vocab the same way: every
+    // needle prefix token fans across the whole haystack posting list
+    val hay = (1L to 50L).map(i => (1000L + i, s"alpha beta w$i"))
+      .toDF("doc_id", "text")
+    val n2 = (1L to 10L).map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    val eX = intercept[IllegalArgumentException] {
+      Dedup.crossContainmentPairs(n2, hay, "text", "doc_id", 0.5,
+        shingleK = 1, candidateBudget = 10L).count()
+    }
+    assert(eX.getMessage.contains("crossContainmentPairs pre-flight refused"))
+  }
+
+  test("posting-stage persists release deterministically (no net cache growth)") {
+    // CacheManager entries are strong-referenced (not GC-reclaimable):
+    // the operators must unpersist their posting stages before returning,
+    // so ~100 sequential calls in one session leave ZERO net cached plans
+    // — the long-lived-session leak the r12 review flagged
+    val probe = org.apache.spark.sql.GraftCacheProbe
+    val corpus = (1L to 12L).map(i =>
+      (i, s"alpha beta gamma w$i x${i % 3}")).toDF("doc_id", "text")
+    val needles = Seq((900L, "alpha beta gamma")).toDF("doc_id", "text")
+    val before = probe.numCachedPlans(spark)
+    (1 to 34).foreach { _ =>
+      Dedup.prefixFilterJaccardPairs(corpus, "text", "doc_id", 0.5,
+        shingleK = 2).count()
+      Dedup.containmentPairs(corpus, "text", "doc_id", 0.7,
+        shingleK = 2).count()
+      Dedup.crossContainmentPairs(needles, corpus, "text", "doc_id", 0.7,
+        shingleK = 2).count()
+    }
+    // probe/internal paths too: candidates-only entry points
+    (1 to 4).foreach { _ =>
+      Dedup.prefixCandidateCount(corpus, "text", "doc_id", 0.5, 2)
+      Dedup.containmentCandidates(
+        Dedup.prefixTokenSets(corpus, "text", "doc_id", 2), 0.7).count()
+    }
+    val after = probe.numCachedPlans(spark)
+    assert(after == before,
+      s"posting persists leaked: $before cached plans before, $after after " +
+        "110 operator calls — a long-lived session would accumulate " +
+        "MEMORY_AND_DISK blocks until an explicit clearCache()")
+    // a guard REFUSAL must not leak either: the throw happens after the
+    // posting stages persist, so the refusing path unpersists on its way out
+    val clones = (1L to 40L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.prefixFilterJaccardPairs(clones, "text", "doc_id", 0.5,
+        shingleK = 1, candidateBudget = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(clones, "text", "doc_id", 0.5,
+        shingleK = 1, candidateBudget = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.crossContainmentPairs(needles, clones, "text", "doc_id", 0.5,
+        shingleK = 1, candidateBudget = 1L)
+    }
+    assert(probe.numCachedPlans(spark) == before,
+      "a refused pre-flight must release its posting persists too")
+  }
 }
