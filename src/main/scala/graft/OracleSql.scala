@@ -4089,9 +4089,23 @@ object OracleSql {
          |SELECT id_a, id_b, ${rnd("containment", 3)} AS containment
          |FROM p WHERE containment >= 0.6""".stripMargin,
 
-    // q217 (compression profile) has NO oracle by design: DuckDB has no
-    // compression scalar — the driver records its rows-only check and
-    // CompressionSpec anchors the values.
+    // q217 materialize-then-audit: DuckDB has no deflate scalar, so the
+    // per-doc ratio VALUES are anchored by CompressionSpec fixtures; the
+    // Spark side writes them to a per-SF audit table and the oracle
+    // hash-gates the downstream aggregation (grouping, 4-dp rounding,
+    // 0.35 threshold count) over the identical parquet. The correctness
+    // gate runs at sf0.01 (the driver contract), hence the pinned path —
+    // bench at sf0.1 and smoke at sf0.001 write their own subdirectories
+    // and cannot clobber the gated one.
+    "q217_compression_profile" ->
+      s"""WITH r AS (SELECT source, r FROM read_parquet(
+         |    '/tmp/graft_materialized/sf0.01/q217_ratios/*.parquet'))
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  ${rnd("avg(r)", 4)} AS mean_ratio,
+         |  ${rnd("min(r)", 4)} AS min_ratio,
+         |  sum(CASE WHEN r < 0.35 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_template_like
+         |FROM r GROUP BY source""".stripMargin,
 
     // Neyman allocation: exact integer moments, sigma and weights derived
     // in doubles, the weight total as an ordered list_sum (the Spark
@@ -4679,8 +4693,12 @@ object OracleSql {
     // corrupts struct state when vectorized over multiple rows (verified
     // against a reference port — single-row folds are exact, multi-row
     // diverges), so the sequential state lives in recursion instead.
-    // ascii() codepoints equal UTF-8 bytes on this corpus (verified
-    // ASCII-only); the report compares counts, not hash values, so the
+    // ascii() codepoints equal UTF-8 bytes ONLY on ASCII payloads, and
+    // the Spark side (CdcChunkHashes) rolls over UTF-8 BYTES — so the
+    // ASCII-only property is ENFORCED in the d CTE (octet_length ==
+    // length, else error()): a future non-ASCII documents corpus fails
+    // the oracle loudly instead of silently diverging on chunk counts.
+    // The report compares counts, not hash values, so the
     // signed/unsigned representation difference is immaterial.
     "q243_cdc_chunk_dedup" -> {
       val gearLit = graft.functions.CdcChunkHashes.gear
@@ -4695,7 +4713,10 @@ object OracleSql {
       val cut = s"((size + 1 >= 16 AND ($newH & 63) = 0)" +
         s" OR size + 1 >= 256 OR i + 1 = length(t))"
       s"""WITH RECURSIVE gr AS (SELECT $gearLit AS g),
-         |d AS (SELECT text AS t FROM documents
+         |d AS (SELECT CASE WHEN octet_length(encode(text)) = length(text)
+         |    THEN text ELSE error('q243 oracle replays ascii() per char '
+         |      || 'and requires an ASCII-only corpus; found multibyte '
+         |      || 'text in documents') END AS t FROM documents
          |  WHERE text IS NOT NULL AND length(text) > 0),
          |r AS (
          |  SELECT t, g, 0 AS i, 0::UBIGINT AS h, $fnv0 AS fnv, 0 AS size,

@@ -2395,19 +2395,31 @@ object SparkEntry {
 
   /** Per-source compression-ratio profile (codegen'd DeflateRatio): mean/
     * min deflate ratio and the count of template-like docs (< 0.35) — the
-    * LZ77 quality filter next to the Gopher repetition rules. NOT
-    * SQL-expressible (DuckDB has no compression scalar) → the driver
-    * records its rows-only check; value correctness is CompressionSpec's
-    * hand-characterized anchor. */
-  private def q217(s: SparkSession, dir: String): DataFrame =
+    * LZ77 quality filter next to the Gopher repetition rules. The deflate
+    * scalar itself is NOT SQL-expressible (DuckDB has no compression
+    * function; its per-doc values are CompressionSpec's hand-characterized
+    * anchor), so the gate uses MATERIALIZE-THEN-AUDIT: the per-doc ratios
+    * are written to a per-SF audit table first, the returned aggregate is
+    * computed FROM that table, and the oracle aggregates the identical
+    * parquet in DuckDB — grouping, 4-dp rounding and the 0.35 threshold
+    * count are all hash-gated. Doubles round-trip parquet exactly, so
+    * both engines fold the same bit-identical inputs. The audit table is
+    * the pattern a 100 TB curation pipeline wants anyway: score once,
+    * audit/aggregate many times. */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_materialized/${new java.io.File(dir).getName}" +
+      "/q217_ratios"
     TW(s, dir, "documents")
-      .select(col("source"),
+      .select(col("doc_id"), col("source"),
         graft.functions.TextHashFunctions.deflateRatio(col("text")).as("r"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("r")), 4).as("mean_ratio"),
         round(min(col("r")), 4).as("min_ratio"),
         sum(when(col("r") < 0.35, 1L).otherwise(0L)).as("n_template_like"))
+  }
 
   /** Neyman allocation of a 1000-sample audit budget across sources by
     * n_chars: strata get samples ∝ N_h·σ_h (big AND varied wins), integer
