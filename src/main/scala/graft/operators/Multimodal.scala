@@ -20,20 +20,105 @@ object Multimodal {
   final case class ImageMeta(doc_id: Long, n_bytes: Int, width: Int,
                              height: Int, channels: Int, mean_byte: Double)
 
+  /** The decode seam: swap implementations without touching the Spark
+    * plumbing (schema, batched mapPartitions, partitioning). */
+  trait ImageCodec extends Serializable {
+    def decodeImage(id: Long, bytes: Array[Byte]): ImageMeta
+  }
+
+  private def meanByte(bytes: Array[Byte]): Double = {
+    val n = bytes.length
+    if (n == 0) 0.0 else {
+      var s = 0L; var i = 0
+      while (i < n) { s += (bytes(i) & 0xff); i += 1 }
+      math.round(s.toDouble / n * 10000).toDouble / 10000
+    }
+  }
+
   /** STUB codec — deterministic fake decode in place of a real image library.
-    * Derives plausible dimensions from the payload deterministically. */
-  object FakeCodec extends Serializable {
+    * Derives plausible dimensions from the payload deterministically; the
+    * default for the oracle-gated queries (the documents corpus is text,
+    * not media). */
+  object FakeCodec extends ImageCodec {
     def decodeImage(id: Long, bytes: Array[Byte]): ImageMeta = {
       val n = bytes.length
       val first = if (n > 0) bytes(0) & 0xff else 0
       val width = 64 + (first % 16) * 32
       val height = 64 + ((n % 16)) * 32
-      val mean = if (n == 0) 0.0 else {
-        var s = 0L; var i = 0
-        while (i < n) { s += (bytes(i) & 0xff); i += 1 }
-        math.round(s.toDouble / n * 10000).toDouble / 10000
-      }
-      ImageMeta(id, n, width, height, 3, mean)
+      ImageMeta(id, n, width, height, 3, meanByte(bytes))
+    }
+  }
+
+  /** REAL pure-JVM header codec: parses width/height/channels straight
+    * from the container header bytes — PNG IHDR, JPEG SOFn, GIF logical
+    * screen descriptor — no image library needed. This is the metadata
+    * path a 100 TB media pipeline runs FIRST (dimension/aspect filters
+    * prune the corpus before any pixel decode touches an executor);
+    * full pixel decode stays behind the same [[ImageCodec]] seam.
+    * Unparseable payloads throw `IllegalArgumentException` — surface
+    * them per-partition (filter/`Try`) rather than silently fabricating
+    * dimensions. */
+  object HeaderCodec extends ImageCodec {
+    def decodeImage(id: Long, bytes: Array[Byte]): ImageMeta = {
+      val (w, h, c) = parseDims(bytes).getOrElse(throw
+        new IllegalArgumentException(
+          s"doc $id: not a PNG/JPEG/GIF header (${bytes.length} bytes)"))
+      ImageMeta(id, bytes.length, w, h, c, meanByte(bytes))
+    }
+
+    /** (width, height, channels) from the header, or None if the payload
+      * is not a recognizable PNG/JPEG/GIF. */
+    def parseDims(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      def u8(i: Int) = b(i) & 0xff
+      def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Int) =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      val n = b.length
+      if (n >= 26 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+          u8(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a &&
+          u8(6) == 0x1a && u8(7) == 0x0a &&
+          b.slice(12, 16).sameElements("IHDR".getBytes)) {
+        // IHDR is the first chunk by spec: width/height BE at 16/20,
+        // color type at 25 → channel count (0 gray, 2 rgb, 3 palette,
+        // 4 gray+alpha, 6 rgba)
+        val channels = u8(25) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => return None
+        }
+        Some((be32(16), be32(20), channels))
+      } else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        // JPEG: walk the marker segments to the first SOFn (C0–CF minus
+        // C4 DHT / C8 JPG / CC DAC). SOF payload: len(2) precision(1)
+        // HEIGHT(2) WIDTH(2) ncomponents(1) — height first, the classic
+        // swapped-dims trap.
+        var i = 2
+        while (i + 3 < n) {
+          if (u8(i) != 0xff) return None
+          var j = i
+          while (j < n && u8(j) == 0xff) j += 1 // fill bytes are legal
+          if (j >= n) return None
+          val m = u8(j)
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+              m != 0xcc) {
+            if (j + 8 >= n) return None
+            return Some((be16(j + 6), be16(j + 4), u8(j + 8)))
+          } else if (m == 0xd9 || m == 0xda) {
+            return None // EOI/SOS before any SOF: no frame header
+          } else if (m >= 0xd0 && m <= 0xd8) {
+            i = j + 1 // standalone marker, no length field
+          } else {
+            if (j + 2 >= n) return None
+            i = j + 1 + be16(j + 1)
+          }
+        }
+        None
+      } else if (n >= 10 && b.slice(0, 6).sameElements("GIF87a".getBytes)
+          || n >= 10 && b.slice(0, 6).sameElements("GIF89a".getBytes)) {
+        // logical screen descriptor: width/height LITTLE-endian at 6/8;
+        // pixels index an RGB palette → 3 channels
+        Some((le16(6), le16(8), 3))
+      } else None
     }
   }
 
@@ -46,11 +131,12 @@ object Multimodal {
     * column (the Scala analogue of `mapInPandas` — one iterator pass per
     * partition, no per-row task overhead, decode parallelism = partitions). */
   def decodeImages(spark: SparkSession, df: DataFrame,
-                   idCol: String = "doc_id", binCol: String = "image"): Dataset[ImageMeta] = {
+                   idCol: String = "doc_id", binCol: String = "image",
+                   codec: ImageCodec = FakeCodec): Dataset[ImageMeta] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => FakeCodec.decodeImage(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => codec.decodeImage(id, bytes) })
   }
 
   /** Frame-sampling plumbing for "video": slice the payload into fixed-size

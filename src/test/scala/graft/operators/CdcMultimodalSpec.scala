@@ -54,6 +54,67 @@ class CdcMultimodalSpec extends SparkSpec {
     assert(out(2L).n_bytes == 0 && out(2L).mean_byte == 0.0)
   }
 
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/images/$name")
+    assert(in != null, s"missing committed fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("HeaderCodec parses real committed PNG/JPEG/GIF fixtures") {
+    // fixtures are REAL container files built independently (python
+    // struct/zlib), committed under test resources — not synthesized by
+    // the parser under test
+    val cases = Seq(
+      ("rgb_3x2.png", (3, 2, 3)),
+      ("gray_5x7.png", (5, 7, 1)),
+      ("rgba_4x4.png", (4, 4, 4)),
+      ("gray_1x1.jpg", (1, 1, 1)),
+      // SOF stores HEIGHT before WIDTH — the swapped-dims trap
+      ("ycbcr_8x16.jpg", (8, 16, 3)),
+      // progressive (SOF2) frames parse through the same marker walk
+      ("progressive_640x480.jpg", (640, 480, 3)),
+      ("pixel_1x1.gif", (1, 1, 3)),
+      // GIF dims are LITTLE-endian, unlike PNG/JPEG
+      ("wide_300x200.gif", (300, 200, 3)))
+    cases.foreach { case (name, want) =>
+      val got = Multimodal.HeaderCodec.parseDims(fixture(name))
+      assert(got.contains(want), s"$name: got $got want $want")
+    }
+    // full decode carries n_bytes + mean_byte alongside the parsed dims
+    val m = Multimodal.HeaderCodec.decodeImage(7L, fixture("ycbcr_8x16.jpg"))
+    assert(m.doc_id == 7L && m.width == 8 && m.height == 16 &&
+      m.channels == 3 && m.n_bytes == 170 && m.mean_byte > 0.0)
+  }
+
+  test("HeaderCodec refuses non-image payloads instead of fabricating dims") {
+    assert(Multimodal.HeaderCodec.parseDims("not an image".getBytes).isEmpty)
+    assert(Multimodal.HeaderCodec.parseDims(Array.emptyByteArray).isEmpty)
+    // JPEG SOI but stream ends before any SOF frame header
+    assert(Multimodal.HeaderCodec.parseDims(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    // PNG signature with a truncated IHDR
+    assert(Multimodal.HeaderCodec.parseDims(
+      Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)).isEmpty)
+    intercept[IllegalArgumentException] {
+      Multimodal.HeaderCodec.decodeImage(1L, "junk".getBytes)
+    }
+  }
+
+  test("decodeImages runs the real HeaderCodec through the Dataset path") {
+    val rows = Seq(
+      (1L, fixture("rgb_3x2.png")),
+      (2L, fixture("ycbcr_8x16.jpg")),
+      (3L, fixture("wide_300x200.gif")))
+    val df = rows.toDF("doc_id", "image").repartition(3)
+    val out = Multimodal
+      .decodeImages(spark, df, codec = Multimodal.HeaderCodec)
+      .collect().map(m => m.doc_id -> ((m.width, m.height, m.channels)))
+      .toMap
+    assert(out == Map(1L -> ((3, 2, 3)), 2L -> ((8, 16, 3)),
+      3L -> ((300, 200, 3))))
+  }
+
   test("compactNetEffect collapses op sequences to their net merge effect") {
     val ops = Seq(
       // k1: c,u,u -> net c with the LAST payload
