@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => TopKAgg(es(0), intOf(es(1))).toAggregateExpression()))
     ext.injectFunction(fn("graft_minhash_agg",
       es => MinHashAgg(es(0), intOf(es(1))).toAggregateExpression()))
+    // the TABLE-function facade: DataFrame-shaped reports reachable as
+    // SELECT * FROM graft_report('<name>', '<table>', args...) — the
+    // registry lives in GraftReports
+    ext.injectTableFunction((FunctionIdentifier("graft_report"),
+      new ExpressionInfo("graft", "graft_report"),
+      (es: Seq[Expression]) => GraftReports.tvfBuilder(es)))
     ext.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPruning)
   }
 }

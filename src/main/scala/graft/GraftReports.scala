@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** SQL facade over the DataFrame-shaped REPORT operators — the surface a
+  * SQL-first user reaches as a table-valued function:
+  *
+  * {{{
+  *   SELECT * FROM graft_report('growth_accounting', 'events_view',
+  *                              'user_id', 'ts', '7')
+  * }}}
+  *
+  * The scalar/aggregate expression surface rides the function registry
+  * ([[GraftExtensions]], `graft_cosine` et al.); reports return TABLES, so
+  * they ride the TABLE function registry instead — same injection point
+  * (`spark.sql.extensions=graft.GraftExtensions`), same runtime
+  * alternative ([[GraftReports.register]], the `Registry.ensure` twin).
+  *
+  * Contract: `graft_report(name, table, args...)` — every argument a
+  * string literal (resolved at analysis time), `table` any table or temp
+  * view, and `args` matching the report's declared [[Report.argNames]]
+  * positionally. Column-typed parameters accept full SQL expressions
+  * (`'pmod(user_id, 2) = 1'`); list-typed parameters are comma-separated.
+  * Errors name the report and its expected arguments. Reports whose
+  * operators train eagerly (BPE, farthest-point) do that work at analysis
+  * time — same cost as the Scala call, just earlier in the query's life.
+  */
+object GraftReports {
+
+  /** One SQL-reachable report: declared argument names (spec-enumerable,
+    * error-message fodder) and the builder from (input, args). */
+  final case class Report(argNames: Seq[String],
+                          build: (DataFrame, Seq[String]) => DataFrame)
+
+  private def r(argNames: String*)(build: (DataFrame, Seq[String]) => DataFrame)
+      : Report = Report(argNames, build)
+
+  /** Second-table arguments resolve against the input's own session, so
+    * the facade works identically under `SparkSession.active` (TVF path)
+    * and an explicit session (Scala path). */
+  private def tbl(df: DataFrame, name: String): DataFrame =
+    df.sparkSession.table(name)
+
+  /** The registry: every post-q243 Stats/EventOps/TimeSeries/quality
+    * report from the gate surface, keyed by snake_case name. */
+  val reports: Map[String, Report] = Map(
+    // ---- Stats: experimentation / evaluation ----
+    "poisson_bootstrap_se" -> r("groupCol", "idCol", "valueCol", "b")(
+      (df, a) => Stats.poissonBootstrapSE(df, a(0), a(1), a(2), a(3).toInt)),
+    "bootstrap_median_ci" -> r("groupCol", "idCol", "valueCol", "b")(
+      (df, a) => Stats.bootstrapMedianCI(df, a(0), a(1), a(2), a(3).toInt)),
+    "mahalanobis_outliers" -> r("idCol", "featuresCsv", "topK")(
+      (df, a) => Stats.mahalanobisOutliers(df, a(0),
+        a(1).split(",").map(_.trim).toSeq, a(2).toInt)),
+    "group_auc" -> r("groupCol", "scoreExpr", "labelExpr")(
+      (df, a) => Stats.groupAuc(df, a(0), expr(a(1)), expr(a(2)))),
+    "msprt" -> r("groupCol", "armExpr", "valueCol", "tau2")(
+      (df, a) => Stats.msprt(df, a(0), expr(a(1)), a(2), a(3).toDouble)),
+    "yuen_trimmed_t" -> r("armExpr", "valueCol", "trim")(
+      (df, a) => Stats.yuenTrimmedT(df, expr(a(0)), a(1), a(2).toDouble)),
+    "post_stratified_mean" -> r("strataCol", "valueCol", "sampleTable")(
+      (df, a) => Stats.postStratifiedMean(df, a(0), a(1), tbl(df, a(2)))),
+    "diff_in_diff" -> r("treatExpr", "postExpr", "valueCol")(
+      (df, a) => Stats.diffInDiff(df, expr(a(0)), expr(a(1)), a(2))),
+    "emd_drift" -> r("groupCol", "valueCol", "nBins")(
+      (df, a) => Stats.emdDrift(df, a(0), a(1), a(2).toInt)),
+    "bradley_terry" -> r("winnerCol", "loserCol", "iters")(
+      (df, a) => Stats.bradleyTerry(df, a(0), a(1), a(2).toInt)),
+    "jackknife_group_se" -> r("unitExpr", "valueCol", "nGroups")(
+      (df, a) => Stats.jackknifeGroupSE(df, expr(a(0)), a(1), a(2).toInt)),
+    "spearman_by_group" -> r("groupCol", "xCol", "yCol")(
+      (df, a) => Stats.spearmanByGroup(df, a(0), a(1), a(2))),
+    "range_partition_audit" -> r("idCol", "valueCol", "nParts", "samplePct")(
+      (df, a) => Stats.rangePartitionAudit(df, a(0), a(1), a(2).toInt,
+        a(3).toInt)),
+    "ipf_raking" -> r("rowExpr", "colExpr", "iters")(
+      (df, a) => Stats.ipfRaking(df, expr(a(0)), expr(a(1)), a(2).toInt)),
+    "funnel_conversion_test" ->
+      r("userCol", "tsCol", "typeCol", "eventA", "eventB", "armBExpr")(
+        (df, a) => Stats.funnelConversionTest(df, a(0), a(1), a(2), a(3),
+          a(4), expr(a(5)))),
+    "brier_decomposition" -> r("scoreCol", "labelCol", "nBins")(
+      (df, a) => Stats.brierDecomposition(df, a(0), a(1), a(2).toInt)),
+    "correlation_matrix" -> r("colsCsv")(
+      (df, a) => Stats.correlationMatrix(df,
+        a(0).split(",").map(_.trim).toSeq)),
+    "ips_policy_value" -> r("contextExpr", "actionCol", "rewardCol")(
+      (df, a) => Stats.ipsPolicyValue(df, expr(a(0)), a(1), a(2))),
+    "mix_shift_decomposition" -> r("segmentCol", "periodBExpr", "valueCol")(
+      (df, a) => Stats.mixShiftDecomposition(df, a(0), expr(a(1)), a(2))),
+    "krippendorff_alpha" -> r("unitCol", "ratingCol")(
+      (df, a) => Stats.krippendorffAlpha(df, a(0), a(1))),
+    "pr_curve" -> r("scoreCol", "labelCol", "nBins")(
+      (df, a) => Stats.prCurve(df, a(0), a(1), a(2).toInt)),
+    "kendall_tau_b" -> r("groupCol", "xCol", "yCol")(
+      (df, a) => Stats.kendallTauB(df, a(0), a(1), a(2))),
+    "pettitt_changepoint" -> r("keyCol", "tsCol")(
+      (df, a) => Stats.pettittChangepoint(df, a(0), a(1))),
+    "pareto_frontier" -> r("idCol", "xCol", "yCol")(
+      (df, a) => Stats.paretoFrontier(df, a(0), a(1), a(2))),
+    // ---- TimeSeries ----
+    "theil_sen" -> r("keyCol", "tsCol", "valueCol")(
+      (df, a) => TimeSeries.theilSen(df, a(0), a(1), a(2))),
+    "mann_kendall" -> r("keyCol", "tsCol", "valueCol")(
+      (df, a) => TimeSeries.mannKendall(df, a(0), a(1), a(2))),
+    "ewma" -> r("keyCol", "tsCol", "valueCol", "alpha")(
+      (df, a) => TimeSeries.ewma(df, a(0), a(1), a(2), a(3).toDouble)),
+    "seasonal_decompose" -> r("keyCol", "tsCol")(
+      (df, a) => TimeSeries.seasonalDecompose(df, a(0), a(1))),
+    "holt_forecast_eval" -> r("keyCol", "tsCol", "alpha", "beta")(
+      (df, a) => TimeSeries.holtForecastEval(df, a(0), a(1), a(2).toDouble,
+        a(3).toDouble)),
+    "autocorrelation" -> r("keyCol", "tsCol", "maxLag")(
+      (df, a) => TimeSeries.autocorrelation(df, a(0), a(1), a(2).toInt)),
+    "seasonal_forecast_eval" -> r("keyCol", "tsCol", "season")(
+      (df, a) => TimeSeries.seasonalForecastEval(df, a(0), a(1), a(2).toInt)),
+    // ---- TextAnalysis ----
+    "lang_confusion" -> r("textCol", "labelCol")(
+      (df, a) => TextAnalysis.langConfusion(df, a(0), a(1))),
+    "char_stats" -> r("srcCol", "textCol")(
+      (df, a) => TextAnalysis.charStats(df, a(0), a(1))),
+    "winnowing_report" -> r("idCol", "srcCol", "textCol", "k", "w")(
+      (df, a) => TextAnalysis.winnowingReport(df, a(0), a(1), a(2),
+        a(3).toInt, a(4).toInt)),
+    // ---- Sketches ----
+    "topk_churn" -> r("textCol", "periodBExpr", "n", "topK")(
+      (df, a) => Sketches.topKChurn(df, a(0), expr(a(1)), a(2).toInt,
+        a(3).toInt)),
+    // ---- Similarity / embeddings ----
+    "knn_classifier_eval" ->
+      r("queryPredExpr", "k", "idCol", "vecCol", "labelCol")(
+        (df, a) => Similarity.knnClassifierEval(df, expr(a(0)), a(1).toInt,
+          a(2), a(3), a(4))),
+    "label_anisotropy" -> r("vecCol", "labelCol")(
+      (df, a) => Similarity.labelAnisotropy(df, a(0), a(1))),
+    "farthest_point_sample" -> r("k", "idCol", "vecCol")(
+      (df, a) => Similarity.farthestPointSample(df, a(0).toInt, a(1), a(2))),
+    "triplet_eval" -> r("idCol", "vecCol", "labelCol")(
+      (df, a) => Similarity.tripletEval(df, a(0), a(1), a(2))),
+    // ---- Sampling ----
+    "negative_sampling" ->
+      r("userCol", "itemCol", "catalogTable", "catalogKey", "k")(
+        (df, a) => Sampling.negativeSampling(df, a(0), a(1), tbl(df, a(2)),
+          a(3), a(4).toInt)),
+    "shard_mixing_report" -> r("idCol", "srcCol", "nShards")(
+      (df, a) => Sampling.shardMixingReport(df, a(0), a(1), a(2).toInt)),
+    // ---- Graph ----
+    "bfs_hops" -> r("seedsTable", "maxHops", "idA", "idB")(
+      (df, a) => Graph.bfsHops(df, tbl(df, a(0)), a(1).toInt, a(2), a(3))),
+    "degree_assortativity" -> r("leftCol", "rightCol")(
+      (df, a) => Graph.degreeAssortativity(df, a(0), a(1))),
+    // ---- EventOps ----
+    "lateness_profile" -> r("keyCol", "arrivalCol", "tsCol")(
+      (df, a) => EventOps.latenessProfile(df, a(0), a(1), a(2))),
+    "growth_accounting" -> r("userCol", "tsCol", "gapDays")(
+      (df, a) => EventOps.growthAccounting(df, a(0), a(1), a(2).toInt)),
+    // ---- DataQuality ----
+    "rare_category_collapse" -> r("catCol", "minSupport")(
+      (df, a) => DataQuality.rareCategoryCollapse(df, a(0), a(1).toLong)),
+    "feature_hash_audit" -> r("catCol", "bits")(
+      (df, a) => DataQuality.featureHashAudit(df, a(0), a(1).toInt)),
+    "dp_noisy_counts" -> r("groupCol", "seed", "epsilon")(
+      (df, a) => DataQuality.dpNoisyCounts(df, a(0), a(1), a(2).toDouble)),
+    // ---- Corpus ----
+    "bpe_learn" -> r("textCol", "nMerges", "batch")(
+      (df, a) => Corpus.bpeLearn(df, a(0), a(1).toInt, a(2).toInt)),
+    "bpe_encode" -> r("textCol", "groupCol", "nMerges", "batch")(
+      (df, a) => Corpus.bpeEncode(df, a(0), a(1), a(2).toInt, a(3).toInt))
+  )
+
+  /** Dispatch by name with argument-count validation; the error message
+    * is the documentation a SQL user sees. */
+  def run(name: String, input: DataFrame, args: Seq[String]): DataFrame = {
+    val rep = reports.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown graft report '$name'; known reports: " +
+        reports.keys.toSeq.sorted.mkString(", ")))
+    require(args.length == rep.argNames.length,
+      s"graft_report('$name', table, ...) takes arguments " +
+        s"(${rep.argNames.mkString(", ")}) — got ${args.length}, " +
+        s"expected ${rep.argNames.length}")
+    rep.build(input, args)
+  }
+
+  /** The TVF builder shared by [[GraftExtensions]] injection and runtime
+    * [[register]]: evaluates the literal arguments, resolves the input
+    * table against the active session, and returns the report's analyzed
+    * plan. */
+  private[graft] def tvfBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length >= 2,
+      "graft_report(name, table, args...) needs at least (name, table)")
+    val args = es.map { e =>
+      require(e.foldable,
+        "graft_report arguments must be string literals")
+      String.valueOf(e.eval(null))
+    }
+    val spark = SparkSession.active
+    run(args.head, spark.table(args(1)), args.drop(2))
+      .queryExecution.analyzed
+  }
+
+  /** Runtime registration for an existing session (the `Registry.ensure`
+    * twin for table functions). Idempotent. */
+  def register(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.tableFunctionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_report")))
+      reg.createOrReplaceTempFunction("graft_report", tvfBuilder _,
+        "built-in")
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The table-valued SQL facade: registry enumeration (the q76-style
+  * coverage assertion for the report surface) plus live `spark.sql`
+  * round-trips through `graft_report(...)` compared against the direct
+  * Scala calls they must equal. */
+class GraftReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("report registry enumerates the full q244-q298 report surface") {
+    val want = Set(
+      // Stats
+      "poisson_bootstrap_se", "bootstrap_median_ci", "mahalanobis_outliers",
+      "group_auc", "msprt", "yuen_trimmed_t", "post_stratified_mean",
+      "diff_in_diff", "emd_drift", "bradley_terry", "jackknife_group_se",
+      "spearman_by_group", "range_partition_audit", "ipf_raking",
+      "funnel_conversion_test", "brier_decomposition", "correlation_matrix",
+      "ips_policy_value", "mix_shift_decomposition", "krippendorff_alpha",
+      "pr_curve", "kendall_tau_b", "pettitt_changepoint", "pareto_frontier",
+      // TimeSeries
+      "theil_sen", "mann_kendall", "ewma", "seasonal_decompose",
+      "holt_forecast_eval", "autocorrelation", "seasonal_forecast_eval",
+      // TextAnalysis
+      "lang_confusion", "char_stats", "winnowing_report",
+      // Sketches
+      "topk_churn",
+      // Similarity
+      "knn_classifier_eval", "label_anisotropy", "farthest_point_sample",
+      "triplet_eval",
+      // Sampling
+      "negative_sampling", "shard_mixing_report",
+      // Graph
+      "bfs_hops", "degree_assortativity",
+      // EventOps
+      "lateness_profile", "growth_accounting",
+      // DataQuality
+      "rare_category_collapse", "feature_hash_audit", "dp_noisy_counts",
+      // Corpus
+      "bpe_learn", "bpe_encode")
+    assert(GraftReports.reports.keySet == want,
+      s"registry drift: missing ${want.diff(GraftReports.reports.keySet)}, " +
+        s"extra ${GraftReports.reports.keySet.diff(want)}")
+    assert(GraftReports.reports.size == 50)
+    // every report declares its arguments (the SQL user's documentation)
+    GraftReports.reports.foreach { case (name, rep) =>
+      assert(rep.argNames.nonEmpty, s"$name declares no arguments")
+      assert(rep.argNames.distinct == rep.argNames,
+        s"$name has duplicate argument names")
+    }
+  }
+
+  test("extensions inject graft_report into the table-function registry") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(org.apache.spark.sql.ExtensionsProbe
+      .registeredTableFunctions(ext).contains("graft_report"))
+  }
+
+  test("graft_report TVF equals the direct Scala call (single-table reports)") {
+    GraftReports.register(spark)
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", "view", 2.0),
+      (1L, "2024-01-03 10:00:00", "view", 3.0),
+      (2L, "2024-01-01 11:00:00", "view", 5.0),
+      (2L, "2024-01-20 11:00:00", "purchase", 7.0),
+      (3L, "2024-02-01 09:00:00", "view", 1.0))
+      .toDF("user_id", "ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    events.createOrReplaceTempView("graft_reports_events")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_report('growth_accounting',
+        |  'graft_reports_events', 'user_id', 'ts', '7')""".stripMargin)
+    val direct = graft.operators.EventOps
+      .growthAccounting(events, "user_id", "ts", gapDays = 7)
+    assert(rowsOf(viaSql) == rowsOf(direct))
+    // a report with expression-typed arguments
+    val viaSql2 = spark.sql(
+      """SELECT * FROM graft_report('ipf_raking', 'graft_reports_events',
+        |  'event_type', 'pmod(user_id, 2)', '3')""".stripMargin)
+    val direct2 = graft.operators.Stats.ipfRaking(events,
+      col("event_type"), pmod(col("user_id"), lit(2L)), iters = 3)
+    assert(rowsOf(viaSql2) == rowsOf(direct2))
+  }
+
+  test("graft_report resolves second-table arguments against the session") {
+    GraftReports.register(spark)
+    val pop = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 20.0),
+      ("b", 30.0)).toDF("stratum", "v")
+    val samp = Seq(("a", 2.0), ("a", 4.0), ("b", 25.0), ("b", 15.0))
+      .toDF("stratum", "v")
+    pop.createOrReplaceTempView("graft_reports_pop")
+    samp.createOrReplaceTempView("graft_reports_samp")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_report('post_stratified_mean',
+        |  'graft_reports_pop', 'stratum', 'v',
+        |  'graft_reports_samp')""".stripMargin)
+    val direct = graft.operators.Stats.postStratifiedMean(pop, "stratum",
+      "v", samp)
+    assert(rowsOf(viaSql) == rowsOf(direct))
+  }
+
+  test("graft_report errors name the report and its expected arguments") {
+    GraftReports.register(spark)
+    Seq((1L, 2.0)).toDF("id", "v")
+      .createOrReplaceTempView("graft_reports_tiny")
+    val eUnknown = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_report('no_such_report', " +
+        "'graft_reports_tiny')").collect()
+    }
+    assert(eUnknown.getMessage.contains("unknown graft report"))
+    val eArity = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_report('kendall_tau_b', " +
+        "'graft_reports_tiny', 'id')").collect()
+    }
+    assert(eArity.getMessage.contains("kendall_tau_b") &&
+      eArity.getMessage.contains("groupCol"))
+  }
+}

@@ -12,4 +12,11 @@ object ExtensionsProbe {
     ext.registerFunctions(reg)
     reg.listFunction().map(_.funcName)
   }
+
+  def registeredTableFunctions(ext: SparkSessionExtensions): Seq[String] = {
+    val reg = new org.apache.spark.sql.catalyst.analysis
+      .SimpleTableFunctionRegistry
+    ext.registerTableFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
 }
