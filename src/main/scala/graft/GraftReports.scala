@@ -171,7 +171,86 @@ object GraftReports {
     "bpe_learn" -> r("textCol", "nMerges", "batch")(
       (df, a) => Corpus.bpeLearn(df, a(0), a(1).toInt, a(2).toInt)),
     "bpe_encode" -> r("textCol", "groupCol", "nMerges", "batch")(
-      (df, a) => Corpus.bpeEncode(df, a(0), a(1), a(2).toInt, a(3).toInt))
+      (df, a) => Corpus.bpeEncode(df, a(0), a(1), a(2).toInt, a(3).toInt)),
+
+    // ---- wave 2: the pre-q244 LLM-pipeline reports, same contract ----
+    // Dedup
+    "exact_dedup" -> r("textCol", "idCol")(
+      (df, a) => Dedup.exact(df, a(0), a(1))),
+    "exact_survivors" -> r("textCol", "idCol")(
+      (df, a) => Dedup.exactSurvivors(df, a(0), a(1))),
+    "minhash_near_dups" ->
+      r("textCol", "idCol", "threshold", "bands", "rowsPerBand", "shingleK")(
+        (df, a) => Dedup.verifiedNearDups(df, a(0), a(1), a(2).toDouble,
+          a(3).toInt, a(4).toInt, a(5).toInt)),
+    "ngram_jaccard_pairs" ->
+      r("textCol", "idCol", "shingleK", "threshold", "maxPostings")(
+        (df, a) => Dedup.ngramJaccardPairs(df, a(0), a(1), a(2).toInt,
+          a(3).toDouble, a(4).toInt)),
+    "simhash_near_dups" -> r("textCol", "idCol", "maxHamming")(
+      (df, a) => Dedup.simHashNearDups(df, a(0), a(1), a(2).toInt)),
+    "simhash64_near_dups" -> r("textCol", "idCol", "maxHamming")(
+      (df, a) => Dedup.simHashNearDups64(df, a(0), a(1), a(2).toInt)),
+    "prefix_jaccard_pairs" -> r("textCol", "idCol", "threshold", "shingleK")(
+      (df, a) => Dedup.prefixFilterJaccardPairs(df, a(0), a(1),
+        a(2).toDouble, a(3).toInt)),
+    "containment_pairs" -> r("textCol", "idCol", "threshold", "shingleK")(
+      (df, a) => Dedup.containmentPairs(df, a(0), a(1), a(2).toDouble,
+        a(3).toInt)),
+    "cross_containment_pairs" ->
+      r("haystackTable", "textCol", "idCol", "threshold", "shingleK")(
+        (df, a) => Dedup.crossContainmentPairs(df, tbl(df, a(0)), a(1),
+          a(2), a(3).toDouble, a(4).toInt)),
+    "connected_components" -> r("idA", "idB", "maxIter")(
+      (df, a) => Dedup.connectedComponents(df, a(0), a(1), a(2).toInt)),
+    "cluster_stats" -> r("pairsTable", "idA", "idB", "metricCol")(
+      (df, a) => Dedup.clusterStats(df, tbl(df, a(0)), a(1), a(2), a(3))),
+    "semantic_dedup" -> r("idCol", "vecCol", "nClusters", "threshold")(
+      (df, a) => Dedup.semanticDedup(df, a(0), a(1), a(2).toInt,
+        a(3).toDouble)),
+    "dup_ngram_fraction" -> r("textCol", "idCol", "shingleK", "minDf")(
+      (df, a) => Dedup.dupNgramFraction(df, a(0), a(1), a(2).toInt,
+        a(3).toInt)),
+    "cross_source_dup_matrix" ->
+      r("textCol", "idCol", "srcCol", "threshold")(
+        (df, a) => Dedup.crossSourceDupMatrix(df, a(0), a(1), a(2),
+          a(3).toDouble)),
+    // Similarity
+    "brute_force_topk" ->
+      r("queriesTable", "k", "corpusId", "corpusVec", "queryId", "queryVec")(
+        (df, a) => Similarity.bruteForceTopK(df, tbl(df, a(0)), a(1).toInt,
+          a(2), a(3), a(4), a(5))),
+    // TextAnalysis
+    "quality_logit" -> r("idCol", "textCol")(
+      (df, a) => TextAnalysis.qualityLogit(df, a(0), a(1))),
+    "readability_report" -> r("groupCol", "textCol")(
+      (df, a) => TextAnalysis.readabilityReport(df, a(0), a(1))),
+    "repetition_metrics" ->
+      r("idCol", "textCol", "topWordMax", "dupTrigramMax")(
+        (df, a) => TextAnalysis.repetitionMetrics(df, a(0), a(1),
+          a(2).toDouble, a(3).toDouble)),
+    "text_profile" -> r("textCol")(
+      (df, a) => TextAnalysis.profile(df, a(0))),
+    "redact_report" -> r("groupCol", "textCol", "pattern", "token")(
+      (df, a) => TextAnalysis.redactReport(df, a(0), a(1), a(2), a(3))),
+    "bm25_top_docs" -> r("idCol", "textCol", "queryTermsCsv", "k")(
+      (df, a) => TextAnalysis.bm25TopDocs(df, a(0), a(1),
+        a(2).split(",").map(_.trim).toSeq, a(3).toInt)),
+    // Corpus
+    "chunk_by_tokens" -> r("idCol", "textCol", "chunkSize", "overlap")(
+      (df, a) => Corpus.chunkByTokens(df, a(0), a(1), a(2).toInt,
+        a(3).toInt)),
+    "zipf_fit" -> r("srcCol", "textCol", "topN")(
+      (df, a) => Corpus.zipfFit(df, a(0), a(1), a(2).toInt)),
+    "source_kl_report" -> r("srcCol", "textCol")(
+      (df, a) => Corpus.sourceKlReport(df, a(0), a(1))),
+    "lexical_diversity" -> r("idCol", "textCol")(
+      (df, a) => Corpus.lexicalDiversity(df, a(0), a(1))),
+    "heaps_fit" -> r("groupCol", "textCol")(
+      (df, a) => Corpus.heapsFit(df, a(0), a(1))),
+    "dsir_weights" -> r("targetTable", "idCol", "textCol", "buckets")(
+      (df, a) => Corpus.dsirWeights(df, tbl(df, a(0)), a(1), a(2),
+        a(3).toInt))
   )
 
   /** Dispatch by name with argument-count validation; the error message

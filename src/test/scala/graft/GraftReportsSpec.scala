@@ -38,11 +38,21 @@ class GraftReportsSpec extends SparkSpec {
       // DataQuality
       "rare_category_collapse", "feature_hash_audit", "dp_noisy_counts",
       // Corpus
-      "bpe_learn", "bpe_encode")
+      "bpe_learn", "bpe_encode",
+      // wave 2: pre-q244 LLM-pipeline reports
+      "exact_dedup", "exact_survivors", "minhash_near_dups",
+      "ngram_jaccard_pairs", "simhash_near_dups", "simhash64_near_dups",
+      "prefix_jaccard_pairs", "containment_pairs", "cross_containment_pairs",
+      "connected_components", "cluster_stats", "semantic_dedup",
+      "dup_ngram_fraction", "cross_source_dup_matrix", "brute_force_topk",
+      "quality_logit", "readability_report", "repetition_metrics",
+      "text_profile", "redact_report", "bm25_top_docs", "chunk_by_tokens",
+      "zipf_fit", "source_kl_report", "lexical_diversity", "heaps_fit",
+      "dsir_weights")
     assert(GraftReports.reports.keySet == want,
       s"registry drift: missing ${want.diff(GraftReports.reports.keySet)}, " +
         s"extra ${GraftReports.reports.keySet.diff(want)}")
-    assert(GraftReports.reports.size == 50)
+    assert(GraftReports.reports.size == 77)
     // every report declares its arguments (the SQL user's documentation)
     GraftReports.reports.foreach { case (name, rep) =>
       assert(rep.argNames.nonEmpty, s"$name declares no arguments")
@@ -99,6 +109,29 @@ class GraftReportsSpec extends SparkSpec {
     val direct = graft.operators.Stats.postStratifiedMean(pop, "stratum",
       "v", samp)
     assert(rowsOf(viaSql) == rowsOf(direct))
+  }
+
+  test("graft_report reaches the dedup surface (wave-2 reports)") {
+    GraftReports.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "entirely different text here"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("graft_reports_docs")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_report('exact_dedup', 'graft_reports_docs',
+        |  'text', 'doc_id')""".stripMargin)
+    assert(rowsOf(viaSql) ==
+      rowsOf(graft.operators.Dedup.exact(docs, "text", "doc_id")))
+    // a two-table dedup report: needles vs haystack
+    val needles = Seq((100L, "quick brown")).toDF("doc_id", "text")
+    needles.createOrReplaceTempView("graft_reports_needles")
+    val viaSql2 = spark.sql(
+      """SELECT * FROM graft_report('cross_containment_pairs',
+        |  'graft_reports_needles', 'graft_reports_docs',
+        |  'text', 'doc_id', '0.9', '1')""".stripMargin)
+    assert(rowsOf(viaSql2) == rowsOf(graft.operators.Dedup
+      .crossContainmentPairs(needles, docs, "text", "doc_id", 0.9, 1)))
   }
 
   test("graft_report errors name the report and its expected arguments") {
