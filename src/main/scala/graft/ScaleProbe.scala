@@ -32,6 +32,24 @@ object ScaleProbe {
     def docs = Tables.widen(Tables.load(spark, sfDir, "documents"))
     def emb = Tables.widen(Tables.load(spark, sfDir, "embeddings"))
 
+    // orders at the probed decade; the scratch sf1 dir carries only
+    // documents/embeddings, so the extra decade for the stats batch is a
+    // 10x explode of sf0.1 with distinct keys and per-copy price jitter
+    // (see the r13 stats-batch probe comment below)
+    def ordersAt(dir: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      if (new java.io.File(s"$dir/orders.parquet").exists())
+        Tables.load(spark, dir, "orders")
+      else
+        Tables.load(spark, "/root/testdata/sf0.1", "orders")
+          .select(explode(sequence(lit(0L), lit(9L))).as("cp"), col("*"))
+          .withColumn("o_orderkey",
+            col("o_orderkey") * 10 + col("cp"))
+          .withColumn("o_totalprice",
+            col("o_totalprice") + col("cp").cast("double") * 0.0101)
+          .drop("cp")
+    }
+
     // measured through the operator's OWN candidate stage
     // (Dedup.prefixCandidates) — a probe-local re-implementation would
     // drift from the contract it claims to measure
@@ -582,6 +600,82 @@ object ScaleProbe {
           .select(col("o_custkey"), to_date(col("o_orderdate")).as("o_date"))
         graft.merge.Scd.scd2TemporalJoin(facts, v1.unionByName(v2),
           "o_custkey", "c_custkey", "o_date").count()
+      }),
+      // ---- r13: the statistics batch at decade scale ----
+      // orders/events are driver data (no scratch twin), so like q220/q233
+      // the sweep spans the driver decades — plus ONE synthetic decade:
+      // when the sfDir has no orders.parquet (scratch/sf1), the probe
+      // builds a 10x orders frame from sf0.1 with distinct keys and
+      // per-copy price jitter. Replication is SAFE for aggregation
+      // statistics (unlike dedup structure), and the jitter grows the
+      // distinct-value grid the way a real 10x crawl would — the grid is
+      // exactly the quantity bootstrapMedianCI's cost rides on.
+      "q291_median_grid" -> (() => {
+        import org.apache.spark.sql.functions._
+        ordersAt(sfDir).select(col("o_orderstatus"), col("o_totalprice"))
+          .distinct().count()
+      }),
+      // q291 bootstrap-median CI: 64 replicates over the per-group value
+      // grid with the sorted pass confined to a ±32√n central window —
+      // cost must track grid·√n, never grid·n (output rows constant)
+      "q291_boot_ci" -> (() =>
+        graft.operators.Stats.bootstrapMedianCI(ordersAt(sfDir),
+          "o_orderstatus", "o_orderkey", "o_totalprice", b = 64).count()),
+      // q246 Poisson bootstrap: one aggregation pass, 64 hash-derived
+      // weights per row — wall time must grow ~linearly in rows
+      "q246_poisson_se" -> (() =>
+        graft.operators.Stats.poissonBootstrapSE(ordersAt(sfDir),
+          "o_orderstatus", "o_orderkey", "o_totalprice", b = 64).count()),
+      // q266 Bradley-Terry: the comparison build is the scale risk (the MM
+      // rounds run over the |brands|² win matrix, corpus-invariant), and
+      // its fan-out is bounded by within-order pairs ≤ C(7,2)·orders —
+      // the probe counts the pairs the generator actually emits (mirrors
+      // the q266 gate build, the q108 rebuild precedent)
+      "q266_bt_pairs" -> (() => {
+        import org.apache.spark.sql.functions._
+        val e = Tables.load(spark, sfDir, "lineitem")
+          .join(Tables.load(spark, sfDir, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            col("p_brand").as("brand"))
+        e.as("a").join(e.as("b"), col("a.ok") === col("b.ok") &&
+            col("a.ln") < col("b.ln"))
+          .filter(col("a.brand") =!= col("b.brand")).count()
+      }),
+      "q266_bradley_terry" -> (() => {
+        import org.apache.spark.sql.functions._
+        val e = Tables.load(spark, sfDir, "lineitem")
+          .join(Tables.load(spark, sfDir, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            col("p_brand").as("brand"), col("l_extendedprice").as("price"))
+        val comp = e.as("a").join(e.as("b"), col("a.ok") === col("b.ok") &&
+            col("a.ln") < col("b.ln"))
+          .filter(col("a.brand") =!= col("b.brand"))
+          .select(
+            when(col("a.price") > col("b.price"), col("a.brand"))
+              .when(col("a.price") < col("b.price"), col("b.brand"))
+              .otherwise(least(col("a.brand"), col("b.brand"))).as("winner"),
+            when(col("a.price") > col("b.price"), col("b.brand"))
+              .when(col("a.price") < col("b.price"), col("a.brand"))
+              .otherwise(greatest(col("a.brand"), col("b.brand")))
+              .as("loser"))
+        graft.operators.Stats.bradleyTerry(comp, "winner", "loser",
+          iters = 3).count()
+      }),
+      // q297 IPF: the contingency table is |event_type|×4 cells — corpus-
+      // invariant; the scan that builds it is the only row-linear stage
+      "q297_ipf_cells" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.load(spark, sfDir, "events")
+          .select(col("event_type"), pmod(col("user_id"), lit(4L)).as("b"))
+          .distinct().count()
+      }),
+      "q297_ipf_raking" -> (() => {
+        import org.apache.spark.sql.functions._
+        graft.operators.Stats.ipfRaking(Tables.load(spark, sfDir, "events"),
+          col("event_type"), pmod(col("user_id"), lit(4L)),
+          iters = 3).count()
       })
     )
 
