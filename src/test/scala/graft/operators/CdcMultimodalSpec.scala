@@ -101,6 +101,66 @@ class CdcMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("HeaderCodec fuzz: spec-conformant synthetic headers round-trip dims") {
+    // independent encoders: these write container bytes straight from the
+    // published specs (PNG ISO 15948 §11.2.2, JPEG ITU T.81 §B, GIF89a
+    // appendix), sharing no code with the parser under test
+    val rnd = new scala.util.Random(20260815L)
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def junk(n: Int) = Array.fill(n)(rnd.nextInt(256).toByte)
+
+    val pngChannels = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+    def png(w: Int, h: Int, colorType: Int): Array[Byte] =
+      Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+        Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+        junk(4 + rnd.nextInt(32)) // CRC + trailing chunk bytes
+
+    val sofMarkers = (0xc0 to 0xcf).filterNot(Set(0xc4, 0xc8, 0xcc))
+    def jpeg(w: Int, h: Int, ncomp: Int): Array[Byte] = {
+      val segs = (0 until rnd.nextInt(4)).flatMap { _ =>
+        // APPn/COM segment with a random payload, optionally preceded by
+        // legal 0xff fill bytes
+        val payload = junk(rnd.nextInt(64))
+        val marker = if (rnd.nextBoolean()) 0xe0 + rnd.nextInt(16) else 0xfe
+        Array.fill(rnd.nextInt(3))(0xff.toByte) ++
+          Array(0xff.toByte, marker.toByte) ++ be16(payload.length + 2) ++
+          payload
+      }
+      val sof = Array(0xff.toByte,
+        sofMarkers(rnd.nextInt(sofMarkers.size)).toByte) ++
+        be16(8 + 3 * ncomp) ++ Array(8.toByte) ++ be16(h) ++ be16(w) ++
+        Array(ncomp.toByte) ++ junk(3 * ncomp)
+      Array(0xff.toByte, 0xd8.toByte) ++ segs ++ sof ++ junk(rnd.nextInt(16))
+    }
+
+    def gif(w: Int, h: Int): Array[Byte] =
+      (if (rnd.nextBoolean()) "GIF87a" else "GIF89a").getBytes ++
+        le16(w) ++ le16(h) ++ junk(3 + rnd.nextInt(16))
+
+    (1 to 200).foreach { i =>
+      val w = 1 + rnd.nextInt(65535); val h = 1 + rnd.nextInt(65535)
+      val ct = Seq(0, 2, 3, 4, 6)(rnd.nextInt(5))
+      assert(Multimodal.HeaderCodec.parseDims(png(w, h, ct))
+        .contains((w, h, pngChannels(ct))), s"png trial $i ($w x $h ct=$ct)")
+      val nc = Seq(1, 3, 4)(rnd.nextInt(3))
+      assert(Multimodal.HeaderCodec.parseDims(jpeg(w, h, nc))
+        .contains((w, h, nc)), s"jpeg trial $i ($w x $h nc=$nc)")
+      assert(Multimodal.HeaderCodec.parseDims(gif(w, h))
+        .contains((w, h, 3)), s"gif trial $i ($w x $h)")
+      // truncating a valid container anywhere inside the header must
+      // refuse, never throw or fabricate wrong dims: parse(prefix) is
+      // either None or the true dims
+      val full = jpeg(w, h, nc)
+      val cut = full.take(2 + rnd.nextInt(full.length - 2))
+      val got = Multimodal.HeaderCodec.parseDims(cut)
+      assert(got.isEmpty || got.contains((w, h, nc)), s"jpeg prefix trial $i")
+    }
+  }
+
   test("decodeImages runs the real HeaderCodec through the Dataset path") {
     val rows = Seq(
       (1L, fixture("rgb_3x2.png")),
