@@ -201,6 +201,8 @@ object GraftReports {
       r("haystackTable", "textCol", "idCol", "threshold", "shingleK")(
         (df, a) => Dedup.crossContainmentPairs(df, tbl(df, a(0)), a(1),
           a(2), a(3).toDouble, a(4).toInt)),
+    "paragraph_dedup" -> r("idCol", "textCol", "sep")(
+      (df, a) => Dedup.paragraphDedup(df, a(0), a(1), a(2))),
     "connected_components" -> r("idA", "idB", "maxIter")(
       (df, a) => Dedup.connectedComponents(df, a(0), a(1), a(2).toInt)),
     "cluster_stats" -> r("pairsTable", "idA", "idB", "metricCol")(

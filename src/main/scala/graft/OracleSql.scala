@@ -6226,6 +6226,33 @@ object OracleSql {
          |FROM ab""".stripMargin
     },
 
+    // q299: corpus-wide exact paragraph dedup — first-occurrence
+    // survivorship replayed as a (para → row_number by doc_id, pos)
+    // window; the gate's 8-word paragraph re-flow is replicated with the
+    // same slice grid (list slicing is 1-based-inclusive here vs Spark
+    // slice(start, length) — both read tokens j*8+1 .. j*8+8)
+    "q299_paragraph_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+         |    AS t FROM documents),
+         |g AS (SELECT doc_id, list_transform(
+         |    range(greatest(ceil(len(t)/8.0)::INT, 1)),
+         |    j -> array_to_string(t[j*8+1 : j*8+8], ' ')) AS ps FROM d),
+         |p AS (SELECT doc_id, unnest(ps) AS para,
+         |    unnest(range(len(ps))) AS pos FROM g),
+         |np AS (SELECT * FROM p WHERE NOT regexp_matches(para, '^\\s*$$')),
+         |f AS (SELECT doc_id, pos, para, row_number() OVER (
+         |    PARTITION BY para ORDER BY doc_id, pos) AS rn FROM np),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    string_agg(para, chr(10) ORDER BY pos) AS text_clean
+         |  FROM f WHERE rn = 1 GROUP BY doc_id),
+         |c AS (SELECT doc_id, count(*)::BIGINT AS n_paras
+         |  FROM np GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+         |  coalesce(c.n_paras, 0)::BIGINT AS n_paras,
+         |  coalesce(agg.n_kept, 0)::BIGINT AS n_kept
+         |FROM d LEFT JOIN c USING (doc_id)
+         |  LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

@@ -3074,6 +3074,22 @@ object SparkEntry {
       "user_id", "ts", "event_type", "view", "purchase",
       pmod(col("user_id"), lit(2L)) === 1)
 
+  /** Corpus-wide exact paragraph dedup (the C4/Dolma preprocessing pass):
+    * repeated paragraphs keep only their corpus-first occurrence (lowest
+    * (doc_id, position)) and documents are reassembled from survivors in
+    * original order. The synthetic corpus is single-line, so the gate
+    * derives paragraph structure deterministically first — each doc
+    * re-flowed into 8-word paragraphs — which also guarantees real
+    * cross-document paragraph sharing for the survivorship race. */
+  private def q299(s: SparkSession, dir: String): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val nP = greatest(ceil(size(t) / lit(8.0)).cast("int"), lit(1))
+    val withParas = TW(s, dir, "documents").select(col("doc_id"),
+      array_join(transform(sequence(lit(0), nP - 1),
+        j => array_join(slice(t, j * 8 + 1, lit(8)), " ")), "\n").as("p_text"))
+    graft.operators.Dedup.paragraphDedup(withParas, "doc_id", "p_text")
+  }
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3468,7 +3484,8 @@ object SparkEntry {
     "q295_range_bounds" -> (q295 _),
     "q296_brier_decomp" -> (q296 _),
     "q297_ipf_raking" -> (q297 _),
-    "q298_funnel_ab" -> (q298 _)
+    "q298_funnel_ab" -> (q298 _),
+    "q299_paragraph_dedup" -> (q299 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

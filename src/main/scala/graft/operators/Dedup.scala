@@ -1751,4 +1751,54 @@ object Dedup {
         round(col("__wd"), 4).as("w_disagree"),
         round(col("__p"), 6).as("match_prior"))
   }
+
+  /** Corpus-wide EXACT PARAGRAPH dedup — the C4/Dolma preprocessing step
+    * between document-level exact dedup ([[exact]]) and near-dup
+    * clustering: every paragraph (delimiter-split span, whitespace-only
+    * spans ignored) that appears anywhere else in the corpus keeps only
+    * its FIRST occurrence — smallest `(id, pos)`, so in-doc repeats lose
+    * to the earliest position and cross-doc repeats lose to the lowest
+    * id — and each document is reassembled from its surviving paragraphs
+    * in original order. Returns one row per input document:
+    * `(id, text_clean, n_paras, n_kept)`; `text_clean` is `""` when
+    * every paragraph of the document lost its survivorship race.
+    *
+    * Scale shape: the paragraph explosion is row-linear (posexplode);
+    * the first-occurrence choice is a partial-aggregating
+    * `groupBy(para).agg(min(struct(id, pos)))` — map-side combine
+    * collapses a boilerplate paragraph duplicated a million-fold before
+    * it reaches the shuffle, so a hot paragraph cannot pin a reducer the
+    * way a `row_number` window partitioned by paragraph would. Survivor
+    * marking is an equi-join back on the paragraph (broadcast-or-shuffle,
+    * AQE's call), and reassembly is one groupBy(doc) whose sort_array is
+    * bounded by the document's own paragraph count. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+      // whitespace-ONLY spans (not just space-only — trim() stops at
+      // 0x20) are structure, not paragraphs: never dedup keys, never
+      // reassembled
+      .filter(!col("para").rlike("^\\s*$"))
+    val firsts = paras.groupBy("para")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    val kept = paras.join(firsts, "para")
+      .filter(col("first.id") === col("id") && col("first.pos") === col("pos"))
+    val perDoc = paras.groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_paras"))
+    val rebuilt = kept.groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("para")))),
+          e => e("para")), sep).as("text_clean"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -43,6 +43,7 @@ class GraftReportsSpec extends SparkSpec {
       "exact_dedup", "exact_survivors", "minhash_near_dups",
       "ngram_jaccard_pairs", "simhash_near_dups", "simhash64_near_dups",
       "prefix_jaccard_pairs", "containment_pairs", "cross_containment_pairs",
+      "paragraph_dedup",
       "connected_components", "cluster_stats", "semantic_dedup",
       "dup_ngram_fraction", "cross_source_dup_matrix", "brute_force_topk",
       "quality_logit", "readability_report", "repetition_metrics",
@@ -52,7 +53,7 @@ class GraftReportsSpec extends SparkSpec {
     assert(GraftReports.reports.keySet == want,
       s"registry drift: missing ${want.diff(GraftReports.reports.keySet)}, " +
         s"extra ${GraftReports.reports.keySet.diff(want)}")
-    assert(GraftReports.reports.size == 77)
+    assert(GraftReports.reports.size == 78)
     // every report declares its arguments (the SQL user's documentation)
     GraftReports.reports.foreach { case (name, rep) =>
       assert(rep.argNames.nonEmpty, s"$name declares no arguments")

@@ -873,4 +873,45 @@ class DedupSpec extends SparkSpec {
     assert(probe.numCachedPlans(spark) == before,
       "a refused pre-flight must release its posting persists too")
   }
+
+  test("paragraphDedup: corpus-first survivorship, order-preserving reassembly") {
+    val corpus = Seq(
+      (10L, "alpha beta\nshared boiler plate\ngamma delta"),
+      // cross-doc dup: loses "shared boiler plate" to doc 10
+      (20L, "shared boiler plate\nunique to twenty"),
+      // in-doc repeat: second "echo foxtrot" loses to pos 0; also loses
+      // the boilerplate to doc 10
+      (30L, "echo foxtrot\nshared boiler plate\necho foxtrot"),
+      // whitespace-only spans are not paragraphs: ignored for counts,
+      // absent from the reassembly
+      (40L, "  \nreal content\n\t"),
+      // every paragraph already seen → reassembles to the empty string
+      (50L, "alpha beta\nunique to twenty"))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == (("alpha beta\nshared boiler plate\ngamma delta", 3L, 3L)))
+    assert(out(20L) == (("unique to twenty", 2L, 1L)))
+    assert(out(30L) == (("echo foxtrot", 3L, 1L)))
+    assert(out(40L) == (("real content", 1L, 1L)))
+    assert(out(50L) == (("", 2L, 0L)))
+    // one row per input document, dup-free or not
+    assert(out.size == 5)
+  }
+
+  test("paragraphDedup: custom separator and kept-mass invariant") {
+    val corpus = Seq(
+      (1L, "a b|c d|a b"), (2L, "c d|e f"), (3L, "e f"))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, "doc_id", "text", sep = "|")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b|c d", 3L, 2L)))
+    assert(out(2L) == (("e f", 2L, 1L)))
+    assert(out(3L) == (("", 1L, 0L)))
+    // survivors across the corpus = distinct paragraphs (exactly one
+    // winner per distinct paragraph)
+    assert(out.values.map(_._3).sum == 3L)
+  }
 }
