@@ -676,6 +676,29 @@ object ScaleProbe {
         graft.operators.Stats.ipfRaking(Tables.load(spark, sfDir, "events"),
           col("event_type"), pmod(col("user_id"), lit(4L)),
           iters = 3).count()
+      }),
+      // q299 paragraph dedup (the gate's 8-word re-flow): the scale
+      // quantities are exploded paragraphs (row-linear by construction)
+      // and survivors (= distinct paragraphs — must grow SLOWER than
+      // paragraphs as boilerplate repeats across a bigger corpus; the
+      // partial-agg min is what keeps the hot paragraphs off a reducer)
+      "q299_paragraphs" -> (() => {
+        import org.apache.spark.sql.functions._
+        val t = split(trim(col("text")), "\\s+")
+        val nP = greatest(ceil(size(t) / lit(8.0)).cast("int"), lit(1))
+        docs.select(explode(sequence(lit(0), nP - 1))).count()
+      }),
+      "q299_paragraph_dedup" -> (() => {
+        import org.apache.spark.sql.functions._
+        val t = split(trim(col("text")), "\\s+")
+        val nP = greatest(ceil(size(t) / lit(8.0)).cast("int"), lit(1))
+        val withParas = docs.select(col("doc_id"),
+          array_join(transform(sequence(lit(0), nP - 1),
+            j => array_join(slice(t, j * 8 + 1, lit(8)), " ")), "\n")
+            .as("p_text"))
+        Dedup.paragraphDedup(withParas, "doc_id", "p_text")
+          .agg(org.apache.spark.sql.functions.sum(col("n_kept")))
+          .head().getLong(0)
       })
     )
 
