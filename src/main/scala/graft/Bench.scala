@@ -82,20 +82,32 @@ object Bench {
     // Min of N timed runs per query: the minimum is robust against external
     // load spikes on a shared box (observed 3-5x swings run-to-run).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink: forces full evaluation of EVERY output column (count()
-        // would let Catalyst prune the expensive projections away)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        val dt = (System.nanoTime() - t0) / 1e9
-        dropPersistedBlocks()
-        dt
-      }
-      quiesce()
-      name -> times.min
-    }.toMap
+    // Pass interleaving (SPARK_GRAFT_BENCH_PASSES, default 1): with all N
+    // runs CONSECUTIVE, a multi-minute external load storm poisons every
+    // sample of the queries in its window — min-of-N defends against
+    // per-run spikes, not episodes (r13 observed 10-minute load-15 storms
+    // that put 0.3 s queries at 25 s across all three runs). P passes over
+    // the whole set re-sample each query in windows a full sweep apart;
+    // the reported number is the min across passes of the per-pass
+    // min-of-N. Same total work at P*N = const, far better tail.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt
+    def onePass(): Map[String, Double] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink: forces full evaluation of EVERY output column
+          // (count() would let Catalyst prune expensive projections away)
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+          val dt = (System.nanoTime() - t0) / 1e9
+          dropPersistedBlocks()
+          dt
+        }
+        quiesce()
+        name -> times.min
+      }.toMap
+    val results = (1 to passes).map(_ => onePass())
+      .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full-precision, full-name record → file (committed as the round's
     // quiet-box anchor; survives any log truncation).
