@@ -81,16 +81,17 @@ object Bench {
     }
     // Min of N timed runs per query: the minimum is robust against external
     // load spikes on a shared box (observed 3-5x swings run-to-run).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    // Pass interleaving (SPARK_GRAFT_BENCH_PASSES, default 1): with all N
-    // runs CONSECUTIVE, a multi-minute external load storm poisons every
-    // sample of the queries in its window — min-of-N defends against
-    // per-run spikes, not episodes (r13 observed 10-minute load-15 storms
-    // that put 0.3 s queries at 25 s across all three runs). P passes over
-    // the whole set re-sample each query in windows a full sweep apart;
-    // the reported number is the min across passes of the per-pass
-    // min-of-N. Same total work at P*N = const, far better tail.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    // Pass interleaving (SPARK_GRAFT_BENCH_PASSES): with all samples of a
+    // query CONSECUTIVE, a multi-minute external load storm poisons every
+    // one of them — min-of-N defends against per-run spikes, not episodes
+    // (r13 observed 10-minute load-15 storms that put 0.3 s queries at
+    // 25 s across all three consecutive runs). P passes over the whole set
+    // re-sample each query in windows a full sweep apart; the reported
+    // number is the min across passes of the per-pass min-of-N. Defaults
+    // are 3 passes x 1 run — the same total work as the old 1 pass x 3
+    // runs, with a far better tail under episodic load.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     def onePass(): Map[String, Double] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to runs).map { _ =>
