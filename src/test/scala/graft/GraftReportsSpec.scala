@@ -95,6 +95,25 @@ class GraftReportsSpec extends SparkSpec {
     assert(rowsOf(viaSql2) == rowsOf(direct2))
   }
 
+  test("graft_report reaches paragraph_dedup with a separator argument") {
+    GraftReports.register(spark)
+    val docs = Seq(
+      (1L, "alpha beta|boiler plate|gamma"),
+      (2L, "boiler plate|delta"),
+      (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("graft_reports_docs")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_report('paragraph_dedup',
+        |  'graft_reports_docs', 'doc_id', 'text', '|')""".stripMargin)
+    val direct = graft.operators.Dedup
+      .paragraphDedup(docs, "doc_id", "text", sep = "|")
+    assert(rowsOf(viaSql) == rowsOf(direct))
+    val m = viaSql.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "alpha beta|boiler plate|gamma" &&
+      m(2L) == "delta" && m(3L) == "")
+  }
+
   test("graft_report resolves second-table arguments against the session") {
     GraftReports.register(spark)
     val pop = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 20.0),
