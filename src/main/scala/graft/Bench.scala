@@ -81,7 +81,14 @@ object Bench {
     }
     // Min of N timed runs per query: the minimum is robust against external
     // load spikes on a shared box (observed 3-5x swings run-to-run).
+    // SEMANTIC NOTE (r13+): RUNS multiplies with PASSES below — total
+    // samples per query = RUNS x PASSES. The default moved from 3 runs x
+    // 1 pass to 1 run x 3 passes (same total work, better tails under
+    // episodic load); a script still pinning SPARK_GRAFT_BENCH_RUNS=3
+    // without touching PASSES now takes 9 samples per query (~3x bench
+    // time) — set SPARK_GRAFT_BENCH_PASSES=1 to reproduce the old shape.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     // Pass interleaving (SPARK_GRAFT_BENCH_PASSES): with all samples of a
     // query CONSECUTIVE, a multi-minute external load storm poisons every
     // one of them — min-of-N defends against per-run spikes, not episodes
@@ -92,6 +99,10 @@ object Bench {
     // are 3 passes x 1 run — the same total work as the old 1 pass x 3
     // runs, with a far better tail under episodic load.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // passes=0 would make the reduce below throw a bare
+    // UnsupportedOperationException("empty.reduceLeft") — fail with a
+    // message that names the knob instead.
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     def onePass(): Map[String, Double] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to runs).map { _ =>

@@ -6230,16 +6230,22 @@ object OracleSql {
     // survivorship replayed as a (para → row_number by doc_id, pos)
     // window; the gate's 8-word paragraph re-flow is replicated with the
     // same slice grid (list slicing is 1-based-inclusive here vs Spark
-    // slice(start, length) — both read tokens j*8+1 .. j*8+8)
+    // slice(start, length) — both read tokens j*8+1 .. j*8+8).
+    // Whitespace is an EXPLICIT class, not \s: the gate runs Java regex
+    // (\s = [ \t\n\x0B\f\r]) while DuckDB runs RE2 (\s lacks \x0B) — a
+    // text containing a vertical tab would tokenize differently on the
+    // two sides. The class below is exactly Java's \s.
     "q299_paragraph_dedup" ->
-      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')
          |    AS t FROM documents),
          |g AS (SELECT doc_id, list_transform(
          |    range(greatest(ceil(len(t)/8.0)::INT, 1)),
          |    j -> array_to_string(t[j*8+1 : j*8+8], ' ')) AS ps FROM d),
          |p AS (SELECT doc_id, unnest(ps) AS para,
          |    unnest(range(len(ps))) AS pos FROM g),
-         |np AS (SELECT * FROM p WHERE NOT regexp_matches(para, '^\\s*$$')),
+         |np AS (SELECT * FROM p
+         |  WHERE NOT regexp_matches(para, '^[ \\t\\n\\x0b\\f\\r]*$$')),
          |f AS (SELECT doc_id, pos, para, row_number() OVER (
          |    PARTITION BY para ORDER BY doc_id, pos) AS rn FROM np),
          |agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
@@ -6252,6 +6258,43 @@ object OracleSql {
          |  coalesce(agg.n_kept, 0)::BIGINT AS n_kept
          |FROM d LEFT JOIN c USING (doc_id)
          |  LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // q300: real pixel decode, content-addressed. The corpus-side work
+    // (payload counts per doc_id % 10) replays exactly; the per-fixture
+    // decode constants are VALUES anchors — BMP/TIFF rows hand-derived
+    // from tools/gen_image_fixtures.py's documented pixel matrices
+    // (independent of the decoder), PNG/GIF/JPEG rows decoder-anchored
+    // and asserted by CdcMultimodalSpec so drift fails the spec first.
+    // Gray means are raw raster samples (not gray→sRGB display values).
+    "q300_pixel_stats" ->
+      s"""WITH f(img_key, name, width, height, channels,
+         |       mean_1, mean_2, mean_3, mean_4) AS (VALUES
+         |  (0::BIGINT, 'gray_1x1.jpg', 1, 1, 1,
+         |   128.0::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE),
+         |  (1::BIGINT, 'gray_5x7.png', 5, 7, 1,
+         |   113.0::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE),
+         |  (2::BIGINT, 'pixel_1x1.gif', 1, 1, 3,
+         |   255.0::DOUBLE, 255.0::DOUBLE, 255.0::DOUBLE, NULL::DOUBLE),
+         |  (3::BIGINT, 'rgb_3x2.png', 3, 2, 3,
+         |   39.5::DOUBLE, 46.5::DOUBLE, 53.5::DOUBLE, NULL::DOUBLE),
+         |  (4::BIGINT, 'rgb_4x3.bmp', 4, 3, 3,
+         |   25.0::DOUBLE, 40.0::DOUBLE, 12.5::DOUBLE, NULL::DOUBLE),
+         |  (5::BIGINT, 'rgb_6x2.tif', 6, 2, 3,
+         |   100.0::DOUBLE, 50.0::DOUBLE, 30.0::DOUBLE, NULL::DOUBLE),
+         |  (6::BIGINT, 'rgba_4x4.png', 4, 4, 4,
+         |   72.0::DOUBLE, 79.0::DOUBLE, 86.0::DOUBLE, 93.0::DOUBLE),
+         |  (7::BIGINT, 'topdown_5x4.bmp', 5, 4, 3,
+         |   100.0::DOUBLE, 90.0::DOUBLE, 200.0::DOUBLE, NULL::DOUBLE),
+         |  (8::BIGINT, 'wide_300x200.gif', 300, 200, 3,
+         |   0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, NULL::DOUBLE),
+         |  (9::BIGINT, 'ycbcr_8x16.jpg', 8, 16, 3,
+         |   128.0::DOUBLE, 128.0::DOUBLE, 128.0::DOUBLE, NULL::DOUBLE)),
+         |c AS (SELECT doc_id % 10 AS img_key, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT f.img_key, f.name, c.n_docs, f.width::INT AS width,
+         |  f.height::INT AS height, f.channels::INT AS channels,
+         |  f.mean_1, f.mean_2, f.mean_3, f.mean_4
+         |FROM c JOIN f USING (img_key)""".stripMargin,
 
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops

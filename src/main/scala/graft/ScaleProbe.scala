@@ -696,10 +696,37 @@ object ScaleProbe {
           array_join(transform(sequence(lit(0), nP - 1),
             j => array_join(slice(t, j * 8 + 1, lit(8)), " ")), "\n")
             .as("p_text"))
+        // coalesce: sum over ZERO rows is NULL — an empty documents table
+        // at a probe scale must report 0, not NPE on getLong
         Dedup.paragraphDedup(withParas, "doc_id", "p_text")
-          .agg(org.apache.spark.sql.functions.sum(col("n_kept")))
+          .agg(coalesce(org.apache.spark.sql.functions.sum(col("n_kept")),
+            lit(0L)))
           .head().getLong(0)
-      })
+      }),
+
+      // SHUFFLE-BYTE probes for the r14 fingerprint-keyed paragraphDedup:
+      // the r13 shape keyed survivorship (groupBy) AND the survivor join
+      // on the raw paragraph TEXT, so distinct paragraphs (93-96% of the
+      // corpus at probe scale) carried full text through two shuffles;
+      // the r14 shape keys both on a 128-bit fingerprint and lets text
+      // cross the wire exactly once (the per-doc reassembly join). The
+      // "count" reported here is TOTAL SHUFFLE WRITE BYTES for a full
+      // evaluation (text_clean forced via length-sum), so the drop is
+      // measured, not argued.
+      "q299_shufbytes_textkey_r13" -> (() =>
+        shuffleBytesOf(spark) {
+          import org.apache.spark.sql.functions._
+          val out = paragraphDedupTextKeyedR13(paraReflow(docs))
+          out.agg(coalesce(sum(length(col("text_clean"))), lit(0L)) +
+              coalesce(sum(col("n_kept")), lit(0L))).head().getLong(0)
+        }),
+      "q299_shufbytes_fingerprint" -> (() =>
+        shuffleBytesOf(spark) {
+          import org.apache.spark.sql.functions._
+          val out = Dedup.paragraphDedup(paraReflow(docs), "doc_id", "p_text")
+          out.agg(coalesce(sum(length(col("text_clean"))), lit(0L)) +
+              coalesce(sum(col("n_kept")), lit(0L))).head().getLong(0)
+        })
     )
 
     val unknown = args.drop(1).filterNot(n => probes.exists(_._1 == n))
@@ -718,5 +745,77 @@ object ScaleProbe {
       println(f"""{"probe":"$name","count":$n,"sec":$dt%.2f,"sf":"$sfDir"}""")
     }
     spark.stop()
+  }
+
+  /** The q299 gate's deterministic paragraph structure: each single-line
+    * synthetic doc re-flowed into 8-word paragraphs (exactly the gate's
+    * grid, so cross-document sharing is real). */
+  private def paraReflow(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = split(trim(col("text")), "\\s+")
+    val nP = greatest(ceil(size(t) / lit(8.0)).cast("int"), lit(1))
+    docs.select(col("doc_id"),
+      array_join(transform(sequence(lit(0), nP - 1),
+        j => array_join(slice(t, j * 8 + 1, lit(8)), " ")), "\n")
+        .as("p_text"))
+  }
+
+  /** The r13 paragraphDedup shape, preserved HERE (not in Dedup) purely as
+    * the shuffle-byte comparator: survivorship groupBy and survivor join
+    * both keyed on the raw paragraph TEXT. Value-identical to the r14
+    * fingerprint implementation; byte-hungrier on the wire. */
+  private def paragraphDedupTextKeyedR13(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val paras = df
+      .select(col("doc_id").as("id"),
+        posexplode(split(col("p_text"),
+          java.util.regex.Pattern.quote("\n"))).as(Seq("pos", "para")))
+      .filter(!col("para").rlike("^\\s*$"))
+    val firsts = paras.groupBy("para")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    val kept = paras.join(firsts, "para")
+      .filter(col("first.id") === col("id") && col("first.pos") === col("pos"))
+    val perDoc = paras.groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_paras"))
+    val rebuilt = kept.groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("para")))),
+          e => e("para")), "\n").as("text_clean"))
+    df.select(col("doc_id").as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Total shuffle WRITE bytes across every task run by `work`: a
+    * SparkListener sums per-task shuffleWriteMetrics, then the listener
+    * bus is drained (reflective waitUntilEmpty — `private[spark]` is
+    * public at the bytecode level; falls back to a bounded sleep) so the
+    * asynchronous TaskEnd events are all counted before reading. */
+  private def shuffleBytesOf(spark: SparkSession)(work: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) acc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      work
+      try {
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(3000) }
+    } finally sc.removeSparkListener(listener)
+    acc.get()
   }
 }

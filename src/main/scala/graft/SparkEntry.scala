@@ -3090,6 +3090,23 @@ object SparkEntry {
     graft.operators.Dedup.paragraphDedup(withParas, "doc_id", "p_text")
   }
 
+  /** REAL pixel decode over binary media columns, content-addressed: the
+    * corpus side maps rows to payloads (doc_id % 10 picks a committed
+    * fixture — real PNG/JPEG/GIF/BMP/TIFF container bytes) and counts per
+    * payload at full scale; each DISTINCT payload is decoded exactly once
+    * executor-side by [[graft.operators.Multimodal.PixelCodec]] (the
+    * JDK's own javax.imageio, headless), and decoded dims × per-channel
+    * means join back to the counts. The oracle anchors the decode
+    * constants: BMP/TIFF means are HAND-DERIVED from the generator's
+    * documented pixel matrices (tools/gen_image_fixtures.py), the rest
+    * are decoder-anchored by CdcMultimodalSpec (the q217 precedent). */
+  private def q300(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(10L)).as("img_key"))
+    graft.operators.Multimodal.pixelStatsReport(docs, "img_key",
+      graft.operators.Multimodal.Fixtures.df(s))
+  }
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3485,7 +3502,8 @@ object SparkEntry {
     "q296_brier_decomp" -> (q296 _),
     "q297_ipf_raking" -> (q297 _),
     "q298_funnel_ab" -> (q298 _),
-    "q299_paragraph_dedup" -> (q299 _)
+    "q299_paragraph_dedup" -> (q299 _),
+    "q300_pixel_stats" -> (q300 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

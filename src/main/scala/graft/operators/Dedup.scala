@@ -1763,15 +1763,35 @@ object Dedup {
     * `(id, text_clean, n_paras, n_kept)`; `text_clean` is `""` when
     * every paragraph of the document lost its survivorship race.
     *
+    * PRECONDITION: `idCol` must be unique per input row. Duplicate ids
+    * make `(id, pos)` collide across rows, so paragraphs from different
+    * rows of the same id can both win survivorship and get merged or
+    * interleaved into one reassembled document. (Same contract as the
+    * other per-document operators; the gate's `doc_id` is a key.)
+    *
     * Scale shape: the paragraph explosion is row-linear (posexplode);
     * the first-occurrence choice is a partial-aggregating
-    * `groupBy(para).agg(min(struct(id, pos)))` — map-side combine
+    * `groupBy(fingerprint).agg(min(struct(id, pos)))` — map-side combine
     * collapses a boilerplate paragraph duplicated a million-fold before
     * it reaches the shuffle, so a hot paragraph cannot pin a reducer the
-    * way a `row_number` window partitioned by paragraph would. Survivor
-    * marking is an equi-join back on the paragraph (broadcast-or-shuffle,
-    * AQE's call), and reassembly is one groupBy(doc) whose sort_array is
-    * bounded by the document's own paragraph count. */
+    * way a `row_number` window partitioned by paragraph would.
+    *
+    * The shuffle key is a 128-bit FINGERPRINT (two independent xxhash64
+    * lanes) plus the paragraph length — never the paragraph text. Keying
+    * the survivorship agg and join on raw text would push the corpus's
+    * entire text through the wire twice (distinct paragraphs — the vast
+    * majority — get no map-side collapse); with fingerprints, the
+    * survivorship agg and the survivor-coordinate regroup move ~28-byte
+    * keys, and the full text crosses the shuffle exactly ONCE, as join
+    * payload keyed by doc id for the per-doc reassembly (which the
+    * following groupBy(id) then reuses — same hash partitioning, no
+    * second text shuffle). Collision stance: a false paragraph merge
+    * needs two DISTINCT paragraphs agreeing on both 64-bit lanes AND
+    * length — P ≈ n²/2^129, ~1e-15 even at 10^12 paragraphs — and its
+    * blast radius is one wrongly-dropped paragraph occurrence, not a
+    * corrupted document; the trade buys not shuffling corpus text as
+    * keys at 100 TB. Reassembly's sort_array is bounded by the
+    * document's own paragraph count. */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n"): DataFrame = {
     val paras = df
@@ -1782,13 +1802,24 @@ object Dedup {
       // 0x20) are structure, not paragraphs: never dedup keys, never
       // reassembled
       .filter(!col("para").rlike("^\\s*$"))
-    val firsts = paras.groupBy("para")
+    // two independent 64-bit lanes: xxhash64 chains the prepended lit
+    // through its seed, so lane 2 is decorrelated from lane 1
+    val keyed = paras.select(col("id"), col("pos"),
+      xxhash64(col("para")).as("fp1"),
+      xxhash64(lit("graft.para.fp2"), col("para")).as("fp2"),
+      length(col("para")).as("fplen"))
+    val firsts = keyed.groupBy("fp1", "fp2", "fplen")
       .agg(min(struct(col("id"), col("pos"))).as("first"))
-    val kept = paras.join(firsts, "para")
-      .filter(col("first.id") === col("id") && col("first.pos") === col("pos"))
+    // survivor COORDINATES per doc — (id, [pos]) only, no text
+    val keepPos = firsts
+      .groupBy(col("first.id").as("id"))
+      .agg(collect_list(col("first.pos")).as("keep_pos"))
     val perDoc = paras.groupBy("id")
       .agg(count(lit(1)).cast("long").as("n_paras"))
-    val rebuilt = kept.groupBy("id")
+    // the one text-carrying shuffle: paras keyed by id for reassembly
+    val rebuilt = paras.join(keepPos, Seq("id"))
+      .filter(array_contains(col("keep_pos"), col("pos")))
+      .groupBy("id")
       .agg(count(lit(1)).cast("long").as("n_kept"),
         array_join(transform(
           sort_array(collect_list(struct(col("pos"), col("para")))),

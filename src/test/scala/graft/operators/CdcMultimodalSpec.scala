@@ -86,6 +86,111 @@ class CdcMultimodalSpec extends SparkSpec {
       m.channels == 3 && m.n_bytes == 170 && m.mean_byte > 0.0)
   }
 
+  test("HeaderCodec parses real committed WebP/BMP/TIFF fixtures") {
+    // r14 fixtures from tools/gen_image_fixtures.py — python-struct-built
+    // straight from the specs, sharing no code with the parser under test
+    val cases = Seq(
+      ("lossy_17x9.webp", (17, 9, 3)),
+      ("lossless_33x21.webp", (33, 21, 3)),
+      // VP8L alpha bit → 4 channels
+      ("alpha_12x5.webp", (12, 5, 4)),
+      // VP8X canvas dims are 24-bit LE minus-one; alpha flag set
+      ("extended_640x360.webp", (640, 360, 4)),
+      ("rgb_4x3.bmp", (4, 3, 3)),
+      // negative biHeight = top-down row order, SAME pixel dims
+      ("topdown_5x4.bmp", (5, 4, 3)),
+      ("rgb_6x2.tif", (6, 2, 3)))
+    cases.foreach { case (name, want) =>
+      val got = Multimodal.HeaderCodec.parseDims(fixture(name))
+      assert(got.contains(want), s"$name: got $got want $want")
+    }
+  }
+
+  test("PixelCodec really decodes: dims match HeaderCodec, means match the pixel matrices") {
+    // every fixture with real pixel data: REAL JDK ImageIO decode must
+    // agree with the header parse on dimensions
+    Multimodal.Fixtures.decodable.foreach { name =>
+      val bytes = Multimodal.Fixtures.bytes(name)
+      val hdr = Multimodal.HeaderCodec.parseDims(bytes)
+      val px = Multimodal.PixelCodec.decodeStats(0L, bytes)
+      assert(hdr.exists(t => t._1 == px.width && t._2 == px.height),
+        s"$name: header $hdr vs pixel ${(px.width, px.height)}")
+      assert(px.means.length == px.channels)
+    }
+    def stats(name: String) =
+      Multimodal.PixelCodec.decodeStats(0L, Multimodal.Fixtures.bytes(name))
+    // HAND-DERIVED anchors (independent of ImageIO): the BMP/TIFF pixel
+    // matrices are documented in tools/gen_image_fixtures.py —
+    //   rgb_4x3.bmp  pixel(x,y) = (10(x+1), 20(y+1), 5(x+y))
+    //   topdown_5x4.bmp pixel(x,y) = (50x, 60y, 200) in TOP-DOWN row
+    //     order (decoding must un-flip, or g would mirror)
+    //   rgb_6x2.tif  pixel(x,y) = (40x, 100y, 30)
+    assert(stats("rgb_4x3.bmp").means.toSeq == Seq(25.0, 40.0, 12.5))
+    assert(stats("topdown_5x4.bmp").means.toSeq == Seq(100.0, 90.0, 200.0))
+    assert(stats("rgb_6x2.tif").means.toSeq == Seq(100.0, 50.0, 30.0))
+    assert(stats("rgb_4x3.bmp").channels == 3)
+    // GRAY means are raw raster samples, NOT the gray→sRGB display values
+    // (uniform-128 gray JPEG means 128, not getRGB's gamma-lifted 188)
+    val g1 = stats("gray_1x1.jpg")
+    assert(g1.channels == 1 && g1.means.toSeq == Seq(128.0))
+    assert(stats("gray_5x7.png").means.toSeq == Seq(113.0))
+    // decoder-anchored values for the remaining committed fixtures (the
+    // q217 precedent: deterministic in this JVM, asserted so any decoder
+    // drift fails HERE before the gate)
+    assert(stats("pixel_1x1.gif").means.toSeq == Seq(255.0, 255.0, 255.0))
+    assert(stats("wide_300x200.gif").means.toSeq == Seq(0.0, 0.0, 0.0))
+    assert(stats("rgb_3x2.png").means.toSeq == Seq(39.5, 46.5, 53.5))
+    val rgba = stats("rgba_4x4.png")
+    assert(rgba.channels == 4 &&
+      rgba.means.toSeq == Seq(72.0, 79.0, 86.0, 93.0))
+    assert(stats("ycbcr_8x16.jpg").means.toSeq == Seq(128.0, 128.0, 128.0))
+    // ImageCodec conformance: mean_byte = mean over all channel samples
+    val meta = Multimodal.PixelCodec.decodeImage(9L,
+      Multimodal.Fixtures.bytes("rgb_4x3.bmp"))
+    // (25 + 40 + 12.5) / 3 = 25.8333…, 4-dp rounded by the codec
+    assert(meta.doc_id == 9L && meta.width == 4 && meta.height == 3 &&
+      meta.channels == 3 && meta.mean_byte == 25.8333)
+  }
+
+  test("PixelCodec refuses undecodable payloads loudly") {
+    // header-only progressive JPEG: HeaderCodec parses it, a REAL pixel
+    // decode must throw (no scan data), never fabricate stats
+    assert(Multimodal.HeaderCodec
+      .parseDims(fixture("progressive_640x480.jpg")).isDefined)
+    intercept[IllegalArgumentException] {
+      Multimodal.PixelCodec.decodeStats(1L, fixture("progressive_640x480.jpg"))
+    }
+    // no JDK WebP decoder: headers parse, pixels refuse
+    intercept[IllegalArgumentException] {
+      Multimodal.PixelCodec.decodeStats(2L, fixture("lossy_17x9.webp"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.PixelCodec.decodeStats(3L, "not an image".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.PixelCodec.decodeStats(4L, Array.emptyByteArray)
+    }
+  }
+
+  test("pixelStatsReport: content-addressed decode joins real stats to row counts") {
+    val rows = Seq.tabulate(37)(i => Tuple1(i.toLong % 10))
+      .toDF("img_key")
+    val out = Multimodal.pixelStatsReport(rows, "img_key",
+        Multimodal.Fixtures.df(spark))
+      .collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(out.size == 10)
+    // img_key 0..6 appear 4x in 0..36, 7..9 appear 3x
+    assert(out("gray_1x1.jpg").getAs[Long]("n_docs") == 4L)
+    assert(out("ycbcr_8x16.jpg").getAs[Long]("n_docs") == 3L)
+    val bmp = out("rgb_4x3.bmp")
+    assert(bmp.getAs[Int]("width") == 4 && bmp.getAs[Int]("height") == 3)
+    assert(bmp.getAs[Double]("mean_1") == 25.0 &&
+      bmp.getAs[Double]("mean_3") == 12.5)
+    // channels the payload lacks are NULL
+    assert(out("gray_5x7.png").isNullAt(
+      out("gray_5x7.png").fieldIndex("mean_2")))
+  }
+
   test("HeaderCodec refuses non-image payloads instead of fabricating dims") {
     assert(Multimodal.HeaderCodec.parseDims("not an image".getBytes).isEmpty)
     assert(Multimodal.HeaderCodec.parseDims(Array.emptyByteArray).isEmpty)
@@ -141,6 +246,59 @@ class CdcMultimodalSpec extends SparkSpec {
       (if (rnd.nextBoolean()) "GIF87a" else "GIF89a").getBytes ++
         le16(w) ++ le16(h) ++ junk(3 + rnd.nextInt(16))
 
+    // r14 formats, same independent-encoder discipline: WebP chunks per
+    // RFC 9649 (+ VP8 RFC 6386 §9.1 / VP8L spec §3), BMP per the
+    // BITMAPFILEHEADER/BITMAPINFOHEADER and CORE layouts, TIFF per
+    // TIFF 6.0 §2 (both byte orders, IFD entries sorted by tag)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte,
+      (v >>> 24).toByte)
+    def le24(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte)
+    def riffWebp(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val chunk = tag.getBytes ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+      "RIFF".getBytes ++ le32(4 + chunk.length) ++ "WEBP".getBytes ++ chunk
+    }
+    def webpVp8(w: Int, h: Int): Array[Byte] =
+      riffWebp("VP8 ", Array[Int](0x10, 0, 0, 0x9d, 0x01, 0x2a)
+        .map(_.toByte) ++ le16(w) ++ le16(h) ++ junk(rnd.nextInt(16)))
+    def webpVp8l(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+      val bits = (w - 1) | ((h - 1) << 14) | ((if (alpha) 1 else 0) << 28)
+      riffWebp("VP8L", Array(0x2f.toByte) ++ le32(bits) ++
+        junk(rnd.nextInt(16)))
+    }
+    def webpVp8x(w: Int, h: Int, alpha: Boolean): Array[Byte] =
+      riffWebp("VP8X", Array[Int](if (alpha) 0x10 else 0x00, 0, 0, 0)
+        .map(_.toByte) ++ le24(w - 1) ++ le24(h - 1) ++ junk(rnd.nextInt(8)))
+    def bmp(w: Int, h: Int, topdown: Boolean, bc: Int): Array[Byte] = {
+      val hSigned = if (topdown) -h else h
+      "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(hSigned) ++
+        Array(1.toByte, 0.toByte, bc.toByte, (bc >>> 8).toByte) ++
+        le32(0) ++ le32(0) ++ junk(16 + rnd.nextInt(16))
+    }
+    def tiff(w: Int, h: Int, spp: Int, photo: Int,
+             bigEndian: Boolean): Array[Byte] = {
+      def x16(v: Int) = if (bigEndian) be16(v)
+        else Array(v.toByte, (v >>> 8).toByte)
+      def x32(v: Int) = if (bigEndian) be32(v) else le32(v)
+      // SHORT values are left-justified in the 4-byte field in BOTH byte
+      // orders (TIFF 6.0 §2: value "begins" at the field's first byte)
+      def entryShort(tag: Int, v: Int) =
+        x16(tag) ++ x16(3) ++ x32(1) ++ x16(v) ++ x16(0)
+      def entryLong(tag: Int, v: Int) = x16(tag) ++ x16(4) ++ x32(1) ++ x32(v)
+      // dims randomly SHORT or LONG typed — both legal per spec
+      val widthE = if (rnd.nextBoolean() && w <= 0xffff)
+        entryShort(256, w) else entryLong(256, w)
+      val heightE = if (rnd.nextBoolean() && h <= 0xffff)
+        entryShort(257, h) else entryLong(257, h)
+      val entries = Seq(widthE, heightE, entryShort(262, photo)) ++
+        (if (spp > 0) Seq(entryShort(277, spp)) else Nil)
+      val magic = if (bigEndian) Array[Byte]('M', 'M', 0, 42)
+        else Array[Byte]('I', 'I', 42, 0)
+      magic ++ x32(8) ++ x16(entries.length) ++
+        entries.flatten.toArray ++ x32(0) ++ junk(rnd.nextInt(16))
+    }
+
     (1 to 200).foreach { i =>
       val w = 1 + rnd.nextInt(65535); val h = 1 + rnd.nextInt(65535)
       val ct = Seq(0, 2, 3, 4, 6)(rnd.nextInt(5))
@@ -151,13 +309,41 @@ class CdcMultimodalSpec extends SparkSpec {
         .contains((w, h, nc)), s"jpeg trial $i ($w x $h nc=$nc)")
       assert(Multimodal.HeaderCodec.parseDims(gif(w, h))
         .contains((w, h, 3)), s"gif trial $i ($w x $h)")
+      // WebP dims are 14-bit; BMP/TIFF take the full range
+      val w14 = 1 + rnd.nextInt(0x3fff); val h14 = 1 + rnd.nextInt(0x3fff)
+      val alpha = rnd.nextBoolean()
+      assert(Multimodal.HeaderCodec.parseDims(webpVp8(w14, h14))
+        .contains((w14, h14, 3)), s"vp8 trial $i ($w14 x $h14)")
+      assert(Multimodal.HeaderCodec.parseDims(webpVp8l(w14, h14, alpha))
+        .contains((w14, h14, if (alpha) 4 else 3)), s"vp8l trial $i")
+      assert(Multimodal.HeaderCodec.parseDims(webpVp8x(w, h, alpha))
+        .contains((w, h, if (alpha) 4 else 3)), s"vp8x trial $i")
+      val topdown = rnd.nextBoolean()
+      val bc = Seq(1, 4, 8, 16, 24, 32)(rnd.nextInt(6))
+      assert(Multimodal.HeaderCodec.parseDims(bmp(w, h, topdown, bc))
+        .contains((w, h, if (bc == 32) 4 else 3)),
+        s"bmp trial $i ($w x $h topdown=$topdown bc=$bc)")
+      val spp = Seq(-1, 1, 3, 4)(rnd.nextInt(4))
+      val photo = Seq(0, 1, 2, 3)(rnd.nextInt(4))
+      val wantCh = if (spp > 0) spp else if (photo >= 2) 3 else 1
+      assert(Multimodal.HeaderCodec.parseDims(
+          tiff(w, h, spp, photo, rnd.nextBoolean()))
+        .contains((w, h, wantCh)), s"tiff trial $i (spp=$spp photo=$photo)")
       // truncating a valid container anywhere inside the header must
       // refuse, never throw or fabricate wrong dims: parse(prefix) is
-      // either None or the true dims
-      val full = jpeg(w, h, nc)
-      val cut = full.take(2 + rnd.nextInt(full.length - 2))
-      val got = Multimodal.HeaderCodec.parseDims(cut)
-      assert(got.isEmpty || got.contains((w, h, nc)), s"jpeg prefix trial $i")
+      // either None or the true dims — contract held per format
+      def prefixContract(full: Array[Byte], want: (Int, Int, Int),
+                         label: String): Unit = {
+        val cut = full.take(2 + rnd.nextInt(full.length - 2))
+        val got = Multimodal.HeaderCodec.parseDims(cut)
+        assert(got.isEmpty || got.contains(want), s"$label prefix trial $i")
+      }
+      prefixContract(jpeg(w, h, nc), (w, h, nc), "jpeg")
+      prefixContract(webpVp8l(w14, h14, alpha),
+        (w14, h14, if (alpha) 4 else 3), "vp8l")
+      prefixContract(bmp(w, h, topdown, bc),
+        (w, h, if (bc == 32) 4 else 3), "bmp")
+      prefixContract(tiff(w, h, spp, photo, false), (w, h, wantCh), "tiff")
     }
   }
 

@@ -914,4 +914,45 @@ class DedupSpec extends SparkSpec {
     // winner per distinct paragraph)
     assert(out.values.map(_._3).sum == 3L)
   }
+
+  test("paragraphDedup: fingerprint keying ≡ text keying (randomized replay)") {
+    // The shuffle key is a 128-bit fingerprint + length, never the text
+    // (the 100 TB shuffle-byte fix). COLLISION STANCE: a false merge needs
+    // two distinct paragraphs sharing both 64-bit xxhash64 lanes AND their
+    // length (P ≈ n²/2^129 — ~1e-15 at 10^12 paragraphs); the blast radius
+    // is one wrongly-dropped paragraph occurrence. This replay asserts the
+    // fingerprint path is value-identical to first-occurrence-by-text on a
+    // 200-doc corpus with heavy cross-doc sharing, hostile near-misses
+    // ("a a" vs "a  a", differing only in whitespace run length), and
+    // repeated in-doc paragraphs.
+    val rnd = new scala.util.Random(20260816L)
+    val pool = (Vector("a a", "a  a", "b c", "b  c", "", " ", "\t") ++
+      (1 to 40).map(i => s"para $i ${"x" * (i % 7)}"))
+    val docs = (1L to 200L).map { id =>
+      id -> (1 to (1 + rnd.nextInt(8)))
+        .map(_ => pool(rnd.nextInt(pool.size))).mkString("\n")
+    }
+    // reference replay: first occurrence by (id, pos) keyed on raw text
+    val exploded = docs.flatMap { case (id, text) =>
+      text.split(java.util.regex.Pattern.quote("\n"), -1).zipWithIndex
+        .filterNot(_._1.matches("^\\s*$"))
+        .map { case (p, pos) => (id, pos, p) }
+    }
+    val winners = exploded.groupBy(_._3).map { case (_, occ) =>
+      occ.minBy(o => (o._1, o._2))
+    }.map(o => (o._1, o._2)).toSet
+    val expect = docs.map { case (id, text) =>
+      val paras = text.split(java.util.regex.Pattern.quote("\n"), -1)
+        .zipWithIndex.filterNot(_._1.matches("^\\s*$"))
+      val kept = paras.filter { case (_, pos) => winners((id, pos)) }
+      (id, kept.map(_._1).mkString("\n"), paras.length.toLong,
+        kept.length.toLong)
+    }.toSet
+    val got = Dedup.paragraphDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect)
+  }
 }

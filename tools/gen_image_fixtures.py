@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Generate the round-14 image fixtures (committed under
+src/main/resources/graft/images/) straight from the container specs —
+python struct only, sharing no code with either parser under test
+(graft HeaderCodec) or the JDK's ImageIO (graft PixelCodec).
+
+The BMP/TIFF files carry REAL uncompressed pixel data with a documented
+pixel matrix, so their per-channel means are hand-derivable rationals
+(the independent oracle anchors for the pixel-decode gate):
+
+  rgb_4x3.bmp      4x3 24-bit bottom-up BMP.  pixel(x,y) = (r,g,b) =
+                   (10*(x+1), 20*(y+1), 5*(x+y))
+                   means: r = 10*avg(x+1) = 25.0
+                          g = 20*avg(y+1) = 40.0
+                          b = 5*(avg(x)+avg(y)) = 5*(1.5+1.0) = 12.5
+  topdown_5x4.bmp  5x4 24-bit TOP-DOWN BMP (negative biHeight — the
+                   classic sign trap).  pixel(x,y) = (x*50, y*60, 200)
+                   means: r = 50*2 = 100.0, g = 60*1.5 = 90.0, b = 200.0
+  rgb_6x2.tif      6x2 uncompressed little-endian RGB TIFF.
+                   pixel(x,y) = (x*40, y*100, 30)
+                   means: r = 40*2.5 = 100.0, g = 100*0.5 = 50.0, b = 30.0
+
+The WebP files are spec-built container headers (RFC 9649 / VP8 RFC 6386
+frame header / VP8L bitstream spec) for the HEADER parsing path only —
+no JDK WebP decoder exists, so no pixel data is needed:
+
+  lossy_17x9.webp      RIFF + 'VP8 ' keyframe header, 17x9
+  lossless_33x21.webp  RIFF + 'VP8L' signature bitstream, 33x21, no alpha
+  alpha_12x5.webp      RIFF + 'VP8L' with the alpha bit set, 12x5
+  extended_640x360.webp RIFF + 'VP8X' canvas header, 640x360, alpha flag
+
+Deterministic output (no randomness): re-running must reproduce the
+committed bytes exactly.  Usage: python3 tools/gen_image_fixtures.py
+"""
+import struct
+import os
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "main", "resources", "graft", "images")
+
+
+def bmp(width, height, pix, topdown=False):
+    """24-bit uncompressed BMP (BITMAPINFOHEADER). pix(x,y) -> (r,g,b).
+    Rows padded to 4 bytes; bottom-up unless topdown (negative biHeight)."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    rows = []
+    ys = range(height) if topdown else range(height - 1, -1, -1)
+    for y in ys:
+        row = b"".join(bytes((pix(x, y)[2], pix(x, y)[1], pix(x, y)[0]))
+                       for x in range(width))
+        rows.append(row + b"\x00" * pad)
+    data = b"".join(rows)
+    bih = struct.pack("<IiiHHIIiiII", 40, width,
+                      -height if topdown else height,
+                      1, 24, 0, len(data), 2835, 2835, 0, 0)
+    off = 14 + 40
+    bfh = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return bfh + bih + data
+
+
+def tiff_rgb(width, height, pix):
+    """Uncompressed little-endian RGB TIFF: header, one strip of raw
+    RGBRGB... samples, then the IFD (entries sorted by tag per spec)."""
+    strip = b"".join(bytes(pix(x, y))
+                     for y in range(height) for x in range(width))
+    strip_off = 8
+    ifd_off = strip_off + len(strip)
+    bps_off = None  # BitsPerSample needs 3 SHORTs -> external value
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI", tag, typ, count) + value
+
+    # 10 entries, then external BitsPerSample array after the IFD
+    n = 10
+    bps_off = ifd_off + 2 + n * 12 + 4
+    entries = [
+        entry(256, 4, 1, struct.pack("<I", width)),          # ImageWidth
+        entry(257, 4, 1, struct.pack("<I", height)),         # ImageLength
+        entry(258, 3, 3, struct.pack("<I", bps_off)),        # BitsPerSample
+        entry(259, 3, 1, struct.pack("<HH", 1, 0)),          # Compression=none
+        entry(262, 3, 1, struct.pack("<HH", 2, 0)),          # Photometric=RGB
+        entry(273, 4, 1, struct.pack("<I", strip_off)),      # StripOffsets
+        entry(277, 3, 1, struct.pack("<HH", 3, 0)),          # SamplesPerPixel
+        entry(278, 4, 1, struct.pack("<I", height)),         # RowsPerStrip
+        entry(279, 4, 1, struct.pack("<I", len(strip))),     # StripByteCounts
+        entry(284, 3, 1, struct.pack("<HH", 1, 0)),          # PlanarConfig
+    ]
+    assert len(entries) == n
+    ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    header = struct.pack("<2sHI", b"II", 42, ifd_off)
+    return header + strip + ifd + struct.pack("<HHH", 8, 8, 8)
+
+
+def riff_webp(chunk_tag, payload):
+    chunk = chunk_tag + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def webp_vp8(width, height):
+    """'VP8 ' lossy keyframe header: 3-byte frame tag (keyframe bit 0),
+    start code 9D 01 2A, then 16-bit LE width/height (14 bits + scale)."""
+    frame_tag = b"\x10\x00\x00"  # keyframe, version 0, show_frame, partlen
+    dims = struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+    return riff_webp(b"VP8 ", frame_tag + b"\x9d\x01\x2a" + dims +
+                     b"\x00" * 8)
+
+
+def webp_vp8l(width, height, alpha=False):
+    """'VP8L' signature byte 0x2F then a 32-bit LE field: width-1 (14
+    bits), height-1 (14 bits), alpha (1), version (3, must be 0)."""
+    bits = (width - 1) | ((height - 1) << 14) | ((1 if alpha else 0) << 28)
+    return riff_webp(b"VP8L", b"\x2f" + struct.pack("<I", bits) +
+                     b"\x00" * 4)
+
+
+def webp_vp8x(width, height, alpha=False):
+    """'VP8X' extended header: flags byte (bit4 = alpha), 3 reserved
+    bytes, then 24-bit LE canvas width-1 / height-1."""
+    flags = 0x10 if alpha else 0x00
+    def le24(v):
+        return struct.pack("<I", v)[:3]
+    return riff_webp(b"VP8X", bytes((flags,)) + b"\x00" * 3 +
+                     le24(width - 1) + le24(height - 1))
+
+
+def main():
+    fixtures = {
+        "rgb_4x3.bmp": bmp(4, 3,
+                           lambda x, y: (10 * (x + 1), 20 * (y + 1),
+                                         5 * (x + y))),
+        "topdown_5x4.bmp": bmp(5, 4,
+                               lambda x, y: (x * 50, y * 60, 200),
+                               topdown=True),
+        "rgb_6x2.tif": tiff_rgb(6, 2, lambda x, y: (x * 40, y * 100, 30)),
+        "lossy_17x9.webp": webp_vp8(17, 9),
+        "lossless_33x21.webp": webp_vp8l(33, 21),
+        "alpha_12x5.webp": webp_vp8l(12, 5, alpha=True),
+        "extended_640x360.webp": webp_vp8x(640, 360, alpha=True),
+    }
+    os.makedirs(OUT, exist_ok=True)
+    for name, data in fixtures.items():
+        path = os.path.join(OUT, name)
+        with open(path, "wb") as f:
+            f.write(data)
+        print(f"{name}: {len(data)} bytes")
+
+
+if __name__ == "__main__":
+    main()
