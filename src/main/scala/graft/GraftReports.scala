@@ -27,9 +27,18 @@ import graft.operators._
   * view, and `args` matching the report's declared [[Report.argNames]]
   * positionally. Column-typed parameters accept full SQL expressions
   * (`'pmod(user_id, 2) = 1'`); list-typed parameters are comma-separated.
-  * Errors name the report and its expected arguments. Reports whose
-  * operators train eagerly (BPE, farthest-point) do that work at analysis
-  * time — same cost as the Scala call, just earlier in the query's life.
+  * Errors name the report and its expected arguments.
+  *
+  * Reports whose operators train eagerly (BPE, farthest-point, IPF, …)
+  * do that work when the calling query is ANALYZED — and SQL re-analyzes
+  * liberally (an `EXPLAIN`, a view re-resolution, a second reference).
+  * The builder therefore MEMOIZES per (name, args, canonicalized input
+  * plan), bounded LRU: re-analysis of the same call returns the cached
+  * plan without re-running the training jobs. The canonicalized-plan key
+  * means a re-created temp view or a refreshed table (new relation) is a
+  * cache MISS — retrained, as it should be; mutating files in place
+  * without `REFRESH TABLE` serves the stale model, the same staleness
+  * Spark's own relation cache has. [[clearCache]] drops everything.
   */
 object GraftReports {
 
@@ -252,7 +261,10 @@ object GraftReports {
       (df, a) => Corpus.heapsFit(df, a(0), a(1))),
     "dsir_weights" -> r("targetTable", "idCol", "textCol", "buckets")(
       (df, a) => Corpus.dsirWeights(df, tbl(df, a(0)), a(1), a(2),
-        a(3).toInt))
+        a(3).toInt)),
+    // Multimodal (r14): content-addressed REAL pixel decode
+    "pixel_stats" -> r("keyCol", "imagesTable")(
+      (df, a) => Multimodal.pixelStatsReport(df, a(0), tbl(df, a(1))))
   )
 
   /** Dispatch by name with argument-count validation; the error message
@@ -265,13 +277,42 @@ object GraftReports {
       s"graft_report('$name', table, ...) takes arguments " +
         s"(${rep.argNames.mkString(", ")}) — got ${args.length}, " +
         s"expected ${rep.argNames.length}")
+    buildCounts.updateWith(name) { c => Some(c.getOrElse(0L) + 1L) }
     rep.build(input, args)
   }
+
+  /** Times [[run]] actually BUILT a report, per name — the probe
+    * GraftReportsSpec uses to assert an EXPLAIN + collect + re-collect
+    * of an eager-training report trains exactly once. */
+  private[graft] val buildCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Memo for the TVF path: (name, args, canonicalized input plan) →
+    * analyzed report plan. Access-ordered LRU bounded at 64 entries —
+    * each value is a plan (plus, for eager reports, the trained model
+    * folded into it as literals/LocalRelations), so the bound caps
+    * driver memory, not correctness. The synchronizedMap mutex also
+    * serializes computeIfAbsent, so concurrent analyses of the same call
+    * train once. */
+  private val memo: java.util.Map[(String, Seq[String], LogicalPlan),
+      LogicalPlan] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Seq[String], LogicalPlan),
+          LogicalPlan](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Seq[String], LogicalPlan),
+              LogicalPlan]): Boolean = size() > 64
+      })
+
+  /** Drop every memoized report plan (e.g. after in-place data changes
+    * that bypass relation refresh). */
+  def clearCache(): Unit = memo.clear()
 
   /** The TVF builder shared by [[GraftExtensions]] injection and runtime
     * [[register]]: evaluates the literal arguments, resolves the input
     * table against the active session, and returns the report's analyzed
-    * plan. */
+    * plan — memoized so SQL re-analysis (EXPLAIN, view re-resolution)
+    * does not re-run eager training jobs. */
   private[graft] def tvfBuilder(es: Seq[Expression]): LogicalPlan = {
     require(es.length >= 2,
       "graft_report(name, table, args...) needs at least (name, table)")
@@ -281,8 +322,11 @@ object GraftReports {
       String.valueOf(e.eval(null))
     }
     val spark = SparkSession.active
-    run(args.head, spark.table(args(1)), args.drop(2))
-      .queryExecution.analyzed
+    val input = spark.table(args(1))
+    val key = (args.head, args.drop(2),
+      input.queryExecution.analyzed.canonicalized)
+    memo.computeIfAbsent(key, _ =>
+      run(args.head, input, args.drop(2)).queryExecution.analyzed)
   }
 
   /** Runtime registration for an existing session (the `Registry.ensure`

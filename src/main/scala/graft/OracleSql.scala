@@ -6296,6 +6296,158 @@ object OracleSql {
          |  f.mean_1, f.mean_2, f.mean_3, f.mean_4
          |FROM c JOIN f USING (img_key)""".stripMargin,
 
+    // q301: streaming debounce replayed sequentially. The gate runs the
+    // REAL flatMapGroupsWithState operator over three chronological
+    // micro-batches; the oracle walks each user's events in the
+    // operator's own order — (epoch_ms(ts), value): the codec sorts on
+    // Timestamp.getTime, i.e. MILLISECOND precision, so ordering by the
+    // full-precision µs ts here could disagree inside one millisecond —
+    // emitting the first event and suppressing anything within the 12 h
+    // cooldown of the last EMISSION (state chain, not window equality).
+    "q301_stream_debounce" -> {
+      val cool = 43200000L
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, ts, value, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY epoch_ms(ts), value) AS rn
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND value IS NOT NULL),
+         |walk(user_id, rn, last_emit, emitted, ts, value) AS (
+         |  SELECT user_id, rn, epoch_ms(ts), true, ts, value
+         |  FROM e WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn,
+         |    CASE WHEN epoch_ms(e.ts) - w.last_emit >= $cool
+         |      THEN epoch_ms(e.ts) ELSE w.last_emit END,
+         |    epoch_ms(e.ts) - w.last_emit >= $cool,
+         |    e.ts, e.value
+         |  FROM walk w JOIN e
+         |    ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+         |SELECT user_id, count(*)::BIGINT AS n_emitted,
+         |  ${rnd("sum(value)", 2)} AS sum_emitted,
+         |  max(ts) AS last_emit_ts
+         |FROM walk WHERE emitted GROUP BY user_id""".stripMargin
+    },
+
+    // q302: streaming EWMA/EWMV control chart replayed sequentially.
+    // The walk carries the PRE-update state the alert decision reads
+    // (prev_mean/prev_sigma); the update chain is spelled with the
+    // EXACT double constants the operator uses — (1.0 - 0.2), never
+    // 0.8, because they are different doubles and the chains must stay
+    // bit-identical for the 4-dp rounds to agree.
+    "q302_stream_ewma_alerts" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, ts, value, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY epoch_ms(ts), value) AS rn
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND value IS NOT NULL),
+         |walk(user_id, rn, mean, varr, n, ts, value,
+         |     alert, prev_mean, prev_sigma) AS (
+         |  SELECT user_id, rn, value, 0.0::DOUBLE, 1::BIGINT, ts, value,
+         |    false, 0.0::DOUBLE, 0.0::DOUBLE
+         |  FROM e WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn,
+         |    w.mean + 0.2 * (e.value - w.mean),
+         |    (1.0 - 0.2) * (w.varr
+         |      + 0.2 * (e.value - w.mean) * (e.value - w.mean)),
+         |    w.n + 1, e.ts, e.value,
+         |    w.n >= 5 AND sqrt(w.varr) > 0.0
+         |      AND abs(e.value - w.mean) > 2.0 * sqrt(w.varr),
+         |    w.mean, sqrt(w.varr)
+         |  FROM walk w JOIN e
+         |    ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+         |SELECT user_id, ts, value, ${rnd("prev_mean", 4)} AS ewma,
+         |  ${rnd("prev_sigma", 4)} AS sigma,
+         |  ${rnd("(value - prev_mean) / prev_sigma", 4)} AS z
+         |FROM walk WHERE alert""".stripMargin,
+
+    // q303: streaming ordered funnel replayed as the identical state
+    // machine — expiry is applied BEFORE the event, completion emits and
+    // resets, first-touch never restarts a chain in progress. Event
+    // order is (epoch_ms, event_type), the operator's in-batch sort;
+    // global ms order is monotone across the gate's chronological
+    // chunks, so the operator's cross-batch-straggler guard never fires
+    // and the replay may omit it.
+    "q303_stream_funnel" -> {
+      val W = 259200000L
+      val exp = s"(w.stage > 0 AND e.t - w.start_ms > $W)"
+      val st0 = s"(CASE WHEN $exp THEN 0 ELSE w.stage END)"
+      val start0 = s"(CASE WHEN $exp THEN NULL ELSE w.start_ms END)"
+      val hit = s"($st0 = 2 AND e.event_type = 'purchase')"
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, ts, event_type, epoch_ms(ts) AS t,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts), event_type) AS rn
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |walk(user_id, rn, stage, start_ms, hit, hit_start, hit_end) AS (
+         |  SELECT user_id, rn,
+         |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END,
+         |    CASE WHEN event_type = 'view' THEN t ELSE NULL END,
+         |    false, NULL::BIGINT, NULL::TIMESTAMP
+         |  FROM e WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn,
+         |    CASE WHEN $st0 = 0
+         |           THEN CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END
+         |         WHEN $st0 = 1 AND e.event_type = 'click' THEN 2
+         |         WHEN $hit THEN 0
+         |         ELSE $st0 END,
+         |    CASE WHEN $st0 = 0
+         |           THEN CASE WHEN e.event_type = 'view' THEN e.t END
+         |         WHEN $hit THEN NULL
+         |         ELSE $start0 END,
+         |    $hit,
+         |    CASE WHEN $hit THEN $start0 END,
+         |    CASE WHEN $hit THEN e.ts END
+         |  FROM walk w JOIN e
+         |    ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+         |SELECT user_id, make_timestamp(hit_start * 1000) AS start_ts,
+         |  hit_end AS end_ts,
+         |  (epoch_ms(hit_end) - hit_start)::BIGINT AS latency_ms
+         |FROM walk WHERE hit""".stripMargin
+    },
+
+    // q304: the streaming HLL's net output (last update per type) equals
+    // the batch portable-HLL replay over the same values — q60's chain
+    // grouped by event_type over user_id::VARCHAR (the stream hashes
+    // user_id.toString through the same md5-60-bit pipeline)
+    "q304_stream_hll" -> {
+      val m = 256
+      val maxRho = graft.operators.Sketches.hllMaxRho(m)
+      val c = graft.operators.Sketches.hllScaleC(m)
+      s"""WITH base AS (SELECT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |h AS (SELECT event_type,
+         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM base),
+         |r AS (SELECT event_type, h & ${m - 1} AS reg, h >> 8 AS rest
+         |  FROM h),
+         |regs AS (SELECT event_type, reg,
+         |    max(CASE WHEN rest = 0 THEN $maxRho
+         |             ELSE $maxRho - length(bin(rest)) END) AS rho
+         |  FROM r GROUP BY 1, 2),
+         |s AS (SELECT event_type, count(*) AS np,
+         |    sum(1::BIGINT << ($maxRho - rho))::BIGINT AS scaled
+         |  FROM regs GROUP BY 1),
+         |e AS (SELECT event_type, np,
+         |    (scaled + ($m - np) * (1::BIGINT << $maxRho))::DOUBLE AS total
+         |  FROM s),
+         |est AS (SELECT event_type,
+         |    CASE WHEN ($c)::DOUBLE / total <= ${2.5 * m} AND np < $m
+         |         THEN ($m.0)::DOUBLE * ln(($m.0)::DOUBLE / ($m - np))
+         |         ELSE ($c)::DOUBLE / total END AS est
+         |  FROM e),
+         |n AS (SELECT event_type, count(*)::BIGINT AS n_events
+         |  FROM base GROUP BY 1)
+         |SELECT n.event_type, n.n_events, ${rnd("est", 2)} AS hll_distinct
+         |FROM n JOIN est USING (event_type)""".stripMargin
+    },
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

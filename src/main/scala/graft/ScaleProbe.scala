@@ -57,6 +57,10 @@ object ScaleProbe {
                         t: Double, k: Int): Long =
       Dedup.prefixCandidateCount(docs, "text", "doc_id", t, k)
 
+    // one seed+merge pass serves all eight SCD metrics (lazy: only runs
+    // when an scd probe is actually selected)
+    lazy val scdWrite: Map[String, Long] = scdWriteProbes(spark, sfDir)
+
     val probes: Seq[(String, () => Long)] = Seq(
       "docs_rows" -> (() => docs.count()),
       "emb_rows" -> (() => emb.count()),
@@ -726,7 +730,25 @@ object ScaleProbe {
           val out = Dedup.paragraphDedup(paraReflow(docs), "doc_id", "p_text")
           out.agg(coalesce(sum(length(col("text_clean"))), lit(0L)) +
               coalesce(sum(col("n_kept")), lit(0L))).head().getLong(0)
-        })
+        }),
+
+      // SCD WRITE-PATH decade probes (q52/q59 production path): a
+      // 64-partition COW table seeded at the probed scale, then merged
+      // with an update batch touching exactly 4 partitions. The claim
+      // under test: the manual-DPP IN-list bounds the REWRITE SET by
+      // touched partitions — parts_rewritten must stay 4 (and
+      // bytes_rewritten ~4/64 of total) as the table grows 10x; a broken
+      // bound shows up as parts_rewritten == 64. Measured from the data
+      // directory itself (file-name-set diff per partition dir), not
+      // from the code's own claims.
+      "q52_scd2_parts_total" -> (() => scdWrite("scd2_parts_total")),
+      "q52_scd2_parts_rewritten" -> (() => scdWrite("scd2_parts_rewritten")),
+      "q52_scd2_bytes_total" -> (() => scdWrite("scd2_bytes_total")),
+      "q52_scd2_bytes_rewritten" -> (() => scdWrite("scd2_bytes_rewritten")),
+      "q59_scd4_parts_total" -> (() => scdWrite("scd4_parts_total")),
+      "q59_scd4_parts_rewritten" -> (() => scdWrite("scd4_parts_rewritten")),
+      "q59_scd4_bytes_total" -> (() => scdWrite("scd4_bytes_total")),
+      "q59_scd4_bytes_rewritten" -> (() => scdWrite("scd4_bytes_rewritten"))
     )
 
     val unknown = args.drop(1).filterNot(n => probes.exists(_._1 == n))
@@ -791,6 +813,93 @@ object ScaleProbe {
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         coalesce(col("n_paras"), lit(0L)).as("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** The SCD write-path decade probe body: seed a 64-partition SCD2 COW
+    * table and an SCD4 current/history pair from the customer table at
+    * the probed scale (the synthetic decade explodes sf0.1 10x with
+    * distinct keys, like the stats-batch orders probe), merge an update
+    * batch touching EXACTLY 4 partitions through the production
+    * writeScd2/writeScd4 paths, and measure the rewrite set from the
+    * DATA DIRECTORY — a partition counts as rewritten iff its file-name
+    * set changed (dynamic overwrite writes fresh UUID part files), so
+    * the numbers come from disk, not from the code's own bookkeeping. */
+  private def scdWriteProbes(spark: SparkSession,
+                             sfDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    import graft.merge.{ParquetTable, Scd}
+    val base =
+      if (new java.io.File(s"$sfDir/customer.parquet").exists())
+        Tables.load(spark, sfDir, "customer")
+      else
+        Tables.load(spark, "/root/testdata/sf0.1", "customer")
+          .select(explode(sequence(lit(0L), lit(9L))).as("cp"), col("*"))
+          .withColumn("c_custkey", col("c_custkey") * 10 + col("cp"))
+          .withColumn("c_acctbal",
+            col("c_acctbal") + col("cp").cast("double") * 0.01)
+          .drop("cp")
+    val c = base.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+      .withColumn("pk", pmod(col("c_custkey"), lit(64L)))
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_scdprobe").toString
+
+    def partFiles(dataDir: String): Map[String, Seq[(String, Long)]] = {
+      val d = new java.io.File(dataDir)
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.isDirectory).map { pd =>
+        pd.getName -> pd.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSeq.sortBy(_._1)
+      }.toMap
+    }
+    def stats(prefix: String, before: Map[String, Seq[(String, Long)]],
+              after: Map[String, Seq[(String, Long)]]): Map[String, Long] = {
+      val rewritten = after.keys
+        .filter(k => before.get(k) != after.get(k)).toSet
+      Map(
+        s"${prefix}_parts_total" -> after.size.toLong,
+        s"${prefix}_parts_rewritten" -> rewritten.size.toLong,
+        s"${prefix}_bytes_total" ->
+          after.values.flatten.map(_._2).sum,
+        s"${prefix}_bytes_rewritten" ->
+          after.filter(e => rewritten(e._1)).values.flatten.map(_._2).sum)
+    }
+
+    // ---- SCD2 (q52 shape, pk-partitioned) ----
+    val t2 = new ParquetTable(spark, s"$root/scd2", Seq("pk"))
+    val matchCond =
+      "target.current_flag = true AND target.c_acctbal <> updates.c_acctbal"
+    val insertMap = Map(
+      "c_custkey" -> "updates.c_custkey", "c_name" -> "updates.c_name",
+      "c_acctbal" -> "updates.c_acctbal", "pk" -> "updates.pk",
+      "current_flag" -> "true")
+    Scd.writeScd2(t2, c, Seq("c_custkey"), matchCond,
+      Map("current_flag" -> "false"), insertMap)
+    val before2 = partFiles(s"$root/scd2/data")
+    Scd.writeScd2(t2,
+      c.filter(col("pk") < 4)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0),
+      Seq("c_custkey"), matchCond, Map("current_flag" -> "false"), insertMap)
+    val after2 = partFiles(s"$root/scd2/data")
+
+    // ---- SCD4 (q59 shape, pk-partitioned current + append history) ----
+    val cur = new ParquetTable(spark, s"$root/scd4_cur", Seq("pk"))
+    val hist = new ParquetTable(spark, s"$root/scd4_hist", Nil)
+    val seed4 = c.withColumn("row_active", lit(true))
+      .withColumn("deleted_flag", lit(false))
+      .withColumn("updated_at", lit(1700000000L) + col("c_custkey"))
+    Scd.writeScd4(cur, hist, seed4, Seq("c_custkey"))
+    val before4 = partFiles(s"$root/scd4_cur/data")
+    Scd.writeScd4(cur, hist,
+      seed4.filter(col("pk") < 4)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("row_active", col("c_custkey") % 5 =!= 0)
+        .withColumn("updated_at", lit(1700100000L) + col("c_custkey")),
+      Seq("c_custkey"))
+    val after4 = partFiles(s"$root/scd4_cur/data")
+
+    stats("scd2", before2, after2) ++ stats("scd4", before4, after4)
   }
 
   /** Total shuffle WRITE bytes across every task run by `work`: a

@@ -3107,6 +3107,139 @@ object SparkEntry {
       graft.operators.Multimodal.Fixtures.df(s))
   }
 
+  /** Drive a REAL stateful streaming query over the events table for a
+    * batch-replay gate: events (null-free on the selected columns) are
+    * split into three strictly-chronological parquet chunk files by
+    * event-time tertile and fed through a file-source stream one file per
+    * micro-batch — so per-key state genuinely carries ACROSS batches —
+    * and the sink output comes back localCheckpointed and detached from
+    * the memory sink. Chunking by a monotone function of event-time (ms)
+    * keeps every key's events in global (epoch_ms, value) order across
+    * batches, which is exactly the order the stateful operators apply
+    * in-batch and the DuckDB oracles replay. Memory sink is gate-scale
+    * plumbing only; a production run writes a real sink. */
+  private def replayEventStream(s: SparkSession, dir: String,
+      prefix: String, cols: Seq[String], outputMode: String)
+      (build: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame = {
+    val root = scratchDir(prefix)
+    val ev = T(s, dir, "events")
+      .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(cols.map(col): _*)
+    val mm = ev.agg(min(unix_millis(col("ts"))),
+      max(unix_millis(col("ts")))).head()
+    val lo = mm.getLong(0)
+    val span = math.max(1L, (mm.getLong(1) - lo) / 3 + 1)
+    val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+    (0 to 2).foreach { c =>
+      val part = ev.filter(
+        ((unix_millis(col("ts")) - lo) / span).cast("int") === c)
+      val tmp = s"$root/tmp$c"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).headOption.foreach { f =>
+          val dst = new java.io.File(inDir, f"chunk$c%02d.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // strictly increasing mod-times pin the file-source order
+          dst.setLastModified(1700000000000L + c * 60000L)
+        }
+    }
+    val qn = prefix + "_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+    val q = build(stream).writeStream.outputMode(outputMode)
+      .format("memory").queryName(qn).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(qn).localCheckpoint()
+    s.catalog.dropTempView(qn)
+    out
+  }
+
+  /** Streaming per-key DEBOUNCE replay gate: the real
+    * flatMapGroupsWithState operator runs over three chronological
+    * micro-batches (state carries across batch boundaries), and its
+    * append-mode emissions must equal DuckDB's sequential recursive-CTE
+    * replay of the same suppress-within-cooldown decision chain — the
+    * inherently order-dependent semantics no window aggregate expresses
+    * (q243 gear-replay precedent). 12 h cooldown ≈ 1.6× the median
+    * inter-event gap, so both emission and suppression paths carry real
+    * mass. */
+  private def q301(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = replayEventStream(s, dir, "graft_q301",
+        Seq("user_id", "ts", "value"), "append") { df =>
+      graft.streaming.EventTimeOps.debounce(
+        df.as[graft.streaming.EventTimeOps.Event],
+        cooldownMs = 43200000L)(s)
+    }
+    out.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_emitted"),
+        round(sum(col("value")), 2).as("sum_emitted"),
+        max(col("ts")).as("last_emit_ts"))
+  }
+
+  /** Streaming EWMA control-chart replay gate: the real ewmaAlerts
+    * operator (per-key EWMA/EWMV state, alert when an arriving value
+    * sits k·σ off the PRE-update prediction) runs over three
+    * chronological micro-batches; every emitted alert row must equal
+    * DuckDB's recursive-CTE replay of the identical IEEE-double update
+    * chain — the oracle spells (1.0 - 0.2) instead of 0.8 because those
+    * are different doubles and the chains must stay bit-identical. */
+  private def q302(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = replayEventStream(s, dir, "graft_q302",
+        Seq("user_id", "ts", "value"), "append") { df =>
+      graft.streaming.EventTimeOps.ewmaAlerts(
+        df.as[graft.streaming.EventTimeOps.Event],
+        alpha = 0.2, k = 2.0, warmup = 5L)(s)
+    }
+    out.select(col("user_id"), col("ts"), col("value"),
+      round(col("ewma"), 4).as("ewma"),
+      round(col("sigma"), 4).as("sigma"),
+      round(col("z"), 4).as("z"))
+  }
+
+  /** Streaming ordered-funnel replay gate: the real streamingFunnel
+    * state machine (first-touch view→click→purchase within a 3-day
+    * window, expiry-before-apply, reset-on-complete) runs over three
+    * chronological micro-batches; every emitted conversion must equal
+    * DuckDB's recursive-CTE replay of the identical transition table.
+    * `start_ts` is millisecond-truncated on both sides (the operator
+    * stores the chain start as epoch-ms). */
+  private def q303(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = replayEventStream(s, dir, "graft_q303",
+        Seq("user_id", "ts", "event_type"), "append") { df =>
+      graft.streaming.EventTimeOps.streamingFunnel(
+        df.as[graft.streaming.EventTimeOps.TypedEvent],
+        Seq("view", "click", "purchase"), windowMs = 259200000L)(s)
+    }
+    out.select(col("user_id"), col("start_ts"), col("end_ts"),
+      col("latency_ms"))
+  }
+
+  /** Streaming HLL replay gate: streamingHllDistinct's register state
+    * (m=256 bytes per event type, forever) over three chronological
+    * micro-batches; the NET output — the last update per key, since
+    * n_events is monotone per trigger — must equal the batch HLL oracle
+    * over the same values (same md5-60-bit hash, same scaled-integer
+    * harmonic sum: the q60 replay grouped by event_type). Max-merge
+    * monotonicity is what makes the stream ≡ batch identity hold
+    * regardless of how the batches split. */
+  private def q304(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = replayEventStream(s, dir, "graft_q304",
+        Seq("user_id", "ts", "event_type"), "update") { df =>
+      graft.streaming.EventTimeOps.streamingHllDistinct(
+        df.as[graft.streaming.EventTimeOps.TypedEvent], m = 256)(s)
+    }
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_events").desc)
+    out.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+  }
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3503,7 +3636,11 @@ object SparkEntry {
     "q297_ipf_raking" -> (q297 _),
     "q298_funnel_ab" -> (q298 _),
     "q299_paragraph_dedup" -> (q299 _),
-    "q300_pixel_stats" -> (q300 _)
+    "q300_pixel_stats" -> (q300 _),
+    "q301_stream_debounce" -> (q301 _),
+    "q302_stream_ewma_alerts" -> (q302 _),
+    "q303_stream_funnel" -> (q303 _),
+    "q304_stream_hll" -> (q304 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

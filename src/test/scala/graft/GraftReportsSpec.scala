@@ -49,11 +49,13 @@ class GraftReportsSpec extends SparkSpec {
       "quality_logit", "readability_report", "repetition_metrics",
       "text_profile", "redact_report", "bm25_top_docs", "chunk_by_tokens",
       "zipf_fit", "source_kl_report", "lexical_diversity", "heaps_fit",
-      "dsir_weights")
+      "dsir_weights",
+      // Multimodal (r14)
+      "pixel_stats")
     assert(GraftReports.reports.keySet == want,
       s"registry drift: missing ${want.diff(GraftReports.reports.keySet)}, " +
         s"extra ${GraftReports.reports.keySet.diff(want)}")
-    assert(GraftReports.reports.size == 78)
+    assert(GraftReports.reports.size == 79)
     // every report declares its arguments (the SQL user's documentation)
     GraftReports.reports.foreach { case (name, rep) =>
       assert(rep.argNames.nonEmpty, s"$name declares no arguments")
@@ -152,6 +154,49 @@ class GraftReportsSpec extends SparkSpec {
         |  'text', 'doc_id', '0.9', '1')""".stripMargin)
     assert(rowsOf(viaSql2) == rowsOf(graft.operators.Dedup
       .crossContainmentPairs(needles, docs, "text", "doc_id", 0.9, 1)))
+  }
+
+  test("eager-training reports train once across EXPLAIN + repeated collects") {
+    GraftReports.register(spark)
+    val docs = Seq((1L, "low lower lowest"), (2L, "low lowest newest"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("graft_reports_bpe")
+    GraftReports.clearCache()
+    val before = GraftReports.buildCounts.getOrElse("bpe_learn", 0L)
+    val q = "SELECT * FROM graft_report('bpe_learn', " +
+      "'graft_reports_bpe', 'text', '3', '8')"
+    // EXPLAIN analyzes (and under the old eager shape would TRAIN); the
+    // two collects re-analyze the same call — one build total
+    spark.sql("EXPLAIN " + q).collect()
+    val r1 = rowsOf(spark.sql(q))
+    val r2 = rowsOf(spark.sql(q))
+    assert(r1 == r2 && r1.nonEmpty)
+    assert(GraftReports.buildCounts.getOrElse("bpe_learn", 0L) == before + 1,
+      "EXPLAIN + collect + re-collect must build the report exactly once")
+    // a re-created view (different data → different canonicalized plan)
+    // is a cache MISS: the model retrains rather than serving stale merges
+    Seq((1L, "aa ab aa ab aa")).toDF("doc_id", "text")
+      .createOrReplaceTempView("graft_reports_bpe")
+    val r3 = rowsOf(spark.sql(q))
+    assert(GraftReports.buildCounts.getOrElse("bpe_learn", 0L) == before + 2)
+    assert(r3 != r1, "retrained model must reflect the new corpus")
+  }
+
+  test("graft_report reaches the real pixel decode (pixel_stats)") {
+    GraftReports.register(spark)
+    graft.operators.Multimodal.Fixtures.df(spark)
+      .createOrReplaceTempView("graft_reports_images")
+    Seq.tabulate(23)(i => Tuple1(i.toLong % 10)).toDF("img_key")
+      .createOrReplaceTempView("graft_reports_media_rows")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_report('pixel_stats',
+        |  'graft_reports_media_rows', 'img_key',
+        |  'graft_reports_images')""".stripMargin)
+    val direct = graft.operators.Multimodal.pixelStatsReport(
+      spark.table("graft_reports_media_rows"), "img_key",
+      graft.operators.Multimodal.Fixtures.df(spark))
+    assert(rowsOf(viaSql) == rowsOf(direct))
+    assert(viaSql.count() == 10)
   }
 
   test("graft_report errors name the report and its expected arguments") {
