@@ -262,9 +262,17 @@ object GraftReports {
     "dsir_weights" -> r("targetTable", "idCol", "textCol", "buckets")(
       (df, a) => Corpus.dsirWeights(df, tbl(df, a(0)), a(1), a(2),
         a(3).toInt)),
-    // Multimodal (r14): content-addressed REAL pixel decode
+    // Multimodal (r14): content-addressed REAL pixel decode + perceptual
+    // image near-dup pairing
     "pixel_stats" -> r("keyCol", "imagesTable")(
-      (df, a) => Multimodal.pixelStatsReport(df, a(0), tbl(df, a(1))))
+      (df, a) => Multimodal.pixelStatsReport(df, a(0), tbl(df, a(1)))),
+    "image_dhash_pairs" -> r("nameCol", "binCol", "maxHamming")(
+      (df, a) => Multimodal.imageDHashPairs(df, a(0), a(1), a(2).toInt)),
+    // Media (r14): real JDK PCM decode + ISO-BMFF header walk
+    "audio_stats" -> r("keyCol", "audioTable")(
+      (df, a) => Media.audioStatsReport(df, a(0), tbl(df, a(1)))),
+    "video_headers" -> r("keyCol", "videoTable")(
+      (df, a) => Media.videoHeaderReport(df, a(0), tbl(df, a(1))))
   )
 
   /** Dispatch by name with argument-count validation; the error message

@@ -6448,6 +6448,65 @@ object OracleSql {
          |FROM n JOIN est USING (event_type)""".stripMargin
     },
 
+    // q305: perceptual dHash pairing. The per-fixture 64-bit hashes are
+    // pure integer arithmetic over decoder output (hand box-filter, no
+    // interpolation), anchored here and asserted by CdcMultimodalSpec
+    // first; the oracle replays the unordered pairing and the Hamming
+    // distances with bit_count(xor(...)) — two's-complement bit pattern,
+    // identical to java.lang.Long.bitCount on the signed value.
+    "q305_image_dhash" ->
+      s"""WITH d(name, h) AS (VALUES
+         |  ('gray_1x1.jpg', 0::BIGINT),
+         |  ('gray_5x7.png', 6148914691236517205::BIGINT),
+         |  ('pixel_1x1.gif', 0::BIGINT),
+         |  ('rgb_3x2.png', 2604246222170760228::BIGINT),
+         |  ('rgb_4x3.bmp', 3038287259199220266::BIGINT),
+         |  ('rgb_6x2.tif', 7885078839350357357::BIGINT),
+         |  ('rgba_4x4.png', 3038287259199220266::BIGINT),
+         |  ('topdown_5x4.bmp', 6148914691236517205::BIGINT),
+         |  ('wide_300x200.gif', 0::BIGINT),
+         |  ('ycbcr_8x16.jpg', 0::BIGINT))
+         |SELECT a.name AS name_a, b.name AS name_b,
+         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming
+         |FROM d a JOIN d b ON a.name < b.name""".stripMargin,
+
+    // q306: real audio decode, content-addressed. Every constant is
+    // HAND-DERIVED from the generator's sample formulas (see
+    // tools/gen_image_fixtures.py): square wave ±8192 -> rms exactly
+    // 8192, 199 sign flips; stereo ramp sumsq 133,330,000 / 200 ->
+    // rms sqrt(666650) = 816.4864 (4dp); silence all-zero. Fixture
+    // order is Media.Fixtures.audio (sorted).
+    "q306_audio_stats" ->
+      s"""WITH f(media_key, name, sample_rate, channels, n_frames,
+         |       duration_ms, rms, zero_crossings, peak) AS (VALUES
+         |  (0::BIGINT, 'ramp_stereo.wav', 4000, 2, 100::BIGINT,
+         |   25::BIGINT, 816.4864::DOUBLE, 1::BIGINT, 1000),
+         |  (1::BIGINT, 'silence_441_mono.wav', 44100, 1, 50::BIGINT,
+         |   1::BIGINT, 0.0::DOUBLE, 0::BIGINT, 0),
+         |  (2::BIGINT, 'square_8k_mono.wav', 8000, 1, 800::BIGINT,
+         |   100::BIGINT, 8192.0::DOUBLE, 199::BIGINT, 8192)),
+         |c AS (SELECT doc_id % 3 AS media_key, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT f.media_key, f.name, c.n_docs, f.sample_rate::INT AS
+         |  sample_rate, f.channels::INT AS channels, f.n_frames,
+         |  f.duration_ms, f.rms, f.zero_crossings, f.peak::INT AS peak
+         |FROM c JOIN f USING (media_key)""".stripMargin,
+
+    // q307: ISO-BMFF header walk — constants are the generator's own
+    // mvhd/tkhd fields (timescale 1000 & duration 7500 -> 7500 ms;
+    // timescale 600 & duration 1200 -> 2000 ms; tkhd dims 16.16).
+    "q307_video_headers" ->
+      s"""WITH f(media_key, name, width, height, duration_ms, n_tracks)
+         |  AS (VALUES
+         |  (0::BIGINT, 'clip_2trak.mp4', 320, 240, 2000::BIGINT, 2),
+         |  (1::BIGINT, 'clip_640x360.mp4', 640, 360, 7500::BIGINT, 1)),
+         |c AS (SELECT doc_id % 2 AS media_key, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT f.media_key, f.name, c.n_docs, f.width::INT AS width,
+         |  f.height::INT AS height, f.duration_ms,
+         |  f.n_tracks::INT AS n_tracks
+         |FROM c JOIN f USING (media_key)""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

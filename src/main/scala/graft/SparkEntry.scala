@@ -3240,6 +3240,45 @@ object SparkEntry {
       .filter(col("rk") === 1).drop("rk")
   }
 
+  /** Perceptual image near-dup gate: dHash64 over REAL decoded pixels
+    * (integer box-filter downscale — no platform-dependent interpolation
+    * — so the 64-bit values anchor in an oracle), all unordered fixture
+    * pairs ranked by Hamming distance. The zero-distance pairs are the
+    * payoff rows: rgb_4x3.bmp ≡ rgba_4x4.png (same gradient, different
+    * container + alpha channel) — exactly the transcoded-duplicate class
+    * whole-file hashing can never catch. Oracle replays the pairing from
+    * the spec-anchored per-fixture hashes. */
+  private def q305(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.imageDHashPairs(
+      graft.operators.Multimodal.Fixtures.df(s))
+
+  /** REAL audio decode gate, content-addressed like q300: row counts per
+    * payload (doc_id % 3 picks a committed WAV fixture), each distinct
+    * payload decoded once via the JDK's own javax.sound.sampled; every
+    * stat (rms / zero crossings / peak / frames / duration) is
+    * HAND-DERIVED from the generator's documented sample formulas
+    * (tools/gen_image_fixtures.py) — a fully decoder-independent
+    * oracle. */
+  private def q306(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(3L)).as("media_key"))
+    graft.operators.Media.audioStatsReport(docs, "media_key",
+      graft.operators.Media.Fixtures.df(s,
+        graft.operators.Media.Fixtures.audio))
+  }
+
+  /** ISO-BMFF (MP4) header gate: the metadata pass a video corpus runs
+    * before any frame work — moov/mvhd duration + first video trak's
+    * 16.16 tkhd dims + track count, content-addressed over doc_id % 2;
+    * constants hand-derived from the generator's mvhd/tkhd fields. */
+  private def q307(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(2L)).as("media_key"))
+    graft.operators.Media.videoHeaderReport(docs, "media_key",
+      graft.operators.Media.Fixtures.df(s,
+        graft.operators.Media.Fixtures.video))
+  }
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3640,7 +3679,10 @@ object SparkEntry {
     "q301_stream_debounce" -> (q301 _),
     "q302_stream_ewma_alerts" -> (q302 _),
     "q303_stream_funnel" -> (q303 _),
-    "q304_stream_hll" -> (q304 _)
+    "q304_stream_hll" -> (q304 _),
+    "q305_image_dhash" -> (q305 _),
+    "q306_audio_stats" -> (q306 _),
+    "q307_video_headers" -> (q307 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

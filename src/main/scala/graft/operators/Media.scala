@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Audio / video columns for a multimodal corpus, same design as the
+  * image path in [[Multimodal]]: payloads are opaque `binary` columns;
+  * a pure-JVM HEADER pass extracts the metadata that prunes a 100 TB
+  * corpus without touching samples (sample rate / duration / dims
+  * filters), and a REAL decode stage computes content statistics — for
+  * audio via the JDK's own `javax.sound.sampled` (WAV/AIFF/AU PCM
+  * readers ship with JDK 17; no external library), for video as an
+  * ISO-BMFF (MP4/MOV) box walk (the JDK has no video decoder — frame
+  * payload work stays behind [[Multimodal.sampleFrames]]-style
+  * plumbing). Undecodable payloads throw `IllegalArgumentException`,
+  * never fabricate stats — the [[Multimodal.HeaderCodec]] contract. */
+object Media {
+
+  // ---- audio ------------------------------------------------------------
+
+  /** Decoded-PCM content statistics. `rms` is over ALL samples of all
+    * channels (4-dp rounded); `zero_crossings` sums per-channel sign
+    * changes (a crossing is counted when a nonzero sample's sign differs
+    * from the channel's LAST NONZERO sample — silence between swings
+    * neither adds nor hides a crossing); `peak` is max |sample|. */
+  final case class AudioStats(doc_id: Long, sample_rate: Int, channels: Int,
+                              bits: Int, n_frames: Long, duration_ms: Long,
+                              rms: Double, zero_crossings: Long, peak: Int)
+
+  /** Pure-JVM WAV header parse: (sampleRate, channels, bitsPerSample,
+    * dataBytes) from the RIFF/WAVE chunk walk, or None. Only PCM
+    * (format tag 1) is reported — compressed WAV flavors fail the
+    * header pass rather than promising samples the decode stage reads
+    * differently. */
+  def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    val n = b.length
+    if (n < 12 || !b.slice(0, 4).sameElements("RIFF".getBytes) ||
+        !b.slice(8, 12).sameElements("WAVE".getBytes)) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataBytes = -1
+    while (i + 8 <= n && (fmt.isEmpty || dataBytes < 0)) {
+      val id = new String(b.slice(i, i + 4), "ISO-8859-1")
+      val size = le32(i + 4)
+      if (size < 0 || i + 8 + size > n) return None
+      if (id == "fmt " && size >= 16) {
+        val tag = le16(i + 8)
+        if (tag != 1) return None // PCM only
+        fmt = Some((le32(i + 12), le16(i + 10), le16(i + 22)))
+      } else if (id == "data") dataBytes = size
+      i += 8 + size + (size & 1) // chunks pad to even
+    }
+    fmt.collect { case (rate, ch, bits)
+        if rate > 0 && ch > 0 && bits > 0 && dataBytes >= 0 =>
+      (rate, ch, bits, dataBytes)
+    }
+  }
+
+  /** REAL PCM decode via `javax.sound.sampled`: the JDK reader validates
+    * and exposes the stream; stats are integer arithmetic over the
+    * decoded 16-bit samples, so the values anchor in an oracle. Refuses
+    * loudly on anything the JDK cannot read or that is not 16-bit
+    * signed little-endian PCM. */
+  def decodeAudioStats(id: Long, bytes: Array[Byte]): AudioStats = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"doc $id: audio decode failed (${e.getMessage})", e)
+      }
+    val f = in.getFormat
+    if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        || f.getSampleSizeInBits != 16 || f.isBigEndian)
+      throw new IllegalArgumentException(
+        s"doc $id: unsupported PCM layout ($f) — 16-bit signed LE only")
+    val raw = try in.readAllBytes() finally in.close()
+    val ch = f.getChannels
+    val nSamples = raw.length / 2
+    val nFrames = nSamples / ch
+    var sumSq = 0L
+    var peak = 0
+    var crossings = 0L
+    val lastSign = new Array[Int](ch) // 0 = no nonzero sample seen yet
+    var i = 0
+    while (i < nSamples) {
+      val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toInt
+      sumSq += s.toLong * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      if (s != 0) {
+        val c = i % ch
+        val sign = if (s > 0) 1 else -1
+        if (lastSign(c) != 0 && lastSign(c) != sign) crossings += 1
+        lastSign(c) = sign
+      }
+      i += 1
+    }
+    val rms =
+      if (nSamples == 0) 0.0
+      else math.round(math.sqrt(sumSq.toDouble / nSamples) * 10000)
+        .toDouble / 10000
+    AudioStats(id, f.getSampleRate.toInt, ch, 16, nFrames,
+      if (f.getSampleRate > 0) nFrames * 1000L / f.getSampleRate.toInt
+      else 0L,
+      rms, crossings, peak)
+  }
+
+  // ---- video (ISO-BMFF headers) ------------------------------------------
+
+  final case class VideoMeta(doc_id: Long, width: Int, height: Int,
+                             duration_ms: Long, n_tracks: Int)
+
+  /** Pure-JVM ISO-BMFF (MP4/MOV) header walk: (width, height,
+    * durationMs, nTracks) from moov/mvhd + the first trak/tkhd with
+    * nonzero dims (audio tracks carry 0×0). Handles mvhd/tkhd versions
+    * 0 and 1; refuses (None) on malformed or truncated boxes rather
+    * than guessing. */
+  def parseMp4Header(b: Array[Byte]): Option[(Int, Int, Long, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+        u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    val n = b.length
+
+    /** Walk sibling boxes in [from, to): call f(type, payloadFrom,
+      * payloadTo); returns false on malformed structure. */
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = be32(i)
+        if (size < 8 || i + size > to) return false
+        val typ = new String(b.slice(i + 4, i + 8), "ISO-8859-1")
+        f(typ, i + 8, i + size.toInt)
+        i += size.toInt
+      }
+      i == to || i + 8 > to
+    }
+
+    if (n < 16) return None
+    var moov: Option[(Int, Int)] = None
+    if (!walk(0, n) { (t, p0, p1) => if (t == "moov") moov = Some((p0, p1)) })
+      return None
+    val (m0, m1) = moov.getOrElse(return None)
+    var timescale = 0L; var duration = -1L
+    var nTracks = 0; var width = 0; var height = 0
+    val ok = walk(m0, m1) { (t, p0, p1) =>
+      if (t == "mvhd" && p1 - p0 >= 20) {
+        val v = u8(p0)
+        if (v == 0 && p1 - p0 >= 20) {
+          timescale = be32(p0 + 12); duration = be32(p0 + 16)
+        } else if (v == 1 && p1 - p0 >= 32) {
+          timescale = be32(p0 + 20); duration = be64(p0 + 24)
+        }
+      } else if (t == "trak") {
+        nTracks += 1
+        walk(p0, p1) { (tt, q0, q1) =>
+          if (tt == "tkhd") {
+            // v0: width at payload+76, v1 (+8 for 64-bit times): +84
+            val off = if (u8(q0) == 1) 84 else 76
+            if (q1 - q0 >= off + 8 && width == 0 && height == 0) {
+              val w = (be32(q0 + off) >> 16).toInt
+              val h = (be32(q0 + off + 4) >> 16).toInt
+              if (w > 0 && h > 0) { width = w; height = h }
+            }
+          }
+        }
+        ()
+      }
+    }
+    if (!ok || timescale <= 0 || duration < 0 || nTracks == 0) None
+    else Some((width, height, duration * 1000L / timescale, nTracks))
+  }
+
+  def decodeVideoMeta(id: Long, bytes: Array[Byte]): VideoMeta = {
+    val (w, h, d, t) = parseMp4Header(bytes).getOrElse(throw
+      new IllegalArgumentException(
+        s"doc $id: not an ISO-BMFF header (${bytes.length} bytes)"))
+    VideoMeta(id, w, h, d, t)
+  }
+
+  // ---- content-addressed reports (the q300 shape) -------------------------
+
+  /** Committed audio/video fixtures (tools/gen_image_fixtures.py — every
+    * stat hand-derivable from the documented sample formulas). */
+  object Fixtures {
+    val audio: Seq[String] =
+      Seq("ramp_stereo.wav", "silence_441_mono.wav", "square_8k_mono.wav")
+    val video: Seq[String] = Seq("clip_2trak.mp4", "clip_640x360.mp4")
+
+    def df(spark: SparkSession, names: Seq[String]): DataFrame = {
+      import spark.implicits._
+      names.zipWithIndex
+        .map { case (n, i) => (i.toLong, n, Multimodal.Fixtures.bytes(n)) }
+        .toDF("media_key", "name", "media")
+    }
+  }
+
+  /** Content-addressed REAL audio decode over a corpus: row counts per
+    * payload at full scale, each DISTINCT payload decoded exactly once
+    * executor-side (decode cost follows distinct media, not rows — the
+    * [[Multimodal.pixelStatsReport]] contract for sound). */
+  def audioStatsReport(df: DataFrame, keyCol: String, audio: DataFrame,
+                       audioKeyCol: String = "media_key",
+                       nameCol: String = "name",
+                       binCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(keyCol).cast("long").as("media_key"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val decoded = audio
+      .select(col(audioKeyCol).cast("long"), col(nameCol), col(binCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (k, name, bytes) =>
+        val st = decodeAudioStats(k, bytes)
+        (k, name, st.sample_rate, st.channels, st.n_frames, st.duration_ms,
+          st.rms, st.zero_crossings, st.peak)
+      })
+      .toDF("media_key", "name", "sample_rate", "channels", "n_frames",
+        "duration_ms", "rms", "zero_crossings", "peak")
+    counts.join(broadcast(decoded), Seq("media_key"))
+      .select(col("media_key"), col("name"), col("n_docs"),
+        col("sample_rate"), col("channels"), col("n_frames"),
+        col("duration_ms"), col("rms"), col("zero_crossings"), col("peak"))
+  }
+
+  /** Content-addressed ISO-BMFF header report: the metadata pass a video
+    * corpus runs before any frame work (duration/dims/track filters). */
+  def videoHeaderReport(df: DataFrame, keyCol: String, video: DataFrame,
+                        videoKeyCol: String = "media_key",
+                        nameCol: String = "name",
+                        binCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(keyCol).cast("long").as("media_key"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val decoded = video
+      .select(col(videoKeyCol).cast("long"), col(nameCol), col(binCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (k, name, bytes) =>
+        val m = decodeVideoMeta(k, bytes)
+        (k, name, m.width, m.height, m.duration_ms, m.n_tracks)
+      })
+      .toDF("media_key", "name", "width", "height", "duration_ms",
+        "n_tracks")
+    counts.join(broadcast(decoded), Seq("media_key"))
+      .select(col("media_key"), col("name"), col("n_docs"), col("width"),
+        col("height"), col("duration_ms"), col("n_tracks"))
+  }
+}

@@ -316,6 +316,91 @@ object Multimodal {
       ImageMeta(id, bytes.length, st.width, st.height, st.channels,
         math.round(mean * 10000).toDouble / 10000)
     }
+
+    /** Perceptual difference hash (dHash) over the DECODED pixels: the
+      * image-near-dup primitive (a re-encoded / transcoded copy of the
+      * same picture hashes identically; small edits flip few bits, so
+      * Hamming distance ranks near-dups — the image twin of SimHash).
+      *
+      * The downscale to a (size+1)×size luma grid is an INTEGER box
+      * average written here by hand — not `Graphics2D` interpolation,
+      * whose results could drift across JVMs/platforms; everything in
+      * this hash is integer arithmetic over decoder output, so the
+      * value is stable enough to anchor in an oracle. Luma is the
+      * ITU-R 601 integer form (299·r + 587·g + 114·b, scale 1000 kept —
+      * comparisons don't need the division). One bit per horizontal
+      * neighbor pair: bit set iff the right cell is brighter. size=8 →
+      * 64 bits. */
+    def dHash64(id: Long, bytes: Array[Byte], size: Int = 8): Long = {
+      require(size >= 1 && size <= 8, s"size in [1,8], got $size")
+      val img = read(id, bytes)
+      val w = img.getWidth; val h = img.getHeight
+      val gw = size + 1
+      val cell = Array.ofDim[Long](gw, size)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var gy = 0
+        while (gy < size) {
+          val y0 = gy * h / size
+          val y1 = math.max(y0 + 1, (gy + 1) * h / size)
+          var sum = 0L; var n = 0L
+          var x = x0
+          while (x < x1 && x < w) {
+            var y = y0
+            while (y < y1 && y < h) {
+              val p = img.getRGB(x, y)
+              sum += 299L * ((p >>> 16) & 0xff) +
+                587L * ((p >>> 8) & 0xff) + 114L * (p & 0xff)
+              n += 1
+              y += 1
+            }
+            x += 1
+          }
+          cell(gx)(gy) = if (n == 0) 0L else sum / n
+          gy += 1
+        }
+        gx += 1
+      }
+      var hash = 0L
+      var j = 0
+      while (j < size) {
+        var i = 0
+        while (i < size) {
+          hash = (hash << 1) |
+            (if (cell(i + 1)(j) > cell(i)(j)) 1L else 0L)
+          i += 1
+        }
+        j += 1
+      }
+      hash
+    }
+  }
+
+  /** All-pairs perceptual Hamming distances over a (small, distinct)
+    * image set: decode executor-side, dHash each payload once, compare
+    * every unordered pair. The quadratic stage runs on the DISTINCT
+    * image side only (content-addressed, like [[pixelStatsReport]]) —
+    * at corpus scale the pairing would go through SimHash-style byte
+    * banding on the 64-bit hash instead of all-pairs; this report is
+    * the exact-verification harness for that path. */
+  def imageDHashPairs(images: DataFrame, nameCol: String = "name",
+                      binCol: String = "image",
+                      maxHamming: Int = 64): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val hashed = images.select(col(nameCol), col(binCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (n, b) => (n, PixelCodec.dHash64(0L, b)) })
+      .toDF("name", "dhash")
+    val a = hashed.select(col("name").as("name_a"), col("dhash").as("ha"))
+    val b = hashed.select(col("name").as("name_b"), col("dhash").as("hb"))
+    a.join(broadcast(b), col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** The committed image fixtures (REAL container files: the r13 set was

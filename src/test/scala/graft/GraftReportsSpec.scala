@@ -50,12 +50,12 @@ class GraftReportsSpec extends SparkSpec {
       "text_profile", "redact_report", "bm25_top_docs", "chunk_by_tokens",
       "zipf_fit", "source_kl_report", "lexical_diversity", "heaps_fit",
       "dsir_weights",
-      // Multimodal (r14)
-      "pixel_stats")
+      // Multimodal + Media (r14)
+      "pixel_stats", "image_dhash_pairs", "audio_stats", "video_headers")
     assert(GraftReports.reports.keySet == want,
       s"registry drift: missing ${want.diff(GraftReports.reports.keySet)}, " +
         s"extra ${GraftReports.reports.keySet.diff(want)}")
-    assert(GraftReports.reports.size == 79)
+    assert(GraftReports.reports.size == 82)
     // every report declares its arguments (the SQL user's documentation)
     GraftReports.reports.foreach { case (name, rep) =>
       assert(rep.argNames.nonEmpty, s"$name declares no arguments")

@@ -122,6 +122,9 @@ class PlanSpec extends SparkSpec {
     // stay a hash/merge equi-join. A new query that degrades to a real
     // cartesian product fails here before it ever reaches a benchmark.
     val bnljAllowed = Set("q23_embedding_cosine", "q24_ann_topk", "q55_tfidf",
+      "q305_image_dhash", // all-pairs over the bounded broadcast image set
+                          // (10 distinct payloads; corpus-scale pairing
+                          // rides SimHash-style banding, per scaladoc)
       "q76_sql_surface", "q79_unigram_logprob", "q80_hard_negatives",
       "q87_bm25", "q100_temperature_mix", "q101_zorder",
       "q115_hll_merge", // three 1-row control frames cross-joined

@@ -152,6 +152,76 @@ class CdcMultimodalSpec extends SparkSpec {
       meta.channels == 3 && meta.mean_byte == 25.8333)
   }
 
+  test("dHash64: anchored values, transcode invariance, perturbation proximity") {
+    // ORACLE ANCHORS (the q305 VALUES rows): pure integer arithmetic
+    // over decoder output, so these are exact. The two collisions are
+    // the perceptual point — rgb_4x3.bmp and rgba_4x4.png carry the
+    // same horizontal gradient in different containers (one with an
+    // alpha channel), and a perceptual hash MUST identify them where
+    // whole-file hashing cannot.
+    def dh(name: String) =
+      Multimodal.PixelCodec.dHash64(0L, Multimodal.Fixtures.bytes(name))
+    val anchors = Map(
+      "gray_1x1.jpg" -> 0L,
+      "gray_5x7.png" -> 6148914691236517205L,
+      "pixel_1x1.gif" -> 0L,
+      "rgb_3x2.png" -> 2604246222170760228L,
+      "rgb_4x3.bmp" -> 3038287259199220266L,
+      "rgb_6x2.tif" -> 7885078839350357357L,
+      "rgba_4x4.png" -> 3038287259199220266L,
+      "topdown_5x4.bmp" -> 6148914691236517205L,
+      "wide_300x200.gif" -> 0L,
+      "ycbcr_8x16.jpg" -> 0L)
+    anchors.foreach { case (n, want) =>
+      assert(dh(n) == want, s"$n: got ${dh(n)} want $want")
+    }
+    assert(dh("rgb_4x3.bmp") == dh("rgba_4x4.png"),
+      "same gradient, different container: perceptual dup")
+
+    // transcode invariance: decode the BMP, re-encode LOSSLESSLY as PNG
+    // through ImageIO, and the perceptual hash must be identical
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.Fixtures.bytes("rgb_4x3.bmp")))
+    val png = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", png)
+    assert(Multimodal.PixelCodec.dHash64(0L, png.toByteArray) ==
+      anchors("rgb_4x3.bmp"))
+
+    // perturbation proximity: a 64x48 two-axis gradient vs the same
+    // image with one corner cell blotted out — a few bits flip, never
+    // most of them (the Hamming-ranks-near-dups contract); an UNRELATED
+    // pattern sits far away
+    def synth(blot: Boolean): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 48) {
+        val r = x * 4 min 255; val g = y * 5 min 255
+        b.setRGB(x, y, (r << 16) | (g << 8) | 64)
+      }
+      if (blot) for (x <- 0 until 8; y <- 0 until 6) b.setRGB(x, y, 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", out)
+      out.toByteArray
+    }
+    val base = Multimodal.PixelCodec.dHash64(0L, synth(blot = false))
+    val blotted = Multimodal.PixelCodec.dHash64(0L, synth(blot = true))
+    val ham = java.lang.Long.bitCount(base ^ blotted)
+    assert(ham >= 1 && ham <= 16, s"blot flipped $ham bits")
+    val unrelated = Multimodal.PixelCodec.dHash64(0L,
+      Multimodal.Fixtures.bytes("rgb_6x2.tif"))
+    assert(java.lang.Long.bitCount(base ^ unrelated) > 16)
+  }
+
+  test("imageDHashPairs finds the cross-container perceptual dups") {
+    val out = Multimodal.imageDHashPairs(Multimodal.Fixtures.df(spark))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.size == 45, "all unordered pairs of the 10 fixtures")
+    assert(out(("rgb_4x3.bmp", "rgba_4x4.png")) == 0L)
+    assert(out(("gray_5x7.png", "topdown_5x4.bmp")) == 0L)
+    assert(out(("gray_1x1.jpg", "pixel_1x1.gif")) == 0L)
+  }
+
   test("PixelCodec refuses undecodable payloads loudly") {
     // header-only progressive JPEG: HeaderCodec parses it, a REAL pixel
     // decode must throw (no scan data), never fabricate stats

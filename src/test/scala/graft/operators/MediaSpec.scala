@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(name: String): Array[Byte] =
+    Multimodal.Fixtures.bytes(name)
+
+  test("parseWavHeader reads the committed PCM fixtures") {
+    // (rate, channels, bits, dataBytes) straight from the RIFF walk
+    assert(Media.parseWavHeader(fixture("square_8k_mono.wav"))
+      .contains((8000, 1, 16, 1600)))
+    assert(Media.parseWavHeader(fixture("ramp_stereo.wav"))
+      .contains((4000, 2, 16, 400)))
+    assert(Media.parseWavHeader(fixture("silence_441_mono.wav"))
+      .contains((44100, 1, 16, 100)))
+    assert(Media.parseWavHeader("not audio".getBytes).isEmpty)
+    assert(Media.parseWavHeader(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeAudioStats: REAL JDK decode matches the hand-derived stats") {
+    // every constant is derivable by hand from the generator's sample
+    // formulas (tools/gen_image_fixtures.py) — decoder-independent
+    val sq = Media.decodeAudioStats(1L, fixture("square_8k_mono.wav"))
+    assert(sq.sample_rate == 8000 && sq.channels == 1 && sq.n_frames == 800)
+    assert(sq.duration_ms == 100)
+    assert(sq.rms == 8192.0, "every |sample| is 8192")
+    assert(sq.zero_crossings == 199, "sign flips at i = 4, 8, …, 796")
+    assert(sq.peak == 8192)
+
+    val ramp = Media.decodeAudioStats(2L, fixture("ramp_stereo.wav"))
+    assert(ramp.sample_rate == 4000 && ramp.channels == 2 &&
+      ramp.n_frames == 100 && ramp.duration_ms == 25)
+    // sumsq = 33,330,000 (ch0 ramp) + 100,000,000 (ch1 const 1000)
+    // over 200 samples -> sqrt(666650) = 816.48637…, 4-dp 816.4864
+    assert(ramp.rms == 816.4864)
+    assert(ramp.zero_crossings == 1, "ch0 crosses once; ch1 never")
+    assert(ramp.peak == 1000)
+
+    val sil = Media.decodeAudioStats(3L, fixture("silence_441_mono.wav"))
+    assert(sil.rms == 0.0 && sil.zero_crossings == 0 && sil.peak == 0)
+    assert(sil.duration_ms == 1, "floor(50 * 1000 / 44100)")
+
+    // header pass and decode pass agree on the format fields
+    Media.Fixtures.audio.foreach { n =>
+      val hdr = Media.parseWavHeader(fixture(n)).get
+      val dec = Media.decodeAudioStats(0L, fixture(n))
+      assert(hdr._1 == dec.sample_rate && hdr._2 == dec.channels &&
+        hdr._3 == dec.bits, n)
+      assert(hdr._4 / (2 * hdr._2) == dec.n_frames, n)
+    }
+  }
+
+  test("decodeAudioStats refuses non-audio and non-PCM payloads loudly") {
+    intercept[IllegalArgumentException] {
+      Media.decodeAudioStats(1L, "junk junk junk".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Media.decodeAudioStats(2L, Array.emptyByteArray)
+    }
+    // an image is not audio
+    intercept[IllegalArgumentException] {
+      Media.decodeAudioStats(3L, fixture("rgb_4x3.bmp"))
+    }
+  }
+
+  test("WAV fuzz: independent encoder round-trips through the JDK decode") {
+    // the encoder below writes RIFF bytes straight from the spec and the
+    // REFERENCE stats come from the original int array — both fully
+    // independent of the code under test
+    val rnd = new scala.util.Random(20260816L)
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    def wav(rate: Int, ch: Int, samples: Array[Short]): Array[Byte] = {
+      val data = samples.flatMap(s => le16(s.toInt & 0xffff))
+      val block = ch * 2
+      val fmt = le16(1) ++ le16(ch) ++ le32(rate) ++ le32(rate * block) ++
+        le16(block) ++ le16(16)
+      val body = "WAVE".getBytes ++ "fmt ".getBytes ++ le32(fmt.length) ++
+        fmt ++ "data".getBytes ++ le32(data.length) ++ data
+      "RIFF".getBytes ++ le32(body.length) ++ body
+    }
+    (1 to 200).foreach { i =>
+      val ch = 1 + rnd.nextInt(3)
+      val rate = 1000 + rnd.nextInt(48000)
+      val frames = 1 + rnd.nextInt(50)
+      val samples = Array.fill[Short]((frames * ch).toInt)(
+        rnd.nextInt(65536).toShort)
+      val got = Media.decodeAudioStats(i.toLong, wav(rate, ch, samples))
+      // reference stats over the original ints
+      var sumSq = 0L; var peak = 0; var crossings = 0L
+      val last = new Array[Int](ch)
+      samples.zipWithIndex.foreach { case (s, j) =>
+        sumSq += s.toLong * s
+        peak = math.max(peak, math.abs(s.toInt))
+        if (s != 0) {
+          val c = j % ch
+          val sign = if (s > 0) 1 else -1
+          if (last(c) != 0 && last(c) != sign) crossings += 1
+          last(c) = sign
+        }
+      }
+      val rms = math.round(
+        math.sqrt(sumSq.toDouble / samples.length) * 10000).toDouble / 10000
+      assert(got.sample_rate == rate && got.channels == ch &&
+        got.n_frames == frames, s"trial $i format")
+      assert(got.rms == rms && got.peak == peak &&
+        got.zero_crossings == crossings, s"trial $i stats")
+      // truncating inside the data chunk must refuse (RIFF sizes no
+      // longer match), never fabricate
+      val full = wav(rate, ch, samples)
+      val cut = full.take(12 + rnd.nextInt(full.length - 12))
+      val r = Media.parseWavHeader(cut)
+      assert(r.isEmpty || r.contains((rate, ch, 16, frames * ch * 2)),
+        s"trial $i prefix")
+    }
+  }
+
+  test("parseMp4Header reads the committed ISO-BMFF fixtures") {
+    assert(Media.parseMp4Header(fixture("clip_640x360.mp4"))
+      .contains((640, 360, 7500L, 1)))
+    assert(Media.parseMp4Header(fixture("clip_2trak.mp4"))
+      .contains((320, 240, 2000L, 2)))
+    assert(Media.parseMp4Header("not a video".getBytes).isEmpty)
+    assert(Media.parseMp4Header(Array.emptyByteArray).isEmpty)
+    val m = Media.decodeVideoMeta(5L, fixture("clip_640x360.mp4"))
+    assert(m.doc_id == 5L && m.width == 640 && m.height == 360 &&
+      m.duration_ms == 7500L && m.n_tracks == 1)
+    intercept[IllegalArgumentException] {
+      Media.decodeVideoMeta(6L, fixture("square_8k_mono.wav"))
+    }
+  }
+
+  test("MP4 fuzz: spec-built moov/mvhd/tkhd round-trip + truncation contract") {
+    val rnd = new scala.util.Random(20260817L)
+    def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes ++ payload
+    def mp4(w: Int, h: Int, timescale: Long, duration: Long,
+            nTraks: Int): Array[Byte] = {
+      val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+        be32(0) ++ be32(timescale) ++ be32(duration) ++
+        Array.fill(80)(0.toByte))
+      val traks = (1 to nTraks).flatMap { i =>
+        box("trak", box("tkhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+          be32(0) ++ be32(i.toLong) ++ be32(0) ++ be32(duration) ++
+          Array.fill(52)(0.toByte) ++
+          be32(w.toLong << 16) ++ be32(h.toLong << 16)))
+      }.toArray
+      box("ftyp", "isom".getBytes ++ be32(512)) ++
+        box("moov", mvhd ++ traks)
+    }
+    (1 to 200).foreach { i =>
+      val w = 1 + rnd.nextInt(8192); val h = 1 + rnd.nextInt(8192)
+      val ts = 1L + rnd.nextInt(100000)
+      val dur = rnd.nextInt(1000000).toLong
+      val traks = 1 + rnd.nextInt(3)
+      val want = (w, h, dur * 1000L / ts, traks)
+      assert(Media.parseMp4Header(mp4(w, h, ts, dur, traks))
+        .contains(want), s"trial $i")
+      val full = mp4(w, h, ts, dur, traks)
+      val cut = full.take(2 + rnd.nextInt(full.length - 2))
+      val got = Media.parseMp4Header(cut)
+      assert(got.isEmpty || got.contains(want), s"trial $i prefix")
+    }
+  }
+
+  test("audio/video reports join real decoded stats to row counts") {
+    val rows = Seq.tabulate(10)(i => Tuple1(i.toLong % 3)).toDF("media_key")
+    val a = Media.audioStatsReport(rows, "media_key",
+        Media.Fixtures.df(spark, Media.Fixtures.audio))
+      .collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(a.size == 3)
+    assert(a("ramp_stereo.wav").getAs[Long]("n_docs") == 4L)
+    assert(a("square_8k_mono.wav").getAs[Double]("rms") == 8192.0)
+    val vrows = Seq.tabulate(5)(i => Tuple1(i.toLong % 2)).toDF("media_key")
+    val v = Media.videoHeaderReport(vrows, "media_key",
+        Media.Fixtures.df(spark, Media.Fixtures.video))
+      .collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(v("clip_2trak.mp4").getAs[Long]("n_docs") == 3L)
+    assert(v("clip_640x360.mp4").getAs[Int]("width") == 640)
+  }
+}

@@ -126,6 +126,50 @@ def webp_vp8x(width, height, alpha=False):
                      le24(width - 1) + le24(height - 1))
 
 
+def wav_pcm16(sample_rate, channels, frames):
+    """Canonical RIFF/WAVE PCM: 16-bit LE samples. `frames` is a list of
+    per-frame tuples (one int16 per channel)."""
+    data = b"".join(struct.pack("<h", s) for fr in frames for s in fr)
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+            b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def mp4(width, height, timescale, duration, n_traks=1):
+    """Minimal ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)). Box sizes are
+    32-bit BE; tkhd dims are 16.16 fixed point; mvhd v0 carries
+    (timescale, duration) at fixed offsets."""
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(b"mvhd", struct.pack(">B3x", 0) +        # version 0
+               struct.pack(">II", 0, 0) +               # ctime, mtime
+               struct.pack(">II", timescale, duration) +
+               struct.pack(">I", 0x00010000) +          # rate 1.0
+               struct.pack(">H", 0x0100) + b"\x00" * 10 +  # volume+rsv
+               b"\x00" * 36 +                            # matrix-ish
+               b"\x00" * 24 +                            # predefined
+               struct.pack(">I", n_traks + 1))           # next track id
+    traks = b""
+    for i in range(n_traks):
+        tkhd = box(b"tkhd", struct.pack(">B3x", 0) +
+                   struct.pack(">II", 0, 0) +            # ctime, mtime
+                   struct.pack(">I", i + 1) +            # track id
+                   struct.pack(">I", 0) +                # reserved
+                   struct.pack(">I", duration) +
+                   b"\x00" * 8 +                         # reserved
+                   struct.pack(">HH", 0, 0) +            # layer, group
+                   struct.pack(">H", 0) + b"\x00" * 2 +  # volume + rsv
+                   b"\x00" * 36 +                        # matrix
+                   struct.pack(">II", width << 16, height << 16))
+        traks += box(b"trak", tkhd)
+    return ftyp + box(b"moov", mvhd + traks)
+
+
 def main():
     fixtures = {
         "rgb_4x3.bmp": bmp(4, 3,
@@ -139,6 +183,31 @@ def main():
         "lossless_33x21.webp": webp_vp8l(33, 21),
         "alpha_12x5.webp": webp_vp8l(12, 5, alpha=True),
         "extended_640x360.webp": webp_vp8x(640, 360, alpha=True),
+        # ---- audio (r14): PCM with HAND-DERIVABLE stats ----
+        # square_8k_mono: 800 frames, period-8 square wave at ±8192.
+        #   every |sample| = 8192 -> rms = 8192.0 exactly;
+        #   sign flips at i = 4, 8, ..., 796 -> 199 zero crossings;
+        #   peak = 8192; duration = 800/8000 s = 100 ms.
+        "square_8k_mono.wav": wav_pcm16(8000, 1, [
+            (8192 if (i // 4) % 2 == 0 else -8192,) for i in range(800)]),
+        # ramp_stereo: 100 frames at 4000 Hz. ch0 = 20*i - 990
+        #   (-990..990, one sign change -> 1 crossing); ch1 = 1000 const
+        #   (0 crossings). sumsq = sum((20i-990)^2) + 100*1000^2
+        #   = 33,330,000 + 100,000,000 = 133,330,000 over 200 samples
+        #   (sum((20i-990)^2) = 200 * sum of odd squares 1..99 * 100
+        #    = 200 * 166650 * ... = 2*100*166650 = 33,330,000)
+        #   -> rms = sqrt(666650) = 816.4863746…; peak = 1000;
+        #   duration = 100/4000 s = 25 ms.
+        "ramp_stereo.wav": wav_pcm16(4000, 2, [
+            (20 * i - 990, 1000) for i in range(100)]),
+        # silence: all-zero samples; rms/zcr/peak = 0;
+        #   duration = floor(50*1000/44100) = 1 ms.
+        "silence_441_mono.wav": wav_pcm16(44100, 1, [(0,)] * 50),
+        # ---- video headers (r14): ISO-BMFF with known mvhd/tkhd ----
+        # timescale 1000, duration 7500 -> 7500 ms; one 640x360 track
+        "clip_640x360.mp4": mp4(640, 360, 1000, 7500, n_traks=1),
+        # timescale 600, duration 1200 -> 2000 ms; two 320x240 tracks
+        "clip_2trak.mp4": mp4(320, 240, 600, 1200, n_traks=2),
     }
     os.makedirs(OUT, exist_ok=True)
     for name, data in fixtures.items():
