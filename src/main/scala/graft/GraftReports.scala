@@ -272,7 +272,9 @@ object GraftReports {
     "audio_stats" -> r("keyCol", "audioTable")(
       (df, a) => Media.audioStatsReport(df, a(0), tbl(df, a(1)))),
     "video_headers" -> r("keyCol", "videoTable")(
-      (df, a) => Media.videoHeaderReport(df, a(0), tbl(df, a(1))))
+      (df, a) => Media.videoHeaderReport(df, a(0), tbl(df, a(1)))),
+    "image_near_dups" -> r("nameCol", "binCol", "maxHamming")(
+      (df, a) => Multimodal.imageNearDups(df, a(0), a(1), a(2).toInt))
   )
 
   /** Dispatch by name with argument-count validation; the error message

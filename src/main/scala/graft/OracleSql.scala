@@ -6507,6 +6507,27 @@ object OracleSql {
          |  f.n_tracks::INT AS n_tracks
          |FROM c JOIN f USING (media_key)""".stripMargin,
 
+    // q308: banded image near-dups. Banding at radius 3 over 4 bands has
+    // COMPLETE recall by pigeonhole, so the brute-force pairing over the
+    // anchored per-fixture hashes IS the exact expected output — a
+    // banding bug (dropped candidate) shows up as a missing row.
+    "q308_image_neardups" ->
+      s"""WITH d(name, h) AS (VALUES
+         |  ('gray_1x1.jpg', 0::BIGINT),
+         |  ('gray_5x7.png', 6148914691236517205::BIGINT),
+         |  ('pixel_1x1.gif', 0::BIGINT),
+         |  ('rgb_3x2.png', 2604246222170760228::BIGINT),
+         |  ('rgb_4x3.bmp', 3038287259199220266::BIGINT),
+         |  ('rgb_6x2.tif', 7885078839350357357::BIGINT),
+         |  ('rgba_4x4.png', 3038287259199220266::BIGINT),
+         |  ('topdown_5x4.bmp', 6148914691236517205::BIGINT),
+         |  ('wide_300x200.gif', 0::BIGINT),
+         |  ('ycbcr_8x16.jpg', 0::BIGINT))
+         |SELECT a.name AS id_a, b.name AS id_b,
+         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming
+         |FROM d a JOIN d b ON a.name < b.name
+         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

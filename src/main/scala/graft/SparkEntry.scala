@@ -3279,6 +3279,16 @@ object SparkEntry {
         graft.operators.Media.Fixtures.video))
   }
 
+  /** BANDED image near-dup gate — the scale path q305 verifies: dHash
+    * per distinct payload, candidates from shared 16-bit bands (never
+    * all-pairs), exact-Hamming verify at radius 3. Recall is
+    * pigeonhole-complete at this radius, so the oracle is the
+    * BRUTE-FORCE pairing over the spec-anchored hashes (the q108
+    * exact-recall precedent): any banding miss is a hash mismatch. */
+  private def q308(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.imageNearDups(
+      graft.operators.Multimodal.Fixtures.df(s), maxHamming = 3)
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3682,7 +3692,8 @@ object SparkEntry {
     "q304_stream_hll" -> (q304 _),
     "q305_image_dhash" -> (q305 _),
     "q306_audio_stats" -> (q306 _),
-    "q307_video_headers" -> (q307 _)
+    "q307_video_headers" -> (q307 _),
+    "q308_image_neardups" -> (q308 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -567,13 +567,28 @@ object Dedup {
     * 32-bit path for parity with small-signature pipelines; route anything
     * corpus-scale here. */
   def simHashNearDups64(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3): DataFrame =
+    hamming64NearDups(graft.Tables.widen(df)
+        .select(col(idCol), simHash64(col(textCol)).as("__sig64")),
+      idCol, "__sig64", maxHamming)
+
+  /** Banded near-dup pairing over a PRECOMPUTED 64-bit signature column —
+    * the generic engine behind [[simHashNearDups64]] (text SimHash) and
+    * [[Multimodal.imageNearDups]] (perceptual dHash): 4 disjoint 16-bit
+    * bands, candidates = pairs sharing any band, verify = exact Hamming.
+    * Recall is COMPLETE by pigeonhole for maxHamming < 4 (≤ 3 flipped
+    * bits touch ≤ 3 bands, so one band is untouched and the pair
+    * collides there). 16-bit bands keep per-band candidate mass at
+    * O(n²/2^16) under a uniform signature — the banding, never
+    * all-pairs, is what survives a 100× corpus. */
+  def hamming64NearDups(withSigs: DataFrame, idCol: String, sigCol: String,
                         maxHamming: Int = 3): DataFrame = {
     val bands = 4
     val bandBits = 16
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < $bands bands (got $maxHamming)")
-    val sigs = graft.Tables.widen(df)
-      .select(col(idCol).as("id"), simHash64(col(textCol)).as("sig"))
+    val sigs = withSigs
+      .select(col(idCol).as("id"), col(sigCol).as("sig"))
       .localCheckpoint()
     val banded = sigs.select(col("id"), col("sig"), posexplode(
       array((0 until bands).map(b =>

@@ -470,6 +470,26 @@ object Multimodal {
         col("mean_1"), col("mean_2"), col("mean_3"), col("mean_4"))
   }
 
+  /** Corpus-scale image near-dup pairing: dHash each DISTINCT payload
+    * once (content-addressed decode), then BANDED Hamming pairing through
+    * [[Dedup.hamming64NearDups]] — never all-pairs; candidates come from
+    * shared 16-bit bands of the perceptual hash, recall is
+    * pigeonhole-complete for maxHamming ≤ 3. [[imageDHashPairs]] is this
+    * path's exact-verification harness (complete all-pairs ground truth
+    * on a bounded set). Returns (id_a, id_b, hamming). */
+  def imageNearDups(images: DataFrame, nameCol: String = "name",
+                    binCol: String = "image",
+                    maxHamming: Int = 3): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val hashed = images.select(col(nameCol), col(binCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (n, b) => (n, PixelCodec.dHash64(0L, b)) })
+      .toDF("name", "dhash")
+    graft.operators.Dedup.hamming64NearDups(hashed, "name", "dhash",
+      maxHamming)
+  }
+
   /** Attach a binary "image" column (here synthesized from text — stands in
     * for real media bytes read from parquet/object storage). */
   def withFakeImageColumn(df: DataFrame, textCol: String): DataFrame =

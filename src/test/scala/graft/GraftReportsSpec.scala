@@ -51,11 +51,12 @@ class GraftReportsSpec extends SparkSpec {
       "zipf_fit", "source_kl_report", "lexical_diversity", "heaps_fit",
       "dsir_weights",
       // Multimodal + Media (r14)
-      "pixel_stats", "image_dhash_pairs", "audio_stats", "video_headers")
+      "pixel_stats", "image_dhash_pairs", "image_near_dups",
+      "audio_stats", "video_headers")
     assert(GraftReports.reports.keySet == want,
       s"registry drift: missing ${want.diff(GraftReports.reports.keySet)}, " +
         s"extra ${GraftReports.reports.keySet.diff(want)}")
-    assert(GraftReports.reports.size == 82)
+    assert(GraftReports.reports.size == 83)
     // every report declares its arguments (the SQL user's documentation)
     GraftReports.reports.foreach { case (name, rep) =>
       assert(rep.argNames.nonEmpty, s"$name declares no arguments")

@@ -222,6 +222,24 @@ class CdcMultimodalSpec extends SparkSpec {
     assert(out(("gray_1x1.jpg", "pixel_1x1.gif")) == 0L)
   }
 
+  test("imageNearDups (banded) ≡ imageDHashPairs (all-pairs) at radius 3") {
+    // pigeonhole: 4 bands, radius 3 -> banding recall is COMPLETE, so
+    // the banded scale path must reproduce the all-pairs ground truth
+    // exactly — pairs AND distances
+    val banded = Multimodal.imageNearDups(Multimodal.Fixtures.df(spark),
+        maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Number]("hamming").longValue())).toSet
+    val brute = Multimodal.imageDHashPairs(Multimodal.Fixtures.df(spark))
+      .filter(org.apache.spark.sql.functions.col("hamming") <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Number]("hamming").longValue())).toSet
+    assert(banded == brute && banded.nonEmpty)
+    // the cross-container duplicate must be among them
+    assert(banded.exists(t =>
+      t._1 == "rgb_4x3.bmp" && t._2 == "rgba_4x4.png" && t._3 == 0L))
+  }
+
   test("PixelCodec refuses undecodable payloads loudly") {
     // header-only progressive JPEG: HeaderCodec parses it, a REAL pixel
     // decode must throw (no scan data), never fabricate stats
