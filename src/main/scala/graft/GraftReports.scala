@@ -301,9 +301,7 @@ object GraftReports {
     * analyzed report plan. Access-ordered LRU bounded at 64 entries —
     * each value is a plan (plus, for eager reports, the trained model
     * folded into it as literals/LocalRelations), so the bound caps
-    * driver memory, not correctness. The synchronizedMap mutex also
-    * serializes computeIfAbsent, so concurrent analyses of the same call
-    * train once. */
+    * driver memory, not correctness. */
   private val memo: java.util.Map[(String, Seq[String], LogicalPlan),
       LogicalPlan] =
     java.util.Collections.synchronizedMap(
@@ -335,8 +333,21 @@ object GraftReports {
     val input = spark.table(args(1))
     val key = (args.head, args.drop(2),
       input.queryExecution.analyzed.canonicalized)
-    memo.computeIfAbsent(key, _ =>
-      run(args.head, input, args.drop(2)).queryExecution.analyzed)
+    // get-then-put, NOT computeIfAbsent: a report whose second-table
+    // argument is itself a view over graft_report re-enters this builder
+    // during rep.build — computeIfAbsent would then mutate the
+    // LinkedHashMap re-entrantly (the mutex is reentrant for the same
+    // thread, the map's iteration state is not). The race this opens is
+    // benign: two concurrent first analyses of the same call may both
+    // build; last put wins with an identical plan.
+    val cached = memo.get(key)
+    if (cached != null) cached
+    else {
+      val built = run(args.head, input, args.drop(2))
+        .queryExecution.analyzed
+      memo.put(key, built)
+      built
+    }
   }
 
   /** Runtime registration for an existing session (the `Registry.ensure`

@@ -827,7 +827,6 @@ object ScaleProbe {
   private def scdWriteProbes(spark: SparkSession,
                              sfDir: String): Map[String, Long] = {
     import org.apache.spark.sql.functions._
-    import graft.merge.{ParquetTable, Scd}
     val base =
       if (new java.io.File(s"$sfDir/customer.parquet").exists())
         Tables.load(spark, sfDir, "customer")
@@ -843,6 +842,24 @@ object ScaleProbe {
       .withColumn("pk", pmod(col("c_custkey"), lit(64L)))
     val root =
       java.nio.file.Files.createTempDirectory("graft_scdprobe").toString
+    try scdWriteProbesAt(spark, c, root)
+    finally {
+      // the seeded tables are decade-scale (two 64-partition tables +
+      // history) — repeated probe sweeps must not accumulate them in /tmp
+      import java.nio.file.{Files, Path, Paths}
+      import java.util.Comparator
+      try Files.walk(Paths.get(root))
+        .sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      catch { case _: Exception => () }
+    }
+  }
+
+  private def scdWriteProbesAt(spark: SparkSession,
+                               c: org.apache.spark.sql.DataFrame,
+                               root: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    import graft.merge.{ParquetTable, Scd}
 
     def partFiles(dataDir: String): Map[String, Seq[(String, Long)]] = {
       val d = new java.io.File(dataDir)

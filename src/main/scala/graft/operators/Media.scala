@@ -43,10 +43,13 @@ object Media {
     var i = 12
     var fmt: Option[(Int, Int, Int)] = None
     var dataBytes = -1
-    while (i + 8 <= n && (fmt.isEmpty || dataBytes < 0)) {
+    while (i >= 0 && i + 8 <= n && (fmt.isEmpty || dataBytes < 0)) {
       val id = new String(b.slice(i, i + 4), "ISO-8859-1")
       val size = le32(i + 4)
-      if (size < 0 || i + 8 + size > n) return None
+      // LONG arithmetic: a crafted chunk size near Int.MaxValue would
+      // wrap 'i + 8 + size' negative, slip past the bounds check, and
+      // index out of bounds on the next iteration — refuse, don't crash
+      if (size < 0 || i.toLong + 8 + size > n) return None
       if (id == "fmt " && size >= 16) {
         val tag = le16(i + 8)
         if (tag != 1) return None // PCM only
@@ -161,8 +164,11 @@ object Media {
         nTracks += 1
         walk(p0, p1) { (tt, q0, q1) =>
           if (tt == "tkhd") {
-            // v0: width at payload+76, v1 (+8 for 64-bit times): +84
-            val off = if (u8(q0) == 1) 84 else 76
+            // v0: width at payload+76. v1 widens THREE time fields
+            // (ctime, mtime, duration each 4→8 bytes) so the delta is
+            // +12, putting width at +88 — not +8/+84, the classic
+            // only-ctime/mtime-counted mistake
+            val off = if (u8(q0) == 1) 88 else 76
             if (q1 - q0 >= off + 8 && width == 0 && height == 0) {
               val w = (be32(q0 + off) >> 16).toInt
               val h = (be32(q0 + off + 4) >> 16).toInt
@@ -201,18 +207,16 @@ object Media {
     }
   }
 
-  /** Content-addressed REAL audio decode over a corpus: row counts per
-    * payload at full scale, each DISTINCT payload decoded exactly once
-    * executor-side (decode cost follows distinct media, not rows — the
-    * [[Multimodal.pixelStatsReport]] contract for sound). */
+  /** Content-addressed REAL audio decode over a corpus: each DISTINCT
+    * payload decoded exactly once executor-side, stats joined to corpus
+    * row counts via [[Multimodal.contentAddressedJoin]] (decode cost
+    * follows distinct media, not rows). */
   def audioStatsReport(df: DataFrame, keyCol: String, audio: DataFrame,
                        audioKeyCol: String = "media_key",
                        nameCol: String = "name",
                        binCol: String = "media"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(keyCol).cast("long").as("media_key"))
-      .agg(count(lit(1)).cast("long").as("n_docs"))
     val decoded = audio
       .select(col(audioKeyCol).cast("long"), col(nameCol), col(binCol))
       .as[(Long, String, Array[Byte])]
@@ -223,10 +227,7 @@ object Media {
       })
       .toDF("media_key", "name", "sample_rate", "channels", "n_frames",
         "duration_ms", "rms", "zero_crossings", "peak")
-    counts.join(broadcast(decoded), Seq("media_key"))
-      .select(col("media_key"), col("name"), col("n_docs"),
-        col("sample_rate"), col("channels"), col("n_frames"),
-        col("duration_ms"), col("rms"), col("zero_crossings"), col("peak"))
+    Multimodal.contentAddressedJoin(df, keyCol, decoded, "media_key")
   }
 
   /** Content-addressed ISO-BMFF header report: the metadata pass a video
@@ -237,8 +238,6 @@ object Media {
                         binCol: String = "media"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(keyCol).cast("long").as("media_key"))
-      .agg(count(lit(1)).cast("long").as("n_docs"))
     val decoded = video
       .select(col(videoKeyCol).cast("long"), col(nameCol), col(binCol))
       .as[(Long, String, Array[Byte])]
@@ -248,8 +247,6 @@ object Media {
       })
       .toDF("media_key", "name", "width", "height", "duration_ms",
         "n_tracks")
-    counts.join(broadcast(decoded), Seq("media_key"))
-      .select(col("media_key"), col("name"), col("n_docs"), col("width"),
-        col("height"), col("duration_ms"), col("n_tracks"))
+    Multimodal.contentAddressedJoin(df, keyCol, decoded, "media_key")
   }
 }

@@ -167,16 +167,23 @@ object Multimodal {
         // renders to RGB
         val dib = le32(14)
         if (dib == 12) {
-          // BITMAPCOREHEADER: LE16 dims, unsigned
+          // BITMAPCOREHEADER: LE16 dims, unsigned — zero dims are
+          // malformed, refuse like the INFO path does
+          val w = le16(18); val h = le16(20)
           val bc = le16(24)
-          Some((le16(18), le16(20), if (bc == 32) 4 else 3))
+          if (w <= 0 || h <= 0) None
+          else Some((w, h, if (bc == 32) 4 else 3))
         } else if (dib >= 40 && n >= 30) {
           val w = le32(18)
           val hRaw = le32(22)
-          val h = math.abs(hRaw)
-          val bc = le16(28)
-          if (w <= 0 || h == 0) None
-          else Some((w, h, if (bc == 32) 4 else 3))
+          // abs(Int.MinValue) IS Int.MinValue — guard before abs, or a
+          // crafted 0x80000000 height sails through as negative
+          if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue) None
+          else {
+            val h = math.abs(hRaw)
+            val bc = le16(28)
+            Some((w, h, if (bc == 32) 4 else 3))
+          }
         } else None
       } else if (n >= 8 &&
           (b.slice(0, 4).sameElements(Array[Byte]('I', 'I', 42, 0)) ||
@@ -188,7 +195,9 @@ object Multimodal {
         def r16(i: Int) = if (le) le16(i) else be16(i)
         def r32(i: Int) = if (le) le32(i) else be32(i)
         val ifd = r32(4)
-        if (ifd < 8 || ifd + 2 > n) None
+        // LONG compare: an IFD offset near Int.MaxValue would wrap
+        // 'ifd + 2' negative, pass the bound, and index out of bounds
+        if (ifd < 8 || ifd.toLong + 2 > n) None
         else {
           val count = r16(ifd)
           var width = -1; var height = -1; var spp = -1; var photo = -1
@@ -274,6 +283,16 @@ object Multimodal {
       val img = read(id, bytes)
       val cm = img.getColorModel
       val w = img.getWidth; val h = img.getHeight
+      // gray and RGB(A) only: a 4-color-component model WITHOUT alpha
+      // (CMYK TIFF — the JDK TIFF reader decodes Separated) would make
+      // the sRGB loop below fabricate a 4th-channel mean of 0.0, and
+      // anything wider overruns the sums array. Refuse loudly instead —
+      // the never-fabricate contract.
+      if (cm.getNumColorComponents != 1 && cm.getNumColorComponents != 3)
+        throw new IllegalArgumentException(
+          s"doc $id: unsupported color model " +
+            s"(${cm.getNumColorComponents} color components) — " +
+            "gray and RGB(A) only")
       val channels = cm.getNumColorComponents + (if (cm.hasAlpha) 1 else 0)
       val n = w.toLong * h
       val sums = new Array[Long](4)
@@ -433,24 +452,35 @@ object Multimodal {
     }
   }
 
-  /** Content-addressed pixel-decode audit: per-payload row counts from
-    * the (100 TB) corpus side, REAL pixel decode of each DISTINCT payload
-    * exactly once. At scale the decode cost follows distinct media, not
-    * rows — the same reason content-addressed storage dedups before
-    * transcoding; a per-row decode would re-decode every duplicated
-    * payload. The distinct image side decodes executor-side
-    * (mapPartitions), stats join back by key (broadcast here — the
-    * distinct side is small; a shuffle join at scale is the same plan
-    * minus the hint). Means are 4-dp rounded; channels a payload lacks
-    * are NULL. */
+  /** The shared content-addressed scaffold behind [[pixelStatsReport]],
+    * [[Media.audioStatsReport]] and [[Media.videoHeaderReport]]: per-key
+    * row counts from the (100 TB) corpus side, broadcast-joined to the
+    * decoded distinct-payload frame — decode cost follows distinct
+    * media, not rows, the same reason content-addressed storage dedups
+    * before transcoding. Output is (outKey, name, n_docs, <stats…> in
+    * the decoded frame's order). The broadcast is the small-distinct-side
+    * case; at scale the join degrades to shuffle with identical
+    * semantics. */
+  private[operators] def contentAddressedJoin(df: DataFrame, keyCol: String,
+      decoded: DataFrame, outKey: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("long").as(outKey))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val rest = decoded.columns.filterNot(c => c == outKey || c == "name")
+    counts.join(broadcast(decoded), Seq(outKey))
+      .select(col(outKey) +: col("name") +: col("n_docs") +:
+        rest.map(col).toSeq: _*)
+  }
+
+  /** Content-addressed pixel-decode audit: REAL pixel decode of each
+    * DISTINCT payload exactly once (executor-side mapPartitions), stats
+    * joined to corpus row counts via [[contentAddressedJoin]]. Means are
+    * 4-dp rounded; channels a payload lacks are NULL. */
   def pixelStatsReport(df: DataFrame, keyCol: String, images: DataFrame,
                        imgKeyCol: String = "img_key",
                        nameCol: String = "name",
                        binCol: String = "image"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(keyCol).cast("long").as("img_key"))
-      .agg(count(lit(1)).cast("long").as("n_docs"))
     val decoded = images
       .select(col(imgKeyCol).cast("long"), col(nameCol), col(binCol))
       .as[(Long, String, Array[Byte])]
@@ -464,10 +494,7 @@ object Multimodal {
       })
       .toDF("img_key", "name", "width", "height", "channels",
         "mean_1", "mean_2", "mean_3", "mean_4")
-    counts.join(broadcast(decoded), Seq("img_key"))
-      .select(col("img_key"), col("name"), col("n_docs"),
-        col("width"), col("height"), col("channels"),
-        col("mean_1"), col("mean_2"), col("mean_3"), col("mean_4"))
+    contentAddressedJoin(df, keyCol, decoded, "img_key")
   }
 
   /** Corpus-scale image near-dup pairing: dHash each DISTINCT payload

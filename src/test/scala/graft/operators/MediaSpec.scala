@@ -119,6 +119,31 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("adversarial payloads refuse with None, never crash (overflow guards)") {
+    def le32b(v: Long) = Array(v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    // WAV: first chunk declares a near-Int.MaxValue size — the naive
+    // 'i + 8 + size' wraps negative and indexed out of bounds pre-fix
+    val evilWav = "RIFF".getBytes ++ le32b(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32b(0x7ffffff0L) ++ Array.fill(16)(0.toByte)
+    assert(Media.parseWavHeader(evilWav).isEmpty)
+    // TIFF: IFD offset near Int.MaxValue — 'ifd + 2' wrapped pre-fix
+    val evilTiff = Array[Byte]('I', 'I', 42, 0) ++ le32b(0x7ffffffeL) ++
+      Array.fill(16)(0.toByte)
+    assert(Multimodal.HeaderCodec.parseDims(evilTiff).isEmpty)
+    // BMP CORE header with zero dims must refuse, not report (0, 0, 3)
+    val zeroCore = "BM".getBytes ++ le32b(26) ++ le32b(0) ++ le32b(26) ++
+      le32b(12) ++ Array[Byte](0, 0, 0, 0) ++
+      Array[Byte](1, 0, 24, 0) ++ Array.fill(8)(0.toByte)
+    assert(Multimodal.HeaderCodec.parseDims(zeroCore).isEmpty)
+    // BMP INFO height 0x80000000: abs(Int.MinValue) == Int.MinValue —
+    // must refuse, not return a negative height
+    val minHeight = "BM".getBytes ++ le32b(54) ++ le32b(0) ++ le32b(54) ++
+      le32b(40) ++ le32b(10) ++ le32b(0x80000000L) ++
+      Array[Byte](1, 0, 24, 0) ++ Array.fill(20)(0.toByte)
+    assert(Multimodal.HeaderCodec.parseDims(minHeight).isEmpty)
+  }
+
   test("parseMp4Header reads the committed ISO-BMFF fixtures") {
     assert(Media.parseMp4Header(fixture("clip_640x360.mp4"))
       .contains((640, 360, 7500L, 1)))
@@ -140,16 +165,30 @@ class MediaSpec extends SparkSpec {
       (v >>> 8).toByte, v.toByte)
     def box(typ: String, payload: Array[Byte]): Array[Byte] =
       be32(8L + payload.length) ++ typ.getBytes ++ payload
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
     def mp4(w: Int, h: Int, timescale: Long, duration: Long,
-            nTraks: Int): Array[Byte] = {
-      val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
-        be32(0) ++ be32(timescale) ++ be32(duration) ++
-        Array.fill(80)(0.toByte))
+            nTraks: Int, v1: Boolean): Array[Byte] = {
+      // version 1 widens ctime/mtime/duration to 64 bits in BOTH mvhd
+      // and tkhd (a +12 shift before tkhd's width, not +8 — the trap
+      // the r14 review caught)
+      val mvhd =
+        if (v1) box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++
+          be64(0) ++ be32(timescale) ++ be64(duration) ++
+          Array.fill(80)(0.toByte))
+        else box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+          be32(0) ++ be32(timescale) ++ be32(duration) ++
+          Array.fill(80)(0.toByte))
       val traks = (1 to nTraks).flatMap { i =>
-        box("trak", box("tkhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
-          be32(0) ++ be32(i.toLong) ++ be32(0) ++ be32(duration) ++
-          Array.fill(52)(0.toByte) ++
-          be32(w.toLong << 16) ++ be32(h.toLong << 16)))
+        val tkhd =
+          if (v1) Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+            be32(i.toLong) ++ be32(0) ++ be64(duration) ++
+            Array.fill(52)(0.toByte) ++
+            be32(w.toLong << 16) ++ be32(h.toLong << 16)
+          else Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+            be32(i.toLong) ++ be32(0) ++ be32(duration) ++
+            Array.fill(52)(0.toByte) ++
+            be32(w.toLong << 16) ++ be32(h.toLong << 16)
+        box("trak", box("tkhd", tkhd))
       }.toArray
       box("ftyp", "isom".getBytes ++ be32(512)) ++
         box("moov", mvhd ++ traks)
@@ -159,10 +198,11 @@ class MediaSpec extends SparkSpec {
       val ts = 1L + rnd.nextInt(100000)
       val dur = rnd.nextInt(1000000).toLong
       val traks = 1 + rnd.nextInt(3)
+      val v1 = rnd.nextBoolean()
       val want = (w, h, dur * 1000L / ts, traks)
-      assert(Media.parseMp4Header(mp4(w, h, ts, dur, traks))
-        .contains(want), s"trial $i")
-      val full = mp4(w, h, ts, dur, traks)
+      assert(Media.parseMp4Header(mp4(w, h, ts, dur, traks, v1))
+        .contains(want), s"trial $i v1=$v1")
+      val full = mp4(w, h, ts, dur, traks, v1)
       val cut = full.take(2 + rnd.nextInt(full.length - 2))
       val got = Media.parseMp4Header(cut)
       assert(got.isEmpty || got.contains(want), s"trial $i prefix")
