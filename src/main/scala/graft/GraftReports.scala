@@ -274,7 +274,10 @@ object GraftReports {
     "video_headers" -> r("keyCol", "videoTable")(
       (df, a) => Media.videoHeaderReport(df, a(0), tbl(df, a(1)))),
     "image_near_dups" -> r("nameCol", "binCol", "maxHamming")(
-      (df, a) => Multimodal.imageNearDups(df, a(0), a(1), a(2).toInt))
+      (df, a) => Multimodal.imageNearDups(df, a(0), a(1), a(2).toInt)),
+    "resize_stats" -> r("keyCol", "imagesTable", "outW", "outH")(
+      (df, a) => Multimodal.pixelStatsReport(df, a(0), tbl(df, a(1)),
+        resizeTo = Some((a(2).toInt, a(3).toInt))))
   )
 
   /** Dispatch by name with argument-count validation; the error message

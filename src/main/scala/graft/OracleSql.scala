@@ -6528,6 +6528,43 @@ object OracleSql {
          |FROM d a JOIN d b ON a.name < b.name
          |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
 
+    // q309: 2x2 box-filter resize of every fixture, stats of the RESIZED
+    // image. rgb_4x3.bmp (25, 35, 11) and topdown_5x4.bmp (87.5, 90,
+    // 200) are hand-derived from the generator matrices through the
+    // floor-average box arithmetic; the rest are decoder-anchored and
+    // spec-asserted first. Resize preserves channel structure (gray
+    // stays 1, RGBA stays 4) and the constant-color / linear-ramp
+    // fixtures keep their means by symmetry.
+    "q309_resize_stats" ->
+      s"""WITH f(img_key, name, width, height, channels,
+         |       mean_1, mean_2, mean_3, mean_4) AS (VALUES
+         |  (0::BIGINT, 'gray_1x1.jpg', 2, 2, 1,
+         |   128.0::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE),
+         |  (1::BIGINT, 'gray_5x7.png', 2, 2, 1,
+         |   100.75::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE),
+         |  (2::BIGINT, 'pixel_1x1.gif', 2, 2, 3,
+         |   255.0::DOUBLE, 255.0::DOUBLE, 255.0::DOUBLE, NULL::DOUBLE),
+         |  (3::BIGINT, 'rgb_3x2.png', 2, 2, 3,
+         |   31.5::DOUBLE, 38.5::DOUBLE, 45.5::DOUBLE, NULL::DOUBLE),
+         |  (4::BIGINT, 'rgb_4x3.bmp', 2, 2, 3,
+         |   25.0::DOUBLE, 35.0::DOUBLE, 11.0::DOUBLE, NULL::DOUBLE),
+         |  (5::BIGINT, 'rgb_6x2.tif', 2, 2, 3,
+         |   100.0::DOUBLE, 50.0::DOUBLE, 30.0::DOUBLE, NULL::DOUBLE),
+         |  (6::BIGINT, 'rgba_4x4.png', 2, 2, 4,
+         |   72.0::DOUBLE, 79.0::DOUBLE, 86.0::DOUBLE, 93.0::DOUBLE),
+         |  (7::BIGINT, 'topdown_5x4.bmp', 2, 2, 3,
+         |   87.5::DOUBLE, 90.0::DOUBLE, 200.0::DOUBLE, NULL::DOUBLE),
+         |  (8::BIGINT, 'wide_300x200.gif', 2, 2, 3,
+         |   0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, NULL::DOUBLE),
+         |  (9::BIGINT, 'ycbcr_8x16.jpg', 2, 2, 3,
+         |   128.0::DOUBLE, 128.0::DOUBLE, 128.0::DOUBLE, NULL::DOUBLE)),
+         |c AS (SELECT doc_id % 10 AS img_key, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT f.img_key, f.name, c.n_docs, f.width::INT AS width,
+         |  f.height::INT AS height, f.channels::INT AS channels,
+         |  f.mean_1, f.mean_2, f.mean_3, f.mean_4
+         |FROM c JOIN f USING (img_key)""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

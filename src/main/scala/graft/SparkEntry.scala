@@ -3289,6 +3289,21 @@ object SparkEntry {
     graft.operators.Multimodal.imageNearDups(
       graft.operators.Multimodal.Fixtures.df(s), maxHamming = 3)
 
+  /** Image RESIZE gate — the training-input normalization stage run
+    * end-to-end on REAL pixels: decode → deterministic integer box
+    * filter to 2×2 → lossless PNG re-encode → decode the RESIZED bytes
+    * → stats. Oracle anchors: rgb_4x3.bmp (25, 35, 11) and
+    * topdown_5x4.bmp (87.5, 90, 200) are HAND-DERIVED from the
+    * generator pixel matrices through the box-filter arithmetic
+    * (floor-average per integer box); the rest are decoder-anchored in
+    * CdcMultimodalSpec first. */
+  private def q309(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(10L)).as("img_key"))
+    graft.operators.Multimodal.pixelStatsReport(docs, "img_key",
+      graft.operators.Multimodal.Fixtures.df(s), resizeTo = Some((2, 2)))
+  }
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3693,7 +3708,8 @@ object SparkEntry {
     "q305_image_dhash" -> (q305 _),
     "q306_audio_stats" -> (q306 _),
     "q307_video_headers" -> (q307 _),
-    "q308_image_neardups" -> (q308 _)
+    "q308_image_neardups" -> (q308 _),
+    "q309_resize_stats" -> (q309 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

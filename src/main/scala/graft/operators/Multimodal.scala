@@ -336,6 +336,73 @@ object Multimodal {
         math.round(mean * 10000).toDouble / 10000)
     }
 
+    /** Deterministic box-filter RESIZE over REAL decoded pixels,
+      * re-encoded LOSSLESSLY as PNG — the training-input normalization
+      * stage (thumbnail / fixed-resolution model input). Each output
+      * pixel is the floor-average of its integer source box (the same
+      * grid arithmetic as [[dHash64]]) — no `Graphics2D` interpolation,
+      * whose output can drift across JVMs/platforms, so resized pixel
+      * content is oracle-stable. Resizing to the source dims is the
+      * IDENTITY (each box is one pixel). Gray stays a gray PNG (raw
+      * raster band — no sRGB lift), color resizes in sRGB with alpha
+      * preserved; gray+alpha refuses (no fixture class, and silently
+      * dropping alpha would fabricate). */
+    def resizePng(id: Long, bytes: Array[Byte], outW: Int,
+                  outH: Int): Array[Byte] = {
+      require(outW >= 1 && outH >= 1, s"doc $id: resize dims must be >= 1")
+      val img = read(id, bytes)
+      val cm = img.getColorModel
+      if (cm.getNumColorComponents != 1 && cm.getNumColorComponents != 3)
+        throw new IllegalArgumentException(
+          s"doc $id: unsupported color model for resize")
+      if (cm.getNumColorComponents == 1 && cm.hasAlpha)
+        throw new IllegalArgumentException(
+          s"doc $id: gray+alpha resize unsupported")
+      val w = img.getWidth; val h = img.getHeight
+      val gray = cm.getNumColorComponents == 1
+      val out = new java.awt.image.BufferedImage(outW, outH,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else if (cm.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var gx = 0
+      while (gx < outW) {
+        val x0 = gx * w / outW
+        val x1 = math.max(x0 + 1, (gx + 1) * w / outW)
+        var gy = 0
+        while (gy < outH) {
+          val y0 = gy * h / outH
+          val y1 = math.max(y0 + 1, (gy + 1) * h / outH)
+          var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L; var n = 0L
+          var x = x0
+          while (x < x1 && x < w) {
+            var y = y0
+            while (y < y1 && y < h) {
+              if (gray) sr += img.getRaster.getSample(x, y, 0)
+              else {
+                val p = img.getRGB(x, y)
+                sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff
+                sb += p & 0xff; sa += (p >>> 24) & 0xff
+              }
+              n += 1
+              y += 1
+            }
+            x += 1
+          }
+          if (gray)
+            out.getRaster.setSample(gx, gy, 0, (sr / n).toInt)
+          else out.setRGB(gx, gy,
+            (((sa / n).toInt & 0xff) << 24) |
+              (((sr / n).toInt & 0xff) << 16) |
+              (((sg / n).toInt & 0xff) << 8) | ((sb / n).toInt & 0xff))
+          gy += 1
+        }
+        gx += 1
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", buf)
+      buf.toByteArray
+    }
+
     /** Perceptual difference hash (dHash) over the DECODED pixels: the
       * image-near-dup primitive (a re-encoded / transcoded copy of the
       * same picture hashes identically; small edits flip few bits, so
@@ -474,17 +541,26 @@ object Multimodal {
   /** Content-addressed pixel-decode audit: REAL pixel decode of each
     * DISTINCT payload exactly once (executor-side mapPartitions), stats
     * joined to corpus row counts via [[contentAddressedJoin]]. Means are
-    * 4-dp rounded; channels a payload lacks are NULL. */
+    * 4-dp rounded; channels a payload lacks are NULL. With `resizeTo`,
+    * each payload first runs the full [[PixelCodec.resizePng]] pipeline
+    * (decode → integer box filter → lossless PNG encode → decode) and
+    * the reported stats are of the RESIZED image — the end-to-end check
+    * of the training-input normalization stage. */
   def pixelStatsReport(df: DataFrame, keyCol: String, images: DataFrame,
                        imgKeyCol: String = "img_key",
                        nameCol: String = "name",
-                       binCol: String = "image"): DataFrame = {
+                       binCol: String = "image",
+                       resizeTo: Option[(Int, Int)] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val decoded = images
       .select(col(imgKeyCol).cast("long"), col(nameCol), col(binCol))
       .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (k, name, bytes) =>
+      .mapPartitions(_.map { case (k, name, bytes0) =>
+        val bytes = resizeTo match {
+          case Some((rw, rh)) => PixelCodec.resizePng(k, bytes0, rw, rh)
+          case None => bytes0
+        }
         val st = PixelCodec.decodeStats(k, bytes)
         def m(i: Int): Option[Double] =
           if (i < st.channels)

@@ -52,11 +52,11 @@ class GraftReportsSpec extends SparkSpec {
       "dsir_weights",
       // Multimodal + Media (r14)
       "pixel_stats", "image_dhash_pairs", "image_near_dups",
-      "audio_stats", "video_headers")
+      "resize_stats", "audio_stats", "video_headers")
     assert(GraftReports.reports.keySet == want,
       s"registry drift: missing ${want.diff(GraftReports.reports.keySet)}, " +
         s"extra ${GraftReports.reports.keySet.diff(want)}")
-    assert(GraftReports.reports.size == 83)
+    assert(GraftReports.reports.size == 84)
     // every report declares its arguments (the SQL user's documentation)
     GraftReports.reports.foreach { case (name, rep) =>
       assert(rep.argNames.nonEmpty, s"$name declares no arguments")

@@ -240,6 +240,56 @@ class CdcMultimodalSpec extends SparkSpec {
       t._1 == "rgb_4x3.bmp" && t._2 == "rgba_4x4.png" && t._3 == 0L))
   }
 
+  test("resizePng: hand-derived box filter, identity round-trip, real re-decode") {
+    def stats(b: Array[Byte]) = Multimodal.PixelCodec.decodeStats(0L, b)
+    // HAND-DERIVED 2x2 resize of rgb_4x3.bmp (pixel(x,y) =
+    // (10(x+1), 20(y+1), 5(x+y))): boxes {0,1}x{0}, {2,3}x{0},
+    // {0,1}x{1,2}, {2,3}x{1,2} floor-average to
+    // (15,20,2) (35,20,12) (15,50,10) (35,50,20) -> means (25, 35, 11)
+    val r1 = stats(Multimodal.PixelCodec.resizePng(0L,
+      Multimodal.Fixtures.bytes("rgb_4x3.bmp"), 2, 2))
+    assert(r1.width == 2 && r1.height == 2 && r1.channels == 3)
+    assert(r1.means.toSeq == Seq(25.0, 35.0, 11.0))
+    // second independent hand derivation: topdown_5x4.bmp
+    // (pixel = (50x, 60y, 200)) -> 2x2 means (87.5, 90, 200); ALSO
+    // proves the decoder un-flipped the top-down row order before the
+    // filter (a flipped read would swap the g rows but means hide that
+    // — the per-cell values below do not):
+    val td = Multimodal.PixelCodec.resizePng(0L,
+      Multimodal.Fixtures.bytes("topdown_5x4.bmp"), 2, 2)
+    val tdImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(td))
+    // cell(0,0) g = avg(60*{0,1}) = 30, cell(0,1) g = avg(60*{2,3}) = 150
+    assert(((tdImg.getRGB(0, 0) >>> 8) & 0xff) == 30)
+    assert(((tdImg.getRGB(0, 1) >>> 8) & 0xff) == 150)
+    assert(stats(td).means.toSeq == Seq(87.5, 90.0, 200.0))
+    // resize to the source dims is the IDENTITY (each box = one pixel)
+    Seq("rgb_4x3.bmp", "rgba_4x4.png", "gray_5x7.png").foreach { n =>
+      val orig = stats(Multimodal.Fixtures.bytes(n))
+      val same = stats(Multimodal.PixelCodec.resizePng(0L,
+        Multimodal.Fixtures.bytes(n), orig.width, orig.height))
+      assert(same.means.toSeq == orig.means.toSeq, n)
+      assert(same.channels == orig.channels, n)
+    }
+    // upscale replicates the single source pixel
+    val up = stats(Multimodal.PixelCodec.resizePng(0L,
+      Multimodal.Fixtures.bytes("pixel_1x1.gif"), 3, 3))
+    assert(up.width == 3 && up.height == 3 &&
+      up.means.toSeq == Seq(255.0, 255.0, 255.0))
+    // gray path stays gray (1 channel, raw samples — 113-mean fixture)
+    val g = stats(Multimodal.PixelCodec.resizePng(0L,
+      Multimodal.Fixtures.bytes("gray_5x7.png"), 2, 2))
+    assert(g.channels == 1 && g.means.toSeq == Seq(100.75))
+    // refusals: undecodable payload, bad dims
+    intercept[IllegalArgumentException] {
+      Multimodal.PixelCodec.resizePng(1L, "junk".getBytes, 2, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.PixelCodec.resizePng(2L,
+        Multimodal.Fixtures.bytes("rgb_4x3.bmp"), 0, 2)
+    }
+  }
+
   test("PixelCodec refuses undecodable payloads loudly") {
     // header-only progressive JPEG: HeaderCodec parses it, a REAL pixel
     // decode must throw (no scan data), never fabricate stats
