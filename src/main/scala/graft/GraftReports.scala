@@ -341,8 +341,11 @@ object GraftReports {
     // during rep.build — computeIfAbsent would then mutate the
     // LinkedHashMap re-entrantly (the mutex is reentrant for the same
     // thread, the map's iteration state is not). The race this opens is
-    // benign: two concurrent first analyses of the same call may both
-    // build; last put wins with an identical plan.
+    // benign HERE: two concurrent first analyses of the same call may
+    // both build (double training cost, accepted), and last-put-wins is
+    // safe because every graft operator is DETERMINISTIC by design —
+    // the whole DuckDB oracle gate depends on that — so both builds
+    // embed the identical trained model.
     val cached = memo.get(key)
     if (cached != null) cached
     else {

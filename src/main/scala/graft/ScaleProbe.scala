@@ -848,10 +848,12 @@ object ScaleProbe {
       // history) — repeated probe sweeps must not accumulate them in /tmp
       import java.nio.file.{Files, Path, Paths}
       import java.util.Comparator
-      try Files.walk(Paths.get(root))
-        .sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => { Files.deleteIfExists(p); () })
-      catch { case _: Exception => () }
+      try {
+        val walk = Files.walk(Paths.get(root))
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close() // the stream holds directory fds
+      } catch { case _: Exception => () }
     }
   }
 

@@ -43,7 +43,7 @@ object Media {
     var i = 12
     var fmt: Option[(Int, Int, Int)] = None
     var dataBytes = -1
-    while (i >= 0 && i + 8 <= n && (fmt.isEmpty || dataBytes < 0)) {
+    while (i + 8 <= n && (fmt.isEmpty || dataBytes < 0)) {
       val id = new String(b.slice(i, i + 4), "ISO-8859-1")
       val size = le32(i + 4)
       // LONG arithmetic: a crafted chunk size near Int.MaxValue would

@@ -349,7 +349,12 @@ object Multimodal {
       * dropping alpha would fabricate). */
     def resizePng(id: Long, bytes: Array[Byte], outW: Int,
                   outH: Int): Array[Byte] = {
-      require(outW >= 1 && outH >= 1, s"doc $id: resize dims must be >= 1")
+      // dims bounded so the Long box arithmetic below can never place a
+      // source coordinate out of range (and a million-pixel side is past
+      // any training-input use anyway)
+      require(outW >= 1 && outH >= 1 && outW <= (1 << 20) &&
+        outH <= (1 << 20),
+        s"doc $id: resize dims must be in [1, ${1 << 20}]")
       val img = read(id, bytes)
       val cm = img.getColorModel
       if (cm.getNumColorComponents != 1 && cm.getNumColorComponents != 3)
@@ -358,6 +363,13 @@ object Multimodal {
       if (cm.getNumColorComponents == 1 && cm.hasAlpha)
         throw new IllegalArgumentException(
           s"doc $id: gray+alpha resize unsupported")
+      // the gray path copies RAW raster samples into a byte raster —
+      // a 16-bit gray source would silently truncate to the low byte
+      // (fabricated stats); refuse loudly like the CMYK case
+      if (cm.getNumColorComponents == 1 && cm.getComponentSize(0) > 8)
+        throw new IllegalArgumentException(
+          s"doc $id: ${cm.getComponentSize(0)}-bit gray resize " +
+            "unsupported (8-bit samples only)")
       val w = img.getWidth; val h = img.getHeight
       val gray = cm.getNumColorComponents == 1
       val out = new java.awt.image.BufferedImage(outW, outH,
@@ -366,12 +378,13 @@ object Multimodal {
         else java.awt.image.BufferedImage.TYPE_INT_RGB)
       var gx = 0
       while (gx < outW) {
-        val x0 = gx * w / outW
-        val x1 = math.max(x0 + 1, (gx + 1) * w / outW)
+        // LONG multiply: gx * w overflows Int for large upscales
+        val x0 = (gx.toLong * w / outW).toInt
+        val x1 = math.max(x0 + 1, ((gx + 1).toLong * w / outW).toInt)
         var gy = 0
         while (gy < outH) {
-          val y0 = gy * h / outH
-          val y1 = math.max(y0 + 1, (gy + 1) * h / outH)
+          val y0 = (gy.toLong * h / outH).toInt
+          val y1 = math.max(y0 + 1, ((gy + 1).toLong * h / outH).toInt)
           var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L; var n = 0L
           var x = x0
           while (x < x1 && x < w) {
@@ -573,24 +586,31 @@ object Multimodal {
     contentAddressedJoin(df, keyCol, decoded, "img_key")
   }
 
-  /** Corpus-scale image near-dup pairing: dHash each DISTINCT payload
-    * once (content-addressed decode), then BANDED Hamming pairing through
-    * [[Dedup.hamming64NearDups]] — never all-pairs; candidates come from
-    * shared 16-bit bands of the perceptual hash, recall is
-    * pigeonhole-complete for maxHamming ≤ 3. [[imageDHashPairs]] is this
-    * path's exact-verification harness (complete all-pairs ground truth
-    * on a bounded set). Returns (id_a, id_b, hamming). */
+  /** Corpus-scale image near-dup pairing: collapse repeated
+    * (name, payload) rows FIRST (the content-address step — decode cost
+    * follows distinct media, not rows), dHash each survivor once, then
+    * BANDED Hamming pairing through [[Dedup.hamming64NearDups]] — never
+    * all-pairs; candidates come from shared 16-bit bands of the
+    * perceptual hash, recall is pigeonhole-complete for maxHamming ≤ 3.
+    * Distinct payloads sharing a name both hash (the caller's key
+    * discipline, as with every per-document operator).
+    * [[imageDHashPairs]] is this path's exact-verification harness
+    * (complete all-pairs ground truth on a bounded set). Returns
+    * (id_a, id_b, hamming: long). */
   def imageNearDups(images: DataFrame, nameCol: String = "name",
                     binCol: String = "image",
                     maxHamming: Int = 3): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
     val hashed = images.select(col(nameCol), col(binCol))
+      .dropDuplicates(nameCol, binCol)
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (n, b) => (n, PixelCodec.dHash64(0L, b)) })
       .toDF("name", "dhash")
     graft.operators.Dedup.hamming64NearDups(hashed, "name", "dhash",
-      maxHamming)
+        maxHamming)
+      // long like imageDHashPairs, so the equivalent reports union/compare
+      .withColumn("hamming", col("hamming").cast("long"))
   }
 
   /** Attach a binary "image" column (here synthesized from text — stands in
