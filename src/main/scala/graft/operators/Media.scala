@@ -132,15 +132,31 @@ object Media {
     val n = b.length
 
     /** Walk sibling boxes in [from, to): call f(type, payloadFrom,
-      * payloadTo); returns false on malformed structure. */
+      * payloadTo); returns false on malformed structure. Handles the two
+      * special size encodings real-world files use: size==1 carries a
+      * 64-bit largesize after the type (the large-mdat-before-moov
+      * layout every long recording has), and size==0 means the box
+      * extends to the end of its container (legal only for the last
+      * box — which is what extending to `to` enforces). */
     def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
       var i = from
       while (i + 8 <= to) {
         val size = be32(i)
-        if (size < 8 || i + size > to) return false
         val typ = new String(b.slice(i + 4, i + 8), "ISO-8859-1")
-        f(typ, i + 8, i + size.toInt)
-        i += size.toInt
+        val (p0, end) =
+          if (size == 1L) {
+            // largesize: 64-bit length INCLUDING the 16 header bytes
+            if (i + 16 > to) return false
+            val ls = be64(i + 8)
+            if (ls < 16 || ls > to - i) return false
+            (i + 16, i + ls.toInt)
+          } else if (size == 0L) (i + 8, to)
+          else {
+            if (size < 8 || i + size > to) return false
+            (i + 8, i + size.toInt)
+          }
+        f(typ, p0, end)
+        i = end
       }
       i == to || i + 8 > to
     }

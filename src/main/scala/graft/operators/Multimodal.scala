@@ -209,18 +209,27 @@ object Multimodal {
             else {
               val tag = r16(off)
               // SHORT(3) reads 2 bytes of the value field, LONG(4) reads
-              // 4 — both inline for count==1; other types aren't
-              // dims-relevant
-              def value: Int = r16(off + 2) match {
-                case 3 => r16(off + 8)
-                case 4 => r32(off + 8)
-                case _ => -1
-              }
+              // 4 — inline ONLY when count==1: a count>1 entry stores an
+              // OFFSET in the value field, which read-as-value would
+              // report as a fabricated dimension (conforming TIFFs use
+              // count==1 for these tags; a crafted one must refuse)
+              def value: Int =
+                if (r32(off + 4) != 1) Int.MinValue
+                else r16(off + 2) match {
+                  case 3 => r16(off + 8)
+                  case 4 => r32(off + 8)
+                  case _ => -1
+                }
               tag match {
-                case 256 => width = value
-                case 257 => height = value
-                case 277 => spp = value
-                case 262 => photo = value
+                case 256 | 257 | 277 | 262 =>
+                  val v = value
+                  if (v == Int.MinValue) ok = false // count != 1: refuse
+                  else tag match {
+                    case 256 => width = v
+                    case 257 => height = v
+                    case 277 => spp = v
+                    case _ => photo = v
+                  }
                 case _ => ()
               }
               e += 1
@@ -262,10 +271,13 @@ object Multimodal {
     * 8-bit component rasters; palette images expand through their color
     * table; JPEG YCbCr→RGB conversion already happened in the reader). */
   object PixelCodec extends ImageCodec {
+    // executors have no display; must be set before any AWT class loads —
+    // once per JVM (lazy val), not per decode call
+    private lazy val headless: Unit =
+      System.setProperty("java.awt.headless", "true")
     private def read(id: Long,
                      bytes: Array[Byte]): java.awt.image.BufferedImage = {
-      // executors have no display; must be set before any AWT class loads
-      System.setProperty("java.awt.headless", "true")
+      headless
       val img =
         try javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
@@ -486,9 +498,22 @@ object Multimodal {
     * the exact-verification harness for that path. */
   def imageDHashPairs(images: DataFrame, nameCol: String = "name",
                       binCol: String = "image",
-                      maxHamming: Int = 64): DataFrame = {
+                      maxHamming: Int = 64,
+                      maxImages: Int = 512): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
+    // This report is the ALL-PAIRS verification harness — quadratic by
+    // design. It is SQL-reachable (graft_report), so the bounded-set
+    // precondition must be ENFORCED, not just documented: a user pointing
+    // it at a corpus-scale image table would get O(n^2) pairing plus a
+    // driver broadcast of every hash. Count first (cheap — names only)
+    // and refuse loudly past the bound; the scale path is imageNearDups.
+    val n = images.select(col(nameCol)).count()
+    require(n <= maxImages,
+      s"image_dhash_pairs is the all-pairs verification harness and is " +
+        s"capped at maxImages=$maxImages rows (got $n); use " +
+        "image_near_dups (banded, never all-pairs) for corpus-scale " +
+        "pairing")
     val hashed = images.select(col(nameCol), col(binCol))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (n, b) => (n, PixelCodec.dHash64(0L, b)) })

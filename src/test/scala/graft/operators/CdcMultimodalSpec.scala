@@ -222,6 +222,17 @@ class CdcMultimodalSpec extends SparkSpec {
     assert(out(("gray_1x1.jpg", "pixel_1x1.gif")) == 0L)
   }
 
+  test("imageDHashPairs refuses past its row bound (all-pairs guard)") {
+    // the report is SQL-reachable: the bounded-set precondition is
+    // enforced, not advisory — a corpus-scale table must be routed to
+    // the banded imageNearDups path instead of O(n^2) pairing
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.imageDHashPairs(Multimodal.Fixtures.df(spark),
+        maxImages = 5)
+    }
+    assert(e.getMessage.contains("image_near_dups"))
+  }
+
   test("imageNearDups (banded) ≡ imageDHashPairs (all-pairs) at radius 3") {
     // pigeonhole: 4 bands, radius 3 -> banding recall is COMPLETE, so
     // the banded scale path must reproduce the all-pairs ground truth

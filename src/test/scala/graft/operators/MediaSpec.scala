@@ -209,6 +209,78 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("MP4 largesize (size==1) and to-EOF (size==0) boxes parse; crafted ones refuse") {
+    def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes ++ payload
+    val moovFile = fixture("clip_640x360.mp4")
+    val want = (640, 360, 7500L, 1)
+    // the real-world layout: a large mdat BEFORE moov, length carried as
+    // a 64-bit largesize (size field == 1) — pre-fix this refused the
+    // whole file even though moov is perfectly parseable
+    val payload = Array.fill(64)(0x55.toByte)
+    val largeMdat = be32(1L) ++ "mdat".getBytes ++
+      be64(16L + payload.length) ++ payload
+    assert(Media.parseMp4Header(largeMdat ++ moovFile).contains(want))
+    // size==0: the final box extends to EOF
+    val eofMdat = be32(0L) ++ "mdat".getBytes ++ payload
+    assert(Media.parseMp4Header(moovFile ++ eofMdat).contains(want))
+    // crafted largesize: shorter than its own 16-byte header, or past EOF
+    val shortLs = be32(1L) ++ "mdat".getBytes ++ be64(8L)
+    assert(Media.parseMp4Header(shortLs ++ moovFile).isEmpty)
+    val pastEof = be32(1L) ++ "mdat".getBytes ++ be64(1L << 40)
+    assert(Media.parseMp4Header(pastEof ++ moovFile).isEmpty)
+    // truncated largesize header (8 bytes of a 16-byte header)
+    assert(Media.parseMp4Header(moovFile ++ be32(1L) ++ "mdat".getBytes)
+      .isEmpty)
+    // a size==0 moov CONTAINER also parses (extends to EOF)
+    val mvhdAndTrak = {
+      // strip the committed file's ftyp, reuse its moov payload
+      var off = 0
+      var moovPayload: Array[Byte] = null
+      while (moovPayload == null) {
+        val sz = ((moovFile(off) & 0xff) << 24) |
+          ((moovFile(off + 1) & 0xff) << 16) |
+          ((moovFile(off + 2) & 0xff) << 8) | (moovFile(off + 3) & 0xff)
+        val typ = new String(moovFile.slice(off + 4, off + 8), "ISO-8859-1")
+        if (typ == "moov") moovPayload = moovFile.slice(off + 8, off + sz)
+        else off += sz
+      }
+      moovPayload
+    }
+    assert(Media.parseMp4Header(
+      box("ftyp", "isom".getBytes) ++
+        (be32(0L) ++ "moov".getBytes ++ mvhdAndTrak)).contains(want))
+  }
+
+  test("TIFF entry with count != 1 on a dims tag refuses (offset-as-value trap)") {
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def le32(v: Long) = Array(v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    def entry(tag: Int, typ: Int, count: Long, value: Long) =
+      le16(tag) ++ le16(typ) ++ le32(count) ++ le32(value)
+    def tiff(entries: Array[Byte], n: Int) =
+      Array[Byte]('I', 'I', 42, 0) ++ le32(8L) ++ le16(n) ++ entries ++
+        le32(0L)
+    // conforming: count==1 everywhere → parses
+    val good = tiff(entry(256, 3, 1, 6) ++ entry(257, 3, 1, 2) ++
+      entry(277, 3, 1, 3), 3)
+    assert(Multimodal.HeaderCodec.parseDims(good).contains((6, 2, 3)))
+    // crafted: ImageWidth with count=2 stores an OFFSET in the value
+    // field — reading it as the width would fabricate dims (here 9999)
+    val evil = tiff(entry(256, 3, 2, 9999) ++ entry(257, 3, 1, 2) ++
+      entry(277, 3, 1, 3), 3)
+    assert(Multimodal.HeaderCodec.parseDims(evil).isEmpty)
+    // count=0 is equally malformed
+    val zero = tiff(entry(256, 3, 1, 6) ++ entry(257, 3, 0, 2), 2)
+    assert(Multimodal.HeaderCodec.parseDims(zero).isEmpty)
+    // the committed fixture (count==1 on every dims tag) still parses
+    assert(Multimodal.HeaderCodec.parseDims(fixture("rgb_6x2.tif"))
+      .contains((6, 2, 3)))
+  }
+
   test("audio/video reports join real decoded stats to row counts") {
     val rows = Seq.tabulate(10)(i => Tuple1(i.toLong % 3)).toDF("media_key")
     val a = Media.audioStatsReport(rows, "media_key",
