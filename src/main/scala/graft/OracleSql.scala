@@ -6565,6 +6565,61 @@ object OracleSql {
          |  f.mean_1, f.mean_2, f.mean_3, f.mean_4
          |FROM c JOIN f USING (img_key)""".stripMargin,
 
+    // q310: streaming windowed top-k. The gate's chronological chunking
+    // means no row is ever late, so the append-mode emissions are
+    // exactly the closed windows' batch truth: per-day counts, top-3 by
+    // (cnt DESC, type ASC) — TopKAgg's struct(-cnt, type) order — over
+    // windows whose END the final watermark (max ts − 2 h) passed. The
+    // last day's window is open and must be absent.
+    "q310_stream_window_topk" ->
+      s"""WITH e AS (SELECT ts, event_type FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM e),
+         |c AS (SELECT date_trunc('day', ts) AS window_start, event_type,
+         |    count(*)::BIGINT AS cnt
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT window_start, event_type, cnt, row_number() OVER (
+         |    PARTITION BY window_start ORDER BY cnt DESC, event_type)
+         |    AS rank
+         |  FROM c)
+         |SELECT window_start, rank::BIGINT AS rank, event_type, cnt
+         |FROM r, wm
+         |WHERE rank <= 3 AND window_start + INTERVAL 1 DAY <= wm.w"""
+        .stripMargin,
+
+    // q311: stream-stream interval join ≡ the batch interval join —
+    // chronological chunking + 2 h watermark > 1 h interval means no
+    // match is ever lost to state eviction, so emitted pairs are the
+    // exact relational answer (multiplicities included)
+    "q311_stream_interval_join" ->
+      s"""WITH e AS (SELECT user_id, ts, event_type, value FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL AND value IS NOT NULL)
+         |SELECT l.user_id, l.ts AS purchase_ts, r.ts AS click_ts,
+         |  r.value AS click_value
+         |FROM e l JOIN e r ON l.user_id = r.user_id
+         |WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR"""
+        .stripMargin,
+
+    // q312: dedup-within-watermark over planted duplicates. Near twins
+    // (+10 min) arrive while the original's state is provably alive
+    // (watermark before their batch ≤ twin ts − 2 d < expiry) →
+    // suppressed; far twins (+25 d, originals from the first 4 days)
+    // arrive two chunks after the original's state expired (watermark
+    // after batch 0 ≈ day 8 > expiry ≤ day 6) → re-emitted. Day-scale
+    // margins on both, so no batch-boundary replay is needed.
+    "q312_stream_dedup_watermark" ->
+      s"""WITH base AS (SELECT event_id, ts, user_id, event_type
+         |  FROM events
+         |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+         |    AND user_id IS NOT NULL AND event_type IS NOT NULL)
+         |SELECT event_id, user_id, event_type,
+         |  (CASE WHEN event_id % 7 = 0
+         |      AND ts < (SELECT min(ts) FROM base) + INTERVAL 4 DAY
+         |    THEN 2 ELSE 1 END)::BIGINT AS n_emitted
+         |FROM base""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

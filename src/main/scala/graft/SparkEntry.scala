@@ -3120,11 +3120,18 @@ object SparkEntry {
     * plumbing only; a production run writes a real sink. */
   private def replayEventStream(s: SparkSession, dir: String,
       prefix: String, cols: Seq[String], outputMode: String)
+      (build: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame =
+    replayStream(s, T(s, dir, "events")
+      .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(cols.map(col): _*), prefix, outputMode)(build)
+
+  /** [[replayEventStream]] over a CALLER-PREPARED event frame (must carry
+    * a `ts` column and no nulls on the streamed columns) — the variant
+    * the dedup gate needs to plant duplicate rows before chunking. */
+  private def replayStream(s: SparkSession, ev: DataFrame,
+      prefix: String, outputMode: String)
       (build: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame = {
     val root = scratchDir(prefix)
-    val ev = T(s, dir, "events")
-      .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
-      .select(cols.map(col): _*)
     val mm = ev.agg(min(unix_millis(col("ts"))),
       max(unix_millis(col("ts")))).head()
     val lo = mm.getLong(0)
@@ -3302,6 +3309,86 @@ object SparkEntry {
       .select(pmod(col("doc_id"), lit(10L)).as("img_key"))
     graft.operators.Multimodal.pixelStatsReport(docs, "img_key",
       graft.operators.Multimodal.Fixtures.df(s), resizeTo = Some((2, 2)))
+  }
+
+  /** Streaming windowed TOP-K replay gate: the real windowedTopEvents
+    * chain — watermarked tumbling-day counts, then the bounded TopKAgg
+    * per window — runs as CHAINED STATEFUL AGGREGATIONS over three
+    * chronological micro-batches; append mode emits each window's top-3
+    * exactly once, when the watermark closes it. The oracle replays the
+    * batch count + rank over windows whose end the final watermark
+    * (global max ts − 2 h) passed: the stream's chronological chunking
+    * means no row is ever late, so emitted ≡ closed-window batch truth —
+    * the identity the gate pins. The LAST day's window stays open
+    * (end > watermark) and must NOT appear. */
+  private def q310(s: SparkSession, dir: String): DataFrame = {
+    val out = replayEventStream(s, dir, "graft_q310",
+        Seq("ts", "event_type"), "append") { df =>
+      graft.streaming.EventTimeOps.windowedTopEvents(df, "ts",
+        "event_type", windowDur = "1 day", watermarkDelay = "2 hours",
+        k = 3)(s)
+    }
+    out.select(col("window_start"), col("rank"), col("event_type"),
+      col("cnt"))
+  }
+
+  /** Streaming stream-stream INTERVAL JOIN replay gate: purchases and
+    * clicks (two filtered branches of the same file-source stream) join
+    * on user with click_ts in [purchase_ts, purchase_ts + 1 h], both
+    * sides watermarked — the condition bounds time in BOTH directions,
+    * so each side's state holds only its watermark horizon. Emitted
+    * pairs must equal the batch interval join exactly (chronological
+    * chunking: every right row arrives before the left side's state
+    * can evict — 2 h watermark > 1 h interval), which is what makes a
+    * stream-stream join safe to run unbounded at 100 TB. */
+  private def q311(s: SparkSession, dir: String): DataFrame = {
+    val out = replayEventStream(s, dir, "graft_q311",
+        Seq("user_id", "ts", "event_type", "value"), "append") { df =>
+      val l = df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val r = df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.streaming.EventTimeOps.intervalJoin(l, r, "user_id", "ts",
+        "ts", within = "1 hour", watermark = "2 hours")
+        .select(col("l.user_id").as("user_id"),
+          col("l.ts").as("purchase_ts"), col("r.ts").as("click_ts"),
+          col("r.value").as("click_value"))
+    }
+    out
+  }
+
+  /** Streaming DEDUP-WITHIN-WATERMARK replay gate: the built-in
+    * dropDuplicatesWithinWatermark over a stream with PLANTED
+    * duplicates — each event_id % 3 == 0 gets a twin 10 minutes later
+    * (inside the 2-day horizon: state provably alive when it arrives →
+    * suppressed), and each event_id % 7 == 0 from the first 4 days gets
+    * a twin 25 days later (two chunks downstream: the original's state
+    * expires at ts + 2 d, and the watermark after the first batch is
+    * already ~8 days in — provably evicted → the twin RE-EMITS). Both
+    * outcomes are decided by day-scale margins, so the oracle needs no
+    * batch-boundary replay: n_emitted = 2 for far-twin keys, 1
+    * otherwise. The projection drops ts (a same-batch twin's emitted
+    * row is otherwise which-row-won nondeterministic). */
+  private def q312(s: SparkSession, dir: String): DataFrame = {
+    val keep = Seq("event_id", "ts", "user_id", "event_type")
+    val base = T(s, dir, "events")
+      .filter(keep.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(keep.map(col): _*)
+    val near = base.filter(pmod(col("event_id"), lit(3L)) === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES"))
+    val far = base
+      .join(broadcast(base.agg(min(col("ts")).as("__lo"))))
+      .filter(pmod(col("event_id"), lit(7L)) === 0 &&
+        col("ts") < col("__lo") + expr("INTERVAL 4 DAYS"))
+      .withColumn("ts", col("ts") + expr("INTERVAL 25 DAYS"))
+      .drop("__lo")
+    val out = replayStream(s, base.unionByName(near).unionByName(far),
+        "graft_q312", "append") { df =>
+      df.withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark("event_id")
+    }
+    out.groupBy(col("event_id"), col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_emitted"))
   }
 
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
@@ -3709,7 +3796,10 @@ object SparkEntry {
     "q306_audio_stats" -> (q306 _),
     "q307_video_headers" -> (q307 _),
     "q308_image_neardups" -> (q308 _),
-    "q309_resize_stats" -> (q309 _)
+    "q309_resize_stats" -> (q309 _),
+    "q310_stream_window_topk" -> (q310 _),
+    "q311_stream_interval_join" -> (q311 _),
+    "q312_stream_dedup_watermark" -> (q312 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
