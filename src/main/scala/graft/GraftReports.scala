@@ -275,6 +275,12 @@ object GraftReports {
       (df, a) => Media.videoHeaderReport(df, a(0), tbl(df, a(1)))),
     "image_near_dups" -> r("nameCol", "binCol", "maxHamming")(
       (df, a) => Multimodal.imageNearDups(df, a(0), a(1), a(2).toInt)),
+    // Band-load pre-flight for the shared 16-bit-band Hamming engine
+    // (r15): run this BEFORE hamming-banded near-dup passes on a new
+    // corpus — it names the hot band/bucket a template mega-cluster
+    // would make quadratic, with no join anywhere
+    "hamming64_bucket_profile" -> r("idCol", "sigCol")(
+      (df, a) => Dedup.hamming64BucketProfile(df, a(0), a(1))),
     "resize_stats" -> r("keyCol", "imagesTable", "outW", "outH")(
       (df, a) => Multimodal.pixelStatsReport(df, a(0), tbl(df, a(1)),
         resizeTo = Some((a(2).toInt, a(3).toInt))))

@@ -6620,6 +6620,29 @@ object OracleSql {
          |    THEN 2 ELSE 1 END)::BIGINT AS n_emitted
          |FROM base""".stripMargin,
 
+    // q313: band-load pre-flight profile over a skew-planted synthetic
+    // signature population (plain 64-bit modular arithmetic over doc_id,
+    // replayed here exactly; every 11th doc's low band is zeroed — the
+    // hot-template bucket the profile must name). Signatures are
+    // non-negative by construction, so DuckDB's arithmetic >> equals
+    // Spark's shiftrightunsigned.
+    "q313_hamming_band_profile" ->
+      s"""WITH x AS (SELECT doc_id,
+         |    ((doc_id * 16807) % 2147483647) * 2147483648
+         |      + ((doc_id * 48271) % 2147483647) AS v
+         |  FROM documents),
+         |s AS (SELECT CASE WHEN doc_id % 11 = 0 THEN v & -65536
+         |    ELSE v END AS sig FROM x),
+         |b AS (SELECT band, (sig >> (band * 16)::INT) & 65535 AS bucket
+         |  FROM s CROSS JOIN (SELECT unnest(range(4)) AS band)),
+         |g AS (SELECT band, bucket, count(*)::BIGINT AS s
+         |  FROM b GROUP BY 1, 2)
+         |SELECT band::BIGINT AS band, count(*)::BIGINT AS n_buckets,
+         |  sum(CASE WHEN s >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_multi,
+         |  max(s)::BIGINT AS max_bucket,
+         |  sum(s * (s - 1) / 2)::BIGINT AS cand_pairs
+         |FROM g GROUP BY band""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

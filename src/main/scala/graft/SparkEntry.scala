@@ -3391,6 +3391,26 @@ object SparkEntry {
       .agg(count(lit(1)).cast("long").as("n_emitted"))
   }
 
+  /** Band-load pre-flight gate for the shared 16-bit-band Hamming
+    * engine (q108 text SimHash / q308 image dHash scale path): the
+    * per-band bucket profile over a SKEW-PLANTED synthetic signature
+    * population — every 11th doc's signature has its low band zeroed,
+    * collapsing ~9% of the corpus into ONE band-0 bucket (the
+    * one-template/10⁹-thumbnails failure mode). The profile names the
+    * hot band and its implied quadratic pair mass BEFORE any join runs;
+    * the same numbers drive hamming64NearDups' own candidateBudget
+    * refusal (DedupSpec). Signatures are plain 64-bit modular
+    * arithmetic over doc_id so the oracle replays them exactly. */
+  private def q313(s: SparkSession, dir: String): DataFrame = {
+    val x = (col("doc_id") * 16807L) % 2147483647L * 2147483648L +
+      (col("doc_id") * 48271L) % 2147483647L
+    val sig = when(pmod(col("doc_id"), lit(11L)) === 0,
+      x.bitwiseAND(lit(-65536L))).otherwise(x)
+    graft.operators.Dedup.hamming64BucketProfile(
+      T(s, dir, "documents").select(col("doc_id"), sig.as("sig")),
+      "doc_id", "sig")
+  }
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3799,7 +3819,8 @@ object SparkEntry {
     "q309_resize_stats" -> (q309 _),
     "q310_stream_window_topk" -> (q310 _),
     "q311_stream_interval_join" -> (q311 _),
-    "q312_stream_dedup_watermark" -> (q312 _)
+    "q312_stream_dedup_watermark" -> (q312 _),
+    "q313_hamming_band_profile" -> (q313 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

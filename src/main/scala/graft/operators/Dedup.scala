@@ -581,20 +581,72 @@ object Dedup {
     * collides there). 16-bit bands keep per-band candidate mass at
     * O(n²/2^16) under a uniform signature — the banding, never
     * all-pairs, is what survives a 100× corpus. */
+  /** The 4×16-bit band explosion shared by [[hamming64NearDups]] and
+    * [[hamming64BucketProfile]]: one row per (id, band) with the band's
+    * 16-bit bucket value. */
+  private def banded64(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("sig"), posexplode(
+      array((0 until 4).map(b =>
+        // UNSIGNED shift: the top band of a 64-bit sig reaches the sign bit
+        shiftrightunsigned(col("sig"), b * 16)
+          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bucket")))
+
+  /** Band-load pre-flight for [[hamming64NearDups]] — the
+    * [[lshBucketProfile]] of the 16-bit-band engine: per band, how many
+    * buckets exist, how many hold >= 2 signatures, the largest bucket,
+    * and the implied candidate-pair volume sum(s·(s−1)/2). A mega-cluster
+    * of near-identical signatures (one template, 10⁹ thumbnails; one
+    * boilerplate page, 10⁹ crawls) puts its whole mass in ONE bucket per
+    * band and the within-bucket self-join goes quadratic — this one
+    * cheap groupBy (no join) names the band and the bucket size that
+    * would do it BEFORE any quadratic work runs. The same numbers gate
+    * [[hamming64NearDups]]'s own `candidateBudget` pre-flight. */
+  def hamming64BucketProfile(withSigs: DataFrame, idCol: String,
+                             sigCol: String): DataFrame =
+    banded64(withSigs.select(col(idCol).as("id"), col(sigCol).as("sig")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("s"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(when(col("s") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("n_multi"),
+        max(col("s")).cast("long").as("max_bucket"),
+        sum(col("s") * (col("s") - 1) / 2).cast("long").as("cand_pairs"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("n_multi"), col("max_bucket"), col("cand_pairs"))
+
   def hamming64NearDups(withSigs: DataFrame, idCol: String, sigCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3,
+                        candidateBudget: Long = 100000000L): DataFrame = {
     val bands = 4
-    val bandBits = 16
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < $bands bands (got $maxHamming)")
     val sigs = withSigs
       .select(col(idCol).as("id"), col(sigCol).as("sig"))
       .localCheckpoint()
-    val banded = sigs.select(col("id"), col("sig"), posexplode(
-      array((0 until bands).map(b =>
-        // UNSIGNED shift: the top band of a 64-bit sig reaches the sign bit
-        shiftrightunsigned(col("sig"), b * bandBits)
-          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bucket")))
+    val banded = banded64(sigs)
+    // Fail-fast pre-flight (the prefix-filter candidateBudget contract):
+    // the within-bucket self-join emits exactly sum(s·(s−1)/2) candidate
+    // rows (an upper bound on DISTINCT pairs — a pair sharing k bands is
+    // counted k times), measured by one cheap aggregation over the
+    // banded rows the join reads anyway. A skew-collapsed signature
+    // population (hot template) is refused with the guilty band named
+    // instead of melting the cluster.
+    val prof = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("s"))
+      .agg(coalesce(sum(col("s") * (col("s") - 1) / 2).cast("long"),
+          lit(0L)).as("pairs"),
+        coalesce(max(col("s")), lit(0L)).as("max_s"),
+        expr("max_by(band, s)").as("max_band")).head()
+    require(prof.getLong(0) <= candidateBudget,
+      s"hamming64NearDups pre-flight refused: ${prof.getLong(0)} " +
+        s"candidate pairs implied by the band buckets exceed " +
+        s"candidateBudget=$candidateBudget (largest bucket: " +
+        s"${prof.getLong(1)} signatures in band ${prof.get(2)}). The " +
+        "signature population is skew-collapsed (near-identical " +
+        "template mass) — filter exact duplicates first " +
+        "(dropDuplicates on the signature), widen the signature, or " +
+        "raise candidateBudget explicitly if the cost is intended.")
     val cands = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))

@@ -955,4 +955,33 @@ class DedupSpec extends SparkSpec {
       .toSet
     assert(got == expect)
   }
+
+  test("hamming64 band profile names a planted hot bucket; budget refuses it") {
+    // 40 "template" signatures sharing ONLY their low band (0x1234;
+    // upper bands golden-ratio mixed, so band 0 is the unique hot
+    // bucket) + 60 spread signatures + one identical pair
+    val hot = (0 until 40).map(i => (i.toLong,
+      (0x9E3779B97F4A7C15L * (2 * i + 3) & ~0xffffL) | 0x1234L))
+    val spread = (0 until 60).map(i =>
+      (100L + i, 0x0101010101010101L * (i + 2)))
+    val twin = Seq((200L, 0x0F0F0F0F0F0F0F0FL), (201L, 0x0F0F0F0F0F0F0F0FL))
+    val df = (hot ++ spread ++ twin).toDF("id", "sig")
+    val prof = Dedup.hamming64BucketProfile(df, "id", "sig")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // band 0: the planted bucket holds 40 signatures -> 780 implied pairs
+    assert(prof(0L)._1 == 40L && prof(0L)._2 >= 780L)
+    // the pre-flight refuses under a small budget, naming the band
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hamming64NearDups(df, "id", "sig", maxHamming = 3,
+        candidateBudget = 100L)
+    }
+    assert(e.getMessage.contains("band 0") &&
+      e.getMessage.contains("40 signatures"))
+    // with the default budget the same input runs; the identical twin
+    // pair survives the exact-Hamming verify (distance 0)
+    val pairs = Dedup.hamming64NearDups(df, "id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((200L, 201L)))
+  }
 }
