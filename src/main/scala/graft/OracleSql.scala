@@ -6643,6 +6643,22 @@ object OracleSql {
          |  sum(s * (s - 1) / 2)::BIGINT AS cand_pairs
          |FROM g GROUP BY band""".stripMargin,
 
+    // q314: EXIF-orientation-normalized dHash pairing. rot90_2x6.tif
+    // stores the rgb_6x2.tif picture rotated (lossless TIFF, Orientation
+    // 6), so its NORMALIZED hash is bit-identical to the upright
+    // original's anchor — the payoff row is the pair at Hamming 0, the
+    // rotated-duplicate class raw stored-raster hashing misses
+    // (CdcMultimodalSpec asserts the equality decoder-side first).
+    "q314_exif_orientation_dhash" ->
+      s"""WITH d(name, h) AS (VALUES
+         |  ('rgb_6x2.tif', 7885078839350357357::BIGINT),
+         |  ('rot90_2x6.tif', 7885078839350357357::BIGINT),
+         |  ('rgb_4x3.bmp', 3038287259199220266::BIGINT),
+         |  ('gray_5x7.png', 6148914691236517205::BIGINT))
+         |SELECT a.name AS name_a, b.name AS name_b,
+         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming
+         |FROM d a JOIN d b ON a.name < b.name""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

@@ -3411,6 +3411,18 @@ object SparkEntry {
       "doc_id", "sig")
   }
 
+  /** EXIF-orientation-normalized perceptual hash gate: the
+    * rotated-duplicate class — rot90_2x6.tif stores rgb_6x2.tif's
+    * picture rotated (lossless TIFF, Orientation tag 6), and dHash64
+    * normalizes orientation before hashing, so the pair lands at
+    * Hamming 0 (raw stored-raster hashing puts them bits apart). The
+    * oracle anchors all four hashes; the rotated twin's equals the
+    * upright original's EXACTLY — integer remap, no interpolation. */
+  private def q314(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.imageDHashPairs(
+      graft.operators.Multimodal.Fixtures.dfOf(s, Seq(
+        "rgb_6x2.tif", "rot90_2x6.tif", "rgb_4x3.bmp", "gray_5x7.png")))
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3820,7 +3832,8 @@ object SparkEntry {
     "q310_stream_window_topk" -> (q310 _),
     "q311_stream_interval_join" -> (q311 _),
     "q312_stream_dedup_watermark" -> (q312 _),
-    "q313_hamming_band_profile" -> (q313 _)
+    "q313_hamming_band_profile" -> (q313 _),
+    "q314_exif_orientation_dhash" -> (q314 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

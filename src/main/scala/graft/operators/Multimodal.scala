@@ -74,6 +74,97 @@ object Multimodal {
       ImageMeta(id, bytes.length, w, h, c, meanByte(bytes))
     }
 
+    /** EXIF/TIFF orientation (tag 0x0112, values 1-8) from a TIFF
+      * container's first IFD or a JPEG's APP1 Exif segment; 1 (display
+      * as stored) everywhere else. Absence of the tag MEANS
+      * display-as-stored by spec, and every renderer treats a malformed
+      * or out-of-range value the same way, so the 1 fallback is the
+      * standard's own default, not a fabrication. A real crawl's rotated
+      * JPEGs carry 6/8 here — [[PixelCodec.dHash64]] and
+      * [[PixelCodec.resizePng]] normalize through this, so a
+      * portrait/landscape transcoded pair still matches. */
+    def parseOrientation(b: Array[Byte]): Int = {
+      def u8(i: Int) = b(i) & 0xff
+      val n = b.length
+      val found: Option[Int] =
+        if (n >= 8 && ((u8(0) == 'I' && u8(1) == 'I') ||
+            (u8(0) == 'M' && u8(1) == 'M')))
+          tiffOrientation(b, 0)
+        else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+          // JPEG: walk markers to the first APP1 whose payload starts
+          // "Exif\0\0"; the embedded TIFF structure sits right after
+          var i = 2
+          var res: Option[Int] = None
+          var done = false
+          while (!done && i + 3 < n) {
+            if (u8(i) != 0xff) done = true
+            else {
+              var j = i
+              while (j < n && u8(j) == 0xff) j += 1
+              if (j >= n) done = true
+              else {
+                val m = u8(j)
+                if (m == 0xd9 || m == 0xda) done = true // EOI/SOS: stop
+                else if (m >= 0xd0 && m <= 0xd8) i = j + 1
+                else if (j + 2 >= n) done = true
+                else {
+                  val len = ((u8(j + 1) << 8) | u8(j + 2))
+                  if (m == 0xe1 && len >= 10 && j + 1 + len <= n &&
+                      b.slice(j + 3, j + 9).sameElements(
+                        Array[Byte]('E', 'x', 'i', 'f', 0, 0))) {
+                    res = tiffOrientation(b, j + 9)
+                    done = true
+                  } else i = j + 1 + len
+                }
+              }
+            }
+          }
+          res
+        } else None
+      found.getOrElse(1)
+    }
+
+    /** Tag-274 scan of a TIFF structure rooted at `base` (0 for a TIFF
+      * file; the post-"Exif\0\0" offset for a JPEG APP1 segment). Both
+      * byte orders; SHORT count==1 in [1,8] only — anything else is
+      * treated as tag-absent (the display-as-stored default). */
+    private def tiffOrientation(b: Array[Byte], base: Int): Option[Int] = {
+      def u8(i: Int) = b(i) & 0xff
+      val n = b.length
+      if (base + 8 > n) return None
+      val le = u8(base) == 'I' && u8(base + 1) == 'I'
+      val be = u8(base) == 'M' && u8(base + 1) == 'M'
+      if (!le && !be) return None
+      def r16(i: Int) = if (le) u8(i) | (u8(i + 1) << 8)
+        else (u8(i) << 8) | u8(i + 1)
+      def r32(i: Int): Long =
+        if (le) (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+          (u8(i + 3).toLong << 24)) & 0xffffffffL
+        else ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+          u8(i + 3)) & 0xffffffffL
+      if (r16(base + 2) != 42) return None
+      val ifd = r32(base + 4)
+      // LONG arithmetic: a crafted IFD offset near 2^32 must not wrap
+      if (ifd < 8 || base + ifd + 2 > n) return None
+      val i0 = (base + ifd).toInt
+      val count = r16(i0)
+      var e = 0
+      while (e < count) {
+        val off = i0 + 2 + e * 12
+        if (off + 12 > n) return None
+        if (r16(off) == 274) {
+          // SHORT, count 1, value 1-8 — anything else is malformed and
+          // means display-as-stored, same as the tag being absent
+          return if (r16(off + 2) == 3 && r32(off + 4) == 1L &&
+              r16(off + 8) >= 1 && r16(off + 8) <= 8)
+            Some(r16(off + 8))
+          else None
+        }
+        e += 1
+      }
+      None
+    }
+
     /** (width, height, channels) from the header, or None if the payload
       * is not a recognizable PNG/JPEG/GIF/WebP/BMP/TIFF. */
     def parseDims(b: Array[Byte]): Option[(Int, Int, Int)] = {
@@ -291,6 +382,59 @@ object Multimodal {
       img
     }
 
+    /** Remap a decoded image to its DISPLAYED pixel grid per EXIF/TIFF
+      * orientation `o` (1-8; [[HeaderCodec.parseOrientation]]): pure
+      * integer coordinate remap, no interpolation, so normalized pixel
+      * content is exact — a losslessly-stored rotated duplicate
+      * normalizes to the IDENTICAL raster. Color copies through getRGB
+      * (exact for 8-bit components); `grayRaster` keeps raw gray
+      * samples in a byte raster (the resize path's no-sRGB-lift
+      * contract; caller enforces <= 8-bit first). o == 1 returns the
+      * image untouched. */
+    private def reorient(img: java.awt.image.BufferedImage, o: Int,
+        grayRaster: Boolean): java.awt.image.BufferedImage = {
+      if (o == 1) return img
+      val w = img.getWidth; val h = img.getHeight
+      val swap = o >= 5
+      val ow = if (swap) h else w
+      val oh = if (swap) w else h
+      val out = new java.awt.image.BufferedImage(ow, oh,
+        if (grayRaster) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else if (img.getColorModel.hasAlpha)
+          java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          // displayed (x, y) ← stored (sx, sy), EXIF 2.32 Orientation
+          val sx = o match {
+            case 2 | 3 => w - 1 - x
+            case 4 => x
+            case 5 | 6 => y
+            case _ => w - 1 - y // 7, 8
+          }
+          val sy = o match {
+            case 2 => y
+            case 3 | 4 => h - 1 - y
+            case 5 => x
+            case 6 | 7 => h - 1 - x
+            case _ => x // 8
+          }
+          if (grayRaster) out.getRaster.setSample(x, y, 0,
+            img.getRaster.getSample(sx, sy, 0))
+          else out.setRGB(x, y, img.getRGB(sx, sy))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Stats are of the STORED raster (dims as encoded; per-channel
+      * means are orientation-invariant anyway) — only the perceptual /
+      * resize paths normalize orientation, where pixel GEOMETRY is the
+      * product. */
     def decodeStats(id: Long, bytes: Array[Byte]): PixelStats = {
       val img = read(id, bytes)
       val cm = img.getColorModel
@@ -382,8 +526,16 @@ object Multimodal {
         throw new IllegalArgumentException(
           s"doc $id: ${cm.getComponentSize(0)}-bit gray resize " +
             "unsupported (8-bit samples only)")
-      val w = img.getWidth; val h = img.getHeight
-      val gray = cm.getNumColorComponents == 1
+      val gray0 = cm.getNumColorComponents == 1
+      // resize operates on the DISPLAYED image: EXIF orientation is
+      // normalized (exact integer remap) before the box filter, and the
+      // lossless PNG output carries upright pixels — the normalization
+      // a training-input stage needs (feeding a model the stored raster
+      // of a rotated JPEG trains on sideways pictures)
+      val src = reorient(img, HeaderCodec.parseOrientation(bytes),
+        grayRaster = gray0)
+      val w = src.getWidth; val h = src.getHeight
+      val gray = gray0
       val out = new java.awt.image.BufferedImage(outW, outH,
         if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
         else if (cm.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
@@ -402,9 +554,9 @@ object Multimodal {
           while (x < x1 && x < w) {
             var y = y0
             while (y < y1 && y < h) {
-              if (gray) sr += img.getRaster.getSample(x, y, 0)
+              if (gray) sr += src.getRaster.getSample(x, y, 0)
               else {
-                val p = img.getRGB(x, y)
+                val p = src.getRGB(x, y)
                 sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff
                 sb += p & 0xff; sa += (p >>> 24) & 0xff
               }
@@ -444,7 +596,12 @@ object Multimodal {
       * 64 bits. */
     def dHash64(id: Long, bytes: Array[Byte], size: Int = 8): Long = {
       require(size >= 1 && size <= 8, s"size in [1,8], got $size")
-      val img = read(id, bytes)
+      // normalize EXIF/TIFF orientation FIRST: a rotated duplicate (the
+      // transcoded-portrait/landscape pair every real crawl has) must
+      // hash identically to its upright twin — raw stored-raster
+      // hashing would put them ~half the bits apart
+      val img = reorient(read(id, bytes),
+        HeaderCodec.parseOrientation(bytes), grayRaster = false)
       val w = img.getWidth; val h = img.getHeight
       val gw = size + 1
       val cell = Array.ofDim[Long](gw, size)
@@ -555,6 +712,23 @@ object Multimodal {
         .map { case (n, i) => (i.toLong, n, bytes(n)) }
         .toDF("img_key", "name", "image")
     }
+
+    /** Any fixture subset as the same (img_key, name, image) frame —
+      * keys are positional within `names`, so gate keying stays stable
+      * no matter what other fixtures exist. */
+    def dfOf(spark: SparkSession, names: Seq[String]): DataFrame = {
+      import spark.implicits._
+      names.zipWithIndex
+        .map { case (n, i) => (i.toLong, n, bytes(n)) }
+        .toDF("img_key", "name", "image")
+    }
+
+    /** The rotated-duplicate class (r15): rot90_2x6.tif stores
+      * rgb_6x2.tif's picture rotated 90° CCW with TIFF Orientation 6 —
+      * losslessly, so orientation-normalized dHash must match the
+      * upright original at Hamming 0. Kept OUT of `decodable` so the
+      * r14 gate keying (doc_id % 10) is untouched. */
+    val oriented: Seq[String] = Seq("rot90_2x6.tif")
   }
 
   /** The shared content-addressed scaffold behind [[pixelStatsReport]],

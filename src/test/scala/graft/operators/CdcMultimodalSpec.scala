@@ -212,6 +212,165 @@ class CdcMultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(base ^ unrelated) > 16)
   }
 
+  test("EXIF orientation: parse, dHash normalization, resize normalization") {
+    val upright = Multimodal.Fixtures.bytes("rgb_6x2.tif")
+    val rotated = Multimodal.Fixtures.bytes("rot90_2x6.tif")
+    // tag parse: the committed twin carries Orientation 6; the upright
+    // original carries no tag (spec default 1); non-TIFF/JPEG always 1
+    assert(Multimodal.HeaderCodec.parseOrientation(upright) == 1)
+    assert(Multimodal.HeaderCodec.parseOrientation(rotated) == 6)
+    assert(Multimodal.HeaderCodec.parseOrientation(
+      Multimodal.Fixtures.bytes("rgb_3x2.png")) == 1)
+    // stored raster is genuinely rotated (2x6, not 6x2) — the JDK TIFF
+    // reader does NOT auto-apply orientation, which is what makes the
+    // normalization here load-bearing
+    val st = Multimodal.PixelCodec.decodeStats(0L, rotated)
+    assert(st.width == 2 && st.height == 6)
+    // normalized dHash: the rotated twin must match the upright
+    // original EXACTLY (lossless container + integer remap)
+    val hu = Multimodal.PixelCodec.dHash64(0L, upright)
+    val hr = Multimodal.PixelCodec.dHash64(0L, rotated)
+    assert(hu == hr, s"rotated twin hashed $hr vs upright $hu")
+    assert(hu == 7885078839350357357L) // the q305 oracle anchor
+    // resize normalizes too: identity-resize of the rotated twin at the
+    // DISPLAYED dims (6x2) reproduces the upright original's pixels
+    val normPng = Multimodal.PixelCodec.resizePng(0L, rotated, 6, 2)
+    val ns = Multimodal.PixelCodec.decodeStats(0L, normPng)
+    assert(ns.width == 6 && ns.height == 2)
+    val us = Multimodal.PixelCodec.decodeStats(0L, upright)
+    assert(ns.means.toSeq == us.means.toSeq)
+  }
+
+  test("EXIF orientation: all 8 remaps agree with a per-pixel reference") {
+    // spec-built little-endian TIFFs (independent byte layout from the
+    // generator): a 16x12 asymmetric gradient stored under each
+    // orientation so that the DISPLAYED image is identical — all 8 must
+    // dHash to the same value
+    def tiff(w: Int, h: Int, o: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val strip = (0 until h).flatMap(y => (0 until w).flatMap { x =>
+        val (r, g, b) = pix(x, y); Seq(r.toByte, g.toByte, b.toByte)
+      }).toArray
+      def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+      def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte,
+        (v >>> 16).toByte, (v >>> 24).toByte)
+      def entry(tag: Int, typ: Int, cnt: Int, value: Array[Byte]) =
+        le16(tag) ++ le16(typ) ++ le32(cnt) ++ value
+      val n = 11
+      val ifdOff = 8 + strip.length
+      val bpsOff = ifdOff + 2 + n * 12 + 4
+      val entries =
+        entry(256, 4, 1, le32(w)) ++ entry(257, 4, 1, le32(h)) ++
+        entry(258, 3, 3, le32(bpsOff)) ++
+        entry(259, 3, 1, le16(1) ++ le16(0)) ++
+        entry(262, 3, 1, le16(2) ++ le16(0)) ++
+        entry(273, 4, 1, le32(8)) ++
+        entry(274, 3, 1, le16(o) ++ le16(0)) ++
+        entry(277, 3, 1, le16(3) ++ le16(0)) ++
+        entry(278, 4, 1, le32(h)) ++
+        entry(279, 4, 1, le32(strip.length)) ++
+        entry(284, 3, 1, le16(1) ++ le16(0))
+      Array[Byte]('I', 'I', 42, 0) ++ le32(8 + strip.length) ++ strip ++
+        le16(n) ++ entries ++ le32(0) ++ le16(8) ++ le16(8) ++ le16(8)
+    }
+    // displayed reference: 16x12, asymmetric in both axes
+    val W = 16; val H = 12
+    def ref(x: Int, y: Int) = (x * 15 + 3, y * 20 + 1, (x * y) % 251)
+    // stored(sx, sy) under orientation o must satisfy
+    // displayed(x, y) == stored(map_o(x, y)) — invert by writing the
+    // reference THROUGH the map
+    def stored(o: Int): Array[Byte] = {
+      val swap = o >= 5
+      val (sw, sh) = if (swap) (H, W) else (W, H)
+      val m = Array.ofDim[(Int, Int, Int)](sw, sh)
+      for (y <- 0 until H; x <- 0 until W) {
+        val sx = o match {
+          case 2 | 3 => sw - 1 - x
+          case 4 | 1 => x
+          case 5 | 6 => y
+          case _ => sw - 1 - y
+        }
+        val sy = o match {
+          case 2 | 1 => y
+          case 3 | 4 => sh - 1 - y
+          case 5 => x
+          case 6 | 7 => sh - 1 - x
+          case _ => x
+        }
+        m(sx)(sy) = ref(x, y)
+      }
+      tiff(sw, sh, o, (a, b) => m(a)(b))
+    }
+    val hashes = (1 to 8).map(o =>
+      o -> Multimodal.PixelCodec.dHash64(o.toLong, stored(o)))
+    assert(hashes.map(_._2).distinct.size == 1,
+      s"orientation remaps disagree: $hashes")
+    // and the stored rasters genuinely differ (the remap is what
+    // reconciles them): orientation 3's raw pixels are not the
+    // reference's
+    val raw3 = Multimodal.PixelCodec.decodeStats(3L, stored(3))
+    val raw1 = Multimodal.PixelCodec.decodeStats(1L, stored(1))
+    assert(raw3.width == W && raw3.height == H)
+    assert(raw3.means.toSeq == raw1.means.toSeq) // means are invariant
+  }
+
+  test("EXIF orientation: JPEG APP1 parse + adversarial segments") {
+    // build a real JPEG via the JDK encoder, then inject an APP1 Exif
+    // segment after SOI — the crawl's rotated-camera-JPEG layout
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 4)
+      img.setRGB(x, y, (x * 30 << 16) | (y * 60 << 8) | 99)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", out)
+    val jpeg = out.toByteArray
+    def app1(payload: Array[Byte]): Array[Byte] = {
+      val len = payload.length + 2
+      Array(0xff.toByte, 0xe1.toByte, (len >>> 8).toByte, len.toByte) ++
+        payload
+    }
+    def exifTiff(o: Int): Array[Byte] =
+      "Exif".getBytes ++ Array[Byte](0, 0) ++
+        Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8, 0, 1) ++ // BE, 1 entry
+        Array[Byte](0x01, 0x12, 0, 3, 0, 0, 0, 1,
+          (o >>> 8).toByte, o.toByte, 0, 0) ++
+        Array[Byte](0, 0, 0, 0)
+    def inject(seg: Array[Byte]): Array[Byte] =
+      jpeg.take(2) ++ seg ++ jpeg.drop(2)
+    assert(Multimodal.HeaderCodec.parseOrientation(jpeg) == 1)
+    assert(Multimodal.HeaderCodec.parseOrientation(
+      inject(app1(exifTiff(6)))) == 6)
+    assert(Multimodal.HeaderCodec.parseOrientation(
+      inject(app1(exifTiff(8)))) == 8)
+    // dims still parse through the injected segment
+    assert(Multimodal.HeaderCodec.parseDims(inject(app1(exifTiff(6))))
+      .contains((8, 4, 3)))
+    // the oriented JPEG resizes on the DISPLAYED grid: 8x4 stored under
+    // orientation 6 displays as 4x8
+    val resized = Multimodal.PixelCodec.resizePng(0L,
+      inject(app1(exifTiff(6))), 4, 8)
+    val rs = Multimodal.PixelCodec.decodeStats(0L, resized)
+    assert(rs.width == 4 && rs.height == 8)
+    // adversarial: out-of-range value, wrong type, count != 1, a
+    // non-Exif APP1 (XMP), and truncated Exif headers all fall back to
+    // display-as-stored (1) — the spec's own default, never a crash
+    assert(Multimodal.HeaderCodec.parseOrientation(
+      inject(app1(exifTiff(9)))) == 1)
+    assert(Multimodal.HeaderCodec.parseOrientation(
+      inject(app1(exifTiff(0)))) == 1)
+    val wrongType = exifTiff(6); wrongType(19) = 4 // type LONG, not SHORT
+    assert(Multimodal.HeaderCodec.parseOrientation(
+      inject(app1(wrongType))) == 1)
+    val badCount = exifTiff(6); badCount(23) = 2 // count 2: offset field
+    assert(Multimodal.HeaderCodec.parseOrientation(
+      inject(app1(badCount))) == 1)
+    assert(Multimodal.HeaderCodec.parseOrientation(
+      inject(app1("http://ns.adobe.com/xap/1.0/".getBytes))) == 1)
+    assert(Multimodal.HeaderCodec.parseOrientation(
+      inject(app1("Exif".getBytes ++ Array[Byte](0, 0, 'M', 'M')))) == 1)
+    assert(Multimodal.HeaderCodec.parseOrientation(
+      inject(app1(Array[Byte]('E', 'x')))) == 1)
+  }
+
   test("imageDHashPairs finds the cross-container perceptual dups") {
     val out = Multimodal.imageDHashPairs(Multimodal.Fixtures.df(spark))
       .collect()

@@ -59,9 +59,12 @@ def bmp(width, height, pix, topdown=False):
     return bfh + bih + data
 
 
-def tiff_rgb(width, height, pix):
+def tiff_rgb(width, height, pix, orientation=None):
     """Uncompressed little-endian RGB TIFF: header, one strip of raw
-    RGBRGB... samples, then the IFD (entries sorted by tag per spec)."""
+    RGBRGB... samples, then the IFD (entries sorted by tag per spec).
+    `orientation` (EXIF/TIFF tag 274, values 1-8) is written when given —
+    the rotated-duplicate fixture class carries 6 (rotate 90 CW to
+    display)."""
     strip = b"".join(bytes(pix(x, y))
                      for y in range(height) for x in range(width))
     strip_off = 8
@@ -71,8 +74,8 @@ def tiff_rgb(width, height, pix):
     def entry(tag, typ, count, value):
         return struct.pack("<HHI", tag, typ, count) + value
 
-    # 10 entries, then external BitsPerSample array after the IFD
-    n = 10
+    # 10-11 entries, then external BitsPerSample array after the IFD
+    n = 10 if orientation is None else 11
     bps_off = ifd_off + 2 + n * 12 + 4
     entries = [
         entry(256, 4, 1, struct.pack("<I", width)),          # ImageWidth
@@ -81,6 +84,8 @@ def tiff_rgb(width, height, pix):
         entry(259, 3, 1, struct.pack("<HH", 1, 0)),          # Compression=none
         entry(262, 3, 1, struct.pack("<HH", 2, 0)),          # Photometric=RGB
         entry(273, 4, 1, struct.pack("<I", strip_off)),      # StripOffsets
+    ] + ([entry(274, 3, 1, struct.pack("<HH", orientation, 0))]
+         if orientation is not None else []) + [
         entry(277, 3, 1, struct.pack("<HH", 3, 0)),          # SamplesPerPixel
         entry(278, 4, 1, struct.pack("<I", height)),         # RowsPerStrip
         entry(279, 4, 1, struct.pack("<I", len(strip))),     # StripByteCounts
@@ -179,6 +184,15 @@ def main():
                                lambda x, y: (x * 50, y * 60, 200),
                                topdown=True),
         "rgb_6x2.tif": tiff_rgb(6, 2, lambda x, y: (x * 40, y * 100, 30)),
+        # rot90_2x6.tif (r15): the ROTATED-DUPLICATE twin of rgb_6x2.tif.
+        # Stored raster is 2x6 with S(a,b) = orig(5-b, a) and TIFF
+        # Orientation 6 ("rotate 90 CW to display"): the displayed image
+        # D(x,y) = S(y, 5-x) = orig(x, y) EXACTLY — lossless container, so
+        # an orientation-normalizing perceptual hash must match the
+        # original bit-for-bit (Hamming 0), while the raw stored raster
+        # hashes differently. The transcoded-rotated-dup class.
+        "rot90_2x6.tif": tiff_rgb(
+            2, 6, lambda a, b: ((5 - b) * 40, a * 100, 30), orientation=6),
         "lossy_17x9.webp": webp_vp8(17, 9),
         "lossless_33x21.webp": webp_vp8l(33, 21),
         "alpha_12x5.webp": webp_vp8l(12, 5, alpha=True),
