@@ -273,6 +273,9 @@ object GraftReports {
       (df, a) => Media.audioStatsReport(df, a(0), tbl(df, a(1)))),
     "video_headers" -> r("keyCol", "videoTable")(
       (df, a) => Media.videoHeaderReport(df, a(0), tbl(df, a(1)))),
+    // r15: stage-two video filter — per-track codec/dims/sample counts
+    "video_tracks" -> r("keyCol", "videoTable")(
+      (df, a) => Media.videoTrackReport(df, a(0), tbl(df, a(1)))),
     "image_near_dups" -> r("nameCol", "binCol", "maxHamming")(
       (df, a) => Multimodal.imageNearDups(df, a(0), a(1), a(2).toInt)),
     // Band-load pre-flight for the shared 16-bit-band Hamming engine

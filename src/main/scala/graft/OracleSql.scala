@@ -6659,6 +6659,28 @@ object OracleSql {
          |  bit_count(xor(a.h, b.h))::BIGINT AS hamming
          |FROM d a JOIN d b ON a.name < b.name""".stripMargin,
 
+    // q315: per-track sample-table constants straight from the
+    // generator's stsd/stsz/stco fields; the tkhd-only clip's stbl
+    // fields are honest NULLs (boxes absent), never fabricated zeros.
+    "q315_video_tracks" ->
+      s"""WITH f(media_key, name, track_id, handler, codec, width,
+         |       height, n_samples, n_chunks) AS (VALUES
+         |  (0::BIGINT, 'clip_2trak.mp4', 1, NULL::VARCHAR, NULL::VARCHAR,
+         |   NULL::INT, NULL::INT, NULL::BIGINT, NULL::BIGINT),
+         |  (0::BIGINT, 'clip_2trak.mp4', 2, NULL, NULL,
+         |   NULL, NULL, NULL, NULL),
+         |  (1::BIGINT, 'clip_stbl.mp4', 1, 'vide', 'avc1',
+         |   320, 180, 48::BIGINT, 3::BIGINT),
+         |  (1::BIGINT, 'clip_stbl.mp4', 2, 'soun', 'mp4a',
+         |   NULL, NULL, 96::BIGINT, 4::BIGINT)),
+         |c AS (SELECT doc_id % 2 AS media_key, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT f.media_key, f.name, c.n_docs,
+         |  f.track_id::INT AS track_id, f.handler, f.codec,
+         |  f.width::INT AS width, f.height::INT AS height,
+         |  f.n_samples, f.n_chunks
+         |FROM c JOIN f USING (media_key)""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

@@ -3423,6 +3423,20 @@ object SparkEntry {
       graft.operators.Multimodal.Fixtures.dfOf(s, Seq(
         "rgb_6x2.tif", "rot90_2x6.tif", "rgb_4x3.bmp", "gray_5x7.png")))
 
+  /** ISO-BMFF sample-table depth gate (q307's stage two): per-track
+    * codec fourcc / coded dims / sample count / chunk count from the
+    * stsd/stsz/stco walk, content-addressed over doc_id % 2. One
+    * fixture carries the full avc1+mp4a table (constants are the
+    * generator's own fields), the other is tkhd-only — its stbl fields
+    * must surface as honest NULLs, never fabricated zeros-as-data. */
+  private def q315(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(2L)).as("media_key"))
+    graft.operators.Media.videoTrackReport(docs, "media_key",
+      graft.operators.Media.Fixtures.df(s,
+        graft.operators.Media.Fixtures.videoTracks))
+  }
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -3833,7 +3847,8 @@ object SparkEntry {
     "q311_stream_interval_join" -> (q311 _),
     "q312_stream_dedup_watermark" -> (q312 _),
     "q313_hamming_band_profile" -> (q313 _),
-    "q314_exif_orientation_dhash" -> (q314 _)
+    "q314_exif_orientation_dhash" -> (q314 _),
+    "q315_video_tracks" -> (q315 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -123,43 +123,54 @@ object Media {
     * nonzero dims (audio tracks carry 0×0). Handles mvhd/tkhd versions
     * 0 and 1; refuses (None) on malformed or truncated boxes rather
     * than guessing. */
-  def parseMp4Header(b: Array[Byte]): Option[(Int, Int, Long, Int)] = {
-    def u8(i: Int) = b(i) & 0xff
-    def be32(i: Int): Long =
-      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
-        u8(i + 3)) & 0xffffffffL
-    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
-    val n = b.length
+  private def u8b(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16b(b: Array[Byte], i: Int): Int =
+    (u8b(b, i) << 8) | u8b(b, i + 1)
+  private def be32b(b: Array[Byte], i: Int): Long =
+    ((u8b(b, i).toLong << 24) | (u8b(b, i + 1) << 16) |
+      (u8b(b, i + 2) << 8) | u8b(b, i + 3)) & 0xffffffffL
+  private def be64b(b: Array[Byte], i: Int): Long =
+    (be32b(b, i) << 32) | be32b(b, i + 4)
 
-    /** Walk sibling boxes in [from, to): call f(type, payloadFrom,
-      * payloadTo); returns false on malformed structure. Handles the two
-      * special size encodings real-world files use: size==1 carries a
-      * 64-bit largesize after the type (the large-mdat-before-moov
-      * layout every long recording has), and size==0 means the box
-      * extends to the end of its container (legal only for the last
-      * box — which is what extending to `to` enforces). */
-    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
-      var i = from
-      while (i + 8 <= to) {
-        val size = be32(i)
-        val typ = new String(b.slice(i + 4, i + 8), "ISO-8859-1")
-        val (p0, end) =
-          if (size == 1L) {
-            // largesize: 64-bit length INCLUDING the 16 header bytes
-            if (i + 16 > to) return false
-            val ls = be64(i + 8)
-            if (ls < 16 || ls > to - i) return false
-            (i + 16, i + ls.toInt)
-          } else if (size == 0L) (i + 8, to)
-          else {
-            if (size < 8 || i + size > to) return false
-            (i + 8, i + size.toInt)
-          }
-        f(typ, p0, end)
-        i = end
-      }
-      i == to || i + 8 > to
+  /** Walk sibling ISO-BMFF boxes in [from, to): call f(type,
+    * payloadFrom, payloadTo); returns false on malformed structure.
+    * Handles the two special size encodings real-world files use:
+    * size==1 carries a 64-bit largesize after the type (the
+    * large-mdat-before-moov layout every long recording has), and
+    * size==0 means the box extends to the end of its container (legal
+    * only for the last box — which is what extending to `to`
+    * enforces). Shared by [[parseMp4Header]] and [[parseMp4Tracks]]. */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int)
+                       (f: (String, Int, Int) => Unit): Boolean = {
+    var i = from
+    while (i + 8 <= to) {
+      val size = be32b(b, i)
+      val typ = new String(b.slice(i + 4, i + 8), "ISO-8859-1")
+      val (p0, end) =
+        if (size == 1L) {
+          // largesize: 64-bit length INCLUDING the 16 header bytes
+          if (i + 16 > to) return false
+          val ls = be64b(b, i + 8)
+          if (ls < 16 || ls > to - i) return false
+          (i + 16, i + ls.toInt)
+        } else if (size == 0L) (i + 8, to)
+        else {
+          if (size < 8 || i + size > to) return false
+          (i + 8, i + size.toInt)
+        }
+      f(typ, p0, end)
+      i = end
     }
+    i == to || i + 8 > to
+  }
+
+  def parseMp4Header(b: Array[Byte]): Option[(Int, Int, Long, Int)] = {
+    def u8(i: Int) = u8b(b, i)
+    def be32(i: Int): Long = be32b(b, i)
+    def be64(i: Int): Long = be64b(b, i)
+    val n = b.length
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean =
+      walkBoxes(b, from, to)(f)
 
     if (n < 16) return None
     var moov: Option[(Int, Int)] = None
@@ -206,6 +217,97 @@ object Media {
     VideoMeta(id, w, h, d, t)
   }
 
+  /** Per-track sample-table depth (r15): codec fourcc + coded dims from
+    * the stsd sample entry, sample count from stsz, chunk count from
+    * stco — the filters a video corpus runs AFTER dims/duration
+    * ([[parseMp4Header]]): codec allowlists, frames-per-clip floors,
+    * fragmentation tells. `None` fields mean the box is genuinely
+    * absent (honest absence, not fabrication); malformed box structure
+    * refuses the whole file like the header walk. */
+  final case class Mp4Track(track_id: Int, handler: Option[String],
+                            codec: Option[String], width: Option[Int],
+                            height: Option[Int], n_samples: Option[Long],
+                            n_chunks: Option[Long])
+
+  /** All tracks of an ISO-BMFF payload via the stbl walk
+    * (trak → mdia → hdlr/minf → stbl → stsd/stsz/stco), or None on
+    * malformed structure / no moov / no traks. Sample-entry dims are
+    * read only for video handlers and only from a full-size
+    * VisualSampleEntry (>= 86 bytes) — an audio entry is 36 bytes and
+    * reading dims from it would fabricate. */
+  def parseMp4Tracks(b: Array[Byte]): Option[Seq[Mp4Track]] = {
+    val n = b.length
+    if (n < 16) return None
+    var moov: Option[(Int, Int)] = None
+    if (!walkBoxes(b, 0, n) { (t, p0, p1) =>
+          if (t == "moov" && moov.isEmpty) moov = Some((p0, p1)) })
+      return None
+    val (m0, m1) = moov.getOrElse(return None)
+    val out = Seq.newBuilder[Mp4Track]
+    var ok = true
+    val okWalk = walkBoxes(b, m0, m1) { (t, p0, p1) =>
+      if (t == "trak") {
+        var id = -1
+        var handler: Option[String] = None
+        var codec: Option[String] = None
+        var w: Option[Int] = None; var h: Option[Int] = None
+        var nSamp: Option[Long] = None; var nChunk: Option[Long] = None
+        if (!walkBoxes(b, p0, p1) { (tt, q0, q1) =>
+          if (tt == "tkhd" && q1 - q0 >= 24) {
+            // v0: version/flags + ctime + mtime → id at +12;
+            // v1 widens ctime/mtime to 64 bits → id at +20
+            id = (if (u8b(b, q0) == 1) be32b(b, q0 + 20)
+                  else be32b(b, q0 + 12)).toInt
+          } else if (tt == "mdia") {
+            if (!walkBoxes(b, q0, q1) { (t3, r0, r1) =>
+              if (t3 == "hdlr" && r1 - r0 >= 12)
+                handler = Some(new String(b.slice(r0 + 8, r0 + 12),
+                  "ISO-8859-1"))
+              else if (t3 == "minf") {
+                if (!walkBoxes(b, r0, r1) { (t4, s0, s1) =>
+                  if (t4 == "stbl") {
+                    if (!walkBoxes(b, s0, s1) { (t5, u0, u1) =>
+                      t5 match {
+                        case "stsd" if u1 - u0 >= 16 =>
+                          // version/flags(4) entry_count(4), then the
+                          // first sample entry as a nested box
+                          val cnt = be32b(b, u0 + 4)
+                          if (cnt >= 1) {
+                            val es = be32b(b, u0 + 8)
+                            if (es >= 8 && u0 + 8 + es <= u1) {
+                              codec = Some(new String(
+                                b.slice(u0 + 12, u0 + 16), "ISO-8859-1"))
+                              // VisualSampleEntry: dims at entry+32/34
+                              if (es >= 86 && handler.contains("vide")) {
+                                w = Some(be16b(b, u0 + 8 + 32))
+                                h = Some(be16b(b, u0 + 8 + 34))
+                              }
+                            }
+                          }
+                        case "stsz" if u1 - u0 >= 12 =>
+                          // sample_size(4) then sample_count(4)
+                          nSamp = Some(be32b(b, u0 + 8))
+                        case "stco" if u1 - u0 >= 8 =>
+                          nChunk = Some(be32b(b, u0 + 4))
+                        case _ => ()
+                      }
+                    }) ok = false
+                  }
+                }) ok = false
+              }
+            }) ok = false
+          }
+        }) ok = false
+        out += Mp4Track(id, handler, codec, w, h, nSamp, nChunk)
+      }
+    }
+    if (!okWalk || !ok) None
+    else {
+      val ts = out.result()
+      if (ts.isEmpty) None else Some(ts)
+    }
+  }
+
   // ---- content-addressed reports (the q300 shape) -------------------------
 
   /** Committed audio/video fixtures (tools/gen_image_fixtures.py — every
@@ -214,6 +316,10 @@ object Media {
     val audio: Seq[String] =
       Seq("ramp_stereo.wav", "silence_441_mono.wav", "square_8k_mono.wav")
     val video: Seq[String] = Seq("clip_2trak.mp4", "clip_640x360.mp4")
+    /** The track-depth pair (r15): a tkhd-only clip (every stbl field
+      * honestly NULL) and the full-sample-table clip (avc1 + mp4a).
+      * Separate from `video` so the r14 q307 keying is untouched. */
+    val videoTracks: Seq[String] = Seq("clip_2trak.mp4", "clip_stbl.mp4")
 
     def df(spark: SparkSession, names: Seq[String]): DataFrame = {
       import spark.implicits._
@@ -243,6 +349,32 @@ object Media {
       })
       .toDF("media_key", "name", "sample_rate", "channels", "n_frames",
         "duration_ms", "rms", "zero_crossings", "peak")
+    Multimodal.contentAddressedJoin(df, keyCol, decoded, "media_key")
+  }
+
+  /** Content-addressed per-TRACK sample-table report: one row per
+    * (payload, track) with handler/codec/coded dims/sample count/chunk
+    * count — the stage-two filter pass (codec allowlist, minimum frame
+    * count) a video corpus runs after [[videoHeaderReport]]'s
+    * dims/duration pruning. Decode cost follows distinct payloads. */
+  def videoTrackReport(df: DataFrame, keyCol: String, video: DataFrame,
+                       videoKeyCol: String = "media_key",
+                       nameCol: String = "name",
+                       binCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decoded = video
+      .select(col(videoKeyCol).cast("long"), col(nameCol), col(binCol))
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (k, name, bytes) =>
+        val tracks = parseMp4Tracks(bytes).getOrElse(throw
+          new IllegalArgumentException(
+            s"media $k ($name): not a parseable ISO-BMFF payload"))
+        tracks.map(t => (k, name, t.track_id, t.handler, t.codec,
+          t.width, t.height, t.n_samples, t.n_chunks))
+      }
+      .toDF("media_key", "name", "track_id", "handler", "codec",
+        "width", "height", "n_samples", "n_chunks")
     Multimodal.contentAddressedJoin(df, keyCol, decoded, "media_key")
   }
 

@@ -281,6 +281,54 @@ class MediaSpec extends SparkSpec {
       .contains((6, 2, 3)))
   }
 
+  test("parseMp4Tracks reads the sample-table fixture; absent boxes are NULL") {
+    val got = Media.parseMp4Tracks(fixture("clip_stbl.mp4"))
+    assert(got.contains(Seq(
+      Media.Mp4Track(1, Some("vide"), Some("avc1"), Some(320), Some(180),
+        Some(48L), Some(3L)),
+      Media.Mp4Track(2, Some("soun"), Some("mp4a"), None, None,
+        Some(96L), Some(4L)))))
+    // tkhd-only clip: stbl fields honestly absent, track ids present
+    val bare = Media.parseMp4Tracks(fixture("clip_2trak.mp4"))
+    assert(bare.contains(Seq(
+      Media.Mp4Track(1, None, None, None, None, None, None),
+      Media.Mp4Track(2, None, None, None, None, None, None))))
+    // the header walk still reads the new fixture (mvhd v0 constants)
+    assert(Media.parseMp4Header(fixture("clip_stbl.mp4"))
+      .contains((320, 180, 4000L, 2)))
+    // not-a-video refuses
+    assert(Media.parseMp4Tracks("nope".getBytes).isEmpty)
+    assert(Media.parseMp4Tracks(fixture("square_8k_mono.wav")).isEmpty)
+  }
+
+  test("parseMp4Tracks truncation/crafted contract: refuse or agree, never fabricate") {
+    val full = fixture("clip_stbl.mp4")
+    val want = Media.parseMp4Tracks(full)
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 300).foreach { i =>
+      val cut = full.take(2 + rnd.nextInt(full.length - 2))
+      val got = Media.parseMp4Tracks(cut)
+      assert(got.isEmpty || got == want, s"trial $i")
+    }
+    // crafted stsd: first sample entry's size runs past the stsd box —
+    // codec must stay unreported (no fourcc read from a truncated
+    // entry), everything else intact
+    val idx = {
+      // locate 'stsd' fourcc
+      val pat = "stsd".getBytes
+      (0 until full.length - 4).find(j => full.slice(j, j + 4)
+        .sameElements(pat)).get
+    }
+    val evil = full.clone()
+    // entry size field sits at stsd payload + 8 = fourcc + 4 (ver/flags)
+    // + 4 (entry_count); make it enormous
+    val es = idx + 4 + 4 + 4
+    evil(es) = 0x7f.toByte; evil(es + 1) = 0xff.toByte
+    val got = Media.parseMp4Tracks(evil)
+    assert(got.isDefined && got.get.head.codec.isEmpty &&
+      got.get.head.width.isEmpty)
+  }
+
   test("audio/video reports join real decoded stats to row counts") {
     val rows = Seq.tabulate(10)(i => Tuple1(i.toLong % 3)).toDF("media_key")
     val a = Media.audioStatsReport(rows, "media_key",

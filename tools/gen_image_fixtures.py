@@ -175,6 +175,68 @@ def mp4(width, height, timescale, duration, n_traks=1):
     return ftyp + box(b"moov", mvhd + traks)
 
 
+def mp4_tracks(timescale, duration, tracks):
+    """ISO-BMFF with FULL track structure: moov(mvhd + per-track
+    trak(tkhd + mdia(mdhd + hdlr + minf(stbl(stsd + stsz + stco))))).
+    Each track dict: handler (b'vide'/b'soun'), codec fourcc, width,
+    height, n_samples, chunk_offsets. stsz uses a uniform sample size
+    (256) so no per-sample table is needed; stsd carries one sample
+    entry (VisualSampleEntry dims at entry offset 32/34)."""
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def full(typ, payload):  # FullBox: version 0, flags 0
+        return box(typ, b"\x00\x00\x00\x00" + payload)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = full(b"mvhd",
+                struct.pack(">II", 0, 0) +               # ctime, mtime
+                struct.pack(">II", timescale, duration) +
+                struct.pack(">I", 0x00010000) +
+                struct.pack(">H", 0x0100) + b"\x00" * 10 +
+                b"\x00" * 36 + b"\x00" * 24 +
+                struct.pack(">I", len(tracks) + 1))
+    traks = b""
+    for i, t in enumerate(tracks):
+        tkhd = full(b"tkhd",
+                    struct.pack(">II", 0, 0) +
+                    struct.pack(">I", i + 1) +           # track id
+                    struct.pack(">I", 0) +
+                    struct.pack(">I", duration) +
+                    b"\x00" * 8 + struct.pack(">HH", 0, 0) +
+                    struct.pack(">H", 0) + b"\x00" * 2 +
+                    b"\x00" * 36 +
+                    struct.pack(">II", t["width"] << 16,
+                                t["height"] << 16))
+        mdhd = full(b"mdhd", struct.pack(">II", 0, 0) +
+                    struct.pack(">II", timescale, duration) +
+                    struct.pack(">HH", 0x55C4, 0))
+        hdlr = full(b"hdlr", struct.pack(">I", 0) + t["handler"] +
+                    b"\x00" * 12 + b"trk\x00")
+        if t["handler"] == b"vide":
+            se_body = (b"\x00" * 6 + struct.pack(">H", 1) +
+                       struct.pack(">HH", 0, 0) + b"\x00" * 12 +
+                       struct.pack(">HH", t["width"], t["height"]) +
+                       struct.pack(">II", 0x00480000, 0x00480000) +
+                       struct.pack(">I", 0) + struct.pack(">H", 1) +
+                       b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+        else:
+            se_body = (b"\x00" * 6 + struct.pack(">H", 1) +
+                       b"\x00" * 8 + struct.pack(">HH", 2, 16) +
+                       struct.pack(">I", 0) +
+                       struct.pack(">I", timescale << 16))
+        stsd = full(b"stsd", struct.pack(">I", 1) + box(t["codec"], se_body))
+        stsz = full(b"stsz", struct.pack(">II", 256, t["n_samples"]))
+        stco = full(b"stco", struct.pack(">I", len(t["chunk_offsets"])) +
+                    b"".join(struct.pack(">I", o)
+                             for o in t["chunk_offsets"]))
+        stbl = box(b"stbl", stsd + stsz + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        traks += box(b"trak", tkhd + mdia)
+    return ftyp + box(b"moov", mvhd + traks)
+
+
 def main():
     fixtures = {
         "rgb_4x3.bmp": bmp(4, 3,
@@ -222,6 +284,18 @@ def main():
         "clip_640x360.mp4": mp4(640, 360, 1000, 7500, n_traks=1),
         # timescale 600, duration 1200 -> 2000 ms; two 320x240 tracks
         "clip_2trak.mp4": mp4(320, 240, 600, 1200, n_traks=2),
+        # clip_stbl.mp4 (r15): full sample-table depth — one avc1 video
+        # track (320x180 sample-entry dims, 48 samples, 3 chunks) and
+        # one mp4a audio track (96 samples, 4 chunks). timescale 1000,
+        # duration 4000 -> 4000 ms.
+        "clip_stbl.mp4": mp4_tracks(1000, 4000, [
+            {"handler": b"vide", "codec": b"avc1", "width": 320,
+             "height": 180, "n_samples": 48,
+             "chunk_offsets": [4096, 8192, 12288]},
+            {"handler": b"soun", "codec": b"mp4a", "width": 0,
+             "height": 0, "n_samples": 96,
+             "chunk_offsets": [1024, 2048, 3072, 4000]},
+        ]),
     }
     os.makedirs(OUT, exist_ok=True)
     for name, data in fixtures.items():
