@@ -896,18 +896,27 @@ object OracleSql {
         |SELECT 'history', c_custkey, c_name, c_acctbal, row_active,
         |  deleted_flag, updated_at, history_created_at FROM hist""".stripMargin,
 
-    // frame slicing recomputed over VARCHAR: the corpus is pure ASCII at
-    // every SF (verified octet_length(encode(text)) == length(text)), so
-    // character substring == the Spark side's byte substring, and md5 of a
-    // VARCHAR hashes the same UTF-8 bytes as md5 of the sliced binary
+    // q58 (r15, FakeCodec retired): frame slicing over the REAL mp4
+    // payloads, content-addressed. The md5 anchors are pure byte
+    // arithmetic over the committed fixtures (python hashlib over the
+    // same 32-byte slices) — decoder-independent, like the q306 audio
+    // constants.
     "q58_frame_sampling" ->
-      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
-        |f AS (SELECT doc_id, text,
-        |    unnest(range(0, greatest((n // 32) - 1, 0) + 1, 4)) AS frame_idx
-        |  FROM m)
-        |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
-        |  md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_md5
-        |FROM f""".stripMargin,
+      s"""WITH f(media_key, name, frame_idx, frame_md5) AS (VALUES
+         |  (0::BIGINT, 'clip_2trak.mp4', 0::BIGINT,
+         |   '4f860aa53d3d6021d6ee4ac9e672f9d8'),
+         |  (0::BIGINT, 'clip_2trak.mp4', 4::BIGINT,
+         |   '0ba99e5ea769027fb2d48ea96de6981d'),
+         |  (0::BIGINT, 'clip_2trak.mp4', 8::BIGINT,
+         |   '25835a8a6d9a5c1d4737639531ec3f76'),
+         |  (1::BIGINT, 'clip_640x360.mp4', 0::BIGINT,
+         |   '9f451117a281c8635bc4080a5a3044b7'),
+         |  (1::BIGINT, 'clip_640x360.mp4', 4::BIGINT,
+         |   '2c15b22b00daaf674d577f5a324cfcba')),
+         |c AS (SELECT doc_id % 2 AS media_key, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT f.media_key, f.name, c.n_docs, f.frame_idx, f.frame_md5
+         |FROM c JOIN f USING (media_key)""".stripMargin,
 
     "q57_mixture_sample" ->
       s"""SELECT doc_id, source, lang FROM documents
@@ -3470,17 +3479,36 @@ object OracleSql {
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
 
+    // q35 (r15, FakeCodec retired): header metadata over the REAL
+    // container fixtures across the full HeaderCodec surface. Dims and
+    // channel counts are the generator's own fields (gen_image_fixtures
+    // .py / the r13 container builders); n_bytes are the committed file
+    // sizes — all decoder-independent.
     "q35_multimodal_meta" ->
-      """WITH m AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS n,
-        |    ord(substr(text, 1, 1)) AS first_byte,
-        |    list_sum(list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))))::DOUBLE AS s
-        |  FROM documents)
-        |SELECT doc_id, n::BIGINT AS n_bytes,
-        |  (64 + (first_byte % 16) * 32)::BIGINT AS width,
-        |  (64 + (n % 16) * 32)::BIGINT AS height,
-        |  floor(((s / n) * 10000) + 0.5) / 10000 AS mean_byte
-        |FROM m""".stripMargin,
+      s"""WITH f(img_key, name, n_bytes, width, height, channels)
+         |  AS (VALUES
+         |  (0::BIGINT, 'alpha_12x5.webp', 30, 12, 5, 4),
+         |  (1::BIGINT, 'extended_640x360.webp', 30, 640, 360, 4),
+         |  (2::BIGINT, 'gray_1x1.jpg', 159, 1, 1, 1),
+         |  (3::BIGINT, 'gray_5x7.png', 108, 5, 7, 1),
+         |  (4::BIGINT, 'lossless_33x21.webp', 30, 33, 21, 3),
+         |  (5::BIGINT, 'lossy_17x9.webp', 38, 17, 9, 3),
+         |  (6::BIGINT, 'pixel_1x1.gif', 35, 1, 1, 3),
+         |  (7::BIGINT, 'progressive_640x480.jpg', 3768, 640, 480, 3),
+         |  (8::BIGINT, 'rgb_3x2.png', 85, 3, 2, 3),
+         |  (9::BIGINT, 'rgb_4x3.bmp', 90, 4, 3, 3),
+         |  (10::BIGINT, 'rgb_6x2.tif', 176, 6, 2, 3),
+         |  (11::BIGINT, 'rgba_4x4.png', 133, 4, 4, 4),
+         |  (12::BIGINT, 'rot90_2x6.tif', 188, 2, 6, 3),
+         |  (13::BIGINT, 'topdown_5x4.bmp', 118, 5, 4, 3),
+         |  (14::BIGINT, 'wide_300x200.gif', 35, 300, 200, 3),
+         |  (15::BIGINT, 'ycbcr_8x16.jpg', 170, 8, 16, 3)),
+         |c AS (SELECT doc_id % 16 AS img_key, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT f.img_key, f.name, c.n_docs, f.n_bytes::INT AS n_bytes,
+         |  f.width::INT AS width, f.height::INT AS height,
+         |  f.channels::INT AS channels
+         |FROM c JOIN f USING (img_key)""".stripMargin,
 
     // blocked Jaro-Winkler linkage over canonical part names; DuckDB's
     // jaro_winkler_similarity IS the byte-based floored-transposition

@@ -419,14 +419,18 @@ object SparkEntry {
     graft.functions.Crypto.decryptColumns(enc, Seq("c_name"), codec)
   }
 
-  /** Multimodal metadata extraction: binary image column -> per-partition
-    * batched decode (stub codec; real Spark plumbing). */
+  /** Multimodal metadata extraction over REAL container bytes (r15 —
+    * FakeCodec retired from the gate surface): batched per-partition
+    * [[graft.operators.Multimodal.HeaderCodec]] parse of every DISTINCT
+    * payload across the full header surface (PNG/JPEG/GIF/WebP/BMP/TIFF
+    * incl. the header-only classes pixel decode refuses), joined to
+    * corpus counts content-addressed — the stage-one prune of a media
+    * pipeline. Constants are the generator's own dims. */
   private def q35(s: SparkSession, dir: String): DataFrame = {
-    val docs = Multimodal.withFakeImageColumn(TW(s, dir, "documents"), "text")
-    Multimodal.decodeImages(s, docs).toDF()
-      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
-        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
-        col("mean_byte"))
+    val docs = TW(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(16L)).as("img_key"))
+    Multimodal.headerMetaReport(docs, "img_key",
+      Multimodal.Fixtures.dfOf(s, Multimodal.Fixtures.headerParsable))
   }
 
   /** Full CDC processor pipeline (ref BaseProcessor composition): envelope ->
@@ -642,16 +646,25 @@ object SparkEntry {
       .select(col("source"), col("doc_id"),
         col("sample_rank").cast("long").as("sample_rank"))
 
-  /** Video-style frame sampling over the opaque binary column: every 4th
-    * 32-byte frame, with frame_idx carried alongside (md5 of the frame bytes
-    * stands in for the frame payload in the gate — the oracle can only
-    * compare scalars). */
+  /** Video frame sampling over REAL container bytes (r15 — FakeCodec
+    * retired): every 4th 32-byte frame of each DISTINCT mp4 payload
+    * (explode-with-metadata, frame_idx carried alongside), joined to
+    * corpus counts content-addressed. md5 of the frame bytes stands in
+    * for the frame payload in the gate (the oracle compares scalars);
+    * the md5 constants are byte arithmetic over the committed fixtures,
+    * decoder-independent. */
   private def q58(s: SparkSession, dir: String): DataFrame = {
-    val media = graft.operators.Multimodal.withFakeImageColumn(
-      TW(s, dir, "documents"), "text")
-    graft.operators.Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
-      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+    val docs = TW(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(2L)).as("media_key"))
+    val frames = graft.operators.Multimodal.sampleFrames(
+        graft.operators.Media.Fixtures.df(s,
+          graft.operators.Media.Fixtures.video),
+        binCol = "media", frameBytes = 32, stride = 4)
+      .select(col("media_key"), col("name"),
+        col("frame_idx").cast("long").as("frame_idx"),
         md5(col("frame")).as("frame_md5"))
+    graft.operators.Multimodal.contentAddressedJoin(docs, "media_key",
+      frames, "media_key")
   }
 
   /** Source-weighted mixture sample: deterministic per-source keep ratios

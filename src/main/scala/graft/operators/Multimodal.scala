@@ -9,15 +9,14 @@ import org.apache.spark.sql.functions._
   * layout a 100 TB multimodal corpus uses (parquet binary + pushed-down
   * metadata predicates, so a filter on width/duration never decodes bytes).
   *
-  * Three codecs behind one seam: [[HeaderCodec]] parses dims/channels
+  * Two codecs behind one seam: [[HeaderCodec]] parses dims/channels
   * straight from container headers (PNG/JPEG/GIF/WebP/BMP/TIFF — the
-  * metadata pass that prunes a corpus before any pixel work),
+  * metadata pass that prunes a corpus before any pixel work) and
   * [[PixelCodec]] runs REAL pixel decode via the JDK's own
   * `javax.imageio` (PNG/JPEG/GIF/BMP/TIFF, headless, no external
-  * library), and [[FakeCodec]] remains only for payloads that are not
-  * images at all (the text-corpus gates synthesize "media" from UTF-8
-  * text — a real decoder must refuse those, so the fake keeps the
-  * plumbing exercised where no real decode can exist).
+  * library). Every gate path runs real container bytes; payloads no
+  * codec recognizes refuse loudly (r15: the FakeCodec pseudo-decode
+  * stand-in is gone).
   */
 object Multimodal {
 
@@ -36,21 +35,6 @@ object Multimodal {
       var s = 0L; var i = 0
       while (i < n) { s += (bytes(i) & 0xff); i += 1 }
       math.round(s.toDouble / n * 10000).toDouble / 10000
-    }
-  }
-
-  /** FAKE codec — deterministic pseudo-decode for payloads that are NOT
-    * images (the documents corpus synthesizes "media" from UTF-8 text;
-    * [[PixelCodec]] would rightly refuse every one of them). Use ONLY
-    * where no real decode can exist; any path holding real container
-    * bytes belongs to [[HeaderCodec]]/[[PixelCodec]]. */
-  object FakeCodec extends ImageCodec {
-    def decodeImage(id: Long, bytes: Array[Byte]): ImageMeta = {
-      val n = bytes.length
-      val first = if (n > 0) bytes(0) & 0xff else 0
-      val width = 64 + (first % 16) * 32
-      val height = 64 + ((n % 16)) * 32
-      ImageMeta(id, n, width, height, 3, meanByte(bytes))
     }
   }
 
@@ -729,6 +713,17 @@ object Multimodal {
       * upright original at Hamming 0. Kept OUT of `decodable` so the
       * r14 gate keying (doc_id % 10) is untouched. */
     val oriented: Seq[String] = Seq("rot90_2x6.tif")
+
+    /** Every image fixture [[HeaderCodec]] parses — the `decodable` set
+      * plus the header-only class (WebP flavors the JDK cannot pixel-
+      * decode; a progressive JPEG frame header with no scan data) plus
+      * the oriented twin. The q35 header-prune gate's full surface. */
+    val headerParsable: Seq[String] = Seq(
+      "alpha_12x5.webp", "extended_640x360.webp", "gray_1x1.jpg",
+      "gray_5x7.png", "lossless_33x21.webp", "lossy_17x9.webp",
+      "pixel_1x1.gif", "progressive_640x480.jpg", "rgb_3x2.png",
+      "rgb_4x3.bmp", "rgb_6x2.tif", "rgba_4x4.png", "rot90_2x6.tif",
+      "topdown_5x4.bmp", "wide_300x200.gif", "ycbcr_8x16.jpg")
   }
 
   /** The shared content-addressed scaffold behind [[pixelStatsReport]],
@@ -740,7 +735,7 @@ object Multimodal {
     * the decoded frame's order). The broadcast is the small-distinct-side
     * case; at scale the join degrades to shuffle with identical
     * semantics. */
-  private[operators] def contentAddressedJoin(df: DataFrame, keyCol: String,
+  private[graft] def contentAddressedJoin(df: DataFrame, keyCol: String,
       decoded: DataFrame, outKey: String): DataFrame = {
     val counts = df.groupBy(col(keyCol).cast("long").as(outKey))
       .agg(count(lit(1)).cast("long").as("n_docs"))
@@ -785,6 +780,30 @@ object Multimodal {
     contentAddressedJoin(df, keyCol, decoded, "img_key")
   }
 
+  /** Content-addressed HEADER metadata report: dims/channels parsed
+    * straight from each DISTINCT payload's container header (REAL bytes,
+    * no pixel decode, no image library) joined to corpus row counts —
+    * the stage-ONE prune of a 100 TB media pipeline (dimension/aspect/
+    * format filters run here; only survivors reach [[PixelCodec]]).
+    * Covers the header-only classes pixel decode rightly refuses
+    * (JDK-undecodable WebP, scanless progressive JPEG). */
+  def headerMetaReport(df: DataFrame, keyCol: String, images: DataFrame,
+                       imgKeyCol: String = "img_key",
+                       nameCol: String = "name",
+                       binCol: String = "image"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decoded = images
+      .select(col(imgKeyCol).cast("long"), col(nameCol), col(binCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (k, name, b) =>
+        val m = HeaderCodec.decodeImage(k, b)
+        (k, name, m.n_bytes, m.width, m.height, m.channels)
+      })
+      .toDF("img_key", "name", "n_bytes", "width", "height", "channels")
+    contentAddressedJoin(df, keyCol, decoded, "img_key")
+  }
+
   /** Corpus-scale image near-dup pairing: collapse repeated
     * (name, payload) rows FIRST (the content-address step — decode cost
     * follows distinct media, not rows), dHash each survivor once, then
@@ -812,17 +831,12 @@ object Multimodal {
       .withColumn("hamming", col("hamming").cast("long"))
   }
 
-  /** Attach a binary "image" column (here synthesized from text — stands in
-    * for real media bytes read from parquet/object storage). */
-  def withFakeImageColumn(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("image", encode(col(textCol), "UTF-8"))
-
   /** Decode / feature-extract: batched per-partition map over the binary
     * column (the Scala analogue of `mapInPandas` — one iterator pass per
     * partition, no per-row task overhead, decode parallelism = partitions). */
   def decodeImages(spark: SparkSession, df: DataFrame,
                    idCol: String = "doc_id", binCol: String = "image",
-                   codec: ImageCodec = FakeCodec): Dataset[ImageMeta] = {
+                   codec: ImageCodec = HeaderCodec): Dataset[ImageMeta] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]

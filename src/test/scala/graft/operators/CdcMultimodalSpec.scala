@@ -45,13 +45,23 @@ class CdcMultimodalSpec extends SparkSpec {
     assert(value.fieldNames.toSeq == Seq("op", "before", "after", "source"))
   }
 
-  test("decodeImages computes deterministic metadata per binary payload") {
-    val df = Multimodal.withFakeImageColumn(
-      Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text"), "text")
-    val out = Multimodal.decodeImages(spark, df).collect().map(m => m.doc_id -> m).toMap
-    assert(out(1L).n_bytes == 11)
-    assert(out(1L).width == 64 + ('h' % 16) * 32)
-    assert(out(2L).n_bytes == 0 && out(2L).mean_byte == 0.0)
+  test("decodeImages batches real header decode per binary payload") {
+    val df = Seq(
+      (1L, Multimodal.Fixtures.bytes("rgb_3x2.png")),
+      (2L, Multimodal.Fixtures.bytes("lossy_17x9.webp")))
+      .toDF("doc_id", "image")
+    val out = Multimodal.decodeImages(spark, df)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).width == 3 && out(1L).height == 2 &&
+      out(1L).channels == 3 && out(1L).n_bytes == 85)
+    assert(out(2L).width == 17 && out(2L).height == 9)
+    // a non-image payload surfaces as a per-partition failure, never
+    // fabricated metadata
+    val bad = Seq((3L, "not an image".getBytes)).toDF("doc_id", "image")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(spark, bad).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   private def fixture(name: String): Array[Byte] = {
@@ -694,8 +704,8 @@ class CdcMultimodalSpec extends SparkSpec {
   }
 
   test("sampleFrames slices payload into strided fixed-size frames") {
-    val df = Multimodal.withFakeImageColumn(
-      Seq((1L, "a" * 100)).toDF("doc_id", "text"), "text")
+    val df = Seq((1L, "a" * 100)).toDF("doc_id", "text")
+      .withColumn("image", encode(col("text"), "UTF-8"))
     val frames = Multimodal.sampleFrames(df, frameBytes = 32, stride = 2)
     val idx = frames.select("frame_idx").as[Int].collect().toSeq
     assert(idx == Seq(0, 2)) // 3 frames (0,1,2), stride 2 keeps 0 and 2
