@@ -121,12 +121,22 @@ object Bench {
     val results = (1 to passes).map(_ => onePass())
       .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Machinery split (r15): the streaming replay gates spend ~3 s each
+    // on FIXED harness cost (chunk write, cold stream start) at any SF;
+    // reporting their subtotal keeps round-over-round totals comparable
+    // as operator measurements.
+    val machNames = results.keySet.intersect(SparkEntry.machineryQueries)
+    val machTotal = machNames.toSeq.map(results).sum
+    val machJson = machNames.toSeq.sorted
+      .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     // Full-precision, full-name record → file (committed as the round's
     // quiet-box anchor; survives any log truncation).
     val qsFull = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+        s""""machinery_total":$machTotal,"machinery_queries":$machJson,""" +
+        s""""sf":"$sfDir"}""" + "\n")
     // Stdout line is what the per-round harness parses from a bounded log
     // tail (last ~2000 chars), so it must stay short: query keys are the
     // qNNN prefix, timings rounded to 1 ms. 144 full-name full-precision
@@ -147,7 +157,8 @@ object Bench {
       val qs = results.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""mach":${fmt(machTotal)},"sf":"$sfDir"}"""
     }
     // The constraint: this line plus sbt's trailing "[success] Total time:
     // ..." line (~75 chars) must fit the harness's 2000-char log tail.
@@ -167,7 +178,8 @@ object Bench {
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top,""" +
-        s""""queries_omitted":${results.size - math.min(keep, results.size)},"sf":"$sfDir"}"""
+        s""""queries_omitted":${results.size - math.min(keep, results.size)},""" +
+        s""""mach":${fmt(machTotal)},"sf":"$sfDir"}"""
     }
     val line = Seq(3, 2, 1).map(render).find(_.length <= 1900)
       .getOrElse((results.size to 1 by -10).view.map(renderTop)

@@ -3864,5 +3864,19 @@ object SparkEntry {
     "q315_video_tracks" -> (q315 _)
   )
 
+  /** Gates whose bench time is dominated by FIXED replay-harness
+    * machinery — the tertile chunk write (coalesce(1) parquet per
+    * chunk), cold micro-batch stream start, and memory-sink drain of
+    * [[replayStream]] — ~3 s each at ANY SF, measuring harness, not
+    * operator. The bench reports their subtotal separately so
+    * round-over-round sweep totals compare operators (the r14 verdict's
+    * tagging demand). */
+  val machineryQueries: Set[String] = Set(
+    "q301_stream_debounce", "q302_stream_ewma_alerts",
+    "q303_stream_funnel", "q304_stream_hll",
+    "q310_stream_window_topk", "q311_stream_interval_join",
+    "q312_stream_dedup_watermark"
+  )
+
   def oracleSql: Map[String, String] = OracleSql.all
 }
