@@ -52,11 +52,13 @@ class GraftReportsSpec extends SparkSpec {
       "dsir_weights",
       // Multimodal + Media (r14)
       "pixel_stats", "image_dhash_pairs", "image_near_dups",
-      "resize_stats", "audio_stats", "video_headers")
+      "resize_stats", "audio_stats", "video_headers",
+      // r15: band-load pre-flight + stage-two video filter
+      "hamming64_bucket_profile", "video_tracks")
     assert(GraftReports.reports.keySet == want,
       s"registry drift: missing ${want.diff(GraftReports.reports.keySet)}, " +
         s"extra ${GraftReports.reports.keySet.diff(want)}")
-    assert(GraftReports.reports.size == 84)
+    assert(GraftReports.reports.size == 86)
     // every report declares its arguments (the SQL user's documentation)
     GraftReports.reports.foreach { case (name, rep) =>
       assert(rep.argNames.nonEmpty, s"$name declares no arguments")

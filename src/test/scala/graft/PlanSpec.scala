@@ -123,6 +123,7 @@ class PlanSpec extends SparkSpec {
     // cartesian product fails here before it ever reaches a benchmark.
     val bnljAllowed = Set("q23_embedding_cosine", "q24_ann_topk", "q55_tfidf",
       "q305_image_dhash", // all-pairs over the bounded broadcast image set
+      "q314_exif_orientation_dhash", // same bounded harness, rotated-twin set
                           // (10 distinct payloads; corpus-scale pairing
                           // rides SimHash-style banding, per scaladoc)
       "q76_sql_surface", "q79_unigram_logprob", "q80_hard_negatives",
