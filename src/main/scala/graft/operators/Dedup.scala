@@ -624,16 +624,23 @@ object Dedup {
     val sigs = withSigs
       .select(col(idCol).as("id"), col(sigCol).as("sig"))
       .localCheckpoint()
-    val banded = banded64(sigs)
+    val banded0 = banded64(sigs)
     // Fail-fast pre-flight (the prefix-filter candidateBudget contract):
     // the within-bucket self-join emits exactly sum(s·(s−1)/2) candidate
     // rows (an upper bound on DISTINCT pairs — a pair sharing k bands is
-    // counted k times), measured by one cheap aggregation over the
-    // banded rows the join reads anyway. A skew-collapsed signature
-    // population (hot template) is refused with the guilty band named
-    // instead of melting the cluster.
-    val prof = banded.groupBy(col("band"), col("bucket"))
+    // counted k times). The per-bucket counts are computed ONCE
+    // (bounded cardinality ≤ 4·2^16, map-side-collapsed shuffle) and
+    // PAY FOR THEMSELVES twice over: (1) the budget refusal — a
+    // skew-collapsed population (hot template) is refused with the
+    // guilty band named instead of melting the cluster; (2) a
+    // broadcast semi-filter that drops SINGLETON buckets before the
+    // self-join — on a near-dup-sparse corpus most buckets hold one
+    // signature and contribute nothing, so the join's shuffle input
+    // collapses to the multi-occupancy mass.
+    val bucketCounts = banded0.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("s"))
+      .localCheckpoint()
+    val prof = bucketCounts
       .agg(coalesce(sum(col("s") * (col("s") - 1) / 2).cast("long"),
           lit(0L)).as("pairs"),
         coalesce(max(col("s")), lit(0L)).as("max_s"),
@@ -647,6 +654,11 @@ object Dedup {
         "template mass) — filter exact duplicates first " +
         "(dropDuplicates on the signature), widen the signature, or " +
         "raise candidateBudget explicitly if the cost is intended.")
+    val banded = banded0.join(
+      broadcast(bucketCounts.filter(col("s") >= 2)
+        .select(col("band").as("__mb"), col("bucket").as("__mk"))),
+      col("band") === col("__mb") && col("bucket") === col("__mk"))
+      .drop("__mb", "__mk")
     val cands = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
