@@ -4127,7 +4127,7 @@ object OracleSql {
     // and cannot clobber the gated one.
     "q217_compression_profile" ->
       s"""WITH r AS (SELECT source, r FROM read_parquet(
-         |    '/tmp/graft_materialized/sf0.01/q217_ratios/*.parquet'))
+         |    '/tmp/graft_materialized/current/q217_ratios/*.parquet'))
          |SELECT source, count(*)::BIGINT AS n_docs,
          |  ${rnd("avg(r)", 4)} AS mean_ratio,
          |  ${rnd("min(r)", 4)} AS min_ratio,

@@ -2420,8 +2420,12 @@ object SparkEntry {
     * the pattern a 100 TB curation pipeline wants anyway: score once,
     * audit/aggregate many times. */
   private def q217(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_materialized/${new java.io.File(dir).getName}" +
-      "/q217_ratios"
+    // SF-AGNOSTIC path: the oracle is static SQL and must read the SAME
+    // artifact this run just wrote — an SF-keyed path made the sf0.001
+    // check read a stale sf0.01 materialization (the r15 fix). The
+    // run-the-query-then-check ordering is the gate's documented
+    // contract; the last Verify's materialization wins.
+    val out = "/tmp/graft_materialized/current/q217_ratios"
     TW(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         graft.functions.TextHashFunctions.deflateRatio(col("text")).as("r"))
