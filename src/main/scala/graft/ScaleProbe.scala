@@ -84,6 +84,26 @@ object ScaleProbe {
         Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 32).count()),
       "q38_simhash_pairs" -> (() =>
         Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3).count()),
+      // r15 singleton-bucket filter: hamming64NearDups now reuses its
+      // pre-flight bucket counts to drop singleton buckets before the
+      // self-join. These probes measure the join's INPUT rows (the
+      // multi-occupancy mass Σ s over buckets with s ≥ 2) against the
+      // unfiltered 4n, for the two signature regimes: the synthetic
+      // corpus's SimHash (similar docs → multi-occupancy dominates →
+      // filter ~neutral, the honest local story) and a uniform 64-bit
+      // hash (a realistic near-dup-sparse population → singletons
+      // dominate → the join input collapses)
+      "hamm64_rows_unfiltered" -> (() => docs.count() * 4),
+      "hamm64_multirows_simhash" -> (() => {
+        import org.apache.spark.sql.functions._
+        hamm64MultiRows(docs.select(col("doc_id").as("id"),
+          Dedup.simHash64(col("text")).as("sig")))
+      }),
+      "hamm64_multirows_uniform" -> (() => {
+        import org.apache.spark.sql.functions._
+        hamm64MultiRows(docs.select(col("doc_id").as("id"),
+          xxhash64(col("doc_id")).as("sig")))
+      }),
       // q108 64-bit simhash with 16-bit bands — the scale path the 32-bit
       // byte-banding measurement motivated. Candidate count = band-bucket
       // pairs (rebuilt from the public signature column; maxHamming=63
@@ -767,6 +787,23 @@ object ScaleProbe {
       println(f"""{"probe":"$name","count":$n,"sec":$dt%.2f,"sf":"$sfDir"}""")
     }
     spark.stop()
+  }
+
+  /** Multi-occupancy band-bucket mass (Σ s over buckets with s ≥ 2) of a
+    * (id, sig) frame under the 4×16-bit banding — the post-filter join
+    * input of [[graft.operators.Dedup.hamming64NearDups]], rebuilt here
+    * from the public banding definition (the q108 probe precedent). */
+  private def hamm64MultiRows(sigs: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val banded = sigs.select(col("id"), posexplode(
+      array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16)
+          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bucket")))
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .agg(coalesce(sum(col("s")), lit(0L)))
+      .head().getLong(0)
   }
 
   /** The q299 gate's deterministic paragraph structure: each single-line
