@@ -127,8 +127,11 @@ object Bench {
     // as operator measurements.
     val machNames = results.keySet.intersect(SparkEntry.machineryQueries)
     val machTotal = machNames.toSeq.map(results).sum
+    // FULL names here: this list lands in the full-name file record and
+    // must join against its queries map keys (only the size-constrained
+    // stdout line abbreviates)
     val machJson = machNames.toSeq.sorted
-      .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+      .map(n => "\"" + n + "\"").mkString("[", ",", "]")
     // Full-precision, full-name record → file (committed as the round's
     // quiet-box anchor; survives any log truncation).
     val qsFull = results.toSeq.sortBy(_._1)

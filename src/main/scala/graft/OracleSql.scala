@@ -4121,13 +4121,16 @@ object OracleSql {
     // per-doc ratio VALUES are anchored by CompressionSpec fixtures; the
     // Spark side writes them to a per-SF audit table and the oracle
     // hash-gates the downstream aggregation (grouping, 4-dp rounding,
-    // 0.35 threshold count) over the identical parquet. The correctness
-    // gate runs at sf0.01 (the driver contract), hence the pinned path —
-    // bench at sf0.1 and smoke at sf0.001 write their own subdirectories
-    // and cannot clobber the gated one.
+    // 0.35 threshold count) over the identical parquet. Per-SF
+    // subdirectories mean a bench at sf0.1 or a smoke at sf0.001 can
+    // NEVER clobber the gated sf0.01 artifact; the __GRAFT_SFNAME__
+    // token is substituted with the run's SF dir name by graft.Verify
+    // when it dumps oracle_sql.json, so the dumped oracle always reads
+    // the artifact the same run just wrote (the r15 fix for the stale
+    // cross-SF read).
     "q217_compression_profile" ->
       s"""WITH r AS (SELECT source, r FROM read_parquet(
-         |    '/tmp/graft_materialized/current/q217_ratios/*.parquet'))
+         |    '/tmp/graft_materialized/__GRAFT_SFNAME__/q217_ratios/*.parquet'))
          |SELECT source, count(*)::BIGINT AS n_docs,
          |  ${rnd("avg(r)", 4)} AS mean_ratio,
          |  ${rnd("min(r)", 4)} AS min_ratio,

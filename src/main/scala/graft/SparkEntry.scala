@@ -2420,12 +2420,14 @@ object SparkEntry {
     * the pattern a 100 TB curation pipeline wants anyway: score once,
     * audit/aggregate many times. */
   private def q217(s: SparkSession, dir: String): DataFrame = {
-    // SF-AGNOSTIC path: the oracle is static SQL and must read the SAME
-    // artifact this run just wrote — an SF-keyed path made the sf0.001
-    // check read a stale sf0.01 materialization (the r15 fix). The
-    // run-the-query-then-check ordering is the gate's documented
-    // contract; the last Verify's materialization wins.
-    val out = "/tmp/graft_materialized/current/q217_ratios"
+    // Per-SF path: a bench at sf0.1 can never clobber the gated sf0.01
+    // artifact. The oracle side stays in sync because graft.Verify
+    // substitutes __GRAFT_SFNAME__ with this dir name when dumping
+    // oracle_sql.json — the dumped oracle always reads what the same
+    // run wrote, at ANY SF (the r15 fix: the old statically-pinned
+    // sf0.01 oracle path read stale data under an sf0.001 check).
+    val out = s"/tmp/graft_materialized/${new java.io.File(dir).getName}" +
+      "/q217_ratios"
     TW(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         graft.functions.TextHashFunctions.deflateRatio(col("text")).as("r"))
@@ -3361,8 +3363,11 @@ object SparkEntry {
   private def q311(s: SparkSession, dir: String): DataFrame = {
     val out = replayEventStream(s, dir, "graft_q311",
         Seq("user_id", "ts", "event_type", "value"), "append") { df =>
+      // left side carries NO value column: only r.value is projected, and
+      // every column on a stream-stream join's buffered side lives in the
+      // state store for the whole watermark horizon
       val l = df.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("value"))
+        .select(col("user_id"), col("ts"))
       val r = df.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("value"))
       graft.streaming.EventTimeOps.intervalJoin(l, r, "user_id", "ts",
@@ -3391,6 +3396,16 @@ object SparkEntry {
     val base = T(s, dir, "events")
       .filter(keep.map(c => col(c).isNotNull).reduce(_ && _))
       .select(keep.map(col): _*)
+    // The provably-re-emitted/provably-suppressed identities above assume
+    // the base table spans weeks (tertile ≈ 10 d >> the 2 d horizon and
+    // the 4 d far-twin source window). Enforce it — a short-span events
+    // table would silently flip far twins to suppressed and fail the
+    // hardcoded oracle with no hint why.
+    val spanMs = base.agg((max(unix_millis(col("ts"))) -
+      min(unix_millis(col("ts")))).as("span")).head().getLong(0)
+    require(spanMs >= 10L * 86400000L,
+      s"q312 needs an events span >= 10 days for its provable " +
+        s"suppress/re-emit margins (got ${spanMs / 86400000L} days)")
     val near = base.filter(pmod(col("event_id"), lit(3L)) === 0)
       .withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES"))
     val far = base

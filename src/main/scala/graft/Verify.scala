@@ -42,8 +42,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Per-SF token: q217's materialize-then-audit oracle must read the
+    // artifact THIS run wrote (per-SF subdirectory), so the dumped SQL
+    // carries the run's SF dir name in place of __GRAFT_SFNAME__.
+    val sfName = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__GRAFT_SFNAME__", sfName))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -572,15 +572,6 @@ object Dedup {
         .select(col(idCol), simHash64(col(textCol)).as("__sig64")),
       idCol, "__sig64", maxHamming)
 
-  /** Banded near-dup pairing over a PRECOMPUTED 64-bit signature column —
-    * the generic engine behind [[simHashNearDups64]] (text SimHash) and
-    * [[Multimodal.imageNearDups]] (perceptual dHash): 4 disjoint 16-bit
-    * bands, candidates = pairs sharing any band, verify = exact Hamming.
-    * Recall is COMPLETE by pigeonhole for maxHamming < 4 (≤ 3 flipped
-    * bits touch ≤ 3 bands, so one band is untouched and the pair
-    * collides there). 16-bit bands keep per-band candidate mass at
-    * O(n²/2^16) under a uniform signature — the banding, never
-    * all-pairs, is what survives a 100× corpus. */
   /** The 4×16-bit band explosion shared by [[hamming64NearDups]] and
     * [[hamming64BucketProfile]]: one row per (id, band) with the band's
     * 16-bit bucket value. */
@@ -615,6 +606,15 @@ object Dedup {
       .select(col("band").cast("long").as("band"), col("n_buckets"),
         col("n_multi"), col("max_bucket"), col("cand_pairs"))
 
+  /** Banded near-dup pairing over a PRECOMPUTED 64-bit signature column —
+    * the generic engine behind [[simHashNearDups64]] (text SimHash) and
+    * [[Multimodal.imageNearDups]] (perceptual dHash): 4 disjoint 16-bit
+    * bands, candidates = pairs sharing any band, verify = exact Hamming.
+    * Recall is COMPLETE by pigeonhole for maxHamming < 4 (≤ 3 flipped
+    * bits touch ≤ 3 bands, so one band is untouched and the pair
+    * collides there). 16-bit bands keep per-band candidate mass at
+    * O(n²/2^16) under a uniform signature — the banding, never
+    * all-pairs, is what survives a 100× corpus. */
   def hamming64NearDups(withSigs: DataFrame, idCol: String, sigCol: String,
                         maxHamming: Int = 3,
                         candidateBudget: Long = 100000000L): DataFrame = {

@@ -387,6 +387,14 @@ object Multimodal {
         else if (img.getColorModel.hasAlpha)
           java.awt.image.BufferedImage.TYPE_INT_ARGB
         else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // bulk read/remap/write: per-pixel getRGB/setRGB round-trips pay a
+      // ColorModel conversion + bounds check EACH — one bulk conversion
+      // pass into an int[] then an index remap is identical output at a
+      // fraction of the cost (the decode-adjacent hot loop of a corpus
+      // pass over rotated images)
+      val src: Array[Int] =
+        if (grayRaster) null else img.getRGB(0, 0, w, h, null, 0, w)
+      val dst: Array[Int] = if (grayRaster) null else new Array[Int](ow * oh)
       var y = 0
       while (y < oh) {
         var x = 0
@@ -407,11 +415,12 @@ object Multimodal {
           }
           if (grayRaster) out.getRaster.setSample(x, y, 0,
             img.getRaster.getSample(sx, sy, 0))
-          else out.setRGB(x, y, img.getRGB(sx, sy))
+          else dst(y * ow + x) = src(sy * w + sx)
           x += 1
         }
         y += 1
       }
+      if (!grayRaster) out.setRGB(0, 0, ow, oh, dst, 0, ow)
       out
     }
 
@@ -647,12 +656,14 @@ object Multimodal {
     // design. It is SQL-reachable (graft_report), so the bounded-set
     // precondition must be ENFORCED, not just documented: a user pointing
     // it at a corpus-scale image table would get O(n^2) pairing plus a
-    // driver broadcast of every hash. Count first (cheap — names only)
-    // and refuse loudly past the bound; the scale path is imageNearDups.
-    val n = images.select(col(nameCol)).count()
+    // driver broadcast of every hash. The probe reads AT MOST
+    // maxImages+1 rows (limit-then-count — a full count would itself
+    // scan the corpus-scale table it exists to refuse) and errors past
+    // the bound; the scale path is imageNearDups.
+    val n = images.select(col(nameCol)).limit(maxImages + 1).count()
     require(n <= maxImages,
       s"image_dhash_pairs is the all-pairs verification harness and is " +
-        s"capped at maxImages=$maxImages rows (got $n); use " +
+        s"capped at maxImages=$maxImages rows (got more); use " +
         "image_near_dups (banded, never all-pairs) for corpus-scale " +
         "pairing")
     val hashed = images.select(col(nameCol), col(binCol))
