@@ -773,6 +773,12 @@ object OracleSql {
     "q132_ivf_append" -> ivfOracle(nCentroids = 32, maxQueryId = 6, nProbe = 8,
       k = 3, centroidWhere = "vec_id % 5 <> 0"),
 
+    // compaction path: EXACTLY q132's semantics — folding segments into
+    // the base changes layout, never results, so the oracle is the same
+    // full-corpus probe over the base-build centroid pool
+    "q317_ivf_compact" -> ivfOracle(nCentroids = 32, maxQueryId = 6,
+      nProbe = 8, k = 3, centroidWhere = "vec_id % 5 <> 0"),
+
     "q41_salted_join" ->
       s"""SELECT o.o_orderstatus, count(*)::BIGINT AS n_rows,
          |  ${rnd("sum(l.l_quantity)", 2)} AS sum_qty
@@ -6680,12 +6686,20 @@ object OracleSql {
     // original's anchor — the payoff row is the pair at Hamming 0, the
     // rotated-duplicate class raw stored-raster hashing misses
     // (CdcMultimodalSpec asserts the equality decoder-side first).
+    // r16 widens the fixture list with the committed rotated-JPEG twins
+    // (tools/GenRotatedJpeg: gray, 8x8-block-constant, quality 1.0 — the
+    // construction that makes a LOSSY format rotation-exact): the APP1
+    // orientation-6 path now gates on a real committed file, at the same
+    // Hamming 0 as the TIFF pair. Constants decoder-anchored by
+    // CdcMultimodalSpec first (q217 precedent).
     "q314_exif_orientation_dhash" ->
       s"""WITH d(name, h) AS (VALUES
          |  ('rgb_6x2.tif', 7885078839350357357::BIGINT),
          |  ('rot90_2x6.tif', 7885078839350357357::BIGINT),
          |  ('rgb_4x3.bmp', 3038287259199220266::BIGINT),
-         |  ('gray_5x7.png', 6148914691236517205::BIGINT))
+         |  ('gray_5x7.png', 6148914691236517205::BIGINT),
+         |  ('rotpair_32x16.jpg', 8825501086245354106::BIGINT),
+         |  ('rotpair_16x32.jpg', 8825501086245354106::BIGINT))
          |SELECT a.name AS name_a, b.name AS name_b,
          |  bit_count(xor(a.h, b.h))::BIGINT AS hamming
          |FROM d a JOIN d b ON a.name < b.name""".stripMargin,
@@ -6711,6 +6725,47 @@ object OracleSql {
          |  f.width::INT AS width, f.height::INT AS height,
          |  f.n_samples, f.n_chunks
          |FROM c JOIN f USING (media_key)""".stripMargin,
+
+    // q316: 128-bit simhash replayed bit-for-bit from the FULL md5 (word 0
+    // = hex chars 1-16 — the q108 hash64 verbatim — word 1 = chars 17-32),
+    // then BRUTE-FORCE all-pairs Hamming <= 4 summed across both words —
+    // deliberately not banded, so this row doubles as the recall proof for
+    // the Spark twin's 5x25-26-bit banding
+    "q316_simhash128_neardups" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |hs AS (SELECT doc_id,
+        |    list_transform(t, x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT) AS h0,
+        |    list_transform(t, x -> ('0x' || substr(md5(x), 17, 16))::UBIGINT) AS h1
+        |  FROM toks),
+        |sigs AS (SELECT doc_id,
+        |    list_sum(list_transform(range(0, 64), j ->
+        |      CASE WHEN list_sum(list_transform(h0, h ->
+        |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |           THEN (1::HUGEINT << j) ELSE 0::HUGEINT END))::UBIGINT AS w0,
+        |    list_sum(list_transform(range(0, 64), j ->
+        |      CASE WHEN list_sum(list_transform(h1, h ->
+        |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |           THEN (1::HUGEINT << j) ELSE 0::HUGEINT END))::UBIGINT AS w1
+        |  FROM hs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)))::BIGINT
+        |    AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 4""".stripMargin,
+
+    // q318: fully INDEPENDENT journal audit — expected fact counts are
+    // recomputed from the source parquet (an all-insert CDC ingest's
+    // input_rows == output_rows == table count) and the terminal status
+    // row per pipeline is the pinned literal, never read back from what
+    // the Spark side wrote
+    "q318_journal_audit" ->
+      """SELECT 'pd_nation' AS pipeline_def_id,
+        |  count(*)::BIGINT AS input_rows, count(*)::BIGINT AS output_rows,
+        |  'pd_nation_nation' AS task_name, 'Finished' AS status FROM nation
+        |UNION ALL
+        |SELECT 'pd_region', count(*)::BIGINT, count(*)::BIGINT,
+        |  'pd_region_region', 'Finished' FROM region""".stripMargin,
 
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops

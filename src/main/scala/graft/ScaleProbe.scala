@@ -123,6 +123,38 @@ object ScaleProbe {
       }),
       "q108_simhash64_pairs" -> (() =>
         Dedup.simHashNearDups64(docs, "text", "doc_id", maxHamming = 3).count()),
+      // r16 wider-signature regime (q316): the 128-bit engine's 5×25-26-bit
+      // bands carry 2^25-2^26 buckets/band vs the 64-bit engine's 2^16 —
+      // these probes measure the SAME two quantities as the hamm64 rows
+      // (join-input multi-occupancy mass; distinct banded candidates) so
+      // the saturation cliff is directly comparable across regimes: on a
+      // uniform population the 64-bit engine's multi mass grows
+      // super-linearly past ~50k sigs (birthday load ≥ 0.76/bucket) while
+      // the 128-bit engine's stays ~0 until three decades later
+      "hamm128_rows_unfiltered" -> (() => docs.count() * 5),
+      "hamm128_multirows_simhash" -> (() => {
+        import org.apache.spark.sql.functions._
+        hamm128MultiRows(docs.select(col("doc_id").as("id"),
+          Dedup.simHash128(col("text")).as("sig")))
+      }),
+      "hamm128_multirows_uniform" -> (() => {
+        import org.apache.spark.sql.functions._
+        hamm128MultiRows(docs.select(col("doc_id").as("id"),
+          array(xxhash64(col("doc_id")),
+            xxhash64(col("doc_id"), lit(1))).as("sig")))
+      }),
+      "q316_simhash128_cand" -> (() => {
+        import org.apache.spark.sql.functions._
+        val banded = Dedup.banded128(docs.select(col("doc_id").as("id"),
+          Dedup.simHash128(col("text")).as("sig")).localCheckpoint())
+        banded.alias("a").join(banded.alias("b"),
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+          .select(col("a.id"), col("b.id")).distinct().count()
+      }),
+      "q316_simhash128_pairs" -> (() =>
+        Dedup.simHashNearDups128(docs, "text", "doc_id", maxHamming = 4)
+          .count()),
       // q85 aligned-window blocking (window=64, stride=32, maxPostings=1000)
       "q85_window_cand" -> (() =>
         Dedup.sharedWindowPairs(docs, "doc_id", "text").count()),
@@ -800,6 +832,19 @@ object ScaleProbe {
         shiftrightunsigned(col("sig"), b * 16)
           .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bucket")))
     banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .agg(coalesce(sum(col("s")), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** [[hamm64MultiRows]] for the 128-bit engine: multi-occupancy mass
+    * under the REAL [[graft.operators.Dedup.banded128]] 5-band explosion
+    * (private[graft] — the probe measures the operator's own banding). */
+  private def hamm128MultiRows(sigs: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    Dedup.banded128(sigs)
+      .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("s"))
       .filter(col("s") >= 2)
       .agg(coalesce(sum(col("s")), lit(0L)))

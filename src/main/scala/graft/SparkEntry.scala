@@ -1589,6 +1589,38 @@ object SparkEntry {
         round(col("cosine"), 3).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF segment compaction (q132's maintenance close-out): two append
+    * segments folded back into the bucketed base via
+    * [[graft.operators.Similarity.compactIvfIndex]], then probed. The
+    * oracle is q132's EXACT probe semantics over the full corpus —
+    * compaction changes layout, never results — and the gate refuses to
+    * answer unless the segment dirs and append log are really gone, so a
+    * green row proves both the fold and the truncation. */
+  private def q317(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = T(s, dir, "embeddings")
+    val idxDir = scratchDir("graft_q317")
+    val ev = Tables.widen(e).select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfIndex(ev.filter(col("vec_id") % 5 =!= 0),
+      nCentroids = 32, idxDir)
+    Similarity.appendToIvfIndex(
+      ev.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0),
+      idxDir, appId = "q317", batchId = 1L)
+    Similarity.appendToIvfIndex(
+      ev.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 =!= 0),
+      idxDir, appId = "q317", batchId = 2L)
+    Similarity.compactIvfIndex(s, idxDir)
+    require(!new java.io.File(s"$idxDir/appends").exists() &&
+        !new java.io.File(s"$idxDir/append_log").exists(),
+      "compactIvfIndex left segment dirs or the append log behind")
+    val queries = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfTopKFromIndex(s, idxDir, queries, k = 3, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 3).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Per-doc lexical diversity: word entropy, type-token ratio, hapax
     * fraction — the vocabulary-richness quality features. */
   private def q133(s: SparkSession, dir: String): DataFrame =
@@ -3137,20 +3169,52 @@ object SparkEntry {
     * batches, which is exactly the order the stateful operators apply
     * in-batch and the DuckDB oracles replay. Memory sink is gate-scale
     * plumbing only; a production run writes a real sink. */
+  /** Shared chunked-input directory for the event-stream replay gates:
+    * q301-q304/q310/q311 each used to chunk-prep their own tertile parquet
+    * (3 coalesce(1) writes + a min/max scan PER GATE — the ~38 s/sweep
+    * pure-harness tax the r15 verdict named). The chunk content depends
+    * only on the events table, so ONE superset chunking (user_id, ts,
+    * event_type, value) serves every gate — valid only while no shared
+    * column carries nulls (a gate's own null filter could otherwise keep
+    * a row the superset filter dropped, shifting the tertile boundaries
+    * its oracle replays). The one-agg null probe checks that per dir and
+    * falls back to the private per-gate chunking when it fails, so a
+    * testdata regen can slow these gates but never silently flip them. */
+  private val sharedChunkCols = Seq("user_id", "ts", "event_type", "value")
+  private val sharedChunkDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(String, org.apache.spark.sql.types.StructType)]]()
+  private def sharedEventChunks(s: SparkSession, dir: String)
+      : Option[(String, org.apache.spark.sql.types.StructType)] =
+    sharedChunkDirs.computeIfAbsent(dir, _ => {
+      val ev = T(s, dir, "events").select(sharedChunkCols.map(col): _*)
+      val nulls = ev.select(sharedChunkCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*).head()
+      if (sharedChunkCols.indices.exists(i => nulls.getLong(i) != 0L)) None
+      else {
+        val root = scratchDir("graft_evchunks")
+        writeTsChunks(ev, root)
+        Some((root, ev.schema))
+      }
+    })
+
   private def replayEventStream(s: SparkSession, dir: String,
       prefix: String, cols: Seq[String], outputMode: String)
       (build: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame =
-    replayStream(s, T(s, dir, "events")
-      .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
-      .select(cols.map(col): _*), prefix, outputMode)(build)
+    sharedEventChunks(s, dir) match {
+      case Some((root, schema)) =>
+        runReplay(s, root, schema, prefix, outputMode)(st =>
+          build(st.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+            .select(cols.map(col): _*)))
+      case None =>
+        replayStream(s, T(s, dir, "events")
+          .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+          .select(cols.map(col): _*), prefix, outputMode)(build)
+    }
 
-  /** [[replayEventStream]] over a CALLER-PREPARED event frame (must carry
-    * a `ts` column and no nulls on the streamed columns) — the variant
-    * the dedup gate needs to plant duplicate rows before chunking. */
-  private def replayStream(s: SparkSession, ev: DataFrame,
-      prefix: String, outputMode: String)
-      (build: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame = {
-    val root = scratchDir(prefix)
+  /** Split an event frame into three strictly-chronological parquet chunk
+    * files by event-time tertile under `root/in`, mod-times pinned so the
+    * file source replays them in order, one per micro-batch. */
+  private def writeTsChunks(ev: DataFrame, root: String): Unit = {
     val mm = ev.agg(min(unix_millis(col("ts"))),
       max(unix_millis(col("ts")))).head()
     val lo = mm.getLong(0)
@@ -3170,16 +3234,44 @@ object SparkEntry {
           dst.setLastModified(1700000000000L + c * 60000L)
         }
     }
+  }
+
+  /** Start → drain → stop a memory-sink replay over a prepared chunk dir.
+    * Shuffle partitions are pinned LOW for the query's lifetime: every
+    * stateful operator schedules one state-store task per shuffle
+    * partition per micro-batch, and a session default sized for the batch
+    * gates (32-200) buys nothing at gate scale but 3× the task-launch
+    * overhead per replay (r15 verdict item 3). The conf is restored after
+    * stop — batch plans around the replay are untouched. */
+  private def runReplay(s: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      prefix: String, outputMode: String)
+      (build: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame = {
     val qn = prefix + "_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = s.readStream.schema(ev.schema)
+    val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
-    val q = build(stream).writeStream.outputMode(outputMode)
-      .format("memory").queryName(qn).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = s.table(qn).localCheckpoint()
+    val prevSP = s.conf.get("spark.sql.shuffle.partitions")
+    val out = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = build(stream).writeStream.outputMode(outputMode)
+        .format("memory").queryName(qn).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).localCheckpoint()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
     s.catalog.dropTempView(qn)
     out
+  }
+
+  /** [[replayEventStream]] over a CALLER-PREPARED event frame (must carry
+    * a `ts` column and no nulls on the streamed columns) — the variant
+    * the dedup gate needs to plant duplicate rows before chunking. */
+  private def replayStream(s: SparkSession, ev: DataFrame,
+      prefix: String, outputMode: String)
+      (build: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame = {
+    val root = scratchDir(prefix)
+    writeTsChunks(ev, root)
+    runReplay(s, root, ev.schema, prefix, outputMode)(build)
   }
 
   /** Streaming per-key DEBOUNCE replay gate: the real
@@ -3406,6 +3498,17 @@ object SparkEntry {
     require(spanMs >= 10L * 86400000L,
       s"q312 needs an events span >= 10 days for its provable " +
         s"suppress/re-emit margins (got ${spanMs / 86400000L} days)")
+    // ... and an UPPER bound: the far twin (+25 d) must land at least one
+    // tertile chunk (span/3) after its original's state expiry (ts + 2 d
+    // horizon). span <= 60 d keeps 25 d > span/3 + 2 d with margin — past
+    // ~69 d the tertile chunking puts far twins in the SAME micro-batch
+    // as their originals, flipping them to suppressed and failing the
+    // hardcoded oracle with no hint why.
+    require(spanMs <= 60L * 86400000L,
+      s"q312 needs an events span <= 60 days so +25 d far twins land a " +
+        s"full tertile past original-state expiry (got " +
+        s"${spanMs / 86400000L} days) — widen the twin offset with the " +
+        "span if the table grows")
     val near = base.filter(pmod(col("event_id"), lit(3L)) === 0)
       .withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES"))
     val far = base
@@ -3453,7 +3556,11 @@ object SparkEntry {
   private def q314(s: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.imageDHashPairs(
       graft.operators.Multimodal.Fixtures.dfOf(s, Seq(
-        "rgb_6x2.tif", "rot90_2x6.tif", "rgb_4x3.bmp", "gray_5x7.png")))
+        "rgb_6x2.tif", "rot90_2x6.tif", "rgb_4x3.bmp", "gray_5x7.png",
+        // committed rotated-JPEG twins (tools/GenRotatedJpeg): the EXIF
+        // APP1 orientation-6 path on a real file, Hamming 0 by the
+        // block-constant quality-1.0 construction
+        "rotpair_32x16.jpg", "rotpair_16x32.jpg")))
 
   /** ISO-BMFF sample-table depth gate (q307's stage two): per-track
     * codec fourcc / coded dims / sample count / chunk count from the
@@ -3467,6 +3574,69 @@ object SparkEntry {
     graft.operators.Media.videoTrackReport(docs, "media_key",
       graft.operators.Media.Fixtures.df(s,
         graft.operators.Media.Fixtures.videoTracks))
+  }
+
+  /** 128-bit SimHash near-dups — the wider-signature regime that breaks
+    * the 64-bit engine's 2^16-bucket band saturation (r15 probe: benefit
+    * decay 93%→53% over one decade; this engine's 2^25-26-bucket bands
+    * push the cliff out ~three decades). 5 bands, pigeonhole-complete at
+    * Hamming ≤ 4 — one radius DEEPER than the 64-bit path's ≤ 3. The
+    * oracle is BRUTE-FORCE all-pairs Hamming over both md5-replayed
+    * signature words, so a green row is also the recall proof for the
+    * 5-band scheme. */
+  private def q316(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDups128(T(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 4)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+
+  /** Journal/bookkeeping audit — the last reference-parity layer brought
+    * under the DuckDB oracle (it was spec-only through r15): a
+    * deterministic TWO-TABLE metadata-driven ingest (nation + region as
+    * all-insert CDC envelopes through the real
+    * reader→processor→writer pipelines) journals facts and statuses, and
+    * the gate returns the journal's deterministic projection. The oracle
+    * is fully INDEPENDENT — it recomputes the expected fact row counts
+    * from the source parquet and pins the terminal status literals — so a
+    * green row proves the journal recorded what actually flowed, not just
+    * that the same file reads back twice. Timestamps/runIds (wall-clock,
+    * UUID) are projected OUT, as any journal audit query would. */
+  private def q318(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{IngestionJob, Journal, TableConfig}
+    val root = scratchDir("graft_q318")
+    val journal = new Journal(s, s"$root/journal")
+    import s.implicits._
+    def cfg(defId: String, table: String, key: String) = TableConfig.fromRow(
+      Seq((defId, table, "scd1", key, "", "", "",
+        """{"format":"parquet"}""",
+        """[{"condtionType":"match","condition":"updates.row_active = false",
+           |  "updateInsertMap":{"deleted_flag":"true"}},
+           |{"condtionType":"match"},
+           |{"condtionType":"notmatch"}]""".stripMargin))
+        .toDF("pipeline_def_id", "table_name", "scd_type", "join_key",
+          "partition_id_col", "updated_at_col", "extra_join_cond",
+          "op_config", "merge_cond").collect().head)
+    def env(table: String): DataFrame = {
+      val t = T(s, dir, table)
+      t.select(struct(lit("c").as("op"),
+        struct(t.columns.map(col): _*).as("before"),
+        struct(t.columns.map(col): _*).as("after"),
+        struct(lit("db0").as("db"), lit(1L).as("server_id")).as("source"))
+        .as("value"))
+    }
+    val cfgs = Seq(cfg("pd_nation", "nation", "n_nationkey"),
+      cfg("pd_region", "region", "r_regionkey"))
+    val ok = IngestionJob.run(s, cfgs, c => () => env(c.tableName),
+      s"$root/tgt", journal = Some(journal), parallelism = 1)
+    require(ok.values.forall(identity), s"q318 ingest failed: $ok")
+    journal.facts.read
+      .select(col("pipelineDefId").as("pipeline_def_id"),
+        col("inputRows").as("input_rows"),
+        col("outputRows").as("output_rows"))
+      .join(journal.status.read.select(
+        col("pipelineDefId").as("pipeline_def_id"),
+        col("taskName").as("task_name"), col("status")),
+        Seq("pipeline_def_id"))
   }
 
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
@@ -3880,7 +4050,10 @@ object SparkEntry {
     "q312_stream_dedup_watermark" -> (q312 _),
     "q313_hamming_band_profile" -> (q313 _),
     "q314_exif_orientation_dhash" -> (q314 _),
-    "q315_video_tracks" -> (q315 _)
+    "q315_video_tracks" -> (q315 _),
+    "q316_simhash128_neardups" -> (q316 _),
+    "q317_ivf_compact" -> (q317 _),
+    "q318_journal_audit" -> (q318 _)
   )
 
   /** Gates whose bench time is dominated by FIXED replay-harness

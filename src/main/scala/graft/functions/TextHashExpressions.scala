@@ -106,6 +106,20 @@ object TextHashExpression {
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     h
   }
+
+  /** ALL 16 md5 digest bytes as two big-endian longs — word 0 is
+    * [[hash64]] verbatim (hex chars 1-16), word 1 the remaining 8 bytes
+    * (hex chars 17-32). The 128-bit token hash behind [[SimHashSig128]]. */
+  def hash128(s: UTF8String): (Long, Long) = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h0 = 0L; var h1 = 0L
+    var i = 0
+    while (i < 8) { h0 = (h0 << 8) | (d(i) & 0xffL); i += 1 }
+    while (i < 16) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
+    (h0, h1)
+  }
 }
 
 /** `array<string>` of word k-shingles (the HOF `Dedup.shingles` semantics). */
@@ -262,6 +276,53 @@ case class SimHashSig64(child: Expression) extends TextHashExpression {
     copy(child = newChild)
 }
 
+/** 128-bit SimHash over word tokens as `array<bigint>` [w0, w1] — the
+  * band-saturation escape hatch for corpora past ~10⁵-10⁶ signatures per
+  * dedup group, where the 64-bit engine's 2^16-bucket bands saturate
+  * (expected load ≥ 0.76/bucket at 50k docs — SCALEPROBE_r15 measured the
+  * singleton-filter benefit decaying 93%→53% over one decade for exactly
+  * this reason). 128 bits carry 5 bands of 25-26 bits = 2^25-2^26 buckets
+  * per band: uniform-signature candidate expectation drops ~2^9-2^10×
+  * versus the 16-bit bands at the same corpus size, pushing the
+  * saturation point out by three decades (~10⁸-10⁹ sigs/group).
+  *
+  * Semantics mirror [[SimHashSig64]] exactly, just wider: bit j of word w
+  * votes on bit j of the token's md5 word w ([[TextHashExpression.hash128]]
+  * — word 0 is hash64 verbatim, so bits 0-63 of this signature EQUAL the
+  * 64-bit signature; the DuckDB oracle replays both words from the md5
+  * hex). Ties (vote sum 0) clear the bit, as in the 32/64-bit twins. */
+case class SimHashSig128(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash128"
+
+  override def compute(s: UTF8String): Any = {
+    val toks = TextHashExpression.tokensOf(s)
+    val votes = new Array[Int](128)
+    var i = 0
+    while (i < toks.length) {
+      val (h0, h1) = TextHashExpression.hash128(toks(i))
+      var j = 0
+      while (j < 64) {
+        if (((h0 >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        if (((h1 >>> j) & 1L) == 1L) votes(64 + j) += 1 else votes(64 + j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var w0 = 0L; var w1 = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) w0 |= (1L << j)
+      if (votes(64 + j) > 0) w1 |= (1L << j)
+      j += 1
+    }
+    new GenericArrayData(Array(w0, w1))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One greedy left-to-right BPE merge pass: every adjacent (a, b) token
   * pair collapses to the concatenation `ab`, non-overlapping (after a
   * merge, scanning resumes AFTER the merged token — "aaa" under (a,a)
@@ -323,6 +384,8 @@ object TextHashFunctions {
       es => SimHashSig(es(0)))
     Registry.ensure(spark, "graft_simhash64")(
       es => SimHashSig64(es(0)))
+    Registry.ensure(spark, "graft_simhash128")(
+      es => SimHashSig128(es(0)))
     Registry.ensure(spark, "graft_normalize_text")(
       es => NormalizeText(es(0)))
     Registry.ensure(spark, "graft_deflate_ratio")(
@@ -352,6 +415,8 @@ object TextHashFunctions {
     { ensure(); call_function("graft_simhash", text) }
   def simHash64(text: Column): Column =
     { ensure(); call_function("graft_simhash64", text) }
+  def simHash128(text: Column): Column =
+    { ensure(); call_function("graft_simhash128", text) }
   def normalizeText(text: Column): Column =
     { ensure(); call_function("graft_normalize_text", text) }
   def deflateRatio(text: Column): Column =

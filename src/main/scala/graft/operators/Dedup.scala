@@ -141,7 +141,10 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_buckets"),
         sum(when(col("s") >= 2, 1L).otherwise(0L)).cast("long").as("n_multi"),
         max(col("s")).cast("long").as("max_bucket"),
-        sum(col("s") * (col("s") - 1) / 2).cast("long").as("cand_pairs"))
+        // integer throughout: Σ s·(s−1) is even, so the halving is exact
+        // under `div` long arithmetic — Divide would route through double
+        // and lose exactness past 2^53 implied pairs under extreme skew
+        expr("sum(s * (s - 1)) div 2").cast("long").as("cand_pairs"))
       .select(col("band").cast("long").as("band"), col("n_buckets"),
         col("n_multi"), col("max_bucket"), col("cand_pairs"))
   }
@@ -553,6 +556,11 @@ object Dedup {
   def simHash64(text: Column): Column =
     graft.functions.TextHashFunctions.simHash64(text)
 
+  /** 128-bit SimHash signature as `array<bigint>` [w0, w1]
+    * ([[graft.functions.SimHashSig128]]); w0 equals [[simHash64]]. */
+  def simHash128(text: Column): Column =
+    graft.functions.TextHashFunctions.simHash128(text)
+
   /** [[simHashNearDups]]'s SCALE path: the same Hamming <= `maxHamming`
     * near-dup contract, over a 64-BIT signature banded into 4 disjoint
     * 16-bit bands. The pigeonhole guarantee is unchanged (<= 3 differing
@@ -602,7 +610,10 @@ object Dedup {
         sum(when(col("s") >= 2, 1L).otherwise(0L)).cast("long")
           .as("n_multi"),
         max(col("s")).cast("long").as("max_bucket"),
-        sum(col("s") * (col("s") - 1) / 2).cast("long").as("cand_pairs"))
+        // integer throughout: Σ s·(s−1) is even, so the halving is exact
+        // under `div` long arithmetic — Divide would route through double
+        // and lose exactness past 2^53 implied pairs under extreme skew
+        expr("sum(s * (s - 1)) div 2").cast("long").as("cand_pairs"))
       .select(col("band").cast("long").as("band"), col("n_buckets"),
         col("n_multi"), col("max_bucket"), col("cand_pairs"))
 
@@ -624,29 +635,62 @@ object Dedup {
     val sigs = withSigs
       .select(col(idCol).as("id"), col(sigCol).as("sig"))
       .localCheckpoint()
-    val banded0 = banded64(sigs)
-    // Fail-fast pre-flight (the prefix-filter candidateBudget contract):
-    // the within-bucket self-join emits exactly sum(s·(s−1)/2) candidate
-    // rows (an upper bound on DISTINCT pairs — a pair sharing k bands is
-    // counted k times). The per-bucket counts are computed ONCE
-    // (bounded cardinality ≤ 4·2^16, map-side-collapsed shuffle) and
-    // PAY FOR THEMSELVES twice over: (1) the budget refusal — a
-    // skew-collapsed population (hot template) is refused with the
-    // guilty band named instead of melting the cluster; (2) a
-    // broadcast semi-filter that drops SINGLETON buckets before the
-    // self-join — on a near-dup-sparse corpus most buckets hold one
-    // signature and contribute nothing, so the join's shuffle input
-    // collapses to the multi-occupancy mass.
+    bandedHammingPairs(banded64(sigs), maxHamming, candidateBudget,
+      "hamming64NearDups",
+      (a, b) => bit_count(a.bitwiseXOR(b)))
+  }
+
+  /** Singleton-filter engagement threshold for [[bandedHammingPairs]]: the
+    * filter join runs only when multi-occupancy rows are at most this
+    * fraction of the banded input, i.e. when dropping singletons removes
+    * at least 40% of the self-join's shuffle input. The r15 decade probe
+    * (SCALEPROBE_r15.jsonl) pins both regimes: a near-dup-DENSE population
+    * (corpus SimHash: 80-95% multi) gains nothing from the filter and paid
+    * +21-30% for it on the q96/q172 composed gates, while a near-dup-SPARSE
+    * (uniform-signature, the realistic crawl) population sits at 7-53%
+    * multi and the filter cuts 47-93% of the join input. 0.6 separates the
+    * two regimes with margin on both sides. */
+  private val SingletonFilterMaxMultiFrac = 0.6
+
+  /** The shared banded-Hamming candidate engine behind [[hamming64NearDups]]
+    * (4×16-bit bands over one long) and [[hamming128NearDups]] (5×25-26-bit
+    * bands over two longs): within-bucket self-join → distinct → exact
+    * Hamming verify, guarded by a fail-fast pre-flight.
+    *
+    * Pre-flight (the prefix-filter candidateBudget contract): the
+    * within-bucket self-join emits exactly Σ s·(s−1)/2 candidate rows (an
+    * upper bound on DISTINCT pairs — a pair sharing k bands is counted k
+    * times). The per-bucket counts are computed ONCE (bounded cardinality
+    * ≤ bands·bucketSpace, map-side-collapsed shuffle) and pay for
+    * themselves twice: (1) the budget refusal — a skew-collapsed population
+    * (hot template) is refused with the guilty band named instead of
+    * melting the cluster; the pair sum stays in LONG arithmetic end to end
+    * (Σ s·(s−1) halved driver-side — even, so exact; a double Divide loses
+    * exactness past 2^53 implied pairs); (2) a broadcast semi-filter that
+    * drops SINGLETON buckets before the self-join — engaged ONLY when the
+    * same counts say it pays ([[SingletonFilterMaxMultiFrac]]): on a
+    * near-dup-sparse corpus most buckets hold one signature and the join's
+    * shuffle input collapses to the multi-occupancy mass, while on a
+    * dup-dense population the filter would drop almost nothing and is
+    * skipped (r15 measured +21-30% on composed gates for an unconditional
+    * filter — VERDICT r15 item 2). */
+  private def bandedHammingPairs(banded0: DataFrame, maxHamming: Int,
+      candidateBudget: Long, engine: String,
+      hamming: (Column, Column) => Column): DataFrame = {
     val bucketCounts = banded0.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("s"))
       .localCheckpoint()
     val prof = bucketCounts
-      .agg(coalesce(sum(col("s") * (col("s") - 1) / 2).cast("long"),
-          lit(0L)).as("pairs"),
+      .agg(coalesce(sum(col("s") * (col("s") - lit(1L))).cast("long"),
+          lit(0L)).as("pairs2"),
         coalesce(max(col("s")), lit(0L)).as("max_s"),
-        expr("max_by(band, s)").as("max_band")).head()
-    require(prof.getLong(0) <= candidateBudget,
-      s"hamming64NearDups pre-flight refused: ${prof.getLong(0)} " +
+        expr("max_by(band, s)").as("max_band"),
+        coalesce(sum(col("s")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("s") >= 2, col("s")).otherwise(lit(0L))),
+          lit(0L)).as("multi_rows")).head()
+    val pairs = prof.getLong(0) / 2
+    require(pairs <= candidateBudget,
+      s"$engine pre-flight refused: $pairs " +
         s"candidate pairs implied by the band buckets exceed " +
         s"candidateBudget=$candidateBudget (largest bucket: " +
         s"${prof.getLong(1)} signatures in band ${prof.get(2)}). The " +
@@ -654,11 +698,17 @@ object Dedup {
         "template mass) — filter exact duplicates first " +
         "(dropDuplicates on the signature), widen the signature, or " +
         "raise candidateBudget explicitly if the cost is intended.")
-    val banded = banded0.join(
-      broadcast(bucketCounts.filter(col("s") >= 2)
-        .select(col("band").as("__mb"), col("bucket").as("__mk"))),
-      col("band") === col("__mb") && col("bucket") === col("__mk"))
-      .drop("__mb", "__mk")
+    val nRows = prof.getLong(3)
+    val multiFrac =
+      if (nRows == 0L) 1.0 else prof.getLong(4).toDouble / nRows
+    val banded =
+      if (multiFrac <= SingletonFilterMaxMultiFrac)
+        banded0.join(
+          broadcast(bucketCounts.filter(col("s") >= 2)
+            .select(col("band").as("__mb"), col("bucket").as("__mk"))),
+          col("band") === col("__mb") && col("bucket") === col("__mk"))
+          .drop("__mb", "__mk")
+      else banded0
     val cands = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
@@ -666,9 +716,91 @@ object Dedup {
         col("b.id").as("id_b"), col("b.sig").as("sig_b"))
       .distinct()
     cands
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** 128-bit SimHash near-dups — the wider-signature regime the r15 decade
+    * probe called for once a dedup group outgrows the 64-bit engine's
+    * 2^16-bucket bands (saturation past ~10⁵-10⁶ sigs/group: expected
+    * birthday load 0.76/bucket already at 50k docs, singleton-filter
+    * benefit decaying 93%→53% over one decade — SCALEPROBE_r15.jsonl).
+    * Same shape, wider keys: [[graft.functions.SimHashSig128]] signatures
+    * banded 5×25-26 bits ([[banded128]]), so each band carries 2^25-2^26
+    * buckets — uniform-signature candidate expectation ~2^9-2^10× below
+    * the 16-bit bands at equal corpus size, pushing saturation out to
+    * ~10⁸-10⁹ sigs/group. Pigeonhole-complete at maxHamming ≤ 4 (5 bands).
+    * Budget/pre-flight/singleton machinery shared verbatim with the 64-bit
+    * engine ([[bandedHammingPairs]]). */
+  def simHashNearDups128(df: DataFrame, textCol: String, idCol: String,
+                         maxHamming: Int = 4): DataFrame =
+    hamming128NearDups(graft.Tables.widen(df)
+        .select(col(idCol), simHash128(col(textCol)).as("__sig128")),
+      idCol, "__sig128", maxHamming)
+
+  /** 128-bit band boundaries: 5 bands of 26/26/26/25/25 bits covering bits
+    * [0,26) [26,52) [52,78) [78,103) [103,128) of the [w0, w1] signature
+    * (bit 0 = lsb of w0, bit 64 = lsb of w1). (lo, width) per band. */
+  private val Bands128: Seq[(Int, Int)] =
+    Seq(0, 26, 52, 78, 103, 128).sliding(2).map {
+      case Seq(lo, hi) => (lo, hi - lo) }.toSeq
+
+  /** Band value extraction across the two-long signature: bands entirely in
+    * one word are a shift+mask; the one straddling band (bits 52-77) stitches
+    * w0's top 12 bits to w1's low 14. */
+  private def bandVal128(sig: Column, lo: Int, width: Int): Column = {
+    val mask = lit((1L << width) - 1L)
+    val w0 = element_at(sig, 1); val w1 = element_at(sig, 2)
+    if (lo + width <= 64) shiftrightunsigned(w0, lo).bitwiseAND(mask)
+    else if (lo >= 64) shiftrightunsigned(w1, lo - 64).bitwiseAND(mask)
+    else shiftrightunsigned(w0, lo)
+      .bitwiseOR(shiftleft(w1, 64 - lo)).bitwiseAND(mask)
+  }
+
+  /** The 5-band explosion of a 128-bit [w0, w1] signature — [[banded64]]'s
+    * wide twin, shared by [[hamming128NearDups]] and the scale probe. */
+  private[graft] def banded128(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("sig"), posexplode(
+      array(Bands128.map { case (lo, w) =>
+        bandVal128(col("sig"), lo, w) }: _*)).as(Seq("band", "bucket")))
+
+  /** Band-load pre-flight profile for the 128-bit engine —
+    * [[hamming64BucketProfile]] over [[banded128]]'s 5 wide bands. */
+  def hamming128BucketProfile(withSigs: DataFrame, idCol: String,
+                              sigCol: String): DataFrame =
+    banded128(withSigs.select(col(idCol).as("id"), col(sigCol).as("sig")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("s"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(when(col("s") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("n_multi"),
+        max(col("s")).cast("long").as("max_bucket"),
+        expr("sum(s * (s - 1)) div 2").cast("long").as("cand_pairs"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("n_multi"), col("max_bucket"), col("cand_pairs"))
+
+  /** Banded near-dup pairing over a PRECOMPUTED 128-bit `array<bigint>`
+    * [w0, w1] signature column — [[hamming64NearDups]] at double width:
+    * 5 disjoint 25-26-bit bands, candidates = pairs sharing any band,
+    * verify = exact Hamming (per-word XOR popcounts summed). Recall is
+    * COMPLETE by pigeonhole for maxHamming < 5. */
+  def hamming128NearDups(withSigs: DataFrame, idCol: String, sigCol: String,
+                         maxHamming: Int = 4,
+                         candidateBudget: Long = 100000000L): DataFrame = {
+    val bands = Bands128.length
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < $bands bands (got $maxHamming)")
+    val sigs = withSigs
+      .select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .localCheckpoint()
+    bandedHammingPairs(banded128(sigs), maxHamming, candidateBudget,
+      "hamming128NearDups",
+      (a, b) =>
+        (bit_count(element_at(a, 1).bitwiseXOR(element_at(b, 1))) +
+          bit_count(element_at(a, 2).bitwiseXOR(element_at(b, 2))))
+          .cast("int"))
   }
 
   /** 64-bit SimHash near-dups at Hamming radii BEYOND what disjoint-band

@@ -137,10 +137,15 @@ object Media {
     * Handles the two special size encodings real-world files use:
     * size==1 carries a 64-bit largesize after the type (the
     * large-mdat-before-moov layout every long recording has), and
-    * size==0 means the box extends to the end of its container (legal
-    * only for the last box — which is what extending to `to`
-    * enforces). Shared by [[parseMp4Header]] and [[parseMp4Tracks]]. */
-  private def walkBoxes(b: Array[Byte], from: Int, to: Int)
+    * size==0 means the box extends to the END OF FILE — which ISO 14496-12
+    * permits ONLY for the last top-level box, so it is accepted solely
+    * when `topLevel` is set (and is final by construction, end = `to`).
+    * Inside a container a size-0 box is malformed — accepting it there
+    * would silently swallow every following sibling and report their
+    * fields as absent instead of refusing the file (refuse-don't-guess).
+    * Shared by [[parseMp4Header]] and [[parseMp4Tracks]]. */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int,
+                        topLevel: Boolean = false)
                        (f: (String, Int, Int) => Unit): Boolean = {
     var i = from
     while (i + 8 <= to) {
@@ -153,8 +158,10 @@ object Media {
           val ls = be64b(b, i + 8)
           if (ls < 16 || ls > to - i) return false
           (i + 16, i + ls.toInt)
-        } else if (size == 0L) (i + 8, to)
-        else {
+        } else if (size == 0L) {
+          if (!topLevel) return false
+          (i + 8, to)
+        } else {
           if (size < 8 || i + size > to) return false
           (i + 8, i + size.toInt)
         }
@@ -174,7 +181,8 @@ object Media {
 
     if (n < 16) return None
     var moov: Option[(Int, Int)] = None
-    if (!walk(0, n) { (t, p0, p1) => if (t == "moov") moov = Some((p0, p1)) })
+    if (!walkBoxes(b, 0, n, topLevel = true) { (t, p0, p1) =>
+          if (t == "moov") moov = Some((p0, p1)) })
       return None
     val (m0, m1) = moov.getOrElse(return None)
     var timescale = 0L; var duration = -1L
@@ -222,9 +230,10 @@ object Media {
     * stco — the filters a video corpus runs AFTER dims/duration
     * ([[parseMp4Header]]): codec allowlists, frames-per-clip floors,
     * fragmentation tells. `None` fields mean the box is genuinely
-    * absent (honest absence, not fabrication); malformed box structure
+    * absent (honest absence, not fabrication — including track_id when
+    * the trak carries no parseable tkhd); malformed box structure
     * refuses the whole file like the header walk. */
-  final case class Mp4Track(track_id: Int, handler: Option[String],
+  final case class Mp4Track(track_id: Option[Int], handler: Option[String],
                             codec: Option[String], width: Option[Int],
                             height: Option[Int], n_samples: Option[Long],
                             n_chunks: Option[Long])
@@ -239,7 +248,7 @@ object Media {
     val n = b.length
     if (n < 16) return None
     var moov: Option[(Int, Int)] = None
-    if (!walkBoxes(b, 0, n) { (t, p0, p1) =>
+    if (!walkBoxes(b, 0, n, topLevel = true) { (t, p0, p1) =>
           if (t == "moov" && moov.isEmpty) moov = Some((p0, p1)) })
       return None
     val (m0, m1) = moov.getOrElse(return None)
@@ -247,7 +256,9 @@ object Media {
     var ok = true
     val okWalk = walkBoxes(b, m0, m1) { (t, p0, p1) =>
       if (t == "trak") {
-        var id = -1
+        // Option, not a -1 sentinel: a trak with no (or a truncated) tkhd
+        // reports track_id as NULL like every other honest-absence field
+        var id: Option[Int] = None
         var handler: Option[String] = None
         var codec: Option[String] = None
         var w: Option[Int] = None; var h: Option[Int] = None
@@ -256,8 +267,8 @@ object Media {
           if (tt == "tkhd" && q1 - q0 >= 24) {
             // v0: version/flags + ctime + mtime → id at +12;
             // v1 widens ctime/mtime to 64 bits → id at +20
-            id = (if (u8b(b, q0) == 1) be32b(b, q0 + 20)
-                  else be32b(b, q0 + 12)).toInt
+            id = Some((if (u8b(b, q0) == 1) be32b(b, q0 + 20)
+                       else be32b(b, q0 + 12)).toInt)
           } else if (tt == "mdia") {
             if (!walkBoxes(b, q0, q1) { (t3, r0, r1) =>
               if (t3 == "hdlr" && r1 - r0 >= 12)

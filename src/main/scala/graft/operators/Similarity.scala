@@ -527,6 +527,54 @@ object Similarity {
       .coalesce(1).write.mode("append").parquet(s"$path/append_log")
   }
 
+  /** Fold committed append segments back into the base corpus — the IVF
+    * index's OPTIMIZE, closing the [[appendToIvfIndex]] maintenance loop:
+    * per-append segments otherwise grow without bound and every
+    * [[ivfTopKFromIndex]] probe pays one directory read PER SEGMENT per
+    * probed bucket (the small-file tax [[graft.merge.ParquetTable.compact]]
+    * exists to kill). Centroids are untouched — compaction changes LAYOUT,
+    * never results (SimilaritySpec pins before == after) — so it composes
+    * with the retrain-rewrite cycle ([[writeIvfIndex]]) rather than
+    * replacing it.
+    *
+    * Protocol (the ParquetTable partitioned-compact pattern): materialize
+    * base ∪ committed segments (localCheckpoint — we overwrite the
+    * directory being read), dedup on `idCol` (makes a RETRY after any
+    * crash converge instead of double-folding), dynamic-partition
+    * overwrite of `corpus/`, then truncate the log and drop the segment
+    * dirs. A crash after the corpus rewrite but before the log truncation
+    * leaves segment rows visible TWICE until the compact is retried —
+    * the same bounded in-place-rewrite window the ParquetTable compact
+    * documents; readers needing stricter isolation compact in their
+    * maintenance window like every other in-place table service.
+    *
+    * Caller contract (standard for an ANN index): `idCol` is unique across
+    * base + appends, except for byte-identical replays (crash retries),
+    * which the dedup absorbs — same id + same vector lands in the same
+    * bucket, so the dynamic overwrite always rewrites the bucket it
+    * deduped. Appending an EXISTING id with a different vector is an
+    * upsert, which this index does not implement. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String = "vec_id"): Unit = {
+    val segs = committedSegments(spark, path)
+    if (segs.isEmpty) return // nothing to fold; no empty rewrite
+    val base = spark.read.parquet(s"$path/corpus")
+    val merged = segs.map(s => spark.read.parquet(s"$path/appends/${s._3}"))
+      .foldLeft(base)(_ unionByName _)
+      .dropDuplicates(idCol)
+      .repartition(col("centroid_id"))
+      .localCheckpoint()
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("centroid_id").parquet(s"$path/corpus")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    Seq(s"$path/append_log", s"$path/appends").foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    }
+    merged.unpersist(blocking = true)
+  }
+
   /** Top-k over a persisted IVF index: probe selection runs on the (tiny)
     * centroid table, then the corpus scan carries `centroid_id IN (probed)`
     * — Spark turns it into PartitionFilters, so only the probed bucket

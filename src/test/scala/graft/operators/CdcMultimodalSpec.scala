@@ -323,6 +323,29 @@ class CdcMultimodalSpec extends SparkSpec {
     assert(raw3.means.toSeq == raw1.means.toSeq) // means are invariant
   }
 
+  test("committed rotated-JPEG twins: APP1 orientation 6, dHash Hamming 0") {
+    // the q314 JPEG pair (tools/GenRotatedJpeg): gray, constant on every
+    // 8x8 JPEG block, dims multiples of 8, quality 1.0 — the construction
+    // that makes a LOSSY container rotation-exact (each block is coded
+    // independently, so a value-v block decodes to the same f(v) wherever
+    // it sits; rotation permutes whole blocks)
+    val upright = Multimodal.Fixtures.bytes("rotpair_32x16.jpg")
+    val rotated = Multimodal.Fixtures.bytes("rotpair_16x32.jpg")
+    assert(Multimodal.HeaderCodec.parseOrientation(upright) == 1)
+    assert(Multimodal.HeaderCodec.parseOrientation(rotated) == 6)
+    // stored raster genuinely rotated: 16 wide x 32 tall
+    val st = Multimodal.PixelCodec.decodeStats(0L, rotated)
+    assert(st.width == 16 && st.height == 32)
+    val hu = Multimodal.PixelCodec.dHash64(0L, upright)
+    val hr = Multimodal.PixelCodec.dHash64(1L, rotated)
+    assert(hu == hr, s"rotated JPEG twin hashed $hr vs upright $hu")
+    assert(hu == 8825501086245354106L) // the q314 oracle anchor
+    // regenerating from the documented formula reproduces the committed
+    // bytes exactly — the fixtures are provenance-pinned to the generator
+    assert(java.util.Arrays.equals(upright, graft.tools.GenRotatedJpeg.upright()))
+    assert(java.util.Arrays.equals(rotated, graft.tools.GenRotatedJpeg.rotated()))
+  }
+
   test("EXIF orientation: JPEG APP1 parse + adversarial segments") {
     // build a real JPEG via the JDK encoder, then inject an APP1 Exif
     // segment after SOI — the crawl's rotated-camera-JPEG layout

@@ -984,4 +984,89 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((200L, 201L)))
   }
+
+  test("singleton filter engages/skips by regime, results identical to brute") {
+    // dup-DENSE: every signature appears twice -> 100% multi-occupancy
+    // banded rows -> the filter is SKIPPED (multiFrac 1.0 > 0.6);
+    // dup-SPARSE: golden-ratio-mixed uniques + one twin -> nearly all
+    // singleton buckets -> the filter ENGAGES (multiFrac << 0.6).
+    // Either way the pair set must equal the brute-force scan — the
+    // conditional is a plan choice, never a semantics choice.
+    def brute(rows: Seq[(Long, Long)], maxH: Int): Set[(Long, Long, Int)] =
+      (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield (ia, ib, h)).toSet
+    val dense = (0 until 30).map(i =>
+      (i.toLong, 0x9E3779B97F4A7C15L * (i / 2 + 1)))
+    val sparse = (0 until 60).map(i =>
+      (i.toLong, 0x9E3779B97F4A7C15L * (i + 1))) :+ (100L, 0x9E3779B97F4A7C15L)
+    for (rows <- Seq(dense, sparse)) {
+      val got = Dedup.hamming64NearDups(rows.toDF("id", "sig"), "id", "sig",
+          maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(rows, 3))
+    }
+  }
+
+  test("simHash128: word 0 equals simHash64; words replay the md5 halves") {
+    val texts = Seq("the quick brown fox", "lorem ipsum dolor sit amet",
+      "a", "  Mixed   CASE  words  ")
+    val rows = texts.toDF("text")
+      .select(Dedup.simHash64(col("text")).as("s64"),
+        Dedup.simHash128(col("text")).as("s128"))
+      .as[(Long, Seq[Long])].collect()
+    rows.foreach { case (s64, s128) =>
+      assert(s128.length == 2 && s128.head == s64)
+    }
+  }
+
+  test("simHashNearDups128: 5-band scheme == brute force at Hamming<=4") {
+    val base = (1L to 60L).map(i =>
+      (i, s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 13} w${i % 3} w${(i * 7) % 5} tail$i"))
+    val planted = Seq(
+      (101L, base(4)._2),                     // exact dup (hamming 0)
+      (102L, base(9)._2 + " extraword"))      // near dup
+    val corpus = (base ++ planted).toDF("doc_id", "text").repartition(7)
+    val got = Dedup.simHashNearDups128(corpus, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val sigs = corpus.select($"doc_id", Dedup.simHash128(col("text")).as("s"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa(0) ^ sb(0)) +
+        java.lang.Long.bitCount(sa(1) ^ sb(1)) if h <= 4
+    } yield (ia, ib) -> h).toMap
+    assert(got == brute)           // recall AND precision vs exhaustive scan
+    assert(got(((5L, 101L))) == 0) // the planted exact dup is in there
+  }
+
+  test("hamming128NearDups: straddling band, planted radius-4 pair, budget") {
+    // two signatures differing in EXACTLY 4 bits, all four inside band 2
+    // (bits 52-77 — the band straddling the w0/w1 word boundary: two flips
+    // on each side of bit 64). Pigeonhole holds because the OTHER four
+    // bands are untouched; a straddle bug in the band extraction would
+    // break the collision there and lose the pair.
+    val a = (0x0123456789ABCDEFL, 0x0FEDCBA987654321L)
+    val b = (a._1 ^ (3L << 60), a._2 ^ (3L << 8))   // bits 60,61 and 72,73
+    val spread = (0 until 40).map(i =>
+      (10L + i, Seq(0x9E3779B97F4A7C15L * (i + 1), 0xC2B2AE3D27D4EB4FL * (i + 1))))
+    val df = (Seq((1L, Seq(a._1, a._2)), (2L, Seq(b._1, b._2))) ++ spread)
+      .toDF("id", "sig")
+    val got = Dedup.hamming128NearDups(df, "id", "sig", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.contains((1L, 2L, 4)))
+    // profile sees the planted identical-band mass; tiny budget refuses
+    val twins = (0 until 30).map(i => (i.toLong, Seq(1L, 2L))).toDF("id", "sig")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hamming128NearDups(twins, "id", "sig", maxHamming = 4,
+        candidateBudget = 10L)
+    }
+    assert(e.getMessage.contains("hamming128NearDups pre-flight refused"))
+    // profile shape: 5 bands, planted twins collapse into one bucket each
+    val prof = Dedup.hamming128BucketProfile(twins, "id", "sig")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(prof.size == 5 && prof.values.forall { case (nb, cp) =>
+      nb == 1L && cp == 30L * 29L / 2L })
+  }
 }

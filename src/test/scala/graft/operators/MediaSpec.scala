@@ -284,15 +284,15 @@ class MediaSpec extends SparkSpec {
   test("parseMp4Tracks reads the sample-table fixture; absent boxes are NULL") {
     val got = Media.parseMp4Tracks(fixture("clip_stbl.mp4"))
     assert(got.contains(Seq(
-      Media.Mp4Track(1, Some("vide"), Some("avc1"), Some(320), Some(180),
+      Media.Mp4Track(Some(1), Some("vide"), Some("avc1"), Some(320), Some(180),
         Some(48L), Some(3L)),
-      Media.Mp4Track(2, Some("soun"), Some("mp4a"), None, None,
+      Media.Mp4Track(Some(2), Some("soun"), Some("mp4a"), None, None,
         Some(96L), Some(4L)))))
     // tkhd-only clip: stbl fields honestly absent, track ids present
     val bare = Media.parseMp4Tracks(fixture("clip_2trak.mp4"))
     assert(bare.contains(Seq(
-      Media.Mp4Track(1, None, None, None, None, None, None),
-      Media.Mp4Track(2, None, None, None, None, None, None))))
+      Media.Mp4Track(Some(1), None, None, None, None, None, None),
+      Media.Mp4Track(Some(2), None, None, None, None, None, None))))
     // the header walk still reads the new fixture (mvhd v0 constants)
     assert(Media.parseMp4Header(fixture("clip_stbl.mp4"))
       .contains((320, 180, 4000L, 2)))

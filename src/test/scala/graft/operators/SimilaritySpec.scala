@@ -173,6 +173,39 @@ class SimilaritySpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/append_log").exists())
   }
 
+  test("compactIvfIndex: results identical before/after, segments folded, idempotent") {
+    val dir = tmpDir("ivf_compact")
+    Similarity.writeIvfIndex(corpus.filter($"vec_id" < 3L), nCentroids = 3, dir)
+    Similarity.appendToIvfIndex(corpus.filter($"vec_id" >= 3L && $"vec_id" < 5L),
+      dir, appId = "c", batchId = 1L)
+    Similarity.appendToIvfIndex(corpus.filter($"vec_id" >= 5L),
+      dir, appId = "c", batchId = 2L)
+    val queries = corpus.select($"vec_id".as("query_id"), $"embedding")
+    def topk() = rowsOf(Similarity
+      .ivfTopKFromIndex(spark, dir, queries, k = 4, nProbe = 3)
+      .select("query_id", "neighbor_id", "rank"))
+    val before = topk()
+    Similarity.compactIvfIndex(spark, dir)
+    // layout: segments and log gone, everything lives in the base buckets
+    assert(!new java.io.File(s"$dir/appends").exists())
+    assert(!new java.io.File(s"$dir/append_log").exists())
+    // results: compaction changes layout, never answers
+    assert(topk() == before)
+    // idempotent: a second compact is a no-op (no segments to fold)
+    Similarity.compactIvfIndex(spark, dir)
+    assert(topk() == before)
+    // a crash BETWEEN corpus rewrite and log truncation = segments visible
+    // twice; the retry's dropDuplicates converges back to one copy
+    val seg = corpus.filter($"vec_id" >= 5L)
+    Similarity.appendToIvfIndex(seg, dir, appId = "c", batchId = 3L)
+    Similarity.appendToIvfIndex(seg, dir, appId = "c", batchId = 4L) // same rows twice
+    Similarity.compactIvfIndex(spark, dir)
+    assert(topk() == before)
+    val ids = spark.read.parquet(s"$dir/corpus").select("vec_id")
+      .as[Long].collect().toSeq
+    assert(ids.sorted == ids.distinct.sorted, "duplicate rows survived compact")
+  }
+
   test("hardNegatives never returns a same-label neighbor and stays bounded") {
     val labeled = corpus.withColumn("label",
       (col("vec_id") % 2).cast("int")) // alternating labels

@@ -100,9 +100,53 @@ def gen_embeddings(con):
     print(f"embeddings: {n_out} rows -> {OUT}/embeddings.parquet")
 
 
+def gen_transactions(con):
+    """events/orders/lineitem at MULT×: replicate with remapped TRANSACTION
+    keys (event/user/order ids) while keeping the CATALOG keys (part,
+    supplier) fixed — a 10x crawl is 10x users and orders against the same
+    part catalog, so per-key stream density stays constant (the stateful-op
+    scaling variable) and graph hubs densify (what the hub throttles are
+    for). The orders↔lineitem FK is preserved by remapping both sides with
+    the same formula; value/price jitter keeps replicas from being exact
+    numeric twins."""
+    con.sql(f"""
+      COPY (
+        SELECT e.event_id * {MULT} + cp.cp AS event_id,
+               e.ts + to_seconds(cp.cp) AS ts,
+               e.user_id * {MULT} + cp.cp AS user_id,
+               e.event_type, e.value + cp.cp * 0.0001 AS value, e.props
+        FROM '{SRC}/events.parquet' e,
+             (SELECT unnest(range({MULT}))::BIGINT AS cp) cp
+      ) TO '{OUT}/events.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+      COPY (
+        SELECT o.o_orderkey * {MULT} + cp.cp AS o_orderkey,
+               o.o_custkey * {MULT} + cp.cp AS o_custkey,
+               o.o_orderstatus,
+               o.o_totalprice + cp.cp * 0.0101 AS o_totalprice,
+               o.o_orderdate, o.o_orderpriority
+        FROM '{SRC}/orders.parquet' o,
+             (SELECT unnest(range({MULT}))::BIGINT AS cp) cp
+      ) TO '{OUT}/orders.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+      COPY (
+        SELECT l.l_orderkey * {MULT} + cp.cp AS l_orderkey,
+               l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+               l.l_extendedprice + cp.cp * 0.0101 AS l_extendedprice,
+               l.l_discount, l.l_tax, l.l_returnflag, l.l_linestatus,
+               l.l_shipdate
+        FROM '{SRC}/lineitem.parquet' l,
+             (SELECT unnest(range({MULT}))::BIGINT AS cp) cp
+      ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)""")
+    for t in ("events", "orders", "lineitem"):
+        n = duckdb.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows -> {OUT}/{t}.parquet")
+
+
 if __name__ == "__main__":
     import os
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
     gen_documents(con)
     gen_embeddings(con)
+    gen_transactions(con)
