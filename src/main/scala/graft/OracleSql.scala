@@ -6767,6 +6767,22 @@ object OracleSql {
         |SELECT 'pd_region', count(*)::BIGINT, count(*)::BIGINT,
         |  'pd_region_region', 'Finished' FROM region""".stripMargin,
 
+    // q319: dedup-first clustering must equal the ALL-DOCS chain — pairs
+    // over every doc (no rep collapse here, deliberately), components by
+    // recursive CTE, docs without any link are singleton components
+    "q319_dedupfirst_clusters" ->
+      s"""WITH RECURSIVE ${simhash64PairsCtes(3)},
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d),
+         |comp AS (SELECT n AS doc_id, min(r) AS component_id
+         |  FROM reach GROUP BY n)
+         |SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

@@ -155,6 +155,15 @@ object ScaleProbe {
       "q316_simhash128_pairs" -> (() =>
         Dedup.simHashNearDups128(docs, "text", "doc_id", maxHamming = 4)
           .count()),
+      // r16 dedup-first clustering (q319): implied within-bucket candidate
+      // pairs (Σ s·(s−1)/2 straight from the bucket profile — no join) for
+      // a 30%-template population (every doc_id%10<3 carries ONE identical
+      // signature — the boilerplate-crawl shape), plain engine vs the
+      // rep-collapsed input hamming64DedupClusters actually bands. The
+      // plain count is quadratic in template mass BY CONSTRUCTION; the
+      // collapsed one is the uniform-population residual.
+      "template_cand_plain" -> (() => templateImpliedPairs(docs, collapse = false)),
+      "template_cand_dedupfirst" -> (() => templateImpliedPairs(docs, collapse = true)),
       // q85 aligned-window blocking (window=64, stride=32, maxPostings=1000)
       "q85_window_cand" -> (() =>
         Dedup.sharedWindowPairs(docs, "doc_id", "text").count()),
@@ -835,6 +844,25 @@ object ScaleProbe {
       .agg(count(lit(1)).as("s"))
       .filter(col("s") >= 2)
       .agg(coalesce(sum(col("s")), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** Implied candidate pairs (Σ s·(s−1)/2 over band buckets, via
+    * [[graft.operators.Dedup.hamming64BucketProfile]] — no join) for a
+    * 30%-template signature population, optionally collapsed to one rep
+    * per distinct signature first (the q319 rewrite). */
+  private def templateImpliedPairs(docs: org.apache.spark.sql.DataFrame,
+      collapse: Boolean): Long = {
+    import org.apache.spark.sql.functions._
+    val sigs = docs.select(col("doc_id").as("id"),
+      when(pmod(col("doc_id"), lit(10L)) < 3, lit(42L))
+        .otherwise(xxhash64(col("doc_id"))).as("sig"))
+    val in = if (collapse)
+      sigs.groupBy(col("sig")).agg(min(col("id")).as("id"))
+        .select(col("id"), col("sig"))
+    else sigs
+    Dedup.hamming64BucketProfile(in, "id", "sig")
+      .agg(coalesce(sum(col("cand_pairs")), lit(0L)))
       .head().getLong(0)
   }
 

@@ -3639,6 +3639,19 @@ object SparkEntry {
         Seq("pipeline_def_id"))
   }
 
+  /** Signature-dedup-first near-dup clustering — q53's chain rebuilt to
+    * survive template-collapsed corpora: one representative per DISTINCT
+    * SimHash signature, banding + components over representatives only,
+    * every doc mapped back through its signature group (linear output —
+    * no within-template pair explosion). The oracle replays the ALL-DOCS
+    * brute-force chain (pairs over every doc, recursive-CTE components,
+    * singletons to themselves), so a green row PROVES the rep-collapse
+    * rewrite is semantics-preserving, not just self-consistent. */
+  private def q319(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashDedupClusters64(TW(s, dir, "documents"), "text", "doc_id")
+      .select(col("id").cast("long").as("doc_id"),
+        col("component").cast("long").as("component_id"))
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -4053,7 +4066,8 @@ object SparkEntry {
     "q315_video_tracks" -> (q315 _),
     "q316_simhash128_neardups" -> (q316 _),
     "q317_ivf_compact" -> (q317 _),
-    "q318_journal_audit" -> (q318 _)
+    "q318_journal_audit" -> (q318 _),
+    "q319_dedupfirst_clusters" -> (q319 _)
   )
 
   /** Gates whose bench time is dominated by FIXED replay-harness

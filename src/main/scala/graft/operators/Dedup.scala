@@ -575,10 +575,11 @@ object Dedup {
     * 32-bit path for parity with small-signature pipelines; route anything
     * corpus-scale here. */
   def simHashNearDups64(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame =
+                        maxHamming: Int = 3,
+                        candidateBudget: Long = 100000000L): DataFrame =
     hamming64NearDups(graft.Tables.widen(df)
         .select(col(idCol), simHash64(col(textCol)).as("__sig64")),
-      idCol, "__sig64", maxHamming)
+      idCol, "__sig64", maxHamming, candidateBudget)
 
   /** The 4×16-bit band explosion shared by [[hamming64NearDups]] and
     * [[hamming64BucketProfile]]: one row per (id, band) with the band's
@@ -801,6 +802,64 @@ object Dedup {
         (bit_count(element_at(a, 1).bitwiseXOR(element_at(b, 1))) +
           bit_count(element_at(a, 2).bitwiseXOR(element_at(b, 2))))
           .cast("int"))
+  }
+
+  /** Signature-DEDUP-FIRST near-dup clustering — the operator the
+    * candidate-budget refusal message tells callers to reach for, closing
+    * that loop: a hot template (one boilerplate page, 10⁹ crawls) puts its
+    * whole mass into ONE signature, and any banded engine then faces a
+    * quadratic within-bucket join no banding can fix. Collapsing to one
+    * REPRESENTATIVE per DISTINCT signature first (one exact groupBy — the
+    * same shuffle an exact-dedup pass costs) makes the banded surface
+    * quadratic only in DISTINCT near-identical signatures, and the output
+    * stays LINEAR because clusters need membership, not the within-template
+    * pair explosion: every doc maps to its representative's component.
+    *
+    * Semantics are EXACTLY the all-docs formulation (q114's: Hamming ≤ h
+    * pairs over every doc, connected components, singletons map to
+    * themselves) because identical signatures are Hamming-0 linked — the
+    * min-id representative of a signature group is the group's min doc, so
+    * min-reachable-rep == min-reachable-doc. The q319 gate's oracle replays
+    * the ALL-DOCS brute-force chain, proving the rewrite preserves results.
+    * Returns (id, component). */
+  def hamming64DedupClusters(withSigs: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int = 3,
+      candidateBudget: Long = 100000000L): DataFrame =
+    dedupFirstClusters(withSigs, idCol, sigCol,
+      hamming64NearDups(_, "id", "sig", maxHamming, candidateBudget))
+
+  /** [[hamming64DedupClusters]] over the 128-bit engine. */
+  def hamming128DedupClusters(withSigs: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int = 4,
+      candidateBudget: Long = 100000000L): DataFrame =
+    dedupFirstClusters(withSigs, idCol, sigCol,
+      hamming128NearDups(_, "id", "sig", maxHamming, candidateBudget))
+
+  /** [[hamming64DedupClusters]] with the text SimHash inlined — the
+    * corpus-facing twin of [[simHashNearDups64]]+[[connectedComponents]]
+    * (q53's chain) that survives template-collapsed corpora. */
+  def simHashDedupClusters64(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3,
+      candidateBudget: Long = 100000000L): DataFrame =
+    hamming64DedupClusters(graft.Tables.widen(df)
+        .select(col(idCol), simHash64(col(textCol)).as("__sig64")),
+      idCol, "__sig64", maxHamming, candidateBudget)
+
+  private def dedupFirstClusters(withSigs: DataFrame, idCol: String,
+      sigCol: String, pairs: DataFrame => DataFrame): DataFrame = {
+    val sigs = withSigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .localCheckpoint()
+    val reps = sigs.groupBy(col("sig")).agg(min(col("id")).as("rep"))
+      .localCheckpoint()
+    val repPairs = pairs(reps.select(col("rep").as("id"), col("sig")))
+    val comps = connectedComponents(repPairs)
+      .withColumnRenamed("node", "rep")
+    sigs.join(reps, "sig")
+      .join(comps, Seq("rep"), "left")
+      // a rep with no near-dup link is its own (singleton-sig-group or
+      // exact-only) component; its group members inherit it
+      .select(col("id"), coalesce(col("component"), col("rep"))
+        .as("component"))
   }
 
   /** 64-bit SimHash near-dups at Hamming radii BEYOND what disjoint-band

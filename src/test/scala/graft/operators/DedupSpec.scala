@@ -1009,6 +1009,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup-first clusters: survives the template budget refusal, equals all-docs chain") {
+    // 120 copies of ONE template + 40 spread docs + a near-dup pair. The
+    // PLAIN banded engine sees C(120,2)=7140 implied pairs and refuses a
+    // 2000-pair budget (the hot-template failure mode its message names);
+    // dedup-first collapses the template to ONE representative and runs
+    // in the same budget — with results EQUAL to the all-docs chain.
+    val template = (0 until 120).map(i => (i.toLong, "the same boilerplate page text"))
+    val spread = (0 until 40).map(i =>
+      (200L + i, s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 13} unique$i tail$i"))
+    val near = Seq((400L, spread(9)._2 + " extraword"))
+    val corpus = (template ++ spread ++ near).toDF("doc_id", "text")
+      .repartition(5)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHashNearDups64(corpus, "text", "doc_id",
+        maxHamming = 3, candidateBudget = 2000L).count()
+    }
+    assert(e.getMessage.contains("pre-flight refused"))
+    val got = Dedup.simHashDedupClusters64(corpus, "text", "doc_id",
+        maxHamming = 3, candidateBudget = 2000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: brute-force pairs over ALL docs + union-find + singletons
+    val sigs = corpus.select($"doc_id", Dedup.simHash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val parent = scala.collection.mutable.Map(sigs.map(x => x._1 -> x._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for { (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+          if java.lang.Long.bitCount(sa ^ sb) <= 3 } {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = sigs.map { case (id, _) => id -> find(id) }.toMap
+    assert(got == expect)
+    // all 120 template docs share one component rooted at the min id
+    assert((0 until 120).forall(i => got(i.toLong) == 0L))
+    // 128-bit twin: same contract through the wide engine
+    val got128 = Dedup.hamming128DedupClusters(
+      corpus.select($"doc_id",
+        Dedup.simHash128(col("text")).as("sig")), "doc_id", "sig",
+      maxHamming = 4, candidateBudget = 2000L)
+    assert(got128.count() == corpus.count())
+  }
+
   test("simHash128: word 0 equals simHash64; words replay the md5 halves") {
     val texts = Seq("the quick brown fox", "lorem ipsum dolor sit amet",
       "a", "  Mixed   CASE  words  ")
