@@ -6783,6 +6783,18 @@ object OracleSql {
          |SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
 
+    // q320: incremental hamming — brute-force CROSS pairs (20% batch ×
+    // 80% index under the q109 split), deliberately not banded: the green
+    // row proves banding recall for the asymmetric join
+    "q320_incremental_hamming" ->
+      s"""WITH ${simhash64PairsCtes(3)},
+         |split AS (SELECT id, sig, ${h32("id::VARCHAR")} % 10000 AS b
+         |  FROM sigs64)
+         |SELECT a.id AS batch_id, c.id AS index_id,
+         |  bit_count(xor(a.sig, c.sig))::BIGINT AS hamming
+         |FROM split a JOIN split c ON a.b >= 8000 AND c.b < 8000
+         |WHERE bit_count(xor(a.sig, c.sig)) <= 3""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

@@ -3652,6 +3652,23 @@ object SparkEntry {
       .select(col("id").cast("long").as("doc_id"),
         col("component").cast("long").as("component_id"))
 
+  /** Incremental 64-bit Hamming near-dups (q109's nightly-crawl shape for
+    * the SimHash engine): the deterministic 80% id-hash split plays the
+    * signed index, the remaining 20% the incoming batch — candidates are
+    * banded batch×index only, never a self-join of either side. The
+    * oracle brute-forces the CROSS pairs exhaustively, so the green row
+    * proves banding recall for the asymmetric join too. */
+  private def q320(s: SparkSession, dir: String): DataFrame = {
+    val sigs = TW(s, dir, "documents").select(col("doc_id"),
+      Dedup.simHash64(col("text")).as("sig"))
+    val h = pmod(graft.functions.Hashes.portableHash32(
+      col("doc_id").cast("string")), lit(10000L))
+    Dedup.incrementalHamming64NearDups(
+        sigs.filter(h >= 8000), sigs.filter(h < 8000), "doc_id", "sig")
+      .select(col("batch_id"), col("index_id"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -4067,7 +4084,8 @@ object SparkEntry {
     "q316_simhash128_neardups" -> (q316 _),
     "q317_ivf_compact" -> (q317 _),
     "q318_journal_audit" -> (q318 _),
-    "q319_dedupfirst_clusters" -> (q319 _)
+    "q319_dedupfirst_clusters" -> (q319 _),
+    "q320_incremental_hamming" -> (q320 _)
   )
 
   /** Gates whose bench time is dominated by FIXED replay-harness

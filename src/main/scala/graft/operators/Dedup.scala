@@ -804,6 +804,62 @@ object Dedup {
           .cast("int"))
   }
 
+  /** INCREMENTAL 64-bit Hamming near-dups — the nightly-crawl shape
+    * [[incrementalNearDups]] provides for MinHash, for the SimHash/dHash
+    * engine: candidates are a banded join of the BATCH side against a
+    * PRECOMPUTED index side only (never batch×batch or index×index — the
+    * already-deduped index must not re-pair with itself every night).
+    * Recall is complete by the same pigeonhole as [[hamming64NearDups]].
+    *
+    * Pre-flight: the cross-candidate volume is exactly
+    * Σ_bucket s_batch·s_index — computed from the two bounded per-bucket
+    * count tables (≤ 4·2^16 rows each) BEFORE the join, refusing a
+    * skew-collapsed night (hot template in the batch hitting a hot index
+    * bucket) with the guilty band named. The inner join itself plays the
+    * singleton-filter role for free: buckets present on only one side
+    * produce nothing. Returns (batch_id, index_id, hamming); an id in
+    * both inputs pairs with itself at Hamming 0 — callers keeping the
+    * index disjoint from the batch (the normal contract) see pure
+    * cross pairs. */
+  def incrementalHamming64NearDups(batch: DataFrame, index: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int = 3,
+      candidateBudget: Long = 100000000L): DataFrame = {
+    val bands = 4
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < $bands bands (got $maxHamming)")
+    val b = batch.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .localCheckpoint()
+    val ix = index.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .localCheckpoint()
+    val bb = banded64(b)
+    val bi = banded64(ix)
+    val cb = bb.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sb"))
+    val ci = bi.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("si"))
+    val prof = cb.join(ci, Seq("band", "bucket"))
+      .agg(coalesce(sum(col("sb") * col("si")).cast("long"), lit(0L))
+          .as("cross"),
+        coalesce(max(col("sb") * col("si")), lit(0L)).as("max_cross"),
+        expr("max_by(band, sb * si)").as("max_band")).head()
+    require(prof.getLong(0) <= candidateBudget,
+      s"incrementalHamming64NearDups pre-flight refused: ${prof.getLong(0)} " +
+        s"cross candidate pairs implied by the band buckets exceed " +
+        s"candidateBudget=$candidateBudget (largest bucket product: " +
+        s"${prof.getLong(1)} in band ${prof.get(2)}). Dedup the batch " +
+        "against itself first (hamming64DedupClusters), or raise " +
+        "candidateBudget explicitly if the cost is intended.")
+    val cands = bb.alias("a").join(bi.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("batch_id"), col("a.sig").as("sig_a"),
+        col("b.id").as("index_id"), col("b.sig").as("sig_b"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("batch_id", "index_id", "hamming")
+  }
+
   /** Signature-DEDUP-FIRST near-dup clustering — the operator the
     * candidate-budget refusal message tells callers to reach for, closing
     * that loop: a hot template (one boilerplate page, 10⁹ crawls) puts its

@@ -1052,6 +1052,39 @@ class DedupSpec extends SparkSpec {
     assert(got128.count() == corpus.count())
   }
 
+  test("incremental hamming: cross pairs only, equals brute force, budget refuses") {
+    // batch ids 100+, index ids < 100; one batch sig equals an index sig
+    // (Hamming 0), one differs by 2 bits; two INDEX sigs are identical to
+    // each other — they must NOT pair (no index self-join)
+    val index = Seq(
+      (1L, 0x0123456789ABCDEFL), (2L, 0x0123456789ABCDEFL), // index twins
+      (3L, 0x0F0F0F0F0F0F0F0FL),
+      (4L, 0x9E3779B97F4A7C15L))
+    val batch = Seq(
+      (101L, 0x0123456789ABCDEFL),            // exact hit on 1 and 2
+      (102L, 0x0F0F0F0F0F0F0F0CL),            // 2 bits off index 3
+      (103L, 0x5A5A5A5A5A5A5A5AL))            // no neighbor
+    val got = Dedup.incrementalHamming64NearDups(
+        batch.toDF("id", "sig"), index.toDF("id", "sig"), "id", "sig",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (ib, sb) <- batch; (ii, si) <- index
+      h = java.lang.Long.bitCount(sb ^ si) if h <= 3
+    } yield (ib, ii, h)).toSet
+    assert(got == brute)
+    assert(got == Set((101L, 1L, 0), (101L, 2L, 0), (102L, 3L, 2)))
+    // budget: a hot batch template against a hot index bucket refuses
+    val hotIx = (0 until 50).map(i => (i.toLong, 42L))
+    val hotB = (0 until 50).map(i => (100L + i, 42L))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalHamming64NearDups(hotB.toDF("id", "sig"),
+        hotIx.toDF("id", "sig"), "id", "sig", maxHamming = 3,
+        candidateBudget = 100L)
+    }
+    assert(e.getMessage.contains("incrementalHamming64NearDups pre-flight refused"))
+  }
+
   test("simHash128: word 0 equals simHash64; words replay the md5 halves") {
     val texts = Seq("the quick brown fox", "lorem ipsum dolor sit amet",
       "a", "  Mixed   CASE  words  ")
