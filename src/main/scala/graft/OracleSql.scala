@@ -112,8 +112,8 @@ object OracleSql {
     * by pigeonhole at their stated radii, so the banded and brute-force
     * pair sets are identical. Shared by the q53/q83/q96/q114 dedup
     * composites (maxHamming 3) and the q155/q157 graph gates (7). */
-  private def simhash64PairsCtes(maxHamming: Int): String =
-    s"""toks64 AS (SELECT doc_id AS id, $toksExpr AS t FROM documents),
+  private def simhash64SigsCtes(from: String): String =
+    s"""toks64 AS (SELECT doc_id AS id, $toksExpr AS t FROM $from),
        |hs64 AS (SELECT id,
        |    list_transform(t, x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT) AS hashes
        |  FROM toks64),
@@ -122,10 +122,73 @@ object OracleSql {
        |      CASE WHEN list_sum(list_transform(hashes, h ->
        |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
        |           THEN (1::HUGEINT << j) ELSE 0::HUGEINT END))::UBIGINT AS sig
-       |  FROM hs64),
+       |  FROM hs64)""".stripMargin
+
+  private def simhash64PairsCtes(maxHamming: Int): String =
+    s"""${simhash64SigsCtes("documents")},
        |pairs AS (SELECT a.id AS id_a, b.id AS id_b
        |  FROM sigs64 a JOIN sigs64 b ON a.id < b.id
        |  WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming)""".stripMargin
+
+  /** documents plus the planted twin population of the r17 Hamming recall
+    * gates (q316/q320/q322): an EXACT twin of every 7th doc and a NEAR
+    * twin (one appended rare token) of every 5th — mirrors
+    * `SparkEntry.plantedTwinDocs` verbatim. */
+  private val plantedTwinsCte: String =
+    """aug AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 20000000, text FROM documents
+      |    WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 10000000, text || ' qq7z' FROM documents
+      |    WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** 128-bit simhash signatures (w0 = md5 hex chars 1-16 — the 64-bit
+    * hash verbatim — w1 = chars 17-32) over `from`; shared by the
+    * q316/q322 recall gates. */
+  private def simhash128SigsCtes(from: String): String =
+    s"""toks AS (SELECT doc_id, $toksExpr AS t FROM $from),
+       |hs AS (SELECT doc_id,
+       |    list_transform(t, x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT) AS h0,
+       |    list_transform(t, x -> ('0x' || substr(md5(x), 17, 16))::UBIGINT) AS h1
+       |  FROM toks),
+       |sigs AS (SELECT doc_id,
+       |    list_sum(list_transform(range(0, 64), j ->
+       |      CASE WHEN list_sum(list_transform(h0, h ->
+       |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |           THEN (1::HUGEINT << j) ELSE 0::HUGEINT END))::UBIGINT AS w0,
+       |    list_sum(list_transform(range(0, 64), j ->
+       |      CASE WHEN list_sum(list_transform(h1, h ->
+       |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |           THEN (1::HUGEINT << j) ELSE 0::HUGEINT END))::UBIGINT AS w1
+       |  FROM hs)""".stripMargin
+
+  /** q109's persisted-index replay with the corpus/batch boundary at 9000
+    * — one-shot MinHash signatures over the h<9000 index side, banded
+    * cross-candidates against the h>=9000 batch, exact-Jaccard verify.
+    * Shared by q187 (segment-append layout) and q321 (compacted layout):
+    * both serve the SAME visible rows. */
+  private lazy val minhashIndexOracle: String = {
+    val sh = shinglesExpr("t", 3)
+    s"""WITH toks AS (SELECT doc_id AS id, $toksExpr AS t,
+       |    ${h32("doc_id::VARCHAR")} % 10000 AS h FROM documents),
+       |shing AS (SELECT id, h, $sh AS sh FROM toks),
+       |hashed AS (SELECT id, h, sh, list_transform(sh, x -> ${h32("x")}) AS hs FROM shing),
+       |sigs AS (SELECT id, h, list_distinct(sh) AS shset,
+       |  ${minhashSigExpr("hs", 8)} AS sig
+       |  FROM hashed),
+       |banded AS (SELECT id, h, band, array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '_') AS bucket
+       |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+       |cands AS (SELECT DISTINCT c.id AS corpus_id, n.id AS batch_id
+       |  FROM banded c JOIN banded n ON c.band = n.band AND c.bucket = n.bucket
+       |    AND c.id != n.id AND c.h < 9000 AND n.h >= 9000),
+       |jac AS (SELECT corpus_id, batch_id,
+       |  CASE WHEN len(list_distinct(list_concat(sc.shset, sn.shset))) = 0 THEN 0.0
+       |       ELSE len(list_intersect(sc.shset, sn.shset))::DOUBLE
+       |            / len(list_distinct(list_concat(sc.shset, sn.shset)))::DOUBLE END AS jaccard
+       |  FROM cands JOIN sigs sc ON sc.id = cands.corpus_id
+       |  JOIN sigs sn ON sn.id = cands.batch_id)
+       |SELECT corpus_id, batch_id, ${rnd("jaccard", 3)} AS jaccard
+       |FROM jac WHERE jaccard >= 0.2""".stripMargin
+  }
 
   /** Multi-band random-hyperplane LSH near-dup oracle: the SAME
     * seed-deterministic hyperplanes the Spark side projects onto, embedded
@@ -1557,30 +1620,13 @@ object OracleSql {
 
     // persisted-index incremental dedup: build(80%) + append(10%) must
     // serve the SAME signature rows as one-shot signing of the 90% —
-    // q109's replay with the corpus/batch boundary moved to 9000
-    "q187_index_neardups" -> {
-      val sh = shinglesExpr("t", 3)
-      s"""WITH toks AS (SELECT doc_id AS id, $toksExpr AS t,
-         |    ${h32("doc_id::VARCHAR")} % 10000 AS h FROM documents),
-         |shing AS (SELECT id, h, $sh AS sh FROM toks),
-         |hashed AS (SELECT id, h, sh, list_transform(sh, x -> ${h32("x")}) AS hs FROM shing),
-         |sigs AS (SELECT id, h, list_distinct(sh) AS shset,
-         |  ${minhashSigExpr("hs", 8)} AS sig
-         |  FROM hashed),
-         |banded AS (SELECT id, h, band, array_to_string(list_slice(sig, band * 2 + 1, band * 2 + 2), '_') AS bucket
-         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
-         |cands AS (SELECT DISTINCT c.id AS corpus_id, n.id AS batch_id
-         |  FROM banded c JOIN banded n ON c.band = n.band AND c.bucket = n.bucket
-         |    AND c.id != n.id AND c.h < 9000 AND n.h >= 9000),
-         |jac AS (SELECT corpus_id, batch_id,
-         |  CASE WHEN len(list_distinct(list_concat(sc.shset, sn.shset))) = 0 THEN 0.0
-         |       ELSE len(list_intersect(sc.shset, sn.shset))::DOUBLE
-         |            / len(list_distinct(list_concat(sc.shset, sn.shset)))::DOUBLE END AS jaccard
-         |  FROM cands JOIN sigs sc ON sc.id = cands.corpus_id
-         |  JOIN sigs sn ON sn.id = cands.batch_id)
-         |SELECT corpus_id, batch_id, ${rnd("jaccard", 3)} AS jaccard
-         |FROM jac WHERE jaccard >= 0.2""".stripMargin
-    },
+    // q109's replay with the corpus/batch boundary moved to 9000.
+    // Shared verbatim by q321 (same visible index contents served
+    // compacted: base + 2 folded segments == q187's base + 1 segment —
+    // compaction changes layout, never results).
+    "q187_index_neardups" -> minhashIndexOracle,
+
+    "q321_minhash_compact" -> minhashIndexOracle,
 
     // join pre-flight card: q164's CMS estimator + q166's HLL overlap +
     // per-side (n, top-share) + the threshold-implied strategy
@@ -6730,29 +6776,16 @@ object OracleSql {
     // = hex chars 1-16 — the q108 hash64 verbatim — word 1 = chars 17-32),
     // then BRUTE-FORCE all-pairs Hamming <= 4 summed across both words —
     // deliberately not banded, so this row doubles as the recall proof for
-    // the Spark twin's 5x25-26-bit banding
+    // the Spark twin's 5x25-26-bit banding. Over the r17 planted-twin
+    // population, which spans Hamming 0..4 by construction.
     "q316_simhash128_neardups" ->
-      """WITH toks AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        |hs AS (SELECT doc_id,
-        |    list_transform(t, x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT) AS h0,
-        |    list_transform(t, x -> ('0x' || substr(md5(x), 17, 16))::UBIGINT) AS h1
-        |  FROM toks),
-        |sigs AS (SELECT doc_id,
-        |    list_sum(list_transform(range(0, 64), j ->
-        |      CASE WHEN list_sum(list_transform(h0, h ->
-        |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-        |           THEN (1::HUGEINT << j) ELSE 0::HUGEINT END))::UBIGINT AS w0,
-        |    list_sum(list_transform(range(0, 64), j ->
-        |      CASE WHEN list_sum(list_transform(h1, h ->
-        |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-        |           THEN (1::HUGEINT << j) ELSE 0::HUGEINT END))::UBIGINT AS w1
-        |  FROM hs)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)))::BIGINT
-        |    AS hamming
-        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 4""".stripMargin,
+      s"""WITH $plantedTwinsCte,
+         |${simhash128SigsCtes("aug")}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)))::BIGINT
+         |    AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 4""".stripMargin,
 
     // q318: fully INDEPENDENT journal audit — expected fact counts are
     // recomputed from the source parquet (an all-insert CDC ingest's
@@ -6785,15 +6818,33 @@ object OracleSql {
 
     // q320: incremental hamming — brute-force CROSS pairs (20% batch ×
     // 80% index under the q109 split), deliberately not banded: the green
-    // row proves banding recall for the asymmetric join
+    // row proves banding recall for the asymmetric join. Over the r17
+    // planted-twin population (twins scatter across the split, so ~half
+    // the planted pairs land cross-side and bind the proof).
     "q320_incremental_hamming" ->
-      s"""WITH ${simhash64PairsCtes(3)},
+      s"""WITH $plantedTwinsCte,
+         |${simhash64SigsCtes("aug")},
          |split AS (SELECT id, sig, ${h32("id::VARCHAR")} % 10000 AS b
          |  FROM sigs64)
          |SELECT a.id AS batch_id, c.id AS index_id,
          |  bit_count(xor(a.sig, c.sig))::BIGINT AS hamming
          |FROM split a JOIN split c ON a.b >= 8000 AND c.b < 8000
          |WHERE bit_count(xor(a.sig, c.sig)) <= 3""".stripMargin,
+
+    // q322: the 128-bit incremental twin — brute-force CROSS pairs over
+    // both md5-replayed signature words at Hamming <= 4, same planted
+    // population and 80/20 id-hash split; the recall proof for the
+    // asymmetric 5-band join
+    "q322_incremental_hamming128" ->
+      s"""WITH $plantedTwinsCte,
+         |${simhash128SigsCtes("aug")},
+         |split AS (SELECT doc_id, w0, w1, ${h32("doc_id::VARCHAR")} % 10000 AS b
+         |  FROM sigs)
+         |SELECT a.doc_id AS batch_id, c.doc_id AS index_id,
+         |  (bit_count(xor(a.w0, c.w0)) + bit_count(xor(a.w1, c.w1)))::BIGINT
+         |    AS hamming
+         |FROM split a JOIN split c ON a.b >= 8000 AND c.b < 8000
+         |WHERE bit_count(xor(a.w0, c.w0)) + bit_count(xor(a.w1, c.w1)) <= 4""".stripMargin,
 
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops

@@ -3242,7 +3242,16 @@ object SparkEntry {
     * partition per micro-batch, and a session default sized for the batch
     * gates (32-200) buys nothing at gate scale but 3× the task-launch
     * overhead per replay (r15 verdict item 3). The conf is restored after
-    * stop — batch plans around the replay are untouched. */
+    * stop — batch plans around the replay are untouched.
+    *
+    * SEQUENTIAL-ONLY by design (r16 ADVICE): the override mutates the
+    * session-global conf for the query's lifetime, so a batch plan
+    * compiled CONCURRENTLY in this session would pick up 8 partitions
+    * (or the restore could clobber a parallel replay's setting). The
+    * Verify/Bench harness runs gates strictly one at a time, which is
+    * the assumption this shortcut rides; a concurrent harness must scope
+    * the setting per-query (stateful-operator conf on the stream)
+    * instead. */
   private def runReplay(s: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
       prefix: String, outputMode: String)
@@ -3576,6 +3585,26 @@ object SparkEntry {
         graft.operators.Media.Fixtures.videoTracks))
   }
 
+  /** The PLANTED-TWIN population shared by the Hamming recall gates
+    * (q316/q320/q322): the documents corpus plus an exact twin of every
+    * 7th doc (identical text → identical signature, Hamming 0 — banding
+    * recall trivially due) and a near twin of every 5th (one appended
+    * rare token — each signature bit flips only where the token sum was
+    * tied, so twins land spread across Hamming 0..~7 and the ones inside
+    * the radius BIND the pigeonhole proof on dozens of pairs instead of
+    * the corpus's incidental handful; r16 verdict: q316/q320 verified 7/5
+    * rows). Offsets keep id spaces disjoint; the oracles replay the same
+    * augmentation in SQL. */
+  private def plantedTwinDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(7L)) === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" qq7z")).as("text")))
+  }
+
   /** 128-bit SimHash near-dups — the wider-signature regime that breaks
     * the 64-bit engine's 2^16-bucket band saturation (r15 probe: benefit
     * decay 93%→53% over one decade; this engine's 2^25-26-bucket bands
@@ -3583,9 +3612,11 @@ object SparkEntry {
     * Hamming ≤ 4 — one radius DEEPER than the 64-bit path's ≤ 3. The
     * oracle is BRUTE-FORCE all-pairs Hamming over both md5-replayed
     * signature words, so a green row is also the recall proof for the
-    * 5-band scheme. */
+    * 5-band scheme — run over [[plantedTwinDocs]] (r17) so the proof
+    * binds on a planted population spanning Hamming 0..4, not just the
+    * corpus's incidental pairs. */
   private def q316(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashNearDups128(T(s, dir, "documents"), "text", "doc_id",
+    Dedup.simHashNearDups128(plantedTwinDocs(s, dir), "text", "doc_id",
         maxHamming = 4)
       .select(col("id_a"), col("id_b"),
         col("hamming").cast("long").as("hamming"))
@@ -3659,14 +3690,63 @@ object SparkEntry {
     * oracle brute-forces the CROSS pairs exhaustively, so the green row
     * proves banding recall for the asymmetric join too. */
   private def q320(s: SparkSession, dir: String): DataFrame = {
-    val sigs = TW(s, dir, "documents").select(col("doc_id"),
-      Dedup.simHash64(col("text")).as("sig"))
+    val sigs = graft.Tables.widen(plantedTwinDocs(s, dir))
+      .select(col("doc_id"), Dedup.simHash64(col("text")).as("sig"))
     val h = pmod(graft.functions.Hashes.portableHash32(
       col("doc_id").cast("string")), lit(10000L))
     Dedup.incrementalHamming64NearDups(
         sigs.filter(h >= 8000), sigs.filter(h < 8000), "doc_id", "sig")
       .select(col("batch_id"), col("index_id"),
         col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Incremental 128-BIT Hamming near-dups (r17 — q320's shape for the
+    * wide engine, which is where the batch×index form matters most: the
+    * 128-bit regime exists for corpora past 64-bit band saturation,
+    * i.e. persisted indexes far too large to re-pair nightly). Same
+    * planted-twin population and deterministic 80/20 id-hash split;
+    * candidates are banded batch×index only (5×25-26-bit bands). The
+    * oracle brute-forces the CROSS pairs over both md5-replayed signature
+    * words — the recall proof for the asymmetric 5-band join. */
+  private def q322(s: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.Tables.widen(plantedTwinDocs(s, dir))
+      .select(col("doc_id"), Dedup.simHash128(col("text")).as("sig"))
+    val h = pmod(graft.functions.Hashes.portableHash32(
+      col("doc_id").cast("string")), lit(10000L))
+    Dedup.incrementalHamming128NearDups(
+        sigs.filter(h >= 8000), sigs.filter(h < 8000), "doc_id", "sig",
+        maxHamming = 4)
+      .select(col("batch_id"), col("index_id"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Persisted-MinHash-index COMPACTION gate (r17 — the q317 protocol on
+    * the artifact a nightly crawl compacts most often): build the base
+    * from 80% of the corpus, append two committed segments, fold them
+    * back into the ParquetTable base (id-dedup, atomic snapshot flip),
+    * REFUSE to answer unless the segment dirs and append log are really
+    * gone, then run the incremental near-dup query. The oracle is q187's
+    * independent replay of the one-shot semantics over the full 90%
+    * index — compaction changes layout, never results. */
+  private def q321(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+    val idxDir = scratchDir("graft_q321")
+    val h = pmod(graft.functions.Hashes.portableHash32(
+      col("doc_id").cast("string")), lit(10000L))
+    Dedup.writeMinHashIndex(docs.filter(h < 8000), idxDir,
+      bands = 4, rowsPerBand = 2)
+    Dedup.appendToMinHashIndex(docs.filter(h >= 8000 && h < 8500), idxDir,
+      txn = Some(("q321", 1L)))
+    Dedup.appendToMinHashIndex(docs.filter(h >= 8500 && h < 9000), idxDir,
+      txn = Some(("q321", 2L)))
+    Dedup.compactMinHashIndex(s, idxDir)
+    require(!new java.io.File(s"$idxDir/appends").exists() &&
+        !new java.io.File(s"$idxDir/append_log").exists(),
+      "compactMinHashIndex left segment dirs or the append log behind")
+    Dedup.nearDupsAgainstIndex(s, idxDir, docs.filter(h >= 9000),
+        threshold = 0.2)
+      .select(col("corpus_id"), col("batch_id"),
+        round(col("jaccard"), 3).as("jaccard"))
   }
 
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
@@ -4085,7 +4165,9 @@ object SparkEntry {
     "q317_ivf_compact" -> (q317 _),
     "q318_journal_audit" -> (q318 _),
     "q319_dedupfirst_clusters" -> (q319 _),
-    "q320_incremental_hamming" -> (q320 _)
+    "q320_incremental_hamming" -> (q320 _),
+    "q321_minhash_compact" -> (q321 _),
+    "q322_incremental_hamming128" -> (q322 _)
   )
 
   /** Gates whose bench time is dominated by FIXED replay-harness

@@ -265,7 +265,10 @@ object Dedup {
     // unrelated data; same scoped-delete contract as writeIvfIndex)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
-    Seq(s"$path/index", indexParamsPath(path)).foreach { p =>
+    // a full rebuild supersedes any append segments: leaving the log would
+    // make readers union stale segments on top of the rewritten base
+    Seq(s"$path/index", indexParamsPath(path), s"$path/append_log",
+        s"$path/append_log.tmp", s"$path/appends").foreach { p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true)
     }
     new graft.merge.ParquetTable(spark, s"$path/index")
@@ -291,33 +294,90 @@ object Dedup {
     MinHashIndexParams(kv("bands"), kv("rowsPerBand"), kv("shingleK"))
   }
 
-  /** Sign `batch` with the index's pinned parameters and append its rows —
-    * one signature pass over the batch, never the corpus; atomic and
-    * txn-replayable via the ParquetTable commit log. The usual flow:
-    * [[nearDupsAgainstIndex]] first (dedup the batch against everything
-    * accepted so far), drop the dups, then append the survivors. */
+  /** Sign `batch` with the index's pinned parameters and append its rows as
+    * a SEGMENT under the [[IndexLog]] two-step commit — one signature pass
+    * over the batch and one write of BATCH-sized data, never a rewrite of
+    * the corpus-sized base (the pre-r17 ParquetTable snapshot append paid a
+    * full-index rewrite per nightly batch — O(corpus) I/O per append, the
+    * exact cost this index exists to avoid at 100 TB). Crash-safe and
+    * replay-safe exactly like [[Similarity.appendToIvfIndex]]: data files
+    * without a log row are invisible, a replayed `txn` (appId, batchId)
+    * already in the log is a no-op. The usual flow: [[nearDupsAgainstIndex]]
+    * first (dedup the batch against everything accepted so far), drop the
+    * dups, then append the survivors; [[compactMinHashIndex]] folds the
+    * accumulated segments back into the base nightly. */
   def appendToMinHashIndex(batch: DataFrame, path: String,
                            textCol: String = "text",
                            idCol: String = "doc_id",
                            txn: Option[(String, Long)] = None): Unit = {
-    val p = readMinHashIndexParams(batch.sparkSession, path)
-    new graft.merge.ParquetTable(batch.sparkSession, s"$path/index")
-      .append(minHashIndexTable(batch, textCol, idCol, p.bands,
-        p.rowsPerBand, p.shingleK), txn = txn)
+    val spark = batch.sparkSession
+    val (appId, batchId) = txn.getOrElse(("graft", -1L))
+    if (batchId >= 0 && IndexLog.committed(spark, path)
+        .exists(s => s._1 == appId && s._2 == batchId))
+      return // replayed batch: already committed, exactly-once no-op
+    val p = readMinHashIndexParams(spark, path)
+    val segment =
+      if (batchId >= 0) s"$appId-$batchId"
+      else s"$appId-u${java.util.UUID.randomUUID().toString.take(8)}"
+    minHashIndexTable(batch, textCol, idCol, p.bands, p.rowsPerBand,
+        p.shingleK)
+      .write.mode("overwrite").parquet(IndexLog.segmentDir(path, segment))
+    // data files are fully written; the single-file log append is the commit
+    IndexLog.commit(spark, path, appId, batchId, segment)
+  }
+
+  /** The index's visible signature rows: the ParquetTable base plus every
+    * COMMITTED append segment (crashed appends have no log row and are
+    * never read) — the union every reader consumes. */
+  def minHashIndexRows(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    val base = new graft.merge.ParquetTable(spark, s"$path/index").read
+    IndexLog.committed(spark, path)
+      .map(s => spark.read.parquet(IndexLog.segmentDir(path, s._3)))
+      .foldLeft(base)(_ unionByName _)
+  }
+
+  /** Fold committed append segments back into the ParquetTable base — the
+    * dedup index's OPTIMIZE, the twin of [[Similarity.compactIvfIndex]]
+    * (q317's protocol) for the artifact a nightly crawl compacts far more
+    * often than its ANN index: per-append segments otherwise accumulate one
+    * directory (and its file-open tax) per night forever. Compaction
+    * changes LAYOUT, never results — [[nearDupsAgainstIndex]] reads the
+    * same row set before and after (the q321 gate + DedupSpec pin it).
+    *
+    * Protocol: capture the committed segment list, fold base ∪ segments
+    * with an id-dedup (crash-RETRY convergence: a refold after any crash
+    * re-deduplicates to the same contents), overwrite the base — ATOMIC
+    * here, unlike the IVF corpus: the snapshot-layout ParquetTable writes
+    * a fresh `snap/vNNNNN` and flips visibility in its commit log — then
+    * retire ONLY the folded segments ([[IndexLog.retire]]): a segment
+    * committed by a concurrent append during the fold keeps its data and
+    * log row. */
+  def compactMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val segs = IndexLog.committed(spark, path)
+    if (segs.isEmpty) return // nothing to fold; no empty rewrite
+    val table = new graft.merge.ParquetTable(spark, s"$path/index")
+    val merged = segs
+      .map(s => spark.read.parquet(IndexLog.segmentDir(path, s._3)))
+      .foldLeft(table.read)(_ unionByName _)
+      .dropDuplicates("id")
+    table.overwrite(merged)
+    IndexLog.retire(spark, path, segs)
   }
 
   /** [[incrementalNearDups]] against the PERSISTED index: read the committed
-    * signature rows, join the batch's banded keys — the per-batch dedup a
-    * continuously-ingested corpus runs without ever re-signing itself. */
+    * signature rows (base + committed segments), join the batch's banded
+    * keys — the per-batch dedup a continuously-ingested corpus runs without
+    * ever re-signing itself. */
   def nearDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, batch: DataFrame,
                            textCol: String = "text",
                            idCol: String = "doc_id",
                            threshold: Double = 0.2): DataFrame = {
     val p = readMinHashIndexParams(spark, path)
-    val index = new graft.merge.ParquetTable(spark, s"$path/index").read
-    incrementalNearDups(batch, index, textCol, idCol, threshold,
-      p.bands, p.rowsPerBand, p.shingleK)
+    incrementalNearDups(batch, minHashIndexRows(spark, path), textCol, idCol,
+      threshold, p.bands, p.rowsPerBand, p.shingleK)
   }
 
   // -------------------------------------------------------------------------
@@ -689,6 +749,23 @@ object Dedup {
         coalesce(sum(col("s")), lit(0L)).as("n_rows"),
         coalesce(sum(when(col("s") >= 2, col("s")).otherwise(lit(0L))),
           lit(0L)).as("multi_rows")).head()
+    // Overflow guard BEFORE trusting the pair sum (r16 ADVICE): the summed
+    // per-bucket terms s·(s−1) and their total are only valid Long
+    // arithmetic when max_s² and max_s·n_rows both fit — past that the sum
+    // can wrap negative and silently PASS the budget check it exists to
+    // enforce. max_s and n_rows are computed product-free, so they are
+    // trustworthy unconditionally; any population failing these bounds
+    // implies >= 4.6e18 candidate pairs — astronomically past any budget.
+    val maxS = prof.getLong(1)
+    val nRowsChk = prof.getLong(3)
+    require(maxS <= 3037000499L &&
+        (maxS == 0L || nRowsChk <= Long.MaxValue / maxS),
+      s"$engine pre-flight refused: bucket counts too large for 64-bit " +
+        s"pair arithmetic (largest bucket $maxS signatures in band " +
+        s"${prof.get(2)}, $nRowsChk banded rows) — the implied candidate " +
+        "mass exceeds 4.6e18 pairs regardless of budget. Filter exact " +
+        "duplicates first (dropDuplicates on the signature) or widen the " +
+        "signature.")
     val pairs = prof.getLong(0) / 2
     require(pairs <= candidateBudget,
       s"$engine pre-flight refused: $pairs " +
@@ -735,10 +812,11 @@ object Dedup {
     * Budget/pre-flight/singleton machinery shared verbatim with the 64-bit
     * engine ([[bandedHammingPairs]]). */
   def simHashNearDups128(df: DataFrame, textCol: String, idCol: String,
-                         maxHamming: Int = 4): DataFrame =
+                         maxHamming: Int = 4,
+                         candidateBudget: Long = 100000000L): DataFrame =
     hamming128NearDups(graft.Tables.widen(df)
         .select(col(idCol), simHash128(col(textCol)).as("__sig128")),
-      idCol, "__sig128", maxHamming)
+      idCol, "__sig128", maxHamming, candidateBudget)
 
   /** 128-bit band boundaries: 5 bands of 26/26/26/25/25 bits covering bits
     * [0,26) [26,52) [52,78) [78,103) [103,128) of the [w0, w1] signature
@@ -824,15 +902,55 @@ object Dedup {
   def incrementalHamming64NearDups(batch: DataFrame, index: DataFrame,
       idCol: String, sigCol: String, maxHamming: Int = 3,
       candidateBudget: Long = 100000000L): DataFrame = {
-    val bands = 4
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < $bands bands (got $maxHamming)")
+    require(maxHamming < 4,
+      s"pigeonhole needs maxHamming < 4 bands (got $maxHamming)")
+    incrementalBandedHamming(batch, index, idCol, sigCol, maxHamming,
+      candidateBudget, "incrementalHamming64NearDups",
+      "hamming64DedupClusters", banded64,
+      (a, b) => bit_count(a.bitwiseXOR(b)))
+  }
+
+  /** [[incrementalHamming64NearDups]] at double width — the nightly-crawl
+    * batch×index shape for the 128-bit regime ([[hamming128NearDups]]),
+    * which is exactly where it matters most: the whole point of the wider
+    * signature is corpora past 64-bit band saturation, i.e. persisted
+    * indexes far too large to re-pair against themselves every night.
+    * Same [[banded128]] 5×25-26-bit bands (pigeonhole-complete at
+    * Hamming ≤ 4), same Σ s_b·s_i cross-volume pre-flight from two bounded
+    * count tables BEFORE any join. */
+  def incrementalHamming128NearDups(batch: DataFrame, index: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int = 4,
+      candidateBudget: Long = 100000000L): DataFrame = {
+    require(maxHamming < Bands128.length,
+      s"pigeonhole needs maxHamming < ${Bands128.length} bands (got $maxHamming)")
+    incrementalBandedHamming(batch, index, idCol, sigCol, maxHamming,
+      candidateBudget, "incrementalHamming128NearDups",
+      "hamming128DedupClusters", banded128,
+      (a, b) =>
+        (bit_count(element_at(a, 1).bitwiseXOR(element_at(b, 1))) +
+          bit_count(element_at(a, 2).bitwiseXOR(element_at(b, 2))))
+          .cast("int"))
+  }
+
+  /** The shared batch×index banded engine behind the two incremental
+    * Hamming widths: candidates are a banded join of the BATCH side against
+    * the PRECOMPUTED index side only (never batch×batch or index×index).
+    * The cross-candidate volume Σ_bucket s_batch·s_index is computed from
+    * the two bounded per-bucket count tables BEFORE the join; the max/sum
+    * factors are checked product-free first so the refusal can never be
+    * defeated by 64-bit wrap (same r16-ADVICE guard as
+    * [[bandedHammingPairs]]). */
+  private def incrementalBandedHamming(batch: DataFrame, index: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int, candidateBudget: Long,
+      engine: String, dedupFirstOp: String,
+      banded: DataFrame => DataFrame,
+      hamming: (Column, Column) => Column): DataFrame = {
     val b = batch.select(col(idCol).as("id"), col(sigCol).as("sig"))
       .localCheckpoint()
     val ix = index.select(col(idCol).as("id"), col(sigCol).as("sig"))
       .localCheckpoint()
-    val bb = banded64(b)
-    val bi = banded64(ix)
+    val bb = banded(b)
+    val bi = banded(ix)
     val cb = bb.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("sb"))
     val ci = bi.groupBy(col("band"), col("bucket"))
@@ -841,13 +959,25 @@ object Dedup {
       .agg(coalesce(sum(col("sb") * col("si")).cast("long"), lit(0L))
           .as("cross"),
         coalesce(max(col("sb") * col("si")), lit(0L)).as("max_cross"),
-        expr("max_by(band, sb * si)").as("max_band")).head()
+        expr("max_by(band, sb * si)").as("max_band"),
+        coalesce(max(col("sb")), lit(0L)).as("max_sb"),
+        coalesce(max(col("si")), lit(0L)).as("max_si"),
+        coalesce(sum(col("sb")), lit(0L)).as("sum_sb")).head()
+    // product-free factors first: sb·si per row and Σ sb·si are valid Long
+    // arithmetic only when max_sb·max_si and max_si·Σsb both fit
+    val maxSb = prof.getLong(3); val maxSi = prof.getLong(4)
+    val sumSb = prof.getLong(5)
+    require(maxSi == 0L || (maxSb <= Long.MaxValue / maxSi &&
+        sumSb <= Long.MaxValue / maxSi),
+      s"$engine pre-flight refused: bucket counts too large for 64-bit " +
+        s"cross-pair arithmetic (largest batch bucket $maxSb × largest " +
+        s"index bucket $maxSi) — dedup each side first ($dedupFirstOp).")
     require(prof.getLong(0) <= candidateBudget,
-      s"incrementalHamming64NearDups pre-flight refused: ${prof.getLong(0)} " +
+      s"$engine pre-flight refused: ${prof.getLong(0)} " +
         s"cross candidate pairs implied by the band buckets exceed " +
         s"candidateBudget=$candidateBudget (largest bucket product: " +
         s"${prof.getLong(1)} in band ${prof.get(2)}). Dedup the batch " +
-        "against itself first (hamming64DedupClusters), or raise " +
+        s"against itself first ($dedupFirstOp), or raise " +
         "candidateBudget explicitly if the cost is intended.")
     val cands = bb.alias("a").join(bi.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
@@ -855,7 +985,7 @@ object Dedup {
         col("b.id").as("index_id"), col("b.sig").as("sig_b"))
       .distinct()
     cands
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("batch_id", "index_id", "hamming")
   }

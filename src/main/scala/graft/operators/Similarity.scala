@@ -433,9 +433,8 @@ object Similarity {
     // readers union stale segments on top of the rewritten base
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
-    Seq(s"$path/append_log", s"$path/appends").foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(d), true)
-    }
+    Seq(s"$path/append_log", s"$path/append_log.tmp", s"$path/appends")
+      .foreach { d => fs.delete(new org.apache.hadoop.fs.Path(d), true) }
     val (centIds, centVecs): (Array[Any], Array[Array[Float]]) =
       if (trainIters > 0) {
         val cents = trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
@@ -465,19 +464,13 @@ object Similarity {
     VectorFunctions.releaseCentroidBroadcast(spark, cs.bc)
   }
 
-  /** Committed append segments of an IVF index, from its commit log. A
-    * segment is visible ONLY once its log row exists, so a crashed append
-    * (data files written, no log row) is invisible to every reader. */
+  /** Committed append segments of an IVF index, from its commit log
+    * ([[IndexLog]] — shared with the persisted MinHash index). A segment is
+    * visible ONLY once its log row exists, so a crashed append (data files
+    * written, no log row) is invisible to every reader. */
   private[operators] def committedSegments(
-      spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, Long, String)] = {
-    val logDir = s"$path/append_log"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(logDir), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(logDir))) Seq.empty
-    else spark.read.parquet(logDir)
-      .select("app_id", "batch_id", "segment").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, Long, String)] =
+    IndexLog.committed(spark, path)
 
   /** Append a NEW batch into a persisted IVF index WITHOUT retraining or
     * rewriting: the batch is assigned against the index's OWN centroid
@@ -522,9 +515,7 @@ object Similarity {
       .parquet(s"$path/appends/$segment")
     VectorFunctions.releaseCentroidBroadcast(spark, cs.bc)
     // data files are fully written; the single-file log append is the commit
-    import spark.implicits._
-    Seq((appId, batchId, segment)).toDF("app_id", "batch_id", "segment")
-      .coalesce(1).write.mode("append").parquet(s"$path/append_log")
+    IndexLog.commit(spark, path, appId, batchId, segment)
   }
 
   /** Fold committed append segments back into the base corpus — the IVF
@@ -547,6 +538,10 @@ object Similarity {
     * the same bounded in-place-rewrite window the ParquetTable compact
     * documents; readers needing stricter isolation compact in their
     * maintenance window like every other in-place table service.
+    * Only the segments captured at entry are retired ([[IndexLog.retire]]):
+    * a segment committed by a concurrent append while the fold ran keeps
+    * both its data and its log row (r16 ADVICE — the previous
+    * whole-directory delete silently dropped it).
     *
     * Caller contract (standard for an ANN index): `idCol` is unique across
     * base + appends, except for byte-identical replays (crash retries),
@@ -567,11 +562,7 @@ object Similarity {
     merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("centroid_id").parquet(s"$path/corpus")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
-    Seq(s"$path/append_log", s"$path/appends").foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(d), true)
-    }
+    IndexLog.retire(spark, path, segs)
     merged.unpersist(blocking = true)
   }
 

@@ -340,10 +340,24 @@ class CdcMultimodalSpec extends SparkSpec {
     val hr = Multimodal.PixelCodec.dHash64(1L, rotated)
     assert(hu == hr, s"rotated JPEG twin hashed $hr vs upright $hu")
     assert(hu == 8825501086245354106L) // the q314 oracle anchor
-    // regenerating from the documented formula reproduces the committed
-    // bytes exactly — the fixtures are provenance-pinned to the generator
-    assert(java.util.Arrays.equals(upright, graft.tools.GenRotatedJpeg.upright()))
-    assert(java.util.Arrays.equals(rotated, graft.tools.GenRotatedJpeg.rotated()))
+    // provenance: regenerating from the documented formula reproduces the
+    // committed PICTURES — compared as decoded rasters, not bytes (r16
+    // ADVICE: byte identity pins the suite to the generating JDK's quant/
+    // Huffman table choices and a JDK upgrade could fail it with the
+    // orientation/dHash contract fully intact). The dHash/orientation
+    // asserts above stay unconditional either way.
+    def raster(id: Long, bytes: Array[Byte]): Seq[Any] = {
+      val st = Multimodal.PixelCodec.decodeStats(id, bytes)
+      Seq(st.width, st.height, st.means.toSeq)
+    }
+    assert(raster(0L, upright) ==
+      raster(0L, graft.tools.GenRotatedJpeg.upright()))
+    assert(raster(1L, rotated) ==
+      raster(1L, graft.tools.GenRotatedJpeg.rotated()))
+    assert(Multimodal.PixelCodec.dHash64(2L,
+      graft.tools.GenRotatedJpeg.upright()) == hu)
+    assert(Multimodal.PixelCodec.dHash64(3L,
+      graft.tools.GenRotatedJpeg.rotated()) == hr)
   }
 
   test("EXIF orientation: JPEG APP1 parse + adversarial segments") {

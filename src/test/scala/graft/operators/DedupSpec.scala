@@ -568,6 +568,110 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == oneShot)
   }
 
+  test("MinHash index compaction: before == after, retry idempotent, replayed append no-op, crashed segment invisible") {
+    import spark.implicits._
+    val docs = (1L to 30L).map { i =>
+      (i, (0 until 12).map(w => s"w${i % 10}_$w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_cpt").toString
+    val query = docs.filter($"doc_id" > 25)
+    def pairs() = Dedup.nearDupsAgainstIndex(spark, dir, query,
+      threshold = 0.2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.writeMinHashIndex(docs.filter($"doc_id" <= 15), dir,
+      bands = 4, rowsPerBand = 2)
+    Dedup.appendToMinHashIndex(docs.filter($"doc_id" > 15 && $"doc_id" <= 20),
+      dir, txn = Some(("spec", 1L)))
+    Dedup.appendToMinHashIndex(docs.filter($"doc_id" > 20 && $"doc_id" <= 25),
+      dir, txn = Some(("spec", 2L)))
+    // a replayed (appId, batchId) is an exactly-once no-op
+    Dedup.appendToMinHashIndex(docs.filter($"doc_id" > 15 && $"doc_id" <= 20),
+      dir, txn = Some(("spec", 1L)))
+    val before = pairs()
+    assert(before.nonEmpty)
+    val nBefore = Dedup.minHashIndexRows(spark, dir).count()
+    assert(nBefore == 25L, s"replayed append must not double rows: $nBefore")
+    // a CRASHED segment append (data files written, no commit row) is
+    // invisible to readers and to compaction
+    Dedup.minHashIndexTable(docs.filter($"doc_id" > 25), "text", "doc_id",
+        bands = 4, rowsPerBand = 2)
+      .write.parquet(s"$dir/appends/spec-crashed")
+    assert(Dedup.minHashIndexRows(spark, dir).count() == 25L)
+    Dedup.compactMinHashIndex(spark, dir)
+    assert(pairs() == before, "compaction must not change results")
+    assert(Dedup.minHashIndexRows(spark, dir).count() == 25L)
+    // folded segments + log are gone (the crashed dir was never committed
+    // and is swept with the rest of appends/ once nothing survives)
+    assert(!new java.io.File(s"$dir/appends").exists())
+    assert(!new java.io.File(s"$dir/append_log").exists())
+    // retry converges (id-dedup): second compact is a no-op, same results
+    Dedup.compactMinHashIndex(spark, dir)
+    assert(pairs() == before)
+  }
+
+  test("IndexLog.retire keeps a segment committed after the fold list was captured") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mh_ret").toString
+    val docs = (1L to 10L).map(i =>
+      (i, (0 until 12).map(w => s"w${i % 3}_$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.writeMinHashIndex(docs.filter($"doc_id" <= 6), dir,
+      bands = 4, rowsPerBand = 2)
+    Dedup.appendToMinHashIndex(docs.filter($"doc_id" === 7), dir,
+      txn = Some(("spec", 1L)))
+    // capture the fold list, then a concurrent append commits segment 2
+    val folded = graft.operators.IndexLog.committed(spark, dir)
+    Dedup.appendToMinHashIndex(docs.filter($"doc_id" === 8), dir,
+      txn = Some(("spec", 2L)))
+    graft.operators.IndexLog.retire(spark, dir, folded)
+    // the late segment survives with data + log row; the folded one is gone
+    val left = graft.operators.IndexLog.committed(spark, dir)
+    assert(left.map(_._3) == Seq("spec-2"), s"survivors: $left")
+    assert(new java.io.File(s"$dir/appends/spec-2").exists())
+    assert(!new java.io.File(s"$dir/appends/spec-1").exists())
+  }
+
+  test("incrementalHamming128NearDups: banded batch×index equals brute-force cross pairs; budget refusal; no self-pairing of either side") {
+    import spark.implicits._
+    // signatures engineered around the 5-band boundaries (26/26/26/25/25):
+    // twins at Hamming 1-4 across specific bands, plus far pairs
+    val base = Seq(
+      (1L, Seq(0x0123456789abcdefL, 0x0fedcba987654321L)),
+      (2L, Seq(0x7efface500000000L, 0x1111111111111111L)),
+      (3L, Seq(0x5a5a5a5a5a5a5a5aL, 0x2222222222222222L)))
+    // batch twins: flip 1 bit in w0 of id1; 4 bits spread over both words
+    // of id2 (bits 0, 30, 70, 120 — four different bands); id3 far (32 bits)
+    val batch = Seq(
+      (101L, Seq(0x0123456789abcdeeL, 0x0fedcba987654321L)),
+      (102L, Seq(0x7efface540000001L, 0x1111111111111151L ^ (1L << 56))),
+      (103L, Seq(0x5a5a5a5aa5a5a5a5L, 0x2222222222222222L)))
+    val ix = base.toDF("id", "sig")
+    val bt = batch.toDF("id", "sig")
+    val got = Dedup.incrementalHamming128NearDups(bt, ix, "id", "sig",
+        maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force oracle over the cross product
+    val expected = (for {
+      (bi, bs) <- batch; (ii, is) <- base
+      h = java.lang.Long.bitCount(bs(0) ^ is(0)) +
+        java.lang.Long.bitCount(bs(1) ^ is(1))
+      if h <= 4
+    } yield (bi, ii, h)).toSet
+    assert(got == expected && got.nonEmpty, s"got $got expected $expected")
+    // id 103 is 16 bits from everything: no pair — and crucially the two
+    // base near-twins (none here) / batch near-twins never self-pair
+    assert(!got.exists(_._1 == 103L))
+    assert(got.forall(p => p._1 >= 100L && p._2 < 100L),
+      "pairs must be batch×index only")
+    // budget refusal: collapse everything to one signature and set budget 1
+    val hot = (1L to 10L).map(i => (i, Seq(7L, 7L))).toDF("id", "sig")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalHamming128NearDups(hot, hot, "id", "sig",
+        maxHamming = 4, candidateBudget = 1L).collect()
+    }
+    assert(err.getMessage.contains("pre-flight refused"))
+    assert(err.getMessage.contains("hamming128DedupClusters"))
+  }
+
   test("dedupSavingsReport: lowest-id canonical survives per family, singletons always survive") {
     import spark.implicits._
     // family {1,2,3} (src a), singleton 4 (src a), family {5,6} (src b)
