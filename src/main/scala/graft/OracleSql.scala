@@ -161,6 +161,58 @@ object OracleSql {
        |           THEN (1::HUGEINT << j) ELSE 0::HUGEINT END))::UBIGINT AS w1
        |  FROM hs)""".stripMargin
 
+  /** IVFADC (q139) search replay: deterministic first-16 coarse centroids
+    * AND first-16 PQ codewords from `pool`, assignment/encoding over the
+    * FULL embeddings table, nProbe=4 probe, ADC top-5. q139 builds from
+    * the whole corpus (`pool` = embeddings); q323 pins both quantizers to
+    * the 80% base build of the persisted artifact while searching
+    * everything the index serves (base + appended-then-compacted
+    * segments). */
+  private def ivfPqOracle(pool: String): String = {
+    val l2sub = "list_sum(list_transform(generate_series(1, 8), i -> " +
+      "((e.embedding[s.sub * 8 + i]::DOUBLE) - (c.cw[s.sub * 8 + i]::DOUBLE)) * " +
+      "((e.embedding[s.sub * 8 + i]::DOUBLE) - (c.cw[s.sub * 8 + i]::DOUBLE))))"
+    val adc = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "((q.qv[i]::DOUBLE) - (dec.dv[i]::DOUBLE)) * " +
+      "((q.qv[i]::DOUBLE) - (dec.dv[i]::DOUBLE))))"
+    s"""WITH centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cv FROM $pool
+       |  ORDER BY vec_id LIMIT 16),
+       |assigned AS (SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS r
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE r = 1),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+       |    embedding AS cw FROM $pool ORDER BY vec_id LIMIT 16),
+       |subs AS (SELECT unnest(range(0, 8)) AS sub),
+       |sc AS (SELECT e.vec_id, s.sub, c.code, $l2sub AS d
+       |  FROM embeddings e CROSS JOIN subs s CROSS JOIN cb c),
+       |codes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+       |    row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY d ASC, code ASC) AS r FROM sc) WHERE r = 1),
+       |dec AS (SELECT co.vec_id,
+       |    flatten(list(list_slice(cb.cw, co.sub * 8 + 1, co.sub * 8 + 8)
+       |      ORDER BY co.sub)) AS dv
+       |  FROM codes co JOIN cb USING (code) GROUP BY co.vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < 4),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |    SELECT q.query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosineSql("q.qv", "c.cv")} DESC, c.centroid_id ASC) AS r
+       |    FROM q CROSS JOIN centroids c) WHERE r <= 4),
+       |ad AS (SELECT q.query_id, dec.vec_id AS neighbor_id, $adc AS d
+       |  FROM q JOIN probes p ON p.query_id = q.query_id
+       |  JOIN assigned a ON a.centroid_id = p.centroid_id
+       |  JOIN dec ON dec.vec_id = a.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, d,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d ASC, neighbor_id ASC) AS rank FROM ad)
+       |SELECT query_id, neighbor_id, ${rnd("d", 3)} AS adc_dist,
+       |  rank::BIGINT AS rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   /** q109's persisted-index replay with the corpus/batch boundary at 9000
     * — one-shot MinHash signatures over the h<9000 index side, banded
     * cross-candidates against the h>=9000 batch, exact-Jaccard verify.
@@ -2384,50 +2436,14 @@ object OracleSql {
     // assignment/probes) composed with q122's PQ pipeline (first-16
     // codebook, argmin-L2 codes, flat ADC fold), scan restricted to the
     // probed buckets
-    "q139_ivfpq_topk" -> {
-      val l2sub = "list_sum(list_transform(generate_series(1, 8), i -> " +
-        "((e.embedding[s.sub * 8 + i]::DOUBLE) - (c.cw[s.sub * 8 + i]::DOUBLE)) * " +
-        "((e.embedding[s.sub * 8 + i]::DOUBLE) - (c.cw[s.sub * 8 + i]::DOUBLE))))"
-      val adc = "list_sum(list_transform(generate_series(1, 64), i -> " +
-        "((q.qv[i]::DOUBLE) - (dec.dv[i]::DOUBLE)) * " +
-        "((q.qv[i]::DOUBLE) - (dec.dv[i]::DOUBLE))))"
-      s"""WITH centroids AS (
-         |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-         |  ORDER BY vec_id LIMIT 16),
-         |assigned AS (SELECT vec_id, centroid_id FROM (
-         |    SELECT e.vec_id, c.centroid_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.centroid_id ASC) AS r
-         |    FROM embeddings e CROSS JOIN centroids c) WHERE r = 1),
-         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
-         |    embedding AS cw FROM embeddings ORDER BY vec_id LIMIT 16),
-         |subs AS (SELECT unnest(range(0, 8)) AS sub),
-         |sc AS (SELECT e.vec_id, s.sub, c.code, $l2sub AS d
-         |  FROM embeddings e CROSS JOIN subs s CROSS JOIN cb c),
-         |codes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
-         |    row_number() OVER (PARTITION BY vec_id, sub
-         |      ORDER BY d ASC, code ASC) AS r FROM sc) WHERE r = 1),
-         |dec AS (SELECT co.vec_id,
-         |    flatten(list(list_slice(cb.cw, co.sub * 8 + 1, co.sub * 8 + 8)
-         |      ORDER BY co.sub)) AS dv
-         |  FROM codes co JOIN cb USING (code) GROUP BY co.vec_id),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-         |  WHERE vec_id < 4),
-         |probes AS (SELECT query_id, centroid_id FROM (
-         |    SELECT q.query_id, c.centroid_id,
-         |      row_number() OVER (PARTITION BY q.query_id
-         |        ORDER BY ${cosineSql("q.qv", "c.cv")} DESC, c.centroid_id ASC) AS r
-         |    FROM q CROSS JOIN centroids c) WHERE r <= 4),
-         |ad AS (SELECT q.query_id, dec.vec_id AS neighbor_id, $adc AS d
-         |  FROM q JOIN probes p ON p.query_id = q.query_id
-         |  JOIN assigned a ON a.centroid_id = p.centroid_id
-         |  JOIN dec ON dec.vec_id = a.vec_id),
-         |ranked AS (SELECT query_id, neighbor_id, d,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY d ASC, neighbor_id ASC) AS rank FROM ad)
-         |SELECT query_id, neighbor_id, ${rnd("d", 3)} AS adc_dist,
-         |  rank::BIGINT AS rank FROM ranked WHERE rank <= 5""".stripMargin
-    },
+    "q139_ivfpq_topk" -> ivfPqOracle("embeddings"),
+
+    // q323: the PERSISTED IVFADC artifact — q139's exact search semantics
+    // with both quantizers restricted to the BASE build (80% of the
+    // corpus), searching the FULL corpus: precisely what base + two
+    // appended-then-compacted segments serve (the q132/q317 pattern)
+    "q323_ivfpq_index" ->
+      ivfPqOracle("(SELECT * FROM embeddings WHERE vec_id % 5 != 0)"),
 
     // tokenizer fertility per source: whitespace words, BPE-ish subwords,
     // chars (length) and bytes (strlen)

@@ -1621,6 +1621,41 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Persisted IVFADC index gate (r17 — q139's per-call quantizer rebuild
+    * replaced by an on-disk artifact): both quantizers built ONCE from the
+    * 80% base and pinned in the artifact, the 20% appended as two
+    * committed segments (assigned + PQ-encoded against the pinned
+    * quantizers), segments folded by compactIvfPqIndex, and the gate
+    * refuses to answer unless segments + log are really gone. The oracle
+    * is q139's exact IVFADC search with the quantizer pool restricted to
+    * the base build — so a green row proves the persisted artifact, the
+    * append encoding, AND the compaction all preserve q139's in-memory
+    * search semantics. */
+  private def q323(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = TW(s, dir, "embeddings")
+    val idxDir = scratchDir("graft_q323")
+    val ev = e.select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfPqIndex(ev.filter(col("vec_id") % 5 =!= 0),
+      nCentroids = 16, m = 8, ksub = 16, path = idxDir)
+    Similarity.appendToIvfPqIndex(
+      ev.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0),
+      idxDir, appId = "q323", batchId = 1L)
+    Similarity.appendToIvfPqIndex(
+      ev.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 =!= 0),
+      idxDir, appId = "q323", batchId = 2L)
+    Similarity.compactIvfPqIndex(s, idxDir)
+    require(!new java.io.File(s"$idxDir/appends").exists() &&
+        !new java.io.File(s"$idxDir/append_log").exists(),
+      "compactIvfPqIndex left segment dirs or the append log behind")
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfPqTopKFromIndex(s, idxDir, queries, k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc_dist"), 3).as("adc_dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Per-doc lexical diversity: word entropy, type-token ratio, hapax
     * fraction — the vocabulary-richness quality features. */
   private def q133(s: SparkSession, dir: String): DataFrame =
@@ -4167,7 +4202,8 @@ object SparkEntry {
     "q319_dedupfirst_clusters" -> (q319 _),
     "q320_incremental_hamming" -> (q320 _),
     "q321_minhash_compact" -> (q321 _),
-    "q322_incremental_hamming128" -> (q322 _)
+    "q322_incremental_hamming128" -> (q322 _),
+    "q323_ivfpq_index" -> (q323 _)
   )
 
   /** Gates whose bench time is dominated by FIXED replay-harness

@@ -550,10 +550,17 @@ object Similarity {
     * deduped. Appending an EXISTING id with a different vector is an
     * upsert, which this index does not implement. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                      idCol: String = "vec_id"): Unit = {
+                      idCol: String = "vec_id"): Unit =
+    compactBucketedIndex(spark, path, "corpus", idCol)
+
+  /** The fold shared by [[compactIvfIndex]] (`corpus/` of a plain IVF
+    * index) and [[compactIvfPqIndex]] (`codes/` of an IVFADC index). */
+  private def compactBucketedIndex(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, dataDir: String,
+                                   idCol: String): Unit = {
     val segs = committedSegments(spark, path)
     if (segs.isEmpty) return // nothing to fold; no empty rewrite
-    val base = spark.read.parquet(s"$path/corpus")
+    val base = spark.read.parquet(s"$path/$dataDir")
     val merged = segs.map(s => spark.read.parquet(s"$path/appends/${s._3}"))
       .foldLeft(base)(_ unionByName _)
       .dropDuplicates(idCol)
@@ -561,9 +568,36 @@ object Similarity {
       .localCheckpoint()
     merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("centroid_id").parquet(s"$path/corpus")
+      .partitionBy("centroid_id").parquet(s"$path/$dataDir")
     IndexLog.retire(spark, path, segs)
     merged.unpersist(blocking = true)
+  }
+
+  /** The probed-bucket scan shared by [[ivfTopKFromIndex]] and
+    * [[ivfPqTopKFromIndex]]: the probe set is bounded (queries × nProbe) —
+    * collect it and list the probed bucket DIRECTORIES explicitly (manual
+    * DPP, same contract as ParquetTable's touched-partition pruning:
+    * immune to partition-column type-inference defeating an isin
+    * pushdown). Visible index = base + COMMITTED append segments (crashed
+    * appends have no log row and are never read); each root is pruned to
+    * its probed bucket directories independently. */
+  private def prunedBucketScan(spark: org.apache.spark.sql.SparkSession,
+                               path: String, dataDir: String,
+                               probes: DataFrame): DataFrame = {
+    val probedIds = probes.select("centroid_id").distinct().collect().map(_.get(0))
+    val base = s"$path/$dataDir"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(base), spark.sparkContext.hadoopConfiguration)
+    val roots = base +: committedSegments(spark, path)
+      .map(s => s"$path/appends/${s._3}")
+    val perRoot = roots.flatMap { root =>
+      val dirs = probedIds.map(v => s"$root/centroid_id=$v")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", root).parquet(dirs: _*))
+    }
+    require(perRoot.nonEmpty, s"no probed IVF buckets exist under $path")
+    perRoot.reduce(_ unionByName _)
   }
 
   /** Top-k over a persisted IVF index: probe selection runs on the (tiny)
@@ -586,27 +620,7 @@ object Similarity {
         explode(VectorFunctions.topCentroids(spark, col("qv"), cs.bc, nProbe)))
       .withColumn("centroid_id", element_at(cs.ids, col("cidx") + 1))
       .drop("cidx")
-    // the probe set is bounded (queries x nProbe) — collect it and list the
-    // probed bucket DIRECTORIES explicitly (manual DPP, same contract as
-    // ParquetTable's touched-partition pruning: immune to partition-column
-    // type-inference defeating an isin pushdown)
-    val probedIds = probes.select("centroid_id").distinct().collect().map(_.get(0))
-    val base = s"$path/corpus"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(base), spark.sparkContext.hadoopConfiguration)
-    // visible index = base corpus + COMMITTED append segments (crashed
-    // appends have no log row and are never read); each root is pruned to
-    // its probed bucket directories independently
-    val roots = base +: committedSegments(spark, path)
-      .map(s => s"$path/appends/${s._3}")
-    val perRoot = roots.flatMap { root =>
-      val dirs = probedIds.map(v => s"$root/centroid_id=$v")
-        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-      if (dirs.isEmpty) None
-      else Some(spark.read.option("basePath", root).parquet(dirs: _*))
-    }
-    require(perRoot.nonEmpty, s"no probed IVF buckets exist under $path")
-    val bucket = perRoot.reduce(_ unionByName _)
+    val bucket = prunedBucketScan(spark, path, "corpus", probes)
     val scored = broadcast(probes).join(bucket, "centroid_id")
       .select(col("query_id"), struct(
         negate(VectorFunctions.cosine(col(corpusVec), col("qv"))).as("negcos"),
@@ -910,6 +924,178 @@ object Similarity {
       .select(col("query_id"), struct(
         VectorFunctions.pqAdcDistance(spark, col("cs"), col("qv"), book.bc).as("d"),
         col("neighbor_id").as("nid")).as("s"))
+    scored.groupBy("query_id").agg(TopKAgg.topK(col("s"), k).as("arr"))
+      .select(col("query_id"), posexplode(col("arr")))
+      .select(col("query_id"), col("col.nid").as("neighbor_id"),
+        col("col.d").as("adc_dist"), (col("pos") + 1).as("rank"))
+  }
+
+  // -------------------------------------------------------------------------
+  // persisted IVFADC index (coarse buckets + PQ codes as an on-disk artifact)
+  // -------------------------------------------------------------------------
+
+  /** Materialize the IVFADC artifact [[ivfPqTopK]] otherwise rebuilds per
+    * call: `path/centroids` (the coarse quantizer, [[writeIvfIndex]]'s
+    * format), `path/codebook` (m×ksub PQ codewords — the fine quantizer),
+    * and `path/codes` — (id, codes) HIVE-PARTITIONED BY centroid_id, so a
+    * probe reads nProbe/nCentroids of the CODES off disk: the scan is
+    * nProbe/nCentroids × m bytes per vector, the disk-resident IVFADC
+    * operating point, with the raw vector column never stored at all.
+    * Both quantizers are PINNED in the artifact (the MinHash-params
+    * contract): appenders and readers take no quantizer knobs — encoding a
+    * batch against different codewords than the index was built with would
+    * silently corrupt every ADC distance. Deterministic first-k quantizers
+    * by default (`trainIters > 0` switches the coarse quantizer to Lloyd
+    * rounds, same trade as [[writeIvfIndex]]). */
+  def writeIvfPqIndex(corpus: DataFrame, nCentroids: Int, m: Int, ksub: Int,
+                      path: String, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      trainIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    // full rebuild supersedes append segments — stale log rows would union
+    // old codes over the rewritten base
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    Seq(s"$path/append_log", s"$path/append_log.tmp", s"$path/appends")
+      .foreach { d => fs.delete(new org.apache.hadoop.fs.Path(d), true) }
+    val (centIds, centVecs): (Array[Any], Array[Array[Float]]) =
+      if (trainIters > 0) {
+        val cents = trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+        (cents.indices.map(_.toLong.asInstanceOf[Any]).toArray, cents)
+      } else {
+        val rows = corpus.orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol), col(vecCol)).collect()
+        (rows.map(_.get(0)), rows.map(_.getSeq[Float](1).toArray))
+      }
+    val cs = CentroidSet(array(centIds.map(lit): _*),
+      spark.sparkContext.broadcast(centVecs))
+    val book = pqCodebook(corpus, m, ksub, idCol, vecCol)
+    // one zero-shuffle projection carries both quantizers; the only data
+    // movement is the bucket-key repartition that bounds per-bucket files
+    corpus.select(col(idCol),
+        nearestCentroidId(cs, col(vecCol), spark).as("centroid_id"),
+        VectorFunctions.pqEncode(spark, col(vecCol), book.bc).as("codes"))
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+    val centRows = centIds.zip(centVecs).map { case (id, v) =>
+      org.apache.spark.sql.Row(id, v.toSeq)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(centRows: _*),
+        corpus.select(idCol, vecCol).schema)
+      .withColumnRenamed(idCol, "centroid_id").withColumnRenamed(vecCol, "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val books = book.bc.value
+    val cbRows = for (s <- 0 until m; c <- 0 until ksub)
+      yield org.apache.spark.sql.Row(s, c, books(s)(c).toSeq)
+    spark.createDataFrame(java.util.Arrays.asList(cbRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sub",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("code",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cw",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    VectorFunctions.releaseCentroidBroadcast(spark, cs.bc)
+    VectorFunctions.releasePqBroadcast(spark, book.bc)
+  }
+
+  /** Rebuild the pinned [[PqBook]] from a persisted `path/codebook` —
+    * bounded control-plane read (m×ksub rows). */
+  def readPqBook(spark: org.apache.spark.sql.SparkSession,
+                 path: String): PqBook = {
+    val rows = spark.read.parquet(s"$path/codebook")
+      .orderBy(col("sub"), col("code")).collect()
+    require(rows.nonEmpty, s"no PQ codebook under $path")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * ksub,
+      s"codebook under $path is ragged: ${rows.length} rows for m=$m ksub=$ksub")
+    val books = Array.tabulate(m)(s => Array.tabulate(ksub)(c =>
+      rows(s * ksub + c).getSeq[Float](2).toArray))
+    PqBook(m, ksub, books(0)(0).length,
+      spark.sparkContext.broadcast(books))
+  }
+
+  private def readCentroidSet(spark: org.apache.spark.sql.SparkSession,
+                              path: String): CentroidSet = {
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("centroid_id")).collect()
+    CentroidSet(array(centRows.map(r => lit(r.get(0))): _*),
+      spark.sparkContext.broadcast(centRows.map(_.getSeq[Float](1).toArray)))
+  }
+
+  /** Append a batch into a persisted IVFADC index: assigned AND encoded
+    * against the index's own pinned quantizers, written as a fresh
+    * segment, committed via the [[IndexLog]] two-step — crash-safe,
+    * exactly-once under foreachBatch replay, O(batch) cost
+    * ([[Similarity.appendToIvfIndex]]'s contract with the PQ encode in the
+    * same zero-shuffle projection). */
+  def appendToIvfPqIndex(batch: DataFrame, path: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         appId: String = "graft",
+                         batchId: Long = -1L): Unit = {
+    val spark = batch.sparkSession
+    if (batchId >= 0 &&
+        committedSegments(spark, path).exists(s => s._1 == appId && s._2 == batchId))
+      return // replayed batch: already committed, exactly-once no-op
+    VectorFunctions.register(spark)
+    val cs = readCentroidSet(spark, path)
+    val book = readPqBook(spark, path)
+    val segment =
+      if (batchId >= 0) s"$appId-$batchId"
+      else s"$appId-u${java.util.UUID.randomUUID().toString.take(8)}"
+    batch.select(col(idCol),
+        nearestCentroidId(cs, col(vecCol), spark).as("centroid_id"),
+        VectorFunctions.pqEncode(spark, col(vecCol), book.bc).as("codes"))
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(IndexLog.segmentDir(path, segment))
+    VectorFunctions.releaseCentroidBroadcast(spark, cs.bc)
+    VectorFunctions.releasePqBroadcast(spark, book.bc)
+    IndexLog.commit(spark, path, appId, batchId, segment)
+  }
+
+  /** Fold committed IVFADC append segments into the bucketed codes base —
+    * [[compactIvfIndex]]'s protocol on the `codes/` artifact (id-dedup
+    * crash-retry convergence, only captured segments retired, results
+    * provably unchanged: the q323 gate and SimilaritySpec pin it). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, idCol: String = "vec_id"): Unit =
+    compactBucketedIndex(spark, path, "codes", idCol)
+
+  /** Top-k over the persisted IVFADC index: probe selection on the tiny
+    * centroid table, a directory-pruned scan of ONLY the probed codes
+    * buckets (base + committed segments), ADC scoring against the pinned
+    * codebook, bounded TopKAgg. Matches [[ivfPqTopK]] bit-for-bit when
+    * built from the same corpus — the persisted artifact changes where
+    * the quantizers live, never the math. Ranks order by
+    * (adc_dist ASC, neighbor_id ASC). */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame, k: Int, nProbe: Int,
+                         corpusId: String = "vec_id",
+                         queryId: String = "query_id",
+                         queryVec: String = "embedding"): DataFrame = {
+    VectorFunctions.register(spark)
+    TopKAgg.register(spark)
+    val cs = readCentroidSet(spark, path)
+    val book = readPqBook(spark, path)
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("cidx",
+        explode(VectorFunctions.topCentroids(spark, col("qv"), cs.bc, nProbe)))
+      .withColumn("centroid_id", element_at(cs.ids, col("cidx") + 1))
+      .drop("cidx")
+    val codes = prunedBucketScan(spark, path, "codes", probes)
+    val scored = broadcast(probes).join(codes, "centroid_id")
+      .select(col("query_id"), struct(
+        VectorFunctions.pqAdcDistance(spark, col("codes"), col("qv"), book.bc)
+          .as("d"),
+        col(corpusId).as("nid")).as("s"))
     scored.groupBy("query_id").agg(TopKAgg.topK(col("s"), k).as("arr"))
       .select(col("query_id"), posexplode(col("arr")))
       .select(col("query_id"), col("col.nid").as("neighbor_id"),

@@ -206,6 +206,61 @@ class SimilaritySpec extends SparkSpec {
     assert(ids.sorted == ids.distinct.sorted, "duplicate rows survived compact")
   }
 
+  test("persisted IVFADC index: full-build search equals in-memory ivfPqTopK") {
+    val e = dim64
+    val dir = tmpDir("ivfpq_full")
+    Similarity.writeIvfPqIndex(e, nCentroids = 4, m = 8, ksub = 4, path = dir)
+    val queries = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val persisted = Similarity.ivfPqTopKFromIndex(spark, dir, queries,
+      k = 4, nProbe = 4)
+    val inMemory = Similarity.ivfPqTopK(e, queries, k = 4,
+      nCentroids = 4, nProbe = 4, m = 8, ksub = 4)
+    assert(rowsOf(persisted) == rowsOf(inMemory))
+  }
+
+  test("persisted IVFADC: append encodes against pinned quantizers; crash invisible; replay no-op; compact preserves results") {
+    val e = dim64
+    val dir = tmpDir("ivfpq_seg")
+    val base = e.filter($"vec_id" < 7)
+    Similarity.writeIvfPqIndex(base, nCentroids = 4, m = 8, ksub = 4,
+      path = dir)
+    val queries = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def topk() = rowsOf(Similarity.ivfPqTopKFromIndex(spark, dir, queries,
+      k = 4, nProbe = 4).select("query_id", "neighbor_id", "rank"))
+    val baseOnly = topk()
+    // a CRASHED append: segment data without a log row is invisible
+    graft.functions.VectorFunctions.register(spark)
+    val cs = Similarity.readPqBook(spark, dir)
+    e.filter($"vec_id" >= 7).select($"vec_id",
+        lit(0L).as("centroid_id"),
+        graft.functions.VectorFunctions.pqEncode(spark, $"embedding", cs.bc)
+          .as("codes"))
+      .write.partitionBy("centroid_id").parquet(s"$dir/appends/crashed-seg")
+    assert(topk() == baseOnly, "uncommitted segment must stay invisible")
+    // committed appends serve; the oracle shape is ivfPqTopK over the full
+    // set with quantizers pinned to the base (q132's restricted-pool form)
+    Similarity.appendToIvfPqIndex(e.filter($"vec_id" >= 7), dir,
+      appId = "s", batchId = 1L)
+    val withAppend = topk()
+    assert(withAppend != baseOnly, "append must change the served set")
+    // replayed (appId, batchId): exactly-once no-op
+    Similarity.appendToIvfPqIndex(e.filter($"vec_id" >= 7), dir,
+      appId = "s", batchId = 1L)
+    assert(topk() == withAppend)
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/appends").exists())
+    assert(!new java.io.File(s"$dir/append_log").exists())
+    assert(topk() == withAppend, "compaction must not change results")
+    // idempotent retry + duplicate-segment convergence via id-dedup
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(topk() == withAppend)
+    val ids = spark.read.parquet(s"$dir/codes").select("vec_id")
+      .as[Long].collect().toSeq
+    assert(ids.sorted == ids.distinct.sorted, "duplicate codes rows")
+  }
+
   test("hardNegatives never returns a same-label neighbor and stays bounded") {
     val labeled = corpus.withColumn("label",
       (col("vec_id") % 2).cast("int")) // alternating labels
