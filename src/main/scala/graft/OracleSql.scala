@@ -6788,6 +6788,61 @@ object OracleSql {
          |  f.n_samples, f.n_chunks
          |FROM c JOIN f USING (media_key)""".stripMargin,
 
+    // q324: per-track keyframe/composition constants straight from the
+    // generator's stss/ctts fields; tracks without the boxes (the mp4a
+    // track and all of clip_stbl) report honest NULLs
+    "q324_keyframe_tracks" ->
+      s"""WITH f(media_key, name, track_id, handler, n_samples,
+         |       n_keyframes, keyframe_share, n_ctts_entries,
+         |       max_ctts_offset) AS (VALUES
+         |  (0::BIGINT, 'clip_sync.mp4', 1, 'vide', 48::BIGINT,
+         |   4::BIGINT, 0.0833::DOUBLE, 2::BIGINT, 512::BIGINT),
+         |  (0::BIGINT, 'clip_sync.mp4', 2, 'soun', 96::BIGINT,
+         |   NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT, NULL::BIGINT),
+         |  (1::BIGINT, 'clip_stbl.mp4', 1, 'vide', 48::BIGINT,
+         |   NULL, NULL, NULL, NULL),
+         |  (1::BIGINT, 'clip_stbl.mp4', 2, 'soun', 96::BIGINT,
+         |   NULL, NULL, NULL, NULL)),
+         |c AS (SELECT doc_id % 2 AS media_key, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT f.media_key, f.name, c.n_docs,
+         |  f.track_id::INT AS track_id, f.handler, f.n_samples,
+         |  f.n_keyframes, f.keyframe_share, f.n_ctts_entries,
+         |  f.max_ctts_offset
+         |FROM c JOIN f USING (media_key)""".stripMargin,
+
+    // q325: keyframe-aligned frames — clip_sync at exactly its stss
+    // positions (1-based 1/13/25/37 -> idx 0/12/24/36), stss-less
+    // clip_stbl via the all-sync stride-4 fallback truncated to its 778
+    // bytes. md5 constants are byte arithmetic over the committed
+    // fixtures (the q58 precedent), decoder-independent.
+    "q325_keyframe_sampling" ->
+      s"""WITH f(media_key, name, frame_idx, frame_md5) AS (VALUES
+         |  (0::BIGINT, 'clip_sync.mp4', 0::BIGINT,
+         |   'cd5838ef238dc76a465560ee34009bbd'),
+         |  (0::BIGINT, 'clip_sync.mp4', 12::BIGINT,
+         |   'b79be5241bbf9a390d024e8542537f65'),
+         |  (0::BIGINT, 'clip_sync.mp4', 24::BIGINT,
+         |   '9a84aa36de8714983e06e5514883bef0'),
+         |  (0::BIGINT, 'clip_sync.mp4', 36::BIGINT,
+         |   'ca4c6bef1f7c7b939c6938bbd355066b'),
+         |  (1::BIGINT, 'clip_stbl.mp4', 0::BIGINT,
+         |   '9deec02af3f000e228110a51c87e01e3'),
+         |  (1::BIGINT, 'clip_stbl.mp4', 4::BIGINT,
+         |   'f5ddce41ce3f95f9b9724ca60d082571'),
+         |  (1::BIGINT, 'clip_stbl.mp4', 8::BIGINT,
+         |   '9493e1ca73315138fa90d5f215e5b576'),
+         |  (1::BIGINT, 'clip_stbl.mp4', 12::BIGINT,
+         |   'b79be5241bbf9a390d024e8542537f65'),
+         |  (1::BIGINT, 'clip_stbl.mp4', 16::BIGINT,
+         |   '32b5ef77dc2862cd3444238801611c0f'),
+         |  (1::BIGINT, 'clip_stbl.mp4', 20::BIGINT,
+         |   '7d9c4600dd6082c57342b20f2fd9de53')),
+         |c AS (SELECT doc_id % 2 AS media_key, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT f.media_key, f.name, c.n_docs, f.frame_idx, f.frame_md5
+         |FROM c JOIN f USING (media_key)""".stripMargin,
+
     // q316: 128-bit simhash replayed bit-for-bit from the FULL md5 (word 0
     // = hex chars 1-16 — the q108 hash64 verbatim — word 1 = chars 17-32),
     // then BRUTE-FORCE all-pairs Hamming <= 4 summed across both words —

@@ -3640,6 +3640,41 @@ object SparkEntry {
           concat(col("text"), lit(" qq7z")).as("text")))
   }
 
+  /** Keyframe/composition depth gate (r17 — q315's stage three): per-track
+    * sync-sample count, keyframe share, and the ctts b-frame tell from the
+    * stss/ctts walk. clip_sync.mp4 carries both boxes (constants are the
+    * generator's own fields: 4 keyframes of 48, share 4/48, two ctts
+    * entries, max offset 512); clip_stbl.mp4 carries neither — its
+    * keyframe fields must surface as honest NULLs (ISO: absent stss means
+    * all-sync, an inference the READER makes, never a fabricated count). */
+  private def q324(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(2L)).as("media_key"))
+    graft.operators.Media.videoKeyframeReport(docs, "media_key",
+      graft.operators.Media.Fixtures.df(s,
+        graft.operators.Media.Fixtures.videoSync))
+  }
+
+  /** KEYFRAME-ALIGNED frame sampling gate (r17 — q58 upgraded from blind
+    * stride to stss truth): clip_sync samples exactly its 4 sync frames
+    * (1-based stss 1/13/25/37 → idx 0/12/24/36); stss-less clip_stbl
+    * exercises the documented all-sync fallback (every 4th sample) AND
+    * the payload-truncation drop (only 6 of 12 stride frames fit its 778
+    * bytes). md5 constants are byte arithmetic over the committed
+    * fixtures, decoder-independent (the q58 precedent). */
+  private def q325(s: SparkSession, dir: String): DataFrame = {
+    val docs = TW(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(2L)).as("media_key"))
+    val frames = graft.operators.Media.keyframeSampleFrames(
+        graft.operators.Media.Fixtures.df(s,
+          graft.operators.Media.Fixtures.videoSync))
+      .select(col("media_key"), col("name"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
+    graft.operators.Multimodal.contentAddressedJoin(docs, "media_key",
+      frames, "media_key")
+  }
+
   /** 128-bit SimHash near-dups — the wider-signature regime that breaks
     * the 64-bit engine's 2^16-bucket band saturation (r15 probe: benefit
     * decay 93%→53% over one decade; this engine's 2^25-26-bucket bands
@@ -4203,7 +4238,9 @@ object SparkEntry {
     "q320_incremental_hamming" -> (q320 _),
     "q321_minhash_compact" -> (q321 _),
     "q322_incremental_hamming128" -> (q322 _),
-    "q323_ivfpq_index" -> (q323 _)
+    "q323_ivfpq_index" -> (q323 _),
+    "q324_keyframe_tracks" -> (q324 _),
+    "q325_keyframe_sampling" -> (q325 _)
   )
 
   /** Gates whose bench time is dominated by FIXED replay-harness

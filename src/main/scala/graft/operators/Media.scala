@@ -236,7 +236,10 @@ object Media {
   final case class Mp4Track(track_id: Option[Int], handler: Option[String],
                             codec: Option[String], width: Option[Int],
                             height: Option[Int], n_samples: Option[Long],
-                            n_chunks: Option[Long])
+                            n_chunks: Option[Long],
+                            sync_samples: Option[Seq[Long]] = None,
+                            n_ctts_entries: Option[Long] = None,
+                            max_ctts_offset: Option[Long] = None)
 
   /** All tracks of an ISO-BMFF payload via the stbl walk
     * (trak → mdia → hdlr/minf → stbl → stsd/stsz/stco), or None on
@@ -263,6 +266,8 @@ object Media {
         var codec: Option[String] = None
         var w: Option[Int] = None; var h: Option[Int] = None
         var nSamp: Option[Long] = None; var nChunk: Option[Long] = None
+        var syncs: Option[Seq[Long]] = None
+        var nCtts: Option[Long] = None; var maxCtts: Option[Long] = None
         if (!walkBoxes(b, p0, p1) { (tt, q0, q1) =>
           if (tt == "tkhd" && q1 - q0 >= 24) {
             // v0: version/flags + ctime + mtime → id at +12;
@@ -300,6 +305,32 @@ object Media {
                           nSamp = Some(be32b(b, u0 + 8))
                         case "stco" if u1 - u0 >= 8 =>
                           nChunk = Some(be32b(b, u0 + 4))
+                        case "stss" if u1 - u0 >= 8 =>
+                          // sync-sample (keyframe) table: entry_count, then
+                          // 1-based sample numbers. A count overrunning the
+                          // box refuses the file (refuse-don't-guess, same
+                          // contract as every other malformed box)
+                          val cnt = be32b(b, u0 + 4)
+                          if (u0.toLong + 8 + 4L * cnt > u1) ok = false
+                          else syncs = Some((0 until cnt.toInt).map(i =>
+                            be32b(b, u0 + 8 + 4 * i)))
+                        case "ctts" if u1 - u0 >= 8 =>
+                          // composition-offset table: (sample_count,
+                          // offset) pairs; v1 offsets are SIGNED (negative
+                          // offsets are the b-frame reorder tell). Only the
+                          // entry count and max offset are surfaced — the
+                          // corpus filters need the tell, not the table.
+                          val cnt = be32b(b, u0 + 4)
+                          val v1 = u8b(b, u0) == 1
+                          if (u0.toLong + 8 + 8L * cnt > u1) ok = false
+                          else {
+                            nCtts = Some(cnt)
+                            if (cnt > 0)
+                              maxCtts = Some((0 until cnt.toInt).map { i =>
+                                val raw = be32b(b, u0 + 12 + 8 * i)
+                                if (v1) raw.toInt.toLong else raw
+                              }.max)
+                          }
                         case _ => ()
                       }
                     }) ok = false
@@ -309,7 +340,8 @@ object Media {
             }) ok = false
           }
         }) ok = false
-        out += Mp4Track(id, handler, codec, w, h, nSamp, nChunk)
+        out += Mp4Track(id, handler, codec, w, h, nSamp, nChunk,
+          syncs, nCtts, maxCtts)
       }
     }
     if (!okWalk || !ok) None
@@ -331,6 +363,10 @@ object Media {
       * honestly NULL) and the full-sample-table clip (avc1 + mp4a).
       * Separate from `video` so the r14 q307 keying is untouched. */
     val videoTracks: Seq[String] = Seq("clip_2trak.mp4", "clip_stbl.mp4")
+    /** The sync-depth pair (r17): the stss+ctts clip (4 keyframes of 48,
+      * two-entry ctts, real mdat) and the stss-less full-table clip —
+      * whose keyframe fields must surface as honest NULLs. */
+    val videoSync: Seq[String] = Seq("clip_sync.mp4", "clip_stbl.mp4")
 
     def df(spark: SparkSession, names: Seq[String]): DataFrame = {
       import spark.implicits._
@@ -387,6 +423,89 @@ object Media {
       .toDF("media_key", "name", "track_id", "handler", "codec",
         "width", "height", "n_samples", "n_chunks")
     Multimodal.contentAddressedJoin(df, keyCol, decoded, "media_key")
+  }
+
+  /** Content-addressed per-track KEYFRAME report (r17 — the stage the
+    * stss/ctts depth feeds): sample count, sync-sample (keyframe) count,
+    * keyframe share, and the composition-offset tell (entry count + max
+    * offset — nonzero means frame reordering, i.e. b-frames). A track
+    * without stss/ctts reports honest NULLs: per ISO 14496-12 an absent
+    * stss means every sample is sync, which is the READER's inference to
+    * make ([[keyframeSampleFrames]] makes it explicitly), not a number
+    * the parser fabricates. */
+  def videoKeyframeReport(df: DataFrame, keyCol: String, video: DataFrame,
+                          videoKeyCol: String = "media_key",
+                          nameCol: String = "name",
+                          binCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decoded = video
+      .select(col(videoKeyCol).cast("long"), col(nameCol), col(binCol))
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (k, name, bytes) =>
+        val tracks = parseMp4Tracks(bytes).getOrElse(throw
+          new IllegalArgumentException(
+            s"media $k ($name): not a parseable ISO-BMFF payload"))
+        tracks.map { t =>
+          val nk = t.sync_samples.map(_.size.toLong)
+          val share = for (n <- t.n_samples; k0 <- nk if n > 0L)
+            yield math.round(k0.toDouble / n * 10000).toDouble / 10000
+          (k, name, t.track_id, t.handler, t.n_samples, nk, share,
+            t.n_ctts_entries, t.max_ctts_offset)
+        }
+      }
+      .toDF("media_key", "name", "track_id", "handler", "n_samples",
+        "n_keyframes", "keyframe_share", "n_ctts_entries",
+        "max_ctts_offset")
+    Multimodal.contentAddressedJoin(df, keyCol, decoded, "media_key")
+  }
+
+  /** KEYFRAME-ALIGNED frame sampling — [[Multimodal.sampleFrames]] with
+    * the sample positions taken from the video track's stss instead of a
+    * blind stride (a real video pipeline decodes at sync samples: those
+    * are the only self-contained frames, and thumbnailing/shot-detection
+    * pipelines sample exactly there). Frame k is the payload byte slice
+    * [k·frameBytes, (k+1)·frameBytes) — the same stub-decode contract as
+    * q58: the slicing/explode plumbing is real, the codec is not. When
+    * stss is ABSENT, ISO 14496-12 defines every sample as sync, so the
+    * sampler falls back to every `stride`-th sample of stsz's count —
+    * the reader-side inference the report leaves NULL. Refuses payloads
+    * with no parseable video track or no sample count; frames extending
+    * past the payload are dropped (slice truth, not zero-padding). */
+  def keyframeSampleFrames(video: DataFrame,
+                           videoKeyCol: String = "media_key",
+                           nameCol: String = "name",
+                           binCol: String = "media",
+                           frameBytes: Int = 32,
+                           stride: Int = 4): DataFrame = {
+    val spark = video.sparkSession
+    import spark.implicits._
+    video
+      .select(col(videoKeyCol).cast("long"), col(nameCol), col(binCol))
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (k, name, bytes) =>
+        val tracks = parseMp4Tracks(bytes).getOrElse(throw
+          new IllegalArgumentException(
+            s"media $k ($name): not a parseable ISO-BMFF payload"))
+        val vt = tracks.find(_.handler.contains("vide")).getOrElse(throw
+          new IllegalArgumentException(
+            s"media $k ($name): no video track to sample"))
+        val idxs: Seq[Long] = vt.sync_samples match {
+          case Some(ss) => ss.map(_ - 1) // 1-based sample numbers
+          case None =>
+            val n = vt.n_samples.getOrElse(throw
+              new IllegalArgumentException(
+                s"media $k ($name): no stss and no stsz sample count"))
+            0L until n by stride
+        }
+        idxs.filter(i => i >= 0 && (i + 1) * frameBytes <= bytes.length)
+          .map { i =>
+            (k, name, i,
+              java.util.Arrays.copyOfRange(bytes, (i * frameBytes).toInt,
+                ((i + 1) * frameBytes).toInt))
+          }
+      }
+      .toDF(videoKeyCol, nameCol, "frame_idx", "frame")
   }
 
   /** Content-addressed ISO-BMFF header report: the metadata pass a video

@@ -329,6 +329,79 @@ class MediaSpec extends SparkSpec {
       got.get.head.width.isEmpty)
   }
 
+  test("parseMp4Tracks reads stss/ctts; sync-less tracks stay NULL") {
+    val got = Media.parseMp4Tracks(fixture("clip_sync.mp4"))
+    assert(got.isDefined, "clip_sync.mp4 must parse")
+    val Seq(vide, soun) = got.get
+    assert(vide.handler.contains("vide"))
+    assert(vide.sync_samples.contains(Seq(1L, 13L, 25L, 37L)))
+    assert(vide.n_ctts_entries.contains(2L))
+    assert(vide.max_ctts_offset.contains(512L))
+    // the audio track carries neither box: honest NULLs, not zeros
+    assert(soun.sync_samples.isEmpty && soun.n_ctts_entries.isEmpty &&
+      soun.max_ctts_offset.isEmpty)
+    // stss-less stbl fixture: keyframe fields NULL everywhere
+    val stbl = Media.parseMp4Tracks(fixture("clip_stbl.mp4")).get
+    assert(stbl.forall(t => t.sync_samples.isEmpty &&
+      t.n_ctts_entries.isEmpty))
+  }
+
+  test("stss/ctts truncation: entry counts overrunning the box refuse the file") {
+    val full = fixture("clip_sync.mp4")
+    def patchCount(fourcc: String): Array[Byte] = {
+      val pat = fourcc.getBytes
+      val idx = (0 until full.length - 4).find(j => full.slice(j, j + 4)
+        .sameElements(pat)).get
+      val evil = full.clone()
+      // entry_count at fourcc + 4 (ver/flags) + 0 -> bytes idx+8..11
+      evil(idx + 8) = 0x7f.toByte
+      evil
+    }
+    assert(Media.parseMp4Tracks(patchCount("stss")).isEmpty,
+      "stss count past the box must refuse, not fabricate")
+    assert(Media.parseMp4Tracks(patchCount("ctts")).isEmpty,
+      "ctts count past the box must refuse, not fabricate")
+    // random truncations: refuse or agree, never fabricate
+    val want = Media.parseMp4Tracks(full)
+    val rnd = new scala.util.Random(20260817L)
+    (1 to 200).foreach { i =>
+      val cut = full.take(2 + rnd.nextInt(full.length - 2))
+      val got = Media.parseMp4Tracks(cut)
+      assert(got.isEmpty || got == want, s"trial $i")
+    }
+  }
+
+  test("keyframeSampleFrames: stss positions, all-sync fallback, payload-truncation drop") {
+    val df = Media.Fixtures.df(spark, Media.Fixtures.videoSync)
+    val out = Media.keyframeSampleFrames(df)
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        r.getAs[Array[Byte]](3))).toSeq
+    val sync = out.filter(_._1 == "clip_sync.mp4")
+    assert(sync.map(_._2).sorted == Seq(0L, 12L, 24L, 36L),
+      s"stss-aligned indices: ${sync.map(_._2)}")
+    // frame bytes are the literal payload slice
+    val payload = fixture("clip_sync.mp4")
+    sync.foreach { case (_, i, fr) =>
+      assert(java.util.Arrays.equals(fr,
+        java.util.Arrays.copyOfRange(payload, i.toInt * 32,
+          i.toInt * 32 + 32)))
+    }
+    // stss-less fixture: stride-4 fallback over 48 samples, truncated to
+    // the frames that FIT its 778 bytes (idx <= 23)
+    val stbl = out.filter(_._1 == "clip_stbl.mp4")
+    assert(stbl.map(_._2).sorted == Seq(0L, 4L, 8L, 12L, 16L, 20L),
+      s"fallback indices: ${stbl.map(_._2)}")
+    // refusal contracts: no video track / unparseable payload
+    import spark.implicits._
+    val audioOnly = Seq((9L, "square_8k_mono.wav",
+      fixture("square_8k_mono.wav"))).toDF("media_key", "name", "media")
+    val e = intercept[org.apache.spark.SparkException] {
+      Media.keyframeSampleFrames(audioOnly).collect()
+    }
+    assert(e.getMessage.contains("ISO-BMFF") ||
+      Option(e.getCause).exists(_.getMessage.contains("ISO-BMFF")))
+  }
+
   test("audio/video reports join real decoded stats to row counts") {
     val rows = Seq.tabulate(10)(i => Tuple1(i.toLong % 3)).toDF("media_key")
     val a = Media.audioStatsReport(rows, "media_key",

@@ -175,13 +175,18 @@ def mp4(width, height, timescale, duration, n_traks=1):
     return ftyp + box(b"moov", mvhd + traks)
 
 
-def mp4_tracks(timescale, duration, tracks):
+def mp4_tracks(timescale, duration, tracks, mdat=None):
     """ISO-BMFF with FULL track structure: moov(mvhd + per-track
-    trak(tkhd + mdia(mdhd + hdlr + minf(stbl(stsd + stsz + stco))))).
+    trak(tkhd + mdia(mdhd + hdlr + minf(stbl(stsd + stsz + stco
+    [+ stss][+ ctts]))))) [+ mdat].
     Each track dict: handler (b'vide'/b'soun'), codec fourcc, width,
-    height, n_samples, chunk_offsets. stsz uses a uniform sample size
-    (256) so no per-sample table is needed; stsd carries one sample
-    entry (VisualSampleEntry dims at entry offset 32/34)."""
+    height, n_samples, chunk_offsets; optional sync_samples (stss
+    1-based sample numbers) and ctts ((sample_count, offset) pairs,
+    version 0). stsz uses a uniform sample size (256) so no per-sample
+    table is needed; stsd carries one sample entry (VisualSampleEntry
+    dims at entry offset 32/34). `mdat` bytes, when given, append a
+    top-level mdat box after moov so frame-slice plumbing has payload
+    to cut."""
     def box(typ, payload):
         return struct.pack(">I", 8 + len(payload)) + typ + payload
 
@@ -230,11 +235,24 @@ def mp4_tracks(timescale, duration, tracks):
         stco = full(b"stco", struct.pack(">I", len(t["chunk_offsets"])) +
                     b"".join(struct.pack(">I", o)
                              for o in t["chunk_offsets"]))
-        stbl = box(b"stbl", stsd + stsz + stco)
+        boxes = stsd + stsz + stco
+        if "sync_samples" in t:
+            boxes += full(b"stss",
+                          struct.pack(">I", len(t["sync_samples"])) +
+                          b"".join(struct.pack(">I", s)
+                                   for s in t["sync_samples"]))
+        if "ctts" in t:
+            boxes += full(b"ctts", struct.pack(">I", len(t["ctts"])) +
+                          b"".join(struct.pack(">II", c, o)
+                                   for c, o in t["ctts"]))
+        stbl = box(b"stbl", boxes)
         minf = box(b"minf", stbl)
         mdia = box(b"mdia", mdhd + hdlr + minf)
         traks += box(b"trak", tkhd + mdia)
-    return ftyp + box(b"moov", mvhd + traks)
+    out = ftyp + box(b"moov", mvhd + traks)
+    if mdat is not None:
+        out += box(b"mdat", mdat)
+    return out
 
 
 def main():
@@ -288,6 +306,23 @@ def main():
         # track (320x180 sample-entry dims, 48 samples, 3 chunks) and
         # one mp4a audio track (96 samples, 4 chunks). timescale 1000,
         # duration 4000 -> 4000 ms.
+        # clip_sync.mp4 (r17): stss + ctts depth — the avc1 track carries
+        # 4 sync samples (1-based 1/13/25/37 of 48 -> keyframe share
+        # 4/48) and a two-entry v0 ctts (24 samples at offset 0, 24 at
+        # 512 -> max offset 512, the b-frame tell); the mp4a track has
+        # neither box (all-sync per ISO 14496-12 -> honest NULLs). A
+        # 1504-byte deterministic mdat (byte i = (i*7+13)%256) gives the
+        # keyframe-slice plumbing real payload to cut.
+        "clip_sync.mp4": mp4_tracks(1000, 6000, [
+            {"handler": b"vide", "codec": b"avc1", "width": 320,
+             "height": 180, "n_samples": 48,
+             "chunk_offsets": [4096, 8192, 12288],
+             "sync_samples": [1, 13, 25, 37],
+             "ctts": [(24, 0), (24, 512)]},
+            {"handler": b"soun", "codec": b"mp4a", "width": 0,
+             "height": 0, "n_samples": 96,
+             "chunk_offsets": [1024, 2048, 3072, 4000]},
+        ], mdat=bytes((i * 7 + 13) % 256 for i in range(1504))),
         "clip_stbl.mp4": mp4_tracks(1000, 4000, [
             {"handler": b"vide", "codec": b"avc1", "width": 320,
              "height": 180, "n_samples": 48,
