@@ -6788,6 +6788,41 @@ object OracleSql {
          |  f.n_samples, f.n_chunks
          |FROM c JOIN f USING (media_key)""".stripMargin,
 
+    // q326: the shingleK pre-flight replayed per k — the FULL AllPairs
+    // prefix machinery (df-rank rarest-first ordering, DECIMAL-exact
+    // prefix length n - ceil(n*0.5) + 1) run at k = 1..5, emitting the
+    // posting-stage load numbers the Spark probe measures through the
+    // operator's own stages
+    "q326_shinglek_probe" -> {
+      def blk(k: Int): String = {
+        val units =
+          if (k <= 1) "tk" else shinglesExpr("tk", k)
+        s"""tkk$k AS (SELECT id, list_distinct($units) AS toks FROM t0
+           |  WHERE len(list_distinct($units)) > 0),
+           |pos$k AS (SELECT id, len(toks) AS n, unnest(toks) AS t
+           |  FROM tkk$k),
+           |tdf$k AS (SELECT t, count(*) AS tdf FROM pos$k GROUP BY 1),
+           |rk$k AS (SELECT id, n, t, row_number() OVER (PARTITION BY id
+           |    ORDER BY tdf, t) AS r
+           |  FROM pos$k JOIN tdf$k USING (t)),
+           |pr$k AS (SELECT t FROM rk$k WHERE r <= n - ceil(n * 0.5) + 1),
+           |bk$k AS (SELECT t, count(*) AS c FROM pr$k GROUP BY 1)"""
+          .stripMargin
+      }
+      def row(k: Int): String =
+        s"""SELECT $k::BIGINT AS shingle_k,
+           |  (SELECT count(*) FROM tkk$k)::BIGINT AS n_docs,
+           |  (SELECT count(DISTINCT t) FROM pos$k)::BIGINT AS n_units,
+           |  coalesce(sum(c), 0)::BIGINT AS n_prefix_postings,
+           |  coalesce(max(c), 0)::BIGINT AS max_posting,
+           |  (SELECT t FROM bk$k ORDER BY c DESC, t LIMIT 1) AS hot_unit,
+           |  coalesce(sum(c * (c - 1)) // 2, 0)::BIGINT AS cand_pairs
+           |FROM bk$k""".stripMargin
+      s"""WITH t0 AS (SELECT doc_id AS id, $toksExpr AS tk FROM documents),
+         |${(1 to 5).map(blk).mkString(",\n")}
+         |${(1 to 5).map(row).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
     // q324: per-track keyframe/composition constants straight from the
     // generator's stss/ctts fields; tracks without the boxes (the mp4a
     // track and all of clip_stbl) report honest NULLs

@@ -3640,6 +3640,18 @@ object SparkEntry {
           concat(col("text"), lit(" qq7z")).as("text")))
   }
 
+  /** Vocabulary-driven shingleK pre-flight gate (r17 — q193's sf1 root
+    * cause as a measured guard): for each k the prefix-filter's OWN
+    * posting-stage numbers — distinct units, prefix-posting mass, the
+    * hottest bucket BY NAME, and the exact implied candidate pairs — on
+    * the synthetic 31-word corpus the k=1 row shows the quadratic
+    * operating point (every prefix collides) collapsing k by k. The
+    * oracle replays the full AllPairs prefix machinery (df-rank ordering,
+    * decimal-exact prefix length) per k in SQL. */
+  private def q326(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleKProfile(T(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.5, ks = Seq(1, 2, 3, 4, 5))
+
   /** Keyframe/composition depth gate (r17 — q315's stage three): per-track
     * sync-sample count, keyframe share, and the ctts b-frame tell from the
     * stss/ctts walk. clip_sync.mp4 carries both boxes (constants are the
@@ -4240,7 +4252,8 @@ object SparkEntry {
     "q322_incremental_hamming128" -> (q322 _),
     "q323_ivfpq_index" -> (q323 _),
     "q324_keyframe_tracks" -> (q324 _),
-    "q325_keyframe_sampling" -> (q325 _)
+    "q325_keyframe_sampling" -> (q325 _),
+    "q326_shinglek_probe" -> (q326 _)
   )
 
   /** Gates whose bench time is dominated by FIXED replay-harness

@@ -1820,9 +1820,101 @@ object Dedup {
       f"$op pre-flight refused: ~$estimate%.0f candidate pairs measured " +
         f"from the prefix posting lists at shingleK=$shingleK, " +
         f"threshold=$threshold exceed candidateBudget=$budget. The unit " +
-        "vocabulary is too degenerate to prune on — raise shingleK " +
-        "(rarer units), raise threshold, or raise candidateBudget " +
-        "explicitly if the cost is intended.")
+        "vocabulary is too degenerate to prune on — run " +
+        "Dedup.recommendShingleK to measure the smallest k whose prefix " +
+        "postings fit the budget (rarer units prune harder), raise " +
+        "threshold, or raise candidateBudget explicitly if the cost is " +
+        "intended.")
+
+  /** One measured prefix-filter operating point: the probe row behind
+    * [[shingleKProfile]] / [[recommendShingleK]]. */
+  final case class ShingleKLoad(shingleK: Int, nDocs: Long, nUnits: Long,
+                                nPrefixPostings: Long, maxPosting: Long,
+                                hotUnit: String, candPairs: Long)
+
+  private def prefixLoadForK(df: DataFrame, textCol: String, idCol: String,
+                             threshold: Double, k: Int): ShingleKLoad = {
+    val toks = prefixTokenSets(df, textCol, idCol, k)
+    val prefix = prefixPostings(toks, threshold)
+    try {
+      // one pass over the exploded sets for both corpus-shape numbers
+      val shape = toks.select(col("id"), explode(col("toks")).as("t"))
+        .agg(countDistinct(col("id")).as("nd"),
+          countDistinct(col("t")).as("nu")).head()
+      val nDocs = shape.getLong(0)
+      val nUnits = shape.getLong(1)
+      val buckets = prefix.groupBy("t").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val agg = buckets.agg(
+        coalesce(sum(col("c")), lit(0L)).as("n_post"),
+        coalesce(max(col("c")), lit(0L)).as("max_c"),
+        // Σ c·(c−1) is even → `div 2` exact in Long (the
+        // bandedHammingPairs arithmetic contract)
+        coalesce(expr("sum(c * (c - 1)) div 2"), lit(0L)).as("pairs"))
+        .head()
+      val maxC = agg.getLong(1)
+      require(maxC <= 3037000499L,
+        s"shingleK probe at k=$k: hottest posting bucket $maxC overflows " +
+          "64-bit pair arithmetic — the configuration is quadratic " +
+          "regardless of budget")
+      val hot =
+        if (maxC == 0L) ""
+        else buckets.orderBy(col("c").desc, col("t")).limit(1)
+          .head().getString(0)
+      ShingleKLoad(k, nDocs, nUnits, agg.getLong(0), maxC, hot,
+        agg.getLong(2))
+    } finally prefix.unpersist(blocking = true)
+  }
+
+  /** Vocabulary-driven shingleK pre-flight for the prefix-filter family
+    * (r17 — q193's sf1 root cause turned into a measured guard): for each
+    * candidate k, the OPERATOR'S OWN posting-stage numbers — distinct
+    * units, prefix-posting mass, the hottest posting bucket BY NAME, and
+    * the exact implied candidate-pair count Σ c·(c−1)/2 — measured through
+    * [[prefixTokenSets]]/[[prefixPostings]] themselves (a re-implementation
+    * would drift). On a degenerate vocabulary (this repo's 31-word
+    * synthetic) the rows show the collapse directly: the r11/r16 probes
+    * measured 66M candidates at k=1 vs 160 at k=5 on the same sf1 corpus.
+    * Each k costs one posting pass (tokenize + df-rank), never a
+    * self-join — the probe is what makes the quadratic configuration
+    * refusable BEFORE it runs. */
+  def shingleKProfile(df: DataFrame, textCol: String, idCol: String,
+                      threshold: Double = 0.5,
+                      ks: Seq[Int] = Seq(1, 2, 3, 4, 5)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ks.map(k => prefixLoadForK(df, textCol, idCol, threshold, k))
+      .map(l => (l.shingleK.toLong, l.nDocs, l.nUnits, l.nPrefixPostings,
+        l.maxPosting, l.hotUnit, l.candPairs))
+      .toDF("shingle_k", "n_docs", "n_units", "n_prefix_postings",
+        "max_posting", "hot_unit", "cand_pairs")
+  }
+
+  /** The refusal's actionable twin: the SMALLEST k in `ks` whose measured
+    * prefix-posting candidate mass fits `candidateBudget` — probing
+    * ascending and stopping at the first fit, so the common case pays one
+    * posting pass. Throws (naming the hottest unit of the last k tried)
+    * when no candidate k fits. */
+  def recommendShingleK(df: DataFrame, textCol: String, idCol: String,
+                        threshold: Double = 0.5,
+                        candidateBudget: Long = 100000000L,
+                        ks: Seq[Int] = Seq(1, 2, 3, 4, 5)): Int = {
+    require(ks.nonEmpty && ks == ks.sorted, "ks must be ascending")
+    var last: ShingleKLoad = null
+    val it = ks.iterator
+    while (it.hasNext) {
+      last = prefixLoadForK(df, textCol, idCol, threshold, it.next())
+      if (last.candPairs <= candidateBudget) return last.shingleK
+    }
+    throw new IllegalArgumentException(
+      s"recommendShingleK: no k in ${ks.mkString("{", ",", "}")} fits " +
+        s"candidateBudget=$candidateBudget at threshold=$threshold — at " +
+        s"k=${last.shingleK} the prefix postings still imply " +
+        s"${last.candPairs} candidate pairs (hottest unit " +
+        s"'${last.hotUnit}' in ${last.maxPosting} prefixes). Raise the " +
+        "threshold, extend ks, or accept the cost explicitly via " +
+        "candidateBudget.")
+  }
 
   def prefixFilterJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                                threshold: Double, shingleK: Int = 3,

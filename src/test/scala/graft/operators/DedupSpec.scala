@@ -672,6 +672,55 @@ class DedupSpec extends SparkSpec {
     assert(err.getMessage.contains("hamming128DedupClusters"))
   }
 
+  test("shingleKProfile/recommendShingleK: degenerate vocab needs k=5, realistic vocab fits at k=3") {
+    import spark.implicits._
+    def pairsByK(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      Dedup.shingleKProfile(df, "text", "doc_id", threshold = 0.5)
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(6)).toMap
+    // DEGENERATE corpus (the synthetic-31-word regime): every token drawn
+    // from a 6-word vocab by a per-doc LCG walk, so k=1 prefixes collide
+    // with most of the corpus and only deep shingles become rare
+    val degenerate = (1L to 40L).map { i =>
+      var s = i
+      val toks = (0 until 24).map { _ =>
+        s = (s * 16807L + 11L) % 2147483647L
+        s"w${s % 6}"
+      }
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val dp = pairsByK(degenerate)
+    assert((1 to 4).forall(k => dp(k) > dp(k + 1)),
+      s"candidate mass must fall with k on the degenerate vocab: $dp")
+    val budget = dp(5)
+    assert((1 to 4).forall(k => dp(k) > budget), s"need a strict gap: $dp")
+    assert(Dedup.recommendShingleK(degenerate, "text", "doc_id",
+      threshold = 0.5, candidateBudget = budget) == 5)
+    // REALISTIC vocabulary: a shared 25-word core plus per-doc rare tail
+    // — k=1/2 still blow a tight budget, k=3 fits
+    val realistic = (1L to 40L).map { i =>
+      val core = (0 until 14).map(j => s"c${(i * 5 + j * j + i * j) % 25}")
+      val tail = (0 until 6).map(j => s"u${i}_$j")
+      (i, (core ++ tail).mkString(" "))
+    }.toDF("doc_id", "text")
+    val rp = pairsByK(realistic)
+    val budget2 = rp(3)
+    assert(rp(1) > budget2 && rp(2) > budget2,
+      s"realistic fixture must still collide below k=3: $rp")
+    assert(Dedup.recommendShingleK(realistic, "text", "doc_id",
+      threshold = 0.5, candidateBudget = budget2) == 3)
+    // the hot unit is NAMED (the bandedHammingPairs refusal contract)
+    val prof = Dedup.shingleKProfile(degenerate, "text", "doc_id",
+      threshold = 0.5, ks = Seq(1)).collect()(0)
+    assert(prof.getString(5).nonEmpty && prof.getLong(4) > 0)
+    // no k fits -> loud refusal naming the hot unit and the measured mass
+    val err = intercept[IllegalArgumentException] {
+      Dedup.recommendShingleK(degenerate, "text", "doc_id",
+        threshold = 0.5, candidateBudget = 0L, ks = Seq(1, 2, 3))
+    }
+    assert(err.getMessage.contains("no k in") &&
+      err.getMessage.contains("hottest unit"))
+  }
+
   test("dedupSavingsReport: lowest-id canonical survives per family, singletons always survive") {
     import spark.implicits._
     // family {1,2,3} (src a), singleton 4 (src a), family {5,6} (src b)
