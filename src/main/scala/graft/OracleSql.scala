@@ -6906,6 +6906,23 @@ object OracleSql {
         |SELECT 'pd_region', count(*)::BIGINT, count(*)::BIGINT,
         |  'pd_region_region', 'Finished' FROM region""".stripMargin,
 
+    // q327: rerun-path audit, fully independent like q318 — expected fact
+    // counts recomputed from the source parquet, status-row counts and
+    // terminal literals pinned: ONE status row for the healthy pipeline
+    // (a rerun that re-ran it would journal a second), TWO for the
+    // planted failure (Error then Finished), one fact row each (the
+    // failed first run journals no fact)
+    "q327_rerun_journal" ->
+      """SELECT 'pd_nation' AS pipeline_def_id,
+        |  'pd_nation_nation' AS task_name, 'Finished' AS last_status,
+        |  1::BIGINT AS n_status_rows, 1::BIGINT AS n_fact_rows,
+        |  count(*)::BIGINT AS input_rows, count(*)::BIGINT AS output_rows
+        |FROM nation
+        |UNION ALL
+        |SELECT 'pd_region', 'pd_region_region', 'Finished',
+        |  2::BIGINT, 1::BIGINT, count(*)::BIGINT, count(*)::BIGINT
+        |FROM region""".stripMargin,
+
     // q319: dedup-first clustering must equal the ALL-DOCS chain — pairs
     // over every doc (no rep collapse here, deliberately), components by
     // recursive CTE, docs without any link are singleton components

@@ -3752,6 +3752,76 @@ object SparkEntry {
         Seq("pipeline_def_id"))
   }
 
+  /** RERUN_BATCH journal gate (r17 — q318's stage two: the rerun path
+    * under the independent oracle). A two-pipeline ingest where pd_region's
+    * source THROWS on the first run (journaled Error, no fact row), then
+    * the real arg-dispatch entry re-runs with `RERUN_BATCH`: selection via
+    * the journal's latest-status rank window (ref
+    * M/configbuilder/Start.scala:198-218) must pick EXACTLY the failed
+    * pipeline — the oracle pins pd_nation at ONE status row (a rerun that
+    * re-ran the healthy pipeline would journal a second) and pd_region at
+    * two (Error then Finished) with its single fact row coming from the
+    * successful rerun. Fact counts are recomputed from the source parquet,
+    * statuses are pinned literals — nothing is read back from what the
+    * Spark side wrote. */
+  private def q327(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Dispatch, IngestionJob, Journal, TableConfig}
+    val root = scratchDir("graft_q327")
+    val journal = new Journal(s, s"$root/journal")
+    import s.implicits._
+    def cfg(defId: String, table: String, key: String) = TableConfig.fromRow(
+      Seq((defId, table, "scd1", key, "", "", "",
+        """{"format":"parquet"}""",
+        """[{"condtionType":"match","condition":"updates.row_active = false",
+           |  "updateInsertMap":{"deleted_flag":"true"}},
+           |{"condtionType":"match"},
+           |{"condtionType":"notmatch"}]""".stripMargin))
+        .toDF("pipeline_def_id", "table_name", "scd_type", "join_key",
+          "partition_id_col", "updated_at_col", "extra_join_cond",
+          "op_config", "merge_cond").collect().head)
+    def env(table: String): DataFrame = {
+      val t = T(s, dir, table)
+      t.select(struct(lit("c").as("op"),
+        struct(t.columns.map(col): _*).as("before"),
+        struct(t.columns.map(col): _*).as("after"),
+        struct(lit("db0").as("db"), lit(1L).as("server_id")).as("source"))
+        .as("value"))
+    }
+    val cfgs = Seq(cfg("pd_nation", "nation", "n_nationkey"),
+      cfg("pd_region", "region", "r_regionkey"))
+    // first run: pd_region's source is down
+    var regionUp = false
+    val source = (c: TableConfig) => () =>
+      if (c.tableName == "region" && !regionUp)
+        throw new RuntimeException("region source unavailable (planted)")
+      else env(c.tableName)
+    val ok1 = IngestionJob.run(s, cfgs, source, s"$root/tgt",
+      journal = Some(journal), parallelism = 1)
+    require(ok1.values.exists(identity) && !ok1.values.forall(identity),
+      s"q327 needs exactly one planted failure: $ok1")
+    // the source recovers; RERUN_BATCH re-runs ONLY the journaled failure
+    regionUp = true
+    Thread.sleep(5) // latest-status rank window needs distinct timestamps
+    val ok2 = Dispatch.run(s, Seq("RERUN_BATCH"), cfgs, source,
+      s"$root/tgt", journal, parallelism = 1)
+    require(ok2.size == 1 && ok2.values.forall(identity),
+      s"q327 rerun must run exactly the failed pipeline: $ok2")
+    val statusCounts = journal.status.read
+      .groupBy(col("pipelineDefId").as("pipeline_def_id"))
+      .agg(count(lit(1)).cast("long").as("n_status_rows"))
+    journal.latestStatus
+      .select(col("pipelineDefId").as("pipeline_def_id"),
+        col("taskName").as("task_name"),
+        col("status").as("last_status"))
+      .join(statusCounts, "pipeline_def_id")
+      .join(journal.facts.read
+        .groupBy(col("pipelineDefId").as("pipeline_def_id"))
+        .agg(count(lit(1)).cast("long").as("n_fact_rows"),
+          sum(col("inputRows")).cast("long").as("input_rows"),
+          sum(col("outputRows")).cast("long").as("output_rows")),
+        "pipeline_def_id")
+  }
+
   /** Signature-dedup-first near-dup clustering — q53's chain rebuilt to
     * survive template-collapsed corpora: one representative per DISTINCT
     * SimHash signature, banding + components over representatives only,
@@ -4253,7 +4323,8 @@ object SparkEntry {
     "q323_ivfpq_index" -> (q323 _),
     "q324_keyframe_tracks" -> (q324 _),
     "q325_keyframe_sampling" -> (q325 _),
-    "q326_shinglek_probe" -> (q326 _)
+    "q326_shinglek_probe" -> (q326 _),
+    "q327_rerun_journal" -> (q327 _)
   )
 
   /** Gates whose bench time is dominated by FIXED replay-harness
