@@ -6969,6 +6969,30 @@ object OracleSql {
          |FROM split a JOIN split c ON a.b >= 8000 AND c.b < 8000
          |WHERE bit_count(xor(a.w0, c.w0)) + bit_count(xor(a.w1, c.w1)) <= 4""".stripMargin,
 
+    // q328: incremental clustering must equal the ALL-DOCS chain restricted
+    // to the batch split — pairs over every doc of the planted-twin
+    // population (no contraction here, deliberately), recursive-CTE
+    // components, singleton batch docs to themselves
+    "q328_incremental_clusters" ->
+      s"""WITH RECURSIVE $plantedTwinsCte,
+         |${simhash64SigsCtes("aug")},
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM sigs64 a JOIN sigs64 b ON a.id < b.id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.n = e.d),
+         |comp AS (SELECT n AS doc_id, min(r) AS component_id
+         |  FROM reach GROUP BY n),
+         |split AS (SELECT id AS doc_id, ${h32("id::VARCHAR")} % 10000 AS b
+         |  FROM sigs64)
+         |SELECT s.doc_id, coalesce(c.component_id, s.doc_id) AS component_id
+         |FROM split s LEFT JOIN comp c USING (doc_id)
+         |WHERE s.b >= 8000""".stripMargin,
+
     // q283: the maintained join view must equal the full recompute —
     // count-distinct catches double-applied deltas, sums catch drops
     "q283_ivm_join" ->

@@ -809,7 +809,28 @@ object ScaleProbe {
       "q59_scd4_parts_total" -> (() => scdWrite("scd4_parts_total")),
       "q59_scd4_parts_rewritten" -> (() => scdWrite("scd4_parts_rewritten")),
       "q59_scd4_bytes_total" -> (() => scdWrite("scd4_bytes_total")),
-      "q59_scd4_bytes_rewritten" -> (() => scdWrite("scd4_bytes_rewritten"))
+      "q59_scd4_bytes_rewritten" -> (() => scdWrite("scd4_bytes_rewritten")),
+
+      // MinHash-index APPEND cost at the probed decade (r17): a 90% base,
+      // then ONE 10% batch appended (a) as a committed SEGMENT (the r17
+      // IndexLog path — O(batch) data written) vs (b) through the
+      // pre-r17 unpartitioned ParquetTable append, which rewrites the
+      // full corpus-sized snapshot per nightly batch. "count" is wall
+      // MILLISECONDS; the claim under test is that (a) stays flat-ish
+      // per decade while (b) grows with the INDEX, which is what makes
+      // nightly appends affordable at 100 TB.
+      "minhash_idx_append_segment_ms" ->
+        (() => minhashAppend(spark, docs, viaSegment = true)._1),
+      "minhash_idx_append_rewrite_ms" ->
+        (() => minhashAppend(spark, docs, viaSegment = false)._1),
+      // the same append, measured in BYTES WRITTEN by the append itself
+      // (segment dir vs the new full snapshot) — the noise-free form of
+      // the O(batch)-vs-O(index) claim: segment bytes track the BATCH
+      // across decades, snapshot bytes track the INDEX
+      "minhash_idx_append_segment_bytes" ->
+        (() => minhashAppend(spark, docs, viaSegment = true)._2),
+      "minhash_idx_append_rewrite_bytes" ->
+        (() => minhashAppend(spark, docs, viaSegment = false)._2)
     )
 
     val unknown = args.drop(1).filterNot(n => probes.exists(_._1 == n))
@@ -828,6 +849,40 @@ object ScaleProbe {
       println(f"""{"probe":"$name","count":$n,"sec":$dt%.2f,"sf":"$sfDir"}""")
     }
     spark.stop()
+  }
+
+  /** Append a 10% batch onto a 90% MinHash index, either as an
+    * [[graft.operators.Dedup.appendToMinHashIndex]] SEGMENT or through
+    * the pre-r17 full-snapshot ParquetTable append (rebuilt here from the
+    * table API — the operator no longer exposes it). Returns (wall ms of
+    * the append alone, bytes the append wrote: the segment dir or the new
+    * snapshot version dir). */
+  private def minhashAppend(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      viaSegment: Boolean): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val h = pmod(graft.functions.Hashes.portableHash32(
+      col("doc_id").cast("string")), lit(10000L))
+    val dir = java.nio.file.Files.createTempDirectory("probe_mh").toString
+    Dedup.writeMinHashIndex(docs.filter(h < 9000), dir,
+      bands = 4, rowsPerBand = 2)
+    val batch = docs.filter(h >= 9000)
+    val t0 = System.nanoTime()
+    val written =
+      if (viaSegment) {
+        Dedup.appendToMinHashIndex(batch, dir, txn = Some(("probe", 1L)))
+        new java.io.File(s"$dir/appends/probe-1")
+      } else {
+        val t = new graft.merge.ParquetTable(spark, s"$dir/index")
+        t.append(Dedup.minHashIndexTable(batch, "text", "doc_id",
+          bands = 4, rowsPerBand = 2))
+        new java.io.File(f"$dir/index/snap/v${t.latestVersion}%05d")
+      }
+    val ms = (System.nanoTime() - t0) / 1000000L
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+    (ms, du(written))
   }
 
   /** Multi-occupancy band-bucket mass (Σ s over buckets with s ≥ 2) of a

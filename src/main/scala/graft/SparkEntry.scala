@@ -3901,6 +3901,30 @@ object SparkEntry {
         round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** INCREMENTAL CLUSTERING gate (r17 — the q319 × q320 composition the
+    * r16 verdict called for): the 80% index side is clustered completely
+    * (dedup-first chain), then the 20% batch is assigned into those
+    * components WITHOUT re-clustering the corpus — batch reps band
+    * against themselves and against the index only, index endpoints
+    * contract to component labels. The oracle is the ALL-DOCS brute-force
+    * recursive-CTE chain over the planted-twin population restricted to
+    * batch ids, so a green row proves the contracted incremental graph
+    * reproduces full-corpus clustering exactly (including batch docs
+    * bridging two existing components). */
+  private def q328(s: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.Tables.widen(plantedTwinDocs(s, dir))
+      .select(col("doc_id"), Dedup.simHash64(col("text")).as("sig"))
+    val h = pmod(graft.functions.Hashes.portableHash32(
+      col("doc_id").cast("string")), lit(10000L))
+    val idx = sigs.filter(h < 8000)
+    val idxComps = Dedup.hamming64DedupClusters(idx, "doc_id", "sig")
+      .withColumnRenamed("id", "doc_id")
+    Dedup.incrementalHamming64Clusters(sigs.filter(h >= 8000),
+        idx.join(idxComps, "doc_id"), "doc_id", "sig")
+      .select(col("id").cast("long").as("doc_id"),
+        col("component").cast("long").as("component_id"))
+  }
+
   /** Incremental maintenance of a JOIN view (orders ⋈ customer) across
     * three insert batches — ΔV = ΔO⋈C then O⋈ΔC — validated against the
     * full recomputed join; count-distinct catches double-applied deltas. */
@@ -4324,7 +4348,8 @@ object SparkEntry {
     "q324_keyframe_tracks" -> (q324 _),
     "q325_keyframe_sampling" -> (q325 _),
     "q326_shinglek_probe" -> (q326 _),
-    "q327_rerun_journal" -> (q327 _)
+    "q327_rerun_journal" -> (q327 _),
+    "q328_incremental_clusters" -> (q328 _)
   )
 
   /** Gates whose bench time is dominated by FIXED replay-harness

@@ -1021,6 +1021,66 @@ object Dedup {
     dedupFirstClusters(withSigs, idCol, sigCol,
       hamming128NearDups(_, "id", "sig", maxHamming, candidateBudget))
 
+  /** INCREMENTAL near-dup clustering — the q319 × q320 composition (r17):
+    * assign a night's batch into an EXISTING component assignment without
+    * re-clustering the corpus. `index` carries (id, sig, component) from a
+    * prior complete clustering at the same radius ([[hamming64DedupClusters]]
+    * or a previous incremental pass); the batch is collapsed to one
+    * representative per DISTINCT signature first (the q319 move — a hot
+    * template in the night's crawl stays linear), reps band against
+    * THEMSELVES (new in-batch clusters) and against the INDEX
+    * ([[incrementalHamming64NearDups]]'s batch×index join — never
+    * index×index), index endpoints contract to their COMPONENT LABELS
+    * (one node per touched component, not per index doc), and one
+    * pointer-jumping pass over that contracted graph labels every batch
+    * doc.
+    *
+    * Semantics are EXACTLY the full-corpus chain: because the index
+    * clustering is complete at this radius, index-internal paths are
+    * fully summarized by component membership, so contracting each
+    * component to its label (= the min doc id it contains) preserves
+    * reachability AND the min-reachable-id labeling; identical-sig batch
+    * docs are Hamming-0 linked so min-reachable-rep == min-reachable-doc
+    * (the q319 argument). The q328 gate proves it against the all-docs
+    * brute-force recursive-CTE chain. A batch doc whose cluster bridges
+    * TWO existing components yields one label for both (the contracted
+    * component's min) — the merge a full re-cluster would also make;
+    * emitting it is how the caller learns the index needs the same
+    * relabel. Returns (id, component) for the batch. */
+  def incrementalHamming64Clusters(batch: DataFrame, index: DataFrame,
+      idCol: String, sigCol: String, compCol: String = "component",
+      maxHamming: Int = 3,
+      candidateBudget: Long = 100000000L): DataFrame = {
+    val sigs = batch.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .localCheckpoint()
+    val reps = sigs.groupBy(col("sig")).agg(min(col("id")).as("rep"))
+      .localCheckpoint()
+    val repDf = reps.select(col("rep").as("id"), col("sig"))
+    // the index side collapses the same way: same-sig index docs are
+    // Hamming-0 linked, so they share a component and ONE row per
+    // distinct (sig, component) carries every cross link — the banded
+    // index side of a template-heavy corpus stays distinct-sig sized
+    val ix = index.select(col(idCol).as("id"), col(sigCol).as("sig"),
+        col(compCol).as("__comp"))
+      .dropDuplicates("sig")
+      .localCheckpoint()
+    val selfPairs = hamming64NearDups(repDf, "id", "sig", maxHamming,
+        candidateBudget)
+      .select(col("id_a"), col("id_b"))
+    val crossEdges = incrementalHamming64NearDups(repDf,
+        ix.select(col("id"), col("sig")), "id", "sig", maxHamming,
+        candidateBudget)
+      .join(ix.select(col("id").as("index_id"), col("__comp")), "index_id")
+      .select(col("batch_id").as("id_a"), col("__comp").as("id_b"))
+      .distinct()
+    val comps = connectedComponents(selfPairs.unionByName(crossEdges))
+      .withColumnRenamed("node", "rep")
+    sigs.join(reps, "sig")
+      .join(comps, Seq("rep"), "left")
+      .select(col("id"), coalesce(col("component"), col("rep"))
+        .as("component"))
+  }
+
   /** [[hamming64DedupClusters]] with the text SimHash inlined — the
     * corpus-facing twin of [[simHashNearDups64]]+[[connectedComponents]]
     * (q53's chain) that survives template-collapsed corpora. */

@@ -58,12 +58,19 @@ private[operators] object IndexLog {
       .coalesce(1).write.mode("append").parquet(logDir(path))
   }
 
-  /** Remove `folded` segments (data dirs + log rows) after their contents
+  /** Remove `folded` segments (log rows + data dirs) after their contents
     * were durably folded into the index base. Segments committed since the
-    * compactor captured `folded` keep their data AND their log rows. Crash
-    * windows all converge on retry: before any delete, the folded rows are
-    * still listed and the refold id-dedups to the same base; between
-    * log delete and tmp rename, [[committed]] serves the tmp dir. */
+    * compactor captured `folded` keep their data AND their log rows.
+    *
+    * ORDER MATTERS: log rows are removed BEFORE the data dirs. A crash
+    * between the two leaves orphaned segment directories no log row names
+    * — invisible garbage a later retire or full rebuild sweeps — whereas
+    * the reverse order would leave the log pointing at DELETED data, and
+    * every reader (and the compact retry itself) would throw on the
+    * missing path instead of converging. Remaining crash windows all
+    * converge on retry: before the log rewrite, the folded rows are still
+    * listed and the refold id-dedups to the same base; between log delete
+    * and tmp rename, [[committed]] serves the tmp dir. */
   def retire(spark: SparkSession, path: String,
              folded: Seq[(String, Long, String)]): Unit = {
     if (folded.isEmpty) return
@@ -71,7 +78,6 @@ private[operators] object IndexLog {
     def del(p: String) = f.delete(new org.apache.hadoop.fs.Path(p), true)
     val foldedSegs = folded.map(_._3).toSet
     val survivors = committed(spark, path).filterNot(s => foldedSegs(s._3))
-    foldedSegs.foreach(s => del(segmentDir(path, s)))
     if (survivors.isEmpty) {
       del(logDir(path)); del(tmpDir(path)); del(s"$path/appends")
     } else {
@@ -82,6 +88,7 @@ private[operators] object IndexLog {
       del(logDir(path))
       f.rename(new org.apache.hadoop.fs.Path(tmpDir(path)),
         new org.apache.hadoop.fs.Path(logDir(path)))
+      foldedSegs.foreach(s => del(segmentDir(path, s)))
     }
   }
 }

@@ -672,6 +672,32 @@ class DedupSpec extends SparkSpec {
     assert(err.getMessage.contains("hamming128DedupClusters"))
   }
 
+  test("incrementalHamming64Clusters: join, new cluster, singleton, bridge of two existing components, exact-dup rep") {
+    import spark.implicits._
+    // index: comp {1,2} (h=1), singleton {3}, comp {5,6} (h=1);
+    // E=bits 59-62 and F=bits 57-60 sit at h=4 — separate at radius 3
+    val E = 0x7800000000000000L; val F = 0x1E00000000000000L
+    val D = 0x0F00000000000F00L
+    val index = Seq((1L, -1L), (2L, -2L), (3L, E), (5L, F), (6L, F ^ 1L))
+      .toDF("doc_id", "sig")
+    val idxComps = Dedup.hamming64DedupClusters(index, "doc_id", "sig")
+      .withColumnRenamed("id", "doc_id")
+    assert(idxComps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 5L -> 5L, 6L -> 5L))
+    // batch: 101 joins {1,2}; 102/103/106 form a NEW cluster (106 is an
+    // exact-sig dup of 102 — rep path); 104 is a singleton; 105 (bits
+    // 59-61) is h=1 from E and h=3 from F — it BRIDGES the two existing
+    // components, so all of {3,5,6,105} take label 3
+    val batch = Seq((101L, -4L), (102L, D), (103L, D ^ 6L), (104L,
+      0xAAAA000000000000L), (105L, 0x3800000000000000L), (106L, D))
+      .toDF("doc_id", "sig")
+    val got = Dedup.incrementalHamming64Clusters(batch,
+        index.join(idxComps, "doc_id"), "doc_id", "sig")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(101L -> 1L, 102L -> 102L, 103L -> 102L,
+      104L -> 104L, 105L -> 3L, 106L -> 102L), s"got $got")
+  }
+
   test("shingleKProfile/recommendShingleK: degenerate vocab needs k=5, realistic vocab fits at k=3") {
     import spark.implicits._
     def pairsByK(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
