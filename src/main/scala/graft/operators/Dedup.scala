@@ -1308,8 +1308,13 @@ object Dedup {
           col("old"))
         .withColumn("changed", col("label") =!= col("old"))
         .drop("old")
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
+        .localCheckpoint(eager = false)
+      // one action per iteration: the count over `changed` both decides
+      // convergence AND materializes the lazy checkpoint (it scans every
+      // partition, unlike isEmpty/take(1)) — the eager-checkpoint +
+      // isEmpty formulation paid a second scheduler round-trip per
+      // iteration for the same information
+      converged = next.filter(col("changed")).count() == 0L
       labels = next.drop("changed")
       iter += 1
     }
@@ -1820,25 +1825,38 @@ object Dedup {
     * silently shortening the prefix below the proven exact-recall minimum
     * (DuckDB's numeric literals are DECIMAL, so the oracle never had the
     * bug — only the Spark side did). */
-  private[graft] def prefixPostings(toks: DataFrame,
-                                    threshold: Double): DataFrame = {
-    val tokenDf = toks.select(col("id"), explode(col("toks")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("tdf"))
+  /** The exploded (id, n, p, t) token stream behind [[prefixPostings]] —
+    * factored out so [[prefixLoadForK]] can persist it ONCE and derive
+    * corpus-shape counts AND the posting stage from the same pass (the
+    * probe must measure the operator's own stages without re-shingling
+    * the corpus per statistic). */
+  private[graft] def explodedTokens(toks: DataFrame): DataFrame =
+    toks.select(col("id"), size(col("toks")).as("n"),
+      posexplode(col("toks")).as(Seq("p", "t")))
+
+  /** df-ranked prefix postings over an already-exploded token stream —
+    * the ranking/prefix-cut stage of [[prefixPostings]], unpersisted. */
+  private[graft] def prefixFromExploded(exploded: DataFrame,
+                                        threshold: Double): DataFrame = {
     // global order: rarest first, ties by token bytes. NO forced
     // broadcast on the vocab: with shingleK > 1 the vocabulary grows
     // with the corpus (27k shingles at sf0.001 already), so a pinned
     // hint could blow the 8 GB broadcast limit at scale — AQE picks
     // broadcast while the df table is small and degrades to a shuffle
     // join when it is not
-    val posts = toks.select(col("id"), size(col("toks")).as("n"),
-        posexplode(col("toks")).as(Seq("p", "t")))
-      .join(tokenDf, "t")
+    val tokenDf = exploded.groupBy("t").agg(count(lit(1)).as("tdf"))
+    val posts = exploded.join(tokenDf, "t")
     val ranked = posts.withColumn("r", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
         .orderBy(col("tdf"), col("t"))))
     val tDec = lit(java.math.BigDecimal.valueOf(threshold)) // exact decimal
     ranked.filter(col("r") <= col("n") - ceil(col("n") * tDec) + 1)
       .select("t", "id")
+  }
+
+  private[graft] def prefixPostings(toks: DataFrame,
+                                    threshold: Double): DataFrame = {
+    prefixFromExploded(explodedTokens(toks), threshold)
       // persist, not localCheckpoint: the guard estimate + BOTH self-join
       // sides read this, and InMemoryRelation keeps column stats AQE can
       // plan the join with (an RDD-checkpoint scan is a stats black hole
@@ -1895,35 +1913,40 @@ object Dedup {
   private def prefixLoadForK(df: DataFrame, textCol: String, idCol: String,
                              threshold: Double, k: Int): ShingleKLoad = {
     val toks = prefixTokenSets(df, textCol, idCol, k)
-    val prefix = prefixPostings(toks, threshold)
+    // ONE persisted explode feeds both the posting stage and the
+    // corpus-shape counts — the previous formulation re-shingled the
+    // corpus for the shape pass and persisted the prefix cut it consumes
+    // only once (r17: 4 data passes per k down to 2 jobs over one pass)
+    val exploded = explodedTokens(toks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one pass over the exploded sets for both corpus-shape numbers
-      val shape = toks.select(col("id"), explode(col("toks")).as("t"))
+      val buckets = prefixFromExploded(exploded, threshold)
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val shape = exploded
         .agg(countDistinct(col("id")).as("nd"),
           countDistinct(col("t")).as("nu")).head()
       val nDocs = shape.getLong(0)
       val nUnits = shape.getLong(1)
-      val buckets = prefix.groupBy("t").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
       val agg = buckets.agg(
         coalesce(sum(col("c")), lit(0L)).as("n_post"),
         coalesce(max(col("c")), lit(0L)).as("max_c"),
         // Σ c·(c−1) is even → `div 2` exact in Long (the
         // bandedHammingPairs arithmetic contract)
-        coalesce(expr("sum(c * (c - 1)) div 2"), lit(0L)).as("pairs"))
+        coalesce(expr("sum(c * (c - 1)) div 2"), lit(0L)).as("pairs"),
+        // hottest bucket fused into the same aggregate (was a separate
+        // orderBy-limit job): minimizing (-c, t) == orderBy(c desc, t)
+        expr("min_by(t, struct(-c, t))").as("hot"))
         .head()
       val maxC = agg.getLong(1)
       require(maxC <= 3037000499L,
         s"shingleK probe at k=$k: hottest posting bucket $maxC overflows " +
           "64-bit pair arithmetic — the configuration is quadratic " +
           "regardless of budget")
-      val hot =
-        if (maxC == 0L) ""
-        else buckets.orderBy(col("c").desc, col("t")).limit(1)
-          .head().getString(0)
+      val hot = if (maxC == 0L) "" else agg.getString(3)
       ShingleKLoad(k, nDocs, nUnits, agg.getLong(0), maxC, hot,
         agg.getLong(2))
-    } finally prefix.unpersist(blocking = true)
+    } finally exploded.unpersist(blocking = true)
   }
 
   /** Vocabulary-driven shingleK pre-flight for the prefix-filter family
@@ -1996,7 +2019,11 @@ object Dedup {
         "prefixFilterJaccardPairs", shingleK, threshold)
       prefixCandidatesFrom(prefix).localCheckpoint()
     } finally prefix.unpersist(blocking = true)
-    cands
+    // widen the checkpointed candidates before the verify join: AQE
+    // coalesces the distinct() to a handful of partitions at gate scale,
+    // which would serialize the array_intersect verify pass onto as many
+    // cores (guide §2.5; measured 4-task verify stage on q211's twin)
+    graft.Tables.widen(cands)
       .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
@@ -2148,7 +2175,9 @@ object Dedup {
       prefix.unpersist(blocking = true)
       hPosts.unpersist(blocking = true)
     }
-    cands
+    // widen before the verify join — the prefixFilterJaccardPairs
+    // parallelism fix (guide §2.5)
+    graft.Tables.widen(cands)
       .join(na.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(hb.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("containment",
@@ -2181,7 +2210,9 @@ object Dedup {
         "containmentPairs", shingleK, threshold)
       containmentCandidatesFrom(st.prefix, st.posts).localCheckpoint()
     } finally st.release()
-    cands
+    // widen before the verify join — the prefixFilterJaccardPairs
+    // parallelism fix (guide §2.5)
+    graft.Tables.widen(cands)
       .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("containment",

@@ -1216,12 +1216,18 @@ object Stats {
   def poissonBootstrapSE(df: DataFrame, groupCol: String, idCol: String,
                          valueCol: String, b: Int): DataFrame = {
     require(b >= 2 && b <= 512, "replicates in [2, 512]")
-    val base = df
+    // widen BEFORE the per-row md5 + b-way explode: a single-file input
+    // arrives as one scan partition, which would serialize the whole
+    // hash/weight pass onto one core (guide §2.5 input skew — measured
+    // 13.7 s single-task at sf0.1; a no-op once the scan has >= cores
+    // splits). Only the three projected columns cross the exchange.
+    val base = graft.Tables.widen(df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol).as("g"),
-        graft.functions.Hashes.portableHash32(col(idCol).cast("string"))
-          .as("h"),
-        col(valueCol).cast("decimal(18,2)").as("v"))
+      .select(col(groupCol).as("g"), col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("decimal(18,2)").as("v")))
+      .select(col("g"),
+        graft.functions.Hashes.portableHash32(col("__id")).as("h"),
+        col("v"))
     val reps = base
       .withColumn("rep", explode(sequence(lit(0L), lit(b - 1L))))
       .withColumn("w", poissonWeight)
@@ -1278,12 +1284,15 @@ object Stats {
   def bootstrapMedianCI(df: DataFrame, groupCol: String, idCol: String,
                         valueCol: String, b: Int = 64): DataFrame = {
     require(b >= 8 && b <= 512, "replicates in [8, 512]")
-    val base = df
+    // widen before the md5 pass: same single-scan-partition serialization
+    // fix as [[poissonBootstrapSE]] (guide §2.5)
+    val base = graft.Tables.widen(df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol).as("g"),
-        graft.functions.Hashes.portableHash32(col(idCol).cast("string"))
-          .as("h"),
-        col(valueCol).cast("decimal(18,2)").as("v"))
+      .select(col(groupCol).as("g"), col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("decimal(18,2)").as("v")))
+      .select(col("g"),
+        graft.functions.Hashes.portableHash32(col("__id")).as("h"),
+        col("v"))
       .localCheckpoint(eager = false) // point estimate + the rep grid
     val grid = base.groupBy(col("g"), col("v"))
       .agg(count(lit(1)).cast("long").as("c"))

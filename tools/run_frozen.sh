@@ -9,6 +9,10 @@ FROZEN=/tmp/graft_frozen
 if [ "${1:-}" = snapshot ]; then
   rm -rf "$FROZEN"; mkdir -p "$FROZEN"
   cp -r /root/repo/target/scala-2.13/classes "$FROZEN/classes"
+  # Resources (media fixture images) live in src/main/resources and are NOT
+  # copied into target/classes by plain `sbt compile` — without them the 12
+  # media queries fail to load their fixtures under the frozen classpath.
+  cp -r /root/repo/src/main/resources/. "$FROZEN/classes/"
   echo "snapshot: $(date) $(git -C /root/repo rev-parse --short HEAD)" > "$FROZEN/STAMP"
   cat "$FROZEN/STAMP"
   exit 0
