@@ -323,6 +323,43 @@ case class SimHashSig128(child: Expression) extends TextHashExpression {
     copy(child = newChild)
 }
 
+/** Word k-shingles over an ALREADY-TOKENIZED `array<string>` — the
+  * [[Shingles]] semantics minus the trim/lower/split pass, for callers
+  * that probe SEVERAL ks over one corpus and tokenize once (the r17 q326
+  * probe re-tokenized the corpus per k). Value identity with
+  * [[Shingles]] is by construction: [[TextHashExpression.shinglesOf]] is
+  * shared verbatim, and `shinglesOf(toks, 1)` returns the tokens
+  * themselves (concatWs of a single element), so the k=1 case equals the
+  * word array. */
+case class ShinglesFromTokens(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0, "k must be positive")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles_from_tokens"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val sh = TextHashExpression.shinglesOf(toks, k)
+    new GenericArrayData(sh.asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftShinglesFromTokens", this,
+      classOf[ShinglesFromTokens].getName)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = $ref.compute($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One greedy left-to-right BPE merge pass: every adjacent (a, b) token
   * pair collapses to the concatenation `ab`, non-overlapping (after a
   * merge, scanning resumes AFTER the merged token — "aaa" under (a,a)
@@ -374,6 +411,8 @@ object TextHashFunctions {
   def register(spark: SparkSession): Unit = {
     Registry.ensure(spark, "graft_shingles")(
       es => Shingles(es(0), intOf(es(1))))
+    Registry.ensure(spark, "graft_shingles_from_tokens")(
+      es => ShinglesFromTokens(es(0), intOf(es(1))))
     Registry.ensure(spark, "graft_shingle_hashes")(
       es => ShingleHashes(es(0), intOf(es(1))))
     Registry.ensure(spark, "graft_shingle_hashes64")(
@@ -405,6 +444,8 @@ object TextHashFunctions {
 
   def shingles(text: Column, k: Int): Column =
     { ensure(); call_function("graft_shingles", text, lit(k)) }
+  def shinglesFromTokens(tokens: Column, k: Int): Column =
+    { ensure(); call_function("graft_shingles_from_tokens", tokens, lit(k)) }
   def shingleHashes(text: Column, k: Int): Column =
     { ensure(); call_function("graft_shingle_hashes", text, lit(k)) }
   def shingleHashes64(text: Column, k: Int): Column =

@@ -168,7 +168,10 @@ object Dedup {
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      // |A∪B| = |A| + |B| − |A∩B| over distinct sets: same integer, no
+      // per-pair union-array materialization (r18 — guide §1.2 per-task)
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
       .withColumn("jaccard", when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -222,7 +225,9 @@ object Dedup {
       .join(index.select(col("id").as("corpus_id"), col("shset").as("sh_c")), "corpus_id")
       .join(newSigs.select(col("id").as("batch_id"), col("shset").as("sh_n")), "batch_id")
       .withColumn("inter", size(array_intersect(col("sh_c"), col("sh_n"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_c"), col("sh_n"))).cast("double"))
+      // |A∪B| arithmetically from distinct sets (r18, see verifiedNearDups)
+      .withColumn("uni",
+        (size(col("sh_c")) + size(col("sh_n"))).cast("double") - col("inter"))
       .withColumn("jaccard", when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
       .filter(col("jaccard") >= threshold)
       .select("corpus_id", "batch_id", "jaccard")
@@ -415,7 +420,10 @@ object Dedup {
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      // |A∪B| = |A| + |B| − |A∩B| over distinct sets: same integer, no
+      // per-pair union-array materialization (r18 — guide §1.2 per-task)
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
       .withColumn("jaccard", when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -1229,7 +1237,10 @@ object Dedup {
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      // |A∪B| = |A| + |B| − |A∩B| over distinct sets: same integer, no
+      // per-pair union-array materialization (r18 — guide §1.2 per-task)
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
       .withColumn("jaccard",
         when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
       .filter(col("jaccard") >= threshold)
@@ -1845,7 +1856,15 @@ object Dedup {
     // broadcast while the df table is small and degrades to a shuffle
     // join when it is not
     val tokenDf = exploded.groupBy("t").agg(count(lit(1)).as("tdf"))
-    val posts = exploded.join(tokenDf, "t")
+    prefixFromPosts(exploded.join(tokenDf, "t"), threshold)
+  }
+
+  /** The df-rank + prefix-cut stage over an already df-joined posting
+    * stream — factored out of [[prefixFromExploded]] so [[prefixLoadForK]]
+    * can supply its own (persisted) tokenDf without re-implementing the
+    * ranking (which would drift). */
+  private[graft] def prefixFromPosts(posts: DataFrame,
+                                     threshold: Double): DataFrame = {
     val ranked = posts.withColumn("r", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
         .orderBy(col("tdf"), col("t"))))
@@ -1910,24 +1929,65 @@ object Dedup {
                                 nPrefixPostings: Long, maxPosting: Long,
                                 hotUnit: String, candPairs: Long)
 
-  private def prefixLoadForK(df: DataFrame, textCol: String, idCol: String,
+  /** One tokenization pass shared by every k a multi-k probe touches:
+    * the corpus' word arrays, widened then checkpointed, so each k's
+    * shingle derivation reads materialized tokens instead of re-running
+    * the widen exchange + trim/lower/split over the raw text (guide
+    * §2.3/§2.4 — the r17 q326 probe paid a full widen+tokenize+shingle
+    * pass per k, 5× for the default ks). */
+  private def wordArrays(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame =
+    graft.Tables.widen(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .localCheckpoint()
+
+  /** k-shingle token sets derived from prepared word arrays —
+    * value-identical to [[prefixTokenSets]]: `shinglesOf` is shared
+    * verbatim by both expressions, `shinglesOf(words, 1)` is the word
+    * array itself, and `tokens()` ≡ `tokensOf` is the
+    * TextHashParitySpec contract. NOT checkpointed: the probe reads it
+    * exactly once (into the persisted explode). */
+  private def tokenSetsFromWords(words: DataFrame, k: Int): DataFrame =
+    words.select(col("id"), array_distinct(
+        graft.functions.TextHashFunctions.shinglesFromTokens(col("w"), k))
+        .as("toks"))
+      .filter(size(col("toks")) > 0)
+
+  /** Per-k distinct-doc counts for the multi-k probes, in ONE tiny
+    * aggregate over the shared word arrays: a doc has a non-empty
+    * k-shingle set iff it has >= k words (`shinglesOf` yields empty iff
+    * n < k, and `split` never yields an empty array — a non-null "" text
+    * tokenizes to {""}), so countDistinct over the qualifying ids equals
+    * prefixLoadForK's old countDistinct(id) over the exploded stream —
+    * without paying a full-explode Expand pass per k. */
+  private def docCountsAtK(words: DataFrame,
+                           ks: Seq[Int]): Map[Int, Long] = {
+    val aggs = ks.map(k =>
+      countDistinct(when(size(col("w")) >= k, col("id"))).as(s"nd_$k"))
+    val row = words.agg(aggs.head, aggs.tail: _*).head()
+    ks.zipWithIndex.map { case (k, i) => k -> row.getLong(i) }.toMap
+  }
+
+  private def prefixLoadForK(toks: DataFrame, nDocs: Long,
                              threshold: Double, k: Int): ShingleKLoad = {
-    val toks = prefixTokenSets(df, textCol, idCol, k)
-    // ONE persisted explode feeds both the posting stage and the
-    // corpus-shape counts — the previous formulation re-shingled the
-    // corpus for the shape pass and persisted the prefix cut it consumes
-    // only once (r17: 4 data passes per k down to 2 jobs over one pass)
+    // ONE persisted explode feeds the df-count and the posting stage —
+    // the r17 formulation additionally ran a countDistinct-pair shape
+    // aggregate over the same stream, i.e. an Expand (2× row
+    // duplication) per k for two numbers this chain already produces:
+    // n_units is tokenDf's row count, n_docs comes from the shared
+    // word-array aggregate ([[docCountsAtK]]).
     val exploded = explodedTokens(toks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokenDf = exploded.groupBy("t").agg(count(lit(1)).as("tdf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val buckets = prefixFromExploded(exploded, threshold)
+      // this count is the FIRST action: one linear pass lands both
+      // caches (r17 ADVICE ordering) before the two-branch posting join
+      // reads them — the shingle explode is never computed twice
+      val nUnits = tokenDf.count()
+      val buckets = prefixFromPosts(exploded.join(tokenDf, "t"), threshold)
         .groupBy("t").agg(count(lit(1)).as("c"))
         .localCheckpoint()
-      val shape = exploded
-        .agg(countDistinct(col("id")).as("nd"),
-          countDistinct(col("t")).as("nu")).head()
-      val nDocs = shape.getLong(0)
-      val nUnits = shape.getLong(1)
       val agg = buckets.agg(
         coalesce(sum(col("c")), lit(0L)).as("n_post"),
         coalesce(max(col("c")), lit(0L)).as("max_c"),
@@ -1946,7 +2006,10 @@ object Dedup {
       val hot = if (maxC == 0L) "" else agg.getString(3)
       ShingleKLoad(k, nDocs, nUnits, agg.getLong(0), maxC, hot,
         agg.getLong(2))
-    } finally exploded.unpersist(blocking = true)
+    } finally {
+      exploded.unpersist(blocking = true)
+      tokenDf.unpersist(blocking = true)
+    }
   }
 
   /** Vocabulary-driven shingleK pre-flight for the prefix-filter family
@@ -1966,7 +2029,27 @@ object Dedup {
                       ks: Seq[Int] = Seq(1, 2, 3, 4, 5)): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    ks.map(k => prefixLoadForK(df, textCol, idCol, threshold, k))
+    val words = wordArrays(df, textCol, idCol)
+    val nd = docCountsAtK(words, ks)
+    // the per-k probes are INDEPENDENT jobs over the shared checkpointed
+    // word arrays — overlap them from a small driver pool (guide §2.6:
+    // the next k's tasks back-fill executors freed by the current k's
+    // stage tails; 3 in flight fills the tail without starving any one
+    // probe). Each probe's persist/unpersist pair is scoped to its own
+    // DataFrames, so concurrent probes never touch each other's blocks.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(3, ks.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val loads = try {
+      val futs = ks.map(k => scala.concurrent.Future {
+        prefixLoadForK(tokenSetsFromWords(words, k), nd(k), threshold, k)
+      })
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    loads
       .map(l => (l.shingleK.toLong, l.nDocs, l.nUnits, l.nPrefixPostings,
         l.maxPosting, l.hotUnit, l.candPairs))
       .toDF("shingle_k", "n_docs", "n_units", "n_prefix_postings",
@@ -1983,10 +2066,13 @@ object Dedup {
                         candidateBudget: Long = 100000000L,
                         ks: Seq[Int] = Seq(1, 2, 3, 4, 5)): Int = {
     require(ks.nonEmpty && ks == ks.sorted, "ks must be ascending")
+    val words = wordArrays(df, textCol, idCol)
+    val nd = docCountsAtK(words, ks)
     var last: ShingleKLoad = null
     val it = ks.iterator
     while (it.hasNext) {
-      last = prefixLoadForK(df, textCol, idCol, threshold, it.next())
+      val k = it.next()
+      last = prefixLoadForK(tokenSetsFromWords(words, k), nd(k), threshold, k)
       if (last.candPairs <= candidateBudget) return last.shingleK
     }
     throw new IllegalArgumentException(
@@ -2027,7 +2113,9 @@ object Dedup {
       .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
-      .withColumn("uni", size(array_union(col("ta"), col("tb"))).cast("double"))
+      // |A∪B| arithmetically from distinct sets (r18, see verifiedNearDups)
+      .withColumn("uni",
+        (size(col("ta")) + size(col("tb"))).cast("double") - col("inter"))
       .withColumn("jaccard", col("inter") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

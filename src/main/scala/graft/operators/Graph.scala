@@ -220,6 +220,13 @@ object Graph {
     val e = edges.select(col(entityCol).as("u"), col(itemCol).as("i"))
       .filter(col("u").isNotNull && col("i").isNotNull)
       .distinct().localCheckpoint() // read thrice: degrees + both join sides
+    // NOTE (r18, measured): pinning the wedge join's width to the core
+    // count (repartition-by-num on i at the checkpoint scan) LOST 1.5×
+    // at the q220 gate — 32-way sort/agg buffers tripled task CPU and GC
+    // (9.8 s GC) versus AQE's byte-coalesced ~10 tasks, whose per-task
+    // efficiency won despite idle cores. Left to AQE deliberately; the
+    // fix that does pay here is the q113-style pin only when a stage is
+    // coalesced to ONE task, which this join never is.
     val deg = e.groupBy("i").agg(count(lit(1)).cast("long").as("di"))
       .filter(col("di") >= 2 && col("di") <= maxItemDegree)
     val ew = e.join(deg, "i")

@@ -59,7 +59,16 @@ object RangeJoin {
       explode(sequence(chunkOf(col(aStart)), chunkOf(col(aEnd)))))
     val be = b.withColumn("__chunk",
       explode(sequence(chunkOf(col(bStart)), chunkOf(col(bEnd)))))
-    ae.join(be, Seq("__chunk"))
+    // pinned-width repartition on the join key (r18): the per-chunk join
+    // fan-out is invisible to AQE (it sizes partitions from the small
+    // pre-join bytes and coalesced the q136 gate's join onto 3 tasks
+    // while the chunk-pair compute dominated the query); an explicit
+    // count defeats the coalesce and the join reuses the exchanges, so
+    // none is added (guide §2.5 — width derived from cores, never a
+    // constant)
+    val n = a.sparkSession.sparkContext.defaultParallelism
+    ae.repartition(n, col("__chunk"))
+      .join(be.repartition(n, col("__chunk")), Seq("__chunk"))
       .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
       .filter(col("__chunk") === chunkOf(greatest(col(aStart), col(bStart))))
       .drop("__chunk")

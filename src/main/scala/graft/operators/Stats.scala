@@ -1310,22 +1310,40 @@ object Stats {
       col("cum") * 2 >= col("ng") - margin &&
         (col("cum") - col("c")) * 2 <= col("ng") + margin)
       .select(col("g"), col("v"))
-    val cut = central.groupBy(col("g")).agg(min(col("v")).as("v_lo"))
+    // the central window is a CONTIGUOUS rank range of the grid (both
+    // cum-filters are monotone in v-order), so membership is exactly
+    // v_lo <= v <= v_hi — one broadcast row per group replaces the r17
+    // (g, v) equi-join of the exploded stream against the central set
+    val cut = central.groupBy(col("g"))
+      .agg(min(col("v")).as("v_lo"), max(col("v")).as("v_hi"))
     val n = base.groupBy(col("g"))
       .agg(count(lit(1)).cast("long").as("n_rows"))
-    val reps = base
+    // ONE pass over the b-way exploded weight stream (r17 ran two: a
+    // masses pass and an in-window pass — guide §2.4 remove passes):
+    // every row is zoned below/inside/above the search window, in-window
+    // rows keep their value, and partial aggregation collapses the
+    // stream to the bounded (g, rep, zone, v_central) grid before the
+    // shuffle. Masses re-aggregate from that grid — integer weights, so
+    // every sum is exact under any grouping order.
+    val zoned = base
       .withColumn("rep", explode(sequence(lit(0L), lit(b - 1L))))
       .withColumn("w", poissonWeight)
+      .join(broadcast(cut), Seq("g"))
+      .withColumn("zone", when(col("v") < col("v_lo"), lit(0))
+        .when(col("v") <= col("v_hi"), lit(1)).otherwise(lit(2)))
+      .groupBy(col("g"), col("rep"), col("zone"),
+        when(col("zone") === 1, col("v")).as("vc"))
+      .agg(sum(col("w")).as("w8"))
+      .localCheckpoint(eager = false) // masses + the sorted pass
     // total and below-window mass: straight aggregates to g×b groups
-    val masses = reps.join(broadcast(cut), Seq("g"))
+    val masses = zoned
       .groupBy(col("g"), col("rep"))
-      .agg(sum(col("w")).as("wt"),
-        sum(when(col("v") < col("v_lo"), col("w")).otherwise(0L))
+      .agg(sum(col("w8")).as("wt"),
+        sum(when(col("zone") === 0, col("w8")).otherwise(0L))
           .as("below"))
     // the sorted pass runs ONLY over the central window's rep grid
-    val inWin = reps.join(central, Seq("g", "v"))
-      .groupBy(col("g"), col("rep"), col("v"))
-      .agg(sum(col("w")).as("w8"))
+    val inWin = zoned.filter(col("zone") === 1)
+      .select(col("g"), col("rep"), col("vc").as("v"), col("w8"))
     val wr = Window.partitionBy(col("g"), col("rep")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val repMeds = inWin

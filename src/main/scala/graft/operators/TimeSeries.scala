@@ -39,7 +39,20 @@ object TimeSeries {
       .filter(col("rn") === 1)
       .select(col("k"), col("bucket"), col("v"))
       .localCheckpoint()
-    val spine = lastObs.groupBy(col("k"))
+    // pinned-width exchange on the spine key (r18): the per-key span
+    // aggregate is tiny in BYTES but everything downstream — the spine
+    // EXPLODE, the observation join, and the resample windows — inherits
+    // its partitioning, so AQE (which sizes by bytes and cannot see the
+    // explode fan-out) coalesced the whole resample onto ONE task
+    // (measured: a 1-task 1.9-2.3 s final stage on the q113 gate with 31
+    // cores idle). The pin must sit HERE, on the UnknownPartitioning
+    // checkpoint scan, where it is neither redundant (so the optimizer
+    // keeps it) nor coalescable (REPARTITION_BY_NUM) — a repartition
+    // after the join is eliminated as redundant because this aggregate's
+    // hash(k) partitioning already propagates there. Width derives from
+    // the cluster, never a constant (guide §2.5).
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val spine = lastObs.repartition(n, col("k")).groupBy(col("k"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
       .select(col("k"),
         explode(sequence(col("b0"), col("b1"), expr(s"INTERVAL $step"))).as("bucket"))

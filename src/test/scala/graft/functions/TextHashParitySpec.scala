@@ -63,6 +63,19 @@ class TextHashParitySpec extends SparkSpec {
     assert(diff.count() == 0, diff.collect().take(3).mkString("\n"))
   }
 
+  test("ShinglesFromTokens over tokens() == Shingles over text (all ks)") {
+    // the r18 multi-k probe contract: deriving k-shingles from a shared
+    // word-array pass must be value-identical to shingling the text —
+    // including k=1 (the word array itself) and the edge shapes above
+    Seq(1, 2, 3, 5, 9).foreach { k =>
+      val diff = corpus.select(
+        TextHashFunctions.shinglesFromTokens(hofTokens(col("text")), k).as("a"),
+        TextHashFunctions.shingles(col("text"), k).as("b"))
+        .filter(not(col("a") <=> col("b")))
+      assert(diff.count() == 0, s"k=$k: " + diff.collect().take(3).mkString("\n"))
+    }
+  }
+
   test("MinHashSig == HOF minhash fold (several n, k)") {
     Seq((8, 3), (4, 2), (16, 5)).foreach { case (n, k) =>
       val diff = corpus.select(
